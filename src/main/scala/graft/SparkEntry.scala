@@ -1,13 +1,705 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY §7): one `queries` entry per implemented
+  * operator from SURVEY.md §2 plus the LLM-pipeline extensions, each with
+  * a DuckDB-equivalent `oracleSql` run against the same parquet tables.
+  *
+  * Determinism rules applied uniformly so Spark and DuckDB hash-match:
+  *  - every query ends in an ORDER BY over a unique tuple;
+  *  - double measures are aggregated as DECIMAL(18,4) (exact,
+  *    order-independent) and emitted as DOUBLE;
+  *  - raw nanosecond timestamps are never emitted (Spark truncates to µs;
+  *    DuckDB keeps ns) — they are reduced to unix seconds / date strings;
+  *  - computed doubles compared across engines are rounded to 6 dp.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("a3_report")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── §2.1 scans / §2.2 projections ────────────────────────────────
+    "s4_scan_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "p1_projection" -> ((s, dir) => {
+      // canonical fixed-order re-projection, extras dropped (R22:534-539)
+      val canonical = Seq("p_partkey", "p_name", "p_brand", "p_type")
+      t(s, dir, "part").select(canonical.map(col): _*)
+        .orderBy(col("p_partkey"))
+    }),
+
+    "p2_autoid" -> ((s, dir) => {
+      Ids.withDenseId(t(s, dir, "orders"), "auto_id", Seq(col("o_orderkey")))
+        .select(col("auto_id"), col("o_orderkey"))
+        .orderBy(col("auto_id"))
+    }),
+
+    "p3_p4_route" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(instr(col("event_type"), "e") > 0)
+        .select(col("event_id"), col("event_type"),
+          when(col("event_type").isin("click", "view"), "engagement")
+            .when(col("event_type") === "purchase", "revenue")
+            .otherwise("ops").as("route"))
+        .orderBy(col("event_id"))
+    }),
+
+    "p5_freshness" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val mx = ev.agg(max(col("ts")).as("_mx"))
+      ev.crossJoin(mx)
+        .filter(col("ts") >= col("_mx") - expr("INTERVAL 7 DAYS"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── §2.3 joins ───────────────────────────────────────────────────
+    "j1_upsert" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val updates = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      Upsert.merge(target, updates, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "j2_anti" -> ((s, dir) => {
+      // pending-minus-processed anti-join (R22:579-661); every customer has
+      // SOME order in this data, so probe "no recent (1998+) orders"
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(year(col("o_orderdate")) >= 1998)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "j3_semi" -> ((s, dir) => {
+      val p = t(s, dir, "part"); val l = t(s, dir, "lineitem")
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "j4_kv_range" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("user_id").between(0, 9) &&
+          col("event_type") === "purchase" && col("value") > 100.0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "j5_star_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"))
+    }),
+
+    // ── §2.4 aggregations ────────────────────────────────────────────
+    "a1_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+
+    "a2_reconcile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(count(lit(1)).as("file_rows"),
+          count(col("l_orderkey")).as("staged_rows"))
+        .withColumn("ok",
+          abs(col("file_rows") - col("staged_rows")) <= 5)
+    }),
+
+    "a3_report" -> ((s, dir) => {
+      val base = Reports.reportBase(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))
+      Reports.priceByPeriodGeoCategory(base, 1996,
+          Seq("NATION_1", "NATION_2", "NATION_3"))
+        .orderBy(col("y"), col("m"), col("geo"), col("category"))
+    }),
+
+    "a4_report_base" -> ((s, dir) => {
+      Reports.reportBase(t(s, dir, "lineitem"), t(s, dir, "orders"),
+          t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))
+        .withColumn("order_date", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .drop("o_orderdate")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "a5_status_check" -> ((s, dir) => {
+      // "successful event within window?" per key, {-1,0,1} protocol
+      val ev = t(s, dir, "events")
+      val mx = ev.agg(max(col("ts")).as("_mx"))
+      ev.crossJoin(mx)
+        .filter(col("event_type") === "error" &&
+          col("ts") >= col("_mx") - expr("INTERVAL 3 DAYS"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .withColumn("status", when(col("n") >= 3, -1).otherwise(1))
+        .orderBy(col("user_id"))
+    }),
+
+    "a6_group_collect" -> ((s, dir) => {
+      t(s, dir, "events").filter(col("value") > 200)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", sort_array(collect_list(col("user_id")))).as("users"))
+        .orderBy(col("event_type"))
+    }),
+
+    "a7_dup_counts" -> ((s, dir) => {
+      t(s, dir, "events").filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy(col("user_id"))
+    }),
+
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ── §2.5 windows / §2.6 sorts ────────────────────────────────────
+    "w1_rownum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).as("rn"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    "w2_latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("value").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    "o1_chunks" -> ((s, dir) => {
+      Ids.withDenseId(t(s, dir, "orders"), "_id", Seq(col("o_orderkey")))
+        .withColumn("chunk", floor((col("_id") - 1) / 500))
+        .groupBy(col("chunk"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+        .orderBy(col("chunk"))
+    }),
+
+    // ── §2.8 scalar functions ────────────────────────────────────────
+    "f_strings" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val path = concat(lit("warehouse/"), col("p_brand"), lit("/part_"),
+        col("p_partkey").cast("string"), lit(".csv"))
+      p.select(col("p_partkey"),
+          path.as("path"),
+          regexp_extract(path, "([^/]+)$", 1).as("base"),
+          lower(col("p_name")).as("lname"),
+          replace(col("p_name"), lit(" "), lit("_")).as("uname"),
+          (instr(col("p_type"), "ECONOMY") > 0).as("is_econ"),
+          substring(col("p_name"), 1, 5).as("prefix"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "f_dates" -> ((s, dir) => {
+      // EST here is the fixed UTC-5 of the data's January window, so the
+      // oracle can reproduce it without a timezone database.
+      t(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          hour(from_utc_timestamp(col("ts"), "America/New_York")).as("est_hour"))
+        .groupBy(col("day"), col("est_hour")).agg(count(lit(1)).as("n"))
+        .orderBy(col("day"), col("est_hour"))
+    }),
+
+    "f_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
+    "f_math" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_orderkey"), lit(7)).as("m7"),
+          ceil(col("l_quantity") / 7).as("cq"),
+          floor(col("l_extendedprice") / 1024).as("kb"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ── §2.9 streaming semantics (batch-checkable form) ─────────────
+    "st3_dedup_window" -> ((s, dir) => {
+      // event-time duplicate suppression: latest row per key wins
+      Dedup.exact(
+          t(s, dir, "events")
+            .withColumn("_neg_value", -col("value"))
+            .withColumn("_neg_id", -col("event_id")),
+          Seq("user_id", "event_type"), Seq("_neg_value", "_neg_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ── LLM-pipeline extensions: dedup ───────────────────────────────
+    "x_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .select(md5(col("text")).as("h"), col("keeper"), col("n"))
+        .orderBy(col("h"))
+    }),
+
+    "x_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.12)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "x_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.12)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "x_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "x_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ── LLM-pipeline extensions: text analysis ──────────────────────
+    "x_text_stats" -> ((s, dir) => {
+      val sw = Seq("the", "and", "of", "a")
+      t(s, dir, "documents").select(col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars"),
+          round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TF.stopwordRatio(col("text"), sw), 6).as("stop_ratio"),
+          TF.qualityScore(col("text"), sw).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x_text_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TF.langId(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
+    "x_text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline extensions: similarity search ───────────────────
+    "x_sim_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, 10)
+    }),
+
+    "x_sim_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", "label", q,
+        k = 10, nprobe = 1)
+    }),
+
+    "x_sim_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val planes = Similarity.hyperplanes(dim = 64, numTables = 4,
+        bitsPerTable = 8, seed = 42L)
+      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, 10, planes)
+    }),
+
+    // ── LLM-pipeline extensions: multimodal columns ──────────────────
+    "x_mm_meta" -> ((s, dir) => {
+      Multimodal.withMeta(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+        .select(col("media_id"), col("n_bytes"), col("content_md5"),
+          col("first_byte"))
+        .orderBy(col("media_id"))
+    }))
+
+  /** Deterministic query vector: embedding of vec_id=0 (driver-side point
+    * lookup, promoted to double). */
+  private def queryVector(emb: DataFrame): Seq[Double] =
+    emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+
+  // ───────────────────────────────────────────────────────────────────
+  // DuckDB oracle SQL. Same determinism rules as the Spark side;
+  // casts align output types (DuckDB year()→BIGINT vs Spark INT, etc.).
+  // Queries with engine-specific hashing (xxhash64) are omitted →
+  // driver records a rows-only check.
+  // ───────────────────────────────────────────────────────────────────
+  def oracleSql: Map[String, String] = Map(
+
+    "s4_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         l_returnflag, l_linestatus, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "p1_projection" ->
+      "SELECT p_partkey, p_name, p_brand, p_type FROM part ORDER BY p_partkey",
+
+    "p2_autoid" ->
+      """SELECT row_number() OVER (ORDER BY o_orderkey) AS auto_id, o_orderkey
+         FROM orders ORDER BY auto_id""",
+
+    "p3_p4_route" ->
+      """SELECT event_id, event_type,
+         CASE WHEN event_type IN ('click','view') THEN 'engagement'
+              WHEN event_type = 'purchase' THEN 'revenue'
+              ELSE 'ops' END AS route
+         FROM events WHERE instr(event_type, 'e') > 0 ORDER BY event_id""",
+
+    "p5_freshness" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+         SELECT event_type, count(*) AS n FROM ev
+         WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM ev)
+         GROUP BY event_type ORDER BY event_type""",
+
+    "j1_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM orders WHERE o_orderkey % 2 = 0),
+              u AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+                           o_totalprice * 2 AS o_totalprice
+                    FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+                CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                     ELSE t.o_orderstatus END AS o_orderstatus,
+                CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                     ELSE t.o_totalprice END AS o_totalprice
+         FROM u FULL JOIN t ON u.o_orderkey = t.o_orderkey
+         ORDER BY o_orderkey""",
+
+    "j2_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND year(o_orderdate) >= 1998)
+         ORDER BY c_custkey""",
+
+    "j3_semi" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         ORDER BY p_partkey""",
+
+    "j4_kv_range" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE user_id BETWEEN 0 AND 9 AND event_type = 'purchase'
+           AND value > 100.0
+         ORDER BY event_id""",
+
+    "j5_star_join" ->
+      """SELECT r_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+         count(*) AS n
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+
+    "a1_count" -> "SELECT count(*) AS n FROM lineitem",
+
+    "a2_reconcile" ->
+      """SELECT count(*) AS file_rows, count(l_orderkey) AS staged_rows,
+         abs(count(*) - count(l_orderkey)) <= 5 AS ok FROM lineitem""",
+
+    "a3_report" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+                CAST(month(o_orderdate) AS INT) AS m,
+                n_name AS geo, o_orderstatus AS category,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS avg_price,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+                count(*) AS n
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE year(o_orderdate) = 1996
+           AND n_name IN ('NATION_1','NATION_2','NATION_3')
+         GROUP BY 1,2,3,4 ORDER BY 1,2,3,4""",
+
+    "a4_report_base" ->
+      """SELECT l_orderkey, l_linenumber, o_orderstatus,
+                n_name AS geo, r_name AS region,
+                l_quantity, l_extendedprice, l_discount,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_date
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "a5_status_check" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+         SELECT user_id, count(*) AS n,
+                CASE WHEN count(*) >= 3 THEN -1 ELSE 1 END AS status
+         FROM ev
+         WHERE event_type = 'error'
+           AND ts >= (SELECT max(ts) - INTERVAL 3 DAY FROM ev)
+         GROUP BY user_id ORDER BY user_id""",
+
+    "a6_group_collect" ->
+      """SELECT event_type, count(*) AS n,
+                string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS users
+         FROM events WHERE value > 200
+         GROUP BY event_type ORDER BY event_type""",
+
+    "a7_dup_counts" ->
+      """SELECT user_id, count(*) AS n FROM events
+         WHERE event_type = 'error'
+         GROUP BY user_id HAVING count(*) > 1 ORDER BY user_id""",
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "w1_rownum" ->
+      """SELECT event_id, user_id,
+                CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY value, event_id) AS INT) AS rn
+         FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id, rn""",
+
+    "w2_latest_per_key" ->
+      """SELECT user_id, event_type, event_id FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+           ORDER BY value DESC, event_id DESC) = 1
+         ORDER BY user_id, event_type""",
+
+    "o1_chunks" ->
+      """WITH r AS (SELECT o_orderkey,
+                    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+         SELECT CAST(floor((rn - 1) / 500) AS BIGINT) AS chunk, count(*) AS n,
+                min(o_orderkey) AS lo, max(o_orderkey) AS hi
+         FROM r GROUP BY 1 ORDER BY 1""",
+
+    "f_strings" ->
+      """SELECT p_partkey,
+                'warehouse/' || p_brand || '/part_' ||
+                  CAST(p_partkey AS VARCHAR) || '.csv' AS path,
+                regexp_extract('warehouse/' || p_brand || '/part_' ||
+                  CAST(p_partkey AS VARCHAR) || '.csv', '([^/]+)$', 1) AS base,
+                lower(p_name) AS lname,
+                replace(p_name, ' ', '_') AS uname,
+                instr(p_type, 'ECONOMY') > 0 AS is_econ,
+                substr(p_name, 1, 5) AS prefix
+         FROM part ORDER BY p_partkey""",
+
+    "f_dates" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+         SELECT strftime(ts, '%Y-%m-%d') AS day,
+                CAST(hour(ts - INTERVAL 5 HOUR) AS INT) AS est_hour,
+                count(*) AS n
+         FROM ev GROUP BY 1,2 ORDER BY 1,2""",
+
+    "f_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                count(*) AS n
+         FROM events GROUP BY k ORDER BY k""",
+
+    "f_math" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_orderkey % 7 AS m7,
+                CAST(ceil(l_quantity / 7) AS BIGINT) AS cq,
+                CAST(floor(l_extendedprice / 1024) AS BIGINT) AS kb
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "st3_dedup_window" ->
+      """SELECT user_id, event_type, event_id FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+           ORDER BY value DESC, event_id DESC) = 1
+         ORDER BY user_id, event_type""",
+
+    "x_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
+         FROM documents GROUP BY text ORDER BY h""",
+
+    "x_dedup_ngram" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+              sh AS (SELECT DISTINCT doc_id,
+                            unnest(list_transform(
+                              generate_series(1, greatest(len(t)-2, 0)),
+                              i -> array_to_string(t[i:i+2], ' '))) AS s
+                     FROM tok),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                               count(*) AS c
+                        FROM sh a JOIN sh b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+         FROM inter
+         JOIN sizes x ON id_a = x.doc_id
+         JOIN sizes y ON id_b = y.doc_id
+         WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.12
+         ORDER BY id_a, id_b""",
+
+    "x_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings),
+              p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                           round(sum(a.x * b.x) /
+                             (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))), 6) AS cosine
+                    FROM e a JOIN e b
+                      ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+                    GROUP BY 1, 2)
+         SELECT id_a, id_b, cosine FROM p
+         WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
+
+    "x_text_stats" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tokens,
+                length(text) AS n_chars,
+                round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                  * 1.0 / length(text), 6) AS punct_ratio,
+                round((
+                  CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS INT) +
+                  CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5 AS INT) +
+                  CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4 AS INT) +
+                  CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS INT)
+                ) * 1.0 / len(string_split(text, ' ')), 6) AS stop_ratio,
+                round((
+                  least(length(text) * 1.0 / 500, 1.0) +
+                  least(((
+                    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS INT) +
+                    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5 AS INT) +
+                    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4 AS INT) +
+                    CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS INT)
+                  ) * 1.0 / len(string_split(text, ' '))) * 5.0, 1.0) +
+                  greatest(1.0 - (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                    * 1.0 / length(text)) * 10.0, 0.0)
+                ) / 3.0, 6) AS quality
+         FROM documents ORDER BY doc_id""",
+
+    "x_text_langid" -> {
+      val pad = "(' ' || lower(text) || ' ')"
+      def occ(w: String) =
+        s"CAST((length($pad) - length(replace($pad, ' $w ', ''))) / ${w.length + 2} AS INT)"
+      val scores = TF.langLexicons.map { case (lang, words) =>
+        lang -> words.map(occ).mkString(" + ")
+      }
+      val scoreSel = scores.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
+      val best = s"greatest(${scores.map("s_" + _._1).mkString(", ")})"
+      val cases = scores.map { case (l, _) =>
+        s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH sc AS (SELECT lang, $scoreSel FROM documents)
+          SELECT lang, CASE $cases ELSE 'und' END AS pred, count(*) AS n
+          FROM sc GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
+    "x_text_fingerprint" ->
+      """SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(
+                  string_split(lower(text), ' '))), ' ')) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "x_sim_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid,
+                           CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+              e AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id <> 0),
+              s AS (SELECT e.vec_id,
+                           round(sum(e.x * q.qx) /
+                             (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+                    FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
+         SELECT vec_id, score FROM s
+         ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "x_sim_ivf" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+              e AS (SELECT vec_id, label,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings),
+              c AS (SELECT label, i, avg(x) AS m FROM e GROUP BY label, i),
+              cs AS (SELECT c.label,
+                            sum(c.m * q.qx) /
+                              (sqrt(sum(c.m * c.m)) * sqrt(sum(q.qx * q.qx))) AS cscore
+                     FROM c JOIN q ON c.i = q.i GROUP BY c.label),
+              best AS (SELECT label FROM cs ORDER BY cscore DESC, label LIMIT 1),
+              s AS (SELECT e.vec_id,
+                           round(sum(e.x * q.qx) /
+                             (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+                    FROM e JOIN q ON e.i = q.i
+                    WHERE e.label IN (SELECT label FROM best)
+                    GROUP BY e.vec_id)
+         SELECT vec_id, score FROM s
+         ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "x_mm_meta" ->
+      """SELECT doc_id AS media_id,
+                octet_length(CAST(text AS BLOB)) AS n_bytes,
+                md5(text) AS content_md5,
+                ascii(substr(text, 1, 1)) AS first_byte
+         FROM documents ORDER BY media_id""")
 }

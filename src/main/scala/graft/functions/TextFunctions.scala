@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for the LLM-data-pipeline surface (BASELINE
+  * north star): token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting. All built from codegen'd
+  * `org.apache.spark.sql.functions` — no UDFs — so they stay inside
+  * whole-stage codegen and push through Catalyst untouched.
+  *
+  * Tokenization is a literal single-space split so the DuckDB oracle
+  * (`string_split(text, ' ')`) computes the identical value.
+  */
+object TextFunctions {
+
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of non-overlapping occurrences of literal `needle`. */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit("")))) /
+      needle.length).cast("int")
+
+  /** Ratio of characters outside [a-zA-Z0-9 ] — punctuation/symbol load. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** Stopword-token ratio against a fixed lexicon (pad-and-count, so a
+    * word matches only at token boundaries). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val hits = stopwords
+      .map(w => occurrences(padded, s" $w "))
+      .reduce(_ + _)
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / tokenCount(text).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs and
+    * stopword presence, penalizes punctuation load. Deterministic,
+    * oracle-replicable arithmetic (doubles only). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val sw = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
+    val punct = greatest(lit(1.0) - punctRatio(text) * 10.0, lit(0.0))
+    round((lenScore + sw + punct) / 3.0, 6)
+  }
+
+  /** Per-language stopword lexicons for the n-gram/stopword language-ID
+    * heuristic. Short public lists; scoring = total occurrences of
+    * boundary-padded stopwords. */
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "los", "que", "y"),
+    "zh" -> Seq("de", "shi", "bu", "le"))
+
+  /** Language-ID heuristic: argmax of per-language stopword-hit counts,
+    * first-listed language wins ties, "und" (undetermined) when no
+    * lexicon hits at all. */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = langLexicons.map { case (lang, words) =>
+      lang -> words.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token set. Detects token-permuted duplicates that exact text
+    * equality misses. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(lower(text), " ", -1)))))
+}

@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over embedding columns (`array<float>`), built from
+  * higher-order functions (`zip_with`/`aggregate`) so everything stays
+  * declarative and codegen-friendly — no UDF serialization in the hot path.
+  *
+  * All arithmetic is promoted to double up front: the fold over the array
+  * is sequential in array order, so results are bit-deterministic and
+  * reproducible by the DuckDB oracle (same element order, same promotion).
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine rounded to 6 dp — the canonical comparison form: double
+    * addition is non-associative, so engines may differ in the last bits;
+    * 6 dp is far above that noise while far below any ranking tie. */
+  def cosineRounded(a: Column, b: Column): Column = round(cosine(a, b), 6)
+}

@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for the LLM-data-pipeline surface (BASELINE north
+  * star): exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale posture: every variant reduces the pairwise O(n²) problem to
+  * "explode → shuffle on a blocking key → join within block":
+  *  - exact: hash-groupBy on content (one shuffle);
+  *  - n-gram Jaccard: block on shared shingle (inverted index join);
+  *  - MinHash LSH: block on (band, band-signature) — candidate count is
+  *    tunable via bands×rows, independent of corpus size;
+  *  - SimHash: block on 16-bit signature chunks (Hamming ≤ 3 of 4 chunks
+  *    guarantees a shared chunk — pigeonhole);
+  *  - embedding: block on a coarse partition (label / IVF cell).
+  * Hot blocks (a shingle appearing in millions of docs) are the classic
+  * skew hazard — `maxBlock` caps them (drop stop-shingles), the same
+  * trick production dedup pipelines use.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first row per duplicate group in `tieBreaks`
+    * ascending order (pass a unique tuple for determinism). One shuffle
+    * on the content columns. */
+  def exact(df: DataFrame, contentCols: Seq[String], tieBreaks: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(contentCols.map(col): _*)
+      .orderBy(tieBreaks.map(col(_).asc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Token-level n-gram shingles (distinct), space-joined. Empty when the
+    * doc has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = split(text, " ", -1)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exploded inverted index: (id, shingle), distinct per doc, with
+    * stop-shingles appearing in more than `maxBlock` docs dropped to bound
+    * the quadratic blowup of the block self-join. */
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, maxBlock: Long): DataFrame = {
+    val idx = docs
+      .select(col(idCol).as("_id"), explode(shingles(col(textCol), n)).as("_sh"))
+    if (maxBlock <= 0) idx
+    else {
+      val w = Window.partitionBy(col("_sh"))
+      idx.withColumn("_freq", count(lit(1)).over(w))
+        .filter(col("_freq") <= maxBlock).drop("_freq")
+    }
+  }
+
+  /** n-gram Jaccard near-duplicate pairs: docs sharing ≥1 shingle are
+    * candidates; exact Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct
+    * shingle sets; keep pairs ≥ threshold. Output: (id_a, id_b, jaccard)
+    * with id_a < id_b, jaccard rounded to 6 dp. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        maxBlock: Long = 0): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, maxBlock)
+    val sizes = idx.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val a = idx.select(col("_id").as("id_a"), col("_sh"))
+    val b = idx.select(col("_id").as("id_b"), col("_sh"))
+    val inter = a.join(b, a("_sh") === b("_sh") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+      .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+      .withColumn("jaccard", round(
+        col("_inter").cast("double") /
+          (col("_na") + col("_nb") - col("_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature from a (materialized) shingle-array column:
+    * k independent hash functions h_i(s) = xxhash64(seed_i, shingle);
+    * signature[i] = min over the doc's shingle set. Per-row higher-order
+    * functions — no shuffle until the LSH band explode. Pass a plain
+    * column REFERENCE (withColumn first), not the shingle expression, so
+    * the shingle array is computed once per row, not once per hash. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => aggregate(shinglesCol, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(seed, s))))
+
+  /** MinHash+LSH candidate pairs with exact-Jaccard verification.
+    * bands×rowsPerBand must equal numHashes. Docs whose signatures agree
+    * on ALL rows of ≥1 band become candidates (banding amplification);
+    * candidates are then verified with the exact n-gram Jaccard, so the
+    * LSH stage only affects recall, never precision. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, numHashes: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = docs
+      .select(col(idCol).as("_id"), shingles(col(textCol), n).as("_shs"))
+      .withColumn("_sig", minhashSignature(col("_shs"), numHashes))
+    val banded = sig.select(col("_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("_sig"), b * rows + 1, rows)).as("bkey"))): _*))
+        .as("_b"))
+      .select(col("_id"), col("_b.band"), col("_b.bkey"))
+    val l = banded.select(col("_id").as("id_a"), col("band"), col("bkey"))
+    val r = banded.select(col("_id").as("id_b"), col("band"), col("bkey"))
+    val cand = l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // Verify candidates exactly: join back to the shingle inverted index.
+    val idx = shingleIndex(docs, idCol, textCol, n, 0)
+    val sizes = idx.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val inter = cand
+      .join(idx.select(col("_id").as("id_a"), col("_sh")), "id_a")
+      .join(idx.select(col("_id").as("_idb"), col("_sh").as("_sh2")),
+        col("id_b") === col("_idb") && col("_sh") === col("_sh2"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+      .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+      .withColumn("jaccard", round(
+        col("_inter").cast("double") /
+          (col("_na") + col("_nb") - col("_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over the token set: each token votes ±1 per bit of
+    * its xxhash64; simhash bit b = sign of the vote sum. Two-step build
+    * (votes array materialized as a column, then folded) so the vote
+    * aggregate is evaluated once per row, not once per bit. Bit shifts are
+    * statically unrolled — Spark's shift functions take literal bit
+    * counts. Result is a Long whose bit 63 may set the sign — compare
+    * bits, not magnitude. */
+  def withSimhash(docs: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val toks = array_distinct(split(lower(col(textCol)), " ", -1))
+    val votes = aggregate(
+      col("_toks"),
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc,
+        array((0 until 64).map(b =>
+          shiftright(xxhash64(t), b).bitwiseAND(lit(1L))): _*),
+        (a, bit) => a + when(bit === 1, 1).otherwise(-1)))
+    val sim = (0 until 64).map(b =>
+        when(element_at(col("_votes"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    docs.withColumn("_toks", toks)
+      .withColumn("_votes", votes)
+      .withColumn(outCol, sim)
+      .drop("_toks", "_votes")
+  }
+
+  /** SimHash near-dup pairs: block on the four 16-bit chunks (pigeonhole:
+    * Hamming ≤ 3 ⟹ some chunk matches exactly), verify Hamming ≤ maxDist
+    * via bit_count(xor). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int): DataFrame = {
+    val sig = withSimhash(docs, textCol, "_sim").select(col(idCol).as("_id"), col("_sim"))
+    val chunked = sig.select(col("_id"), col("_sim"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("_sim"), c * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("ckey"))): _*)).as("_c"))
+      .select(col("_id"), col("_sim"), col("_c.chunk"), col("_c.ckey"))
+    val l = chunked.select(col("_id").as("id_a"), col("_sim").as("_sima"),
+      col("chunk"), col("ckey"))
+    val r = chunked.select(col("_id").as("id_b"), col("_sim").as("_simb"),
+      col("chunk"), col("ckey"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_sima").bitwiseXOR(col("_simb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Embedding-cosine near-dup pairs within a coarse block (e.g. cluster
+    * label / IVF cell): the block join bounds the pair count; cosine ≥
+    * threshold kept. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("_blk"), col(idCol).as("id_a"),
+      col(vecCol).as("_va"))
+    val b = df.select(col(blockCol).as("_blk"), col(idCol).as("id_b"),
+      col(vecCol).as("_vb"))
+    a.join(b, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosineRounded(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), BASELINE north-star operator.
+  *
+  *  - `bruteForceTopK`: exact baseline. Score is computed per-partition in
+  *    codegen'd higher-order functions; top-k selection is Spark's
+  *    distributed TakeOrdered (per-partition heaps → driver merge of k
+  *    rows), NOT a global sort — scales linearly with corpus size.
+  *  - `ivfTopK`: IVF-style scale path — probe only the `nprobe` cells whose
+  *    centroid is closest to the query; within-cell scan is pruned by a
+  *    partition-friendly cell filter.
+  *  - `lshBuckets`/`lshTopK`: random-hyperplane (sign) LSH — deterministic
+  *    planes from a fixed seed; candidates share the query's bucket in ≥1
+  *    of `numTables` tables.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against a constant query vector. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    emb.select(col(idCol),
+        cosineRounded(col(vecCol).cast("array<double>"), q).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Per-cell centroids (mean vector per value of `cellCol`) — the "coarse
+    * quantizer" an IVF index needs. posexplode → per-(cell,dim) avg (fully
+    * map-side-combinable, no big rows) → re-assemble ordered by position. */
+  def centroids(emb: DataFrame, cellCol: String, vecCol: String): DataFrame =
+    emb.select(col(cellCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_x")))
+      .groupBy(col(cellCol), col("_pos")).agg(avg(col("_x")).as("_m"))
+      .groupBy(col(cellCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_m")))),
+        s => s.getField("_m")).as("centroid"))
+
+  /** IVF search: rank cells by centroid-to-query cosine, keep the best
+    * `nprobe`, brute-force only inside those cells. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
+              query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val cents = centroids(emb, cellCol, vecCol)
+      .select(col(cellCol), cosine(col("centroid"), q).as("_cscore"))
+      .orderBy(col("_cscore").desc, col(cellCol).asc)
+      .limit(nprobe)
+      .select(col(cellCol))
+    emb.join(broadcast(cents), cellCol)
+      .select(col(idCol),
+        cosineRounded(col(vecCol).cast("array<double>"), q).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes: `numTables × bitsPerTable` planes of
+    * dimension `dim`, seeded — both sides of a comparison regenerate the
+    * identical planes. */
+  def hyperplanes(dim: Int, numTables: Int, bitsPerTable: Int,
+                  seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new Random(seed)
+    Array.fill(numTables, bitsPerTable, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-LSH bucket id for one table: bit b set iff dot(vec, plane_b)>0. */
+  private def bucketId(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      when(dot(vec, array(p.map(lit): _*)) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+
+  /** Attach `numTables` LSH bucket columns (`_lsh0`.. ) to the frame. */
+  def lshBuckets(emb: DataFrame, vecCol: String,
+                 planes: Array[Array[Array[Double]]]): DataFrame =
+    planes.zipWithIndex.foldLeft(emb) { case (df, (tbl, i)) =>
+      df.withColumn(s"_lsh$i",
+        bucketId(col(vecCol).cast("array<double>"), tbl))
+    }
+
+  /** LSH ANN top-k: candidates = rows sharing the query's bucket in any
+    * table; exact cosine re-rank of candidates only. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int,
+              planes: Array[Array[Array[Double]]]): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val qBuckets = planes.map { tbl =>
+      tbl.zipWithIndex.map { case (p, b) =>
+        val d = p.zip(query).map { case (x, y) => x * y }.sum
+        if (d > 0) 1L << b else 0L
+      }.reduce(_ | _)
+    }
+    val withBuckets = lshBuckets(emb, vecCol, planes)
+    val cond = qBuckets.zipWithIndex
+      .map { case (qb, i) => col(s"_lsh$i") === lit(qb) }
+      .reduce(_ || _)
+    withBuckets.filter(cond)
+      .select(col(idCol),
+        cosineRounded(col(vecCol).cast("array<double>"), q).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All-pairs top-k neighbors within blocks (kNN-join building block):
+    * rank partner rows per anchor inside a blocking key. */
+  def blockKnn(emb: DataFrame, idCol: String, vecCol: String,
+               blockCol: String, k: Int): DataFrame = {
+    val a = emb.select(col(blockCol).as("_blk"), col(idCol).as("id_a"),
+      col(vecCol).as("_va"))
+    val b = emb.select(col(blockCol).as("_blk"), col(idCol).as("id_b"),
+      col(vecCol).as("_vb"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("score").desc, col("id_b").asc)
+    a.join(b, Seq("_blk"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("score", cosineRounded(col("_va"), col("_vb")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+}

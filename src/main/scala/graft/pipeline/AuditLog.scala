@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's append-only audit tables `log_for_loading` /
+  * `log_for_reporting` (probed via `select status from log_for_loading
+  * where locate('temp table creation',EventSource)>0 and
+  * timediff(now(),Time_stamp)<10`, `2.2 loading-lambda-for-mysql.py:
+  * 273,311,389`), re-expressed as an append-mode parquet table the engine
+  * writes one row per pipeline stage.
+  *
+  * Columns: (event_source, target, status, ts). `status` carries the
+  * reference's {-1,0,1} OUT-param protocol (§2.10).
+  *
+  * Scale: audit rows are O(stages), not O(data) — a driver-side append of
+  * a single row per stage; never a wide shuffle.
+  */
+final class AuditLog(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  def append(eventSource: String, target: String, status: Int,
+             tsMillis: Long): Unit =
+    Seq((eventSource, target, status, new java.sql.Timestamp(tsMillis)))
+      .toDF("event_source", "target", "status", "ts")
+      .write.mode("append").parquet(path)
+
+  def table(): DataFrame =
+    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    else Seq.empty[(String, String, Int, java.sql.Timestamp)]
+      .toDF("event_source", "target", "status", "ts")
+
+  /** A5 / `sp_lambda_loading_check_status` (`R22:219-254`): was there a
+    * successful stage-run for `target` within `windowSeconds` of `now`?
+    * Returns the reference's {-1 error, 0 none, 1 recent-success} code.
+    * P9/P10 predicate shape: substring match + time delta. */
+  def checkStatus(needle: String, target: String, windowSeconds: Long,
+                  nowMillis: Long): Int = {
+    val recent = table()
+      .filter(instr(col("event_source"), needle) > 0 &&
+        col("target") === target &&
+        col("status") === 1 &&
+        (lit(nowMillis) / 1000L - unix_timestamp(col("ts"))) < windowSeconds)
+      .limit(1).count()
+    if (recent > 0) 1 else 0
+  }
+}

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import graft.schema.PriceIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S4-S6 (SURVEY §2.1): delimited-file scan with the reference's quirks —
+  * delimiter chosen by extension (csv/txt→`,`, sql→`;`; `2.1
+  * leader-lambda-for-mysql.py:188,284-287`), ISO-8859-1 decoding
+  * (`2.2 loading-lambda-for-mysql.py:195-198`), and corrupt-row accounting
+  * against `maxerrors_allowed` (`R22:114,300-316`).
+  *
+  * PERMISSIVE parse + `columnNameOfCorruptRecord` keeps the scan one
+  * distributed pass: bad rows land in the corrupt column instead of
+  * failing the job, and the reconcile step counts them (A2).
+  */
+object Ingest {
+
+  /** P4's delimiter table. */
+  def delimiterFor(path: String): String =
+    path.toLowerCase.split('.').lastOption match {
+      case Some("sql") => ";"
+      case _ => ","
+    }
+
+  /** Read a PriceIndex-shaped CSV: header, extension-driven delimiter,
+    * ISO-8859-1, quoted commas honored, malformed rows captured. */
+  def readPriceIndexCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("delimiter", delimiterFor(path))
+      .option("encoding", "ISO-8859-1")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", PriceIndex.corruptCol)
+      .schema(PriceIndex.rawSchema)
+      .csv(path)
+
+  final case class Reconciled(clean: DataFrame, totalRows: Long,
+                              corruptRows: Long, ok: Boolean)
+
+  /** A2: split clean vs corrupt, reconcile counts within
+    * `maxErrors` tolerance (reference default 5, `R22:114`). The raw frame
+    * is cached first: Spark refuses corrupt-record-only projections over a
+    * raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the cache also
+    * means one physical parse feeds both the count and the clean output. */
+  def reconcile(raw: DataFrame, maxErrors: Long): Reconciled = {
+    raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counted = raw
+      .select(when(col(PriceIndex.corruptCol).isNotNull, 1L).otherwise(0L)
+        .as("_bad"))
+      .agg(count(lit(1)).as("total"), sum(col("_bad")).as("bad"))
+      .head()
+    val total = counted.getLong(0)
+    val bad = Option(counted.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val clean = raw.filter(col(PriceIndex.corruptCol).isNull)
+      .drop(PriceIndex.corruptCol)
+    Reconciled(clean, total, bad, bad <= maxErrors)
+  }
+}

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import graft.operators.Upsert
+import graft.schema.PriceIndex
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EP1 (SURVEY §3): the reference's core path — CSV arrival → validate →
+  * stage → reconcile → upsert into the permanent table → report trigger →
+  * archive — as one linear Spark pipeline. The Lambda/SQS/MySQL process
+  * boundaries collapse into driver-side control flow; every data move is
+  * a distributed read/write.
+  *
+  * Status protocol mirrors the loader's return codes
+  * (`2.2 loading-lambda-for-mysql.py:185-190,246-251,282-289,332-337`):
+  * 1 = loaded, 2 = skipped (dedup window / missing file), 0 = failed.
+  *
+  * Scale posture: the permanent table is parquet partitioned by `GEO`
+  * (the reference's "split into sub tables" category, `R22:304-316`) so
+  * report filters prune partitions; the merge joins staged rows against
+  * the permanent table on the natural key — broadcast when the staged
+  * side is small, AQE otherwise.
+  */
+final class IngestPipeline(spark: SparkSession, warehouse: String,
+                           maxErrors: Long = 5,
+                           dedupWindowSeconds: Long = 1800) {
+
+  val audit = new AuditLog(spark, s"$warehouse/log_for_loading")
+  private def permanentPath = s"$warehouse/0_priceindex"
+  private def now(): Long = System.currentTimeMillis()
+
+  final case class LoadResult(status: Int, stage: Int, error: String,
+                              totalRows: Long, corruptRows: Long)
+
+  /** The loader Lambda's whole body, stage-tagged like the reference
+    * (`stage` 0..5, `R22:153,220,268,297,306,340`). */
+  def load(csvPath: String): LoadResult = {
+    var stage = 0
+    try {
+      // stage 0: existence probe (P6) — another worker may have consumed it
+      val fs = new Path(csvPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(csvPath)))
+        return LoadResult(2, stage, "file absent (already processed?)", 0, 0)
+
+      // stage 1: dedup-suppression window (ST3, `R22:219-254`)
+      stage = 1
+      if (audit.checkStatus("loading", fileKey(csvPath),
+          dedupWindowSeconds, now()) == 1)
+        return LoadResult(2, stage, "recent successful load — suppressed", 0, 0)
+
+      // stage 2: scan + canonical projection (S4/S5/P1)
+      stage = 2
+      val raw = Ingest.readPriceIndexCsv(spark, csvPath)
+      val rec = Ingest.reconcile(raw, maxErrors)
+      if (!rec.ok) {
+        audit.append("loading: reconcile", fileKey(csvPath), -1, now())
+        return LoadResult(0, stage,
+          s"${rec.corruptRows} corrupt rows > $maxErrors tolerated",
+          rec.totalRows, rec.corruptRows)
+      }
+      val staged = PriceIndex.typed(PriceIndex.project(rec.clean))
+      audit.append("loading: temp table creation", fileKey(csvPath), 1, now())
+
+      // stage 3: upsert into permanent table (J1/S8)
+      stage = 3
+      val merged = if (new java.io.File(permanentPath).exists()) {
+        val target = spark.read.parquet(permanentPath)
+        Upsert.mergeLatest(target, staged, PriceIndex.naturalKey, "VALUE")
+      } else staged
+      // two-phase write: a merge reads its own target, so land the result
+      // in a temp dir first, then swap in (overwrite-in-place would race
+      // the scan feeding it)
+      val tmp = s"$permanentPath._tmp"
+      merged.write.mode(SaveMode.Overwrite).partitionBy("GEO").parquet(tmp)
+      val whFs = new Path(warehouse)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      whFs.delete(new Path(permanentPath), true)
+      whFs.rename(new Path(tmp), new Path(permanentPath))
+      audit.append("loading: upsert", fileKey(csvPath), 1, now())
+      audit.append("loading", fileKey(csvPath), 1, now())
+      LoadResult(1, stage, "", rec.totalRows, rec.corruptRows)
+    } catch {
+      case e: Exception =>
+        audit.append("loading", fileKey(csvPath), -1, now())
+        LoadResult(0, stage, Option(e.getMessage).getOrElse(e.toString), 0, 0)
+    }
+  }
+
+  /** The permanent table (partition-pruned scans for report filters). */
+  def permanent(): DataFrame = spark.read.parquet(permanentPath)
+
+  /** A3/A4 + EP3: build the parameterized report
+    * (`sp_reporting_1_price_by_year_month_geo_category`, `R22:416-447`)
+    * and export it as a single-header CSV (`R23:113-123`). */
+  def buildAndExportReport(yearParam: Int, monthParam: Int, geos: Seq[String],
+                           categoryPattern: String, outDir: String): DataFrame = {
+    val base = permanent()
+    val filtered = base
+      .filter(expr(s"year(Date) = $yearParam AND month(Date) = $monthParam"))
+      .filter(if (geos.isEmpty) lit(true) else col("GEO").isin(geos: _*))
+      .filter(if (categoryPattern.isEmpty) lit(true)
+              else col("Products").contains(categoryPattern))
+    val report = filtered
+      .groupBy(year(col("Date")).as("y"), month(col("Date")).as("m"),
+        col("GEO").as("geo"), col("Products").as("category"))
+      .agg(avg(col("VALUE")).as("avg_value"), count(lit(1)).as("n"))
+    report.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(outDir)
+    audit.append("reporting", s"$yearParam-$monthParam", 1, now())
+    report
+  }
+
+  /** S11: archive — move the consumed file under `backup/<date>/`
+    * (`2.1 leader-lambda-for-mysql.py:582-603`). */
+  def archive(csvPath: String, backupDir: String, date: String): Boolean = {
+    val src = new Path(csvPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(s"$backupDir/$date/${src.getName}")
+    fs.mkdirs(dst.getParent)
+    fs.rename(src, dst)
+  }
+
+  private def fileKey(path: String): String = new Path(path).getName
+}

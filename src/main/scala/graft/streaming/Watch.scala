@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.pipeline.IngestPipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** ST1-ST9 (SURVEY §2.9): the reference's S3→SQS→Lambda event loop as a
+  * Structured Streaming file watch.
+  *
+  *  - at-least-once + retry (ST1): the checkpointed file-source replays
+  *    unacknowledged batches after a crash; a failing batch rethrows and
+  *    is retried, mirroring `batchItemFailures` re-queueing
+  *    (`2.1 leader-lambda-for-mysql.py:370-386`).
+  *  - idempotence (ST2/ST3): `IngestPipeline.load` consults the audit
+  *    log's dedup window before touching the table, so replays are
+  *    no-ops — exactly-once *effect* from at-least-once delivery.
+  *  - re-entrancy guard (ST9): `pathGlobFilter` skips `converted_*`
+  *    derivatives (`3. loading-lambda-for-dynamodb.py:150`).
+  *  - poison files (ST6): a file failing `maxAttempts` times is recorded
+  *    as quarantined in the audit log and skipped thereafter.
+  *  - sink/source disjointness (ST8): warehouse and watch dir must not
+  *    overlap — enforced at construction.
+  *
+  * The stream carries file *metadata* (one row per file), not file bytes:
+  * each discovered path is handed to the batch pipeline, which does the
+  * distributed read. That is the Spark-native shape of the reference's
+  * leader/loader split — tiny control-plane stream, heavy data-plane
+  * batch jobs.
+  */
+final class Watch(spark: SparkSession, watchDir: String, warehouse: String,
+                  maxAttempts: Int = 3) {
+  require(!watchDir.startsWith(warehouse) && !warehouse.startsWith(watchDir),
+    "ST8: watch dir and warehouse must be disjoint")
+
+  val pipeline = new IngestPipeline(spark, warehouse)
+  private val attempts = scala.collection.mutable.Map.empty[String, Int]
+
+  /** Start the watch. `Trigger.AvailableNow` drains the backlog and stops
+    * (the test/CI mode); pass `continuous=true` for a long-lived watch. */
+  def start(checkpoint: String, continuous: Boolean = false): StreamingQuery = {
+    val files = spark.readStream
+      .format("text")
+      .option("pathGlobFilter", "[!c]*.csv") // ST9: skip converted_*
+      .option("maxFilesPerTrigger", 8)
+      .load(watchDir)
+      .select(col("_metadata.file_path").as("path"))
+      .distinct()
+
+    val writer = files.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val paths = batch.collect().map(_.getString(0))
+        paths.foreach { p =>
+          val n = attempts.getOrElse(p, 0)
+          if (n >= maxAttempts) {
+            pipeline.audit.append("quarantine", p, -1, System.currentTimeMillis())
+          } else {
+            val res = pipeline.load(p)
+            if (res.status == 0) {
+              attempts(p) = n + 1
+              if (n + 1 >= maxAttempts)
+                pipeline.audit.append("quarantine", p, -1, System.currentTimeMillis())
+              else
+                throw new RuntimeException(
+                  s"load failed for $p (attempt ${n + 1}): ${res.error}")
+            }
+          }
+        }
+        ()
+      }
+    (if (continuous) writer.trigger(Trigger.ProcessingTime("10 seconds"))
+     else writer.trigger(Trigger.AvailableNow())).start()
+  }
+}

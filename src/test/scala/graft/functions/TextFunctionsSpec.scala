@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat and the dog"),
+    (2L, "le chat et la le les"),
+    (3L, "xyz qrs!!!"),
+    (4L, "dog the and cat the") // permutation of 1's tokens
+  ).toDF("doc_id", "text")
+
+  test("tokenCount is a single-space split count") {
+    val m = docs.select($"doc_id", TF.tokenCount($"text")).as[(Long, Int)]
+      .collect().toMap
+    assert(m(1L) == 5 && m(3L) == 2)
+  }
+
+  test("occurrences counts non-overlapping literal hits") {
+    val n = docs.filter($"doc_id" === 1)
+      .select(TF.occurrences(concat(lit(" "), $"text", lit(" ")), " the "))
+      .as[Int].head()
+    assert(n == 2)
+  }
+
+  test("punctRatio measures non-alphanumeric share") {
+    val r = docs.filter($"doc_id" === 3).select(TF.punctRatio($"text"))
+      .as[Double].head()
+    assert(math.abs(r - 3.0 / 10.0) < 1e-9)
+  }
+
+  test("stopwordRatio hits only at token boundaries") {
+    val sw = Seq("the", "and")
+    val r = docs.filter($"doc_id" === 1)
+      .select(TF.stopwordRatio($"text", sw)).as[Double].head()
+    assert(math.abs(r - 3.0 / 5.0) < 1e-9)
+  }
+
+  test("qualityScore stays in [0,1] and favors clean prose") {
+    val sw = Seq("the", "and", "of", "a")
+    val scores = docs.select($"doc_id", TF.qualityScore($"text", sw))
+      .as[(Long, Double)].collect().toMap
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(1L) > scores(3L))
+  }
+
+  test("langId picks argmax lexicon, und when nothing hits") {
+    val preds = docs.select($"doc_id", TF.langId($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(preds(1L) == "en")
+    assert(preds(2L) == "fr")
+    assert(preds(3L) == "und")
+  }
+
+  test("fingerprint is order-insensitive on the token set") {
+    val fps = docs.select($"doc_id", TF.fingerprint($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(fps(1L) == fps(4L))
+    assert(fps(1L) != fps(2L))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text with no overlap at all"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "short")
+  ).toDF("doc_id", "text")
+
+  test("exact keeps first row per content group") {
+    val out = Dedup.exact(docs, Seq("text"), Seq("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("shingles produces distinct token n-grams, empty below n tokens") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(5L).isEmpty)
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(1L).distinct.size == sh(1L).size)
+    // 9 tokens -> 7 trigrams, all distinct here
+    assert(sh(1L).size == 7)
+  }
+
+  test("ngramJaccardPairs finds near and exact dups with correct jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 4L)) == 1.0) // exact dup
+    // docs 1/2 differ in last token: trigram sets overlap 6 of 8 distinct
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.5)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // symmetry/canonical ordering: id_a < id_b always
+    assert(pairs.keys.forall { case (a, b) => a < b })
+  }
+
+  test("minhashLshPairs recovers the exact-dup pair and respects threshold") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    // LSH verification equals exact jaccard for surfaced candidates
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    pairs.foreach { case (k, v) => assert(exact(k) == v) }
+  }
+
+  test("simhash is deterministic and identical for identical text") {
+    val sig = Dedup.withSimhash(docs, "text", "sim")
+      .select("doc_id", "sim").as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(4L))
+    assert(sig(1L) != sig(3L))
+    val again = Dedup.withSimhash(docs, "text", "sim")
+      .select("doc_id", "sim").as[(Long, Long)].collect().toMap
+    assert(sig == again)
+  }
+
+  test("simhashPairs: exact dups at hamming 0; blocking finds close sigs") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 10)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs.getOrElse((1L, 2L), 99) <= 10) // near-dup should be close
+  }
+
+  test("embeddingNearDupPairs blocks and thresholds on cosine") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.999f, 0.04f), 0),  // ~same direction, same block
+      (3L, Array(0.0f, 1.0f), 0),     // orthogonal, same block
+      (4L, Array(1.0f, 0.0f), 1)      // same dir as 1 but other block
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", "label", 0.95)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim embeddings in two well-separated clusters (labels 0 / 1)
+  private lazy val emb = Seq(
+    (1L, Array(1.0f, 0.1f, 0.0f, 0.0f), 0),
+    (2L, Array(0.9f, 0.2f, 0.0f, 0.0f), 0),
+    (3L, Array(1.0f, 0.0f, 0.1f, 0.0f), 0),
+    (4L, Array(0.0f, 0.0f, 1.0f, 0.9f), 1),
+    (5L, Array(0.0f, 0.1f, 0.9f, 1.0f), 1),
+    (6L, Array(0.1f, 0.0f, 1.0f, 1.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  private val query = Seq(1.0, 0.05, 0.0, 0.0) // near cluster 0
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak") {
+    val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 3)
+      .as[(Long, Double)].collect()
+    assert(out.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)))
+    assert(out.map(_._2).sorted.reverse.toSeq == out.map(_._2).toSeq)
+    assert(out.head._2 > 0.99)
+  }
+
+  test("centroids computes per-cell mean vectors in position order") {
+    val c = Similarity.centroids(emb, "label", "embedding")
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(math.abs(c(0).head - (1.0f + 0.9f + 1.0f) / 3.0) < 1e-6)
+    assert(c(0).size == 4 && c(1).size == 4)
+    assert(c(1)(3) > 0.9) // last dim mean of cluster 1
+  }
+
+  test("ivfTopK with nprobe=1 searches only the query's nearest cell") {
+    val out = Similarity.ivfTopK(emb, "vec_id", "embedding", "label", query,
+      k = 10, nprobe = 1).as[(Long, Double)].collect()
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L)) // only cluster 0 scanned
+  }
+
+  test("lshTopK candidates contain the true nearest neighbor") {
+    val planes = Similarity.hyperplanes(dim = 4, numTables = 6,
+      bitsPerTable = 2, seed = 7L)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 1)
+      .as[(Long, Double)].collect().head
+    val out = Similarity.lshTopK(emb, "vec_id", "embedding", query, 3, planes)
+      .as[(Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.head._1 == brute._1) // few tables x few bits => high recall here
+  }
+
+  test("hyperplanes are deterministic for a fixed seed") {
+    val a = Similarity.hyperplanes(8, 2, 4, 42L)
+    val b = Similarity.hyperplanes(8, 2, 4, 42L)
+    assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
+  }
+
+  test("blockKnn returns k best partners per anchor within a block") {
+    val out = Similarity.blockKnn(emb, "vec_id", "embedding", "label", k = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 6) // every row has one nearest in its block
+    out.foreach { case (a, b, s) => assert(a != b && s > 0.8) }
+  }
+}

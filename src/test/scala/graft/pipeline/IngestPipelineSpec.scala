@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.schema.PriceIndex
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+
+class IngestPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private val header =
+    "Date,GEO,DGUID,Products,UOM,UOM_ID,SCALAR_FACTOR,SCALAR_ID,VECTOR,COORDINATE,VALUE,STATUS,SYMBOL,TERMINATED,DECIMALS"
+
+  private def row(date: String, geo: String, product: String, v: String) =
+    s"$date,$geo,2016A0001,$product,Units,300,units,0,v123,1.1.1,$v,,,,1"
+
+  private def writeCsv(dir: Path, name: String, lines: Seq[String]): String = {
+    val f = dir.resolve(name)
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  test("EP1: load -> merge -> report -> archive, with idempotent replay") {
+    val in = tmpDir("graft_in"); val wh = tmpDir("graft_wh")
+    val p = new IngestPipeline(spark, wh.toString)
+
+    val f1 = writeCsv(in, "priceindex_a.csv", Seq(header,
+      row("1995-11", "Canada", "food", "101.5"),
+      row("1995-12", "Canada", "food", "104.3"),
+      row("1995-12", "Ontario", "food", "103.9")))
+    val r1 = p.load(f1)
+    assert(r1.status == 1, r1.error)
+    assert(r1.totalRows == 3 && r1.corruptRows == 0)
+    assert(p.permanent().count() == 3)
+
+    // replay within the dedup window is suppressed (ST2/ST3)
+    val r2 = p.load(f1)
+    assert(r2.status == 2)
+    assert(p.permanent().count() == 3)
+
+    // second file upserts: one key update (Ontario 1995-12), one insert
+    val f2 = writeCsv(in, "priceindex_b.csv", Seq(header,
+      row("1995-12", "Ontario", "food", "999.9"),
+      row("1995-12", "Quebec", "food", "102.2")))
+    val r3 = p.load(f2)
+    assert(r3.status == 1, r3.error)
+    val perm = p.permanent()
+    assert(perm.count() == 4)
+    val ont = perm.filter($"GEO" === "Ontario").select("VALUE")
+      .as[java.math.BigDecimal].head()
+    assert(ont.doubleValue() == 999.9)
+
+    // report build + export (EP3)
+    val outDir = tmpDir("graft_rep").resolve("rep1").toString
+    val rep = p.buildAndExportReport(1995, 12, Seq("Canada", "Ontario"),
+      "food", outDir)
+    assert(rep.count() == 2)
+    val csvs = new java.io.File(outDir).listFiles.filter(_.getName.endsWith(".csv"))
+    assert(csvs.length == 1)
+    val content = Files.readAllLines(csvs.head.toPath)
+    assert(content.get(0).startsWith("y,m,geo,category"))
+
+    // archive moves the file out of the watch dir (S11)
+    val backup = tmpDir("graft_bak").toString
+    assert(p.archive(f1, backup, "2026-08-12"))
+    assert(!new java.io.File(f1).exists())
+    assert(new java.io.File(s"$backup/2026-08-12/priceindex_a.csv").exists())
+
+    // audit rows exist per stage (SURVEY §5.3)
+    val audit = p.audit.table()
+    assert(audit.filter(instr($"event_source", "temp table creation") > 0).count() >= 2)
+    assert(audit.filter($"event_source" === "loading" && $"status" === 1).count() >= 2)
+  }
+
+  test("corrupt rows within maxerrors are tolerated; beyond it fail the load") {
+    val in = tmpDir("graft_in2"); val wh = tmpDir("graft_wh2")
+    val p = new IngestPipeline(spark, wh.toString, maxErrors = 1)
+    // one malformed row (too many columns) is tolerated
+    val ok = writeCsv(in, "priceindex_ok.csv", Seq(header,
+      row("1996-01", "Canada", "food", "100.0"),
+      row("1996-01", "Ontario", "food", "100.0") + ",EXTRA,EXTRA,EXTRA"))
+    val r = p.load(ok)
+    assert(r.status == 1, r.error)
+    assert(r.corruptRows == 1 && p.permanent().count() == 1)
+
+    // two malformed rows exceed maxErrors=1 -> status 0, nothing written
+    val bad = writeCsv(in, "priceindex_bad.csv", Seq(header,
+      row("1996-02", "Canada", "food", "1.0") + ",X,X,X",
+      row("1996-02", "Ontario", "food", "1.0") + ",X,X,X"))
+    val rb = p.load(bad)
+    assert(rb.status == 0)
+    assert(p.permanent().filter($"Date" === "1996-02-01").count() == 0)
+  }
+
+  test("reordered and extra columns are re-projected to canonical order (P1)") {
+    val df = Seq(("x", "food", "Canada", "1995-12", "104.3"))
+      .toDF("JUNK", "Products", "GEO", "Date", "VALUE")
+    val missing = PriceIndex.columnList.filterNot(df.columns.contains)
+    val filled = missing.foldLeft(df)((d, c) => d.withColumn(c, lit("0")))
+    val out = PriceIndex.project(filled)
+    assert(out.columns.toSeq == PriceIndex.columnList)
+    val typed = PriceIndex.typed(out)
+    assert(typed.schema.map(f => (f.name, f.dataType)) ==
+      PriceIndex.typedSchema.map(f => (f.name, f.dataType)))
+    val r = typed.head()
+    assert(r.getDate(0).toString == "1995-12-01")
+    assert(r.getDecimal(10).doubleValue() == 104.3)
+  }
+
+  test("missing file and fresh-window suppression return skip status (P6/ST3)") {
+    val wh = tmpDir("graft_wh3")
+    val p = new IngestPipeline(spark, wh.toString)
+    val r = p.load("/nonexistent/file.csv")
+    assert(r.status == 2)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+
+class WatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val header =
+    "Date,GEO,DGUID,Products,UOM,UOM_ID,SCALAR_FACTOR,SCALAR_ID,VECTOR,COORDINATE,VALUE,STATUS,SYMBOL,TERMINATED,DECIMALS"
+  private def row(date: String, geo: String, v: String) =
+    s"$date,$geo,2016A0001,food,Units,300,units,0,v123,1.1.1,$v,,,,1"
+
+  private def tmp(p: String): Path = {
+    val d = Files.createTempDirectory(p); d.toFile.deleteOnExit(); d
+  }
+
+  test("ST1/ST2/ST9: AvailableNow watch drains files once, skips converted_*") {
+    val in = tmp("graft_watch_in"); val wh = tmp("graft_watch_wh")
+    val ck = tmp("graft_watch_ck")
+    Files.writeString(in.resolve("priceindex_one.csv"),
+      Seq(header, row("1995-12", "Canada", "104.3"),
+        row("1995-12", "Ontario", "103.9")).mkString("\n"))
+    Files.writeString(in.resolve("converted_priceindex_one.csv"),
+      Seq(header, row("2001-01", "Mars", "1.0")).mkString("\n"))
+
+    val watch = new Watch(spark, in.toString, wh.toString)
+    val q1 = watch.start(ck.toString)
+    q1.awaitTermination(120000)
+    assert(watch.pipeline.permanent().count() == 2)
+    // converted_ file skipped (ST9)
+    assert(watch.pipeline.permanent().filter($"GEO" === "Mars").count() == 0)
+
+    // second batch: a new file arrives; checkpoint prevents reprocessing
+    Files.writeString(in.resolve("priceindex_two.csv"),
+      Seq(header, row("1996-01", "Quebec", "102.0")).mkString("\n"))
+    val q2 = watch.start(ck.toString)
+    q2.awaitTermination(120000)
+    val perm = watch.pipeline.permanent()
+    assert(perm.count() == 3)
+    // no duplicates from replay
+    assert(perm.groupBy("Date", "GEO", "Products").count()
+      .filter($"count" > 1).count() == 0)
+  }
+
+  test("ST8: overlapping watch/warehouse dirs are rejected") {
+    val d = tmp("graft_overlap")
+    intercept[IllegalArgumentException] {
+      new Watch(spark, d.toString, d.resolve("sub").toString)
+    }
+  }
+}
