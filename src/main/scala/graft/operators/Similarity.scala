@@ -112,15 +112,17 @@ object Similarity {
     * rank partner rows per anchor inside a blocking key. */
   def blockKnn(emb: DataFrame, idCol: String, vecCol: String,
                blockCol: String, k: Int): DataFrame = {
+    // per-row norms below the join (see Dedup.embeddingNearDupPairs)
     val a = emb.select(col(blockCol).as("_blk"), col(idCol).as("id_a"),
-      col(vecCol).as("_va"))
+      col(vecCol).as("_va"), norm(col(vecCol)).as("_na"))
     val b = emb.select(col(blockCol).as("_blk"), col(idCol).as("id_b"),
-      col(vecCol).as("_vb"))
+      col(vecCol).as("_vb"), norm(col(vecCol)).as("_nb"))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("score").desc, col("id_b").asc)
     a.join(b, Seq("_blk"))
       .filter(col("id_a") =!= col("id_b"))
-      .withColumn("score", cosineRounded(col("_va"), col("_vb")))
+      .withColumn("score",
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .select(col("id_a"), col("id_b"), col("score"))
