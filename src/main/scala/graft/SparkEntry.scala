@@ -86,7 +86,8 @@ object SparkEntry {
       // pending-minus-processed anti-join (R22:579-661); every customer has
       // SOME order in this data, so probe "no recent (1998+) orders"
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders").filter(year(col("o_orderdate")) >= 1998)
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))

@@ -45,8 +45,12 @@ object Reports {
     * comma-list). */
   def priceByPeriodGeoCategory(base: DataFrame, yearParam: Int,
                                geos: Seq[String]): DataFrame = {
+    // year(col)=Y as a half-open range: identical semantics, but the
+    // range predicate pushes into the parquet scan (min/max row-group
+    // pruning) where a function-wrapped column cannot
     val filtered = base
-      .filter(year(col("o_orderdate")) === yearParam)
+      .filter(col("o_orderdate") >= lit(s"$yearParam-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${yearParam + 1}-01-01").cast("timestamp"))
       .filter(if (geos.isEmpty) lit(true) else col("geo").isin(geos: _*))
     filtered
       .groupBy(year(col("o_orderdate")).as("y"),
