@@ -264,6 +264,45 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "f_url" -> ((s, dir) => {
+      // F4 url-decode (R21:160); input constrained to %20 escapes so the
+      // DuckDB-1.0 oracle (no url_decode) reproduces it with replace()
+      val enc = concat(col("p_brand"), lit("%20"),
+        regexp_replace(col("p_name"), " ", "%20"))
+      t(s, dir, "part")
+        .select(col("p_partkey"), url_decode(enc).as("decoded"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "f_clean_truncate" -> ((s, dir) => {
+      // F8 control-char strip via unicode category + O3 100-char truncate
+      // (R21:568); \p{C} on ASCII input ≡ the oracle's control-char class
+      val messy = concat(col("p_name"), lit("\t"), col("p_type"),
+        lit("\u0007"))
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          substring(regexp_replace(messy, "\\p{C}", ""), 1, 20).as("subject"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ── §2.6/§2.7 top-k / set ops ───────────────────────────────────
+    "o2_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    "u1_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      hi.unionByName(urgent).distinct()
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ── §2.9 streaming semantics (batch-checkable form) ─────────────
     "st3_dedup_window" -> ((s, dir) => {
       // event-time duplicate suppression: latest row per key wins
@@ -563,6 +602,32 @@ object SparkEntry {
                 CAST(ceil(l_quantity / 7) AS BIGINT) AS cq,
                 CAST(floor(l_extendedprice / 1024) AS BIGINT) AS kb
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "f_url" ->
+      """SELECT p_partkey,
+                replace(p_brand || '%20' || replace(p_name, ' ', '%20'),
+                        '%20', ' ') AS decoded
+         FROM part ORDER BY p_partkey""",
+
+    "f_clean_truncate" ->
+      """SELECT p_partkey,
+                substr(regexp_replace(p_name || chr(9) || p_type || chr(7),
+                                      '[\x00-\x1f\x7f]', '', 'g'),
+                       1, 20) AS subject
+         FROM part ORDER BY p_partkey""",
+
+    "o2_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "u1_union" ->
+      """SELECT o_orderstatus, count(*) AS n FROM (
+           SELECT o_orderkey, o_orderstatus FROM orders
+           WHERE o_totalprice > 400000
+           UNION
+           SELECT o_orderkey, o_orderstatus FROM orders
+           WHERE o_orderpriority = '1-URGENT')
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "st3_dedup_window" ->
       """SELECT user_id, event_type, event_id FROM events
