@@ -3,9 +3,13 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over embedding columns (`array<float>`), built from
-  * higher-order functions (`zip_with`/`aggregate`) so everything stays
-  * declarative and codegen-friendly — no UDF serialization in the hot path.
+/** Vector math over embedding columns (`array<float>`).
+  *
+  * The dot product — the innermost loop of every similarity/dedup
+  * operator — is a native Catalyst expression with `doGenCode`
+  * ([[VecDot]]); the declarative HOF form (`aggregate(zip_with(...))`)
+  * is CodegenFallback and pays interpreted lambda dispatch per element.
+  * `hofDot` keeps the declarative formulation for cross-checking.
   *
   * All arithmetic is promoted to double up front: the fold over the array
   * is sequential in array order, so results are bit-deterministic and
@@ -13,7 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  import org.apache.spark.sql.GraftBridge.{column => c, expression => e}
+
   def dot(a: Column, b: Column): Column =
+    c(VecDot(e(a.cast("array<double>")), e(b.cast("array<double>"))))
+
+  /** Declarative reference implementation of `dot` (bit-identical). */
+  def hofDot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

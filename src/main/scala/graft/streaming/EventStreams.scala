@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream transforms (SURVEY §2.9 + the engine's streaming surface):
+  * watermarked tumbling/sliding windows, event-time duplicate suppression,
+  * and session windows. Each takes/returns a DataFrame and works
+  * identically on a batch frame (tests, backfills) and a streaming frame
+  * (`readStream`) — the Spark-native way to keep one codepath for both.
+  *
+  * Scale: all three shuffle once on (key, window); state size is bounded
+  * by the watermark horizon — late rows beyond it are dropped (ST4), so
+  * executor state does not grow with stream lifetime.
+  */
+object EventStreams {
+
+  /** Tumbling (slide == size) or sliding windowed counts + measure sum
+    * per event_type. `withWatermark` bounds state and drops stale rows
+    * (ST4 — the reference's freshness-window invalidation). */
+  def windowedAgg(events: DataFrame, tsCol: String, size: String,
+                  slide: Option[String] = None,
+                  watermark: String = "30 minutes"): DataFrame = {
+    val w = slide.map(s => window(col(tsCol), size, s))
+      .getOrElse(window(col(tsCol), size))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(w.as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("win.start").as("window_start"),
+        col("win.end").as("window_end"), col("event_type"),
+        col("n"), col("total"))
+  }
+
+  /** ST3: event-time duplicate suppression — first arrival per key wins
+    * within the watermark horizon. On a streaming frame this is
+    * `dropDuplicatesWithinWatermark` (state expires with the watermark);
+    * on a batch frame that operator is unavailable, so the equivalent
+    * batch semantics (plain dropDuplicates) apply. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           tsCol: String, watermark: String): DataFrame = {
+    val marked = events.withWatermark(tsCol, watermark)
+    if (events.isStreaming) marked.dropDuplicatesWithinWatermark(keys)
+    else marked.dropDuplicates(keys)
+  }
+
+  /** Session windows: rows gapped less than `gap` apart merge into one
+    * session per user (`session_window` — works batch and streaming). */
+  def sessionize(events: DataFrame, tsCol: String, gap: String,
+                 watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("sess"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+      .select(col("user_id"), col("sess.start").as("session_start"),
+        col("sess.end").as("session_end"), col("n_events"), col("total"))
+}

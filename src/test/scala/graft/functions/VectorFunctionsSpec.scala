@@ -20,6 +20,30 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(d(2L) == 0.0)
   }
 
+  test("native VecDot is bit-identical to the declarative HOF fold") {
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "a", "b")
+    val diff = data.select(
+        VF.dot($"a", $"b").as("native"),
+        VF.hofDot($"a", $"b").as("hof"))
+      .filter($"native" =!= $"hof") // exact double equality, no tolerance
+      .count()
+    assert(diff == 0)
+  }
+
+  test("VecDot rejects non-double-array inputs at analysis") {
+    import org.apache.spark.sql.GraftBridge
+    val bad = GraftBridge.column(VecDot(
+      GraftBridge.expression($"id"), GraftBridge.expression($"id")))
+    val ex = intercept[Exception] {
+      Seq(1L).toDF("id").select(bad).collect()
+    }
+    assert(ex.getMessage.contains("vec_dot"))
+  }
+
   test("norm and cosine: orthogonal=0, parallel=1") {
     val c = vecs.select($"id", VF.cosineRounded($"a", $"b")).as[(Long, Double)]
       .collect().toMap

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events(rows: (String, Long, String, Double)*) =
+    rows.toSeq.toDF("tss", "user_id", "event_type", "value")
+      .select($"tss".cast("timestamp").as("ts"), $"user_id", $"event_type", $"value")
+
+  test("windowedAgg tumbles on event time (batch frame)") {
+    val df = events(
+      ("2026-01-01 10:00:10", 1, "click", 1.0),
+      ("2026-01-01 10:00:50", 2, "click", 2.0),
+      ("2026-01-01 10:01:10", 1, "view", 3.0))
+    val out = EventStreams.windowedAgg(df, "ts", "1 minute")
+      .orderBy("window_start", "event_type")
+      .as[(Timestamp, Timestamp, String, Long, Double)].collect()
+    assert(out.length == 2)
+    assert(out(0)._3 == "click" && out(0)._4 == 2 && out(0)._5 == 3.0)
+    assert(out(1)._3 == "view" && out(1)._4 == 1)
+  }
+
+  test("windowedAgg on a MemoryStream honors watermark and emits finalized windows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.windowedAgg(df, "ts", "1 minute", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    // watermark only advances AFTER a batch: batch 1 ingests the 10:00
+    // window, batch 2's later event moves the watermark past 10:01, and
+    // the following no-data batch finalizes + emits the closed window
+    mem.addData(
+      (ts("2026-01-01 10:00:10"), 1L, "click", 1.0),
+      (ts("2026-01-01 10:00:40"), 2L, "click", 2.0))
+    q.processAllAvailable()
+    mem.addData((ts("2026-01-01 10:02:05"), 1L, "view", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("winagg")
+      .as[(Timestamp, Timestamp, String, Long, Double)].collect()
+    // the 10:00 window is finalized (watermark passed), the 10:02 one is not
+    assert(rows.exists(r => r._3 == "click" && r._4 == 2 && r._5 == 3.0))
+    assert(!rows.exists(r => r._3 == "view"))
+  }
+
+  test("dedupWithinWatermark drops re-deliveries on a stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.dedupWithinWatermark(df, Seq("user_id", "event_type"),
+        "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    mem.addData(
+      (ts("2026-01-01 10:00:00"), 1L, "click", 1.0),
+      (ts("2026-01-01 10:00:30"), 1L, "click", 99.0), // duplicate key
+      (ts("2026-01-01 10:00:40"), 2L, "view", 2.0))
+    q.awaitTermination(60000)
+    val rows = spark.table("dedup").collect()
+    assert(rows.length == 2)
+  }
+
+  test("sessionize merges gapped rows into sessions (batch frame)") {
+    val df = events(
+      ("2026-01-01 10:00:00", 1, "click", 1.0),
+      ("2026-01-01 10:03:00", 1, "click", 1.0),  // within 5 min gap
+      ("2026-01-01 11:00:00", 1, "click", 1.0),  // new session
+      ("2026-01-01 10:00:00", 2, "view", 5.0))
+    val out = EventStreams.sessionize(df, "ts", "5 minutes")
+      .orderBy("user_id", "session_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+    assert(out.length == 3)
+    assert(out(0)._1 == 1 && out(0)._4 == 2) // merged session
+    assert(out(1)._1 == 1 && out(1)._4 == 1)
+    assert(out(2)._1 == 2 && out(2)._5 == 5.0)
+  }
+}
