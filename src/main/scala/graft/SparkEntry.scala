@@ -255,6 +255,18 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    "f_json_struct" -> ((s, dir) => {
+      // F18/F19: full JSON parse to a typed struct + field access (the
+      // reference's json.loads + body['Records'][0]... chains)
+      t(s, dir, "events")
+        .select(from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("j"))
+        .select(col("j.k").as("k"))
+        .groupBy(pmod(col("k"), lit(10)).as("bucket"))
+        .agg(count(lit(1)).as("n"), max(col("k")).as("mx"))
+        .orderBy(col("bucket"))
+    }),
+
     "f_math" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -595,6 +607,12 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
                 count(*) AS n
          FROM events GROUP BY k ORDER BY k""",
+
+    "f_json_struct" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS bucket,
+                count(*) AS n,
+                max(CAST(json_extract_string(props, '$.k') AS INT)) AS mx
+         FROM events GROUP BY bucket ORDER BY bucket""",
 
     "f_math" ->
       """SELECT l_orderkey, l_linenumber,

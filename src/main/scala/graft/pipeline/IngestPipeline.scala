@@ -112,6 +112,41 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
     report
   }
 
+  final case class RemainingFiles(pending: Seq[String], stale: Seq[String]) {
+    def done: Boolean = pending.isEmpty
+  }
+
+  /** ST5/A6/J2: completion detection — `check_remaining_files`
+    * (`R22:579-661`). Lists the watch dir, anti-joins against files the
+    * audit log records as successfully loaded, and classes the remainder
+    * by the freshness window: fresh → pending (keep waiting), stale →
+    * invalid (ST4, `R22:611,641-646`). The listing is O(files), the
+    * anti-join is a broadcast of audit keys — control-plane sizes. */
+  def checkRemainingFiles(dir: String, freshnessMinutes: Long,
+                          nowMillis: Long): RemainingFiles = {
+    import spark.implicits._
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed =
+      if (!fs.exists(new Path(dir))) Seq.empty[(String, Long)]
+      else fs.listStatus(new Path(dir)).toSeq
+        .filter(_.isFile)
+        .map(st => (st.getPath.getName, st.getModificationTime))
+        .filterNot(_._1.contains("converted")) // ST9 re-entrancy guard
+    val listing = listed.toDF("name", "mtime")
+    val processed = audit.table()
+      .filter(col("event_source") === "loading" && col("status") === 1)
+      .select(col("target").as("name")).distinct()
+    val remaining = listing.join(broadcast(processed), Seq("name"), "left_anti")
+      .withColumn("fresh",
+        (lit(nowMillis) - col("mtime")) < freshnessMinutes * 60000L)
+      .select(col("name"), col("fresh"))
+      .as[(String, Boolean)].collect()
+    RemainingFiles(
+      pending = remaining.filter(_._2).map(_._1).sorted.toSeq,
+      stale = remaining.filterNot(_._2).map(_._1).sorted.toSeq)
+  }
+
   /** S11: archive — move the consumed file under `backup/<date>/`
     * (`2.1 leader-lambda-for-mysql.py:582-603`). */
   def archive(csvPath: String, backupDir: String, date: String): Boolean = {

@@ -29,7 +29,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * batch jobs.
   */
 final class Watch(spark: SparkSession, watchDir: String, warehouse: String,
-                  maxAttempts: Int = 3) {
+                  maxAttempts: Int = 3,
+                  freshnessMinutes: Long = 30,
+                  onAllLoaded: () => Unit = () => ()) {
   require(!watchDir.startsWith(warehouse) && !warehouse.startsWith(watchDir),
     "ST8: watch dir and warehouse must be disjoint")
 
@@ -66,6 +68,15 @@ final class Watch(spark: SparkSession, watchDir: String, warehouse: String,
                   s"load failed for $p (attempt ${n + 1}): ${res.error}")
             }
           }
+        }
+        // ST5 completion detection (R22:344-375): when no pending files
+        // remain in the watch dir, fire the downstream (report) stage
+        val remaining = pipeline.checkRemainingFiles(watchDir,
+          freshnessMinutes, System.currentTimeMillis())
+        if (remaining.done) {
+          pipeline.audit.append("loading: all files loaded", watchDir, 1,
+            System.currentTimeMillis())
+          onAllLoaded()
         }
         ()
       }
