@@ -222,20 +222,40 @@ object Dedup {
     * label / IVF cell): the block join bounds the pair count; cosine ≥
     * threshold kept. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            blockCol: String, threshold: Double): DataFrame = {
-    // Norms are computed once per input row BELOW the join (5k folds),
-    // not once per pair (millions): cosine(a,b) = dot(a,b)/(|a|·|b|)
-    // with |·| materialized as a column — bit-identical to the inline
-    // form (same fold order), 3× fewer array folds in the pair loop.
+                            blockCol: String, threshold: Double,
+                            subBuckets: Int = 8): DataFrame = {
+    // Two scale devices on top of the block join:
+    //  1. Norms are computed once per input row BELOW the join (n folds),
+    //     not once per pair (n²): cosine(a,b) = dot(a,b)/(|a|·|b|) with
+    //     |·| materialized as a column — bit-identical to the inline form.
+    //  2. Triangle decomposition: a blocking column with few distinct
+    //     values (10 labels) gives at most that many join tasks, however
+    //     many shuffle partitions exist. Each row gets a content-hash
+    //     sub-bucket in [0,B); the pair space splits into B(B+1)/2
+    //     bucket-pair tasks per block — left side replicated to buckets
+    //     ≥ its own, right side to buckets ≤ its own, so every unordered
+    //     pair meets exactly once. ~B/2× data inflation buys ~B²/2×
+    //     parallelism; the id_a<id_b filter dedups the diagonal.
+    val B = math.max(subBuckets, 1)
+    val bucket = pmod(xxhash64(col(idCol)), lit(B.toLong))
     val a = df.select(col(blockCol).as("_blk"), col(idCol).as("id_a"),
-      col(vecCol).as("_va"), VectorFunctions.norm(col(vecCol)).as("_na"))
+        col(vecCol).as("_va"), VectorFunctions.norm(col(vecCol)).as("_na"),
+        bucket.as("_ba"))
+      .withColumn("_bb", explode(sequence(col("_ba"), lit(B.toLong - 1))))
     val b = df.select(col(blockCol).as("_blk"), col(idCol).as("id_b"),
-      col(vecCol).as("_vb"), VectorFunctions.norm(col(vecCol)).as("_nb"))
-    a.join(b, Seq("_blk"))
-      .filter(col("id_a") < col("id_b"))
+        col(vecCol).as("_vb"), VectorFunctions.norm(col(vecCol)).as("_nb"),
+        bucket.as("_bb2"))
+      .withColumn("_ba", explode(sequence(lit(0L), col("_bb2"))))
+      .withColumnRenamed("_bb2", "_bb")
+    a.join(b, Seq("_blk", "_ba", "_bb"))
+      .filter(col("_ba") < col("_bb") || col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
       .withColumn("cosine", round(
         VectorFunctions.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      // cross-bucket pairs arrive in hash order, not id order — the
+      // canonical (min,max) output survives; cosine is symmetric
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))
   }
 }

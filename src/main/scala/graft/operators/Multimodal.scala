@@ -71,4 +71,32 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select(col("media_id"), col("frame_idx"), col("width"), col("height"))
+
+  /** Resize stub: clamps the fake-decoded dims to a bounding box,
+    * preserving aspect (integer arithmetic like a real thumbnailer). The
+    * media bytes stay opaque — a real codec swaps in at FakeCodec. */
+  def resized(decoded: Dataset[DecodedMeta], maxSide: Int): DataFrame =
+    decoded.toDF()
+      .withColumn("_scale",
+        greatest(greatest(col("width"), col("height"))
+          .cast("double") / maxSide, lit(1.0)))
+      .select(col("media_id"),
+        (col("width") / col("_scale")).cast("int").as("out_width"),
+        (col("height") / col("_scale")).cast("int").as("out_height"))
+
+  /** Feature-extraction stub: media bytes → dense `array<float>`
+    * embedding, deterministic from content (xxhash64-seeded per
+    * dimension), unit-normalized COLUMN-SIDE so the output plugs straight
+    * into `Similarity`/`Dedup` operators. The per-dim hash is the stub;
+    * the schema, determinism, and normalization contract are what a real
+    * encoder must satisfy. */
+  def featureExtract(media: DataFrame, dim: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{aggregate => agg_, _}
+    val raw = transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(col("content"), i), lit(2000L)) - 1000L)
+        .cast("double") / 1000.0)
+    val nrm = sqrt(agg_(transform(raw, x => x * x), lit(0.0), (a, v) => a + v))
+    media.select(col("media_id"),
+      transform(raw, x => (x / nrm).cast("float")).as("embedding"))
+  }
 }

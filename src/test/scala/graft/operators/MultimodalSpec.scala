@@ -26,6 +26,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out._3 == 'h'.toInt)
   }
 
+  test("resized clamps to bounding box preserving aspect") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val out = Multimodal.resized(Multimodal.decodeBatched(media), maxSide = 64)
+      .as[(Long, Int, Int)].collect()
+    out.foreach { case (_, w, h) =>
+      assert(w <= 64 && h <= 64 && w > 0 && h > 0)
+    }
+  }
+
+  test("featureExtract emits deterministic unit-norm float embeddings") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val e1 = Multimodal.featureExtract(media, 16)
+      .as[(Long, Seq[Float])].collect().toMap
+    val e2 = Multimodal.featureExtract(media, 16)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(e1 == e2)
+    e1.values.foreach { v =>
+      assert(v.length == 16)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3)
+    }
+    // feeds the ANN path end-to-end
+    val emb = Multimodal.featureExtract(media, 16)
+      .withColumn("label", lit(0))
+    val q = e1(1L).map(_.toDouble)
+    val top = Similarity.bruteForceTopK(emb, "media_id", "embedding", q, 1)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 1L && top.head._2 == 1.0)
+  }
+
   test("decodeBatched is deterministic per payload; sampleFrames explodes") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val d1 = Multimodal.decodeBatched(media).collect().sortBy(_.media_id)
