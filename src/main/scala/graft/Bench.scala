@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm scan paths + JIT once so the first measured query isn't
+    // charged for session warmup (parquet footers, codegen compiler)
+    Tables.all.foreach { t =>
+      try Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** SURVEY §5 property tests: AutoID density, shingle integrity and merge
+  * completeness hold for arbitrary generated inputs, not just fixtures.
+  * Generators are sampled manually with fixed seeds (the scalatestplus
+  * bridge isn't in the offline dependency set), so runs are reproducible.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default.withSize(60), Seed(42L + i)))
+
+  test("withDenseId: ids are a dense 1..n permutation in key order, any input") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(-100000L, 100000L))
+    samples(gen, 5).foreach { xs =>
+      val keys = xs.distinct
+      val df = keys.toDF("k")
+      val out = Ids.withDenseId(df, "id", Seq(col("k")), numPartitions = 3)
+        .select("k", "id").as[(Long, Long)].collect().sortBy(_._2)
+      assert(out.map(_._2).toSeq == (1L to keys.length))
+      assert(out.map(_._1).toSeq == keys.sorted)
+    }
+  }
+
+  test("shingles: count bounded by tokens-n+1, all trigrams, distinct") {
+    val gen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "ee"))
+      .map(_.mkString(" "))
+    samples(gen, 8).foreach { text =>
+      val sh = Seq(text).toDF("t")
+        .select(Dedup.shingles(col("t"), 3).as("s"))
+        .as[Seq[String]].head()
+      val tokens = text.split(" ", -1).length
+      assert(sh.length <= math.max(tokens - 2, 0))
+      assert(sh.forall(_.split(" ", -1).length == 3))
+      assert(sh.distinct.length == sh.length)
+    }
+  }
+
+  test("merge upsert: every key lands exactly once with the right value") {
+    val rowGen = Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0, 1000)))
+    samples(Gen.zip(rowGen, rowGen), 5).foreach { case (t, u) =>
+      val tRows = t.distinctBy(_._1)
+      val uRows = u.distinctBy(_._1)
+      if (tRows.nonEmpty || uRows.nonEmpty) {
+        val target = tRows.toDF("k", "v")
+        val updates = uRows.toDF("k", "v")
+        val out = Upsert.merge(target, updates, Seq("k"))
+          .as[(Long, Int)].collect()
+        assert(out.length == out.map(_._1).distinct.length)
+        val om = out.toMap
+        val tm = tRows.toMap; val um = uRows.toMap
+        assert(om.keySet == tm.keySet ++ um.keySet)
+        om.foreach { case (k, v) =>
+          assert(um.get(k).orElse(tm.get(k)).contains(v))
+        }
+      }
+    }
+  }
+}
