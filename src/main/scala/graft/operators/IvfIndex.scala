@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF (inverted-file) ANN index: the build-once / probe-many
+  * scale path for similarity search. `Similarity.ivfTopK` derives cells
+  * from a pre-existing label; real corpora have no labels, so this
+  * builds the coarse quantizer itself with a declarative Lloyd k-means
+  * and materializes BOTH artifacts:
+  *
+  *   `<base>/ivf_cells`      — the corpus with its assigned cell id,
+  *                             parquet partitioned BY cell, so a probe
+  *                             reads only `nprobe` partitions;
+  *   `<base>/ivf_centroids`  — k centroid vectors (tiny, broadcast).
+  *
+  * Search cost: rank k centroids against the query (k rows), then scan
+  * only the chosen cells — corpus-size-independent candidate selection,
+  * the same shape FAISS IVF uses, expressed as partition pruning.
+  *
+  * K-means notes (all DataFrame ops, no MLlib): assignment computes
+  * per-row argmin over k squared-L2 distances — dist² = |c|² − 2·x·c
+  * (|x|² is row-constant) — via an array of (dist, idx) structs reduced
+  * with `array_min` (struct ordering compares dist first); update is the
+  * posexplode/avg used by `Similarity.centroids`. Deterministic: seeded
+  * init picks the k hash-smallest rows; ties in argmin break to the
+  * lower cell id.
+  */
+final class IvfIndex(spark: SparkSession, basePath: String) {
+
+  private def cellsPath = s"$basePath/ivf_cells"
+  private def centroidsPath = s"$basePath/ivf_centroids"
+
+  /** Assignment column: index of the nearest centroid. */
+  private def nearestCell(vecCol: String,
+                          cents: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
+    val v = col(vecCol).cast("array<double>")
+    val scored = cents.map { case (idx, c) =>
+      val cArr = array(c.map(lit): _*)
+      val normSq = c.map(x => x * x).sum
+      struct((lit(normSq) - VectorFunctions.dot(v, cArr) * 2).as("dist"),
+        lit(idx).as("idx"))
+    }
+    array_min(array(scored: _*)).getField("idx")
+  }
+
+  /** Build the index: k-means the corpus into `k` cells, persist cells
+    * (partitioned by cell) + centroids. */
+  def build(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+            iters: Int = 5): Unit = {
+    // deterministic seeded init: k hash-smallest vectors
+    var cents: Seq[(Int, Seq[Double])] = emb
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .withColumn("_h", xxhash64(col("v")))
+      .orderBy(col("_h")).limit(k)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toSeq).zipWithIndex.map(_.swap).toSeq
+
+    for (_ <- 1 to iters) {
+      val assigned = emb.withColumn("_cell", nearestCell(vecCol, cents))
+      val newCents = assigned
+        .select(col("_cell"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_x")))
+        .groupBy(col("_cell"), col("_pos")).agg(avg(col("_x")).as("_m"))
+        .groupBy(col("_cell"))
+        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
+          s => s.getField("_m")).as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+        .sortBy(_._1)
+      // empty cells keep their previous centroid
+      val byIdx = newCents.toMap
+      cents = cents.map { case (i, c) => (i, byIdx.getOrElse(i, c)) }
+    }
+
+    emb.withColumn("cell", nearestCell(vecCol, cents))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(cellsPath)
+    import spark.implicits._
+    cents.map { case (i, c) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(centroidsPath)
+  }
+
+  def centroids(): DataFrame = spark.read.parquet(centroidsPath)
+  def cells(): DataFrame = spark.read.parquet(cellsPath)
+
+  /** Probe: rank cells by centroid cosine, brute-force only the best
+    * `nprobe` cells (partition-pruned scan). */
+  def search(idCol: String, vecCol: String, query: Seq[Double], k: Int,
+             nprobe: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val best = centroids()
+      .select(col("cell"), VectorFunctions.cosineRounded(col("centroid"), q).as("_cs"))
+      .orderBy(col("_cs").desc, col("cell").asc)
+      .limit(nprobe).select("cell")
+      .collect().map(_.getInt(0)).toSeq
+    cells().filter(col("cell").isin(best: _*))
+      .select(col(idCol),
+        VectorFunctions.cosineRounded(col(vecCol).cast("array<double>"), q).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

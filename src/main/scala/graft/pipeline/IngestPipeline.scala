@@ -63,21 +63,13 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
       val staged = PriceIndex.typed(PriceIndex.project(rec.clean))
       audit.append("loading: temp table creation", fileKey(csvPath), 1, now())
 
-      // stage 3: upsert into permanent table (J1/S8)
+      // stage 3: upsert into permanent table (J1/S8), partition-aware:
+      // only the GEO partitions present in this file are read and
+      // atomically replaced — untouched partitions are never opened
+      // (the plain-parquet analog of Delta MERGE file pruning)
       stage = 3
-      val merged = if (new java.io.File(permanentPath).exists()) {
-        val target = spark.read.parquet(permanentPath)
-        Upsert.mergeLatest(target, staged, PriceIndex.naturalKey, "VALUE")
-      } else staged
-      // two-phase write: a merge reads its own target, so land the result
-      // in a temp dir first, then swap in (overwrite-in-place would race
-      // the scan feeding it)
-      val tmp = s"$permanentPath._tmp"
-      merged.write.mode(SaveMode.Overwrite).partitionBy("GEO").parquet(tmp)
-      val whFs = new Path(warehouse)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      whFs.delete(new Path(permanentPath), true)
-      whFs.rename(new Path(tmp), new Path(permanentPath))
+      Upsert.mergeIntoPartitioned(spark, permanentPath, staged,
+        PriceIndex.naturalKey, "GEO", "VALUE")
       audit.append("loading: upsert", fileKey(csvPath), 1, now())
       audit.append("loading", fileKey(csvPath), 1, now())
       LoadResult(1, stage, "", rec.totalRows, rec.corruptRows)

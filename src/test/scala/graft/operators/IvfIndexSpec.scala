@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters around orthogonal axes + noise dims
+  private lazy val emb = {
+    val rnd = new scala.util.Random(3)
+    (1 to 60).map { i =>
+      val base = if (i <= 30) Array(10f, 0f, 0f, 0f) else Array(0f, 10f, 0f, 0f)
+      (i.toLong, base.map(_ + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("build partitions corpus into cells; k-means separates clusters") {
+    val base = Files.createTempDirectory("graft_ivf").toString
+    val idx = new IvfIndex(spark, base)
+    idx.build(emb, "vec_id", "embedding", k = 2, iters = 4)
+
+    val cells = idx.cells().select("vec_id", "cell").as[(Long, Int)].collect()
+    val byCluster = cells.groupBy(_._1 <= 30).view.mapValues(_.map(_._2).distinct).toMap
+    // each true cluster maps to exactly one cell, and they differ
+    assert(byCluster(true).length == 1 && byCluster(false).length == 1)
+    assert(byCluster(true).head != byCluster(false).head)
+    // physical layout: one dir per cell
+    assert(new java.io.File(s"$base/ivf_cells").listFiles
+      .count(_.getName.startsWith("cell=")) == 2)
+  }
+
+  test("search with nprobe=1 scans only the query's cluster; nprobe=k matches brute force") {
+    val base = Files.createTempDirectory("graft_ivf2").toString
+    val idx = new IvfIndex(spark, base)
+    idx.build(emb, "vec_id", "embedding", k = 2, iters = 4)
+
+    val query = Seq(10.0, 0.2, 0.0, 0.0) // near cluster 1
+    val probe1 = idx.search("vec_id", "embedding", query, k = 5, nprobe = 1)
+      .as[(Long, Double)].collect()
+    assert(probe1.length == 5)
+    assert(probe1.forall(_._1 <= 30))
+
+    val probeAll = idx.search("vec_id", "embedding", query, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 5)
+      .as[(Long, Double)].collect()
+    assert(probeAll.toSeq == brute.toSeq)
+  }
+}

@@ -31,6 +31,41 @@ class UpsertIdsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "new", 2L)))
   }
 
+  test("mergeIntoPartitioned replaces only touched partitions") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pmerge").toString
+    val table = s"$base/t"
+    val initial = Seq(
+      ("A", 1L, 10.0, 1L), ("A", 2L, 20.0, 1L),
+      ("B", 3L, 30.0, 1L), ("C", 4L, 40.0, 1L)
+    ).toDF("part", "k", "v", "ver")
+    Upsert.mergeIntoPartitioned(spark, table, initial,
+      Seq("part", "k"), "part", "ver")
+
+    // record file mtimes of the untouched partition
+    def partFiles(p: String) = new java.io.File(s"$table/part=$p")
+      .listFiles.filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    val cFilesBefore = partFiles("C")
+
+    // update A (existing key), insert into B (new key); C untouched
+    val updates = Seq(
+      ("A", 1L, 99.0, 2L), ("B", 9L, 90.0, 2L)
+    ).toDF("part", "k", "v", "ver")
+    Upsert.mergeIntoPartitioned(spark, table, updates,
+      Seq("part", "k"), "part", "ver")
+
+    val out = spark.read.parquet(table)
+      .select("part", "k", "v").as[(String, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("A", 1L, 99.0), ("A", 2L, 20.0),
+      ("B", 3L, 30.0), ("B", 9L, 90.0), ("C", 4L, 40.0)))
+    // C's physical files were not rewritten
+    assert(partFiles("C") == cFilesBefore)
+    // older version never resurrects (LWW on ver)
+    val v = spark.read.parquet(table).filter($"part" === "A" && $"k" === 1)
+      .select("ver").as[Long].head()
+    assert(v == 2L)
+  }
+
   test("withDenseId yields a dense 1-based id in order-key order") {
     val df = spark.range(1, 1001).toDF("k")
       .withColumn("k", col("k") * 7 % 1009) // shuffled but unique
