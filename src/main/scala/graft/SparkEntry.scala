@@ -350,6 +350,17 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "x_dedup_cluster" -> ((s, dir) => {
+      // near-dup pairs -> connected components -> canonical keeper per
+      // duplicate cluster (min reachable doc_id); singletons keep selves
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs.select("id_a", "id_b"))
+        .orderBy(col("id"))
+    }),
+
     "x_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
           "embedding", "label", threshold = 0.3)
@@ -678,6 +689,31 @@ object SparkEntry {
          JOIN sizes y ON id_b = y.doc_id
          WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.12
          ORDER BY id_a, id_b""",
+
+    "x_dedup_cluster" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                                FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                         unnest(list_transform(
+                           generate_series(1, greatest(len(t)-2, 0)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS s
+                  FROM tok),
+           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+           pairs AS (SELECT id_a, id_b FROM inter
+                     JOIN sizes x ON id_a = x.doc_id
+                     JOIN sizes y ON id_b = y.doc_id
+                     WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5),
+           edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                     UNION ALL SELECT id_b, id_a FROM pairs),
+           reach(src, dst) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+         SELECT src AS id, min(dst) AS comp FROM reach
+         GROUP BY src ORDER BY id""",
 
     "x_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,

@@ -218,6 +218,47 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation: every node ends up labeled with the smallest
+    * id reachable from it — the canonical "keeper" of its duplicate
+    * cluster. `nodes` = one `id` column (all docs; singletons keep their
+    * own id), `pairs` = (id_a, id_b) from any of the pair generators.
+    *
+    * Each iteration is one join + partial-aggregated min — converges in
+    * O(component diameter) rounds; near-dup clusters are shallow (a dup
+    * of a dup of X is still ~X), so `maxIter` default 10 is generous.
+    * For adversarial long-chain graphs use the large-star/small-star
+    * doubling variant (O(log n) rounds); not needed for dedup graphs.
+    * Labels persist per round (same two-pass determinism barrier as
+    * [[graft.operators.Ids]]); the changed-count check stops early. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("_nid"), col("comp").as("_ncomp")),
+          col("dst") === col("_nid"))
+        .groupBy(col("src")).agg(min(col("_ncomp")).as("_nmin"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("comp").as("_old"),
+          least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = updated.filter(col("comp") =!= col("_old")).count()
+      labels.unpersist()
+      labels = updated.select(col("id"), col("comp"))
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs within a coarse block (e.g. cluster
     * label / IVF cell): the block join bounds the pair count; cosine ≥
     * threshold kept. */

@@ -69,6 +69,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.getOrElse((1L, 2L), 99) <= 10) // near-dup should be close
   }
 
+  test("connectedComponents: chains collapse to min id, singletons keep selves") {
+    val nodes = (1L to 7L).toDF("id")
+    // chain 1-2-3, pair 5-6; 4 and 7 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents: transitivity through a long chain") {
+    val nodes = (1L to 6L).toDF("id")
+    val pairs = (1L to 5L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L))
+  }
+
   test("embeddingNearDupPairs blocks and thresholds on cosine") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), 0),
