@@ -195,6 +195,48 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    "q7_nation_volume" -> ((s, dir) => {
+      // TPC-H Q7 shape: bilateral shipping volume by nation pair and year
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), sup("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).cast("int").as("l_year"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    "q10_returned_items" -> ((s, dir) => {
+      // TPC-H Q10 shape: top customers by revenue lost to returns
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // ── §2.5 windows / §2.6 sorts ────────────────────────────────────
     "w1_rownum" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -574,6 +616,35 @@ object SparkEntry {
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q7_nation_volume" ->
+      """SELECT s_nation.n_name AS supp_nation, c_nation.n_name AS cust_nation,
+                CAST(year(o_orderdate) AS INT) AS l_year,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                         (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation s_nation ON s_nationkey = s_nation.n_nationkey
+         JOIN nation c_nation ON c_nationkey = c_nation.n_nationkey
+         WHERE (s_nation.n_name = 'NATION_1' AND c_nation.n_name = 'NATION_2')
+            OR (s_nation.n_name = 'NATION_2' AND c_nation.n_name = 'NATION_1')
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                         (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
 
     "w1_rownum" ->
       """SELECT event_id, user_id,

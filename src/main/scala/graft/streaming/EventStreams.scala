@@ -44,6 +44,25 @@ object EventStreams {
     else marked.dropDuplicates(keys)
   }
 
+  /** Stream-stream inner join with an event-time interval condition:
+    * pair each left row with right rows for the same key whose timestamp
+    * falls in [left.ts - within, left.ts]. Watermarks on BOTH sides are
+    * what make this feasible on unbounded streams — each side buffers
+    * only rows newer than (watermark - within), so join state is bounded
+    * by rate × horizon, not stream lifetime. Column names must be
+    * disjoint apart from `key`; left must carry `ltsCol`, right `rtsCol`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   ltsCol: String, rtsCol: String, within: String,
+                   watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(ltsCol, watermark).alias("l")
+    val r = right.withWatermark(rtsCol, watermark).alias("r")
+    l.join(r, expr(
+        s"l.$key = r.$key AND $rtsCol >= $ltsCol - INTERVAL '$within' " +
+          s"AND $rtsCol <= $ltsCol"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Session windows: rows gapped less than `gap` apart merge into one
     * session per user (`session_window` — works batch and streaming). */
   def sessionize(events: DataFrame, tsCol: String, gap: String,

@@ -69,6 +69,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.length == 2)
   }
 
+  test("intervalJoin pairs streams within the event-time window only") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val views = MemoryStream[(Timestamp, Long, String)]
+    val p = purchases.toDF().toDF("pts", "user_id", "amount")
+    val v = views.toDF().toDF("vts", "user_id", "page")
+    val q = EventStreams.intervalJoin(p, v, "user_id", "pts", "vts",
+        within = "10 minutes", watermark = "0 seconds")
+      .select("user_id", "amount", "page")
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    purchases.addData((ts("2026-01-01 10:20:00"), 1L, 50.0))
+    views.addData(
+      (ts("2026-01-01 10:15:00"), 1L, "in_window"),
+      (ts("2026-01-01 10:05:00"), 1L, "too_early"),
+      (ts("2026-01-01 10:25:00"), 1L, "after_purchase"),
+      (ts("2026-01-01 10:15:00"), 2L, "other_user"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjoin").as[(Long, Double, String)].collect()
+    assert(rows.toSet == Set((1L, 50.0, "in_window")))
+  }
+
   test("sessionize merges gapped rows into sessions (batch frame)") {
     val df = events(
       ("2026-01-01 10:00:00", 1, "click", 1.0),
