@@ -457,6 +457,32 @@ object SparkEntry {
         "vec_id", "embedding", q, 10, planes)
     }),
 
+    "x_sim_ivf_index" -> ((s, dir) => {
+      // persistent k-means IVF index (build-once/probe-many); nprobe=k
+      // scans every cell, so the result is exactly brute-force top-k and
+      // hash-checkable against the same oracle
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val idx = ivfIndexFor(s, dir, emb)
+      // k=11: the query vector itself (vec_id 0, cosine 1.0) takes one
+      // slot before being filtered out
+      idx.search("vec_id", "embedding", q, k = 11, nprobe = 8)
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    "x_sim_ivf_probe" -> ((s, dir) => {
+      // pruned probe: only the query's nearest cell partition is read —
+      // the scale path (rows-only check; cell contents are k-means-
+      // dependent and have no SQL oracle)
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val idx = ivfIndexFor(s, dir, emb)
+      idx.search("vec_id", "embedding", q, k = 10, nprobe = 1)
+        .filter(col("vec_id") =!= 0)
+    }),
+
     // ── LLM-pipeline extensions: multimodal columns ──────────────────
     "x_mm_meta" -> ((s, dir) => {
       Multimodal.withMeta(
@@ -471,6 +497,21 @@ object SparkEntry {
   private def queryVector(emb: DataFrame): Seq[Double] =
     emb.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0).map(_.toDouble)
+
+  /** Build (or reuse, within one JVM run) the IVF index for an sf dir.
+    * Lives under java.io.tmpdir keyed by the dir name; rebuilt once per
+    * process so the two ivf queries share one build. */
+  private val ivfBuilt = scala.collection.concurrent.TrieMap.empty[String, operators.IvfIndex]
+  private def ivfIndexFor(s: SparkSession, dir: String,
+                          emb: DataFrame): operators.IvfIndex =
+    ivfBuilt.getOrElseUpdate(dir, {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        java.lang.Long.toHexString(
+          java.util.Objects.hash(dir).toLong & 0xffffffffL)
+      val idx = new operators.IvfIndex(s, base)
+      idx.build(emb, "vec_id", "embedding", k = 8, iters = 3)
+      idx
+    })
 
   // ───────────────────────────────────────────────────────────────────
   // DuckDB oracle SQL. Same determinism rules as the Spark side;
@@ -884,6 +925,21 @@ object SparkEntry {
                     FROM e JOIN q ON e.i = q.i
                     WHERE e.label IN (SELECT label FROM best)
                     GROUP BY e.vec_id)
+         SELECT vec_id, score FROM s
+         ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "x_sim_ivf_index" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+              e AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id <> 0),
+              s AS (SELECT e.vec_id,
+                           round(sum(e.x * q.qx) /
+                             (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+                    FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
          SELECT vec_id, score FROM s
          ORDER BY score DESC, vec_id LIMIT 10""",
 
