@@ -1,0 +1,36 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: compare exact n-gram Jaccard pairs against MinHash-LSH
+  * candidates (exact-verified) at a given threshold — quantifies LSH
+  * recall on the actual corpus before switching a pair source. */
+object PairCheck {
+  def main(args: Array[String]): Unit = {
+    val threshold = args.headOption.map(_.toDouble).getOrElse(0.5)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val docs = Tables.load(spark, dir, "documents")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, threshold)
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3,
+          numHashes = 64, bands = 32, threshold = threshold)
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val minJ = if (exact.isEmpty) 1.0 else exact.map(_._3).min
+      println(s"[paircheck] $sf threshold=$threshold exact=${exact.size} " +
+        s"lsh=${lsh.size} missed=${(exact -- lsh).size} " +
+        s"spurious=${(lsh -- exact).size} minJaccard=$minJ")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
