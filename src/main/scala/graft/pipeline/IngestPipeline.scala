@@ -22,16 +22,23 @@ import org.apache.spark.sql.functions._
   * the permanent table on the natural key — broadcast when the staged
   * side is small, AQE otherwise.
   */
+object IngestPipeline {
+  final case class LoadResult(status: Int, stage: Int, error: String,
+                              totalRows: Long, corruptRows: Long)
+  final case class RemainingFiles(pending: Seq[String], stale: Seq[String]) {
+    def done: Boolean = pending.isEmpty
+  }
+}
+
 final class IngestPipeline(spark: SparkSession, warehouse: String,
                            maxErrors: Long = 5,
                            dedupWindowSeconds: Long = 1800) {
+  import IngestPipeline.{LoadResult, RemainingFiles}
 
   val audit = new AuditLog(spark, s"$warehouse/log_for_loading")
   private def permanentPath = s"$warehouse/0_priceindex"
   private def now(): Long = System.currentTimeMillis()
 
-  final case class LoadResult(status: Int, stage: Int, error: String,
-                              totalRows: Long, corruptRows: Long)
 
   /** The loader Lambda's whole body, stage-tagged like the reference
     * (`stage` 0..5, `R22:153,220,268,297,306,340`). */
@@ -102,10 +109,6 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
       .option("header", "true").csv(outDir)
     audit.append("reporting", s"$yearParam-$monthParam", 1, now())
     report
-  }
-
-  final case class RemainingFiles(pending: Seq[String], stale: Seq[String]) {
-    def done: Boolean = pending.isEmpty
   }
 
   /** ST5/A6/J2: completion detection — `check_remaining_files`
