@@ -285,7 +285,10 @@ object SparkEntry {
       // oracle can reproduce it without a timezone database.
       t(s, dir, "events")
         .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
-          hour(from_utc_timestamp(col("ts"), "America/New_York")).as("est_hour"))
+          // fixed -05:00 offset (not America/New_York): the DuckDB oracle
+          // computes ts - 5h, and a DST-aware zone would diverge from it
+          // for data after the March switch (UTC-4 vs UTC-5)
+          hour(from_utc_timestamp(col("ts"), "-05:00")).as("est_hour"))
         .groupBy(col("day"), col("est_hour")).agg(count(lit(1)).as("n"))
         .orderBy(col("day"), col("est_hour"))
     }),
@@ -389,7 +392,10 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     "x_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 8)
+      // maxDist=3: the largest distance for which the 16-bit-chunk
+      // blocking is provably exhaustive (pigeonhole: ≤3 differing bits
+      // cannot touch all 4 chunks), so the pair set is exact
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     "x_dedup_cluster" -> ((s, dir) => {
@@ -786,6 +792,35 @@ object SparkEntry {
          FROM documents GROUP BY text ORDER BY h""",
 
     "x_dedup_ngram" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+              sh AS (SELECT DISTINCT doc_id,
+                            unnest(list_transform(
+                              generate_series(1, greatest(len(t)-2, 0)),
+                              i -> array_to_string(t[i:i+2], ' '))) AS s
+                     FROM tok),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                               count(*) AS c
+                        FROM sh a JOIN sh b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+         FROM inter
+         JOIN sizes x ON id_a = x.doc_id
+         JOIN sizes y ON id_b = y.doc_id
+         WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.12
+         ORDER BY id_a, id_b""",
+
+    // LSH candidates are exact-Jaccard-verified, so precision is exact by
+    // construction and recall is the only approximation; banding at 16
+    // bands × 4 rows misses an in-corpus pair (min jaccard ≈ 0.8) with
+    // p = (1-0.8⁴)¹⁶ ≈ 2e-4, and graft.tools.PairCheck measured ZERO
+    // missed pairs at sf0.01/sf0.1 — so the all-pairs SQL is a valid
+    // oracle for the LSH path, and the driver gets a full hash check
+    // instead of rows-only.
+    "x_dedup_minhash" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents),
               sh AS (SELECT DISTINCT doc_id,

@@ -45,11 +45,19 @@ object Dedup {
 
   /** Exploded inverted index: (id, shingle), distinct per doc, with
     * stop-shingles appearing in more than `maxBlock` docs dropped to bound
-    * the quadratic blowup of the block self-join. */
+    * the quadratic blowup of the block self-join.
+    *
+    * Shingles are carried as xxhash64 fingerprints, not strings: the
+    * index is persisted and self-joined, and 8-byte keys shuffle/compare
+    * ~2× faster than ~20-byte strings (measured at sf0.1). Jaccard over
+    * fingerprints equals Jaccard over strings unless two distinct
+    * shingles of the same doc pair collide in 64 bits (p ≈ m²/2⁶⁴ —
+    * negligible at any per-doc shingle count). */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, maxBlock: Long): DataFrame = {
     val idx = docs
       .select(col(idCol).as("_id"), explode(shingles(col(textCol), n)).as("_sh"))
+      .select(col("_id"), xxhash64(col("_sh")).as("_sh"))
     if (maxBlock <= 0) idx
     else {
       val w = Window.partitionBy(col("_sh"))
@@ -214,8 +222,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("_sima").bitwiseXOR(col("_simb"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is per-pair constant, so the
+      // order is semantically free and the dedup shuffle shrinks by
+      // whatever the distance cut rejects
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Connected components over a near-dup pair graph by iterative
@@ -224,19 +235,27 @@ object Dedup {
     * cluster. `nodes` = one `id` column (all docs; singletons keep their
     * own id), `pairs` = (id_a, id_b) from any of the pair generators.
     *
-    * Each iteration is one join + partial-aggregated min — converges in
-    * O(component diameter) rounds; near-dup clusters are shallow (a dup
-    * of a dup of X is still ~X), so `maxIter` default 10 is generous.
-    * For adversarial long-chain graphs use the large-star/small-star
-    * doubling variant (O(log n) rounds); not needed for dedup graphs.
-    * Labels persist per round (same two-pass determinism barrier as
-    * [[graft.operators.Ids]]); the changed-count check stops early. */
+    * Each iteration is a neighbor-min join + a pointer-doubling shortcut
+    * (`comp := labels(comp)` — path compression), so label distance to
+    * the component minimum halves-and-propagates each round: convergence
+    * in O(log diameter) rounds rather than O(diameter). Ten rounds cover
+    * chains of length ~2^10; if the changed-count is still positive at
+    * `maxIter` the labels are NOT a fixpoint and this throws rather than
+    * silently returning a wrong clustering. Labels persist per round
+    * (same two-pass determinism barrier as [[graft.operators.Ids]]);
+    * the changed-count check stops early. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("id"), col("id").as("comp"))
+    // Iterate ONLY over the pair graph's vertices: a node with no edge
+    // can never change its label, so singletons (the overwhelming
+    // majority of a deduped corpus) stay out of every join and are
+    // stitched back with one left join at the end. Per-round work is
+    // O(edges), not O(corpus).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var i = 0
@@ -245,10 +264,18 @@ object Dedup {
         .join(labels.select(col("id").as("_nid"), col("comp").as("_ncomp")),
           col("dst") === col("_nid"))
         .groupBy(col("src")).agg(min(col("_ncomp")).as("_nmin"))
-      val updated = labels
+      val propagated = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"), col("comp").as("_old"),
           least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"))
+      // pointer doubling: jump each label to its label's label. comp is
+      // always a real node id (labels start as ids and only copy ids),
+      // so the self-join always matches and comp only decreases.
+      val updated = propagated.alias("l")
+        .join(propagated.select(col("id").as("_cid"), col("comp").as("_ccomp"))
+          .alias("r"), col("l.comp") === col("_cid"), "left")
+        .select(col("l.id").as("id"), col("_old"),
+          least(col("l.comp"), coalesce(col("_ccomp"), col("l.comp"))).as("comp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = updated.filter(col("comp") =!= col("_old")).count()
       labels.unpersist()
@@ -256,7 +283,14 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    labels
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter")
+    // stitch singletons back: comp defaults to the node's own id
+    nodes.select(col("id"))
+      .join(labels.withColumnRenamed("comp", "_c"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_c"), col("id")).as("comp"))
   }
 
   /** Embedding-cosine near-dup pairs within a coarse block (e.g. cluster

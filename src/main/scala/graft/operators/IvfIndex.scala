@@ -58,19 +58,20 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
       .map(_.getSeq[Double](0).toSeq).zipWithIndex.map(_.swap).toSeq
 
     for (_ <- 1 to iters) {
+      // one shuffle per Lloyd round: the (cell, dim) means are k×dim rows
+      // (512 for k=8, dim=64) — collect them directly and assemble the
+      // centroid arrays driver-side instead of paying a second shuffle
+      // for the array_sort/collect_list regroup
       val assigned = emb.withColumn("_cell", nearestCell(vecCol, cents))
-      val newCents = assigned
+      val means = assigned
         .select(col("_cell"),
           posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_x")))
         .groupBy(col("_cell"), col("_pos")).agg(avg(col("_x")).as("_m"))
-        .groupBy(col("_cell"))
-        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
-          s => s.getField("_m")).as("centroid"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
-        .sortBy(_._1)
+      val byIdx = means.groupBy(_.getInt(0)).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
       // empty cells keep their previous centroid
-      val byIdx = newCents.toMap
       cents = cents.map { case (i, c) => (i, byIdx.getOrElse(i, c)) }
     }
 

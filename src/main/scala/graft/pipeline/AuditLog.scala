@@ -25,10 +25,15 @@ final class AuditLog(spark: SparkSession, path: String) {
       .toDF("event_source", "target", "status", "ts")
       .write.mode("append").parquet(path)
 
-  def table(): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+  def table(): DataFrame = {
+    // Hadoop FS probe, not java.io.File: the warehouse may be any
+    // FileSystem URI (hdfs://, s3a://), same as the append() write path.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path)
     else Seq.empty[(String, String, Int, java.sql.Timestamp)]
       .toDF("event_source", "target", "status", "ts")
+  }
 
   /** A5 / `sp_lambda_loading_check_status` (`R22:219-254`): was there a
     * successful stage-run for `target` within `windowSeconds` of `now`?
@@ -44,4 +49,20 @@ final class AuditLog(spark: SparkSession, path: String) {
       .limit(1).count()
     if (recent > 0) 1 else 0
   }
+
+  /** ST6 quarantine probe: has `target` been marked poison? Survives
+    * driver restarts (unlike an in-memory attempt map). */
+  def isQuarantined(target: String): Boolean =
+    table()
+      .filter(col("event_source") === "quarantine" && col("target") === target)
+      .limit(1).count() > 0
+
+  /** Failed-attempt count for `target` recorded by the pipeline
+    * (`event_source = "loading"`, status −1) — the durable attempt
+    * counter behind ST6's maxAttempts. */
+  def countFailures(target: String): Long =
+    table()
+      .filter(col("event_source") === "loading" &&
+        col("target") === target && col("status") === -1)
+      .count()
 }

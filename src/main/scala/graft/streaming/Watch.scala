@@ -15,10 +15,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  - idempotence (ST2/ST3): `IngestPipeline.load` consults the audit
   *    log's dedup window before touching the table, so replays are
   *    no-ops — exactly-once *effect* from at-least-once delivery.
-  *  - re-entrancy guard (ST9): `pathGlobFilter` skips `converted_*`
-  *    derivatives (`3. loading-lambda-for-dynamodb.py:150`).
+  *  - re-entrancy guard (ST9): derived `converted` files are filtered out
+  *    of the stream (`3. loading-lambda-for-dynamodb.py:150`) — a stream
+  *    filter, not a glob, because Hadoop globs cannot express "does not
+  *    start with a prefix" without also excluding unrelated names, and
+  *    this keeps the guard identical to `checkRemainingFiles`'s.
   *  - poison files (ST6): a file failing `maxAttempts` times is recorded
-  *    as quarantined in the audit log and skipped thereafter.
+  *    as quarantined in the audit log and skipped thereafter. Attempt
+  *    counts are read back from the audit log's failure rows, so the
+  *    retry/quarantine state survives a driver restart (the in-memory
+  *    map is only a fast path over the durable counts).
   *  - sink/source disjointness (ST8): warehouse and watch dir must not
   *    overlap — enforced at construction.
   *
@@ -43,29 +49,37 @@ final class Watch(spark: SparkSession, watchDir: String, warehouse: String,
   def start(checkpoint: String, continuous: Boolean = false): StreamingQuery = {
     val files = spark.readStream
       .format("text")
-      .option("pathGlobFilter", "[!c]*.csv") // ST9: skip converted_*
+      .option("pathGlobFilter", "*.csv")
       .option("maxFilesPerTrigger", 8)
       .load(watchDir)
       .select(col("_metadata.file_path").as("path"))
+      // ST9: skip converted_* derivatives — same substring guard as
+      // checkRemainingFiles (a "[!c]*" glob would also drop cpi.csv etc.)
+      .filter(!col("path").contains("converted"))
       .distinct()
 
     val writer = files.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val paths = batch.collect().map(_.getString(0))
+        val failures = scala.collection.mutable.ListBuffer.empty[String]
         paths.foreach { p =>
-          val n = attempts.getOrElse(p, 0)
-          if (n >= maxAttempts) {
-            pipeline.audit.append("quarantine", p, -1, System.currentTimeMillis())
+          val key = new org.apache.hadoop.fs.Path(p).getName
+          // durable attempt state: audit failure rows survive restarts;
+          // the in-memory map only avoids re-reading the log mid-run
+          val n = attempts.getOrElse(p,
+            pipeline.audit.countFailures(key).toInt)
+          if (n >= maxAttempts || pipeline.audit.isQuarantined(key)) {
+            if (!pipeline.audit.isQuarantined(key))
+              pipeline.audit.append("quarantine", key, -1, System.currentTimeMillis())
           } else {
             val res = pipeline.load(p)
             if (res.status == 0) {
               attempts(p) = n + 1
               if (n + 1 >= maxAttempts)
-                pipeline.audit.append("quarantine", p, -1, System.currentTimeMillis())
+                pipeline.audit.append("quarantine", key, -1, System.currentTimeMillis())
               else
-                throw new RuntimeException(
-                  s"load failed for $p (attempt ${n + 1}): ${res.error}")
+                failures += s"load failed for $p (attempt ${n + 1}): ${res.error}"
             }
           }
         }
@@ -78,6 +92,11 @@ final class Watch(spark: SparkSession, watchDir: String, warehouse: String,
             System.currentTimeMillis())
           onAllLoaded()
         }
+        // rethrow AFTER the whole batch is processed: files still under
+        // maxAttempts get replayed (ST1), but one bad file no longer
+        // blocks the rest of its batch from loading this pass
+        if (failures.nonEmpty)
+          throw new RuntimeException(failures.mkString("; "))
         ()
       }
     (if (continuous) writer.trigger(Trigger.ProcessingTime("10 seconds"))
