@@ -124,6 +124,42 @@ object SparkEntry {
         .orderBy(col("r_name"))
     }),
 
+    "j6_asof" -> ((s, dir) => {
+      // point-in-time lookup: each purchase gets the user's most recent
+      // click at-or-before it (union-sort as-of join — one shuffle, no
+      // range-join product; see operators/AsofJoin)
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("pts"),
+          date_format(col("matched_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("cts"),
+          // unmatched → sentinel, not NULL: a null DOUBLE materializes
+          // as NaN in pandas and NaN never hash-equals itself
+          coalesce(round(col("matched_value"), 6), lit(-1e9)).as("cvalue"))
+        .orderBy(col("event_id"))
+    }),
+
+    "j7_range_window" -> ((s, dir) => {
+      // bounded-window range join: clicks in the 7 days before each
+      // purchase, same user (bin-bucketed equi-join — candidate count
+      // bounded per (key, bucket), not per key; see operators/RangeJoin)
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      RangeJoin.windowBefore(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("value"), windowSeconds = 7L * 86400)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("w_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("cts"),
+          round(col("w_value"), 6).as("cvalue"))
+        .orderBy(col("event_id"), col("cts"), col("cvalue"))
+    }),
+
     // ── §2.4 aggregations ────────────────────────────────────────────
     "a1_count" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
@@ -179,6 +215,30 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "a8_pivot" -> ((s, dir) => {
+      // pivot: event counts per user decile × event type. Fixed value
+      // list (no extra values-discovery job); missing combos coalesced
+      // to 0 so both engines emit identical non-null counts.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pv = t(s, dir, "events")
+        .groupBy(pmod(col("user_id"), lit(10L)).as("ub"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      pv.select(col("ub") +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy(col("ub"))
+    }),
+
+    "a9_rollup" -> ((s, dir) => {
+      // rollup: subtotals per (returnflag, linestatus), per returnflag,
+      // grand total — one pass, Expand-based (no re-aggregation)
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     "q1_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -193,6 +253,51 @@ object SparkEntry {
             count(lit(1)).cast("double")).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q3_shipping_priority" -> ((s, dir) => {
+      // TPC-H Q3 shape: revenue of unshipped orders for one segment.
+      // customer is NOT broadcast — at the 100 TB target it is a fact-
+      // sized table; the equi-joins shuffle on their keys and AQE picks
+      // the physical strategy per actual size.
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1996-03-15").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_local_supplier" -> ((s, dir) => {
+      // TPC-H Q5 shape: regional revenue where customer and supplier
+      // share a nation. nation/region broadcast (always tiny); the
+      // c_nationkey = s_nationkey predicate rides the supplier join.
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      l.join(o.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r.filter(col("r_name") === "ASIA")),
+          n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
     }),
 
     "q7_nation_volume" -> ((s, dir) => {
@@ -360,6 +465,26 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "u2_except" -> ((s, dir) => {
+      // set difference: customers who never placed a high-value order
+      // (plain "no orders at all" is empty on this data — every customer
+      // orders; the filter keeps the query's result non-trivial)
+      t(s, dir, "customer").select(col("c_custkey").as("k"))
+        .except(t(s, dir, "orders").filter(col("o_totalprice") > 250000)
+          .select(col("o_custkey").as("k")))
+        .orderBy(col("k"))
+    }),
+
+    "u3_intersect" -> ((s, dir) => {
+      // set intersection: order keys present in both lineitem and orders
+      // with a filter on each side
+      t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_orderkey").as("k"))
+        .intersect(t(s, dir, "lineitem").filter(col("l_quantity") >= 40)
+          .select(col("l_orderkey").as("k")))
+        .orderBy(col("k"))
+    }),
+
     // ── §2.9 streaming semantics (batch-checkable form) ─────────────
     "st3_dedup_window" -> ((s, dir) => {
       // event-time duplicate suppression: latest row per key wins
@@ -441,6 +566,17 @@ object SparkEntry {
     "x_text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x_text_tokens" -> ((s, dir) => {
+      // token budgets: whitespace count, GPT-2-style pre-tokenizer
+      // count, plus the order-sensitive Rabin–Karp stream hash
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.tokenCount(col("text")).as("ws_tokens"),
+          TF.bpeTokenCount(col("text")).as("bpe_tokens"),
+          TF.rollingHash(col("text")).as("rhash"))
         .orderBy(col("doc_id"))
     }),
 
@@ -599,6 +735,21 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
 
+    "j6_asof" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                            event_type, value FROM events),
+           p AS (SELECT event_id, user_id, ts FROM ev
+                 WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts, value FROM ev
+                 WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id,
+                strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS cts,
+                coalesce(round(c.value, 6), -1e9) AS cvalue
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
+
     "a1_count" -> "SELECT count(*) AS n FROM lineitem",
 
     "a2_reconcile" ->
@@ -655,6 +806,23 @@ object SparkEntry {
          WHERE event_type = 'error'
          GROUP BY user_id HAVING count(*) > 1 ORDER BY user_id""",
 
+    "a8_pivot" ->
+      """SELECT user_id % 10 AS ub,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'error') AS error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "a9_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -668,6 +836,37 @@ object SparkEntry {
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS odate,
+                o_orderpriority,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                         (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                         (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
 
     "q7_nation_volume" ->
       """SELECT s_nation.n_name AS supp_nation, c_nation.n_name AS cust_nation,
@@ -780,6 +979,33 @@ object SparkEntry {
            SELECT o_orderkey, o_orderstatus FROM orders
            WHERE o_orderpriority = '1-URGENT')
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "u2_except" ->
+      """SELECT c_custkey AS k FROM customer
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+         ORDER BY k""",
+
+    "u3_intersect" ->
+      """SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 300000
+         INTERSECT
+         SELECT l_orderkey FROM lineitem WHERE l_quantity >= 40
+         ORDER BY k""",
+
+    "j7_range_window" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                            event_type, value FROM events),
+           p AS (SELECT event_id, user_id, ts FROM ev
+                 WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts, value FROM ev
+                 WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS cts,
+                round(c.value, 6) AS cvalue
+         FROM p JOIN c
+           ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 7 DAY AND c.ts < p.ts
+         ORDER BY p.event_id, cts, cvalue""",
 
     "st3_dedup_window" ->
       """SELECT user_id, event_type, event_id FROM events
@@ -927,6 +1153,19 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(array_to_string(list_sort(list_distinct(
                   string_split(lower(text), ' '))), ' ')) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "x_text_tokens" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                  AS INT) AS bpe_tokens,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, length(text)),
+                      i -> CAST(ascii(text[i]) AS BIGINT))),
+                  (a, c) -> (a * 31 + c) % 1000000007) AS rhash
          FROM documents ORDER BY doc_id""",
 
     "x_sim_bruteforce" ->

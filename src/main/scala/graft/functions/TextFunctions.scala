@@ -79,4 +79,35 @@ object TextFunctions {
     * equality misses. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(lower(text), " ", -1)))))
+
+  /** GPT-2-style pre-tokenizer pattern: contraction suffixes, letter
+    * runs, digit runs, punctuation runs (each optionally absorbing one
+    * leading space), residual whitespace runs. Deliberately
+    * RE2-compatible — no lookarounds — so the DuckDB oracle evaluates
+    * the identical pattern (Java regex and RE2 agree on every construct
+    * used here). */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token count: number of pre-tokenizer matches — the standard
+    * cheap proxy for LLM token budgets (real BPE merges only split
+    * WITHIN these pieces, so this lower-bounds and tracks the true
+    * count). Codegen'd regexp, no UDF. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  /** Polynomial rolling hash of the full character stream (base-31 mod
+    * 1e9+7, Rabin–Karp step function): an order-SENSITIVE complement to
+    * [[fingerprint]] — equal iff the exact character sequence is equal,
+    * cheap to maintain incrementally over a stream of chunks since
+    * hash(a ++ b) = hash(a)·31^len(b) + hash(b) (mod p). Built as a
+    * single `aggregate` fold over the char array — one pass, codegen'd.
+    * The modulus is < 2^30 so `acc·31 + c` stays far below 2^63: no
+    * overflow under Spark's ANSI mode, and the DuckDB oracle computes
+    * the identical fold with `list_reduce`. */
+  def rollingHash(text: Column): Column = {
+    val p = 1000000007L
+    aggregate(split(text, "", -1), lit(0L),
+      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)), lit(p)))
+  }
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-match) join: for each left row, attach the single
+  * right row with the greatest `rightTs <= leftTs` among rows sharing the
+  * join keys — the standard point-in-time lookup (trades vs quotes, event
+  * vs latest config, purchase vs last click).
+  *
+  * Spark has no built-in as-of join; the naive encoding is a range join
+  * (`l.key = r.key AND r.ts <= l.ts` + a per-row argmax), which Catalyst
+  * executes as a join *product* within key groups — O(n·m) per key and
+  * quadratic on hot keys. This implementation is the union-sort
+  * formulation instead: tag both inputs, union them, and run ONE window
+  * (`partitionBy(keys).orderBy(ts, side)`) where `last(<right payload>,
+  * ignoreNulls)` over rows `unboundedPreceding → currentRow` carries the
+  * latest right values forward onto each left row. Cost is a single hash
+  * shuffle + per-partition sort over n+m rows — the same plan shape as
+  * `w2_latest_per_key`, linear in data size and skew-bounded only by the
+  * hottest key (salt via [[Salting]] if one key dominates).
+  *
+  * Tie-break: right rows sort BEFORE left rows at equal timestamps
+  * (side 0 < side 1), so the match is inclusive (`rightTs <= leftTs`) —
+  * ANSI `ASOF JOIN ... ON l.ts >= r.ts` semantics. Among right rows with
+  * identical (key, ts) the winner is nondeterministic, as in any as-of
+  * engine; pre-dedupe the right side (e.g. the `w2_latest_per_key`
+  * shape) when that matters.
+  *
+  * Reference behavior coverage: the reference joins work items to the
+  * most recent audit/status row within a freshness window
+  * (`2.2 loading-lambda-for-mysql.py:219-254`) — an as-of join with
+  * tolerance, which `toleranceSeconds` reproduces.
+  */
+object AsofJoin {
+
+  /** Left as-of backward join (all left rows preserved; unmatched get
+    * nulls). Output = left columns + `matched_<rightTs>` +
+    * `matched_<c>` for each of `rightVals`.
+    *
+    * @param toleranceSeconds if set, a match older than this many
+    *   seconds before the left timestamp is discarded (nulled out). */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, rightVals: Seq[String],
+               toleranceSeconds: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tsType = right.schema(rightTs).dataType
+    def rvType(c: String) = right.schema(c).dataType
+
+    val lSide = left.select(
+      leftCols.map(col) ++ Seq(
+        lit(1).as("_side"), col(leftTs).as("_ord"),
+        lit(null).cast(tsType).as("_rts")) ++
+        rightVals.map(c => lit(null).cast(rvType(c)).as(s"_rv_$c")): _*)
+    val rSide = right.select(
+      keys.map(col) ++
+        leftCols.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(lit(0).as("_side"), col(rightTs).as("_ord"),
+          col(rightTs).as("_rts")) ++
+        rightVals.map(c => col(c).as(s"_rv_$c")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ord").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = ("_rts" +: rightVals.map(c => s"_rv_$c"))
+      .foldLeft(lSide.unionByName(rSide))((df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+
+    val inTol: Column = toleranceSeconds match {
+      case Some(t) =>
+        col("_rts").isNotNull &&
+          (unix_timestamp(col("_ord")) - unix_timestamp(col("_rts"))) <= t
+      case None => col("_rts").isNotNull
+    }
+    carried
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        ((rightTs, "_rts") +: rightVals.map(c => (c, s"_rv_$c"))).map {
+          case (out, in) =>
+            when(inTol, col(in)).otherwise(lit(null)).as(s"matched_$out")
+        }: _*)
+  }
+}

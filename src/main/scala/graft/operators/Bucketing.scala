@@ -26,4 +26,29 @@ object Bucketing {
     * the assertion that bucketing actually short-circuited the shuffle. */
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange")
+
+  /** Like [[isShuffleFree]] but tolerant of BroadcastExchange: broadcast
+    * dim joins ship the dim to every executor (O(dims), intended), while
+    * a shuffle exchange repartitions the fact table (O(data), the thing
+    * bucketing exists to eliminate). */
+  def isShuffleExchangeFree(df: DataFrame): Boolean = {
+    val p = df.queryExecution.executedPlan.toString
+    !p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning") &&
+      !p.contains("Exchange SinglePartition")
+  }
+
+  /** Materialize the star-schema fact tables co-bucketed on the order
+    * key: `lineitem ⋈ orders` is the report base's only non-broadcast
+    * join, so after this one-time layout the whole report build runs
+    * with ZERO fact-side shuffles (see BucketingSpec). At 100 TB this is
+    * the difference between re-shuffling ~70 TB of lineitem per report
+    * run and a per-bucket local merge. */
+  def writeStarLayout(lineitem: DataFrame, orders: DataFrame,
+                      numBuckets: Int,
+                      lineitemTable: String = "bkt_lineitem",
+                      ordersTable: String = "bkt_orders"): Unit = {
+    writeBucketed(lineitem, lineitemTable, "l_orderkey", numBuckets)
+    writeBucketed(orders, ordersTable, "o_orderkey", numBuckets)
+  }
 }

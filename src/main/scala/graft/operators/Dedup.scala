@@ -241,14 +241,26 @@ object Dedup {
     * in O(log diameter) rounds rather than O(diameter). Ten rounds cover
     * chains of length ~2^10; if the changed-count is still positive at
     * `maxIter` the labels are NOT a fixpoint and this throws rather than
-    * silently returning a wrong clustering. Labels persist per round
-    * (same two-pass determinism barrier as [[graft.operators.Ids]]);
-    * the changed-count check stops early. */
+    * silently returning a wrong clustering.
+    *
+    * Lineage discipline (the scale-critical part): every round ends in an
+    * EAGER `localCheckpoint`, not a mere persist. With persist alone the
+    * logical plan still contains the whole upstream candidate-generation
+    * graph (for LSH-sourced pairs, a ~1 MiB serialized plan) plus every
+    * prior round, so driver-side analysis/planning grows per round and
+    * dominates the tiny per-round shuffles — measured 125 s for a
+    * few-hundred-edge graph at sf0.1, vs seconds with truncation. The
+    * checkpoint also freezes the round's labels, giving the same
+    * two-pass determinism barrier as [[graft.operators.Ids]]. On a
+    * multi-executor cluster prefer `sc.setCheckpointDir` + reliable
+    * `.checkpoint()` for fault tolerance; `localCheckpoint` trades that
+    * for speed, which is the right call for an iterative loop whose
+    * restart cost is one rerun. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // Iterate ONLY over the pair graph's vertices: a node with no edge
     // can never change its label, so singletons (the overwhelming
     // majority of a deduped corpus) stay out of every join and are
@@ -256,7 +268,7 @@ object Dedup {
     // O(edges), not O(corpus).
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -264,10 +276,13 @@ object Dedup {
         .join(labels.select(col("id").as("_nid"), col("comp").as("_ncomp")),
           col("dst") === col("_nid"))
         .groupBy(col("src")).agg(min(col("_ncomp")).as("_nmin"))
+      // checkpoint before the self-join below: propagated is read twice
+      // (as both sides), and truncating here keeps the round's plan flat
       val propagated = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"), col("comp").as("_old"),
           least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
       // pointer doubling: jump each label to its label's label. comp is
       // always a real node id (labels start as ids and only copy ids),
       // so the self-join always matches and comp only decreases.
@@ -276,13 +291,11 @@ object Dedup {
           .alias("r"), col("l.comp") === col("_cid"), "left")
         .select(col("l.id").as("id"), col("_old"),
           least(col("l.comp"), coalesce(col("_ccomp"), col("l.comp"))).as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       changed = updated.filter(col("comp") =!= col("_old")).count()
-      labels.unpersist()
       labels = updated.select(col("id"), col("comp"))
       i += 1
     }
-    edges.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +

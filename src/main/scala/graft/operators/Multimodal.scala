@@ -50,17 +50,18 @@ object Multimodal {
     }
   }
 
-  /** Batch decode: one codec context per partition, streamed rows —
-    * the shape a vectorized (Arrow/pandas-batch) decoder needs. Output is
-    * a typed Dataset so downstream stays columnar. */
-  def decodeBatched(media: DataFrame): Dataset[DecodedMeta] = {
+  /** Batch decode through [[BatchOps.mapBatchesWithSetup]]: one codec
+    * context per partition (setup), rows handed to it in bounded batches
+    * — the `mapInPandas` contract, JVM-native. Output is a typed Dataset
+    * so downstream stays columnar. */
+  def decodeBatched(media: DataFrame, batchSize: Int = 1024): Dataset[DecodedMeta] = {
     implicit val enc = Encoders.product[DecodedMeta]
-    media.select(col("media_id"), col("content"))
-      .mapPartitions { rows =>
-        // real codec: init once per partition here (decoder handles are
-        // expensive); the iterator keeps the pipeline streaming/spillable
-        rows.map(r => FakeCodec.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
-      }
+    BatchOps.mapBatchesWithSetup(
+        media.select(col("media_id"), col("content")), batchSize)(
+        // real deployment: open the decoder handle here, once per task
+        () => FakeCodec) { (codec, batch) =>
+      batch.map(r => codec.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }
   }
 
   /** Frame-sample stub: pick every `stride`-th frame index from the fake

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // quotes per symbol; trades probe them
+  private def quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 100.0),
+    ("A", ts("2024-01-01 10:00:10"), 101.0),
+    ("A", ts("2024-01-01 10:00:20"), 102.0),
+    ("B", ts("2024-01-01 10:00:05"), 50.0)
+  ).toDF("sym", "qts", "px")
+
+  private def trades = Seq(
+    (1L, "A", ts("2024-01-01 10:00:15")), // between quotes 2 and 3 -> 101.0
+    (2L, "A", ts("2024-01-01 10:00:10")), // exactly on quote 2 -> inclusive
+    (3L, "A", ts("2024-01-01 09:59:59")), // before any quote -> null
+    (4L, "B", ts("2024-01-01 10:01:00")), // only B quote -> 50.0
+    (5L, "C", ts("2024-01-01 10:00:00"))  // no quotes for key -> null
+  ).toDF("trade_id", "sym", "tts")
+
+  test("backward picks latest right row at-or-before each left row") {
+    val out = AsofJoin.backward(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"))
+      .select($"trade_id", $"matched_px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(
+      1L -> Some(101.0), 2L -> Some(101.0), 3L -> None,
+      4L -> Some(50.0), 5L -> None))
+  }
+
+  test("all left rows preserved (left-outer), left columns untouched") {
+    val out = AsofJoin.backward(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"))
+    assert(out.count() == 5)
+    assert(out.columns.toSeq ==
+      Seq("trade_id", "sym", "tts", "matched_qts", "matched_px"))
+  }
+
+  test("tolerance nulls out matches older than the window") {
+    // trade 4 is 55 s after B's only quote — a 30 s tolerance rejects it,
+    // while trade 1 (5 s gap) survives
+    val out = AsofJoin.backward(trades, quotes, Seq("sym"), "tts", "qts",
+        Seq("px"), toleranceSeconds = Some(30L))
+      .select($"trade_id", $"matched_px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(4L).isEmpty)
+    assert(out(1L).contains(101.0))
+    assert(out(2L).contains(101.0))
+  }
+
+  test("matches the naive range-join argmax formulation") {
+    val naive = trades.as("t")
+      .join(quotes.as("q"), $"t.sym" === $"q.sym" && $"q.qts" <= $"t.tts", "left")
+      .groupBy($"trade_id")
+      .agg(max(struct($"qts", $"px")).as("m"))
+      .select($"trade_id", $"m.px".as("px"))
+      .as[(Long, Option[Double])].collect().toMap
+    val fast = AsofJoin.backward(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"))
+      .select($"trade_id", $"matched_px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(fast == naive)
+  }
+
+  test("single window plan: no join, one shuffle exchange") {
+    val out = AsofJoin.backward(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of should not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
+  }
+}

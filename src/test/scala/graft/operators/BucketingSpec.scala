@@ -37,6 +37,41 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("report base over co-bucketed fact tables runs with zero shuffles") {
+    val lineitem = (1L to 300L).flatMap(o => (1 to 2).map(ln =>
+      (o, ln, 5.0, 100.0 + o, 0.05))).toDF(
+      "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+    val orders = (1L to 300L).map(o =>
+      (o, o % 20, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), "O"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus")
+    val customer = (0L to 19L).map(c => (c, c % 5)).toDF("c_custkey", "c_nationkey")
+    val nation = (0L to 4L).map(n => (n, s"N$n", n % 2)).toDF(
+      "n_nationkey", "n_name", "n_regionkey")
+    val region = (0L to 1L).map(r => (r, s"R$r")).toDF("r_regionkey", "r_name")
+
+    Bucketing.writeStarLayout(lineitem, orders, numBuckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val base = Reports.reportBase(spark.table("bkt_lineitem"),
+        spark.table("bkt_orders"), customer, nation, region)
+      assert(Bucketing.isShuffleExchangeFree(base),
+        base.queryExecution.executedPlan.toString)
+      // identical rows to the unbucketed build
+      val plain = Reports.reportBase(lineitem, orders, customer, nation, region)
+      assert(base.count() == plain.count())
+      // double sums are addition-order-dependent across plan shapes;
+      // compare with a relative tolerance (exact paths use DECIMAL)
+      val br = base.agg(sum($"revenue")).first().getDouble(0)
+      val pr = plain.agg(sum($"revenue")).first().getDouble(0)
+      assert(math.abs(br - pr) <= math.abs(pr) * 1e-12)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    }
+  }
+
   test("bucketed group-by on the bucket key is also shuffle-free") {
     val df = (1L to 500L).map(k => (k % 50, k)).toDF("k", "v")
     Bucketing.writeBucketed(df, "bkt_agg", "k", 4)

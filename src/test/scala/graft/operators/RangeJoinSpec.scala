@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("windowBefore matches the naive range-join on random-ish data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 120).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong,
+        ts(f"2024-01-${1 + rnd.nextInt(27)}%02d ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"))
+    }.toDF("lid", "k", "lts")
+    val right = (1 to 150).map { i =>
+      (rnd.nextInt(5).toLong,
+        ts(f"2024-01-${1 + rnd.nextInt(27)}%02d ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+        i.toDouble)
+    }.toDF("k", "rts", "v")
+    val w = 6L * 3600
+    val fast = RangeJoin.windowBefore(left, right, Seq("k"), "lts", "rts",
+        Seq("v"), w)
+      .select($"lid", $"w_v").as[(Long, Double)].collect().sorted
+    val naive = left.join(right, Seq("k"))
+      .filter($"rts" >= $"lts" - expr(s"INTERVAL $w SECOND") && $"rts" < $"lts")
+      .select($"lid", $"v").as[(Long, Double)].collect().sorted
+    assert(fast.toSeq == naive.toSeq)
+    assert(naive.nonEmpty) // the fixture actually exercises matches
+  }
+
+  test("window is half-open: [lts - w, lts)") {
+    val left = Seq((1L, 1L, ts("2024-01-01 12:00:00"))).toDF("lid", "k", "lts")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), "at_lower"),   // == lts - w -> in
+      (1L, ts("2024-01-01 12:00:00"), "at_upper"),   // == lts -> out
+      (1L, ts("2024-01-01 10:59:59"), "below"),      // out
+      (1L, ts("2024-01-01 11:30:00"), "inside")      // in
+    ).toDF("k", "rts", "tag")
+    val got = RangeJoin.windowBefore(left, right, Seq("k"), "lts", "rts",
+        Seq("tag"), 3600L)
+      .select($"w_tag").as[String].collect().sorted
+    assert(got.toSeq == Seq("at_lower", "inside"))
+  }
+
+  test("bucket replication introduces no duplicate pairs") {
+    // right rows straddling two buckets relative to the left row
+    val left = Seq((1L, 9L, ts("2024-01-01 00:59:00"))).toDF("lid", "k", "lts")
+    val right = (0 until 60).map(m =>
+      (9L, ts(f"2024-01-01 00:$m%02d:00"), m.toDouble)).toDF("k", "rts", "v")
+    val out = RangeJoin.windowBefore(left, right, Seq("k"), "lts", "rts",
+      Seq("v"), 1800L)
+    assert(out.count() == out.distinct().count())
+    assert(out.count() == 30) // minutes 29..58
+  }
+}
