@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(spark)
     // warm scan paths + JIT once so the first measured query isn't
     // charged for session warmup (parquet footers, codegen compiler)
     Tables.all.foreach { t =>

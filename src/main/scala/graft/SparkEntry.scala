@@ -239,6 +239,30 @@ object SparkEntry {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    "a10_distinct_salted" -> ((s, dir) => {
+      // two-phase skew-bounded distinct: value-hash salt splits each
+      // group's distinct-state across buckets (phase 1), partial counts
+      // sum exactly (phase 2) — no single reducer holds a hot group's
+      // whole distinct set
+      Salting.saltedDistinctCount(t(s, dir, "events"),
+          Seq("event_type"), "user_id", saltBuckets = 8)
+        .orderBy(col("event_type"))
+    }),
+
+    "j8_salted_join" -> ((s, dir) => {
+      // hot-key-proof join: salt spreads each order key over 4 buckets,
+      // the small side replicates 4×; result identical to the plain join
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      Salting.saltedJoin(l, o, Seq("l_orderkey"), saltBuckets = 4)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("total"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q1_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -836,6 +860,17 @@ object SparkEntry {
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "a10_distinct_salted" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "j8_salted_join" ->
+      """SELECT o_orderstatus,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+                count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey,

@@ -37,6 +37,22 @@ object Ingest {
       .schema(PriceIndex.rawSchema)
       .csv(path)
 
+  /** JSON-lines scan with the same corrupt-row protocol as the CSV path
+    * (the reference's R1 source is a JSON dataset fetched over HTTP;
+    * S1 lands it, this reads it distributed). Schema is REQUIRED — at
+    * scale, schema inference is a full extra pass over the data. The
+    * result feeds the same [[reconcile]] step as the CSV scan. */
+  def readJsonLines(spark: SparkSession, path: String,
+                    schemaDDL: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)
+      .add(PriceIndex.corruptCol, org.apache.spark.sql.types.StringType)
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", PriceIndex.corruptCol)
+      .schema(schema)
+      .json(path)
+  }
+
   final case class Reconciled(clean: DataFrame, totalRows: Long,
                               corruptRows: Long, ok: Boolean)
 

@@ -1,0 +1,90 @@
+package graft.plans
+
+import java.time.LocalDateTime
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Catalyst optimizer rule: rewrite `year(col) = Y` into the half-open
+  * range `col >= 'Y-01-01' AND col < 'Y+1-01-01'`.
+  *
+  * Why it matters at scale: a function-wrapped column (`year(ts) = 1996`)
+  * cannot be pushed to the parquet scan — every row group is read and the
+  * predicate evaluated per row. The equivalent range predicate on the
+  * bare column pushes down (`PushedFilters: [GreaterThanOrEqual(...),
+  * LessThan(...)]`), enabling min/max row-group skipping and partition
+  * pruning — on a date-partitioned 100 TB fact table this is the
+  * difference between scanning one year and scanning everything.
+  * `Reports.priceByPeriodGeoCategory` applies this rewrite by hand; the
+  * rule does it for every query in the session, including ad-hoc SQL.
+  *
+  * Semantics are identical, including nulls (`year(null) = Y` is null;
+  * a range comparison on null is null) and the ±290-million-year range
+  * of representable timestamps (no overflow at any Int year the analyzer
+  * accepts). Only equality is rewritten: `year(a) <op> Y` for
+  * inequalities is equally expressible but equality is the shape the
+  * reference emits (its report procedures filter one year at a time).
+  *
+  * Install on an existing session (no restart):
+  * {{{ spark.experimental.extraOptimizations ++= Seq(YearPredicateRewrite) }}}
+  * or session-wide via config:
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object YearPredicateRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case eq @ EqualTo(Year(child), Literal(y: Int, IntegerType)) =>
+        rangeFor(child, y).getOrElse(eq)
+      case eq @ EqualTo(Literal(y: Int, IntegerType), Year(child)) =>
+        rangeFor(child, y).getOrElse(eq)
+    }
+
+  /** Build `base >= start && base < end` for the year, unwrapping the
+    * implicit timestamp→date cast the analyzer inserts under `year()` so
+    * the comparison lands on the raw scan column. TIMESTAMP_NTZ and DATE
+    * only: a zoned TIMESTAMP's year depends on the session timezone, and
+    * a rule must not bake one zone's boundary in. */
+  private def rangeFor(child: Expression, y: Int): Option[Expression] = {
+    val (base, loLit, hiLit) = child match {
+      case Cast(ts, DateType, _, _) if ts.dataType == TimestampNTZType =>
+        (ts, ntzLiteral(y), ntzLiteral(y + 1))
+      case d if d.dataType == DateType =>
+        (d, dateLiteral(y), dateLiteral(y + 1))
+      case _ => return None
+    }
+    Some(And(GreaterThanOrEqual(base, loLit), LessThan(base, hiLit)))
+  }
+
+  private def ntzLiteral(year: Int): Literal = {
+    val micros = LocalDateTime.of(year, 1, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+    Literal(micros, TimestampNTZType)
+  }
+
+  private def dateLiteral(year: Int): Literal = {
+    val days = ChronoUnit.DAYS.between(
+      java.time.LocalDate.ofEpochDay(0), java.time.LocalDate.of(year, 1, 1))
+    Literal(days.toInt, DateType)
+  }
+}
+
+/** `spark.sql.extensions` entry point registering the engine's Catalyst
+  * rules on session build. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => YearPredicateRewrite)
+}
+
+/** Convenience installer for an already-running session. */
+object GraftExtensions {
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(YearPredicateRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ YearPredicateRewrite
+}

@@ -63,6 +63,33 @@ object EventStreams {
       .drop(col(s"r.$key"))
   }
 
+  /** Stream-static enrichment: left-join each streaming row to the
+    * latest version of a slowly-changing dimension row (point-in-NOW
+    * lookup — the streaming sibling of [[graft.operators.AsofJoin]]).
+    * The dim is first reduced to one row per key (greatest `versionTs`
+    * wins) and broadcast: the stream side never shuffles, so enrichment
+    * adds zero stage boundaries to the streaming query. The static
+    * plan is re-executed per micro-batch by Structured Streaming, so a
+    * dim backed by a transactional table picks up updates between
+    * batches without restarting the stream.
+    *
+    * Scale: broadcast is right for dimension-sized tables (the
+    * reference's geo/category lookups). For a fact-sized enrichment
+    * source, land it as a watermarked stream and use [[intervalJoin]]
+    * instead — a static join that big would re-shuffle per batch. */
+  def enrichLatest(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+                   versionTs: Option[String] = None): DataFrame = {
+    val latest = versionTs match {
+      case Some(ts) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(ts).desc)
+        dim.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn", ts)
+      case None => dim
+    }
+    stream.join(broadcast(latest), keys, "left")
+  }
+
   /** Session windows: rows gapped less than `gap` apart merge into one
     * session per user (`session_window` — works batch and streaming). */
   def sessionize(events: DataFrame, tsCol: String, gap: String,

@@ -65,6 +65,30 @@ class AsofJoinSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("property: equals naive argmax formulation across random seeds") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 77L)
+      // distinct right timestamps per key (as-of contract: callers
+      // pre-dedupe ties), overlapping left timestamps allowed
+      def randTs(n: Int) = ts(f"2024-03-${1 + n % 25}%02d ${n % 24}%02d:00:00")
+      val left = (1 to 60).map(i => (i.toLong, rnd.nextInt(4).toLong,
+        randTs(rnd.nextInt(600)))).toDF("lid", "k", "lts")
+      val right = rnd.shuffle((0 until 600).toList).take(60).zipWithIndex
+        .map { case (n, i) => (n % 4L, randTs(n), i.toDouble) }
+        .distinctBy(r => (r._1, r._2))
+        .toDF("k", "rts", "v")
+      val fast = AsofJoin.backward(left, right, Seq("k"), "lts", "rts", Seq("v"))
+        .select($"lid", $"matched_v").as[(Long, Option[Double])]
+        .collect().toMap
+      val naive = left.as("t")
+        .join(right.as("q"), $"t.k" === $"q.k" && $"q.rts" <= $"t.lts", "left")
+        .groupBy($"lid").agg(max(struct($"rts", $"v")).as("m"))
+        .select($"lid", $"m.v".as("v")).as[(Long, Option[Double])]
+        .collect().toMap
+      assert(fast == naive, s"seed=$seed")
+    }
+  }
+
   test("single window plan: no join, one shuffle exchange") {
     val out = AsofJoin.backward(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"))
     val plan = out.queryExecution.executedPlan.toString

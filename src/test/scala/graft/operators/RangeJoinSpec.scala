@@ -44,6 +44,28 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.toSeq == Seq("at_lower", "inside"))
   }
 
+  test("property: equals naive range join across random seeds/windows") {
+    // manual seeded randomness (scalatestplus not resolvable offline);
+    // duplicate timestamps per key are generated on purpose
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 1000L)
+      val w = Seq(900L, 3600L, 43200L)(seed % 3)
+      def randTs() = ts(f"2024-02-${1 + rnd.nextInt(10)}%02d " +
+        f"${rnd.nextInt(24)}%02d:${Seq(0, 15, 30, 45)(rnd.nextInt(4))}%02d:00")
+      val left = (1 to 80).map(i => (i.toLong, rnd.nextInt(3).toLong, randTs()))
+        .toDF("lid", "k", "lts")
+      val right = (1 to 80).map(i => (rnd.nextInt(3).toLong, randTs(), i.toDouble))
+        .toDF("k", "rts", "v")
+      val fast = RangeJoin.windowBefore(left, right, Seq("k"), "lts", "rts",
+          Seq("v"), w)
+        .select($"lid", $"w_v").as[(Long, Double)].collect().sorted
+      val naive = left.join(right, Seq("k"))
+        .filter($"rts" >= $"lts" - expr(s"INTERVAL $w SECOND") && $"rts" < $"lts")
+        .select($"lid", $"v").as[(Long, Double)].collect().sorted
+      assert(fast.toSeq == naive.toSeq, s"seed=$seed w=$w")
+    }
+  }
+
   test("bucket replication introduces no duplicate pairs") {
     // right rows straddling two buckets relative to the left row
     val left = Seq((1L, 9L, ts("2024-01-01 00:59:00"))).toDF("lid", "k", "lts")

@@ -26,6 +26,26 @@ class IngestPipelineSpec extends SparkSpec {
     f.toString
   }
 
+  test("readJsonLines: schema-first scan, corrupt rows accounted not fatal") {
+    val in = tmpDir("graft_json")
+    val f = in.resolve("events.jsonl")
+    Files.writeString(f, Seq(
+      """{"id": 1, "name": "a", "v": 1.5}""",
+      """{"id": 2, "name": "b", "v": 2.5}""",
+      """this is not json at all""",
+      """{"id": 4, "name": "d", "v": 4.5}"""
+    ).mkString("\n"))
+    val raw = Ingest.readJsonLines(spark, f.toString,
+      "id BIGINT, name STRING, v DOUBLE")
+    val rec = Ingest.reconcile(raw, maxErrors = 5)
+    assert(rec.totalRows == 4 && rec.corruptRows == 1 && rec.ok)
+    assert(rec.clean.select(sum($"id")).first().getLong(0) == 7)
+    val strict = Ingest.reconcile(
+      Ingest.readJsonLines(spark, f.toString, "id BIGINT, name STRING, v DOUBLE"),
+      maxErrors = 0)
+    assert(!strict.ok)
+  }
+
   test("EP1: load -> merge -> report -> archive, with idempotent replay") {
     val in = tmpDir("graft_in"); val wh = tmpDir("graft_wh")
     val p = new IngestPipeline(spark, wh.toString)

@@ -1,0 +1,68 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class YearPredicateRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val parquetDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_year").toString
+    // TIMESTAMP_NTZ like the engine's tables (parquet isAdjustedToUTC=
+    // false); a zoned TIMESTAMP column takes the cast-to-date rewrite
+    // branch, which cannot push
+    Seq(
+      (1L, ts("1995-12-31 23:59:59")),
+      (2L, ts("1996-01-01 00:00:00")),
+      (3L, ts("1996-07-15 12:00:00")),
+      (4L, ts("1997-01-01 00:00:00"))
+    ).toDF("id", "t")
+      .select($"id", $"t".cast("timestamp_ntz").as("t"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("year(ts)=Y rewrites to a pushed-down half-open range") {
+    GraftExtensions.install(spark)
+    val df = spark.read.parquet(parquetDir).filter(year($"t") === 1996)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(t,") && plan.contains("LessThan(t,"),
+      s"range not pushed to scan:\n$plan")
+    assert(df.select($"id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("without the rule the filter stays unpushed (control)") {
+    // fresh check on a plan built with the rule removed
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      before.filterNot(_ == YearPredicateRewrite)
+    try {
+      val df = spark.read.parquet(parquetDir).filter(year($"t") === 1996)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("GreaterThanOrEqual(t,"))
+      assert(df.select($"id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("reversed literal-first form and DATE columns also rewrite") {
+    GraftExtensions.install(spark)
+    val dates = Seq((1L, java.sql.Date.valueOf("1996-03-01")),
+      (2L, java.sql.Date.valueOf("1997-03-01"))).toDF("id", "d")
+    val out = dates.filter(lit(1996) === year($"d"))
+      .select($"id").as[Long].collect()
+    assert(out.toSeq == Seq(1L))
+    val plan = dates.filter(lit(1996) === year($"d"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("year("), s"year() survived rewrite:\n$plan")
+  }
+
+  test("null timestamps stay excluded (null semantics preserved)") {
+    GraftExtensions.install(spark)
+    val df = Seq((1L, Some(ts("1996-05-05 00:00:00"))), (2L, None))
+      .toDF("id", "t")
+    assert(df.filter(year($"t") === 1996).select($"id").as[Long].collect()
+      .toSeq == Seq(1L))
+  }
+}

@@ -56,17 +56,45 @@ class EventStreamsSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
     val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
-    val q = EventStreams.dedupWithinWatermark(df, Seq("user_id", "event_type"),
-        "ts", "10 minutes")
-      .writeStream.format("memory").queryName("dedup")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // enqueue BEFORE start: AvailableNow snapshots the available offsets
+    // at query start — data added after is racy in an isolated run
     mem.addData(
       (ts("2026-01-01 10:00:00"), 1L, "click", 1.0),
       (ts("2026-01-01 10:00:30"), 1L, "click", 99.0), // duplicate key
       (ts("2026-01-01 10:00:40"), 2L, "view", 2.0))
+    val q = EventStreams.dedupWithinWatermark(df, Seq("user_id", "event_type"),
+        "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
     val rows = spark.table("dedup").collect()
     assert(rows.length == 2)
+  }
+
+  test("enrichLatest joins a stream to the latest dim version, broadcast") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val stream = mem.toDF().toDF("ts", "user_id", "value")
+    // two versions per user; version 2 must win
+    val dim = Seq(
+      (1L, "bronze", ts("2026-01-01 00:00:00")),
+      (1L, "gold", ts("2026-01-02 00:00:00")),
+      (2L, "silver", ts("2026-01-01 00:00:00"))
+    ).toDF("user_id", "tier", "updated")
+    val enriched = EventStreams.enrichLatest(stream, dim, Seq("user_id"),
+      versionTs = Some("updated"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2026-01-01 10:00:00"), 1L, 5.0),
+      (ts("2026-01-01 10:01:00"), 2L, 6.0),
+      (ts("2026-01-01 10:02:00"), 3L, 7.0)) // no dim row -> null tier
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched")
+      .select($"user_id", $"tier").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
   }
 
   test("intervalJoin pairs streams within the event-time window only") {
