@@ -509,6 +509,36 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    "a11_cube" -> ((s, dir) => {
+      // cube: all 4 grouping-set combinations in one Expand pass
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    "st4_window_agg" -> ((s, dir) => {
+      // batch-checkable form of EventStreams.windowedAgg: tumbling
+      // 1-hour event-time windows (same code path a readStream takes)
+      graft.streaming.EventStreams.windowedAgg(
+          t(s, dir, "events"), "ts", "1 hour", watermark = "0 seconds")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("n"),
+          round(col("total").cast("double"), 6).as("total"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    "w3_topk_per_group" -> ((s, dir) => {
+      // custom typed Aggregator: bounded k-element partial state per
+      // (task, group) — the shuffle carries k rows per group per map
+      // task, not whole groups (vs the window formulation's full sort)
+      GroupTopK.topKPerGroup(t(s, dir, "events"),
+          Seq("event_type"), "value", "event_id", k = 3)
+        .orderBy(col("event_type"), col("value").desc, col("event_id").desc)
+    }),
+
     // ── §2.9 streaming semantics (batch-checkable form) ─────────────
     "st3_dedup_window" -> ((s, dir) => {
       // event-time duplicate suppression: latest row per key wins
@@ -1041,6 +1071,29 @@ object SparkEntry {
            ON p.user_id = c.user_id
           AND c.ts >= p.ts - INTERVAL 7 DAY AND c.ts < p.ts
          ORDER BY p.event_id, cts, cvalue""",
+
+    "a11_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "st4_window_agg" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+                     FROM events)
+         SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                  '%Y-%m-%d %H:%M:%S') AS ws,
+                event_type, count(*) AS n,
+                round(sum(value), 6) AS total
+         FROM ev GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "w3_topk_per_group" ->
+      """SELECT event_type, value, event_id FROM events
+         QUALIFY row_number() OVER (PARTITION BY event_type
+           ORDER BY value DESC, event_id DESC) <= 3
+         ORDER BY event_type, value DESC, event_id DESC""",
 
     "st3_dedup_window" ->
       """SELECT user_id, event_type, event_id FROM events
