@@ -519,6 +519,20 @@ object SparkEntry {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    "a12_percentiles" -> ((s, dir) => {
+      // exact interpolated percentiles (median, p95) per group. The
+      // approximate path (approx_percentile/HLL sketches) is spec-checked
+      // against exact values instead — sketch internals differ across
+      // engines, so no cross-engine hash can exist (see AggSketchSpec).
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     "st4_window_agg" -> ((s, dir) => {
       // batch-checkable form of EventStreams.windowedAgg: tumbling
       // 1-hour event-time windows (same code path a readStream takes)
@@ -1079,6 +1093,13 @@ object SparkEntry {
          FROM lineitem
          GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "a12_percentiles" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.95), 6) AS p95,
+                count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "st4_window_agg" ->
       """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
