@@ -48,12 +48,19 @@ object AsofJoin {
     val tsType = right.schema(rightTs).dataType
     def rvType(c: String) = right.schema(c).dataType
 
+    // ANSI join semantics: a NULL key matches nothing. The window
+    // formulation would otherwise group null-keyed rows together (SQL
+    // window partitioning treats NULLs as one partition) — dropping
+    // null-keyed right rows restores "no match" for them and for any
+    // null-keyed left row (which then finds no carried value).
+    val right0 = keys.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+
     val lSide = left.select(
       leftCols.map(col) ++ Seq(
         lit(1).as("_side"), col(leftTs).as("_ord"),
         lit(null).cast(tsType).as("_rts")) ++
         rightVals.map(c => lit(null).cast(rvType(c)).as(s"_rv_$c")): _*)
-    val rSide = right.select(
+    val rSide = right0.select(
       keys.map(col) ++
         leftCols.filterNot(keys.contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++

@@ -65,6 +65,19 @@ class AsofJoinSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("null keys never match (ANSI join semantics)") {
+    val l = Seq((1L, Option(9L), ts("2024-01-01 12:00:00")),
+      (2L, Option.empty[Long], ts("2024-01-01 12:00:00")))
+      .toDF("lid", "k", "lts")
+    val r = Seq((Option(9L), ts("2024-01-01 11:00:00"), 1.0),
+      (Option.empty[Long], ts("2024-01-01 11:30:00"), 2.0))
+      .toDF("k", "rts", "v")
+    val out = AsofJoin.backward(l, r, Seq("k"), "lts", "rts", Seq("v"))
+      .select($"lid", $"matched_v").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> None))
+  }
+
   test("property: equals naive argmax formulation across random seeds") {
     for (seed <- 1 to 4) {
       val rnd = new scala.util.Random(seed * 77L)
