@@ -89,4 +89,53 @@ object AsofJoin {
             when(inTol, col(in)).otherwise(lit(null)).as(s"matched_$out")
         }: _*)
   }
+
+  /** Forward as-of join: earliest right row with `rightTs >= leftTs`
+    * ("next quote after the trade"). Same union-sort skeleton as
+    * [[backward]] mirrored: right rows sort AFTER left rows at equal
+    * timestamps (inclusive match) and `first(..., ignoreNulls)` over
+    * `currentRow → unboundedFollowing` carries the next right values
+    * backward onto each left row. One shuffle, identical scale posture. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, rightVals: Seq[String],
+              toleranceSeconds: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    def rvType(c: String) = right.schema(c).dataType
+    val tsType = right.schema(rightTs).dataType
+    val right0 = keys.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+
+    val lSide = left.select(
+      leftCols.map(col) ++ Seq(
+        lit(0).as("_side"), col(leftTs).as("_ord"),
+        lit(null).cast(tsType).as("_rts")) ++
+        rightVals.map(c => lit(null).cast(rvType(c)).as(s"_rv_$c")): _*)
+    val rSide = right0.select(
+      keys.map(col) ++
+        leftCols.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(lit(1).as("_side"), col(rightTs).as("_ord"),
+          col(rightTs).as("_rts")) ++
+        rightVals.map(c => col(c).as(s"_rv_$c")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ord").asc, col("_side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = ("_rts" +: rightVals.map(c => s"_rv_$c"))
+      .foldLeft(lSide.unionByName(rSide))((df, c) =>
+        df.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+
+    val inTol: Column = toleranceSeconds match {
+      case Some(t) =>
+        col("_rts").isNotNull &&
+          (unix_timestamp(col("_rts")) - unix_timestamp(col("_ord"))) <= t
+      case None => col("_rts").isNotNull
+    }
+    carried
+      .filter(col("_side") === 0)
+      .select(leftCols.map(col) ++
+        ((rightTs, "_rts") +: rightVals.map(c => (c, s"_rv_$c"))).map {
+          case (out, in) =>
+            when(inTol, col(in)).otherwise(lit(null)).as(s"matched_$out")
+        }: _*)
+  }
 }

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   * by design (top-k, not top-k-million), so insertion cost k·log k per
   * batch is noise next to shuffle savings; the merge is a k-bounded
   * sorted merge.
+  *
+  * Reference context: the reference has no top-k (its scalar fetches are
+  * `cur.fetchone()` first-row reads, `2.2 loading-lambda-for-mysql.py:
+  * 776-793` — our O2); this operator is part of the LLM-pipeline
+  * extension surface (per-group best-k sampling/selection).
   */
 object GroupTopK {
 

@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   * range-join strategy (Databricks range-join hints, GeoSpark
   * partitioning) expressed with stock operators — no custom strategy
   * needed because the bin arithmetic IS the partitioning.
+  *
+  * Reference behavior coverage: the freshness-window membership test —
+  * "pending files are those modified within the last N minutes"
+  * (`2.2 loading-lambda-for-mysql.py:596-611`) — is this join's
+  * predicate shape applied per work item; the reference evaluates it
+  * row-at-a-time in Python, here it is a set-at-a-time join.
   */
 object RangeJoin {
 

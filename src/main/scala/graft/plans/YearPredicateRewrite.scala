@@ -22,6 +22,10 @@ import org.apache.spark.sql.types._
   * difference between scanning one year and scanning everything.
   * `Reports.priceByPeriodGeoCategory` applies this rewrite by hand; the
   * rule does it for every query in the session, including ad-hoc SQL.
+  * The predicate shape comes from the reference's report procedure
+  * parameters — one year at a time (`year=1995`,
+  * `sp_reporting_1_price_by_year_month_geo_category`,
+  * `2.2 loading-lambda-for-mysql.py:416-447`).
   *
   * Semantics are identical, including nulls (`year(null) = Y` is null;
   * a range comparison on null is null) and the ±290-million-year range

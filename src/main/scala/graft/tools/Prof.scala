@@ -98,6 +98,14 @@ object Prof {
     time("connectedComponents on cached pairs")(
       println("labels=" + Dedup.connectedComponents(
         docs.select(col("doc_id").as("id")), pairs).count()))
+    // full x_dedup_cluster shape, cold (what the bench measures)
+    spark.catalog.clearCache()
+    time("x_dedup_cluster e2e cold") {
+      val p2 = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 32, 0.5)
+      println("cluster rows=" + Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), p2.select("id_a", "id_b"))
+        .orderBy(col("id")).count())
+    }
     time("simhashPairs e2e")(
       println("simpairs=" + Dedup.simhashPairs(docs, "doc_id", "text", 8).count()))
 

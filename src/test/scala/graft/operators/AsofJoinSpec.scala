@@ -65,6 +65,31 @@ class AsofJoinSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("forward picks earliest right row at-or-after each left row") {
+    val out = AsofJoin.forward(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"))
+      .select($"trade_id", $"matched_px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(
+      1L -> Some(102.0), // next after 10:00:15 is the 10:00:20 quote
+      2L -> Some(101.0), // equal timestamps match inclusively
+      3L -> Some(100.0), // before all quotes -> first one
+      4L -> None,        // after B's only quote
+      5L -> None))       // no quotes for key
+  }
+
+  test("forward matches the naive min-struct formulation") {
+    val naive = trades.as("t")
+      .join(quotes.as("q"), $"t.sym" === $"q.sym" && $"q.qts" >= $"t.tts", "left")
+      .groupBy($"trade_id")
+      .agg(min(struct($"qts", $"px")).as("m"))
+      .select($"trade_id", $"m.px".as("px"))
+      .as[(Long, Option[Double])].collect().toMap
+    val fast = AsofJoin.forward(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"))
+      .select($"trade_id", $"matched_px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(fast == naive)
+  }
+
   test("null keys never match (ANSI join semantics)") {
     val l = Seq((1L, Option(9L), ts("2024-01-01 12:00:00")),
       (2L, Option.empty[Long], ts("2024-01-01 12:00:00")))
