@@ -705,6 +705,17 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"), col("content_md5"),
           col("first_byte"))
         .orderBy(col("media_id"))
+    }),
+
+    "x_mm_decode" -> ((s, dir) => {
+      // batched stub decode through BatchOps (mapPartitions + bounded
+      // batches) — rows-only: the fake codec's content hash has no SQL
+      // equivalent, but the output is deterministic per payload
+      Multimodal.decodeBatched(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"),
+          batchSize = 256)
+        .toDF()
+        .orderBy(col("media_id"))
     }))
 
   /** Deterministic query vector: embedding of vec_id=0 (driver-side point
