@@ -43,10 +43,40 @@ object YearPredicateRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case eq @ EqualTo(Year(child), Literal(y: Int, IntegerType)) =>
-        rangeFor(child, y).getOrElse(eq)
-      case eq @ EqualTo(Literal(y: Int, IntegerType), Year(child)) =>
-        rangeFor(child, y).getOrElse(eq)
+      // equality: the full half-open year range
+      case e @ EqualTo(Year(c), Literal(y: Int, IntegerType)) =>
+        rangeFor(c, y).getOrElse(e)
+      case e @ EqualTo(Literal(y: Int, IntegerType), Year(c)) =>
+        rangeFor(c, y).getOrElse(e)
+      // inequalities: one range endpoint each. year(a) >= Y ⟺ a >= Y-01-01,
+      // year(a) > Y ⟺ a >= (Y+1)-01-01, and duals; literal-first forms
+      // flip the comparison.
+      case e @ GreaterThanOrEqual(Year(c), Literal(y: Int, IntegerType)) =>
+        boundFor(c, y, lower = true).getOrElse(e)
+      case e @ GreaterThan(Year(c), Literal(y: Int, IntegerType)) =>
+        boundFor(c, y + 1, lower = true).getOrElse(e)
+      case e @ LessThan(Year(c), Literal(y: Int, IntegerType)) =>
+        boundFor(c, y, lower = false).getOrElse(e)
+      case e @ LessThanOrEqual(Year(c), Literal(y: Int, IntegerType)) =>
+        boundFor(c, y + 1, lower = false).getOrElse(e)
+      case e @ GreaterThanOrEqual(Literal(y: Int, IntegerType), Year(c)) =>
+        boundFor(c, y + 1, lower = false).getOrElse(e) // year <= Y
+      case e @ GreaterThan(Literal(y: Int, IntegerType), Year(c)) =>
+        boundFor(c, y, lower = false).getOrElse(e) // year < Y
+      case e @ LessThan(Literal(y: Int, IntegerType), Year(c)) =>
+        boundFor(c, y + 1, lower = true).getOrElse(e) // year > Y
+      case e @ LessThanOrEqual(Literal(y: Int, IntegerType), Year(c)) =>
+        boundFor(c, y, lower = true).getOrElse(e) // year >= Y
+      // membership: OR of per-year ranges (each prunes independently;
+      // parquet pushes disjunctions of ranges)
+      case e @ In(Year(c), list)
+          if list.nonEmpty && list.forall {
+            case Literal(_: Int, IntegerType) => true; case _ => false
+          } =>
+        val ranges = list.collect { case Literal(y: Int, IntegerType) =>
+          rangeFor(c, y)
+        }
+        if (ranges.forall(_.isDefined)) ranges.flatten.reduce(Or) else e
     }
 
   /** Build `base >= start && base < end` for the year, unwrapping the
@@ -54,7 +84,12 @@ object YearPredicateRewrite extends Rule[LogicalPlan] {
     * the comparison lands on the raw scan column. TIMESTAMP_NTZ and DATE
     * only: a zoned TIMESTAMP's year depends on the session timezone, and
     * a rule must not bake one zone's boundary in. */
+  // years far outside the calendar range would overflow the literal
+  // constructors (and never appear in real predicates) — leave them alone
+  private def sane(y: Int): Boolean = y > -99999 && y < 99999
+
   private def rangeFor(child: Expression, y: Int): Option[Expression] = {
+    if (!sane(y)) return None
     val (base, loLit, hiLit) = child match {
       case Cast(ts, DateType, _, _) if ts.dataType == TimestampNTZType =>
         (ts, ntzLiteral(y), ntzLiteral(y + 1))
@@ -63,6 +98,21 @@ object YearPredicateRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
     Some(And(GreaterThanOrEqual(base, loLit), LessThan(base, hiLit)))
+  }
+
+  /** Single-sided year bound: `base >= Y-01-01` (lower) or
+    * `base < Y-01-01` (upper). */
+  private def boundFor(child: Expression, y: Int,
+                       lower: Boolean): Option[Expression] = {
+    if (!sane(y)) return None
+    val (base, lit) = child match {
+      case Cast(ts, DateType, _, _) if ts.dataType == TimestampNTZType =>
+        (ts, ntzLiteral(y))
+      case d if d.dataType == DateType =>
+        (d, dateLiteral(y))
+      case _ => return None
+    }
+    Some(if (lower) GreaterThanOrEqual(base, lit) else LessThan(base, lit))
   }
 
   private def ntzLiteral(year: Int): Literal = {

@@ -58,6 +58,32 @@ class YearPredicateRewriteSpec extends SparkSpec {
     assert(!plan.contains("year("), s"year() survived rewrite:\n$plan")
   }
 
+  test("inequality year predicates rewrite to single pushed bounds") {
+    GraftExtensions.install(spark)
+    val df = spark.read.parquet(parquetDir)
+    val cases: Seq[(org.apache.spark.sql.Column, Seq[Long])] = Seq(
+      (year($"t") >= 1996, Seq(2L, 3L, 4L)),
+      (year($"t") > 1996, Seq(4L)),
+      (year($"t") < 1996, Seq(1L)),
+      (year($"t") <= 1996, Seq(1L, 2L, 3L)),
+      (lit(1996) <= year($"t"), Seq(2L, 3L, 4L)),
+      (lit(1996) > year($"t"), Seq(1L)))
+    cases.foreach { case (pred, expected) =>
+      val got = df.filter(pred).select($"id").as[Long].collect().sorted
+      assert(got.toSeq == expected, s"predicate $pred")
+      val plan = df.filter(pred).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("year("), s"year() survived rewrite for $pred:\n$plan")
+    }
+  }
+
+  test("year IN (...) rewrites to a disjunction of ranges") {
+    GraftExtensions.install(spark)
+    val df = spark.read.parquet(parquetDir)
+    val q = df.filter(year($"t").isin(1995, 1997))
+    assert(q.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("year("))
+  }
+
   test("null timestamps stay excluded (null semantics preserved)") {
     GraftExtensions.install(spark)
     val df = Seq((1L, Some(ts("1996-05-05 00:00:00"))), (2L, None))
