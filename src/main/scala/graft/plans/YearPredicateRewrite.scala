@@ -10,8 +10,10 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
-/** Catalyst optimizer rule: rewrite `year(col) = Y` into the half-open
-  * range `col >= 'Y-01-01' AND col < 'Y+1-01-01'`.
+/** Catalyst optimizer rule: rewrite function-wrapped temporal predicates
+  * into pushable ranges on the bare column — `year(col) = Y` (plus the
+  * inequality and IN forms) into half-open year ranges, and
+  * `CAST(col AS DATE) = 'd'` into a one-day timestamp range.
   *
   * Why it matters at scale: a function-wrapped column (`year(ts) = 1996`)
   * cannot be pushed to the parquet scan — every row group is read and the
@@ -67,6 +69,14 @@ object YearPredicateRewrite extends Rule[LogicalPlan] {
         boundFor(c, y + 1, lower = true).getOrElse(e) // year > Y
       case e @ LessThanOrEqual(Literal(y: Int, IntegerType), Year(c)) =>
         boundFor(c, y, lower = true).getOrElse(e) // year >= Y
+      // day equality: `CAST(ts AS DATE) = 'd'` — the "one day of logs"
+      // shape — becomes a one-day timestamp range on the bare column
+      case e @ EqualTo(Cast(ts, DateType, _, _), Literal(d: Int, DateType))
+          if ts.dataType == TimestampNTZType && saneDay(d) =>
+        dayRange(ts, d)
+      case e @ EqualTo(Literal(d: Int, DateType), Cast(ts, DateType, _, _))
+          if ts.dataType == TimestampNTZType && saneDay(d) =>
+        dayRange(ts, d)
       // membership: OR of per-year ranges (each prunes independently;
       // parquet pushes disjunctions of ranges)
       case e @ In(Year(c), list)
@@ -113,6 +123,16 @@ object YearPredicateRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
     Some(if (lower) GreaterThanOrEqual(base, lit) else LessThan(base, lit))
+  }
+
+  // within the DATE type's calendar range (±~10k years of epoch): the
+  // day→micros conversion cannot overflow a Long
+  private def saneDay(d: Int): Boolean = math.abs(d) <= 3_650_000
+
+  private def dayRange(ts: Expression, epochDay: Int): Expression = {
+    val lo = epochDay * 86400000000L
+    And(GreaterThanOrEqual(ts, Literal(lo, TimestampNTZType)),
+      LessThan(ts, Literal(lo + 86400000000L, TimestampNTZType)))
   }
 
   private def ntzLiteral(year: Int): Literal = {

@@ -84,6 +84,16 @@ class YearPredicateRewriteSpec extends SparkSpec {
     assert(!q.queryExecution.optimizedPlan.toString.contains("year("))
   }
 
+  test("CAST(ts AS DATE) = 'd' rewrites to a pushed one-day range") {
+    GraftExtensions.install(spark)
+    val df = spark.read.parquet(parquetDir)
+    val q = df.filter($"t".cast("date") === lit("1996-01-01").cast("date"))
+    assert(q.select($"id").as[Long].collect().toSeq == Seq(2L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(t,") && plan.contains("LessThan(t,"),
+      s"day range not pushed:\n$plan")
+  }
+
   test("null timestamps stay excluded (null semantics preserved)") {
     GraftExtensions.install(spark)
     val df = Seq((1L, Some(ts("1996-05-05 00:00:00"))), (2L, None))
