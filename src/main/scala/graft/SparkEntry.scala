@@ -699,6 +699,17 @@ object SparkEntry {
     }),
 
     // ── LLM-pipeline extensions: multimodal columns ──────────────────
+    "x_sim_knn" -> ((s, dir) => {
+      // blocked kNN join: top-3 same-label neighbors per anchor. Anchors
+      // subsampled for output size; the filter is on the window's
+      // partition key, so rank-then-filter ≡ filter-then-rank.
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      Similarity.blockKnn(emb, "vec_id", "embedding", "label", k = 3)
+        .filter(col("id_a") % 50 === 0)
+        .orderBy(col("id_a"), col("score").desc, col("id_b"))
+    }),
+
     "x_mm_meta" -> ((s, dir) => {
       Multimodal.withMeta(
           Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
@@ -1341,6 +1352,25 @@ object SparkEntry {
                     FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
          SELECT vec_id, score FROM s
          ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "x_sim_knn" ->
+      """WITH e AS (SELECT vec_id, label,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id <> 0),
+           pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                            round(sum(a.x * b.x) /
+                              (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))), 6)
+                              AS score
+                     FROM e a JOIN e b
+                       ON a.label = b.label AND a.i = b.i
+                      AND a.vec_id <> b.vec_id
+                     WHERE a.vec_id % 50 = 0
+                     GROUP BY 1, 2)
+         SELECT id_a, id_b, score FROM pairs
+         QUALIFY row_number() OVER (PARTITION BY id_a
+           ORDER BY score DESC, id_b) <= 3
+         ORDER BY id_a, score DESC, id_b""",
 
     "x_mm_meta" ->
       """SELECT doc_id AS media_id,
