@@ -66,6 +66,25 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("microsecond timestamps: bucket truncation never loses matches") {
+    // buckets are computed on second-truncated times; the residual
+    // filter is exact to the microsecond — boundary rows just inside /
+    // outside the window by 1 µs must resolve correctly
+    val left = Seq((1L, 5L, ts("2024-01-01 12:00:00.500000")))
+      .toDF("lid", "k", "lts")
+    val right = Seq(
+      (5L, ts("2024-01-01 11:00:00.500000"), "exact_lower"),  // == lts - w -> in
+      (5L, ts("2024-01-01 11:00:00.499999"), "below_1us"),    // out
+      (5L, ts("2024-01-01 12:00:00.499999"), "in_1us"),       // in
+      (5L, ts("2024-01-01 12:00:00.500000"), "at_upper"),     // out (half-open)
+      (5L, ts("2024-01-01 11:59:59.999999"), "inside")        // in
+    ).toDF("k", "rts", "tag")
+    val got = RangeJoin.windowBefore(left, right, Seq("k"), "lts", "rts",
+        Seq("tag"), 3600L)
+      .select($"w_tag").as[String].collect().sorted
+    assert(got.toSeq == Seq("exact_lower", "in_1us", "inside"))
+  }
+
   test("bucket replication introduces no duplicate pairs") {
     // right rows straddling two buckets relative to the left row
     val left = Seq((1L, 9L, ts("2024-01-01 00:59:00"))).toDF("lid", "k", "lts")
