@@ -48,12 +48,14 @@ object AsofJoin {
     val tsType = right.schema(rightTs).dataType
     def rvType(c: String) = right.schema(c).dataType
 
-    // ANSI join semantics: a NULL key matches nothing. The window
+    // ANSI join semantics: a NULL key matches nothing, and a NULL right
+    // timestamp satisfies no `rightTs <= leftTs` comparison. The window
     // formulation would otherwise group null-keyed rows together (SQL
     // window partitioning treats NULLs as one partition) — dropping
-    // null-keyed right rows restores "no match" for them and for any
-    // null-keyed left row (which then finds no carried value).
-    val right0 = keys.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+    // null-keyed / null-ts right rows restores "no match" for them and
+    // for any null-keyed left row (which then finds no carried value).
+    val right0 = (rightTs +: keys)
+      .foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
 
     val lSide = left.select(
       leftCols.map(col) ++ Seq(
@@ -71,22 +73,32 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ord").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = ("_rts" +: rightVals.map(c => s"_rv_$c"))
-      .foldLeft(lSide.unionByName(rSide))((df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    // Carry the whole matched right row as ONE struct, not one window per
+    // column: per-column `last(ignoreNulls)` would fill a NULL value in
+    // the matched row from an OLDER right row, stitching the output from
+    // different right rows. The struct is non-null exactly for right rows
+    // (its _rts field is never null after the filter above), so a single
+    // `last(ignoreNulls)` picks the latest right ROW atomically.
+    val rowPayload = when(col("_side") === 0,
+      struct(col("_rts") +: rightVals.map(c => col(s"_rv_$c")): _*))
+    val carried = lSide.unionByName(rSide)
+      .withColumn("_rpay", last(rowPayload, ignoreNulls = true).over(w))
 
     val inTol: Column = toleranceSeconds match {
       case Some(t) =>
-        col("_rts").isNotNull &&
-          (unix_timestamp(col("_ord")) - unix_timestamp(col("_rts"))) <= t
-      case None => col("_rts").isNotNull
+        // direct timestamp comparison: exact to the microsecond and
+        // TZ-representation-independent (unix_timestamp would truncate
+        // to seconds and route TIMESTAMP_NTZ through the session TZ)
+        col("_rpay").isNotNull &&
+          col("_rpay._rts") >= col("_ord") - expr(s"INTERVAL $t SECOND")
+      case None => col("_rpay").isNotNull
     }
     carried
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++
         ((rightTs, "_rts") +: rightVals.map(c => (c, s"_rv_$c"))).map {
           case (out, in) =>
-            when(inTol, col(in)).otherwise(lit(null)).as(s"matched_$out")
+            when(inTol, col(s"_rpay.$in")).otherwise(lit(null)).as(s"matched_$out")
         }: _*)
   }
 
@@ -102,7 +114,8 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     def rvType(c: String) = right.schema(c).dataType
     val tsType = right.schema(rightTs).dataType
-    val right0 = keys.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+    val right0 = (rightTs +: keys)
+      .foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
 
     val lSide = left.select(
       leftCols.map(col) ++ Seq(
@@ -120,22 +133,24 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ord").asc, col("_side").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val carried = ("_rts" +: rightVals.map(c => s"_rv_$c"))
-      .foldLeft(lSide.unionByName(rSide))((df, c) =>
-        df.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+    // single-struct carry — same rationale as in [[backward]]
+    val rowPayload = when(col("_side") === 1,
+      struct(col("_rts") +: rightVals.map(c => col(s"_rv_$c")): _*))
+    val carried = lSide.unionByName(rSide)
+      .withColumn("_rpay", first(rowPayload, ignoreNulls = true).over(w))
 
     val inTol: Column = toleranceSeconds match {
       case Some(t) =>
-        col("_rts").isNotNull &&
-          (unix_timestamp(col("_rts")) - unix_timestamp(col("_ord"))) <= t
-      case None => col("_rts").isNotNull
+        col("_rpay").isNotNull &&
+          col("_rpay._rts") <= col("_ord") + expr(s"INTERVAL $t SECOND")
+      case None => col("_rpay").isNotNull
     }
     carried
       .filter(col("_side") === 0)
       .select(leftCols.map(col) ++
         ((rightTs, "_rts") +: rightVals.map(c => (c, s"_rv_$c"))).map {
           case (out, in) =>
-            when(inTol, col(in)).otherwise(lit(null)).as(s"matched_$out")
+            when(inTol, col(s"_rpay.$in")).otherwise(lit(null)).as(s"matched_$out")
         }: _*)
   }
 }

@@ -32,10 +32,13 @@ object Bucketing {
     * a shuffle exchange repartitions the fact table (O(data), the thing
     * bucketing exists to eliminate). */
   def isShuffleExchangeFree(df: DataFrame): Boolean = {
+    // match any shuffle exchange generically (hash, range, round-robin
+    // from repartition(n), single-partition) and carve out only the
+    // broadcast variant — enumerating shuffle kinds silently passes the
+    // ones not listed
     val p = df.queryExecution.executedPlan.toString
-    !p.contains("Exchange hashpartitioning") &&
-      !p.contains("Exchange rangepartitioning") &&
-      !p.contains("Exchange SinglePartition")
+    p.linesIterator.filter(_.contains("Exchange"))
+      .forall(_.contains("BroadcastExchange"))
   }
 
   /** Materialize the star-schema fact tables co-bucketed on the order

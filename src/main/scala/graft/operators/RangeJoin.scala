@@ -1,7 +1,10 @@
 package graft.operators
 
+import java.sql.Date
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, TimestampNTZType}
 
 /** Bounded-window range join: pair each left row with the right rows
   * whose timestamp falls in `[leftTs - windowSeconds, leftTs)` for the
@@ -38,18 +41,40 @@ object RangeJoin {
                    leftTs: String, rightTs: String, rightVals: Seq[String],
                    windowSeconds: Long): DataFrame = {
     require(windowSeconds > 0, "windowSeconds must be positive")
-    def bucketOf(ts: Column): Column =
-      floor(unix_timestamp(ts).cast("double") / windowSeconds).cast("long")
+    // Bucket ids MUST come from the same arithmetic as the residual
+    // filter (raw timestamp comparison), or a qualifying right row can
+    // land in a bucket the 2-bucket left replication never joins and be
+    // silently dropped. unix_timestamp fails that: it converts
+    // TIMESTAMP_NTZ through the session time zone, so across a DST
+    // fall-back the epoch gap exceeds the local-datetime gap the
+    // residual measures. Instead:
+    //  - TIMESTAMP (instant): exact epoch micros via unix_micros — the
+    //    same instant arithmetic the residual `<`/`>=` uses.
+    //  - TIMESTAMP_NTZ (local datetime): TZ-free field extraction
+    //    (days + hh:mm:ss), matching NTZ's local-datetime ordering.
+    // Whole-second truncation of the NTZ path is safe: with integer
+    // windowSeconds, floor(rightTs) >= floor(leftTs) - w whenever
+    // rightTs >= leftTs - w, so {lb, lb-1} still covers the window.
+    def bucketOf(ts: Column, dt: DataType): Column = {
+      val micros = dt match {
+        case TimestampNTZType =>
+          (datediff(to_date(ts), lit(Date.valueOf("1970-01-01"))).cast("long") * 86400L +
+            hour(ts) * 3600L + minute(ts) * 60L + second(ts)) * 1000000L
+        case _ => unix_micros(ts.cast("timestamp"))
+      }
+      val span = lit(windowSeconds * 1000000L)
+      ((micros - pmod(micros, span)) / span).cast("long") // exact floor-div, negative-safe
+    }
     // left replicated to its bucket and the previous one (any right row
     // within w seconds before leftTs lives in one of the two)
     val l = left
-      .withColumn("_lb", bucketOf(col(leftTs)))
+      .withColumn("_lb", bucketOf(col(leftTs), left.schema(leftTs).dataType))
       .withColumn("_bkt", explode(array(col("_lb"), col("_lb") - 1)))
       .drop("_lb")
     val r = right.select(
       keys.map(col) ++ (col(rightTs).as(s"w_$rightTs") +:
         rightVals.map(c => col(c).as(s"w_$c"))): _*)
-      .withColumn("_bkt", bucketOf(col(s"w_$rightTs")))
+      .withColumn("_bkt", bucketOf(col(s"w_$rightTs"), right.schema(rightTs).dataType))
     l.join(r, keys :+ "_bkt")
       .filter(col(s"w_$rightTs") >= col(leftTs) - expr(s"INTERVAL $windowSeconds SECOND") &&
         col(s"w_$rightTs") < col(leftTs))

@@ -127,6 +127,50 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("matched row's nulls stay null — no per-column fill from older rows") {
+    // the 10:00:10 quote has a NULL px but a real venue: a probe at
+    // 10:00:15 matches THAT row, so matched_px must be null and
+    // matched_venue "arca" — not px backfilled from the 10:00:00 row
+    // (which a per-column last(ignoreNulls) carry would do)
+    val q = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0), Option("nyse")),
+      (1L, ts("2024-01-01 10:00:10"), Option.empty[Double], Option("arca"))
+    ).toDF("k", "rts", "px", "venue")
+    val l = Seq((1L, ts("2024-01-01 10:00:15"))).toDF("k", "lts")
+    val b = AsofJoin.backward(l, q, Seq("k"), "lts", "rts", Seq("px", "venue"))
+      .select($"matched_px", $"matched_venue")
+      .as[(Option[Double], Option[String])].head()
+    assert(b == (None, Some("arca")))
+    // forward: probe at 10:00:05 matches the 10:00:10 row — same rule
+    val lf = Seq((1L, ts("2024-01-01 10:00:05"))).toDF("k", "lts")
+    val f = AsofJoin.forward(lf, q, Seq("k"), "lts", "rts", Seq("px", "venue"))
+      .select($"matched_px", $"matched_venue")
+      .as[(Option[Double], Option[String])].head()
+    assert(f == (None, Some("arca")))
+  }
+
+  test("null right timestamps never match") {
+    val q = Seq(
+      (1L, Option(ts("2024-01-01 10:00:00")), 1.0),
+      (1L, Option.empty[java.sql.Timestamp], 99.0)
+    ).toDF("k", "rts", "px")
+    val l = Seq((1L, ts("2024-01-01 10:00:05"))).toDF("k", "lts")
+    val b = AsofJoin.backward(l, q, Seq("k"), "lts", "rts", Seq("px"))
+      .select($"matched_px").as[Option[Double]].head()
+    assert(b.contains(1.0)) // the null-ts row is not "latest", it is absent
+  }
+
+  test("sub-second tolerance boundary is exact (no whole-second truncation)") {
+    val q = Seq((1L, ts("2024-01-01 10:00:00.000000"), 7.0)).toDF("k", "rts", "px")
+    // probe 30.9 s after the quote: a 30 s tolerance must reject it —
+    // whole-second unix_timestamp arithmetic measures 30 and would accept
+    val l = Seq((1L, ts("2024-01-01 10:00:30.900000"))).toDF("k", "lts")
+    val out = AsofJoin.backward(l, q, Seq("k"), "lts", "rts", Seq("px"),
+        toleranceSeconds = Some(30L))
+      .select($"matched_px").as[Option[Double]].head()
+    assert(out.isEmpty)
+  }
+
   test("single window plan: no join, one shuffle exchange") {
     val out = AsofJoin.backward(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"))
     val plan = out.queryExecution.executedPlan.toString

@@ -52,6 +52,57 @@ class DedupSpec extends SparkSpec {
     pairs.foreach { case (k, v) => assert(exact(k) == v) }
   }
 
+  test("maxBlock drops stop-shingles from blocking AND scoring") {
+    // "common common common" appears in all 5 docs (> maxBlock=3); each
+    // doc also has a private tail, and docs 11/12 share "alpha beta gamma"
+    val hot = (11L to 15L).map { i =>
+      val tail = if (i <= 12L) "alpha beta gamma" else s"solo$i x$i y$i"
+      (i, s"common common common common $tail")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(hot, "doc_id", "text",
+        n = 3, threshold = 0.1, maxBlock = 3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // capped universe: trigrams containing only "common" (in all 5 docs)
+    // are gone, so 13/14/15 share nothing; 11/12 still pair through
+    // their shared informative tail
+    assert(pairs.keySet == Set((11L, 12L)))
+    // jaccard over the CAPPED sets: after dropping the two all-doc
+    // trigrams ("common common common" twice -> one distinct,
+    // "common common common" & "common common alpha|solo"), each of
+    // 11/12 keeps {common common alpha? ...} — compute expected from the
+    // engine's own shingle definition to stay fixture-exact
+    val uncapped = Dedup.ngramJaccardPairs(hot, "doc_id", "text",
+        n = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // without the cap every doc pairs with every other through the hot
+    // shingle — the quadratic blowup the cap exists to stop
+    assert(uncapped.keySet.size > 1)
+    // and the LSH path under the same cap verifies to the same jaccard
+    val lsh = Dedup.minhashLshPairs(hot, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16, threshold = 0.1, maxBlock = 3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    lsh.foreach { case (k, v) => assert(pairs(k) == v, s"pair $k") }
+  }
+
+  test("pairTable builds once, then loads the identical pair set from disk") {
+    val base = java.nio.file.Files.createTempDirectory("graft-pairs").toString
+    val built = Dedup.pairTable(docs, "doc_id", "text", base,
+        n = 3, numHashes = 32, bands = 16, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(built.nonEmpty)
+    // second call must read parquet, not recompute: corrupt-proof check —
+    // drop the source docs column entirely and the load still succeeds
+    val loaded = Dedup.pairTable(docs.limit(0), "doc_id", "text", base,
+        n = 3, numHashes = 32, bands = 16, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(loaded == built)
+    // different parameters never reuse the artifact
+    val other = Dedup.pairTable(docs, "doc_id", "text", base,
+        n = 3, numHashes = 32, bands = 16, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(other.forall(_._3 >= 0.9))
+  }
+
   test("simhash is deterministic and identical for identical text") {
     val sig = Dedup.withSimhash(docs, "text", "sim")
       .select("doc_id", "sim").as[(Long, Long)].collect().toMap

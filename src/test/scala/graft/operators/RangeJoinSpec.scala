@@ -85,6 +85,32 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.toSeq == Seq("exact_lower", "in_1us", "inside"))
   }
 
+  test("TIMESTAMP_NTZ across a DST fall-back: buckets agree with the residual") {
+    // NTZ is a plain local datetime — the window must behave identically
+    // under any session TZ. Under America/New_York the 2024-11-03
+    // fall-back makes epoch gaps exceed local gaps by 1h, so deriving
+    // buckets via unix_timestamp (epoch through session TZ) disagrees
+    // with the local-datetime residual filter and silently drops rows.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      def ntz(df: org.apache.spark.sql.DataFrame, c: String) =
+        df.withColumn(c, to_timestamp_ntz(col(c)))
+      val left = ntz(Seq((1L, 1L, "2024-11-03 02:30:00"))
+        .toDF("lid", "k", "lts"), "lts")
+      val right = ntz(Seq(
+        (1L, "2024-11-03 01:45:00", "in_1"),   // 45 min before (local)
+        (1L, "2024-11-03 02:00:00", "in_2"),   // 30 min before
+        (1L, "2024-11-03 01:29:00", "below"),  // 61 min before -> out
+        (1L, "2024-11-03 02:30:00", "upper")   // == lts -> out (half-open)
+      ).toDF("k", "rts", "tag"), "rts")
+      val got = RangeJoin.windowBefore(left, right, Seq("k"), "lts", "rts",
+          Seq("tag"), 3600L)
+        .select($"w_tag").as[String].collect().sorted
+      assert(got.toSeq == Seq("in_1", "in_2"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("bucket replication introduces no duplicate pairs") {
     // right rows straddling two buckets relative to the left row
     val left = Seq((1L, 9L, ts("2024-01-01 00:59:00"))).toDF("lid", "k", "lts")
