@@ -679,6 +679,9 @@ object SparkEntry {
     }),
 
     "x_sim_lsh" -> ((s, dir) => {
+      // hash-checked: the seeded planes are pasted into the oracle SQL
+      // as literals (lshOracleSql), so DuckDB replays the identical
+      // bucket/candidate/re-rank pipeline
       val emb = t(s, dir, "embeddings")
       val q = queryVector(emb)
       val planes = Similarity.hyperplanes(dim = 64, numTables = 4,
@@ -704,13 +707,15 @@ object SparkEntry {
 
     "x_sim_ivf_probe" -> ((s, dir) => {
       // pruned probe: only the query's nearest cell partition is read —
-      // the scale path (rows-only check; cell contents are k-means-
-      // dependent and have no SQL oracle)
+      // the scale path. Hash-checked: the oracle re-derives cell choice
+      // and scores from the SAME on-disk index artifacts (see
+      // ivfProbeOracleSql)
       val emb = t(s, dir, "embeddings")
       val q = queryVector(emb)
       val idx = ivfIndexFor(s, dir, emb)
       idx.search("vec_id", "embedding", q, k = 10, nprobe = 1)
         .filter(col("vec_id") =!= 0)
+        .orderBy(col("score").desc, col("vec_id"))
     }),
 
     // ── LLM-pipeline extensions: multimodal columns ──────────────────
@@ -750,6 +755,13 @@ object SparkEntry {
     emb.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0).map(_.toDouble)
 
+  /** On-disk home of the IVF index for an sf dir — deterministic per dir
+    * (and across JVMs: String.hashCode is specified), so the oracle SQL
+    * can read the same artifacts the engine probes. */
+  def ivfBasePath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+      java.lang.Long.toHexString(java.util.Objects.hash(dir).toLong & 0xffffffffL)
+
   /** Build (or reuse, within one JVM run) the IVF index for an sf dir.
     * Lives under java.io.tmpdir keyed by the dir name; rebuilt once per
     * process so the two ivf queries share one build. */
@@ -757,13 +769,84 @@ object SparkEntry {
   private def ivfIndexFor(s: SparkSession, dir: String,
                           emb: DataFrame): operators.IvfIndex =
     ivfBuilt.getOrElseUpdate(dir, {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-        java.lang.Long.toHexString(
-          java.util.Objects.hash(dir).toLong & 0xffffffffL)
-      val idx = new operators.IvfIndex(s, base)
+      val idx = new operators.IvfIndex(s, ivfBasePath(dir))
       idx.build(emb, "vec_id", "embedding", k = 8, iters = 3)
       idx
     })
+
+  /** DuckDB oracle for `x_sim_lsh`, generated with the SAME seeded
+    * hyperplanes the engine uses, pasted as literal VALUES rows — the
+    * full LSH pipeline (bucket assignment, candidate filter, exact
+    * re-rank) is then SQL-expressible and the query hash-checks instead
+    * of rows-only. Column `w` is the bit weight 2^b, which doubles as the
+    * per-plane key. */
+  private def lshOracleSql: String = {
+    val planes = operators.Similarity.hyperplanes(dim = 64, numTables = 4,
+      bitsPerTable = 8, seed = 42L)
+    val rows = for {
+      (tbl, t) <- planes.zipWithIndex
+      (plane, b) <- tbl.zipWithIndex
+      (p, i) <- plane.zipWithIndex
+    } yield s"($t,${1L << b},${i + 1},$p)"
+    s"""WITH planes(t, w, i, p) AS (VALUES ${rows.mkString(",")}),
+       q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings WHERE vec_id = 0),
+       e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings WHERE vec_id <> 0),
+       ed AS (SELECT e.vec_id, pl.t, pl.w, sum(e.x * pl.p) AS d
+              FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2, 3),
+       eb AS (SELECT vec_id, t,
+                     sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS bkt
+              FROM ed GROUP BY 1, 2),
+       qd AS (SELECT pl.t, pl.w, sum(q.qx * pl.p) AS d
+              FROM q JOIN planes pl ON q.i = pl.i GROUP BY 1, 2),
+       qb AS (SELECT t, sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS bkt
+              FROM qd GROUP BY 1),
+       cand AS (SELECT DISTINCT eb.vec_id
+                FROM eb JOIN qb ON eb.t = qb.t AND eb.bkt = qb.bkt),
+       s AS (SELECT e.vec_id,
+                    round(sum(e.x * q.qx) /
+                      (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+             FROM e JOIN q ON e.i = q.i
+             WHERE e.vec_id IN (SELECT vec_id FROM cand)
+             GROUP BY 1)
+       SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10"""
+  }
+
+  /** DuckDB oracle for `x_sim_ivf_probe`: reads the SAME on-disk index
+    * the engine probes (centroids + cell-partitioned corpus) — the
+    * k-means result is engine-specific, but once materialized it is just
+    * parquet, so cell choice AND scoring are both independently
+    * recomputed. `__GRAFT_IVF__` is substituted with the sf dir's index
+    * path by Verify when it dumps oracle_sql.json. */
+  private def ivfProbeOracleSql: String =
+    """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings WHERE vec_id = 0),
+       c AS (SELECT cell, CAST(unnest(centroid) AS DOUBLE) AS cx,
+                    generate_subscripts(centroid, 1) AS i
+             FROM read_parquet('__GRAFT_IVF__/ivf_centroids/*.parquet')),
+       cbest AS (SELECT cell FROM (
+                   SELECT c.cell,
+                          round(sum(c.cx * q.qx) /
+                            (sqrt(sum(c.cx * c.cx)) * sqrt(sum(q.qx * q.qx))), 6) AS cs
+                   FROM c JOIN q ON c.i = q.i GROUP BY c.cell)
+                 ORDER BY cs DESC, cell LIMIT 1),
+       m AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                    generate_subscripts(embedding, 1) AS i
+             FROM read_parquet('__GRAFT_IVF__/ivf_cells/*/*.parquet',
+                               hive_partitioning = 1)
+             WHERE CAST(cell AS INTEGER) = (SELECT cell FROM cbest)),
+       s AS (SELECT m.vec_id,
+                    round(sum(m.x * q.qx) /
+                      (sqrt(sum(m.x * m.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+             FROM m JOIN q ON m.i = q.i GROUP BY 1),
+       top AS (SELECT vec_id, score FROM s
+               ORDER BY score DESC, vec_id LIMIT 10)
+       SELECT vec_id, score FROM top WHERE vec_id <> 0
+       ORDER BY score DESC, vec_id"""
 
   // ───────────────────────────────────────────────────────────────────
   // DuckDB oracle SQL. Same determinism rules as the Spark side;
@@ -1374,6 +1457,10 @@ object SparkEntry {
                     FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
          SELECT vec_id, score FROM s
          ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "x_sim_lsh" -> lshOracleSql,
+
+    "x_sim_ivf_probe" -> ivfProbeOracleSql,
 
     "x_sim_knn" ->
       """WITH e AS (SELECT vec_id, label,

@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
 final class AuditLog(spark: SparkSession, path: String) {
   import spark.implicits._
 
+  // synchronized: concurrent append-mode writes to one parquet path share
+  // the _temporary staging dir, and one job's commit can delete another's
+  // in-flight task files. Loads now run on a driver thread pool (Watch),
+  // so the one-row audit writes serialize here; the heavy data-plane jobs
+  // stay concurrent.
   def append(eventSource: String, target: String, status: Int,
-             tsMillis: Long): Unit =
+             tsMillis: Long): Unit = synchronized {
     Seq((eventSource, target, status, new java.sql.Timestamp(tsMillis)))
       .toDF("event_source", "target", "status", "ts")
       .write.mode("append").parquet(path)
+  }
 
   def table(): DataFrame = {
     // Hadoop FS probe, not java.io.File: the warehouse may be any

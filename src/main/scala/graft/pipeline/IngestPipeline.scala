@@ -37,6 +37,7 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
 
   val audit = new AuditLog(spark, s"$warehouse/log_for_loading")
   private def permanentPath = s"$warehouse/0_priceindex"
+  private val mergeLock = new Object
   private def now(): Long = System.currentTimeMillis()
 
 
@@ -73,10 +74,16 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
       // stage 3: upsert into permanent table (J1/S8), partition-aware:
       // only the GEO partitions present in this file are read and
       // atomically replaced — untouched partitions are never opened
-      // (the plain-parquet analog of Delta MERGE file pruning)
+      // (the plain-parquet analog of Delta MERGE file pruning).
+      // The merge is the pipeline's one shared-table critical section:
+      // concurrent loads (Watch's thread pool) may touch the same GEO
+      // partition, and an unserialized read-modify-replace loses rows.
+      // Stages 0-2 (the heavy distributed CSV work) stay concurrent.
       stage = 3
-      Upsert.mergeIntoPartitioned(spark, permanentPath, staged,
-        PriceIndex.naturalKey, "GEO", "VALUE")
+      mergeLock.synchronized {
+        Upsert.mergeIntoPartitioned(spark, permanentPath, staged,
+          PriceIndex.naturalKey, "GEO", "VALUE")
+      }
       audit.append("loading: upsert", fileKey(csvPath), 1, now())
       audit.append("loading", fileKey(csvPath), 1, now())
       LoadResult(1, stage, "", rec.totalRows, rec.corruptRows)
@@ -95,6 +102,10 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
     * and export it as a single-header CSV (`R23:113-123`). */
   def buildAndExportReport(yearParam: Int, monthParam: Int, geos: Seq[String],
                            categoryPattern: String, outDir: String): DataFrame = {
+    // the year+month filter below is only pushable through the
+    // YearPredicateRewrite rule — install it so the report prunes the
+    // permanent table's scan regardless of how the session was built
+    graft.plans.GraftExtensions.install(spark)
     val base = permanent()
     val filtered = base
       .filter(expr(s"year(Date) = $yearParam AND month(Date) = $monthParam"))

@@ -11,9 +11,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
 /** Catalyst optimizer rule: rewrite function-wrapped temporal predicates
-  * into pushable ranges on the bare column — `year(col) = Y` (plus the
-  * inequality and IN forms) into half-open year ranges, and
-  * `CAST(col AS DATE) = 'd'` into a one-day timestamp range.
+  * into pushable ranges on the bare column. Rewritten shapes:
+  *  - `year(col) = Y` → half-open year range;
+  *  - `year(col) <op> Y` (all four inequalities, either literal side) →
+  *    one range endpoint;
+  *  - `year(col) IN (Y₁, …)` → OR of per-year ranges;
+  *  - `year(col) = Y AND month(col) = M` (the reference's report filter
+  *    shape, any operand/literal order within the conjunction) → one-month
+  *    half-open range;
+  *  - `CAST(col AS DATE) = 'd'` → one-day timestamp range.
   *
   * Why it matters at scale: a function-wrapped column (`year(ts) = 1996`)
   * cannot be pushed to the parquet scan — every row group is read and the
@@ -30,11 +36,10 @@ import org.apache.spark.sql.types._
   * `2.2 loading-lambda-for-mysql.py:416-447`).
   *
   * Semantics are identical, including nulls (`year(null) = Y` is null;
-  * a range comparison on null is null) and the ±290-million-year range
-  * of representable timestamps (no overflow at any Int year the analyzer
-  * accepts). Only equality is rewritten: `year(a) <op> Y` for
-  * inequalities is equally expressible but equality is the shape the
-  * reference emits (its report procedures filter one year at a time).
+  * a range comparison on null is null; for the month conjunction both
+  * sides are null on a null column, and so is the replacement range) and
+  * the ±290-million-year range of representable timestamps (no overflow
+  * at any Int year the analyzer accepts).
   *
   * Install on an existing session (no restart):
   * {{{ spark.experimental.extraOptimizations ++= Seq(YearPredicateRewrite) }}}
@@ -45,6 +50,12 @@ object YearPredicateRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // year+month conjunction → one-month range (must precede the bare
+      // year-equality case only in spirit — And nodes are matched here,
+      // their children would otherwise each be visited separately and the
+      // month half left unpushable)
+      case a @ And(l, r) =>
+        monthConj(l, r).orElse(monthConj(r, l)).getOrElse(a)
       // equality: the full half-open year range
       case e @ EqualTo(Year(c), Literal(y: Int, IntegerType)) =>
         rangeFor(c, y).getOrElse(e)
@@ -124,6 +135,50 @@ object YearPredicateRewrite extends Rule[LogicalPlan] {
     }
     Some(if (lower) GreaterThanOrEqual(base, lit) else LessThan(base, lit))
   }
+
+  /** `year(c) = Y` half of a conjunction, either literal side. */
+  private def yearEq(e: Expression): Option[(Expression, Int)] = e match {
+    case EqualTo(Year(c), Literal(y: Int, IntegerType)) => Some((c, y))
+    case EqualTo(Literal(y: Int, IntegerType), Year(c)) => Some((c, y))
+    case _ => None
+  }
+
+  /** `month(c) = M` half of a conjunction, either literal side. */
+  private def monthEq(e: Expression): Option[(Expression, Int)] = e match {
+    case EqualTo(Month(c), Literal(m: Int, IntegerType)) => Some((c, m))
+    case EqualTo(Literal(m: Int, IntegerType), Month(c)) => Some((c, m))
+    case _ => None
+  }
+
+  /** `year(c)=Y AND month(c)=M` on the SAME column → `[Y-M-01, next
+    * month)`. An out-of-calendar month (`month(c) = 13`) is always false
+    * on non-null input but null on null input — a `false` literal would
+    * change null semantics, so those are left unrewritten. */
+  private def monthConj(l: Expression, r: Expression): Option[Expression] =
+    for {
+      (cy, y) <- yearEq(l)
+      (cm, m) <- monthEq(r)
+      if cy.semanticEquals(cm) && sane(y) && m >= 1 && m <= 12
+      range <- monthRangeFor(cy, y, m)
+    } yield range
+
+  private def monthRangeFor(child: Expression, y: Int, m: Int): Option[Expression] = {
+    val lo = java.time.LocalDate.of(y, m, 1)
+    val hi = lo.plusMonths(1)
+    child match {
+      case Cast(ts, DateType, _, _) if ts.dataType == TimestampNTZType =>
+        Some(And(
+          GreaterThanOrEqual(ts, Literal(lo.toEpochDay * MicrosPerDay, TimestampNTZType)),
+          LessThan(ts, Literal(hi.toEpochDay * MicrosPerDay, TimestampNTZType))))
+      case d if d.dataType == DateType =>
+        Some(And(
+          GreaterThanOrEqual(d, Literal(lo.toEpochDay.toInt, DateType)),
+          LessThan(d, Literal(hi.toEpochDay.toInt, DateType))))
+      case _ => None
+    }
+  }
+
+  private val MicrosPerDay = 86400000000L
 
   // within the DATE type's calendar range (±~10k years of epoch): the
   // day→micros conversion cannot overflow a Long

@@ -37,9 +37,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 final class Watch(spark: SparkSession, watchDir: String, warehouse: String,
                   maxAttempts: Int = 3,
                   freshnessMinutes: Long = 30,
-                  onAllLoaded: () => Unit = () => ()) {
+                  onAllLoaded: () => Unit = () => (),
+                  loadParallelism: Int = 4) {
   require(!watchDir.startsWith(warehouse) && !warehouse.startsWith(watchDir),
     "ST8: watch dir and warehouse must be disjoint")
+  require(loadParallelism >= 1, "loadParallelism must be >= 1")
 
   val pipeline = new IngestPipeline(spark, warehouse)
   private val attempts = scala.collection.mutable.Map.empty[String, Int]
@@ -62,27 +64,26 @@ final class Watch(spark: SparkSession, watchDir: String, warehouse: String,
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val paths = batch.collect().map(_.getString(0))
-        val failures = scala.collection.mutable.ListBuffer.empty[String]
-        paths.foreach { p =>
-          val key = new org.apache.hadoop.fs.Path(p).getName
-          // durable attempt state: audit failure rows survive restarts;
-          // the in-memory map only avoids re-reading the log mid-run
-          val n = attempts.getOrElse(p,
-            pipeline.audit.countFailures(key).toInt)
-          if (n >= maxAttempts || pipeline.audit.isQuarantined(key)) {
-            if (!pipeline.audit.isQuarantined(key))
-              pipeline.audit.append("quarantine", key, -1, System.currentTimeMillis())
-          } else {
-            val res = pipeline.load(p)
-            if (res.status == 0) {
-              attempts(p) = n + 1
-              if (n + 1 >= maxAttempts)
-                pipeline.audit.append("quarantine", key, -1, System.currentTimeMillis())
-              else
-                failures += s"load failed for $p (attempt ${n + 1}): ${res.error}"
+        // Per-file loads go through a small driver thread pool: each load
+        // is itself a distributed job, but a serial foreach makes a
+        // backlog of N files N sequential jobs — at high ingest rates the
+        // driver loop, not the cluster, becomes the bottleneck. Spark
+        // sessions are thread-safe; the shared-table merge inside
+        // `load` serializes on the pipeline's merge lock, so concurrency
+        // here overlaps the heavy scan/validate stages only. Results are
+        // drained in submission order — attempt counting, quarantine, and
+        // the failure report are per-file and order-independent.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(loadParallelism, math.max(paths.length, 1)))
+        val failures =
+          try {
+            val futures = paths.map { p =>
+              pool.submit(new java.util.concurrent.Callable[Option[String]] {
+                override def call(): Option[String] = processFile(p)
+              })
             }
-          }
-        }
+            futures.toSeq.flatMap(_.get())
+          } finally pool.shutdown()
         // ST5 completion detection (R22:344-375): when no pending files
         // remain in the watch dir, fire the downstream (report) stage
         val remaining = pipeline.checkRemainingFiles(watchDir,
@@ -101,5 +102,32 @@ final class Watch(spark: SparkSession, watchDir: String, warehouse: String,
       }
     (if (continuous) writer.trigger(Trigger.ProcessingTime("10 seconds"))
      else writer.trigger(Trigger.AvailableNow())).start()
+  }
+
+  /** One file's attempt/quarantine/load protocol (ST1/ST6). Returns the
+    * failure message to surface, if any. Runs on a pool thread; the
+    * attempt map is the only state shared between loads and is accessed
+    * under its own lock. */
+  private def processFile(p: String): Option[String] = {
+    val key = new org.apache.hadoop.fs.Path(p).getName
+    // durable attempt state: audit failure rows survive restarts;
+    // the in-memory map only avoids re-reading the log mid-run
+    val n = attempts.synchronized {
+      attempts.getOrElse(p, pipeline.audit.countFailures(key).toInt)
+    }
+    if (n >= maxAttempts || pipeline.audit.isQuarantined(key)) {
+      if (!pipeline.audit.isQuarantined(key))
+        pipeline.audit.append("quarantine", key, -1, System.currentTimeMillis())
+      None
+    } else {
+      val res = pipeline.load(p)
+      if (res.status == 0) {
+        attempts.synchronized { attempts(p) = n + 1 }
+        if (n + 1 >= maxAttempts) {
+          pipeline.audit.append("quarantine", key, -1, System.currentTimeMillis())
+          None
+        } else Some(s"load failed for $p (attempt ${n + 1}): ${res.error}")
+      } else None
+    }
   }
 }

@@ -94,6 +94,62 @@ class YearPredicateRewriteSpec extends SparkSpec {
       s"day range not pushed:\n$plan")
   }
 
+  test("year+month conjunction rewrites to a pushed one-month range") {
+    GraftExtensions.install(spark)
+    val df = spark.read.parquet(parquetDir)
+    // the reference's report filter shape, as the pipeline emits it
+    val q = df.filter(expr("year(t) = 1996 AND month(t) = 7"))
+    assert(q.select($"id").as[Long].collect().toSeq == Seq(3L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(t,") && plan.contains("LessThan(t,"),
+      s"month range not pushed to scan:\n$plan")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("year(") && !opt.contains("month("),
+      s"year()/month() survived rewrite:\n$opt")
+    // commuted operand and literal orders rewrite too
+    Seq(
+      expr("month(t) = 7 AND year(t) = 1996"),
+      expr("1996 = year(t) AND 7 = month(t)")
+    ).foreach { p =>
+      val o = df.filter(p).queryExecution.optimizedPlan.toString
+      assert(!o.contains("month("), s"month() survived rewrite for $p:\n$o")
+      assert(df.filter(p).select($"id").as[Long].collect().toSeq == Seq(3L))
+    }
+    // December rolls the upper bound into the next year
+    val dec = df.filter(expr("year(t) = 1995 AND month(t) = 12"))
+    assert(dec.select($"id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("year+month on DATE columns (the pipeline's report filter) pushes") {
+    GraftExtensions.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ym_date").toString
+    Seq((1L, java.sql.Date.valueOf("1996-03-15")),
+      (2L, java.sql.Date.valueOf("1996-04-01")),
+      (3L, java.sql.Date.valueOf("1997-03-01")))
+      .toDF("id", "Date").write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(expr("year(Date) = 1996 AND month(Date) = 3"))
+    assert(q.select($"id").as[Long].collect().toSeq == Seq(1L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(Date,") &&
+      plan.contains("LessThan(Date,"), s"date month range not pushed:\n$plan")
+  }
+
+  test("month conjunction guards: different columns / bad month left alone") {
+    GraftExtensions.install(spark)
+    val df = Seq((1L, java.sql.Date.valueOf("1996-03-15"),
+      java.sql.Date.valueOf("1996-07-01"))).toDF("id", "d1", "d2")
+    // different columns: no rewrite, semantics unchanged
+    val cross = df.filter(expr("year(d1) = 1996 AND month(d2) = 7"))
+    assert(cross.select($"id").as[Long].collect().toSeq == Seq(1L))
+    // month 13: always-false-on-non-null but null-on-null — must NOT
+    // become a literal false; left unrewritten, still filters all rows
+    val bad = df.filter(expr("year(d1) = 1996 AND month(d1) = 13"))
+    assert(bad.queryExecution.optimizedPlan.toString.contains("month(") ||
+      bad.count() == 0)
+    assert(bad.count() == 0)
+  }
+
   test("null timestamps stay excluded (null semantics preserved)") {
     GraftExtensions.install(spark)
     val df = Seq((1L, Some(ts("1996-05-05 00:00:00"))), (2L, None))

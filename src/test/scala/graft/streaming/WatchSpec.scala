@@ -44,6 +44,38 @@ class WatchSpec extends SparkSpec {
       .filter($"count" > 1).count() == 0)
   }
 
+  test("parallel loads: N files land atomically, poison still quarantines") {
+    val in = tmp("graft_watch_par_in"); val wh = tmp("graft_watch_par_wh")
+    val ck = tmp("graft_watch_par_ck")
+    // 6 loadable files over overlapping GEO partitions (the merge
+    // critical section must serialize), plus one poison file that fails
+    // reconcile every attempt
+    val geos = Seq("Canada", "Ontario", "Quebec", "Canada", "Ontario", "Alberta")
+    geos.zipWithIndex.foreach { case (geo, i) =>
+      Files.writeString(in.resolve(f"priceindex_p$i%02d.csv"),
+        Seq(header, row(s"${1996 + i}-01", geo, s"10$i.5")).mkString("\n"))
+    }
+    Files.writeString(in.resolve("priceindex_poison.csv"),
+      (Seq(header) ++ (1 to 9).map(_ => "garbage,row")).mkString("\n"))
+
+    val watch = new Watch(spark, in.toString, wh.toString,
+      maxAttempts = 2, loadParallelism = 4)
+    // two passes: poison fails attempt 1 (batch rethrows), attempt 2
+    // quarantines; good files load exactly once (dedup suppression)
+    (1 to 3).foreach { _ =>
+      val q = watch.start(ck.toString)
+      try q.awaitTermination(120000)
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    }
+    val perm = watch.pipeline.permanent()
+    assert(perm.count() == 6, "every good file merged exactly its rows")
+    assert(perm.select("GEO").distinct().count() == 4)
+    // no lost updates: each file's row is present
+    assert(perm.groupBy("Date", "GEO", "Products").count()
+      .filter($"count" > 1).count() == 0)
+    assert(watch.pipeline.audit.isQuarantined("priceindex_poison.csv"))
+  }
+
   test("ST8: overlapping watch/warehouse dirs are rejected") {
     val d = tmp("graft_overlap")
     intercept[IllegalArgumentException] {
