@@ -166,6 +166,23 @@ object SparkEntry {
         .orderBy(col("event_id"), col("cts"), col("cvalue"))
     }),
 
+    "j9_asof_nearest" -> ((s, dir) => {
+      // nearest-in-time lookup: each purchase gets the user's CLOSEST
+      // click on either side (ties resolve backward) — the
+      // merge_asof(direction='nearest') shape, one shuffle (both
+      // direction payloads ride the same union-sort window pass)
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsofJoin.nearest(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("matched_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("cts"),
+          coalesce(round(col("matched_value"), 6), lit(-1e9)).as("cvalue"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── §2.4 aggregations ────────────────────────────────────────────
     "a1_count" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
@@ -626,6 +643,24 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
           "embedding", "label", threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
+
+    "x_pipeline_clean" -> ((s, dir) => {
+      // end-to-end training-data clean-room composition: exact-dedup to
+      // keepers, drop low-quality docs, account the surviving corpus per
+      // language (docs + token budget). One dedup shuffle + one agg
+      // shuffle; the quality filter is codegen'd expression arithmetic
+      // evaluated in the scan stage.
+      val sw = Seq("the", "and", "of", "a")
+      val docs = t(s, dir, "documents")
+      val keepers = Dedup.exact(docs, Seq("text"), Seq("doc_id"))
+        .select(col("doc_id"))
+      docs.join(keepers, "doc_id")
+        .filter(TF.qualityScore(col("text"), sw) >= 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy(col("lang"))
+    }),
 
     // ── LLM-pipeline extensions: text analysis ──────────────────────
     "x_text_stats" -> ((s, dir) => {
@@ -1206,6 +1241,24 @@ object SparkEntry {
           AND c.ts >= p.ts - INTERVAL 7 DAY AND c.ts < p.ts
          ORDER BY p.event_id, cts, cvalue""",
 
+    "j9_asof_nearest" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                            event_type, value FROM events),
+           p AS (SELECT event_id, user_id, ts FROM ev
+                 WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts, value FROM ev
+                 WHERE event_type = 'click'),
+           j AS (SELECT p.event_id, p.user_id, c.ts AS cts, c.value,
+                        abs(epoch_us(p.ts) - epoch_us(c.ts)) AS adt,
+                        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS fwd
+                 FROM p LEFT JOIN c ON p.user_id = c.user_id),
+           r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                   ORDER BY adt, fwd) AS rn FROM j)
+         SELECT event_id, user_id,
+                strftime(cts, '%Y-%m-%d %H:%M:%S.%f') AS cts,
+                coalesce(round(value, 6), -1e9) AS cvalue
+         FROM r WHERE rn = 1 ORDER BY event_id""",
+
     "a11_cube" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
@@ -1245,6 +1298,31 @@ object SparkEntry {
     "x_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
          FROM documents GROUP BY text ORDER BY h""",
+
+    "x_pipeline_clean" -> {
+      // the same quality arithmetic as the x_text_stats oracle
+      val stopCnt =
+        """(CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS INT) +
+            CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5 AS INT) +
+            CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4 AS INT) +
+            CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS INT))"""
+      val quality =
+        s"""round((
+              least(length(text) * 1.0 / 500, 1.0) +
+              least(($stopCnt * 1.0 / len(string_split(text, ' '))) * 5.0, 1.0) +
+              greatest(1.0 - (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                * 1.0 / length(text)) * 10.0, 0.0)
+            ) / 3.0, 6)"""
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+                        GROUP BY text),
+              d AS (SELECT doc_id, lang, text FROM documents
+                    WHERE doc_id IN (SELECT doc_id FROM keep)),
+              f AS (SELECT lang, len(string_split(text, ' ')) AS toks
+                    FROM d WHERE $quality >= 0.5)
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(toks) AS BIGINT) AS n_tokens
+          FROM f GROUP BY lang ORDER BY lang"""
+    },
 
     "x_dedup_ngram" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t

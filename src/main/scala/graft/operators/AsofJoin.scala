@@ -139,11 +139,15 @@ object AsofJoin {
     val carried = lSide.unionByName(rSide)
       .withColumn("_rpay", first(rowPayload, ignoreNulls = true).over(w))
 
+    // `_ord.isNotNull`: a null left timestamp sorts FIRST under the asc
+    // ordering, so the forward frame would otherwise hand it the first
+    // right row — ANSI comparison-with-null semantics say no match
+    // (backward gets this for free: nulls-first means nothing precedes)
     val inTol: Column = toleranceSeconds match {
       case Some(t) =>
-        col("_rpay").isNotNull &&
+        col("_ord").isNotNull && col("_rpay").isNotNull &&
           col("_rpay._rts") <= col("_ord") + expr(s"INTERVAL $t SECOND")
-      case None => col("_rpay").isNotNull
+      case None => col("_ord").isNotNull && col("_rpay").isNotNull
     }
     carried
       .filter(col("_side") === 0)
@@ -151,6 +155,78 @@ object AsofJoin {
         ((rightTs, "_rts") +: rightVals.map(c => (c, s"_rv_$c"))).map {
           case (out, in) =>
             when(inTol, col(s"_rpay.$in")).otherwise(lit(null)).as(s"matched_$out")
+        }: _*)
+  }
+
+  /** Nearest as-of join: the right row minimizing `|rightTs - leftTs|`
+    * (pandas `merge_asof(direction='nearest')`). Ties — a right row
+    * equally far on both sides — resolve BACKWARD (the at-or-before row),
+    * the conservative "no lookahead unless strictly closer" choice.
+    *
+    * Single-pass formulation: ONE union-sort (right rows sort before left
+    * rows at equal timestamps) carries BOTH direction payloads as two
+    * window expressions over the same partition/order — Spark's WindowExec
+    * shares the exchange+sort between frames, so the cost stays one
+    * shuffle, identical to [[backward]] alone. The forward frame starts at
+    * `currentRow` and therefore excludes the equal-timestamp right row
+    * (it sorts earlier); that match is distance 0 on the backward side,
+    * which tie-preference selects anyway. */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, rightVals: Seq[String],
+              toleranceSeconds: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tsType = right.schema(rightTs).dataType
+    def rvType(c: String) = right.schema(c).dataType
+    val right0 = (rightTs +: keys)
+      .foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+
+    val lSide = left.select(
+      leftCols.map(col) ++ Seq(
+        lit(1).as("_side"), col(leftTs).as("_ord"),
+        lit(null).cast(tsType).as("_rts")) ++
+        rightVals.map(c => lit(null).cast(rvType(c)).as(s"_rv_$c")): _*)
+    val rSide = right0.select(
+      keys.map(col) ++
+        leftCols.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(lit(0).as("_side"), col(rightTs).as("_ord"),
+          col(rightTs).as("_rts")) ++
+        rightVals.map(c => col(c).as(s"_rv_$c")): _*)
+
+    val base = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ord").asc, col("_side").asc)
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rowPayload = when(col("_side") === 0,
+      struct(col("_rts") +: rightVals.map(c => col(s"_rv_$c")): _*))
+    val carried = lSide.unionByName(rSide)
+      .withColumn("_bp", last(rowPayload, ignoreNulls = true).over(wb))
+      .withColumn("_fp", first(rowPayload, ignoreNulls = true).over(wf))
+
+    def tol(ok: Column, bound: => Column): Column = toleranceSeconds match {
+      case Some(_) => col("_ord").isNotNull && ok && bound
+      case None => col("_ord").isNotNull && ok
+    }
+    val bOk = tol(col("_bp").isNotNull,
+      col("_bp._rts") >= col("_ord") -
+        expr(s"INTERVAL ${toleranceSeconds.getOrElse(0L)} SECOND"))
+    val fOk = tol(col("_fp").isNotNull,
+      col("_fp._rts") <= col("_ord") +
+        expr(s"INTERVAL ${toleranceSeconds.getOrElse(0L)} SECOND"))
+    // timestamp differences compare as intervals — microsecond-exact,
+    // no unix_timestamp truncation
+    val backCloser =
+      (col("_ord") - col("_bp._rts")) <= (col("_fp._rts") - col("_ord"))
+    val chosen = when(bOk && fOk, when(backCloser, col("_bp")).otherwise(col("_fp")))
+      .when(bOk, col("_bp"))
+      .when(fOk, col("_fp"))
+
+    carried
+      .filter(col("_side") === 1)
+      .withColumn("_ch", chosen)
+      .select(leftCols.map(col) ++
+        ((rightTs, "_rts") +: rightVals.map(c => (c, s"_rv_$c"))).map {
+          case (out, in) => col(s"_ch.$in").as(s"matched_$out")
         }: _*)
   }
 }

@@ -32,7 +32,9 @@ object IngestPipeline {
 
 final class IngestPipeline(spark: SparkSession, warehouse: String,
                            maxErrors: Long = 5,
-                           dedupWindowSeconds: Long = 1800) {
+                           dedupWindowSeconds: Long = 1800,
+                           notifier: graft.streaming.Notifier =
+                             graft.streaming.Notifier.noop) {
   import IngestPipeline.{LoadResult, RemainingFiles}
 
   val audit = new AuditLog(spark, s"$warehouse/log_for_loading")
@@ -119,6 +121,9 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
     report.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(outDir)
     audit.append("reporting", s"$yearParam-$monthParam", 1, now())
+    // EP1 success channel: report-completion notification
+    // (`R22:695-715`, success topic)
+    notifier.success(s"report $yearParam-$monthParam exported", outDir)
     report
   }
 

@@ -38,12 +38,13 @@ final class Watch(spark: SparkSession, watchDir: String, warehouse: String,
                   maxAttempts: Int = 3,
                   freshnessMinutes: Long = 30,
                   onAllLoaded: () => Unit = () => (),
-                  loadParallelism: Int = 4) {
+                  loadParallelism: Int = 4,
+                  notifier: Notifier = Notifier.noop) {
   require(!watchDir.startsWith(warehouse) && !warehouse.startsWith(watchDir),
     "ST8: watch dir and warehouse must be disjoint")
   require(loadParallelism >= 1, "loadParallelism must be >= 1")
 
-  val pipeline = new IngestPipeline(spark, warehouse)
+  val pipeline = new IngestPipeline(spark, warehouse, notifier = notifier)
   private val attempts = scala.collection.mutable.Map.empty[String, Int]
 
   /** Start the watch. `Trigger.AvailableNow` drains the backlog and stops
@@ -91,6 +92,9 @@ final class Watch(spark: SparkSession, watchDir: String, warehouse: String,
         if (remaining.done) {
           pipeline.audit.append("loading: all files loaded", watchDir, 1,
             System.currentTimeMillis())
+          // EP1 success channel (`R22:344-375` completion → report +
+          // notify): one notification per drained backlog, not per file
+          notifier.success(s"all files loaded from $watchDir")
           onAllLoaded()
         }
         // rethrow AFTER the whole batch is processed: files still under
@@ -116,8 +120,10 @@ final class Watch(spark: SparkSession, watchDir: String, warehouse: String,
       attempts.getOrElse(p, pipeline.audit.countFailures(key).toInt)
     }
     if (n >= maxAttempts || pipeline.audit.isQuarantined(key)) {
-      if (!pipeline.audit.isQuarantined(key))
+      if (!pipeline.audit.isQuarantined(key)) {
         pipeline.audit.append("quarantine", key, -1, System.currentTimeMillis())
+        notifier.failure(s"quarantined $key after $n failed attempts")
+      }
       None
     } else {
       val res = pipeline.load(p)
@@ -125,8 +131,13 @@ final class Watch(spark: SparkSession, watchDir: String, warehouse: String,
         attempts.synchronized { attempts(p) = n + 1 }
         if (n + 1 >= maxAttempts) {
           pipeline.audit.append("quarantine", key, -1, System.currentTimeMillis())
+          notifier.failure(s"quarantined $key after ${n + 1} failed attempts",
+            res.error)
           None
-        } else Some(s"load failed for $p (attempt ${n + 1}): ${res.error}")
+        } else {
+          notifier.failure(s"load failed for $key (attempt ${n + 1})", res.error)
+          Some(s"load failed for $p (attempt ${n + 1}): ${res.error}")
+        }
       } else None
     }
   }

@@ -171,6 +171,79 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("nearest picks the closer side; midway ties resolve backward") {
+    val probes = Seq(
+      (1L, "A", ts("2024-01-01 10:00:12")), // 2s after q2, 8s before q3 -> 101
+      (2L, "A", ts("2024-01-01 10:00:18")), // 8s after q2, 2s before q3 -> 102
+      (3L, "A", ts("2024-01-01 10:00:15")), // exactly midway -> backward 101
+      (4L, "A", ts("2024-01-01 10:00:10")), // exact hit -> 101
+      (5L, "A", ts("2024-01-01 09:00:00")), // before all -> forward 100
+      (6L, "C", ts("2024-01-01 10:00:00"))  // no quotes -> null
+    ).toDF("trade_id", "sym", "tts")
+    val out = AsofJoin.nearest(probes, quotes, Seq("sym"), "tts", "qts", Seq("px"))
+      .select($"trade_id", $"matched_px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> Some(101.0), 2L -> Some(102.0),
+      3L -> Some(101.0), 4L -> Some(101.0), 5L -> Some(100.0), 6L -> None))
+  }
+
+  test("nearest tolerance applies per direction") {
+    val probes = Seq(
+      (1L, "B", ts("2024-01-01 10:00:20")), // 15s after B's quote
+      (2L, "B", ts("2024-01-01 10:01:30"))  // 85s after -> out of 30s window
+    ).toDF("trade_id", "sym", "tts")
+    val out = AsofJoin.nearest(probes, quotes, Seq("sym"), "tts", "qts",
+        Seq("px"), toleranceSeconds = Some(30L))
+      .select($"trade_id", $"matched_px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> Some(50.0), 2L -> None))
+  }
+
+  test("nearest matches the naive argmin-|dt| formulation (backward ties)") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 31L)
+      def randTs(n: Int) = ts(f"2024-03-${1 + n % 25}%02d ${n % 24}%02d:00:00")
+      val left = (1 to 50).map(i => (i.toLong, rnd.nextInt(3).toLong,
+        randTs(rnd.nextInt(500)))).toDF("lid", "k", "lts")
+      val right = rnd.shuffle((0 until 500).toList).take(50).zipWithIndex
+        .map { case (n, i) => (n % 3L, randTs(n), i.toDouble) }
+        .distinctBy(r => (r._1, r._2))
+        .toDF("k", "rts", "v")
+      val fast = AsofJoin.nearest(left, right, Seq("k"), "lts", "rts", Seq("v"))
+        .select($"lid", $"matched_v").as[(Long, Option[Double])]
+        .collect().toMap
+      // naive: min (|dt|, forward-flag, rts) struct per left row
+      val naive = left.as("t")
+        .join(right.as("q"), $"t.k" === $"q.k", "left")
+        .groupBy($"lid")
+        .agg(min(struct(
+          abs(unix_timestamp($"rts") - unix_timestamp($"lts")).as("adt"),
+          when($"rts" <= $"lts", 0).otherwise(1).as("fwd"),
+          $"v".as("v"))).as("m"))
+        .select($"lid", $"m.v".as("v")).as[(Long, Option[Double])]
+        .collect().toMap
+      assert(fast == naive, s"seed=$seed")
+    }
+  }
+
+  test("nearest stays a single-shuffle window plan (no join)") {
+    val out = AsofJoin.nearest(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"nearest should not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
+  }
+
+  test("forward: null left timestamp matches nothing") {
+    val l = Seq((1L, Option(ts("2024-01-01 09:00:00"))),
+      (2L, Option.empty[java.sql.Timestamp])).toDF("lid", "lts")
+      .withColumn("k", lit(1L))
+    val r = Seq((1L, ts("2024-01-01 10:00:00"), 7.0)).toDF("k", "rts", "v")
+    val out = AsofJoin.forward(l, r, Seq("k"), "lts", "rts", Seq("v"))
+      .select($"lid", $"matched_v").as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> Some(7.0), 2L -> None))
+  }
+
   test("single window plan: no join, one shuffle exchange") {
     val out = AsofJoin.backward(trades, quotes, Seq("sym"), "tts", "qts", Seq("px"))
     val plan = out.queryExecution.executedPlan.toString
