@@ -60,9 +60,15 @@ object Dedup {
       .select(col("_id"), xxhash64(col("_sh")).as("_sh"))
     if (maxBlock <= 0) idx
     else {
-      val w = Window.partitionBy(col("_sh"))
-      idx.withColumn("_freq", count(lit(1)).over(w))
-        .filter(col("_freq") <= maxBlock).drop("_freq")
+      // Hot-list + broadcast anti-join, NOT a count-over-window: the
+      // window form shuffles AND sorts every (doc, shingle) row; the
+      // groupBy partial-aggregates map-side so only distinct shingles
+      // shuffle, and the stop-shingle list it yields is tiny by
+      // construction (shingles in >maxBlock docs), so the anti-join
+      // broadcasts and the index itself never moves.
+      val hot = idx.groupBy(col("_sh")).agg(count(lit(1)).as("_freq"))
+        .filter(col("_freq") > maxBlock).select(col("_sh"))
+      idx.join(broadcast(hot), Seq("_sh"), "left_anti")
     }
   }
 

@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
 object PairCheck {
   def main(args: Array[String]): Unit = {
     val threshold = args.headOption.map(_.toDouble).getOrElse(0.5)
+    // mirror the gate queries' stop-shingle cap so recall is measured on
+    // the same shingle universe the production path uses
+    val maxBlock = args.lift(1).map(_.toLong).getOrElse(1000L)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -18,16 +21,18 @@ object PairCheck {
     for (sf <- Seq("sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
       val docs = Tables.load(spark, dir, "documents")
-      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, threshold)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, threshold,
+          maxBlock = maxBlock)
         .select("id_a", "id_b", "jaccard").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3,
-          numHashes = 64, bands = 32, threshold = threshold)
+          numHashes = 64, bands = 32, threshold = threshold,
+          maxBlock = maxBlock)
         .select("id_a", "id_b", "jaccard").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val minJ = if (exact.isEmpty) 1.0 else exact.map(_._3).min
-      println(s"[paircheck] $sf threshold=$threshold exact=${exact.size} " +
-        s"lsh=${lsh.size} missed=${(exact -- lsh).size} " +
+      println(s"[paircheck] $sf threshold=$threshold maxBlock=$maxBlock " +
+        s"exact=${exact.size} lsh=${lsh.size} missed=${(exact -- lsh).size} " +
         s"spurious=${(lsh -- exact).size} minJaccard=$minJ")
       spark.catalog.clearCache()
     }
