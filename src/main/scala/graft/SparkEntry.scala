@@ -24,9 +24,11 @@ object SparkEntry {
     Tables.load(s, dir, name)
 
   /** Repo-local root for build-once/load-many artifacts (pair tables,
-    * IVF indexes), keyed by the source data dir so scale factors never
-    * share an artifact. Kept out of the testdata tree (read-only). */
-  private def artifactBase(dir: String): String =
+    * simhash signatures, IVF indexes), keyed by the source data dir so
+    * scale factors never share an artifact. Kept out of the testdata
+    * tree (read-only). Public: Verify resolves oracle-SQL path tokens
+    * with it. */
+  def artifactBase(dir: String): String =
     s"/root/repo/work/artifacts/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -615,8 +617,12 @@ object SparkEntry {
     "x_dedup_simhash" -> ((s, dir) =>
       // maxDist=3: the largest distance for which the 16-bit-chunk
       // blocking is provably exhaustive (pigeonhole: ≤3 differing bits
-      // cannot touch all 4 chunks), so the pair set is exact
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+      // cannot touch all 4 chunks), so the pair set is exact — which is
+      // what lets the oracle verify it from the signature artifact with
+      // a blocking-free all-pairs Hamming scan
+      Dedup.simhashPairsFromSignatures(
+          Dedup.simhashTable(t(s, dir, "documents"), "doc_id", "text",
+            artifactBase(dir)), maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     "x_dedup_cluster" -> ((s, dir) => {
@@ -1406,6 +1412,20 @@ object SparkEntry {
              SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
          SELECT src AS id, min(dst) AS comp FROM reach
          GROUP BY src ORDER BY id""",
+
+    // signature generation is engine-specific (xxhash64 votes), but the
+    // signatures are a parquet artifact; the chunk blocking is provably
+    // exhaustive at maxDist=3, so a blocking-free all-pairs Hamming scan
+    // over the artifact is an exact oracle for the blocked pipeline.
+    // __GRAFT_SIMHASH__ resolved by Verify like __GRAFT_IVF__.
+    "x_dedup_simhash" ->
+      """WITH sig AS (SELECT id, sim
+                      FROM read_parquet('__GRAFT_SIMHASH__/*.parquet'))
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+         FROM sig a JOIN sig b ON a.id < b.id
+         WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         ORDER BY id_a, id_b""",
 
     "x_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,

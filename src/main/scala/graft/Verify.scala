@@ -36,12 +36,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // __GRAFT_IVF__ marks oracle SQL that reads the engine's on-disk IVF
-    // index (x_sim_ivf_probe): resolve it to this run's sf-dir-keyed path
-    // so DuckDB probes the same artifacts the engine just built
+    // Path tokens mark oracle SQL that reads the engine's on-disk
+    // artifacts (IVF index for x_sim_ivf_probe, simhash signatures for
+    // x_dedup_simhash): resolve them to this run's sf-dir-keyed paths so
+    // DuckDB reads the same artifacts the engine just built
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace("__GRAFT_IVF__", SparkEntry.ivfBasePath(sfDir)))}"
+        val sql = v
+          .replace("__GRAFT_IVF__", SparkEntry.ivfBasePath(sfDir))
+          .replace("__GRAFT_SIMHASH__", s"${SparkEntry.artifactBase(sfDir)}/simhash")
+        s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

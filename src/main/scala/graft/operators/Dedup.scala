@@ -253,15 +253,44 @@ object Dedup {
     votes.select(col("_id"), sim.as("_sim"))
   }
 
-  /** SimHash near-dup pairs: block on the four 16-bit chunks (pigeonhole:
-    * Hamming ≤ 3 ⟹ some chunk matches exactly), verify Hamming ≤ maxDist
-    * via bit_count(xor). */
+  /** Build-once / load-many SimHash signature artifact: one (id, sim)
+    * row per doc, parquet under `basePath` — the signature generation is
+    * engine-specific (xxhash64 token votes), but once materialized the
+    * pair derivation (chunk blocking + Hamming verify) is recomputable by
+    * anything that reads parquet, which is what makes the gate query
+    * hash-checkable (same pattern as [[IvfIndex]] / [[pairTable]]). */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String,
+                   basePath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val path = s"$basePath/simhash"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      simhashAgg(docs, idCol, textCol)
+        .select(col("_id").as("id"), col("_sim").as("sim"))
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Pair derivation over a precomputed `(id, sim)` signature frame:
+    * block on the four 16-bit chunks (pigeonhole: Hamming ≤ 3 ⟹ some
+    * chunk matches exactly), verify Hamming ≤ maxDist via
+    * bit_count(xor). Exact (not approximate) for maxDist ≤ 3. */
+  def simhashPairsFromSignatures(sig: DataFrame, maxDist: Int): DataFrame =
+    chunkBlockPairs(sig.select(col("id").as("_id"), col("sim").as("_sim")),
+      maxDist)
+
+  /** SimHash near-dup pairs end-to-end: signatures + [[simhashPairsFromSignatures]]. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int): DataFrame = {
     // one 8-byte signature per doc — persist so the two self-join sides
     // don't each re-run the token-vote aggregation
     val sig = simhashAgg(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    chunkBlockPairs(sig, maxDist)
+  }
+
+  private def chunkBlockPairs(sig: DataFrame, maxDist: Int): DataFrame = {
     val chunked = sig.select(col("_id"), col("_sim"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
