@@ -120,6 +120,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.getOrElse((1L, 2L), 99) <= 10) // near-dup should be close
   }
 
+  test("simhashTable artifact serves the identical pair set as the direct path") {
+    val base = java.nio.file.Files.createTempDirectory("graft-simhash").toString
+    val direct = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    val sig = Dedup.simhashTable(docs, "doc_id", "text", base)
+    val served = Dedup.simhashPairsFromSignatures(sig, maxDist = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(served == direct)
+    // build-once: a reload (empty source) still serves the same signatures
+    val reloaded = Dedup.simhashTable(docs.limit(0), "doc_id", "text", base)
+    assert(reloaded.count() == sig.count())
+  }
+
   test("connectedComponents: chains collapse to min id, singletons keep selves") {
     val nodes = (1L to 7L).toDF("id")
     // chain 1-2-3, pair 5-6; 4 and 7 singletons
