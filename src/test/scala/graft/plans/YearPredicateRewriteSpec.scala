@@ -76,6 +76,18 @@ class YearPredicateRewriteSpec extends SparkSpec {
     }
   }
 
+  test("year BETWEEN rewrites both bounds (composes from the inequality cases)") {
+    GraftExtensions.install(spark)
+    val df = spark.read.parquet(parquetDir)
+    val q = df.filter(expr("year(t) BETWEEN 1996 AND 1996"))
+    assert(q.select($"id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("year("), s"year() survived BETWEEN rewrite:\n$opt")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(t,") && plan.contains("LessThan(t,"),
+      s"BETWEEN bounds not pushed:\n$plan")
+  }
+
   test("year IN (...) rewrites to a disjunction of ranges") {
     GraftExtensions.install(spark)
     val df = spark.read.parquet(parquetDir)
