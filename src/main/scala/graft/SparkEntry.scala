@@ -761,9 +761,11 @@ object SparkEntry {
 
     // ── LLM-pipeline extensions: multimodal columns ──────────────────
     "x_sim_knn" -> ((s, dir) => {
-      // blocked kNN join: top-3 same-label neighbors per anchor. Anchors
-      // subsampled for output size; the filter is on the window's
-      // partition key, so rank-then-filter ≡ filter-then-rank.
+      // blocked kNN join: top-3 same-label neighbors per anchor, ranked
+      // by the k-bounded GroupTopK aggregator over triangle sub-buckets
+      // (no window over the pair product). Anchors subsampled for output
+      // size; the filter is on the aggregation key, so rank-then-filter
+      // ≡ filter-then-rank.
       val emb = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
         .withColumn("embedding", col("embedding").cast("array<double>"))
       Similarity.blockKnn(emb, "vec_id", "embedding", "label", k = 3)

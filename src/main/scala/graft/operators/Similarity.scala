@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.util.Random
@@ -108,23 +107,57 @@ object Similarity {
       .limit(k)
   }
 
-  /** All-pairs top-k neighbors within blocks (kNN-join building block):
-    * rank partner rows per anchor inside a blocking key. */
+  /** Top-k neighbors per anchor within blocks (kNN-join building block).
+    *
+    * Candidate-bounded formulation — two scale devices over the naive
+    * "block self-join + window rank" (which materializes and SORTS the
+    * full within-block pair product, quadratic on a hot block):
+    *
+    *  1. Triangle sub-bucket decomposition (same device as
+    *     [[Dedup.embeddingNearDupPairs]]): each row gets a content-hash
+    *     sub-bucket in [0,B); the pair space splits into B(B+1)/2
+    *     bucket-pair join tasks per block, so one dominant block (a
+    *     corpus-scale language/label) spreads over ~B²/2 tasks instead of
+    *     landing on a single join task. Each unordered pair meets exactly
+    *     once; since kNN is directed, the meeting emits BOTH directions
+    *     map-side (explode of 2 structs — no second join pass).
+    *  2. Per-anchor ranking through [[GroupTopK.topKPerGroup]], a
+    *     k-bounded typed aggregator: partial aggregation truncates to k
+    *     entries per (task, anchor) BEFORE the shuffle, so the exchange
+    *     carries at most k rows' state per anchor per map task and no
+    *     sort of the pair product ever happens — work per task is the
+    *     bucket-pair product, but shuffle + memory are k-bounded.
+    *
+    * Score ties at 6 dp break to the SMALLER neighbor id (the aggregator
+    * orders (score, id) descending, so the partner id is negated on the
+    * way in and restored on the way out). */
   def blockKnn(emb: DataFrame, idCol: String, vecCol: String,
-               blockCol: String, k: Int): DataFrame = {
+               blockCol: String, k: Int, subBuckets: Int = 8): DataFrame = {
+    val B = math.max(subBuckets, 1)
+    val bucket = pmod(xxhash64(col(idCol)), lit(B.toLong))
     // per-row norms below the join (see Dedup.embeddingNearDupPairs)
     val a = emb.select(col(blockCol).as("_blk"), col(idCol).as("id_a"),
-      col(vecCol).as("_va"), norm(col(vecCol)).as("_na"))
+        col(vecCol).as("_va"), norm(col(vecCol)).as("_na"), bucket.as("_ba"))
+      .withColumn("_bb", explode(sequence(col("_ba"), lit(B.toLong - 1))))
     val b = emb.select(col(blockCol).as("_blk"), col(idCol).as("id_b"),
-      col(vecCol).as("_vb"), norm(col(vecCol)).as("_nb"))
-    val w = Window.partitionBy(col("id_a"))
-      .orderBy(col("score").desc, col("id_b").asc)
-    a.join(b, Seq("_blk"))
+        col(vecCol).as("_vb"), norm(col(vecCol)).as("_nb"), bucket.as("_bb2"))
+      .withColumn("_ba", explode(sequence(lit(0L), col("_bb2"))))
+      .withColumnRenamed("_bb2", "_bb")
+    val directed = a.join(b, Seq("_blk", "_ba", "_bb"))
+      // same-bucket pairs meet once via id order; cross-bucket pairs meet
+      // once by construction (left replicates up, right replicates down)
+      .filter(col("_ba") < col("_bb") || col("id_a") < col("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("score",
         round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col("id_a"), col("id_b"), col("score"))
+      .select(explode(array(
+        struct(col("id_a").cast("long").as("anchor"),
+          (-col("id_b").cast("long")).as("_negid"), col("score")),
+        struct(col("id_b").cast("long").as("anchor"),
+          (-col("id_a").cast("long")).as("_negid"), col("score")))).as("_d"))
+      .select(col("_d.anchor"), col("_d._negid"), col("_d.score"))
+    GroupTopK.topKPerGroup(directed, Seq("anchor"), "score", "_negid", k)
+      .select(col("anchor").as("id_a"), (-col("_negid")).as("id_b"),
+        col("score"))
   }
 }

@@ -63,4 +63,55 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 6) // every row has one nearest in its block
     out.foreach { case (a, b, s) => assert(a != b && s > 0.8) }
   }
+
+  test("blockKnn on one dominant block: k-bounded shuffle, no window sort") {
+    // 400 rows in a single block — the skew case the sub-bucket + partial
+    // top-k formulation exists for. Ground truth is the full-product
+    // window rank; the operator must match it while shuffling far fewer
+    // rows than the directed pair product and planning no Window at all.
+    val n = 400
+    val rnd = new scala.util.Random(7)
+    val big = (1 to n).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat()), 0))
+      .toDF("vec_id", "embedding", "label").persist()
+    big.count()
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = Similarity.blockKnn(big, "vec_id", "embedding", "label", k = 3)
+      val got = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      import org.apache.spark.sql.expressions.Window
+      val aa = big.select(col("label").as("_blk"), col("vec_id").as("id_a"),
+        col("embedding").as("_va"))
+      val bb = big.select(col("label").as("_blk"), col("vec_id").as("id_b"),
+        col("embedding").as("_vb"))
+      val w = Window.partitionBy(col("id_a"))
+        .orderBy(col("score").desc, col("id_b").asc)
+      val expected = aa.join(bb, Seq("_blk"))
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("score", round(
+          graft.functions.VectorFunctions.cosine(col("_va"), col("_vb")), 6))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 3)
+        .select("id_a", "id_b", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected)
+
+      val plan = out.queryExecution.executedPlan
+      assert(!plan.toString.contains("Window"),
+        "blockKnn must not rank via a window over the pair product")
+      val shuffled = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          s.metrics.get("shuffleRecordsWritten")
+            .orElse(s.metrics.get("numOutputRows")).map(_.value).getOrElse(0L)
+      }.sum
+      // directed pair product would be n*(n-1); sub-bucket join inflation
+      // plus the k-bounded partial-aggregate state must stay way below it
+      assert(shuffled < n.toLong * (n - 1) / 10,
+        s"shuffled $shuffled rows — not candidate-bounded")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      big.unpersist()
+    }
+  }
 }
