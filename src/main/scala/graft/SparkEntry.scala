@@ -782,11 +782,14 @@ object SparkEntry {
     }),
 
     "x_mm_decode" -> ((s, dir) => {
-      // batched stub decode through BatchOps (mapPartitions + bounded
-      // batches) — rows-only: the fake codec's content hash has no SQL
-      // equivalent, but the output is deterministic per payload
+      // REAL batched decode: payloads are actual BMP/WAV containers (the
+      // on-disk media artifact), HeaderCodec sniffs magic and parses the
+      // headers — byte arithmetic the oracle replays from the very same
+      // parquet via hex-string math (mmDecodeOracleSql), so the gate
+      // hash-checks end-to-end
       Multimodal.decodeBatched(
-          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"),
+          Multimodal.mediaTable(t(s, dir, "documents"), "doc_id", "text",
+            artifactBase(dir)),
           batchSize = 256)
         .toDF()
         .orderBy(col("media_id"))
@@ -890,6 +893,37 @@ object SparkEntry {
                ORDER BY score DESC, vec_id LIMIT 10)
        SELECT vec_id, score FROM top WHERE vec_id <> 0
        ORDER BY score DESC, vec_id"""
+
+  /** DuckDB oracle for `x_mm_decode`: replays the header parse over the
+    * SAME media artifact the engine decodes. Byte extraction is hex-string
+    * arithmetic — `hex(content)` then per-byte nibble math — so BMP
+    * little-endian width/height and the canonical WAV fmt/data fields are
+    * all SQL-recomputable. (The generator guarantees canonical WAV chunk
+    * layout; the engine's HeaderCodec walks chunks and does not rely on
+    * it.) `__GRAFT_MEDIA__` is substituted by Verify. */
+  private def mmDecodeOracleSql: String = {
+    // byte i (1-indexed) of the blob as an integer, from its hex pair:
+    // (hi-1)*16 + (lo-1) with strpos's 1-based answers folded into -17
+    def b(i: Int) =
+      s"(strpos('0123456789ABCDEF', substr(h, ${2 * i - 1}, 1)) * 16 + " +
+        s"strpos('0123456789ABCDEF', substr(h, ${2 * i}, 1)) - 17)"
+    def le16(i: Int) = s"(${b(i)} + 256 * ${b(i + 1)})"
+    def le32(i: Int) = s"(${b(i)} + 256 * ${b(i + 1)} + " +
+      s"65536 * ${b(i + 2)} + 16777216 * ${b(i + 3)})"
+    val isBmp = "substr(h, 1, 4) = '424D'" // 'B','M'
+    s"""WITH m AS (SELECT media_id, hex(content) AS h
+                   FROM read_parquet('__GRAFT_MEDIA__/*.parquet'))
+        SELECT media_id,
+               CASE WHEN $isBmp THEN 'bmp' ELSE 'wav' END AS format,
+               CAST(CASE WHEN $isBmp THEN ${le32(19)} ELSE 0 END AS INT) AS width,
+               CAST(CASE WHEN $isBmp THEN ${le32(23)} ELSE 0 END AS INT) AS height,
+               CAST(CASE WHEN $isBmp THEN 1
+                    ELSE ${le32(41)} // (${le16(23)} * (${le16(35)} // 8))
+                    END AS INT) AS n_frames,
+               CAST(CASE WHEN $isBmp THEN 0 ELSE ${le32(25)} END AS INT) AS sample_rate,
+               CAST(CASE WHEN $isBmp THEN 0 ELSE ${le16(23)} END AS INT) AS channels
+        FROM m ORDER BY media_id"""
+  }
 
   // ───────────────────────────────────────────────────────────────────
   // DuckDB oracle SQL. Same determinism rules as the Spark side;
@@ -1586,5 +1620,7 @@ object SparkEntry {
                 octet_length(CAST(text AS BLOB)) AS n_bytes,
                 md5(text) AS content_md5,
                 ascii(substr(text, 1, 1)) AS first_byte
-         FROM documents ORDER BY media_id""")
+         FROM documents ORDER BY media_id""",
+
+    "x_mm_decode" -> mmDecodeOracleSql)
 }

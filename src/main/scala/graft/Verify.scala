@@ -45,6 +45,7 @@ object Verify {
         val sql = v
           .replace("__GRAFT_IVF__", SparkEntry.ivfBasePath(sfDir))
           .replace("__GRAFT_SIMHASH__", s"${SparkEntry.artifactBase(sfDir)}/simhash")
+          .replace("__GRAFT_MEDIA__", s"${SparkEntry.artifactBase(sfDir)}/media")
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

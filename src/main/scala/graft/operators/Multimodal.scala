@@ -1,25 +1,34 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (BASELINE north star): image/audio/video
   * payloads ride as opaque `binary` columns with typed metadata, processed
   * in partition-sized batches.
   *
-  * The actual codec call is STUBBED — this container has no image/audio
-  * libraries — behind `FakeCodec.decode`, a deterministic fake keyed on
-  * the payload bytes. Everything around it is real and load-bearing:
-  * the binary schema, the metadata extraction (pure codegen'd functions),
-  * and the `mapPartitions` batch shape a vectorized decoder would use
-  * (one decoder init per partition, streaming over rows — the Scala
-  * analog of `mapInPandas` batches).
+  * The codec is REAL: [[HeaderCodec]] sniffs the container magic and
+  * parses BMP (BITMAPINFOHEADER) and WAV (RIFF chunk walk) headers into
+  * typed metadata — pure byte arithmetic, so the DuckDB oracle can replay
+  * the decode over the same bytes (hex-string arithmetic in SQL). The
+  * batch shape is what a heavyweight codec (JPEG/H.264 via FFI) would
+  * use: one decoder context per task, rows handed over in bounded batches
+  * ([[BatchOps.mapBatchesWithSetup]] — the JVM-native `mapInPandas`).
+  *
+  * Test payloads come from [[MediaGen]], a deterministic generator
+  * (doc id + text → canonical BMP or WAV bytes) materialized once as an
+  * on-disk artifact by [[mediaTable]] — same build-once/load-many pattern
+  * as [[IvfIndex]] and [[Dedup.pairTable]], and what makes the decode
+  * gate hash-checkable end-to-end.
   */
 object Multimodal {
 
-  /** Typed decode output: what a real image decoder would report. */
-  case class DecodedMeta(media_id: Long, width: Int, height: Int,
-                         format: String, n_frames: Int)
+  /** Typed decode output. Images fill width/height (n_frames = 1);
+    * audio fills n_frames (PCM frames per channel), sample_rate and
+    * channels. `format` is the sniffed container. */
+  case class DecodedMeta(media_id: Long, format: String, width: Int,
+                         height: Int, n_frames: Int, sample_rate: Int,
+                         channels: Int)
 
   /** Wrap any (id, payload-string) frame as a media table:
     * (media_id: long, content: binary). */
@@ -35,19 +44,116 @@ object Multimodal {
       .withColumn("content_md5", md5(col("content")))
       .withColumn("first_byte", ascii(substring(col("content").cast("string"), 1, 1)))
 
-  /** STUB codec: deterministic fake decode derived from the payload
-    * bytes. A real deployment swaps this object for JNI/FFI bindings —
-    * the surrounding plumbing is unchanged. */
-  object FakeCodec {
+  /** Real minimal codec: container sniffing + header parse for two actual
+    * formats. Little-endian field extraction, exactly what the first step
+    * of any image/audio decoder does; pixel/PCM payloads stay opaque
+    * (feature extraction is a separate, heavier stage). Unknown magic
+    * throws — a decoder that silently invents metadata hides corruption. */
+  object HeaderCodec {
+    private def u8(c: Array[Byte], i: Int): Int = c(i) & 0xFF
+    private def le16(c: Array[Byte], i: Int): Int = u8(c, i) | (u8(c, i + 1) << 8)
+    private def le32(c: Array[Byte], i: Int): Int =
+      u8(c, i) | (u8(c, i + 1) << 8) | (u8(c, i + 2) << 16) | (u8(c, i + 3) << 24)
+    private def fourCC(c: Array[Byte], i: Int): String =
+      new String(c, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
     def decode(mediaId: Long, content: Array[Byte]): DecodedMeta = {
-      val h = java.util.Arrays.hashCode(content)
-      DecodedMeta(
-        media_id = mediaId,
-        width = 64 + math.floorMod(h, 1024),
-        height = 64 + math.floorMod(h >> 10, 1024),
-        format = Seq("jpeg", "png", "webp")(math.floorMod(h >> 20, 3)),
-        n_frames = 1 + math.floorMod(h >> 22, 16))
+      if (content.length >= 26 && content(0) == 'B' && content(1) == 'M') {
+        // BMP: BITMAPINFOHEADER width/height at offsets 18/22 (LE i32)
+        DecodedMeta(mediaId, "bmp", width = le32(content, 18),
+          height = le32(content, 22), n_frames = 1, sample_rate = 0,
+          channels = 0)
+      } else if (content.length >= 12 && fourCC(content, 0) == "RIFF" &&
+                 fourCC(content, 8) == "WAVE") {
+        // WAV: walk RIFF chunks (a real reader never assumes canonical
+        // layout — fmt/data may be preceded by LIST/fact chunks)
+        var off = 12
+        var channels, rate, bits = 0
+        var dataSize = -1
+        while (off + 8 <= content.length && (dataSize < 0 || bits == 0)) {
+          val id = fourCC(content, off)
+          val size = le32(content, off + 4)
+          if (id == "fmt ") {
+            channels = le16(content, off + 10)
+            rate = le32(content, off + 12)
+            bits = le16(content, off + 22)
+          } else if (id == "data") dataSize = size
+          off += 8 + size + (size & 1) // chunks are word-aligned
+        }
+        require(bits > 0 && channels > 0 && dataSize >= 0,
+          s"media $mediaId: WAV missing fmt/data chunk")
+        DecodedMeta(mediaId, "wav", width = 0, height = 0,
+          n_frames = dataSize / (channels * (bits / 8)),
+          sample_rate = rate, channels = channels)
+      } else throw new IllegalArgumentException(
+        s"media $mediaId: unknown container (${content.length} bytes)")
     }
+  }
+
+  /** Deterministic media payload generator: doc id + text → real bytes of
+    * a canonical container (even ids: 24-bit BMP, odd ids: 16-bit PCM
+    * WAV with the canonical 44-byte header). Dimensions/rates derive from
+    * the doc, so every payload decodes to distinct, predictable metadata;
+    * pixel/PCM bytes are filled deterministically. Canonical layout is a
+    * generator guarantee the SQL oracle relies on; [[HeaderCodec]] itself
+    * does not assume it. */
+  object MediaGen {
+    def payload(docId: Long, text: String): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(1 << 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (docId % 2 == 0) {
+        val w = 1 + ((docId / 2) % 16).toInt
+        val h = 1 + (text.length % 16)
+        val stride = (3 * w + 3) & ~3 // BMP rows pad to 4 bytes
+        val imageSize = stride * h
+        bb.put('B'.toByte).put('M'.toByte)
+          .putInt(54 + imageSize).putInt(0).putInt(54) // file size, reserved, data offset
+          .putInt(40).putInt(w).putInt(h)              // DIB size, width, height
+          .putShort(1).putShort(24)                    // planes, bpp
+          .putInt(0).putInt(imageSize)                 // compression, image size
+          .putInt(2835).putInt(2835).putInt(0).putInt(0) // ppm, palette
+        for (i <- 0 until imageSize)
+          bb.put(((docId * 31 + i) % 251).toByte)
+      } else {
+        val channels = 1 + ((docId / 2) % 2).toInt
+        val rate = Seq(8000, 16000, 44100)(text.length % 3)
+        val bits = 16
+        val frames = 8 + (text.length % 64)
+        val blockAlign = channels * bits / 8
+        val dataSize = frames * blockAlign
+        bb.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+          .put("fmt ".getBytes).putInt(16)
+          .putShort(1).putShort(channels.toShort)      // PCM, channels
+          .putInt(rate).putInt(rate * blockAlign)      // sample rate, byte rate
+          .putShort(blockAlign.toShort).putShort(bits.toShort)
+          .put("data".getBytes).putInt(dataSize)
+        for (i <- 0 until dataSize)
+          bb.put(((docId * 17 + i) % 253).toByte)
+      }
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+  }
+
+  /** Build-once / load-many media artifact: (media_id, content binary)
+    * parquet under `<basePath>/media`, payloads from [[MediaGen]]. The
+    * generation is engine-side, but once on disk the DECODE is pure byte
+    * arithmetic any parquet reader can replay — which is what lets the
+    * decode gate hash-check against DuckDB (same pattern as
+    * [[Dedup.simhashTable]]). */
+  def mediaTable(docs: DataFrame, idCol: String, textCol: String,
+                 basePath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val path = s"$basePath/media"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      import spark.implicits._
+      docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+        .map { case (id, text) => (id, MediaGen.payload(id, text)) }
+        .toDF("media_id", "content")
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    }
+    spark.read.parquet(path)
   }
 
   /** Batch decode through [[BatchOps.mapBatchesWithSetup]]: one codec
@@ -58,26 +164,26 @@ object Multimodal {
     implicit val enc = Encoders.product[DecodedMeta]
     BatchOps.mapBatchesWithSetup(
         media.select(col("media_id"), col("content")), batchSize)(
-        // real deployment: open the decoder handle here, once per task
-        () => FakeCodec) { (codec, batch) =>
+        // a heavyweight codec opens its native handle here, once per task
+        () => HeaderCodec) { (codec, batch) =>
       batch.map(r => codec.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
     }
   }
 
-  /** Frame-sample stub: pick every `stride`-th frame index from the fake
-    * decode — demonstrates the explode-to-frames shape video pipelines
-    * use (one row per sampled frame). */
+  /** Frame sampling: every `stride`-th frame index (video keyframe /
+    * audio window sampling shape — one row per sampled frame). */
   def sampleFrames(decoded: Dataset[DecodedMeta], stride: Int): DataFrame =
     decoded.toDF()
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select(col("media_id"), col("frame_idx"), col("width"), col("height"))
 
-  /** Resize stub: clamps the fake-decoded dims to a bounding box,
-    * preserving aspect (integer arithmetic like a real thumbnailer). The
-    * media bytes stay opaque — a real codec swaps in at FakeCodec. */
+  /** Resize planning for image rows: clamps decoded dims to a bounding
+    * box, preserving aspect (integer arithmetic like a real thumbnailer).
+    * Audio rows are passed over — resize is an image transform. */
   def resized(decoded: Dataset[DecodedMeta], maxSide: Int): DataFrame =
     decoded.toDF()
+      .filter(col("width") > 0 && col("height") > 0)
       .withColumn("_scale",
         greatest(greatest(col("width"), col("height"))
           .cast("double") / maxSide, lit(1.0)))

@@ -39,12 +39,13 @@ class BatchOpsSpec extends SparkSpec {
   }
 
   test("decodeBatched through BatchOps matches row-at-a-time decode") {
-    val media = Multimodal.asMedia(
-      (1L to 50L).map(i => (i, s"payload_$i")).toDF("id", "p"), "id", "p")
+    val media = (1L to 50L)
+      .map(i => (i, Multimodal.MediaGen.payload(i, s"payload_$i")))
+      .toDF("media_id", "content")
     val batched = Multimodal.decodeBatched(media, batchSize = 7)
       .collect().sortBy(_.media_id)
     val direct = media.collect().map(r =>
-      Multimodal.FakeCodec.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
+      Multimodal.HeaderCodec.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
       .sortBy(_.media_id)
     assert(batched.toSeq == direct.toSeq)
   }

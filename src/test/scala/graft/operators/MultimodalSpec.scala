@@ -26,12 +26,64 @@ class MultimodalSpec extends SparkSpec {
     assert(out._3 == 'h'.toInt)
   }
 
-  test("resized clamps to bounding box preserving aspect") {
-    val media = Multimodal.asMedia(docs, "doc_id", "text")
-    val out = Multimodal.resized(Multimodal.decodeBatched(media), maxSide = 64)
+  // real container payloads (even ids → BMP, odd ids → WAV)
+  private lazy val media =
+    Seq(2L -> "hello world", 3L -> "payload-two", 4L -> "abc", 7L -> "x")
+      .map { case (id, t) => (id, Multimodal.MediaGen.payload(id, t)) }
+      .toDF("media_id", "content")
+
+  test("HeaderCodec parses BMP dimensions from real bytes") {
+    val bytes = Multimodal.MediaGen.payload(10L, "hello world") // w=6, h=12
+    val m = Multimodal.HeaderCodec.decode(10L, bytes)
+    assert(m.format == "bmp")
+    assert(m.width == 1 + (5 % 16) && m.height == 1 + ("hello world".length % 16))
+    assert(m.n_frames == 1 && m.sample_rate == 0 && m.channels == 0)
+  }
+
+  test("HeaderCodec parses WAV fmt/data from real bytes") {
+    val text = "payload-two" // len 11: rate idx 2 → 44100, frames 8+11
+    val m = Multimodal.HeaderCodec.decode(3L, Multimodal.MediaGen.payload(3L, text))
+    assert(m.format == "wav")
+    assert(m.sample_rate == 44100)
+    assert(m.channels == 1 + ((3L / 2) % 2).toInt)
+    assert(m.n_frames == 8 + (text.length % 64))
+    assert(m.width == 0 && m.height == 0)
+  }
+
+  test("HeaderCodec walks non-canonical WAV chunk layouts") {
+    // insert a LIST chunk between 'WAVE' and 'fmt ' — a real reader must
+    // skip it, not assume the canonical 44-byte header
+    val canonical = Multimodal.MediaGen.payload(5L, "abc")
+    val list = Array[Byte]('L', 'I', 'S', 'T', 6, 0, 0, 0, 'I', 'N', 'F', 'O', 0, 0)
+    val padded = canonical.take(12) ++ list ++ canonical.drop(12)
+    val m = Multimodal.HeaderCodec.decode(5L, padded)
+    assert(m == Multimodal.HeaderCodec.decode(5L, canonical).copy(media_id = 5L))
+  }
+
+  test("HeaderCodec rejects unknown containers") {
+    intercept[IllegalArgumentException] {
+      Multimodal.HeaderCodec.decode(1L, "not a container".getBytes)
+    }
+  }
+
+  test("mediaTable artifact round-trips through parquet and decodes") {
+    val base = java.nio.file.Files.createTempDirectory("graft-media").toString
+    val table = Multimodal.mediaTable(docs, "doc_id", "text", base)
+    assert(table.schema("content").dataType.typeName == "binary")
+    val decoded = Multimodal.decodeBatched(table).collect().sortBy(_.media_id)
+    assert(decoded.map(_.media_id).toSeq == Seq(1L, 2L))
+    assert(decoded.map(_.format).toSeq == Seq("wav", "bmp"))
+    // second call reads the artifact, same contents
+    val again = Multimodal.mediaTable(docs, "doc_id", "text", base)
+    assert(again.count() == 2)
+  }
+
+  test("resized clamps image rows to bounding box, skips audio") {
+    val out = Multimodal.resized(Multimodal.decodeBatched(media), maxSide = 8)
       .as[(Long, Int, Int)].collect()
+    assert(out.map(_._1).sorted.toSeq == Seq(2L, 4L)) // BMP rows only
     out.foreach { case (_, w, h) =>
-      assert(w <= 64 && h <= 64 && w > 0 && h > 0)
+      assert(w <= 8 && h <= 8 && w > 0 && h > 0)
     }
   }
 
@@ -57,11 +109,10 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decodeBatched is deterministic per payload; sampleFrames explodes") {
-    val media = Multimodal.asMedia(docs, "doc_id", "text")
     val d1 = Multimodal.decodeBatched(media).collect().sortBy(_.media_id)
     val d2 = Multimodal.decodeBatched(media).collect().sortBy(_.media_id)
     assert(d1.toSeq == d2.toSeq)
-    assert(d1.forall(m => m.width >= 64 && m.height >= 64 && m.n_frames >= 1))
+    assert(d1.forall(m => m.n_frames >= 1))
     val frames = Multimodal.sampleFrames(Multimodal.decodeBatched(media), stride = 2)
     val perId = frames.groupBy("media_id").count().as[(Long, Long)].collect().toMap
     d1.foreach { m =>
