@@ -19,30 +19,46 @@ import org.apache.spark.sql.functions._
   * only the chosen cells — corpus-size-independent candidate selection,
   * the same shape FAISS IVF uses, expressed as partition pruning.
   *
-  * K-means notes (all DataFrame ops, no MLlib): assignment computes
-  * per-row argmin over k squared-L2 distances — dist² = |c|² − 2·x·c
-  * (|x|² is row-constant) — via an array of (dist, idx) structs reduced
-  * with `array_min` (struct ordering compares dist first); update is the
-  * posexplode/avg used by `Similarity.centroids`. Deterministic: seeded
-  * init picks the k hash-smallest rows; ties in argmin break to the
-  * lower cell id.
+  * K-means notes (all DataFrame ops, no MLlib): assignment broadcasts
+  * the centroid TABLE and computes the per-row argmin over k squared-L2
+  * distances — dist² = |c|² − 2·x·c (|x|² is row-constant) — as a
+  * `min(struct(dist, cell))` aggregate over the broadcast crossJoin.
+  * The k-way row replication is collapsed back to one row per id by the
+  * PARTIAL aggregate before any exchange, and the plan stays O(1) in k
+  * (the centroids travel as broadcast data, not as an O(k·dim)
+  * expression tree — the literal-inlining formulation re-planned a
+  * k×dim expression every Lloyd round, a driver planning bomb at
+  * realistic k). Update is the posexplode/avg used by
+  * `Similarity.centroids`. Deterministic: seeded init picks the k
+  * hash-smallest rows; ties in argmin break to the lower cell id
+  * (struct ordering compares dist, then cell).
   */
 final class IvfIndex(spark: SparkSession, basePath: String) {
 
   private def cellsPath = s"$basePath/ivf_cells"
   private def centroidsPath = s"$basePath/ivf_centroids"
 
-  /** Assignment column: index of the nearest centroid. */
-  private def nearestCell(vecCol: String,
-                          cents: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
-    val v = col(vecCol).cast("array<double>")
-    val scored = cents.map { case (idx, c) =>
-      val cArr = array(c.map(lit): _*)
-      val normSq = c.map(x => x * x).sum
-      struct((lit(normSq) - VectorFunctions.dot(v, cArr) * 2).as("dist"),
-        lit(idx).as("idx"))
-    }
-    array_min(array(scored: _*)).getField("idx")
+  /** (id, nearest-cell, vec) via broadcast centroid table + argmin
+    * aggregate. One shuffle of one row per input row; centroid count
+    * only affects per-task compute and broadcast size. */
+  private def assignments(emb: DataFrame, idCol: String, vecCol: String,
+                          cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    // |c|² computed driver-side in array order — identical doubles to an
+    // executor-side fold, and k tiny numbers ride the broadcast for free
+    val cdf = cents.map { case (i, c) => (i, c, c.map(x => x * x).sum) }
+      .toDF("_ccell", "_cvec", "_cn2")
+    emb.select(col(idCol).as("_aid"),
+        col(vecCol).cast("array<double>").as("_av"))
+      .crossJoin(broadcast(cdf))
+      .select(col("_aid"), col("_av"),
+        struct(
+          (col("_cn2") - VectorFunctions.dot(col("_av"), col("_cvec")) * 2)
+            .as("dist"),
+          col("_ccell").as("idx")).as("_s"))
+      .groupBy(col("_aid"))
+      .agg(min(col("_s")).as("_best"), first(col("_av")).as("_av"))
+      .select(col("_aid"), col("_best.idx").as("_cell"), col("_av"))
   }
 
   /** Build the index: k-means the corpus into `k` cells, persist cells
@@ -58,14 +74,12 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
       .map(_.getSeq[Double](0).toSeq).zipWithIndex.map(_.swap).toSeq
 
     for (_ <- 1 to iters) {
-      // one shuffle per Lloyd round: the (cell, dim) means are k×dim rows
-      // (512 for k=8, dim=64) — collect them directly and assemble the
-      // centroid arrays driver-side instead of paying a second shuffle
-      // for the array_sort/collect_list regroup
-      val assigned = emb.withColumn("_cell", nearestCell(vecCol, cents))
-      val means = assigned
-        .select(col("_cell"),
-          posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_x")))
+      // two shuffles per Lloyd round (argmin by id, means by cell/dim);
+      // the (cell, dim) means are k×dim rows — collect them directly and
+      // assemble the centroid arrays driver-side instead of paying a
+      // third shuffle for the array_sort/collect_list regroup
+      val means = assignments(emb, idCol, vecCol, cents)
+        .select(col("_cell"), posexplode(col("_av")).as(Seq("_pos", "_x")))
         .groupBy(col("_cell"), col("_pos")).agg(avg(col("_x")).as("_m"))
         .collect()
       val byIdx = means.groupBy(_.getInt(0)).map { case (cell, rows) =>
@@ -75,7 +89,9 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
       cents = cents.map { case (i, c) => (i, byIdx.getOrElse(i, c)) }
     }
 
-    emb.withColumn("cell", nearestCell(vecCol, cents))
+    val asg = assignments(emb, idCol, vecCol, cents)
+      .select(col("_aid"), col("_cell").as("cell"))
+    emb.join(asg, emb(idCol) === asg("_aid")).drop("_aid")
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(cellsPath)
     import spark.implicits._
     cents.map { case (i, c) => (i, c) }.toDF("cell", "centroid")

@@ -48,4 +48,21 @@ class IvfIndexSpec extends SparkSpec {
       .as[(Long, Double)].collect()
     assert(probeAll.toSeq == brute.toSeq)
   }
+
+  test("build at realistic k (64 cells, sf0.1 corpus) — no plan blow-up") {
+    // the broadcast-table + argmin-aggregate assignment keeps the plan
+    // O(1) in k; the previous k×dim literal expression tree made large-k
+    // builds a driver-side planning bomb re-paid every Lloyd round
+    val corpus = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val base = Files.createTempDirectory("graft_ivf64").toString
+    val idx = new IvfIndex(spark, base)
+    idx.build(corpus, "vec_id", "embedding", k = 64, iters = 2)
+    val nCells = idx.cells().select("cell").distinct().count()
+    assert(nCells > 32 && nCells <= 64) // real spread, not one hot cell
+    val q = corpus.filter($"vec_id" === 0).select("embedding")
+      .as[Seq[Float]].head().map(_.toDouble)
+    val top = idx.search("vec_id", "embedding", q, k = 5, nprobe = 8).collect()
+    assert(top.length == 5)
+    assert(top.head.getLong(0) == 0L) // the query vector itself wins
+  }
 }
