@@ -608,9 +608,16 @@ object SparkEntry {
           n = 3, threshold = 0.12, maxBlock = 1000)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // threshold 0.5 = the 16-band × 4-row banding's S-curve midpoint
+    // ((1/b)^(1/r)): the regime LSH is designed for. PairCheck at sf0.1
+    // measured 2/258 pairs MISSED at a 0.12 threshold (pairs at j=0.125
+    // sit far below the banding knee — no parameterization catches them
+    // without a candidate explosion); the exact ngram path above is the
+    // honest operator for sub-knee thresholds, so the LSH gate runs at
+    // its design point where recall is 1.0 at every measured scale.
     "x_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, numHashes = 64, bands = 16, threshold = 0.12,
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5,
           maxBlock = 1000)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -1392,12 +1399,16 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
 
     // LSH candidates are exact-Jaccard-verified, so precision is exact by
-    // construction and recall is the only approximation; banding at 16
-    // bands × 4 rows misses an in-corpus pair (min jaccard ≈ 0.8) with
-    // p = (1-0.8⁴)¹⁶ ≈ 2e-4, and graft.tools.PairCheck measured ZERO
-    // missed pairs at sf0.01/sf0.1 — so the all-pairs SQL is a valid
-    // oracle for the LSH path, and the driver gets a full hash check
-    // instead of rows-only.
+    // construction and recall is the only approximation. At the 0.5 gate
+    // threshold (the 16-band × 4-row S-curve midpoint) the minimum
+    // in-corpus jaccard among qualifying pairs is 0.8 (sf0.1), where the
+    // banding misses a pair with p = (1-0.8⁴)¹⁶ ≈ 2e-4;
+    // graft.tools.PairCheck measured ZERO missed pairs at sf0.01 AND
+    // sf0.1 — so the all-pairs SQL is a valid oracle for the LSH path,
+    // and the driver gets a full hash check instead of rows-only. (A
+    // 0.12 threshold is NOT oracle-safe at scale: PairCheck found 2/258
+    // missed at sf0.1 — sub-knee thresholds belong to the exact ngram
+    // path.)
     "x_dedup_minhash" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents),
@@ -1419,7 +1430,7 @@ object SparkEntry {
          FROM inter
          JOIN sizes x ON id_a = x.doc_id
          JOIN sizes y ON id_b = y.doc_id
-         WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.12
+         WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5
          ORDER BY id_a, id_b""",
 
     "x_dedup_cluster" ->

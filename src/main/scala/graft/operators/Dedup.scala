@@ -43,34 +43,51 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exploded inverted index: (id, shingle), distinct per doc, with
-    * stop-shingles appearing in more than `maxBlock` docs dropped to bound
-    * the quadratic blowup of the block self-join.
+  /** Capped posting lists: one row per shingle fingerprint with the
+    * sorted list of doc ids containing it; shingles in more than
+    * `maxBlock` docs dropped (stop-shingles) to bound the quadratic
+    * blowup of within-block pair generation.
     *
-    * Shingles are carried as xxhash64 fingerprints, not strings: the
-    * index is persisted and self-joined, and 8-byte keys shuffle/compare
-    * ~2× faster than ~20-byte strings (measured at sf0.1). Jaccard over
-    * fingerprints equals Jaccard over strings unless two distinct
-    * shingles of the same doc pair collide in 64 bits (p ≈ m²/2⁶⁴ —
-    * negligible at any per-doc shingle count). */
-  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+    * This is the single-shuffle form of the inverted index: the raw
+    * (id, shingle) explosion is grouped by shingle ONCE, and the
+    * stop-shingle cap becomes a free `size(_ids) <= maxBlock` filter on
+    * the grouped row — no separate hot-list aggregation, no anti-join,
+    * and downstream consumers re-derive the flat (id, shingle) view with
+    * a map-side explode of the persisted lists instead of shuffling the
+    * index again.
+    *
+    * Shingles are carried as xxhash64 fingerprints, not strings: 8-byte
+    * keys shuffle/compare ~2× faster than ~20-byte strings (measured at
+    * sf0.1). Jaccard over fingerprints equals Jaccard over strings unless
+    * two distinct shingles of the same doc pair collide in 64 bits
+    * (p ≈ m²/2⁶⁴ — negligible at any per-doc shingle count). */
+  private def postingLists(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, maxBlock: Long): DataFrame = {
-    val idx = docs
+    val lists = docs
       .select(col(idCol).as("_id"), explode(shingles(col(textCol), n)).as("_sh"))
       .select(col("_id"), xxhash64(col("_sh")).as("_sh"))
-    if (maxBlock <= 0) idx
-    else {
-      // Hot-list + broadcast anti-join, NOT a count-over-window: the
-      // window form shuffles AND sorts every (doc, shingle) row; the
-      // groupBy partial-aggregates map-side so only distinct shingles
-      // shuffle, and the stop-shingle list it yields is tiny by
-      // construction (shingles in >maxBlock docs), so the anti-join
-      // broadcasts and the index itself never moves.
-      val hot = idx.groupBy(col("_sh")).agg(count(lit(1)).as("_freq"))
-        .filter(col("_freq") > maxBlock).select(col("_sh"))
-      idx.join(broadcast(hot), Seq("_sh"), "left_anti")
-    }
+      .groupBy(col("_sh"))
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+    if (maxBlock <= 0) lists else lists.filter(size(col("_ids")) <= maxBlock)
   }
+
+  /** Flat capped inverted index (id, shingle) — a map-side explode of the
+    * (persisted) posting lists. */
+  private def explodeIndex(lists: DataFrame): DataFrame =
+    lists.select(col("_sh"), explode(col("_ids")).as("_id"))
+
+  /** Shared-shingle counts per ordered doc pair, generated from posting
+    * lists: each list of length m yields its m(m−1)/2 ordered pairs via
+    * nested explode (position + suffix slice — the pair stream is
+    * pipelined, never materialized per row), then one partial-aggregated
+    * count per pair. Sorted lists make id_a < id_b structural. */
+  private def pairIntersections(lists: DataFrame): DataFrame =
+    lists
+      .select(col("_ids"), posexplode(col("_ids")).as(Seq("_i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("_ids"), col("_i") + lit(2), size(col("_ids"))))
+          .as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
 
   /** n-gram Jaccard near-duplicate pairs: docs sharing ≥1 shingle are
     * candidates; exact Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct
@@ -78,27 +95,24 @@ object Dedup {
     * with id_a < id_b, jaccard rounded to 6 dp.
     *
     * `maxBlock > 0` drops stop-shingles (doc frequency > maxBlock) from
-    * the shingle UNIVERSE — both the blocking self-join and the Jaccard
+    * the shingle UNIVERSE — both the pair generation and the Jaccard
     * sets. Self-consistent "informative-shingle" similarity: blocking and
     * scoring agree, and without the cap one hot shingle ("of the and" in
-    * 10⁶ docs) makes the block self-join quadratic. */
+    * 10⁶ docs) makes within-block pair generation quadratic.
+    *
+    * Dataflow: ONE shuffle builds the capped posting lists; pair counts
+    * and per-doc set sizes both derive from the persisted lists map-side
+    * (the former via [[pairIntersections]], the latter via explode +
+    * count) — the former self-join formulation shuffled the exploded
+    * index twice more. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxBlock: Long = 0): DataFrame = {
-    // read 3× (sizes + both join sides) — persist, or the corpus is
-    // re-tokenized per read
-    val idx = shingleIndex(docs, idCol, textCol, n, maxBlock)
+    val lists = postingLists(docs, idCol, textCol, n, maxBlock)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = idx.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    val a = idx.select(col("_id").as("id_a"), col("_sh"))
-    // rename the right side's key: both sides derive from the same
-    // persisted plan, and a same-name self-join equality is resolved only
-    // by dataset-id disambiguation — one refactor away from a silent
-    // trivially-true predicate (Spark already WARNs on it)
-    val b = idx.select(col("_id").as("id_b"), col("_sh").as("_shb"))
-    val inter = a.join(b, col("_sh") === col("_shb") && col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
-    inter
+    val sizes = explodeIndex(lists)
+      .groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    pairIntersections(lists)
       .join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
       .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
       .withColumn("jaccard", round(
@@ -128,11 +142,12 @@ object Dedup {
     * candidates are then verified with the exact n-gram Jaccard, so the
     * LSH stage only affects recall, never precision.
     *
-    * Dataflow: one exploded shingle index feeds (a) the signature
-    * aggregation — `numHashes` partial-aggregated `min(xxhash64(seed,
-    * shingle))` columns, a single shuffle keyed on doc id — and (b) the
-    * exact verification of the banded candidates. The index is persisted:
-    * it is read 3× and re-tokenizing the corpus each time would dominate.
+    * Dataflow: the capped posting lists are built with one shuffle and
+    * persisted; the flat (id, shingle) index is re-derived map-side by
+    * [[explodeIndex]] wherever needed — (a) the signature aggregation
+    * (`numHashes` partial-aggregated `min(xxhash64(seed, shingle))`
+    * columns, a single shuffle keyed on doc id) and (b) the exact
+    * verification of the banded candidates.
     *
     * `maxBlock` caps stop-shingles exactly as in [[ngramJaccardPairs]]
     * (same capped universe for signatures AND verification). The LSH
@@ -144,8 +159,9 @@ object Dedup {
                       threshold: Double, maxBlock: Long = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val idx = shingleIndex(docs, idCol, textCol, n, maxBlock)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = explodeIndex(
+      postingLists(docs, idCol, textCol, n, maxBlock)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sigCols = (0 until numHashes)
       .map(i => min(xxhash64(lit(i), col("_sh"))).as(s"_h$i"))
     val sig = idx.groupBy(col("_id")).agg(sigCols.head, sigCols.tail: _*)

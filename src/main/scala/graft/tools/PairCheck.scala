@@ -14,6 +14,8 @@ object PairCheck {
     // mirror the gate queries' stop-shingle cap so recall is measured on
     // the same shingle universe the production path uses
     val maxBlock = args.lift(1).map(_.toLong).getOrElse(1000L)
+    val numHashes = args.lift(2).map(_.toInt).getOrElse(64)
+    val bands = args.lift(3).map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -26,12 +28,13 @@ object PairCheck {
         .select("id_a", "id_b", "jaccard").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3,
-          numHashes = 64, bands = 32, threshold = threshold,
+          numHashes = numHashes, bands = bands, threshold = threshold,
           maxBlock = maxBlock)
         .select("id_a", "id_b", "jaccard").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val minJ = if (exact.isEmpty) 1.0 else exact.map(_._3).min
       println(s"[paircheck] $sf threshold=$threshold maxBlock=$maxBlock " +
+        s"numHashes=$numHashes bands=$bands " +
         s"exact=${exact.size} lsh=${lsh.size} missed=${(exact -- lsh).size} " +
         s"spurious=${(lsh -- exact).size} minJaccard=$minJ")
       spark.catalog.clearCache()
