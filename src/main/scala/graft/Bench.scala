@@ -11,6 +11,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
+    // drop build-once artifacts (IVF index, pair/simhash/media tables) so
+    // each artifact-backed query's FIRST sample pays its build — the
+    // honest cold number — while the median reflects steady-state reuse
+    def rmTree(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles.foreach(c => rmTree(c.getPath))
+      f.delete()
+    }
+    rmTree(SparkEntry.artifactBase(sfDir))
+    rmTree(SparkEntry.ivfBasePath(sfDir))
     // warm scan paths + JIT once so the first measured query isn't
     // charged for session warmup (parquet footers, codegen compiler)
     Tables.all.foreach { t =>
@@ -20,25 +30,34 @@ object Bench {
     // median of N runs per query: single-run numbers carry ±15% machine
     // noise, which round-over-round comparisons misread as regressions.
     // Each run still clearCache()s, so every sample is cold-cache; the
-    // median also reflects build-once artifacts (IVF index, pair table)
-    // at their amortized, steady-state cost.
+    // median also reflects build-once artifacts at their amortized,
+    // steady-state cost, while "cold" records each query's first run
+    // (artifact build included, for the queries that own one).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val samples = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // queries persist intermediates (shingle indexes, id tags); drop
-        // them between runs or the accumulated cache thrashes the heap
-        spark.catalog.clearCache()
-        elapsed
-      }.sorted
-      name -> samples(samples.length / 2)
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    // comma-separated allowlist for iterating on a few queries locally
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val samples = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          // queries persist intermediates (shingle indexes, id tags); drop
+          // them between runs or the accumulated cache thrashes the heap
+          spark.catalog.clearCache()
+          elapsed
+        }
+        name -> (samples.head, samples.sorted.apply(samples.length / 2))
+      }
+    def obj(f: ((String, (Double, Double))) => Double) =
+      results.map { case (k, v) => s"\"" + k + "\":" + f((k, v)) }
+        .mkString("{", ",", "}")
+    val qs = obj(_._2._2)
+    val cold = obj(_._2._1)
+    val total = results.values.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
