@@ -780,6 +780,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("score").desc, col("id_b"))
     }),
 
+    "x_sim_knn_ivf" -> ((s, dir) => {
+      // label-FREE kNN join: blocking comes from the IVF index's learned
+      // cells (real corpora carry no label column) — each anchor's
+      // candidates are its cell's members, ranked by the same k-bounded
+      // aggregation path. The oracle replays cell blocking and scoring
+      // from the on-disk cell artifact, so the gate hash-checks.
+      val idx = ivfIndexFor(s, dir, t(s, dir, "embeddings"))
+      Similarity.blockKnn(idx.cells().filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", "cell", k = 3)
+        .filter(col("id_a") % 50 === 0)
+        .orderBy(col("id_a"), col("score").desc, col("id_b"))
+    }),
+
     "x_mm_meta" -> ((s, dir) => {
       Multimodal.withMeta(
           Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
@@ -1618,6 +1631,29 @@ object SparkEntry {
                               AS score
                      FROM e a JOIN e b
                        ON a.label = b.label AND a.i = b.i
+                      AND a.vec_id <> b.vec_id
+                     WHERE a.vec_id % 50 = 0
+                     GROUP BY 1, 2)
+         SELECT id_a, id_b, score FROM pairs
+         QUALIFY row_number() OVER (PARTITION BY id_a
+           ORDER BY score DESC, id_b) <= 3
+         ORDER BY id_a, score DESC, id_b""",
+
+    // same ranking as x_sim_knn but blocked on the IVF index's learned
+    // cells, read from the same artifact the engine uses
+    "x_sim_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, cell,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM read_parquet('__GRAFT_IVF__/ivf_cells/*/*.parquet',
+                                      hive_partitioning = 1)
+                    WHERE vec_id <> 0),
+           pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                            round(sum(a.x * b.x) /
+                              (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))), 6)
+                              AS score
+                     FROM e a JOIN e b
+                       ON a.cell = b.cell AND a.i = b.i
                       AND a.vec_id <> b.vec_id
                      WHERE a.vec_id % 50 = 0
                      GROUP BY 1, 2)
