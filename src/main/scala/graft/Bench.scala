@@ -16,7 +16,8 @@ object Bench {
     // honest cold number — while the median reflects steady-state reuse
     def rmTree(p: String): Unit = {
       val f = new java.io.File(p)
-      if (f.isDirectory) f.listFiles.foreach(c => rmTree(c.getPath))
+      if (f.isDirectory)
+        Option(f.listFiles).foreach(_.foreach(c => rmTree(c.getPath)))
       f.delete()
     }
     rmTree(SparkEntry.artifactBase(sfDir))
@@ -37,7 +38,12 @@ object Bench {
     // comma-separated allowlist for iterating on a few queries locally
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries
+    // deterministic (sorted) run order: queries sharing a build-once
+    // artifact (the three IVF gates share one index) attribute its build
+    // to the SAME query's cold number every round — with unordered Map
+    // iteration the cost would silently migrate whenever a query is
+    // added, reading as a phantom cold regression
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val samples = (1 to runs).map { _ =>
@@ -56,7 +62,7 @@ object Bench {
         .mkString("{", ",", "}")
     val qs = obj(_._2._2)
     val cold = obj(_._2._1)
-    val total = results.values.map(_._2).sum
+    val total = results.map(_._2._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }

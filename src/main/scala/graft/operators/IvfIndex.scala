@@ -38,16 +38,21 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
   private def cellsPath = s"$basePath/ivf_cells"
   private def centroidsPath = s"$basePath/ivf_centroids"
 
+  /** Broadcastable centroid table. |c|² computed driver-side in array
+    * order — identical doubles to an executor-side fold, and k tiny
+    * numbers ride the broadcast for free. */
+  private def centroidFrame(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (i, c) => (i, c, c.map(x => x * x).sum) }
+      .toDF("_ccell", "_cvec", "_cn2")
+  }
+
   /** (id, nearest-cell, vec) via broadcast centroid table + argmin
     * aggregate. One shuffle of one row per input row; centroid count
     * only affects per-task compute and broadcast size. */
   private def assignments(emb: DataFrame, idCol: String, vecCol: String,
                           cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    import spark.implicits._
-    // |c|² computed driver-side in array order — identical doubles to an
-    // executor-side fold, and k tiny numbers ride the broadcast for free
-    val cdf = cents.map { case (i, c) => (i, c, c.map(x => x * x).sum) }
-      .toDF("_ccell", "_cvec", "_cn2")
+    val cdf = centroidFrame(cents)
     emb.select(col(idCol).as("_aid"),
         col(vecCol).cast("array<double>").as("_av"))
       .crossJoin(broadcast(cdf))
@@ -89,9 +94,25 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
       cents = cents.map { case (i, c) => (i, byIdx.getOrElse(i, c)) }
     }
 
-    val asg = assignments(emb, idCol, vecCol, cents)
-      .select(col("_aid"), col("_cell").as("cell"))
-    emb.join(asg, emb(idCol) === asg("_aid")).drop("_aid")
+    // final pass carries the ORIGINAL row through the argmin aggregate
+    // (struct pass-through) instead of joining assignments back to the
+    // corpus — one corpus shuffle, not two, and the stored vector keeps
+    // its source type (float) rather than the double working copy
+    val inputCols = emb.columns.toSeq
+    val cdf = centroidFrame(cents)
+    emb.select(col(idCol).as("_aid"),
+        struct(inputCols.map(col): _*).as("_row"),
+        col(vecCol).cast("array<double>").as("_av"))
+      .crossJoin(broadcast(cdf))
+      .select(col("_aid"), col("_row"),
+        struct(
+          (col("_cn2") - VectorFunctions.dot(col("_av"), col("_cvec")) * 2)
+            .as("dist"),
+          col("_ccell").as("idx")).as("_s"))
+      .groupBy(col("_aid"))
+      .agg(min(col("_s")).as("_best"), first(col("_row")).as("_row"))
+      .select(inputCols.map(c => col(s"_row.$c")) :+
+        col("_best.idx").as("cell"): _*)
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(cellsPath)
     import spark.implicits._
     cents.map { case (i, c) => (i, c) }.toDF("cell", "centroid")

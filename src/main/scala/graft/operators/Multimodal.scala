@@ -73,6 +73,9 @@ object Multimodal {
         while (off + 8 <= content.length && (dataSize < 0 || bits == 0)) {
           val id = fourCC(content, off)
           val size = le32(content, off + 4)
+          // a negative size (corrupt/attacker-controlled) would advance
+          // off by <= 0 and spin this loop forever — corrupt input throws
+          require(size >= 0, s"media $mediaId: corrupt chunk size $size")
           if (id == "fmt ") {
             channels = le16(content, off + 10)
             rate = le32(content, off + 12)

@@ -148,6 +148,10 @@ object Similarity {
       // once by construction (left replicates up, right replicates down)
       .filter(col("_ba") < col("_bb") || col("id_a") < col("id_b"))
       .filter(col("id_a") =!= col("id_b"))
+      // cosine is undefined for a zero-norm vector: such pairs are
+      // dropped rather than scored NULL (the aggregator's (Double, Long)
+      // encoder is non-nullable, and "unrankable" is the right semantics)
+      .filter(col("_na") * col("_nb") > 0)
       .withColumn("score",
         round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
       .select(explode(array(

@@ -14,8 +14,11 @@ object PairCheck {
     // mirror the gate queries' stop-shingle cap so recall is measured on
     // the same shingle universe the production path uses
     val maxBlock = args.lift(1).map(_.toLong).getOrElse(1000L)
+    // defaults mirror the x_dedup_minhash GATE banding (64 hashes × 16
+    // bands — the config whose recall the oracle-safety argument cites);
+    // pass 64 32 to measure the x_dedup_cluster pairTable config instead
     val numHashes = args.lift(2).map(_.toInt).getOrElse(64)
-    val bands = args.lift(3).map(_.toInt).getOrElse(32)
+    val bands = args.lift(3).map(_.toInt).getOrElse(16)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()

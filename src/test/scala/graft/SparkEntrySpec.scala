@@ -19,9 +19,12 @@ class SparkEntrySpec extends SparkSpec {
   test("oracle SQL references only path tokens Verify resolves") {
     val known = Set("__GRAFT_IVF__", "__GRAFT_SIMHASH__", "__GRAFT_MEDIA__")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      "__GRAFT_[A-Z]+__".r.findAllIn(sql).toSet.foreach { (tok: String) =>
-        assert(known.contains(tok), s"$name uses unresolved token $tok")
-      }
+      // multi-word tokens too (__GRAFT_MEDIA_V2__): words joined by
+      // single underscores, terminated by the double underscore
+      "__GRAFT_[A-Z0-9]+(?:_[A-Z0-9]+)*__".r.findAllIn(sql).toSet
+        .foreach { (tok: String) =>
+          assert(known.contains(tok), s"$name uses unresolved token $tok")
+        }
     }
   }
 

@@ -66,6 +66,17 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("HeaderCodec throws on corrupt negative chunk sizes (no hang)") {
+    // RIFF/WAVE preamble + a chunk whose le32 size is -8: a naive walker
+    // advances off by 8 + (-8) = 0 and spins forever
+    val evil = "RIFF".getBytes ++ Array[Byte](36, 0, 0, 0) ++
+      "WAVE".getBytes ++ "junk".getBytes ++
+      Array[Byte](-8, -1, -1, -1) ++ Array.fill[Byte](16)(0)
+    intercept[IllegalArgumentException] {
+      Multimodal.HeaderCodec.decode(9L, evil)
+    }
+  }
+
   test("mediaTable artifact round-trips through parquet and decodes") {
     val base = java.nio.file.Files.createTempDirectory("graft-media").toString
     val table = Multimodal.mediaTable(docs, "doc_id", "text", base)

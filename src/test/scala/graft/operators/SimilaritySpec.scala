@@ -64,6 +64,18 @@ class SimilaritySpec extends SparkSpec {
     out.foreach { case (a, b, s) => assert(a != b && s > 0.8) }
   }
 
+  test("blockKnn drops zero-norm vectors instead of crashing on NULL score") {
+    // cosine is undefined for the zero vector: the pair must be dropped
+    // (the aggregator's tuple encoder is non-nullable — a NULL score
+    // would kill the whole query)
+    val withZero = emb.union(Seq((7L, Array(0.0f, 0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label"))
+    val out = Similarity.blockKnn(withZero, "vec_id", "embedding", "label", k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(!out.exists(r => r._1 == 7L || r._2 == 7L))
+    assert(out.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("blockKnn on one dominant block: k-bounded shuffle, no window sort") {
     // 400 rows in a single block — the skew case the sub-bucket + partial
     // top-k formulation exists for. Ground truth is the full-product
