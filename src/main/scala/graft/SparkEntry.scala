@@ -738,6 +738,23 @@ object SparkEntry {
         "vec_id", "embedding", q, 10, planes)
     }),
 
+    "x_sim_lsh_index" -> ((s, dir) => {
+      // persistent LSH forest (build-once/probe-many): the probe reads
+      // ONE (tbl, bucket) partition per table — bucket membership as
+      // parquet partition pruning, where x_sim_lsh's predicate scans the
+      // corpus. Hash-checked: planes pasted into the oracle as literals,
+      // candidates re-derived from the SAME on-disk artifact.
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val idx = lshIndexFor(s, dir, emb)
+      // k=11: the query vector itself (bucket-identical, cosine 1.0)
+      // takes one slot before being filtered out
+      idx.search("vec_id", "embedding", q, k = 11)
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     "x_sim_ivf_index" -> ((s, dir) => {
       // persistent k-means IVF index (build-once/probe-many); nprobe=k
       // scans every cell, so the result is exactly brute-force top-k and
@@ -840,21 +857,42 @@ object SparkEntry {
       idx
     })
 
+  /** Build (or reuse) the persistent LSH forest for an sf dir — same
+    * plane config as `x_sim_lsh` (dim 64, 4×8 bits, seed 42), artifact
+    * under the sf dir's artifact base (on-disk `_SUCCESS` short-circuits
+    * rebuilds across JVMs; the map only skips the check within one). */
+  private val lshBuilt = scala.collection.concurrent.TrieMap.empty[String, operators.LshIndex]
+  private def lshIndexFor(s: SparkSession, dir: String,
+                          emb: DataFrame): operators.LshIndex =
+    lshBuilt.getOrElseUpdate(dir, {
+      val idx = new operators.LshIndex(s, s"${artifactBase(dir)}/lsh",
+        dim = 64, numTables = 4, bitsPerTable = 8, seed = 42L)
+      idx.build(emb, "vec_id", "embedding")
+      idx
+    })
+
   /** DuckDB oracle for `x_sim_lsh`, generated with the SAME seeded
     * hyperplanes the engine uses, pasted as literal VALUES rows — the
     * full LSH pipeline (bucket assignment, candidate filter, exact
     * re-rank) is then SQL-expressible and the query hash-checks instead
     * of rows-only. Column `w` is the bit weight 2^b, which doubles as the
     * per-plane key. */
-  private def lshOracleSql: String = {
+  /** The x_sim_lsh / x_sim_lsh_index plane set (dim 64, 4 tables × 8
+    * bits, seed 42) as SQL VALUES rows — regenerated with the same
+    * seeded generator the engine uses. Column `w` is the bit weight 2^b,
+    * which doubles as the per-plane key. */
+  private lazy val lshPlaneValues: String = {
     val planes = operators.Similarity.hyperplanes(dim = 64, numTables = 4,
       bitsPerTable = 8, seed = 42L)
-    val rows = for {
+    (for {
       (tbl, t) <- planes.zipWithIndex
       (plane, b) <- tbl.zipWithIndex
       (p, i) <- plane.zipWithIndex
-    } yield s"($t,${1L << b},${i + 1},$p)"
-    s"""WITH planes(t, w, i, p) AS (VALUES ${rows.mkString(",")}),
+    } yield s"($t,${1L << b},${i + 1},$p)").mkString(",")
+  }
+
+  private def lshOracleSql: String = {
+    s"""WITH planes(t, w, i, p) AS (VALUES $lshPlaneValues),
        q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
                     generate_subscripts(embedding, 1) AS i
              FROM embeddings WHERE vec_id = 0),
@@ -880,6 +918,37 @@ object SparkEntry {
              GROUP BY 1)
        SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10"""
   }
+
+  /** DuckDB oracle for `x_sim_lsh_index`: the query's per-table buckets
+    * are recomputed in SQL from the pasted planes, then joined against
+    * the (tbl, bucket) partitions of the SAME on-disk LSH-forest rows
+    * the engine probes; candidates are deduped and exact-re-ranked just
+    * like the engine. `__GRAFT_LSH__` is substituted by Verify. */
+  private def lshIndexOracleSql: String =
+    s"""WITH planes(t, w, i, p) AS (VALUES $lshPlaneValues),
+       q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings WHERE vec_id = 0),
+       qd AS (SELECT pl.t, pl.w, sum(q.qx * pl.p) AS d
+              FROM q JOIN planes pl ON q.i = pl.i GROUP BY 1, 2),
+       qb AS (SELECT t, sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS bkt
+              FROM qd GROUP BY 1),
+       cand AS (SELECT DISTINCT r.vec_id
+                FROM read_parquet('__GRAFT_LSH__/*/*/*.parquet',
+                                  hive_partitioning = 1) r
+                JOIN qb ON CAST(r.tbl AS INT) = qb.t
+                       AND CAST(r.bucket AS BIGINT) = qb.bkt
+                WHERE r.vec_id <> 0),
+       e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings WHERE vec_id <> 0),
+       s AS (SELECT e.vec_id,
+                    round(sum(e.x * q.qx) /
+                      (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+             FROM e JOIN q ON e.i = q.i
+             WHERE e.vec_id IN (SELECT vec_id FROM cand)
+             GROUP BY 1)
+       SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10"""
 
   /** DuckDB oracle for `x_sim_ivf_probe`: reads the SAME on-disk index
     * the engine probes (centroids + cell-partitioned corpus) — the
@@ -1617,6 +1686,8 @@ object SparkEntry {
          ORDER BY score DESC, vec_id LIMIT 10""",
 
     "x_sim_lsh" -> lshOracleSql,
+
+    "x_sim_lsh_index" -> lshIndexOracleSql,
 
     "x_sim_ivf_probe" -> ivfProbeOracleSql,
 

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent sign-LSH ANN index: the build-once / probe-many path for
+  * `Similarity.lshTopK`, whose bucket predicate otherwise scans the whole
+  * corpus. The corpus is written `numTables` times, partitioned by
+  * (table, bucket): a probe reads exactly ONE partition per table —
+  * bucket membership becomes parquet partition pruning, the same move
+  * `IvfIndex` makes for the coarse-quantizer cells.
+  *
+  * Space-time trade, stated plainly: `numTables`× the corpus on disk
+  * buys corpus-size-independent candidate selection (the classic LSH
+  * forest layout). Planes are regenerated from the constructor seed, so
+  * build and probe always agree; candidates are deduped by id (a row can
+  * share the query's bucket in several tables) and exact-cosine
+  * re-ranked, so the index affects recall only, never precision.
+  */
+final class LshIndex(spark: SparkSession, basePath: String, dim: Int,
+                     numTables: Int = 4, bitsPerTable: Int = 8,
+                     seed: Long = 42L) {
+
+  private def rowsPath = s"$basePath/lsh_rows"
+  private val planes = Similarity.hyperplanes(dim, numTables, bitsPerTable, seed)
+
+  /** Per-table bucket of a query vector, computed driver-side with the
+    * same plane fold the column-side bucketing uses. */
+  def queryBuckets(query: Seq[Double]): Seq[Long] =
+    planes.toSeq.map { tbl =>
+      tbl.zipWithIndex.map { case (p, b) =>
+        val d = p.zip(query).map { case (x, y) => x * y }.sum
+        if (d > 0) 1L << b else 0L
+      }.reduce(_ | _)
+    }
+
+  /** Build: attach the per-table buckets, explode to one row per
+    * (table, row), write partitioned by (tbl, bucket). `_SUCCESS` guards
+    * a killed build like the other artifacts. */
+  def build(emb: DataFrame, idCol: String, vecCol: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(rowsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(rowsPath, "_SUCCESS"))) return
+    Similarity.lshBuckets(emb, vecCol, planes)
+      .select(col(idCol), col(vecCol),
+        posexplode(array((0 until numTables).map(i => col(s"_lsh$i")): _*))
+          .as(Seq("tbl", "bucket")))
+      .write.mode(SaveMode.Overwrite).partitionBy("tbl", "bucket")
+      .parquet(rowsPath)
+  }
+
+  def rows(): DataFrame = spark.read.parquet(rowsPath)
+
+  /** Probe: read the query's bucket partition in each table (partition
+    * pruning on (tbl, bucket)), dedup candidates by id, exact-cosine
+    * re-rank — top-k of the candidate set only. */
+  def search(idCol: String, vecCol: String, query: Seq[Double],
+             k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val cond = queryBuckets(query).zipWithIndex
+      .map { case (qb, t) => col("tbl") === t && col("bucket") === qb }
+      .reduce(_ || _)
+    rows().filter(cond)
+      .select(col(idCol), col(vecCol))
+      .dropDuplicates(idCol)
+      .select(col(idCol),
+        VectorFunctions.cosineRounded(col(vecCol).cast("array<double>"), q)
+          .as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class LshIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = {
+    val rnd = new scala.util.Random(11)
+    (1 to 80).map { i =>
+      val base = if (i <= 40) Array(10f, 0f, 0f, 0f) else Array(0f, 10f, 0f, 0f)
+      (i.toLong, base.map(_ + rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+  }
+  private val query = Seq(10.0, 0.3, 0.0, 0.0)
+
+  test("index search equals the scan-based lshTopK (same planes)") {
+    val base = Files.createTempDirectory("graft_lsh").toString
+    val idx = new LshIndex(spark, base, dim = 4, numTables = 6,
+      bitsPerTable = 2, seed = 7L)
+    idx.build(emb, "vec_id", "embedding")
+    val viaIndex = idx.search("vec_id", "embedding", query, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    val planes = Similarity.hyperplanes(4, 6, 2, 7L)
+    val viaScan = Similarity.lshTopK(emb, "vec_id", "embedding", query, 5, planes)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaIndex == viaScan)
+    assert(viaIndex.nonEmpty && viaIndex.head._1 <= 40) // cluster-0 hit
+  }
+
+  test("probe is partition-pruned to (tbl, bucket) and build is idempotent") {
+    val base = Files.createTempDirectory("graft_lsh2").toString
+    val idx = new LshIndex(spark, base, dim = 4, numTables = 2,
+      bitsPerTable = 2, seed = 7L)
+    idx.build(emb, "vec_id", "embedding")
+    // physical layout: tbl=*/bucket=* partition dirs
+    val tbls = new java.io.File(s"$base/lsh_rows").listFiles
+      .filter(_.getName.startsWith("tbl=")).map(_.getName).sorted
+    assert(tbls.toSeq == Seq("tbl=0", "tbl=1"))
+    // the probe plan prunes partitions: only the query's buckets are read
+    val probe = idx.search("vec_id", "embedding", query, k = 3)
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"))
+    // second build is a no-op (_SUCCESS short-circuit): same contents
+    val before = idx.rows().count()
+    idx.build(emb, "vec_id", "embedding")
+    assert(idx.rows().count() == before)
+  }
+}
