@@ -621,6 +621,26 @@ object SparkEntry {
           maxBlock = 1000)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "x_dedup_incremental" -> ((s, dir) => {
+      // append-only refresh: "yesterday's" pair artifact (existing ×
+      // existing, build-once) + the delta's pairs discovered against the
+      // full corpus — ZERO existing×existing re-comparison. The union
+      // must equal the from-scratch all-pairs computation, which is
+      // exactly what the oracle computes over the whole table. Uncapped
+      // universe (maxBlock=0): per-pair jaccard is then corpus-
+      // independent, which is what makes append-only refresh exact.
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 5 =!= 0)
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+      val oldPairs = Dedup.pairTable(old, "doc_id", "text",
+        s"${artifactBase(dir)}/incr_old", n = 3, numHashes = 64,
+        bands = 16, threshold = 0.5, maxBlock = 0)
+      Dedup.refreshPairs(docs, delta.select(col("doc_id")), oldPairs,
+          "doc_id", "text", n = 3, numHashes = 64, bands = 16,
+          threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "x_dedup_simhash" -> ((s, dir) =>
       // maxDist=3: the largest distance for which the 16-bit-chunk
       // blocking is provably exhaustive (pigeonhole: ≤3 differing bits
@@ -1541,6 +1561,33 @@ object SparkEntry {
              SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
          SELECT src AS id, min(dst) AS comp FROM reach
          GROUP BY src ORDER BY id""",
+
+    // incremental refresh must equal the from-scratch all-pairs result:
+    // the oracle recomputes UNcapped Jaccard over the full table at the
+    // same threshold — it cannot tell (and must not care) that the
+    // engine served old pairs from an artifact and only discovered the
+    // delta's contribution.
+    "x_dedup_incremental" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+              sh AS (SELECT DISTINCT doc_id,
+                            unnest(list_transform(
+                              generate_series(1, greatest(len(t)-2, 0)),
+                              i -> array_to_string(t[i:i+2], ' '))) AS s
+                     FROM tok),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                               count(*) AS c
+                        FROM sh a JOIN sh b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+         FROM inter
+         JOIN sizes x ON id_a = x.doc_id
+         JOIN sizes y ON id_b = y.doc_id
+         WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5
+         ORDER BY id_a, id_b""",
 
     // signature generation is engine-specific (xxhash64 votes), but the
     // signatures are a parquet artifact; the chunk blocking is provably

@@ -157,27 +157,45 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, numHashes: Int, bands: Int,
                       threshold: Double, maxBlock: Long = 0): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val idx = explodeIndex(
       postingLists(docs, idCol, textCol, n, maxBlock)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val banded = bandedSignatures(idx, numHashes, bands)
+    val l = banded.select(col("_id").as("id_a"), col("band"), col("bkey"))
+    val r = banded.select(col("_id").as("id_b"), col("band"), col("bkey"))
+    val cand = l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyCandidates(cand, idx, threshold)
+  }
+
+  /** Banded MinHash signatures (_id, band, bkey) from a flat (id,
+    * shingle-fingerprint) index: `numHashes` partial-aggregated mins,
+    * one shuffle keyed on doc id, bands hashed to a single key each.
+    * A doc's signature depends only on its own shingle set, which is
+    * what makes append-only refresh exact ([[deltaPairs]]). */
+  private def bandedSignatures(idx: DataFrame, numHashes: Int,
+                               bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
     val sigCols = (0 until numHashes)
       .map(i => min(xxhash64(lit(i), col("_sh"))).as(s"_h$i"))
     val sig = idx.groupBy(col("_id")).agg(sigCols.head, sigCols.tail: _*)
-    val banded = sig.select(col("_id"),
+    sig.select(col("_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           xxhash64((b * rows until (b + 1) * rows)
             .map(i => col(s"_h$i")): _*).as("bkey"))): _*))
         .as("_b"))
       .select(col("_id"), col("_b.band"), col("_b.bkey"))
-    val l = banded.select(col("_id").as("id_a"), col("band"), col("bkey"))
-    val r = banded.select(col("_id").as("id_b"), col("band"), col("bkey"))
-    val cand = l.join(r, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    // Verify candidates exactly: join back to the shingle inverted index.
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * the flat shingle index: intersection via two candidate-side joins
+    * (candidates are small — AQE broadcasts them), sizes from one index
+    * aggregate; keep pairs ≥ threshold. */
+  private def verifyCandidates(cand: DataFrame, idx: DataFrame,
+                               threshold: Double): DataFrame = {
     val sizes = idx.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val inter = cand
       .join(idx.select(col("_id").as("id_a"), col("_sh")), "id_a")
@@ -193,6 +211,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Pairs contributed by an append-only corpus DELTA: delta×existing ∪
+    * delta×delta, discovered through the same banded blocking and
+    * exact-verified — with ZERO existing×existing pair work. The full
+    * corpus is still scanned once (signatures + verification index are
+    * per-doc and cheap); what the incremental path avoids is the
+    * quadratic half: bands containing no delta doc generate nothing.
+    *
+    * Exactness requires the UNcapped shingle universe (maxBlock would
+    * make per-doc sizes — and thus old pairs' scores — depend on the
+    * rest of the corpus, breaking append-only semantics), and per-doc
+    * MinHash signatures depend only on the doc itself, so
+    * `existingPairs ∪ deltaPairs` equals the from-scratch computation
+    * up to banding recall, exactly as for [[minhashLshPairs]]. */
+  def deltaPairs(docs: DataFrame, deltaIds: DataFrame, idCol: String,
+                 textCol: String, n: Int, numHashes: Int, bands: Int,
+                 threshold: Double): DataFrame = {
+    val idx = explodeIndex(
+      postingLists(docs, idCol, textCol, n, maxBlock = 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val banded = bandedSignatures(idx, numHashes, bands)
+    val deltaBanded = banded.join(
+      broadcast(deltaIds.select(col(deltaIds.columns.head).as("_id")).distinct()),
+      Seq("_id"), "left_semi")
+    val cand = deltaBanded.select(col("_id").as("id_a"), col("band"), col("bkey"))
+      .join(banded.select(col("_id").as("id_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") =!= col("id_b"))
+      // canonical order; delta×delta pairs meet twice (both sides are in
+      // the delta slice), the distinct collapses them
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    verifyCandidates(cand, idx, threshold)
+  }
+
+  /** Append-only refresh of a pair set: existing (existing×existing)
+    * pairs — typically a [[pairTable]] artifact — plus the delta's
+    * contribution. Disjoint by construction (every delta pair has ≥1
+    * delta member; existing pairs have none), so a plain union. */
+  def refreshPairs(docs: DataFrame, deltaIds: DataFrame,
+                   existingPairs: DataFrame, idCol: String, textCol: String,
+                   n: Int, numHashes: Int, bands: Int,
+                   threshold: Double): DataFrame =
+    existingPairs.select(col("id_a"), col("id_b"), col("jaccard"))
+      .union(deltaPairs(docs, deltaIds, idCol, textCol, n, numHashes,
+        bands, threshold))
 
   /** Build-once / load-many near-dup pair artifact: the MinHash+LSH pair
     * set materialized to parquet under `basePath`, keyed by every

@@ -103,6 +103,27 @@ class DedupSpec extends SparkSpec {
     assert(other.forall(_._3 >= 0.9))
   }
 
+  test("refreshPairs: old artifact + delta contribution = from-scratch pairs") {
+    // split the corpus, pair the "old" half, then refresh with the delta:
+    // the union must equal computing everything from scratch — the
+    // append-only contract (uncapped universe keeps scores
+    // corpus-independent, so this is exact, not approximate)
+    val old = docs.filter($"doc_id" % 2 === 1)
+    val delta = docs.filter($"doc_id" % 2 === 0)
+    val oldPairs = Dedup.minhashLshPairs(old, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, threshold = 0.2)
+    val refreshed = Dedup.refreshPairs(docs, delta.select($"doc_id"),
+        oldPairs, "doc_id", "text", n = 3, numHashes = 32, bands = 16,
+        threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val scratch = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16, threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(refreshed == scratch)
+    // the delta path contributed something (pairs spanning the split)
+    assert(refreshed.exists { case (a, b, _) => a % 2 != b % 2 })
+  }
+
   test("simhash is deterministic and identical for identical text") {
     val sig = Dedup.withSimhash(docs, "text", "sim")
       .select("doc_id", "sim").as[(Long, Long)].collect().toMap
