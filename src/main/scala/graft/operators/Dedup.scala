@@ -122,20 +122,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature from a (materialized) shingle-array column:
-    * k independent hash functions h_i(s) = xxhash64(seed_i, shingle);
-    * signature[i] = min over the doc's shingle set.
-    *
-    * NOTE: per-row convenience form only — Catalyst's project collapsing
-    * can inline the shingle expression into every one of the k folds
-    * (k× the tokenize work). The hot path (`minhashLshPairs`) instead
-    * computes signatures as k map-side-combinable `min` aggregates over
-    * the exploded shingle index — measured 20× faster at sf0.1. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => aggregate(shinglesCol, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(seed, s))))
-
   /** MinHash+LSH candidate pairs with exact-Jaccard verification.
     * bands×rowsPerBand must equal numHashes. Docs whose signatures agree
     * on ALL rows of ≥1 band become candidates (banding amplification);
