@@ -46,11 +46,22 @@ final class LshIndex(spark: SparkSession, basePath: String, dim: Int,
       .select(col(idCol), col(vecCol),
         posexplode(array((0 until numTables).map(i => col(s"_lsh$i")): _*))
           .as(Seq("tbl", "bucket")))
+      // cluster rows by their output partition before the partitioned
+      // write: without this every task writes a sliver into every
+      // (tbl, bucket) dir — numTasks × numTables × 2^bits tiny files
+      // (measured 4× slower build AND probe at sf0.1; at corpus scale
+      // it's a small-files catastrophe)
+      .repartition(col("tbl"), col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("tbl", "bucket")
       .parquet(rowsPath)
   }
 
-  def rows(): DataFrame = spark.read.parquet(rowsPath)
+  // resolved once per index instance: partition discovery over
+  // numTables × 2^bits dirs is the probe's fixed cost, and a long-lived
+  // service re-lists it per query without this (a catalog table's file
+  // index gives the same amortization)
+  private lazy val rowsDF = spark.read.parquet(rowsPath)
+  def rows(): DataFrame = rowsDF
 
   /** Probe: read the query's bucket partition in each table (partition
     * pruning on (tbl, bucket)), dedup candidates by id, exact-cosine
