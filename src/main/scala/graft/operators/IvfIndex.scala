@@ -94,10 +94,20 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
       cents = cents.map { case (i, c) => (i, byIdx.getOrElse(i, c)) }
     }
 
-    // final pass carries the ORIGINAL row through the argmin aggregate
-    // (struct pass-through) instead of joining assignments back to the
-    // corpus — one corpus shuffle, not two, and the stored vector keeps
-    // its source type (float) rather than the double working copy
+    writeAssigned(emb, idCol, vecCol, cents, SaveMode.Overwrite)
+    import spark.implicits._
+    cents.map { case (i, c) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(centroidsPath)
+  }
+
+  /** Assign every row to its nearest centroid and write to the cell
+    * partitions. Carries the ORIGINAL row through the argmin aggregate
+    * (struct pass-through) instead of joining assignments back to the
+    * corpus — one corpus shuffle, not two, and the stored vector keeps
+    * its source type (float) rather than the double working copy. */
+  private def writeAssigned(emb: DataFrame, idCol: String, vecCol: String,
+                            cents: Seq[(Int, Seq[Double])],
+                            mode: SaveMode): Unit = {
     val inputCols = emb.columns.toSeq
     val cdf = centroidFrame(cents)
     emb.select(col(idCol).as("_aid"),
@@ -113,14 +123,24 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
       .agg(min(col("_s")).as("_best"), first(col("_row")).as("_row"))
       .select(inputCols.map(c => col(s"_row.$c")) :+
         col("_best.idx").as("cell"): _*)
-      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(cellsPath)
-    import spark.implicits._
-    cents.map { case (i, c) => (i, c) }.toDF("cell", "centroid")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(centroidsPath)
+      .write.mode(mode).partitionBy("cell").parquet(cellsPath)
   }
 
   def centroids(): DataFrame = spark.read.parquet(centroidsPath)
   def cells(): DataFrame = spark.read.parquet(cellsPath)
+
+  /** Append-only refresh: assign the delta to the EXISTING stored
+    * centroids (no re-training) and add its rows to the cell partitions.
+    * The quantizer is frozen — the standard IVF ingestion path (FAISS
+    * `add` after `train`): cell quality degrades only as far as the
+    * corpus distribution drifts from the training sample, and a periodic
+    * full `build` re-trains. Touches only the delta's cell partitions. */
+  def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = centroids().collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+      .sortBy(_._1)
+    writeAssigned(emb, idCol, vecCol, cents, SaveMode.Append)
+  }
 
   /** Probe: rank cells by centroid cosine, brute-force only the best
     * `nprobe` cells (partition-pruned scan). */

@@ -35,13 +35,8 @@ final class LshIndex(spark: SparkSession, basePath: String, dim: Int,
       }.reduce(_ | _)
     }
 
-  /** Build: attach the per-table buckets, explode to one row per
-    * (table, row), write partitioned by (tbl, bucket). `_SUCCESS` guards
-    * a killed build like the other artifacts. */
-  def build(emb: DataFrame, idCol: String, vecCol: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(rowsPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(rowsPath, "_SUCCESS"))) return
+  private def bucketed(emb: DataFrame, idCol: String,
+                       vecCol: String): DataFrame =
     Similarity.lshBuckets(emb, vecCol, planes)
       .select(col(idCol), col(vecCol),
         posexplode(array((0 until numTables).map(i => col(s"_lsh$i")): _*))
@@ -52,16 +47,43 @@ final class LshIndex(spark: SparkSession, basePath: String, dim: Int,
       // (measured 4× slower build AND probe at sf0.1; at corpus scale
       // it's a small-files catastrophe)
       .repartition(col("tbl"), col("bucket"))
+
+  /** Build: attach the per-table buckets, explode to one row per
+    * (table, row), write partitioned by (tbl, bucket). `_SUCCESS` guards
+    * a killed build like the other artifacts. */
+  def build(emb: DataFrame, idCol: String, vecCol: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(rowsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(rowsPath, "_SUCCESS"))) return
+    bucketed(emb, idCol, vecCol)
       .write.mode(SaveMode.Overwrite).partitionBy("tbl", "bucket")
       .parquet(rowsPath)
+    invalidate()
   }
 
-  // resolved once per index instance: partition discovery over
-  // numTables × 2^bits dirs is the probe's fixed cost, and a long-lived
-  // service re-lists it per query without this (a catalog table's file
-  // index gives the same amortization)
-  private lazy val rowsDF = spark.read.parquet(rowsPath)
-  def rows(): DataFrame = rowsDF
+  /** Append-only refresh: bucket the delta with the SAME planes and add
+    * its rows to the existing (tbl, bucket) partitions. A row's buckets
+    * depend only on the row itself, so build(all) and build(old) +
+    * append(delta) produce identical index CONTENT — the LSH analog of
+    * [[Dedup.refreshPairs]]. Touches only the delta's partitions. */
+  def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
+    bucketed(emb, idCol, vecCol)
+      .write.mode(SaveMode.Append).partitionBy("tbl", "bucket")
+      .parquet(rowsPath)
+    invalidate()
+  }
+
+  // resolved once per index instance and invalidated on writes:
+  // partition discovery over numTables × 2^bits dirs is the probe's
+  // fixed cost, and a long-lived service re-lists it per query without
+  // this (a catalog table's file index gives the same amortization)
+  @volatile private var rowsDF: DataFrame = null
+  private def invalidate(): Unit = rowsDF = null
+  def rows(): DataFrame = {
+    var df = rowsDF
+    if (df == null) { df = spark.read.parquet(rowsPath); rowsDF = df }
+    df
+  }
 
   /** Probe: read the query's bucket partition in each table (partition
     * pruning on (tbl, bucket)), dedup candidates by id, exact-cosine

@@ -44,6 +44,24 @@ object EventStreams {
     else marked.dropDuplicates(keys)
   }
 
+  /** Streaming NEAR-dup suppression for a document stream: drop docs
+    * whose 64-bit SimHash equals an already-seen signature within the
+    * watermark horizon. Signature computation is a stateless projection
+    * ([[graft.operators.Dedup.withSimhash]] works unchanged on a
+    * streaming frame — token votes, no aggregation across rows), so the
+    * only state is the watermark-bounded signature set the dedup keeps:
+    * near-dup filtering at stream rate, independent of corpus size.
+    *
+    * Identical-signature is the high-precision streaming regime (token
+    * reorderings and case changes collapse to one signature); Hamming-
+    * distance matching needs cross-doc chunk joins and belongs to the
+    * batch path ([[graft.operators.Dedup.simhashPairs]]). */
+  def nearDupWithinWatermark(docs: DataFrame, textCol: String,
+                             tsCol: String, watermark: String): DataFrame =
+    dedupWithinWatermark(
+      graft.operators.Dedup.withSimhash(docs, textCol, "_sim"),
+      Seq("_sim"), tsCol, watermark).drop("_sim")
+
   /** Stream-stream inner join with an event-time interval condition:
     * pair each left row with right rows for the same key whose timestamp
     * falls in [left.ts - within, left.ts]. Watermarks on BOTH sides are

@@ -49,6 +49,26 @@ class IvfIndexSpec extends SparkSpec {
     assert(probeAll.toSeq == brute.toSeq)
   }
 
+  test("append assigns delta rows to existing centroids without re-training") {
+    val base = Files.createTempDirectory("graft_ivf_app").toString
+    val idx = new IvfIndex(spark, base)
+    // train on a subset, then ingest the rest (FAISS add-after-train)
+    val old = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+    idx.build(old, "vec_id", "embedding", k = 2, iters = 4)
+    val centroidsBefore = idx.centroids().collect().map(_.toString).sorted.toSeq
+    idx.append(delta, "vec_id", "embedding")
+    // quantizer frozen, all rows present
+    assert(idx.centroids().collect().map(_.toString).sorted.toSeq == centroidsBefore)
+    assert(idx.cells().count() == 60)
+    // appended rows landed in their true cluster's cell: each cluster
+    // maps to exactly one cell even after the append
+    val cells = idx.cells().select("vec_id", "cell").as[(Long, Int)].collect()
+    val byCluster = cells.groupBy(_._1 <= 30).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byCluster(true).length == 1 && byCluster(false).length == 1)
+    assert(byCluster(true).head != byCluster(false).head)
+  }
+
   test("build at realistic k (64 cells, sf0.1 corpus) — no plan blow-up") {
     // the broadcast-table + argmin-aggregate assignment keeps the plan
     // O(1) in k; the previous k×dim literal expression tree made large-k

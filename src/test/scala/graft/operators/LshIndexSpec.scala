@@ -30,6 +30,30 @@ class LshIndexSpec extends SparkSpec {
     assert(viaIndex.nonEmpty && viaIndex.head._1 <= 40) // cluster-0 hit
   }
 
+  test("build(old) + append(delta) equals build(all) — content and search") {
+    val old = emb.filter($"vec_id" <= 40)
+    val delta = emb.filter($"vec_id" > 40)
+    val baseA = Files.createTempDirectory("graft_lsh_app").toString
+    val idxA = new LshIndex(spark, baseA, dim = 4, numTables = 3,
+      bitsPerTable = 2, seed = 7L)
+    idxA.build(old, "vec_id", "embedding")
+    idxA.append(delta, "vec_id", "embedding")
+    val baseB = Files.createTempDirectory("graft_lsh_full").toString
+    val idxB = new LshIndex(spark, baseB, dim = 4, numTables = 3,
+      bitsPerTable = 2, seed = 7L)
+    idxB.build(emb, "vec_id", "embedding")
+    // identical index content: a row's buckets depend only on the row
+    def content(i: LshIndex) = i.rows()
+      .select($"vec_id", $"tbl".cast("int"), $"bucket".cast("long"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(content(idxA) == content(idxB))
+    val a = idxA.search("vec_id", "embedding", query, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    val b = idxB.search("vec_id", "embedding", query, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("probe is partition-pruned to (tbl, bucket) and build is idempotent") {
     val base = Files.createTempDirectory("graft_lsh2").toString
     val idx = new LshIndex(spark, base, dim = 4, numTables = 2,

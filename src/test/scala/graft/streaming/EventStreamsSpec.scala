@@ -71,6 +71,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.length == 2)
   }
 
+  test("nearDupWithinWatermark drops same-signature docs on a stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    mem.addData(
+      (ts("2026-01-01 10:00:00"), 1L, "The quick brown fox"),
+      // token reorder + case change: identical distinct-token set →
+      // identical SimHash → suppressed as a near-dup
+      (ts("2026-01-01 10:00:30"), 2L, "quick the FOX brown"),
+      (ts("2026-01-01 10:01:00"), 3L, "an entirely different document"))
+    val q = EventStreams.nearDupWithinWatermark(df, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val kept = spark.table("neardup").select($"doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+    // signature column does not leak into the output
+    assert(!spark.table("neardup").columns.contains("_sim"))
+  }
+
   test("enrichLatest joins a stream to the latest dim version, broadcast") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, Double)]
