@@ -752,8 +752,7 @@ object SparkEntry {
       // bucket/candidate/re-rank pipeline
       val emb = t(s, dir, "embeddings")
       val q = queryVector(emb)
-      val planes = Similarity.hyperplanes(dim = 64, numTables = 4,
-        bitsPerTable = 8, seed = 42L)
+      val planes = Similarity.hyperplanes(LshDim, LshTables, LshBits, LshSeed)
       Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
         "vec_id", "embedding", q, 10, planes)
     }),
@@ -877,16 +876,28 @@ object SparkEntry {
       idx
     })
 
+  /** Plane config shared by the x_sim_lsh gate, the persistent index,
+    * and both oracles — one source of truth. */
+  private val LshDim = 64; private val LshTables = 4
+  private val LshBits = 8; private val LshSeed = 42L
+
+  /** On-disk rows path of the sf dir's LSH forest (parameter-keyed —
+    * stale-proof). Public: Verify resolves `__GRAFT_LSH__` with it. */
+  def lshRowsPath(dir: String): String =
+    operators.LshIndex.rowsPath(s"${artifactBase(dir)}/lsh",
+      LshDim, LshTables, LshBits, LshSeed)
+
   /** Build (or reuse) the persistent LSH forest for an sf dir — same
-    * plane config as `x_sim_lsh` (dim 64, 4×8 bits, seed 42), artifact
-    * under the sf dir's artifact base (on-disk `_SUCCESS` short-circuits
-    * rebuilds across JVMs; the map only skips the check within one). */
+    * plane config as `x_sim_lsh`, artifact under the sf dir's artifact
+    * base (on-disk `_SUCCESS` short-circuits rebuilds across JVMs; the
+    * map only skips the check within one). */
   private val lshBuilt = scala.collection.concurrent.TrieMap.empty[String, operators.LshIndex]
   private def lshIndexFor(s: SparkSession, dir: String,
                           emb: DataFrame): operators.LshIndex =
     lshBuilt.getOrElseUpdate(dir, {
       val idx = new operators.LshIndex(s, s"${artifactBase(dir)}/lsh",
-        dim = 64, numTables = 4, bitsPerTable = 8, seed = 42L)
+        dim = LshDim, numTables = LshTables, bitsPerTable = LshBits,
+        seed = LshSeed)
       idx.build(emb, "vec_id", "embedding")
       idx
     })
@@ -902,8 +913,8 @@ object SparkEntry {
     * seeded generator the engine uses. Column `w` is the bit weight 2^b,
     * which doubles as the per-plane key. */
   private lazy val lshPlaneValues: String = {
-    val planes = operators.Similarity.hyperplanes(dim = 64, numTables = 4,
-      bitsPerTable = 8, seed = 42L)
+    val planes = operators.Similarity.hyperplanes(LshDim, LshTables,
+      LshBits, LshSeed)
     (for {
       (tbl, t) <- planes.zipWithIndex
       (plane, b) <- tbl.zipWithIndex
@@ -1566,7 +1577,13 @@ object SparkEntry {
     // the oracle recomputes UNcapped Jaccard over the full table at the
     // same threshold — it cannot tell (and must not care) that the
     // engine served old pairs from an artifact and only discovered the
-    // delta's contribution.
+    // delta's contribution. Oracle-safety of the banding was measured
+    // for THIS config (uncapped, threshold 0.5, 64 hashes × 16 bands):
+    // `PairCheck 0.5 0 64 16` → zero missed pairs at sf0.01 AND sf0.1
+    // (min in-corpus jaccard among qualifying pairs is 0.8, far above
+    // the banding knee — the capped measurement does not transfer
+    // automatically, so re-run PairCheck with maxBlock=0 if this gate's
+    // parameters change).
     "x_dedup_incremental" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents),

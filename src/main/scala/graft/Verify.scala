@@ -46,7 +46,7 @@ object Verify {
           .replace("__GRAFT_IVF__", SparkEntry.ivfBasePath(sfDir))
           .replace("__GRAFT_SIMHASH__", s"${SparkEntry.artifactBase(sfDir)}/simhash")
           .replace("__GRAFT_MEDIA__", s"${SparkEntry.artifactBase(sfDir)}/media")
-          .replace("__GRAFT_LSH__", s"${SparkEntry.artifactBase(sfDir)}/lsh/lsh_rows")
+          .replace("__GRAFT_LSH__", SparkEntry.lshRowsPath(sfDir))
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -210,7 +210,16 @@ object Dedup {
     * rest of the corpus, breaking append-only semantics), and per-doc
     * MinHash signatures depend only on the doc itself, so
     * `existingPairs ∪ deltaPairs` equals the from-scratch computation
-    * up to banding recall, exactly as for [[minhashLshPairs]]. */
+    * up to banding recall, exactly as for [[minhashLshPairs]].
+    *
+    * The trade-off, stated plainly: no cap means no stop-shingle guard —
+    * a corpus-wide shingle can win band minima everywhere and collapse
+    * buckets (the hazard [[minhashLshPairs]]' maxBlock exists for). Use
+    * the incremental path when the corpus is clean enough to go uncapped
+    * (templates stripped upstream) or the threshold is high; a capped
+    * production pipeline takes the periodic full [[pairTable]] rebuild
+    * instead — capped scores are corpus-dependent, so capped
+    * "increments" would silently disagree with a fresh build. */
   def deltaPairs(docs: DataFrame, deltaIds: DataFrame, idCol: String,
                  textCol: String, n: Int, numHashes: Int, bands: Int,
                  threshold: Double): DataFrame = {

@@ -104,7 +104,10 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     * partitions. Carries the ORIGINAL row through the argmin aggregate
     * (struct pass-through) instead of joining assignments back to the
     * corpus — one corpus shuffle, not two, and the stored vector keeps
-    * its source type (float) rather than the double working copy. */
+    * its source type (float) rather than the double working copy.
+    * `idCol` must be unique (the aggregate keys on it — duplicate ids
+    * would collapse to one arbitrary survivor; an ANN index keyed by a
+    * non-unique id is broken regardless of this implementation). */
   private def writeAssigned(emb: DataFrame, idCol: String, vecCol: String,
                             cents: Seq[(Int, Seq[Double])],
                             mode: SaveMode): Unit = {

@@ -22,18 +22,14 @@ final class LshIndex(spark: SparkSession, basePath: String, dim: Int,
                      numTables: Int = 4, bitsPerTable: Int = 8,
                      seed: Long = 42L) {
 
-  private def rowsPath = s"$basePath/lsh_rows"
+  private def rowsPath =
+    LshIndex.rowsPath(basePath, dim, numTables, bitsPerTable, seed)
   private val planes = Similarity.hyperplanes(dim, numTables, bitsPerTable, seed)
 
-  /** Per-table bucket of a query vector, computed driver-side with the
-    * same plane fold the column-side bucketing uses. */
+  /** Per-table bucket of a query vector (shared fold with the scan-based
+    * `lshTopK`, so index and scan paths cannot diverge). */
   def queryBuckets(query: Seq[Double]): Seq[Long] =
-    planes.toSeq.map { tbl =>
-      tbl.zipWithIndex.map { case (p, b) =>
-        val d = p.zip(query).map { case (x, y) => x * y }.sum
-        if (d > 0) 1L << b else 0L
-      }.reduce(_ | _)
-    }
+    Similarity.queryBuckets(planes, query)
 
   private def bucketed(emb: DataFrame, idCol: String,
                        vecCol: String): DataFrame =
@@ -65,7 +61,13 @@ final class LshIndex(spark: SparkSession, basePath: String, dim: Int,
     * its rows to the existing (tbl, bucket) partitions. A row's buckets
     * depend only on the row itself, so build(all) and build(old) +
     * append(delta) produce identical index CONTENT — the LSH analog of
-    * [[Dedup.refreshPairs]]. Touches only the delta's partitions. */
+    * [[Dedup.refreshPairs]]. Touches only the delta's partitions.
+    *
+    * NOT atomic: a killed append leaves partial delta files behind the
+    * build's `_SUCCESS` marker, and a blind retry double-appends.
+    * Recovery contract is rebuild (delete + `build`); a production
+    * deployment wanting transactional appends should hold these rows in
+    * a table format with commit semantics rather than raw parquet dirs. */
   def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
     bucketed(emb, idCol, vecCol)
       .write.mode(SaveMode.Append).partitionBy("tbl", "bucket")
@@ -103,4 +105,14 @@ final class LshIndex(spark: SparkSession, basePath: String, dim: Int,
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+}
+
+object LshIndex {
+  /** Artifact path keyed by EVERY parameter that affects index content
+    * (same stale-proofing as [[Dedup.pairTable]]): a plane-config change
+    * can never silently probe an index built with different planes —
+    * which the oracle could not catch, since it reads the same artifact. */
+  def rowsPath(basePath: String, dim: Int, numTables: Int,
+               bitsPerTable: Int, seed: Long): String =
+    s"$basePath/lsh_rows_d${dim}_t${numTables}_b${bitsPerTable}_s$seed"
 }

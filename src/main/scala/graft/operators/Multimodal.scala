@@ -73,9 +73,12 @@ object Multimodal {
         while (off + 8 <= content.length && (dataSize < 0 || bits == 0)) {
           val id = fourCC(content, off)
           val size = le32(content, off + 4)
-          // a negative size (corrupt/attacker-controlled) would advance
-          // off by <= 0 and spin this loop forever — corrupt input throws
-          require(size >= 0, s"media $mediaId: corrupt chunk size $size")
+          // corrupt/attacker-controlled sizes: negative would advance off
+          // by <= 0 and spin this loop forever; near-Int.MaxValue would
+          // overflow the offset into negative indexing. A chunk must fit
+          // in the remaining payload — anything else throws.
+          require(size >= 0 && size <= content.length - off - 8,
+            s"media $mediaId: corrupt chunk size $size at offset $off")
           if (id == "fmt ") {
             channels = le16(content, off + 10)
             rate = le32(content, off + 12)

@@ -84,18 +84,26 @@ object Similarity {
         bucketId(col(vecCol).cast("array<double>"), tbl))
     }
 
+  /** Per-table sign-LSH bucket of a query vector, computed driver-side
+    * with the same per-plane dot + bit fold the column-side bucketing
+    * performs — the ONE implementation both the scan path and the
+    * persistent [[LshIndex]] use, so they cannot diverge. */
+  def queryBuckets(planes: Array[Array[Array[Double]]],
+                   query: Seq[Double]): Seq[Long] =
+    planes.toSeq.map { tbl =>
+      tbl.zipWithIndex.map { case (p, b) =>
+        val d = p.zip(query).map { case (x, y) => x * y }.sum
+        if (d > 0) 1L << b else 0L
+      }.reduce(_ | _)
+    }
+
   /** LSH ANN top-k: candidates = rows sharing the query's bucket in any
     * table; exact cosine re-rank of candidates only. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int,
               planes: Array[Array[Array[Double]]]): DataFrame = {
     val q = array(query.map(lit): _*)
-    val qBuckets = planes.map { tbl =>
-      tbl.zipWithIndex.map { case (p, b) =>
-        val d = p.zip(query).map { case (x, y) => x * y }.sum
-        if (d > 0) 1L << b else 0L
-      }.reduce(_ | _)
-    }
+    val qBuckets = queryBuckets(planes, query)
     val withBuckets = lshBuckets(emb, vecCol, planes)
     val cond = qBuckets.zipWithIndex
       .map { case (qb, i) => col(s"_lsh$i") === lit(qb) }

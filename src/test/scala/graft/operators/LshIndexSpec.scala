@@ -59,15 +59,22 @@ class LshIndexSpec extends SparkSpec {
     val idx = new LshIndex(spark, base, dim = 4, numTables = 2,
       bitsPerTable = 2, seed = 7L)
     idx.build(emb, "vec_id", "embedding")
-    // physical layout: tbl=*/bucket=* partition dirs
-    val tbls = new java.io.File(s"$base/lsh_rows").listFiles
+    // physical layout: tbl=*/bucket=* partition dirs (parameter-keyed path)
+    val tbls = new java.io.File(
+        LshIndex.rowsPath(base, dim = 4, numTables = 2, bitsPerTable = 2,
+          seed = 7L)).listFiles
       .filter(_.getName.startsWith("tbl=")).map(_.getName).sorted
     assert(tbls.toSeq == Seq("tbl=0", "tbl=1"))
-    // the probe plan prunes partitions: only the query's buckets are read
+    // the probe plan prunes partitions: the filter must actually bind
+    // tbl/bucket (a bare "PartitionFilters: []" also contains the key,
+    // so assert on the CONTENT)
     val probe = idx.search("vec_id", "embedding", query, k = 3)
     probe.collect()
     val scan = probe.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters"))
+    val filters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    assert(filters.contains("tbl") && filters.contains("bucket"),
+      s"probe not partition-pruned: [$filters]")
     // second build is a no-op (_SUCCESS short-circuit): same contents
     val before = idx.rows().count()
     idx.build(emb, "vec_id", "embedding")

@@ -75,6 +75,14 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.HeaderCodec.decode(9L, evil)
     }
+    // near-Int.MaxValue size: must throw the codec's own error, not
+    // overflow the offset into an uncontrolled index exception
+    val huge = "RIFF".getBytes ++ Array[Byte](36, 0, 0, 0) ++
+      "WAVE".getBytes ++ "junk".getBytes ++
+      Array[Byte](-16, -1, -1, 127) ++ Array.fill[Byte](16)(0)
+    intercept[IllegalArgumentException] {
+      Multimodal.HeaderCodec.decode(9L, huge)
+    }
   }
 
   test("mediaTable artifact round-trips through parquet and decodes") {
