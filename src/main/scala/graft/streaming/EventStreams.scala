@@ -62,6 +62,46 @@ object EventStreams {
       graft.operators.Dedup.withSimhash(docs, textCol, "_sim"),
       Seq("_sim"), tsCol, watermark).drop("_sim")
 
+  /** Streaming Hamming-radius near-dup PAIRS: each arriving doc is
+    * paired with earlier docs (inside the event-time horizon) whose
+    * SimHash is within `maxDist` bits. Blocking is the batch path's
+    * 16-bit chunk pigeonhole ([[graft.operators.Dedup.simhashPairs]] —
+    * exhaustive for maxDist ≤ 3), executed as a watermarked stream-
+    * stream SELF-join on the chunk key through [[intervalJoin]]: join
+    * state is rate × horizon per side, never corpus-sized, and no
+    * `flatMapGroupsWithState` is involved (trap-safe in this container).
+    *
+    * Emission is at-least-once per pair: a pair sharing several chunk
+    * keys surfaces once per shared chunk (identical signatures share all
+    * four). Collapsing those needs a second stateful stage; consumers
+    * wanting exactly-once pairs dedup downstream, same as the batch
+    * path's `distinct()`. */
+  def nearDupPairsStream(docs: DataFrame, idCol: String, textCol: String,
+                         tsCol: String, within: String, maxDist: Int,
+                         watermark: String = "30 minutes"): DataFrame = {
+    require(maxDist <= 3,
+      "16-bit-chunk blocking is exhaustive only for maxDist <= 3")
+    val sim = graft.operators.Dedup.withSimhash(docs, textCol, "_sim")
+    def chunked(idAs: String, simAs: String, tsAs: String) = sim
+      .select(col(idCol).as(idAs), col("_sim").as(simAs), col(tsCol).as(tsAs))
+      .select(col(idAs), col(simAs), col(tsAs),
+        explode(array((0 until 4).map(c =>
+          concat_ws(":", lit(c),
+            shiftrightunsigned(col(simAs), c * 16)
+              .bitwiseAND(lit(0xFFFFL)))): _*)).as("_ck"))
+    intervalJoin(chunked("id_a", "_sima", "_tsa"),
+        chunked("id_b", "_simb", "_tsb"), "_ck", "_tsa", "_tsb",
+        within, watermark)
+      .filter(col("id_a") =!= col("id_b"))
+      // anchor on the LATER doc; equal-timestamp pairs keep one direction
+      .filter(col("_tsb") < col("_tsa") ||
+        (col("_tsb") === col("_tsa") && col("id_b") < col("id_a")))
+      .select(col("id_b").as("id_earlier"), col("id_a").as("id_later"),
+        bit_count(col("_sima").bitwiseXOR(col("_simb"))).as("hamming"),
+        col("_tsa").as("ts"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Stream-stream inner join with an event-time interval condition:
     * pair each left row with right rows for the same key whose timestamp
     * falls in [left.ts - within, left.ts]. Watermarks on BOTH sides are

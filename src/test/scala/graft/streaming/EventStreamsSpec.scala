@@ -92,6 +92,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(!spark.table("neardup").columns.contains("_sim"))
   }
 
+  test("nearDupPairsStream pairs near docs within the horizon only") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    mem.addData(
+      (ts("2026-01-01 10:00:00"), 1L, "alpha beta gamma delta"),
+      // same distinct-token set → identical signature (hamming 0)
+      (ts("2026-01-01 10:01:00"), 2L, "delta GAMMA beta alpha"),
+      (ts("2026-01-01 10:02:00"), 3L, "completely unrelated payload text"),
+      // same signature as 1/2 but outside the 10-minute horizon of both
+      (ts("2026-01-01 10:30:00"), 4L, "alpha beta gamma delta"))
+    val q = EventStreams.nearDupPairsStream(df, "doc_id", "text", "ts",
+        within = "10 minutes", maxDist = 3)
+      .writeStream.format("memory").queryName("neardup_pairs")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // at-least-once per shared chunk → collapse before asserting
+    val pairs = spark.table("neardup_pairs")
+      .select($"id_earlier", $"id_later", $"hamming")
+      .distinct().as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
+
   test("enrichLatest joins a stream to the latest dim version, broadcast") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, Double)]
