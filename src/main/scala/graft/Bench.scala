@@ -15,10 +15,14 @@ object Bench {
     // each artifact-backed query's FIRST sample pays its build — the
     // honest cold number — while the median reflects steady-state reuse
     def rmTree(p: String): Unit = {
-      val f = new java.io.File(p)
-      if (f.isDirectory)
-        Option(f.listFiles).foreach(_.foreach(c => rmTree(c.getPath)))
-      f.delete()
+      // no-follow-links: a symlinked directory is deleted as the link
+      // itself, never recursed into (its target's contents stay intact)
+      val f = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isDirectory(f, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val children = java.nio.file.Files.list(f)
+        try children.forEach(c => rmTree(c.toString)) finally children.close()
+      }
+      java.nio.file.Files.deleteIfExists(f)
     }
     rmTree(SparkEntry.artifactBase(sfDir))
     rmTree(SparkEntry.ivfBasePath(sfDir))
@@ -57,13 +61,19 @@ object Bench {
         }
         name -> (samples.head, samples.sorted.apply(samples.length / 2))
       }
+    // 3-decimal seconds (ms precision) keep the line compact, and the
+    // headline total goes LAST: downstream tooling captures only the
+    // final ~2KB of output, so cold-first/medians-then/total-at-the-end
+    // ordering guarantees the medians object and the total survive the
+    // truncation (the cold object is the part that may be cut)
+    def fmt(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def obj(f: ((String, (Double, Double))) => Double) =
-      results.map { case (k, v) => s"\"" + k + "\":" + f((k, v)) }
+      results.map { case (k, v) => s"\"" + k + "\":" + fmt(f((k, v))) }
         .mkString("{", ",", "}")
     val qs = obj(_._2._2)
     val cold = obj(_._2._1)
     val total = results.map(_._2._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"cold":$cold,"queries":$qs,"runs":$runs,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
     spark.stop()
   }
 }

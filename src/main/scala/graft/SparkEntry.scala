@@ -632,12 +632,21 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val old = docs.filter(col("doc_id") % 5 =!= 0)
       val delta = docs.filter(col("doc_id") % 5 === 0)
-      val oldPairs = Dedup.pairTable(old, "doc_id", "text",
-        s"${artifactBase(dir)}/incr_old", n = 3, numHashes = 64,
-        bands = 16, threshold = 0.5, maxBlock = 0)
+      val base = s"${artifactBase(dir)}/incr_old"
+      // "yesterday's" state is TWO artifacts: the pair set AND the banded
+      // signatures of the old corpus. The refresh then signs only the
+      // delta slice — the old corpus contributes a parquet scan of its
+      // signatures, not a re-run of the signature aggregation (the
+      // banded artifact feeds the old pairTable build too, so a cold
+      // build signs the old corpus exactly once)
+      val oldBanded = Dedup.bandedTable(old, "doc_id", "text", base,
+        n = 3, numHashes = 64, bands = 16)
+      val oldPairs = Dedup.pairTable(old, "doc_id", "text", base,
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5, maxBlock = 0,
+        banded = Some(oldBanded))
       Dedup.refreshPairs(docs, delta.select(col("doc_id")), oldPairs,
           "doc_id", "text", n = 3, numHashes = 64, bands = 16,
-          threshold = 0.5)
+          threshold = 0.5, oldBanded = Some(oldBanded))
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -76,6 +76,29 @@ object Dedup {
   private def explodeIndex(lists: DataFrame): DataFrame =
     lists.select(col("_sh"), explode(col("_ids")).as("_id"))
 
+  /** Flat UNcapped (id, shingle-fingerprint) index, derived map-side with
+    * NO shuffle: per-doc distinct shingles explode straight off the scan.
+    * The capped variant must go through [[postingLists]] (the cap is a
+    * property of a shingle's corpus-wide doc frequency, which needs the
+    * groupBy); with maxBlock ≤ 0 the groupBy → collect → explode
+    * round-trip is an identity on this multiset, so uncapped flows take
+    * this path and skip a full-corpus shuffle. */
+  private def flatIndex(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame =
+    docs.select(col(idCol).as("_id"), explode(shingles(col(textCol), n)).as("_sh"))
+      .select(col("_id"), xxhash64(col("_sh")).as("_sh"))
+
+  /** Persisted flat (id, shingle) index: capped via posting lists when
+    * maxBlock > 0, map-side [[flatIndex]] otherwise. */
+  private def buildIdx(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, maxBlock: Long): DataFrame =
+    if (maxBlock <= 0)
+      flatIndex(docs, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else explodeIndex(
+      postingLists(docs, idCol, textCol, n, maxBlock)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Shared-shingle counts per ordered doc pair, generated from posting
     * lists: each list of length m yields its m(m−1)/2 ordered pairs via
     * nested explode (position + suffix slice — the pair stream is
@@ -143,10 +166,16 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, numHashes: Int, bands: Int,
                       threshold: Double, maxBlock: Long = 0): DataFrame = {
-    val idx = explodeIndex(
-      postingLists(docs, idCol, textCol, n, maxBlock)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val banded = bandedSignatures(idx, numHashes, bands)
+    val idx = buildIdx(docs, idCol, textCol, n, maxBlock)
+    pairsFromBanded(bandedSignatures(idx, numHashes, bands), idx, threshold)
+  }
+
+  /** Band-bucket self-join + exact verification over precomputed banded
+    * signatures (_id, band, bkey) — the half of [[minhashLshPairs]] below
+    * the signature aggregation, shared with the artifact-fed path of
+    * [[pairTable]]. */
+  private def pairsFromBanded(banded: DataFrame, idx: DataFrame,
+                              threshold: Double): DataFrame = {
     val l = banded.select(col("_id").as("id_a"), col("band"), col("bkey"))
     val r = banded.select(col("_id").as("id_b"), col("band"), col("bkey"))
     val cand = l.join(r, Seq("band", "bkey"))
@@ -180,9 +209,21 @@ object Dedup {
     * the flat shingle index: intersection via two candidate-side joins
     * (candidates are small — AQE broadcasts them), sizes from one index
     * aggregate; keep pairs ≥ threshold. */
-  private def verifyCandidates(cand: DataFrame, idx: DataFrame,
+  private def verifyCandidates(cand0: DataFrame, idx: DataFrame,
                                threshold: Double): DataFrame = {
-    val sizes = idx.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    // the candidate set is read three times (size restriction + two
+    // intersection joins) and sits behind a band join + distinct —
+    // persist it rather than recompute; it is pair-count-sized, orders
+    // of magnitude below the corpus
+    val cand = cand0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-doc set sizes only matter for docs that appear in a candidate
+    // pair: the semi-join keeps the size aggregation's shuffle input
+    // proportional to the candidate set, not the corpus
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("_id")).distinct()
+    val sizes = idx.join(candIds, Seq("_id"), "left_semi")
+      .groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val inter = cand
       .join(idx.select(col("_id").as("id_a"), col("_sh")), "id_a")
       .join(idx.select(col("_id").as("_idb"), col("_sh").as("_sh2")),
@@ -222,16 +263,37 @@ object Dedup {
     * "increments" would silently disagree with a fresh build. */
   def deltaPairs(docs: DataFrame, deltaIds: DataFrame, idCol: String,
                  textCol: String, n: Int, numHashes: Int, bands: Int,
-                 threshold: Double): DataFrame = {
-    val idx = explodeIndex(
-      postingLists(docs, idCol, textCol, n, maxBlock = 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val banded = bandedSignatures(idx, numHashes, bands)
-    val deltaBanded = banded.join(
-      broadcast(deltaIds.select(col(deltaIds.columns.head).as("_id")).distinct()),
-      Seq("_id"), "left_semi")
+                 threshold: Double,
+                 oldBanded: Option[DataFrame] = None): DataFrame = {
+    // uncapped ⟹ the flat index derives map-side (no posting-list
+    // shuffle); persisted because signatures and verification both read it
+    val idx = buildIdx(docs, idCol, textCol, n, maxBlock = 0)
+    // no broadcast hint on the delta-id set: a "delta" in the append-only
+    // refresh use case is legitimately a large batch, and a forced
+    // broadcast of an unbounded distinct would fail the job at the
+    // broadcast limit instead of degrading — AQE broadcasts it when the
+    // runtime size qualifies and falls back to a shuffled semi-join when
+    // it doesn't
+    val deltaIdSet = deltaIds
+      .select(col(deltaIds.columns.head).as("_id")).distinct()
+    // `oldBanded` = the persisted banded signatures (id, band, bkey) of
+    // EXACTLY the non-delta docs at the same n/numHashes/bands (see
+    // [[bandedTable]]): per-doc signatures depend only on the doc's own
+    // shingles, so artifact-read and recomputed signatures are identical —
+    // supplying it skips re-signing the whole old corpus and the full
+    // signature aggregation shuffles only the delta slice
+    val (deltaBanded, allBanded) = oldBanded match {
+      case Some(ob) =>
+        val db = bandedSignatures(
+            idx.join(deltaIdSet, Seq("_id"), "left_semi"), numHashes, bands)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (db, ob.select(col("id").as("_id"), col("band"), col("bkey")).union(db))
+      case None =>
+        val all = bandedSignatures(idx, numHashes, bands)
+        (all.join(deltaIdSet, Seq("_id"), "left_semi"), all)
+    }
     val cand = deltaBanded.select(col("_id").as("id_a"), col("band"), col("bkey"))
-      .join(banded.select(col("_id").as("id_b"), col("band"), col("bkey")),
+      .join(allBanded.select(col("_id").as("id_b"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .filter(col("id_a") =!= col("id_b"))
       // canonical order; delta×delta pairs meet twice (both sides are in
@@ -249,10 +311,11 @@ object Dedup {
   def refreshPairs(docs: DataFrame, deltaIds: DataFrame,
                    existingPairs: DataFrame, idCol: String, textCol: String,
                    n: Int, numHashes: Int, bands: Int,
-                   threshold: Double): DataFrame =
+                   threshold: Double,
+                   oldBanded: Option[DataFrame] = None): DataFrame =
     existingPairs.select(col("id_a"), col("id_b"), col("jaccard"))
       .union(deltaPairs(docs, deltaIds, idCol, textCol, n, numHashes,
-        bands, threshold))
+        bands, threshold, oldBanded))
 
   /** Build-once / load-many near-dup pair artifact: the MinHash+LSH pair
     * set materialized to parquet under `basePath`, keyed by every
@@ -271,7 +334,14 @@ object Dedup {
     * (rebuild only when the corpus version changes). */
   def pairTable(docs: DataFrame, idCol: String, textCol: String,
                 basePath: String, n: Int, numHashes: Int, bands: Int,
-                threshold: Double, maxBlock: Long = 0): DataFrame = {
+                threshold: Double, maxBlock: Long = 0,
+                banded: Option[DataFrame] = None): DataFrame = {
+    // `banded` = precomputed signatures of exactly `docs` (typically a
+    // [[bandedTable]] artifact): skips the signature aggregation on a
+    // cold build. Uncapped only — capped signatures are a function of
+    // the capped shingle universe, which bandedTable does not model.
+    require(banded.isEmpty || maxBlock <= 0,
+      "pairTable: precomputed banded signatures require maxBlock <= 0")
     val spark = docs.sparkSession
     val key = s"n${n}_h${numHashes}_b${bands}_t${threshold}_m$maxBlock"
     val path = s"$basePath/pairs_$key"
@@ -279,9 +349,40 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // _SUCCESS is written atomically at commit — a killed build leaves no
     // marker and the next call rebuilds
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      val pairs = banded match {
+        case Some(b) =>
+          pairsFromBanded(
+            b.select(col("id").as("_id"), col("band"), col("bkey")),
+            buildIdx(docs, idCol, textCol, n, maxBlock = 0), threshold)
+        case None =>
+          minhashLshPairs(docs, idCol, textCol, n, numHashes, bands,
+            threshold, maxBlock)
+      }
+      pairs.write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Build-once / load-many BANDED-signature artifact: one (id, band,
+    * bkey) row per doc per band, parquet under `basePath`, keyed by every
+    * parameter the signature depends on. Per-doc MinHash signatures are a
+    * function of the doc's own (uncapped) shingle set alone, so the
+    * artifact composes exactly with append-only refresh: sign the old
+    * corpus once, then [[deltaPairs]]/[[refreshPairs]] with
+    * `oldBanded = Some(bandedTable(...))` sign only the delta — the
+    * re-signing of the unchanged corpus (the dominant cost of a refresh
+    * at 100 TB) is replaced by a parquet scan. */
+  def bandedTable(docs: DataFrame, idCol: String, textCol: String,
+                  basePath: String, n: Int, numHashes: Int,
+                  bands: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val path = s"$basePath/banded_n${n}_h${numHashes}_b$bands"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
-      minhashLshPairs(docs, idCol, textCol, n, numHashes, bands,
-          threshold, maxBlock)
+      bandedSignatures(flatIndex(docs, idCol, textCol, n), numHashes, bands)
+        .select(col("_id").as("id"), col("band"), col("bkey"))
         .write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }

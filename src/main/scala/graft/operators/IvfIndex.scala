@@ -145,6 +145,30 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     writeAssigned(emb, idCol, vecCol, cents, SaveMode.Append)
   }
 
+  /** Compact fragmented cell partitions after appends — the IVF analog
+    * of [[LshIndex.compact]] (see there for the lineage-truncation and
+    * non-atomicity notes). Rewrites only cells holding more than
+    * `maxFiles` files; returns how many were rewritten. */
+  def compact(maxFiles: Int = 1): Long = {
+    val frag = cells()
+      .select(col("cell"), input_file_name().as("_f"))
+      .groupBy(col("cell")).agg(countDistinct(col("_f")).as("_nf"))
+      .filter(col("_nf") > maxFiles)
+      .select(col("cell"))
+      .localCheckpoint()
+    val n = frag.count()
+    if (n > 0) {
+      val compacted = cells()
+        .join(broadcast(frag), Seq("cell"), "left_semi")
+        .repartition(col("cell"))
+        .localCheckpoint()
+      compacted.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(cellsPath)
+    }
+    n
+  }
+
   /** Probe: rank cells by centroid cosine, brute-force only the best
     * `nprobe` cells (partition-pruned scan). */
   def search(idCol: String, vecCol: String, query: Seq[Double], k: Int,

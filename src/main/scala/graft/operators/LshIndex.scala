@@ -75,6 +75,42 @@ final class LshIndex(spark: SparkSession, basePath: String, dim: Int,
     invalidate()
   }
 
+  /** Compact fragmented (tbl, bucket) partitions: every [[append]] adds
+    * one file per writing task per touched partition, and probe latency
+    * degrades with file count (footer reads dominate a pruned scan of
+    * small files). Rewrites ONLY partitions holding more than `maxFiles`
+    * files — dynamic partition overwrite leaves the rest untouched.
+    * Returns the number of partitions rewritten.
+    *
+    * The fragmented slice is eagerly localCheckpoint'ed before the
+    * overwrite: the write targets the same path the rows came from, and
+    * truncating lineage to the materialized blocks is what makes
+    * read-then-replace safe (and bounds memory to the fragmented slice,
+    * not the index). Same non-atomicity contract as [[append]]: a killed
+    * compaction can lose the partitions mid-rewrite — recovery is
+    * rebuild. */
+  def compact(maxFiles: Int = 1): Long = {
+    val frag = rows()
+      .select(col("tbl"), col("bucket"), input_file_name().as("_f"))
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(countDistinct(col("_f")).as("_nf"))
+      .filter(col("_nf") > maxFiles)
+      .select(col("tbl"), col("bucket"))
+      .localCheckpoint()
+    val n = frag.count()
+    if (n > 0) {
+      val compacted = rows()
+        .join(broadcast(frag), Seq("tbl", "bucket"), "left_semi")
+        .repartition(col("tbl"), col("bucket"))
+        .localCheckpoint()
+      compacted.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tbl", "bucket").parquet(rowsPath)
+      invalidate()
+    }
+    n
+  }
+
   // resolved once per index instance and invalidated on writes:
   // partition discovery over numTables × 2^bits dirs is the probe's
   // fixed cost, and a long-lived service re-lists it per query without

@@ -86,8 +86,12 @@ object Multimodal {
           } else if (id == "data") dataSize = size
           off += 8 + size + (size & 1) // chunks are word-aligned
         }
-        require(bits > 0 && channels > 0 && dataSize >= 0,
-          s"media $mediaId: WAV missing fmt/data chunk")
+        // bits must be a whole number of bytes: a corrupt fmt chunk with
+        // bits in 1..7 would make bits/8 zero and turn the frame-count
+        // division into an ArithmeticException instead of this diagnostic
+        require(bits >= 8 && bits % 8 == 0 && channels > 0 && dataSize >= 0,
+          s"media $mediaId: WAV missing/corrupt fmt or data chunk " +
+            s"(bits=$bits channels=$channels dataSize=$dataSize)")
         DecodedMeta(mediaId, "wav", width = 0, height = 0,
           n_frames = dataSize / (channels * (bits / 8)),
           sample_rate = rate, channels = channels)

@@ -138,9 +138,21 @@ object Similarity {
     *
     * Score ties at 6 dp break to the SMALLER neighbor id (the aggregator
     * orders (score, id) descending, so the partner id is negated on the
-    * way in and restored on the way out). */
+    * way in and restored on the way out).
+    *
+    * `idCol` MUST be an integral column (byte/short/int/long): the
+    * k-bounded aggregator ranks ids through a signed-long negation trick,
+    * so string/UUID keys are not supported — map them to a dense surrogate
+    * id first (see [[Ids]]). Enforced eagerly below so misuse fails with a
+    * clear message instead of an ANSI cast error (or silent null anchors
+    * with ANSI off) deep inside the aggregation. */
   def blockKnn(emb: DataFrame, idCol: String, vecCol: String,
                blockCol: String, k: Int, subBuckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = emb.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"blockKnn requires an integral id column; '$idCol' is $idType — " +
+        "assign a dense numeric surrogate id (graft.operators.Ids) first")
     val B = math.max(subBuckets, 1)
     val bucket = pmod(xxhash64(col(idCol)), lit(B.toLong))
     // per-row norms below the join (see Dedup.embeddingNearDupPairs)

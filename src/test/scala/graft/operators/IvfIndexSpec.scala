@@ -69,6 +69,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(byCluster(true).head != byCluster(false).head)
   }
 
+  test("compact merges append-fragmented cells; content and probe unchanged") {
+    val base = Files.createTempDirectory("graft_ivf_cpt").toString
+    val idx = new IvfIndex(spark, base)
+    val old = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+    idx.build(old, "vec_id", "embedding", k = 2, iters = 4)
+    idx.append(delta, "vec_id", "embedding")
+    def content() = idx.cells().select("vec_id", "cell")
+      .as[(Long, Int)].collect().toSet
+    def maxFilesPerCell() = idx.cells()
+      .select($"cell", input_file_name().as("f"))
+      .groupBy($"cell").agg(countDistinct($"f").as("n"))
+      .agg(max($"n")).as[Long].head()
+    val before = content()
+    assert(maxFilesPerCell() > 1)
+    assert(idx.compact() > 0)
+    assert(maxFilesPerCell() == 1)
+    assert(content() == before)
+    assert(idx.compact() == 0)
+    val q = Seq(10.0, 0.3, 0.0, 0.0)
+    val probe = idx.search("vec_id", "embedding", q, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .as[(Long, Double)].collect()
+    assert(probe.toSeq == brute.toSeq)
+  }
+
   test("build at realistic k (64 cells, sf0.1 corpus) — no plan blow-up") {
     // the broadcast-table + argmin-aggregate assignment keeps the plan
     // O(1) in k; the previous k×dim literal expression tree made large-k

@@ -54,6 +54,33 @@ class LshIndexSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("compact merges append-fragmented partitions without changing content") {
+    val old = emb.filter($"vec_id" <= 40)
+    val delta = emb.filter($"vec_id" > 40)
+    val base = Files.createTempDirectory("graft_lsh_cpt").toString
+    val idx = new LshIndex(spark, base, dim = 4, numTables = 3,
+      bitsPerTable = 2, seed = 7L)
+    idx.build(old, "vec_id", "embedding")
+    idx.append(delta, "vec_id", "embedding")
+    def content() = idx.rows()
+      .select($"vec_id", $"tbl".cast("int"), $"bucket".cast("long"))
+      .as[(Long, Int, Long)].collect().toSet
+    def maxFilesPerPartition() = idx.rows()
+      .select($"tbl", $"bucket", input_file_name().as("f"))
+      .groupBy($"tbl", $"bucket").agg(countDistinct($"f").as("n"))
+      .agg(max($"n")).as[Long].head()
+    val before = content()
+    assert(maxFilesPerPartition() > 1) // the append really fragmented
+    val n = idx.compact()
+    assert(n > 0)
+    assert(maxFilesPerPartition() == 1) // every partition is one file
+    assert(content() == before)        // rewrite lost/duplicated nothing
+    // idempotent: nothing left to compact
+    assert(idx.compact() == 0)
+    // search still works off the compacted layout
+    assert(idx.search("vec_id", "embedding", query, k = 5).count() == 5)
+  }
+
   test("probe is partition-pruned to (tbl, bucket) and build is idempotent") {
     val base = Files.createTempDirectory("graft_lsh2").toString
     val idx = new LshIndex(spark, base, dim = 4, numTables = 2,

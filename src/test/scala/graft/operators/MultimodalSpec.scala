@@ -85,6 +85,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("HeaderCodec rejects sub-byte WAV sample widths with its own diagnostic") {
+    // bits-per-sample in 1..7 passes a naive bits>0 check but makes
+    // bits/8 zero — the frame count division must not surface as an
+    // ArithmeticException
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(52).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1)   // pcm, mono
+      .putInt(8000).putInt(4000) // rate, byte rate
+      .putShort(1).putShort(4)   // block align, FOUR bits per sample
+    bb.put("data".getBytes).putInt(8).put(Array.fill[Byte](8)(0))
+    val bytes = java.util.Arrays.copyOf(bb.array, bb.position())
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.HeaderCodec.decode(5L, bytes)
+    }
+    assert(e.getMessage.contains("bits=4"))
+  }
+
   test("mediaTable artifact round-trips through parquet and decodes") {
     val base = java.nio.file.Files.createTempDirectory("graft-media").toString
     val table = Multimodal.mediaTable(docs, "doc_id", "text", base)

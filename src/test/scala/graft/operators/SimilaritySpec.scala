@@ -76,6 +76,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("blockKnn rejects non-integral id columns with a clear message") {
+    // the k-bounded aggregator ranks through signed-long negation, so a
+    // string/UUID key must fail eagerly, not as an ANSI cast error (or
+    // silent null anchors) inside the aggregation
+    val strIds = Seq(("a", Array(1.0f, 0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.blockKnn(strIds, "vec_id", "embedding", "label", k = 1)
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
+
   test("blockKnn on one dominant block: k-bounded shuffle, no window sort") {
     // 400 rows in a single block — the skew case the sub-bucket + partial
     // top-k formulation exists for. Ground truth is the full-product
