@@ -704,6 +704,36 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "x_pipeline_sample" -> ((s, dir) => {
+      // deterministic mixture sampling: per-language Bernoulli rates
+      // keyed on md5(doc_id) — the SAME docs survive every run, retry,
+      // and engine (rand() passes neither), which is what makes a
+      // training-mix spec auditable. The predicate is a codegen'd CASE
+      // chain in the scan stage: no join, no shuffle before the final
+      // per-language accounting.
+      val docs = t(s, dir, "documents")
+      Sampling.stratifiedSample(docs, "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.75)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    "x_pipeline_decontam" -> ((s, dir) => {
+      // benchmark decontamination: training docs sharing >= 2 distinct
+      // trigram shingles with the "eval set" (every 50th doc) are
+      // flagged with their overlap count. Both shingle sets derive
+      // map-side; the eval universe is small, so the semi-join
+      // broadcasts — shuffle is proportional to contaminated docs.
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationCounts(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3, minShared = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── LLM-pipeline extensions: text analysis ──────────────────────
     "x_text_stats" -> ((s, dir) => {
       val sw = Seq("the", "and", "of", "a")
@@ -1494,6 +1524,36 @@ object SparkEntry {
                  CAST(sum(toks) AS BIGINT) AS n_tokens
           FROM f GROUP BY lang ORDER BY lang"""
     },
+
+    // thresholds are floor(rate·2^32) as %08x — fixed-width lowercase
+    // hex compares byte-wise as its numeric value, so the md5-keyed
+    // Bernoulli sample is a portable string comparison (en 0.5, zh
+    // 0.25, default 0.75; mirrors Sampling.rateThreshold exactly)
+    "x_pipeline_sample" ->
+      """WITH s AS (SELECT lang, text FROM documents
+                    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                          CASE lang WHEN 'en' THEN '80000000'
+                                    WHEN 'zh' THEN '40000000'
+                                    ELSE 'c0000000' END)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM s GROUP BY lang ORDER BY lang""",
+
+    "x_pipeline_decontam" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+              sh AS (SELECT DISTINCT doc_id,
+                            unnest(list_transform(
+                              generate_series(1, greatest(len(t)-2, 0)),
+                              i -> array_to_string(t[i:i+2], ' '))) AS s
+                     FROM tok),
+              ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+              tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+         SELECT tr.doc_id, count(*) AS n_shared
+         FROM tr JOIN ev ON tr.s = ev.s
+         GROUP BY tr.doc_id
+         HAVING count(*) >= 2
+         ORDER BY doc_id""",
 
     "x_dedup_ngram" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -387,6 +387,30 @@ object Dedup {
     spark.read.parquet(path)
   }
 
+  /** Benchmark decontamination: for each doc in `docs`, how many of its
+    * distinct n-gram shingles appear ANYWHERE in `evalDocs` (the
+    * held-out / benchmark set); docs sharing fewer than `minShared` are
+    * dropped. The standard pre-training hygiene pass — training on text
+    * that overlaps the eval set inflates benchmark scores.
+    *
+    * Scale shape: both shingle sets derive map-side ([[flatIndex]], no
+    * posting-list shuffle); the eval universe is distinct'd (eval sets
+    * are tiny next to the corpus, so AQE broadcasts it) and the count is
+    * one partial-aggregated groupBy over the semi-joined train index —
+    * O(corpus shingles) scan work, shuffle proportional to contaminated
+    * docs only. */
+  def contaminationCounts(docs: DataFrame, evalDocs: DataFrame,
+                          idCol: String, textCol: String, n: Int,
+                          minShared: Long): DataFrame = {
+    val trainIdx = flatIndex(docs, idCol, textCol, n)
+    val evalSh = flatIndex(evalDocs, idCol, textCol, n)
+      .select(col("_sh")).distinct()
+    trainIdx.join(evalSh, Seq("_sh"), "left_semi")
+      .groupBy(col("_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("_id").as(idCol), col("n_shared"))
+  }
+
   /** 64-bit SimHash over the token set: each token votes ±1 per bit of
     * its xxhash64; simhash bit b = sign of the vote sum. Two-step build
     * (votes array materialized as a column, then folded) so the vote

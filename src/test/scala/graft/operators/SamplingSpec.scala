@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+    .toDF("id", "lang")
+
+  test("rateThreshold is the %08x fixed-point of the rate") {
+    assert(Sampling.rateThreshold(0.5) == "80000000")
+    assert(Sampling.rateThreshold(0.25) == "40000000")
+    assert(Sampling.rateThreshold(0.0) == "00000000")
+    assert(Sampling.rateThreshold(1.0) == "ffffffff") // clamped
+    intercept[IllegalArgumentException] { Sampling.rateThreshold(1.5) }
+  }
+
+  test("sample is deterministic, nested across rates, and ~proportional") {
+    val a = Sampling.sample(rows, "id", 0.3).select("id").as[Long].collect().toSet
+    val b = Sampling.sample(rows, "id", 0.3).select("id").as[Long].collect().toSet
+    assert(a == b) // same rows every run — no rand()
+    val wider = Sampling.sample(rows, "id", 0.6).select("id").as[Long].collect().toSet
+    assert(a.subsetOf(wider)) // raising the rate only ADDS rows
+    // a uniform 32-bit coordinate over 2000 keys: 0.3 ± a few percent
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+    assert(Sampling.sample(rows, "id", 1.0).count() == 2000)
+    assert(Sampling.sample(rows, "id", 0.0).count() == 0)
+  }
+
+  test("stratifiedSample applies per-stratum rates and the default") {
+    val out = Sampling.stratifiedSample(rows, "id", "lang",
+        Map("en" -> 1.0), defaultRate = 0.0)
+      .select("lang").as[String].collect()
+    assert(out.nonEmpty && out.forall(_ == "en")) // zh fell to default 0
+    val mixed = Sampling.stratifiedSample(rows, "id", "lang",
+        Map("en" -> 0.2, "zh" -> 0.8))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // per-stratum decisions use the same coordinate as the flat sample:
+    // each stratum's kept set is exactly sample(rate) restricted to it
+    val en02 = Sampling.sample(rows.filter($"lang" === "en"), "id", 0.2).count()
+    val zh08 = Sampling.sample(rows.filter($"lang" === "zh"), "id", 0.8).count()
+    assert(mixed("en") == en02 && mixed("zh") == zh08)
+  }
+
+  test("contaminationCounts flags train docs overlapping the eval set") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // eval
+      (2L, "alpha beta gamma delta zeta"),      // 2 shared trigrams -> flagged
+      (3L, "alpha beta gamma eta theta"),       // 1 shared trigram -> dropped
+      (4L, "completely unrelated text here now") // 0 shared -> dropped
+    ).toDF("doc_id", "text")
+    val eval = docs.filter($"doc_id" === 1L)
+    val train = docs.filter($"doc_id" =!= 1L)
+    val out = Dedup.contaminationCounts(train, eval, "doc_id", "text",
+        n = 3, minShared = 2)
+      .as[(Long, Long)].collect().toMap
+    // doc 2 shares "alpha beta gamma" and "beta gamma delta"
+    assert(out == Map(2L -> 2L))
+    // minShared=1 also surfaces doc 3's single shared trigram
+    val loose = Dedup.contaminationCounts(train, eval, "doc_id", "text",
+        n = 3, minShared = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(loose == Map(2L -> 2L, 3L -> 1L))
+  }
+}
