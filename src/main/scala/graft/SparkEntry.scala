@@ -720,6 +720,14 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "x_pipeline_sample_k" -> ((s, dir) =>
+      // exactly-k mixture sampling (the "give me exactly 100k docs"
+      // op): k smallest md5 coordinates, ties by key — unique result,
+      // nested across k. TakeOrderedAndProject, not a global sort.
+      Sampling.exactSample(t(s, dir, "documents"), "doc_id", 100)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     "x_pipeline_decontam" -> ((s, dir) => {
       // benchmark decontamination: training docs sharing >= 2 distinct
       // trigram shingles with the "eval set" (every 50th doc) are
@@ -1538,6 +1546,12 @@ object SparkEntry {
          SELECT lang, count(*) AS n_docs,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
          FROM s GROUP BY lang ORDER BY lang""",
+
+    "x_pipeline_sample_k" ->
+      """WITH s AS (SELECT doc_id, lang FROM documents
+                    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+                    LIMIT 100)
+         SELECT doc_id, lang FROM s ORDER BY doc_id""",
 
     "x_pipeline_decontam" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -40,6 +40,17 @@ object Sampling {
   def sample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(keep(hashHex(col(keyCol)), rate))
 
+  /** Exactly-k deterministic sample: the k rows with the smallest
+    * sampling coordinates (ties broken by the key itself — a total
+    * order, so the result is unique). Because the coordinate is fixed
+    * per key, samples NEST across sizes: exactSample(k₁) ⊆
+    * exactSample(k₂) for k₁ ≤ k₂ — growing a subsample never discards
+    * previously selected rows (curriculum/scaling-law runs rely on
+    * this). Physical shape is distributed TakeOrdered: per-partition
+    * top-k heaps, driver merge of k·partitions rows — no global sort. */
+  def exactSample(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.orderBy(hashHex(col(keyCol)), col(keyCol)).limit(k)
+
   /** Stratified (mixture) sample: each stratum keeps its own rate,
     * strata not listed keep `defaultRate`. The per-stratum predicate is
     * a codegen'd CASE chain evaluated in the scan stage — no join, no

@@ -29,6 +29,22 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sample(rows, "id", 0.0).count() == 0)
   }
 
+  test("exactSample: exactly k, unique, nested across k, TakeOrdered plan") {
+    val k100 = Sampling.exactSample(rows, "id", 100).select("id")
+      .as[Long].collect().toSet
+    assert(k100.size == 100)
+    // deterministic and nested: the 40-sample is a prefix of the 100-sample
+    val k40 = Sampling.exactSample(rows, "id", 40).select("id")
+      .as[Long].collect().toSet
+    assert(k40.subsetOf(k100))
+    assert(Sampling.exactSample(rows, "id", 100).select("id")
+      .as[Long].collect().toSet == k100)
+    // no global sort: the limit compiles to TakeOrderedAndProject
+    val plan = Sampling.exactSample(rows, "id", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("stratifiedSample applies per-stratum rates and the default") {
     val out = Sampling.stratifiedSample(rows, "id", "lang",
         Map("en" -> 1.0), defaultRate = 0.0)
