@@ -292,6 +292,15 @@ object Dedup {
         val all = bandedSignatures(idx, numHashes, bands)
         (all.join(deltaIdSet, Seq("_id"), "left_semi"), all)
     }
+    deltaCandPairs(idx, deltaBanded, allBanded, threshold)
+  }
+
+  /** delta-side banded rows × full banded rows → canonical verified
+    * pairs (the lower half of [[deltaPairs]], shared with
+    * [[refreshArtifacts]]). */
+  private def deltaCandPairs(idx: DataFrame, deltaBanded: DataFrame,
+                             allBanded: DataFrame,
+                             threshold: Double): DataFrame = {
     val cand = deltaBanded.select(col("_id").as("id_a"), col("band"), col("bkey"))
       .join(allBanded.select(col("_id").as("id_b"), col("band"), col("bkey")),
         Seq("band", "bkey"))
@@ -409,6 +418,52 @@ object Dedup {
       .groupBy(col("_id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("_id").as(idCol), col("n_shared"))
+  }
+
+  /** Append-only refresh OF THE ON-DISK ARTIFACTS: extends the banded
+    * signature table with the delta's signatures and the pair table with
+    * the delta's verified pairs, so the next consumer loads current
+    * state with ZERO recomputation — the disk-closing half of
+    * [[refreshPairs]] (which returns the refreshed pair SET but leaves
+    * the artifacts describing yesterday's corpus).
+    *
+    * `docs` must be the FULL corpus (old ∪ delta) and both artifacts
+    * must already exist for exactly the non-delta docs at the same
+    * parameters (built via [[bandedTable]] + [[pairTable]] — enforced
+    * via their _SUCCESS markers; threshold is uncapped-only like every
+    * append-exact flow). Post-condition, spec-asserted: both artifacts
+    * read back equal to a from-scratch build over the full corpus.
+    *
+    * Not atomic, same contract as [[LshIndex.append]]: a killed refresh
+    * leaves partial delta files behind the builds' _SUCCESS markers and
+    * a blind retry double-appends — recovery is rebuild. A production
+    * deployment wanting transactional refresh holds these tables in a
+    * format with commit semantics. */
+  def refreshArtifacts(docs: DataFrame, deltaIds: DataFrame, idCol: String,
+                       textCol: String, basePath: String, n: Int,
+                       numHashes: Int, bands: Int,
+                       threshold: Double): Unit = {
+    val spark = docs.sparkSession
+    val bandedPath = s"$basePath/banded_n${n}_h${numHashes}_b$bands"
+    val pairsPath =
+      s"$basePath/pairs_n${n}_h${numHashes}_b${bands}_t${threshold}_m0"
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(bandedPath, "_SUCCESS")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(pairsPath, "_SUCCESS")),
+      s"refreshArtifacts: build bandedTable + pairTable under $basePath first")
+    val idx = buildIdx(docs, idCol, textCol, n, maxBlock = 0)
+    val deltaIdSet = deltaIds
+      .select(col(deltaIds.columns.head).as("_id")).distinct()
+    val deltaBanded = bandedSignatures(
+        idx.join(deltaIdSet, Seq("_id"), "left_semi"), numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldBanded = spark.read.parquet(bandedPath)
+      .select(col("id").as("_id"), col("band"), col("bkey"))
+    deltaCandPairs(idx, deltaBanded, oldBanded.union(deltaBanded), threshold)
+      .write.mode("append").parquet(pairsPath)
+    deltaBanded.select(col("_id").as("id"), col("band"), col("bkey"))
+      .write.mode("append").parquet(bandedPath)
   }
 
   /** 64-bit SimHash over the token set: each token votes ±1 per bit of

@@ -150,6 +150,41 @@ class DedupSpec extends SparkSpec {
     assert(reloaded.count() == oldBanded.count())
   }
 
+  test("refreshArtifacts: on-disk pair + banded tables advance to full-corpus state") {
+    val base = java.nio.file.Files.createTempDirectory("graft-refresh").toString
+    val old = docs.filter($"doc_id" % 2 === 1)
+    val delta = docs.filter($"doc_id" % 2 === 0)
+    // refuses to refresh artifacts that were never built
+    intercept[IllegalArgumentException] {
+      Dedup.refreshArtifacts(docs, delta.select($"doc_id"), "doc_id", "text",
+        base, n = 3, numHashes = 32, bands = 16, threshold = 0.2)
+    }
+    val oldBanded = Dedup.bandedTable(old, "doc_id", "text", base,
+      n = 3, numHashes = 32, bands = 16)
+    Dedup.pairTable(old, "doc_id", "text", base, n = 3, numHashes = 32,
+      bands = 16, threshold = 0.2, banded = Some(oldBanded))
+    Dedup.refreshArtifacts(docs, delta.select($"doc_id"), "doc_id", "text",
+      base, n = 3, numHashes = 32, bands = 16, threshold = 0.2)
+    // the REFRESHED artifacts equal a from-scratch build over the full
+    // corpus: pairs (served through pairTable's read path — empty source
+    // proves it reads disk) and signatures both
+    val served = Dedup.pairTable(docs.limit(0), "doc_id", "text", base,
+        n = 3, numHashes = 32, bands = 16, threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val scratch = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16, threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served == scratch)
+    val servedBanded = Dedup.bandedTable(docs.limit(0), "doc_id", "text",
+        base, n = 3, numHashes = 32, bands = 16)
+      .as[(Long, Int, Long)].collect().toSet
+    val scratchBanded = Dedup.bandedTable(docs, "doc_id", "text",
+        java.nio.file.Files.createTempDirectory("graft-refresh2").toString,
+        n = 3, numHashes = 32, bands = 16)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(servedBanded == scratchBanded)
+  }
+
   test("simhash is deterministic and identical for identical text") {
     val sig = Dedup.withSimhash(docs, "text", "sim")
       .select("doc_id", "sim").as[(Long, Long)].collect().toMap
