@@ -728,6 +728,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    "x_pipeline_source_cap" -> ((s, dir) =>
+      // per-source document cap ("at most N docs per domain"): the k
+      // smallest md5 coordinates within each source survive — the
+      // C4/RefinedWeb-style guard against any one origin dominating the
+      // mix. Ranked through the k-bounded GroupTopK aggregator (shuffle
+      // carries <= k entries per source per map task), NOT a window —
+      // the hot-domain case is exactly where a per-group sort dies at
+      // 100x.
+      Sampling.capPerGroup(t(s, dir, "documents"), "doc_id", "source",
+          k = 10)
+        .orderBy(col("source"), col("doc_id"))),
+
     "x_pipeline_decontam" -> ((s, dir) => {
       // benchmark decontamination: training docs sharing >= 2 distinct
       // trigram shingles with the "eval set" (every 50th doc) are
@@ -778,6 +790,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_text_repetition" -> ((s, dir) =>
+      // repetition quality signals (Gopher-style): repeated-trigram
+      // fraction and most-common-token share, plus the corresponding
+      // keep flag. Row-local expression arithmetic in the scan stage —
+      // no shuffle, no UDF; per-row cost bounded by document length.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TF.dupNgramRatio(col("text"), 3), 6).as("dup3_ratio"),
+          round(TF.topTokenRatio(col("text")), 6).as("top_tok_ratio"),
+          (round(TF.dupNgramRatio(col("text"), 3), 6) <= 0.2 &&
+            round(TF.topTokenRatio(col("text")), 6) <= 0.3).as("keep"))
+        .orderBy(col("doc_id"))),
+
     // ── LLM-pipeline extensions: similarity search ───────────────────
     "x_sim_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -802,6 +827,20 @@ object SparkEntry {
       val planes = Similarity.hyperplanes(LshDim, LshTables, LshBits, LshSeed)
       Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
         "vec_id", "embedding", q, 10, planes)
+    }),
+
+    "x_sim_sq" -> ((s, dir) => {
+      // int8 scalar-quantized ANN: first pass ranks by the quantized dot
+      // product (4x less vector IO at scale — int8 vs float32), exact
+      // cosine re-ranks only the top `rerank` candidates. Both stages
+      // are TakeOrdered, no shuffle. The quantizer scale (127/max|x|)
+      // and both tie-breaks are total orders, so the oracle replays the
+      // identical two-stage pipeline and hash-matches.
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val maxAbs = Similarity.sqMaxAbs(emb, "embedding")
+      Similarity.sqTopK(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, k = 10, rerank = 40, maxAbs = maxAbs)
     }),
 
     "x_sim_lsh_index" -> ((s, dir) => {
@@ -1553,6 +1592,15 @@ object SparkEntry {
                     LIMIT 100)
          SELECT doc_id, lang FROM s ORDER BY doc_id""",
 
+    "x_pipeline_source_cap" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                             doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 10 ORDER BY source, doc_id""",
+
     "x_pipeline_decontam" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents),
@@ -1778,6 +1826,30 @@ object SparkEntry {
                   (a, c) -> (a * 31 + c) % 1000000007) AS rhash
          FROM documents ORDER BY doc_id""",
 
+    // nested-lambda note: the inner list_filter captures the outer
+    // row's token list t — DuckDB lambdas close over correlated columns
+    "x_text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+              g AS (SELECT doc_id, t,
+                           list_transform(
+                             generate_series(1, greatest(len(t)-2, 0)),
+                             i -> array_to_string(t[i:i+2], ' ')) AS sh
+                    FROM tok),
+              r AS (SELECT doc_id,
+                           CASE WHEN len(sh) <= 0 THEN 0.0
+                                ELSE round(1.0 - len(list_distinct(sh)) * 1.0
+                                           / len(sh), 6) END AS dup3_ratio,
+                           CASE WHEN len(t) <= 0 THEN 0.0
+                                ELSE round(list_max(list_transform(
+                                       list_distinct(t),
+                                       u -> len(list_filter(t, x -> x = u))))
+                                     * 1.0 / len(t), 6) END AS top_tok_ratio
+                    FROM g)
+         SELECT doc_id, dup3_ratio, top_tok_ratio,
+                (dup3_ratio <= 0.2 AND top_tok_ratio <= 0.3) AS keep
+         FROM r ORDER BY doc_id""",
+
     "x_sim_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid,
                            CAST(unnest(embedding) AS DOUBLE) AS qx,
@@ -1830,6 +1902,36 @@ object SparkEntry {
                              (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
                     FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
          SELECT vec_id, score FROM s
+         ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // the quantizer scale (127/max|x|, one double) and both tie-break
+    // orders are total, so replaying the two-stage pipeline is exact:
+    // stage 1 ranks by the int8 dot product, stage 2 re-ranks the top
+    // `rerank` candidates by full-precision cosine
+    "x_sim_sq" ->
+      """WITH m AS (SELECT 127.0 / max(abs(CAST(x AS DOUBLE))) AS s
+                    FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+              q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+              e AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id <> 0),
+              qd AS (SELECT e.vec_id,
+                            sum(round(e.x * (SELECT s FROM m)) *
+                                round(q.qx * (SELECT s FROM m))) AS qdot
+                     FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id),
+              cand AS (SELECT vec_id FROM qd
+                       ORDER BY qdot DESC, vec_id LIMIT 40),
+              s2 AS (SELECT e.vec_id,
+                            round(sum(e.x * q.qx) /
+                              (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))),
+                              6) AS score
+                     FROM e JOIN q ON e.i = q.i
+                     WHERE e.vec_id IN (SELECT vec_id FROM cand)
+                     GROUP BY e.vec_id)
+         SELECT vec_id, score FROM s2
          ORDER BY score DESC, vec_id LIMIT 10""",
 
     "x_sim_lsh" -> lshOracleSql,

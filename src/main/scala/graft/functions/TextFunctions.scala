@@ -50,6 +50,43 @@ object TextFunctions {
     round((lenScore + sw + punct) / 3.0, 6)
   }
 
+  /** Token n-grams of a document as an array (duplicates KEPT — this is
+    * the occurrence sequence, unlike Dedup.shingles' distinct set). */
+  private def ngramSeq(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Repeated-n-gram ratio: fraction of a doc's n-gram OCCURRENCES that
+    * are repeats of an earlier occurrence (1 − distinct/total). The
+    * repetition signal of published LLM corpus-quality filters (Gopher's
+    * "duplicate n-gram fraction" family): boilerplate, keyword stuffing,
+    * and decode-loop text score high; prose scores near 0. Pure row-local
+    * expression arithmetic — evaluated in the scan stage, no shuffle, no
+    * UDF; cost is O(shingles·log) per row regardless of corpus size. */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val sh = ngramSeq(text, n)
+    when(size(sh) <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(sh)).cast("double") /
+        size(sh).cast("double"))
+  }
+
+  /** Top-token ratio: share of the document's tokens taken by its single
+    * most frequent token — the "most common word" concentration filter
+    * (a doc that is 40% one token is a list/log, not prose). Row-local
+    * higher-order-function arithmetic: O(distinct·total) per row, which
+    * is bounded by document length, never by corpus size. */
+  def topTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val maxOcc = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    when(size(toks) <= 0, lit(0.0))
+      .otherwise(maxOcc.cast("double") / size(toks).cast("double"))
+  }
+
   /** Per-language stopword lexicons for the n-gram/stopword language-ID
     * heuristic. Short public lists; scoring = total occurrences of
     * boundary-padded stopwords. */

@@ -51,6 +51,43 @@ object Sampling {
   def exactSample(df: DataFrame, keyCol: String, k: Int): DataFrame =
     df.orderBy(hashHex(col(keyCol)), col(keyCol)).limit(k)
 
+  /** Per-group cap: at most `k` rows per value of `groupCol`, selected
+    * deterministically — the k smallest sampling coordinates within the
+    * group, ties by key ascending (same total order as [[exactSample]],
+    * so caps also NEST across sizes within each group). The standard
+    * corpus-shaping op "keep at most N documents per domain/source":
+    * a hard cap on any one origin's share of the training mix.
+    *
+    * Physical shape: [[GroupTopK]]'s k-bounded partial aggregator — the
+    * shuffle carries at most k entries per (group, map task), never the
+    * group's rows. A window (`row_number() over (partition by group)`)
+    * would shuffle and sort EVERY row of the dominant domain — exactly
+    * the hot-group quadratic this operator exists to avoid at 100×.
+    *
+    * The key must be integral (the aggregator's state is `(Double,
+    * Long)`); assign a dense surrogate id (graft.operators.Ids) first
+    * for string keys. Output: (`groupCol`, `keyCol`) of the survivors —
+    * join back to the corpus for payload columns. */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val keyType = df.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
+      s"capPerGroup requires an integral key column; '$keyCol' is $keyType — " +
+        "assign a dense numeric surrogate id (graft.operators.Ids) first")
+    // coordinate as a number: fixed-width hex compares identically to
+    // its numeric value, and a 32-bit value is exact in a Double.
+    // GroupTopK keeps the LARGEST (score, id) pairs, so both the
+    // coordinate and the key ride in negated: smallest-coordinate,
+    // then smallest-key, win.
+    val coord = conv(hashHex(col(keyCol)), 16, 10).cast("long")
+    val directed = df.select(col(groupCol),
+      (-coord).cast("double").as("_score"),
+      (-col(keyCol).cast("long")).as("_negkey"))
+    GroupTopK.topKPerGroup(directed, Seq(groupCol), "_score", "_negkey", k)
+      .select(col(groupCol), (-col("_negkey")).as(keyCol))
+  }
+
   /** Stratified (mixture) sample: each stratum keeps its own rate,
     * strata not listed keep `defaultRate`. The per-stratum predicate is
     * a codegen'd CASE chain evaluated in the scan stage — no join, no

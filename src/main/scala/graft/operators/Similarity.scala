@@ -115,6 +115,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** Largest absolute embedding component in the corpus — the scalar a
+    * symmetric int8 quantizer needs. Driver-side scalar by design (one
+    * fully map-side-combinable max aggregate → one row). */
+  def sqMaxAbs(emb: DataFrame, vecCol: String): Double =
+    emb.select(max(array_max(transform(
+        col(vecCol).cast("array<double>"), x => abs(x)))).as("m"))
+      .head().getDouble(0)
+
+  /** Symmetric int8 quantization of a vector: round(x · 127/maxAbs),
+    * every component in [-127, 127]. Ties round away from zero (Spark
+    * ROUND = HALF_UP), matching DuckDB/standard SQL `round`. */
+  def sqQuantize(vec: Column, maxAbs: Double): Column = {
+    require(maxAbs > 0, s"maxAbs must be positive: $maxAbs")
+    transform(vec.cast("array<double>"),
+      x => round(x * lit(127.0 / maxAbs), 0).cast("int"))
+  }
+
+  /** Scalar-quantized ANN top-k: rank the corpus by the INT8 dot product
+    * (exact integer arithmetic — products sum to ≪2⁵³, so the double
+    * codegen path is bit-exact), keep the best `rerank` candidates, then
+    * re-rank those by full-precision cosine.
+    *
+    * The 100 TB story is the candidate stage's IO: int8 vectors are 4×
+    * smaller than float32, so the first-pass scan reads a quarter of the
+    * bytes (store the quantized column alongside the corpus and the
+    * full-precision pass touches only `rerank` rows). Both stages are
+    * distributed TakeOrdered (per-partition heaps, driver merge of
+    * `rerank` resp. `k` rows) — no global sort, no shuffle.
+    *
+    * Deterministic end-to-end: the quantizer scale and both tie-breaks
+    * ((qdot desc, id asc), then (score desc, id asc)) are total orders,
+    * so an oracle replaying the same two-stage pipeline hash-matches. */
+  def sqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             query: Seq[Double], k: Int, rerank: Int,
+             maxAbs: Double): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val qq = sqQuantize(array(query.map(lit): _*), maxAbs)
+    val cand = emb.select(col(idCol), col(vecCol),
+        dot(sqQuantize(col(vecCol), maxAbs), qq).as("_qdot"))
+      .orderBy(col("_qdot").desc, col(idCol).asc)
+      .limit(rerank)
+    val q = array(query.map(lit): _*)
+    cand.select(col(idCol),
+        cosineRounded(col(vecCol).cast("array<double>"), q).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Top-k neighbors per anchor within blocks (kNN-join building block).
     *
     * Candidate-bounded formulation — two scale devices over the naive

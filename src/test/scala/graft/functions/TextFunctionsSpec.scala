@@ -14,6 +14,34 @@ class TextFunctionsSpec extends SparkSpec {
     (4L, "dog the and cat the") // permutation of 1's tokens
   ).toDF("doc_id", "text")
 
+  test("dupNgramRatio measures repeated n-gram occurrences") {
+    // "a b a b a b": trigrams = [a b a, b a b, a b a, b a b] -> 2 distinct
+    // of 4 occurrences -> ratio 0.5
+    val rep = Seq((1L, "a b a b a b"), (2L, "one two three four"),
+      (3L, "ab")).toDF("doc_id", "text")
+    val m = rep.select($"doc_id", TF.dupNgramRatio($"text", 3))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(m(1L) - 0.5) < 1e-9)
+    assert(m(2L) == 0.0) // all trigrams distinct
+    assert(m(3L) == 0.0) // shorter than n -> no shingles, defined as 0
+  }
+
+  test("topTokenRatio is the most frequent token's share") {
+    val rep = Seq((1L, "spam spam spam eggs"), (2L, "all words differ here"))
+      .toDF("doc_id", "text")
+    val m = rep.select($"doc_id", TF.topTokenRatio($"text"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(m(1L) - 0.75) < 1e-9)
+    assert(math.abs(m(2L) - 0.25) < 1e-9)
+  }
+
+  test("repetition metrics are row-local: no shuffle in the plan") {
+    val plan = docs.select(TF.dupNgramRatio($"text", 3),
+        TF.topTokenRatio($"text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("tokenCount is a single-space split count") {
     val m = docs.select($"doc_id", TF.tokenCount($"text")).as[(Long, Int)]
       .collect().toMap

@@ -60,6 +60,38 @@ class SamplingSpec extends SparkSpec {
     assert(mixed("en") == en02 && mixed("zh") == zh08)
   }
 
+  test("capPerGroup equals the window formulation and nests across k") {
+    val expected = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang")
+        .orderBy(substring(md5($"id".cast("string")), 1, 8), $"id")
+      rows.withColumn("_rn", row_number().over(w))
+        .filter($"_rn" <= 7).select($"lang", $"id")
+        .as[(String, Long)].collect().toSet
+    }
+    val got = Sampling.capPerGroup(rows, "id", "lang", 7)
+      .as[(String, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.groupBy(_._1).forall(_._2.size == 7))
+    // caps nest: raising the cap only ADDS rows per group
+    val wider = Sampling.capPerGroup(rows, "id", "lang", 20)
+      .as[(String, Long)].collect().toSet
+    assert(got.subsetOf(wider))
+    // k-bounded aggregation, not a per-group window sort
+    val plan = Sampling.capPerGroup(rows, "id", "lang", 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("capPerGroup rejects non-integral key columns with a clear message") {
+    val strKeyed = rows.select($"id".cast("string").as("id"), $"lang")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(strKeyed, "id", "lang", 5)
+    }
+    assert(e.getMessage.contains("integral key column"))
+  }
+
   test("contaminationCounts flags train docs overlapping the eval set") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),   // eval

@@ -57,6 +57,46 @@ class SimilaritySpec extends SparkSpec {
     assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
   }
 
+  test("sqQuantize maps components into [-127, 127] with max|x| at ±127") {
+    val maxAbs = Similarity.sqMaxAbs(emb, "embedding")
+    assert(math.abs(maxAbs - 1.0) < 1e-9)
+    val qs = emb.select(Similarity.sqQuantize($"embedding", maxAbs).as("q"))
+      .as[Seq[Int]].collect()
+    assert(qs.flatten.forall(v => v >= -127 && v <= 127))
+    assert(qs.flatten.max == 127) // the max-magnitude component saturates
+    intercept[IllegalArgumentException] {
+      Similarity.sqQuantize($"embedding", 0.0)
+    }
+  }
+
+  test("sqTopK with full rerank equals bruteForceTopK; small rerank is k-bounded") {
+    val maxAbs = Similarity.sqMaxAbs(emb, "embedding")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 3)
+      .as[(Long, Double)].collect().toSeq
+    val full = Similarity.sqTopK(emb, "vec_id", "embedding", query,
+        k = 3, rerank = 6, maxAbs = maxAbs)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == exact) // rerank covers the corpus -> exact result
+    val narrow = Similarity.sqTopK(emb, "vec_id", "embedding", query,
+        k = 2, rerank = 3, maxAbs = maxAbs)
+      .as[(Long, Double)].collect().toSeq
+    assert(narrow.size == 2)
+    // deterministic: same candidates, same ranking, every run
+    val again = Similarity.sqTopK(emb, "vec_id", "embedding", query,
+        k = 2, rerank = 3, maxAbs = maxAbs)
+      .as[(Long, Double)].collect().toSeq
+    assert(again == narrow)
+    intercept[IllegalArgumentException] {
+      Similarity.sqTopK(emb, "vec_id", "embedding", query,
+        k = 5, rerank = 3, maxAbs = maxAbs)
+    }
+    // both stages are TakeOrdered — no global sort, no shuffle
+    val plan = Similarity.sqTopK(emb, "vec_id", "embedding", query,
+        k = 2, rerank = 3, maxAbs = maxAbs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("blockKnn returns k best partners per anchor within a block") {
     val out = Similarity.blockKnn(emb, "vec_id", "embedding", "label", k = 1)
       .as[(Long, Long, Double)].collect()
