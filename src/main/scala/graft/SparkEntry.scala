@@ -754,6 +754,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_layout_zorder" -> ((s, dir) =>
+      // Morton-curve clustering key for multi-column file skipping: the
+      // write path (Layout.writeZOrdered) range-partitions + sorts on
+      // this value so every file owns a tile of the (doc_id, n_chars)
+      // plane — predicates on EITHER column prune files (LayoutSpec
+      // measures: y-only box reads <=8/16 z-ordered files vs 16/16
+      // x-sorted). The gate checks the key itself: pure codegen'd bit
+      // arithmetic, replayed by the oracle with the same shift terms.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Layout.zValue(col("doc_id"), col("n_chars"), bits = 16)
+            .as("zval"))
+        .orderBy(col("doc_id"))),
+
     // ── LLM-pipeline extensions: text analysis ──────────────────────
     "x_text_stats" -> ((s, dir) => {
       val sw = Seq("the", "and", "of", "a")
@@ -1825,6 +1839,17 @@ object SparkEntry {
                       i -> CAST(ascii(text[i]) AS BIGINT))),
                   (a, c) -> (a * 31 + c) % 1000000007) AS rhash
          FROM documents ORDER BY doc_id""",
+
+    // the z-value is a flat sum of shift/mask terms — generated here
+    // with the same bit positions the engine's Layout.zValue uses
+    "x_layout_zorder" -> {
+      val terms = (0 until 16).flatMap { i =>
+        Seq(s"((doc_id >> $i) & 1) * ${1L << (2 * i)}",
+          s"((n_chars >> $i) & 1) * ${1L << (2 * i + 1)}")
+      }
+      s"""SELECT doc_id, ${terms.mkString(" + ")} AS zval
+          FROM documents ORDER BY doc_id"""
+    },
 
     // nested-lambda note: the inner list_filter captures the outer
     // row's token list t — DuckDB lambdas close over correlated columns

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tmpDir =
+    java.nio.file.Files.createTempDirectory("graft-layout").toString
+
+  test("zValue interleaves bits (x even positions, y odd)") {
+    // x=0b101 (5), y=0b011 (3) -> z = y2 x2 y1 x1 y0 x0 = 0 1 1 0 1 1 = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValue($"x", $"y", 3)).as[Long].head()
+    assert(z == 27L)
+    // identity checks: zValue(x, 0) spreads x to even bits, (0, y) to odd
+    val zx = Seq((7L, 0L)).toDF("x", "y")
+      .select(Layout.zValue($"x", $"y", 3)).as[Long].head()
+    assert(zx == 21L) // 0b010101
+    val zy = Seq((0L, 7L)).toDF("x", "y")
+      .select(Layout.zValue($"x", $"y", 3)).as[Long].head()
+    assert(zy == 42L) // 0b101010
+  }
+
+  test("zValue is monotone over nested quadrants (curve locality)") {
+    // all points of the lower-left quadrant sort before any point of the
+    // upper-right quadrant — the property that makes z-ranges tiles
+    val grid = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y))
+      .toDF("x", "y")
+    val z = grid.select($"x", $"y", Layout.zValue($"x", $"y", 4).as("z"))
+      .as[(Long, Long, Long)].collect()
+    val lowerLeft = z.collect { case (x, y, v) if x < 8 && y < 8 => v }
+    val upperRight = z.collect { case (x, y, v) if x >= 8 && y >= 8 => v }
+    assert(lowerLeft.max < upperRight.min)
+  }
+
+  test("z-ordered layout prunes a y-only predicate; x-sorted cannot") {
+    // 64x64 grid, 16 files. A predicate on y alone is the adversarial
+    // case for an x-sorted layout: every file spans the full y range.
+    val grid = (for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y))
+      .toDF("x", "y")
+    val zPath = s"$tmpDir/layout_z"
+    val xPath = s"$tmpDir/layout_x"
+    Layout.writeZOrdered(grid, zPath, "x", "y", numFiles = 16, bits = 6)
+    grid.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(xPath)
+
+    val zEnv = Layout.fileEnvelopes(spark, zPath, "x", "y")
+    val xEnv = Layout.fileEnvelopes(spark, xPath, "x", "y")
+    assert(zEnv.count() == 16 && xEnv.count() == 16)
+
+    // y in [0, 7] — 1/8 of the plane
+    val zRead = Layout.filesIntersectingBox(zEnv, 0L, 63L, 0L, 7L)
+    val xRead = Layout.filesIntersectingBox(xEnv, 0L, 63L, 0L, 7L)
+    assert(xRead == 16, s"x-sorted layout should read everything, read $xRead")
+    assert(zRead <= 8, s"z-ordered layout should skip most files, read $zRead")
+
+    // a small 2-d box prunes even harder
+    val zBox = Layout.filesIntersectingBox(zEnv, 0L, 15L, 0L, 15L)
+    assert(zBox <= 4, s"z-ordered 1/16 box should touch few files, read $zBox")
+
+    // layout changes bytes on disk, never content
+    assert(spark.read.parquet(zPath).as[(Long, Long)].collect().toSet ==
+      grid.as[(Long, Long)].collect().toSet)
+  }
+
+  test("zValue rejects out-of-range bit widths") {
+    intercept[IllegalArgumentException] {
+      Layout.zValue($"x", $"y", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zValue($"x", $"y", 32)
+    }
+  }
+}
