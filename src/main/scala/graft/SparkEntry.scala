@@ -804,6 +804,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_text_vocab" -> ((s, dir) => {
+      // corpus vocabulary accounting: top-5 tokens per language by
+      // occurrence count (tokenizer-training / coverage view). Explode
+      // shrinks through a map-side partial count immediately; the
+      // row_number window then ranks the AGGREGATED vocab table — its
+      // input is vocab-sized (distinct tokens per lang), not
+      // corpus-sized, which is why a window is the right tool here
+      // where it was wrong for blockKnn/capPerGroup.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+      t(s, dir, "documents")
+        .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 5).drop("_rn")
+        .orderBy(col("lang"), col("n").desc, col("tok"))
+    }),
+
+    "x_text_scrub" -> ((s, dir) =>
+      // PII redaction (emails / IPv4 / phone numbers -> typed tokens).
+      // The corpus carries no PII, so the gate plants a deterministic
+      // doc-keyed contact line in BOTH engines and scrubs it — the
+      // oracle SQL is GENERATED from TextFunctions.piiPatterns, one
+      // source of truth for the patterns. Scan-stage regexp chain, no
+      // shuffle.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.scrubPii(concat(col("text"),
+            lit(" reach user"), col("doc_id"),
+            lit("@mail.example.com or +1555000"), col("doc_id"),
+            lit(" from 10.0."), pmod(col("doc_id"), lit(256)), lit(".7")))
+            .as("clean"))
+        .orderBy(col("doc_id"))),
+
     "x_text_repetition" -> ((s, dir) =>
       // repetition quality signals (Gopher-style): repeated-trigram
       // fraction and most-common-token share, plus the corresponding
@@ -1849,6 +1883,28 @@ object SparkEntry {
       }
       s"""SELECT doc_id, ${terms.mkString(" + ")} AS zval
           FROM documents ORDER BY doc_id"""
+    },
+
+    "x_text_vocab" ->
+      """WITH c AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+              g AS (SELECT lang, tok, count(*) AS n FROM c GROUP BY 1, 2)
+         SELECT lang, tok, n FROM g
+         QUALIFY row_number() OVER (PARTITION BY lang
+           ORDER BY n DESC, tok) <= 5
+         ORDER BY lang, n DESC, tok""",
+
+    // generated from TextFunctions.piiPatterns so the oracle scrubs
+    // with the IDENTICAL regex chain, innermost = first pattern
+    "x_text_scrub" -> {
+      val planted = "text || ' reach user' || doc_id || " +
+        "'@mail.example.com or +1555000' || doc_id || " +
+        "' from 10.0.' || (doc_id % 256) || '.7'"
+      val chain = TF.piiPatterns.foldLeft(planted) {
+        case (inner, (pat, repl)) =>
+          s"regexp_replace($inner, '$pat', '$repl', 'g')"
+      }
+      s"SELECT doc_id, $chain AS clean FROM documents ORDER BY doc_id"
     },
 
     // nested-lambda note: the inner list_filter captures the outer

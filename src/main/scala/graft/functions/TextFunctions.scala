@@ -87,6 +87,24 @@ object TextFunctions {
       .otherwise(maxOcc.cast("double") / size(toks).cast("double"))
   }
 
+  /** PII patterns for [[scrubPii]], applied in order. Written in the
+    * common Java-regex/RE2 subset (classes, +, bounded repeats, \b) so
+    * the DuckDB oracle runs the IDENTICAL patterns — the SQL is
+    * generated from this list, one source of truth. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("\\+\\d{7,15}", "<PHONE>"))
+
+  /** Redact emails / IPv4 addresses / international phone numbers with
+    * typed placeholder tokens — the standard pre-training scrub pass.
+    * A chain of codegen'd `regexp_replace` calls evaluated in the scan
+    * stage: no shuffle, no UDF, cost linear in text size. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
   /** Per-language stopword lexicons for the n-gram/stopword language-ID
     * heuristic. Short public lists; scoring = total occurrences of
     * boundary-padded stopwords. */

@@ -42,6 +42,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("scrubPii redacts emails, IPv4s, and phone numbers in order") {
+    val pii = Seq((1L,
+      "mail a.b+c@ex.co or x@y.io, host 192.168.0.1, call +15550001234, keep 1.2 and v2.0.1")
+    ).toDF("doc_id", "text")
+    val out = pii.select(TF.scrubPii($"text")).as[String].head()
+    assert(out ==
+      "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE>, keep 1.2 and v2.0.1")
+    // no PII -> identity
+    val clean = Seq((1L, "plain prose with no contacts")).toDF("doc_id", "text")
+    assert(clean.select(TF.scrubPii($"text")).as[String].head() ==
+      "plain prose with no contacts")
+    // scan-stage expression chain: no shuffle
+    val plan = pii.select(TF.scrubPii($"text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("tokenCount is a single-space split count") {
     val m = docs.select($"doc_id", TF.tokenCount($"text")).as[(Long, Int)]
       .collect().toMap
