@@ -728,6 +728,31 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    "x_pipeline_canonical" -> ((s, dir) => {
+      // dedup that keeps the BEST document per near-dup cluster, not
+      // the lowest id: cluster membership (artifact-served pairs, same
+      // config as x_dedup_cluster) joins the quality score, and the
+      // keeper is argmax(quality, ties -> smallest id) via a
+      // max(struct) aggregate — map-side partial, one shuffle on comp,
+      // no window over the membership table.
+      val sw = Seq("the", "and", "of", "a")
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.pairTable(docs, "doc_id", "text",
+        artifactBase(dir), n = 3, numHashes = 64, bands = 32,
+        threshold = 0.5, maxBlock = 1000)
+      val comps = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs.select("id_a", "id_b"))
+      val scored = docs.select(col("doc_id").as("id"),
+        TF.qualityScore(col("text"), sw).as("q"))
+      comps.join(scored, "id")
+        .groupBy(col("comp"))
+        .agg(max(struct(col("q"), (-col("id")).as("_nid"))).as("_m"),
+          count(lit(1)).as("n_docs"))
+        .select(col("comp"), (-col("_m._nid")).as("keeper"),
+          col("_m.q").as("quality"), col("n_docs"))
+        .orderBy(col("comp"))
+    }),
+
     "x_pipeline_source_cap" -> ((s, dir) =>
       // per-source document cap ("at most N docs per domain"): the k
       // smallest md5 coordinates within each source survive — the
@@ -1639,6 +1664,58 @@ object SparkEntry {
                     ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
                     LIMIT 100)
          SELECT doc_id, lang FROM s ORDER BY doc_id""",
+
+    // same recursive clustering as x_dedup_cluster, then per-component
+    // argmax(quality, ties -> smallest id) — the window runs over the
+    // cluster-membership table (corpus-row-count but tiny rows), and
+    // the quality expression is the x_text_stats oracle's, inlined
+    "x_pipeline_canonical" -> {
+      val quality =
+        """round((
+             least(length(text) * 1.0 / 500, 1.0) +
+             least(((
+               CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS INT) +
+               CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5 AS INT) +
+               CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4 AS INT) +
+               CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS INT)
+             ) * 1.0 / len(string_split(text, ' '))) * 5.0, 1.0) +
+             greatest(1.0 - (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+               * 1.0 / length(text)) * 10.0, 0.0)
+           ) / 3.0, 6)"""
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                                 FROM documents),
+            sh0 AS (SELECT DISTINCT doc_id,
+                           unnest(list_transform(
+                             generate_series(1, greatest(len(t)-2, 0)),
+                             i -> array_to_string(t[i:i+2], ' '))) AS s
+                    FROM tok),
+            sh AS (SELECT doc_id, s FROM sh0
+                   QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b FROM inter
+                      JOIN sizes x ON id_a = x.doc_id
+                      JOIN sizes y ON id_b = y.doc_id
+                      WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+            comp AS (SELECT src AS id, min(dst) AS comp FROM reach
+                     GROUP BY src),
+            scored AS (SELECT doc_id AS id, $quality AS q FROM documents)
+          SELECT comp, id AS keeper, q AS quality, n_docs FROM (
+            SELECT c.comp, c.id, s.q,
+                   count(*) OVER (PARTITION BY c.comp) AS n_docs,
+                   row_number() OVER (PARTITION BY c.comp
+                     ORDER BY s.q DESC, c.id) AS rn
+            FROM comp c JOIN scored s USING (id)) z
+          WHERE rn = 1 ORDER BY comp"""
+    },
 
     "x_pipeline_source_cap" ->
       """SELECT source, doc_id FROM (
