@@ -1008,7 +1008,21 @@ object SparkEntry {
           batchSize = 256)
         .toDF()
         .orderBy(col("media_id"))
-    }))
+    }),
+
+    "x_mm_frames" -> ((s, dir) =>
+      // frame sampling over decoded media: every 3rd frame index (video
+      // keyframe / audio window shape — one row per sampled frame, BMP
+      // rows contribute their single frame). The oracle re-derives
+      // n_frames from the same media artifact's bytes and replays the
+      // stride explode.
+      Multimodal.sampleFrames(
+          Multimodal.decodeBatched(
+            Multimodal.mediaTable(t(s, dir, "documents"), "doc_id", "text",
+              artifactBase(dir)),
+            batchSize = 256),
+          stride = 3)
+        .orderBy(col("media_id"), col("frame_idx"))))
 
   /** Deterministic query vector: embedding of vec_id=0 (driver-side point
     * lookup, promoted to double). */
@@ -1180,7 +1194,10 @@ object SparkEntry {
     * all SQL-recomputable. (The generator guarantees canonical WAV chunk
     * layout; the engine's HeaderCodec walks chunks and does not rely on
     * it.) `__GRAFT_MEDIA__` is substituted by Verify. */
-  private def mmDecodeOracleSql: String = {
+  /** Header-parse replay over the media artifact, shared by the decode
+    * and frame-sampling oracles: one row per media with the decoded
+    * metadata columns (no ORDER BY — callers wrap it). */
+  private def mmDecodedBody: String = {
     // byte i (1-indexed) of the blob as an integer, from its hex pair:
     // (hi-1)*16 + (lo-1) with strpos's 1-based answers folded into -17
     def b(i: Int) =
@@ -1201,8 +1218,11 @@ object SparkEntry {
                     END AS INT) AS n_frames,
                CAST(CASE WHEN $isBmp THEN 0 ELSE ${le32(25)} END AS INT) AS sample_rate,
                CAST(CASE WHEN $isBmp THEN 0 ELSE ${le16(23)} END AS INT) AS channels
-        FROM m ORDER BY media_id"""
+        FROM m"""
   }
+
+  private def mmDecodeOracleSql: String =
+    s"SELECT * FROM ($mmDecodedBody) d ORDER BY media_id"
 
   // ───────────────────────────────────────────────────────────────────
   // DuckDB oracle SQL. Same determinism rules as the Spark side;
@@ -2147,5 +2167,16 @@ object SparkEntry {
                 ascii(substr(text, 1, 1)) AS first_byte
          FROM documents ORDER BY media_id""",
 
-    "x_mm_decode" -> mmDecodeOracleSql)
+    "x_mm_decode" -> mmDecodeOracleSql,
+
+    // generate_series as a scalar list + unnest (lateral form fails in
+    // DuckDB 1.0); empty series (n_frames = 0) drops the row, matching
+    // Spark's explode of an empty sequence
+    "x_mm_frames" ->
+      s"""SELECT media_id,
+                 CAST(unnest(generate_series(0, n_frames - 1, 3)) AS INT)
+                   AS frame_idx,
+                 width, height
+          FROM ($mmDecodedBody) d
+          ORDER BY media_id, frame_idx""")
 }
