@@ -1022,7 +1022,21 @@ object SparkEntry {
               artifactBase(dir)),
             batchSize = 256),
           stride = 3)
-        .orderBy(col("media_id"), col("frame_idx"))))
+        .orderBy(col("media_id"), col("frame_idx"))),
+
+    "x_mm_resize" -> ((s, dir) =>
+      // resize planning (thumbnailer shape): decoded image dims clamped
+      // to an 8px bounding box preserving aspect; audio rows pass over.
+      // Oracle replays the arithmetic from the artifact's bytes — with
+      // floor() before its INT cast, since DuckDB CAST rounds where
+      // Spark's cast truncates.
+      Multimodal.resized(
+          Multimodal.decodeBatched(
+            Multimodal.mediaTable(t(s, dir, "documents"), "doc_id", "text",
+              artifactBase(dir)),
+            batchSize = 256),
+          maxSide = 8)
+        .orderBy(col("media_id"))))
 
   /** Deterministic query vector: embedding of vec_id=0 (driver-side point
     * lookup, promoted to double). */
@@ -2178,5 +2192,19 @@ object SparkEntry {
                    AS frame_idx,
                  width, height
           FROM ($mmDecodedBody) d
-          ORDER BY media_id, frame_idx""")
+          ORDER BY media_id, frame_idx""",
+
+    // floor() before the INT cast: DuckDB CAST(double AS INT) rounds,
+    // Spark's .cast("int") truncates — floor aligns them (dims > 0)
+    "x_mm_resize" ->
+      s"""SELECT media_id,
+                 CAST(floor(width /
+                   greatest(greatest(width, height) * 1.0 / 8, 1.0))
+                   AS INT) AS out_width,
+                 CAST(floor(height /
+                   greatest(greatest(width, height) * 1.0 / 8, 1.0))
+                   AS INT) AS out_height
+          FROM ($mmDecodedBody) d
+          WHERE width > 0 AND height > 0
+          ORDER BY media_id""")
 }
