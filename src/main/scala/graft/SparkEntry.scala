@@ -720,6 +720,23 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "x_pipeline_token_budget" -> ((s, dir) => {
+      // "<= N tokens per language" — the unit training mixes are
+      // specified in. The cut is made at coordinate-BUCKET granularity
+      // (first 4 md5 hex chars): token sums aggregate map-side per
+      // (lang, bucket), the running total windows over a <=65536-row
+      // bucket table per lang (never the corpus), and whole buckets
+      // survive — deterministic, portable (the bucket key stays a hex
+      // string), nested across budgets.
+      val docs = t(s, dir, "documents")
+      Sampling.sampleToTokenBudget(docs, "doc_id", "lang",
+          TF.tokenCount(col("text")).cast("long"), budget = 5000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     "x_pipeline_sample_k" -> ((s, dir) =>
       // exactly-k mixture sampling (the "give me exactly 100k docs"
       // op): k smallest md5 coordinates, ties by key — unique result,
@@ -1692,6 +1709,23 @@ object SparkEntry {
          SELECT lang, count(*) AS n_docs,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
          FROM s GROUP BY lang ORDER BY lang""",
+
+    "x_pipeline_token_budget" ->
+      """WITH d AS (SELECT lang, doc_id,
+                           len(string_split(text, ' ')) AS tok,
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bkt
+                    FROM documents),
+              pb AS (SELECT lang, bkt, sum(tok) AS t FROM d GROUP BY 1, 2),
+              cum AS (SELECT lang, bkt,
+                             sum(t) OVER (PARTITION BY lang ORDER BY bkt
+                               ROWS UNBOUNDED PRECEDING) AS c
+                      FROM pb),
+              cut AS (SELECT lang, max(bkt) AS maxb FROM cum
+                      WHERE c <= 5000 GROUP BY lang)
+         SELECT d.lang, count(*) AS n_docs,
+                CAST(sum(d.tok) AS BIGINT) AS n_tokens
+         FROM d JOIN cut ON d.lang = cut.lang AND d.bkt <= cut.maxb
+         GROUP BY d.lang ORDER BY d.lang""",
 
     "x_pipeline_sample_k" ->
       """WITH s AS (SELECT doc_id, lang FROM documents

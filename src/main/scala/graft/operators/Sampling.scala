@@ -88,6 +88,45 @@ object Sampling {
       .select(col(groupCol), (-col("_negkey")).as(keyCol))
   }
 
+  /** Token-budget sample: per stratum, keep documents in coordinate
+    * order until a token budget is reached — "give me ≤50M tokens of
+    * each language", the unit training mixes are actually specified in.
+    *
+    * The scale-safe formulation: a per-document cumulative sum would be
+    * a corpus-sized window sort per stratum, so the cut is made at
+    * COORDINATE-BUCKET granularity instead — the first 4 hex chars of
+    * the md5 coordinate (65536 buckets). Token sums aggregate per
+    * (stratum, bucket) map-side; the running total then windows over a
+    * ≤65536-row table per stratum (bucket-sized, not corpus-sized), and
+    * the kept set is every document whose bucket's cumulative total fits
+    * the budget. Whole buckets are kept or dropped — deterministic,
+    * engine-portable (the bucket key stays a fixed-width hex STRING, so
+    * ordering and the cut compare bytewise in any engine), and nested:
+    * a larger budget keeps a superset of buckets. A stratum whose FIRST
+    * bucket already exceeds the budget keeps nothing (budgets far below
+    * one bucket's tokens — ~budget/65536 of the corpus — are below this
+    * operator's resolution; use [[exactSample]] for handfuls of rows).
+    * Expected overshoot granularity is corpus_tokens/65536 per stratum.
+    */
+  def sampleToTokenBudget(df: DataFrame, keyCol: String, strataCol: String,
+                          tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val bucket = substring(hashHex(col(keyCol)), 1, 4)
+    val perBucket = df
+      .groupBy(col(strataCol), bucket.as("_bkt"))
+      .agg(sum(tokens).as("_t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("_bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cut = perBucket
+      .withColumn("_cum", sum(col("_t")).over(w))
+      .filter(col("_cum") <= budget)
+      .groupBy(col(strataCol)).agg(max(col("_bkt")).as("_maxb"))
+    df.join(cut, Seq(strataCol))
+      .filter(bucket <= col("_maxb"))
+      .drop("_maxb")
+  }
+
   /** Stratified (mixture) sample: each stratum keeps its own rate,
     * strata not listed keep `defaultRate`. The per-stratum predicate is
     * a codegen'd CASE chain evaluated in the scan stage — no join, no

@@ -92,6 +92,44 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("integral key column"))
   }
 
+  test("sampleToTokenBudget keeps whole coordinate buckets within budget") {
+    // each row carries 10 tokens; 2000 rows -> 20000 tokens total
+    val docs = rows.withColumn("tok", lit(10L))
+    val kept = Sampling.sampleToTokenBudget(docs, "id", "lang", col("tok"),
+      budget = 3000L)
+    val perLang = kept.groupBy("lang")
+      .agg(sum("tok").as("t")).as[(String, Long)].collect().toMap
+    // never exceeds the budget, and gets within one bucket's weight of it
+    assert(perLang.values.forall(_ <= 3000L), perLang)
+    assert(perLang.values.forall(_ >= 2000L), perLang) // buckets are small here
+    // deterministic + nested: a larger budget keeps a superset
+    val ids3k = kept.select("id").as[Long].collect().toSet
+    val ids6k = Sampling.sampleToTokenBudget(docs, "id", "lang", col("tok"),
+      budget = 6000L).select("id").as[Long].collect().toSet
+    assert(ids3k.subsetOf(ids6k))
+    assert(Sampling.sampleToTokenBudget(docs, "id", "lang", col("tok"),
+      budget = 3000L).select("id").as[Long].collect().toSet == ids3k)
+    // the cut equals the per-doc cumulative-sum reference at bucket
+    // granularity: every kept bucket's full cumsum fits the budget
+    val ref = {
+      val bkt = substring(md5($"id".cast("string")), 1, 4)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"_b")
+      docs.withColumn("_b", bkt)
+        .groupBy($"lang", $"_b").agg(sum("tok").as("t"))
+        .withColumn("c", sum($"t").over(w))
+        .filter($"c" <= 3000L)
+        .select($"lang", $"_b").as[(String, String)].collect().toSet
+    }
+    val keptBuckets = kept
+      .select($"lang", substring(md5($"id".cast("string")), 1, 4))
+      .as[(String, String)].collect().toSet
+    assert(keptBuckets == ref)
+    intercept[IllegalArgumentException] {
+      Sampling.sampleToTokenBudget(docs, "id", "lang", col("tok"), 0L)
+    }
+  }
+
   test("contaminationCounts flags train docs overlapping the eval set") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),   // eval
