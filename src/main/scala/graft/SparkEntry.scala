@@ -978,6 +978,25 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    "x_sim_ivf_sq" -> ((s, dir) => {
+      // IVF x SQ8 (the FAISS IVF-SQ composition): cell pruning as in
+      // x_sim_ivf_probe, then the candidate pass ranks the probed cell
+      // by INT8 dot over the quantized sibling table (4x fewer vector
+      // bytes, same partition pruning) and only `rerank` rows hit the
+      // float column. Oracle replays cell choice, quantization (scale
+      // re-derived from the same cells artifact), candidate cut, and
+      // re-rank. k=11/rerank=44: the query row rides along until the
+      // final filter, as in x_sim_lsh_index.
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val idx = ivfIndexFor(s, dir, emb)
+      idx.ensureSq("vec_id", "embedding")
+      idx.searchQuantized("vec_id", "embedding", q, k = 11, rerank = 44)
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // ── LLM-pipeline extensions: multimodal columns ──────────────────
     "x_sim_knn" -> ((s, dir) => {
       // blocked kNN join: top-3 same-label neighbors per anchor, ranked
@@ -2165,6 +2184,49 @@ object SparkEntry {
     "x_sim_lsh_index" -> lshIndexOracleSql,
 
     "x_sim_ivf_probe" -> ivfProbeOracleSql,
+
+    // IVF probe + int8 candidate stage: quantizer scale re-derived from
+    // the SAME cells artifact the engine's build scanned (deterministic
+    // max), candidate cut at the quantized dot, exact re-rank, and the
+    // query row (vec 0) filtered only at the end — mirroring the gate
+    "x_sim_ivf_sq" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+         cells0 AS (SELECT vec_id, CAST(cell AS INTEGER) AS cell, embedding
+                    FROM read_parquet('__GRAFT_IVF__/ivf_cells/*/*.parquet',
+                                      hive_partitioning = 1)),
+         mx AS (SELECT 127.0 / max(abs(CAST(x AS DOUBLE))) AS s
+                FROM (SELECT unnest(embedding) AS x FROM cells0)),
+         c AS (SELECT cell, CAST(unnest(centroid) AS DOUBLE) AS cx,
+                      generate_subscripts(centroid, 1) AS i
+               FROM read_parquet('__GRAFT_IVF__/ivf_centroids/*.parquet')),
+         cbest AS (SELECT cell FROM (
+                     SELECT c.cell,
+                            round(sum(c.cx * q.qx) /
+                              (sqrt(sum(c.cx * c.cx)) * sqrt(sum(q.qx * q.qx))), 6) AS cs
+                     FROM c JOIN q ON c.i = q.i GROUP BY c.cell)
+                   ORDER BY cs DESC, cell LIMIT 1),
+         m AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                      generate_subscripts(embedding, 1) AS i
+               FROM cells0
+               WHERE cell = (SELECT cell FROM cbest)),
+         qd AS (SELECT m.vec_id,
+                       sum(round(m.x * (SELECT s FROM mx)) *
+                           round(q.qx * (SELECT s FROM mx))) AS qdot
+                FROM m JOIN q ON m.i = q.i GROUP BY 1),
+         cand AS (SELECT vec_id FROM qd
+                  ORDER BY qdot DESC, vec_id LIMIT 44),
+         s AS (SELECT m.vec_id,
+                      round(sum(m.x * q.qx) /
+                        (sqrt(sum(m.x * m.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+               FROM m JOIN q ON m.i = q.i
+               WHERE m.vec_id IN (SELECT vec_id FROM cand)
+               GROUP BY 1),
+         top AS (SELECT vec_id, score FROM s
+                 ORDER BY score DESC, vec_id LIMIT 11)
+         SELECT vec_id, score FROM top WHERE vec_id <> 0
+         ORDER BY score DESC, vec_id LIMIT 10""",
 
     "x_sim_knn" ->
       """WITH e AS (SELECT vec_id, label,

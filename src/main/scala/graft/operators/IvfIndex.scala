@@ -174,12 +174,72 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
   def search(idCol: String, vecCol: String, query: Seq[Double], k: Int,
              nprobe: Int): DataFrame = {
     val q = array(query.map(lit): _*)
-    val best = centroids()
+    val best = probeCells(q, nprobe)
+    cells().filter(col("cell").isin(best: _*))
+      .select(col(idCol),
+        VectorFunctions.cosineRounded(col(vecCol).cast("array<double>"), q).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Cell choice shared by the float and quantized probes: rank the k
+    * centroids (tiny table) by cosine to the query. */
+  private def probeCells(q: org.apache.spark.sql.Column, nprobe: Int): Seq[Int] =
+    centroids()
       .select(col("cell"), VectorFunctions.cosineRounded(col("centroid"), q).as("_cs"))
       .orderBy(col("_cs").desc, col("cell").asc)
       .limit(nprobe).select("cell")
       .collect().map(_.getInt(0)).toSeq
+
+  private def sqCellsPath = s"$basePath/ivf_cells_sq"
+  private def sqMetaPath = s"$basePath/ivf_sq_meta"
+
+  /** Build the int8 sibling of the cell table (the FAISS IVF-SQ8 shape):
+    * per row (id, q) with symmetrically quantized tinyint components,
+    * partitioned by the SAME cell ids — 4× fewer vector bytes than the
+    * float column, and the quantized probe's candidate pass reads ONLY
+    * this table. Build-once (`_SUCCESS`-guarded); the quantizer scale
+    * source (max |component| over the stored corpus) is persisted
+    * alongside so probes never rescan the corpus for it. */
+  def ensureSq(idCol: String, vecCol: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val done = new org.apache.hadoop.fs.Path(sqCellsPath, "_SUCCESS")
+    if (!done.getFileSystem(conf).exists(done)) {
+      val maxAbs = Similarity.sqMaxAbs(cells(), vecCol)
+      cells()
+        .select(col(idCol), col("cell"),
+          Similarity.sqQuantize(col(vecCol), maxAbs)
+            .cast("array<tinyint>").as("q"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell")
+        .parquet(sqCellsPath)
+      import spark.implicits._
+      Seq(maxAbs).toDF("max_abs").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(sqMetaPath)
+    }
+  }
+
+  /** Quantized probe (IVF × SQ8): cell pruning as in [[search]], then
+    * the candidate pass ranks the probed cells by the INT8 dot product
+    * over the quantized sibling table (a quarter of the float bytes,
+    * same partition pruning), and only the best `rerank` rows are
+    * re-ranked at full precision against the float cells. Exact integer
+    * arithmetic + total tie-orders keep the whole pipeline
+    * deterministic and oracle-replayable. Requires [[ensureSq]]. */
+  def searchQuantized(idCol: String, vecCol: String, query: Seq[Double],
+                      k: Int, rerank: Int, nprobe: Int = 1): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val maxAbs = spark.read.parquet(sqMetaPath).head().getDouble(0)
+    val q = array(query.map(lit): _*)
+    val qq = Similarity.sqQuantize(q, maxAbs)
+    val best = probeCells(q, nprobe)
+    val cand = spark.read.parquet(sqCellsPath)
+      .filter(col("cell").isin(best: _*))
+      .select(col(idCol), VectorFunctions.dot(col("q"), qq).as("_qdot"))
+      .orderBy(col("_qdot").desc, col(idCol).asc)
+      .limit(rerank)
+      .select(col(idCol))
     cells().filter(col("cell").isin(best: _*))
+      .join(broadcast(cand), idCol)
       .select(col(idCol),
         VectorFunctions.cosineRounded(col(vecCol).cast("array<double>"), q).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)

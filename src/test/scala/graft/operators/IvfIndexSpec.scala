@@ -49,6 +49,43 @@ class IvfIndexSpec extends SparkSpec {
     assert(probeAll.toSeq == brute.toSeq)
   }
 
+  test("quantized probe with full rerank equals the float probe; sq sibling is cell-partitioned") {
+    val base = Files.createTempDirectory("graft_ivf_sq").toString
+    val idx = new IvfIndex(spark, base)
+    idx.build(emb, "vec_id", "embedding", k = 2, iters = 4)
+    idx.ensureSq("vec_id", "embedding")
+
+    val query = Seq(10.0, 0.2, 0.0, 0.0)
+    val fl = idx.search("vec_id", "embedding", query, k = 5, nprobe = 1)
+      .as[(Long, Double)].collect().toSeq
+    // rerank covers the probed cell -> the int8 candidate stage cannot
+    // change the result, only its IO
+    val qz = idx.searchQuantized("vec_id", "embedding", query,
+        k = 5, rerank = 60, nprobe = 1)
+      .as[(Long, Double)].collect().toSeq
+    assert(qz == fl)
+    // narrow rerank still returns k, deterministically
+    val narrow = idx.searchQuantized("vec_id", "embedding", query,
+        k = 3, rerank = 5, nprobe = 1)
+      .as[(Long, Double)].collect().toSeq
+    assert(narrow.size == 3)
+    assert(narrow == idx.searchQuantized("vec_id", "embedding", query,
+      k = 3, rerank = 5, nprobe = 1).as[(Long, Double)].collect().toSeq)
+    // the sibling mirrors the cell layout (partition pruning works) and
+    // stores tinyint components
+    assert(new java.io.File(s"$base/ivf_cells_sq").listFiles
+      .count(_.getName.startsWith("cell=")) == 2)
+    val qtype = spark.read.parquet(s"$base/ivf_cells_sq").schema("q").dataType
+    assert(qtype == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, true) ||
+      qtype == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, false), qtype.toString)
+    // ensureSq is a build-once no-op on the second call
+    idx.ensureSq("vec_id", "embedding")
+    assert(idx.searchQuantized("vec_id", "embedding", query,
+      k = 5, rerank = 60, nprobe = 1).as[(Long, Double)].collect().toSeq == fl)
+  }
+
   test("append assigns delta rows to existing centroids without re-training") {
     val base = Files.createTempDirectory("graft_ivf_app").toString
     val idx = new IvfIndex(spark, base)
