@@ -978,6 +978,17 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    "x_sim_ivf_drift" -> ((s, dir) => {
+      // index-maintenance trigger: cosine between each cell's stored
+      // (training-time) centroid and its CURRENT mean — the signal that
+      // schedules a quantizer re-train under the frozen-centroid append
+      // path. k-row output; the per-(cell,dim) means partial-aggregate
+      // map-side. Oracle recomputes both vectors from the artifacts.
+      val emb = t(s, dir, "embeddings")
+      ivfIndexFor(s, dir, emb).drift("embedding", minCosine = 0.999999)
+        .orderBy(col("cell"))
+    }),
+
     "x_sim_ivf_sq" -> ((s, dir) => {
       // IVF x SQ8 (the FAISS IVF-SQ composition): cell pruning as in
       // x_sim_ivf_probe, then the candidate pass ranks the probed cell
@@ -2184,6 +2195,26 @@ object SparkEntry {
     "x_sim_lsh_index" -> lshIndexOracleSql,
 
     "x_sim_ivf_probe" -> ivfProbeOracleSql,
+
+    // both vectors recomputed from the artifacts: stored centroid from
+    // the centroid table, current mean from the cell rows
+    "x_sim_ivf_drift" ->
+      """WITH cur AS (SELECT CAST(cell AS INTEGER) AS cell,
+                             generate_subscripts(embedding, 1) AS i,
+                             CAST(unnest(embedding) AS DOUBLE) AS x
+                      FROM read_parquet('__GRAFT_IVF__/ivf_cells/*/*.parquet',
+                                        hive_partitioning = 1)),
+              cm AS (SELECT cell, i, avg(x) AS m FROM cur GROUP BY 1, 2),
+              st AS (SELECT cell, generate_subscripts(centroid, 1) AS i,
+                            CAST(unnest(centroid) AS DOUBLE) AS c
+                     FROM read_parquet('__GRAFT_IVF__/ivf_centroids/*.parquet'))
+         SELECT cell, dc AS drift_cosine, (dc < 0.999999) AS retrain FROM (
+           SELECT st.cell,
+                  round(sum(st.c * cm.m) /
+                    (sqrt(sum(st.c * st.c)) * sqrt(sum(cm.m * cm.m))), 6) AS dc
+           FROM st JOIN cm ON st.cell = cm.cell AND st.i = cm.i
+           GROUP BY st.cell) z
+         ORDER BY cell""",
 
     // IVF probe + int8 candidate stage: quantizer scale re-derived from
     // the SAME cells artifact the engine's build scanned (deterministic

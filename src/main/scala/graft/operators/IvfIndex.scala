@@ -218,6 +218,24 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     }
   }
 
+  /** Drift report: how far each cell's CURRENT mean vector has moved
+    * from the stored (training-time) centroid, as cosine similarity.
+    * The re-train trigger for the frozen-quantizer append path: appends
+    * assign to training-time centroids ([[append]]), so cell quality
+    * decays exactly as the corpus distribution drifts — when a cell's
+    * drift cosine drops below a threshold, rebuild. One aggregate over
+    * the cells (per-(cell, dim) means, map-side combinable) joined to
+    * the k-row centroid table; output is k rows. */
+  def drift(vecCol: String, minCosine: Double = 0.99): DataFrame = {
+    val current = Similarity.centroids(cells(), "cell", vecCol)
+      .withColumnRenamed("centroid", "_cur")
+    centroids().join(current, "cell")
+      .select(col("cell"),
+        VectorFunctions.cosineRounded(col("centroid"), col("_cur"))
+          .as("drift_cosine"))
+      .withColumn("retrain", col("drift_cosine") < minCosine)
+  }
+
   /** Quantized probe (IVF × SQ8): cell pruning as in [[search]], then
     * the candidate pass ranks the probed cells by the INT8 dot product
     * over the quantized sibling table (a quarter of the float bytes,

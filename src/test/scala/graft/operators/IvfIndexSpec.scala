@@ -86,6 +86,24 @@ class IvfIndexSpec extends SparkSpec {
       k = 5, rerank = 60, nprobe = 1).as[(Long, Double)].collect().toSeq == fl)
   }
 
+  test("drift flags cells whose current mean moved off the stored centroid") {
+    val base = Files.createTempDirectory("graft_ivf_drift").toString
+    val idx = new IvfIndex(spark, base)
+    idx.build(emb, "vec_id", "embedding", k = 2, iters = 4)
+    // freshly built: the stored centroid is one Lloyd step behind the
+    // final assignment's mean — near-1 cosine, nothing to retrain
+    val before = idx.drift("embedding", minCosine = 0.9)
+      .as[(Int, Double, Boolean)].collect()
+    assert(before.length == 2 && before.forall(!_._3), before.toSeq)
+    // a skewed append (frozen quantizer) drags its cell's mean away
+    val delta = (100 to 130)
+      .map(i => (i.toLong, Array(10f, 6f, 0f, 0f))).toDF("vec_id", "embedding")
+    idx.append(delta, "vec_id", "embedding")
+    val after = idx.drift("embedding", minCosine = 0.999)
+      .as[(Int, Double, Boolean)].collect()
+    assert(after.exists(_._3), after.toSeq) // the polluted cell flags
+  }
+
   test("append assigns delta rows to existing centroids without re-training") {
     val base = Files.createTempDirectory("graft_ivf_app").toString
     val idx = new IvfIndex(spark, base)
