@@ -1,0 +1,50 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measure recall@k of the approximate ANN paths against the
+  * exact brute-force ranking on the actual corpus — int8 scalar
+  * quantization (`sqTopK`) across a sweep of rerank depths. Quantifies
+  * the candidate-depth/recall trade before anyone trusts the 4×-IO
+  * claim at a given rerank setting (the gate's hash-match proves
+  * pipeline fidelity, not retrieval quality — this measures quality). */
+object RecallCheck {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val nQueries = args.lift(1).map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val emb = Tables.load(spark, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val maxAbs = Similarity.sqMaxAbs(emb, "embedding")
+      val queryIds = emb.select("vec_id").orderBy("vec_id")
+        .limit(nQueries).collect().map(_.getLong(0)).toSeq
+      for (rerank <- Seq(k, 2 * k, 4 * k)) {
+        var recallSum = 0.0
+        for (qid <- queryIds) {
+          val q = emb.filter(col("vec_id") === qid)
+            .head().getSeq[Float](1).map(_.toDouble).toSeq
+          val corpus = emb.filter(col("vec_id") =!= qid)
+          val exact = Similarity.bruteForceTopK(corpus, "vec_id",
+              "embedding", q, k)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val approx = Similarity.sqTopK(corpus, "vec_id", "embedding", q,
+              k, rerank, maxAbs)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          recallSum += (exact & approx).size.toDouble / k
+        }
+        println(f"[recallcheck] $sf sq8 k=$k rerank=$rerank " +
+          f"queries=${queryIds.size} recall@$k=${recallSum / queryIds.size}%.4f")
+      }
+      emb.unpersist()
+    }
+    spark.stop()
+  }
+}
