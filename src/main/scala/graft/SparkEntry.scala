@@ -978,6 +978,26 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    "x_sim_pq" -> ((s, dir) => {
+      // product quantization + ADC (FAISS PQ shape): corpus vectors
+      // live as 8-byte code words (32x compression at dim 64); the
+      // candidate pass scans ONLY the codes (approx score = 8 lookup
+      // hits against the query's codeword dot table, a flat codegen'd
+      // expression), and the float column serves just the `rerank`
+      // survivors. Search determinism never depends on k-means
+      // internals: the oracle replays ADC + re-rank from the stored
+      // codebook/codes artifacts, with the ADC total re-rounded to 6dp
+      // on both sides (sum of 6dp multiples — erases addition-order
+      // noise).
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val idx = pqIndexFor(s, dir, emb)
+      idx.search(emb, "vec_id", "embedding", q, k = 11, rerank = 44)
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     "x_sim_ivf_drift" -> ((s, dir) => {
       // index-maintenance trigger: cosine between each cell's stored
       // (training-time) centroid and its CURRENT mean — the signal that
@@ -1107,6 +1127,31 @@ object SparkEntry {
     ivfBuilt.getOrElseUpdate(dir, {
       val idx = new operators.IvfIndex(s, ivfBasePath(dir))
       idx.build(emb, "vec_id", "embedding", k = 8, iters = 3)
+      idx
+    })
+
+  /** PQ gate config: 8 subspaces × 64 codewords over the 64-dim corpus
+    * (8-byte codes, 32× compression). 64 codewords doubles measured
+    * recall vs 16 on this corpus at the same code size (RecallCheck). */
+  private val PqM = 8; private val PqK = 64
+
+  /** On-disk home of the sf dir's PQ index — parameter-keyed, so a
+    * config change can never read a stale artifact. Public: Verify
+    * resolves `__GRAFT_PQ__` with it. */
+  def pqBasePath(dir: String): String =
+    s"${artifactBase(dir)}/pq_m${PqM}_k$PqK"
+
+  /** Build (or reuse) the PQ index. On-disk `_SUCCESS` short-circuits
+    * rebuilds across JVMs. */
+  private val pqBuilt = scala.collection.concurrent.TrieMap.empty[String, operators.PqIndex]
+  private def pqIndexFor(s: SparkSession, dir: String,
+                         emb: DataFrame): operators.PqIndex =
+    pqBuilt.getOrElseUpdate(dir, {
+      val idx = new operators.PqIndex(s, pqBasePath(dir))
+      val done = new org.apache.hadoop.fs.Path(
+        s"${pqBasePath(dir)}/pq_codes/_SUCCESS")
+      if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+        idx.build(emb, "vec_id", "embedding", m = PqM, k = PqK, iters = 3)
       idx
     })
 
@@ -2195,6 +2240,45 @@ object SparkEntry {
     "x_sim_lsh_index" -> lshIndexOracleSql,
 
     "x_sim_ivf_probe" -> ivfProbeOracleSql,
+
+    // ADC replay from the stored artifacts: LUT = query-subvector ·
+    // codeword (rounded 6dp), approx = sum of the row's m table hits
+    // (re-rounded 6dp), candidate cut, exact re-rank. subDim = 8 is the
+    // gate's dim-64 / m-8 split.
+    "x_sim_pq" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+             cb AS (SELECT subspace, code,
+                           generate_subscripts(centroid, 1) AS p,
+                           CAST(unnest(centroid) AS DOUBLE) AS c
+                    FROM read_parquet('__GRAFT_PQ__/pq_codebook/*.parquet')),
+             lut AS (SELECT cb.subspace, cb.code,
+                            round(sum(cb.c * q.qx), 6) AS v
+                     FROM cb JOIN q ON q.i = cb.subspace * 8 + cb.p
+                     GROUP BY 1, 2),
+             codes AS (SELECT id, generate_subscripts(codes, 1) AS j1,
+                              CAST(unnest(codes) AS INT) AS code
+                       FROM read_parquet('__GRAFT_PQ__/pq_codes/*.parquet')),
+             adc AS (SELECT codes.id, round(sum(lut.v), 6) AS s
+                     FROM codes JOIN lut
+                       ON lut.subspace = codes.j1 - 1
+                      AND lut.code = codes.code
+                     GROUP BY 1),
+             cand AS (SELECT id FROM adc ORDER BY s DESC, id LIMIT 44),
+             e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings),
+             s2 AS (SELECT e.vec_id,
+                           round(sum(e.x * q.qx) /
+                             (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+                    FROM e JOIN q ON e.i = q.i
+                    WHERE e.vec_id IN (SELECT id FROM cand)
+                    GROUP BY 1),
+             top AS (SELECT vec_id, score FROM s2
+                     ORDER BY score DESC, vec_id LIMIT 11)
+         SELECT vec_id, score FROM top WHERE vec_id <> 0
+         ORDER BY score DESC, vec_id LIMIT 10""",
 
     // both vectors recomputed from the artifacts: stored centroid from
     // the centroid table, current mean from the cell rows

@@ -47,6 +47,7 @@ object Verify {
           .replace("__GRAFT_SIMHASH__", s"${SparkEntry.artifactBase(sfDir)}/simhash")
           .replace("__GRAFT_MEDIA__", s"${SparkEntry.artifactBase(sfDir)}/media")
           .replace("__GRAFT_LSH__", SparkEntry.lshRowsPath(sfDir))
+          .replace("__GRAFT_PQ__", SparkEntry.pqBasePath(sfDir))
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{PqIndex, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,30 @@ object RecallCheck {
         }
         println(f"[recallcheck] $sf sq8 k=$k rerank=$rerank " +
           f"queries=${queryIds.size} recall@$k=${recallSum / queryIds.size}%.4f")
+      }
+      // PQ-ADC: 8-byte codes (32x compression), so recall measures how
+      // much ranking signal survives the quantization. The query row
+      // stays in the corpus on BOTH sides (it holds one of the k slots
+      // identically), so recall compares like with like.
+      for (codewords <- args.lift(2).map(s => Seq(s.toInt)).getOrElse(Seq(16, 64))) {
+        val pq = new PqIndex(spark,
+          java.nio.file.Files.createTempDirectory(s"recall_pq").toString)
+        pq.build(emb, "vec_id", "embedding", m = 8, k = codewords, iters = 3)
+        for (rerank <- Seq(2 * k, 4 * k, 8 * k)) {
+          var recallSum = 0.0
+          for (qid <- queryIds) {
+            val q = emb.filter(col("vec_id") === qid)
+              .head().getSeq[Float](1).map(_.toDouble).toSeq
+            val exact = Similarity.bruteForceTopK(emb, "vec_id",
+                "embedding", q, k)
+              .select("vec_id").collect().map(_.getLong(0)).toSet
+            val approx = pq.search(emb, "vec_id", "embedding", q, k, rerank)
+              .select("vec_id").collect().map(_.getLong(0)).toSet
+            recallSum += (exact & approx).size.toDouble / k
+          }
+          println(f"[recallcheck] $sf pq8x$codewords%d k=$k rerank=$rerank " +
+            f"queries=${queryIds.size} recall@$k=${recallSum / queryIds.size}%.4f")
+        }
       }
       emb.unpersist()
     }

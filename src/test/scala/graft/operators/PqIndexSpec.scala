@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters around orthogonal axes (dim 4 -> m=2 subspaces)
+  private lazy val emb = {
+    val rnd = new scala.util.Random(7)
+    (1 to 60).map { i =>
+      val base = if (i <= 30) Array(10f, 0f, 0f, 0f) else Array(0f, 0f, 10f, 0f)
+      (i.toLong, base.map(_ + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("build writes m-byte codes and an m*k codebook") {
+    val base = Files.createTempDirectory("graft_pq").toString
+    val idx = new PqIndex(spark, base)
+    idx.build(emb, "vec_id", "embedding", m = 2, k = 4, iters = 3)
+    val cb = idx.codebook().as[(Int, Int, Seq[Double])].collect()
+    assert(cb.length == 8) // 2 subspaces x 4 codes
+    assert(cb.forall(_._3.length == 2)) // dim/m
+    val codes = idx.codes().as[(Long, Seq[Byte])].collect()
+    assert(codes.length == 60 && codes.forall(_._2.length == 2))
+    assert(codes.flatMap(_._2).forall(c => c >= 0 && c < 4))
+  }
+
+  test("ADC search with full rerank equals brute force; narrow rerank is deterministic") {
+    val base = Files.createTempDirectory("graft_pq2").toString
+    val idx = new PqIndex(spark, base)
+    idx.build(emb, "vec_id", "embedding", m = 2, k = 4, iters = 3)
+    val query = Seq(10.0, 0.2, 0.0, 0.0)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 5)
+      .as[(Long, Double)].collect().toSeq
+    // rerank covers the corpus -> the ADC stage affects only IO
+    val full = idx.search(emb, "vec_id", "embedding", query, k = 5, rerank = 60)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == brute)
+    // narrow rerank: k rows, same answer every run, and candidates come
+    // from the query's cluster (codewords separate the clusters)
+    val narrow = idx.search(emb, "vec_id", "embedding", query, k = 5, rerank = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(narrow.size == 5 && narrow.forall(_._1 <= 30))
+    assert(narrow == idx.search(emb, "vec_id", "embedding", query,
+      k = 5, rerank = 10).as[(Long, Double)].collect().toSeq)
+    intercept[IllegalArgumentException] {
+      idx.search(emb, "vec_id", "embedding", query, k = 5, rerank = 3)
+    }
+  }
+}
