@@ -391,6 +391,59 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q4_order_priority" -> ((s, dir) => {
+      // TPC-H Q4 shape: orders of one quarter with at least one line
+      // shipped >30 days after ordering (EXISTS → left-semi, the join
+      // Catalyst never materializes). The quarter predicate prunes the
+      // orders scan; the correlated date condition rides the join.
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+      o.join(l,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q12_priority_class" -> ((s, dir) => {
+      // TPC-H Q12 shape: conditional aggregation — per return flag, how
+      // many 1997-shipped lines belong to high- vs low-priority orders.
+      // CASE sums fold into one pass over the join; the year range is
+      // a pushable scan predicate.
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val o = t(s, dir, "orders")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q14_promo_revenue" -> ((s, dir) => {
+      // TPC-H Q14 shape: promo revenue share of one month. Decimal
+      // per-term casts keep both engines' sums exact (q1 pattern); the
+      // part side broadcasts.
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      val p = t(s, dir, "part")
+      val disc = col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) *
+            sum(when(col("p_type") === "PROMO", disc)
+              .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+            sum(disc).cast("double"), 6).as("promo_revenue"))
+    }),
+
     // ── §2.5 windows / §2.6 sorts ────────────────────────────────────
     "w1_rownum" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -1577,6 +1630,40 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
+
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 *
+                CAST(sum(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                   (1 - CAST(l_discount AS DECIMAL(18,4)))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                         (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                6) AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
 
     "w1_rownum" ->
       """SELECT event_id, user_id,
