@@ -25,11 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton (Z-order) value of two non-negative integer columns:
-    * interleave the low `bits` bits of `x` (even positions) and `y`
-    * (odd positions). Values wider than `bits` bits wrap into the same
-    * key space (callers bucket/clamp first if that matters); negative
-    * inputs are rejected by the sanity guard below at write time.
+  /** Morton (Z-order) value of two integer columns: interleave the low
+    * `bits` bits of `x` (even positions) and `y` (odd positions).
+    * Values wider than `bits` bits — including negatives, whose low
+    * bits are their two's-complement pattern — WRAP into the same key
+    * space: the write stays correct (layout never changes content) but
+    * wrapped values lose curve locality, so bucket/offset such columns
+    * into [0, 2^bits) first.
     *
     * The expression is a flat sum of `2·bits` shift/mask terms — fully
     * codegen'd, no UDF; at the default 16 bits the projected key covers

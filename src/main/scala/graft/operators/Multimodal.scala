@@ -182,11 +182,13 @@ object Multimodal {
 
   /** Frame sampling: every `stride`-th frame index (video keyframe /
     * audio window sampling shape — one row per sampled frame). */
-  def sampleFrames(decoded: Dataset[DecodedMeta], stride: Int): DataFrame =
+  def sampleFrames(decoded: Dataset[DecodedMeta], stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
     decoded.toDF()
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select(col("media_id"), col("frame_idx"), col("width"), col("height"))
+  }
 
   /** Resize planning for image rows: clamps decoded dims to a bounding
     * box, preserving aspect (integer arithmetic like a real thumbnailer).

@@ -102,6 +102,7 @@ final class PqIndex(spark: SparkSession, basePath: String) {
         s => s.getField("_code").cast("byte")).as("codes"))
       .select(col("_aid").as("id"), col("codes"))
       .write.mode(SaveMode.Overwrite).parquet(codesPath)
+    src.unpersist()
   }
 
   def codebook(): DataFrame = spark.read.parquet(codebookPath)
