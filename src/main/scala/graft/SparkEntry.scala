@@ -1051,6 +1051,24 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "x_sim_ivfpq" -> ((s, dir) => {
+      // IVF x PQ with residual encoding (the FAISS IVFPQ shape): the
+      // probed cell's m-byte residual codes are the only candidate
+      // bytes read (partition-pruned); ADC ranks IP(q, residual)
+      // within the cell (the per-cell IP(q, centroid) constant rides
+      // along for multi-cell probes); exact cosine re-ranks `rerank`
+      // survivors from the float cells. Oracle replays everything from
+      // the stored artifacts.
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val comp = ivfPqFor(s, dir, emb)
+      comp.search("vec_id", "embedding", q, k = 11, rerank = 44,
+          nprobe = 1)
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     "x_sim_ivf_drift" -> ((s, dir) => {
       // index-maintenance trigger: cosine between each cell's stored
       // (training-time) centroid and its CURRENT mean — the signal that
@@ -1206,6 +1224,24 @@ object SparkEntry {
       if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
         idx.build(emb, "vec_id", "embedding", m = PqM, k = PqK, iters = 3)
       idx
+    })
+
+  /** On-disk home of the sf dir's IVFPQ residual codes — parameter-keyed
+    * like the PQ path. Public: Verify resolves `__GRAFT_IVFPQ__`. */
+  def ivfpqBasePath(dir: String): String =
+    s"${artifactBase(dir)}/ivfpq_m${PqM}_k$PqK"
+
+  private val ivfpqBuilt = scala.collection.concurrent.TrieMap.empty[String, operators.IvfPq]
+  private def ivfPqFor(s: SparkSession, dir: String,
+                       emb: DataFrame): operators.IvfPq =
+    ivfpqBuilt.getOrElseUpdate(dir, {
+      val comp = new operators.IvfPq(s, ivfIndexFor(s, dir, emb),
+        ivfpqBasePath(dir))
+      val done = new org.apache.hadoop.fs.Path(
+        s"${ivfpqBasePath(dir)}/pq_codes/_SUCCESS")
+      if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+        comp.build("vec_id", "embedding", m = PqM, k = PqK, iters = 3)
+      comp
     })
 
   /** Plane config shared by the x_sim_lsh gate, the persistent index,
@@ -2364,6 +2400,62 @@ object SparkEntry {
                     GROUP BY 1),
              top AS (SELECT vec_id, score FROM s2
                      ORDER BY score DESC, vec_id LIMIT 11)
+         SELECT vec_id, score FROM top WHERE vec_id <> 0
+         ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // IVFPQ replay: cell choice from the centroid artifact; LUT = the
+    // ORIGINAL query against the RESIDUAL codebooks (IP(q, centroid) is
+    // constant within the one probed cell, so it cannot change the
+    // candidate cut at nprobe=1); candidates from the probed cell's
+    // codes partition; re-rank restricted to the same cells artifact
+    // slice the engine joins (rows whose stored cell differs from the
+    // codes partition — possible after an IVF rebuild — drop on BOTH
+    // sides identically)
+    "x_sim_ivfpq" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT cell, CAST(unnest(centroid) AS DOUBLE) AS cx,
+                      generate_subscripts(centroid, 1) AS i
+               FROM read_parquet('__GRAFT_IVF__/ivf_centroids/*.parquet')),
+         cbest AS (SELECT cell FROM (
+                     SELECT c.cell,
+                            round(sum(c.cx * q.qx) /
+                              (sqrt(sum(c.cx * c.cx)) * sqrt(sum(q.qx * q.qx))), 6) AS cs
+                     FROM c JOIN q ON c.i = q.i GROUP BY c.cell)
+                   ORDER BY cs DESC, cell LIMIT 1),
+         cb AS (SELECT subspace, code,
+                       generate_subscripts(centroid, 1) AS p,
+                       CAST(unnest(centroid) AS DOUBLE) AS c2
+                FROM read_parquet('__GRAFT_IVFPQ__/pq_codebook/*.parquet')),
+         lut AS (SELECT cb.subspace, cb.code,
+                        round(sum(cb.c2 * q.qx), 6) AS v
+                 FROM cb JOIN q ON q.i = cb.subspace * 8 + cb.p
+                 GROUP BY 1, 2),
+         codes AS (SELECT id, generate_subscripts(codes, 1) AS j1,
+                          CAST(unnest(codes) AS INT) AS code
+                   FROM read_parquet('__GRAFT_IVFPQ__/pq_codes/*/*.parquet',
+                                     hive_partitioning = 1)
+                   WHERE CAST(cell AS INTEGER) = (SELECT cell FROM cbest)),
+         adc AS (SELECT codes.id, round(sum(lut.v), 6) AS s
+                 FROM codes JOIN lut
+                   ON lut.subspace = codes.j1 - 1
+                  AND lut.code = codes.code
+                 GROUP BY 1),
+         cand AS (SELECT id FROM adc ORDER BY s DESC, id LIMIT 44),
+         e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                      generate_subscripts(embedding, 1) AS i
+               FROM read_parquet('__GRAFT_IVF__/ivf_cells/*/*.parquet',
+                                 hive_partitioning = 1)
+               WHERE CAST(cell AS INTEGER) = (SELECT cell FROM cbest)),
+         s2 AS (SELECT e.vec_id,
+                       round(sum(e.x * q.qx) /
+                         (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+                FROM e JOIN q ON e.i = q.i
+                WHERE e.vec_id IN (SELECT id FROM cand)
+                GROUP BY 1),
+         top AS (SELECT vec_id, score FROM s2
+                 ORDER BY score DESC, vec_id LIMIT 11)
          SELECT vec_id, score FROM top WHERE vec_id <> 0
          ORDER BY score DESC, vec_id LIMIT 10""",
 

@@ -48,6 +48,7 @@ object Verify {
           .replace("__GRAFT_MEDIA__", s"${SparkEntry.artifactBase(sfDir)}/media")
           .replace("__GRAFT_LSH__", SparkEntry.lshRowsPath(sfDir))
           .replace("__GRAFT_PQ__", SparkEntry.pqBasePath(sfDir))
+          .replace("__GRAFT_IVFPQ__", SparkEntry.ivfpqBasePath(sfDir))
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

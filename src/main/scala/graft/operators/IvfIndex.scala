@@ -184,7 +184,7 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
 
   /** Cell choice shared by the float and quantized probes: rank the k
     * centroids (tiny table) by cosine to the query. */
-  private def probeCells(q: org.apache.spark.sql.Column, nprobe: Int): Seq[Int] =
+  private[operators] def probeCells(q: org.apache.spark.sql.Column, nprobe: Int): Seq[Int] =
     centroids()
       .select(col("cell"), VectorFunctions.cosineRounded(col("centroid"), q).as("_cs"))
       .orderBy(col("_cs").desc, col("cell").asc)

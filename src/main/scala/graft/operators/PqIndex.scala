@@ -55,9 +55,12 @@ final class PqIndex(spark: SparkSession, basePath: String) {
       .select(col("_aid"), col("_best.idx").as("_code"), col("_sv"))
   }
 
-  /** Train the m codebooks and encode the corpus. */
+  /** Train the m codebooks and encode the corpus. `partitionBy` writes
+    * the codes table partitioned by an input column (e.g. an IVF cell
+    * id) so a pruned probe reads only its partition's codes. */
   def build(emb: DataFrame, idCol: String, vecCol: String,
-            m: Int = 8, k: Int = 16, iters: Int = 4): Unit = {
+            m: Int = 8, k: Int = 16, iters: Int = 4,
+            partitionBy: Option[String] = None): Unit = {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim ($dim) must divide into m ($m) subspaces")
     val subDim = dim / m
@@ -95,13 +98,21 @@ final class PqIndex(spark: SparkSession, basePath: String) {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(codebookPath)
 
     // one m-byte code word per row, subspace-ordered
-    perSubspace.map(_._2).reduce(_ union _)
+    val codeWords = perSubspace.map(_._2).reduce(_ union _)
       .groupBy(col("_aid"))
       .agg(transform(
         array_sort(collect_list(struct(col("_j"), col("_code")))),
         s => s.getField("_code").cast("byte")).as("codes"))
-      .select(col("_aid").as("id"), col("codes"))
-      .write.mode(SaveMode.Overwrite).parquet(codesPath)
+    partitionBy match {
+      case Some(p) =>
+        codeWords
+          .join(emb.select(col(idCol).as("_aid"), col(p)), "_aid")
+          .select(col("_aid").as("id"), col("codes"), col(p))
+          .write.mode(SaveMode.Overwrite).partitionBy(p).parquet(codesPath)
+      case None =>
+        codeWords.select(col("_aid").as("id"), col("codes"))
+          .write.mode(SaveMode.Overwrite).parquet(codesPath)
+    }
     src.unpersist()
   }
 
@@ -113,11 +124,14 @@ final class PqIndex(spark: SparkSession, basePath: String) {
     * `rerank` rows against the float corpus. `emb` must be the corpus
     * the index was built over (the codes table carries no vectors —
     * that is the point). */
-  def search(emb: DataFrame, idCol: String, vecCol: String,
-             query: Seq[Double], k: Int, rerank: Int): DataFrame = {
-    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    // LUT: per (subspace, code) the query-subvector · codeword dot,
-    // rounded to 6 dp so the stored-codebook replay is engine-portable
+  /** ADC approximate-score column for `query` over a `codes` column,
+    * from the stored codebook. LUT: per (subspace, code) the
+    * query-subvector · codeword dot, rounded to 6 dp so the
+    * stored-codebook replay is engine-portable; the ADC total is
+    * re-rounded to 6 dp — it is mathematically a sum of 6-dp multiples,
+    * so rounding erases float addition-order noise and any engine
+    * summing the same table hits ranks candidates identically. */
+  def adcScore(query: Seq[Double]): Column = {
     val cb = codebook().collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
       .toMap
@@ -130,15 +144,17 @@ final class PqIndex(spark: SparkSession, basePath: String) {
       BigDecimal(qs.zip(cw).map { case (a, b) => a * b }.sum)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    // the ADC total is re-rounded to 6 dp: it is mathematically a sum of
-    // 6-dp multiples, so rounding erases float addition-order noise and
-    // any engine summing the same table hits ranks candidates identically
-    val approx = round((0 until m).map { j =>
+    round((0 until m).map { j =>
       element_at(array(lut(j).map(lit): _*),
         element_at(col("codes"), j + 1).cast("int") + 1)
     }.reduce(_ + _), 6)
+  }
+
+  def search(emb: DataFrame, idCol: String, vecCol: String,
+             query: Seq[Double], k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val cand = codes()
-      .select(col("id"), approx.as("_adc"))
+      .select(col("id"), adcScore(query).as("_adc"))
       .orderBy(col("_adc").desc, col("id").asc)
       .limit(rerank)
       .select(col("id").as(idCol))

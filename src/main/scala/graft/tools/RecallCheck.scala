@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.operators.{PqIndex, Similarity}
+import graft.operators.{IvfIndex, IvfPq, PqIndex, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -66,6 +66,39 @@ object RecallCheck {
           println(f"[recallcheck] $sf pq8x$codewords%d k=$k rerank=$rerank " +
             f"queries=${queryIds.size} recall@$k=${recallSum / queryIds.size}%.4f")
         }
+      }
+      // IVFPQ end-to-end (coarse-quantizer miss + residual-PQ loss
+      // together — the number a user of the composed index actually
+      // gets). Residual encoding should beat flat PQ at equal code size.
+      val ivf = new IvfIndex(spark,
+        java.nio.file.Files.createTempDirectory("recall_ivf").toString)
+      ivf.build(emb, "vec_id", "embedding", k = 8, iters = 3)
+      val comp = new IvfPq(spark, ivf,
+        java.nio.file.Files.createTempDirectory("recall_ivfpq").toString)
+      comp.build("vec_id", "embedding", m = 8, k = 64, iters = 3)
+      for ((nprobe, rerank) <- Seq((1, 4 * k), (2, 4 * k), (2, 8 * k))) {
+        var recallSum = 0.0
+        var ceilSum = 0.0
+        for (qid <- queryIds) {
+          val q = emb.filter(col("vec_id") === qid)
+            .head().getSeq[Float](1).map(_.toDouble).toSeq
+          val exact = Similarity.bruteForceTopK(emb, "vec_id",
+              "embedding", q, k)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val approx = comp.search("vec_id", "embedding", q, k, rerank,
+              nprobe)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          recallSum += (exact & approx).size.toDouble / k
+          // float probe at the same nprobe = the coarse-quantizer
+          // ceiling; composite recall below it is the PQ loss
+          val ceil = ivf.search("vec_id", "embedding", q, k, nprobe)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          ceilSum += (exact & ceil).size.toDouble / k
+        }
+        println(f"[recallcheck] $sf ivfpq8x64 k=$k nprobe=$nprobe " +
+          f"rerank=$rerank queries=${queryIds.size} " +
+          f"recall@$k=${recallSum / queryIds.size}%.4f " +
+          f"(float-probe ceiling ${ceilSum / queryIds.size}%.4f)")
       }
       emb.unpersist()
     }

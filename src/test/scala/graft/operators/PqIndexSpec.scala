@@ -28,6 +28,35 @@ class PqIndexSpec extends SparkSpec {
     assert(codes.flatMap(_._2).forall(c => c >= 0 && c < 4))
   }
 
+  test("IVFPQ: residual ADC with full rerank equals the float IVF probe") {
+    val ivfBase = Files.createTempDirectory("graft_ivfpq_ivf").toString
+    val ivf = new IvfIndex(spark, ivfBase)
+    ivf.build(emb, "vec_id", "embedding", k = 2, iters = 4)
+    val comp = new IvfPq(spark, ivf,
+      Files.createTempDirectory("graft_ivfpq").toString)
+    comp.build("vec_id", "embedding", m = 2, k = 4, iters = 3)
+
+    val query = Seq(10.0, 0.2, 0.0, 0.0)
+    // rerank covers the probed cell -> residual-ADC affects only IO
+    val fl = ivf.search("vec_id", "embedding", query, k = 5, nprobe = 1)
+      .as[(Long, Double)].collect().toSeq
+    val qz = comp.search("vec_id", "embedding", query, k = 5, rerank = 60,
+        nprobe = 1)
+      .as[(Long, Double)].collect().toSeq
+    assert(qz == fl)
+    // nprobe = all cells + full rerank -> brute force (per-cell IP
+    // constants put multi-cell candidates on one scale)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 5)
+      .as[(Long, Double)].collect().toSeq
+    val all = comp.search("vec_id", "embedding", query, k = 5, rerank = 60,
+        nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(all == brute)
+    // codes live in cell partitions (partition-pruned probes)
+    val codeDirs = comp.codes().select("cell").distinct().count()
+    assert(codeDirs == 2)
+  }
+
   test("ADC search with full rerank equals brute force; narrow rerank is deterministic") {
     val base = Files.createTempDirectory("graft_pq2").toString
     val idx = new PqIndex(spark, base)
