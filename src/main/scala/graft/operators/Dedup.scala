@@ -89,7 +89,15 @@ object Dedup {
       .select(col("_id"), xxhash64(col("_sh")).as("_sh"))
 
   /** Persisted flat (id, shingle) index: capped via posting lists when
-    * maxBlock > 0, map-side [[flatIndex]] otherwise. */
+    * maxBlock > 0, map-side [[flatIndex]] otherwise.
+    *
+    * Cache lifetime: the pair operators RETURN lazy plans that read this
+    * persisted intermediate, so it cannot be unpersisted here — the
+    * blocks live until the caller drops them. The driver flows
+    * (Bench/Verify) clearCache() between queries; a long-lived session
+    * composing many dedup calls should do the same, or route through
+    * the artifact paths (pairTable/bandedTable/refreshArtifacts), whose
+    * actions complete internally and release their caches. */
   private def buildIdx(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, maxBlock: Long): DataFrame =
     if (maxBlock <= 0)
@@ -464,6 +472,10 @@ object Dedup {
       .write.mode("append").parquet(pairsPath)
     deltaBanded.select(col("_id").as("id"), col("band"), col("bkey"))
       .write.mode("append").parquet(bandedPath)
+    // both consuming actions are done — release the cached blocks (the
+    // lazy-returning paths below cannot do this; see buildIdx's note)
+    deltaBanded.unpersist()
+    idx.unpersist()
   }
 
   /** 64-bit SimHash over the token set: each token votes ±1 per bit of

@@ -98,6 +98,7 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     import spark.implicits._
     cents.map { case (i, c) => (i, c) }.toDF("cell", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(centroidsPath)
+    invalidateSq() // cell contents changed — a stale sibling would serve wrong candidates
   }
 
   /** Assign every row to its nearest centroid and write to the cell
@@ -143,6 +144,7 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
       .sortBy(_._1)
     writeAssigned(emb, idCol, vecCol, cents, SaveMode.Append)
+    invalidateSq() // appended rows are not in the sibling yet
   }
 
   /** Compact fragmented cell partitions after appends — the IVF analog
@@ -193,6 +195,19 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
 
   private def sqCellsPath = s"$basePath/ivf_cells_sq"
   private def sqMetaPath = s"$basePath/ivf_sq_meta"
+
+  /** Drop the quantized sibling so the next [[ensureSq]] rebuilds it —
+    * called by [[build]] and [[append]]: the sibling mirrors the cell
+    * table, and serving stale int8 candidates after the cells changed
+    * would be a silent-wrong-results bug, not a perf bug. */
+  private def invalidateSq(): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(sqCellsPath, sqMetaPath).foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(conf)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+  }
 
   /** Build the int8 sibling of the cell table (the FAISS IVF-SQ8 shape):
     * per row (id, q) with symmetrically quantized tinyint components,

@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   * so the same codebook budget buys more precision — the reason FAISS
   * encodes residuals rather than vectors.
   *
+  * STALENESS CONTRACT: the codes are tied to the parent index's cell
+  * assignments at build time. After `ivf.build()` or `ivf.append()`,
+  * call [[build]] again — the parent cannot invalidate this sibling
+  * (it does not know about it), and probing fresh cells with stale
+  * codes silently drops the changed rows from the candidate set. The
+  * gate path is parameter-keyed and Bench wipes artifacts, so the
+  * driver flow rebuilds naturally; long-lived callers own the rebuild.
+  *
   * Search (inner-product form): IP(q, y) = IP(q, c_cell) + IP(q, r), so
   * within a probed cell the per-cell term is constant and candidates
   * rank by the ADC estimate of IP(q, r̂) alone; across cells the

@@ -185,8 +185,14 @@ object Multimodal {
   def sampleFrames(decoded: Dataset[DecodedMeta], stride: Int): DataFrame = {
     require(stride > 0, s"stride must be positive: $stride")
     decoded.toDF()
+      // zero-frame media (a WAV with an empty data chunk is valid and
+      // decodes to n_frames = 0) contributes no rows — sequence() with
+      // stop < start THROWS rather than returning empty, so the empty
+      // case must be explicit
       .withColumn("frame_idx",
-        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+        explode(when(col("n_frames") > 0,
+          sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))))
       .select(col("media_id"), col("frame_idx"), col("width"), col("height"))
   }
 

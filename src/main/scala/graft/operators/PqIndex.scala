@@ -63,6 +63,9 @@ final class PqIndex(spark: SparkSession, basePath: String) {
             partitionBy: Option[String] = None): Unit = {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim ($dim) must divide into m ($m) subspaces")
+    // codes are stored as signed bytes: codewords above 127 would wrap
+    // negative and corrupt ADC's 1-based LUT indexing silently
+    require(k >= 1 && k <= 128, s"codewords per subspace must be in [1,128]: $k")
     val subDim = dim / m
     val src = emb.select(col(idCol).as("_aid"),
         col(vecCol).cast("array<double>").as("_v"))
@@ -137,6 +140,11 @@ final class PqIndex(spark: SparkSession, basePath: String) {
       .toMap
     val m = cb.keys.map(_._1).max + 1
     val nCodes = cb.keys.map(_._2).max + 1
+    val storedSubDim = cb.head._2.length
+    require(query.length == m * storedSubDim,
+      s"query dim ${query.length} does not match the indexed dim " +
+        s"${m * storedSubDim} ($m subspaces x $storedSubDim) — a mismatched " +
+        "query would silently misalign every LUT slice")
     val subDim = query.length / m
     val lut: Array[Array[Double]] = Array.tabulate(m, nCodes) { (j, c) =>
       val cw = cb((j, c))

@@ -26,19 +26,31 @@ object RecallCheck {
       val maxAbs = Similarity.sqMaxAbs(emb, "embedding")
       val queryIds = emb.select("vec_id").orderBy("vec_id")
         .limit(nQueries).collect().map(_.getLong(0)).toSeq
+      // query vectors and exact top-k sets do not depend on the rerank
+      // sweep — compute each once per query, not once per (query, rerank)
+      val queryVecs: Map[Long, Seq[Double]] = queryIds.map { qid =>
+        qid -> emb.filter(col("vec_id") === qid)
+          .head().getSeq[Float](1).map(_.toDouble).toSeq
+      }.toMap
+      // sq excludes the query row from its corpus; the index paths keep it
+      val exactSansSelf: Map[Long, Set[Long]] = queryIds.map { qid =>
+        qid -> Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= qid),
+            "vec_id", "embedding", queryVecs(qid), k)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }.toMap
+      val exactFull: Map[Long, Set[Long]] = queryIds.map { qid =>
+        qid -> Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            queryVecs(qid), k)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }.toMap
       for (rerank <- Seq(k, 2 * k, 4 * k)) {
         var recallSum = 0.0
         for (qid <- queryIds) {
-          val q = emb.filter(col("vec_id") === qid)
-            .head().getSeq[Float](1).map(_.toDouble).toSeq
           val corpus = emb.filter(col("vec_id") =!= qid)
-          val exact = Similarity.bruteForceTopK(corpus, "vec_id",
-              "embedding", q, k)
+          val approx = Similarity.sqTopK(corpus, "vec_id", "embedding",
+              queryVecs(qid), k, rerank, maxAbs)
             .select("vec_id").collect().map(_.getLong(0)).toSet
-          val approx = Similarity.sqTopK(corpus, "vec_id", "embedding", q,
-              k, rerank, maxAbs)
-            .select("vec_id").collect().map(_.getLong(0)).toSet
-          recallSum += (exact & approx).size.toDouble / k
+          recallSum += (exactSansSelf(qid) & approx).size.toDouble / k
         }
         println(f"[recallcheck] $sf sq8 k=$k rerank=$rerank " +
           f"queries=${queryIds.size} recall@$k=${recallSum / queryIds.size}%.4f")
@@ -54,14 +66,10 @@ object RecallCheck {
         for (rerank <- Seq(2 * k, 4 * k, 8 * k)) {
           var recallSum = 0.0
           for (qid <- queryIds) {
-            val q = emb.filter(col("vec_id") === qid)
-              .head().getSeq[Float](1).map(_.toDouble).toSeq
-            val exact = Similarity.bruteForceTopK(emb, "vec_id",
-                "embedding", q, k)
+            val approx = pq.search(emb, "vec_id", "embedding",
+                queryVecs(qid), k, rerank)
               .select("vec_id").collect().map(_.getLong(0)).toSet
-            val approx = pq.search(emb, "vec_id", "embedding", q, k, rerank)
-              .select("vec_id").collect().map(_.getLong(0)).toSet
-            recallSum += (exact & approx).size.toDouble / k
+            recallSum += (exactFull(qid) & approx).size.toDouble / k
           }
           println(f"[recallcheck] $sf pq8x$codewords%d k=$k rerank=$rerank " +
             f"queries=${queryIds.size} recall@$k=${recallSum / queryIds.size}%.4f")
@@ -80,20 +88,16 @@ object RecallCheck {
         var recallSum = 0.0
         var ceilSum = 0.0
         for (qid <- queryIds) {
-          val q = emb.filter(col("vec_id") === qid)
-            .head().getSeq[Float](1).map(_.toDouble).toSeq
-          val exact = Similarity.bruteForceTopK(emb, "vec_id",
-              "embedding", q, k)
+          val approx = comp.search("vec_id", "embedding", queryVecs(qid),
+              k, rerank, nprobe)
             .select("vec_id").collect().map(_.getLong(0)).toSet
-          val approx = comp.search("vec_id", "embedding", q, k, rerank,
-              nprobe)
-            .select("vec_id").collect().map(_.getLong(0)).toSet
-          recallSum += (exact & approx).size.toDouble / k
+          recallSum += (exactFull(qid) & approx).size.toDouble / k
           // float probe at the same nprobe = the coarse-quantizer
           // ceiling; composite recall below it is the PQ loss
-          val ceil = ivf.search("vec_id", "embedding", q, k, nprobe)
+          val ceil = ivf.search("vec_id", "embedding", queryVecs(qid),
+              k, nprobe)
             .select("vec_id").collect().map(_.getLong(0)).toSet
-          ceilSum += (exact & ceil).size.toDouble / k
+          ceilSum += (exactFull(qid) & ceil).size.toDouble / k
         }
         println(f"[recallcheck] $sf ivfpq8x64 k=$k nprobe=$nprobe " +
           f"rerank=$rerank queries=${queryIds.size} " +

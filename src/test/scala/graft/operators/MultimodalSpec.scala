@@ -116,6 +116,17 @@ class MultimodalSpec extends SparkSpec {
     assert(again.count() == 2)
   }
 
+  test("sampleFrames drops zero-frame media instead of crashing") {
+    // a WAV with an empty data chunk is valid and decodes to n_frames=0;
+    // sequence(0, -1, stride) would throw without the explicit guard
+    val d = Seq(
+      Multimodal.DecodedMeta(1L, "wav", 0, 0, 0, 8000, 1),
+      Multimodal.DecodedMeta(2L, "bmp", 4, 4, 1, 0, 0)).toDS()
+    val out = Multimodal.sampleFrames(d, stride = 2)
+      .select("media_id").as[Long].collect().toSeq
+    assert(out == Seq(2L))
+  }
+
   test("resized clamps image rows to bounding box, skips audio") {
     val out = Multimodal.resized(Multimodal.decodeBatched(media), maxSide = 8)
       .as[(Long, Int, Int)].collect()
