@@ -86,6 +86,24 @@ class IvfIndexSpec extends SparkSpec {
       k = 5, rerank = 60, nprobe = 1).as[(Long, Double)].collect().toSeq == fl)
   }
 
+  test("append invalidates the quantized sibling; re-ensure sees appended rows") {
+    val base = Files.createTempDirectory("graft_ivf_sq_inv").toString
+    val idx = new IvfIndex(spark, base)
+    val old = emb.filter($"vec_id" =!= 1L)
+    idx.build(old, "vec_id", "embedding", k = 2, iters = 4)
+    idx.ensureSq("vec_id", "embedding")
+    // row 1 (deep in cluster 0) arrives after the sibling was built
+    idx.append(emb.filter($"vec_id" === 1L), "vec_id", "embedding")
+    // stale sibling would silently never surface row 1 as a candidate;
+    // append must have dropped it so ensureSq rebuilds over ALL rows
+    idx.ensureSq("vec_id", "embedding")
+    val query = Seq(10.0, 0.2, 0.0, 0.0)
+    val ids = idx.searchQuantized("vec_id", "embedding", query,
+        k = 30, rerank = 60, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids.contains(1L), s"appended row missing from quantized probe: $ids")
+  }
+
   test("drift flags cells whose current mean moved off the stored centroid") {
     val base = Files.createTempDirectory("graft_ivf_drift").toString
     val idx = new IvfIndex(spark, base)
