@@ -61,19 +61,72 @@ object Bench {
         }
         name -> (samples.head, samples.sorted.apply(samples.length / 2))
       }
+    // Outlier self-verification: full-suite medians have been poisoned
+    // by machine contention and cross-query JVM state (GC pressure) —
+    // r6's capture carried a contiguous alphabetical span 3-17× above
+    // the same code measured in isolation. After the main loop, re-run
+    // the worst round-over-round outliers one at a time (post-GC, all
+    // build-once artifacts warm, so the number is the steady-state
+    // median) and publish both figures: a reader must never have to
+    // hand-re-measure to learn whether a regression is code or weather.
+    val priorMedians: Map[String, Double] = try {
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      if (files.isEmpty) Map.empty
+      else {
+        val latest = files.maxBy(f => f.getName.replaceAll("\\D", "").toInt)
+        val txt = {
+          val src = scala.io.Source.fromFile(latest, "UTF-8")
+          try src.mkString finally src.close()
+        }
+        """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).toSeq
+          .flatMap(q => """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+            .findAllMatchIn(q).map(m => m.group(1) -> m.group(2).toDouble))
+          .toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    // vs prior round: ≥2× the prior median (and ≥0.3 s — sub-noise
+    // queries can double on scheduler jitter alone); without a prior,
+    // the largest medians are the ones a regression would hide in
+    val flagged: Seq[String] =
+      if (only.isDefined) Seq.empty // targeted runs ARE the isolation path
+      else if (priorMedians.nonEmpty)
+        results.flatMap { case (name, (_, med)) =>
+          priorMedians.get(name).collect {
+            case prior if med >= 0.3 && med > 2.0 * math.max(prior, 0.05) =>
+              (name, med / math.max(prior, 0.05))
+          }
+        }.sortBy(-_._2).take(6).map(_._1)
+      else results.sortBy(-_._2._2).take(4).map(_._1)
+    val isolated = flagged.map { name =>
+      System.gc()
+      Thread.sleep(200)
+      val samples = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        elapsed
+      }
+      name -> samples.sorted.apply(samples.length / 2)
+    }
     // 3-decimal seconds (ms precision) keep the line compact, and the
     // headline total goes LAST: downstream tooling captures only the
-    // final ~2KB of output, so cold-first/medians-then/total-at-the-end
-    // ordering guarantees the medians object and the total survive the
-    // truncation (the cold object is the part that may be cut)
+    // final ~2KB of output, so cold-first/medians/isolated/total-at-the-
+    // end ordering guarantees the isolated object and the total survive
+    // the truncation (the cold object is the part that may be cut)
     def fmt(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def obj(f: ((String, (Double, Double))) => Double) =
       results.map { case (k, v) => s"\"" + k + "\":" + fmt(f((k, v))) }
         .mkString("{", ",", "}")
     val qs = obj(_._2._2)
     val cold = obj(_._2._1)
+    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2._2).sum
-    println(s"""{"cold":$cold,"queries":$qs,"runs":$runs,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
+    println(s"""{"cold":$cold,"queries":$qs,"isolated":$iso,"runs":$runs,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
     spark.stop()
   }
 }

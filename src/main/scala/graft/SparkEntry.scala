@@ -1182,38 +1182,52 @@ object SparkEntry {
     emb.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0).map(_.toDouble)
 
+  /** IVF gate config — baked into the artifact path so a parameter or
+    * training-semantics change can never read a stale index. */
+  private val IvfK = 8; private val IvfIters = 3; private val IvfTrain = 65536
+
   /** On-disk home of the IVF index for an sf dir — deterministic per dir
     * (and across JVMs: String.hashCode is specified), so the oracle SQL
     * can read the same artifacts the engine probes. */
   def ivfBasePath(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-      java.lang.Long.toHexString(java.util.Objects.hash(dir).toLong & 0xffffffffL)
+      java.lang.Long.toHexString(java.util.Objects.hash(dir).toLong & 0xffffffffL) +
+      s"_k${IvfK}i${IvfIters}t$IvfTrain"
 
-  /** Build (or reuse, within one JVM run) the IVF index for an sf dir.
-    * Lives under java.io.tmpdir keyed by the dir name; rebuilt once per
-    * process so the two ivf queries share one build. */
+  /** Build (or reuse) the IVF index for an sf dir. Build-once across
+    * JVMs: the epoch file is written last, so its presence certifies a
+    * complete index (and keeps the epoch stable for derived artifacts —
+    * an unconditional rebuild would stamp a fresh token every process
+    * and read every sibling as stale). */
   private val ivfBuilt = scala.collection.concurrent.TrieMap.empty[String, operators.IvfIndex]
   private def ivfIndexFor(s: SparkSession, dir: String,
                           emb: DataFrame): operators.IvfIndex =
     ivfBuilt.getOrElseUpdate(dir, {
       val idx = new operators.IvfIndex(s, ivfBasePath(dir))
-      idx.build(emb, "vec_id", "embedding", k = 8, iters = 3)
+      if (idx.epoch().isEmpty)
+        idx.build(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters,
+          trainSample = IvfTrain)
       idx
     })
 
   /** PQ gate config: 8 subspaces × 64 codewords over the 64-dim corpus
     * (8-byte codes, 32× compression). 64 codewords doubles measured
-    * recall vs 16 on this corpus at the same code size (RecallCheck). */
-  private val PqM = 8; private val PqK = 64
+    * recall vs 16 on this corpus at the same code size (RecallCheck).
+    * The flat PQ gate exercises the OPQ-lite rotation (PCA + balanced
+    * eigenvalue allocation); the IVFPQ gate quantizes RESIDUALS, whose
+    * cluster structure the coarse quantizer already absorbed. */
+  private val PqM = 8; private val PqK = 64; private val PqTrain = 65536
+  private val PqSubDim = 64 / PqM // the corpus is dim-64
 
   /** On-disk home of the sf dir's PQ index — parameter-keyed, so a
-    * config change can never read a stale artifact. Public: Verify
-    * resolves `__GRAFT_PQ__` with it. */
+    * config or training-semantics change can never read a stale
+    * artifact. Public: Verify resolves `__GRAFT_PQ__` with it. */
   def pqBasePath(dir: String): String =
-    s"${artifactBase(dir)}/pq_m${PqM}_k$PqK"
+    s"${artifactBase(dir)}/pq_m${PqM}_k${PqK}_t${PqTrain}_opq"
 
   /** Build (or reuse) the PQ index. On-disk `_SUCCESS` short-circuits
-    * rebuilds across JVMs. */
+    * rebuilds across JVMs (codes are written last, so it implies the
+    * rotation + codebook artifacts too). */
   private val pqBuilt = scala.collection.concurrent.TrieMap.empty[String, operators.PqIndex]
   private def pqIndexFor(s: SparkSession, dir: String,
                          emb: DataFrame): operators.PqIndex =
@@ -1222,14 +1236,15 @@ object SparkEntry {
       val done = new org.apache.hadoop.fs.Path(
         s"${pqBasePath(dir)}/pq_codes/_SUCCESS")
       if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
-        idx.build(emb, "vec_id", "embedding", m = PqM, k = PqK, iters = 3)
+        idx.build(emb, "vec_id", "embedding", m = PqM, k = PqK, iters = 3,
+          trainSample = PqTrain, rotate = true)
       idx
     })
 
   /** On-disk home of the sf dir's IVFPQ residual codes — parameter-keyed
     * like the PQ path. Public: Verify resolves `__GRAFT_IVFPQ__`. */
   def ivfpqBasePath(dir: String): String =
-    s"${artifactBase(dir)}/ivfpq_m${PqM}_k$PqK"
+    s"${artifactBase(dir)}/ivfpq_m${PqM}_k${PqK}_t$PqTrain"
 
   private val ivfpqBuilt = scala.collection.concurrent.TrieMap.empty[String, operators.IvfPq]
   private def ivfPqFor(s: SparkSession, dir: String,
@@ -1237,10 +1252,12 @@ object SparkEntry {
     ivfpqBuilt.getOrElseUpdate(dir, {
       val comp = new operators.IvfPq(s, ivfIndexFor(s, dir, emb),
         ivfpqBasePath(dir))
-      val done = new org.apache.hadoop.fs.Path(
-        s"${ivfpqBasePath(dir)}/pq_codes/_SUCCESS")
-      if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
-        comp.build("vec_id", "embedding", m = PqM, k = PqK, iters = 3)
+      // epoch-checked build-once: stale codes (parent rebuilt/appended
+      // out-of-band) self-heal with a rebuild instead of serving a
+      // silently-shrunken candidate set
+      if (!comp.isFresh())
+        comp.build("vec_id", "embedding", m = PqM, k = PqK, iters = 3,
+          trainSample = PqTrain)
       comp
     })
 
@@ -2364,21 +2381,33 @@ object SparkEntry {
 
     "x_sim_ivf_probe" -> ivfProbeOracleSql,
 
-    // ADC replay from the stored artifacts: LUT = query-subvector ·
-    // codeword (rounded 6dp), approx = sum of the row's m table hits
-    // (re-rounded 6dp), candidate cut, exact re-rank. subDim = 8 is the
-    // gate's dim-64 / m-8 split.
+    // ADC replay from the stored artifacts: the query is rotated via the
+    // stored 1e6-scaled OPQ matrix in EXACT integer arithmetic (products
+    // ≤1e12, 64-term sums ≪2^53 — no engine can perturb an integer sum),
+    // then LUT = rotated-query-subvector · codeword (rounded 6dp),
+    // approx = sum of the row's m table hits (re-rounded 6dp), candidate
+    // cut, exact re-rank on ORIGINAL vectors. subDim interpolated from
+    // the gate's PqM so a config change cannot silently misalign the
+    // LUT join.
     "x_sim_pq" ->
-      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+      s"""WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
                            generate_subscripts(embedding, 1) AS i
                     FROM embeddings WHERE vec_id = 0),
+             rot AS (SELECT i, generate_subscripts(r, 1) AS j,
+                            unnest(r) AS v
+                     FROM read_parquet('__GRAFT_PQ__/pq_rotation/*.parquet')),
+             rq AS (SELECT rot.i AS i,
+                           CAST(sum(rot.v *
+                             CAST(round(q.qx * 1000000) AS BIGINT)) AS DOUBLE)
+                             / 1000000000000.0 AS qx
+                    FROM rot JOIN q ON rot.j = q.i GROUP BY 1),
              cb AS (SELECT subspace, code,
                            generate_subscripts(centroid, 1) AS p,
                            CAST(unnest(centroid) AS DOUBLE) AS c
                     FROM read_parquet('__GRAFT_PQ__/pq_codebook/*.parquet')),
              lut AS (SELECT cb.subspace, cb.code,
-                            round(sum(cb.c * q.qx), 6) AS v
-                     FROM cb JOIN q ON q.i = cb.subspace * 8 + cb.p
+                            round(sum(cb.c * rq.qx), 6) AS v
+                     FROM cb JOIN rq ON rq.i = cb.subspace * $PqSubDim + cb.p
                      GROUP BY 1, 2),
              codes AS (SELECT id, generate_subscripts(codes, 1) AS j1,
                               CAST(unnest(codes) AS INT) AS code
@@ -2412,7 +2441,7 @@ object SparkEntry {
     // codes partition — possible after an IVF rebuild — drop on BOTH
     // sides identically)
     "x_sim_ivfpq" ->
-      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+      s"""WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
                            generate_subscripts(embedding, 1) AS i
                     FROM embeddings WHERE vec_id = 0),
          c AS (SELECT cell, CAST(unnest(centroid) AS DOUBLE) AS cx,
@@ -2430,7 +2459,7 @@ object SparkEntry {
                 FROM read_parquet('__GRAFT_IVFPQ__/pq_codebook/*.parquet')),
          lut AS (SELECT cb.subspace, cb.code,
                         round(sum(cb.c2 * q.qx), 6) AS v
-                 FROM cb JOIN q ON q.i = cb.subspace * 8 + cb.p
+                 FROM cb JOIN q ON q.i = cb.subspace * $PqSubDim + cb.p
                  GROUP BY 1, 2),
          codes AS (SELECT id, generate_subscripts(codes, 1) AS j1,
                           CAST(unnest(codes) AS INT) AS code
@@ -2460,14 +2489,21 @@ object SparkEntry {
          ORDER BY score DESC, vec_id LIMIT 10""",
 
     // both vectors recomputed from the artifacts: stored centroid from
-    // the centroid table, current mean from the cell rows
+    // the centroid table, current mean from the cell rows. The mean is
+    // an EXACT integer sum of 1e-6-quantized components over the exact
+    // row count — bit-identical to the engine's regardless of either
+    // side's scan/partition order (a float avg() here could flip the
+    // 6-dp cosine on a boundary value)
     "x_sim_ivf_drift" ->
       """WITH cur AS (SELECT CAST(cell AS INTEGER) AS cell,
                              generate_subscripts(embedding, 1) AS i,
                              CAST(unnest(embedding) AS DOUBLE) AS x
                       FROM read_parquet('__GRAFT_IVF__/ivf_cells/*/*.parquet',
                                         hive_partitioning = 1)),
-              cm AS (SELECT cell, i, avg(x) AS m FROM cur GROUP BY 1, 2),
+              cm AS (SELECT cell, i,
+                            CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+                              / (count(*) * 1000000.0) AS m
+                     FROM cur GROUP BY 1, 2),
               st AS (SELECT cell, generate_subscripts(centroid, 1) AS i,
                             CAST(unnest(centroid) AS DOUBLE) AS c
                      FROM read_parquet('__GRAFT_IVF__/ivf_centroids/*.parquet'))

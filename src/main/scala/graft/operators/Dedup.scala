@@ -550,34 +550,67 @@ object Dedup {
 
   /** SimHash near-dup pairs end-to-end: signatures + [[simhashPairsFromSignatures]]. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int): DataFrame = {
-    // one 8-byte signature per doc — persist so the two self-join sides
-    // don't each re-run the token-vote aggregation
-    val sig = simhashAgg(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    chunkBlockPairs(sig, maxDist)
-  }
+                   maxDist: Int): DataFrame =
+    // chunkBlockPairs checkpoints the signatures eagerly, so the
+    // self-join sides never re-run the token-vote aggregation
+    chunkBlockPairs(simhashAgg(docs, idCol, textCol), maxDist)
 
+  /** Chunk-blocked Hamming pairs with a hot-bucket guard: identical
+    * signatures (a boilerplate-heavy corpus concentrates thousands of
+    * docs on ONE signature, hence one (chunk, ckey) bucket — the
+    * self-join there is quadratic in DOCS) are collapsed to one
+    * representative per distinct signature BEFORE the chunk blocking.
+    *
+    *   - intra-signature pairs (Hamming 0, unconditional matches) come
+    *     from one equality self-join on the signature — each pair found
+    *     once, no 4× chunk multiplicity, no distinct;
+    *   - the chunk self-join runs over REPRESENTATIVES only, so a hot
+    *     bucket is quadratic in DISTINCT signatures, not docs;
+    *   - surviving signature pairs (1 ≤ Hamming ≤ maxDist) expand back
+    *     to member pairs with two joins on the signature.
+    *
+    * Output-pair count is inherently pairwise (the contract emits every
+    * near-dup pair); the guard bounds the CANDIDATE work, which is the
+    * part that explodes at 100 TB. */
   private def chunkBlockPairs(sig: DataFrame, maxDist: Int): DataFrame = {
-    val chunked = sig.select(col("_id"), col("_sim"),
+    val frozen = sig.localCheckpoint() // sides of 3 self-joins below
+    val reps = frozen.groupBy(col("_sim")).agg(min(col("_id")).as("_id"))
+      .localCheckpoint()
+
+    val intra = frozen.select(col("_id").as("id_a"), col("_sim"))
+      .join(frozen.select(col("_id").as("id_b"), col("_sim")), "_sim")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        lit(0).cast("int").as("hamming"))
+
+    val chunked = reps.select(col("_sim"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           shiftrightunsigned(col("_sim"), c * 16)
             .bitwiseAND(lit(0xFFFFL)).as("ckey"))): _*)).as("_c"))
-      .select(col("_id"), col("_sim"), col("_c.chunk"), col("_c.ckey"))
-    val l = chunked.select(col("_id").as("id_a"), col("_sim").as("_sima"),
-      col("chunk"), col("ckey"))
-    val r = chunked.select(col("_id").as("id_b"), col("_sim").as("_simb"),
-      col("chunk"), col("ckey"))
-    l.join(r, Seq("chunk", "ckey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .select(col("_sim"), col("_c.chunk"), col("_c.ckey"))
+    val simPairs = chunked
+      .select(col("_sim").as("_sima"), col("chunk"), col("ckey"))
+      .join(chunked.select(col("_sim").as("_simb"), col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"))
+      .filter(col("_sima") < col("_simb"))
+      .select(col("_sima"), col("_simb"),
         bit_count(col("_sima").bitwiseXOR(col("_simb"))).as("hamming"))
       // filter BEFORE distinct: hamming is per-pair constant, so the
       // order is semantically free and the dedup shuffle shrinks by
       // whatever the distance cut rejects
       .filter(col("hamming") <= maxDist)
       .distinct()
+    val cross = simPairs
+      .join(frozen.select(col("_id").as("_ida"), col("_sim").as("_sima")),
+        "_sima")
+      .join(frozen.select(col("_id").as("_idb"), col("_sim").as("_simb")),
+        "_simb")
+      .select(least(col("_ida"), col("_idb")).as("id_a"),
+        greatest(col("_ida"), col("_idb")).as("id_b"),
+        col("hamming"))
+
+    intra.union(cross)
   }
 
   /** Connected components over a near-dup pair graph by iterative

@@ -4,6 +4,40 @@ import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Opaque staleness token for an index and the artifacts derived from
+  * it. `buildToken` is fresh per (re)train — a derived artifact recorded
+  * under a different token was encoded against a different quantizer;
+  * `mods` counts appends since that build — a lower recorded `mods`
+  * means the derived artifact is missing rows. Tokens are random (not a
+  * counter) so deleting and rebuilding the parent can never collide
+  * with a sibling's stale recording. */
+final case class IndexEpoch(buildToken: String, mods: Long)
+
+private[operators] object IndexEpoch {
+  def read(spark: SparkSession, path: String): Option[IndexEpoch] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      txt.split(' ') match {
+        case Array(tok, mods) => Some(IndexEpoch(tok, mods.toLong))
+        case _ => None
+      }
+    }
+  }
+
+  def write(spark: SparkSession, path: String, e: IndexEpoch): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"${e.buildToken} ${e.mods}".getBytes("UTF-8"))
+    finally out.close()
+  }
+}
+
 /** Persistent IVF (inverted-file) ANN index: the build-once / probe-many
   * scale path for similarity search. `Similarity.ivfTopK` derives cells
   * from a pre-existing label; real corpora have no labels, so this
@@ -37,6 +71,13 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
 
   private def cellsPath = s"$basePath/ivf_cells"
   private def centroidsPath = s"$basePath/ivf_centroids"
+  private def epochPath = s"$basePath/ivf_epoch"
+
+  /** Current epoch, or None when no complete index exists. The epoch
+    * file is written LAST in [[build]], so its presence implies the
+    * cells and centroids artifacts are complete — callers can use
+    * `epoch().isDefined` as the build-once guard. */
+  def epoch(): Option[IndexEpoch] = IndexEpoch.read(spark, epochPath)
 
   /** Broadcastable centroid table. |c|² computed driver-side in array
     * order — identical doubles to an executor-side fold, and k tiny
@@ -66,39 +107,34 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
       .select(col("_aid"), col("_best.idx").as("_cell"), col("_av"))
   }
 
-  /** Build the index: k-means the corpus into `k` cells, persist cells
-    * (partitioned by cell) + centroids. */
+  /** Build the index: k-means a bounded deterministic sample into `k`
+    * centroids driver-side ([[KMeans]] — the FAISS shape: train is
+    * single-node over `trainSample` rows, only the assignment/encode
+    * pass touches the full corpus), then assign and persist cells
+    * (partitioned by cell) + centroids. At 100 TB the former
+    * full-corpus distributed Lloyd loop paid 2·iters corpus shuffles
+    * for quantizer training nobody runs at that scale; this pays one
+    * TakeOrdered sample collect plus the single assignment pass. */
   def build(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-            iters: Int = 5): Unit = {
-    // deterministic seeded init: k hash-smallest vectors
-    var cents: Seq[(Int, Seq[Double])] = emb
-      .select(col(vecCol).cast("array<double>").as("v"))
-      .withColumn("_h", xxhash64(col("v")))
-      .orderBy(col("_h")).limit(k)
-      .select("v").collect()
-      .map(_.getSeq[Double](0).toSeq).zipWithIndex.map(_.swap).toSeq
-
-    for (_ <- 1 to iters) {
-      // two shuffles per Lloyd round (argmin by id, means by cell/dim);
-      // the (cell, dim) means are k×dim rows — collect them directly and
-      // assemble the centroid arrays driver-side instead of paying a
-      // third shuffle for the array_sort/collect_list regroup
-      val means = assignments(emb, idCol, vecCol, cents)
-        .select(col("_cell"), posexplode(col("_av")).as(Seq("_pos", "_x")))
-        .groupBy(col("_cell"), col("_pos")).agg(avg(col("_x")).as("_m"))
-        .collect()
-      val byIdx = means.groupBy(_.getInt(0)).map { case (cell, rows) =>
-        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-      }
-      // empty cells keep their previous centroid
-      cents = cents.map { case (i, c) => (i, byIdx.getOrElse(i, c)) }
-    }
+            iters: Int = 5, trainSample: Int = 65536): Unit = {
+    val sample = Sampling.exactSample(
+        emb.select(col(idCol), col(vecCol)), idCol, trainSample)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cents: Seq[(Int, Seq[Double])] =
+      KMeans.lloyd(sample, k, iters).zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
 
     writeAssigned(emb, idCol, vecCol, cents, SaveMode.Overwrite)
     import spark.implicits._
     cents.map { case (i, c) => (i, c) }.toDF("cell", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(centroidsPath)
     invalidateSq() // cell contents changed — a stale sibling would serve wrong candidates
+    // fresh token LAST: derived artifacts recorded under the old token
+    // now read as stale, and the file's presence certifies a complete
+    // build (a crash above leaves no epoch — the next build retries)
+    IndexEpoch.write(spark, epochPath,
+      IndexEpoch(java.util.UUID.randomUUID().toString, 0L))
   }
 
   /** Assign every row to its nearest centroid and write to the cell
@@ -140,12 +176,28 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     * corpus distribution drifts from the training sample, and a periodic
     * full `build` re-trains. Touches only the delta's cell partitions. */
   def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
-    val cents = centroids().collect()
+    writeAssigned(emb, idCol, vecCol, storedCentroids(), SaveMode.Append)
+    invalidateSq() // appended rows are not in the sibling yet
+    val e = epoch().getOrElse(
+      throw new IllegalStateException(s"no complete IVF index at $basePath"))
+    IndexEpoch.write(spark, epochPath, e.copy(mods = e.mods + 1))
+  }
+
+  private def storedCentroids(): Seq[(Int, Seq[Double])] =
+    centroids().collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
       .sortBy(_._1)
-    writeAssigned(emb, idCol, vecCol, cents, SaveMode.Append)
-    invalidateSq() // appended rows are not in the sibling yet
-  }
+
+  /** Frozen-quantizer assignment of arbitrary rows against the STORED
+    * centroids — the same argmin [[append]] uses, exposed so derived
+    * artifacts ([[IvfPq.append]]) can encode a delta into the exact
+    * cells the parent filed it under. Output: (`idCol`, cell, vector as
+    * array&lt;double&gt;). */
+  private[operators] def assignStored(emb: DataFrame, idCol: String,
+                                      vecCol: String): DataFrame =
+    assignments(emb, idCol, vecCol, storedCentroids())
+      .select(col("_aid").as(idCol), col("_cell").as("cell"),
+        col("_av").as("_vec"))
 
   /** Compact fragmented cell partitions after appends — the IVF analog
     * of [[LshIndex.compact]] (see there for the lineage-truncation and
@@ -221,15 +273,19 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     val done = new org.apache.hadoop.fs.Path(sqCellsPath, "_SUCCESS")
     if (!done.getFileSystem(conf).exists(done)) {
       val maxAbs = Similarity.sqMaxAbs(cells(), vecCol)
+      // meta BEFORE cells: the build-once guard is the cells _SUCCESS,
+      // so the last-written artifact must be the guarded one — the
+      // reverse order left a crash window where the guard passed but
+      // searchQuantized threw forever on the missing meta file
+      import spark.implicits._
+      Seq(maxAbs).toDF("max_abs").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(sqMetaPath)
       cells()
         .select(col(idCol), col("cell"),
           Similarity.sqQuantize(col(vecCol), maxAbs)
             .cast("array<tinyint>").as("q"))
         .write.mode(SaveMode.Overwrite).partitionBy("cell")
         .parquet(sqCellsPath)
-      import spark.implicits._
-      Seq(maxAbs).toDF("max_abs").coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(sqMetaPath)
     }
   }
 
@@ -239,16 +295,41 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     * assign to training-time centroids ([[append]]), so cell quality
     * decays exactly as the corpus distribution drifts — when a cell's
     * drift cosine drops below a threshold, rebuild. One aggregate over
-    * the cells (per-(cell, dim) means, map-side combinable) joined to
-    * the k-row centroid table; output is k rows. */
+    * the cells (per-(cell, dim) integer sums, map-side combinable),
+    * driver-side cosine against the k stored centroids; output is k
+    * rows. */
   def drift(vecCol: String, minCosine: Double = 0.99): DataFrame = {
-    val current = Similarity.centroids(cells(), "cell", vecCol)
-      .withColumnRenamed("centroid", "_cur")
-    centroids().join(current, "cell")
+    // Per-(cell, dim) means from EXACT integer sums of 1e-6-quantized
+    // components: integer addition is order-independent, so the means
+    // are bit-identical in any engine and on any partitioning — a live
+    // float avg() here made the 6-dp cosine (and the retrain flag) hang
+    // on partition-order ULP noise. k×dim rows collect driver-side
+    // (control-plane sized, like build's centroids) and the cosine is
+    // assembled in deterministic array order.
+    val mRows = cells()
       .select(col("cell"),
-        VectorFunctions.cosineRounded(col("centroid"), col("_cur"))
-          .as("drift_cosine"))
-      .withColumn("retrain", col("drift_cosine") < minCosine)
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("_i", "_x")))
+      .groupBy(col("cell"), col("_i"))
+      .agg(sum(round(col("_x") * 1e6).cast("long")).as("_s"),
+        count(lit(1)).as("_n"))
+      .collect()
+    val current: Map[Int, Array[Double]] =
+      mRows.groupBy(_.getInt(0)).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1))
+          .map(r => r.getLong(2).toDouble / (r.getLong(3) * 1e6)).toArray
+      }
+    val rows = storedCentroids().flatMap { case (cell, stored) =>
+      current.get(cell).map { cur =>
+        val dot = stored.iterator.zip(cur.iterator).map { case (a, b) => a * b }.sum
+        val n1 = math.sqrt(stored.map(x => x * x).sum)
+        val n2 = math.sqrt(cur.map(x => x * x).sum)
+        val cos = BigDecimal(dot / (n1 * n2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (cell, cos, cos < minCosine)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("cell", "drift_cosine", "retrain")
   }
 
   /** Quantized probe (IVF × SQ8): cell pruning as in [[search]], then

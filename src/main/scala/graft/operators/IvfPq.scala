@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF × PQ with residual encoding — the FAISS IVFPQ composition.
@@ -13,13 +13,17 @@ import org.apache.spark.sql.functions._
   * so the same codebook budget buys more precision — the reason FAISS
   * encodes residuals rather than vectors.
   *
-  * STALENESS CONTRACT: the codes are tied to the parent index's cell
-  * assignments at build time. After `ivf.build()` or `ivf.append()`,
-  * call [[build]] again — the parent cannot invalidate this sibling
-  * (it does not know about it), and probing fresh cells with stale
-  * codes silently drops the changed rows from the candidate set. The
-  * gate path is parameter-keyed and Bench wipes artifacts, so the
-  * driver flow rebuilds naturally; long-lived callers own the rebuild.
+  * STALENESS is checked, not documented away: [[build]] and [[append]]
+  * record the parent's [[IndexEpoch]] next to the codes, and [[search]]
+  * refuses to run when the parent's current epoch differs — probing
+  * fresh cells with stale codes would silently drop the changed rows
+  * from the candidate set (the same hazard class the parent's SQ
+  * sibling closes with auto-invalidation; the parent cannot delete this
+  * sibling because it does not know about it, so the sibling carries
+  * the check). After `ivf.append(delta)`, call [[append]] with the same
+  * delta (frozen codebooks — the FAISS `add` analog); after
+  * `ivf.build()`, only a full [[build]] is valid (new quantizer ⟹ new
+  * residual distribution).
   *
   * Search (inner-product form): IP(q, y) = IP(q, c_cell) + IP(q, r), so
   * within a probed cell the per-cell term is constant and candidates
@@ -30,30 +34,82 @@ import org.apache.spark.sql.functions._
 final class IvfPq(spark: SparkSession, ivf: IvfIndex, pqBase: String) {
 
   private val pq = new PqIndex(spark, pqBase)
+  private def epochRecordPath = s"$pqBase/ivfpq_parent_epoch"
 
   def codes(): DataFrame = pq.codes()
   def codebook(): DataFrame = pq.codebook()
 
-  /** Train the residual codebooks and encode the indexed corpus. */
-  def build(idCol: String, vecCol: String,
-            m: Int = 8, k: Int = 64, iters: Int = 3): Unit = {
+  private def parentEpoch(): IndexEpoch = ivf.epoch().getOrElse(
+    throw new IllegalStateException(
+      "parent IVF index has no epoch — build it before the IVFPQ sibling"))
+
+  private def recordParentEpoch(): Unit =
+    IndexEpoch.write(spark, epochRecordPath, parentEpoch())
+
+  /** True when the codes exist and were encoded against the parent's
+    * CURRENT epoch — the caller-facing build-once guard (the epoch
+    * record is written last, so its match implies complete artifacts). */
+  def isFresh(): Boolean =
+    IndexEpoch.read(spark, epochRecordPath).exists(r => ivf.epoch().contains(r))
+
+  private def residuals(assigned: DataFrame, idCol: String,
+                        vecCol: String): DataFrame = {
     val cents = ivf.centroids().withColumnRenamed("centroid", "_cent")
-    val resid = ivf.cells().join(broadcast(cents), "cell")
+    assigned.join(broadcast(cents), "cell")
       .select(col(idCol), col("cell"),
         zip_with(col(vecCol).cast("array<double>"), col("_cent"),
           (a, b) => a - b).as("residual"))
-    pq.build(resid, idCol, "residual", m, k, iters,
-      partitionBy = Some("cell"))
+  }
+
+  /** Train the residual codebooks and encode the indexed corpus. */
+  def build(idCol: String, vecCol: String,
+            m: Int = 8, k: Int = 64, iters: Int = 3,
+            trainSample: Int = 65536, rotate: Boolean = false): Unit = {
+    val epochAtStart = parentEpoch()
+    pq.build(residuals(ivf.cells(), idCol, vecCol), idCol, "residual",
+      m, k, iters, partitionBy = Some("cell"),
+      trainSample = trainSample, rotate = rotate)
+    IndexEpoch.write(spark, epochRecordPath, epochAtStart)
+  }
+
+  /** Residual-encode ONLY the delta against the frozen codebooks into
+    * its cell partitions (the FAISS `add` analog) and advance the
+    * recorded epoch. Valid only while the parent's build token is
+    * unchanged (appends, not retrains); call AFTER `ivf.append(delta)`
+    * with the same rows. */
+  def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
+    val parent = parentEpoch()
+    val recorded = IndexEpoch.read(spark, epochRecordPath).getOrElse(
+      throw new IllegalStateException(
+        s"no IVFPQ codes at $pqBase — run build, not append"))
+    if (recorded.buildToken != parent.buildToken)
+      throw new IllegalStateException(
+        "parent IVF index was re-trained since these codes were built — " +
+          "the residual codebooks quantize a different distribution; run " +
+          "IvfPq.build, not append")
+    val assigned = ivf.assignStored(emb, idCol, vecCol)
+      .withColumnRenamed("_vec", "_av")
+    pq.encode(residuals(assigned, idCol, "_av"), idCol, "residual",
+      partitionBy = Some("cell"), mode = SaveMode.Append)
+    IndexEpoch.write(spark, epochRecordPath, parent)
   }
 
   /** Probe: coarse cell choice as in [[IvfIndex.search]]; ADC over the
     * probed cells' codes (LUT from the ORIGINAL query against the
     * residual codebooks, plus the per-cell IP(q, centroid) constant so
     * multi-cell probes rank on one scale); exact re-rank of the top
-    * `rerank` rows. */
+    * `rerank` rows. Refuses loudly on a stale epoch — silent candidate
+    * loss is the one failure mode an ANN index must not have. */
   def search(idCol: String, vecCol: String, query: Seq[Double],
              k: Int, rerank: Int, nprobe: Int = 1): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val recorded = IndexEpoch.read(spark, epochRecordPath)
+    val parent = ivf.epoch()
+    if (recorded.isEmpty || recorded != parent)
+      throw new IllegalStateException(
+        s"stale IVFPQ codes at $pqBase: parent epoch $parent, codes " +
+          s"recorded $recorded — rebuild (IvfPq.build) or encode the " +
+          "parent's delta (IvfPq.append)")
     val q = array(query.map(lit): _*)
     val best = ivf.probeCells(q, nprobe)
     // per-cell constant IP(q, centroid), 6-dp like every ADC term

@@ -8,132 +8,202 @@ import org.apache.spark.sql.functions._
   * compressed to one code per subspace, searched with asymmetric
   * distance computation (ADC).
   *
-  * Build: split each `dim` vector into `m` subvectors of dim/m; run an
-  * independent Lloyd k-means (k codewords, same broadcast-argmin device
-  * as [[IvfIndex]]) in every subspace; store
+  * Build: train `m` independent codebooks (k codewords each) with
+  * driver-side Lloyd k-means over a bounded deterministic sample
+  * ([[KMeans]] — training never scans the corpus; only the encode pass
+  * does), optionally preceded by an OPQ-lite rotation ([[Opq]]: PCA +
+  * balanced eigenvalue allocation, applied as one orthonormal column
+  * transform before the subspace split). Store
   *
+  *   `<base>/pq_rotation` — (only when rotated) the dim×dim matrix as
+  *                          1e6-scaled integers: query rotation replays
+  *                          as EXACT fixed-point arithmetic in any
+  *                          engine;
   *   `<base>/pq_codebook` — m·k codeword rows (subspace, code, centroid);
   *   `<base>/pq_codes`    — per corpus row the m-byte code word
   *                          (`array<tinyint>`): dim×4 bytes → m bytes,
   *                          a 32× compression at dim=64/m=8.
   *
-  * Search (ADC): the query is NOT quantized — per subspace, its dot
-  * product against all k codewords forms a lookup table (m·k doubles,
-  * driver-side, rounded to 6 dp so any engine reproduces the entries
-  * from the stored codebook); a row's approximate score is the sum of
-  * its m table hits, a flat codegen'd expression over the codes column.
-  * The scan reads ONLY the m-byte codes; the float column is touched
-  * just for the `rerank` survivors, re-ranked at full precision.
+  * Codes are written LAST: callers' build-once guard is the codes
+  * `_SUCCESS`, whose presence must imply the rotation and codebook
+  * artifacts are complete.
+  *
+  * Search (ADC): the query is NOT quantized — (rotated, then) per
+  * subspace its dot product against all k codewords forms a lookup
+  * table (m·k doubles, driver-side, rounded to 6 dp so any engine
+  * reproduces the entries from the stored artifacts); a row's
+  * approximate score is the sum of its m table hits, a flat codegen'd
+  * expression over the codes column. The scan reads ONLY the m-byte
+  * codes; the float column is touched just for the `rerank` survivors,
+  * re-ranked at full precision against the ORIGINAL (unrotated)
+  * vectors — an orthonormal rotation preserves inner products, so
+  * candidates selected in rotated space re-rank on the true scores.
   *
   * The codebook is trained data, so determinism of SEARCH never depends
-  * on k-means internals: the oracle replays ADC + re-rank from the
-  * stored artifacts exactly as probes do.
+  * on k-means internals: the oracle replays rotation + ADC + re-rank
+  * from the stored artifacts exactly as probes do.
   */
 final class PqIndex(spark: SparkSession, basePath: String) {
 
   private def codebookPath = s"$basePath/pq_codebook"
   private def codesPath = s"$basePath/pq_codes"
-
-  private def subvec(vec: Column, j: Int, subDim: Int): Column =
-    slice(vec.cast("array<double>"), j * subDim + 1, subDim)
-
-  /** Argmin-assignment of one subspace against its codeword table —
-    * same broadcast + min(struct) device as [[IvfIndex.assignments]]
-    * (dist² = |c|² − 2·x·c up to the row-constant |x|²). */
-  private def assignCodes(sub: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    import spark.implicits._
-    val cdf = cents.map { case (i, c) => (i, c, c.map(x => x * x).sum) }
-      .toDF("_code", "_cvec", "_cn2")
-    sub.crossJoin(broadcast(cdf))
-      .select(col("_aid"), col("_sv"),
-        struct(
-          (col("_cn2") - VectorFunctions.dot(col("_sv"), col("_cvec")) * 2)
-            .as("dist"),
-          col("_code").as("idx")).as("_s"))
-      .groupBy(col("_aid"))
-      .agg(min(col("_s")).as("_best"), first(col("_sv")).as("_sv"))
-      .select(col("_aid"), col("_best.idx").as("_code"), col("_sv"))
-  }
+  private def rotationPath = s"$basePath/pq_rotation"
 
   /** Train the m codebooks and encode the corpus. `partitionBy` writes
     * the codes table partitioned by an input column (e.g. an IVF cell
-    * id) so a pruned probe reads only its partition's codes. */
+    * id) so a pruned probe reads only its partition's codes.
+    * `trainSample` bounds the rows collected for training (FAISS
+    * trains on a sample for the same reason — m·iters full-corpus
+    * passes are indefensible at scale); `rotate` trains and applies the
+    * OPQ-lite rotation. */
   def build(emb: DataFrame, idCol: String, vecCol: String,
             m: Int = 8, k: Int = 16, iters: Int = 4,
-            partitionBy: Option[String] = None): Unit = {
+            partitionBy: Option[String] = None,
+            trainSample: Int = 65536, rotate: Boolean = false): Unit = {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim ($dim) must divide into m ($m) subspaces")
     // codes are stored as signed bytes: codewords above 127 would wrap
     // negative and corrupt ADC's 1-based LUT indexing silently
     require(k >= 1 && k <= 128, s"codewords per subspace must be in [1,128]: $k")
     val subDim = dim / m
-    val src = emb.select(col(idCol).as("_aid"),
-        col(vecCol).cast("array<double>").as("_v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample = Sampling.exactSample(
+        emb.select(col(idCol), col(vecCol)), idCol, trainSample)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
 
-    val perSubspace = (0 until m).map { j =>
-      val sub = src.select(col("_aid"), subvec(col("_v"), j, subDim).as("_sv"))
-      // deterministic seeded init: k hash-smallest subvectors
-      var cents: Seq[(Int, Seq[Double])] = sub
-        .withColumn("_h", xxhash64(col("_sv")))
-        .orderBy(col("_h")).limit(k)
-        .select("_sv").collect()
-        .map(_.getSeq[Double](0).toSeq).zipWithIndex.map(_.swap).toSeq
-      for (_ <- 1 to iters) {
-        val means = assignCodes(sub, cents)
-          .select(col("_code"), posexplode(col("_sv")).as(Seq("_pos", "_x")))
-          .groupBy(col("_code"), col("_pos")).agg(avg(col("_x")).as("_m"))
-          .collect()
-        val byIdx = means.groupBy(_.getInt(0)).map { case (code, rows) =>
-          code -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
-        cents = cents.map { case (i, c) => (i, byIdx.getOrElse(i, c)) }
-      }
-      val codes = assignCodes(sub, cents)
-        .select(col("_aid"), lit(j).as("_j"), col("_code"))
-      (cents, codes)
+    // rotation artifact first (the encode pass reads it back), codebook
+    // second, codes last — see the ordering contract in the class doc
+    val rotOpt = if (rotate) Some(Opq.trainRotation(sample, m)) else None
+    import spark.implicits._
+    rotOpt match {
+      case Some(rot) =>
+        rot.zipWithIndex.toSeq.map { case (row, i) => (i + 1, row.toSeq) }
+          .toDF("i", "r")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(rotationPath)
+      case None =>
+        // a previous rotated build at this path must not leak its matrix
+        // into this unrotated one
+        val p = new org.apache.hadoop.fs.Path(rotationPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
     }
 
-    import spark.implicits._
-    perSubspace.zipWithIndex.flatMap { case ((cents, _), j) =>
-      cents.map { case (code, c) => (j, code, c) }
+    val trainPts = rotOpt.map(r => sample.map(Opq.apply(r, _))).getOrElse(sample)
+    val codebooks: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { j =>
+      KMeans.lloyd(trainPts.map(_.slice(j * subDim, (j + 1) * subDim)), k, iters)
+        .zipWithIndex.map { case (c, code) => (code, c.toSeq) }.toSeq
+    }
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map { case (code, c) => (j, code, c) }
     }.toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(codebookPath)
 
-    // one m-byte code word per row, subspace-ordered
-    val codeWords = perSubspace.map(_._2).reduce(_ union _)
+    encodeWith(emb, idCol, vecCol, codebooks, partitionBy, SaveMode.Overwrite)
+  }
+
+  /** Encode rows against the STORED codebooks — no training, the FAISS
+    * `add` analog. Appends by default: the incremental path encodes
+    * ONLY the delta (a rebuilt-from-scratch codes table re-encodes the
+    * whole corpus for rows whose codes cannot have changed). The caller
+    * owns id-disjointness with the existing codes. */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             partitionBy: Option[String] = None,
+             mode: SaveMode = SaveMode.Append): Unit =
+    encodeWith(emb, idCol, vecCol, storedCodebooks(), partitionBy, mode)
+
+  private def storedCodebooks(): Seq[Seq[(Int, Seq[Double])]] =
+    codebook().collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(t => (t._2, t._3)).toSeq)
+
+  /** Stored rotation, if this index was built with `rotate = true`. */
+  private def loadRotation(): Option[Array[Array[Long]]] = {
+    val p = new org.apache.hadoop.fs.Path(rotationPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(rotationPath).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).map(_._2))
+  }
+
+  /** The stored rotation as a column transform (identity when none):
+    * per output dim, a deterministic sequential fold over the row —
+    * only the build/encode pass pays this; probes rotate the QUERY
+    * driver-side and read codes only. */
+  private def rotated(vec: Column): Column = loadRotation() match {
+    case None => vec
+    case Some(rot) =>
+      val rlit = array(rot.map(row =>
+        array(row.map(v => lit(v / 1e6)): _*)): _*)
+      transform(rlit, row =>
+        aggregate(zip_with(row, vec, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))
+  }
+
+  /** One distributed encode pass: explode the (rotated) vector into its
+    * m subvectors, argmin each against the BROADCAST codeword table
+    * (dist² = |c|² − 2·x·c up to the row-constant |x|²; min(struct)
+    * ties break to the lower code), regroup to the m-byte code word.
+    * Two k-bounded aggregations, zero codebook literals in the plan —
+    * the literal-inlining formulation was a driver planning bomb at
+    * realistic k. */
+  private def encodeWith(emb: DataFrame, idCol: String, vecCol: String,
+                         codebooks: Seq[Seq[(Int, Seq[Double])]],
+                         partitionBy: Option[String],
+                         mode: SaveMode): Unit = {
+    import spark.implicits._
+    val m = codebooks.length
+    val subDim = codebooks.head.head._2.length
+    val cdf = codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map { case (code, cw) => (j, code, cw, cw.map(x => x * x).sum) }
+    }.toDF("_j", "_code", "_cvec", "_cn2")
+    val pb = partitionBy.toSeq
+    val sub = emb.select(
+        (col(idCol).as("_aid") +: pb.map(col)) :+
+          rotated(col(vecCol).cast("array<double>")).as("_rv"): _*)
+      .select(
+        (col("_aid") +: pb.map(col)) :+
+          posexplode(array((0 until m).map(j =>
+            slice(col("_rv"), j * subDim + 1, subDim)): _*))
+            .as(Seq("_j", "_sv")): _*)
+    val perSub = sub.join(broadcast(cdf), "_j")
+      .select(
+        (col("_aid") +: col("_j") +: pb.map(col)) :+
+          struct(
+            (col("_cn2") - VectorFunctions.dot(col("_sv"), col("_cvec")) * 2)
+              .as("dist"),
+            col("_code").as("idx")).as("_s"): _*)
+      .groupBy(col("_aid"), col("_j"))
+      .agg(min(col("_s")).as("_best"),
+        pb.map(c => first(col(c)).as(c)): _*)
+    val codeWords = perSub
       .groupBy(col("_aid"))
       .agg(transform(
-        array_sort(collect_list(struct(col("_j"), col("_code")))),
-        s => s.getField("_code").cast("byte")).as("codes"))
+          array_sort(collect_list(struct(col("_j"),
+            col("_best.idx").as("_code")))),
+          s => s.getField("_code").cast("byte")).as("codes"),
+        pb.map(c => first(col(c)).as(c)): _*)
+      .select((col("_aid").as("id") +: col("codes") +: pb.map(col)): _*)
     partitionBy match {
-      case Some(p) =>
-        codeWords
-          .join(emb.select(col(idCol).as("_aid"), col(p)), "_aid")
-          .select(col("_aid").as("id"), col("codes"), col(p))
-          .write.mode(SaveMode.Overwrite).partitionBy(p).parquet(codesPath)
-      case None =>
-        codeWords.select(col("_aid").as("id"), col("codes"))
-          .write.mode(SaveMode.Overwrite).parquet(codesPath)
+      case Some(p) => codeWords.write.mode(mode).partitionBy(p).parquet(codesPath)
+      case None => codeWords.write.mode(mode).parquet(codesPath)
     }
-    src.unpersist()
   }
 
   def codebook(): DataFrame = spark.read.parquet(codebookPath)
   def codes(): DataFrame = spark.read.parquet(codesPath)
 
-  /** ADC search: approximate score from the codes column and the
-    * driver-built lookup table; exact cosine re-rank of the top
-    * `rerank` rows against the float corpus. `emb` must be the corpus
-    * the index was built over (the codes table carries no vectors —
-    * that is the point). */
   /** ADC approximate-score column for `query` over a `codes` column,
-    * from the stored codebook. LUT: per (subspace, code) the
-    * query-subvector · codeword dot, rounded to 6 dp so the
-    * stored-codebook replay is engine-portable; the ADC total is
-    * re-rounded to 6 dp — it is mathematically a sum of 6-dp multiples,
-    * so rounding erases float addition-order noise and any engine
-    * summing the same table hits ranks candidates identically. */
+    * from the stored artifacts. The query is first rotated if this
+    * index stores a rotation — exact fixed-point arithmetic
+    * ([[Opq.apply]]), so any engine derives the identical rotated
+    * query. LUT: per (subspace, code) the query-subvector · codeword
+    * dot, rounded to 6 dp so the stored-codebook replay is
+    * engine-portable; the ADC total is re-rounded to 6 dp — it is
+    * mathematically a sum of 6-dp multiples, so rounding erases float
+    * addition-order noise and any engine summing the same table hits
+    * ranks candidates identically. */
   def adcScore(query: Seq[Double]): Column = {
     val cb = codebook().collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
@@ -145,10 +215,14 @@ final class PqIndex(spark: SparkSession, basePath: String) {
       s"query dim ${query.length} does not match the indexed dim " +
         s"${m * storedSubDim} ($m subspaces x $storedSubDim) — a mismatched " +
         "query would silently misalign every LUT slice")
-    val subDim = query.length / m
+    val q = loadRotation() match {
+      case Some(rot) => Opq.apply(rot, query.toArray).toSeq
+      case None => query
+    }
+    val subDim = q.length / m
     val lut: Array[Array[Double]] = Array.tabulate(m, nCodes) { (j, c) =>
       val cw = cb((j, c))
-      val qs = query.slice(j * subDim, (j + 1) * subDim)
+      val qs = q.slice(j * subDim, (j + 1) * subDim)
       BigDecimal(qs.zip(cw).map { case (a, b) => a * b }.sum)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
@@ -158,6 +232,11 @@ final class PqIndex(spark: SparkSession, basePath: String) {
     }.reduce(_ + _), 6)
   }
 
+  /** ADC search: approximate score from the codes column and the
+    * driver-built lookup table; exact cosine re-rank of the top
+    * `rerank` rows against the float corpus. `emb` must be the corpus
+    * the index was built over (the codes table carries no vectors —
+    * that is the point). */
   def search(emb: DataFrame, idCol: String, vecCol: String,
              query: Seq[Double], k: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")

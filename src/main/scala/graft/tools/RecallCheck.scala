@@ -59,10 +59,16 @@ object RecallCheck {
       // much ranking signal survives the quantization. The query row
       // stays in the corpus on BOTH sides (it holds one of the k slots
       // identically), so recall compares like with like.
-      for (codewords <- args.lift(2).map(s => Seq(s.toInt)).getOrElse(Seq(16, 64))) {
+      for (codewords <- args.lift(2).map(s => Seq(s.toInt)).getOrElse(Seq(16, 64));
+           rotate <- Seq(false, true)) {
+        // rotate=true: OPQ-lite (PCA + balanced eigenvalue allocation)
+        // before the subspace split — the measured answer to "does the
+        // rotation buy recall on THIS corpus at equal rerank"
         val pq = new PqIndex(spark,
           java.nio.file.Files.createTempDirectory(s"recall_pq").toString)
-        pq.build(emb, "vec_id", "embedding", m = 8, k = codewords, iters = 3)
+        pq.build(emb, "vec_id", "embedding", m = 8, k = codewords, iters = 3,
+          rotate = rotate)
+        val tag = if (rotate) "opq" else ""
         for (rerank <- Seq(2 * k, 4 * k, 8 * k)) {
           var recallSum = 0.0
           for (qid <- queryIds) {
@@ -71,7 +77,7 @@ object RecallCheck {
               .select("vec_id").collect().map(_.getLong(0)).toSet
             recallSum += (exactFull(qid) & approx).size.toDouble / k
           }
-          println(f"[recallcheck] $sf pq8x$codewords%d k=$k rerank=$rerank " +
+          println(f"[recallcheck] $sf pq8x$codewords%d$tag k=$k rerank=$rerank " +
             f"queries=${queryIds.size} recall@$k=${recallSum / queryIds.size}%.4f")
         }
       }

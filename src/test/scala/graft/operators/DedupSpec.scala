@@ -202,6 +202,46 @@ class DedupSpec extends SparkSpec {
     assert(pairs.getOrElse((1L, 2L), 99) <= 10) // near-dup should be close
   }
 
+  test("simhash hot bucket: identical signatures collapse before chunk blocking") {
+    // a boilerplate-heavy corpus: hundreds of docs share ONE signature,
+    // which concentrates one (chunk, ckey) bucket — blocking at doc
+    // granularity would make that bucket's self-join (and the distinct
+    // over its 4× chunk multiplicity) quadratic in docs
+    val n = 300
+    val boiler = (1L to n.toLong)
+      .map(i => (i, "the same boilerplate footer text on every page"))
+    val extra = Seq(
+      (901L, "completely different document about rivers and gardens"),
+      (902L, "completely different document about rivers and gardenz"))
+    val corpus = (boiler ++ extra).toDF("doc_id", "text")
+    // reference: brute-force all-pairs Hamming over the signatures
+    val sigs = Dedup.withSimhash(corpus, "text", "sim")
+      .select($"doc_id", $"sim").as[(Long, Long)].collect()
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(expected.size >= n * (n - 1) / 2) // the hot group is real
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3)
+      val got = out.as[(Long, Long, Int)].collect()
+      assert(got.length == got.toSet.size, "duplicate pairs emitted")
+      assert(got.toSet == expected)
+      // candidate work must be bounded by DISTINCT signatures, not docs:
+      // the doc-granular formulation shuffled >4·(n choose 2) pair rows
+      // through its distinct — two orders of magnitude over this bound
+      val shuffled = out.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          s.metrics.get("shuffleRecordsWritten")
+            .orElse(s.metrics.get("numOutputRows")).map(_.value).getOrElse(0L)
+      }.sum
+      assert(shuffled < n.toLong * (n - 1) / 10,
+        s"shuffled $shuffled rows — hot bucket not collapsed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("simhashTable artifact serves the identical pair set as the direct path") {
     val base = java.nio.file.Files.createTempDirectory("graft-simhash").toString
     val direct = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 10)

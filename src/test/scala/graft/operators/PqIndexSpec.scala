@@ -57,6 +57,103 @@ class PqIndexSpec extends SparkSpec {
     assert(codeDirs == 2)
   }
 
+  test("encode appends delta codes identical to a full re-encode (frozen codebooks)") {
+    val base = Files.createTempDirectory("graft_pq_enc").toString
+    val idx = new PqIndex(spark, base)
+    idx.build(emb.filter($"vec_id" <= 30), "vec_id", "embedding",
+      m = 2, k = 4, iters = 3)
+    idx.encode(emb.filter($"vec_id" > 30), "vec_id", "embedding")
+    val appended = idx.codes().as[(Long, Seq[Byte])].collect().toMap
+    assert(appended.size == 60)
+    // reference: re-encode the whole corpus against the SAME stored
+    // codebooks — append-encoded rows must carry the identical codes
+    idx.encode(emb, "vec_id", "embedding",
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    assert(idx.codes().as[(Long, Seq[Byte])].collect().toMap == appended)
+  }
+
+  test("OPQ rotation: artifact written; full-rerank search still equals brute force") {
+    val base = Files.createTempDirectory("graft_pq_opq").toString
+    val idx = new PqIndex(spark, base)
+    idx.build(emb, "vec_id", "embedding", m = 2, k = 4, iters = 3,
+      rotate = true)
+    assert(new java.io.File(s"$base/pq_rotation").exists())
+    val query = Seq(10.0, 0.2, 0.0, 0.0)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 5)
+      .as[(Long, Double)].collect().toSeq
+    // the rotation reshapes CANDIDATE space only — with rerank covering
+    // the corpus the exact re-rank (original vectors) decides everything
+    val full = idx.search(emb, "vec_id", "embedding", query, k = 5, rerank = 60)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == brute)
+    // deterministic across evaluations (rotation replays from artifact)
+    val narrow = idx.search(emb, "vec_id", "embedding", query, k = 5, rerank = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(narrow == idx.search(emb, "vec_id", "embedding", query,
+      k = 5, rerank = 10).as[(Long, Double)].collect().toSeq)
+    // an unrotated rebuild at the same path must drop the matrix
+    idx.build(emb, "vec_id", "embedding", m = 2, k = 4, iters = 3)
+    assert(!new java.io.File(s"$base/pq_rotation").exists())
+  }
+
+  test("IVFPQ staleness: parent append → search refuses; IvfPq.append heals to the rebuild answer") {
+    val ivf = new IvfIndex(spark,
+      Files.createTempDirectory("graft_ivfpq_st_ivf").toString)
+    val old = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+    ivf.build(old, "vec_id", "embedding", k = 2, iters = 4)
+    val pqBase = Files.createTempDirectory("graft_ivfpq_st").toString
+    val comp = new IvfPq(spark, ivf, pqBase)
+    comp.build("vec_id", "embedding", m = 2, k = 4, iters = 3)
+    assert(comp.isFresh())
+    ivf.append(delta, "vec_id", "embedding")
+    // stale codes would silently drop the appended rows from candidates
+    assert(!comp.isFresh())
+    intercept[IllegalStateException] {
+      comp.search("vec_id", "embedding", Seq(10.0, 0.2, 0.0, 0.0),
+        k = 5, rerank = 60)
+    }
+    comp.append(delta, "vec_id", "embedding")
+    assert(comp.isFresh())
+    val query = Seq(10.0, 0.2, 0.0, 0.0)
+    val healed = comp.search("vec_id", "embedding", query,
+      k = 5, rerank = 60, nprobe = 2).as[(Long, Double)].collect().toSeq
+    // reference: a from-scratch sibling over the SAME parent
+    val rebuilt = new IvfPq(spark, ivf,
+      Files.createTempDirectory("graft_ivfpq_st2").toString)
+    rebuilt.build("vec_id", "embedding", m = 2, k = 4, iters = 3)
+    val fromScratch = rebuilt.search("vec_id", "embedding", query,
+      k = 5, rerank = 60, nprobe = 2).as[(Long, Double)].collect().toSeq
+    assert(healed == fromScratch)
+    // every delta row is encoded (reachable as a candidate) exactly once
+    val codeIds = comp.codes().select("id").as[Long].collect().toSeq
+    assert(codeIds.length == 60 && codeIds.distinct.length == 60)
+    assert(delta.select("vec_id").as[Long].collect().toSet
+      .subsetOf(codeIds.toSet))
+  }
+
+  test("IVFPQ staleness: parent re-train → append refuses (codebooks quantize a dead distribution)") {
+    val ivf = new IvfIndex(spark,
+      Files.createTempDirectory("graft_ivfpq_rt_ivf").toString)
+    ivf.build(emb, "vec_id", "embedding", k = 2, iters = 4)
+    val comp = new IvfPq(spark, ivf,
+      Files.createTempDirectory("graft_ivfpq_rt").toString)
+    comp.build("vec_id", "embedding", m = 2, k = 4, iters = 3)
+    ivf.build(emb, "vec_id", "embedding", k = 2, iters = 4) // re-train
+    assert(!comp.isFresh())
+    intercept[IllegalStateException] {
+      comp.append(emb.limit(1), "vec_id", "embedding")
+    }
+    intercept[IllegalStateException] {
+      comp.search("vec_id", "embedding", Seq(10.0, 0.2, 0.0, 0.0),
+        k = 5, rerank = 60)
+    }
+    comp.build("vec_id", "embedding", m = 2, k = 4, iters = 3)
+    assert(comp.isFresh())
+    assert(comp.search("vec_id", "embedding", Seq(10.0, 0.2, 0.0, 0.0),
+      k = 5, rerank = 60).count() == 5)
+  }
+
   test("ADC search with full rerank equals brute force; narrow rerank is deterministic") {
     val base = Files.createTempDirectory("graft_pq2").toString
     val idx = new PqIndex(spark, base)
