@@ -79,11 +79,17 @@ object Bench {
           val src = scala.io.Source.fromFile(latest, "UTF-8")
           try src.mkString finally src.close()
         }
-        """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
-          .map(_.group(1)).toSeq
-          .flatMap(q => """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
-            .findAllMatchIn(q).map(m => m.group(1) -> m.group(2).toDouble))
-          .toMap
+        // the driver wraps the bench line inside a JSON "tail" string
+        // (escaped quotes) and may truncate it mid-object — even the
+        // "queries" label can be cut. Parse every name:number pair and
+        // keep the LAST occurrence per name: the line orders cold →
+        // medians → isolated, so later is always the better reference.
+        val meta = Set("n", "rc", "cpus", "sf", "runs", "value")
+        """\\?"([A-Za-z0-9_]+)\\?"\s*:\s*([0-9.eE+-]+)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .foldLeft(Map.empty[String, Double])(_ + _)
+          .filterNot { case (k, _) => meta.contains(k) }
       }
     } catch { case _: Throwable => Map.empty }
     // vs prior round: ≥2× the prior median (and ≥0.3 s — sub-noise

@@ -863,6 +863,19 @@ object SparkEntry {
             .as("zval"))
         .orderBy(col("doc_id"))),
 
+    "x_layout_hilbert" -> ((s, dir) =>
+      // Hilbert-curve clustering key — better locality than Morton
+      // (every curve step is a plane step, no seam jumps), computed by
+      // one native codegen expression: the per-bit state recurrence
+      // would grow 3^bits expression nodes if composed from built-ins.
+      // Pure integer arithmetic: the oracle replays the identical
+      // per-level walk as an unrolled CTE chain.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Layout.hilbertValue(col("doc_id"), col("n_chars"), bits = 16)
+            .as("hval"))
+        .orderBy(col("doc_id"))),
+
     // ── LLM-pipeline extensions: text analysis ──────────────────────
     "x_text_stats" -> ((s, dir) => {
       val sw = Seq("the", "and", "of", "a")
@@ -2243,6 +2256,34 @@ object SparkEntry {
       }
       s"""SELECT doc_id, ${terms.mkString(" + ")} AS zval
           FROM documents ORDER BY doc_id"""
+    },
+
+    // the HilbertValue per-level walk unrolled as a CTE chain — one CTE
+    // per bit level, top level first; each level reads the PREVIOUS
+    // level's (hx, hy, hd), exactly the loop body of the codegen
+    // expression (all integer shifts/CASEs — engine-exact)
+    "x_layout_hilbert" -> {
+      val bits = 16
+      val n = 1L << bits
+      val levels = (bits - 1 to 0 by -1).zipWithIndex.map { case (b, i) =>
+        s"""h${i + 1} AS (SELECT doc_id,
+              CASE WHEN ((hy >> $b) & 1) = 0 THEN
+                CASE WHEN ((hx >> $b) & 1) = 1 THEN ${n - 1} - hy ELSE hy END
+              ELSE hx END AS hx,
+              CASE WHEN ((hy >> $b) & 1) = 0 THEN
+                CASE WHEN ((hx >> $b) & 1) = 1 THEN ${n - 1} - hx ELSE hx END
+              ELSE hy END AS hy,
+              hd + ${(1L << b) * (1L << b)} *
+                xor(3 * ((hx >> $b) & 1), (hy >> $b) & 1) AS hd
+            FROM h$i)"""
+      }
+      s"""WITH h0 AS (SELECT doc_id,
+                             CAST(doc_id AS BIGINT) & ${n - 1} AS hx,
+                             CAST(n_chars AS BIGINT) & ${n - 1} AS hy,
+                             CAST(0 AS BIGINT) AS hd
+                      FROM documents),
+          ${levels.mkString(",\n          ")}
+          SELECT doc_id, hd AS hval FROM h$bits ORDER BY doc_id"""
     },
 
     "x_text_vocab" ->

@@ -46,6 +46,21 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Hilbert-curve index of two integer columns — the better-locality
+    * alternative to [[zValue]]: every unit step along the curve is a
+    * unit step in the plane (Morton has seam jumps), so files covering
+    * contiguous curve ranges get tighter (x, y) envelopes. The per-bit
+    * state recurrence lives in one native codegen expression
+    * ([[graft.functions.HilbertValue]]) because composing it from
+    * built-in columns triples the expression tree per level under
+    * CollapseProject — 3^bits nodes, a driver planning bomb. Same WRAP
+    * contract as `zValue` for values wider than `bits`. */
+  def hilbertValue(x: Column, y: Column, bits: Int = 16): Column = {
+    import org.apache.spark.sql.GraftBridge.{column => c, expression => e}
+    c(graft.functions.HilbertValue(
+      e(x.cast("long")), e(y.cast("long")), bits))
+  }
+
   /** Write `df` as parquet clustered on the Morton curve of (`xCol`,
     * `yCol`): range-partition on the z-value into `numFiles` output
     * partitions, sort within each, drop the helper column. Range
@@ -53,9 +68,19 @@ object Layout {
     * along the curve — each file owns a contiguous z-range, i.e. a
     * small tile of the (x, y) plane. */
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
-                    numFiles: Int, bits: Int = 16): Unit = {
+                    numFiles: Int, bits: Int = 16): Unit =
+    writeCurveClustered(df, path, zValue(col(xCol), col(yCol), bits), numFiles)
+
+  /** [[writeZOrdered]] with the Hilbert key. */
+  def writeHilbert(df: DataFrame, path: String, xCol: String, yCol: String,
+                   numFiles: Int, bits: Int = 16): Unit =
+    writeCurveClustered(df, path, hilbertValue(col(xCol), col(yCol), bits),
+      numFiles)
+
+  private def writeCurveClustered(df: DataFrame, path: String, key: Column,
+                                  numFiles: Int): Unit = {
     require(numFiles >= 1, s"numFiles must be positive: $numFiles")
-    df.withColumn("_z", zValue(col(xCol), col(yCol), bits))
+    df.withColumn("_z", key)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")

@@ -65,6 +65,43 @@ class LayoutSpec extends SparkSpec {
       grid.as[(Long, Long)].collect().toSet)
   }
 
+  test("hilbertValue is a bijective unit-step curve matching the reference") {
+    // enumerate the full 16x16 grid: the column output must equal the
+    // driver reference, cover [0, 256) exactly once, and consecutive
+    // curve positions must be Manhattan-adjacent (the locality property
+    // Morton lacks — its quadrant seams jump across the plane)
+    val grid = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y))
+      .toDF("x", "y")
+    val got = grid
+      .select($"x", $"y", Layout.hilbertValue($"x", $"y", 4).as("h"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, h) =>
+      assert(h == graft.functions.HilbertValue.xy2d(4, x, y))
+    }
+    val byD = got.map { case (x, y, h) => h -> (x, y) }.toMap
+    assert(byD.keySet == (0L until 256L).toSet)
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps between d=$d and ${d + 1}")
+    }
+  }
+
+  test("hilbert layout prunes a y-only predicate at least as well as z-order") {
+    val grid = (for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y))
+      .toDF("x", "y")
+    val hPath = s"$tmpDir/layout_h"
+    Layout.writeHilbert(grid, hPath, "x", "y", numFiles = 16, bits = 6)
+    val hEnv = Layout.fileEnvelopes(spark, hPath, "x", "y")
+    assert(hEnv.count() == 16)
+    val hRead = Layout.filesIntersectingBox(hEnv, 0L, 63L, 0L, 7L)
+    assert(hRead <= 8, s"hilbert layout should skip most files, read $hRead")
+    val hBox = Layout.filesIntersectingBox(hEnv, 0L, 15L, 0L, 15L)
+    assert(hBox <= 4, s"hilbert 1/16 box should touch few files, read $hBox")
+    assert(spark.read.parquet(hPath).as[(Long, Long)].collect().toSet ==
+      grid.as[(Long, Long)].collect().toSet)
+  }
+
   test("zValue rejects out-of-range bit widths") {
     intercept[IllegalArgumentException] {
       Layout.zValue($"x", $"y", 0)
