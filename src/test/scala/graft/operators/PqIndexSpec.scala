@@ -96,6 +96,44 @@ class PqIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$base/pq_rotation").exists())
   }
 
+  test("OPQ rotation improves recall on an anisotropic corpus at equal rerank") {
+    // OPQ's benefit term is spectrum imbalance: here ALL the distance
+    // signal lives in dims 0-3 — exactly one subspace at m=4 — so plain
+    // PQ spends 3 of 4 codebooks on noise while the signal subspace gets
+    // k codewords for a 4-d structure. Eigenvalue allocation spreads the
+    // high-variance principal directions one per subspace. (On the
+    // isotropic synthetic gate corpus the rotation is measured neutral —
+    // RecallCheck/SCALE.md — because there is nothing to rebalance;
+    // this corpus is the regime the rotation exists for.)
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val aniso = (1 to 400).map { i =>
+      (i.toLong, Array.tabulate(dim)(j =>
+        (rnd.nextFloat() - 0.5f) * (if (j < 4) 10f else 0.3f)))
+    }.toDF("vec_id", "embedding")
+    def recall(rotate: Boolean): Double = {
+      val idx = new PqIndex(spark,
+        Files.createTempDirectory("graft_pq_aniso").toString)
+      idx.build(aniso, "vec_id", "embedding", m = 4, k = 8, iters = 6,
+        rotate = rotate)
+      val qids = 1L to 10L
+      qids.map { qid =>
+        val q = aniso.filter($"vec_id" === qid)
+          .head().getSeq[Float](1).map(_.toDouble)
+        val exact = Similarity.bruteForceTopK(aniso, "vec_id", "embedding",
+            q, 10).select("vec_id").as[Long].collect().toSet
+        val approx = idx.search(aniso, "vec_id", "embedding", q,
+            k = 10, rerank = 40)
+          .select("vec_id").as[Long].collect().toSet
+        (exact & approx).size / 10.0
+      }.sum / qids.size
+    }
+    val plain = recall(rotate = false)
+    val rotated = recall(rotate = true)
+    assert(rotated > plain + 0.03,
+      f"rotated recall $rotated%.3f should beat plain $plain%.3f")
+  }
+
   test("IVFPQ staleness: parent append → search refuses; IvfPq.append heals to the rebuild answer") {
     val ivf = new IvfIndex(spark,
       Files.createTempDirectory("graft_ivfpq_st_ivf").toString)
