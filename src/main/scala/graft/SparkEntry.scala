@@ -643,6 +643,40 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    "x_stream_neardup" -> ((s, dir) => {
+      // REAL streaming execution, hash-checked: the documents corpus
+      // replays as a file stream with a deterministic event time
+      // (doc_id minutes past a fixed epoch — the oracle re-derives it),
+      // nearDupPairsStream runs as an actual watermarked stream-stream
+      // self-join under Trigger.AvailableNow (join state is
+      // rate×horizon, the 100 TB-stream shape), and the sink table is
+      // compared pair-for-pair against the signature artifact. The
+      // operator's at-least-once contract (one emission per shared
+      // chunk key) is collapsed by the documented downstream distinct.
+      val docs = t(s, dir, "documents")
+      Dedup.simhashTable(docs, "doc_id", "text", artifactBase(dir))
+      // glob, not the bare file path: FileStreamSource requires its
+      // basePath to be a directory, and a glob's base resolves to the
+      // parent dir while still matching only the documents table
+      val st = s.readStream.schema(docs.schema)
+        .parquet(s"$dir/documents.parquet*")
+        .withColumn("ts", expr("timestamp'2024-01-01 00:00:00' + " +
+          "make_interval(0, 0, 0, 0, 0, cast(doc_id as int), 0)"))
+      val sink = s"x_stream_neardup_${streamSinkId.incrementAndGet()}"
+      val q = graft.streaming.EventStreams.nearDupPairsStream(st,
+          "doc_id", "text", "ts", within = "30 minutes", maxDist = 3)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("id_earlier"), col("id_later"), col("hamming"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+        .distinct()
+        .orderBy(col("id_earlier"), col("id_later"))
+    }),
+
     // ── LLM-pipeline extensions: dedup ───────────────────────────────
     "x_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1188,6 +1222,10 @@ object SparkEntry {
             batchSize = 256),
           maxSide = 8)
         .orderBy(col("media_id"))))
+
+  /** Unique memory-sink names for the streaming gate: Bench re-runs a
+    * gate several times per process and memory sinks are per-name. */
+  private val streamSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Deterministic query vector: embedding of vec_id=0 (driver-side point
     * lookup, promoted to double). */
@@ -1888,6 +1926,24 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY event_type
            ORDER BY value DESC, event_id DESC) <= 3
          ORDER BY event_type, value DESC, event_id DESC""",
+
+    // the stream's event time is re-derived (doc_id minutes past the
+    // epoch) and signatures come from the same artifact the engine
+    // wrote; ts is monotone in doc_id, so "earlier" is the smaller id
+    // and the interval condition is an id-distance bound
+    "x_stream_neardup" ->
+      """WITH sig AS (SELECT id, sim
+                      FROM read_parquet('__GRAFT_SIMHASH__/*.parquet')),
+              d AS (SELECT id, sim,
+                           TIMESTAMP '2024-01-01 00:00:00' + to_minutes(id) AS ts
+                    FROM sig)
+         SELECT a.id AS id_earlier, b.id AS id_later,
+                CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming,
+                strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS ts
+         FROM d a JOIN d b
+           ON a.id < b.id AND a.ts >= b.ts - INTERVAL 30 MINUTE
+         WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         ORDER BY id_earlier, id_later""",
 
     "st3_dedup_window" ->
       """SELECT user_id, event_type, event_id FROM events
