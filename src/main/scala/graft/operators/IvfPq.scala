@@ -39,6 +39,10 @@ final class IvfPq(spark: SparkSession, ivf: IvfIndex, pqBase: String) {
   def codes(): DataFrame = pq.codes()
   def codebook(): DataFrame = pq.codebook()
 
+  /** Compact code partitions fragmented by [[append]]s — content- and
+    * epoch-preserving (see [[PqIndex.compact]]). */
+  def compact(maxFiles: Int = 1): Long = pq.compact("cell", maxFiles)
+
   private def parentEpoch(): IndexEpoch = ivf.epoch().getOrElse(
     throw new IllegalStateException(
       "parent IVF index has no epoch — build it before the IVFPQ sibling"))

@@ -194,6 +194,33 @@ final class PqIndex(spark: SparkSession, basePath: String) {
   def codebook(): DataFrame = spark.read.parquet(codebookPath)
   def codes(): DataFrame = spark.read.parquet(codesPath)
 
+  /** Compact code partitions fragmented by [[encode]] appends — the PQ
+    * analog of [[IvfIndex.compact]] (see there for the
+    * lineage-truncation and non-atomicity notes). Only meaningful for a
+    * partitioned codes table (the IVFPQ composition); rewrites only
+    * partitions holding more than `maxFiles` files, content-preserving
+    * (derived-artifact epochs stay valid). Returns how many partitions
+    * were rewritten. */
+  def compact(partitionCol: String = "cell", maxFiles: Int = 1): Long = {
+    val frag = codes()
+      .select(col(partitionCol), input_file_name().as("_f"))
+      .groupBy(col(partitionCol)).agg(countDistinct(col("_f")).as("_nf"))
+      .filter(col("_nf") > maxFiles)
+      .select(col(partitionCol))
+      .localCheckpoint()
+    val n = frag.count()
+    if (n > 0) {
+      val compacted = codes()
+        .join(broadcast(frag), Seq(partitionCol), "left_semi")
+        .repartition(col(partitionCol))
+        .localCheckpoint()
+      compacted.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol).parquet(codesPath)
+    }
+    n
+  }
+
   /** ADC approximate-score column for `query` over a `codes` column,
     * from the stored artifacts. The query is first rotated if this
     * index stores a rotation — exact fixed-point arithmetic

@@ -164,10 +164,28 @@ class PqIndexSpec extends SparkSpec {
       k = 5, rerank = 60, nprobe = 2).as[(Long, Double)].collect().toSeq
     assert(healed == fromScratch)
     // every delta row is encoded (reachable as a candidate) exactly once
-    val codeIds = comp.codes().select("id").as[Long].collect().toSeq
-    assert(codeIds.length == 60 && codeIds.distinct.length == 60)
+    val codeIds = comp.codes().select("id").as[Long].collect().toSet
+    assert(codeIds.size == 60)
     assert(delta.select("vec_id").as[Long].collect().toSet
-      .subsetOf(codeIds.toSet))
+      .subsetOf(codeIds))
+    // append fragmented the code partitions; compact merges them
+    // without touching content, search answer, or epoch freshness
+    def maxFilesPerCell() = comp.codes()
+      .select($"cell", input_file_name().as("f"))
+      .groupBy($"cell").agg(countDistinct($"f").as("n"))
+      .agg(max($"n")).as[Long].head()
+    val contentBefore = comp.codes()
+      .select($"id", $"codes", $"cell").collect().map(_.toString).sorted.toSeq
+    assert(maxFilesPerCell() > 1)
+    assert(comp.compact() > 0)
+    assert(maxFilesPerCell() == 1)
+    assert(comp.codes().select($"id", $"codes", $"cell")
+      .collect().map(_.toString).sorted.toSeq == contentBefore)
+    assert(comp.compact() == 0)
+    assert(comp.isFresh())
+    assert(comp.search("vec_id", "embedding", query,
+      k = 5, rerank = 60, nprobe = 2).as[(Long, Double)].collect().toSeq
+      == healed)
   }
 
   test("IVFPQ staleness: parent re-train → append refuses (codebooks quantize a dead distribution)") {
