@@ -663,12 +663,20 @@ object SparkEntry {
         .withColumn("ts", expr("timestamp'2024-01-01 00:00:00' + " +
           "make_interval(0, 0, 0, 0, 0, cast(doc_id as int), 0)"))
       val sink = s"x_stream_neardup_${streamSinkId.incrementAndGet()}"
-      val q = graft.streaming.EventStreams.nearDupPairsStream(st,
-          "doc_id", "text", "ts", within = "30 minutes", maxDist = 3)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // a stream-stream join runs FOUR state stores per shuffle
+      // partition; their per-microbatch commit IO dwarfs this corpus,
+      // so the streaming query gets a narrow shuffle width (fixed at
+      // query start; restored right after — gates run serially)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        graft.streaming.EventStreams.nearDupPairsStream(st,
+            "doc_id", "text", "ts", within = "30 minutes", maxDist = 3)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       s.table(sink)
         .select(col("id_earlier"), col("id_later"), col("hamming"),

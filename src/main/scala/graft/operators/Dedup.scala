@@ -479,28 +479,20 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the token set: each token votes ±1 per bit of
-    * its xxhash64; simhash bit b = sign of the vote sum. Two-step build
-    * (votes array materialized as a column, then folded) so the vote
-    * aggregate is evaluated once per row, not once per bit. Bit shifts are
-    * statically unrolled — Spark's shift functions take literal bit
-    * counts. Result is a Long whose bit 63 may set the sign — compare
-    * bits, not magnitude. */
+    * its xxhash64; simhash bit b = sign of the vote sum. Result is a
+    * Long whose bit 63 may set the sign — compare bits, not magnitude.
+    *
+    * One native codegen expression per row
+    * ([[graft.functions.SimHash64]]): the former declarative
+    * formulation folded a 64-element vote array through HOFs —
+    * CodegenFallback, with the token hash re-evaluated once per bit
+    * (64 xxhash64 calls per token). Signatures are bit-identical
+    * (spec-asserted against the aggregate artifact path) — this is the
+    * stateless projection the streaming operators apply per event. */
   def withSimhash(docs: DataFrame, textCol: String, outCol: String): DataFrame = {
-    val toks = array_distinct(split(lower(col(textCol)), " ", -1))
-    val votes = aggregate(
-      col("_toks"),
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc,
-        array((0 until 64).map(b =>
-          shiftright(xxhash64(t), b).bitwiseAND(lit(1L))): _*),
-        (a, bit) => a + when(bit === 1, 1).otherwise(-1)))
-    val sim = (0 until 64).map(b =>
-        when(element_at(col("_votes"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, c) => a.bitwiseOR(c))
-    docs.withColumn("_toks", toks)
-      .withColumn("_votes", votes)
-      .withColumn(outCol, sim)
-      .drop("_toks", "_votes")
+    import org.apache.spark.sql.GraftBridge.{column => c, expression => e}
+    docs.withColumn(outCol,
+      c(graft.functions.SimHash64(e(col(textCol)))))
   }
 
   /** SimHash signatures as per-bit vote aggregates over the exploded

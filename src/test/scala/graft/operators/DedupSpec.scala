@@ -185,6 +185,27 @@ class DedupSpec extends SparkSpec {
     assert(servedBanded == scratchBanded)
   }
 
+  test("SimHash64 expression equals the aggregate formulation signature-for-signature") {
+    // the codegen expression (streaming/stateless path) and the
+    // exploded-token vote aggregate (batch artifact path) must agree on
+    // every signature, including tokenizer edge cases: empty text,
+    // repeated/leading/trailing spaces (empty tokens), unicode case
+    val edge = Seq(
+      (900L, ""),
+      (901L, "  a  b "),
+      (902L, "ÅÄÖ strasse STRASSE ß"),
+      (903L, "one"),
+      (904L, "the the THE tHe"))
+      .toDF("doc_id", "text")
+    val corpus = docs.select($"doc_id", $"text").union(edge)
+    val viaExpr = Dedup.withSimhash(corpus, "text", "sim")
+      .select($"doc_id", $"sim").as[(Long, Long)].collect().toMap
+    val viaAgg = Dedup.simhashTable(corpus, "doc_id", "text",
+        java.nio.file.Files.createTempDirectory("graft-simexpr").toString)
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaAgg)
+  }
+
   test("simhash is deterministic and identical for identical text") {
     val sig = Dedup.withSimhash(docs, "text", "sim")
       .select("doc_id", "sim").as[(Long, Long)].collect().toMap
