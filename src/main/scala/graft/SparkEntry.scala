@@ -643,6 +643,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    "x_stream_sessionize" -> ((s, dir) =>
+      // session windows (gap-merged event-time sessions — the same
+      // session_window code path a readStream takes; watermark 0 makes
+      // the batch frame emit every finalized session). The oracle
+      // replays the merge rule as gaps-and-islands SQL: a session
+      // breaks where the gap to the previous event is >= the window
+      // gap, and the window end is last-event + gap.
+      graft.streaming.EventStreams.sessionize(
+          t(s, dir, "events"), "ts", "10 minutes", watermark = "0 seconds")
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"),
+          round(col("total").cast("double"), 6).as("total"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     "x_stream_neardup" -> ((s, dir) => {
       // REAL streaming execution, hash-checked: the documents corpus
       // replays as a file stream with a deterministic event time
@@ -1934,6 +1950,31 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY event_type
            ORDER BY value DESC, event_id DESC) <= 3
          ORDER BY event_type, value DESC, event_id DESC""",
+
+    // gaps-and-islands replay of session_window: a session breaks where
+    // the gap to the previous event is >= the 10-minute window gap
+    // (session ranges [t, t+gap) merge only when they OVERLAP), and the
+    // session end is last-event + gap
+    "x_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events),
+              f AS (SELECT user_id, ts, value,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                                THEN 1 ELSE 0 END AS newsess
+                    FROM e
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              g AS (SELECT *, sum(newsess) OVER (PARTITION BY user_id
+                      ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+                    FROM f)
+         SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts) + INTERVAL 10 MINUTE,
+                  '%Y-%m-%d %H:%M:%S') AS session_end,
+                count(*) AS n_events,
+                round(sum(value), 6) AS total
+         FROM g GROUP BY user_id, sess_id
+         ORDER BY user_id, session_start""",
 
     // the stream's event time is re-derived (doc_id minutes past the
     // epoch) and signatures come from the same artifact the engine
