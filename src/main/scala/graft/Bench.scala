@@ -47,18 +47,27 @@ object Bench {
     // to the SAME query's cold number every round — with unordered Map
     // iteration the cost would silently migrate whenever a query is
     // added, reading as a phantom cold regression
+    // ONE sampling protocol for the suite loop and the isolated re-runs
+    // below — divergence would silently break the code-vs-weather
+    // comparison the isolated object exists for. A throwing query is
+    // recorded by NAME (the "failed" array in the output line): its
+    // time-to-failure would otherwise read as a fast, healthy median.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def sample(name: String, fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // queries persist intermediates (shingle indexes, id tags); drop
+      // them between runs or the accumulated cache thrashes the heap
+      spark.catalog.clearCache()
+      elapsed
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val samples = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          val elapsed = (System.nanoTime() - t0) / 1e9
-          // queries persist intermediates (shingle indexes, id tags); drop
-          // them between runs or the accumulated cache thrashes the heap
-          spark.catalog.clearCache()
-          elapsed
-        }
+        val samples = (1 to runs).map(_ => sample(name, fn))
         name -> (samples.head, samples.sorted.apply(samples.length / 2))
       }
     // Outlier self-verification: full-suite medians have been poisoned
@@ -108,14 +117,7 @@ object Bench {
     val isolated = flagged.map { name =>
       System.gc()
       Thread.sleep(200)
-      val samples = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        elapsed
-      }
+      val samples = (1 to runs).map(_ => sample(name, SparkEntry.queries(name)))
       name -> samples.sorted.apply(samples.length / 2)
     }
     // 3-decimal seconds (ms precision) keep the line compact, and the
@@ -131,8 +133,9 @@ object Bench {
     val cold = obj(_._2._1)
     val iso = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._2).sum
-    println(s"""{"cold":$cold,"queries":$qs,"isolated":$iso,"runs":$runs,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
+    println(s"""{"cold":$cold,"queries":$qs,"isolated":$iso,"failed":$failedArr,"runs":$runs,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
     spark.stop()
   }
 }

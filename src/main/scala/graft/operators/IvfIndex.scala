@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
 final case class IndexEpoch(buildToken: String, mods: Long)
 
 private[operators] object IndexEpoch {
+  /** None on absence AND on any malformed content: a torn file must
+    * read as "no epoch" (parents rebuild, siblings read stale and
+    * rebuild — the safe direction), never as a smaller mods count
+    * (which would certify stale codes as fresh) or an uncaught parse
+    * exception (which would wedge the build-once guard). */
   def read(spark: SparkSession, path: String): Option[IndexEpoch] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -23,18 +28,26 @@ private[operators] object IndexEpoch {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
       txt.split(' ') match {
-        case Array(tok, mods) => Some(IndexEpoch(tok, mods.toLong))
+        case Array(tok, mods) => scala.util.Try(mods.toLong).toOption
+          .map(IndexEpoch(tok, _))
         case _ => None
       }
     }
   }
 
+  /** Write-temp-then-rename so a crash can never leave a torn epoch in
+    * place — the destination either holds the previous complete value,
+    * is briefly absent (reads as stale — safe), or holds the new one. */
   def write(spark: SparkSession, path: String, e: IndexEpoch): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(s"${e.buildToken} ${e.mods}".getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not move epoch into place: $path")
   }
 }
 
@@ -176,10 +189,13 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     * corpus distribution drifts from the training sample, and a periodic
     * full `build` re-trains. Touches only the delta's cell partitions. */
   def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
-    writeAssigned(emb, idCol, vecCol, storedCentroids(), SaveMode.Append)
-    invalidateSq() // appended rows are not in the sibling yet
+    // validate BEFORE mutating: appending into a half-built index (no
+    // epoch — a crashed build) would add rows no epoch accounts for and
+    // wipe the SQ sibling, then throw anyway
     val e = epoch().getOrElse(
       throw new IllegalStateException(s"no complete IVF index at $basePath"))
+    writeAssigned(emb, idCol, vecCol, storedCentroids(), SaveMode.Append)
+    invalidateSq() // appended rows are not in the sibling yet
     IndexEpoch.write(spark, epochPath, e.copy(mods = e.mods + 1))
   }
 
@@ -251,7 +267,14 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
   /** Drop the quantized sibling so the next [[ensureSq]] rebuilds it —
     * called by [[build]] and [[append]]: the sibling mirrors the cell
     * table, and serving stale int8 candidates after the cells changed
-    * would be a silent-wrong-results bug, not a perf bug. */
+    * would be a silent-wrong-results bug, not a perf bug.
+    *
+    * Staleness is two-tier BY DESIGN: artifacts this index OWNS (the SQ
+    * sibling, stored under its own base path) are deleted directly —
+    * the owner knows where they live and deletion is strictly better
+    * than refusal; derived artifacts it CANNOT know about (the IVFPQ
+    * codes live under an arbitrary caller-chosen path) check the
+    * [[IndexEpoch]] stamped here and refuse loudly on mismatch. */
   private def invalidateSq(): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     Seq(sqCellsPath, sqMetaPath).foreach { p =>

@@ -79,8 +79,13 @@ final class IvfPq(spark: SparkSession, ivf: IvfIndex, pqBase: String) {
   /** Residual-encode ONLY the delta against the frozen codebooks into
     * its cell partitions (the FAISS `add` analog) and advance the
     * recorded epoch. Valid only while the parent's build token is
-    * unchanged (appends, not retrains); call AFTER `ivf.append(delta)`
-    * with the same rows. */
+    * unchanged (appends, not retrains) AND exactly one parent append is
+    * outstanding: call AFTER each `ivf.append(delta)` with the same
+    * rows. A larger gap means an earlier parent delta was never encoded
+    * here — stamping the current epoch would forgive the missing rows
+    * forever (silent candidate loss, the exact hazard this class
+    * refuses); a zero gap means the parent append has not happened yet,
+    * and stamping now would double-encode on the inevitable retry. */
   def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
     val parent = parentEpoch()
     val recorded = IndexEpoch.read(spark, epochRecordPath).getOrElse(
@@ -91,6 +96,12 @@ final class IvfPq(spark: SparkSession, ivf: IvfIndex, pqBase: String) {
         "parent IVF index was re-trained since these codes were built — " +
           "the residual codebooks quantize a different distribution; run " +
           "IvfPq.build, not append")
+    if (parent.mods != recorded.mods + 1)
+      throw new IllegalStateException(
+        s"parent IVF index has ${parent.mods} appends but these codes " +
+          s"record ${recorded.mods} — append exactly once after each " +
+          "ivf.append (a wider gap means an earlier delta was never " +
+          "encoded; run IvfPq.build to resynchronize)")
     val assigned = ivf.assignStored(emb, idCol, vecCol)
       .withColumnRenamed("_vec", "_av")
     pq.encode(residuals(assigned, idCol, "_av"), idCol, "residual",

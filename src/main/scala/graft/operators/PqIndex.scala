@@ -71,6 +71,15 @@ final class PqIndex(spark: SparkSession, basePath: String) {
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
 
+    // a REBUILD at an existing path must first drop the old codes: the
+    // write-last ordering below only protects a first build — without
+    // this, a crash between the codebook overwrite and the codes write
+    // leaves OLD codes whose surviving _SUCCESS satisfies callers'
+    // build-once guard against the NEW codebook
+    val codesDir = new org.apache.hadoop.fs.Path(codesPath)
+    val codesFs = codesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (codesFs.exists(codesDir)) codesFs.delete(codesDir, true)
+
     // rotation artifact first (the encode pass reads it back), codebook
     // second, codes last — see the ordering contract in the class doc
     val rotOpt = if (rotate) Some(Opq.trainRotation(sample, m)) else None

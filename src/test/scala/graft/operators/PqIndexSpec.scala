@@ -188,6 +188,36 @@ class PqIndexSpec extends SparkSpec {
       == healed)
   }
 
+  test("IVFPQ staleness: a skipped parent delta makes append refuse (mods gap)") {
+    val ivf = new IvfIndex(spark,
+      Files.createTempDirectory("graft_ivfpq_gap_ivf").toString)
+    val d1 = emb.filter($"vec_id" % 3 === 1)
+    val d2 = emb.filter($"vec_id" % 3 === 2)
+    ivf.build(emb.filter($"vec_id" % 3 === 0), "vec_id", "embedding",
+      k = 2, iters = 4)
+    val comp = new IvfPq(spark, ivf,
+      Files.createTempDirectory("graft_ivfpq_gap").toString)
+    comp.build("vec_id", "embedding", m = 2, k = 4, iters = 3)
+    // two parent appends, then one sibling append with only the second
+    // delta: stamping the current epoch would forgive d1's rows forever
+    ivf.append(d1, "vec_id", "embedding")
+    ivf.append(d2, "vec_id", "embedding")
+    intercept[IllegalStateException] {
+      comp.append(d2, "vec_id", "embedding")
+    }
+    // reversed call order (sibling before parent) is a zero gap — also
+    // refused, or the inevitable retry would double-encode the delta
+    val comp2 = new IvfPq(spark, ivf,
+      Files.createTempDirectory("graft_ivfpq_gap2").toString)
+    comp2.build("vec_id", "embedding", m = 2, k = 4, iters = 3)
+    intercept[IllegalStateException] {
+      comp2.append(d2, "vec_id", "embedding")
+    }
+    // resynchronize via build
+    comp.build("vec_id", "embedding", m = 2, k = 4, iters = 3)
+    assert(comp.isFresh())
+  }
+
   test("IVFPQ staleness: parent re-train → append refuses (codebooks quantize a dead distribution)") {
     val ivf = new IvfIndex(spark,
       Files.createTempDirectory("graft_ivfpq_rt_ivf").toString)
