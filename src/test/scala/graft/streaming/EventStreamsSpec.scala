@@ -115,6 +115,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 0)))
   }
 
+  test("nearDupPairsStream join state is watermark-bounded, not stream-lifetime") {
+    // the 100 TB-stream claim measured, not asserted: as the watermark
+    // passes, buffered join rows from old microbatches must be EVICTED —
+    // state tracks rate×horizon, never stream lifetime
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStreams.nearDupPairsStream(df, "doc_id", "text", "ts",
+        within = "5 minutes", maxDist = 3, watermark = "1 minute")
+      .writeStream.format("memory").queryName("neardup_state")
+      .outputMode("append").start()
+    try {
+      // a wide early batch: 20 docs → 80 chunk rows buffered per side
+      mem.addData((0 until 20).map(i =>
+        (ts(f"2026-01-01 10:$i%02d:00"), i.toLong,
+          s"doc number $i unique body")): _*)
+      q.processAllAvailable()
+      val early = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(early > 0, "join state should hold the early batch")
+      // two tiny batches two hours later: the first advances the
+      // watermark past the early rows, the second triggers eviction
+      mem.addData((ts("2026-01-01 12:00:00"), 100L, "late doc one"))
+      q.processAllAvailable()
+      mem.addData((ts("2026-01-01 12:01:00"), 101L, "late doc two"))
+      q.processAllAvailable()
+      val late = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(late < early,
+        s"state must shrink after the watermark passes: early=$early late=$late")
+      assert(late <= 64, s"state should hold only the tail horizon: $late")
+    } finally q.stop()
+  }
+
   test("enrichLatest joins a stream to the latest dim version, broadcast") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, Double)]
