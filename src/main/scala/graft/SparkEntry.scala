@@ -693,7 +693,13 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
+      // bounded wait: an unbounded await on a wedged stream would hang
+      // the whole gate run — better one failed query than a dead Verify
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_neardup: stream did not drain within 300s")
+      }
       s.table(sink)
         .select(col("id_earlier"), col("id_later"), col("hamming"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))

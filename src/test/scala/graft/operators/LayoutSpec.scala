@@ -87,6 +87,24 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hilbertValue is a scan-stage projection — no exchange, no fallback") {
+    // via parquet: a local relation would be constant-folded into a
+    // LocalTableScan at plan time, hiding the scan-stage shape
+    val src = s"$tmpDir/hilbert_plan_src"
+    (for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y))
+      .toDF("x", "y").write.mode("overwrite").parquet(src)
+    val out = spark.read.parquet(src)
+      .select($"x", Layout.hilbertValue($"x", $"y", 5).as("h"))
+    out.collect()
+    val planTree = out.queryExecution.executedPlan
+    val plan = planTree.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+    // the `*(n)` prefix marks operators fused into a codegen stage
+    assert(planTree.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, s"hilbert key must stay inside codegen:\n$plan")
+  }
+
   test("hilbert layout prunes a y-only predicate at least as well as z-order") {
     val grid = (for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y))
       .toDF("x", "y")
