@@ -1294,9 +1294,11 @@ object SparkEntry {
   /** PQ gate config: 8 subspaces × 64 codewords over the 64-dim corpus
     * (8-byte codes, 32× compression). 64 codewords doubles measured
     * recall vs 16 on this corpus at the same code size (RecallCheck).
-    * The flat PQ gate exercises the OPQ-lite rotation (PCA + balanced
-    * eigenvalue allocation); the IVFPQ gate quantizes RESIDUALS, whose
-    * cluster structure the coarse quantizer already absorbed. */
+    * Both gates run ROTATED (OPQ-lite: PCA + balanced eigenvalue
+    * allocation): the flat PQ gate rotates raw vectors; the IVFPQ gate
+    * rotates RESIDUALS (orthonormal R preserves inner products, so ADC
+    * on R·r against R·q estimates IP(q, r) — the oracle replays the
+    * stored 1e6-scaled matrix in exact integer arithmetic). */
   private val PqM = 8; private val PqK = 64; private val PqTrain = 65536
   private val PqSubDim = 64 / PqM // the corpus is dim-64
 
@@ -1323,9 +1325,11 @@ object SparkEntry {
     })
 
   /** On-disk home of the sf dir's IVFPQ residual codes — parameter-keyed
-    * like the PQ path. Public: Verify resolves `__GRAFT_IVFPQ__`. */
+    * like the PQ path (`_opq`: residuals are rotated before the subspace
+    * split, so the artifacts are incompatible with an unrotated build).
+    * Public: Verify resolves `__GRAFT_IVFPQ__`. */
   def ivfpqBasePath(dir: String): String =
-    s"${artifactBase(dir)}/ivfpq_m${PqM}_k${PqK}_t$PqTrain"
+    s"${artifactBase(dir)}/ivfpq_m${PqM}_k${PqK}_t${PqTrain}_opq"
 
   private val ivfpqBuilt = scala.collection.concurrent.TrieMap.empty[String, operators.IvfPq]
   private def ivfPqFor(s: SparkSession, dir: String,
@@ -1338,7 +1342,7 @@ object SparkEntry {
       // silently-shrunken candidate set
       if (!comp.isFresh())
         comp.build("vec_id", "embedding", m = PqM, k = PqK, iters = 3,
-          trainSample = PqTrain)
+          trainSample = PqTrain, rotate = true)
       comp
     })
 
@@ -2584,14 +2588,16 @@ object SparkEntry {
          SELECT vec_id, score FROM top WHERE vec_id <> 0
          ORDER BY score DESC, vec_id LIMIT 10""",
 
-    // IVFPQ replay: cell choice from the centroid artifact; LUT = the
-    // ORIGINAL query against the RESIDUAL codebooks (IP(q, centroid) is
-    // constant within the one probed cell, so it cannot change the
-    // candidate cut at nprobe=1); candidates from the probed cell's
-    // codes partition; re-rank restricted to the same cells artifact
-    // slice the engine joins (rows whose stored cell differs from the
-    // codes partition — possible after an IVF rebuild — drop on BOTH
-    // sides identically)
+    // IVFPQ replay: cell choice from the centroid artifact; the query is
+    // rotated via the stored 1e6-scaled OPQ matrix (exact integer
+    // arithmetic — the codes quantize ROTATED residuals, and IP(R·q,R·r)
+    // = IP(q,r) for an orthonormal R); LUT = the rotated query against
+    // the RESIDUAL codebooks (IP(q, centroid) is constant within the
+    // one probed cell, so it cannot change the candidate cut at
+    // nprobe=1); candidates from the probed cell's codes partition;
+    // re-rank restricted to the same cells artifact slice the engine
+    // joins (rows whose stored cell differs from the codes partition —
+    // possible after an IVF rebuild — drop on BOTH sides identically)
     "x_sim_ivfpq" ->
       s"""WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
                            generate_subscripts(embedding, 1) AS i
@@ -2605,13 +2611,20 @@ object SparkEntry {
                               (sqrt(sum(c.cx * c.cx)) * sqrt(sum(q.qx * q.qx))), 6) AS cs
                      FROM c JOIN q ON c.i = q.i GROUP BY c.cell)
                    ORDER BY cs DESC, cell LIMIT 1),
+         rot AS (SELECT i, generate_subscripts(r, 1) AS j, unnest(r) AS v
+                 FROM read_parquet('__GRAFT_IVFPQ__/pq_rotation/*.parquet')),
+         rq AS (SELECT rot.i AS i,
+                       CAST(sum(rot.v *
+                         CAST(round(q.qx * 1000000) AS BIGINT)) AS DOUBLE)
+                         / 1000000000000.0 AS qx
+                FROM rot JOIN q ON rot.j = q.i GROUP BY 1),
          cb AS (SELECT subspace, code,
                        generate_subscripts(centroid, 1) AS p,
                        CAST(unnest(centroid) AS DOUBLE) AS c2
                 FROM read_parquet('__GRAFT_IVFPQ__/pq_codebook/*.parquet')),
          lut AS (SELECT cb.subspace, cb.code,
-                        round(sum(cb.c2 * q.qx), 6) AS v
-                 FROM cb JOIN q ON q.i = cb.subspace * $PqSubDim + cb.p
+                        round(sum(cb.c2 * rq.qx), 6) AS v
+                 FROM cb JOIN rq ON rq.i = cb.subspace * $PqSubDim + cb.p
                  GROUP BY 1, 2),
          codes AS (SELECT id, generate_subscripts(codes, 1) AS j1,
                           CAST(unnest(codes) AS INT) AS code

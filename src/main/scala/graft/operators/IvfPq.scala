@@ -65,14 +65,18 @@ final class IvfPq(spark: SparkSession, ivf: IvfIndex, pqBase: String) {
           (a, b) => a - b).as("residual"))
   }
 
-  /** Train the residual codebooks and encode the indexed corpus. */
+  /** Train the residual codebooks and encode the indexed corpus. With
+    * `rotate`, residuals are OPQ-rotated before the subspace split —
+    * orthonormal R preserves inner products, so ADC on R·r against the
+    * rotated query still estimates IP(q, r). */
   def build(idCol: String, vecCol: String,
             m: Int = 8, k: Int = 64, iters: Int = 3,
-            trainSample: Int = 65536, rotate: Boolean = false): Unit = {
+            trainSample: Int = 65536, rotate: Boolean = false,
+            rotSample: Int = 65536): Unit = {
     val epochAtStart = parentEpoch()
     pq.build(residuals(ivf.cells(), idCol, vecCol), idCol, "residual",
       m, k, iters, partitionBy = Some("cell"),
-      trainSample = trainSample, rotate = rotate)
+      trainSample = trainSample, rotate = rotate, rotSample = rotSample)
     IndexEpoch.write(spark, epochRecordPath, epochAtStart)
   }
 

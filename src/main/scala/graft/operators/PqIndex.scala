@@ -55,11 +55,14 @@ final class PqIndex(spark: SparkSession, basePath: String) {
     * `trainSample` bounds the rows collected for training (FAISS
     * trains on a sample for the same reason — m·iters full-corpus
     * passes are indefensible at scale); `rotate` trains and applies the
-    * OPQ-lite rotation. */
+    * OPQ-lite rotation, whose covariance accumulation is capped
+    * separately at `rotSample` rows (a deterministic prefix of the
+    * training sample — O(n·dim²) driver work deserves its own bound). */
   def build(emb: DataFrame, idCol: String, vecCol: String,
             m: Int = 8, k: Int = 16, iters: Int = 4,
             partitionBy: Option[String] = None,
-            trainSample: Int = 65536, rotate: Boolean = false): Unit = {
+            trainSample: Int = 65536, rotate: Boolean = false,
+            rotSample: Int = 65536): Unit = {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim ($dim) must divide into m ($m) subspaces")
     // codes are stored as signed bytes: codewords above 127 would wrap
@@ -81,8 +84,12 @@ final class PqIndex(spark: SparkSession, basePath: String) {
     if (codesFs.exists(codesDir)) codesFs.delete(codesDir, true)
 
     // rotation artifact first (the encode pass reads it back), codebook
-    // second, codes last — see the ordering contract in the class doc
-    val rotOpt = if (rotate) Some(Opq.trainRotation(sample, m)) else None
+    // second, codes last — see the ordering contract in the class doc.
+    // The rotation trains on a PREFIX of the (deterministically ordered)
+    // sample: its driver-side covariance is O(n·dim²), so it gets its
+    // own, typically smaller, cap than the codebooks' Lloyd input
+    val rotOpt =
+      if (rotate) Some(Opq.trainRotation(sample.take(rotSample), m)) else None
     import spark.implicits._
     rotOpt match {
       case Some(rot) =>

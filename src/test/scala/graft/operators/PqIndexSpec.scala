@@ -134,6 +134,60 @@ class PqIndexSpec extends SparkSpec {
       f"rotated recall $rotated%.3f should beat plain $plain%.3f")
   }
 
+  test("rotated IVFPQ: residual rotation preserves the full-rerank answer; append encodes rotated") {
+    val ivf = new IvfIndex(spark,
+      Files.createTempDirectory("graft_ivfpq_rot_ivf").toString)
+    val old = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+    ivf.build(old, "vec_id", "embedding", k = 2, iters = 4)
+    val comp = new IvfPq(spark, ivf,
+      Files.createTempDirectory("graft_ivfpq_rot").toString)
+    comp.build("vec_id", "embedding", m = 2, k = 4, iters = 3,
+      rotate = true)
+    val query = Seq(10.0, 0.2, 0.0, 0.0)
+    // orthonormal R preserves inner products: with rerank covering the
+    // probed cells, the exact re-rank (ORIGINAL vectors) must equal the
+    // float IVF probe exactly — the rotation may only reshape which
+    // candidates ADC surfaces, and here all of them do
+    val fl = ivf.search("vec_id", "embedding", query, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(comp.search("vec_id", "embedding", query, k = 5, rerank = 60,
+      nprobe = 2).as[(Long, Double)].collect().toSeq == fl)
+    // append goes through the same stored rotation: healed answer equals
+    // a from-scratch rotated sibling over the appended parent
+    ivf.append(delta, "vec_id", "embedding")
+    comp.append(delta, "vec_id", "embedding")
+    val rebuilt = new IvfPq(spark, ivf,
+      Files.createTempDirectory("graft_ivfpq_rot2").toString)
+    rebuilt.build("vec_id", "embedding", m = 2, k = 4, iters = 3,
+      rotate = true)
+    assert(comp.search("vec_id", "embedding", query, k = 5, rerank = 60,
+        nprobe = 2).as[(Long, Double)].collect().toSeq ==
+      rebuilt.search("vec_id", "embedding", query, k = 5, rerank = 60,
+        nprobe = 2).as[(Long, Double)].collect().toSeq)
+  }
+
+  test("rotSample caps the rotation's training prefix deterministically") {
+    val query = Seq(10.0, 0.2, 0.0, 0.0)
+    def codesWith(rotSample: Int): Map[Long, Seq[Byte]] = {
+      val idx = new PqIndex(spark,
+        Files.createTempDirectory("graft_pq_rcap").toString)
+      idx.build(emb, "vec_id", "embedding", m = 2, k = 4, iters = 3,
+        rotate = true, rotSample = rotSample)
+      // a capped rotation is still orthonormal: full-rerank search must
+      // stay exact regardless of the cap
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        query, 5).as[(Long, Double)].collect().toSeq
+      assert(idx.search(emb, "vec_id", "embedding", query, k = 5,
+        rerank = 60).as[(Long, Double)].collect().toSeq == brute)
+      idx.codes().as[(Long, Seq[Byte])].collect().toMap
+    }
+    // cap >= sample size is the identity prefix — bit-identical artifacts
+    assert(codesWith(1000) == codesWith(60))
+    // a genuinely smaller prefix still yields complete, valid codes
+    assert(codesWith(20).size == 60)
+  }
+
   test("IVFPQ staleness: parent append → search refuses; IvfPq.append heals to the rebuild answer") {
     val ivf = new IvfIndex(spark,
       Files.createTempDirectory("graft_ivfpq_st_ivf").toString)
