@@ -725,6 +725,16 @@ object SparkEntry {
           n = 3, threshold = 0.12, maxBlock = 1000)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // substring-level dedup (Lee et al. 2022, fixed-width form): maximal
+    // spans whose every 8-token window occurs >= 2 times in the corpus.
+    // portableHash=true keys windows by md5 so the oracle replays them;
+    // the production default is xxhash64 (8-byte shuffle keys) —
+    // DedupSpec proves both produce identical spans.
+    "x_dedup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+          w = 8, portableHash = true)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     // threshold 0.5 = the 16-band × 4-row banding's S-curve midpoint
     // ((1/b)^(1/r)): the regime LSH is designed for. PairCheck at sf0.1
     // measured 2/258 pairs MISSED at a 0.12 threshold (pairs at j=0.125
@@ -2177,6 +2187,37 @@ object SparkEntry {
          JOIN sizes y ON id_b = y.doc_id
          WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.12
          ORDER BY id_a, id_b""",
+
+    // substring spans: identical rolling md5 windows (zipped unnests —
+    // lateral generate_series is not available), occurrence count >= 2,
+    // then the standard gaps-and-islands merge of matched positions.
+    // All positions are 1-based BIGINTs on both engines.
+    "x_dedup_spans" -> {
+      val w = 8
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+              win AS (SELECT doc_id,
+                             unnest(generate_series(1, len(t) - ${w - 1})) AS pos,
+                             unnest(list_transform(
+                               generate_series(1, len(t) - ${w - 1}),
+                               i -> md5(array_to_string(t[i:i+${w - 1}], ' ')))) AS k
+                      FROM tok WHERE len(t) >= $w),
+              dup AS (SELECT k FROM win GROUP BY k HAVING count(*) >= 2),
+              m AS (SELECT doc_id, pos FROM win
+                    WHERE k IN (SELECT k FROM dup)),
+              mk AS (SELECT doc_id, pos,
+                            CASE WHEN pos > coalesce(lag(pos) OVER
+                                (PARTITION BY doc_id ORDER BY pos), -1000000)
+                                + $w THEN 1 ELSE 0 END AS brk
+                     FROM m),
+              g AS (SELECT doc_id, pos,
+                           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS grp
+                    FROM mk)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + $w AS span_end
+         FROM g GROUP BY doc_id, grp
+         ORDER BY doc_id, span_start"""
+    },
 
     // LSH candidates are exact-Jaccard-verified, so precision is exact by
     // construction and recall is the only approximation. At the 0.5 gate

@@ -153,6 +153,94 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Substring-level duplication: maximal spans of tokens every `w`-token
+    * window of which occurs at least `minOccurrences` times in the corpus
+    * (within one doc or across docs). The fixed-width, shuffle-native
+    * form of suffix-array substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): a suffix
+    * array is a single-machine structure; counting rolling `w`-windows
+    * in an inverted index finds exactly the duplicated regions of length
+    * ≥ w, and merging overlapping matched windows recovers the maximal
+    * duplicated span (a duplicated region of length L ≥ w contributes
+    * L−w+1 consecutive matched windows, which merge back to [1, L]).
+    *
+    * Output: (idCol, span_start, span_end) — 1-based token indices, end
+    * exclusive, ordered within each doc; callers cut `[start, end)` (or
+    * all but one global occurrence) from the training mix.
+    *
+    * Scale posture: windows shuffle ONCE keyed on the window fingerprint
+    * (8-byte xxhash64 by default; `portableHash` switches to md5 so an
+    * external engine can replay the keys — identical spans either way,
+    * spec-checked); the occurrence count is a map-side-combinable
+    * `count`, so a boilerplate window in millions of docs costs its
+    * partial counts, not a hot reducer. The flag-back semi-join is the
+    * one skew exposure (every occurrence of a hot key lands in its key's
+    * partition) — AQE skew-join splitting handles it, the same posture
+    * as the capped posting lists above. The span merge windows over
+    * MATCHED positions per doc — doc-bounded, never corpus-sized. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int, minOccurrences: Long = 2,
+                      portableHash: Boolean = false): DataFrame = {
+    require(w >= 2, s"window width must be >= 2 tokens: $w")
+    val toks = docs
+      .select(col(idCol), split(col(textCol), " ", -1).as("_t"))
+      // sequence(1, size-w+1) REVERSES when size < w (Spark generates
+      // descending sequences) — short docs have no windows, drop first
+      .filter(size(col("_t")) >= w)
+    val winKey: Column => Column =
+      s => if (portableHash) md5(s) else xxhash64(s).cast("string")
+    val keys = transform(
+      sequence(lit(1), size(col("_t")) - (w - 1)),
+      i => winKey(concat_ws(" ", slice(col("_t"), i, lit(w)))))
+    val wins = toks
+      .select(col(idCol), posexplode(keys).as(Seq("_p0", "_k")))
+      .select(col(idCol), (col("_p0") + 1).cast("long").as("_pos"), col("_k"))
+    val dup = wins.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minOccurrences)
+      .select(col("_k"))
+    val matched = wins.join(dup, Seq("_k"), "left_semi")
+      .select(col(idCol), col("_pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    matched
+      .withColumn("_brk",
+        when(col("_pos") >
+          coalesce(lag(col("_pos"), 1).over(byDoc), lit(-1000000L)) + w,
+          1).otherwise(0))
+      .withColumn("_grp", sum(col("_brk"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("_pos")).as("span_start"),
+        (max(col("_pos")) + w).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Remove every duplicated span from the text: tokens covered by any
+    * [start, end) span of [[duplicatedSpans]]' output are dropped, the
+    * survivors re-joined with single spaces. Docs without spans pass
+    * through unchanged (left join). The per-row rebuild is a scan-stage
+    * filter over the token array against the doc's (collected, broadcast-
+    * sized per row) span list — no window, one join keyed on the doc id.
+    *
+    * This is the aggressive cut-every-copy policy; Lee et al. keep one
+    * global occurrence, which needs a cross-doc keeper election per
+    * duplicated region — compose [[duplicatedSpans]] with a keeper rule
+    * (e.g. min doc id per window fingerprint) for that variant. */
+  def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val sp = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    val t = split(col(textCol), " ", -1)
+    val kept = filter(t, (_, i) =>
+      !exists(col("_spans"), s =>
+        i + 1 >= s.getField("span_start") && i + 1 < s.getField("span_end")))
+    docs.join(sp, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("_spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ", kept)))
+      .drop("_spans")
+  }
+
   /** MinHash+LSH candidate pairs with exact-Jaccard verification.
     * bands×rowsPerBand must equal numHashes. Docs whose signatures agree
     * on ALL rows of ≥1 band become candidates (banding amplification);

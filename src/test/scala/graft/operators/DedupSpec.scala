@@ -52,6 +52,56 @@ class DedupSpec extends SparkSpec {
     pairs.foreach { case (k, v) => assert(exact(k) == v) }
   }
 
+  test("duplicatedSpans finds and merges duplicated windows; hash choice is irrelevant") {
+    // docs A and B share a 9-token run -> 2 matched 8-windows at
+    // positions 3..4 of A (1-based), which must merge to ONE span
+    // [3, 12); doc C repeats its own 8 tokens internally (self-dup)
+    val d = Seq(
+      (1L, "a1 a2 the same ten tokens appear here in both documents x1 x2 x3"),
+      (2L, "b1 the same ten tokens appear here in both documents y1"),
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 z r1 r2 r3 r4 r5 r6 r7 r8"),
+      (4L, "nothing shared with anyone at all in this row of text"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    def spans(portable: Boolean): Map[(Long, Long), Long] =
+      Dedup.duplicatedSpans(d, "doc_id", "text", w = 8,
+        portableHash = portable)
+        .as[(Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    val out = spans(portable = false)
+    // A: windows at 3,4 merge -> [3, 12); B: 2,3 -> [2, 11)
+    assert(out((1L, 3L)) == 12L)
+    assert(out((2L, 2L)) == 11L)
+    // C: self-duplicated 8-gram at 1 and 10 -> two disjoint spans
+    assert(out((3L, 1L)) == 9L && out((3L, 10L)) == 18L)
+    assert(!out.keys.exists(_._1 == 4L) && !out.keys.exists(_._1 == 5L))
+    // md5 (oracle-portable) and xxhash64 (production) keys agree exactly
+    assert(spans(portable = true) == out)
+  }
+
+  test("cutSpans removes exactly the spanned tokens and passes clean docs through") {
+    val d = Seq(
+      (1L, "k1 d1 d2 d3 k2"),
+      (2L, "clean untouched row")
+    ).toDF("doc_id", "text")
+    val sp = Seq((1L, 2L, 5L)).toDF("doc_id", "span_start", "span_end")
+    val out = Dedup.cutSpans(d, sp, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "k1 k2")
+    assert(out(2L) == "clean untouched row")
+    // end-to-end: spans derived from the operator cut to a corpus whose
+    // re-scan finds nothing left to cut
+    val dd = Seq(
+      (1L, "p1 p2 s1 s2 s3 s4 s5 s6 s7 s8 q1"),
+      (2L, "p3 s1 s2 s3 s4 s5 s6 s7 s8 q2")
+    ).toDF("doc_id", "text")
+    val cut = Dedup.cutSpans(dd,
+      Dedup.duplicatedSpans(dd, "doc_id", "text", w = 8), "doc_id", "text")
+    assert(Dedup.duplicatedSpans(cut, "doc_id", "text", w = 8).count() == 0)
+    assert(cut.as[(Long, String)].collect().toMap
+      .apply(1L) == "p1 p2 q1")
+  }
+
   test("maxBlock drops stop-shingles from blocking AND scoring") {
     // "common common common" appears in all 5 docs (> maxBlock=3); each
     // doc also has a private tail, and docs 11/12 share "alpha beta gamma"
