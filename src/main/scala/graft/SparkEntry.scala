@@ -444,6 +444,67 @@ object SparkEntry {
             sum(disc).cast("double"), 6).as("promo_revenue"))
     }),
 
+    "q6_forecast_revenue" -> ((s, dir) => {
+      // TPC-H Q6 shape: single-table filter-aggregate. Every predicate
+      // is a pushable range (date/discount/quantity min-max row-group
+      // pruning); the plan is scan → partial agg → 1-row exchange, the
+      // cheapest possible shape — any join or shuffle here is wrong.
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            col("l_discount").cast("decimal(18,4)")).cast("double"), 6)
+          .as("revenue"))
+    }),
+
+    "q18_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: a HAVING aggregate (orders whose line quantity
+      // sum clears a threshold) feeding a semi-join, then the detail
+      // re-join and top-100. The big-order id set is aggregated BEFORE
+      // any wide join — the semi-join probe side carries ids only, and
+      // the final ranking is TakeOrdered, never a global sort.
+      val l = t(s, dir, "lineitem")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("_q"))
+        .filter(col("_q") > 200).select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    "q19_disjunctive" -> ((s, dir) => {
+      // TPC-H Q19 shape: a disjunction of conjunctive (brand, size,
+      // quantity) envelopes across the part join. The common quantity
+      // hull [1, 30] and size hull are scan-pushable; the residual OR
+      // evaluates post-join in one codegen stage — no union-of-three-
+      // joins rewrite needed (that shape would scan lineitem 3×).
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val env = (col("p_brand") === "Brand#11" &&
+          col("p_size").between(1, 10) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#21" &&
+          col("p_size").between(1, 20) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#24" &&
+          col("p_size").between(1, 30) && col("l_quantity").between(20, 30))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(env)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") -
+              col("l_discount").cast("decimal(18,4)"))).cast("double"), 6)
+          .as("revenue"))
+    }),
+
     // ── §2.5 windows / §2.6 sorts ────────────────────────────────────
     "w1_rownum" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -1812,6 +1873,41 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
+
+    "q6_forecast_revenue" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                              CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE),
+                6) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_discount >= 0.04 AND l_discount <= 0.06
+           AND l_quantity < 24""",
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey FROM lineitem
+                      GROUP BY 1 HAVING sum(l_quantity) > 200)
+         SELECT c_name, c_custkey, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                o_totalprice, sum(l_quantity) AS total_qty
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+         GROUP BY 1, 2, 3, 4, 5
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q19_disjunctive" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                6) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 20
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 30
+                AND l_quantity BETWEEN 20 AND 30)""",
 
     "w1_rownum" ->
       """SELECT event_id, user_id,
