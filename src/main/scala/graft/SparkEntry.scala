@@ -796,6 +796,20 @@ object SparkEntry {
           w = 8, portableHash = true)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // the cut-every-copy policy applied: spans from the operator above
+    // removed from the text, verified by md5 of the rebuilt string (the
+    // corpus is single-space tokenized, so split/join roundtrips byte-
+    // for-byte and the oracle can rebuild the identical cleaned text)
+    "x_dedup_span_cut" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spans = Dedup.duplicatedSpans(docs, "doc_id", "text",
+        w = 8, portableHash = true)
+      Dedup.cutSpans(docs, spans, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // threshold 0.5 = the 16-band × 4-row banding's S-curve midpoint
     // ((1/b)^(1/r)): the regime LSH is designed for. PairCheck at sf0.1
     // measured 2/258 pairs MISSED at a 0.12 threshold (pairs at j=0.125
@@ -2313,6 +2327,55 @@ object SparkEntry {
          SELECT doc_id, min(pos) AS span_start, max(pos) + $w AS span_end
          FROM g GROUP BY doc_id, grp
          ORDER BY doc_id, span_start"""
+    },
+
+    // span cutting: tokens covered by any span drop, survivors re-join
+    // with single spaces (the corpus roundtrips split/join exactly).
+    // Docs cut to nothing keep an empty-string row on both engines
+    // (LEFT JOIN + array_to_string/concat_ws both skip nulls).
+    "x_dedup_span_cut" -> {
+      val w = 8
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+              win AS (SELECT doc_id,
+                             unnest(generate_series(1, len(t) - ${w - 1})) AS pos,
+                             unnest(list_transform(
+                               generate_series(1, len(t) - ${w - 1}),
+                               i -> md5(array_to_string(t[i:i+${w - 1}], ' ')))) AS k
+                      FROM tok WHERE len(t) >= $w),
+              dup AS (SELECT k FROM win GROUP BY k HAVING count(*) >= 2),
+              m AS (SELECT doc_id, pos FROM win
+                    WHERE k IN (SELECT k FROM dup)),
+              mk AS (SELECT doc_id, pos,
+                            CASE WHEN pos > coalesce(lag(pos) OVER
+                                (PARTITION BY doc_id ORDER BY pos), -1000000)
+                                + $w THEN 1 ELSE 0 END AS brk
+                     FROM m),
+              g AS (SELECT doc_id, pos,
+                           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS grp
+                    FROM mk),
+              spans AS (SELECT doc_id, min(pos) AS s, max(pos) + $w AS e
+                        FROM g GROUP BY doc_id, grp),
+              tokpos AS (SELECT doc_id, unnest(t) AS tk,
+                                unnest(generate_series(1, len(t))) AS pos
+                         FROM tok),
+              kept AS (SELECT tp.doc_id, tp.tk, tp.pos
+                       FROM tokpos tp
+                       WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                         WHERE sp.doc_id = tp.doc_id
+                           AND tp.pos >= sp.s AND tp.pos < sp.e)),
+              rebuilt AS (SELECT t2.doc_id,
+                                 coalesce(array_to_string(
+                                   list(k.tk ORDER BY k.pos)
+                                     FILTER (WHERE k.tk IS NOT NULL), ' '),
+                                   '') AS text
+                          FROM tok t2 LEFT JOIN kept k
+                            ON t2.doc_id = k.doc_id
+                          GROUP BY t2.doc_id)
+         SELECT doc_id, md5(text) AS h,
+                len(string_split(text, ' ')) AS n_tokens
+         FROM rebuilt ORDER BY doc_id"""
     },
 
     // LSH candidates are exact-Jaccard-verified, so precision is exact by
