@@ -796,6 +796,15 @@ object SparkEntry {
           w = 8, portableHash = true)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // Lee et al.'s actual keep-one policy: the globally first occurrence
+    // (min doc·2^32+pos) of each duplicated window is the keeper; spans
+    // cover only non-keeper occurrences. The election is a combinable
+    // min aggregate — no per-key window, hot keys stay skew-safe.
+    "x_dedup_spans_keep" -> ((s, dir) =>
+      Dedup.duplicatedSpansKeepFirst(t(s, dir, "documents"), "doc_id",
+          "text", w = 8, portableHash = true)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     // the cut-every-copy policy applied: spans from the operator above
     // removed from the text, verified by md5 of the rebuilt string (the
     // corpus is single-space tokenized, so split/join roundtrips byte-
@@ -2315,6 +2324,37 @@ object SparkEntry {
               dup AS (SELECT k FROM win GROUP BY k HAVING count(*) >= 2),
               m AS (SELECT doc_id, pos FROM win
                     WHERE k IN (SELECT k FROM dup)),
+              mk AS (SELECT doc_id, pos,
+                            CASE WHEN pos > coalesce(lag(pos) OVER
+                                (PARTITION BY doc_id ORDER BY pos), -1000000)
+                                + $w THEN 1 ELSE 0 END AS brk
+                     FROM m),
+              g AS (SELECT doc_id, pos,
+                           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS grp
+                    FROM mk)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + $w AS span_end
+         FROM g GROUP BY doc_id, grp
+         ORDER BY doc_id, span_start"""
+    },
+
+    // keep-one spans: keeper election replayed as the same packed-key
+    // min; only non-keeper occurrences enter the islands merge
+    "x_dedup_spans_keep" -> {
+      val w = 8
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+              win AS (SELECT doc_id,
+                             unnest(generate_series(1, len(t) - ${w - 1})) AS pos,
+                             unnest(list_transform(
+                               generate_series(1, len(t) - ${w - 1}),
+                               i -> md5(array_to_string(t[i:i+${w - 1}], ' ')))) AS k
+                      FROM tok WHERE len(t) >= $w),
+              keep AS (SELECT k, min(doc_id * 4294967296 + pos) AS kp
+                       FROM win GROUP BY k HAVING count(*) >= 2),
+              m AS (SELECT w2.doc_id, w2.pos
+                    FROM win w2 JOIN keep ON w2.k = keep.k
+                    WHERE w2.doc_id * 4294967296 + w2.pos <> keep.kp),
               mk AS (SELECT doc_id, pos,
                             CASE WHEN pos > coalesce(lag(pos) OVER
                                 (PARTITION BY doc_id ORDER BY pos), -1000000)

@@ -181,6 +181,49 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       w: Int, minOccurrences: Long = 2,
                       portableHash: Boolean = false): DataFrame = {
+    val wins = windowOccurrences(docs, idCol, textCol, w, portableHash)
+    val dup = wins.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minOccurrences)
+      .select(col("_k"))
+    mergeSpans(
+      wins.join(dup, Seq("_k"), "left_semi").select(col(idCol), col("_pos")),
+      idCol, w)
+  }
+
+  /** The keep-one variant (Lee et al.'s actual policy): per duplicated
+    * window, the globally FIRST occurrence — minimum (doc, position) —
+    * is the keeper; spans cover only the non-keeper occurrences, so one
+    * copy of every duplicated region survives the cut. The election is
+    * a map-side-combinable `min` over an occurrence key packed as
+    * doc·2³² + pos (exact in a Long for ids < 2³¹ and docs < 2³²
+    * tokens) — NO per-key window: a boilerplate window in millions of
+    * docs would make `row_number() over (partition by key)` sort a
+    * million-row partition, the hot-key quadratic this file
+    * systematically refuses. Same skew posture as [[duplicatedSpans]]
+    * otherwise; `idCol` must be integral and non-negative. */
+  def duplicatedSpansKeepFirst(docs: DataFrame, idCol: String,
+                               textCol: String, w: Int,
+                               minOccurrences: Long = 2,
+                               portableHash: Boolean = false): DataFrame = {
+    val wins = windowOccurrences(docs, idCol, textCol, w, portableHash)
+    val occKey = col(idCol).cast("long") * lit(4294967296L) + col("_pos")
+    val keep = wins.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_n"), min(occKey).as("_kp"))
+      .filter(col("_n") >= minOccurrences)
+      .select(col("_k"), col("_kp"))
+    mergeSpans(
+      wins.join(keep, Seq("_k"))
+        .filter(occKey =!= col("_kp"))
+        .select(col(idCol), col("_pos")),
+      idCol, w)
+  }
+
+  /** Flat (id, 1-based position, window-fingerprint) stream of rolling
+    * `w`-token windows. */
+  private def windowOccurrences(docs: DataFrame, idCol: String,
+                                textCol: String, w: Int,
+                                portableHash: Boolean): DataFrame = {
     require(w >= 2, s"window width must be >= 2 tokens: $w")
     val toks = docs
       .select(col(idCol), split(col(textCol), " ", -1).as("_t"))
@@ -192,15 +235,16 @@ object Dedup {
     val keys = transform(
       sequence(lit(1), size(col("_t")) - (w - 1)),
       i => winKey(concat_ws(" ", slice(col("_t"), i, lit(w)))))
-    val wins = toks
+    toks
       .select(col(idCol), posexplode(keys).as(Seq("_p0", "_k")))
       .select(col(idCol), (col("_p0") + 1).cast("long").as("_pos"), col("_k"))
-    val dup = wins.groupBy(col("_k"))
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") >= minOccurrences)
-      .select(col("_k"))
-    val matched = wins.join(dup, Seq("_k"), "left_semi")
-      .select(col(idCol), col("_pos"))
+  }
+
+  /** Gaps-and-islands merge of matched window positions into maximal
+    * [start, end) spans — windows only over MATCHED positions per doc,
+    * doc-bounded, never corpus-sized. */
+  private def mergeSpans(matched: DataFrame, idCol: String,
+                         w: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
     matched
       .withColumn("_brk",
@@ -222,10 +266,10 @@ object Dedup {
     * filter over the token array against the doc's (collected, broadcast-
     * sized per row) span list — no window, one join keyed on the doc id.
     *
-    * This is the aggressive cut-every-copy policy; Lee et al. keep one
-    * global occurrence, which needs a cross-doc keeper election per
-    * duplicated region — compose [[duplicatedSpans]] with a keeper rule
-    * (e.g. min doc id per window fingerprint) for that variant. */
+    * Feed it [[duplicatedSpans]] for the aggressive cut-every-copy
+    * policy, or [[duplicatedSpansKeepFirst]] for Lee et al.'s keep-one
+    * policy (one global occurrence of every duplicated region
+    * survives). */
   def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String,
                textCol: String): DataFrame = {
     val sp = spans.groupBy(col(idCol))

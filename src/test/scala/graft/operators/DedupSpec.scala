@@ -79,6 +79,25 @@ class DedupSpec extends SparkSpec {
     assert(spans(portable = true) == out)
   }
 
+  test("duplicatedSpansKeepFirst spares exactly the globally first occurrence") {
+    val d = Seq(
+      (1L, "a1 a2 s1 s2 s3 s4 s5 s6 s7 s8 x1"), // keeper (doc 1, pos 3)
+      (2L, "b1 s1 s2 s3 s4 s5 s6 s7 s8 y1"),
+      (3L, "s1 s2 s3 s4 s5 s6 s7 s8 z1")
+    ).toDF("doc_id", "text")
+    val keepOne = Dedup.duplicatedSpansKeepFirst(d, "doc_id", "text", w = 8)
+    assert(keepOne.as[(Long, Long, Long)].collect().toSet ==
+      Set((2L, 2L, 10L), (3L, 1L, 9L)))
+    // cut-every-copy marks all three occurrences; keep-first spares one
+    assert(Dedup.duplicatedSpans(d, "doc_id", "text", w = 8).count() == 3)
+    // after the keep-one cut, exactly one copy survives and a re-scan
+    // finds nothing duplicated
+    val cut = Dedup.cutSpans(d, keepOne, "doc_id", "text")
+    assert(cut.as[(Long, String)].collect().toMap
+      .apply(1L) == "a1 a2 s1 s2 s3 s4 s5 s6 s7 s8 x1")
+    assert(Dedup.duplicatedSpans(cut, "doc_id", "text", w = 8).count() == 0)
+  }
+
   test("cutSpans removes exactly the spanned tokens and passes clean docs through") {
     val d = Seq(
       (1L, "k1 d1 d2 d3 k2"),
