@@ -505,6 +505,52 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15 shape: per-supplier revenue for one quarter, then the
+      // supplier(s) achieving the maximum — a scalar-subquery equality.
+      // The max is a 1-row broadcast against the aggregated (supplier-
+      // count-sized) revenue table; revenue values compare at 6 dp on
+      // both engines, so the equality is engine-portable.
+      val disc = col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(disc).cast("double"), 6).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("_mx"))
+      rev.join(broadcast(mx), col("total_revenue") === col("_mx"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    "q22_idle_customers" -> ((s, dir) => {
+      // TPC-H Q22 shape: positive-balance customers above the segment
+      // population's average balance with NO recent orders — scalar AVG
+      // subquery (broadcast 1-row crossJoin) + anti join. The average is
+      // an exact decimal sum over an exact count, so the comparison
+      // threshold is engine-identical; the anti join's probe side is
+      // date-filtered at the scan.
+      val sel = t(s, dir, "customer")
+        .filter(col("c_mktsegment")
+          .isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+      val avgBal = sel.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("_ab"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      sel.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("_ab"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            .as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ── §2.5 windows / §2.6 sorts ────────────────────────────────────
     "w1_rownum" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -690,6 +736,25 @@ object SparkEntry {
       GroupTopK.topKPerGroup(t(s, dir, "events"),
           Seq("event_type"), "value", "event_id", k = 3)
         .orderBy(col("event_type"), col("value").desc, col("event_id").desc)
+    }),
+
+    "w4_moving_avg" -> ((s, dir) => {
+      // sliding-frame window: 4-row trailing average + lag over each
+      // user's purchase history in event-id order (event timestamps
+      // carry sub-µs noise that Spark truncates and DuckDB keeps — the
+      // id is the one total order both engines share). The frame
+      // aggregates DECIMAL so the 4-term sum is exact in any
+      // accumulation order. Per-user partitions are user-history-sized
+      // — the window-is-right case.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value").cast("decimal(18,4)"))
+              .over(w.rowsBetween(-3, 0)).cast("double") /
+            count(lit(1)).over(w.rowsBetween(-3, 0)), 6).as("mavg4"),
+          round(coalesce(lag(col("value"), 1).over(w), lit(0.0)), 6)
+            .as("prev_value"))
+        .orderBy(col("user_id"), col("event_id"))
     }),
 
     // ── §2.9 streaming semantics (batch-checkable form) ─────────────
@@ -1932,6 +1997,37 @@ object SparkEntry {
             OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 30
                 AND l_quantity BETWEEN 20 AND 30)""",
 
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+                             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                               (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                               6) AS total_revenue
+                      FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+                      GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+
+    "q22_idle_customers" ->
+      """WITH sel AS (SELECT * FROM customer
+                      WHERE c_mktsegment IN
+                        ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+              ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
+                            AS DOUBLE) / count(*) AS v
+                     FROM sel WHERE c_acctbal > 0)
+         SELECT c_mktsegment, count(*) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                  AS total_bal
+         FROM sel
+         WHERE c_acctbal > (SELECT v FROM ab)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         GROUP BY 1 ORDER BY 1""",
+
     "w1_rownum" ->
       """SELECT event_id, user_id,
                 CAST(row_number() OVER (PARTITION BY user_id
@@ -2089,6 +2185,18 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY event_type
            ORDER BY value DESC, event_id DESC) <= 3
          ORDER BY event_type, value DESC, event_id DESC""",
+
+    "w4_moving_avg" ->
+      """SELECT user_id, event_id,
+                round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w4 AS DOUBLE)
+                  / count(*) OVER w4, 6) AS mavg4,
+                round(coalesce(lag(value) OVER wo, 0.0), 6) AS prev_value
+         FROM events
+         WHERE event_type = 'purchase'
+         WINDOW wo AS (PARTITION BY user_id ORDER BY event_id),
+                w4 AS (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
 
     // gaps-and-islands replay of session_window: a session breaks where
     // the gap to the previous event is >= the 10-minute window gap

@@ -83,32 +83,38 @@ object RecallCheck {
       }
       // IVFPQ end-to-end (coarse-quantizer miss + residual-PQ loss
       // together — the number a user of the composed index actually
-      // gets). Residual encoding should beat flat PQ at equal code size.
+      // gets). Residual encoding should beat flat PQ at equal code
+      // size; measured rotated and not, since the gate composition now
+      // OPQ-rotates residuals before the subspace split.
       val ivf = new IvfIndex(spark,
         java.nio.file.Files.createTempDirectory("recall_ivf").toString)
       ivf.build(emb, "vec_id", "embedding", k = 8, iters = 3)
-      val comp = new IvfPq(spark, ivf,
-        java.nio.file.Files.createTempDirectory("recall_ivfpq").toString)
-      comp.build("vec_id", "embedding", m = 8, k = 64, iters = 3)
-      for ((nprobe, rerank) <- Seq((1, 4 * k), (2, 4 * k), (2, 8 * k))) {
-        var recallSum = 0.0
-        var ceilSum = 0.0
-        for (qid <- queryIds) {
-          val approx = comp.search("vec_id", "embedding", queryVecs(qid),
-              k, rerank, nprobe)
-            .select("vec_id").collect().map(_.getLong(0)).toSet
-          recallSum += (exactFull(qid) & approx).size.toDouble / k
-          // float probe at the same nprobe = the coarse-quantizer
-          // ceiling; composite recall below it is the PQ loss
-          val ceil = ivf.search("vec_id", "embedding", queryVecs(qid),
-              k, nprobe)
-            .select("vec_id").collect().map(_.getLong(0)).toSet
-          ceilSum += (exactFull(qid) & ceil).size.toDouble / k
+      for (rotate <- Seq(false, true)) {
+        val comp = new IvfPq(spark, ivf,
+          java.nio.file.Files.createTempDirectory("recall_ivfpq").toString)
+        comp.build("vec_id", "embedding", m = 8, k = 64, iters = 3,
+          rotate = rotate)
+        val tag = if (rotate) "opq" else ""
+        for ((nprobe, rerank) <- Seq((1, 4 * k), (2, 4 * k), (2, 8 * k))) {
+          var recallSum = 0.0
+          var ceilSum = 0.0
+          for (qid <- queryIds) {
+            val approx = comp.search("vec_id", "embedding", queryVecs(qid),
+                k, rerank, nprobe)
+              .select("vec_id").collect().map(_.getLong(0)).toSet
+            recallSum += (exactFull(qid) & approx).size.toDouble / k
+            // float probe at the same nprobe = the coarse-quantizer
+            // ceiling; composite recall below it is the PQ loss
+            val ceil = ivf.search("vec_id", "embedding", queryVecs(qid),
+                k, nprobe)
+              .select("vec_id").collect().map(_.getLong(0)).toSet
+            ceilSum += (exactFull(qid) & ceil).size.toDouble / k
+          }
+          println(f"[recallcheck] $sf ivfpq8x64$tag k=$k nprobe=$nprobe " +
+            f"rerank=$rerank queries=${queryIds.size} " +
+            f"recall@$k=${recallSum / queryIds.size}%.4f " +
+            f"(float-probe ceiling ${ceilSum / queryIds.size}%.4f)")
         }
-        println(f"[recallcheck] $sf ivfpq8x64 k=$k nprobe=$nprobe " +
-          f"rerank=$rerank queries=${queryIds.size} " +
-          f"recall@$k=${recallSum / queryIds.size}%.4f " +
-          f"(float-probe ceiling ${ceilSum / queryIds.size}%.4f)")
       }
       emb.unpersist()
     }
