@@ -230,8 +230,11 @@ object Dedup {
       // sequence(1, size-w+1) REVERSES when size < w (Spark generates
       // descending sequences) — short docs have no windows, drop first
       .filter(size(col("_t")) >= w)
+    // the production key stays a raw LONG (8-byte shuffle entries); the
+    // portable path shuffles md5 hex strings only because the oracle
+    // must re-derive the identical keys
     val winKey: Column => Column =
-      s => if (portableHash) md5(s) else xxhash64(s).cast("string")
+      s => if (portableHash) md5(s) else xxhash64(s)
     val keys = transform(
       sequence(lit(1), size(col("_t")) - (w - 1)),
       i => winKey(concat_ws(" ", slice(col("_t"), i, lit(w)))))
