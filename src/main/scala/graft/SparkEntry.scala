@@ -861,6 +861,24 @@ object SparkEntry {
           w = 8, portableHash = true)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // append-only span refresh: the old slice's window derivation is
+    // served from the on-disk spanTable artifacts (occurrences+counts,
+    // build-once); only the delta tokenizes/hashes. Counts are additive
+    // under append, so the result must equal the from-scratch spans of
+    // the UNION — the oracle is the identical full-corpus SQL as
+    // x_dedup_spans, which is the whole point.
+    "x_dedup_spans_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 5 =!= 0)
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+      val base = s"${artifactBase(dir)}/spanincr"
+      Dedup.spanTable(old, "doc_id", "text", base, w = 8,
+        portableHash = true)
+      Dedup.refreshSpans(delta, "doc_id", "text", base, w = 8,
+          portableHash = true)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // Lee et al.'s actual keep-one policy: the globally first occurrence
     // (min doc·2^32+pos) of each duplicated window is the keeper; spans
     // cover only non-keeper occurrences. The election is a combinable
@@ -1549,6 +1567,37 @@ object SparkEntry {
       (plane, b) <- tbl.zipWithIndex
       (p, i) <- plane.zipWithIndex
     } yield s"($t,${1L << b},${i + 1},$p)").mkString(",")
+  }
+
+  /** From-scratch duplicated-span SQL over the full documents table —
+    * shared by `x_dedup_spans` (direct path) and `x_dedup_spans_incr`
+    * (artifact-fed refresh), because the refresh's correctness claim IS
+    * equality with the from-scratch computation. */
+  private def spansOracleSql: String = {
+    val w = 8
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+            win AS (SELECT doc_id,
+                           unnest(generate_series(1, len(t) - ${w - 1})) AS pos,
+                           unnest(list_transform(
+                             generate_series(1, len(t) - ${w - 1}),
+                             i -> md5(array_to_string(t[i:i+${w - 1}], ' ')))) AS k
+                    FROM tok WHERE len(t) >= $w),
+            dup AS (SELECT k FROM win GROUP BY k HAVING count(*) >= 2),
+            m AS (SELECT doc_id, pos FROM win
+                  WHERE k IN (SELECT k FROM dup)),
+            mk AS (SELECT doc_id, pos,
+                          CASE WHEN pos > coalesce(lag(pos) OVER
+                              (PARTITION BY doc_id ORDER BY pos), -1000000)
+                              + $w THEN 1 ELSE 0 END AS brk
+                   FROM m),
+            g AS (SELECT doc_id, pos,
+                         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM mk)
+       SELECT doc_id, min(pos) AS span_start, max(pos) + $w AS span_end
+       FROM g GROUP BY doc_id, grp
+       ORDER BY doc_id, span_start"""
   }
 
   private def lshOracleSql: String = {
@@ -2419,32 +2468,11 @@ object SparkEntry {
     // lateral generate_series is not available), occurrence count >= 2,
     // then the standard gaps-and-islands merge of matched positions.
     // All positions are 1-based BIGINTs on both engines.
-    "x_dedup_spans" -> {
-      val w = 8
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
-                       FROM documents),
-              win AS (SELECT doc_id,
-                             unnest(generate_series(1, len(t) - ${w - 1})) AS pos,
-                             unnest(list_transform(
-                               generate_series(1, len(t) - ${w - 1}),
-                               i -> md5(array_to_string(t[i:i+${w - 1}], ' ')))) AS k
-                      FROM tok WHERE len(t) >= $w),
-              dup AS (SELECT k FROM win GROUP BY k HAVING count(*) >= 2),
-              m AS (SELECT doc_id, pos FROM win
-                    WHERE k IN (SELECT k FROM dup)),
-              mk AS (SELECT doc_id, pos,
-                            CASE WHEN pos > coalesce(lag(pos) OVER
-                                (PARTITION BY doc_id ORDER BY pos), -1000000)
-                                + $w THEN 1 ELSE 0 END AS brk
-                     FROM m),
-              g AS (SELECT doc_id, pos,
-                           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                             ROWS UNBOUNDED PRECEDING) AS grp
-                    FROM mk)
-         SELECT doc_id, min(pos) AS span_start, max(pos) + $w AS span_end
-         FROM g GROUP BY doc_id, grp
-         ORDER BY doc_id, span_start"""
-    },
+    "x_dedup_spans" -> spansOracleSql,
+
+    // the refresh must equal the from-scratch spans of the union corpus
+    // — same oracle, different (artifact-fed) engine path
+    "x_dedup_spans_incr" -> spansOracleSql,
 
     // keep-one spans: keeper election replayed as the same packed-key
     // min; only non-keeper occurrences enter the islands merge

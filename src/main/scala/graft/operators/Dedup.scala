@@ -219,6 +219,68 @@ object Dedup {
       idCol, w)
   }
 
+  /** On-disk window artifacts for substring-span dedup, build-once per
+    * (w, hash-mode) under `basePath`: the OCCURRENCE table materializes
+    * the corpus-sized derivation pass (tokenize → rolling fingerprints
+    * — the expensive half of [[duplicatedSpans]]), and the COUNT table
+    * its per-key totals. Counts are written LAST so their `_SUCCESS` is
+    * the build-once guard and implies the occurrence table is complete.
+    * Returns (occurrences, counts) read back from disk. */
+  def spanTable(docs: DataFrame, idCol: String, textCol: String,
+                basePath: String, w: Int,
+                portableHash: Boolean = false): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val (occPath, cntPath) = spanPaths(basePath, w, portableHash)
+    val fs = new org.apache.hadoop.fs.Path(cntPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(cntPath, "_SUCCESS"))) {
+      windowOccurrences(docs, idCol, textCol, w, portableHash)
+        .write.mode("overwrite").parquet(occPath)
+      spark.read.parquet(occPath)
+        .groupBy(col("_k")).agg(count(lit(1)).as("_n"))
+        .write.mode("overwrite").parquet(cntPath)
+    }
+    (spark.read.parquet(occPath), spark.read.parquet(cntPath))
+  }
+
+  private def spanPaths(basePath: String, w: Int,
+                        portableHash: Boolean): (String, String) = {
+    val mode = if (portableHash) "md5" else "xx"
+    (s"$basePath/span_occ_w${w}_$mode", s"$basePath/span_cnt_w${w}_$mode")
+  }
+
+  /** Append-only refresh for substring-span dedup: the duplicated spans
+    * of the UNION corpus (existing ∪ delta) with window DERIVATION paid
+    * only for the delta slice — the existing corpus contributes a
+    * parquet scan of its [[spanTable]] artifacts, not a re-tokenize/
+    * re-hash of every document. Window counts are additive under
+    * append, so the union's duplicate set is exact: old counts merge
+    * with the delta's via one full-outer count join, and spans emerge
+    * for EVERY doc whose windows cross the threshold — including an old
+    * doc whose text only became duplicated when the delta arrived (the
+    * case a delta-only formulation would silently miss). Output equals
+    * [[duplicatedSpans]] over the union, spec- and oracle-checked. */
+  def refreshSpans(delta: DataFrame, idCol: String, textCol: String,
+                   basePath: String, w: Int, minOccurrences: Long = 2,
+                   portableHash: Boolean = false): DataFrame = {
+    val spark = delta.sparkSession
+    val (occPath, cntPath) = spanPaths(basePath, w, portableHash)
+    val occOld = spark.read.parquet(occPath)
+    val cntOld = spark.read.parquet(cntPath)
+    val deltaOcc = windowOccurrences(delta, idCol, textCol, w, portableHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaCnt = deltaOcc.groupBy(col("_k")).agg(count(lit(1)).as("_nd"))
+    val dup = cntOld.withColumnRenamed("_n", "_no")
+      .join(deltaCnt, Seq("_k"), "full_outer")
+      .filter(coalesce(col("_no"), lit(0L)) +
+        coalesce(col("_nd"), lit(0L)) >= minOccurrences)
+      .select(col("_k"))
+    mergeSpans(
+      occOld.unionByName(deltaOcc).join(dup, Seq("_k"), "left_semi")
+        .select(col(idCol), col("_pos")),
+      idCol, w)
+  }
+
   /** Flat (id, 1-based position, window-fingerprint) stream of rolling
     * `w`-token windows. */
   private def windowOccurrences(docs: DataFrame, idCol: String,

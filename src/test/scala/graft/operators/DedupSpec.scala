@@ -98,6 +98,37 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(cut, "doc_id", "text", w = 8).count() == 0)
   }
 
+  test("refreshSpans: artifact-fed refresh equals from-scratch spans of the union") {
+    // the delta (a) duplicates an OLD doc's region — the old doc's span
+    // exists only after the refresh, the case a delta-only formulation
+    // misses — and (b) brings a delta-internal duplicate pair
+    val old = Seq(
+      (1L, "o1 s1 s2 s3 s4 s5 s6 s7 s8 o2"),
+      (2L, "unique old content row with nothing repeated anywhere here"),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 tail1"),
+      (4L, "q0 p1 p2 p3 p4 p5 p6 p7 p8")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (5L, "d1 s1 s2 s3 s4 s5 s6 s7 s8 d2"), // duplicates doc 1's region
+      (6L, "e1 e2 e3 e4 e5 e6 e7 e8 f"),
+      (7L, "g e1 e2 e3 e4 e5 e6 e7 e8")      // delta-internal pair
+    ).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_spanincr").toString
+    Dedup.spanTable(old, "doc_id", "text", base, w = 8)
+    val refreshed = Dedup.refreshSpans(delta, "doc_id", "text", base, w = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val scratch = Dedup.duplicatedSpans(old.unionByName(delta), "doc_id",
+      "text", w = 8).as[(Long, Long, Long)].collect().toSet
+    assert(refreshed == scratch)
+    // the old-old pair (3, 4) and the newly-duplicated old doc 1 are in
+    assert(refreshed.exists(_._1 == 1L) && refreshed.exists(_._1 == 3L)
+      && refreshed.exists(_._1 == 5L) && refreshed.exists(_._1 == 6L))
+    assert(!refreshed.exists(_._1 == 2L))
+    // build-once: a second spanTable call serves the artifact unchanged
+    val (occ, cnt) = Dedup.spanTable(old, "doc_id", "text", base, w = 8)
+    assert(occ.count() > 0 && cnt.count() > 0)
+  }
+
   test("cutSpans removes exactly the spanned tokens and passes clean docs through") {
     val d = Seq(
       (1L, "k1 d1 d2 d3 k2"),
