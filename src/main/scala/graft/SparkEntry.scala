@@ -505,6 +505,56 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: one supplier nation's share of a region's
+      // market for one part type, per year — a 7-way star join where
+      // every dimension (nation ×2, region, part-after-filter,
+      // supplier) broadcasts and the fact chain (lineitem⋈orders⋈
+      // customer) is left to AQE; the share is a CASE sum over the
+      // same decimal volume term.
+      val vol = col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("_snk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+            sum(vol).cast("double"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    "q13_order_histogram" -> ((s, dir) => {
+      // TPC-H Q13 shape: LEFT join with a pushed join-side filter, then
+      // a double aggregation (orders per customer → customers per order
+      // count). count(col) skips the nulls the outer join manufactures,
+      // so zero-order customers land in the 0 bucket.
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     "q15_top_supplier" -> ((s, dir) => {
       // TPC-H Q15 shape: per-supplier revenue for one quarter, then the
       // supplier(s) achieving the maximum — a scalar-subquery equality.
@@ -2045,6 +2095,37 @@ object SparkEntry {
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 30
                 AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                round(
+                  CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+                                (1 - CAST(l_discount AS DECIMAL(18,4)))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                           (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                  6) AS mkt_share
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
+
+    "q13_order_histogram" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY 1)
+         GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
 
     "q15_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey,
