@@ -1307,6 +1307,22 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "x_sim_lsh_probe2" -> ((s, dir) => {
+      // multiprobe LSH (Lv et al. 2007): probes=2 reads the exact
+      // bucket PLUS the smallest-|margin| single-bit flip per table —
+      // the sign decision most likely to have split true neighbors.
+      // Recall rises at one extra pruned partition per table instead of
+      // doubling the index. Oracle re-derives margins, the flip choice,
+      // and the perturbed buckets from the pasted planes in SQL.
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val idx = lshIndexFor(s, dir, emb)
+      idx.search("vec_id", "embedding", q, k = 11, probes = 2)
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     "x_sim_ivf_index" -> ((s, dir) => {
       // persistent k-means IVF index (build-once/probe-many); nprobe=k
       // scans every cell, so the result is exactly brute-force top-k and
@@ -1697,6 +1713,46 @@ object SparkEntry {
                                   hive_partitioning = 1) r
                 JOIN qb ON CAST(r.tbl AS INT) = qb.t
                        AND CAST(r.bucket AS BIGINT) = qb.bkt
+                WHERE r.vec_id <> 0),
+       e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings WHERE vec_id <> 0),
+       s AS (SELECT e.vec_id,
+                    round(sum(e.x * q.qx) /
+                      (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+             FROM e JOIN q ON e.i = q.i
+             WHERE e.vec_id IN (SELECT vec_id FROM cand)
+             GROUP BY 1)
+       SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10"""
+
+  /** DuckDB oracle for `x_sim_lsh_probe2`: like [[lshIndexOracleSql]],
+    * plus the multiprobe perturbation re-derived in SQL — per table the
+    * bit with the smallest 6-dp-rounded |margin| (ties by bit weight,
+    * the same total order the engine sorts by) xors into the exact
+    * bucket, and candidates come from BOTH buckets' partitions of the
+    * same on-disk forest. */
+  private def lshProbe2OracleSql: String =
+    s"""WITH planes(t, w, i, p) AS (VALUES $lshPlaneValues),
+       q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings WHERE vec_id = 0),
+       qd AS (SELECT pl.t, pl.w, sum(q.qx * pl.p) AS d
+              FROM q JOIN planes pl ON q.i = pl.i GROUP BY 1, 2),
+       qb AS (SELECT t, CAST(sum(CASE WHEN d > 0 THEN w ELSE 0 END)
+                        AS BIGINT) AS bkt
+              FROM qd GROUP BY 1),
+       flips AS (SELECT t, w FROM qd
+                 QUALIFY row_number() OVER (PARTITION BY t
+                   ORDER BY round(abs(d), 6), w) <= 1),
+       pb AS (SELECT t, bkt FROM qb
+              UNION ALL
+              SELECT qb.t, xor(qb.bkt, f.w) AS bkt
+              FROM qb JOIN flips f ON qb.t = f.t),
+       cand AS (SELECT DISTINCT r.vec_id
+                FROM read_parquet('__GRAFT_LSH__/*/*/*.parquet',
+                                  hive_partitioning = 1) r
+                JOIN pb ON CAST(r.tbl AS INT) = pb.t
+                       AND CAST(r.bucket AS BIGINT) = pb.bkt
                 WHERE r.vec_id <> 0),
        e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                     generate_subscripts(embedding, 1) AS i
@@ -2991,6 +3047,8 @@ object SparkEntry {
     "x_sim_lsh" -> lshOracleSql,
 
     "x_sim_lsh_index" -> lshIndexOracleSql,
+
+    "x_sim_lsh_probe2" -> lshProbe2OracleSql,
 
     "x_sim_ivf_probe" -> ivfProbeOracleSql,
 

@@ -123,14 +123,23 @@ final class LshIndex(spark: SparkSession, basePath: String, dim: Int,
     df
   }
 
+  /** Per-table multiprobe bucket sets ([[Similarity.probeBuckets]]). */
+  def queryProbeBuckets(query: Seq[Double], probes: Int): Seq[Seq[Long]] =
+    Similarity.probeBuckets(planes, query, probes)
+
   /** Probe: read the query's bucket partition in each table (partition
     * pruning on (tbl, bucket)), dedup candidates by id, exact-cosine
-    * re-rank — top-k of the candidate set only. */
+    * re-rank — top-k of the candidate set only. `probes` > 1 adds the
+    * multiprobe perturbation buckets (smallest-margin bit flips): each
+    * extra probe reads one more partition per table — recall rises at a
+    * bounded, corpus-size-independent IO cost, the standard alternative
+    * to doubling the table count (which doubles the INDEX, not the
+    * probe). */
   def search(idCol: String, vecCol: String, query: Seq[Double],
-             k: Int): DataFrame = {
+             k: Int, probes: Int = 1): DataFrame = {
     val q = array(query.map(lit): _*)
-    val cond = queryBuckets(query).zipWithIndex
-      .map { case (qb, t) => col("tbl") === t && col("bucket") === qb }
+    val cond = queryProbeBuckets(query, probes).zipWithIndex
+      .map { case (qbs, t) => col("tbl") === t && col("bucket").isin(qbs: _*) }
       .reduce(_ || _)
     rows().filter(cond)
       .select(col(idCol), col(vecCol))

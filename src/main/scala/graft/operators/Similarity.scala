@@ -90,12 +90,35 @@ object Similarity {
     * persistent [[LshIndex]] use, so they cannot diverge. */
   def queryBuckets(planes: Array[Array[Array[Double]]],
                    query: Seq[Double]): Seq[Long] =
+    probeBuckets(planes, query, probes = 1).map(_.head)
+
+  /** Multiprobe bucket sets (Lv et al., "Multi-Probe LSH", VLDB 2007 —
+    * the single-bit perturbation form): per table, the query's exact
+    * bucket plus the buckets reached by flipping the `probes-1` bits
+    * whose hyperplane margins |q·p| are SMALLEST — the sign decisions
+    * most likely to have split true neighbors across the boundary.
+    * Margins are rounded to 6 dp before ordering (ties by bit weight)
+    * so an external engine re-deriving the probe set from the same
+    * planes sorts identically despite float summation order. */
+  def probeBuckets(planes: Array[Array[Array[Double]]],
+                   query: Seq[Double], probes: Int): Seq[Seq[Long]] = {
+    require(probes >= 1, s"probes must be >= 1: $probes")
     planes.toSeq.map { tbl =>
-      tbl.zipWithIndex.map { case (p, b) =>
-        val d = p.zip(query).map { case (x, y) => x * y }.sum
-        if (d > 0) 1L << b else 0L
-      }.reduce(_ | _)
+      val dots = tbl.zipWithIndex.map { case (p, b) =>
+        (p.zip(query).map { case (x, y) => x * y }.sum, b)
+      }
+      val exact = dots.map { case (d, b) => if (d > 0) 1L << b else 0L }
+        .foldLeft(0L)(_ | _)
+      val flips = dots
+        .sortBy { case (d, b) =>
+          (BigDecimal(math.abs(d))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 1L << b)
+        }
+        .take(probes - 1)
+        .map { case (_, b) => exact ^ (1L << b) }
+      exact +: flips.toSeq
     }
+  }
 
   /** LSH ANN top-k: candidates = rows sharing the query's bucket in any
     * table; exact cosine re-rank of candidates only. */

@@ -30,6 +30,33 @@ class LshIndexSpec extends SparkSpec {
     assert(viaIndex.nonEmpty && viaIndex.head._1 <= 40) // cluster-0 hit
   }
 
+  test("multiprobe: probes=1 equals plain search; extra probes only widen the candidate set") {
+    val base = Files.createTempDirectory("graft_lsh_mp").toString
+    val idx = new LshIndex(spark, base, dim = 4, numTables = 2,
+      bitsPerTable = 4, seed = 7L)
+    idx.build(emb, "vec_id", "embedding")
+    val plain = idx.search("vec_id", "embedding", query, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(idx.search("vec_id", "embedding", query, k = 5, probes = 1)
+      .as[(Long, Double)].collect().toSeq == plain)
+    // per table: exact bucket first, then probes-1 distinct flips
+    val pbs = idx.queryProbeBuckets(query, probes = 3)
+    assert(pbs.size == 2 && pbs.forall(_.size == 3))
+    assert(pbs.zip(idx.queryProbeBuckets(query, 1)).forall {
+      case (multi, exact) => multi.head == exact.head
+    })
+    assert(pbs.forall(b => b.distinct.size == b.size))
+    // a flip differs from the exact bucket in exactly one bit
+    assert(pbs.forall(b => b.tail.forall(f =>
+      java.lang.Long.bitCount(b.head ^ f) == 1)))
+    // monotone: the probes=2 top-5 scores are >= plain's at each rank
+    // (the candidate set only grows, and re-rank is exact)
+    val mp = idx.search("vec_id", "embedding", query, k = 5, probes = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(mp.size >= plain.size)
+    assert(mp.zip(plain).forall { case ((_, s2), (_, s1)) => s2 >= s1 })
+  }
+
   test("build(old) + append(delta) equals build(all) — content and search") {
     val old = emb.filter($"vec_id" <= 40)
     val delta = emb.filter($"vec_id" > 40)
