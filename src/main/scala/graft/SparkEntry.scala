@@ -1081,6 +1081,16 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "x_pipeline_pack" -> ((s, dir) =>
+      // concat-and-slice packing plan (GPT-style pretraining layout):
+      // global token offsets + context-window ids per doc in the
+      // samplers' deterministic (md5 coordinate, id) order. The global
+      // running total is two-level (bucket bases over a <=65536-row
+      // window, then within-bucket) — never a corpus-sized sort.
+      Sampling.packOffsets(t(s, dir, "documents"), "doc_id",
+          size(split(col("text"), " ", -1)), windowTokens = 2048L)
+        .orderBy(col("doc_id"))),
+
     "x_pipeline_sample_k" -> ((s, dir) =>
       // exactly-k mixture sampling (the "give me exactly 100k docs"
       // op): k smallest md5 coordinates, ties by key — unique result,
@@ -2498,6 +2508,32 @@ object SparkEntry {
                     ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
                     LIMIT 100)
          SELECT doc_id, lang FROM s ORDER BY doc_id""",
+
+    // the packing plan replayed in integer arithmetic: same coordinate,
+    // same bucket split, same two-level running totals
+    "x_pipeline_pack" ->
+      """WITH t0 AS (SELECT doc_id,
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS c,
+                            CAST(len(string_split(text, ' ')) AS BIGINT)
+                              AS n_tokens
+                     FROM documents),
+              tb AS (SELECT *, substr(c, 1, 4) AS b FROM t0),
+              bt AS (SELECT b, sum(n_tokens) AS btot FROM tb GROUP BY b),
+              bb AS (SELECT b, CAST(coalesce(sum(btot) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS base
+                     FROM bt),
+              off AS (SELECT tb.doc_id, tb.n_tokens,
+                             bb.base + CAST(coalesce(sum(tb.n_tokens) OVER (
+                               PARTITION BY tb.b ORDER BY tb.c, tb.doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                               PRECEDING), 0) AS BIGINT) AS g_start
+                      FROM tb JOIN bb ON tb.b = bb.b)
+         SELECT doc_id, n_tokens, g_start, g_start + n_tokens AS g_end,
+                CAST(floor(g_start / 2048.0) AS BIGINT) AS first_win,
+                CAST(floor((g_start + n_tokens - 1) / 2048.0) AS BIGINT)
+                  AS last_win
+         FROM off ORDER BY doc_id""",
 
     // same recursive clustering as x_dedup_cluster, then per-component
     // argmax(quality, ties -> smallest id) — the window runs over the

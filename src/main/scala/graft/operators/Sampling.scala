@@ -127,6 +127,49 @@ object Sampling {
       .drop("_maxb")
   }
 
+  /** Concat-and-slice packing plan — the GPT-style pretraining layout:
+    * the corpus is (virtually) concatenated in a deterministic global
+    * order and sliced into fixed `windowTokens` context windows; each
+    * doc gets its global token offsets and the window ids it lands in
+    * (`first_win < last_win` ⟺ the doc straddles a window boundary).
+    * The order is (content-keyed md5 coordinate, key) — the samplers'
+    * idiom, so packing is stable under retries and across engines and
+    * composes with every deterministic sampler upstream.
+    *
+    * Scale shape: a global running total is the textbook serial
+    * bottleneck, so it computes at two levels — per-16-bit-bucket token
+    * sums (map-side combinable), ONE ≤65536-row window for bucket base
+    * offsets, then within-bucket windows bounded by bucket population
+    * (≈ corpus/65536 docs each) — never a corpus-sized sort on one
+    * reducer. Output: (key, n_tokens, g_start, g_end, first_win,
+    * last_win); token counts < 2⁵³ keep the window-id floor exact. */
+  def packOffsets(df: DataFrame, keyCol: String, tokens: Column,
+                  windowTokens: Long): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    val w = org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(keyCol), hashHex(col(keyCol)).as("_c"),
+        tokens.cast("long").as("n_tokens"))
+      .withColumn("_b", substring(col("_c"), 1, 4))
+    val perBucket = rows.groupBy(col("_b")).agg(sum(col("n_tokens")).as("_bt"))
+    val wb = w.orderBy(col("_b"))
+      .rowsBetween(w.unboundedPreceding, -1)
+    val bases = perBucket
+      .withColumn("_base", coalesce(sum(col("_bt")).over(wb), lit(0L)))
+      .select(col("_b"), col("_base"))
+    val win = w.partitionBy(col("_b")).orderBy(col("_c"), col(keyCol))
+      .rowsBetween(w.unboundedPreceding, -1)
+    rows.join(bases, Seq("_b"))
+      .withColumn("g_start",
+        col("_base") + coalesce(sum(col("n_tokens")).over(win), lit(0L)))
+      .withColumn("g_end", col("g_start") + col("n_tokens"))
+      .withColumn("first_win",
+        floor(col("g_start") / windowTokens).cast("long"))
+      .withColumn("last_win",
+        floor((col("g_end") - 1) / windowTokens).cast("long"))
+      .select(col(keyCol), col("n_tokens"), col("g_start"), col("g_end"),
+        col("first_win"), col("last_win"))
+  }
+
   /** Stratified (mixture) sample: each stratum keeps its own rate,
     * strata not listed keep `defaultRate`. The per-stratum predicate is
     * a codegen'd CASE chain evaluated in the scan stage — no join, no

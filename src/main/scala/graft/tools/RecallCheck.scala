@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.operators.{IvfIndex, IvfPq, PqIndex, Similarity}
+import graft.operators.{IvfIndex, IvfPq, LshIndex, PqIndex, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -115,6 +115,23 @@ object RecallCheck {
             f"recall@$k=${recallSum / queryIds.size}%.4f " +
             f"(float-probe ceiling ${ceilSum / queryIds.size}%.4f)")
         }
+      }
+      // sign-LSH forest: the recall/IO knob under test is multiprobe —
+      // each extra probe reads one more pruned partition per table
+      val lsh = new LshIndex(spark,
+        java.nio.file.Files.createTempDirectory("recall_lsh").toString,
+        dim = 64, numTables = 4, bitsPerTable = 8, seed = 42L)
+      lsh.build(emb, "vec_id", "embedding")
+      for (probes <- Seq(1, 2, 4)) {
+        var recallSum = 0.0
+        for (qid <- queryIds) {
+          val approx = lsh.search("vec_id", "embedding", queryVecs(qid),
+              k, probes)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          recallSum += (exactFull(qid) & approx).size.toDouble / k
+        }
+        println(f"[recallcheck] $sf lsh4x8 k=$k probes=$probes " +
+          f"queries=${queryIds.size} recall@$k=${recallSum / queryIds.size}%.4f")
       }
       emb.unpersist()
     }

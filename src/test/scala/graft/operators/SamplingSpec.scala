@@ -130,6 +130,32 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("packOffsets: contiguous global offsets, exact window ids, deterministic") {
+    val docs = (1L to 500L).map(i => (i, (i % 7 + 1).toInt))
+      .toDF("id", "ntok")
+    val out = Sampling.packOffsets(docs, "id", col("ntok"), windowTokens = 16L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 500)
+    // offsets tile the concatenated corpus exactly: sorted by g_start,
+    // each doc starts where the previous ended, first at 0, total =
+    // sum of token counts
+    val sorted = out.sortBy(_._3)
+    assert(sorted.head._3 == 0L)
+    assert(sorted.sliding(2).forall {
+      case Array(a, b) => b._3 == a._4; case _ => true
+    })
+    assert(sorted.last._4 == out.map(_._2).sum)
+    // window ids are the floor of the offsets; a doc straddles a
+    // boundary iff first_win < last_win, and some do at these sizes
+    assert(out.forall { case (_, n, s, e, fw, lw) =>
+      e == s + n && fw == s / 16 && lw == (e - 1) / 16 && fw <= lw })
+    assert(out.exists { case (_, _, _, _, fw, lw) => fw < lw })
+    // deterministic across evaluations
+    val again = Sampling.packOffsets(docs, "id", col("ntok"), 16L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("contaminationCounts flags train docs overlapping the eval set") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),   // eval
