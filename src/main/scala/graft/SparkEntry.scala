@@ -1213,6 +1213,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_text_chunks" -> ((s, dir) => {
+      // context-prep chunking: 64-token chunks, 16-token overlap —
+      // row-local transform + explode, verified chunk-for-chunk by md5
+      // of the reassembled text
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TF.chunks(col("text"), chunkTokens = 64, overlap = 16))
+            .as("c"))
+        .select(col("doc_id"), col("c.idx").as("chunk_idx"),
+          col("c.start").as("start"), col("c.n_tokens").as("n_tokens"),
+          md5(col("c.chunk")).as("h"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "x_text_vocab" -> ((s, dir) => {
       // corpus vocabulary accounting: top-5 tokens per language by
       // occurrence count (tokenizer-training / coverage view). Explode
@@ -2910,6 +2924,20 @@ object SparkEntry {
                       i -> CAST(ascii(text[i]) AS BIGINT))),
                   (a, c) -> (a * 31 + c) % 1000000007) AS rhash
          FROM documents ORDER BY doc_id""",
+
+    // chunk starts replayed as a stepped generate_series; the 1-based
+    // chunk index derives from the start by exact integer division
+    "x_text_chunks" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+              ch AS (SELECT doc_id, t,
+                            unnest(generate_series(1,
+                              greatest(len(t) - 16, 1), 48)) AS s
+                     FROM tok)
+         SELECT doc_id, CAST((s - 1) // 48 + 1 AS INT) AS chunk_idx,
+                s AS start, least(64, len(t) - s + 1) AS n_tokens,
+                md5(array_to_string(t[s:s+63], ' ')) AS h
+         FROM ch ORDER BY doc_id, chunk_idx""",
 
     // the z-value is a flat sum of shift/mask terms — generated here
     // with the same bit positions the engine's Layout.zValue uses

@@ -165,4 +165,26 @@ object TextFunctions {
     aggregate(split(text, "", -1), lit(0L),
       (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)), lit(p)))
   }
+
+  /** Fixed-size token chunking with overlap — the context-prep op for
+    * embedding/RAG/training pipelines: chunk i (1-based) starts at
+    * token 1 + (i−1)·(chunkTokens − overlap) and spans up to
+    * `chunkTokens` tokens, so consecutive chunks share `overlap` tokens
+    * and every token is covered (a short doc yields one chunk of
+    * itself). Returns array<struct<idx, start, n_tokens, chunk>> —
+    * row-local, scan-stage, no shuffle; explode downstream to one row
+    * per chunk. Start positions are 1-based like the span operators. */
+  def chunks(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap ($overlap) must be in [0, chunkTokens ($chunkTokens))")
+    val step = chunkTokens - overlap
+    val t = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(t) - overlap, lit(1)), lit(step)),
+      (s, i) => struct(
+        (i + 1).as("idx"),
+        s.cast("long").as("start"),
+        least(lit(chunkTokens), size(t) - s + 1).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(t, s, lit(chunkTokens))).as("chunk")))
+  }
 }

@@ -107,4 +107,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(1L) == fps(4L))
     assert(fps(1L) != fps(2L))
   }
+
+  test("chunks tile the doc with the requested overlap; short docs yield one chunk") {
+    val d = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val out = d.select($"doc_id",
+        org.apache.spark.sql.functions.explode(TF.chunks($"text", 8, 2)).as("c"))
+      .select($"doc_id", $"c.idx", $"c.start", $"c.n_tokens", $"c.chunk")
+      .as[(Long, Int, Long, Long, String)].collect()
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 1, 7, 13 (step 6): consecutive chunks share 2 tokens and
+    // the last is truncated to the doc end
+    assert(doc1.map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((1, 1L, 8L), (2, 7L, 8L), (3, 13L, 8L)))
+    assert(doc1(0)._5.split(" ").takeRight(2).toSeq ==
+      doc1(1)._5.split(" ").take(2).toSeq)
+    // full coverage: union of [start, start+n) is 1..20
+    assert(doc1.flatMap(t => t._3 until (t._3 + t._4)).distinct.sorted.toSeq
+      == (1L to 20L))
+    val doc2 = out.filter(_._1 == 2L)
+    assert(doc2.length == 1 && doc2.head._4 == 3L && doc2.head._5 == "a b c")
+    intercept[IllegalArgumentException] { TF.chunks($"text", 8, 8) }
+  }
 }
