@@ -185,6 +185,34 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "j10_scd2" -> ((s, dir) => {
+      // SCD2 merge: history-preserving upsert — a changed attribute
+      // closes the current row (valid_to = ts) and opens a new one;
+      // identical attributes are a replay no-op. One equi-join between
+      // the CURRENT slice and the updates; closed history never joins.
+      // The update batch is derived deterministically from customer:
+      // %3==0 keys change segment, %3==1 keys send an identical row
+      // (no-op path), %3==2 keys receive no update.
+      val cust = t(s, dir, "customer")
+      val hist = cust.select(col("c_custkey").as("key"),
+        col("c_mktsegment").as("segment"),
+        lit("1995-01-01").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val updates = cust.filter(col("c_custkey") % 3 =!= 2)
+        .select(col("c_custkey").as("key"),
+          when(col("c_custkey") % 3 === 0,
+            concat(lit("SEG_"), (col("c_custkey") % 5).cast("string")))
+            .otherwise(col("c_mktsegment")).as("segment"),
+          lit("2000-06-01").cast("timestamp").as("ts"))
+      operators.Upsert.scd2Merge(hist, updates, Seq("key"),
+          Seq("segment"), "ts")
+        .select(col("key"), col("segment"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          coalesce(date_format(col("valid_to"), "yyyy-MM-dd"),
+            lit("current")).as("valid_to"))
+        .orderBy(col("key"), col("valid_from"), col("segment"))
+    }),
+
     // ── §2.4 aggregations ────────────────────────────────────────────
     "a1_count" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
@@ -2365,6 +2393,34 @@ object SparkEntry {
                 strftime(cts, '%Y-%m-%d %H:%M:%S.%f') AS cts,
                 coalesce(round(value, 6), -1e9) AS cvalue
          FROM r WHERE rn = 1 ORDER BY event_id""",
+
+    // SCD2 replay: changed keys close their current row and open a new
+    // one; identical updates fall out of the `segment <> new_seg` join
+    "j10_scd2" ->
+      """WITH hist AS (SELECT c_custkey AS key, c_mktsegment AS segment,
+                              TIMESTAMP '1995-01-01 00:00:00' AS vf,
+                              CAST(NULL AS TIMESTAMP) AS vt
+                       FROM customer),
+              upd AS (SELECT c_custkey AS key,
+                             CASE WHEN c_custkey % 3 = 0
+                                  THEN 'SEG_' || CAST(c_custkey % 5 AS VARCHAR)
+                                  ELSE c_mktsegment END AS segment,
+                             TIMESTAMP '2000-06-01 00:00:00' AS ts
+                      FROM customer WHERE c_custkey % 3 <> 2),
+              chg AS (SELECT h.key, u.segment AS new_seg, u.ts
+                      FROM hist h JOIN upd u ON h.key = u.key
+                      WHERE h.vt IS NULL AND h.segment <> u.segment),
+              res AS (SELECT h.key, h.segment, h.vf,
+                             CASE WHEN c.key IS NOT NULL THEN c.ts
+                                  ELSE h.vt END AS vt
+                      FROM hist h LEFT JOIN chg c
+                        ON h.key = c.key AND h.vt IS NULL
+                      UNION ALL
+                      SELECT key, new_seg, ts, CAST(NULL AS TIMESTAMP)
+                      FROM chg)
+         SELECT key, segment, strftime(vf, '%Y-%m-%d') AS valid_from,
+                coalesce(strftime(vt, '%Y-%m-%d'), 'current') AS valid_to
+         FROM res ORDER BY key, valid_from, segment""",
 
     "a11_cube" ->
       """SELECT l_returnflag, l_linestatus,

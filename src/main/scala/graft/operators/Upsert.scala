@@ -31,6 +31,49 @@ object Upsert {
     merged.select(outCols: _*)
   }
 
+  /** SCD2 (type-2 slowly changing dimension) merge — the
+    * history-preserving sibling of [[merge]]: instead of replacing a
+    * key's row, a change CLOSES the key's current row (its `validTo`
+    * becomes the update's timestamp) and OPENS a new one
+    * (`validFrom` = ts, `validTo` = null marks it current). An update
+    * whose attributes <=> the current row is a no-op (idempotent under
+    * replay — the reference's at-least-once delivery demands it); an
+    * update for an unseen key is a plain insert; already-closed history
+    * passes through untouched.
+    *
+    * Scale: ONE equi-join between the CURRENT slice and the updates
+    * (closed history never joins — at 100 TB the history dwarfs the
+    * current slice, so filtering it out of the join is the operator);
+    * AQE picks broadcast/SMJ. The caller batches updates so one ts per
+    * key per call (apply batches in ts order for multi-step history). */
+  def scd2Merge(hist: DataFrame, updates: DataFrame, keys: Seq[String],
+                attrs: Seq[String], tsCol: String,
+                validFrom: String = "valid_from",
+                validTo: String = "valid_to"): DataFrame = {
+    val histCols = keys ++ attrs ++ Seq(validFrom, validTo)
+    val cur = hist.filter(col(validTo).isNull).withColumn("_hc", lit(true))
+    val closed = hist.filter(col(validTo).isNotNull)
+      .select(histCols.map(col): _*)
+    val u = updates.select(
+      keys.map(col) ++ attrs.map(c => col(c).as(s"_u_$c"))
+        :+ col(tsCol).as("_u_ts") :+ lit(true).as("_hu"): _*)
+    val j = cur.join(u, keys, "full_outer")
+    val hasCur = coalesce(col("_hc"), lit(false))
+    val hasUpd = coalesce(col("_hu"), lit(false))
+    val differs = attrs.map(c => !(col(c) <=> col(s"_u_$c"))).reduce(_ || _)
+    val changed = hasCur && hasUpd && differs
+    // current rows: closed when changed, untouched otherwise
+    val curOut = j.filter(hasCur).select(
+      keys.map(col) ++ attrs.map(col) :+ col(validFrom)
+        :+ when(changed, col("_u_ts")).otherwise(col(validTo)).as(validTo): _*)
+    // opened rows: changed keys and brand-new keys
+    val opened = j.filter(hasUpd && (!hasCur || differs)).select(
+      keys.map(col) ++ attrs.map(c => col(s"_u_$c").as(c))
+        :+ col("_u_ts").as(validFrom)
+        :+ lit(null).cast(hist.schema(validTo).dataType).as(validTo): _*)
+    closed.unionByName(curOut).unionByName(opened)
+  }
+
   /** Last-write-wins: dedup `updates` to the latest row per key (by
     * `version`, ties broken arbitrarily — pass a unique version for full
     * determinism) before merging. Mirrors replayed-file idempotence (ST2).

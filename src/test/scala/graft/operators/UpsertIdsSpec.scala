@@ -23,6 +23,42 @@ class UpsertIdsSpec extends SparkSpec {
       twice.as[(Long, String, Double)].collect().sortBy(_._1).toSeq)
   }
 
+  test("scd2Merge closes changed rows, passes no-ops and history, inserts new keys") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val hist = Seq(
+      // key 1: one closed row + a current row (attr "A")
+      (1L, "OLD", ts("1990-01-01 00:00:00"), Option(ts("1995-01-01 00:00:00"))),
+      (1L, "A", ts("1995-01-01 00:00:00"), Option.empty[Timestamp]),
+      (2L, "B", ts("1995-01-01 00:00:00"), Option.empty[Timestamp]),
+      (3L, "C", ts("1995-01-01 00:00:00"), Option.empty[Timestamp])
+    ).toDF("k", "attr", "valid_from", "valid_to")
+    val t0 = ts("2000-06-01 00:00:00")
+    val updates = Seq(
+      (1L, "A2", t0), // change -> close + open
+      (2L, "B", t0),  // identical -> no-op
+      (9L, "Z", t0)   // new key -> insert
+    ).toDF("k", "attr", "ts")
+    val out = Upsert.scd2Merge(hist, updates, Seq("k"), Seq("attr"), "ts")
+      .as[(Long, String, Timestamp, Option[Timestamp])].collect()
+      .sortBy(r => (r._1, r._3.getTime))
+    assert(out.toSeq == Seq(
+      (1L, "OLD", ts("1990-01-01 00:00:00"), Some(ts("1995-01-01 00:00:00"))),
+      (1L, "A", ts("1995-01-01 00:00:00"), Some(t0)),
+      (1L, "A2", t0, None),
+      (2L, "B", ts("1995-01-01 00:00:00"), None),
+      (3L, "C", ts("1995-01-01 00:00:00"), None),
+      (9L, "Z", t0, None)))
+    // replaying the same batch is a no-op: the changed key's current
+    // row now HAS the update's attrs, the rest were no-ops already
+    val replay = Upsert.scd2Merge(
+      Upsert.scd2Merge(hist, updates, Seq("k"), Seq("attr"), "ts"),
+      updates, Seq("k"), Seq("attr"), "ts")
+      .as[(Long, String, Timestamp, Option[Timestamp])].collect()
+      .sortBy(r => (r._1, r._3.getTime))
+    assert(replay.toSeq == out.toSeq)
+  }
+
   test("mergeLatest dedups update stream to highest version per key") {
     val target = Seq((1L, "A", 0L)).toDF("k", "st", "ver")
     val updates = Seq((1L, "old", 1L), (1L, "new", 2L)).toDF("k", "st", "ver")
