@@ -281,6 +281,39 @@ object Dedup {
       idCol, w)
   }
 
+  /** Append-only advance OF THE ON-DISK SPAN ARTIFACTS: extend the
+    * occurrence table with the delta's windows and fold the delta's
+    * counts into the count table, so the next [[refreshSpans]] treats
+    * today's corpus as "existing" — the disk-closing half of
+    * [[refreshSpans]], exactly as [[refreshArtifacts]] closes
+    * [[refreshPairs]]. Post-condition (spec-asserted): both artifacts
+    * read back equal to a from-scratch [[spanTable]] over the union.
+    *
+    * NOT atomic, same contract as [[refreshArtifacts]]: a crash between
+    * the occurrence append and the count rewrite leaves the delta
+    * counted in one artifact but not the other, and a blind retry
+    * double-appends — recovery is rebuild. */
+  def advanceSpanTable(delta: DataFrame, idCol: String, textCol: String,
+                       basePath: String, w: Int,
+                       portableHash: Boolean = false): Unit = {
+    val spark = delta.sparkSession
+    val (occPath, cntPath) = spanPaths(basePath, w, portableHash)
+    val deltaOcc = windowOccurrences(delta, idCol, textCol, w, portableHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // merged counts materialize (eager localCheckpoint) BEFORE the
+    // overwrite — Spark cannot overwrite a path it is still reading
+    val merged = spark.read.parquet(cntPath).withColumnRenamed("_n", "_no")
+      .join(deltaOcc.groupBy(col("_k")).agg(count(lit(1)).as("_nd")),
+        Seq("_k"), "full_outer")
+      .select(col("_k"),
+        (coalesce(col("_no"), lit(0L)) + coalesce(col("_nd"), lit(0L)))
+          .as("_n"))
+      .localCheckpoint()
+    deltaOcc.write.mode("append").parquet(occPath)
+    merged.write.mode("overwrite").parquet(cntPath)
+    deltaOcc.unpersist()
+  }
+
   /** Flat (id, 1-based position, window-fingerprint) stream of rolling
     * `w`-token windows. */
   private def windowOccurrences(docs: DataFrame, idCol: String,

@@ -129,6 +129,36 @@ class DedupSpec extends SparkSpec {
     assert(occ.count() > 0 && cnt.count() > 0)
   }
 
+  test("advanceSpanTable: artifacts advance to the union; a second delta refreshes cleanly") {
+    val old = Seq(
+      (1L, "o1 s1 s2 s3 s4 s5 s6 s7 s8 o2"),
+      (2L, "plain old row with nothing at all repeated anywhere today")
+    ).toDF("doc_id", "text")
+    val d1 = Seq((3L, "d1 s1 s2 s3 s4 s5 s6 s7 s8 d2")).toDF("doc_id", "text")
+    val d2 = Seq((4L, "e0 s1 s2 s3 s4 s5 s6 s7 s8 e9")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_spanadv").toString
+    Dedup.spanTable(old, "doc_id", "text", base, w = 8)
+    Dedup.advanceSpanTable(d1, "doc_id", "text", base, w = 8)
+    // advanced artifacts == from-scratch artifacts over old ∪ d1
+    val scratchBase = java.nio.file.Files.createTempDirectory("graft_spanadv2").toString
+    val (occS, cntS) = Dedup.spanTable(old.unionByName(d1), "doc_id", "text",
+      scratchBase, w = 8)
+    val (occA, cntA) = Dedup.spanTable(old.unionByName(d1), "doc_id", "text",
+      base, w = 8) // build-once: reads back the ADVANCED artifacts
+    assert(occA.collect().map(_.toString).sorted.toSeq ==
+      occS.collect().map(_.toString).sorted.toSeq)
+    assert(cntA.collect().map(_.toString).sorted.toSeq ==
+      cntS.collect().map(_.toString).sorted.toSeq)
+    // a second delta now refreshes against the advanced state and must
+    // equal from-scratch spans over all three slices
+    val refreshed = Dedup.refreshSpans(d2, "doc_id", "text", base, w = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val scratch = Dedup.duplicatedSpans(
+      old.unionByName(d1).unionByName(d2), "doc_id", "text", w = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(refreshed == scratch && refreshed.exists(_._1 == 4L))
+  }
+
   test("cutSpans removes exactly the spanned tokens and passes clean docs through") {
     val d = Seq(
       (1L, "k1 d1 d2 d3 k2"),
