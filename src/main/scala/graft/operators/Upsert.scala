@@ -141,4 +141,66 @@ object Upsert {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
   }
+
+  /** [[scd2Merge]] against an on-disk history table partitioned by a
+    * `status` column (`current` / `closed`) — the layout that makes
+    * SCD2 viable at scale: a merge READS only the `current` partition
+    * (partition-pruned scan; at 100 TB closed history dwarfs it by
+    * orders of magnitude), APPENDS the newly-closed rows to the
+    * `closed` partition, and dynamically overwrites only the `current`
+    * partition with the new current set. Closed files are never opened,
+    * let alone rewritten.
+    *
+    * NOT atomic (raw parquet, two writes): a crash between the closed
+    * append and the current overwrite leaves a key both closed-at-ts
+    * and still-current, and a blind retry re-appends — recovery is
+    * rebuild from the batch [[scd2Merge]], the same contract as every
+    * raw-parquet append in this repo. First call (no table on disk)
+    * bootstraps all updates as current rows. */
+  def scd2MergeIntoPartitioned(spark: org.apache.spark.sql.SparkSession,
+                               tablePath: String, updates: DataFrame,
+                               keys: Seq[String], attrs: Seq[String],
+                               tsCol: String,
+                               validFrom: String = "valid_from",
+                               validTo: String = "valid_to"): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      updates.select(
+        keys.map(col) ++ attrs.map(col) :+ col(tsCol).as(validFrom)
+          :+ lit(null).cast(updates.schema(tsCol).dataType).as(validTo): _*)
+        .withColumn("status", lit("current"))
+        .write.mode(SaveMode.Overwrite).partitionBy("status")
+        .parquet(tablePath)
+      return
+    }
+    val cur = spark.read.parquet(tablePath)
+      .filter(col("status") === "current").drop("status")
+    val merged = scd2Merge(cur, updates, keys, attrs, tsCol,
+      validFrom, validTo)
+    // stage through a temp dir: both writes read the partition they
+    // replace/extend (self-read-overwrite race, see above)
+    val tmp = s"$tablePath._scd2_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // closed-append FIRST: a crash then leaves a duplicate (visible,
+      // recoverable) rather than lost history (silent)
+      staged.filter(col(validTo).isNotNull)
+        .withColumn("status", lit("closed"))
+        .write.mode(SaveMode.Append).partitionBy("status").parquet(tablePath)
+      staged.filter(col(validTo).isNull)
+        .withColumn("status", lit("current"))
+        .write.mode(SaveMode.Overwrite).partitionBy("status").parquet(tablePath)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+  }
 }
