@@ -103,6 +103,12 @@ object Similarity {
   def probeBuckets(planes: Array[Array[Array[Double]]],
                    query: Seq[Double], probes: Int): Seq[Seq[Long]] = {
     require(probes >= 1, s"probes must be >= 1: $probes")
+    // single-bit perturbations reach at most bits+1 buckets per table;
+    // beyond that Lv et al.'s multi-bit sets are needed — refuse loudly
+    // rather than silently probing fewer buckets than asked
+    require(probes <= planes.head.length + 1,
+      s"probes ($probes) exceeds bitsPerTable+1 (${planes.head.length + 1}) " +
+        "— multi-bit perturbation sets are not implemented")
     planes.toSeq.map { tbl =>
       val dots = tbl.zipWithIndex.map { case (p, b) =>
         (p.zip(query).map { case (x, y) => x * y }.sum, b)
