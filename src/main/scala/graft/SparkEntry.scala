@@ -796,6 +796,36 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "a13_histogram" -> ((s, dir) =>
+      // equi-width numeric histogram — the profiling shape: integer
+      // bucketing folds into one combinable group-by at the scan; both
+      // engines bucket the same IEEE doubles identically.
+      t(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") / 5000.0).cast("long")
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))),
+
+    "a14_corr" -> ((s, dir) => {
+      // Pearson correlation from EXACT decimal moments: n, Σx, Σy, Σxy,
+      // Σx², Σy² accumulate as decimals (order-independent), and only
+      // the final scalar formula runs in double — engine-portable where
+      // a float corr() aggregate could drift with partition order.
+      val x = col("l_quantity").cast("decimal(18,4)")
+      val y = col("l_extendedprice").cast("decimal(18,4)")
+      t(s, dir, "lineitem")
+        .agg(count(lit(1)).cast("double").as("_n"),
+          sum(x).cast("double").as("_sx"), sum(y).cast("double").as("_sy"),
+          sum(x * y).cast("double").as("_sxy"),
+          sum(x * x).cast("double").as("_sxx"),
+          sum(y * y).cast("double").as("_syy"))
+        .select(round(
+          (col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+            sqrt((col("_n") * col("_sxx") - col("_sx") * col("_sx")) *
+              (col("_n") * col("_syy") - col("_sy") * col("_sy"))), 6)
+          .as("corr_qty_price"))
+    }),
+
     "st4_window_agg" -> ((s, dir) => {
       // batch-checkable form of EventStreams.windowedAgg: tumbling
       // 1-hour event-time windows (same code path a readStream takes)
@@ -2436,6 +2466,27 @@ object SparkEntry {
                 round(quantile_cont(value, 0.95), 6) AS p95,
                 count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "a13_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+                count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "a14_corr" ->
+      """WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                           CAST(sum(CAST(l_quantity AS DECIMAL(28,4)) *
+                                    CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+                           CAST(sum(CAST(l_quantity AS DECIMAL(28,4)) *
+                                    CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+                           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4)) *
+                                    CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
+                    FROM lineitem)
+         SELECT round((n * sxy - sx * sy) /
+                  sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6) AS corr_qty_price
+         FROM m""",
 
     "st4_window_agg" ->
       """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
