@@ -1083,6 +1083,28 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x_dedup_cluster_incr" -> ((s, dir) => {
+      // yesterday's labels + today's delta pairs: endpoints contract to
+      // their existing component labels, so the min-label iteration
+      // runs over the delta graph only — old×old edges are never
+      // re-walked. Same full-corpus oracle as x_dedup_cluster, because
+      // incremental == from-scratch IS the operator's claim.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.pairTable(docs, "doc_id", "text",
+        artifactBase(dir), n = 3, numHashes = 64, bands = 32,
+        threshold = 0.5, maxBlock = 1000)
+      val oldPairs = pairs.filter(
+        col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+      val deltaPairs = pairs.filter(
+        col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      val oldLabels = Dedup.connectedComponents(
+        docs.filter(col("doc_id") % 5 =!= 0).select(col("doc_id").as("id")),
+        oldPairs.select("id_a", "id_b"))
+      Dedup.connectedComponentsDelta(docs.select(col("doc_id").as("id")),
+          oldLabels, deltaPairs.select("id_a", "id_b"))
+        .orderBy(col("id"))
+    }),
+
     "x_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
           "embedding", "label", threshold = 0.3)
@@ -1716,6 +1738,38 @@ object SparkEntry {
       (p, i) <- plane.zipWithIndex
     } yield s"($t,${1L << b},${i + 1},$p)").mkString(",")
   }
+
+  /** From-scratch cluster SQL (LSH-threshold pairs → recursive-CTE
+    * reachability → min label) over the FULL documents table — shared
+    * by `x_dedup_cluster` (artifact-served pairs) and
+    * `x_dedup_cluster_incr` (old labels + contracted delta iteration):
+    * both paths' claim is equality with this computation. */
+  private def clusterOracleSql: String =
+    """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                              FROM documents),
+           sh0 AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(
+                            generate_series(1, greatest(len(t)-2, 0)),
+                            i -> array_to_string(t[i:i+2], ' '))) AS s
+                   FROM tok),
+           sh AS (SELECT doc_id, s FROM sh0
+                  QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
+           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+           pairs AS (SELECT id_a, id_b FROM inter
+                     JOIN sizes x ON id_a = x.doc_id
+                     JOIN sizes y ON id_b = y.doc_id
+                     WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5),
+           edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                     UNION ALL SELECT id_b, id_a FROM pairs),
+           reach(src, dst) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+         SELECT src AS id, min(dst) AS comp FROM reach
+         GROUP BY src ORDER BY id"""
 
   /** From-scratch duplicated-span SQL over the full documents table —
     * shared by `x_dedup_spans` (direct path) and `x_dedup_spans_incr`
@@ -2883,32 +2937,10 @@ object SparkEntry {
          WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5
          ORDER BY id_a, id_b""",
 
-    "x_dedup_cluster" ->
-      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t
-                                FROM documents),
-           sh0 AS (SELECT DISTINCT doc_id,
-                          unnest(list_transform(
-                            generate_series(1, greatest(len(t)-2, 0)),
-                            i -> array_to_string(t[i:i+2], ' '))) AS s
-                   FROM tok),
-           sh AS (SELECT doc_id, s FROM sh0
-                  QUALIFY count(*) OVER (PARTITION BY s) <= 1000),
-           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-                     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                     GROUP BY 1, 2),
-           pairs AS (SELECT id_a, id_b FROM inter
-                     JOIN sizes x ON id_a = x.doc_id
-                     JOIN sizes y ON id_b = y.doc_id
-                     WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5),
-           edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-                     UNION ALL SELECT id_b, id_a FROM pairs),
-           reach(src, dst) AS (
-             SELECT doc_id, doc_id FROM documents
-             UNION
-             SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
-         SELECT src AS id, min(dst) AS comp FROM reach
-         GROUP BY src ORDER BY id""",
+    "x_dedup_cluster" -> clusterOracleSql,
+
+    // incremental refresh must land on the identical full-corpus answer
+    "x_dedup_cluster_incr" -> clusterOracleSql,
 
     // incremental refresh must equal the from-scratch all-pairs result:
     // the oracle recomputes UNcapped Jaccard over the full table at the

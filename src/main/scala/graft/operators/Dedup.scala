@@ -912,6 +912,41 @@ object Dedup {
       .select(col("id"), coalesce(col("_c"), col("id")).as("comp"))
   }
 
+  /** Incremental connected components: fold DELTA pairs into an
+    * existing label table without re-iterating the old graph. Each
+    * delta endpoint contracts to its current component label (new nodes
+    * keep themselves) — an old component behaves as one super-node, so
+    * the min-label iteration runs over the CONTRACTED delta graph only:
+    * per-refresh work ∝ delta edges, plus one relabeling join over the
+    * old labels. Exact, because an old label IS the minimum id of its
+    * component: the contracted minimum equals the merged component's
+    * true global minimum (spec asserts equality with from-scratch CC
+    * over the union edge set). The natural companion of
+    * [[refreshPairs]]/[[refreshArtifacts]]: yesterday's labels + the
+    * delta's pairs → today's labels, never touching old×old edges. */
+  def connectedComponentsDelta(nodes: DataFrame, oldLabels: DataFrame,
+                               deltaPairs: DataFrame,
+                               maxIter: Int = 10): DataFrame = {
+    val lab = oldLabels.select(col("id"), col("comp"))
+    val contracted = deltaPairs
+      .join(lab.select(col("id").as("_aid"), col("comp").as("_ac")),
+        col("id_a") === col("_aid"), "left")
+      .join(lab.select(col("id").as("_bid"), col("comp").as("_bc")),
+        col("id_b") === col("_bid"), "left")
+      .select(coalesce(col("_ac"), col("id_a")).as("id_a"),
+        coalesce(col("_bc"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val cNodes = contracted.select(col("id_a").as("id"))
+      .union(contracted.select(col("id_b").as("id"))).distinct()
+    val cc = connectedComponents(cNodes, contracted, maxIter)
+    nodes.select(col("id"))
+      .join(lab.withColumnRenamed("comp", "_oc"), Seq("id"), "left")
+      .withColumn("_l", coalesce(col("_oc"), col("id")))
+      .join(cc.select(col("id").as("_cl"), col("comp").as("_cc")),
+        col("_l") === col("_cl"), "left")
+      .select(col("id"), coalesce(col("_cc"), col("_l")).as("comp"))
+  }
+
   /** Embedding-cosine near-dup pairs within a coarse block (e.g. cluster
     * label / IVF cell): the block join bounds the pair count; cosine ≥
     * threshold kept. */

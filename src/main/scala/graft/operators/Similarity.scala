@@ -130,12 +130,13 @@ object Similarity {
     * table; exact cosine re-rank of candidates only. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int,
-              planes: Array[Array[Array[Double]]]): DataFrame = {
+              planes: Array[Array[Array[Double]]],
+              probes: Int = 1): DataFrame = {
     val q = array(query.map(lit): _*)
-    val qBuckets = queryBuckets(planes, query)
+    val qBuckets = probeBuckets(planes, query, probes)
     val withBuckets = lshBuckets(emb, vecCol, planes)
     val cond = qBuckets.zipWithIndex
-      .map { case (qb, i) => col(s"_lsh$i") === lit(qb) }
+      .map { case (qbs, i) => col(s"_lsh$i").isin(qbs: _*) }
       .reduce(_ || _)
     withBuckets.filter(cond)
       .select(col(idCol),

@@ -416,6 +416,28 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connectedComponentsDelta: contracted delta iteration equals from-scratch CC") {
+    val oldPairs = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    // delta: merges comps {1,2} and {3,4}; links a NEW node into an old
+    // comp; brings a brand-new pair; leaves {10,11} untouched
+    val delta = Seq((2L, 3L), (4L, 7L), (20L, 21L)).toDF("id_a", "id_b")
+    val allNodes = (1L to 4L) ++ Seq(7L, 10L, 11L, 20L, 21L, 30L)
+    val nodes = allNodes.toDF("id")
+    val oldNodes = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("id")
+    val oldLabels = Dedup.connectedComponents(oldNodes, oldPairs)
+    val incr = Dedup.connectedComponentsDelta(nodes, oldLabels, delta)
+      .as[(Long, Long)].collect().toMap
+    val scratch = Dedup.connectedComponents(nodes,
+        oldPairs.unionByName(delta))
+      .as[(Long, Long)].collect().toMap
+    assert(incr == scratch)
+    // the merged component collapsed to the global min, the untouched
+    // one kept its label, the singleton kept itself
+    assert(Seq(1L, 2L, 3L, 4L, 7L).forall(incr(_) == 1L))
+    assert(incr(10L) == 10L && incr(11L) == 10L)
+    assert(incr(20L) == 20L && incr(21L) == 20L && incr(30L) == 30L)
+  }
+
   test("connectedComponents: transitivity through a long chain") {
     val nodes = (1L to 6L).toDF("id")
     val pairs = (1L to 5L).map(i => (i + 1, i)).toDF("id_a", "id_b")

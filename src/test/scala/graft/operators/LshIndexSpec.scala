@@ -55,6 +55,14 @@ class LshIndexSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(mp.size >= plain.size)
     assert(mp.zip(plain).forall { case ((_, s2), (_, s1)) => s2 >= s1 })
+    // scan path and index path agree probe-for-probe (same planes)
+    val planes = Similarity.hyperplanes(4, 2, 4, 7L)
+    assert(Similarity.lshTopK(emb, "vec_id", "embedding", query, 5,
+      planes, probes = 2).as[(Long, Double)].collect().toSeq == mp)
+    // past the single-bit range the count is refused, not capped
+    intercept[IllegalArgumentException] {
+      idx.queryProbeBuckets(query, probes = 6)
+    }
   }
 
   test("build(old) + append(delta) equals build(all) — content and search") {
