@@ -141,5 +141,14 @@ class LshIndexSpec extends SparkSpec {
     val before = idx.rows().count()
     idx.build(emb, "vec_id", "embedding")
     assert(idx.rows().count() == before)
+    // multiprobe stays pruned: probes=2 binds tbl/bucket too — the
+    // perturbed buckets widen the IN-list, not the scan
+    val mp = idx.search("vec_id", "embedding", query, k = 3, probes = 2)
+    mp.collect()
+    val mpFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(mp.queryExecution.executedPlan.toString)
+      .map(_.group(1)).getOrElse("")
+    assert(mpFilters.contains("tbl") && mpFilters.contains("bucket"),
+      s"multiprobe not partition-pruned: [$mpFilters]")
   }
 }
