@@ -1132,6 +1132,31 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "x_pipeline_mix" -> ((s, dir) => {
+      // the whole corpus-shaping pipeline in ONE query — exact-dedup
+      // keepers → quality floor → per-language mixture rates →
+      // per-language token budget → mix accounting. Each stage is the
+      // already-gated operator; the claim here is that they COMPOSE
+      // (content-keyed deterministic sampling, codegen'd predicates,
+      // bucket-granular cuts) into a single plan with no driver
+      // round-trip between stages: one dedup shuffle, scan-stage
+      // filters, one budget window over the bucket table, one final agg.
+      val sw = Seq("the", "and", "of", "a")
+      val docs = t(s, dir, "documents")
+      val keepers = Dedup.exact(docs, Seq("text"), Seq("doc_id"))
+        .select(col("doc_id"))
+      val clean = docs.join(keepers, "doc_id")
+        .filter(TF.qualityScore(col("text"), sw) >= 0.5)
+      val sampled = Sampling.stratifiedSample(clean, "doc_id", "lang",
+        Map("en" -> 0.9, "zh" -> 0.5), defaultRate = 0.7)
+      Sampling.sampleToTokenBudget(sampled, "doc_id", "lang",
+          TF.tokenCount(col("text")).cast("long"), budget = 3000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     "x_pipeline_sample" -> ((s, dir) => {
       // deterministic mixture sampling: per-language Bernoulli rates
       // keyed on md5(doc_id) — the SAME docs survive every run, retry,
@@ -2649,6 +2674,54 @@ object SparkEntry {
           SELECT lang, count(*) AS n_docs,
                  CAST(sum(toks) AS BIGINT) AS n_tokens
           FROM f GROUP BY lang ORDER BY lang"""
+    },
+
+    // the full composition replayed stage by stage: keeper min,
+    // quality arithmetic (x_text_stats form), rate thresholds
+    // interpolated from Sampling.rateThreshold (one source of truth),
+    // bucket-granular budget cut, final accounting
+    "x_pipeline_mix" -> {
+      val stopCnt =
+        """(CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS INT) +
+            CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5 AS INT) +
+            CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4 AS INT) +
+            CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS INT))"""
+      val quality =
+        s"""round((
+              least(length(text) * 1.0 / 500, 1.0) +
+              least(($stopCnt * 1.0 / len(string_split(text, ' '))) * 5.0, 1.0) +
+              greatest(1.0 - (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                * 1.0 / length(text)) * 10.0, 0.0)
+            ) / 3.0, 6)"""
+      val (rEn, rZh, rDef) = (operators.Sampling.rateThreshold(0.9),
+        operators.Sampling.rateThreshold(0.5),
+        operators.Sampling.rateThreshold(0.7))
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+                        GROUP BY text),
+              d AS (SELECT doc_id, lang, text FROM documents
+                    WHERE doc_id IN (SELECT doc_id FROM keep)),
+              q AS (SELECT doc_id, lang, text FROM d
+                    WHERE $quality >= 0.5),
+              s AS (SELECT doc_id, lang, text FROM q
+                    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                          CASE lang WHEN 'en' THEN '$rEn'
+                                    WHEN 'zh' THEN '$rZh'
+                                    ELSE '$rDef' END),
+              tb AS (SELECT lang, doc_id,
+                            len(string_split(text, ' ')) AS tok,
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bkt
+                     FROM s),
+              pb AS (SELECT lang, bkt, sum(tok) AS t FROM tb GROUP BY 1, 2),
+              cum AS (SELECT lang, bkt,
+                             sum(t) OVER (PARTITION BY lang ORDER BY bkt
+                               ROWS UNBOUNDED PRECEDING) AS c
+                      FROM pb),
+              cut AS (SELECT lang, max(bkt) AS maxb FROM cum
+                      WHERE c <= 3000 GROUP BY lang)
+         SELECT tb.lang, count(*) AS n_docs,
+                CAST(sum(tb.tok) AS BIGINT) AS n_tokens
+         FROM tb JOIN cut ON tb.lang = cut.lang AND tb.bkt <= cut.maxb
+         GROUP BY 1 ORDER BY 1"""
     },
 
     // thresholds are floor(rate·2^32) as %08x — fixed-width lowercase
