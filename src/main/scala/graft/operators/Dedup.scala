@@ -201,13 +201,33 @@ object Dedup {
     * docs would make `row_number() over (partition by key)` sort a
     * million-row partition, the hot-key quadratic this file
     * systematically refuses. Same skew posture as [[duplicatedSpans]]
-    * otherwise; `idCol` must be integral and non-negative. */
+    * otherwise.
+    *
+    * `idCol` MUST be integral and in [0, 2³¹): the packed key overflows
+    * a signed Long past that, silently electing wrong keepers. Enforced
+    * the same way the sibling bound-sensitive operators do
+    * ([[Similarity.blockKnn]], `probeBuckets`): the dtype eagerly, the
+    * value range in-plan via `raise_error` — misuse fails with a clear
+    * message, never a wrong span table. */
   def duplicatedSpansKeepFirst(docs: DataFrame, idCol: String,
                                textCol: String, w: Int,
                                minOccurrences: Long = 2,
                                portableHash: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"duplicatedSpansKeepFirst requires an integral id column; " +
+        s"'$idCol' is $idType — assign a dense numeric surrogate id " +
+        "(graft.operators.Ids) first")
     val wins = windowOccurrences(docs, idCol, textCol, w, portableHash)
-    val occKey = col(idCol).cast("long") * lit(4294967296L) + col("_pos")
+    val idGuarded =
+      when(col(idCol) >= 0 && col(idCol) <= Int.MaxValue,
+        col(idCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"duplicatedSpansKeepFirst: '$idCol' outside [0, 2^31) " +
+            "overflows the packed keeper key: "),
+          col(idCol).cast("string"))))
+    val occKey = idGuarded * lit(4294967296L) + col("_pos")
     val keep = wins.groupBy(col("_k"))
       .agg(count(lit(1)).as("_n"), min(occKey).as("_kp"))
       .filter(col("_n") >= minOccurrences)
@@ -267,8 +287,15 @@ object Dedup {
     val (occPath, cntPath) = spanPaths(basePath, w, portableHash)
     val occOld = spark.read.parquet(occPath)
     val cntOld = spark.read.parquet(cntPath)
+    // eager localCheckpoint, NOT persist: the returned lazy DataFrame
+    // reads deltaOcc twice (count join + union), so a persist here could
+    // never be unpaired-unpersisted without breaking the caller's plan —
+    // and daily refreshes in one long-lived session would accumulate
+    // cached blocks forever. A checkpoint's blocks are released by the
+    // ContextCleaner as soon as the caller drops the result, with no
+    // cache reference escaping this method.
     val deltaOcc = windowOccurrences(delta, idCol, textCol, w, portableHash)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val deltaCnt = deltaOcc.groupBy(col("_k")).agg(count(lit(1)).as("_nd"))
     val dup = cntOld.withColumnRenamed("_n", "_no")
       .join(deltaCnt, Seq("_k"), "full_outer")

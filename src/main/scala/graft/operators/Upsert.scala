@@ -74,6 +74,25 @@ object Upsert {
     closed.unionByName(curOut).unionByName(opened)
   }
 
+  /** SCD2 companion of [[mergeLatest]]: [[scd2Merge]]'s full-outer join
+    * fans out when an update batch carries more than one row per key
+    * (duplicate closed/current rows — the one-ts-per-key rule used to be
+    * doc-only), so this variant pre-dedups `updates` to the single
+    * latest row per key (by `tsCol`; ties break to the larger attr
+    * tuple for determinism) before merging. Intermediate versions inside
+    * one batch collapse — callers that want every version in history
+    * apply batches in ts order via [[scd2Merge]] instead. */
+  def scd2MergeLatest(hist: DataFrame, updates: DataFrame,
+                      keys: Seq[String], attrs: Seq[String], tsCol: String,
+                      validFrom: String = "valid_from",
+                      validTo: String = "valid_to"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).desc +: attrs.map(col(_).desc): _*)
+    val latest = updates.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    scd2Merge(hist, latest, keys, attrs, tsCol, validFrom, validTo)
+  }
+
   /** Last-write-wins: dedup `updates` to the latest row per key (by
     * `version`, ties broken arbitrarily — pass a unique version for full
     * determinism) before merging. Mirrors replayed-file idempotence (ST2).

@@ -98,6 +98,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(cut, "doc_id", "text", w = 8).count() == 0)
   }
 
+  test("duplicatedSpansKeepFirst refuses ids that overflow the packed key") {
+    // non-integral id: eager refusal with the surrogate-id hint
+    val strIds = Seq(("a", "s1 s2 s3 s4 s5 s6 s7 s8"),
+      ("b", "s1 s2 s3 s4 s5 s6 s7 s8")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.duplicatedSpansKeepFirst(strIds, "doc_id", "text", w = 8)
+    }
+    assert(e.getMessage.contains("integral id column"))
+    // id >= 2^31 would silently elect wrong keepers — the plan raises
+    val bigIds = Seq((1L << 31, "s1 s2 s3 s4 s5 s6 s7 s8"),
+      (7L, "s1 s2 s3 s4 s5 s6 s7 s8")).toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      Dedup.duplicatedSpansKeepFirst(bigIds, "doc_id", "text", w = 8).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("overflows the packed keeper key")))
+  }
+
   test("refreshSpans: artifact-fed refresh equals from-scratch spans of the union") {
     // the delta (a) duplicates an OLD doc's region — the old doc's span
     // exists only after the refresh, the case a delta-only formulation
