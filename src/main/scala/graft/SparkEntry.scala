@@ -1208,6 +1208,30 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    "x_pipeline_weighted" -> ((s, dir) =>
+      // weighted exactly-k sampling without replacement (Efraimidis–
+      // Spirakis A-ES): inclusion probability proportional to document
+      // token count — "prefer substantial documents, keep the tail
+      // reachable", the soft alternative to a hard quality floor. The
+      // exponential clock -ln(u)/w is a pure function of (doc_id,
+      // weight), so the sample is retry-stable and nested across k;
+      // physically a TakeOrdered, no global sort. Oracle re-derives
+      // the clocks from md5 in SQL (hex -> int is 8 strpos terms).
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+          TF.tokenCount(col("text")).cast("double"), 100)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    "x_pipeline_weighted_cap" -> ((s, dir) =>
+      // per-language weighted cap: at most 20 docs per lang, chosen by
+      // the same A-ES clocks — "keep <=N docs per source, preferring
+      // the substantial ones". k-bounded GroupTopK shuffle (at most k
+      // entries per (lang, map task)), never the dominant language's
+      // rows; a window formulation would sort the whole stratum.
+      Sampling.weightedCapPerGroup(t(s, dir, "documents"), "doc_id",
+          "lang", TF.tokenCount(col("text")).cast("double"), 20)
+        .orderBy(col("lang"), col("doc_id"))),
+
     "x_pipeline_canonical" -> ((s, dir) => {
       // dedup that keeps the BEST document per near-dup cluster, not
       // the lowest id: cluster membership (artifact-served pairs, same
@@ -1451,6 +1475,23 @@ object SparkEntry {
       val q = queryVector(emb)
       val idx = lshIndexFor(s, dir, emb)
       idx.search("vec_id", "embedding", q, k = 11, probes = 2)
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    "x_sim_lsh_probe4" -> ((s, dir) => {
+      // multi-bit multiprobe (Lv et al. §4.1's query-directed order):
+      // probes=4 walks the perturbation-SET sequence — subsets of <=2
+      // sign bits ranked by summed margin — so a pair of near-boundary
+      // bits can outrank one solid single flip. Still one extra pruned
+      // partition per probe per table; the oracle re-enumerates the
+      // subset sequence (singles UNION pairs, ordered by 6-dp score
+      // sum then mask) from the pasted planes in SQL.
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val idx = lshIndexFor(s, dir, emb)
+      idx.search("vec_id", "embedding", q, k = 11, probes = 4)
         .filter(col("vec_id") =!= 0)
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
@@ -1890,13 +1931,24 @@ object SparkEntry {
              GROUP BY 1)
        SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10"""
 
-  /** DuckDB oracle for `x_sim_lsh_probe2`: like [[lshIndexOracleSql]],
-    * plus the multiprobe perturbation re-derived in SQL — per table the
-    * bit with the smallest 6-dp-rounded |margin| (ties by bit weight,
-    * the same total order the engine sorts by) xors into the exact
-    * bucket, and candidates come from BOTH buckets' partitions of the
-    * same on-disk forest. */
-  private def lshProbe2OracleSql: String =
+  /** DuckDB has no base-16 `conv`: the numeric value of an 8-char
+    * lowercase-hex expression re-derives as 8 strpos nibble terms
+    * (exact integer arithmetic, < 2³² ≪ 2⁵³). */
+  private def hexValSql(expr: String): String =
+    (0 until 8).map { i =>
+      s"(strpos('0123456789abcdef', substr($expr, ${i + 1}, 1)) - 1) * " +
+        s"${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB oracle for the multiprobe gates: like [[lshIndexOracleSql]],
+    * plus the Lv et al. perturbation-set sequence re-derived in SQL —
+    * per table, candidate sets are the single bits UNION the bit pairs,
+    * scored by their summed 6-dp-rounded |margins| (sums of identical
+    * doubles are bit-identical in any IEEE engine) with ties broken by
+    * the flip mask, exactly the engine's total order; the first
+    * `probes-1` masks xor into the exact bucket and candidates come
+    * from all probed buckets' partitions of the same on-disk forest. */
+  private def lshMultiProbeOracleSql(probes: Int): String =
     s"""WITH planes(t, w, i, p) AS (VALUES $lshPlaneValues),
        q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
                     generate_subscripts(embedding, 1) AS i
@@ -1906,12 +1958,17 @@ object SparkEntry {
        qb AS (SELECT t, CAST(sum(CASE WHEN d > 0 THEN w ELSE 0 END)
                         AS BIGINT) AS bkt
               FROM qd GROUP BY 1),
-       flips AS (SELECT t, w FROM qd
+       sub AS (SELECT t, w AS mask, round(abs(d), 6) AS score FROM qd
+               UNION ALL
+               SELECT a.t, a.w + b.w AS mask,
+                      round(abs(a.d), 6) + round(abs(b.d), 6) AS score
+               FROM qd a JOIN qd b ON a.t = b.t AND a.w < b.w),
+       flips AS (SELECT t, mask FROM sub
                  QUALIFY row_number() OVER (PARTITION BY t
-                   ORDER BY round(abs(d), 6), w) <= 1),
+                   ORDER BY score, mask) <= ${probes - 1}),
        pb AS (SELECT t, bkt FROM qb
               UNION ALL
-              SELECT qb.t, xor(qb.bkt, f.w) AS bkt
+              SELECT qb.t, xor(qb.bkt, f.mask) AS bkt
               FROM qb JOIN flips f ON qb.t = f.t),
        cand AS (SELECT DISTINCT r.vec_id
                 FROM read_parquet('__GRAFT_LSH__/*/*/*.parquet',
@@ -2761,6 +2818,37 @@ object SparkEntry {
                     LIMIT 100)
          SELECT doc_id, lang FROM s ORDER BY doc_id""",
 
+    // A-ES clocks replayed in SQL: u = (md5_32(doc_id)+1)/2^32, with the
+    // hex coordinate re-derived via strpos nibble arithmetic (DuckDB has
+    // no base-16 conv); clock = round(-ln(u)/w, 6), smallest k win with
+    // doc_id tiebreak — the engine's exact ordering
+    "x_pipeline_weighted" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+                            len(string_split(text, ' ')) AS w,
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                     FROM documents),
+              c AS (SELECT doc_id, lang,
+                           round(-ln((${hexValSql("h")} + 1) /
+                             4294967296.0) / w, 6) AS clk
+                    FROM d),
+              s AS (SELECT doc_id, lang FROM c
+                    ORDER BY clk, doc_id LIMIT 100)
+         SELECT doc_id, lang FROM s ORDER BY doc_id""",
+
+    "x_pipeline_weighted_cap" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+                            len(string_split(text, ' ')) AS w,
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                     FROM documents),
+              c AS (SELECT doc_id, lang,
+                           round(-ln((${hexValSql("h")} + 1) /
+                             4294967296.0) / w, 6) AS clk
+                    FROM d),
+              s AS (SELECT lang, doc_id FROM c
+                    QUALIFY row_number() OVER (PARTITION BY lang
+                      ORDER BY clk, doc_id) <= 20)
+         SELECT lang, doc_id FROM s ORDER BY lang, doc_id""",
+
     // the packing plan replayed in integer arithmetic: same coordinate,
     // same bucket split, same two-level running totals
     "x_pipeline_pack" ->
@@ -3328,7 +3416,8 @@ object SparkEntry {
 
     "x_sim_lsh_index" -> lshIndexOracleSql,
 
-    "x_sim_lsh_probe2" -> lshProbe2OracleSql,
+    "x_sim_lsh_probe2" -> lshMultiProbeOracleSql(2),
+    "x_sim_lsh_probe4" -> lshMultiProbeOracleSql(4),
 
     "x_sim_ivf_probe" -> ivfProbeOracleSql,
 

@@ -88,6 +88,67 @@ object Sampling {
       .select(col(groupCol), (-col("_negkey")).as(keyCol))
   }
 
+  /** Weighted exactly-k sample without replacement (Efraimidis &
+    * Spirakis 2006, A-ES in its exponential-clock form): each row draws
+    * the uniform u = (md5₃₂(key)+1)/2³² and the clock e = −ln(u)/w; the
+    * k SMALLEST clocks win, which samples with inclusion probability
+    * proportional to `weight` — "prefer high-quality documents, but
+    * keep the tail reachable", the soft alternative to a hard quality
+    * floor when shaping a training mix. Deterministic for the same
+    * reasons as [[exactSample]] (the clock is a pure function of the
+    * key) and NESTED across k the same way — growing a weighted
+    * subsample never discards previously selected rows.
+    *
+    * Engine-portable: the clock rounds to 6 dp before ordering, ties
+    * break by key — the only float in the pipeline is one ln/division,
+    * agreed to well past 6 dp by any IEEE-double engine. Weights must
+    * be strictly positive; a zero/negative/null weight is refused
+    * in-plan (`raise_error`) rather than silently ranked last.
+    *
+    * Physical shape: distributed TakeOrdered exactly like
+    * [[exactSample]] — per-partition top-k heaps, no global sort. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    df.orderBy(aesClock(col(keyCol), weight), col(keyCol)).limit(k)
+  }
+
+  /** Per-group weighted cap: at most `k` rows per `groupCol`, chosen by
+    * the same A-ES clocks as [[weightedSample]] — "keep ≤N docs per
+    * domain, preferring the high-quality ones". Same k-bounded
+    * [[GroupTopK]] shape (and integral-key contract) as
+    * [[capPerGroup]]: the shuffle carries at most k entries per
+    * (group, map task), never the dominant domain's rows. Output:
+    * (`groupCol`, `keyCol`) survivors — join back for payloads. */
+  def weightedCapPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+                          weight: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val keyType = df.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
+      s"weightedCapPerGroup requires an integral key column; '$keyCol' is " +
+        s"$keyType — assign a dense numeric surrogate id " +
+        "(graft.operators.Ids) first")
+    // GroupTopK keeps the LARGEST (score, id); negate so the smallest
+    // clock, then smallest key, win — same device as capPerGroup.
+    val directed = df.select(col(groupCol),
+      (-aesClock(col(keyCol), weight)).as("_score"),
+      (-col(keyCol).cast("long")).as("_negkey"))
+    GroupTopK.topKPerGroup(directed, Seq(groupCol), "_score", "_negkey", k)
+      .select(col(groupCol), (-col("_negkey")).as(keyCol))
+  }
+
+  /** The A-ES exponential clock of a key under a weight: −ln(u)/w with
+    * u = (md5₃₂(key)+1)/2³² ∈ (0, 1], rounded to 6 dp. Shared by the
+    * global and per-group weighted samplers so they rank identically. */
+  private def aesClock(key: Column, weight: Column): Column = {
+    val u = (conv(hashHex(key), 16, 10).cast("double") + 1.0) /
+      lit(4294967296.0)
+    val w = when(weight.isNotNull && weight > 0, weight.cast("double"))
+      .otherwise(raise_error(concat(
+        lit("weightedSample: weight must be strictly positive, got: "),
+        coalesce(weight.cast("string"), lit("null")))))
+    round(-log(u) / w, 6)
+  }
+
   /** Token-budget sample: per stratum, keep documents in coordinate
     * order until a token budget is reached — "give me ≤50M tokens of
     * each language", the unit training mixes are actually specified in.

@@ -92,36 +92,52 @@ object Similarity {
                    query: Seq[Double]): Seq[Long] =
     probeBuckets(planes, query, probes = 1).map(_.head)
 
-  /** Multiprobe bucket sets (Lv et al., "Multi-Probe LSH", VLDB 2007 —
-    * the single-bit perturbation form): per table, the query's exact
-    * bucket plus the buckets reached by flipping the `probes-1` bits
-    * whose hyperplane margins |q·p| are SMALLEST — the sign decisions
-    * most likely to have split true neighbors across the boundary.
-    * Margins are rounded to 6 dp before ordering (ties by bit weight)
-    * so an external engine re-deriving the probe set from the same
-    * planes sorts identically despite float summation order. */
+  /** Multiprobe bucket sets (Lv et al., "Multi-Probe LSH", VLDB 2007):
+    * per table, the query's exact bucket plus the buckets reached by
+    * the `probes-1` PERTURBATION SETS — subsets of sign bits flipped
+    * together — of smallest total margin, where a bit's margin |q·p| is
+    * how close the query sat to that hyperplane. A set's score is the
+    * SUM of its members' margins (Lv et al. §4.1: the query-directed
+    * probing order), so the sequence naturally interleaves: a pair of
+    * near-zero margins outranks one large single-bit flip. Sets are
+    * bounded to ≤ 2 bits — the regime multiprobe actually operates in
+    * (a 3-bit flip's score is almost never competitive; Lv et al.'s
+    * own evaluation uses small sets) — and the bound is REFUSED loudly
+    * past its reach (1 + bits + C(bits,2) buckets per table), never
+    * silently truncated.
+    *
+    * Engine-portable total order: margins round to 6 dp BEFORE
+    * summation (so an external engine summing in any order re-derives
+    * identical scores), ties break by the flip mask's numeric value —
+    * which also pins the degenerate case: a zero-margin pair ties its
+    * zero-margin singletons and loses to them on mask, keeping the
+    * probes=2 prefix exactly the single-smallest-margin flip. */
   def probeBuckets(planes: Array[Array[Array[Double]]],
                    query: Seq[Double], probes: Int): Seq[Seq[Long]] = {
     require(probes >= 1, s"probes must be >= 1: $probes")
-    // single-bit perturbations reach at most bits+1 buckets per table;
-    // beyond that Lv et al.'s multi-bit sets are needed — refuse loudly
-    // rather than silently probing fewer buckets than asked
-    require(probes <= planes.head.length + 1,
-      s"probes ($probes) exceeds bitsPerTable+1 (${planes.head.length + 1}) " +
-        "— multi-bit perturbation sets are not implemented")
+    val bits = planes.head.length
+    val reach = 1 + bits + bits * (bits - 1) / 2
+    require(probes <= reach,
+      s"probes ($probes) exceeds the ≤2-bit perturbation reach " +
+        s"($reach = 1 + $bits + C($bits,2)) — larger sets are not implemented")
     planes.toSeq.map { tbl =>
       val dots = tbl.zipWithIndex.map { case (p, b) =>
         (p.zip(query).map { case (x, y) => x * y }.sum, b)
       }
       val exact = dots.map { case (d, b) => if (d > 0) 1L << b else 0L }
         .foldLeft(0L)(_ | _)
-      val flips = dots
-        .sortBy { case (d, b) =>
-          (BigDecimal(math.abs(d))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 1L << b)
-        }
+      val margin = dots.map { case (d, _) =>
+        BigDecimal(math.abs(d))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val singles = (0 until bits).map(i => (margin(i), 1L << i))
+      val pairs = for {
+        i <- 0 until bits; j <- (i + 1) until bits
+      } yield (margin(i) + margin(j), (1L << i) | (1L << j))
+      val flips = (singles ++ pairs)
+        .sortBy { case (score, mask) => (score, mask) }
         .take(probes - 1)
-        .map { case (_, b) => exact ^ (1L << b) }
+        .map { case (_, mask) => exact ^ mask }
       exact +: flips.toSeq
     }
   }

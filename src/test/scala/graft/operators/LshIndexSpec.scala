@@ -46,9 +46,14 @@ class LshIndexSpec extends SparkSpec {
       case (multi, exact) => multi.head == exact.head
     })
     assert(pbs.forall(b => b.distinct.size == b.size))
-    // a flip differs from the exact bucket in exactly one bit
+    // perturbation sets are bounded to <= 2 flipped bits (Lv et al.'s
+    // operating regime); the FIRST flip is always the single
+    // smallest-margin bit (a pair's margin sum can never beat its own
+    // smaller member, and mask breaks the zero-margin tie)
     assert(pbs.forall(b => b.tail.forall(f =>
-      java.lang.Long.bitCount(b.head ^ f) == 1)))
+      (1 to 2).contains(java.lang.Long.bitCount(b.head ^ f)))))
+    assert(pbs.forall(b =>
+      java.lang.Long.bitCount(b.head ^ b.tail.head) == 1))
     // monotone: the probes=2 top-5 scores are >= plain's at each rank
     // (the candidate set only grows, and re-rank is exact)
     val mp = idx.search("vec_id", "embedding", query, k = 5, probes = 2)
@@ -59,9 +64,11 @@ class LshIndexSpec extends SparkSpec {
     val planes = Similarity.hyperplanes(4, 2, 4, 7L)
     assert(Similarity.lshTopK(emb, "vec_id", "embedding", query, 5,
       planes, probes = 2).as[(Long, Double)].collect().toSeq == mp)
-    // past the single-bit range the count is refused, not capped
+    // past the <=2-bit reach (1 + 4 + C(4,2) = 11 here) the count is
+    // refused, not capped
+    assert(idx.queryProbeBuckets(query, probes = 11).forall(_.size == 11))
     intercept[IllegalArgumentException] {
-      idx.queryProbeBuckets(query, probes = 6)
+      idx.queryProbeBuckets(query, probes = 12)
     }
   }
 

@@ -45,6 +45,66 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("weightedSample: deterministic, nested, weight-proportional, TakeOrdered") {
+    val weighted = rows.withColumn("w",
+      when($"lang" === "en", 10.0).otherwise(1.0))
+    val k200 = Sampling.weightedSample(weighted, "id", col("w"), 200)
+      .select("id").as[Long].collect().toSet
+    assert(k200.size == 200)
+    // deterministic and nested across k, like exactSample
+    assert(Sampling.weightedSample(weighted, "id", col("w"), 200)
+      .select("id").as[Long].collect().toSet == k200)
+    val k50 = Sampling.weightedSample(weighted, "id", col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    assert(k50.subsetOf(k200))
+    // 10x-weighted "en" rows (even ids) dominate the sample: with equal
+    // populations the expected en share is ~10/11
+    val enShare = k200.count(_ % 2 == 0) / 200.0
+    assert(enShare > 0.75, s"en share $enShare")
+    // uniform weights reduce to a pure coordinate order: the smallest
+    // clock -ln(u)/w is the LARGEST u, so the k largest md5 coordinates
+    // win (exactSample's mirror image — same determinism, same nesting)
+    val uni = Sampling.weightedSample(rows.withColumn("w", lit(3.0)),
+      "id", col("w"), 100).select("id").as[Long].collect().toSet
+    val uniExpect = rows.orderBy(Sampling.hashHex($"id").desc, $"id")
+      .limit(100).select("id").as[Long].collect().toSet
+    assert(uni == uniExpect)
+    // no global sort
+    val plan = Sampling.weightedSample(weighted, "id", col("w"), 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // non-positive weight is refused in-plan, not ranked last
+    val err = intercept[Exception] {
+      Sampling.weightedSample(rows.withColumn("w",
+        when($"id" === 7L, -1.0).otherwise(1.0)), "id", col("w"), 10).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("strictly positive")))
+  }
+
+  test("weightedCapPerGroup caps each group with weight preference") {
+    val weighted = rows.withColumn("w",
+      when($"id" % 10 === 0, 100.0).otherwise(1.0))
+    val out = Sampling.weightedCapPerGroup(weighted, "id", "lang",
+      col("w"), 50).as[(String, Long)].collect()
+    val byLang = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byLang("en").size == 50 && byLang("zh").size == 50)
+    // the heavy rows (ids % 10 == 0, all "en") are near-certain picks
+    val heavy = (1L to 2000L).filter(_ % 10 == 0).toSet
+    assert(heavy.count(byLang("en").contains) >= 45)
+    // agrees with the global sampler's ranking applied per group
+    val en = weighted.filter($"lang" === "en")
+    assert(byLang("en") == Sampling.weightedSample(en, "id", col("w"), 50)
+      .select("id").as[Long].collect().toSet)
+    // string keys are refused with the surrogate-id hint
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedCapPerGroup(rows.withColumn("k", $"id".cast("string")),
+        "k", "lang", lit(1.0), 5)
+    }
+    assert(e.getMessage.contains("integral key column"))
+  }
+
   test("stratifiedSample applies per-stratum rates and the default") {
     val out = Sampling.stratifiedSample(rows, "id", "lang",
         Map("en" -> 1.0), defaultRate = 0.0)

@@ -57,6 +57,39 @@ class SimilaritySpec extends SparkSpec {
     assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
   }
 
+  test("probeBuckets enumerates <=2-bit perturbation sets in Lv score order") {
+    val planes = Similarity.hyperplanes(4, 2, 4, seed = 13L)
+    val q = Seq(0.3, -0.2, 0.7, 0.05)
+    // brute-force reference: every non-empty subset of <= 2 bits,
+    // scored by the sum of 6-dp-rounded margins, ties by mask
+    def round6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = planes.map { tbl =>
+      val m = tbl.map(p => round6(math.abs(
+        p.zip(q).map { case (a, b) => a * b }.sum)))
+      val exact = tbl.zipWithIndex.map { case (p, b) =>
+        if (p.zip(q).map { case (a, c) => a * c }.sum > 0) 1L << b else 0L
+      }.foldLeft(0L)(_ | _)
+      val subsets =
+        (0 until 4).map(i => (m(i), 1L << i)) ++
+          (for { i <- 0 until 4; j <- (i + 1) until 4 }
+            yield (m(i) + m(j), (1L << i) | (1L << j)))
+      exact +: subsets.sortBy { case (s, k) => (s, k) }
+        .map { case (_, k) => exact ^ k }
+    }
+    val reach = 1 + 4 + 6
+    val got = Similarity.probeBuckets(planes, q, probes = reach)
+    assert(got == expect.toSeq.map(_.toSeq))
+    // every shorter probe count is a strict prefix (nested sequence)
+    (1 until reach).foreach { p =>
+      assert(Similarity.probeBuckets(planes, q, p) ==
+        got.map(_.take(p)))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.probeBuckets(planes, q, probes = reach + 1)
+    }
+  }
+
   test("sqQuantize maps components into [-127, 127] with max|x| at ±127") {
     val maxAbs = Similarity.sqMaxAbs(emb, "embedding")
     assert(math.abs(maxAbs - 1.0) < 1e-9)
