@@ -213,6 +213,73 @@ object SparkEntry {
         .orderBy(col("key"), col("valid_from"), col("segment"))
     }),
 
+    "j11_bucketed" -> ((s, dir) => {
+      // co-located fact-fact join: both sides served from a CLUSTERED
+      // BY (bucketed) layout on the join key, so the join itself needs
+      // NO exchange on either side — at 100 TB the difference between
+      // shuffling two fact tables and a local zipped-bucket merge
+      // (LayoutSpec asserts the exchange-free plan under forced SMJ).
+      // Layout never changes content: the oracle is the plain join
+      // over the original parquet.
+      val o = bucketedTable(s, dir, "orders", "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val l = bucketedTable(s, dir, "lineitem", "l_orderkey")
+        .select(col("l_orderkey"), col("l_quantity"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "j12_interval" -> ((s, dir) => {
+      // range join via bucket decomposition: "orders placed within the
+      // 3 days after each order" is a pure BETWEEN join — natively a
+      // BroadcastNestedLoop/cartesian wall. IntervalJoin grids the
+      // date axis (bucketWidth 4 days), explodes each interval to the
+      // 1-2 buckets it touches, equi-joins on the bucket id, and
+      // refines with the BETWEEN residual — one hash join, no
+      // quadratic operator in the plan (spec-asserted).
+      val o = t(s, dir, "orders")
+      val pts = o.select(col("o_orderkey").as("b_key"),
+        unix_timestamp(col("o_orderdate")).as("d"))
+      val ivs = o.select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("lo"),
+        (unix_timestamp(col("o_orderdate")) + lit(3L * 86400)).as("hi"))
+      operators.IntervalJoin.pointInInterval(pts, "d", ivs, "lo", "hi",
+          bucketWidth = 4L * 86400)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_follow"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "j13_scd2_asof" -> ((s, dir) => {
+      // point-in-time view of an SCD2 history, AT the exact change
+      // instant — the half-open boundary contract: a row closed at ts
+      // is gone, the row opened at ts is visible. One scan-stage
+      // filter (on a partitioned history it partition-prunes; j10's
+      // merge is replayed here to build the same two-epoch history).
+      val cust = t(s, dir, "customer")
+      val hist = cust.select(col("c_custkey").as("key"),
+        col("c_mktsegment").as("segment"),
+        lit("1995-01-01").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val updates = cust.filter(col("c_custkey") % 3 =!= 2)
+        .select(col("c_custkey").as("key"),
+          when(col("c_custkey") % 3 === 0,
+            concat(lit("SEG_"), (col("c_custkey") % 5).cast("string")))
+            .otherwise(col("c_mktsegment")).as("segment"),
+          lit("2000-06-01").cast("timestamp").as("ts"))
+      val merged = operators.Upsert.scd2Merge(hist, updates, Seq("key"),
+        Seq("segment"), "ts")
+      operators.Upsert.scd2AsOf(merged,
+          lit("2000-06-01").cast("timestamp"))
+        .select(col("key"), col("segment"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"))
+        .orderBy(col("key"), col("segment"))
+    }),
+
     // ── §2.4 aggregations ────────────────────────────────────────────
     "a1_count" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
@@ -1763,6 +1830,21 @@ object SparkEntry {
       comp
     })
 
+  /** Bucketed-layout twin of a parquet fact table, build-once per
+    * (sf dir, table): catalog entry re-bound idempotently, data written
+    * once (one file per bucket) under the artifact base. The table name
+    * carries the dir hash so two sf dirs never collide in the shared
+    * session catalog. */
+  private def bucketedTable(s: SparkSession, dir: String, name: String,
+                            key: String): DataFrame = {
+    val id = java.lang.Long.toHexString(
+      java.util.Objects.hash(dir).toLong & 0xffffffffL)
+    val tbl = s"graft_bkt_${name}_$id"
+    operators.Layout.ensureBucketedTable(s, tbl, t(s, dir, name), key,
+      buckets = 8, s"${artifactBase(dir)}/bucketed/${name}_b8")
+    s.table(tbl)
+  }
+
   /** Plane config shared by the x_sim_lsh gate, the persistent index,
     * and both oracles — one source of truth. */
   private val LshDim = 64; private val LshTables = 4
@@ -2591,6 +2673,54 @@ object SparkEntry {
          SELECT key, segment, strftime(vf, '%Y-%m-%d') AS valid_from,
                 coalesce(strftime(vt, '%Y-%m-%d'), 'current') AS valid_to
          FROM res ORDER BY key, valid_from, segment""",
+
+    // layout never changes content: the bucketed join's oracle is the
+    // plain join over the original parquet tables
+    "j11_bucketed" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+                CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  AS qty
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
+    // the bucket decomposition meets each qualifying pair exactly once,
+    // so the oracle is the plain BETWEEN join
+    "j12_interval" ->
+      """SELECT a.o_orderkey, count(*) AS n_follow
+         FROM orders a JOIN orders b
+           ON b.o_orderdate >= a.o_orderdate
+          AND b.o_orderdate <= a.o_orderdate + INTERVAL 3 DAY
+         GROUP BY 1 ORDER BY 1""",
+
+    // j10's merge replayed, then the as-of filter AT the change
+    // instant: closed-at-ts rows invisible, opened-at-ts rows visible
+    "j13_scd2_asof" ->
+      """WITH hist AS (SELECT c_custkey AS key, c_mktsegment AS segment,
+                              TIMESTAMP '1995-01-01 00:00:00' AS vf,
+                              CAST(NULL AS TIMESTAMP) AS vt
+                       FROM customer),
+              upd AS (SELECT c_custkey AS key,
+                             CASE WHEN c_custkey % 3 = 0
+                                  THEN 'SEG_' || CAST(c_custkey % 5 AS VARCHAR)
+                                  ELSE c_mktsegment END AS segment,
+                             TIMESTAMP '2000-06-01 00:00:00' AS ts
+                      FROM customer WHERE c_custkey % 3 <> 2),
+              chg AS (SELECT h.key, u.segment AS new_seg, u.ts
+                      FROM hist h JOIN upd u ON h.key = u.key
+                      WHERE h.vt IS NULL AND h.segment <> u.segment),
+              res AS (SELECT h.key, h.segment, h.vf,
+                             CASE WHEN c.key IS NOT NULL THEN c.ts
+                                  ELSE h.vt END AS vt
+                      FROM hist h LEFT JOIN chg c
+                        ON h.key = c.key AND h.vt IS NULL
+                      UNION ALL
+                      SELECT key, new_seg, ts, CAST(NULL AS TIMESTAMP)
+                      FROM chg)
+         SELECT key, segment, strftime(vf, '%Y-%m-%d') AS valid_from
+         FROM res
+         WHERE vf <= TIMESTAMP '2000-06-01 00:00:00'
+           AND (vt IS NULL OR vt > TIMESTAMP '2000-06-01 00:00:00')
+         ORDER BY key, segment""",
 
     "a11_cube" ->
       """SELECT l_returnflag, l_linestatus,

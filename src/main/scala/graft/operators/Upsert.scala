@@ -93,6 +93,22 @@ object Upsert {
     scd2Merge(hist, latest, keys, attrs, tsCol, validFrom, validTo)
   }
 
+  /** Point-in-time (time-travel) view of an SCD2 history: the rows that
+    * were current at `ts` — opened at or before it (`validFrom` <= ts)
+    * and not yet closed (`validTo` null or > ts). Half-open on the
+    * close side, matching [[scd2Merge]]'s convention that a change
+    * closes at exactly the update's ts: querying AT the change instant
+    * sees the NEW row. A pure scan-stage filter — at 100 TB, on a
+    * status/date-partitioned history ([[scd2MergeIntoPartitioned]]),
+    * partition pruning plus parquet min/max stats skip everything that
+    * closed before `ts`, so "the dimension as of last quarter" never
+    * reads the deep history. */
+  def scd2AsOf(hist: DataFrame, ts: org.apache.spark.sql.Column,
+               validFrom: String = "valid_from",
+               validTo: String = "valid_to"): DataFrame =
+    hist.filter(col(validFrom) <= ts &&
+      (col(validTo).isNull || col(validTo) > ts))
+
   /** Last-write-wins: dedup `updates` to the latest row per key (by
     * `version`, ties broken arbitrarily — pass a unique version for full
     * determinism) before merging. Mirrors replayed-file idempotence (ST2).

@@ -134,6 +134,26 @@ class UpsertIdsSpec extends SparkSpec {
     assert(out.count(r => r._1 == 1L && r._4.isEmpty) == 1) // one current row
   }
 
+  test("scd2AsOf: half-open boundary — closed-at-ts gone, opened-at-ts visible") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val t0 = ts("1995-01-01 00:00:00"); val t1 = ts("2000-06-01 00:00:00")
+    val hist = Seq(
+      (1L, "A", t0, Option(t1)), // closed exactly at t1
+      (1L, "A2", t1, Option.empty[Timestamp]), // opened exactly at t1
+      (2L, "B", t0, Option.empty[Timestamp]),  // never changed
+      (3L, "C", t1, Option.empty[Timestamp])   // opened at t1 (new key)
+    ).toDF("k", "attr", "valid_from", "valid_to")
+    def asOf(at: Timestamp) = Upsert.scd2AsOf(hist, lit(at))
+      .select("k", "attr").as[(Long, String)].collect().toSet
+    // before the change: only the original epoch
+    assert(asOf(ts("1997-01-01 00:00:00")) == Set((1L, "A"), (2L, "B")))
+    // AT the change instant: the new rows, not the closed one
+    assert(asOf(t1) == Set((1L, "A2"), (2L, "B"), (3L, "C")))
+    // before history began: nothing
+    assert(asOf(ts("1990-01-01 00:00:00")).isEmpty)
+  }
+
   test("mergeIntoPartitioned replaces only touched partitions") {
     val base = java.nio.file.Files.createTempDirectory("graft_pmerge").toString
     val table = s"$base/t"
