@@ -218,7 +218,7 @@ object SparkEntry {
       // BY (bucketed) layout on the join key, so the join itself needs
       // NO exchange on either side — at 100 TB the difference between
       // shuffling two fact tables and a local zipped-bucket merge
-      // (LayoutSpec asserts the exchange-free plan under forced SMJ).
+      // (BucketingSpec asserts the exchange-free plan under forced SMJ).
       // Layout never changes content: the oracle is the plain join
       // over the original parquet.
       val o = bucketedTable(s, dir, "orders", "o_orderkey")
@@ -1350,6 +1350,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_pipeline_decontam_bloom" -> ((s, dir) => {
+      // decontamination at the too-big-to-broadcast posture: the eval
+      // universe ships as a ~1%-fpp Bloom filter (one binary literal
+      // inside Spark's codegen'd might_contain), the exact semi-join
+      // runs only over Bloom survivors — shuffle ∝ contamination, not
+      // corpus. False positives can't reach the output; same oracle as
+      // x_pipeline_decontam, row-for-row.
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationCountsBloom(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3, minShared = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     "x_layout_zorder" -> ((s, dir) =>
       // Morton-curve clustering key for multi-column file skipping: the
       // write path (Layout.writeZOrdered) range-partitions + sorts on
@@ -1840,7 +1855,7 @@ object SparkEntry {
     val id = java.lang.Long.toHexString(
       java.util.Objects.hash(dir).toLong & 0xffffffffL)
     val tbl = s"graft_bkt_${name}_$id"
-    operators.Layout.ensureBucketedTable(s, tbl, t(s, dir, name), key,
+    operators.Bucketing.ensureBucketedTable(s, tbl, t(s, dir, name), key,
       buckets = 8, s"${artifactBase(dir)}/bucketed/${name}_b8")
     s.table(tbl)
   }
@@ -3065,6 +3080,24 @@ object SparkEntry {
                              doc_id) AS rn
            FROM documents) t
          WHERE rn <= 10 ORDER BY source, doc_id""",
+
+    // the Bloom prefilter is an engine-side plan device; the RESULT is
+    // exact, so both decontamination paths share one oracle
+    "x_pipeline_decontam_bloom" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+              sh AS (SELECT DISTINCT doc_id,
+                            unnest(list_transform(
+                              generate_series(1, greatest(len(t)-2, 0)),
+                              i -> array_to_string(t[i:i+2], ' '))) AS s
+                     FROM tok),
+              ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+              tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+         SELECT tr.doc_id, count(*) AS n_shared
+         FROM tr JOIN ev ON tr.s = ev.s
+         GROUP BY tr.doc_id
+         HAVING count(*) >= 2
+         ORDER BY doc_id""",
 
     "x_pipeline_decontam" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t

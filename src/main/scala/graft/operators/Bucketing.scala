@@ -22,6 +22,42 @@ object Bucketing {
       .sortBy(bucketCol)
       .saveAsTable(tableName)
 
+  /** [[writeBucketed]] with a DURABLE, cross-session layout: Spark
+    * keeps bucket metadata only in the catalog entry, so a fresh
+    * session reading the files by path loses the co-location; this
+    * variant expresses the layout as idempotent DDL (`CLUSTERED BY …
+    * SORTED BY … LOCATION`) that any session can re-issue to re-bind
+    * the catalog entry to the files already on disk. Build-once, same
+    * contract as the index artifacts: the catalog entry is (re)created
+    * if absent, the data written only when the location lacks a
+    * `_SUCCESS`. Rows are repartitioned INTO the bucket count on write
+    * (Spark's own bucket hash, so each task owns exactly one bucket):
+    * one file per bucket is precisely the condition under which Spark
+    * trusts the sort metadata and can skip join-side sorts too. The
+    * bucket function is Spark Murmur3 — NOT portable; other engines
+    * read the files as plain parquet (content is engine-neutral, only
+    * the co-location is Spark's). */
+  def ensureBucketedTable(spark: org.apache.spark.sql.SparkSession,
+                          table: String, src: => DataFrame,
+                          bucketCol: String, buckets: Int,
+                          path: String): Unit = {
+    require(buckets >= 1, s"buckets must be positive: $buckets")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loaded = fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
+    if (!spark.catalog.tableExists(table)) {
+      val ddl = src.schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $table ($ddl) USING parquet
+            CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+            INTO $buckets BUCKETS
+            LOCATION '$path'""")
+    }
+    if (!loaded)
+      src.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+        .write.mode("overwrite").insertInto(table)
+  }
+
   /** True iff the executed plan of `df` contains no shuffle exchange —
     * the assertion that bucketing actually short-circuited the shuffle. */
   def isShuffleFree(df: DataFrame): Boolean =

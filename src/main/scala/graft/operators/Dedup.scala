@@ -685,6 +685,50 @@ object Dedup {
       .select(col("_id").as(idCol), col("n_shared"))
   }
 
+  /** [[contaminationCounts]] with a Bloom-filter prefilter — the shape
+    * that survives an eval universe too big to broadcast exactly. The
+    * exact formulation broadcasts the full distinct eval-shingle set to
+    * every task; at a 100 TB posture that set can be hundreds of
+    * millions of strings (GBs serialized), while its Bloom filter at
+    * 1% fpp is ~1.2 bits per entry — two orders of magnitude smaller,
+    * and STILL one scan-stage predicate. The pipeline: a driver-side
+    * Bloom of xxhash64(eval shingle) (insertion is bit-OR, so the
+    * distributed aggregate is order-independent and deterministic),
+    * shipped as one binary literal inside Spark's own codegen'd
+    * `might_contain` predicate; the exact semi-join then runs ONLY over
+    * the Bloom survivors — contaminated shingles plus an fpp-sized
+    * trickle — so its shuffle is ∝ contamination, not corpus. False
+    * positives cannot reach the output (the semi-join is exact); the
+    * result equals [[contaminationCounts]] row-for-row, gate-checked
+    * against the same oracle. This is Spark's runtime-filter
+    * (InjectRuntimeFilter) device applied deliberately, where the
+    * optimizer's own heuristics would not fire across two derived
+    * shingle streams. */
+  def contaminationCountsBloom(docs: DataFrame, evalDocs: DataFrame,
+                               idCol: String, textCol: String, n: Int,
+                               minShared: Long,
+                               expectedEval: Long = 1L << 20,
+                               fpp: Double = 0.01): DataFrame = {
+    val trainIdx = flatIndex(docs, idCol, textCol, n)
+    val evalSh = flatIndex(evalDocs, idCol, textCol, n)
+      .select(col("_sh")).distinct()
+    val bloom = evalSh.select(xxhash64(col("_sh")).as("_h"))
+      .stat.bloomFilter("_h", expectedEval, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    import org.apache.spark.sql.GraftBridge.{column => gc, expression => ge}
+    val might = gc(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        ge(xxhash64(col("_sh")))))
+    trainIdx.filter(might)
+      .join(evalSh, Seq("_sh"), "left_semi")
+      .groupBy(col("_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("_id").as(idCol), col("n_shared"))
+  }
+
   /** Append-only refresh OF THE ON-DISK ARTIFACTS: extends the banded
     * signature table with the delta's signatures and the pair table with
     * the delta's verified pairs, so the next consumer loads current

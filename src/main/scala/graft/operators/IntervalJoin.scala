@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   * `hi < lo` match nothing (standard BETWEEN semantics) and are
   * dropped before the explode — which also guards Spark's `sequence`
   * reversal on descending bounds.
+  *
+  * Sibling: [[RangeJoin.windowBefore]] covers the KEYED, fixed-width
+  * special case ("right rows in the w seconds before each left row per
+  * key") with exactly 2× replication; this operator is the general
+  * form — key-less containment against intervals of VARIABLE length,
+  * replicated per interval to however many grid cells it spans.
   */
 object IntervalJoin {
 

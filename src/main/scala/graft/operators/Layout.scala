@@ -87,47 +87,6 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Bucketed (pre-shuffled) table layout — the co-located-join device:
-    * a table CLUSTERED BY its join key into `buckets` buckets reports
-    * `HashPartitioning(key, buckets)` straight from the scan, so a join
-    * between two tables bucketed the same way needs NO exchange on
-    * either side. At 100 TB this converts every fact-fact join on the
-    * bucket key from "shuffle both tables" — the single largest cost in
-    * the plan — into a purely local zipped-bucket merge; it is the
-    * plain-parquet equivalent of Hive/Iceberg bucketing and Spark's own
-    * `bucketBy`, expressed as DDL so the layout survives across
-    * sessions (bucket metadata lives in the catalog entry; re-issuing
-    * the idempotent CREATE re-binds it to the files already on disk).
-    *
-    * Build-once contract, same as the index artifacts: the catalog
-    * entry is (re)created if absent, the one-file-per-bucket data is
-    * written only when the location lacks a `_SUCCESS`. Rows are
-    * repartitioned INTO the bucket count on write, and the table is
-    * also SORTED BY the key: one file per bucket is precisely the
-    * condition under which Spark trusts the sort metadata and can skip
-    * join-side sorts too. The bucket function is Spark's Murmur3 — NOT
-    * portable to other engines, which read the files as plain parquet
-    * (content is engine-neutral; only the co-location is Spark's). */
-  def ensureBucketedTable(spark: SparkSession, table: String,
-                          src: => DataFrame, bucketCol: String,
-                          buckets: Int, path: String): Unit = {
-    require(buckets >= 1, s"buckets must be positive: $buckets")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val loaded = fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
-    if (!spark.catalog.tableExists(table)) {
-      val ddl = src.schema.toDDL
-      spark.sql(
-        s"""CREATE TABLE $table ($ddl) USING parquet
-            CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
-            INTO $buckets BUCKETS
-            LOCATION '$path'""")
-    }
-    if (!loaded)
-      src.repartition(buckets, col(bucketCol))
-        .write.mode("overwrite").insertInto(table)
-  }
-
   /** Per-file [min, max] envelopes of two columns — the statistics a
     * stats-based scan planner prunes with, read back from the data
     * itself (one distributed aggregate over `input_file_name`, no

@@ -82,4 +82,51 @@ class BucketingSpec extends SparkSpec {
       assert(agg.count() == 50)
     } finally spark.sql("DROP TABLE IF EXISTS bkt_agg")
   }
+
+  test("ensureBucketedTable: durable DDL layout joins exchange-free, builds once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bktddl").toString
+    val left = (1L to 500L).map(i => (i, s"L$i")).toDF("k", "lv")
+    val right = (1L to 500L).filter(_ % 3 == 0).map(i => (i, i * 10.0))
+      .toDF("rk", "rv")
+    Bucketing.ensureBucketedTable(spark, "bktddl_left", left, "k", 4,
+      s"$tmp/left")
+    Bucketing.ensureBucketedTable(spark, "bktddl_right", right, "rk", 4,
+      s"$tmp/right")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bktddl_left")
+        .join(spark.table("bktddl_right"), $"k" === $"rk")
+      val rows = j.as[(Long, String, Long, Double)].collect().toSet
+      assert(rows == (1L to 500L).filter(_ % 3 == 0)
+        .map(i => (i, s"L$i", i, i * 10.0)).toSet)
+      // no shuffle on either side of the join
+      val plan = j.queryExecution.executedPlan.toString
+      assert(Bucketing.isShuffleFree(j), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      // build-once: re-ensuring rebinds the catalog entry without
+      // rewriting the data — and after a catalog drop (new-session
+      // simulation) the SAME files serve the same exchange-free join
+      def files() = new java.io.File(s"$tmp/left")
+        .listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSet
+      val before = files()
+      assert(before.size == 4) // one file per bucket: sort metadata holds
+      Bucketing.ensureBucketedTable(spark, "bktddl_left", left, "k", 4,
+        s"$tmp/left")
+      assert(files() == before)
+      spark.sql("DROP TABLE bktddl_left") // catalog gone, files stay
+      Bucketing.ensureBucketedTable(spark, "bktddl_left", left, "k", 4,
+        s"$tmp/left")
+      assert(files() == before)
+      val j2 = spark.table("bktddl_left")
+        .join(spark.table("bktddl_right"), $"k" === $"rk")
+      assert(Bucketing.isShuffleFree(j2),
+        j2.queryExecution.executedPlan.toString)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bktddl_left")
+      spark.sql("DROP TABLE IF EXISTS bktddl_right")
+    }
+  }
 }

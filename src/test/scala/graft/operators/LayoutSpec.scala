@@ -120,41 +120,6 @@ class LayoutSpec extends SparkSpec {
       grid.as[(Long, Long)].collect().toSet)
   }
 
-  test("bucketed tables join with zero exchanges and identical content") {
-    val left = (1L to 500L).map(i => (i, s"L$i")).toDF("k", "lv")
-    val right = (1L to 500L).filter(_ % 3 == 0).map(i => (i, i * 10.0))
-      .toDF("rk", "rv")
-    Layout.ensureBucketedTable(spark, "bkt_left", left, "k", 4,
-      s"$tmpDir/bkt_left")
-    Layout.ensureBucketedTable(spark, "bkt_right", right, "rk", 4,
-      s"$tmpDir/bkt_right")
-    // force SMJ so the claim is about bucketing, not broadcast
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val j = spark.table("bkt_left")
-        .join(spark.table("bkt_right"), $"k" === $"rk")
-      val rows = j.as[(Long, String, Long, Double)].collect().toSet
-      assert(rows == (1L to 500L).filter(_ % 3 == 0)
-        .map(i => (i, s"L$i", i, i * 10.0)).toSet)
-      // the whole point: NO shuffle on either side of the join
-      val plan = j.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"), plan)
-      assert(plan.contains("SortMergeJoin"), plan)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    // build-once: a second ensure call rebinds without rewriting
-    val files = new java.io.File(s"$tmpDir/bkt_left")
-      .listFiles.filter(_.getName.endsWith(".parquet"))
-      .map(f => (f.getName, f.lastModified)).toSet
-    Layout.ensureBucketedTable(spark, "bkt_left", left, "k", 4,
-      s"$tmpDir/bkt_left")
-    assert(new java.io.File(s"$tmpDir/bkt_left")
-      .listFiles.filter(_.getName.endsWith(".parquet"))
-      .map(f => (f.getName, f.lastModified)).toSet == files)
-    // one file per bucket — the condition for trusted sort metadata
-    assert(files.size == 4)
-  }
-
   test("zValue rejects out-of-range bit widths") {
     intercept[IllegalArgumentException] {
       Layout.zValue($"x", $"y", 0)

@@ -236,4 +236,26 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(loose == Map(2L -> 2L, 3L -> 1L))
   }
+
+  test("contaminationCountsBloom equals the exact path via a might_contain prefilter") {
+    // bigger corpus so the Bloom actually prunes: 200 train docs, 5
+    // contaminated with >= 2 eval trigrams
+    val eval = Seq((0L, "secret eval phrase one two three four")).toDF("doc_id", "text")
+    val train = (1L to 200L).map { i =>
+      val text =
+        if (i <= 5) s"secret eval phrase one padding$i tail$i"
+        else s"ordinary document number $i with plain content $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val exact = Dedup.contaminationCounts(train, eval, "doc_id", "text",
+      n = 3, minShared = 2).as[(Long, Long)].collect().toSet
+    val bloomed = Dedup.contaminationCountsBloom(train, eval, "doc_id",
+      "text", n = 3, minShared = 2, expectedEval = 1024)
+    assert(bloomed.as[(Long, Long)].collect().toSet == exact)
+    assert(exact.map(_._1) == (1L to 5L).toSet)
+    // the prefilter is Spark's codegen'd bloom predicate, in the plan
+    // BEFORE the semi-join
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
 }
