@@ -1275,6 +1275,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    "x_pipeline_split" -> ((s, dir) =>
+      // deterministic train/held-out split: both sides from the SAME
+      // md5 coordinate as every sampler (heldout ≡ sample at the
+      // rate), exact partition of the corpus, assignment stable across
+      // runs/engines — the anti-leakage property. Scan-stage CASE.
+      Sampling.splitTag(t(s, dir, "documents"), "doc_id", 0.1)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy(col("lang"), col("split"))),
+
     "x_pipeline_weighted" -> ((s, dir) =>
       // weighted exactly-k sampling without replacement (Efraimidis–
       // Spirakis A-ES): inclusion probability proportional to document
@@ -2962,6 +2973,18 @@ object SparkEntry {
                     ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
                     LIMIT 100)
          SELECT doc_id, lang FROM s ORDER BY doc_id""",
+
+    "x_pipeline_split" ->
+      s"""WITH d AS (SELECT lang,
+                            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),
+                                   1, 8) <
+                                 '${operators.Sampling.rateThreshold(0.1)}'
+                                 THEN 'heldout' ELSE 'train' END AS split,
+                            len(string_split(text, ' ')) AS tok
+                     FROM documents)
+         SELECT lang, split, count(*) AS n_docs,
+                CAST(sum(tok) AS BIGINT) AS n_tokens
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // A-ES clocks replayed in SQL: u = (md5_32(doc_id)+1)/2^32, with the
     // hex coordinate re-derived via strpos nibble arithmetic (DuckDB has

@@ -88,6 +88,22 @@ object Sampling {
       .select(col(groupCol), (-col("_negkey")).as(keyCol))
   }
 
+  /** Deterministic train/held-out split: tags every row with its side,
+    * derived from the SAME md5 coordinate the samplers use — so the
+    * held-out side IS `sample(df, key, heldOutRate)` (spec-asserted),
+    * the two sides partition the corpus exactly (no row lost, none in
+    * both), and the assignment survives retries, repartitioning, and
+    * engines. Because the coordinate is fixed per key, growing the
+    * held-out rate only MOVES rows train→heldout (nested splits), and
+    * — the property that matters for leakage — a document's side never
+    * changes run-over-run, so yesterday's train doc can't silently
+    * become today's eval doc. Scan-stage CASE, no shuffle. */
+  def splitTag(df: DataFrame, keyCol: String, heldOutRate: Double,
+               tagCol: String = "split"): DataFrame =
+    df.withColumn(tagCol,
+      when(keep(hashHex(col(keyCol)), heldOutRate), lit("heldout"))
+        .otherwise(lit("train")))
+
   /** Weighted exactly-k sample without replacement (Efraimidis &
     * Spirakis 2006, A-ES in its exponential-clock form): each row draws
     * the uniform u = (md5₃₂(key)+1)/2³² and the clock e = −ln(u)/w; the

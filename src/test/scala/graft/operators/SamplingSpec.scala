@@ -45,6 +45,23 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("splitTag partitions exactly; heldout side equals sample at the rate") {
+    val tagged = Sampling.splitTag(rows, "id", 0.2)
+    val bySide = tagged.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySide.values.sum == 2000) // exact partition, nothing lost
+    val held = tagged.filter($"split" === "heldout").select("id")
+      .as[Long].collect().toSet
+    assert(held == Sampling.sample(rows, "id", 0.2)
+      .select("id").as[Long].collect().toSet)
+    // nested: growing the rate only moves rows train -> heldout
+    val held30 = Sampling.splitTag(rows, "id", 0.3)
+      .filter($"split" === "heldout").select("id").as[Long].collect().toSet
+    assert(held.subsetOf(held30))
+    // scan-stage: no exchange in the plan
+    assert(!tagged.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("weightedSample: deterministic, nested, weight-proportional, TakeOrdered") {
     val weighted = rows.withColumn("w",
       when($"lang" === "en", 10.0).otherwise(1.0))
