@@ -52,6 +52,23 @@ object Bucketing {
             CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
             INTO $buckets BUCKETS
             LOCATION '$path'""")
+    } else {
+      // refuse loudly on a layout mismatch: a pre-existing entry with a
+      // different bucket spec or location would silently serve the
+      // WRONG co-location (joins "work" but shuffle, or read another
+      // table's files) — the silent-wrong-results class this repo
+      // guards everywhere else
+      val shown = spark.sql(s"SHOW CREATE TABLE $table")
+        .head().getString(0)
+      val clusterOk = shown.contains(s"CLUSTERED BY ($bucketCol)") ||
+        shown.contains(s"CLUSTERED BY (`$bucketCol`)")
+      require(shown.contains(s"INTO $buckets BUCKETS") && clusterOk,
+        s"table $table exists with a different bucket layout than " +
+          s"requested (CLUSTERED BY ($bucketCol) INTO $buckets BUCKETS)" +
+          s" — drop it or use a new name:\n$shown")
+      require(shown.contains(path),
+        s"table $table exists bound to a different location than " +
+          s"'$path' — drop it or use a new name:\n$shown")
     }
     if (!loaded)
       src.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))

@@ -39,11 +39,21 @@ object IntervalJoin {
     * must be integral (days-since-epoch, unix seconds, ids — any
     * monotone integer coordinate). Output: the point row's columns
     * followed by the interval row's (names must not collide apart from
-    * the coordinate columns, which both survive). */
+    * the coordinate columns, which both survive).
+    *
+    * `maxCells` bounds the per-interval replication in-plan
+    * (`raise_error`, the refuse-loudly idiom): an interval spanning
+    * more cells than that is almost always a unit bug — millisecond
+    * bounds against a seconds-sized `bucketWidth` would silently
+    * replicate every interval 1000×, the quadratic this operator
+    * exists to avoid. Raise it deliberately for genuinely long-lived
+    * intervals. */
   def pointInInterval(points: DataFrame, ptCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long, maxCells: Int = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(maxCells >= 2,
+      s"maxCells must allow at least a 2-cell span: $maxCells")
     val overlap = points.columns.toSet
       .intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
@@ -51,11 +61,18 @@ object IntervalJoin {
         " — rename before joining so outputs stay unambiguous")
     val pb = points.withColumn("_bkt",
       floor(col(ptCol) / lit(bucketWidth)).cast("long"))
+    val loCell = floor(col(loCol) / lit(bucketWidth)).cast("long")
+    val hiCell = floor(col(hiCol) / lit(bucketWidth)).cast("long")
+    val hiGuarded = when(hiCell - loCell < maxCells, hiCell)
+      .otherwise(raise_error(concat(
+        lit(s"pointInInterval: an interval spans more than $maxCells " +
+          s"cells of width $bucketWidth (unit mismatch? raise maxCells " +
+          "deliberately for long intervals): ["),
+        col(loCol).cast("string"), lit(", "), col(hiCol).cast("string"),
+        lit("]"))))
     val ib = intervals
       .filter(col(hiCol) >= col(loCol)) // empty intervals match nothing
-      .withColumn("_bkt", explode(sequence(
-        floor(col(loCol) / lit(bucketWidth)).cast("long"),
-        floor(col(hiCol) / lit(bucketWidth)).cast("long"))))
+      .withColumn("_bkt", explode(sequence(loCell, hiGuarded)))
     pb.join(ib, Seq("_bkt"))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("_bkt")

@@ -123,6 +123,17 @@ class BucketingSpec extends SparkSpec {
         .join(spark.table("bktddl_right"), $"k" === $"rk")
       assert(Bucketing.isShuffleFree(j2),
         j2.queryExecution.executedPlan.toString)
+      // a layout-mismatched re-ensure is refused, never silently served
+      val eBuckets = intercept[IllegalArgumentException] {
+        Bucketing.ensureBucketedTable(spark, "bktddl_left", left, "k", 8,
+          s"$tmp/left")
+      }
+      assert(eBuckets.getMessage.contains("different bucket layout"))
+      val ePath = intercept[IllegalArgumentException] {
+        Bucketing.ensureBucketedTable(spark, "bktddl_left", left, "k", 4,
+          s"$tmp/elsewhere")
+      }
+      assert(ePath.getMessage.contains("different location"))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS bktddl_left")

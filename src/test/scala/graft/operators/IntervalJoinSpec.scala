@@ -66,6 +66,23 @@ class IntervalJoinSpec extends SparkSpec {
       naivePlan.contains("CartesianProduct"), naivePlan)
   }
 
+  test("maxCells refuses a cell-blowup in-plan; raising it deliberately works") {
+    val wide = Seq((20L, 0L, 5000L)).toDF("i_id", "lo", "hi")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val err = intercept[Exception] {
+      IntervalJoin.pointInInterval(points, "p", wide, "lo", "hi",
+        bucketWidth = 1L, maxCells = 100).count()
+    }
+    assert(msgs(err).exists(_.contains("spans more than 100 cells")))
+    // deliberate raise: same query completes and matches the naive join
+    val out = IntervalJoin.pointInInterval(points, "p", wide, "lo", "hi",
+        bucketWidth = 1L, maxCells = 10000)
+      .select($"p_id", $"i_id").as[(Long, Long)].collect().toSet
+    assert(out == points.as[(Long, Long)].collect()
+      .map(p => (p._1, 20L)).toSet)
+  }
+
   test("refuses colliding column names and non-positive widths") {
     intercept[IllegalArgumentException] {
       IntervalJoin.pointInInterval(points, "p",
