@@ -893,6 +893,17 @@ object SparkEntry {
           .as("corr_qty_price"))
     }),
 
+    "a15_kmv_distinct" -> ((s, dir) =>
+      // KMV distinct-count sketch (Bar-Yossef et al. 2002): mergeable
+      // approximate COUNT DISTINCT from order statistics of the
+      // samplers' md5 coordinate — k-bounded aggregation state (≤256
+      // longs per group per map task where exact distinct shuffles
+      // every distinct value), and, unlike an HLL register blob, the
+      // estimate is integer arithmetic the oracle replays EXACTLY.
+      Sketches.distinctCountEstimate(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey", 256)
+        .orderBy(col("l_returnflag"))),
+
     "st4_window_agg" -> ((s, dir) => {
       // batch-checkable form of EventStreams.windowedAgg: tumbling
       // 1-hour event-time windows (same code path a readStream takes)
@@ -1256,6 +1267,19 @@ object SparkEntry {
           sum(TF.tokenCount(col("text"))).as("n_tokens"))
         .orderBy(col("lang"))
     }),
+
+    "x_pipeline_dsir" -> ((s, dir) =>
+      // DSIR importance weighting (Xie et al. 2023): score every doc by
+      // the hashed-unigram log-likelihood ratio against the English
+      // slice — the "select pretraining data that looks like the
+      // target" op. Fitting is two B-bounded combinable aggs; scoring
+      // is a broadcast join of the 1024-row weight table in the scan
+      // stage plus ONE per-doc sum shuffle. Weights are 6-dp-rounded
+      // micro-nats (BIGINT), so doc scores are exact integer sums the
+      // oracle replays hash-for-hash.
+      Importance.dsirScores(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", 1024)
+        .orderBy(col("doc_id"))),
 
     "x_pipeline_pack" -> ((s, dir) =>
       // concat-and-slice packing plan (GPT-style pretraining layout):
@@ -2784,6 +2808,23 @@ object SparkEntry {
                 6) AS corr_qty_price
          FROM m""",
 
+    "a15_kmv_distinct" ->
+      s"""WITH c AS (SELECT DISTINCT l_returnflag,
+                            ${hexValSql("md5(CAST(l_partkey AS VARCHAR))")} AS h
+                     FROM lineitem),
+              r AS (SELECT l_returnflag, h,
+                           row_number() OVER (PARTITION BY l_returnflag
+                                              ORDER BY h) AS rn,
+                           CAST(count(*) OVER (PARTITION BY l_returnflag)
+                                AS BIGINT) AS cnt
+                    FROM c)
+         SELECT l_returnflag,
+                CAST(CASE WHEN cnt >= 256 THEN 1095216660480 // h
+                          ELSE cnt END AS BIGINT) AS est_distinct
+         FROM r
+         WHERE rn = CASE WHEN cnt >= 256 THEN 256 ELSE cnt END
+         ORDER BY l_returnflag""",
+
     "st4_window_agg" ->
       """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
                      FROM events)
@@ -3019,6 +3060,39 @@ object SparkEntry {
 
     // the packing plan replayed in integer arithmetic: same coordinate,
     // same bucket split, same two-level running totals
+    "x_pipeline_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, lang, t
+                       FROM (SELECT doc_id, lang,
+                                    unnest(string_split(text, ' ')) AS t
+                             FROM documents)
+                       WHERE len(t) > 0),
+              bk AS (SELECT doc_id, lang,
+                            ${hexValSql("md5(t)")} % 1024 AS bkt
+                     FROM tok),
+              tc AS (SELECT bkt, count(*) AS c FROM bk
+                     WHERE lang = 'en' GROUP BY 1),
+              rc AS (SELECT bkt, count(*) AS c FROM bk GROUP BY 1),
+              tot AS (SELECT CAST((SELECT count(*) FROM bk
+                                   WHERE lang = 'en') AS DOUBLE) AS tt,
+                             CAST((SELECT count(*) FROM bk) AS DOUBLE) AS rt),
+              gs AS (SELECT CAST(unnest(generate_series(0, 1023)) AS BIGINT)
+                            AS bkt),
+              w AS (SELECT gs.bkt,
+                           CAST(round(round(ln(
+                               ((coalesce(tc.c, 0) + 1.0) / (tt + 1024.0)) /
+                               ((coalesce(rc.c, 0) + 1.0) / (rt + 1024.0))),
+                             6) * 1000000.0, 0) AS BIGINT) AS lam
+                    FROM gs CROSS JOIN tot
+                    LEFT JOIN tc ON gs.bkt = tc.bkt
+                    LEFT JOIN rc ON gs.bkt = rc.bkt),
+              ds AS (SELECT bk.doc_id,
+                            CAST(sum(w.lam) AS BIGINT) AS score_micro
+                     FROM bk JOIN w ON bk.bkt = w.bkt GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(ds.score_micro, 0) AS BIGINT) AS score_micro
+         FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
+         ORDER BY d.doc_id""",
+
     "x_pipeline_pack" ->
       """WITH t0 AS (SELECT doc_id,
                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS c,

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KMV estimate lands within the k=256 error envelope") {
+    // 10k distinct keys, each duplicated 3x — duplicates must not
+    // perturb the order statistics
+    val df = (1 to 10000).flatMap(i => Seq(i, i, i)).toDF("k")
+    val est = Sketches.distinctCountEstimate(df, Nil, "k", 256)
+      .select("est_distinct").as[Long].head()
+    // stderr ≈ 1/sqrt(k-2) ≈ 6.3%; 4 sigma ≈ 25%
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.25, s"est=$est")
+  }
+
+  test("below k distinct values the sketch is the exact count") {
+    val df = (1 to 100).flatMap(i => Seq(i, i)).toDF("k")
+    val est = Sketches.distinctCountEstimate(df, Nil, "k", 256)
+      .select("est_distinct").as[Long].head()
+    assert(est == 100L)
+  }
+
+  test("per-group estimates are partitioning-invariant (mergeable)") {
+    val df = (1 to 5000)
+      .map(i => (s"g${i % 3}", i))
+      .toDF("g", "k")
+    def run(parts: Int): Map[String, Long] =
+      Sketches.distinctCountEstimate(
+          df.repartition(parts), Seq("g"), "k", 64)
+        .as[(String, Long)].collect().toMap
+    val a = run(1)
+    val b = run(17)
+    assert(a == b, s"$a vs $b")
+    assert(a.keySet == Set("g0", "g1", "g2"))
+  }
+
+  test("aggregator buffer never exceeds k and stays sorted-distinct") {
+    val agg = new Sketches.KmvAggregator(4)
+    val buf = (1L to 100L).foldLeft(agg.zero)((b, h) =>
+      agg.reduce(b, 101L - h)) // descending inserts stress eviction
+    assert(buf == Seq(1L, 2L, 3L, 4L))
+    val merged = agg.merge(Seq(1L, 3L, 5L, 7L), Seq(1L, 2L, 8L, 9L))
+    assert(merged == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("refuses k below 2") {
+    intercept[IllegalArgumentException] {
+      new Sketches.KmvAggregator(1)
+    }
+  }
+}
