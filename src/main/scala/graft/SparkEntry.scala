@@ -539,6 +539,35 @@ object SparkEntry {
             sum(disc).cast("double"), 6).as("promo_revenue"))
     }),
 
+    "q17_small_quantity" -> ((s, dir) => {
+      // TPC-H Q17 shape (p_size standing in for the absent
+      // p_container): average yearly revenue lost if small-quantity
+      // orders of one brand stopped. The correlated scalar subquery
+      // avg(l_quantity per part) becomes a per-part aggregate over the
+      // ALREADY part-filtered lineitem slice — the brand filter
+      // broadcasts into both passes, so the threshold table is
+      // dim-sized and itself broadcasts back; nothing corpus-wide
+      // shuffles. The comparison runs multiplied through (5·qty·cnt <
+      // sum·... ) in exact decimals instead of dividing — no
+      // cross-engine decimal-division scale drift.
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_size") < 15)
+        .select(col("p_partkey"))
+      val l = t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val thresholds = l.groupBy(col("l_partkey").as("_tp"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("_sq"),
+          count(lit(1)).as("_cq"))
+      // qty < 0.2·(sq/cq)  ⟺  qty·5·cq < sq — ONE decimal multiply
+      // (DECIMAL(10,4) × DECIMAL(18,0) fits every engine's 38-digit
+      // cap; chained decimal multiplies don't, DuckDB doesn't widen)
+      l.join(broadcast(thresholds), col("l_partkey") === col("_tp"))
+        .filter(col("l_quantity").cast("decimal(10,4)") *
+            (col("_cq") * 5).cast("decimal(18,0)") < col("_sq"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double") / 7.0d, 6).as("avg_yearly"))
+    }),
+
     "q6_forecast_revenue" -> ((s, dir) => {
       // TPC-H Q6 shape: single-table filter-aggregate. Every predicate
       // is a pushable range (date/discount/quantity min-max row-group
@@ -903,6 +932,21 @@ object SparkEntry {
       Sketches.distinctCountEstimate(
           t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey", 256)
         .orderBy(col("l_returnflag"))),
+
+    "a16_cms_freq" -> ((s, dir) => {
+      // Count-Min sketch (Cormode & Muthukrishnan 2005): frequency
+      // estimation whose whole state is a 4×1024 ADDITIVE counter
+      // table — mergeable across partitions/days by cell-wise sum,
+      // shuffle bounded at depth·width cells per map task. Estimates
+      // (min over rows, never an underestimate) sit next to the exact
+      // counts so the gate also measures the collision overshoot.
+      val li = t(s, dir, "lineitem")
+      val counters = Sketches.cmsCounters(li, "l_suppkey", 4, 1024)
+      Sketches.cmsEstimate(li, "l_suppkey", counters, 4, 1024)
+        .join(li.groupBy("l_suppkey").agg(count(lit(1)).as("exact_freq")),
+          Seq("l_suppkey"))
+        .orderBy(col("l_suppkey"))
+    }),
 
     "st4_window_agg" -> ((s, dir) => {
       // batch-checkable form of EventStreams.windowedAgg: tumbling
@@ -1280,6 +1324,20 @@ object SparkEntry {
       Importance.dsirScores(t(s, dir, "documents"), "doc_id", "text",
           col("lang") === "en", 1024)
         .orderBy(col("doc_id"))),
+
+    "x_pipeline_dsir_select" -> ((s, dir) => {
+      // DSIR completed into SELECTION: importance-resample k docs
+      // without replacement, inclusion ∝ exp(score) (temperature-1
+      // softmax over log weights), by feeding the scores into the SAME
+      // A-ES clocks as x_pipeline_weighted — the whole selection stays
+      // one TakeOrdered over the scored stream, no sort, no shuffle
+      // beyond the scoring aggregate's own.
+      val scores = Importance.dsirScores(t(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en", 1024)
+      Sampling.weightedSample(scores, "doc_id",
+          exp(col("score_micro").cast("double") / 1e6d), 50)
+        .orderBy(col("doc_id"))
+    }),
 
     "x_pipeline_pack" -> ((s, dir) =>
       // concat-and-slice packing plan (GPT-style pretraining layout):
@@ -2066,6 +2124,45 @@ object SparkEntry {
   /** DuckDB has no base-16 `conv`: the numeric value of an 8-char
     * lowercase-hex expression re-derives as 8 strpos nibble terms
     * (exact integer arithmetic, < 2³² ≪ 2⁵³). */
+  /** Shared oracle CTE for the DSIR gates: refit the hashed-unigram
+    * log-ratio table (add-one smoothing, 6-dp micro-nat quantization —
+    * the exact arithmetic [[graft.operators.Importance]] runs) and
+    * score every document; exposes a `scores(doc_id, score_micro)`
+    * relation. */
+  private lazy val dsirScoresCte: String =
+    s"""tok AS (SELECT doc_id, lang, t
+                FROM (SELECT doc_id, lang,
+                             unnest(string_split(text, ' ')) AS t
+                      FROM documents)
+                WHERE len(t) > 0),
+        bk AS (SELECT doc_id, lang,
+                      ${hexValSql("md5(t)")} % 1024 AS bkt
+               FROM tok),
+        tc AS (SELECT bkt, count(*) AS c FROM bk
+               WHERE lang = 'en' GROUP BY 1),
+        rc AS (SELECT bkt, count(*) AS c FROM bk GROUP BY 1),
+        tot AS (SELECT CAST((SELECT count(*) FROM bk
+                             WHERE lang = 'en') AS DOUBLE) AS tt,
+                       CAST((SELECT count(*) FROM bk) AS DOUBLE) AS rt),
+        gs AS (SELECT CAST(unnest(generate_series(0, 1023)) AS BIGINT)
+                      AS bkt),
+        w AS (SELECT gs.bkt,
+                     CAST(round(round(ln(
+                         ((coalesce(tc.c, 0) + 1.0) / (tt + 1024.0)) /
+                         ((coalesce(rc.c, 0) + 1.0) / (rt + 1024.0))),
+                       6) * 1000000.0, 0) AS BIGINT) AS lam
+              FROM gs CROSS JOIN tot
+              LEFT JOIN tc ON gs.bkt = tc.bkt
+              LEFT JOIN rc ON gs.bkt = rc.bkt),
+        ds AS (SELECT bk.doc_id,
+                      CAST(sum(w.lam) AS BIGINT) AS score_micro
+               FROM bk JOIN w ON bk.bkt = w.bkt GROUP BY 1),
+        scores AS (SELECT d.doc_id,
+                          CAST(coalesce(ds.score_micro, 0) AS BIGINT)
+                            AS score_micro
+                   FROM documents d
+                   LEFT JOIN ds ON d.doc_id = ds.doc_id)"""
+
   private def hexValSql(expr: String): String =
     (0 until 8).map { i =>
       s"(strpos('0123456789abcdef', substr($expr, ${i + 1}, 1)) - 1) * " +
@@ -2471,6 +2568,21 @@ object SparkEntry {
          WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
 
+    "q17_small_quantity" ->
+      """WITH lp AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+                     FROM lineitem l JOIN part p
+                       ON l.l_partkey = p.p_partkey
+                     WHERE p.p_brand = 'Brand#23' AND p.p_size < 15),
+              th AS (SELECT l_partkey AS tp,
+                            sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+                            CAST(count(*) AS BIGINT) AS cq
+                     FROM lp GROUP BY 1)
+         SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        AS DOUBLE) / 7.0, 6) AS avg_yearly
+         FROM lp JOIN th ON lp.l_partkey = th.tp
+         WHERE CAST(l_quantity AS DECIMAL(10,4)) *
+               CAST(cq * 5 AS DECIMAL(18,0)) < sq""",
+
     "q6_forecast_revenue" ->
       """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
                               CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE),
@@ -2825,6 +2937,28 @@ object SparkEntry {
          WHERE rn = CASE WHEN cnt >= 256 THEN 256 ELSE cnt END
          ORDER BY l_returnflag""",
 
+    "a16_cms_freq" ->
+      s"""WITH j AS (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT)
+                            AS jr),
+              h AS (SELECT l_suppkey, j.jr,
+                           ${hexValSql(
+                             "md5(CAST(j.jr AS VARCHAR) || ':' || " +
+                               "CAST(l_suppkey AS VARCHAR))")} % 1024
+                             AS bkt
+                    FROM lineitem CROSS JOIN j),
+              c AS (SELECT jr, bkt, CAST(count(*) AS BIGINT) AS cnt
+                    FROM h GROUP BY 1, 2),
+              kh AS (SELECT DISTINCT l_suppkey, jr, bkt FROM h),
+              est AS (SELECT kh.l_suppkey, min(c.cnt) AS est_freq
+                      FROM kh JOIN c ON kh.jr = c.jr AND kh.bkt = c.bkt
+                      GROUP BY 1),
+              ex AS (SELECT l_suppkey, CAST(count(*) AS BIGINT)
+                              AS exact_freq
+                     FROM lineitem GROUP BY 1)
+         SELECT est.l_suppkey, est.est_freq, ex.exact_freq
+         FROM est JOIN ex ON est.l_suppkey = ex.l_suppkey
+         ORDER BY est.l_suppkey""",
+
     "st4_window_agg" ->
       """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
                      FROM events)
@@ -3061,37 +3195,20 @@ object SparkEntry {
     // the packing plan replayed in integer arithmetic: same coordinate,
     // same bucket split, same two-level running totals
     "x_pipeline_dsir" ->
-      s"""WITH tok AS (SELECT doc_id, lang, t
-                       FROM (SELECT doc_id, lang,
-                                    unnest(string_split(text, ' ')) AS t
-                             FROM documents)
-                       WHERE len(t) > 0),
-              bk AS (SELECT doc_id, lang,
-                            ${hexValSql("md5(t)")} % 1024 AS bkt
-                     FROM tok),
-              tc AS (SELECT bkt, count(*) AS c FROM bk
-                     WHERE lang = 'en' GROUP BY 1),
-              rc AS (SELECT bkt, count(*) AS c FROM bk GROUP BY 1),
-              tot AS (SELECT CAST((SELECT count(*) FROM bk
-                                   WHERE lang = 'en') AS DOUBLE) AS tt,
-                             CAST((SELECT count(*) FROM bk) AS DOUBLE) AS rt),
-              gs AS (SELECT CAST(unnest(generate_series(0, 1023)) AS BIGINT)
-                            AS bkt),
-              w AS (SELECT gs.bkt,
-                           CAST(round(round(ln(
-                               ((coalesce(tc.c, 0) + 1.0) / (tt + 1024.0)) /
-                               ((coalesce(rc.c, 0) + 1.0) / (rt + 1024.0))),
-                             6) * 1000000.0, 0) AS BIGINT) AS lam
-                    FROM gs CROSS JOIN tot
-                    LEFT JOIN tc ON gs.bkt = tc.bkt
-                    LEFT JOIN rc ON gs.bkt = rc.bkt),
-              ds AS (SELECT bk.doc_id,
-                            CAST(sum(w.lam) AS BIGINT) AS score_micro
-                     FROM bk JOIN w ON bk.bkt = w.bkt GROUP BY 1)
-         SELECT d.doc_id,
-                CAST(coalesce(ds.score_micro, 0) AS BIGINT) AS score_micro
-         FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
-         ORDER BY d.doc_id""",
+      s"""WITH $dsirScoresCte
+         SELECT doc_id, score_micro FROM scores ORDER BY doc_id""",
+
+    "x_pipeline_dsir_select" ->
+      s"""WITH $dsirScoresCte,
+              c AS (SELECT doc_id, score_micro,
+                           round(-ln(
+                               (${hexValSql("md5(CAST(doc_id AS VARCHAR))")}
+                                + 1) / 4294967296.0) /
+                             exp(score_micro / 1000000.0), 6) AS clk
+                    FROM scores),
+              sel AS (SELECT doc_id, score_micro FROM c
+                      ORDER BY clk, doc_id LIMIT 50)
+         SELECT doc_id, score_micro FROM sel ORDER BY doc_id""",
 
     "x_pipeline_pack" ->
       """WITH t0 AS (SELECT doc_id,

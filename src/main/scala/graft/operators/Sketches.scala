@@ -85,6 +85,57 @@ object Sketches {
   def coordinate(key: Column): Column =
     conv(Sampling.hashHex(key), 16, 10).cast("long")
 
+  // ── Count-Min sketch ───────────────────────────────────────────────
+
+  /** Row-`row` CMS bucket of a key: md5₃₂("row:key") mod `w` — the
+    * salt rides INSIDE the hash input, so every row is an independent
+    * function of the same portable md5. One source of truth for build
+    * and probe. */
+  private def cmsBucket(row: Column, key: Column, w: Int): Column =
+    pmod(conv(substring(md5(
+      concat(row.cast("string"), lit(":"), key.cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(w.toLong))
+
+  /** Count-Min counter table (Cormode & Muthukrishnan 2005) over
+    * `keyCol`: `depth`×`width` additive counters as (`_row`, `_bkt`,
+    * `cnt`) rows. Counters are SUMS, so the sketch is mergeable across
+    * partitions, days, and corpora by adding tables cell-wise — and
+    * deterministic, so two engines build the identical table.
+    *
+    * Scale shape: one pass; the group-by's partial aggregation caps
+    * map-side state at depth·width cells per task, and the shuffle
+    * carries only those cells — frequency estimation over 100 TB with
+    * a counter table that fits in L2. */
+  def cmsCounters(df: DataFrame, keyCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16]: $depth")
+    require(width >= 2, s"width must be at least 2: $width")
+    df.select(col(keyCol).cast("string").as("_k"))
+      .select(explode(array((0 until depth).map(lit): _*)).as("_row"),
+        col("_k"))
+      .select(col("_row"),
+        cmsBucket(col("_row"), col("_k"), width).as("_bkt"))
+      .groupBy(col("_row"), col("_bkt"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch: estimated frequency of each distinct key
+    * in `keys` = min over rows of its counter cell. Never
+    * underestimates; overestimates by collision mass ≤ e·N/width with
+    * probability 1−e^−depth. The counter table joins BROADCAST (it is
+    * depth·width rows), so estimation is a scan-stage lookup plus one
+    * ≤|keys| min-aggregation. */
+  def cmsEstimate(keys: DataFrame, keyCol: String, counters: DataFrame,
+                  depth: Int, width: Int): DataFrame = {
+    val probes = keys.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(array((0 until depth).map(lit): _*)).as("_row"))
+      .withColumn("_bkt", cmsBucket(col("_row"), col(keyCol), width))
+    probes.join(broadcast(counters), Seq("_row", "_bkt"))
+      .groupBy(col(keyCol))
+      .agg(min(col("cnt")).as("est_freq"))
+  }
+
   /** Per-group approximate distinct count of `keyCol`. Output: group
     * columns + `est_distinct` (BIGINT) — `(k−1)·2³² div h_k` once k
     * coordinates are held, the held count before that. Integer `div`

@@ -51,4 +51,39 @@ class SketchesSpec extends SparkSpec {
       new Sketches.KmvAggregator(1)
     }
   }
+
+  test("CMS never underestimates; sparse keys are near-exact") {
+    val df = (0 until 2000).map(i => i % 50).toDF("k") // 50 keys × 40
+    val counters = Sketches.cmsCounters(df, "k", 4, 1024)
+    val est = Sketches.cmsEstimate(df, "k", counters, 4, 1024)
+      .as[(Int, Long)].collect().toMap
+    assert(est.size == 50)
+    assert(est.values.forall(_ >= 40L), est)
+    // 50 keys in 4 rows of 1024 buckets: collisions are rare
+    assert(est.values.count(_ == 40L) >= 45, est)
+  }
+
+  test("CMS counter tables merge cell-wise: half + half == whole") {
+    val all = (0 until 1000).map(i => i % 30).toDF("k")
+    val a = all.filter($"k" < 15)
+    val b = all.filter($"k" >= 15)
+    val merged = Sketches.cmsCounters(a, "k", 4, 256)
+      .unionByName(Sketches.cmsCounters(b, "k", 4, 256))
+      .groupBy("_row", "_bkt").agg(sum("cnt").as("cnt"))
+    val whole = Sketches.cmsCounters(all, "k", 4, 256)
+    def estim(c: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      Sketches.cmsEstimate(all, "k", c, 4, 256)
+        .as[(Int, Long)].collect().toMap
+    assert(estim(merged) == estim(whole))
+  }
+
+  test("CMS refuses degenerate dimensions") {
+    val df = Seq(1).toDF("k")
+    intercept[IllegalArgumentException] {
+      Sketches.cmsCounters(df, "k", 0, 16)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.cmsCounters(df, "k", 4, 1)
+    }
+  }
 }
