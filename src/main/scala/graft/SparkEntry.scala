@@ -948,6 +948,23 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     }),
 
+    "a17_kmv_overlap" -> ((s, dir) => {
+      // KMV set algebra (Beyer et al. 2007): how much do two key sets
+      // overlap, answered from two 128-long synopses — the union
+      // sketch's in-both fraction estimates Jaccard, so |A∩B| ≈
+      // ρ·|A∪B|. Each side is one k-bounded aggregation; the compare
+      // itself touches 2k longs. Two 100 TB corpora never join.
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      def custs(yr: Int) = o
+        .filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey"))
+      val a = Sketches.kmvSketch(custs(1996), "o_custkey", 128)
+      val b = Sketches.kmvSketch(custs(1997), "o_custkey", 128)
+      val (u, ov, inter) = Sketches.kmvUnionStats(a, b, 128)
+      Seq((u, ov, inter)).toDF("union_est", "overlap_k", "inter_est")
+    }),
+
     "st4_window_agg" -> ((s, dir) => {
       // batch-checkable form of EventStreams.windowedAgg: tumbling
       // 1-hour event-time windows (same code path a readStream takes)
@@ -2958,6 +2975,33 @@ object SparkEntry {
          SELECT est.l_suppkey, est.est_freq, ex.exact_freq
          FROM est JOIN ex ON est.l_suppkey = ex.l_suppkey
          ORDER BY est.l_suppkey""",
+
+    "a17_kmv_overlap" ->
+      s"""WITH ca AS (SELECT DISTINCT
+                        ${hexValSql("md5(CAST(o_custkey AS VARCHAR))")} AS h
+                      FROM orders WHERE year(o_orderdate) = 1996),
+              cb AS (SELECT DISTINCT
+                        ${hexValSql("md5(CAST(o_custkey AS VARCHAR))")} AS h
+                      FROM orders WHERE year(o_orderdate) = 1997),
+              ska AS (SELECT h FROM ca ORDER BY h LIMIT 128),
+              skb AS (SELECT h FROM cb ORDER BY h LIMIT 128),
+              u AS (SELECT h FROM (SELECT h FROM ska UNION
+                                   SELECT h FROM skb)
+                    ORDER BY h LIMIT 128),
+              m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                           CAST(max(h) AS BIGINT) AS hk FROM u),
+              ue AS (SELECT CASE WHEN m.m < 128 THEN m.m
+                                 ELSE 545460846592 // m.hk END AS ue,
+                            m.m AS m FROM m),
+              ov AS (SELECT CAST(count(*) AS BIGINT) AS o FROM u
+                     WHERE h IN (SELECT h FROM ska)
+                       AND h IN (SELECT h FROM skb))
+         SELECT CAST(ue.ue AS BIGINT) AS union_est,
+                ov.o AS overlap_k,
+                CAST(CASE WHEN ue.m = 0 THEN 0
+                          ELSE ov.o * ue.ue // ue.m END AS BIGINT)
+                  AS inter_est
+         FROM ue, ov""",
 
     "st4_window_agg" ->
       """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value

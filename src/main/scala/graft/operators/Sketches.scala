@@ -85,6 +85,43 @@ object Sketches {
   def coordinate(key: Column): Column =
     conv(Sampling.hashHex(key), 16, 10).cast("long")
 
+  /** Materialize the global KMV synopsis of `keyCol` (no grouping):
+    * the k smallest distinct md5₃₂ coordinates, ascending. The
+    * returned Seq IS the mergeable artifact — k longs summarizing any
+    * number of rows; persist it, ship it, or combine it with another
+    * corpus's synopsis via [[kmvUnionStats]]. */
+  def kmvSketch(df: DataFrame, keyCol: String, k: Int): Seq[Long] = {
+    val agg = udaf(new KmvAggregator(k), Encoders.scalaLong)
+    df.select(coordinate(col(keyCol)).as("_h"))
+      .agg(agg(col("_h")).as("_kmv"))
+      .head().getSeq[Long](0)
+  }
+
+  /** Set algebra over two same-k synopses (Beyer et al. 2007, "On
+    * synopses for distinct value estimation under multiset
+    * operations"): the k smallest of the two sketches' union is a
+    * valid sketch of A∪B, and the fraction ρ of its values present in
+    * BOTH input sketches estimates the Jaccard similarity — so
+    * `|A∩B| ≈ ρ·|A∪B|`. Returns integer-only
+    * `(union_est, overlap_in_m, inter_est)` where m = |union sketch|
+    * (m < k means the union estimate is exact): two 100 TB corpora
+    * compare through 2k longs, no join anywhere. */
+  def kmvUnionStats(a: Seq[Long], b: Seq[Long], k: Int): (Long, Long, Long) = {
+    val agg = new KmvAggregator(k)
+    require(a.size <= k && b.size <= k,
+      s"sketches exceed k=$k: ${a.size}, ${b.size}")
+    val u = agg.merge(a, b)
+    val m = u.size
+    val unionEst =
+      if (m < k) m.toLong
+      else (k - 1).toLong * 4294967296L / u.last
+    val inA = a.toSet
+    val inB = b.toSet
+    val overlap = u.count(v => inA(v) && inB(v)).toLong
+    val interEst = if (m == 0) 0L else overlap * unionEst / m
+    (unionEst, overlap, interEst)
+  }
+
   // ── Count-Min sketch ───────────────────────────────────────────────
 
   /** Row-`row` CMS bucket of a key: md5₃₂("row:key") mod `w` — the

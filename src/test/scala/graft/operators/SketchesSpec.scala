@@ -52,6 +52,31 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("KMV union stats: identical, disjoint, subset cases") {
+    val k = 64
+    def sk(xs: Range) = Sketches.kmvSketch(xs.toDF("k"), "k", k)
+    val a = sk(1 to 30)
+    // identical sets: everything overlaps, estimates exact (m < k)
+    assert(Sketches.kmvUnionStats(a, a, k) == (30L, 30L, 30L))
+    // disjoint small sets: exact union, zero overlap
+    val b = sk(1000 to 1019)
+    assert(Sketches.kmvUnionStats(a, b, k) == (50L, 0L, 0L))
+    // subset: intersection estimate equals the subset size
+    val sub = sk(1 to 10)
+    val (u, ov, inter) = Sketches.kmvUnionStats(a, sub, k)
+    assert(u == 30L && ov == 10L && inter == 10L)
+  }
+
+  test("KMV union/intersection estimates track large overlapping sets") {
+    val k = 128
+    def sk(xs: Range) = Sketches.kmvSketch(xs.toDF("k"), "k", k)
+    val (u, _, inter) =
+      Sketches.kmvUnionStats(sk(1 to 3000), sk(2000 to 5000), k)
+    // true union 5000, true intersection 1001; ~4-sigma envelopes
+    assert(math.abs(u - 5000.0) / 5000.0 < 0.35, s"union=$u")
+    assert(math.abs(inter - 1001.0) / 1001.0 < 0.6, s"inter=$inter")
+  }
+
   test("CMS never underestimates; sparse keys are near-exact") {
     val df = (0 until 2000).map(i => i % 50).toDF("k") // 50 keys × 40
     val counters = Sketches.cmsCounters(df, "k", 4, 1024)
