@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** One-pass data profiling and a declarative constraint suite — the
+  * data-quality gate a 100 TB ingest runs BEFORE the expensive
+  * pipeline stages (the reference's only QA is a row-count reconcile
+  * and a 5-row load-error tolerance, `2.2 loading-lambda-for-mysql
+  * .py:776-793,308`; this is that idea promoted to a first-class
+  * operator surface).
+  *
+  * Scale posture, [[profile]]: ALL columns profile in ONE aggregation
+  * over ONE scan. Per-column state is two counters, typed min/max, and
+  * a k-bounded KMV synopsis ([[Sketches.KmvAggregator]]) for the
+  * distinct count — so the map-side state is O(cols·k) and the shuffle
+  * is one partial-aggregate row per task. The plan this replaces —
+  * `count(DISTINCT c1), count(DISTINCT c2), …` — expands the scan
+  * once per counted column (Catalyst's Expand) and shuffles every
+  * distinct value of every column; this never does either.
+  *
+  * Scale posture, [[rowChecks]]: every row-level constraint is a
+  * `sum(violation)` in the SAME single aggregation — N checks cost one
+  * scan, no joins. Set-level checks ([[uniqueCheck]], [[refCheck]])
+  * each cost their one unavoidable keyed shuffle, and their outputs
+  * union into the same (check, violations, passed) report.
+  */
+object Profile {
+
+  /** Per-column profile of `cols`: `column, n_rows, n_nulls, ndv_est,
+    * min_str, max_str` — one row per column, from one aggregation.
+    * `ndv_est` is the KMV order-statistics estimate (EXACT below `k`
+    * distinct values, ≈6% stderr at k=256 above); min/max aggregate in
+    * the column's native type and only the final scalar renders as a
+    * string, so numeric columns do not compare lexicographically. */
+  def profile(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "profile of zero columns")
+    val kmv = udaf(new Sketches.KmvAggregator(k), Encoders.scalaLong)
+    val numerator = (k - 1).toLong * 4294967296L
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"_nn_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"),
+        // −1 is the aggregator's documented null sentinel: nulls drop
+        // out of the synopsis instead of hashing as a phantom value
+        kmv(coalesce(Sketches.coordinate(col(c)), lit(-1L)))
+          .as(s"_kmv_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("_rows"), aggs: _*)
+    val withNdv = cols.foldLeft(wide) { (acc, c) =>
+      acc.withColumn(s"_ndv_$c",
+        when(size(col(s"_kmv_$c")) < k,
+          size(col(s"_kmv_$c")).cast("long"))
+          .otherwise(expr(s"$numerator div element_at(_kmv_$c, $k)")))
+    }
+    val stackArgs = cols.map { c =>
+      s"'$c', _rows, _rows - _nn_$c, _ndv_$c, _min_$c, _max_$c"
+    }.mkString(", ")
+    withNdv.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column, n_rows, n_nulls, ndv_est, min_str, max_str)")
+  }
+
+  /** Row-level constraints counted in one pass: each entry is
+    * (check name, VIOLATION predicate). Null predicates count as
+    * violations — an unexpectedly-null operand is a data defect, not
+    * a pass. Output: `check, violations, passed`. */
+  def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "empty check suite")
+    val aggs = checks.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(true)), 1L).otherwise(0L)).as(name)
+    }
+    val stackArgs = checks.map { case (name, _) =>
+      s"'$name', coalesce(`$name`, 0)" // empty input: zero violations
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${checks.size}, $stackArgs) AS (check, violations)")
+      .withColumn("passed", col("violations") === 0L)
+  }
+
+  /** Uniqueness constraint on a key tuple: violations = surplus rows
+    * beyond one per key (one keyed count shuffle, map-side partial). */
+  def uniqueCheck(df: DataFrame, keyCols: Seq[String],
+                  name: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum(col("_n") - 1L), lit(0L)).as("violations"))
+      .select(lit(name).as("check"), col("violations"),
+        (col("violations") === 0L).as("passed"))
+
+  /** Referential-integrity constraint: violations = child rows whose
+    * key has no parent (null child keys violate too — use a row check
+    * to separate them). A left-anti join, so AQE broadcasts a small
+    * parent and the count shuffles only orphans. */
+  def refCheck(child: DataFrame, childKey: String,
+               parent: DataFrame, parentKey: String,
+               name: String): DataFrame =
+    child.select(col(childKey).as("_ck"))
+      .join(parent.select(col(parentKey).as("_ck")), Seq("_ck"),
+        "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("check"), col("violations"),
+        (col("violations") === 0L).as("passed"))
+
+  /** k-anonymity audit over quasi-identifier columns: the groups an
+    * attacker could pin to fewer than `k` individuals. One combinable
+    * group-by; output `quasiCols…, n` for each risky group — empty
+    * means the table IS k-anonymous on those columns. Pairs with
+    * [[graft.functions.TextFunctions.scrubPii]]: scrub removes direct
+    * identifiers, this measures the indirect ones. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(k >= 2, s"k-anonymity below 2 is vacuous: $k")
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+}

@@ -41,7 +41,9 @@ import scala.collection.Searching._
 object Sketches {
 
   /** Typed aggregator: the k smallest DISTINCT input values, ascending.
-    * Inputs must be non-negative (md5₃₂ coordinates are). */
+    * Inputs must be non-negative (md5₃₂ coordinates are); negative
+    * inputs are the NULL sentinel and are skipped — a caller that
+    * `coalesce`s a nullable coordinate to −1 gets ndv-of-non-nulls. */
   final class KmvAggregator(k: Int)
       extends Aggregator[Long, Seq[Long], Seq[Long]] {
     require(k >= 2, s"k must be at least 2: $k")
@@ -49,7 +51,8 @@ object Sketches {
     override def zero: Seq[Long] = Vector.empty
 
     override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
-      buf.search(h) match {
+      if (h < 0) buf
+      else buf.search(h) match {
         case Found(_) => buf // already present: distinctness
         case InsertionPoint(i) =>
           if (buf.size < k)
@@ -188,5 +191,40 @@ object Sketches {
         when(size(col("_kmv")) < k, size(col("_kmv")).cast("long"))
           .otherwise(expr(s"$numerator div element_at(_kmv, $k)")))
       .drop("_kmv")
+  }
+
+  /** EXACT heavy hitters through a CMS prefilter: keys whose frequency
+    * is at least `minShare` of the rows, without a full group-by of
+    * every key. Pass 1 builds the depth×width counter table; pass 2
+    * evaluates each row's CMS estimate IN THE SCAN STAGE (the counter
+    * table rides along as `depth` array literals — a codegen'd
+    * `element_at` per hash row, no join) and only rows whose estimate
+    * clears the threshold reach the exact count.
+    *
+    * The result is exact, not approximate: CMS never underestimates,
+    * so no true heavy hitter can be filtered out, and the final
+    * HAVING removes any collision-inflated false positive. The same
+    * plan-device-only posture as the Bloom decontamination path —
+    * at 100 TB the group-by shuffles only the heavy keys' rows'
+    * partial counts instead of every distinct key. */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, depth: Int,
+                      width: Int, minShare: Double): DataFrame = {
+    require(minShare > 0.0 && minShare <= 1.0,
+      s"minShare must be in (0,1]: $minShare")
+    val cells = Array.fill(depth)(new Array[Long](width))
+    cmsCounters(df, keyCol, depth, width).collect().foreach { r =>
+      cells(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2)
+    }
+    val total = cells(0).sum // every depth row sums to the row count
+    val threshold = math.ceil(total * minShare).toLong
+    val est = least((0 until depth).map { j =>
+      element_at(typedlit(cells(j).toSeq),
+        (cmsBucket(lit(j), col(keyCol).cast("string"), width) + 1)
+          .cast("int"))
+    }: _*)
+    df.filter(est >= lit(threshold))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("exact_freq"))
+      .filter(col("exact_freq") >= threshold)
   }
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def byColumn(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) -> r).toMap
+
+  test("profile: counts, nulls, exact ndv below k, native-typed min/max") {
+    val df = Seq(
+      (1L, Some("b"), 10.5), (2L, None, 2.0), (3L, Some("a"), 10.5),
+      (9L, Some("a"), 1.25))
+      .toDF("id", "s", "v")
+    val p = byColumn(Profile.profile(df, Seq("id", "s", "v"), k = 256))
+    val id = p("id")
+    assert(id.getLong(1) == 4L && id.getLong(2) == 0L && id.getLong(3) == 4L)
+    // native-typed min/max: 9 > 10 lexicographically, not numerically
+    assert(id.getString(4) == "1" && id.getString(5) == "9")
+    val s = p("s")
+    assert(s.getLong(2) == 1L && s.getLong(3) == 2L)
+    assert(s.getString(4) == "a" && s.getString(5) == "b")
+    val v = p("v")
+    assert(v.getLong(3) == 3L)
+    assert(v.getString(4) == "1.25" && v.getString(5) == "10.5")
+  }
+
+  test("profile: all-null column profiles without poisoning the ndv") {
+    val df = Seq((1, Option.empty[String]), (2, None)).toDF("id", "s")
+    val s = byColumn(Profile.profile(df, Seq("s")))("s")
+    assert(s.getLong(1) == 2L && s.getLong(2) == 2L && s.getLong(3) == 0L)
+    assert(s.isNullAt(4) && s.isNullAt(5))
+  }
+
+  test("profile: one aggregation, no Expand in the plan") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val plan = Profile.profile(df, Seq("id", "s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    // the multi-count-distinct plan this replaces DOES expand
+    val naive = df.agg(count_distinct(col("id")), count_distinct(col("s")))
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("Expand"), naive)
+  }
+
+  test("profile: ndv estimate tracks a wide column within the envelope") {
+    val df = (1 to 20000).toDF("id")
+    val row = Profile.profile(df, Seq("id"), k = 256).collect().head
+    val est = row.getLong(3)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.25, s"est=$est")
+  }
+
+  test("rowChecks: one pass, null operands violate, empty input passes") {
+    val df = Seq((1, Some(5)), (2, None), (3, Some(-1))).toDF("id", "v")
+    val out = Profile.rowChecks(df, Seq(
+        "v_nonneg" -> (col("v") < 0),
+        "id_small" -> (col("id") > 100)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // the null v row counts as a v_nonneg violation alongside -1
+    assert(out("v_nonneg") == ((2L, false)))
+    assert(out("id_small") == ((0L, true)))
+    val empty = Profile.rowChecks(df.filter(col("id") > 99),
+      Seq("any" -> (col("v") < 0))).collect().head
+    assert(empty.getLong(1) == 0L && empty.getBoolean(2))
+  }
+
+  test("uniqueCheck counts surplus rows; refCheck counts orphans") {
+    val dup = Seq((1, "x"), (1, "y"), (2, "z"), (2, "w"), (3, "u"))
+      .toDF("k", "p")
+    val u = Profile.uniqueCheck(dup, Seq("k"), "k_unique").collect().head
+    assert(u.getLong(1) == 2L && !u.getBoolean(2))
+    val parent = Seq(1, 2).toDF("pk")
+    val r = Profile.refCheck(dup, "k", parent, "pk", "k_ref").collect().head
+    assert(r.getLong(1) == 1L && !r.getBoolean(2))
+    val ok = Profile.refCheck(dup.filter(col("k") < 3), "k",
+      parent, "pk", "k_ref").collect().head
+    assert(ok.getLong(1) == 0L && ok.getBoolean(2))
+  }
+
+  test("kAnonymity flags only groups below k") {
+    val df = Seq.tabulate(12)(i => (if (i < 9) "big" else "small", i % 2))
+      .toDF("seg", "flag")
+    // groups: (big,0)=5 (big,1)=4 (small,0)=1 (small,1)=2
+    val risky = Profile.kAnonymity(df, Seq("seg", "flag"), 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(risky == Map(("small", 0) -> 1L, ("small", 1) -> 2L))
+    intercept[IllegalArgumentException] {
+      Profile.kAnonymity(df, Seq("seg"), 1)
+    }
+  }
+}
