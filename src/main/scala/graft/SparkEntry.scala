@@ -965,6 +965,62 @@ object SparkEntry {
       Seq((u, ov, inter)).toDF("union_est", "overlap_k", "inter_est")
     }),
 
+    "a18_profile" -> ((s, dir) =>
+      // one-pass column profiler: counts, nulls, KMV ndv (exact below
+      // k=256, order-statistics estimate above — l_orderkey and
+      // l_shipdate take the estimate path here), native-typed min/max
+      // rendered as strings. ONE aggregation, no per-column Expand —
+      // the 100 TB profiling pass costs one scan regardless of how
+      // many columns it covers.
+      Profile.profile(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate"))
+        .orderBy(col("column"))),
+
+    "a19_checks" -> ((s, dir) => {
+      // declarative constraint suite (Deequ shape): all row-level
+      // checks per table fold into ONE sum-of-violations aggregation
+      // over one scan; uniqueness adds its one keyed count shuffle,
+      // referential integrity one anti join (orphans-only shuffle).
+      // The reference's QA surface is a row-count reconcile plus a
+      // 5-row error tolerance — this is that contract, typed.
+      val o = t(s, dir, "orders")
+      Profile.rowChecks(o, Seq(
+          "o_totalprice_positive" -> (col("o_totalprice") <= 0),
+          "o_status_domain" -> !col("o_orderstatus").isin("O", "F", "P"),
+          "o_priority_nonempty" -> (length(col("o_orderpriority")) === 0)))
+        .unionByName(Profile.rowChecks(t(s, dir, "lineitem"), Seq(
+          "l_qty_range" ->
+            (col("l_quantity") < 1 || col("l_quantity") > 50),
+          "l_discount_cap" -> (col("l_discount") > lit(0.05)))))
+        .unionByName(Profile.uniqueCheck(o, Seq("o_orderkey"),
+          "o_orderkey_unique"))
+        .unionByName(Profile.refCheck(o, "o_custkey",
+          t(s, dir, "customer"), "c_custkey", "o_custkey_ref"))
+        .orderBy(col("check"))
+    }),
+
+    "a20_kanon" -> ((s, dir) =>
+      // k-anonymity audit: quasi-identifier groups an attacker could
+      // pin to <10 customers. One combinable group-by; the privacy
+      // sibling of x_text_scrub (scrub removes direct identifiers,
+      // this measures the indirect ones).
+      Profile.kAnonymity(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), 10)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
+    "a21_heavy_hitters" -> ((s, dir) =>
+      // EXACT heavy hitters (languages holding ≥25% of the corpus)
+      // through a CMS prefilter: the counter table rides the scan as
+      // array literals, so rows of light keys never reach the group-by
+      // — the shuffle carries only heavy candidates' partial counts.
+      // CMS never underestimates (no lost true positive) and the
+      // final HAVING kills collision-inflated false ones, so the
+      // approximate structure yields an exact, oracle-checkable
+      // answer — same posture as the Bloom decontamination plan.
+      Sketches.cmsHeavyHitters(t(s, dir, "documents"), "lang",
+          depth = 4, width = 1024, minShare = 0.25)
+        .orderBy(col("lang"))),
+
     "st4_window_agg" -> ((s, dir) => {
       // batch-checkable form of EventStreams.windowedAgg: tumbling
       // 1-hour event-time windows (same code path a readStream takes)
@@ -1015,6 +1071,28 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("event_id"))
         .orderBy(col("user_id"), col("event_type"))
     }),
+
+    "x_events_funnel" -> ((s, dir) =>
+      // ordered 3-stage funnel: per user the first view, the first
+      // click strictly after it, the first purchase after that —
+      // stage order rides the integral event id (the one total order
+      // both engines share; raw ts carries sub-µs noise). Every
+      // shuffle in the stage chain keys on user_id, so the stages
+      // co-locate; each stage scans only its type slice (pushed
+      // filter), never the whole log.
+      EventAnalytics.funnel(t(s, dir, "events"),
+          "user_id", "event_type", "event_id",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))),
+
+    "x_events_cohort" -> ((s, dir) =>
+      // weekly cohort retention: users bucketed by first-seen week,
+      // counted in each week they were active. Week truncation is
+      // noise-immune (sub-µs can't move a Monday boundary), and the
+      // offset divides exact day counts — no float durations.
+      EventAnalytics.cohortRetention(t(s, dir, "events"),
+          "user_id", "ts")
+        .orderBy(col("cohort"), col("bucket_offset"))),
 
     "x_stream_sessionize" -> ((s, dir) =>
       // session windows (gap-merged event-time sessions — the same
@@ -2180,6 +2258,25 @@ object SparkEntry {
                    FROM documents d
                    LEFT JOIN ds ON d.doc_id = ds.doc_id)"""
 
+  /** One column's block of the a18_profile oracle: the KMV ndv replay
+    * (same order statistics as a15) plus counts and native-typed
+    * min/max rendered as VARCHAR. */
+  private def profileColSql(c: String): String =
+    s"""SELECT '$c' AS "column",
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+          (SELECT CAST(count(*) - count($c) AS BIGINT) FROM lineitem)
+            AS n_nulls,
+          (SELECT CAST(CASE WHEN count(*) >= 256
+                            THEN 1095216660480 // max(h)
+                            ELSE count(*) END AS BIGINT)
+             FROM (SELECT h FROM
+                     (SELECT DISTINCT
+                        ${hexValSql(s"md5(CAST($c AS VARCHAR))")} AS h
+                      FROM lineitem WHERE $c IS NOT NULL)
+                   ORDER BY h LIMIT 256)) AS ndv_est,
+          (SELECT CAST(min($c) AS VARCHAR) FROM lineitem) AS min_str,
+          (SELECT CAST(max($c) AS VARCHAR) FROM lineitem) AS max_str"""
+
   private def hexValSql(expr: String): String =
     (0 until 8).map { i =>
       s"(strpos('0123456789abcdef', substr($expr, ${i + 1}, 1)) - 1) * " +
@@ -3003,6 +3100,64 @@ object SparkEntry {
                   AS inter_est
          FROM ue, ov""",
 
+    "a18_profile" ->
+      Seq("l_orderkey", "l_returnflag", "l_shipdate", "l_suppkey")
+        .map(profileColSql)
+        .mkString("", "\n UNION ALL\n ", "\n ORDER BY \"column\""),
+
+    "a19_checks" ->
+      """WITH c AS (
+           SELECT 'o_totalprice_positive' AS chk,
+                  CAST(count(*) FILTER (WHERE o_totalprice <= 0)
+                       AS BIGINT) AS violations
+           FROM orders
+           UNION ALL
+           SELECT 'o_status_domain',
+                  count(*) FILTER (WHERE o_orderstatus NOT IN
+                                         ('O', 'F', 'P'))
+           FROM orders
+           UNION ALL
+           SELECT 'o_priority_nonempty',
+                  count(*) FILTER (WHERE length(o_orderpriority) = 0)
+           FROM orders
+           UNION ALL
+           SELECT 'l_qty_range',
+                  count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_discount_cap',
+                  count(*) FILTER (WHERE l_discount > 0.05)
+           FROM lineitem
+           UNION ALL
+           SELECT 'o_orderkey_unique',
+                  (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+                   FROM (SELECT count(*) AS n FROM orders
+                         GROUP BY o_orderkey))
+           UNION ALL
+           SELECT 'o_custkey_ref',
+                  (SELECT CAST(count(*) AS BIGINT) FROM orders
+                   WHERE o_custkey NOT IN
+                         (SELECT c_custkey FROM customer)))
+         SELECT chk AS "check",
+                CAST(violations AS BIGINT) AS violations,
+                violations = 0 AS passed
+         FROM c ORDER BY chk""",
+
+    "a20_kanon" ->
+      """SELECT c_nationkey, c_mktsegment,
+                CAST(count(*) AS BIGINT) AS n
+         FROM customer
+         GROUP BY c_nationkey, c_mktsegment
+         HAVING count(*) < 10
+         ORDER BY c_nationkey, c_mktsegment""",
+
+    "a21_heavy_hitters" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS exact_freq
+         FROM documents
+         GROUP BY lang
+         HAVING count(*) >= ceil(0.25 * (SELECT count(*) FROM documents))
+         ORDER BY lang""",
+
     "st4_window_agg" ->
       """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
                      FROM events)
@@ -3029,6 +3184,44 @@ object SparkEntry {
                 w4 AS (PARTITION BY user_id ORDER BY event_id
                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, event_id""",
+
+    "x_events_funnel" ->
+      """WITH v AS (SELECT user_id, min(event_id) AS s1_view
+                    FROM events WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(e.event_id) AS s2_click
+                    FROM events e
+                    JOIN v ON e.user_id = v.user_id
+                          AND e.event_id > v.s1_view
+                    WHERE e.event_type = 'click' GROUP BY 1),
+              p AS (SELECT e.user_id, min(e.event_id) AS s3_purchase
+                    FROM events e
+                    JOIN c ON e.user_id = c.user_id
+                          AND e.event_id > c.s2_click
+                    WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT v.user_id, v.s1_view, c.s2_click, p.s3_purchase,
+                CAST(1 + CASE WHEN c.s2_click IS NULL THEN 0 ELSE 1 END
+                       + CASE WHEN p.s3_purchase IS NULL THEN 0 ELSE 1
+                         END AS BIGINT) AS depth
+         FROM v
+         LEFT JOIN c ON v.user_id = c.user_id
+         LEFT JOIN p ON v.user_id = p.user_id
+         ORDER BY v.user_id""",
+
+    "x_events_cohort" ->
+      """WITH f AS (SELECT user_id,
+                           CAST(date_trunc('week', min(ts)) AS DATE)
+                             AS cohort
+                    FROM events GROUP BY 1),
+              a AS (SELECT DISTINCT user_id,
+                           CAST(date_trunc('week', ts) AS DATE) AS bkt
+                    FROM events)
+         SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+                CAST(date_diff('day', f.cohort, a.bkt) // 7 AS BIGINT)
+                  AS bucket_offset,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM a JOIN f ON a.user_id = f.user_id
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
 
     // gaps-and-islands replay of session_window: a session breaks where
     // the gap to the previous event is >= the 10-minute window gap

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over an append-only event log — the query
+  * family the reference's audit-log table exists to answer ("which
+  * loads reached which stage, when did a source first appear":
+  * `2.2 loading-lambda-for-mysql.py:640-700` reads the log back per
+  * target to decide progress), generalized to the funnel / cohort
+  * shapes every product event stream runs.
+  *
+  * Ordering contract: stage order is the integral `orderCol` (event
+  * ids), never raw timestamps — event-time carries sub-µs noise that
+  * engines truncate differently, while ids are the one total order
+  * everything agrees on. Cohort bucketing truncates time to coarse
+  * buckets (weeks), where sub-µs noise cannot move a boundary.
+  */
+object EventAnalytics {
+
+  /** Ordered k-stage funnel: per entity, the FIRST stage-1 event, then
+    * the first stage-2 event strictly after it, and so on. Output: one
+    * row per entity that reached stage 1 — `userCol, s1_<type>, …,
+    * sk_<type> (null = stage not reached), depth`.
+    *
+    * Scale shape: stage j is a min-aggregation over ONLY the stage-j
+    * slice of the log (the type filter pushes to the scan) joined to
+    * the previous frontier on the entity key — every shuffle in the
+    * chain hash-partitions on that same key, so at 1000 executors the
+    * stages co-locate and the widest exchange is the largest single
+    * stage slice, never the whole log. No window function touches the
+    * unaggregated log.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             orderCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, s"a funnel needs at least 2 stages: $stages")
+    require(stages.distinct.size == stages.size,
+      s"repeated stage types are ambiguous: $stages")
+    def sCol(i: Int) = s"s${i + 1}_${stages(i)}"
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol))
+      .agg(min(col(orderCol)).as(sCol(0)))
+    val chained = stages.indices.tail.foldLeft(first) { (acc, i) =>
+      val next = events.filter(col(typeCol) === stages(i))
+        .join(acc.select(col(userCol), col(sCol(i - 1))), Seq(userCol))
+        .filter(col(orderCol) > col(sCol(i - 1)))
+        .groupBy(col(userCol))
+        .agg(min(col(orderCol)).as(sCol(i)))
+      acc.join(next, Seq(userCol), "left")
+    }
+    chained.withColumn("depth",
+      stages.indices.map(i => when(col(sCol(i)).isNotNull, 1L)
+        .otherwise(0L)).reduce(_ + _))
+  }
+
+  /** Per-stage reach counts of [[funnel]]'s output: `stage (1-based),
+    * stage_type, n_users` — the funnel chart. */
+  def funnelCounts(funnelOut: DataFrame, stages: Seq[String]): DataFrame = {
+    val aggs = stages.indices.map(i =>
+      count(col(s"s${i + 1}_${stages(i)}")).as(s"_n$i"))
+    val stackArgs = stages.indices
+      .map(i => s"${i + 1}, '${stages(i)}', _n$i").mkString(", ")
+    funnelOut.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${stages.size}, $stackArgs) AS " +
+        "(stage, stage_type, n_users)")
+  }
+
+  /** Cohort retention: entities bucketed by the `bucket`-truncation of
+    * their FIRST event (the cohort), counted in each later bucket they
+    * were active. Output: `cohort (string), bucket_offset (buckets
+    * since cohort), n_users`.
+    *
+    * Scale shape: first-seen is one keyed min-aggregation; activity
+    * dedupes to one row per (entity, bucket) — both partial-aggregate
+    * map-side, both keyed on the entity, so the join back is
+    * co-partitioned. The final (cohort, offset) roll-up aggregates a
+    * table already shrunk to entity×bucket granularity. The offset
+    * divides exact day counts, not float durations.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      bucket: String = "week"): DataFrame = {
+    val daysPer = bucket match {
+      case "week" => 7L
+      case "day"  => 1L
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported cohort bucket (want day|week): $other")
+    }
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("_first_ts"))
+      .select(col(userCol),
+        date_trunc(bucket, col("_first_ts")).cast("date").as("_cohort"))
+    val active = events
+      .select(col(userCol),
+        date_trunc(bucket, col(tsCol)).cast("date").as("_bucket"))
+      .distinct()
+    active.join(firstSeen, Seq(userCol))
+      .groupBy(col("_cohort"),
+        (datediff(col("_bucket"), col("_cohort")) / daysPer)
+          .cast("long").as("bucket_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("_cohort"), "yyyy-MM-dd").as("cohort"),
+        col("bucket_offset"), col("n_users"))
+  }
+}

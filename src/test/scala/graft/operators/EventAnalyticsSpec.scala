@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val log = Seq(
+    // u1 completes view->click->purchase in order
+    (1, "view", 10L), (1, "click", 20L), (1, "purchase", 30L),
+    // u2 clicks BEFORE the first view: click must not count until
+    // a later one follows the view (none does)
+    (2, "click", 5L), (2, "view", 6L), (2, "purchase", 7L),
+    // u3 views only
+    (3, "view", 40L),
+    // u4 never views (excluded from the funnel entirely)
+    (4, "purchase", 50L),
+    // u5: multiple candidates — earliest valid at each stage wins
+    (5, "view", 1L), (5, "view", 2L), (5, "click", 3L), (5, "click", 4L),
+    (5, "purchase", 9L))
+    .toDF("user_id", "etype", "eid")
+
+  test("funnel: strict in-order stage matching, first-match semantics") {
+    val out = EventAnalytics.funnel(log, "user_id", "etype", "eid",
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getInt(0) -> (
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        r.getLong(4)))
+      .toMap
+    assert(out.keySet == Set(1, 2, 3, 5)) // u4 never entered
+    assert(out(1) == ((Some(10L), Some(20L), Some(30L), 3L)))
+    // u2's click at 5 precedes the view at 6 — stage 2 unreached, and
+    // the purchase at 7 must NOT match without a click before it
+    assert(out(2) == ((Some(6L), None, None, 1L)))
+    assert(out(3) == ((Some(40L), None, None, 1L)))
+    assert(out(5) == ((Some(1L), Some(3L), Some(9L), 3L)))
+  }
+
+  test("funnelCounts: per-stage reach") {
+    val f = EventAnalytics.funnel(log, "user_id", "etype", "eid",
+      Seq("view", "click", "purchase"))
+    val counts = EventAnalytics.funnelCounts(f,
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(counts == Map(1 -> 4L, 2 -> 2L, 3 -> 2L))
+  }
+
+  test("funnel refuses degenerate stage lists") {
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(log, "user_id", "etype", "eid", Seq("view"))
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(log, "user_id", "etype", "eid",
+        Seq("view", "view"))
+    }
+  }
+
+  test("cohortRetention: weekly cohorts with exact offsets") {
+    val ev = Seq(
+      // u1 first seen Mon 2024-01-01 week; active weeks 0, 1, 3
+      (1, "2024-01-02 10:00:00"), (1, "2024-01-03 11:00:00"),
+      (1, "2024-01-08 09:00:00"), (1, "2024-01-24 09:00:00"),
+      // u2 first seen same week; active week 0 only
+      (2, "2024-01-05 23:59:59"),
+      // u3 first seen the next week
+      (3, "2024-01-10 00:00:00"), (3, "2024-01-15 00:00:00"))
+      .toDF("user_id", "ts_s")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val out = EventAnalytics.cohortRetention(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 3L) -> 1L,
+      ("2024-01-08", 0L) -> 1L, ("2024-01-08", 1L) -> 1L))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.cohortRetention(ev, "user_id", "ts", "month")
+    }
+  }
+}

@@ -102,6 +102,29 @@ class SketchesSpec extends SparkSpec {
     assert(estim(merged) == estim(whole))
   }
 
+  test("cmsHeavyHitters equals the exact group-by, even under collisions") {
+    // skewed corpus: two heavy keys (35% and 25%), 40 light ones
+    val rows = Seq.fill(350)("hot") ++ Seq.fill(250)("warm") ++
+      (0 until 400).map(i => s"light${i % 40}")
+    val df = rows.toDF("k")
+    def exact(share: Double): Map[String, Long] =
+      df.groupBy("k").count()
+        .filter($"count" >= math.ceil(1000 * share).toLong)
+        .as[(String, Long)].collect().toMap
+    val hh = Sketches.cmsHeavyHitters(df, "k", 4, 1024, 0.2)
+      .as[(String, Long)].collect().toMap
+    assert(hh == exact(0.2) && hh == Map("hot" -> 350L, "warm" -> 250L))
+    // width 4 forces massive collisions: estimates inflate, but the
+    // exact HAVING still yields the exact answer (prefilter only
+    // loses selectivity, never a true heavy hitter)
+    val collided = Sketches.cmsHeavyHitters(df, "k", 2, 4, 0.2)
+      .as[(String, Long)].collect().toMap
+    assert(collided == hh)
+    intercept[IllegalArgumentException] {
+      Sketches.cmsHeavyHitters(df, "k", 4, 1024, 0.0)
+    }
+  }
+
   test("CMS refuses degenerate dimensions") {
     val df = Seq(1).toDF("k")
     intercept[IllegalArgumentException] {
