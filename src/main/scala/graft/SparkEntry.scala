@@ -1021,6 +1021,61 @@ object SparkEntry {
           depth = 4, width = 1024, minShare = 0.25)
         .orderBy(col("lang"))),
 
+    "a22_exact_median" -> ((s, dir) => {
+      // exact global median/p90 by histogram-guided selection, NOT a
+      // sort: each round ships one ≤512-cell histogram, the driver
+      // picks the bucket holding the kth value, and only the final
+      // ≤2000-row slice is ever sorted. percentile_disc semantics
+      // (a value the column contains) keep the answer engine-portable.
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val p50 = Quantiles.exactQuantile(li, "l_extendedprice", 0.5,
+        buckets = 512, maxSelect = 2000)
+      val p90 = Quantiles.exactQuantile(li, "l_extendedprice", 0.9,
+        buckets = 512, maxSelect = 2000)
+      Seq((p50, p90)).toDF("p50", "p90")
+        .select(round(col("p50"), 6).as("p50"),
+          round(col("p90"), 6).as("p90"))
+    }),
+
+    "a23_grouping_sets" -> ((s, dir) =>
+      // explicit GROUPING SETS (the rollup/cube sibling a9/a11 don't
+      // cover: an arbitrary set list — here both one-dimension
+      // marginals plus the full cross). One Expand+aggregate pass;
+      // subtotal rows labelled '(all)' so no engine's null-vs-null
+      // grouping semantics leak into the compare.
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rflag"), col("lstatus"))),
+
+    "x_text_editdist" -> ((s, dir) => {
+      // fuzzy entity matching: Levenshtein ≤1 name pairs, blocked on
+      // nation so the pair product is per-block bounded (the same
+      // cap-the-block posture as ngramJaccardPairs.maxBlock); the
+      // distance runs codegen'd in the scan stage of the joined pairs.
+      val c = t(s, dir, "customer")
+      val a = c.select(col("c_custkey").as("id_a"),
+        col("c_nationkey").as("nk"), col("c_name").as("name_a"))
+      val b = c.select(col("c_custkey").as("id_b"),
+        col("c_nationkey").as("nk"), col("c_name").as("name_b"))
+      a.join(b, Seq("nk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 1)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "st4_window_agg" -> ((s, dir) => {
       // batch-checkable form of EventStreams.windowedAgg: tumbling
       // 1-hour event-time windows (same code path a readStream takes)
@@ -3157,6 +3212,37 @@ object SparkEntry {
          GROUP BY lang
          HAVING count(*) >= ceil(0.25 * (SELECT count(*) FROM documents))
          ORDER BY lang""",
+
+    "a22_exact_median" ->
+      """WITH s AS (SELECT l_extendedprice AS v,
+                           row_number() OVER (ORDER BY l_extendedprice)
+                             AS rn
+                    FROM lineitem),
+              n AS (SELECT CAST(ceil(0.5 * count(*)) AS BIGINT) AS k50,
+                           CAST(ceil(0.9 * count(*)) AS BIGINT) AS k90
+                    FROM lineitem)
+         SELECT round((SELECT v FROM s, n WHERE rn = k50), 6) AS p50,
+                round((SELECT v FROM s, n WHERE rn = k90), 6) AS p90""",
+
+    "a23_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rflag,
+                coalesce(l_linestatus, '(all)') AS lstatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  AS sum_qty,
+                CAST(count(*) AS BIGINT) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), (l_linestatus))
+         ORDER BY rflag, lstatus""",
+
+    "x_text_editdist" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a
+         JOIN customer b ON a.c_nationkey = b.c_nationkey
+                        AND a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id_a, id_b""",
 
     "st4_window_agg" ->
       """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
