@@ -1057,24 +1057,17 @@ object SparkEntry {
           col("sum_qty"), col("n"))
         .orderBy(col("rflag"), col("lstatus"))),
 
-    "x_text_editdist" -> ((s, dir) => {
-      // fuzzy entity matching: Levenshtein ≤1 name pairs, blocked on
-      // nation so the pair product is per-block bounded (the same
-      // cap-the-block posture as ngramJaccardPairs.maxBlock); the
-      // distance runs codegen'd in the scan stage of the joined pairs.
-      val c = t(s, dir, "customer")
-      val a = c.select(col("c_custkey").as("id_a"),
-        col("c_nationkey").as("nk"), col("c_name").as("name_a"))
-      val b = c.select(col("c_custkey").as("id_b"),
-        col("c_nationkey").as("nk"), col("c_name").as("name_b"))
-      a.join(b, Seq("nk"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("dist",
-          levenshtein(col("name_a"), col("name_b")).cast("long"))
-        .filter(col("dist") <= 1)
-        .select(col("id_a"), col("id_b"), col("dist"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    "x_text_editdist" -> ((s, dir) =>
+      // fuzzy entity matching: Levenshtein ≤1 name pairs within a
+      // nation, mined by deletion-neighborhood blocking (FastSS) —
+      // candidates must share a single-deletion variant, so the exact
+      // distance runs on ≈the true matches instead of the nation
+      // block's full |block|²/2 pair product (13.4 s → sub-second at
+      // sf0.1; the oracle stays the brute-force definition — the
+      // equality IS the blocking-completeness claim).
+      Dedup.editDistancePairs(t(s, dir, "customer"),
+          "c_custkey", "c_name", blockCols = Seq("c_nationkey"))
+        .orderBy(col("id_a"), col("id_b"))),
 
     "st4_window_agg" -> ((s, dir) => {
       // batch-checkable form of EventStreams.windowedAgg: tumbling

@@ -1074,4 +1074,64 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))
   }
+
+  /** Levenshtein-≤1 pair mining by deletion-neighborhood blocking
+    * (the FastSS / SymSpell scheme): two strings within edit distance
+    * 1 MUST share a member of {s} ∪ {delete one char of s} — equal
+    * strings share the identity, a substitution shares the deletion
+    * at the substituted position, an insertion/deletion pairs the
+    * shorter identity with the longer's deletion. So the candidate
+    * join keys on (blockCols, variant) where each string contributes
+    * `len+1` variants, and the exact `levenshtein` confirm runs ONLY
+    * on candidates that share a variant — near-matches plus a thin
+    * film of false candidates (shared variant, distance 2) the filter
+    * kills.
+    *
+    * Scale shape vs the naive block self-join: the naive form pays
+    * |block|²/2 distance evaluations per block (quadratic in the hot
+    * block); this pays `len+1`× row inflation into TINY exact-match
+    * buckets, so the shuffle is variants-sized and the distance count
+    * is ≈ the true match count. `maxLen` bounds the inflation and is
+    * enforced in-plan (`raise_error`, the refuse-loudly idiom) —
+    * long-string corpora should block on shingles
+    * ([[ngramJaccardPairs]]) instead, where edit distance 1 is the
+    * wrong similarity anyway.
+    *
+    * Output: `id_a < id_b, dist` (0 or 1), one row per pair. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        blockCols: Seq[String] = Nil,
+                        maxLen: Int = 64): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be positive: $maxLen")
+    val guarded =
+      when(length(col(strCol)) <= maxLen, col(strCol))
+        .otherwise(raise_error(concat(
+          lit(s"editDistancePairs: '$strCol' longer than maxLen=" +
+            s"$maxLen inflates the variant join; raise maxLen or " +
+            "block on shingles instead: "),
+          substring(col(strCol), 1, 32))))
+    val variants = df
+      .select((col(idCol).as("_id") +: blockCols.map(col)) :+
+        guarded.as("_s"): _*)
+      .select((col("_id") +: blockCols.map(col)) :+ col("_s") :+
+        explode(expr(
+          // i = 0 keeps the string; i = 1..len deletes char i
+          "transform(sequence(0, length(_s)), i -> IF(i = 0, _s, " +
+            "concat(substring(_s, 1, i - 1), " +
+            "substring(_s, i + 1, length(_s)))))")).as("_var"): _*)
+    val joinKeys = blockCols :+ "_var"
+    val a = variants
+      .toDF(variants.columns.map(c =>
+        if (c == "_id") "_ida" else if (c == "_s") "_sa" else c): _*)
+    val b = variants
+      .toDF(variants.columns.map(c =>
+        if (c == "_id") "_idb" else if (c == "_s") "_sb" else c): _*)
+    a.join(b, joinKeys)
+      .filter(col("_ida") < col("_idb"))
+      .select(col("_ida").as("id_a"), col("_idb").as("id_b"),
+        col("_sa"), col("_sb"))
+      .distinct() // a pair can share several variants
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -476,4 +476,51 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("editDistancePairs: deletion blocking equals brute force at dist<=1") {
+    val names = Seq(
+      1L -> "alpha", 2L -> "alphb",  // substitution
+      3L -> "alpha",                 // exact duplicate of 1
+      4L -> "alpha7",                // insertion vs 1/3
+      5L -> "lpha",                  // deletion vs 1/3
+      6L -> "alpXY",                 // dist 2 from alpha: excluded
+      7L -> "beta", 8L -> "betas", 9L -> "eta")
+    val df = names.toDF("id", "s")
+    val got = Dedup.editDistancePairs(df, "id", "s")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over all 36 pairs
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- names; (ib, sb) <- names
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+    assert(got == want, s"got=$got want=$want")
+    assert(want.contains((1L, 3L, 0L)) && want.contains((1L, 5L, 1L)))
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("editDistancePairs: block columns partition the candidate space") {
+    val df = Seq((1L, "g1", "same"), (2L, "g1", "samx"), (3L, "g2", "same"))
+      .toDF("id", "g", "s")
+    val got = Dedup.editDistancePairs(df, "id", "s", blockCols = Seq("g"))
+      .as[(Long, Long, Long)].collect().toSet
+    // cross-block (1,3) exact match is NOT a candidate
+    assert(got == Set((1L, 2L, 1L)))
+  }
+
+  test("editDistancePairs refuses over-long strings in-plan") {
+    val df = Seq((1L, "a" * 80), (2L, "b" * 80)).toDF("id", "s")
+    val e = intercept[Exception] {
+      Dedup.editDistancePairs(df, "id", "s").collect()
+    }
+    assert(e.getMessage.contains("maxLen") ||
+      e.getCause != null && e.getCause.getMessage.contains("maxLen"))
+  }
 }
