@@ -1224,6 +1224,19 @@ object SparkEntry {
           n = 3, threshold = 0.12, maxBlock = 1000)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "x_dedup_ngram_prefix" -> ((s, dir) =>
+      // EXACT plain-Jaccard pairs (no informative-shingle cap) whose
+      // blocking is still bounded: prefix filtering (AllPairs/PPJoin)
+      // indexes only each doc's |x|−⌈t·|x|⌉+1 globally-rarest
+      // shingles — a qualifying pair's smallest shared shingle
+      // provably lies in both prefixes, so candidate completeness is
+      // a theorem and hot stop-shingles are exactly what the prefix
+      // excludes. The oracle is the unconstrained all-pairs
+      // definition — the equality IS the completeness claim.
+      Dedup.ngramJaccardPairsExact(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // substring-level dedup (Lee et al. 2022, fixed-width form): maximal
     // spans whose every 8-token window occurs >= 2 times in the corpus.
     // portableHash=true keys windows by md5 so the oracle replays them;
@@ -3668,6 +3681,32 @@ object SparkEntry {
          JOIN sizes x ON id_a = x.doc_id
          JOIN sizes y ON id_b = y.doc_id
          WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.12
+         ORDER BY id_a, id_b""",
+
+    // the prefix-filtered path answers the UNcapped all-pairs
+    // definition — same SQL as x_dedup_ngram minus the stop-shingle
+    // QUALIFY
+    "x_dedup_ngram_prefix" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+              sh AS (SELECT DISTINCT doc_id,
+                            unnest(list_transform(
+                              generate_series(1, greatest(len(t)-2, 0)),
+                              i -> array_to_string(t[i:i+2], ' '))) AS s
+                     FROM tok),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh
+                        GROUP BY doc_id),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                               count(*) AS c
+                        FROM sh a JOIN sh b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+         FROM inter
+         JOIN sizes x ON id_a = x.doc_id
+         JOIN sizes y ON id_b = y.doc_id
+         WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8
          ORDER BY id_a, id_b""",
 
     // substring spans: identical rolling md5 windows (zipped unnests —

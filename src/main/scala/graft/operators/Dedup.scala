@@ -1075,6 +1075,82 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))
   }
 
+  /** n-gram Jaccard pairs with EXACT candidates via prefix filtering
+    * (AllPairs / PPJoin, Bayardo et al. 2007 / Xiao et al. 2008) — the
+    * uncapped-exact sibling of [[ngramJaccardPairs]], whose `maxBlock`
+    * buys bounded blocks by redefining the similarity over informative
+    * shingles only. Here the semantics stay plain Jaccard ≥ t and the
+    * blocking is still bounded, because only each doc's PREFIX — its
+    * `|x| − ⌈t·|x|⌉ + 1` globally rarest shingles (global order =
+    * (doc-frequency, fingerprint), a total order) — is indexed:
+    * if Jaccard(x,y) ≥ t, their overlap is ≥ ⌈t·max(|x|,|y|)⌉, so the
+    * globally-smallest shared shingle provably sits inside BOTH
+    * prefixes — candidate completeness is a theorem, not a cap. A
+    * qualifying pair's sizes also satisfy t·|y| ≤ |x|, pruned during
+    * pair generation before the distinct.
+    *
+    * Scale shape: hot stop-shingles ("of the and" in 10⁶ docs) are
+    * exactly the ones prefixes EXCLUDE — posting lists shrink to the
+    * rare end of the vocabulary, so within-block pair generation is
+    * quadratic only in per-rare-shingle doc counts. The exact verify
+    * computes `array_intersect` on the two docs' full shingle arrays,
+    * per CANDIDATE — cost ∝ survivors, not the corpus pair product. */
+  def ngramJaccardPairsExact(docs: DataFrame, idCol: String,
+                             textCol: String, n: Int,
+                             threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1]: $threshold")
+    val flat = flatIndex(docs, idCol, textCol, n)
+    val freq = flat.groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
+    // full shingle set per doc, ordered by global rarity; the prefix
+    // is a slice of that order
+    val docSets = flat.join(freq, Seq("_sh"))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(struct(col("_df"), col("_sh"))))
+        .as("_toks"))
+      .select(col("_id"),
+        expr("transform(_toks, t -> t._sh)").as("_set"),
+        size(col("_toks")).as("_sz"))
+      // ε nudges the double product DOWN before ceil: float slop can
+      // only lengthen the prefix (extra candidates — safe), never
+      // shorten it below the theorem's bound
+      .withColumn("_plen",
+        (col("_sz") -
+          ceil(lit(threshold) * col("_sz") - lit(1e-9)) + 1).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val plists = docSets
+      .select(col("_id"), col("_sz"),
+        explode(slice(col("_set"), lit(1), col("_plen"))).as("_sh"))
+      .groupBy(col("_sh"))
+      .agg(sort_array(collect_list(struct(col("_sz"), col("_id"))))
+        .as("_entries"))
+    // pair stream off each rare-shingle list (entries sorted by size
+    // so the t·|y| ≤ |x| length filter applies to every suffix pair)
+    val cands = plists
+      .select(col("_entries"),
+        posexplode(col("_entries")).as(Seq("_i", "_ea")))
+      .select(col("_ea"),
+        explode(slice(col("_entries"), col("_i") + lit(2),
+          size(col("_entries")))).as("_eb"))
+      // same ε discipline: the size prune may only be too permissive
+      .filter(lit(threshold) * col("_eb._sz") <= col("_ea._sz") + lit(1e-9))
+      .select(least(col("_ea._id"), col("_eb._id")).as("id_a"),
+        greatest(col("_ea._id"), col("_eb._id")).as("id_b"))
+      .distinct()
+    val aSide = docSets.select(col("_id").as("id_a"),
+      col("_set").as("_seta"), col("_sz").as("_sza"))
+    val bSide = docSets.select(col("_id").as("id_b"),
+      col("_set").as("_setb"), col("_sz").as("_szb"))
+    cands.join(aSide, Seq("id_a")).join(bSide, Seq("id_b"))
+      .withColumn("_inter",
+        size(array_intersect(col("_seta"), col("_setb"))))
+      .withColumn("jaccard", round(
+        col("_inter").cast("double") /
+          (col("_sza") + col("_szb") - col("_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Levenshtein-≤1 pair mining by deletion-neighborhood blocking
     * (the FastSS / SymSpell scheme): two strings within edit distance
     * 1 MUST share a member of {s} ∪ {delete one char of s} — equal

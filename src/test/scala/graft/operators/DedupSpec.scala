@@ -477,6 +477,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ngramJaccardPairsExact equals the uncapped all-pairs form") {
+    // corpus with a deliberate hot shingle ("the common tail") plus
+    // genuine near-dups; prefix filtering must reproduce the exact
+    // result while never indexing the hot shingle for long docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon the common tail"),
+      (2L, "alpha beta gamma delta zeta the common tail"),
+      (3L, "one two three four five the common tail"),
+      (4L, "one two three four five the common tail"),
+      (5L, "unrelated words entirely different content here now"),
+      (6L, "alpha beta gamma delta epsilon the common tail"))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.12, 0.5, 1.0)) {
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = t, maxBlock = 0)
+        .as[(Long, Long, Double)].collect().toSet
+      val prefix = Dedup.ngramJaccardPairsExact(docs, "doc_id", "text",
+          n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(prefix == exact, s"t=$t: $prefix vs $exact")
+    }
+    // sanity: the corpus really contains identical and near pairs
+    val t1 = Dedup.ngramJaccardPairsExact(docs, "doc_id", "text", 3, 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(t1.map(p => (p._1, p._2)) == Set((1L, 6L), (3L, 4L)))
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairsExact(docs, "doc_id", "text", 3, 0.0)
+    }
+  }
+
   test("editDistancePairs: deletion blocking equals brute force at dist<=1") {
     val names = Seq(
       1L -> "alpha", 2L -> "alphb",  // substitution
