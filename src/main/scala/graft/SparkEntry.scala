@@ -1108,6 +1108,64 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    "w5_rank_family" -> ((s, dir) =>
+      // the remaining rank-family windows (rank / dense_rank /
+      // percent_rank / ntile / cume_dist) over an AGGREGATED
+      // priority×year table — 35 rows, the window-is-right case; the
+      // (priority, year) tuple is a unique total order so every rank
+      // is deterministic in both engines.
+      {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("yr"))
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"),
+            year(col("o_orderdate")).as("yr"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("o_orderpriority"), col("yr").cast("long").as("yr"),
+            col("n"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            round(percent_rank().over(w), 6).as("prank"),
+            ntile(4).over(w).as("nt4"),
+            round(cume_dist().over(w), 6).as("cdist"))
+          .orderBy(col("o_orderpriority"), col("yr"))
+      }),
+
+    "a24_outliers" -> ((s, dir) => {
+      // robust outlier count: median + MAD both via the histogram-
+      // selection exactQuantile (no global sort anywhere), then one
+      // counting pass. The 1.4826 normal-consistency factor makes
+      // 3·MAD comparable to 3σ.
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val med = Quantiles.exactQuantile(li, "l_extendedprice", 0.5,
+        buckets = 512, maxSelect = 2000)
+      val dev = li.select(abs(col("l_extendedprice") - lit(med)).as("d"))
+      val mad = Quantiles.exactQuantile(dev, "d", 0.5,
+        buckets = 512, maxSelect = 2000)
+      li.agg(
+          count(when(abs(col("l_extendedprice") - lit(med)) >
+            lit(4.4478) * lit(mad), 1)).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .select(col("n_outliers"), col("n"),
+          round(lit(med), 6).as("median"), round(lit(mad), 6).as("mad"))
+    }),
+
+    "sql1_pricing_text" -> ((s, dir) => {
+      // the SQL-text entrypoint over the same session catalog the
+      // DataFrame gates use — proving a reference user can bring raw
+      // ANSI SQL, not just the typed API
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+                           AS DOUBLE) AS sum_qty,
+                      count(*) AS n
+               FROM lineitem_v
+               WHERE l_shipdate < date'1998-09-01'
+               GROUP BY l_returnflag
+               ORDER BY l_returnflag""")
+    }),
+
     // ── §2.9 streaming semantics (batch-checkable form) ─────────────
     "st3_dedup_window" -> ((s, dir) => {
       // event-time duplicate suppression: latest row per key wins
@@ -3276,6 +3334,50 @@ object SparkEntry {
                 w4 AS (PARTITION BY user_id ORDER BY event_id
                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, event_id""",
+
+    "w5_rank_family" ->
+      """WITH g AS (SELECT o_orderpriority, year(o_orderdate) AS yr,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM orders GROUP BY 1, 2)
+         SELECT o_orderpriority, CAST(yr AS BIGINT) AS yr, n,
+                CAST(rank() OVER w AS INT) AS rnk,
+                CAST(dense_rank() OVER w AS INT) AS drnk,
+                round(percent_rank() OVER w, 6) AS prank,
+                CAST(ntile(4) OVER w AS INT) AS nt4,
+                round(cume_dist() OVER w, 6) AS cdist
+         FROM g
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
+         ORDER BY o_orderpriority, yr""",
+
+    "a24_outliers" ->
+      """WITH s AS (SELECT l_extendedprice AS v,
+                           row_number() OVER (ORDER BY l_extendedprice)
+                             AS rn
+                    FROM lineitem),
+              k AS (SELECT CAST(ceil(0.5 * count(*)) AS BIGINT) AS k50
+                    FROM lineitem),
+              med AS (SELECT v FROM s, k WHERE rn = k50),
+              d AS (SELECT abs(l_extendedprice - med.v) AS dv
+                    FROM lineitem, med),
+              ds AS (SELECT dv, row_number() OVER (ORDER BY dv) AS rn
+                     FROM d),
+              mad AS (SELECT dv FROM ds, k WHERE rn = k50)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem, med, mad
+                 WHERE abs(l_extendedprice - med.v) > 4.4478 * mad.dv)
+                  AS n_outliers,
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n,
+                (SELECT round(v, 6) FROM med) AS median,
+                (SELECT round(dv, 6) FROM mad) AS mad""",
+
+    "sql1_pricing_text" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  AS sum_qty,
+                CAST(count(*) AS BIGINT) AS n
+         FROM lineitem
+         WHERE l_shipdate < DATE '1998-09-01'
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
 
     "x_events_funnel" ->
       """WITH v AS (SELECT user_id, min(event_id) AS s1_view
