@@ -1200,6 +1200,43 @@ object SparkEntry {
           "user_id", "ts")
         .orderBy(col("cohort"), col("bucket_offset"))),
 
+    "x_stream_funnel" -> ((s, dir) => {
+      // REAL streaming funnel: the events log replays as a file
+      // stream (schema pruned to the three funnel columns — the
+      // nanosecond ts column is never requested, so the NANOS parquet
+      // trap never fires) and funnelStream runs as an actual
+      // flatMapGroupsWithState query under Trigger.AvailableNow.
+      // Completions-only Append semantics; the oracle is the batch
+      // funnel CTE chain restricted to fully-converted users — the
+      // equality IS the streaming==batch claim.
+      val st = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING")
+        .parquet(s"$dir/events.parquet*")
+      val sink = s"x_stream_funnel_${streamSinkId.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        graft.streaming.EventStreams.funnelStream(st,
+            "user_id", "event_type", "event_id",
+            Seq("view", "click", "purchase"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_funnel: stream did not drain within 300s")
+      }
+      s.table(sink)
+        .select(col("user").as("user_id"),
+          element_at(col("matched"), 1).as("s1_view"),
+          element_at(col("matched"), 2).as("s2_click"),
+          element_at(col("matched"), 3).as("s3_purchase"))
+        .orderBy(col("user_id"))
+    }),
+
     "x_stream_sessionize" -> ((s, dir) =>
       // session windows (gap-merged event-time sessions — the same
       // session_window code path a readStream takes; watermark 0 makes
@@ -3399,6 +3436,27 @@ object SparkEntry {
          FROM v
          LEFT JOIN c ON v.user_id = c.user_id
          LEFT JOIN p ON v.user_id = p.user_id
+         ORDER BY v.user_id""",
+
+    // streaming funnel: completions only (inner joins), same stage
+    // CTE chain as x_events_funnel
+    "x_stream_funnel" ->
+      """WITH v AS (SELECT user_id, min(event_id) AS s1_view
+                    FROM events WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(e.event_id) AS s2_click
+                    FROM events e
+                    JOIN v ON e.user_id = v.user_id
+                          AND e.event_id > v.s1_view
+                    WHERE e.event_type = 'click' GROUP BY 1),
+              p AS (SELECT e.user_id, min(e.event_id) AS s3_purchase
+                    FROM events e
+                    JOIN c ON e.user_id = c.user_id
+                          AND e.event_id > c.s2_click
+                    WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT v.user_id, v.s1_view, c.s2_click, p.s3_purchase
+         FROM v
+         JOIN c ON v.user_id = c.user_id
+         JOIN p ON c.user_id = p.user_id
          ORDER BY v.user_id""",
 
     "x_events_cohort" ->

@@ -158,4 +158,64 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
       .select(col("user_id"), col("sess.start").as("session_start"),
         col("sess.end").as("session_end"), col("n_events"), col("total"))
+
+  /** Per-entity funnel progress carried across micro-batches: the
+    * order ids matched so far, one per completed stage. */
+  final case class FunnelProgress(matched: List[Long])
+
+  /** One completed funnel: the entity and its k matched stage ids. */
+  final case class FunnelDone(user: Long, matched: List[Long])
+
+  /** The streaming form of
+    * [[graft.operators.EventAnalytics.funnel]]: a per-entity stage
+    * state machine in `flatMapGroupsWithState` (NoTimeout — see
+    * [[AttemptTracker]] for why not ProcessingTimeTimeout here).
+    * Emits ONE row per entity at the moment its FINAL stage matches.
+    * Append-stable by construction: greedy first-match ids can never
+    * be revised by later events, so a completion is final and is never
+    * re-emitted. State is O(stages) longs per live entity — stream
+    * lifetime does not grow it.
+    *
+    * Ordering contract: events are processed in `orderCol` order
+    * WITHIN each micro-batch (the group's batch slice is sorted —
+    * bounded by the entity's per-batch volume); across batches the
+    * source must deliver in order (true of an append-only id-ordered
+    * log replayed in file order). An out-of-order straggler whose id
+    * precedes the current frontier does not match — the same
+    * no-time-travel rule every at-arrival funnel applies. */
+  def funnelStream(events: DataFrame, userCol: String, typeCol: String,
+                   orderCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, s"a funnel needs at least 2 stages: $stages")
+    require(stages.distinct.size == stages.size,
+      s"repeated stage types are ambiguous: $stages")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val k = stages.size
+    val stageOf = stages.zipWithIndex.toMap
+    val typed = events.select(
+        col(userCol).cast("long").as("_u"),
+        col(typeCol).cast("string").as("_t"),
+        col(orderCol).cast("long").as("_o"))
+      .as[(Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgress, FunnelDone](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          var matched =
+            state.getOption.map(_.matched).getOrElse(List.empty[Long])
+          val already = matched.size >= k
+          rows.toSeq.sortBy(_._3).foreach { case (_, t, o) =>
+            if (matched.size < k &&
+                stageOf.get(t).contains(matched.size) &&
+                (matched.isEmpty || o > matched.head)) {
+              matched = o :: matched // head = frontier, reversed order
+            }
+          }
+          state.update(FunnelProgress(matched))
+          if (!already && matched.size >= k)
+            Iterator(FunnelDone(user, matched.reverse))
+          else Iterator.empty
+      }.toDF()
+  }
 }

@@ -15,6 +15,42 @@ class EventStreamsSpec extends SparkSpec {
     rows.toSeq.toDF("tss", "user_id", "event_type", "value")
       .select($"tss".cast("timestamp").as("ts"), $"user_id", $"event_type", $"value")
 
+  test("funnelStream: state crosses batches, completions emit exactly once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val df = mem.toDF().toDF("user_id", "event_type", "event_id")
+    val out = EventStreams.funnelStream(df, "user_id", "event_type",
+        "event_id", Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 view+click (partial); u2 click before view (no
+      // progress past view); unsorted within the batch on purpose
+      mem.addData((1L, "click", 20L), (1L, "view", 10L),
+        (2L, "click", 5L), (2L, "view", 6L))
+      out.processAllAvailable()
+      assert(spark.table("funnel_sink").count() == 0)
+      // batch 2: u1 completes; u2's purchase without a click does not;
+      // u1's extra purchase after completion must not re-emit
+      mem.addData((1L, "purchase", 30L), (2L, "purchase", 7L),
+        (1L, "purchase", 40L))
+      out.processAllAvailable()
+      val rows = spark.table("funnel_sink")
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(rows == Map(1L -> Seq(10L, 20L, 30L)))
+      // batch 3: a late straggler for u2 (id below the frontier) does
+      // not time-travel into a match; a fresh in-order run for u2 does
+      mem.addData((2L, "click", 3L))
+      out.processAllAvailable()
+      assert(spark.table("funnel_sink").count() == 1)
+      mem.addData((2L, "click", 8L), (2L, "purchase", 9L))
+      out.processAllAvailable()
+      val fin = spark.table("funnel_sink")
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(fin == Map(1L -> Seq(10L, 20L, 30L), 2L -> Seq(6L, 8L, 9L)))
+    } finally out.stop()
+  }
+
   test("windowedAgg tumbles on event time (batch frame)") {
     val df = events(
       ("2026-01-01 10:00:10", 1, "click", 1.0),
