@@ -103,6 +103,25 @@ object Profile {
       .select(lit(name).as("check"), col("violations"),
         (col("violations") === 0L).as("passed"))
 
+  /** Gate a load on its constraint report — the reference's
+    * `maxerrors_allowed` contract (5 tolerated error rows per load,
+    * `2.1 leader-lambda-for-mysql.py:112`) promoted to the typed
+    * suite: every check's violations must be ≤ `tolerance`, else the
+    * load fails loudly BEFORE any sink sees the batch. Returns the
+    * report (already materialized — callers log/persist it). */
+  def enforce(report: DataFrame, tolerance: Long = 0): Array[org.apache.spark.sql.Row] = {
+    val rows = report.collect()
+    val bad = rows.filter(_.getAs[Long]("violations") > tolerance)
+    if (bad.nonEmpty) {
+      val detail = bad.map(r =>
+        s"${r.getAs[String]("check")}=${r.getAs[Long]("violations")}")
+        .mkString(", ")
+      throw new IllegalStateException(
+        s"constraint suite failed (tolerance=$tolerance): $detail")
+    }
+    rows
+  }
+
   /** k-anonymity audit over quasi-identifier columns: the groups an
     * attacker could pin to fewer than `k` individuals. One combinable
     * group-by; output `quasiCols…, n` for each risky group — empty

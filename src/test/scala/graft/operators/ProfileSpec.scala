@@ -80,6 +80,20 @@ class ProfileSpec extends SparkSpec {
     assert(ok.getLong(1) == 0L && ok.getBoolean(2))
   }
 
+  test("enforce: tolerance gates the load, failures name the checks") {
+    val df = Seq((1, Some(5)), (2, None), (3, Some(-1))).toDF("id", "v")
+    val report = Profile.rowChecks(df, Seq(
+      "v_nonneg" -> (col("v") < 0),
+      "id_small" -> (col("id") > 100)))
+    val e = intercept[IllegalStateException] {
+      Profile.enforce(report, tolerance = 1)
+    }
+    assert(e.getMessage.contains("v_nonneg=2") &&
+      !e.getMessage.contains("id_small"))
+    // within tolerance: returns the full report
+    assert(Profile.enforce(report, tolerance = 2).length == 2)
+  }
+
   test("kAnonymity flags only groups below k") {
     val df = Seq.tabulate(12)(i => (if (i < 9) "big" else "small", i % 2))
       .toDF("seg", "flag")
