@@ -1200,6 +1200,15 @@ object SparkEntry {
           "user_id", "ts")
         .orderBy(col("cohort"), col("bucket_offset"))),
 
+    "x_events_paths" -> ((s, dir) =>
+      // first-order transition matrix: prev→next event-type counts and
+      // row-normalized probabilities. The lag window is user-history
+      // bounded; normalization windows over the aggregated 25-row
+      // matrix, never the log.
+      EventAnalytics.transitions(t(s, dir, "events"),
+          "user_id", "event_type", "event_id")
+        .orderBy(col("from_type"), col("to_type"))),
+
     "x_stream_funnel" -> ((s, dir) => {
       // REAL streaming funnel: the events log replays as a file
       // stream (schema pruned to the three funnel columns — the
@@ -3437,6 +3446,22 @@ object SparkEntry {
          LEFT JOIN c ON v.user_id = c.user_id
          LEFT JOIN p ON v.user_id = p.user_id
          ORDER BY v.user_id""",
+
+    "x_events_paths" ->
+      """WITH st AS (SELECT lag(event_type) OVER
+                              (PARTITION BY user_id ORDER BY event_id)
+                            AS from_type,
+                            event_type AS to_type
+                     FROM events),
+              m AS (SELECT from_type, to_type,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM st WHERE from_type IS NOT NULL
+                    GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+                round(n * 1.0 / CAST(sum(n) OVER
+                        (PARTITION BY from_type) AS DOUBLE), 6) AS p
+         FROM m
+         ORDER BY from_type, to_type""",
 
     // streaming funnel: completions only (inner joins), same stage
     // CTE chain as x_events_funnel

@@ -65,6 +65,29 @@ object EventAnalytics {
         "(stage, stage_type, n_users)")
   }
 
+  /** First-order transition matrix of the event stream: counts and
+    * row-normalized probabilities of `prev type → next type` steps per
+    * entity history. The lag window partitions by entity — bounded by
+    * one user's history, the window-is-right case (same posture as the
+    * moving-average gate) — and the probability normalization windows
+    * over the AGGREGATED |types|² matrix, never the log. Output:
+    * `from_type, to_type, n, p` (p rounded to 6 dp). */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+                  orderCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(orderCol))
+    val steps = events
+      .select(col(userCol), col(typeCol).as("to_type"),
+        lag(col(typeCol), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    steps.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(wf), 6))
+  }
+
   /** Cohort retention: entities bucketed by the `bucket`-truncation of
     * their FIRST event (the cohort), counted in each later bucket they
     * were active. Output: `cohort (string), bucket_offset (buckets

@@ -57,6 +57,23 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("transitions: per-user steps, row-normalized probabilities") {
+    val ev = Seq(
+      (1, "a", 1L), (1, "b", 2L), (1, "a", 3L), (1, "b", 4L),
+      (2, "a", 1L), (2, "c", 2L),
+      (3, "z", 9L)) // single-event history: no transition
+      .toDF("user_id", "etype", "eid")
+    val out = EventAnalytics.transitions(ev, "user_id", "etype", "eid")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // from a: a->b twice (u1), a->c once (u2)
+    assert(out == Map(
+      ("a", "b") -> ((2L, 0.666667)), ("a", "c") -> ((1L, 0.333333)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
   test("cohortRetention: weekly cohorts with exact offsets") {
     val ev = Seq(
       // u1 first seen Mon 2024-01-01 week; active weeks 0, 1, 3
