@@ -1100,7 +1100,12 @@ object Dedup {
                              threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1]: $threshold")
+    // persisted: the tokenize+shingle scan feeds BOTH the frequency
+    // table and the per-doc sets — without the cache the in-plan
+    // subtree evaluates twice (Prof-measured 1.6 s of the gate's 6 s
+    // at sf0.1). Same cache-lifetime contract as buildIdx above.
     val flat = flatIndex(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = flat.groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
     // full shingle set per doc, ordered by global rarity; the prefix
     // is a slice of that order

@@ -109,6 +109,64 @@ object Prof {
     time("simhashPairs e2e")(
       println("simpairs=" + Dedup.simhashPairs(docs, "doc_id", "text", 8).count()))
 
+    // ── prefix-filtered exact Jaccard internals ──
+    spark.catalog.clearCache()
+    time("prefix: e2e") {
+      println("prefix pairs=" + Dedup.ngramJaccardPairsExact(
+        docs, "doc_id", "text", 3, 0.8).count())
+    }
+    spark.catalog.clearCache()
+    locally {
+      val flat = docs.select(col("doc_id").as("_id"),
+          explode(Dedup.shingles(col("text"), 3)).as("_sh"))
+        .select(col("_id"), xxhash64(col("_sh")).as("_sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("prefix: flat index")(println("flat=" + flat.count()))
+      val freq = flat.groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
+      time("prefix: freq table")(println("vocab=" + freq.count()))
+      val ds = flat.join(freq, Seq("_sh"))
+        .groupBy(col("_id"))
+        .agg(sort_array(collect_list(struct(col("_df"), col("_sh"))))
+          .as("_toks"))
+        .select(col("_id"), expr("transform(_toks, t -> t._sh)").as("_set"),
+          size(col("_toks")).as("_sz"))
+        .withColumn("_plen",
+          (col("_sz") - ceil(lit(0.8) * col("_sz") - lit(1e-9)) + 1)
+            .cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("prefix: docSets")(println("docSets=" + ds.count()))
+      val plists = ds.select(col("_id"), col("_sz"),
+          explode(slice(col("_set"), lit(1), col("_plen"))).as("_sh"))
+        .groupBy(col("_sh"))
+        .agg(sort_array(collect_list(struct(col("_sz"), col("_id"))))
+          .as("_entries"))
+      time("prefix: posting lists")(println("plists=" + plists.count()))
+      val cands = plists
+        .select(col("_entries"),
+          posexplode(col("_entries")).as(Seq("_i", "_ea")))
+        .select(col("_ea"),
+          explode(slice(col("_entries"), col("_i") + lit(2),
+            size(col("_entries")))).as("_eb"))
+        .filter(lit(0.8) * col("_eb._sz") <= col("_ea._sz") + lit(1e-9))
+        .select(least(col("_ea._id"), col("_eb._id")).as("id_a"),
+          greatest(col("_ea._id"), col("_eb._id")).as("id_b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("prefix: candidates")(println("cands=" + cands.count()))
+      val aSide = ds.select(col("_id").as("id_a"), col("_set").as("_seta"),
+        col("_sz").as("_sza"))
+      val bSide = ds.select(col("_id").as("id_b"), col("_set").as("_setb"),
+        col("_sz").as("_szb"))
+      time("prefix: verify join") {
+        println("verified=" + cands.join(aSide, Seq("id_a"))
+          .join(bSide, Seq("id_b"))
+          .withColumn("_inter",
+            size(array_intersect(col("_seta"), col("_setb"))))
+          .filter(col("_inter") >= 1).count())
+      }
+      spark.catalog.clearCache()
+    }
+
     // ivf index
     val emb = Tables.load(spark, dir, "embeddings")
     println("emb rows=" + emb.count())
