@@ -1131,6 +1131,23 @@ object SparkEntry {
           .orderBy(col("o_orderpriority"), col("yr"))
       }),
 
+    "w6_range_frame" -> ((s, dir) =>
+      // the RANGE frame sibling of w4's ROWS frame: the window spans
+      // VALUE distance (event ids within 100), not row count — frames
+      // over the integral id, the noise-free order. Decimal sums keep
+      // the frame aggregate exact in any accumulation order.
+      {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("event_id")).rangeBetween(-100L, 0L)
+        t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            round(sum(col("value").cast("decimal(18,4)")).over(w)
+              .cast("double"), 6).as("sum100"),
+            count(lit(1)).over(w).as("n100"))
+          .orderBy(col("user_id"), col("event_id"))
+      }),
+
     "a24_outliers" -> ((s, dir) => {
       // robust outlier count: median + MAD both via the histogram-
       // selection exactQuantile (no global sort anywhere), then one
@@ -3394,6 +3411,17 @@ object SparkEntry {
          FROM g
          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
          ORDER BY o_orderpriority, yr""",
+
+    "w6_range_frame" ->
+      """SELECT user_id, event_id,
+                round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w
+                           AS DOUBLE), 6) AS sum100,
+                CAST(count(*) OVER w AS BIGINT) AS n100
+         FROM events
+         WHERE event_type = 'purchase'
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                      RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
 
     "a24_outliers" ->
       """WITH s AS (SELECT l_extendedprice AS v,
