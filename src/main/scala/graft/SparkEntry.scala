@@ -1226,6 +1226,41 @@ object SparkEntry {
           "user_id", "event_type", "event_id")
         .orderBy(col("from_type"), col("to_type"))),
 
+    "x_stream_paths" -> ((s, dir) => {
+      // streaming step extraction for the transition matrix: the lag
+      // the batch form computes with a window runs as per-entity
+      // flatMapGroupsWithState (one (type, id) tuple of state per
+      // entity); the matrix is a stateless batch aggregation of the
+      // emitted steps. Same oracle as x_events_paths — streaming
+      // steps == batch lag is the claim.
+      val st = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING")
+        .parquet(s"$dir/events.parquet*")
+      val sink = s"x_stream_paths_${streamSinkId.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        graft.streaming.EventStreams.transitionsStream(st,
+            "user_id", "event_type", "event_id")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_paths: stream did not drain within 300s")
+      }
+      val wf = Window.partitionBy(col("from_type"))
+      s.table(sink)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          round(col("n").cast("double") / sum(col("n")).over(wf), 6))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     "x_stream_funnel" -> ((s, dir) => {
       // REAL streaming funnel: the events log replays as a file
       // stream (schema pruned to the three funnel columns — the
@@ -3476,6 +3511,23 @@ object SparkEntry {
          ORDER BY v.user_id""",
 
     "x_events_paths" ->
+      """WITH st AS (SELECT lag(event_type) OVER
+                              (PARTITION BY user_id ORDER BY event_id)
+                            AS from_type,
+                            event_type AS to_type
+                     FROM events),
+              m AS (SELECT from_type, to_type,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM st WHERE from_type IS NOT NULL
+                    GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+                round(n * 1.0 / CAST(sum(n) OVER
+                        (PARTITION BY from_type) AS DOUBLE), 6) AS p
+         FROM m
+         ORDER BY from_type, to_type""",
+
+    // streaming step extraction answers the SAME matrix definition
+    "x_stream_paths" ->
       """WITH st AS (SELECT lag(event_type) OVER
                               (PARTITION BY user_id ORDER BY event_id)
                             AS from_type,

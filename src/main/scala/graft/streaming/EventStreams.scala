@@ -159,6 +159,47 @@ object EventStreams {
       .select(col("user_id"), col("sess.start").as("session_start"),
         col("sess.end").as("session_end"), col("n_events"), col("total"))
 
+  /** Last seen event per entity, carried across micro-batches. */
+  final case class LastEvent(t: String, o: Long)
+
+  /** One extracted transition step. */
+  final case class Step(user: Long, from_type: String, to_type: String)
+
+  /** Streaming step extraction for the transition matrix
+    * ([[graft.operators.EventAnalytics.transitions]]): per entity,
+    * each consecutive (prev → next) type pair emits once, with ONE
+    * (type, order-id) tuple of state per live entity. The matrix
+    * itself is a downstream stateless aggregation of the emitted
+    * steps — the stateful part is exactly the lag the batch form
+    * computes with a window. Same ordering contract and straggler
+    * rule as [[funnelStream]]. */
+  def transitionsStream(events: DataFrame, userCol: String,
+                        typeCol: String, orderCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = events.select(
+        col(userCol).cast("long").as("_u"),
+        col(typeCol).cast("string").as("_t"),
+        col(orderCol).cast("long").as("_o"))
+      .as[(Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, Step](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          var last = state.getOption.orNull
+          val out = Seq.newBuilder[Step]
+          rows.toSeq.sortBy(_._3).foreach { case (_, t, o) =>
+            if (last == null || o > last.o) {
+              if (last != null) out += Step(user, last.t, t)
+              last = LastEvent(t, o)
+            }
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Per-entity funnel progress carried across micro-batches: the
     * order ids matched so far, one per completed stage. */
   final case class FunnelProgress(matched: List[Long])

@@ -51,6 +51,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("transitionsStream: lag state crosses batches, stragglers ignored") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val df = mem.toDF().toDF("user_id", "event_type", "event_id")
+    val out = EventStreams.transitionsStream(df, "user_id", "event_type",
+        "event_id")
+      .writeStream.format("memory").queryName("steps_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "b", 2L), (1L, "a", 1L)) // unsorted in batch
+      out.processAllAvailable()
+      // batch 2: the a->b frontier is b@2; c@3 chains b->c; a
+      // straggler at id 0 must not emit a time-traveling step
+      mem.addData((1L, "c", 3L), (1L, "z", 0L), (2L, "x", 5L))
+      out.processAllAvailable()
+      val steps = spark.table("steps_sink")
+        .as[(Long, String, String)].collect().sorted.toSeq
+      assert(steps == Seq((1L, "a", "b"), (1L, "b", "c")))
+    } finally out.stop()
+  }
+
   test("windowedAgg tumbles on event time (batch frame)") {
     val df = events(
       ("2026-01-01 10:00:10", 1, "click", 1.0),
