@@ -1131,6 +1131,43 @@ object SparkEntry {
           .orderBy(col("o_orderpriority"), col("yr"))
       }),
 
+    "j14_not_in" -> ((s, dir) => {
+      // NOT IN three-valued logic: one NULL in the subquery list
+      // annihilates the result (Spark plans a null-aware anti join
+      // for exactly this), while the null-free list behaves as plain
+      // set difference — both corners in one row.
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT
+          (SELECT count(*) FROM customer_v WHERE c_custkey NOT IN
+            (SELECT CASE WHEN o_orderkey = 0 THEN NULL
+                         ELSE o_custkey END
+             FROM orders_v)) AS n_with_null_list,
+          (SELECT count(*) FROM customer_v WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM orders_v
+             WHERE o_totalprice > 450000)) AS n_clean_list""")
+    }),
+
+    "u4_union_evolve" -> ((s, dir) => {
+      // schema-evolution union: a legacy slice without the status
+      // column unions BY NAME with the current schema
+      // (allowMissingColumns fills nulls) — the ingestion posture for
+      // a source that grew columns mid-history.
+      val o = t(s, dir, "orders")
+      val legacy = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val current = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      legacy.unionByName(current, allowMissingColumns = true)
+        .groupBy(coalesce(col("o_orderstatus"), lit("(legacy)"))
+          .as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            .as("total"))
+        .orderBy(col("status"))
+    }),
+
     "w6_range_frame" -> ((s, dir) =>
       // the RANGE frame sibling of w4's ROWS frame: the window spans
       // VALUE distance (event ids within 100), not row count — frames
@@ -3446,6 +3483,31 @@ object SparkEntry {
          FROM g
          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
          ORDER BY o_orderpriority, yr""",
+
+    "j14_not_in" ->
+      """SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT CASE WHEN o_orderkey = 0 THEN NULL
+                           ELSE o_custkey END
+               FROM orders)) AS n_with_null_list,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders
+               WHERE o_totalprice > 450000)) AS n_clean_list""",
+
+    "u4_union_evolve" ->
+      """WITH u AS (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 2 = 0
+           UNION ALL BY NAME
+           SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+           WHERE o_orderkey % 2 = 1)
+         SELECT coalesce(o_orderstatus, '(legacy)') AS status,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS total
+         FROM u GROUP BY 1 ORDER BY 1""",
 
     "w6_range_frame" ->
       """SELECT user_id, event_id,
