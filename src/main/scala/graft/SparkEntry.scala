@@ -1220,6 +1220,98 @@ object SparkEntry {
                ORDER BY l_returnflag""")
     }),
 
+    "w7_share" -> ((s, dir) => {
+      // ratio-to-report: each nation's revenue share within its region.
+      // Revenue accumulates as DECIMAL (exact in any order); the share
+      // divides the two exact values in double with the identical
+      // expression tree both engines evaluate. The window runs over the
+      // 25-row aggregate, never the fact table.
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      val rev = o
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("_rev"))
+      val wr = Window.partitionBy(col("r_name"))
+      rev.select(col("r_name"), col("n_name"),
+          round(col("_rev").cast("double"), 6).as("revenue"),
+          round(col("_rev").cast("double") /
+            sum(col("_rev")).over(wr).cast("double"), 6).as("share"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "a25_unpivot" -> ((s, dir) => {
+      // wide→long melt (Dataset.unpivot): the report-reshaping step
+      // that turns a metrics-as-columns aggregate into (key, metric,
+      // value) rows. Unpivot is a per-row Expand — no shuffle beyond
+      // the aggregate that built the wide table.
+      val wide = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            .as("revenue"),
+          count(lit(1)).cast("double").as("n_items"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("revenue"), col("n_items")),
+          "metric", "val")
+        .withColumn("val", round(col("val"), 6))
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
+    "a26_argmax" -> ((s, dir) => {
+      // argmax/argmin aggregates (max_by/min_by): richest and poorest
+      // customer per nation in ONE pass — no rank-window over the
+      // table, no self-join back to the max. Determinism: the ordering
+      // value packs (acctbal, custkey) into one exact decimal
+      // (bal·10⁹ + key; adjacent balances differ by ≥0.01 → 10⁷ apart,
+      // far above any custkey), so ties break identically everywhere.
+      val packed = col("c_acctbal").cast("decimal(18,2)") *
+        lit(1000000000L) + col("c_custkey")
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(max_by(col("c_name"), packed).as("richest"),
+          min_by(col("c_name"), packed).as("poorest"),
+          round(max(col("c_acctbal")), 6).as("max_bal"))
+        .orderBy(col("n_name"))
+    }),
+
+    "x_ts_gapfill" -> ((s, dir) =>
+      // calendar densification + forward fill: purchases keyed into
+      // 101 series, one row per (series, day) across each series' own
+      // span, gaps carrying n=0 and the last observed daily total.
+      // The spine is generated per key from aggregated bounds
+      // (sequence+explode — no driver loop); the fill window partition
+      // is a key's calendar length, bounded by days not data volume.
+      TimeSeries.gapFillDaily(
+          t(s, dir, "events")
+            .filter(col("event_type") === "purchase")
+            .withColumn("k", pmod(col("user_id"), lit(101))),
+          "k", "ts", "value")
+        .select(col("k"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("was_gap"),
+          round(col("filled").cast("double"), 6).as("filled"))
+        .orderBy(col("k"), col("day"))),
+
+    "x_ts_anomaly" -> ((s, dir) =>
+      // rolling robust z-score anomalies over each user's purchase
+      // history: trailing-16 mean/std from EXACT decimal moments
+      // (n, Σx, Σx²) so the double z-score is bit-identical across
+      // engines and partition orders; 8-row warm-up, |z|>2.5 flags.
+      TimeSeries.rollingAnomalies(
+          t(s, dir, "events").filter(col("event_type") === "purchase"),
+          "user_id", "event_id", "value", frame = 16, z = 2.5)
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("value"),
+          round(col("zscore"), 6).as("zscore"))
+        .orderBy(col("user_id"), col("event_id"))),
+
     // ── §2.9 streaming semantics (batch-checkable form) ─────────────
     "st3_dedup_window" -> ((s, dir) => {
       // event-time duplicate suppression: latest row per key wins
@@ -3549,6 +3641,90 @@ object SparkEntry {
          WHERE l_shipdate < DATE '1998-09-01'
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+
+    "w7_share" ->
+      """WITH rev AS (
+           SELECT r_name, n_name,
+                  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS _rev
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2)
+         SELECT r_name, n_name,
+                round(CAST(_rev AS DOUBLE), 6) AS revenue,
+                round(CAST(_rev AS DOUBLE) /
+                  CAST(sum(_rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+                  AS share
+         FROM rev
+         ORDER BY r_name, n_name""",
+
+    "a25_unpivot" ->
+      """WITH wide AS (
+           SELECT l_returnflag,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                    AS qty,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                       AS DOUBLE) AS revenue,
+                  CAST(count(*) AS DOUBLE) AS n_items
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, metric, round(val, 6) AS val
+         FROM wide UNPIVOT (val FOR metric IN (qty, revenue, n_items))
+         ORDER BY l_returnflag, metric""",
+
+    "a26_argmax" ->
+      """SELECT n_name,
+                arg_max(c_name, CAST(c_acctbal AS DECIMAL(18,2))
+                  * 1000000000 + c_custkey) AS richest,
+                arg_min(c_name, CAST(c_acctbal AS DECIMAL(18,2))
+                  * 1000000000 + c_custkey) AS poorest,
+                round(max(c_acctbal), 6) AS max_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "x_ts_gapfill" ->
+      """WITH d AS (
+           SELECT user_id % 101 AS k,
+                  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS n,
+                  sum(CAST(value AS DECIMAL(18,4))) AS total
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         b AS (SELECT k, min(day) AS mn, max(day) AS mx FROM d GROUP BY 1),
+         s AS (SELECT k, CAST(unnest(generate_series(
+                 CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                 INTERVAL 1 DAY)) AS DATE) AS day
+               FROM b)
+         SELECT s.k, strftime(s.day, '%Y-%m-%d') AS day,
+                coalesce(d.n, 0) AS n,
+                d.day IS NULL AS was_gap,
+                round(CAST(last_value(d.total IGNORE NULLS) OVER (
+                  PARTITION BY s.k ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE), 6) AS filled
+         FROM s LEFT JOIN d ON s.k = d.k AND s.day = d.day
+         ORDER BY s.k, s.day""",
+
+    "x_ts_anomaly" ->
+      """WITH p AS (SELECT user_id, event_id, value FROM events
+                    WHERE event_type = 'purchase'),
+         m AS (SELECT user_id, event_id, value,
+                 CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w
+                   AS DOUBLE) AS s,
+                 CAST(sum(CAST(value AS DECIMAL(18,4)) *
+                          CAST(value AS DECIMAL(18,4))) OVER w
+                   AS DOUBLE) AS s2,
+                 CAST(count(*) OVER w AS DOUBLE) AS n
+               FROM p
+               WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, round(value, 6) AS value,
+                round((value - s / n) /
+                  sqrt(greatest((s2 - s * s / n) / (n - 1), 1e-12)), 6)
+                  AS zscore
+         FROM m
+         WHERE n >= 8 AND abs((value - s / n) /
+           sqrt(greatest((s2 - s * s / n) / (n - 1), 1e-12))) > 2.5
+         ORDER BY user_id, event_id""",
 
     "x_events_funnel" ->
       """WITH v AS (SELECT user_id, min(event_id) AS s1_view

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization over keyed event logs — the reporting /
+  * feature-engineering shapes a daily pipeline needs downstream of the
+  * ingest surface (the reference emits daily per-key report tables,
+  * R23:7-29): calendar densification (gap fill), forward fill, and
+  * rolling robust anomaly flags.
+  *
+  * Scale posture (SCALE.md): every shuffle keys on the series key; the
+  * calendar spine is generated per key from that key's own aggregated
+  * bounds (`sequence` + `explode` — no driver loop, no global calendar
+  * broadcast), so spine size is Σ_key span(key) and each key's window
+  * partition is its calendar length — bounded by days, not data volume.
+  * The rolling-moment pass is one window over the (key, order) sort the
+  * daily aggregate already produced.
+  */
+object TimeSeries {
+
+  /** Densify a keyed event log to one row per (key, calendar day) over
+    * each key's own [min(day), max(day)] span, then forward-fill the
+    * value: days with no events appear with `n = 0`, `was_gap = true`,
+    * and `filled` carrying the last observed daily total.
+    *
+    * The fill aggregate stays DECIMAL through the window (exact in any
+    * accumulation order); callers cast/round at the edge. `maxSpanDays`
+    * refuses runaway spines loudly (a key whose bounds span centuries is
+    * a data bug, not a calendar): the guard compiles to a codegen'd
+    * `raise_error` conjunct on the per-key bounds row — no extra action.
+    *
+    * @param df      event-grain input
+    * @param keyCol  series key
+    * @param tsCol   event timestamp (truncated to day with `to_date`)
+    * @param valCol  numeric measure, aggregated as sum per day
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, maxSpanDays: Int = 36525): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol).cast("decimal(18,4)")).as("total"))
+    val bounds = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("_mn"), max(col("day")).as("_mx"))
+      .withColumn("_mx",
+        when(datediff(col("_mx"), col("_mn")) > maxSpanDays,
+          raise_error(concat(lit(s"gapFillDaily: key "), col(keyCol),
+            lit(s" spans more than $maxSpanDays days"))))
+          .otherwise(col("_mx")))
+    val spine = bounds.select(col(keyCol),
+      explode(sequence(col("_mn"), col("_mx"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("n").isNull.as("was_gap"),
+        last(col("total"), ignoreNulls = true).over(w).as("filled"))
+  }
+
+  /** Rolling z-score anomaly flags: for each row, the mean/stddev of the
+    * trailing `frame`-row window (per key, in `ordCol` order) come from
+    * EXACT decimal moments (n, Σx, Σx²) — order-independent across
+    * engines and partitions — with only the final scalar z in double.
+    * Rows with fewer than `minObs` trailing observations are unflagged
+    * (warm-up); emits only the flagged rows.
+    */
+  def rollingAnomalies(df: DataFrame, keyCol: String, ordCol: String,
+      valCol: String, frame: Int, z: Double,
+      minObs: Int = 8): DataFrame = {
+    val x = col(valCol).cast("decimal(18,4)")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    val withMoments = df.select(col(keyCol), col(ordCol), col(valCol),
+      sum(x).over(w).cast("double").as("_s"),
+      sum(x * x).over(w).cast("double").as("_s2"),
+      count(lit(1)).over(w).cast("double").as("_n"))
+    val mean = col("_s") / col("_n")
+    val variance = greatest(
+      (col("_s2") - col("_s") * col("_s") / col("_n")) / (col("_n") - 1),
+      lit(1e-12))
+    withMoments
+      .withColumn("zscore",
+        (col(valCol) - mean) / sqrt(variance))
+      .filter(col("_n") >= minObs && abs(col("zscore")) > z)
+      .drop("_s", "_s2", "_n")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+
+  test("gapFillDaily densifies each key's span and forward-fills") {
+    val df = Seq(
+      ("a", ts(1), 10.0), ("a", ts(1), 5.0), ("a", ts(4), 2.0),
+      ("b", ts(2), 1.0), ("b", ts(3), 7.0)
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.gapFillDaily(df, "k", "t", "v")
+      .select(col("k"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("was_gap"), col("filled").cast("double"))
+      .as[(String, String, Long, Boolean, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01", 2L, false, 15.0),
+      ("a", "2024-01-02", 0L, true, 15.0),   // gap: carries day-1 total
+      ("a", "2024-01-03", 0L, true, 15.0),
+      ("a", "2024-01-04", 1L, false, 2.0),
+      ("b", "2024-01-02", 1L, false, 1.0),   // b's spine starts at ITS min
+      ("b", "2024-01-03", 1L, false, 7.0)))
+  }
+
+  test("gapFillDaily refuses a span beyond maxSpanDays loudly") {
+    val df = Seq(("a", ts(1), 1.0),
+      ("a", java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), 1.0))
+      .toDF("k", "t", "v")
+    val ex = intercept[Exception] {
+      TimeSeries.gapFillDaily(df, "k", "t", "v", maxSpanDays = 365).collect()
+    }
+    assert(ex.getMessage.contains("spans more than 365 days") ||
+      ex.getCause != null &&
+        ex.getCause.getMessage.contains("spans more than 365 days"))
+  }
+
+  test("rollingAnomalies flags the spike and honors warm-up") {
+    // 16 steady readings then one spike: only the spike flags, and
+    // nothing inside the minObs warm-up can flag. The frame must be
+    // wide enough that the spike can't mask itself — a single outlier
+    // inside its own trailing window is bounded by |z| ≤ (n-1)/√n
+    // (≈3.75 at n=16), so a frame of 8 could never reach z=3.
+    val vals = Seq.fill(16)(10.0) ++ Seq(100.0) ++ Seq.fill(3)(10.0)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("u", i.toLong, v + (i % 3) * 0.1) }
+      .toDF("k", "i", "v")
+    val out = TimeSeries
+      .rollingAnomalies(df, "k", "i", "v", frame = 16, z = 3.0)
+      .select(col("i")).as[Long].collect()
+    assert(out.toSeq == Seq(16L))
+  }
+
+  test("rollingAnomalies is empty on a flat series") {
+    val df = (0 until 20).map(i => ("u", i.toLong, 5.0)).toDF("k", "i", "v")
+    assert(TimeSeries.rollingAnomalies(df, "k", "i", "v", 8, 2.0).count() == 0)
+  }
+}
