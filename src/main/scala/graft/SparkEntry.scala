@@ -1069,6 +1069,42 @@ object SparkEntry {
           "c_custkey", "c_name", blockCols = Seq("c_nationkey"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    "x_text_jaro" -> ((s, dir) => {
+      // Jaro-Winkler scoring over the DISTINCT name vocabulary,
+      // blocked by first token — the realistic fuzzy-match shape:
+      // score the deduplicated vocabulary (bounded, corpus-size-
+      // independent), never the corpus pair product. The scorer is
+      // the native codegen JaroWinkler expression, byte-compatible
+      // with DuckDB's jaro_winkler_similarity.
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("blk", split(col("p_name"), " ").getItem(0))
+      val a = names.select(col("blk"), col("p_name").as("name_a"))
+      val b = names.select(col("blk"), col("p_name").as("name_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          round(TF.jaroWinkler(col("name_a"), col("name_b")), 6).as("jw"))
+        .filter(col("jw") >= 0.5)
+        .orderBy(col("name_a"), col("name_b"))
+    }),
+
+    "x_text_nfc" -> ((s, dir) =>
+      // Unicode NFC canonicalization ahead of byte-level dedup:
+      // decomposed "e"+COMBINING ACUTE collapses to composed "é"
+      // (2 code points → 1). The decomposed suffix is constructed
+      // per row so the gate exercises real combining-mark input; the
+      // oracle replays it with DuckDB's nfc_normalize — two
+      // independent implementations of UAX #15 agreeing byte-for-byte.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 20), lit("e\u0301"))
+            .as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).as("raw_chars"),
+          TF.nfc(col("raw")).as("normalized"))
+        .withColumn("norm_chars", length(col("normalized")))
+        .orderBy(col("doc_id"))),
+
     "st4_window_agg" -> ((s, dir) => {
       // batch-checkable form of EventStreams.windowedAgg: tumbling
       // 1-hour event-time windows (same code path a readStream takes)
@@ -1425,6 +1461,49 @@ object SparkEntry {
           element_at(col("matched"), 2).as("s2_click"),
           element_at(col("matched"), 3).as("s3_purchase"))
         .orderBy(col("user_id"))
+    }),
+
+    "x_stream_cohort" -> ((s, dir) => {
+      // REAL streaming cohort extraction: the events log replays as a
+      // file stream (ts read as nanos-long via the legacy flag — the
+      // same truncation Tables.load applies — so the NANOS column IS
+      // exercised on the streaming path), cohortStream pins each
+      // user's cohort week and emits one row per (user, active week)
+      // via flatMapGroupsWithState; the retention matrix is a
+      // stateless batch aggregation of the sink. Same oracle as
+      // x_events_cohort — streaming hits == batch distinct+min-join
+      // is the claim.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val st = s.readStream
+        .schema("user_id BIGINT, ts BIGINT")
+        .parquet(s"$dir/events.parquet*")
+        .withColumn("week",
+          date_trunc("week", timestamp_micros(expr("ts DIV 1000")))
+            .cast("date"))
+      val sink = s"x_stream_cohort_${streamSinkId.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        graft.streaming.EventStreams.cohortStream(st, "user_id", "week")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_cohort: stream did not drain within 300s")
+      }
+      s.table(sink)
+        .select(
+          date_format(date_from_unix_date(col("cohort").cast("int")),
+            "yyyy-MM-dd").as("cohort"),
+          ((col("week") - col("cohort")) / 7).cast("long")
+            .as("bucket_offset"))
+        .groupBy(col("cohort"), col("bucket_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("bucket_offset"))
     }),
 
     "x_stream_sessionize" -> ((s, dir) =>
@@ -3535,6 +3614,32 @@ object SparkEntry {
          WHERE levenshtein(a.c_name, b.c_name) <= 1
          ORDER BY id_a, id_b""",
 
+    "x_text_jaro" ->
+      """WITH names AS (
+           SELECT DISTINCT p_name,
+                  string_split(p_name, ' ')[1] AS blk
+           FROM part)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+                round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+                  AS jw
+         FROM names a JOIN names b
+           ON a.blk = b.blk AND a.p_name < b.p_name
+         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+           >= 0.5
+         ORDER BY name_a, name_b""",
+
+    "x_text_nfc" ->
+      """WITH r AS (
+           SELECT doc_id,
+                  substring(text, 1, 20) || 'e' || chr(769) AS raw
+           FROM documents)
+         SELECT doc_id,
+                CAST(length(raw) AS INT) AS raw_chars,
+                nfc_normalize(raw) AS normalized,
+                CAST(length(nfc_normalize(raw)) AS INT) AS norm_chars
+         FROM r
+         ORDER BY doc_id""",
+
     "st4_window_agg" ->
       """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
                      FROM events)
@@ -3803,6 +3908,24 @@ object SparkEntry {
          ORDER BY v.user_id""",
 
     "x_events_cohort" ->
+      """WITH f AS (SELECT user_id,
+                           CAST(date_trunc('week', min(ts)) AS DATE)
+                             AS cohort
+                    FROM events GROUP BY 1),
+              a AS (SELECT DISTINCT user_id,
+                           CAST(date_trunc('week', ts) AS DATE) AS bkt
+                    FROM events)
+         SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+                CAST(date_diff('day', f.cohort, a.bkt) // 7 AS BIGINT)
+                  AS bucket_offset,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM a JOIN f ON a.user_id = f.user_id
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
+
+    // identical to x_events_cohort by design: the streaming hits must
+    // aggregate to the same retention matrix the batch form computes
+    "x_stream_cohort" ->
       """WITH f AS (SELECT user_id,
                            CAST(date_trunc('week', min(ts)) AS DATE)
                              AS cohort

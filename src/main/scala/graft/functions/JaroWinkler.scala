@@ -47,7 +47,7 @@ case class JaroWinkler(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.JaroWinkler$$.MODULE$$.compute($a, $b);")
 
-  override protected def withNewChildInternal(newLeft: Expression,
+  override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): JaroWinkler =
     copy(left = newLeft, right = newRight)
 }

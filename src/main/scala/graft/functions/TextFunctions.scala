@@ -187,4 +187,20 @@ object TextFunctions {
         least(lit(chunkTokens), size(t) - s + 1).cast("long").as("n_tokens"),
         concat_ws(" ", slice(t, s, lit(chunkTokens))).as("chunk")))
   }
+
+  /** Unicode NFC canonicalization ([[NfcNormalize]] — native codegen):
+    * run before any byte-level hash/dedup so composed and decomposed
+    * spellings of the same text collapse. */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(NfcNormalize(expression(text)))
+  }
+
+  /** Jaro-Winkler similarity in [0,1] ([[JaroWinkler]] — native
+    * codegen, DuckDB-compatible semantics): the fuzzy-entity-match
+    * scorer for blocked candidate pairs. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(JaroWinkler(expression(a), expression(b)))
+  }
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a grouped report from mergeable partial
+  * state — the pattern that turns the reference's rebuild-the-report
+  * jobs (R21 report base, R23 daily summaries) into an append-only
+  * daily increment at 100 TB: keep per-group algebraic state
+  * (count, decimal sum, min, max), fold each new batch in, and derive
+  * the presentation measures (avg = sum/count) only at read time.
+  *
+  * Scale posture: an increment shuffles ONLY the new batch (aggregated
+  * to group grain before it touches the state table) plus the
+  * state-table groups — never the historical fact data. `merge` is a
+  * union + re-aggregate of two group-grain tables: Catalyst plans one
+  * hash aggregate over the union, partial-aggregated on each input, so
+  * the cost is O(|state| + |delta groups|). Associativity makes the
+  * fold order irrelevant — state(A∪B) == merge(state(A), state(B)) —
+  * which is also what the spec and the `a27_incremental_report` gate
+  * assert against a from-scratch rebuild.
+  */
+object IncrementalAgg {
+
+  private val stateCols = Seq("_n", "_sum", "_min", "_max")
+
+  /** Aggregate one batch of fact rows to group-grain mergeable state. */
+  def state(batch: DataFrame, keys: Seq[String],
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("decimal(18,4)")
+    batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n"), sum(v).as("_sum"),
+        min(v).as("_min"), max(v).as("_max"))
+  }
+
+  /** Fold a fact-grain delta batch into existing state. */
+  def merge(state0: DataFrame, keys: Seq[String], valCol: String,
+      delta: DataFrame): DataFrame = {
+    require(stateCols.forall(state0.columns.contains),
+      s"state is missing mergeable columns $stateCols: " +
+        state0.columns.mkString(", "))
+    val d = state(delta, keys, valCol)
+    state0.unionByName(d)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_n")).cast("long").as("_n"), sum(col("_sum")).as("_sum"),
+        min(col("_min")).as("_min"), max(col("_max")).as("_max"))
+  }
+
+  /** Presentation view of the state: derived measures, no extra pass. */
+  def report(state0: DataFrame, keys: Seq[String]): DataFrame =
+    state0.select(
+      keys.map(col) ++ Seq(
+        col("_n").as("n"),
+        col("_sum").cast("double").as("total"),
+        (col("_sum") / col("_n")).cast("double").as("mean"),
+        col("_min").cast("double").as("vmin"),
+        col("_max").cast("double").as("vmax")): _*)
+}

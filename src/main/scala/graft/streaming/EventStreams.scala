@@ -200,6 +200,60 @@ object EventStreams {
       }.toDF()
   }
 
+  /** Cohort membership carried across micro-batches: the entity's
+    * first-seen bucket and the buckets already emitted. */
+  final case class CohortState(first: Long, seen: List[Long])
+
+  /** One first-activity-in-bucket observation. */
+  final case class CohortHit(user: Long, cohort: Long, week: Long)
+
+  /** Streaming form of
+    * [[graft.operators.EventAnalytics.cohortRetention]]'s stateful
+    * core: per entity, the first event pins the cohort bucket, and
+    * each bucket is emitted exactly once on the entity's first
+    * activity in it — the (user, bucket) `distinct` plus the
+    * min-first-seen join of the batch form, as one pass of per-entity
+    * state. The retention matrix is a downstream stateless aggregation
+    * of the emitted hits. State is O(active buckets) per entity —
+    * bounded by calendar buckets, not event volume. Same ordering
+    * contract as [[funnelStream]]: in-order per entity across batches
+    * (a straggler older than the pinned cohort keeps the pinned
+    * cohort — no retraction in Append mode).
+    *
+    * @param weekCol a DATE column holding each event's bucket start
+    *                (e.g. `date_trunc("week", ts).cast("date")`)
+    */
+  def cohortStream(events: DataFrame, userCol: String,
+                   weekCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = events.select(
+        col(userCol).cast("long").as("_u"),
+        datediff(col(weekCol), lit("1970-01-01").cast("date"))
+          .cast("long").as("_w"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[CohortState, CohortHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          val ws = rows.map(_._2).toSeq.distinct.sorted
+          if (ws.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(CohortState(ws.head, Nil))
+            val out = Seq.newBuilder[CohortHit]
+            ws.foreach { w =>
+              if (!st.seen.contains(w)) {
+                st = CohortState(st.first, w :: st.seen)
+                out += CohortHit(user, st.first, w)
+              }
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
   /** Per-entity funnel progress carried across micro-batches: the
     * order ids matched so far, one per completed stage. */
   final case class FunnelProgress(matched: List[Long])

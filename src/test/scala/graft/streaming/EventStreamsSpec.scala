@@ -51,6 +51,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("cohortStream: cohort pins on first sight, each week emits once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("user_id", "wk")
+      .withColumn("wk", col("wk").cast("date"))
+    val out = EventStreams.cohortStream(df, "user_id", "wk")
+      .writeStream.format("memory").queryName("cohort_sink")
+      .outputMode("append").start()
+    // epoch days: 2024-01-01 and 2024-01-08 are Mondays
+    val d0 = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val d1 = java.time.LocalDate.parse("2024-01-08").toEpochDay
+    try {
+      // batch 1: u1 active in week0 twice (one emission), u2 in week1
+      mem.addData((1L, "2024-01-01"), (1L, "2024-01-01"),
+        (2L, "2024-01-08"))
+      out.processAllAvailable()
+      val b1 = spark.table("cohort_sink")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(b1 == Set((1L, d0, d0), (2L, d1, d1)))
+      // batch 2: u1 re-active in week0 (no re-emit) and week1 (emits
+      // with the PINNED week0 cohort)
+      mem.addData((1L, "2024-01-01"), (1L, "2024-01-08"))
+      out.processAllAvailable()
+      val b2 = spark.table("cohort_sink")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(b2 == Set((1L, d0, d0), (2L, d1, d1), (1L, d0, d1)))
+    } finally out.stop()
+  }
+
   test("transitionsStream: lag state crosses batches, stragglers ignored") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]
