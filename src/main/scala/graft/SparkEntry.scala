@@ -1348,6 +1348,45 @@ object SparkEntry {
           round(col("zscore"), 6).as("zscore"))
         .orderBy(col("user_id"), col("event_id"))),
 
+    "x_ts_streaks" -> ((s, dir) =>
+      // consecutive-day activity streaks per user (gaps and islands):
+      // the day − row_number island id needs one window over each
+      // user's distinct-day list — bounded by calendar length.
+      TimeSeries.streaks(t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("user_id"))),
+
+    "a27_incremental_report" -> ((s, dir) => {
+      // incremental aggregate maintenance: the first half-year builds
+      // mergeable group state (count / decimal sum / min / max), the
+      // remainder folds in as a delta batch — only the delta and the
+      // group-grain state shuffle, never the historical facts — and
+      // the read-time report must equal the from-scratch rebuild the
+      // oracle computes (associativity is the claim).
+      val keys = Seq("o_orderpriority")
+      val o = t(s, dir, "orders")
+      val cut = lit("1997-07-01").cast("timestamp")
+      val st0 = IncrementalAgg.state(
+        o.filter(col("o_orderdate") < cut), keys, "o_totalprice")
+      val st1 = IncrementalAgg.merge(st0, keys, "o_totalprice",
+        o.filter(col("o_orderdate") >= cut))
+      IncrementalAgg.report(st1, keys)
+        .select(col("o_orderpriority"), col("n"),
+          round(col("total"), 6).as("total"),
+          round(col("mean"), 6).as("mean"),
+          round(col("vmin"), 6).as("vmin"),
+          round(col("vmax"), 6).as("vmax"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "a28_corr_matrix" -> ((s, dir) =>
+      // pairwise Pearson matrix in ONE scan: exact decimal moments
+      // (n, Σx, Σx², Σxy per pair) in a single aggregation; only each
+      // pair's final scalar formula runs in double (the a14 idiom,
+      // widened to k columns without k(k−1)/2 scans).
+      Profile.corrMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("col_a"), col("col_b"))),
+
     // ── §2.9 streaming semantics (batch-checkable form) ─────────────
     "st3_dedup_window" -> ((s, dir) => {
       // event-time duplicate suppression: latest row per key wins
@@ -3830,6 +3869,91 @@ object SparkEntry {
          WHERE n >= 8 AND abs((value - s / n) /
            sqrt(greatest((s2 - s * s / n) / (n - 1), 1e-12))) > 2.5
          ORDER BY user_id, event_id""",
+
+    "x_ts_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+                  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           FROM events),
+         isl AS (
+           SELECT user_id,
+                  CAST(day - DATE '1970-01-01' AS BIGINT) -
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY day) AS g
+           FROM days),
+         runs AS (SELECT user_id, g, count(*) AS len
+                  FROM isl GROUP BY 1, 2)
+         SELECT user_id,
+                CAST(sum(len) AS BIGINT) AS active_days,
+                CAST(count(*) AS BIGINT) AS n_streaks,
+                CAST(max(len) AS BIGINT) AS longest_streak
+         FROM runs GROUP BY 1 ORDER BY 1""",
+
+    "a27_incremental_report" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                  AS DOUBLE), 6) AS total,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean,
+                round(CAST(min(CAST(o_totalprice AS DECIMAL(18,4)))
+                  AS DOUBLE), 6) AS vmin,
+                round(CAST(max(CAST(o_totalprice AS DECIMAL(18,4)))
+                  AS DOUBLE), 6) AS vmax
+         FROM orders
+         GROUP BY 1 ORDER BY 1""",
+
+    // DECIMAL(19,4) operands in the products: DuckDB's DECIMAL(18)
+    // multiply runs on the int64 fast path and overflow-checks the
+    // RAW-unit product; width 19 forces int128. Spark's sums widen to
+    // DECIMAL(38,8) on their own — both engines stay exact, so the
+    // final doubles agree.
+    "a28_corr_matrix" ->
+      """WITH m AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,4)))
+                    AS DOUBLE) AS s_q,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) *
+                           CAST(l_quantity AS DECIMAL(19,4)))
+                    AS DOUBLE) AS ss_q,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)))
+                    AS DOUBLE) AS s_p,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) *
+                           CAST(l_extendedprice AS DECIMAL(19,4)))
+                    AS DOUBLE) AS ss_p,
+                  CAST(sum(CAST(l_discount AS DECIMAL(19,4)))
+                    AS DOUBLE) AS s_d,
+                  CAST(sum(CAST(l_discount AS DECIMAL(19,4)) *
+                           CAST(l_discount AS DECIMAL(19,4)))
+                    AS DOUBLE) AS ss_d,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) *
+                           CAST(l_extendedprice AS DECIMAL(19,4)))
+                    AS DOUBLE) AS sp_qp,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) *
+                           CAST(l_discount AS DECIMAL(19,4)))
+                    AS DOUBLE) AS sp_qd,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) *
+                           CAST(l_discount AS DECIMAL(19,4)))
+                    AS DOUBLE) AS sp_pd
+           FROM lineitem)
+         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                round((n * sp_qp - s_q * s_p) /
+                  sqrt((n * ss_q - s_q * s_q) *
+                       (n * ss_p - s_p * s_p)), 6) AS corr
+         FROM m
+         UNION ALL
+         SELECT 'l_quantity', 'l_discount',
+                round((n * sp_qd - s_q * s_d) /
+                  sqrt((n * ss_q - s_q * s_q) *
+                       (n * ss_d - s_d * s_d)), 6)
+         FROM m
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_discount',
+                round((n * sp_pd - s_p * s_d) /
+                  sqrt((n * ss_p - s_p * s_p) *
+                       (n * ss_d - s_d * s_d)), 6)
+         FROM m
+         ORDER BY col_a, col_b""",
 
     "x_events_funnel" ->
       """WITH v AS (SELECT user_id, min(event_id) AS s1_view

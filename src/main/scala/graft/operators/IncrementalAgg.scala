@@ -52,7 +52,9 @@ object IncrementalAgg {
       keys.map(col) ++ Seq(
         col("_n").as("n"),
         col("_sum").cast("double").as("total"),
-        (col("_sum") / col("_n")).cast("double").as("mean"),
+        // double/double, not decimal division: decimal-quotient scale
+        // rules differ across engines, the IEEE quotient does not
+        (col("_sum").cast("double") / col("_n").cast("double")).as("mean"),
         col("_min").cast("double").as("vmin"),
         col("_max").cast("double").as("vmax")): _*)
 }

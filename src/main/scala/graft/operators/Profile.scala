@@ -133,4 +133,34 @@ object Profile {
     df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("n"))
       .filter(col("n") < k)
   }
+
+  /** Pairwise Pearson correlation of `cols` in ONE scan: the single
+    * aggregation accumulates n, Σx and Σx² per column and Σxy per
+    * pair — all as exact decimals (order-independent across engines
+    * and partitions, the a14 idiom) — then each pair's scalar formula
+    * runs in double over the one-row moment table. k columns cost
+    * k + k(k−1)/2 decimal sums in one pass, not k(k−1)/2 scans. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs >= 2 columns: $cols")
+    require(cols.distinct.size == cols.size, s"repeated columns: $cols")
+    def d(c: String) = col(c).cast("decimal(18,4)")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.flatMap(c => Seq(sum(d(c)).cast("double").as(s"_s_$c"),
+        sum(d(c) * d(c)).cast("double").as(s"_ss_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum(d(a) * d(b)).cast("double").as(s"_sp_${a}_${b}") }
+    val m = df.agg(count(lit(1)).cast("double").as("_n"), aggs: _*)
+    pairs.map { case (a, b) =>
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(
+          (col("_n") * col(s"_sp_${a}_${b}") -
+            col(s"_s_$a") * col(s"_s_$b")) /
+          sqrt((col("_n") * col(s"_ss_$a") - col(s"_s_$a") * col(s"_s_$a")) *
+            (col("_n") * col(s"_ss_$b") - col(s"_s_$b") * col(s"_s_$b"))),
+          6).as("corr"))
+    }.reduce(_.unionByName(_))
+  }
 }

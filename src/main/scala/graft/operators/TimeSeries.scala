@@ -88,4 +88,27 @@ object TimeSeries {
       .filter(col("_n") >= minObs && abs(col("zscore")) > z)
       .drop("_s", "_s2", "_n")
   }
+
+  /** Consecutive-calendar-day activity streaks per key (gaps and
+    * islands): distinct active days, grouped into islands by the
+    * classic day−row_number trick — consecutive days share a constant
+    * difference, so the island id falls out of one window over the
+    * per-key day list (bounded by calendar length). Returns one row
+    * per key: total active days, number of streaks, longest streak.
+    */
+  def streaks(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val days = df.select(col(keyCol), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    days
+      .withColumn("_g",
+        datediff(col("day"), lit("1970-01-01").cast("date")) -
+          row_number().over(w))
+      .groupBy(col(keyCol), col("_g"))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_len")).cast("long").as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("_len")).cast("long").as("longest_streak"))
+  }
 }

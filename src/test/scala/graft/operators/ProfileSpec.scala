@@ -106,4 +106,22 @@ class ProfileSpec extends SparkSpec {
       Profile.kAnonymity(df, Seq("seg"), 1)
     }
   }
+
+  test("corrMatrix: one-pass pairwise Pearson matches per-pair corr") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 400).map { i =>
+      val x = rnd.nextDouble() * 10
+      (x, 2.5 * x + rnd.nextDouble(), rnd.nextDouble() * 5)
+    }.toDF("x", "y", "z")
+    val out = Profile.corrMatrix(df, Seq("x", "y", "z"))
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(out.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    // strong linear relation detected; reference from Spark's own corr
+    // (tolerance covers the decimal(18,4) quantization of the moments)
+    val ref = df.select(corr(col("x"), col("y"))).as[Double].head()
+    assert(math.abs(out(("x", "y")) - ref) < 1e-3)
+    assert(out(("x", "y")) > 0.99)
+    intercept[IllegalArgumentException] { Profile.corrMatrix(df, Seq("x")) }
+  }
 }

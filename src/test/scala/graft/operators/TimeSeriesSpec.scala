@@ -56,6 +56,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq == Seq(16L))
   }
 
+  test("streaks groups consecutive calendar days into islands") {
+    val df = Seq(
+      ("a", ts(1)), ("a", ts(2)), ("a", ts(2)), ("a", ts(3)), // island of 3
+      ("a", ts(5)),                                           // island of 1
+      ("b", ts(4))
+    ).map { case (k, t) => (k, t, 1.0) }.toDF("k", "t", "v")
+    val out = TimeSeries.streaks(df, "k", "t")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(("a", 4L, 2L, 3L), ("b", 1L, 1L, 1L)))
+  }
+
   test("rollingAnomalies is empty on a flat series") {
     val df = (0 until 20).map(i => ("u", i.toLong, 5.0)).toDF("k", "i", "v")
     assert(TimeSeries.rollingAnomalies(df, "k", "i", "v", 8, 2.0).count() == 0)
