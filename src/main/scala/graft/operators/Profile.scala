@@ -153,14 +153,18 @@ object Profile {
       pairs.map { case (a, b) =>
         sum(d(a) * d(b)).cast("double").as(s"_sp_${a}_${b}") }
     val m = df.agg(count(lit(1)).cast("double").as("_n"), aggs: _*)
-    pairs.map { case (a, b) =>
-      m.select(lit(a).as("col_a"), lit(b).as("col_b"),
+    // all pairs unfold from the ONE moment row (explode of a struct
+    // array) — a union of per-pair selects would re-run the scan per
+    // branch, k(k−1)/2 passes instead of one
+    val pairRows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
         round(
           (col("_n") * col(s"_sp_${a}_${b}") -
             col(s"_s_$a") * col(s"_s_$b")) /
           sqrt((col("_n") * col(s"_ss_$a") - col(s"_s_$a") * col(s"_s_$a")) *
             (col("_n") * col(s"_ss_$b") - col(s"_s_$b") * col(s"_s_$b"))),
           6).as("corr"))
-    }.reduce(_.unionByName(_))
+    }
+    m.select(explode(array(pairRows: _*)).as("_p")).select(col("_p.*"))
   }
 }
