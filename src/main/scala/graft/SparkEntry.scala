@@ -1348,6 +1348,17 @@ object SparkEntry {
           round(col("zscore"), 6).as("zscore"))
         .orderBy(col("user_id"), col("event_id"))),
 
+    "x_ts_sliding_distinct" -> ((s, dir) =>
+      // rolling 7-day actives (WAU): EXACT distinct users per trailing
+      // window in O(activity) — each consecutive activity pair becomes
+      // ±1 deltas and the per-day count is a running sum over the
+      // calendar spine; the oracle recomputes every window's COUNT
+      // DISTINCT brute-force, so the interval algebra is what's
+      // checked.
+      TimeSeries.slidingDistinct(t(s, dir, "events"), "user_id", "ts",
+          windowDays = 7)
+        .orderBy(col("day"))),
+
     "x_ts_streaks" -> ((s, dir) =>
       // consecutive-day activity streaks per user (gaps and islands):
       // the day − row_number island id needs one window over each
@@ -1429,6 +1440,17 @@ object SparkEntry {
       EventAnalytics.transitions(t(s, dir, "events"),
           "user_id", "event_type", "event_id")
         .orderBy(col("from_type"), col("to_type"))),
+
+    "x_events_attribution" -> ((s, dir) =>
+      // last-touch attribution: each purchase credits the user's most
+      // recent preceding non-purchase event; no preceding touch →
+      // '(direct)'. The ignore-nulls last window rides the same
+      // user-history partition every other behavioral gate uses.
+      EventAnalytics.lastTouchAttribution(t(s, dir, "events"),
+          "user_id", "event_type", "event_id", "value", "purchase")
+        .select(col("channel"), col("n_conversions"),
+          round(col("revenue"), 6).as("revenue"))
+        .orderBy(col("channel"))),
 
     "x_stream_paths" -> ((s, dir) => {
       // streaming step extraction for the transition matrix: the lag
@@ -3870,6 +3892,24 @@ object SparkEntry {
            sqrt(greatest((s2 - s * s / n) / (n - 1), 1e-12))) > 2.5
          ORDER BY user_id, event_id""",
 
+    // brute force on purpose: every window's COUNT DISTINCT from
+    // scratch — the gate proves the delta/running-sum formulation
+    // computes the same thing in one pass
+    "x_ts_sliding_distinct" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+                  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+           FROM events),
+         b AS (SELECT min(d) AS mn, max(d) AS mx FROM act),
+         s AS (SELECT CAST(unnest(generate_series(
+                 CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                 INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+         SELECT strftime(s.day, '%Y-%m-%d') AS day,
+                CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+         FROM s LEFT JOIN act a
+           ON a.d <= s.day AND a.d > s.day - 7
+         GROUP BY s.day ORDER BY day""",
+
     "x_ts_streaks" ->
       """WITH days AS (
            SELECT DISTINCT user_id,
@@ -4046,6 +4086,23 @@ object SparkEntry {
          FROM a JOIN f ON a.user_id = f.user_id
          GROUP BY 1, 2
          ORDER BY 1, 2""",
+
+    "x_events_attribution" ->
+      """WITH a AS (
+           SELECT user_id, event_type, value,
+                  last_value(CASE WHEN event_type <> 'purchase'
+                                  THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS ch
+           FROM events)
+         SELECT coalesce(ch, '(direct)') AS channel,
+                CAST(count(*) AS BIGINT) AS n_conversions,
+                round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+                  AS DOUBLE), 6) AS revenue
+         FROM a
+         WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
 
     // identical to x_events_cohort by design: the streaming hits must
     // aggregate to the same retention matrix the batch form computes

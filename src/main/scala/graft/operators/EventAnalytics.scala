@@ -125,4 +125,29 @@ object EventAnalytics {
       .select(date_format(col("_cohort"), "yyyy-MM-dd").as("cohort"),
         col("bucket_offset"), col("n_users"))
   }
+
+  /** Last-touch revenue attribution: each conversion credits the
+    * user's most recent PRECEDING non-conversion event type; a
+    * conversion with no preceding touch credits `(direct)`. One
+    * ignore-nulls `last` window over each entity's history (bounded by
+    * one user's volume — the window-is-right case), then a |types|-row
+    * aggregate; conversions keep exact decimal revenue sums. */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      typeCol: String, ordCol: String, valueCol: String,
+      conversionType: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(ordCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    events
+      .withColumn("_ch",
+        last(when(col(typeCol) =!= conversionType, col(typeCol)),
+          ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .groupBy(coalesce(col("_ch"), lit("(direct)")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast("decimal(18,4)")).as("_rev"))
+      .select(col("channel"), col("n_conversions"),
+        col("_rev").cast("double").as("revenue"))
+  }
 }

@@ -89,6 +89,55 @@ object TimeSeries {
       .drop("_s", "_s2", "_n")
   }
 
+  /** EXACT distinct-entity count for every trailing `windowDays`-day
+    * window, in O(activity) work — the rolling-actives metric (WAU/MAU
+    * family) that naive plans recompute as windowDays overlapping
+    * COUNT(DISTINCT)s over the fact table.
+    *
+    * The trick: a user contributes to the window ending at day D iff
+    * one of their activity days a satisfies D−W < a ≤ D and their NEXT
+    * activity day is > D (count each user once, at their latest
+    * in-window activity). Equivalently each consecutive activity pair
+    * (a, next) adds +1 to all D in [a, min(next, a+W) − 1] — so each
+    * activity day becomes TWO delta rows (+1 at a, −1 at
+    * min(next, a+W)) and the per-day distinct count is the running sum
+    * of deltas over the calendar spine. One lead window over per-user
+    * activity days, one day-grain aggregate, one cumulative window
+    * over the spine — nothing ever re-scans the window contents.
+    *
+    * Returns (day, n_active) for every day in [min, max] of the data.
+    */
+  def slidingDistinct(df: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val epoch = lit("1970-01-01").cast("date")
+    val act = df.select(col(userCol).as("_u"),
+        datediff(to_date(col(tsCol)), epoch).as("_d"))
+      .distinct()
+    val wu = Window.partitionBy(col("_u")).orderBy(col("_d"))
+    val deltas = act
+      .withColumn("_next",
+        coalesce(lead(col("_d"), 1).over(wu), lit(Int.MaxValue)))
+      .select(col("_d").as("_day"), lit(1L).as("_delta"))
+      .unionAll(act
+        .withColumn("_next",
+          coalesce(lead(col("_d"), 1).over(wu), lit(Int.MaxValue)))
+        .select(least(col("_next"), col("_d") + windowDays).as("_day"),
+          lit(-1L).as("_delta")))
+    val daily = deltas.groupBy(col("_day"))
+      .agg(sum(col("_delta")).as("_net"))
+    val bounds = act.agg(min(col("_d")).as("_mn"), max(col("_d")).as("_mx"))
+    val spine = bounds.select(
+      explode(sequence(col("_mn"), col("_mx"))).as("_day"))
+    val wc = Window.orderBy(col("_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("_day"), "left")
+      .select(col("_day"), coalesce(col("_net"), lit(0L)).as("_net"))
+      .select(col("_day"), sum(col("_net")).over(wc).as("n_active"))
+      .select(date_format(date_add(epoch, col("_day").cast("int")),
+        "yyyy-MM-dd").as("day"), col("n_active"))
+  }
+
   /** Consecutive-calendar-day activity streaks per key (gaps and
     * islands): distinct active days, grouped into islands by the
     * classic day−row_number trick — consecutive days share a constant

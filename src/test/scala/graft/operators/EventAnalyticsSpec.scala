@@ -96,4 +96,22 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.cohortRetention(ev, "user_id", "ts", "month")
     }
   }
+
+  test("lastTouchAttribution: latest preceding touch wins, direct falls back") {
+    val ev = Seq(
+      // u1: view then click then purchase -> click credited
+      (1L, "view", 1L, 0.0), (1L, "click", 2L, 0.0),
+      (1L, "purchase", 3L, 10.0),
+      // u1 again: purchase right after another purchase -> still click
+      (1L, "purchase", 4L, 5.0),
+      // u2: purchase with no preceding touch -> (direct)
+      (2L, "purchase", 1L, 7.0),
+      // u2: view AFTER the purchase must not attribute backwards
+      (2L, "view", 2L, 0.0)
+    ).toDF("user_id", "event_type", "event_id", "value")
+    val out = EventAnalytics.lastTouchAttribution(ev, "user_id",
+        "event_type", "event_id", "value", "purchase")
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == Set(("click", 2L, 15.0), ("(direct)", 1L, 7.0)))
+  }
 }

@@ -56,6 +56,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq == Seq(16L))
   }
 
+  test("slidingDistinct equals brute-force window recount, zeros kept") {
+    // u1 active days 1,3,10; u2 active day 2; trailing 3-day window
+    val df = Seq(("u1", 1), ("u1", 3), ("u1", 3), ("u1", 10), ("u2", 2))
+      .map { case (u, d) => (u, ts(d)) }.toDF("u", "t")
+    val out = TimeSeries.slidingDistinct(df, "u", "t", windowDays = 3)
+      .as[(String, Long)].collect().sortBy(_._1)
+    val expected = (1 to 10).map { d =>
+      val active = Seq("u1" -> Seq(1, 3, 10), "u2" -> Seq(2))
+        .count { case (_, ds) => ds.exists(a => a <= d && a > d - 3) }
+      (f"2024-01-$d%02d", active.toLong)
+    }
+    assert(out.toSeq == expected)
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 2L, 2L, 1L, 0L, 0L, 0L, 0L, 1L))
+  }
+
   test("streaks groups consecutive calendar days into islands") {
     val df = Seq(
       ("a", ts(1)), ("a", ts(2)), ("a", ts(2)), ("a", ts(3)), // island of 3
