@@ -1184,6 +1184,25 @@ object SparkEntry {
              WHERE o_totalprice > 450000)) AS n_clean_list""")
     }),
 
+    "j15_snapshot_diff" -> ((s, dir) => {
+      // CDC extraction between two snapshot versions: one full-outer
+      // join on the key, null-safe payload compare, change set only
+      // (I/U/D with after-image, before-image for D). The two
+      // "versions" derive from orders: keys divisible by 7 appear only
+      // in the new snapshot (inserts), by 10 only in the old
+      // (deletes), by 5 get +1.0 on the price (updates — an exact
+      // IEEE add both engines agree on).
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+      val oldSnap = o.filter(col("o_orderkey") % 7 =!= 0)
+      val newSnap = o.filter(col("o_orderkey") % 10 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      Upsert.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "u4_union_evolve" -> ((s, dir) => {
       // schema-evolution union: a legacy slice without the status
       // column unions BY NAME with the current schema
@@ -1398,6 +1417,16 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy(col("col_a"), col("col_b"))),
 
+    "a29_basket_pairs" -> ((s, dir) =>
+      // market-basket mining: frequent co-occurring part pairs per
+      // order with lift. Apriori prune (infrequent items drop before
+      // pair generation), each basket packs ONCE into a sorted array,
+      // pairs stream from a scan-stage lambda — never a self-join
+      // that shuffles the fact table twice.
+      MarketBasket.pairCounts(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy(col("item_a"), col("item_b"))),
+
     // ── §2.9 streaming semantics (batch-checkable form) ─────────────
     "st3_dedup_window" -> ((s, dir) => {
       // event-time duplicate suppression: latest row per key wins
@@ -1451,6 +1480,18 @@ object SparkEntry {
         .select(col("channel"), col("n_conversions"),
           round(col("revenue"), 6).as("revenue"))
         .orderBy(col("channel"))),
+
+    "x_events_rfm" -> ((s, dir) =>
+      // RFM segmentation: one customer-grain aggregate over orders
+      // (the only fact-sized shuffle), then ntile windows over the
+      // AGGREGATED table (entity-grain — the aggregate-first
+      // discipline); deterministic tiles via the custkey tiebreak.
+      EventAnalytics.rfmSegments(t(s, dir, "orders"),
+          "o_custkey", "o_orderdate", "o_totalprice", buckets = 4)
+        .select(col("cust"), col("recency_days"), col("frequency"),
+          round(col("monetary"), 6).as("monetary"),
+          col("r"), col("f"), col("m"), col("segment"))
+        .orderBy(col("cust"))),
 
     "x_stream_paths" -> ((s, dir) => {
       // streaming step extraction for the transition matrix: the lag
@@ -3754,6 +3795,39 @@ object SparkEntry {
               (SELECT o_custkey FROM orders
                WHERE o_totalprice > 450000)) AS n_clean_list""",
 
+    // the +1.0 update is an exact IEEE add at this magnitude, so both
+    // engines carry identical doubles into the diff compare
+    "j15_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                           o_orderpriority FROM orders),
+           olds AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+           news AS (SELECT o_orderkey, o_orderstatus,
+                           CASE WHEN o_orderkey % 5 = 0
+                                THEN o_totalprice + 1.0
+                                ELSE o_totalprice END AS o_totalprice,
+                           o_orderpriority
+                    FROM o WHERE o_orderkey % 10 <> 0)
+         SELECT coalesce(n.o_orderkey, d.o_orderkey) AS o_orderkey,
+                CASE WHEN d.o_orderkey IS NULL THEN n.o_orderstatus
+                     WHEN n.o_orderkey IS NULL THEN d.o_orderstatus
+                     ELSE n.o_orderstatus END AS o_orderstatus,
+                CASE WHEN d.o_orderkey IS NULL THEN n.o_totalprice
+                     WHEN n.o_orderkey IS NULL THEN d.o_totalprice
+                     ELSE n.o_totalprice END AS o_totalprice,
+                CASE WHEN d.o_orderkey IS NULL THEN n.o_orderpriority
+                     WHEN n.o_orderkey IS NULL THEN d.o_orderpriority
+                     ELSE n.o_orderpriority END AS o_orderpriority,
+                CASE WHEN d.o_orderkey IS NULL THEN 'I'
+                     WHEN n.o_orderkey IS NULL THEN 'D'
+                     ELSE 'U' END AS op
+         FROM olds d FULL OUTER JOIN news n
+           ON d.o_orderkey = n.o_orderkey
+         WHERE d.o_orderkey IS NULL OR n.o_orderkey IS NULL
+            OR d.o_totalprice <> n.o_totalprice
+            OR d.o_orderstatus <> n.o_orderstatus
+            OR d.o_orderpriority <> n.o_orderpriority
+         ORDER BY o_orderkey""",
+
     "u4_union_evolve" ->
       """WITH u AS (
            SELECT o_orderkey, o_totalprice FROM orders
@@ -3995,6 +4069,30 @@ object SparkEntry {
          FROM m
          ORDER BY col_a, col_b""",
 
+    // brute-force self-join on purpose — the engine's packed-basket
+    // lambda must count exactly what the quadratic join counts
+    "a29_basket_pairs" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                     FROM lineitem),
+           it AS (SELECT i, CAST(count(*) AS BIGINT) AS ni
+                  FROM bi GROUP BY 1 HAVING count(*) >= 2),
+           nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+           pc AS (SELECT x.i AS item_a, y.i AS item_b,
+                         CAST(count(*) AS BIGINT) AS n_pair
+                  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+                  WHERE x.i IN (SELECT i FROM it)
+                    AND y.i IN (SELECT i FROM it)
+                  GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT pc.item_a, pc.item_b, pc.n_pair, ia.ni AS n_a,
+                ib.ni AS n_b,
+                round(CAST(pc.n_pair AS DOUBLE) * nb.n /
+                      (CAST(ia.ni AS DOUBLE) * ib.ni), 6) AS lift
+         FROM pc
+         JOIN it ia ON pc.item_a = ia.i
+         JOIN it ib ON pc.item_b = ib.i
+         CROSS JOIN nb
+         ORDER BY item_a, item_b""",
+
     "x_events_funnel" ->
       """WITH v AS (SELECT user_id, min(event_id) AS s1_view
                     FROM events WHERE event_type = 'view' GROUP BY 1),
@@ -4103,6 +4201,36 @@ object SparkEntry {
          FROM a
          WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY 1""",
+
+    // same deterministic (metric, cust) tile order on both sides —
+    // ntile is order-sensitive, so the tiebreak IS the contract
+    "x_events_rfm" ->
+      """WITH c AS (
+           SELECT o_custkey AS cust,
+                  max(CAST(o_orderdate AS DATE)) AS last_d,
+                  CAST(count(*) AS BIGINT) AS frequency,
+                  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS mv
+           FROM orders GROUP BY 1),
+           b AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx
+                 FROM orders),
+           s AS (SELECT cust,
+                        CAST(date_diff('day', last_d, mx) AS INT)
+                          AS recency_days,
+                        frequency, mv
+                 FROM c CROSS JOIN b),
+           t AS (SELECT cust, recency_days, frequency, mv,
+                        CAST(ntile(4) OVER (ORDER BY recency_days DESC,
+                          cust) AS INT) AS r,
+                        CAST(ntile(4) OVER (ORDER BY frequency, cust)
+                          AS INT) AS f,
+                        CAST(ntile(4) OVER (ORDER BY mv, cust)
+                          AS INT) AS m
+                 FROM s)
+         SELECT cust, recency_days, frequency,
+                round(CAST(mv AS DOUBLE), 6) AS monetary, r, f, m,
+                CAST(r AS VARCHAR) || CAST(f AS VARCHAR) ||
+                  CAST(m AS VARCHAR) AS segment
+         FROM t ORDER BY cust""",
 
     // identical to x_events_cohort by design: the streaming hits must
     // aggregate to the same retention matrix the batch form computes

@@ -132,6 +132,46 @@ object EventAnalytics {
     * ignore-nulls `last` window over each entity's history (bounded by
     * one user's volume — the window-is-right case), then a |types|-row
     * aggregate; conversions keep exact decimal revenue sums. */
+  /** RFM segmentation: per entity, Recency (days since last activity,
+    * relative to the corpus max date), Frequency (activity count) and
+    * Monetary (exact decimal spend), each scored into `buckets`
+    * quantile tiles (bigger tile = better on every axis) and
+    * concatenated into the classic segment label ("444" = best).
+    *
+    * Plan shape: one entity-grain aggregate over the fact table (the
+    * only fact-sized shuffle), a broadcast of the 1-row corpus max
+    * date, then three `ntile` windows over the AGGREGATED entity
+    * table — the same aggregate-first-window-after discipline as the
+    * vocab ranking: the windows' input is entity-grain, orders of
+    * magnitude under the fact grain, so the unpartitioned sort is a
+    * deliberate, bounded cost. Tile order is made deterministic with
+    * the entity id as tiebreak so results are engine- and
+    * partition-order-independent. */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+      amtCol: String, buckets: Int = 4): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val perCust = orders.groupBy(col(custCol).as("cust"))
+      .agg(max(to_date(col(dateCol))).as("_last"),
+        count(lit(1)).as("frequency"),
+        sum(col(amtCol).cast("decimal(18,4)")).as("_m"))
+    val bounds = orders.agg(max(to_date(col(dateCol))).as("_mx"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("recency_days").desc, col("cust"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .orderBy(col("frequency"), col("cust"))
+    val wm = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_m"), col("cust"))
+    perCust.join(broadcast(bounds))
+      .withColumn("recency_days", datediff(col("_mx"), col("_last")))
+      .withColumn("r", ntile(buckets).over(wr))
+      .withColumn("f", ntile(buckets).over(wf))
+      .withColumn("m", ntile(buckets).over(wm))
+      .select(col("cust"), col("recency_days"), col("frequency"),
+        col("_m").cast("double").as("monetary"),
+        col("r"), col("f"), col("m"),
+        concat(col("r"), col("f"), col("m")).as("segment"))
+  }
+
   def lastTouchAttribution(events: DataFrame, userCol: String,
       typeCol: String, ordCol: String, valueCol: String,
       conversionType: String): DataFrame = {

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence mining: frequent item PAIRS with
+  * support counts and lift, the first rung of association-rule mining
+  * (the reference's analytics surface stops at grouped reports — this
+  * is part of the LLM-pipeline/analytics extension surface, e.g.
+  * "which sources co-occur in the same crawl batch").
+  *
+  * Plan shape (Apriori-pruned, aggregate-first):
+  *  1. distinct (basket, item) — one shuffle, the only fact-sized one;
+  *  2. item supports from that table; items under `minSupport` are
+  *     dropped BEFORE pair generation (Apriori monotonicity: a pair of
+  *     an infrequent item cannot be frequent), shrinking the quadratic
+  *     stage's input;
+  *  3. each basket packs ONCE into a sorted item array (no self-join —
+  *     a self-join on the basket key would shuffle the fact table
+  *     twice and re-discover each basket |b| times);
+  *  4. in-basket pairs stream out of a higher-order
+  *     transform/slice/flatten lambda — scan-stage codegen'd work,
+  *     Σ|b|² output rows, immediately shrunk by a map-side partial
+  *     count;
+  *  5. pair supports under `minSupport` drop; survivors join the
+  *     (small, already-aggregated) item-support table and the 1-row
+  *     basket count for lift.
+  *
+  * The quadratic term is per-basket, so the runaway risk is a single
+  * pathological basket, not corpus size; `maxBasketSize` refuses such
+  * baskets loudly in-plan (the repo's refuse-loudly idiom) rather than
+  * silently OOMing a task at scale.
+  *
+  * lift(a,b) = P(a,b) / (P(a)·P(b)) = n_pair·n_baskets / (n_a·n_b),
+  * computed in a fixed double evaluation order so engines agree.
+  */
+object MarketBasket {
+
+  def pairCounts(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Int, maxBasketSize: Int = 1024): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2: $maxBasketSize")
+    val bi = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+    val items = bi.groupBy(col("_i")).agg(count(lit(1)).as("_ni"))
+      .filter(col("_ni") >= minSupport)
+    val nBaskets = bi.agg(countDistinct(col("_b")).as("_nb"))
+    val packed = bi.join(items.select(col("_i")), Seq("_i"))
+      .groupBy(col("_b"))
+      .agg(sort_array(collect_set(col("_i"))).as("_items"))
+      .withColumn("_items",
+        when(size(col("_items")) > maxBasketSize,
+          raise_error(concat(lit("pairCounts: basket "), col("_b"),
+            lit(s" exceeds $maxBasketSize frequent items"))))
+          .otherwise(col("_items")))
+    val pairs = packed
+      .select(explode(expr(
+        """flatten(transform(_items, (x, i) ->
+          |  transform(slice(_items, i + 2, size(_items) - i - 1),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin))
+        .as("_p"))
+      .groupBy(col("_p.a").as("item_a"), col("_p.b").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSupport)
+    pairs
+      .join(items.select(col("_i").as("item_a"), col("_ni").as("n_a")),
+        Seq("item_a"))
+      .join(items.select(col("_i").as("item_b"), col("_ni").as("n_b")),
+        Seq("item_b"))
+      .join(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_pair"),
+        col("n_a"), col("n_b"),
+        round(col("n_pair").cast("double") * col("_nb") /
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+  }
+}

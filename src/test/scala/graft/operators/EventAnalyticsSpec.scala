@@ -97,6 +97,25 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rfmSegments: deterministic tiles, bigger tile = better on every axis") {
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    val orders = Seq(
+      (1L, d(8), 100.0), (1L, d(10), 50.0),            // freq 2, m 150, rec 0
+      (2L, d(5), 10.0),                                // freq 1, m 10,  rec 5
+      (3L, d(10), 200.0),                              // freq 1, m 200, rec 0
+      (4L, d(1), 10.0), (4L, d(2), 10.0), (4L, d(3), 10.0) // freq 3, m 30, rec 7
+    ).toDF("cust_id", "odate", "amt")
+    val out = EventAnalytics.rfmSegments(orders, "cust_id", "odate",
+        "amt", buckets = 2)
+      .select("cust", "recency_days", "frequency", "monetary", "segment")
+      .as[(Long, Int, Long, Double, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 0, 2L, 150.0, "222"),
+      (2L, 5, 1L, 10.0, "111"),
+      (3L, 0, 1L, 200.0, "212"),
+      (4L, 7, 3L, 30.0, "121")))
+  }
+
   test("lastTouchAttribution: latest preceding touch wins, direct falls back") {
     val ev = Seq(
       // u1: view then click then purchase -> click credited

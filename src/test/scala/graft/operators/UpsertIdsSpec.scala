@@ -207,4 +207,33 @@ class UpsertIdsSpec extends SparkSpec {
       .orderBy("id").as[(Long, Long)].collect()
     assert(out.toSeq == Seq((3L, 1L), (5L, 2L), (9L, 3L)))
   }
+
+  test("snapshotDiff emits I/U/D with the right row image, drops unchanged") {
+    val old = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0),
+      (4L, null.asInstanceOf[String], 40.0)).toDF("k", "st", "v")
+    val neu = Seq((2L, "B", 20.0), (3L, "C2", 30.0),
+      (4L, null.asInstanceOf[String], 40.0), (5L, "E", 50.0))
+      .toDF("k", "st", "v")
+    val out = Upsert.snapshotDiff(old, neu, Seq("k"))
+      .as[(Long, String, Double, String)].collect().sortBy(_._1)
+    // 1 deleted (before-image), 2 unchanged (dropped), 3 updated
+    // (after-image), 4 null-payload unchanged (null-safe compare), 5
+    // inserted
+    assert(out.toSeq == Seq((1L, "A", 10.0, "D"),
+      (3L, "C2", 30.0, "U"), (5L, "E", 50.0, "I")))
+  }
+
+  test("snapshotDiff of identical snapshots is empty; replay via merge converges") {
+    val old = Seq((1L, "A", 10.0), (2L, "B", 20.0)).toDF("k", "st", "v")
+    assert(Upsert.snapshotDiff(old, old, Seq("k")).count() == 0L)
+    val neu = Seq((1L, "A2", 11.0), (2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("k", "st", "v")
+    // applying the diff's I/U rows onto old reproduces those keys' new
+    // rows (the change-feed replay contract)
+    val diff = Upsert.snapshotDiff(old, neu, Seq("k"))
+    val applied = Upsert.merge(old,
+      diff.filter(col("op") =!= "D").drop("op"), Seq("k"))
+    assert(applied.as[(Long, String, Double)].collect().sortBy(_._1)
+      .toSeq == Seq((1L, "A2", 11.0), (2L, "B", 20.0), (3L, "C", 30.0)))
+  }
 }
