@@ -1608,6 +1608,43 @@ object SparkEntry {
         .orderBy(col("cohort"), col("bucket_offset"))
     }),
 
+    "x_stream_attribution" -> ((s, dir) => {
+      // REAL streaming last-touch attribution: the events log replays
+      // as a file stream (schema pruned to four columns — the NANOS
+      // ts is never requested), attributionStream carries (last touch,
+      // frontier) per user via flatMapGroupsWithState and emits each
+      // conversion once; the channel totals are a stateless batch
+      // aggregation of the sink. Same oracle as x_events_attribution —
+      // streaming state == batch ignore-nulls window is the claim.
+      val st = s.readStream
+        .schema(
+          "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .parquet(s"$dir/events.parquet*")
+      val sink = s"x_stream_attribution_${streamSinkId.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        graft.streaming.EventStreams.attributionStream(st,
+            "user_id", "event_type", "event_id", "value", "purchase")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_attribution: stream did not drain within 300s")
+      }
+      s.table(sink)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("value").cast("decimal(18,4)")).as("_rev"))
+        .select(col("channel"), col("n_conversions"),
+          round(col("_rev").cast("double"), 6).as("revenue"))
+        .orderBy(col("channel"))
+    }),
+
     "x_stream_sessionize" -> ((s, dir) =>
       // session windows (gap-merged event-time sessions — the same
       // session_window code path a readStream takes; watermark 0 makes
@@ -2173,6 +2210,30 @@ object SparkEntry {
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") <= 5).drop("_rn")
         .orderBy(col("lang"), col("n").desc, col("tok"))
+    }),
+
+    "x_text_tfidf" -> ((s, dir) =>
+      // TF-IDF top-3 terms per document: one corpus-sized (doc, term)
+      // aggregate; document frequencies come from the ALREADY-
+      // aggregated tf table (vocab-grain); the ranking window
+      // partitions by single documents — the aggregate-first
+      // discipline end to end.
+      TextIndex.tfidfTopTerms(t(s, dir, "documents"),
+          "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"), col("term"))),
+
+    "x_text_search" -> ((s, dir) => {
+      // conjunctive term search served from the hash-bucketed
+      // posting-list artifact: the probe prunes to the query terms'
+      // buckets (~2/64 of the index), then per-doc matched-term
+      // counts intersect. The oracle recomputes from the raw corpus —
+      // index probe == corpus scan is the claim.
+      val postings = TextIndex.buildPostings(t(s, dir, "documents"),
+        "doc_id", "text", artifactBase(dir))
+      TextIndex.search(postings, Seq("batch", "join"))
+        .orderBy(col("doc_id"))
     }),
 
     "x_text_scrub" -> ((s, dir) =>
@@ -4275,6 +4336,26 @@ object SparkEntry {
          FROM g GROUP BY user_id, sess_id
          ORDER BY user_id, session_start""",
 
+    // identical to x_events_attribution by design: the streaming
+    // state machine must credit exactly what the batch ignore-nulls
+    // window credits
+    "x_stream_attribution" ->
+      """WITH a AS (
+           SELECT user_id, event_type, value,
+                  last_value(CASE WHEN event_type <> 'purchase'
+                                  THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS ch
+           FROM events)
+         SELECT coalesce(ch, '(direct)') AS channel,
+                CAST(count(*) AS BIGINT) AS n_conversions,
+                round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+                  AS DOUBLE), 6) AS revenue
+         FROM a
+         WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
+
     // the stream's event time is re-derived (doc_id minutes past the
     // epoch) and signatures come from the same artifact the engine
     // wrote; ts is monotone in doc_id, so "earlier" is the smaller id
@@ -4957,6 +5038,37 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY lang
            ORDER BY n DESC, tok) <= 5
          ORDER BY lang, n DESC, tok""",
+
+    // same fixed evaluation order tf * ln(N/df) on both sides; the
+    // (score DESC, term) tiebreak is the determinism contract
+    "x_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+           tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                  FROM tok GROUP BY 1, 2),
+           dfc AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+           n AS (SELECT count(*) AS n FROM documents),
+           sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+                         tf.tf * ln(CAST(n.n AS DOUBLE) / dfc.dfc)
+                           AS score
+                  FROM tf JOIN dfc USING (term) CROSS JOIN n)
+         SELECT doc_id, term, tf, round(score, 6) AS score
+         FROM sc
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+           ORDER BY score DESC, term) <= 3
+         ORDER BY doc_id, term""",
+
+    // the oracle recomputes from the raw corpus — the engine's
+    // bucket-pruned index probe must equal the full scan
+    "x_text_search" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+                             unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+         SELECT doc_id FROM tok
+         WHERE term IN ('batch', 'join')
+         GROUP BY doc_id HAVING count(DISTINCT term) = 2
+         ORDER BY doc_id""",
 
     // generated from TextFunctions.piiPatterns so the oracle scrubs
     // with the IDENTICAL regex chain, innermost = first pattern

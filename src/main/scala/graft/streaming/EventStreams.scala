@@ -254,6 +254,58 @@ object EventStreams {
       }.toDF()
   }
 
+  /** Last non-conversion touch (null = none yet) and the processed
+    * frontier, carried across micro-batches. */
+  final case class TouchState(t: String, frontier: Long)
+
+  /** One attributed conversion. */
+  final case class Conv(user: Long, channel: String, value: Double,
+                        o: Long)
+
+  /** Streaming form of
+    * [[graft.operators.EventAnalytics.lastTouchAttribution]]'s
+    * stateful core: per entity, every non-conversion event updates the
+    * remembered last touch, and every conversion emits once, credited
+    * to that touch (`(direct)` when none precedes) — the ignore-nulls
+    * last window of the batch form as TWO fields of per-entity state.
+    * The channel totals are a downstream stateless aggregation of the
+    * emitted conversions. Same ordering contract and straggler rule as
+    * [[funnelStream]]: in-order per entity across batches; an event at
+    * or behind the frontier is dropped (no time travel, no
+    * retraction in Append mode). */
+  def attributionStream(events: DataFrame, userCol: String,
+      typeCol: String, orderCol: String, valueCol: String,
+      conversionType: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = events.select(
+        col(userCol).cast("long").as("_u"),
+        col(typeCol).cast("string").as("_t"),
+        col(orderCol).cast("long").as("_o"),
+        col(valueCol).cast("double").as("_v"))
+      .as[(Long, String, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[TouchState, Conv](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          var st = state.getOption
+            .getOrElse(TouchState(null, Long.MinValue))
+          val out = Seq.newBuilder[Conv]
+          rows.toSeq.sortBy(_._3).foreach { case (_, t, o, v) =>
+            if (o > st.frontier) {
+              if (t == conversionType) {
+                val ch = if (st.t == null) "(direct)" else st.t
+                out += Conv(user, ch, v, o)
+                st = TouchState(st.t, o)
+              } else st = TouchState(t, o)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Per-entity funnel progress carried across micro-batches: the
     * order ids matched so far, one per completed stage. */
   final case class FunnelProgress(matched: List[Long])

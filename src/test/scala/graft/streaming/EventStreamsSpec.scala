@@ -101,6 +101,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("attributionStream: touch state crosses batches, direct fallback, stragglers dropped") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "event_type", "event_id", "value")
+    val out = EventStreams.attributionStream(df, "user_id", "event_type",
+        "event_id", "value", "purchase")
+      .writeStream.format("memory").queryName("attr_sink")
+      .outputMode("append").start()
+    try {
+      // u1 converts with no touch -> (direct); then a click lands
+      mem.addData((1L, "purchase", 1L, 5.0), (1L, "click", 2L, 0.0))
+      out.processAllAvailable()
+      // batch 2: u1 converts again -> click (state crossed batches);
+      // a straggler view at id 0 must not rewrite history; u2's view
+      // then purchase attributes in-batch
+      mem.addData((1L, "purchase", 3L, 7.0), (1L, "view", 0L, 0.0),
+        (2L, "view", 1L, 0.0), (2L, "purchase", 2L, 9.0))
+      out.processAllAvailable()
+      val convs = spark.table("attr_sink")
+        .as[(Long, String, Double, Long)].collect().sorted.toSeq
+      assert(convs == Seq((1L, "(direct)", 5.0, 1L),
+        (1L, "click", 7.0, 3L), (2L, "view", 9.0, 2L)))
+    } finally out.stop()
+  }
+
   test("windowedAgg tumbles on event time (batch frame)") {
     val df = events(
       ("2026-01-01 10:00:10", 1, "click", 1.0),
