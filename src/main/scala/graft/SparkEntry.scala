@@ -1378,6 +1378,21 @@ object SparkEntry {
           windowDays = 7)
         .orderBy(col("day"))),
 
+    "x_ts_decay" -> ((s, dir) =>
+      // recency-weighted engagement score: per-row left fold acc/2+x
+      // over the trailing 32 values — a fixed operation sequence both
+      // engines replay bit-for-bit; truncation (not an unbounded
+      // exponent) is what keeps the operator total at any history
+      // length.
+      // NO sql-side round: the fold is bit-identical across engines,
+      // and engine round() implementations DISAGREE on exact half
+      // boundaries (which these dyadic-rational folds do hit) — the
+      // comparator's uniform rounding is the safe normalizer
+      TimeSeries.decayedSum(t(s, dir, "events"),
+          "user_id", "event_id", "value", window = 32)
+        .select(col("user_id"), col("event_id"), col("decayed"))
+        .orderBy(col("user_id"), col("event_id"))),
+
     "x_ts_streaks" -> ((s, dir) =>
       // consecutive-day activity streaks per user (gaps and islands):
       // the day − row_number island id needs one window over each
@@ -4044,6 +4059,22 @@ object SparkEntry {
          FROM s LEFT JOIN act a
            ON a.d <= s.day AND a.d > s.day - 7
          GROUP BY s.day ORDER BY day""",
+
+    // the same zero-seeded left fold in frame order — list_reduce
+    // seeds with the FIRST element, so the explicit 0 prepend IS the
+    // seed (the x_text_tokens idiom)
+    "x_ts_decay" ->
+      """WITH l AS (
+           SELECT user_id, event_id,
+                  list(value) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS arr
+           FROM events)
+         SELECT user_id, event_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS DOUBLE), arr),
+                  (a, c) -> a / 2.0 + c) AS decayed
+         FROM l ORDER BY user_id, event_id""",
 
     "x_ts_streaks" ->
       """WITH days AS (

@@ -138,6 +138,34 @@ object TimeSeries {
         "yyyy-MM-dd").as("day"), col("n_active"))
   }
 
+  /** Exponentially-decayed rolling sum (half-life = one step): for
+    * each row, Σ x_i · 2^(i−t) over the trailing `window` rows — the
+    * recency-weighted engagement score of the EWMA family, truncated
+    * at `window` terms so the weight floor is explicit (2^−31 at the
+    * default — at or below double noise for any realistic magnitude
+    * ratio) instead of an unbounded exponent that silently overflows
+    * whatever numeric carries it. The untruncated recursive EWMA needs
+    * 2^rowcount scaling somewhere; truncation is what makes the
+    * operator total at any per-key history length — the 100 TB shape.
+    *
+    * Evaluation is a per-row LEFT FOLD over the trailing values in
+    * frame order (`acc/2 + x`, zero seed) — a fixed operation
+    * sequence, so engines agree bit-for-bit; work is O(rows · window)
+    * in the scan stage after one per-key window pass, state never
+    * exceeds `window` doubles per row. */
+  def decayedSum(df: DataFrame, keyCol: String, ordCol: String,
+      valCol: String, window: Int = 32): DataFrame = {
+    require(window >= 1 && window <= 64,
+      s"window must be in [1, 64]: $window")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+      .rowsBetween(-(window - 1), 0)
+    df.select(col(keyCol), col(ordCol), col(valCol))
+      .withColumn("_arr", collect_list(col(valCol)).over(w))
+      .withColumn("decayed",
+        aggregate(col("_arr"), lit(0.0), (acc, x) => acc / lit(2.0) + x))
+      .drop("_arr")
+  }
+
   /** Consecutive-calendar-day activity streaks per key (gaps and
     * islands): distinct active days, grouped into islands by the
     * classic day−row_number trick — consecutive days share a constant

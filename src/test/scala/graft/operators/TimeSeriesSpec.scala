@@ -71,6 +71,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_._2).toSeq == Seq(1L, 2L, 2L, 2L, 1L, 0L, 0L, 0L, 0L, 1L))
   }
 
+  test("decayedSum folds acc/2+x over the trailing window only") {
+    val df = Seq(("u", 1L, 1.0), ("u", 2L, 2.0), ("u", 3L, 3.0),
+      ("v", 1L, 8.0)).toDF("k", "o", "x")
+    val w2 = TimeSeries.decayedSum(df, "k", "o", "x", window = 2)
+      .as[(String, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    // u@3 with window 2 sees [2,3]: (0/2+2)/2+3 = 4.0 (1.0 truncated)
+    assert(w2.map(_._4).toSeq == Seq(1.0, 2.5, 4.0, 8.0))
+    val w3 = TimeSeries.decayedSum(df, "k", "o", "x", window = 3)
+      .as[(String, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    // u@3 with window 3 sees [1,2,3]: ((0/2+1)/2+2)/2+3 = 4.25
+    assert(w3.map(_._4).toSeq == Seq(1.0, 2.5, 4.25, 8.0))
+  }
+
   test("streaks groups consecutive calendar days into islands") {
     val df = Seq(
       ("a", ts(1)), ("a", ts(2)), ("a", ts(2)), ("a", ts(3)), // island of 3
