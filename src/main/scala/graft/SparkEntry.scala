@@ -1442,6 +1442,15 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2)
         .orderBy(col("item_a"), col("item_b"))),
 
+    "a30_fingerprint" -> ((s, dir) =>
+      // order-independent content checksum per group: Σ md5-prefix
+      // int64 — commutative, so no sort anywhere and partition
+      // fingerprints merge by addition; the cheap change probe run
+      // before snapshotDiff pays for its join.
+      Profile.fingerprint(t(s, dir, "orders"), Seq("o_orderpriority"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+        .orderBy(col("o_orderpriority"))),
+
     // ── §2.9 streaming semantics (batch-checkable form) ─────────────
     "st3_dedup_window" -> ((s, dir) => {
       // event-time duplicate suppression: latest row per key wins
@@ -1658,6 +1667,54 @@ object SparkEntry {
         .select(col("channel"), col("n_conversions"),
           round(col("_rev").cast("double"), 6).as("revenue"))
         .orderBy(col("channel"))
+    }),
+
+    "x_stream_sliding_distinct" -> ((s, dir) => {
+      // REAL streaming rolling actives: per user ONE epoch-day of
+      // state; provisional window-closes are compensated (append-only
+      // ±1 rows, no retraction) so the summed deltas converge to the
+      // batch operator's delta table at drain. The day-grain running
+      // sum is a stateless batch finalization of the sink. Same
+      // oracle as x_ts_sliding_distinct — streaming deltas == batch
+      // interval algebra is the claim.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val st = s.readStream
+        .schema("user_id BIGINT, ts BIGINT")
+        .parquet(s"$dir/events.parquet*")
+        .withColumn("day",
+          datediff(to_date(timestamp_micros(expr("ts DIV 1000"))),
+            lit("1970-01-01").cast("date")).cast("long"))
+      val sink =
+        s"x_stream_sliding_distinct_${streamSinkId.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        graft.streaming.EventStreams.slidingDistinctStream(st,
+            "user_id", "day", windowDays = 7)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_sliding_distinct: stream did not drain within 300s")
+      }
+      val d = s.table(sink)
+      val daily = d.groupBy(col("day")).agg(sum(col("delta")).as("_net"))
+      val spine = d.filter(col("act"))
+        .agg(min(col("day")).as("_mn"), max(col("day")).as("_mx"))
+        .select(explode(sequence(col("_mn"), col("_mx"))).as("day"))
+      val wc = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("_net"), lit(0L)).as("_net"))
+        .select(col("day"), sum(col("_net")).over(wc).as("n_active"))
+        .select(date_format(date_add(lit("1970-01-01").cast("date"),
+          col("day").cast("int")), "yyyy-MM-dd").as("day"),
+          col("n_active"))
+        .orderBy(col("day"))
     }),
 
     "x_stream_sessionize" -> ((s, dir) =>
@@ -4060,6 +4117,23 @@ object SparkEntry {
            ON a.d <= s.day AND a.d > s.day - 7
          GROUP BY s.day ORDER BY day""",
 
+    // identical to x_ts_sliding_distinct by design: the streaming
+    // compensated deltas must sum to the batch interval algebra
+    "x_stream_sliding_distinct" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+                  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+           FROM events),
+         b AS (SELECT min(d) AS mn, max(d) AS mx FROM act),
+         s AS (SELECT CAST(unnest(generate_series(
+                 CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                 INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+         SELECT strftime(s.day, '%Y-%m-%d') AS day,
+                CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+         FROM s LEFT JOIN act a
+           ON a.d <= s.day AND a.d > s.day - 7
+         GROUP BY s.day ORDER BY day""",
+
     // the same zero-seeded left fold in frame order — list_reduce
     // seeds with the FIRST element, so the explicit 0 prepend IS the
     // seed (the x_text_tokens idiom)
@@ -4184,6 +4258,18 @@ object SparkEntry {
          JOIN it ib ON pc.item_b = ib.i
          CROSS JOIN nb
          ORDER BY item_a, item_b""",
+
+    // the identical portable rendering (ints/strings, '|' separator,
+    // '<null>' sentinel) hashed with the identical md5-prefix-to-int64
+    // nibble arithmetic — sum is HUGEINT in DuckDB, hence the CAST
+    "a30_fingerprint" ->
+      s"""SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(${hexValSql(
+        "md5(CAST(o_orderkey AS VARCHAR) || '|' || " +
+          "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus)")})
+                   AS BIGINT) AS checksum
+          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "x_events_funnel" ->
       """WITH v AS (SELECT user_id, min(event_id) AS s1_view

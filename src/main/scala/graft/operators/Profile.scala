@@ -167,4 +167,38 @@ object Profile {
     }
     m.select(explode(array(pairRows: _*)).as("_p")).select(col("_p.*"))
   }
+
+  /** Order-independent content fingerprint per group: `n_rows` plus a
+    * `checksum` = Σ over rows of the first-8-hex-digits of
+    * md5(col₁|col₂|…) as an int64. Commutative by construction, so it
+    * needs NO sort, distributes as an ordinary partial aggregate, and
+    * fingerprints of partitions merge by addition — the cheap
+    * "did anything change" probe run BEFORE [[Upsert.snapshotDiff]]
+    * pays for its full-outer join (the reference reconciles row
+    * COUNTS only, `2.2 loading-lambda-for-mysql.py:776-793`; this is
+    * content-level reconcile at the same one-scan cost).
+    *
+    * md5 of the portable string rendering (not a binary hash) is the
+    * deliberate choice: every engine renders integers and strings
+    * identically, so two independent systems can agree on the
+    * checksum without sharing code. NULL renders as a sentinel so
+    * (a,NULL)≠(a,"") — callers with a legitimate "<null>" string
+    * column should pick different `cols`. Double columns are refused:
+    * their decimal rendering is engine-specific. */
+  def fingerprint(df: DataFrame, groupCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    val bad = cols.filter { c =>
+      val dt = df.schema(c).dataType
+      dt == org.apache.spark.sql.types.DoubleType ||
+        dt == org.apache.spark.sql.types.FloatType
+    }
+    require(bad.isEmpty,
+      s"fingerprint: floating columns have engine-specific renderings: $bad")
+    val key = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)
+    val rowh = conv(substring(md5(key), 1, 8), 16, 10).cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(rowh).as("checksum"))
+  }
 }

@@ -254,6 +254,63 @@ object EventStreams {
       }.toDF()
   }
 
+  /** Last activity day per entity, carried across micro-batches. */
+  final case class DayState(last: Long)
+
+  /** One ±1 contribution to the rolling-actives delta stream;
+    * `act` marks true activity (+1 at an activity day) vs
+    * provisional/compensating rows. */
+  final case class DayDelta(day: Long, delta: Long, act: Boolean)
+
+  /** Streaming form of
+    * [[graft.operators.TimeSeries.slidingDistinct]]'s interval
+    * algebra: per entity, each activity day emits +1 at the day and a
+    * PROVISIONAL −1 at day+W (the close if no further activity comes);
+    * when the next activity day a′ arrives inside the window, a
+    * compensating pair (−1 at a′, +1 at the provisional position)
+    * moves the close to a′ — append-only, so Append mode needs no
+    * retraction, and the summed deltas converge to exactly the batch
+    * operator's delta table at drain. State is ONE epoch-day long per
+    * entity; emissions are ≤4 rows per activity day. The per-day
+    * distinct count is a downstream stateless aggregation (day-grain
+    * net + running sum over the calendar spine), identical to the
+    * batch tail. Same ordering contract as [[funnelStream]]; a
+    * straggler at or behind the entity's last activity day is dropped.
+    */
+  def slidingDistinctStream(events: DataFrame, userCol: String,
+      dayCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = events.select(
+        col(userCol).cast("long").as("_u"),
+        col(dayCol).cast("long").as("_d"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[DayState, DayDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          var last = state.getOption.map(_.last).getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[DayDelta]
+          rows.map(_._2).toSeq.distinct.sorted.foreach { a =>
+            if (a > last) {
+              if (last != Long.MinValue && a < last + windowDays) {
+                // the provisional close at last+W was too late —
+                // compensate it back and close at a instead
+                out += DayDelta(a, -1L, act = false)
+                out += DayDelta(last + windowDays, 1L, act = false)
+              }
+              out += DayDelta(a, 1L, act = true)
+              out += DayDelta(a + windowDays, -1L, act = false)
+              last = a
+            }
+          }
+          state.update(DayState(last))
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Last non-conversion touch (null = none yet) and the processed
     * frontier, carried across micro-batches. */
   final case class TouchState(t: String, frontier: Long)

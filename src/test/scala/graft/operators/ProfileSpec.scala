@@ -124,4 +124,33 @@ class ProfileSpec extends SparkSpec {
     assert(out(("x", "y")) > 0.99)
     intercept[IllegalArgumentException] { Profile.corrMatrix(df, Seq("x")) }
   }
+
+  test("fingerprint: order/partitioning-invariant, content-sensitive, refuses doubles") {
+    val df = Seq((1L, "a", "g1"), (2L, "b", "g1"), (3L, "c", "g2"))
+      .toDF("k", "s", "g")
+    val base = Profile.fingerprint(df, Seq("g"), Seq("k", "s"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // shuffled row order and different partitioning: same checksums
+    val shuffled = Profile.fingerprint(
+      df.orderBy(col("k").desc).repartition(7), Seq("g"), Seq("k", "s"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(base == shuffled)
+    // a one-character content change moves the group's checksum
+    val tweaked = Seq((1L, "a", "g1"), (2L, "B", "g1"), (3L, "c", "g2"))
+      .toDF("k", "s", "g")
+    val t2 = Profile.fingerprint(tweaked, Seq("g"), Seq("k", "s"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(base.head._3 != t2.head._3 && base(1) == t2(1))
+    // NULL is not the empty string
+    val withNull = Seq((1L, null.asInstanceOf[String], "g1")).toDF("k", "s", "g")
+    val withEmpty = Seq((1L, "", "g1")).toDF("k", "s", "g")
+    assert(Profile.fingerprint(withNull, Seq("g"), Seq("k", "s"))
+      .as[(String, Long, Long)].head()._3 !=
+      Profile.fingerprint(withEmpty, Seq("g"), Seq("k", "s"))
+        .as[(String, Long, Long)].head()._3)
+    val dbl = Seq((1L, 1.5)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Profile.fingerprint(dbl, Seq.empty, Seq("k", "v"))
+    }
+  }
 }

@@ -101,6 +101,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("slidingDistinctStream: compensated deltas sum to the batch interval algebra") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val df = mem.toDF().toDF("user_id", "day")
+    val out = EventStreams.slidingDistinctStream(df, "user_id", "day",
+        windowDays = 3)
+      .writeStream.format("memory").queryName("wau_sink")
+      .outputMode("append").start()
+    try {
+      // u1 active days 1 and 3 (inside the window: forces the
+      // compensating pair); u2 day 2
+      mem.addData((1L, 1L), (2L, 2L))
+      out.processAllAvailable()
+      mem.addData((1L, 3L), (1L, 3L), (1L, 2L)) // dup + straggler
+      out.processAllAvailable()
+      val net = spark.table("wau_sink")
+        .groupBy("day").agg(sum("delta").as("net"))
+        .as[(Long, Long)].collect().toMap.withDefaultValue(0L)
+      // running sum over days 1..10 must equal brute-force recount
+      var acc = 0L
+      val counts = (1L to 10L).map { d => acc += net(d); d -> acc }.toMap
+      val active = Map(1L -> Seq(1L, 3L), 2L -> Seq(2L))
+      (1L to 10L).foreach { d =>
+        val expected = active.values
+          .count(ds => ds.exists(a => a <= d && a > d - 3)).toLong
+        assert(counts(d) == expected, s"day $d: ${counts(d)} != $expected")
+      }
+      // activity days are flagged; compensation rows are not
+      val actDays = spark.table("wau_sink").filter(col("act"))
+        .select("day").as[Long].collect().toSet
+      assert(actDays == Set(1L, 2L, 3L))
+    } finally out.stop()
+  }
+
   test("attributionStream: touch state crosses batches, direct fallback, stragglers dropped") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long, Double)]
