@@ -241,16 +241,25 @@ object SparkEntry {
       // 1-2 buckets it touches, equi-joins on the bucket id, and
       // refines with the BETWEEN residual — one hash join, no
       // quadratic operator in the plan (spec-asserted).
+      //
+      // AGGREGATE-FIRST: the count is keyless in everything but the
+      // date, so the decomposition runs at DAY grain (thousands of
+      // rows at any SF — the fact-grain form materializes every
+      // qualifying PAIR, tens of millions of rows that exist only to
+      // be counted), and the per-day totals broadcast back onto
+      // orders. Same answer, pair blow-up never materializes.
       val o = t(s, dir, "orders")
-      val pts = o.select(col("o_orderkey").as("b_key"),
-        unix_timestamp(col("o_orderdate")).as("d"))
-      val ivs = o.select(col("o_orderkey"),
-        unix_timestamp(col("o_orderdate")).as("lo"),
-        (unix_timestamp(col("o_orderdate")) + lit(3L * 86400)).as("hi"))
-      operators.IntervalJoin.pointInInterval(pts, "d", ivs, "lo", "hi",
-          bucketWidth = 4L * 86400)
-        .groupBy(col("o_orderkey"))
-        .agg(count(lit(1)).as("n_follow"))
+      val days = o.groupBy(unix_timestamp(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val ivs = days.select(col("d").as("_iv_day"),
+        col("d").as("lo"), (col("d") + lit(3L * 86400)).as("hi"))
+      val perDay = operators.IntervalJoin.pointInInterval(
+          days, "d", ivs, "lo", "hi", bucketWidth = 4L * 86400)
+        .groupBy(col("_iv_day")).agg(sum(col("cnt")).as("n_follow"))
+      o.select(col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("_iv_day"))
+        .join(broadcast(perDay), Seq("_iv_day"))
+        .select(col("o_orderkey"), col("n_follow"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -1441,6 +1450,22 @@ object SparkEntry {
       MarketBasket.pairCounts(t(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", minSupport = 2)
         .orderBy(col("item_a"), col("item_b"))),
+
+    "a31_group_median" -> ((s, dir) =>
+      // exact per-group median over BOUNDED groups (customer-grain —
+      // tens of rows per key): Spark's sort-based exact percentile
+      // buffers one group per key, the right tool exactly when groups
+      // are bounded; the unbounded-group path is a22's
+      // histogram-guided selection, never this. n odd hits an exact
+      // 2-dp element, n even a dyadic midpoint — both engines land on
+      // the identical double.
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(count(lit(1)).as("n_orders"),
+          percentile(col("o_totalprice"), lit(0.5)).as("median_price"))
+        .select(col("cust"), col("n_orders"),
+          round(col("median_price"), 6).as("median_price"))
+        .orderBy(col("cust"))),
 
     "a30_fingerprint" -> ((s, dir) =>
       // order-independent content checksum per group: Σ md5-prefix
@@ -4258,6 +4283,15 @@ object SparkEntry {
          JOIN it ib ON pc.item_b = ib.i
          CROSS JOIN nb
          ORDER BY item_a, item_b""",
+
+    // quantile_cont's lower+(upper−lower)·frac is Spark percentile's
+    // formula; at p=0.5 only exact elements or dyadic midpoints occur
+    "a31_group_median" ->
+      """SELECT o_custkey AS cust,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                round(quantile_cont(o_totalprice, 0.5), 6)
+                  AS median_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     // the identical portable rendering (ints/strings, '|' separator,
     // '<null>' sentinel) hashed with the identical md5-prefix-to-int64
