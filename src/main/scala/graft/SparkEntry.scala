@@ -1451,6 +1451,27 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2)
         .orderBy(col("item_a"), col("item_b"))),
 
+    "x_graph_pagerank" -> ((s, dir) => {
+      // centrality over the co-occurrence graph: 3 damped PageRank
+      // rounds, each ONE edge-join + keyed sum; all arithmetic is
+      // integer ppm fixed-point (floor div + order-independent int
+      // sums), so the iteration is reproducible bit-for-bit on any
+      // engine or partitioning — floating PageRank compounds ulp
+      // drift per round.
+      // symmetrize by explode, not unionAll: a union's two branches
+      // would each re-evaluate the (expensive) pair-mining subtree —
+      // Spark has no cross-branch CSE
+      val edges = MarketBasket.pairCounts(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2)
+        .select(explode(array(
+          struct(col("item_a").as("s"), col("item_b").as("d")),
+          struct(col("item_b").as("s"), col("item_a").as("d")))).as("e"))
+        .select(col("e.s").as("item_a"), col("e.d").as("item_b"))
+      Graph.pageRankFixedPoint(edges, "item_a", "item_b", iters = 3)
+        .select(col("id").as("item"), col("pr").as("pr_ppm"))
+        .orderBy(col("item"))
+    }),
+
     "a31_group_median" -> ((s, dir) =>
       // exact per-group median over BOUNDED groups (customer-grain —
       // tens of rows per key): Spark's sort-based exact percentile
@@ -4283,6 +4304,46 @@ object SparkEntry {
          JOIN it ib ON pc.item_b = ib.i
          CROSS JOIN nb
          ORDER BY item_a, item_b""",
+
+    // the identical integer fixed-point iteration unrolled: // is
+    // DuckDB's floor division, HUGEINT sums CAST back per round
+    "x_graph_pagerank" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                     FROM lineitem),
+           it AS (SELECT i FROM bi GROUP BY i HAVING count(*) >= 2),
+           pc AS (SELECT x.i AS a, y.i AS bb
+                  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+                  WHERE x.i IN (SELECT i FROM it)
+                    AND y.i IN (SELECT i FROM it)
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+           e AS (SELECT a AS src, bb AS dst FROM pc
+                 UNION ALL SELECT bb, a FROM pc),
+           deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
+                   FROM e GROUP BY 1),
+           nodes AS (SELECT DISTINCT src AS id FROM e),
+           p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+           c1 AS (SELECT e.dst AS id, sum(p.pr // d.outdeg) AS inflow
+                  FROM e JOIN p0 p ON e.src = p.id
+                  JOIN deg d ON e.src = d.id GROUP BY 1),
+           p1 AS (SELECT n.id, CAST(150000 +
+                    (coalesce(c.inflow, 0) * 850000) // 1000000
+                    AS BIGINT) AS pr
+                  FROM nodes n LEFT JOIN c1 c ON n.id = c.id),
+           c2 AS (SELECT e.dst AS id, sum(p.pr // d.outdeg) AS inflow
+                  FROM e JOIN p1 p ON e.src = p.id
+                  JOIN deg d ON e.src = d.id GROUP BY 1),
+           p2 AS (SELECT n.id, CAST(150000 +
+                    (coalesce(c.inflow, 0) * 850000) // 1000000
+                    AS BIGINT) AS pr
+                  FROM nodes n LEFT JOIN c2 c ON n.id = c.id),
+           c3 AS (SELECT e.dst AS id, sum(p.pr // d.outdeg) AS inflow
+                  FROM e JOIN p2 p ON e.src = p.id
+                  JOIN deg d ON e.src = d.id GROUP BY 1),
+           p3 AS (SELECT n.id, CAST(150000 +
+                    (coalesce(c.inflow, 0) * 850000) // 1000000
+                    AS BIGINT) AS pr
+                  FROM nodes n LEFT JOIN c3 c ON n.id = c.id)
+         SELECT id AS item, pr AS pr_ppm FROM p3 ORDER BY item""",
 
     // quantile_cont's lower+(upper−lower)·frac is Spark percentile's
     // formula; at p=0.5 only exact elements or dyadic midpoints occur

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph dataflow beyond [[Dedup.connectedComponents]]'
+  * min-label propagation: PageRank-style centrality over an edge
+  * table, as the standard join→aggregate iteration (each round is ONE
+  * equi-join of the rank table to the edge list plus one keyed sum —
+  * the plan a 1000-executor cluster wants: no driver-side adjacency,
+  * no windows, shuffle keyed on node id every round).
+  *
+  * All arithmetic is FIXED-POINT in integer micro-units (ppm), the
+  * [[Opq]] device: per-edge contribution = `pr DIV outdeg`, damping =
+  * `(inflow · dampingPpm) DIV 1e6` — integer floor operations every
+  * engine defines identically, and integer sums are order-independent
+  * across partitions, so k iterations are reproducible bit-for-bit
+  * anywhere (floating PageRank differs in the last ulp per engine and
+  * partition order, which no 6-dp round can fully hide after
+  * iteration compounds it). The floor losses mean ranks are a
+  * deterministic fixed-point approximation of the real-valued
+  * iteration — documented, not hidden; `inflow · dampingPpm` stays in
+  * int64 while Σpr < ~9·10¹² (10⁷ nodes at the 1e6 unit) — refuse
+  * wider graphs or shrink the unit.
+  */
+object Graph {
+
+  /** `iters` rounds of damped PageRank over the DIRECTED edge list
+    * (symmetrize at the call site for undirected graphs). Every node
+    * must appear as a source at least once (true of symmetrized
+    * graphs) — dangling-mass redistribution is deliberately out of
+    * scope. Output: (id, pr) with pr in ppm; the uniform start is
+    * 1e6 per node. */
+  def pageRankFixedPoint(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int, dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"iters must be in [1, 20]: $iters")
+    require(dampingPpm > 0 && dampingPpm < 1000000L,
+      s"dampingPpm must be in (0, 1e6): $dampingPpm")
+    // iterative dataflow hygiene: the edge subtree is referenced ~3×
+    // per round and each round's rank table twice — without cutting
+    // lineage Spark re-evaluates the whole upstream plan per
+    // reference (no cross-join CSE), turning k rounds into 2^k
+    // upstream replays. localCheckpoint materializes once and frees
+    // with RDD GC — no unpersist contract leaks to the caller.
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
+    val deg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    // outdeg stays nullable here; the dangling guard is applied to the
+    // RESULT column below — a guard on this intermediate would be
+    // column-pruned away by Catalyst exactly when no dangler survives
+    // the join that references it
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .join(deg, Seq("id"), "left").localCheckpoint()
+    var pr = nodes.select(col("id"), lit(1000000L).as("pr"))
+    val hold = lit(1000000L - dampingPpm)
+    for (_ <- 1 to iters) {
+      val inflow = e
+        .join(pr.join(nodes, Seq("id"))
+          .select(col("id").as("src"),
+            expr("pr DIV outdeg").as("_c")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("_c")).as("_inflow"))
+      pr = nodes.select(col("id"))
+        .join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (hold + expr(s"(coalesce(_inflow, 0L) * $dampingPpm) DIV 1000000"))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    // refuse-loudly on the output value itself: a dangling node (null
+    // outdeg) silently holds rank it never redistributes — a graph
+    // bug, not a PageRank variant
+    pr.join(nodes.select(col("id"), col("outdeg")), Seq("id"))
+      .select(col("id"),
+        when(col("outdeg").isNull,
+          raise_error(concat(lit("pageRankFixedPoint: node "), col("id"),
+            lit(" has no out-edges — symmetrize or drop danglers"))))
+          .otherwise(col("pr")).as("pr"))
+  }
+}

@@ -40,6 +40,11 @@ object MarketBasket {
       minSupport: Int, maxBasketSize: Int = 1024): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2: $maxBasketSize")
+    // the distinct (basket, item) table is referenced by the item
+    // supports, the basket count AND the pair stage — no manual
+    // materialization: ReuseExchange dedupes the identical distinct
+    // shuffle across the references (checkpointing here measured
+    // SLOWER, 2.2 → 2.5 s at sf0.1)
     val bi = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
       .distinct()
     val items = bi.groupBy(col("_i")).agg(count(lit(1)).as("_ni"))

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRankFixedPoint: symmetric pair is a fixed point; path graph by hand") {
+    // a—b symmetric: contribution 1e6 each way, 150000 + 850000 = 1e6
+    val pair = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val out = Graph.pageRankFixedPoint(pair, "s", "d", iters = 5)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1000000L), (2L, 1000000L)))
+
+    // path a—b—c, one iteration: deg a=1 b=2 c=1;
+    // inflow a = 1e6/2, b = 1e6+1e6, c = 1e6/2
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("s", "d")
+    val one = Graph.pageRankFixedPoint(path, "s", "d", iters = 1)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(one.toSeq == Seq(
+      (1L, 150000L + 500000L * 850000L / 1000000L),
+      (2L, 150000L + 2000000L * 850000L / 1000000L),
+      (3L, 150000L + 500000L * 850000L / 1000000L)))
+  }
+
+  test("pageRankFixedPoint refuses dangling nodes loudly") {
+    val dangling = Seq((1L, 2L)).toDF("s", "d") // 2 never a source
+    val ex = intercept[Exception] {
+      Graph.pageRankFixedPoint(dangling, "s", "d", iters = 1).collect()
+    }
+    assert(ex.getMessage.contains("has no out-edges") ||
+      ex.getCause != null &&
+        ex.getCause.getMessage.contains("has no out-edges"))
+  }
+}
