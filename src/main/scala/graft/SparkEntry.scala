@@ -1451,6 +1451,24 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2)
         .orderBy(col("item_a"), col("item_b"))),
 
+    "w8_offsets" -> ((s, dir) => {
+      // window offset family over per-customer order history: lag,
+      // lead with an explicit default, running first_value and
+      // nth_value — raw column values only (no computed doubles), so
+      // the only contract is frame semantics. Partitions are
+      // customer-bounded.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 2, -1.0).over(w).as("next2_price"),
+          first(col("o_totalprice")).over(run).as("first_price"),
+          nth_value(col("o_totalprice"), 2).over(run).as("second_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     "x_graph_pagerank" -> ((s, dir) => {
       // centrality over the co-occurrence graph: 3 damped PageRank
       // rounds, each ONE edge-join + keyed sum; all arithmetic is
@@ -4304,6 +4322,22 @@ object SparkEntry {
          JOIN it ib ON pc.item_b = ib.i
          CROSS JOIN nb
          ORDER BY item_a, item_b""",
+
+    "w8_offsets" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                lead(o_totalprice, 2, -1.0) OVER w AS next2_price,
+                first_value(o_totalprice) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS first_price,
+                nth_value(o_totalprice, 2) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS second_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
 
     // the identical integer fixed-point iteration unrolled: // is
     // DuckDB's floor division, HUGEINT sums CAST back per round
