@@ -1655,21 +1655,16 @@ object SparkEntry {
 
     "x_stream_cohort" -> ((s, dir) => {
       // REAL streaming cohort extraction: the events log replays as a
-      // file stream (ts read as nanos-long via the legacy flag — the
-      // same truncation Tables.load applies — so the NANOS column IS
-      // exercised on the streaming path), cohortStream pins each
-      // user's cohort week and emits one row per (user, active week)
-      // via flatMapGroupsWithState; the retention matrix is a
-      // stateless batch aggregation of the sink. Same oracle as
+      // file stream (ts normalized by Tables.eventsStream — the same
+      // physical-type dispatch Tables.load applies, so both NANOS and
+      // MICROS testdata drops work on the streaming path), cohortStream
+      // pins each user's cohort week and emits one row per (user,
+      // active week) via flatMapGroupsWithState; the retention matrix
+      // is a stateless batch aggregation of the sink. Same oracle as
       // x_events_cohort — streaming hits == batch distinct+min-join
       // is the claim.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val st = s.readStream
-        .schema("user_id BIGINT, ts BIGINT")
-        .parquet(s"$dir/events.parquet*")
-        .withColumn("week",
-          date_trunc("week", timestamp_micros(expr("ts DIV 1000")))
-            .cast("date"))
+      val st = Tables.eventsStream(s, dir)
+        .withColumn("week", date_trunc("week", col("ts")).cast("date"))
       val sink = s"x_stream_cohort_${streamSinkId.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -1741,12 +1736,9 @@ object SparkEntry {
       // sum is a stateless batch finalization of the sink. Same
       // oracle as x_ts_sliding_distinct — streaming deltas == batch
       // interval algebra is the claim.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val st = s.readStream
-        .schema("user_id BIGINT, ts BIGINT")
-        .parquet(s"$dir/events.parquet*")
+      val st = Tables.eventsStream(s, dir)
         .withColumn("day",
-          datediff(to_date(timestamp_micros(expr("ts DIV 1000"))),
+          datediff(to_date(col("ts")),
             lit("1970-01-01").cast("date")).cast("long"))
       val sink =
         s"x_stream_sliding_distinct_${streamSinkId.incrementAndGet()}"
@@ -1796,6 +1788,46 @@ object SparkEntry {
           col("n_events"),
           round(col("total").cast("double"), 6).as("total"))
         .orderBy(col("user_id"), col("session_start"))),
+
+    "x_stream_sessions" -> ((s, dir) => {
+      // REAL streaming sessionization: the events log replays as a file
+      // stream (ts + value via Tables.eventsStream), sessionsStream
+      // carries ONE open session per user via flatMapGroupsWithState and
+      // emits compensated ±1 session rows; the finalization (group by
+      // session, net weight > 0) is a stateless batch aggregation of the
+      // sink. Same oracle as x_stream_sessionize — streaming O(1)-state
+      // gap-merge == session_window == gaps-and-islands SQL is the claim.
+      val st = Tables.eventsStream(s, dir, "value DOUBLE")
+      val sink = s"x_stream_sessions_${streamSinkId.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        graft.streaming.EventStreams.sessionsStream(st,
+            "user_id", "ts", "value", gapMicros = 600000000L)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_sessions: stream did not drain within 300s")
+      }
+      s.table(sink)
+        .groupBy(col("user"), col("start"), col("end"), col("n"),
+          col("total"))
+        .agg(sum(col("w")).as("_net"))
+        .filter(col("_net") > 0)
+        .select(col("user").as("user_id"),
+          date_format(timestamp_micros(col("start")),
+            "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(timestamp_micros(col("end")),
+            "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n").as("n_events"),
+          round(col("total").cast("double"), 6).as("total"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
 
     "x_stream_neardup" -> ((s, dir) => {
       // REAL streaming execution, hash-checked: the documents corpus
@@ -4562,6 +4594,30 @@ object SparkEntry {
     // (session ranges [t, t+gap) merge only when they OVERLAP), and the
     // session end is last-event + gap
     "x_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events),
+              f AS (SELECT user_id, ts, value,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                                THEN 1 ELSE 0 END AS newsess
+                    FROM e
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              g AS (SELECT *, sum(newsess) OVER (PARTITION BY user_id
+                      ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+                    FROM f)
+         SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts) + INTERVAL 10 MINUTE,
+                  '%Y-%m-%d %H:%M:%S') AS session_end,
+                count(*) AS n_events,
+                round(sum(value), 6) AS total
+         FROM g GROUP BY user_id, sess_id
+         ORDER BY user_id, session_start""",
+
+    // identical to x_stream_sessionize by design: the O(1)-state
+    // streaming gap-merge must finalize exactly the sessions the
+    // gaps-and-islands replay derives
+    "x_stream_sessions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
                     FROM events),
               f AS (SELECT user_id, ts, value,

@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType}
 
 /** TESTDATA table loader (TESTDATA.md): one parquet file per table under a
   * scale-factor dir. Scans stay fully declarative so Catalyst pushes filters
@@ -12,16 +13,54 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The physical encoding of `events.ts` has flipped between driver
+    * testdata generations: parquet TIMESTAMP(NANOS) in some drops (which
+    * Spark only reads via the ns-as-long legacy flag) and TIMESTAMP_MICROS
+    * isAdjustedToUTC=false (TIMESTAMP_NTZ to Spark) in others. Dispatch on
+    * the type the reader actually resolves instead of assuming either one.
+    */
+  private def eventsTsType(spark: SparkSession, dir: String): DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+  }
+
+  /** Normalize a raw `ts` column of the given resolved type to a µs-precision
+    * TimestampType. Nanos arrive as a ns-since-epoch long and are truncated
+    * with integer arithmetic (the ns epoch ~1.7e18 overflows double's 2^53
+    * mantissa — no float division); NTZ micros cast 1:1 under the UTC
+    * session timezone every entrypoint pins. The DuckDB oracle applies the
+    * identical truncation via CAST(ts AS TIMESTAMP).
+    */
+  private def normalizedTs(dt: DataType): Column = dt match {
+    case LongType         => timestamp_micros(expr("ts DIV 1000"))
+    case TimestampNTZType => col("ts").cast("timestamp")
+    case _                => col("ts")
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-      // outright; read it as a nanos-since-epoch long and truncate to a
-      // microsecond TimestampType with integer arithmetic (the ns epoch
-      // ~1.7e18 overflows double's 2^53 mantissa — no float division).
-      // The DuckDB oracle applies the identical truncation via
-      // CAST(ts AS TIMESTAMP) (TIMESTAMP_NS -> µs TIMESTAMP).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.withColumn("ts", normalizedTs(raw.schema("ts").dataType))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Streaming scan of the events log projected to (user_id, ts, extra…)
+    * with `ts` normalized exactly as [[load]] does for batch — file streams
+    * need an explicit schema, so the DDL string is chosen from the
+    * batch-resolved physical type rather than hard-coded. `extra` appends
+    * more projected columns as DDL fragments (e.g. `"value DOUBLE"`);
+    * parquet matches schema fields by name, not position.
+    */
+  def eventsStream(spark: SparkSession, dir: String,
+                   extra: String*): DataFrame = {
+    val dt = eventsTsType(spark, dir)
+    val tsDdl = dt match {
+      case LongType         => "ts BIGINT"
+      case TimestampNTZType => "ts TIMESTAMP_NTZ"
+      case _                => "ts TIMESTAMP"
+    }
+    spark.readStream
+      .schema((Seq("user_id BIGINT", tsDdl) ++ extra).mkString(", "))
+      .parquet(s"$dir/events.parquet*")
+      .withColumn("ts", normalizedTs(dt))
+  }
 }

@@ -159,6 +159,65 @@ object EventStreams {
       .select(col("user_id"), col("sess.start").as("session_start"),
         col("sess.end").as("session_end"), col("n_events"), col("total"))
 
+  /** Open session per entity: start/last-event micros, row count, sum. */
+  final case class SessState(start: Long, last: Long, n: Long, total: Double)
+
+  /** One weighted session emission: `w = +1` publishes a provisional
+    * session, `w = -1` retracts the provisional it supersedes. */
+  final case class SessRow(user: Long, start: Long, end: Long,
+                           n: Long, total: Double, w: Long)
+
+  /** Stateful streaming form of [[sessionize]]'s gap-merge: per entity,
+    * an event within `gapMicros` of the open session's last event extends
+    * it, otherwise it closes the session and opens a new one — O(1) state
+    * (one open session) per entity via flatMapGroupsWithState. Append mode
+    * cannot retract, so every extension is COMPENSATED: each event emits
+    * the extended session provisionally (`w=+1`) after retracting the
+    * provisional it replaces (`w=-1`); the retraction duplicates the prior
+    * emission's exact accumulated values (same sequential arithmetic, so
+    * bit-identical doubles), and the downstream stateless finalization
+    * `group by session, sum(w) > 0` keeps exactly the final sessions —
+    * the same converge-at-drain algebra as [[slidingDistinctStream]].
+    * Session end is last-event + gap ([[org.apache.spark.sql.functions.session_window]]
+    * semantics). Same per-entity ordering contract as [[funnelStream]];
+    * a straggler behind the open session's last event is dropped. Null
+    * values accumulate as 0 (the corpus has none; SQL `sum` would skip
+    * them). */
+  def sessionsStream(events: DataFrame, userCol: String, tsCol: String,
+                     valueCol: String, gapMicros: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = events.select(
+        col(userCol).cast("long").as("_u"),
+        unix_micros(col(tsCol)).as("_t"),
+        coalesce(col(valueCol).cast("double"), lit(0.0)).as("_v"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SessRow]
+          rows.toSeq.sortBy(_._2).foreach { case (_, t, v) =>
+            if (st == null || t - st.last >= gapMicros) {
+              // gap break (or first event): the previous provisional IS
+              // the closed session — leave its +1 standing; open fresh
+              st = SessState(t, t, 1L, v)
+              out += SessRow(user, st.start, t + gapMicros, 1L, v, 1L)
+            } else if (t >= st.last) {
+              out += SessRow(user, st.start, st.last + gapMicros,
+                st.n, st.total, -1L)
+              st = SessState(st.start, t, st.n + 1L, st.total + v)
+              out += SessRow(user, st.start, t + gapMicros,
+                st.n, st.total, 1L)
+            } // else: straggler behind the open session — dropped
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Last seen event per entity, carried across micro-batches. */
   final case class LastEvent(t: String, o: Long)
 

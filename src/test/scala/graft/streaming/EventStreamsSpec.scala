@@ -135,6 +135,52 @@ class EventStreamsSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("sessionsStream: compensated sessions finalize to the gap-merge, state crosses batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    val gapUs = 600000000L // 10 minutes
+    val out = EventStreams.sessionsStream(df, "user_id", "ts", "value", gapUs)
+      .writeStream.format("memory").queryName("sess_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 opens a session with two close events; u2 one event
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:05:00"), 2.0),
+        (2L, ts("2024-01-01 09:00:00"), 5.0))
+      out.processAllAvailable()
+      // batch 2: u1 extends the SAME open session across the batch
+      // boundary (gap 5 min < 10), then a gap of exactly 10 min breaks
+      // it (>= is a break, session_window semantics) and 30 min breaks
+      // again — rows within a batch process in ts order regardless of
+      // arrival order
+      mem.addData(
+        (1L, ts("2024-01-01 10:10:00"), 4.0),
+        (1L, ts("2024-01-01 10:40:00"), 8.0),
+        (1L, ts("2024-01-01 10:20:00"), 99.0))
+      out.processAllAvailable()
+      // batch 3: a TRUE straggler — behind the open session's last
+      // event from a previous batch — is dropped
+      mem.addData((1L, ts("2024-01-01 10:15:00"), 1000.0))
+      out.processAllAvailable()
+      val fin = spark.table("sess_sink")
+        .groupBy("user", "start", "end", "n", "total")
+        .agg(sum("w").as("net"))
+      // every provisional emission nets to exactly 0 or 1
+      assert(fin.filter(col("net") < 0 || col("net") > 1).count() == 0)
+      val sessions = fin.filter(col("net") > 0)
+        .select("user", "start", "end", "n", "total")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      def us(s: String) = ts(s).getTime * 1000L
+      assert(sessions == Set(
+        (1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:20:00"), 3L, 7.0),
+        (1L, us("2024-01-01 10:20:00"), us("2024-01-01 10:30:00"), 1L, 99.0),
+        (1L, us("2024-01-01 10:40:00"), us("2024-01-01 10:50:00"), 1L, 8.0),
+        (2L, us("2024-01-01 09:00:00"), us("2024-01-01 09:10:00"), 1L, 5.0)))
+    } finally out.stop()
+  }
+
   test("attributionStream: touch state crosses batches, direct fallback, stragglers dropped") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long, Double)]

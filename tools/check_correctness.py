@@ -33,9 +33,11 @@ def norm_cell(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, float):
-        return round(v, 6)
+        # nan before round: Python 3.10+ hash(nan) is id-based, so two
+        # distinct nan objects would hash-mismatch rows that agree
+        return None if v != v else round(v, 6)
     if isinstance(v, (np.floating,)):
-        return round(float(v), 6)
+        return None if v != v else round(float(v), 6)
     if isinstance(v, (np.integer,)):
         return int(v)
     if isinstance(v, (np.bool_, bool)):
