@@ -176,6 +176,14 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
       .agg(min(col("_s")).as("_best"), first(col("_row")).as("_row"))
       .select(inputCols.map(c => col(s"_row.$c")) :+
         col("_best.idx").as("cell"): _*)
+      // cluster by cell before the partitioned write: without it every
+      // shuffle partition writes a fragment into every cell dir
+      // (cells × partitions small files — measured 58 files for 8 cells
+      // at sf0.1), and every probe pays the listing + per-file task
+      // overhead. One extra build-time shuffle buys minimal files per
+      // cell; at real scale spark.sql.files.maxRecordsPerFile re-splits
+      // a hot cell into right-sized files.
+      .repartition(col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(cellsPath)
   }
 
@@ -244,7 +252,7 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
   def search(idCol: String, vecCol: String, query: Seq[Double], k: Int,
              nprobe: Int): DataFrame = {
     val q = array(query.map(lit): _*)
-    val best = probeCells(q, nprobe)
+    val best = probeCells(query, nprobe)
     cells().filter(col("cell").isin(best: _*))
       .select(col(idCol),
         VectorFunctions.cosineRounded(col(vecCol).cast("array<double>"), q).as("score"))
@@ -252,14 +260,54 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
       .limit(k)
   }
 
+  /** The centroid table, collected once per build epoch and cached on the
+    * driver — the FAISS shape: the coarse quantizer is an in-memory
+    * routing table (k centroids, bounded by construction), only cell
+    * CONTENTS live distributed. Cache keyed by the epoch file (a raw FS
+    * read, no Spark job), so a rebuild or append in another instance is
+    * picked up and a same-epoch probe costs zero jobs for cell choice —
+    * per-search centroid-ranking jobs were pure fixed overhead. Sorted
+    * by cell for deterministic iteration. */
+  @volatile private var centroidCache: (String, Array[(Int, Array[Double])]) = null
+
+  private[operators] def centroidArray(): Array[(Int, Array[Double])] = {
+    val tok = epoch().map(e => s"${e.buildToken}:${e.mods}").getOrElse("")
+    val cached = centroidCache
+    if (cached != null && cached._1 == tok) cached._2
+    else {
+      val a = centroids().collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      centroidCache = (tok, a)
+      a
+    }
+  }
+
   /** Cell choice shared by the float and quantized probes: rank the k
-    * centroids (tiny table) by cosine to the query. */
-  private[operators] def probeCells(q: org.apache.spark.sql.Column, nprobe: Int): Seq[Int] =
-    centroids()
-      .select(col("cell"), VectorFunctions.cosineRounded(col("centroid"), q).as("_cs"))
-      .orderBy(col("_cs").desc, col("cell").asc)
-      .limit(nprobe).select("cell")
-      .collect().map(_.getInt(0)).toSeq
+    * cached centroids by cosine to the query, driver-side. Arithmetic
+    * replicates the previous distributed form bit-for-bit — VecDot's
+    * sequential in-order double fold, cosine as dot/(norm·norm), then
+    * `round(_, 6)` via the same scala-BigDecimal HALF_UP Spark's Round
+    * applies to doubles — so cell choice stays byte-identical and the
+    * oracle's SQL replay from the stored centroid table keeps matching. */
+  private[operators] def probeCells(query: Seq[Double], nprobe: Int): Seq[Int] = {
+    val qa = query.toArray
+    def d(x: Array[Double], y: Array[Double]): Double = {
+      val n = math.min(x.length, y.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    val qn = math.sqrt(d(qa, qa))
+    centroidArray()
+      .map { case (cell, c) =>
+        (cell, BigDecimal(d(c, qa) / (math.sqrt(d(c, c)) * qn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (cell, cs) => (-cs, cell) }
+      .take(nprobe).map(_._1).toSeq
+  }
 
   private def sqCellsPath = s"$basePath/ivf_cells_sq"
   private def sqMetaPath = s"$basePath/ivf_sq_meta"
@@ -307,6 +355,9 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
         .select(col(idCol), col("cell"),
           Similarity.sqQuantize(col(vecCol), maxAbs)
             .cast("array<tinyint>").as("q"))
+        // cluster by cell: same minimal-files-per-partition rationale as
+        // writeAssigned — the quantized probe pays file listing too
+        .repartition(col("cell"))
         .write.mode(SaveMode.Overwrite).partitionBy("cell")
         .parquet(sqCellsPath)
     }
@@ -368,7 +419,7 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     val maxAbs = spark.read.parquet(sqMetaPath).head().getDouble(0)
     val q = array(query.map(lit): _*)
     val qq = Similarity.sqQuantize(q, maxAbs)
-    val best = probeCells(q, nprobe)
+    val best = probeCells(query, nprobe)
     val cand = spark.read.parquet(sqCellsPath)
       .filter(col("cell").isin(best: _*))
       .select(col(idCol), VectorFunctions.dot(col("q"), qq).as("_qdot"))

@@ -130,10 +130,11 @@ final class IvfPq(spark: SparkSession, ivf: IvfIndex, pqBase: String) {
           s"recorded $recorded — rebuild (IvfPq.build) or encode the " +
           "parent's delta (IvfPq.append)")
     val q = array(query.map(lit): _*)
-    val best = ivf.probeCells(q, nprobe)
-    // per-cell constant IP(q, centroid), 6-dp like every ADC term
-    val cents = ivf.centroids().collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+    val best = ivf.probeCells(query, nprobe)
+    // per-cell constant IP(q, centroid), 6-dp like every ADC term —
+    // from the parent's driver-side centroid cache (no Spark job)
+    val cents = ivf.centroidArray()
+      .map { case (cell, c) => (cell, c.toSeq) }.toMap
     val cellConst = best.map { c =>
       c -> BigDecimal(query.zip(cents(c)).map { case (a, b) => a * b }.sum)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

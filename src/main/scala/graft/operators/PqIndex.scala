@@ -202,7 +202,12 @@ final class PqIndex(spark: SparkSession, basePath: String) {
         pb.map(c => first(col(c)).as(c)): _*)
       .select((col("_aid").as("id") +: col("codes") +: pb.map(col)): _*)
     partitionBy match {
-      case Some(p) => codeWords.write.mode(mode).partitionBy(p).parquet(codesPath)
+      // cluster by the partition column first (same rationale as
+      // IvfIndex.writeAssigned): without it every shuffle partition
+      // fragments every cell dir, and the pruned ADC probe pays the
+      // file-listing overhead on every search
+      case Some(p) => codeWords.repartition(col(p))
+        .write.mode(mode).partitionBy(p).parquet(codesPath)
       case None => codeWords.write.mode(mode).parquet(codesPath)
     }
   }
