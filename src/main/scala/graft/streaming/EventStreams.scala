@@ -71,28 +71,46 @@ object EventStreams {
     * state is rate × horizon per side, never corpus-sized, and no
     * `flatMapGroupsWithState` is involved (trap-safe in this container).
     *
-    * Emission is at-least-once per pair: a pair sharing several chunk
-    * keys surfaces once per shared chunk (identical signatures share all
-    * four). Collapsing those needs a second stateful stage; consumers
-    * wanting exactly-once pairs dedup downstream, same as the batch
-    * path's `distinct()`. */
+    * Emission is exactly-once per co-horizon pair occurrence via the
+    * FIRST-MATCHING-CHUNK rule: a pair sharing several chunk keys (an
+    * identical-signature pair shares all four — the boilerplate-heavy
+    * hot case the batch path collapses to representatives) joins once
+    * per shared chunk, but only the match at the smallest chunk index
+    * whose lower-indexed chunks all DIFFER survives the post-join
+    * filter. That kills the 4× hot-signature emission multiplicity
+    * statelessly — no second stateful collapse stage — and the
+    * downstream `distinct()` consumers already apply stays correct (it
+    * now only absorbs cross-micro-batch redelivery). Join STATE is
+    * still 4 chunk rows per doc per side (rate × horizon bounded). */
   def nearDupPairsStream(docs: DataFrame, idCol: String, textCol: String,
                          tsCol: String, within: String, maxDist: Int,
                          watermark: String = "30 minutes"): DataFrame = {
     require(maxDist <= 3,
       "16-bit-chunk blocking is exhaustive only for maxDist <= 3")
     val sim = graft.operators.Dedup.withSimhash(docs, textCol, "_sim")
-    def chunked(idAs: String, simAs: String, tsAs: String) = sim
+    def chunkOf(simCol: org.apache.spark.sql.Column, c: Int) =
+      shiftrightunsigned(simCol, c * 16).bitwiseAND(lit(0xFFFFL))
+    def chunked(idAs: String, simAs: String, tsAs: String,
+                ci: Option[String]) = sim
       .select(col(idCol).as(idAs), col("_sim").as(simAs), col(tsCol).as(tsAs))
       .select(col(idAs), col(simAs), col(tsAs),
-        explode(array((0 until 4).map(c =>
-          concat_ws(":", lit(c),
-            shiftrightunsigned(col(simAs), c * 16)
-              .bitwiseAND(lit(0xFFFFL)))): _*)).as("_ck"))
-    intervalJoin(chunked("id_a", "_sima", "_tsa"),
-        chunked("id_b", "_simb", "_tsb"), "_ck", "_tsa", "_tsb",
-        within, watermark)
+        posexplode(array((0 until 4).map(c =>
+          concat_ws(":", lit(c), chunkOf(col(simAs), c))): _*))
+          .as(Seq(ci.getOrElse("_cidrop"), "_ck")))
+      .drop("_cidrop")
+    val joined = intervalJoin(
+      chunked("id_a", "_sima", "_tsa", Some("_ci")),
+      chunked("id_b", "_simb", "_tsb", None), "_ck", "_tsa", "_tsb",
+      within, watermark)
+    // first-match rule: the joined chunk index is the pair's smallest
+    // matching chunk iff every lower-indexed chunk differs
+    val firstMatch = (0 until 4).map { c =>
+      (0 until c).map(p => chunkOf(col("_sima"), p) =!= chunkOf(col("_simb"), p))
+        .foldLeft(col("_ci") === c)(_ && _)
+    }.reduce(_ || _)
+    joined
       .filter(col("id_a") =!= col("id_b"))
+      .filter(firstMatch)
       // anchor on the LATER doc; equal-timestamp pairs keep one direction
       .filter(col("_tsb") < col("_tsa") ||
         (col("_tsb") === col("_tsa") && col("id_b") < col("id_a")))

@@ -299,11 +299,12 @@ class EventStreamsSpec extends SparkSpec {
       .writeStream.format("memory").queryName("neardup_pairs")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
-    // at-least-once per shared chunk → collapse before asserting
-    val pairs = spark.table("neardup_pairs")
+    // first-matching-chunk rule: the identical-signature pair shares
+    // all four chunk keys but must emit exactly ONCE, not 4×
+    val raw = spark.table("neardup_pairs")
       .select($"id_earlier", $"id_later", $"hamming")
-      .distinct().as[(Long, Long, Int)].collect().toSet
-    assert(pairs == Set((1L, 2L, 0)))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(raw == Seq((1L, 2L, 0)))
   }
 
   test("nearDupPairsStream join state is watermark-bounded, not stream-lifetime") {
