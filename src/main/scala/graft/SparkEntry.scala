@@ -2392,6 +2392,21 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("doc_id"), col("term"))),
 
+    "x_lm_bigram" -> ((s, dir) => {
+      // corpus bigram LM + stupid-backoff document scoring (the CCNet /
+      // KenLM quality-filter shape): train = two map-side-combinable
+      // count aggs (shuffle ∝ vocab, vocab²); score = scan-stage bigram
+      // derivation from the token array (no per-doc window) + count
+      // joins + one doc-grain agg of exact DECIMAL 6-dp terms. The
+      // oracle retrains and rescores from scratch in SQL — model
+      // training itself is the replayed artifact.
+      val docs = t(s, dir, "documents")
+      val uni = LanguageModel.unigramCounts(docs, "text")
+      val bi = LanguageModel.bigramCounts(docs, "text")
+      LanguageModel.scoreStupidBackoff(docs, "doc_id", "text", uni, bi)
+        .orderBy(col("doc_id"))
+    }),
+
     "x_text_search" -> ((s, dir) => {
       // conjunctive term search served from the hash-bucketed
       // posting-list artifact: the probe prunes to the query terms'
@@ -5350,6 +5365,40 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY lang
            ORDER BY n DESC, tok) <= 5
          ORDER BY lang, n DESC, tok""",
+
+    // full LM retrain + rescore in SQL: bigram/unigram counts, stupid
+    // backoff ln(c12/c1) | ln(0.4*c1(w2)/T), per-bigram 6-dp DECIMAL
+    // terms summed exactly (order-independent), avg re-rounded at 6 dp.
+    // CAST(0.4 AS DOUBLE) forces the same double multiply Spark's lit
+    // performs (a bare 0.4 parses as DECIMAL in DuckDB)
+    "x_lm_bigram" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+                    FROM documents),
+              t AS (SELECT doc_id, unnest(l) AS tok,
+                           generate_subscripts(l, 1) AS pos
+                    FROM d),
+              bgn AS (SELECT doc_id, w1, w2 FROM (
+                        SELECT doc_id, tok AS w1,
+                               lead(tok) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) AS w2
+                        FROM t)
+                      WHERE w2 IS NOT NULL),
+              bc AS (SELECT w1, w2, count(*) AS c12 FROM bgn GROUP BY 1, 2),
+              uc AS (SELECT tok AS w, count(*) AS c1 FROM t GROUP BY 1),
+              tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM t),
+              lp AS (SELECT s.doc_id,
+                            CAST(round(CASE WHEN bc.c12 IS NOT NULL
+                                 THEN ln(CAST(bc.c12 AS DOUBLE) / u1.c1)
+                                 ELSE ln(CAST(0.4 AS DOUBLE) * u2.c1 / tot.t)
+                                 END, 6) AS DECIMAL(18,6)) AS lp
+                     FROM bgn s
+                     LEFT JOIN bc ON bc.w1 = s.w1 AND bc.w2 = s.w2
+                     JOIN uc u1 ON u1.w = s.w1
+                     JOIN uc u2 ON u2.w = s.w2
+                     CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
 
     // same fixed evaluation order tf * ln(N/df) on both sides; the
     // (score DESC, term) tiebreak is the determinism contract

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus n-gram language model for data-quality scoring — the KenLM
+  * shape a training-data pipeline runs to rank documents by fluency
+  * before mixing (cf. CCNet's per-paragraph LM perplexity filter):
+  * train bigram/unigram count tables over the corpus, score each
+  * document by average bigram log-probability under stupid backoff
+  * (Brants et al. 2007: no discounting, a fixed backoff factor —
+  * the large-data regime where smoothing stops mattering).
+  *
+  * Scale shape: training is two map-side-combinable count aggregations
+  * (shuffle ∝ distinct n-grams, bounded by vocab and vocab², not corpus
+  * size); scoring derives each doc's bigrams INSIDE the scan stage from
+  * the token array (no per-doc window, no posexplode shuffle), then
+  * joins the count tables — the unigram side is vocab-sized (broadcast
+  * at any realistic vocab), the bigram join shuffles ∝ corpus tokens
+  * once. Per-bigram log-probs are rounded to 6 dp and summed as
+  * DECIMAL(18,6): a sum of 6-dp multiples is exact and
+  * order-independent, so the doc score is reproducible bit-for-bit on
+  * any engine or partitioning (the same trick as the PQ ADC total).
+  */
+object LanguageModel {
+
+  private def toks(textCol: Column): Column = split(lower(textCol), " ", -1)
+
+  /** Adjacent-pair structs derived from the token array in the scan
+    * stage: `transform` indexes are 0-based, `element_at` is 1-based, so
+    * position i pairs with i+2. Empty/one-token docs yield an empty
+    * array (the `greatest` guard keeps `slice` in range). */
+  private def bigramsOf(t: Column): Column =
+    transform(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      (w, i) => struct(w.as("w1"), element_at(t, i + lit(2)).as("w2")))
+
+  /** (w, c1): token occurrence counts over the corpus. */
+  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+
+  /** (w1, w2, c12): adjacent-pair counts over the corpus. */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(bigramsOf(toks(col(textCol)))).as("_bg"))
+      .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+
+  /** Per-document average bigram log-probability under stupid backoff:
+    * lp(w2|w1) = ln(c12/c1(w1)) when the bigram was seen, else
+    * ln(alpha * c1(w2)/total). Returns (idCol, n_bigrams, avg_logp);
+    * docs with fewer than two tokens have no bigrams and drop out.
+    * `uni`/`bi` are [[unigramCounts]]/[[bigramCounts]] frames — train
+    * and score corpora may differ (held-out scoring). */
+  def scoreStupidBackoff(docs: DataFrame, idCol: String, textCol: String,
+                         uni: DataFrame, bi: DataFrame,
+                         alpha: Double = 0.4): DataFrame = {
+    val tot = uni.agg(sum(col("c1")).cast("double").as("_t"))
+    val bg = docs.select(col(idCol),
+        explode(bigramsOf(toks(col(textCol)))).as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    val lp = when(col("c12").isNotNull,
+        log(col("c12") / col("_c1w1")))
+      .otherwise(log(lit(alpha) * col("_c1w2") / col("_t")))
+    bg
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1").as("_c1w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("_c1w2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), round(lp, 6).cast("decimal(18,6)").as("_lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("_lp")).cast("double") / count(lit(1)), 6)
+          .as("avg_logp"))
+  }
+}
