@@ -2285,6 +2285,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_stream_decontam" -> ((s, dir) => {
+      // REAL streaming decontamination: training docs replay as a file
+      // stream, the static eval set ships as a Bloom prefilter + exact
+      // stream-static semi-join, and each contaminated doc emits once
+      // via flatMapGroupsWithState. Same oracle as x_pipeline_decontam
+      // — ingest-time streaming hygiene == batch sweep is the claim.
+      val docs = t(s, dir, "documents")
+      val st = s.readStream.schema("doc_id BIGINT, text STRING")
+        .parquet(s"$dir/documents.parquet*")
+        .filter(col("doc_id") % 50 =!= 0)
+      val sink = s"x_stream_decontam_${streamSinkId.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        Dedup.decontaminateStream(st,
+            docs.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text", n = 3, minShared = 2)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_decontam: stream did not drain within 300s")
+      }
+      s.table(sink).orderBy(col("doc_id"))
+    }),
+
     "x_layout_zorder" -> ((s, dir) =>
       // Morton-curve clustering key for multi-column file skipping: the
       // write path (Layout.writeZOrdered) range-partitions + sorts on
@@ -4966,6 +4996,24 @@ object SparkEntry {
                              doc_id) AS rn
            FROM documents) t
          WHERE rn <= 10 ORDER BY source, doc_id""",
+
+    // streaming replay of the same sweep: the RESULT is exact, so all
+    // three decontamination paths share one oracle
+    "x_stream_decontam" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+              sh AS (SELECT DISTINCT doc_id,
+                            unnest(list_transform(
+                              generate_series(1, greatest(len(t)-2, 0)),
+                              i -> array_to_string(t[i:i+2], ' '))) AS s
+                     FROM tok),
+              ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+              tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+         SELECT tr.doc_id, count(*) AS n_shared
+         FROM tr JOIN ev ON tr.s = ev.s
+         GROUP BY tr.doc_id
+         HAVING count(*) >= 2
+         ORDER BY doc_id""",
 
     // the Bloom prefilter is an engine-side plan device; the RESULT is
     // exact, so both decontamination paths share one oracle

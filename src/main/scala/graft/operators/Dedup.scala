@@ -729,6 +729,59 @@ object Dedup {
       .select(col("_id").as(idCol), col("n_shared"))
   }
 
+  /** Streaming decontamination — [[contaminationCountsBloom]] with the
+    * training corpus arriving as a stream and the eval set static: the
+    * ingest-time hygiene gate a 100 TB pipeline runs so contaminated
+    * documents never land in the training store at all. The eval
+    * shingle universe is computed ONCE at stream definition (distinct +
+    * driver-side Bloom); per micro-batch the doc's shingles derive in
+    * the scan stage, the codegen'd `might_contain` drops the clean bulk
+    * statelessly, the exact stream-static semi-join kills Bloom false
+    * positives, and a `flatMapGroupsWithState` count emits each doc
+    * crossing `minShared`. A document's text arrives in ONE row, so its
+    * shingles land in one micro-batch and the emitted count is complete
+    * — the per-entity state only guards re-delivered docs against
+    * double-emission (a doc split across batches would emit its
+    * cumulative count at the crossing batch). Output matches the batch
+    * operator row-for-row at drain. */
+  def decontaminateStream(docsStream: DataFrame, evalDocs: DataFrame,
+                          idCol: String, textCol: String, n: Int,
+                          minShared: Long,
+                          expectedEval: Long = 1L << 20,
+                          fpp: Double = 0.01): DataFrame = {
+    val spark = evalDocs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val evalSh = flatIndex(evalDocs, idCol, textCol, n)
+      .select(col("_sh")).distinct().localCheckpoint()
+    val bloom = evalSh.select(xxhash64(col("_sh")).as("_h"))
+      .stat.bloomFilter("_h", expectedEval, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    import org.apache.spark.sql.GraftBridge.{column => gc, expression => ge}
+    val might = gc(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        ge(xxhash64(col("_sh")))))
+    flatIndex(docsStream, idCol, textCol, n)
+      .filter(might)
+      .join(evalSh, Seq("_sh"), "left_semi")
+      .select(col("_id").cast("long").as("_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id, rows, state) =>
+          val before = state.getOption.getOrElse(0L)
+          val total = before + rows.size
+          state.update(total)
+          if (before < minShared && total >= minShared)
+            Iterator((id, total))
+          else Iterator.empty
+      }
+      .toDF(idCol, "n_shared")
+  }
+
   /** Append-only refresh OF THE ON-DISK ARTIFACTS: extends the banded
     * signature table with the delta's signatures and the pair table with
     * the delta's verified pairs, so the next consumer loads current

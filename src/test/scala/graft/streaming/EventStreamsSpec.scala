@@ -307,6 +307,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(raw == Seq((1L, 2L, 0)))
   }
 
+  test("decontaminateStream flags streamed docs against the static eval set") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val out = graft.operators.Dedup.decontaminateStream(df, evalDocs,
+        "doc_id", "text", n = 3, minShared = 2)
+      .writeStream.format("memory").queryName("decontam_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1: doc 1 shares 2 trigrams ("alpha beta gamma", "beta
+      // gamma delta" — contaminated), doc 2 shares one, doc 3 none
+      mem.addData(
+        (1L, "x alpha beta gamma delta y"),
+        (2L, "q beta gamma delta w z"),
+        (3L, "totally unrelated text with nothing shared"))
+      out.processAllAvailable()
+      // batch 2: doc 1 REDELIVERED — state must suppress re-emission
+      mem.addData((1L, "x alpha beta gamma delta y"))
+      out.processAllAvailable()
+      val got = spark.table("decontam_sink")
+        .as[(Long, Long)].collect().toSeq
+      assert(got == Seq((1L, 2L)))
+    } finally out.stop()
+  }
+
   test("nearDupPairsStream join state is watermark-bounded, not stream-lifetime") {
     // the 100 TB-stream claim measured, not asserted: as the watermark
     // passes, buffered join rows from old microbatches must be EVICTED —
