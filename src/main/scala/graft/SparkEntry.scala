@@ -2422,6 +2422,16 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("doc_id"), col("term"))),
 
+    "x_quality_linear" -> ((s, dir) =>
+      // hashed-feature linear classifier applied corpus-wide: token →
+      // md5 bucket → micro-scaled integer weight, folded to a logit
+      // inside the scan stage (zero shuffles; the ORDER BY is the only
+      // exchange). The oracle re-derives the weight table
+      // arithmetically and replays bucketing via the same md5.
+      QualityModel.scoreLinear(t(s, dir, "documents"), "doc_id", "text",
+          QualityModel.hashWeights(64))
+        .orderBy(col("doc_id"))),
+
     "x_lm_bigram" -> ((s, dir) => {
       // corpus bigram LM + stupid-backoff document scoring (the CCNet /
       // KenLM quality-filter shape): train = two map-side-combinable
@@ -2624,11 +2634,18 @@ object SparkEntry {
       // along for multi-cell probes); exact cosine re-ranks `rerank`
       // survivors from the float cells. Oracle replays everything from
       // the stored artifacts.
+      // nprobe=2, rerank=8k: RecallCheck-tuned — at rerank 80+ the
+      // composite recall REACHES the float-probe ceiling (0.49/0.515 vs
+      // ceiling 0.525/0.515 at sf0.1/0.01), i.e. the residual-PQ loss
+      // is closed and the budget knob left is the coarse quantizer;
+      // nprobe 1→2 buys +0.15 recall for one more pruned partition.
+      // Multi-cell also exercises the per-cell IP(q, centroid) constant
+      // in the ADC rank, which nprobe=1 leaves untested.
       val emb = t(s, dir, "embeddings")
       val q = queryVector(emb)
       val comp = ivfPqFor(s, dir, emb)
-      comp.search("vec_id", "embedding", q, k = 11, rerank = 44,
-          nprobe = 1)
+      comp.search("vec_id", "embedding", q, k = 11, rerank = 88,
+          nprobe = 2)
         .filter(col("vec_id") =!= 0)
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
@@ -5414,6 +5431,22 @@ object SparkEntry {
            ORDER BY n DESC, tok) <= 5
          ORDER BY lang, n DESC, tok""",
 
+    // weight table re-derived arithmetically ((b*2654435761) % 2001 -
+    // 1000), bucketing replayed via the same md5₃₂ — exact integer sums
+    "x_quality_linear" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+                     FROM documents),
+              t AS (SELECT doc_id, unnest(l) AS tok FROM d),
+              b AS (SELECT doc_id,
+                           ${hexValSql("md5(tok)")} % 64 AS bkt
+                    FROM t)
+         SELECT doc_id,
+                CAST(sum((bkt * 2654435761) % 2001 - 1000) AS BIGINT)
+                  AS logit_micro,
+                CAST(CASE WHEN sum((bkt * 2654435761) % 2001 - 1000) >= 0
+                     THEN 1 ELSE 0 END AS INT) AS keep
+         FROM b GROUP BY doc_id ORDER BY doc_id""",
+
     // full LM retrain + rescore in SQL: bigram/unigram counts, stupid
     // backoff ln(c12/c1) | ln(0.4*c1(w2)/T), per-bigram 6-dp DECIMAL
     // terms summed exactly (order-independent), avg re-rounded at 6 dp.
@@ -5664,12 +5697,13 @@ object SparkEntry {
     // rotated via the stored 1e6-scaled OPQ matrix (exact integer
     // arithmetic — the codes quantize ROTATED residuals, and IP(R·q,R·r)
     // = IP(q,r) for an orthonormal R); LUT = the rotated query against
-    // the RESIDUAL codebooks (IP(q, centroid) is constant within the
-    // one probed cell, so it cannot change the candidate cut at
-    // nprobe=1); candidates from the probed cell's codes partition;
-    // re-rank restricted to the same cells artifact slice the engine
-    // joins (rows whose stored cell differs from the codes partition —
-    // possible after an IVF rebuild — drop on BOTH sides identically)
+    // the RESIDUAL codebooks; at nprobe=2 each code row's ADC total
+    // carries its cell's IP(q, centroid) constant (cc) so candidates
+    // compete across cells exactly as the engine ranks them; candidates
+    // from the probed cells' codes partitions; re-rank restricted to the
+    // same cells artifact slice the engine joins (rows whose stored cell
+    // differs from the codes partition — possible after an IVF rebuild —
+    // drop on BOTH sides identically)
     "x_sim_ivfpq" ->
       s"""WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
                            generate_subscripts(embedding, 1) AS i
@@ -5682,7 +5716,11 @@ object SparkEntry {
                             round(sum(c.cx * q.qx) /
                               (sqrt(sum(c.cx * c.cx)) * sqrt(sum(q.qx * q.qx))), 6) AS cs
                      FROM c JOIN q ON c.i = q.i GROUP BY c.cell)
-                   ORDER BY cs DESC, cell LIMIT 1),
+                   ORDER BY cs DESC, cell LIMIT 2),
+         cc AS (SELECT c.cell, round(sum(c.cx * q.qx), 6) AS cconst
+                FROM c JOIN q ON c.i = q.i
+                WHERE c.cell IN (SELECT cell FROM cbest)
+                GROUP BY c.cell),
          rot AS (SELECT i, generate_subscripts(r, 1) AS j, unnest(r) AS v
                  FROM read_parquet('__GRAFT_IVFPQ__/pq_rotation/*.parquet')),
          rq AS (SELECT rot.i AS i,
@@ -5698,22 +5736,26 @@ object SparkEntry {
                         round(sum(cb.c2 * rq.qx), 6) AS v
                  FROM cb JOIN rq ON rq.i = cb.subspace * $PqSubDim + cb.p
                  GROUP BY 1, 2),
-         codes AS (SELECT id, generate_subscripts(codes, 1) AS j1,
+         codes AS (SELECT id, CAST(cell AS INTEGER) AS cell,
+                          generate_subscripts(codes, 1) AS j1,
                           CAST(unnest(codes) AS INT) AS code
                    FROM read_parquet('__GRAFT_IVFPQ__/pq_codes/*/*.parquet',
                                      hive_partitioning = 1)
-                   WHERE CAST(cell AS INTEGER) = (SELECT cell FROM cbest)),
-         adc AS (SELECT codes.id, round(sum(lut.v), 6) AS s
-                 FROM codes JOIN lut
+                   WHERE CAST(cell AS INTEGER) IN (SELECT cell FROM cbest)),
+         adc AS (SELECT codes.id,
+                        round(sum(lut.v) + max(cc.cconst), 6) AS s
+                 FROM codes
+                 JOIN cc ON cc.cell = codes.cell
+                 JOIN lut
                    ON lut.subspace = codes.j1 - 1
                   AND lut.code = codes.code
                  GROUP BY 1),
-         cand AS (SELECT id FROM adc ORDER BY s DESC, id LIMIT 44),
+         cand AS (SELECT id FROM adc ORDER BY s DESC, id LIMIT 88),
          e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                       generate_subscripts(embedding, 1) AS i
                FROM read_parquet('__GRAFT_IVF__/ivf_cells/*/*.parquet',
                                  hive_partitioning = 1)
-               WHERE CAST(cell AS INTEGER) = (SELECT cell FROM cbest)),
+               WHERE CAST(cell AS INTEGER) IN (SELECT cell FROM cbest)),
          s2 AS (SELECT e.vec_id,
                        round(sum(e.x * q.qx) /
                          (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
