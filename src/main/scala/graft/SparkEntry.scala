@@ -2256,6 +2256,18 @@ object SparkEntry {
           k = 10)
         .orderBy(col("source"), col("doc_id"))),
 
+    "x_pipeline_temperature" -> ((s, dir) =>
+      // temperature-flattened source mixture (α=1/2): per-source keep
+      // rates from quantized √n shares — tail sources upsampled toward
+      // n^α/Σn^α, head capped at 1. One tiny count agg broadcast back;
+      // the keep decision is the md5 coordinate against a per-source
+      // threshold derived from exact integer ratios, so the oracle
+      // replays the rate arithmetic digit-for-digit.
+      Sampling.temperatureMixture(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", budget = 120L)
+        .orderBy(col("doc_id"))),
+
     "x_pipeline_decontam" -> ((s, dir) => {
       // benchmark decontamination: training docs sharing >= 2 distinct
       // trigram shingles with the "eval set" (every 50th doc) are
@@ -5013,6 +5025,25 @@ object SparkEntry {
                              doc_id) AS rn
            FROM documents) t
          WHERE rn <= 10 ORDER BY source, doc_id""",
+
+    // rate replay: quantized √n (IEEE sqrt + one rounded multiply),
+    // exact integer normalizer, threshold from one exact-ratio double
+    // division — deterministic on both engines
+    "x_pipeline_temperature" ->
+      s"""WITH n AS (SELECT source, count(*) AS n,
+                            CAST(round(sqrt(count(*)) * 1000000) AS BIGINT)
+                              AS sq
+                     FROM documents GROUP BY 1),
+              sm AS (SELECT sum(sq) AS s FROM n),
+              r AS (SELECT n.source,
+                           CAST(floor(least(CAST(1.0 AS DOUBLE),
+                                 (120 * n.sq) / (sm.s * n.n))
+                               * 4294967296.0) AS BIGINT) AS thr
+                    FROM n CROSS JOIN sm)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN r ON r.source = d.source
+         WHERE ${hexValSql("md5(CAST(d.doc_id AS VARCHAR))")} < r.thr
+         ORDER BY d.doc_id""",
 
     // streaming replay of the same sweep: the RESULT is exact, so all
     // three decontamination paths share one oracle

@@ -262,4 +262,38 @@ object Sampling {
     }
     df.filter(pred)
   }
+
+  /** Temperature-flattened mixture (α = 1/2): resample so each group's
+    * share of the output follows n^α/Σn^α instead of its raw share —
+    * the multilingual-corpus reweighting recipe (upsample the tail,
+    * downsample the head; α→0 is uniform-over-groups, α=1 is natural).
+    * `budget` is the target output row count; a group whose target
+    * exceeds its size keeps everything (rate caps at 1 — this operator
+    * never duplicates rows, matching deterministic-sampling semantics;
+    * the capped groups' shortfall is accepted, not redistributed).
+    *
+    * Rates derive CROSS-ENGINE-EXACTLY despite the irrational √n:
+    * per-group √n is quantized to an integer (round(√n·10⁶) — IEEE
+    * sqrt and one double multiply, correctly rounded everywhere), the
+    * normalizer is an exact integer sum of those, and the keep
+    * threshold floor(rate·2³²) comes from one exact-integer-ratio
+    * double division — no order-dependent float accumulation anywhere.
+    * Plan shape: one tiny group-count agg, broadcast back, scan-stage
+    * keep predicate on the md5 coordinate — no corpus shuffle. */
+  def temperatureMixture(df: DataFrame, keyCol: String, groupCol: String,
+                         budget: Long): DataFrame = {
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_sq", round(sqrt(col("_n")) * 1e6).cast("long"))
+    val norm = counts.agg(sum(col("_sq")).as("_S"))
+    val rates = counts.crossJoin(broadcast(norm))
+      .withColumn("_rate",
+        least(lit(1.0), (lit(budget) * col("_sq")) / (col("_S") * col("_n"))))
+      .withColumn("_thr",
+        floor(col("_rate") * lit(4294967296.0)).cast("long"))
+      .select(col(groupCol), col("_thr"))
+    df.join(broadcast(rates), groupCol)
+      .filter(conv(hashHex(col(keyCol)), 16, 10).cast("long") < col("_thr"))
+      .drop("_thr")
+  }
 }

@@ -275,4 +275,32 @@ class SamplingSpec extends SparkSpec {
     val plan = bloomed.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), plan)
   }
+
+  test("temperatureMixture flattens shares toward sqrt(n) and is deterministic") {
+    import spark.implicits._
+    // head group 10x the tail group
+    val df = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 440).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    val kept = Sampling.temperatureMixture(df, "id", "grp", budget = 100L)
+      .select("id", "grp").as[(Long, String)].collect().toSeq
+    // deterministic: same rows on a re-run
+    assert(Sampling.temperatureMixture(df, "id", "grp", budget = 100L)
+      .select("id", "grp").as[(Long, String)].collect().toSeq.sorted
+      == kept.sorted)
+    val byGrp = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    // replay the rate arithmetic exactly
+    def sq(n: Long) = math.round(math.sqrt(n.toDouble) * 1e6)
+    val s = sq(400) + sq(40)
+    def rate(n: Long) = math.min(1.0, (100L * sq(n)).toDouble / (s * n))
+    // √-flattening: small's rate must exceed big's by ~√10
+    assert(rate(40) > 3 * rate(400))
+    // per-group kept counts should be within a loose band of n*rate
+    // (the md5 coordinate is uniform; 3σ ≈ 3·√(n·r) covers it)
+    Seq(("big", 400L), ("small", 40L)).foreach { case (g, n) =>
+      val expect = n * rate(n)
+      val got = byGrp.getOrElse(g, 0)
+      val tol = 3 * math.sqrt(expect) + 1
+      assert(math.abs(got - expect) <= tol, s"$g: $got vs $expect ± $tol")
+    }
+  }
 }
