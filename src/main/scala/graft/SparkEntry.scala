@@ -2032,6 +2032,26 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x_pipeline_split_leakfree" -> ((s, dir) => {
+      // leakage-free held-out split: the split key is the near-dup
+      // CLUSTER label, not the document — a near-duplicate pair can
+      // never straddle train/heldout, which is the contamination
+      // channel a doc-keyed split leaves open. Pure composition of the
+      // gated cluster operator and the gated deterministic splitter:
+      // one scan-stage column over the component table, zero new
+      // shuffles.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.pairTable(docs, "doc_id", "text",
+        artifactBase(dir), n = 3, numHashes = 64, bands = 32,
+        threshold = 0.5, maxBlock = 1000)
+      Sampling.splitTag(
+          Dedup.connectedComponents(
+            docs.select(col("doc_id").as("id")),
+            pairs.select("id_a", "id_b")),
+          "comp", 0.2)
+        .orderBy(col("id"))
+    }),
+
     "x_dedup_cluster_incr" -> ((s, dir) => {
       // yesterday's labels + today's delta pairs: endpoints contract to
       // their existing component labels, so the min-label iteration
@@ -2965,6 +2985,21 @@ object SparkEntry {
              SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
          SELECT src AS id, min(dst) AS comp FROM reach
          GROUP BY src ORDER BY id"""
+
+  /** [[clusterOracleSql]] with the cluster-keyed split layered on top —
+    * md5(comp) against the 0.2 threshold 0x33333333, the same
+    * fixed-point [[graft.operators.Sampling.rateThreshold]] derives. */
+  private def leakfreeSplitOracleSql: String =
+    clusterOracleSql.replace(
+      """SELECT src AS id, min(dst) AS comp FROM reach
+         GROUP BY src ORDER BY id""",
+      """, comp AS (SELECT src AS id, min(dst) AS comp FROM reach
+                    GROUP BY src)
+         SELECT id, comp,
+                CASE WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 8)
+                       < '33333333'
+                     THEN 'heldout' ELSE 'train' END AS split
+         FROM comp ORDER BY id""")
 
   /** From-scratch duplicated-span SQL over the full documents table —
     * shared by `x_dedup_spans` (direct path) and `x_dedup_spans_incr`
@@ -5274,6 +5309,11 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
 
     "x_dedup_cluster" -> clusterOracleSql,
+
+    // cluster labels replayed from scratch, then the same md5 fixed-point
+    // split the doc-keyed splitter uses — keyed on comp, so a duplicate
+    // pair can never straddle the split on either engine
+    "x_pipeline_split_leakfree" -> leakfreeSplitOracleSql,
 
     // incremental refresh must land on the identical full-corpus answer
     "x_dedup_cluster_incr" -> clusterOracleSql,
