@@ -1588,9 +1588,8 @@ object SparkEntry {
       // entity); the matrix is a stateless batch aggregation of the
       // emitted steps. Same oracle as x_events_paths — streaming
       // steps == batch lag is the claim.
-      val st = s.readStream
-        .schema("event_id BIGINT, user_id BIGINT, event_type STRING")
-        .parquet(s"$dir/events.parquet*")
+      val st = Tables.stream(s, dir, "events",
+        "event_id", "user_id", "event_type")
       val sink = s"x_stream_paths_${streamSinkId.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -1625,9 +1624,8 @@ object SparkEntry {
       // Completions-only Append semantics; the oracle is the batch
       // funnel CTE chain restricted to fully-converted users — the
       // equality IS the streaming==batch claim.
-      val st = s.readStream
-        .schema("event_id BIGINT, user_id BIGINT, event_type STRING")
-        .parquet(s"$dir/events.parquet*")
+      val st = Tables.stream(s, dir, "events",
+        "event_id", "user_id", "event_type")
       val sink = s"x_stream_funnel_${streamSinkId.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -1699,10 +1697,8 @@ object SparkEntry {
       // conversion once; the channel totals are a stateless batch
       // aggregation of the sink. Same oracle as x_events_attribution —
       // streaming state == batch ignore-nulls window is the claim.
-      val st = s.readStream
-        .schema(
-          "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
-        .parquet(s"$dir/events.parquet*")
+      val st = Tables.stream(s, dir, "events",
+        "event_id", "user_id", "event_type", "value")
       val sink = s"x_stream_attribution_${streamSinkId.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -2324,8 +2320,7 @@ object SparkEntry {
       // via flatMapGroupsWithState. Same oracle as x_pipeline_decontam
       // — ingest-time streaming hygiene == batch sweep is the claim.
       val docs = t(s, dir, "documents")
-      val st = s.readStream.schema("doc_id BIGINT, text STRING")
-        .parquet(s"$dir/documents.parquet*")
+      val st = Tables.stream(s, dir, "documents", "doc_id", "text")
         .filter(col("doc_id") % 50 =!= 0)
       val sink = s"x_stream_decontam_${streamSinkId.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")

@@ -43,6 +43,22 @@ object Tables {
       raw.withColumn("ts", normalizedTs(raw.schema("ts").dataType))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Streaming scan of any table projected to `cols`, with the stream
+    * schema DERIVED from the batch-resolved schema — the round-8 lesson
+    * generalized: a file stream needs an explicit schema, and
+    * hard-coding one bakes in physical types the testdata generator has
+    * already changed once. `ts` is excluded by contract (its physical
+    * encoding varies — [[eventsStream]] owns that dispatch). */
+  def stream(spark: SparkSession, dir: String, name: String,
+             cols: String*): DataFrame = {
+    require(!cols.contains("ts"),
+      "ts needs physical-type dispatch - use Tables.eventsStream")
+    val batch = load(spark, dir, name).schema
+    val fields = org.apache.spark.sql.types.StructType(
+      cols.map(c => batch(batch.fieldIndex(c))))
+    spark.readStream.schema(fields).parquet(s"$dir/$name.parquet*")
+  }
+
   /** Streaming scan of the events log projected to (user_id, ts, extra…)
     * with `ts` normalized exactly as [[load]] does for batch — file streams
     * need an explicit schema, so the DDL string is chosen from the
