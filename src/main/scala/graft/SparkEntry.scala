@@ -2313,6 +2313,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_stream_quantiles" -> ((s, dir) => {
+      // REAL streaming quantile estimation: per event type, a fixed
+      // 256-bucket histogram sketch (bounded mergeable state) carried
+      // in flatMapGroupsWithState; each batch emits current estimates
+      // stamped with the rows-seen count, and the keep-last
+      // finalization (max processed per key — batch-split-invariant)
+      // is a stateless aggregation of the sink. Grid [0,512)×256 →
+      // width 2.0, so every bucket edge and midpoint is an exact
+      // double; the oracle recomputes the full histogram in SQL.
+      val st = Tables.stream(s, dir, "events", "event_type", "value")
+      val sink = s"x_stream_quantiles_${streamSinkId.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        graft.streaming.EventStreams.quantileStream(st,
+            "event_type", "value", lo = 0.0, hi = 512.0, buckets = 256,
+            qs = Seq(0.5, 0.9, 0.99))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_quantiles: stream did not drain within 300s")
+      }
+      val w = Window.partitionBy(col("key"), col("q"))
+        .orderBy(col("processed").desc)
+      s.table(sink)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("key").as("event_type"), col("q"),
+          round(col("est"), 6).as("est"))
+        .orderBy(col("event_type"), col("q"))
+    }),
+
     "x_stream_decontam" -> ((s, dir) => {
       // REAL streaming decontamination: training docs replay as a file
       // stream, the static eval set ships as a Bloom prefilter + exact
@@ -5074,6 +5111,35 @@ object SparkEntry {
          FROM documents d JOIN r ON r.source = d.source
          WHERE ${hexValSql("md5(CAST(d.doc_id AS VARCHAR))")} < r.thr
          ORDER BY d.doc_id""",
+
+    // full-histogram replay: exact-double bucket grid (width 2.0), rank
+    // = clamped ceil(q·n), estimate = midpoint of the first bucket whose
+    // cumulative count reaches the rank — all integer counts plus exact
+    // dyadic doubles, so the streaming sketch's final state must match
+    // digit-for-digit
+    "x_stream_quantiles" ->
+      """WITH h AS (SELECT event_type,
+                           least(greatest(CAST(floor(value / 2.0) AS INT),
+                                          0), 255) AS b,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+              n AS (SELECT event_type, sum(c) AS n FROM h GROUP BY 1),
+              qv AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+              r AS (SELECT n.event_type, qv.q,
+                           least(n.n, greatest(1,
+                             CAST(ceil(qv.q * n.n) AS BIGINT))) AS rk
+                    FROM n CROSS JOIN qv),
+              cum AS (SELECT event_type, b,
+                             sum(c) OVER (PARTITION BY event_type
+                                          ORDER BY b) AS cum
+                      FROM h),
+              pick AS (SELECT r.event_type, r.q, min(cum.b) AS b
+                       FROM r JOIN cum
+                         ON cum.event_type = r.event_type
+                        AND cum.cum >= r.rk
+                       GROUP BY 1, 2)
+         SELECT event_type, q, round(0.0 + (b + 0.5) * 2.0, 6) AS est
+         FROM pick ORDER BY event_type, q""",
 
     // streaming replay of the same sweep: the RESULT is exact, so all
     // three decontamination paths share one oracle

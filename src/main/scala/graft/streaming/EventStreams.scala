@@ -236,6 +236,67 @@ object EventStreams {
       }.toDF()
   }
 
+  /** Per-key histogram sketch state: rows seen + fixed bucket counts. */
+  final case class QuantState(n: Long, hist: Array[Long])
+
+  /** One quantile estimate emission; `processed` is the rows-seen
+    * watermark that makes "keep the last row per (key, q)" a
+    * deterministic, batch-split-invariant finalization. */
+  final case class QuantEst(key: String, processed: Long, q: Double,
+                            est: Double)
+
+  /** Streaming per-key quantile estimates from a fixed equi-width
+    * histogram sketch — the mergeable-summary shape (a KLL/t-digest
+    * sibling with deterministic, engine-replayable arithmetic): state
+    * is `buckets` longs per key regardless of stream length, inserts
+    * are O(1), and the estimate for quantile q is the midpoint of the
+    * first bucket whose cumulative count reaches ceil(q·n). Each
+    * micro-batch emits the CURRENT estimates stamped with the rows-seen
+    * count; the final row per key (max processed = total rows) is
+    * independent of how the stream was batched, so the stateless
+    * keep-last finalization lands on exactly the batch-histogram
+    * answer — which is what the oracle recomputes. Out-of-range values
+    * clamp into the edge buckets. Pick `lo/hi/buckets` so `width` is a
+    * power of two and every bucket edge / midpoint is an exact double
+    * (the gate uses [0, 512) × 256 → width 2.0). */
+  def quantileStream(events: DataFrame, keyCol: String, valCol: String,
+                     lo: Double, hi: Double, buckets: Int,
+                     qs: Seq[Double]): DataFrame = {
+    require(buckets > 0 && hi > lo, "need a positive bucket grid")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val width = (hi - lo) / buckets
+    val typed = events.select(col(keyCol).cast("string").as("_k"),
+        col(valCol).cast("double").as("_v"))
+      .as[(String, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[QuantState, QuantEst](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          val st = state.getOption
+            .getOrElse(QuantState(0L, new Array[Long](buckets)))
+          var n = st.n
+          val hist = st.hist.clone()
+          rows.foreach { case (_, v) =>
+            val b = math.min(buckets - 1,
+              math.max(0, math.floor((v - lo) / width).toInt))
+            hist(b) += 1
+            n += 1
+          }
+          state.update(QuantState(n, hist))
+          qs.iterator.map { q =>
+            val rank = math.min(n, math.max(1L, math.ceil(q * n).toLong))
+            var cum = 0L
+            var b = 0
+            while (b < buckets - 1 && cum + hist(b) < rank) {
+              cum += hist(b); b += 1
+            }
+            QuantEst(key, n, q, lo + (b + 0.5) * width)
+          }
+      }.toDF()
+  }
+
   /** Last seen event per entity, carried across micro-batches. */
   final case class LastEvent(t: String, o: Long)
 

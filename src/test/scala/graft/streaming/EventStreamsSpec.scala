@@ -307,6 +307,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(raw == Seq((1L, 2L, 0)))
   }
 
+  test("quantileStream: histogram state merges across batches; keep-last equals batch histogram") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val df = mem.toDF().toDF("k", "v")
+    val out = EventStreams.quantileStream(df, "k", "v",
+        lo = 0.0, hi = 16.0, buckets = 8, qs = Seq(0.5, 1.0))
+      .writeStream.format("memory").queryName("quant_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 1.0), ("a", 3.0), ("a", 5.0))
+      out.processAllAvailable()
+      // second batch shifts the median bucket; also clamps out-of-range
+      mem.addData(("a", 13.0), ("a", 99.0))
+      out.processAllAvailable()
+      val fin = spark.table("quant_sink")
+        .as[(String, Long, Double, Double)].collect()
+        .groupBy(t => (t._1, t._3))
+        .map { case (kq, rows) => kq -> rows.maxBy(_._2)._4 }
+      // final histogram of a: buckets {0:[1,3→wait width 2: 1.0→b0, 3.0→b1, 5.0→b2, 13.0→b6, 99→clamp b7}
+      // n=5: q=0.5 → rank 3 → cum 1,2,3 at b2 → est 5.0; q=1.0 → rank 5 → b7 → est 15.0
+      assert(fin(("a", 0.5)) == 5.0)
+      assert(fin(("a", 1.0)) == 15.0)
+      // intermediate (batch-1) emission exists with processed=3
+      assert(spark.table("quant_sink")
+        .filter($"processed" === 3 && $"q" === 0.5).count() == 1)
+    } finally out.stop()
+  }
+
   test("decontaminateStream flags streamed docs against the static eval set") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val evalDocs = Seq((100L, "alpha beta gamma delta epsilon"))
