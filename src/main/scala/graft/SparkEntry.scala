@@ -2313,6 +2313,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_stream_enrich" -> ((s, dir) => {
+      // streaming dimension enrichment: the event stream joins a
+      // broadcast slowly-changing dim reduced to latest-version-per-key
+      // (EventStreams.enrichLatest — zero added stage boundaries on the
+      // stream side); revenue = value × multiplier, types absent from
+      // the dim fall back to 1.0. The oracle replays the same literal
+      // dim, latest-version reduction, and decimal-exact aggregation.
+      val st = Tables.stream(s, dir, "events",
+        "event_id", "event_type", "value")
+      import s.implicits._
+      val dim = Seq(
+        ("view", 1L, 0.5), ("view", 2L, 1.5),
+        ("click", 1L, 2.0),
+        ("purchase", 3L, 3.0), ("purchase", 1L, 9.9))
+        .toDF("event_type", "ver", "mult")
+      val sink = s"x_stream_enrich_${streamSinkId.incrementAndGet()}"
+      val q = graft.streaming.EventStreams
+        .enrichLatest(st, dim, Seq("event_type"), versionTs = Some("ver"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_enrich: stream did not drain within 300s")
+      }
+      s.table(sink)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("value") * coalesce(col("mult"), lit(1.0)))
+            .cast("decimal(18,4)")).as("_rev"))
+        .select(col("event_type"), col("n_events"),
+          round(col("_rev").cast("double"), 6).as("revenue"))
+        .orderBy(col("event_type"))
+    }),
+
     "x_stream_quantiles" -> ((s, dir) => {
       // REAL streaming quantile estimation: per event type, a fixed
       // 256-bucket histogram sketch (bounded mergeable state) carried
@@ -2508,6 +2545,21 @@ object SparkEntry {
       val uni = LanguageModel.unigramCounts(docs, "text")
       val bi = LanguageModel.bigramCounts(docs, "text")
       LanguageModel.scoreStupidBackoff(docs, "doc_id", "text", uni, bi)
+        .orderBy(col("doc_id"))
+    }),
+
+    "x_lm_heldout" -> ((s, dir) => {
+      // train/score separation: the LM trains on the training split
+      // (doc_id % 50 <> 0) and scores the HELD-OUT split — the actual
+      // perplexity-filter deployment shape (score new data under a
+      // frozen model). Unseen bigrams/backoffs exercise the alpha path
+      // against counts the scored docs never contributed to.
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      val held = docs.filter(col("doc_id") % 50 === 0)
+      val uni = LanguageModel.unigramCounts(train, "text")
+      val bi = LanguageModel.bigramCounts(train, "text")
+      LanguageModel.scoreStupidBackoff(held, "doc_id", "text", uni, bi)
         .orderBy(col("doc_id"))
     }),
 
@@ -5112,6 +5164,26 @@ object SparkEntry {
          WHERE ${hexValSql("md5(CAST(d.doc_id AS VARCHAR))")} < r.thr
          ORDER BY d.doc_id""",
 
+    // same literal dim as VALUES, latest version per key via a
+    // row_number window, per-row double multiply then DECIMAL-exact sum
+    "x_stream_enrich" ->
+      """WITH dim(event_type, ver, mult) AS (VALUES
+                ('view', 1, 0.5), ('view', 2, 1.5),
+                ('click', 1, 2.0),
+                ('purchase', 3, 3.0), ('purchase', 1, 9.9)),
+              latest AS (SELECT event_type, mult FROM (
+                           SELECT *, row_number() OVER (
+                             PARTITION BY event_type
+                             ORDER BY ver DESC) AS rn
+                           FROM dim)
+                         WHERE rn = 1)
+         SELECT e.event_type, count(*) AS n_events,
+                round(CAST(sum(CAST(e.value *
+                  coalesce(CAST(l.mult AS DOUBLE), 1.0)
+                  AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
+         FROM events e LEFT JOIN latest l ON l.event_type = e.event_type
+         GROUP BY 1 ORDER BY 1""",
+
     // full-histogram replay: exact-double bucket grid (width 2.0), rank
     // = clamped ceil(q·n), estimate = midpoint of the first bucket whose
     // cumulative count reaches the rank — all integer counts plus exact
@@ -5578,6 +5650,46 @@ object SparkEntry {
                 CAST(CASE WHEN sum((bkt * 2654435761) % 2001 - 1000) >= 0
                      THEN 1 ELSE 0 END AS INT) AS keep
          FROM b GROUP BY doc_id ORDER BY doc_id""",
+
+    // train on %50<>0, score %50=0 under the frozen counts; bigrams
+    // with out-of-vocab endpoints drop on BOTH sides (inner vocab
+    // joins) — the deployment-shape held-out replay of x_lm_bigram
+    "x_lm_heldout" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+                    FROM documents),
+              t AS (SELECT doc_id, unnest(l) AS tok,
+                           generate_subscripts(l, 1) AS pos
+                    FROM d),
+              ttr AS (SELECT * FROM t WHERE doc_id % 50 <> 0),
+              btr AS (SELECT doc_id, w1, w2 FROM (
+                        SELECT doc_id, tok AS w1,
+                               lead(tok) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) AS w2
+                        FROM ttr)
+                      WHERE w2 IS NOT NULL),
+              bc AS (SELECT w1, w2, count(*) AS c12 FROM btr GROUP BY 1, 2),
+              uc AS (SELECT tok AS w, count(*) AS c1 FROM ttr GROUP BY 1),
+              tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM ttr),
+              th AS (SELECT * FROM t WHERE doc_id % 50 = 0),
+              bh AS (SELECT doc_id, w1, w2 FROM (
+                       SELECT doc_id, tok AS w1,
+                              lead(tok) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS w2
+                       FROM th)
+                     WHERE w2 IS NOT NULL),
+              lp AS (SELECT s.doc_id,
+                            CAST(round(CASE WHEN bc.c12 IS NOT NULL
+                                 THEN ln(CAST(bc.c12 AS DOUBLE) / u1.c1)
+                                 ELSE ln(CAST(0.4 AS DOUBLE) * u2.c1 / tot.t)
+                                 END, 6) AS DECIMAL(18,6)) AS lp
+                     FROM bh s
+                     LEFT JOIN bc ON bc.w1 = s.w1 AND bc.w2 = s.w2
+                     JOIN uc u1 ON u1.w = s.w1
+                     JOIN uc u2 ON u2.w = s.w2
+                     CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
 
     // full LM retrain + rescore in SQL: bigram/unigram counts, stupid
     // backoff ln(c12/c1) | ln(0.4*c1(w2)/T), per-bigram 6-dp DECIMAL
