@@ -2272,6 +2272,19 @@ object SparkEntry {
           k = 10)
         .orderBy(col("source"), col("doc_id"))),
 
+    "x_pipeline_curriculum" -> ((s, dir) =>
+      // training-order construction: short-first curriculum rank within
+      // each source, sources interleaved round-robin by the arithmetic
+      // order key — no global window (the global rank is the
+      // range-partitioned dense id; the rebase is a G-row agg).
+      Curriculum.interleave(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "doc_id", "source", Seq(col("n_chars").asc))
+        .select(col("doc_id"), col("source"), col("rank"),
+          col("order_key"))
+        .orderBy(col("order_key"), col("doc_id"))),
+
     "x_pipeline_temperature" -> ((s, dir) =>
       // temperature-flattened source mixture (α=1/2): per-source keep
       // rates from quantized √n shares — tail sources upsampled toward
@@ -5144,6 +5157,24 @@ object SparkEntry {
                              doc_id) AS rn
            FROM documents) t
          WHERE rn <= 10 ORDER BY source, doc_id""",
+
+    // per-source curriculum rank + round-robin arithmetic replayed with
+    // plain windows (the oracle may window; the engine must not)
+    "x_pipeline_curriculum" ->
+      """WITH r AS (SELECT doc_id, source,
+                           CAST(row_number() OVER (PARTITION BY source
+                             ORDER BY n_chars ASC, doc_id) AS BIGINT)
+                             AS rank
+                    FROM documents),
+              g AS (SELECT source,
+                           CAST(row_number() OVER (ORDER BY source)
+                             AS BIGINT) AS gidx
+                    FROM (SELECT DISTINCT source FROM documents)),
+              gc AS (SELECT CAST(count(*) AS BIGINT) AS gn FROM g)
+         SELECT r.doc_id, r.source, r.rank,
+                (r.rank - 1) * gc.gn + g.gidx - 1 AS order_key
+         FROM r JOIN g ON g.source = r.source CROSS JOIN gc
+         ORDER BY order_key, r.doc_id""",
 
     // rate replay: quantized √n (IEEE sqrt + one rounded multiply),
     // exact integer normalizer, threshold from one exact-ratio double
