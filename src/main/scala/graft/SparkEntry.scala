@@ -2735,6 +2735,15 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    "x_feature_dimstats" -> ((s, dir) =>
+      // feature-prep profile: per-dimension mean/std of the embedding
+      // corpus from exact integer moments (1e-6 quantization, DECIMAL
+      // sums, one well-defined decimal→double conversion) — the
+      // standardization / SQ-scale / PQ-balance input, deterministic on
+      // any engine or partition order.
+      Similarity.dimStats(t(s, dir, "embeddings"), "embedding")
+        .orderBy(col("dim"))),
+
     "x_sim_pq" -> ((s, dir) => {
       // product quantization + ADC (FAISS PQ shape): corpus vectors
       // live as 8-byte code words (32x compression at dim 64); the
@@ -5755,6 +5764,23 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_bigrams,
                 round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+
+    // exact integer moments: Σxm and Σxm² in HUGEINT, variance numerator
+    // n·Σx²−(Σx)² exact, one decimal→double conversion before the sqrt —
+    // the same integer-quantization device as the drift oracle
+    "x_feature_dimstats" ->
+      """WITH e AS (SELECT generate_subscripts(embedding, 1) AS dim,
+                           CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                             * 1000000) AS BIGINT) AS xm
+                    FROM embeddings),
+              a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                           sum(xm) AS s, sum(xm * xm) AS ss
+                    FROM e GROUP BY 1)
+         SELECT dim, n,
+                round(CAST(s AS DOUBLE) / (n * 1000000.0), 6) AS mean,
+                round(sqrt(CAST(ss * n - s * s AS DOUBLE))
+                  / (n * 1000000.0), 6) AS std
+         FROM a ORDER BY dim""",
 
     // same fixed evaluation order tf * ln(N/df) on both sides; the
     // (score DESC, term) tiebreak is the determinism contract

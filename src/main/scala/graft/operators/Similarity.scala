@@ -278,4 +278,32 @@ object Similarity {
       .select(col("anchor").as("id_a"), (-col("_negid")).as("id_b"),
         col("score"))
   }
+
+  /** Per-dimension mean/std over an embedding column — the feature-prep
+    * profile run before quantizer or k-means training (PQ subspace
+    * balance, SQ scale choice, standardization decisions). One
+    * combinable aggregation; components are 1e-6-quantized to integers
+    * first ([[IvfIndex.drift]]'s device), all moment arithmetic stays
+    * EXACT integer/decimal up to one final well-defined decimal→double
+    * conversion, so mean and std are bit-identical on any engine or
+    * partition order: std = √(n·Σx² − (Σx)²) / (n·10⁶). DECIMAL(38,0)
+    * sums — the long path would overflow Σx² near ~10⁵ rows × unit
+    * scale. Output (dim, n, mean, std), dims 1-based. */
+  def dimStats(emb: DataFrame, vecCol: String): DataFrame = {
+    val e = emb
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("_d0", "_x")))
+      .select((col("_d0") + 1).as("dim"),
+        round(col("_x") * 1e6).cast("decimal(38,0)").as("_xm"))
+    e.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_xm")).as("_s"),
+        sum(col("_xm") * col("_xm")).as("_ss"))
+      .select(col("dim"), col("n"),
+        round(col("_s").cast("double") / (col("n") * lit(1e6)), 6)
+          .as("mean"),
+        round(sqrt((col("_ss") * col("n") - col("_s") * col("_s"))
+            .cast("double")) / (col("n") * lit(1e6)), 6)
+          .as("std"))
+  }
 }

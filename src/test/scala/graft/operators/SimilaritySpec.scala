@@ -211,4 +211,21 @@ class SimilaritySpec extends SparkSpec {
       big.unpersist()
     }
   }
+
+  test("dimStats: exact integer moments match hand computation, partition-invariant") {
+    import spark.implicits._
+    // dim 1: values 1, 3 → mean 2, std = sqrt((2*10-16))/2e6... exact:
+    // xm = (1e6, 3e6); n=2; s=4e6; ss=1e13; n*ss - s*s = 4e12 → std 1.0
+    // dim 2: values 2, 2 → std 0
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimStats(emb, "embedding")
+      .orderBy("dim").as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1, 2L, 2.0, 1.0), (2, 2L, 2.0, 0.0)))
+    // repartitioning must not perturb a digit
+    val re = Similarity.dimStats(emb.repartition(7), "embedding")
+      .orderBy("dim").as[(Int, Long, Double, Double)].collect().toSeq
+    assert(re == got)
+  }
 }
