@@ -2894,7 +2894,19 @@ object SparkEntry {
               artifactBase(dir)),
             batchSize = 256),
           maxSide = 8)
-        .orderBy(col("media_id"))))
+        .orderBy(col("media_id"))),
+
+    "x_mm_audio_energy" -> ((s, dir) =>
+      // frame-level audio feature extraction (VAD/loudness profile):
+      // per 16-frame window, Σ|16-bit sample| over all channels as
+      // exact integer sums; the RIFF walk discovers fmt /data honestly,
+      // BMP rows drop. Oracle replays the signed-sample arithmetic from
+      // the artifact's bytes via dynamic hex positions.
+      Multimodal.audioFrameEnergy(
+          Multimodal.mediaTable(t(s, dir, "documents"), "doc_id", "text",
+            artifactBase(dir)),
+          windowFrames = 16)
+        .orderBy(col("media_id"), col("win"))))
 
   /** Unique memory-sink names for the streaming gate: Bench re-runs a
     * gate several times per process and memory sinks are per-name. */
@@ -6199,6 +6211,43 @@ object SparkEntry {
                  width, height
           FROM ($mmDecodedBody) d
           ORDER BY media_id, frame_idx""",
+
+    // dynamic hex-position byte reads: sample i's 16-bit LE word sits at
+    // 1-based bytes (45+2i, 46+2i) of the canonical payload; two's
+    // complement via the >= 32768 fold; windows by integer division
+    "x_mm_audio_energy" -> {
+      def bd(e: String) =
+        s"(strpos('0123456789ABCDEF', substr(h, 2 * ($e) - 1, 1)) * 16 + " +
+          s"strpos('0123456789ABCDEF', substr(h, 2 * ($e), 1)) - 17)"
+      def bl(i: Int) = bd(i.toString)
+      s"""WITH m AS (SELECT media_id, hex(content) AS h
+                     FROM read_parquet('__GRAFT_MEDIA__/*.parquet')
+                     WHERE substr(hex(content), 1, 8) = '52494646'),
+              w AS (SELECT media_id, h,
+                           (${bl(23)} + 256 * ${bl(24)}) AS channels,
+                           (${bl(41)} + 256 * ${bl(42)} +
+                            65536 * ${bl(43)} + 16777216 * ${bl(44)})
+                             AS data_size
+                    FROM m),
+              s AS (SELECT media_id, channels, h,
+                           unnest(generate_series(0,
+                             CAST(data_size // 2 - 1 AS BIGINT)))
+                             AS i
+                    FROM w),
+              v AS (SELECT media_id, channels, i,
+                           (${bd("45 + 2 * i")} +
+                            256 * ${bd("46 + 2 * i")}) AS raw
+                    FROM s),
+              e AS (SELECT media_id, (i // channels) // 16 AS win,
+                           CASE WHEN raw >= 32768 THEN raw - 65536
+                                ELSE raw END AS sv
+                    FROM v)
+         SELECT media_id, CAST(win AS BIGINT) AS win,
+                CAST(count(*) AS BIGINT) AS n_samples,
+                CAST(sum(abs(sv)) AS BIGINT) AS energy
+         FROM e GROUP BY 1, 2
+         ORDER BY media_id, win"""
+    },
 
     // floor() before the INT cast: DuckDB CAST(double AS INT) rounds,
     // Spark's .cast("int") truncates — floor aligns them (dims > 0)

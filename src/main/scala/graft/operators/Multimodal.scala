@@ -215,6 +215,61 @@ object Multimodal {
     * into `Similarity`/`Dedup` operators. The per-dim hash is the stub;
     * the schema, determinism, and normalization contract are what a real
     * encoder must satisfy. */
+  /** Per-window audio energy over 16-bit PCM WAV media — frame-level
+    * feature extraction (the VAD/loudness-profile shape): window w
+    * covers `windowFrames` frames across all channels, energy =
+    * Σ|sample| as exact integer arithmetic any byte-reading engine
+    * replays. The RIFF walk is honest (fmt /data chunks discovered,
+    * not assumed); non-WAV media rows drop. Row-local typed flatMap —
+    * embarrassingly parallel, output ∝ audio duration / window. */
+  def audioFrameEnergy(media: DataFrame, windowFrames: Int): DataFrame = {
+    require(windowFrames > 0, s"windowFrames must be positive: $windowFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, c) =>
+        def u8(i: Int) = c(i) & 0xFF
+        def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+        def le32(i: Int) =
+          u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+        if (c.length < 44 || c(0) != 'R' || c(1) != 'I' || c(2) != 'F' ||
+          c(3) != 'F') Iterator.empty
+        else {
+          var pos = 12
+          var channels = 1
+          var dataStart = -1
+          var dataSize = 0
+          while (pos + 8 <= c.length && dataStart < 0) {
+            val cc = new String(c, pos, 4, "US-ASCII")
+            val sz = le32(pos + 4)
+            if (cc == "fmt ") channels = le16(pos + 10)
+            if (cc == "data") {
+              dataStart = pos + 8
+              dataSize = math.min(sz, c.length - dataStart)
+            }
+            pos += 8 + sz + (sz & 1)
+          }
+          if (dataStart < 0 || channels <= 0) Iterator.empty
+          else {
+            val nSamp = dataSize / 2
+            val span = windowFrames * channels
+            val byWin = new scala.collection.mutable.LinkedHashMap[Long, (Long, Long)]
+            var i = 0
+            while (i < nSamp) {
+              val raw = le16(dataStart + 2 * i)
+              val sv = if (raw >= 32768) raw - 65536 else raw
+              val win = (i / span).toLong
+              val (n, e) = byWin.getOrElse(win, (0L, 0L))
+              byWin.update(win, (n + 1L, e + math.abs(sv)))
+              i += 1
+            }
+            byWin.iterator.map { case (win, (n, e)) => (id, win, n, e) }
+          }
+        }
+      }.toDF("media_id", "win", "n_samples", "energy")
+  }
+
   def featureExtract(media: DataFrame, dim: Int): DataFrame = {
     import org.apache.spark.sql.functions.{aggregate => agg_, _}
     val raw = transform(sequence(lit(0), lit(dim - 1)),

@@ -168,4 +168,33 @@ class MultimodalSpec extends SparkSpec {
       assert(perId(m.media_id) == (m.n_frames + 1) / 2)
     }
   }
+
+  test("audioFrameEnergy: signed windows match hand computation, BMP rows drop") {
+    import spark.implicits._
+    // minimal mono WAV: 5 frames of 16-bit PCM with known values,
+    // including a negative sample (0x8000 = -32768) and zero
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * samples.size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + 2 * samples.size)
+        .put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes).putInt(2 * samples.size)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    val media = Seq(
+      (1L, wav(Seq(100, -200, 300, -32768, 0))),
+      (2L, Multimodal.MediaGen.payload(2L, "bmp payload"))) // even id → BMP
+      .toDF("media_id", "content")
+    val got = Multimodal.audioFrameEnergy(media, windowFrames = 2)
+      .orderBy("media_id", "win")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 2L, 300L),     // |100| + |-200|
+      (1L, 1L, 2L, 33068L),   // |300| + 32768
+      (1L, 2L, 1L, 0L)))      // partial tail window
+  }
 }
