@@ -2896,6 +2896,16 @@ object SparkEntry {
           maxSide = 8)
         .orderBy(col("media_id"))),
 
+    "x_mm_image_stats" -> ((s, dir) =>
+      // image featurization: per-channel exact integer color sums over
+      // the BMP pixels, row padding skipped via the header's 4-byte
+      // stride; WAV rows drop. Oracle replays the pixel walk from the
+      // artifact's bytes with dynamic hex positions.
+      Multimodal.imageChannelStats(
+          Multimodal.mediaTable(t(s, dir, "documents"), "doc_id", "text",
+            artifactBase(dir)))
+        .orderBy(col("media_id"), col("channel"))),
+
     "x_mm_audio_energy" -> ((s, dir) =>
       // frame-level audio feature extraction (VAD/loudness profile):
       // per 16-frame window, Σ|16-bit sample| over all channels as
@@ -6211,6 +6221,44 @@ object SparkEntry {
                  width, height
           FROM ($mmDecodedBody) d
           ORDER BY media_id, frame_idx""",
+
+    // pixel (x,y) channel ch sits at 0-based byte off + y·stride + 3x +
+    // ch; the stride re-derives the writer's 4-byte row padding, and
+    // the series cross-join enumerates every pixel exactly once
+    "x_mm_image_stats" -> {
+      def bd(e: String) =
+        s"(strpos('0123456789ABCDEF', substr(h, 2 * ($e) - 1, 1)) * 16 + " +
+          s"strpos('0123456789ABCDEF', substr(h, 2 * ($e), 1)) - 17)"
+      def bl(i: Int) = bd(i.toString)
+      def le32(i: Int) = s"(${bl(i)} + 256 * ${bl(i + 1)} + " +
+        s"65536 * ${bl(i + 2)} + 16777216 * ${bl(i + 3)})"
+      s"""WITH m AS (SELECT media_id, hex(content) AS h
+                     FROM read_parquet('__GRAFT_MEDIA__/*.parquet')
+                     WHERE substr(hex(content), 1, 4) = '424D'),
+              d AS (SELECT media_id, h, ${le32(11)} AS off,
+                           ${le32(19)} AS wd, ${le32(23)} AS ht
+                    FROM m),
+              d2 AS (SELECT *, (3 * wd + 3) - ((3 * wd + 3) % 4) AS stride
+                     FROM d WHERE wd > 0 AND ht > 0),
+              yy AS (SELECT media_id, h, off, wd, stride,
+                            unnest(generate_series(0,
+                              CAST(ht - 1 AS BIGINT))) AS y
+                     FROM d2),
+              xx AS (SELECT media_id, h, off, stride, y,
+                            unnest(generate_series(0,
+                              CAST(wd - 1 AS BIGINT))) AS x
+                     FROM yy),
+              p AS (SELECT xx.media_id, cc.ch,
+                           ${bd("off + y * stride + 3 * x + cc.ch + 1")}
+                             AS v
+                    FROM xx CROSS JOIN
+                         (SELECT unnest([0, 1, 2]) AS ch) cc)
+         SELECT media_id, CAST(ch AS INT) AS channel,
+                CAST(count(*) AS BIGINT) AS n_pixels,
+                CAST(sum(v) AS BIGINT) AS sum_value
+         FROM p GROUP BY 1, 2
+         ORDER BY media_id, channel"""
+    },
 
     // dynamic hex-position byte reads: sample i's 16-bit LE word sits at
     // 1-based bytes (45+2i, 46+2i) of the canonical payload; two's

@@ -270,6 +270,51 @@ object Multimodal {
       }.toDF("media_id", "win", "n_samples", "energy")
   }
 
+  /** Per-channel color statistics over 24-bit BMP media — the image
+    * featurization sibling of [[audioFrameEnergy]] (mean-color /
+    * brightness profiling before dedup or quality filtering): per
+    * channel (B,G,R order as stored), Σvalue and the pixel count as
+    * exact integers. Honest header use: dims and the 4-byte row stride
+    * come from the DIB header, the pixel walk skips row padding. WAV
+    * rows drop. */
+  def imageChannelStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, c) =>
+        def u8(i: Int) = c(i) & 0xFF
+        def le32(i: Int) =
+          u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+        if (c.length < 54 || c(0) != 'B' || c(1) != 'M') Iterator.empty
+        else {
+          val off = le32(10)
+          val w = le32(18)
+          val h = le32(22)
+          val stride = (3 * w + 3) & ~3
+          if (w <= 0 || h <= 0 || off + stride * h > c.length) Iterator.empty
+          else {
+            val sums = new Array[Long](3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var ch = 0
+                while (ch < 3) {
+                  sums(ch) += u8(off + y * stride + 3 * x + ch)
+                  ch += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            (0 until 3).iterator.map(ch => (id, ch, n, sums(ch)))
+          }
+        }
+      }.toDF("media_id", "channel", "n_pixels", "sum_value")
+  }
+
   def featureExtract(media: DataFrame, dim: Int): DataFrame = {
     import org.apache.spark.sql.functions.{aggregate => agg_, _}
     val raw = transform(sequence(lit(0), lit(dim - 1)),

@@ -197,4 +197,32 @@ class MultimodalSpec extends SparkSpec {
       (1L, 1L, 2L, 33068L),   // |300| + 32768
       (1L, 2L, 1L, 0L)))      // partial tail window
   }
+
+  test("imageChannelStats: pixel walk skips row padding, WAV rows drop") {
+    import spark.implicits._
+    // 1x2 24-bit BMP: stride 4 -> one pad byte per row that must NOT
+    // contribute. Rows bottom-up: (B,G,R, pad) per row.
+    val w = 1; val h = 2; val stride = 4
+    val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + stride * h).putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    bb.put(Array[Byte](10, 20, 30, 99.toByte)) // row 0 + poison pad
+    bb.put(Array[Byte](1, 2, 3, 77.toByte))    // row 1 + poison pad
+    val media = Seq(
+      (4L, bb.array()),
+      (5L, Multimodal.MediaGen.payload(5L, "wav payload"))) // odd id → WAV
+      .toDF("media_id", "content")
+    val got = Multimodal.imageChannelStats(media)
+      .orderBy("media_id", "channel")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (4L, 0, 2L, 11L),  // B: 10 + 1
+      (4L, 1, 2L, 22L),  // G: 20 + 2
+      (4L, 2, 2L, 33L))) // R: 30 + 3
+  }
 }
