@@ -2326,6 +2326,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_ts_trending" -> ((s, dir) => {
+      // daily trending top-3 event types: day-grain counts (one keyed
+      // agg), then the k-bounded GroupTopK aggregate per day — a map
+      // task ships ≤3 entries per day regardless of type cardinality,
+      // never a window over the daily×type table. Ties break lexically
+      // via the negated dictionary id (score desc, id desc ⇒ smallest
+      // type index). The tiny rank window runs over ≤3 rows per day.
+      val daily = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("n"))
+      val types = daily.select(col("event_type")).distinct()
+        .withColumn("_tid", row_number()
+          .over(Window.orderBy(col("event_type"))).cast("long"))
+      val top = GroupTopK.topKPerGroup(
+        daily.join(broadcast(types), "event_type")
+          .select(col("day"), col("n").cast("double").as("_score"),
+            (-col("_tid")).as("_nid")),
+        Seq("day"), "_score", "_nid", 3)
+      val w2 = Window.partitionBy(col("day"))
+        .orderBy(col("_score").desc, col("_nid").desc)
+      top.withColumn("rnk", row_number().over(w2))
+        .join(broadcast(types.withColumn("_nid", -col("_tid"))), "_nid")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("rnk"), col("event_type"), col("_score").cast("long").as("n"))
+        .orderBy(col("day"), col("rnk"))
+    }),
+
     "x_stream_enrich" -> ((s, dir) => {
       // streaming dimension enrichment: the event stream joins a
       // broadcast slowly-changing dim reduced to latest-version-per-key
@@ -2545,6 +2572,32 @@ object SparkEntry {
       QualityModel.scoreLinear(t(s, dir, "documents"), "doc_id", "text",
           QualityModel.hashWeights(64))
         .orderBy(col("doc_id"))),
+
+    "x_text_subwords" -> ((s, dir) => {
+      // subword vocab induction (the candidate-scoring step before
+      // tokenizer training): every substring of length 2..6 scored by
+      // corpus occurrences × length, top-50. AGGREGATE-FIRST: the
+      // corpus collapses to vocab-sized word counts before any
+      // substring generation, so the explode is over the dictionary,
+      // not the token stream; the cut is TakeOrdered, never a global
+      // sort. The empty-guard matters: Spark's sequence(1, 0) counts
+      // DOWN, so short words route through an explicit empty array.
+      val wc = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      wc.select(col("c"),
+          explode(flatten(transform(sequence(lit(2), lit(6)), l =>
+            transform(
+              when(length(col("w")) >= l,
+                sequence(lit(1), length(col("w")) - l + 1))
+                .otherwise(array().cast("array<int>")),
+              i => col("w").substr(i, l))))).as("s"))
+        .groupBy(col("s")).agg(sum(col("c")).as("occ"))
+        .select(col("s").as("subword"), col("occ"),
+          (col("occ") * length(col("s"))).as("score"))
+        .orderBy(col("score").desc, col("subword"))
+        .limit(50)
+    }),
 
     "x_lm_bigram" -> ((s, dir) => {
       // corpus bigram LM + stupid-backoff document scoring (the CCNet /
@@ -5226,6 +5279,19 @@ object SparkEntry {
          WHERE ${hexValSql("md5(CAST(d.doc_id AS VARCHAR))")} < r.thr
          ORDER BY d.doc_id""",
 
+    // rank replay with a plain window (the oracle may window; the
+    // engine's k-bounded aggregate must land on the same rows)
+    "x_ts_trending" ->
+      """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                               event_type, CAST(count(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+              r AS (SELECT *, row_number() OVER (PARTITION BY day
+                      ORDER BY n DESC, event_type ASC) AS rnk
+                    FROM daily)
+         SELECT strftime(day, '%Y-%m-%d') AS day, CAST(rnk AS INT) AS rnk,
+                event_type, n
+         FROM r WHERE rnk <= 3 ORDER BY day, rnk""",
+
     // same literal dim as VALUES, latest version per key via a
     // row_number window, per-row double multiply then DECIMAL-exact sum
     "x_stream_enrich" ->
@@ -5696,6 +5762,25 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY lang
            ORDER BY n DESC, tok) <= 5
          ORDER BY lang, n DESC, tok""",
+
+    // dictionary-sized substring enumeration (list_transform over the
+    // word-count table), occurrence-weighted sums, (score, subword) cut
+    "x_text_subwords" ->
+      """WITH wc AS (SELECT w, count(*) AS c FROM (
+                       SELECT unnest(string_split(lower(text), ' ')) AS w
+                       FROM documents)
+                     GROUP BY 1),
+              subs AS (SELECT unnest(list_transform(
+                                generate_series(1,
+                                  greatest(len(w) - l + 1, 0)),
+                                i -> substr(w, i, l))) AS s,
+                              c
+                       FROM wc CROSS JOIN
+                            (SELECT unnest([2, 3, 4, 5, 6]) AS l) ll)
+         SELECT s AS subword, CAST(sum(c) AS BIGINT) AS occ,
+                CAST(sum(c) * len(s) AS BIGINT) AS score
+         FROM subs GROUP BY s
+         ORDER BY score DESC, subword LIMIT 50""",
 
     // weight table re-derived arithmetically ((b*2654435761) % 2001 -
     // 1000), bucketing replayed via the same md5₃₂ — exact integer sums
