@@ -2573,6 +2573,15 @@ object SparkEntry {
           QualityModel.hashWeights(64))
         .orderBy(col("doc_id"))),
 
+    "x_text_bpe" -> ((s, dir) =>
+      // BPE merge training, 6 rounds: per round one dictionary-sized
+      // pair-count aggregate + a single-row driver argmax + a
+      // scan-stage merge replace (two-space separator invariant makes
+      // string replace == reference BPE). The oracle RETRAINS all six
+      // rounds as unrolled SQL levels over the same state algebra.
+      Bpe.trainMerges(t(s, dir, "documents"), "text", k = 6)
+        .orderBy(col("rank"))),
+
     "x_text_subwords" -> ((s, dir) => {
       // subword vocab induction (the candidate-scoring step before
       // tokenizer training): every substring of length 2..6 scored by
@@ -3429,6 +3438,45 @@ object SparkEntry {
   /** Header-parse replay over the media artifact, shared by the decode
     * and frame-sampling oracles: one row per media with the decoded
     * metadata columns (no ORDER BY — callers wrap it). */
+  /** Unrolled BPE retraining SQL: state st0 spells each dictionary word
+    * with the engine's two-space separator invariant; level r derives
+    * pair counts (lead window per word), the (n DESC, a, b) argmax, and
+    * the next state via the identical boundary-preserving replace. */
+  private def bpeOracleSql(k: Int): String = {
+    val levels = (1 to k).map { r =>
+      s"""tk$r AS (SELECT w, c,
+                        unnest(string_split(trim(s), '  ')) AS t,
+                        generate_subscripts(string_split(trim(s), '  '), 1)
+                          AS pos
+                 FROM st${r - 1}),
+        pr$r AS (SELECT a, b, sum(c) AS n FROM (
+                   SELECT w, c, t AS a,
+                          lead(t) OVER (PARTITION BY w ORDER BY pos) AS b
+                   FROM tk$r)
+                 WHERE b IS NOT NULL GROUP BY 1, 2),
+        m$r AS (SELECT a, b, n FROM pr$r ORDER BY n DESC, a, b LIMIT 1),
+        st$r AS (SELECT w, c,
+                        replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                                ' ' || m.a || m.b || ' ') AS s
+                 FROM st${r - 1} CROSS JOIN m$r m)"""
+    }.mkString(",\n        ")
+    val out = (1 to k).map { r =>
+      s"""SELECT $r AS rank, a AS lhs, b AS rhs, a || b AS merged,
+                 CAST(n AS BIGINT) AS pair_count FROM m$r"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH wc AS (SELECT w, count(*) AS c FROM (
+                      SELECT unnest(string_split(lower(text), ' ')) AS w
+                      FROM documents)
+                    WHERE len(w) > 0 GROUP BY 1),
+        st0 AS (SELECT w, c,
+                       '  ' || array_to_string(list_transform(
+                         generate_series(1, len(w)),
+                         i -> substr(w, i, 1)), '  ') || '  ' AS s
+                FROM wc),
+        $levels
+       SELECT * FROM ($out) ORDER BY rank"""
+  }
+
   private def mmDecodedBody: String = {
     // byte i (1-indexed) of the blob as an integer, from its hex pair:
     // (hi-1)*16 + (lo-1) with strpos's 1-based answers folded into -17
@@ -5762,6 +5810,11 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY lang
            ORDER BY n DESC, tok) <= 5
          ORDER BY lang, n DESC, tok""",
+
+    // the oracle RETRAINS: k unrolled levels, each = pair counts via a
+    // lead window over the split state, (n DESC, a, b) argmax, and the
+    // same two-space-invariant replace the engine applies
+    "x_text_bpe" -> bpeOracleSql(6),
 
     // dictionary-sized substring enumeration (list_transform over the
     // word-count table), occurrence-weighted sums, (score, subword) cut
