@@ -2582,6 +2582,36 @@ object SparkEntry {
       Bpe.trainMerges(t(s, dir, "documents"), "text", k = 6)
         .orderBy(col("rank"))),
 
+    "x_text_bpe_apply" -> ((s, dir) => {
+      // train-then-tokenize: the 6-round merge table applies to the
+      // DISTINCT word dictionary as one chained scan-stage expression
+      // (zero shuffles for tokenization itself), docs join the
+      // tokenized dictionary and reassemble in word order. The oracle
+      // retrains and reads each word's tokenization off the final
+      // training state.
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.trainMerges(docs, "text", k = 6)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val words = docs
+        .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+      val tokenized = Bpe.tokenizeWords(words, merges)
+      docs.select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ", -1))
+            .as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+        .join(tokenized, "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(size(col("toks"))).as("n_tokens"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("toks")))),
+              e => array_join(e.getField("toks"), "|")),
+            "|").as("tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x_text_subwords" -> ((s, dir) => {
       // subword vocab induction (the candidate-scoring step before
       // tokenizer training): every substring of length 2..6 scored by
@@ -3441,8 +3471,11 @@ object SparkEntry {
   /** Unrolled BPE retraining SQL: state st0 spells each dictionary word
     * with the engine's two-space separator invariant; level r derives
     * pair counts (lead window per word), the (n DESC, a, b) argmax, and
-    * the next state via the identical boundary-preserving replace. */
-  private def bpeOracleSql(k: Int): String = {
+    * the next state via the identical boundary-preserving replace.
+    * [[bpeLevelsSql]] is the shared WITH-body; the train gate reads the
+    * merge rows m1..mk, the apply gate reads the FINAL state stk (a
+    * word's tokenization IS its state after k merges). */
+  private def bpeLevelsSql(k: Int): String = {
     val levels = (1 to k).map { r =>
       s"""tk$r AS (SELECT w, c,
                         unnest(string_split(trim(s), '  ')) AS t,
@@ -3460,11 +3493,7 @@ object SparkEntry {
                                 ' ' || m.a || m.b || ' ') AS s
                  FROM st${r - 1} CROSS JOIN m$r m)"""
     }.mkString(",\n        ")
-    val out = (1 to k).map { r =>
-      s"""SELECT $r AS rank, a AS lhs, b AS rhs, a || b AS merged,
-                 CAST(n AS BIGINT) AS pair_count FROM m$r"""
-    }.mkString("\n         UNION ALL ")
-    s"""WITH wc AS (SELECT w, count(*) AS c FROM (
+    s"""wc AS (SELECT w, count(*) AS c FROM (
                       SELECT unnest(string_split(lower(text), ' ')) AS w
                       FROM documents)
                     WHERE len(w) > 0 GROUP BY 1),
@@ -3473,9 +3502,36 @@ object SparkEntry {
                          generate_series(1, len(w)),
                          i -> substr(w, i, 1)), '  ') || '  ' AS s
                 FROM wc),
-        $levels
+        $levels"""
+  }
+
+  private def bpeOracleSql(k: Int): String = {
+    val out = (1 to k).map { r =>
+      s"""SELECT $r AS rank, a AS lhs, b AS rhs, a || b AS merged,
+                 CAST(n AS BIGINT) AS pair_count FROM m$r"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH ${bpeLevelsSql(k)}
        SELECT * FROM ($out) ORDER BY rank"""
   }
+
+  /** The apply oracle: a word's tokenization is its final training
+    * state; doc tokens re-assemble in word order via string_agg. */
+  private def bpeApplyOracleSql(k: Int): String =
+    s"""WITH ${bpeLevelsSql(k)},
+        tok AS (SELECT w, replace(trim(s), '  ', '|') AS wtok,
+                       len(string_split(trim(s), '  ')) AS ntok
+                FROM st$k),
+        dw AS (SELECT doc_id, w, pos FROM (
+                 SELECT doc_id,
+                        unnest(string_split(lower(text), ' ')) AS w,
+                        generate_subscripts(
+                          string_split(lower(text), ' '), 1) AS pos
+                 FROM documents)
+               WHERE len(w) > 0)
+       SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+              string_agg(wtok, '|' ORDER BY pos) AS tokens
+       FROM dw JOIN tok USING (w)
+       GROUP BY doc_id ORDER BY doc_id"""
 
   private def mmDecodedBody: String = {
     // byte i (1-indexed) of the blob as an integer, from its hex pair:
@@ -5815,6 +5871,10 @@ object SparkEntry {
     // lead window over the split state, (n DESC, a, b) argmax, and the
     // same two-space-invariant replace the engine applies
     "x_text_bpe" -> bpeOracleSql(6),
+
+    // retrain + read tokenizations off the final state; reassembly in
+    // word order via ordered string_agg
+    "x_text_bpe_apply" -> bpeApplyOracleSql(6),
 
     // dictionary-sized substring enumeration (list_transform over the
     // word-count table), occurrence-weighted sums, (score, subword) cut

@@ -74,4 +74,25 @@ object Bpe {
       .select(col("rank"), col("lhs"), col("rhs"), col("merged"),
         col("pair_count"))
   }
+
+  /** Apply a trained merge list to a one-column word frame (`w`),
+    * adding `toks` (the word's BPE tokens, in order). The k replaces
+    * chain as ONE scan-stage expression — zero shuffles; tokenizing the
+    * DISTINCT word dictionary once and joining back (rather than
+    * re-deriving per occurrence) is the aggregate-first deployment
+    * shape. Same separator algebra as [[trainMerges]], so
+    * train-then-apply composes exactly. */
+  def tokenizeWords(words: DataFrame,
+                    merges: Seq[(String, String)]): DataFrame = {
+    merges.foreach { case (a, b) =>
+      require((a + b).matches("[\\p{Alnum}]+"),
+        s"non-alphanumeric symbol in merge: '$a'+'$b'")
+    }
+    val st0 = concat(lit("  "), array_join(split(col("w"), ""), "  "),
+      lit("  "))
+    val fin = merges.foldLeft(st0) { case (s, (a, b)) =>
+      call_function("replace", s, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    words.withColumn("toks", split(trim(fin), "  "))
+  }
 }

@@ -31,6 +31,23 @@ class BpeSpec extends SparkSpec {
       (2, "aa", "a", "aaa", 1L)))
   }
 
+  test("tokenizeWords applies the trained merges in rank order") {
+    val docs = Seq((1L, "abab abab abab ab ab ba")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("a", "b"), ("ab", "ab")))
+    val words = Seq("abab", "ab", "ba", "aabba").toDF("w")
+    val got = Bpe.tokenizeWords(words, merges)
+      .select(col("w"), col("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("abab") == Seq("abab")) // both merges chain
+    assert(got("ab") == Seq("ab"))
+    assert(got("ba") == Seq("b", "a")) // (b,a) never merged
+    // unseen word: merges apply where they fit, rest stays chars
+    assert(got("aabba") == Seq("a", "ab", "b", "a"))
+  }
+
   test("ties break on (lhs, rhs) lexically; training stops when no pairs remain") {
     // "ba" x1 and "dc" x1: both pairs count 1 → (b,a) beats (d,c)
     val docs = Seq((1L, "ba dc")).toDF("doc_id", "text")
