@@ -2028,6 +2028,24 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x_graph_components" -> ((s, dir) => {
+      // duplicate-cluster size distribution — the inventory report a
+      // dedup pass publishes (how much of the corpus is singleton vs
+      // templated): component labels from the artifact-served pair
+      // graph, then two label-grain aggregations (comp → size →
+      // histogram). Nothing corpus-sized past the first agg.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.pairTable(docs, "doc_id", "text",
+        artifactBase(dir), n = 3, numHashes = 64, bands = 32,
+        threshold = 0.5, maxBlock = 1000)
+      Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")),
+          pairs.select("id_a", "id_b"))
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    }),
+
     "x_pipeline_split_leakfree" -> ((s, dir) => {
       // leakage-free held-out split: the split key is the near-dup
       // CLUSTER label, not the document — a near-duplicate pair can
@@ -5679,6 +5697,17 @@ object SparkEntry {
     // split the doc-keyed splitter uses — keyed on comp, so a duplicate
     // pair can never straddle the split on either engine
     "x_pipeline_split_leakfree" -> leakfreeSplitOracleSql,
+
+    // same recursive label replay, rolled up to the size histogram
+    "x_graph_components" -> clusterOracleSql.replace(
+      """SELECT src AS id, min(dst) AS comp FROM reach
+         GROUP BY src ORDER BY id""",
+      """, comp AS (SELECT src AS id, min(dst) AS comp FROM reach
+                    GROUP BY src)
+         SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM (
+           SELECT comp, CAST(count(*) AS BIGINT) AS sz
+           FROM comp GROUP BY comp)
+         GROUP BY sz ORDER BY sz"""),
 
     // incremental refresh must land on the identical full-corpus answer
     "x_dedup_cluster_incr" -> clusterOracleSql,
