@@ -2344,6 +2344,51 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_clean_winsorize" -> ((s, dir) => {
+      // measure cleaning: per event type, clamp value into its
+      // [p05, p95] band before aggregation — outlier damping without
+      // dropping rows. Percentile bounds come from the exact-dyadic
+      // 256-bucket histogram (the x_stream_quantiles grid, width 2.0),
+      // so bounds and clamps are deterministic doubles on any engine;
+      // the winsorized mean aggregates as DECIMAL (exact,
+      // order-independent). The rank window runs over ≤256 bucket rows
+      // per type, never the fact table.
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val bkt = least(greatest(floor(col("value") / 2.0).cast("int"),
+        lit(0)), lit(255))
+      val hist = ev.groupBy(col("event_type"), bkt.as("b"))
+        .agg(count(lit(1)).as("c"))
+      val n = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+      val wcum = Window.partitionBy(col("event_type")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(wcum))
+        .join(n, "event_type")
+      def rank(q: Double) =
+        least(col("n"), greatest(lit(1L),
+          ceil(lit(q) * col("n")).cast("long")))
+      val bounds = cum.groupBy(col("event_type")).agg(
+          min(when(col("cum") >= rank(0.05), col("b"))).as("_b05"),
+          min(when(col("cum") >= rank(0.95), col("b"))).as("_b95"))
+        .select(col("event_type"),
+          ((col("_b05") + 0.5) * 2.0).as("lo"),
+          ((col("_b95") + 0.5) * 2.0).as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L))
+            .as("n_low"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L))
+            .as("n_high"),
+          sum(least(greatest(col("value"), col("lo")), col("hi"))
+            .cast("decimal(18,4)")).as("_sw"),
+          count(lit(1)).as("_n"))
+        .select(col("event_type"), col("lo"), col("hi"), col("n_low"),
+          col("n_high"),
+          round(col("_sw").cast("double") / col("_n"), 6)
+            .as("mean_winsorized"))
+        .orderBy(col("event_type"))
+    }),
+
     "x_ts_trending" -> ((s, dir) => {
       // daily trending top-3 event types: day-grain counts (one keyed
       // agg), then the k-bounded GroupTopK aggregate per day — a map
@@ -5400,6 +5445,40 @@ object SparkEntry {
          FROM documents d JOIN r ON r.source = d.source
          WHERE ${hexValSql("md5(CAST(d.doc_id AS VARCHAR))")} < r.thr
          ORDER BY d.doc_id""",
+
+    // histogram bounds (clamped ceil rank → first bucket reaching it,
+    // dyadic midpoints), strict-inequality clamp counts, DECIMAL mean
+    "x_clean_winsorize" ->
+      """WITH h AS (SELECT event_type,
+                           least(greatest(CAST(floor(value / 2.0) AS INT),
+                                          0), 255) AS b,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+              n AS (SELECT event_type, sum(c) AS n FROM h GROUP BY 1),
+              cum AS (SELECT h.event_type, h.b, n.n,
+                             sum(h.c) OVER (PARTITION BY h.event_type
+                                            ORDER BY h.b) AS cum
+                      FROM h JOIN n ON n.event_type = h.event_type),
+              bd AS (SELECT event_type,
+                            (min(CASE WHEN cum >= least(n, greatest(1,
+                               CAST(ceil(CAST(0.05 AS DOUBLE) * n)
+                                 AS BIGINT)))
+                               THEN b END) + 0.5) * 2.0 AS lo,
+                            (min(CASE WHEN cum >= least(n, greatest(1,
+                               CAST(ceil(CAST(0.95 AS DOUBLE) * n)
+                                 AS BIGINT)))
+                               THEN b END) + 0.5) * 2.0 AS hi
+                     FROM cum GROUP BY 1)
+         SELECT e.event_type, bd.lo, bd.hi,
+                CAST(sum(CASE WHEN e.value < bd.lo THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_low,
+                CAST(sum(CASE WHEN e.value > bd.hi THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_high,
+                round(CAST(sum(CAST(least(greatest(e.value, bd.lo), bd.hi)
+                  AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)
+                  AS mean_winsorized
+         FROM events e JOIN bd ON bd.event_type = e.event_type
+         GROUP BY 1, 2, 3 ORDER BY e.event_type""",
 
     // rank replay with a plain window (the oracle may window; the
     // engine's k-bounded aggregate must land on the same rows)
