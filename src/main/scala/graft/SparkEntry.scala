@@ -2344,6 +2344,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_clean_robust_z" -> ((s, dir) => {
+      // robust outlier flagging (median/MAD — immune to the outliers it
+      // hunts, unlike the z-score a24 uses): per type, med and MAD via
+      // exact sort-based percentile over BOUNDED type-grain groups
+      // (a31's caveat applies — the unbounded path is a22's
+      // histogram-guided selection), flag 0.6745·|v−med|/MAD > 3.5.
+      // p=0.5 only yields exact elements or dyadic midpoints, so med,
+      // MAD, and every flag are engine-deterministic.
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val d = ev.join(med, "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val mad = d.groupBy(col("event_type"))
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      d.join(mad, "event_type")
+        .groupBy(col("event_type"))
+        .agg(round(max(col("med")), 6).as("med"),
+          round(max(col("mad")), 6).as("mad"),
+          sum(when(lit(0.6745) * col("ad") / col("mad") > lit(3.5), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
     "x_clean_winsorize" -> ((s, dir) => {
       // measure cleaning: per event type, clamp value into its
       // [p05, p95] band before aggregation — outlier damping without
@@ -5445,6 +5469,25 @@ object SparkEntry {
          FROM documents d JOIN r ON r.source = d.source
          WHERE ${hexValSql("md5(CAST(d.doc_id AS VARCHAR))")} < r.thr
          ORDER BY d.doc_id""",
+
+    // quantile_cont replays percentile at p=0.5 (exact elements or
+    // dyadic midpoints — a31 precedent); flags share the identical
+    // double expression on both engines
+    "x_clean_robust_z" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                    FROM events GROUP BY 1),
+              d AS (SELECT e.event_type, e.value, m.med,
+                           abs(e.value - m.med) AS ad
+                    FROM events e JOIN m ON m.event_type = e.event_type),
+              md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+                     FROM d GROUP BY 1)
+         SELECT d.event_type, round(max(d.med), 6) AS med,
+                round(max(md.mad), 6) AS mad,
+                CAST(sum(CASE WHEN CAST(0.6745 AS DOUBLE) * d.ad / md.mad
+                               > CAST(3.5 AS DOUBLE)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM d JOIN md ON md.event_type = d.event_type
+         GROUP BY 1 ORDER BY 1""",
 
     // histogram bounds (clamped ceil rank → first bucket reaching it,
     // dyadic midpoints), strict-inequality clamp counts, DECIMAL mean
