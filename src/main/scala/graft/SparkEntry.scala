@@ -2344,6 +2344,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_events_session_conversion" -> ((s, dir) =>
+      // session-grain conversion: gap-merged sessions (the same
+      // session_window code path as the sessionize gates) reduced to a
+      // per-session converted flag IN the session aggregate (one
+      // shuffle keyed on (window, user)), then rolled up to day grain.
+      // The ratio divides two exact longs — deterministic double.
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "10 minutes").as("sess"),
+          col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("_conv"))
+        .select(to_date(col("sess.start")).as("day"), col("_conv"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("_conv")).cast("long").as("n_converting"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_sessions"), col("n_converting"),
+          round(col("n_converting") / col("n_sessions"), 6)
+            .as("conversion_rate"))
+        .orderBy(col("day"))),
+
     "x_clean_robust_z" -> ((s, dir) => {
       // robust outlier flagging (median/MAD — immune to the outliers it
       // hunts, unlike the z-score a24 uses): per type, med and MAD via
@@ -5469,6 +5490,33 @@ object SparkEntry {
          FROM documents d JOIN r ON r.source = d.source
          WHERE ${hexValSql("md5(CAST(d.doc_id AS VARCHAR))")} < r.thr
          ORDER BY d.doc_id""",
+
+    // gaps-and-islands session replay, converted flag per island, day =
+    // date of the session's first event, exact-long ratio
+    "x_events_session_conversion" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           event_type
+                    FROM events),
+              f AS (SELECT user_id, ts, event_type,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                                THEN 1 ELSE 0 END AS newsess
+                    FROM e
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              g AS (SELECT *, sum(newsess) OVER (PARTITION BY user_id
+                      ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+                    FROM f),
+              sess AS (SELECT user_id, sess_id,
+                              CAST(min(ts) AS DATE) AS day,
+                              max(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END) AS conv
+                       FROM g GROUP BY 1, 2)
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+                CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(sum(conv) AS BIGINT) AS n_converting,
+                round(CAST(sum(conv) AS DOUBLE) / count(*), 6)
+                  AS conversion_rate
+         FROM sess GROUP BY day ORDER BY day""",
 
     // quantile_cont replays percentile at p=0.5 (exact elements or
     // dyadic midpoints — a31 precedent); flags share the identical
