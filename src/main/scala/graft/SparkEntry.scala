@@ -734,6 +734,184 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      // TPC-H Q2 shape (lineitem standing in for the absent partsupp:
+      // a (part, supplier) offer's cost = the cheapest extended price
+      // the pair ever shipped at). The correlated min-cost subquery
+      // becomes a per-part aggregate of the region-sliced offer table
+      // joined back on (partkey, cost) — the q15 scalar-max pattern at
+      // part grain. Stored doubles are compared by EQUALITY only
+      // (min of raw values, no arithmetic), so the join key is
+      // engine-portable; supplier/nation/region dims all broadcast.
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      val regSupp = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r.filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val offers = t(s, dir, "lineitem")
+        .join(broadcast(regSupp.select(col("s_suppkey").as("_rs"))),
+          col("l_suppkey") === col("_rs"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("cost"))
+      val minCost = offers.groupBy(col("l_partkey").as("_mp"))
+        .agg(min(col("cost")).as("_mc"))
+      offers
+        .join(minCost, col("l_partkey") === col("_mp") && col("cost") === col("_mc"))
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(regSupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    "q9_product_profit" -> ((s, dir) => {
+      // TPC-H Q9 shape: profit by supplier nation and year over one
+      // part-name family (p_retailprice standing in for the absent
+      // ps_supplycost). Both product terms are SINGLE decimal
+      // multiplies (the q17 rule — chained decimal multiplies blow
+      // DuckDB's 38-digit cap), so the per-group sums are exact and
+      // order-independent; the subtraction happens between two exact
+      // sums, then one cast to double.
+      val p = t(s, dir, "part").filter(col("p_name").contains("gear"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val revenue = col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+      val supplyCost = col("p_retailprice").cast("decimal(18,4)") *
+        col("l_quantity").cast("decimal(18,4)")
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(round((sum(revenue) - sum(supplyCost)).cast("double"), 6)
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    "q11_important_parts" -> ((s, dir) => {
+      // TPC-H Q11 shape: parts carrying a significant share of one
+      // nation's shipped value (lineitem standing in for partsupp).
+      // The HAVING threshold is a 1-row scalar aggregate broadcast
+      // back (q22's crossJoin shape); the share test is an exact
+      // integer-multiplied decimal compare (value·1000 > total) — no
+      // decimal division anywhere to drift between engines.
+      val ns = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("_ns"))
+      val slice = t(s, dir, "lineitem")
+        .join(broadcast(ns), col("l_suppkey") === col("_ns"), "left_semi")
+        .select(col("l_partkey"),
+          col("l_extendedprice").cast("decimal(18,4)").as("_v"))
+      val byPart = slice.groupBy(col("l_partkey")).agg(sum(col("_v")).as("_pv"))
+      val total = slice.agg(sum(col("_v")).as("_tv"))
+      byPart.crossJoin(broadcast(total))
+        .filter(col("_pv") * lit(1000) > col("_tv"))
+        .select(col("l_partkey"), col("_pv").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    "q16_supplier_counts" -> ((s, dir) => {
+      // TPC-H Q16 shape: distinct suppliers able to provide each
+      // (brand, type, size) family, minus a complaints blacklist
+      // (NOT IN → left-anti). The supplier-part association is the
+      // distinct (l_partkey, l_suppkey) projection of lineitem
+      // (partsupp's stand-in) — ONE combinable distinct shuffle; the
+      // family grain is dim-sized so the count-distinct agg is cheap.
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 500)
+        .select(col("s_suppkey").as("_bad"))
+      val assoc = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(bad), col("l_suppkey") === col("_bad"), "left_anti")
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#2" &&
+          !col("p_type").startsWith("SMALL") &&
+          col("p_size").isin(1, 5, 11, 15, 20, 25, 30, 35))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      assoc.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    "q20_excess_parts" -> ((s, dir) => {
+      // TPC-H Q20 shape: suppliers holding a dominant share (>50%,
+      // with an absolute volume floor) of a part family's 1997
+      // volume — the availqty-vs-half-of-shipped test recast over
+      // lineitem. Per-(part,supplier) and per-part aggregates are both
+      // combinable; the dominance compare is integer-multiplied exact
+      // decimal; the supplier list arrives via two stacked semi-joins.
+      val l97 = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_name").startsWith("red"))
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+      val ps = l97.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("_q"))
+      val pt = ps.groupBy(col("l_partkey").as("_pp")).agg(sum(col("_q")).as("_tq"))
+      val dominant = ps.join(pt, col("l_partkey") === col("_pp"))
+        .filter(col("_q") * lit(2) > col("_tq") &&
+          col("_q") >= lit(60).cast("decimal(18,4)"))
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy(col("s_name"))
+    }),
+
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      // TPC-H Q21 shape (shipdate standing in for the absent
+      // receipt/commit pair): suppliers of one nation who were the
+      // LAST to ship in a multi-supplier finished order. EXISTS →
+      // left-semi ("another supplier touched the order"); NOT EXISTS
+      // → left-anti ("someone else shipped strictly later"). Both
+      // correlations are l_orderkey equi-joins with residual
+      // conditions, so each self-join shuffles on the order key and
+      // candidate work is bounded per order — never a pair product
+      // across orders.
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val natSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val fOrders = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val l2 = base.select(col("l_orderkey").as("_ok2"),
+        col("l_suppkey").as("_sk2"))
+      val l3 = base.select(col("l_orderkey").as("_ok3"),
+        col("l_suppkey").as("_sk3"), col("l_shipdate").as("_sd3"))
+      base
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(l2, col("l_orderkey") === col("_ok2") &&
+          col("l_suppkey") =!= col("_sk2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("_ok3") &&
+          col("l_suppkey") =!= col("_sk3") &&
+          col("_sd3") > col("l_shipdate"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // ── §2.5 windows / §2.6 sorts ────────────────────────────────────
     "w1_rownum" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -4061,6 +4239,106 @@ object SparkEntry {
                            WHERE o_custkey = c_custkey
                              AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
          GROUP BY 1 ORDER BY 1""",
+
+    "q2_min_cost_supplier" ->
+      """WITH rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                     FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+                     WHERE r_name = 'EUROPE'),
+              offers AS (SELECT l_partkey, l_suppkey,
+                                min(l_extendedprice) AS cost
+                         FROM lineitem
+                         WHERE l_suppkey IN (SELECT s_suppkey FROM rs)
+                         GROUP BY 1, 2),
+              mc AS (SELECT l_partkey AS mp, min(cost) AS mcost
+                     FROM offers GROUP BY 1)
+         SELECT s_acctbal, s_name, n_name, p_partkey, cost
+         FROM offers
+         JOIN mc ON l_partkey = mp AND cost = mcost
+         JOIN part ON l_partkey = p_partkey
+         JOIN rs ON l_suppkey = rs.s_suppkey
+         WHERE p_size <= 15 AND p_type = 'STANDARD'
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                round(CAST(
+                  sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,4)))) -
+                  sum(CAST(p_retailprice AS DECIMAL(18,4)) *
+                      CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6)
+                  AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%gear%'
+         GROUP BY 1, 2 ORDER BY 1, 2 DESC""",
+
+    "q11_important_parts" ->
+      """WITH ns AS (SELECT s_suppkey FROM supplier
+                     JOIN nation ON s_nationkey = n_nationkey
+                     WHERE n_name = 'NATION_7'),
+              sl AS (SELECT l_partkey,
+                            CAST(l_extendedprice AS DECIMAL(18,4)) AS v
+                     FROM lineitem
+                     WHERE l_suppkey IN (SELECT s_suppkey FROM ns)),
+              bp AS (SELECT l_partkey, sum(v) AS pv FROM sl GROUP BY 1),
+              tot AS (SELECT sum(v) AS tv FROM sl)
+         SELECT l_partkey, CAST(pv AS DOUBLE) AS value
+         FROM bp, tot WHERE pv * 1000 > tv
+         ORDER BY value DESC, l_partkey""",
+
+    "q16_supplier_counts" ->
+      """WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500),
+              assoc AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad))
+         SELECT p_brand, p_type, p_size,
+                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM assoc JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#2' AND p_type NOT LIKE 'SMALL%'
+           AND p_size IN (1, 5, 11, 15, 20, 25, 30, 35)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "q20_excess_parts" ->
+      """WITH l97 AS (SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                        AND l_partkey IN (SELECT p_partkey FROM part
+                                          WHERE p_name LIKE 'red%')),
+              ps AS (SELECT l_partkey, l_suppkey,
+                            sum(CAST(l_quantity AS DECIMAL(18,4))) AS q
+                     FROM l97 GROUP BY 1, 2),
+              pt AS (SELECT l_partkey AS pp, sum(q) AS tq FROM ps GROUP BY 1),
+              dom AS (SELECT DISTINCT l_suppkey FROM ps
+                      JOIN pt ON l_partkey = pp
+                      WHERE q * 2 > tq AND q >= 60)
+         SELECT s_name, n_name FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+         ORDER BY s_name""",
+
+    "q21_waiting_suppliers" ->
+      """WITH base AS (SELECT l_orderkey, l_suppkey, l_shipdate
+                       FROM lineitem),
+              ns AS (SELECT s_suppkey, s_name FROM supplier
+                     JOIN nation ON s_nationkey = n_nationkey
+                     WHERE n_name = 'NATION_3')
+         SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT)
+                  AS numwait
+         FROM base l1
+         JOIN ns ON l1.l_suppkey = ns.s_suppkey
+         JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+         WHERE EXISTS (SELECT 1 FROM base l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM base l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > l1.l_shipdate)
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""",
 
     "w1_rownum" ->
       """SELECT event_id, user_id,
