@@ -1647,6 +1647,27 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    "w9_running_distinct" -> ((s, dir) => {
+      // running COUNT(DISTINCT) over event history — Spark has no
+      // distinct windowed aggregate, and collect_set over a growing
+      // frame would buffer the whole set per ROW. The scalable
+      // identity: distinct-so-far = Σ first-occurrence flags — one
+      // (user,type)-bounded row_number marks firsts, then a plain
+      // running sum. The oracle runs DuckDB's NATIVE
+      // count(DISTINCT …) OVER, so two different formulations of the
+      // semantics must agree row-for-row.
+      val first = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("_f",
+          when(row_number().over(first) === 1, 1L).otherwise(0L))
+        .select(col("user_id"), col("event_id"),
+          sum(col("_f")).over(run).as("distinct_types"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "x_graph_pagerank" -> ((s, dir) => {
       // centrality over the co-occurrence graph: 3 damped PageRank
       // rounds, each ONE edge-join + keyed sum; all arithmetic is
@@ -1665,6 +1686,21 @@ object SparkEntry {
         .select(col("e.s").as("item_a"), col("e.d").as("item_b"))
       Graph.pageRankFixedPoint(edges, "item_a", "item_b", iters = 3)
         .select(col("id").as("item"), col("pr").as("pr_ppm"))
+        .orderBy(col("item"))
+    }),
+
+    "x_graph_triangles" -> ((s, dir) => {
+      // triangle census of the co-occurrence graph (the clustering-
+      // coefficient numerator / community-density signal): ordered
+      // wedge enumeration over the canonical pair list — two edge-
+      // keyed equi-joins, each triangle materialized exactly once,
+      // never a cross-graph pair product. Shares the x_graph_pagerank
+      // edge derivation so the oracle replays pair mining identically.
+      val edges = MarketBasket.pairCounts(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("item_a"), col("item_b"))
+      Graph.triangleCounts(edges, "item_a", "item_b")
+        .select(col("id").as("item"), col("triangles"))
         .orderBy(col("item"))
     }),
 
@@ -2480,6 +2516,31 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("rank"),
           col("order_key"))
         .orderBy(col("order_key"), col("doc_id"))),
+
+    "x_pipeline_shards" -> ((s, dir) => {
+      // balanced output sharding: docs ranked by token count (desc,
+      // doc_id tiebreak) and dealt SERPENTINE across 8 shards — the
+      // boustrophedon deal keeps shard token totals within one max-doc
+      // of each other with zero driver-side packing (the greedy-LPT
+      // heuristic in a fixed, replayable deal order). The global rank
+      // is Ids.withDenseId (range-partitioned dense id — never a
+      // single-partition window); everything after is row-local
+      // arithmetic plus one 8-row aggregate.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Ids.withDenseId(docs, "rank",
+          Seq(col("n_tokens").desc, col("doc_id")))
+        .withColumn("_pass", expr("(rank - 1) DIV 8"))
+        .withColumn("_idx", pmod(col("rank") - 1, lit(8)))
+        .withColumn("shard",
+          when(pmod(col("_pass"), lit(2)) === 0, col("_idx"))
+            .otherwise(lit(7) - col("_idx")))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("shard_tokens"))
+        .orderBy(col("shard"))
+    }),
 
     "x_pipeline_temperature" -> ((s, dir) =>
       // temperature-flattened source mixture (α=1/2): per-source keep
@@ -5161,6 +5222,14 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
 
+    "w9_running_distinct" ->
+      """SELECT user_id, event_id,
+                CAST(count(DISTINCT event_type) OVER (
+                  PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+                  AS distinct_types
+         FROM events
+         ORDER BY user_id, event_id""",
+
     // the identical integer fixed-point iteration unrolled: // is
     // DuckDB's floor division, HUGEINT sums CAST back per round
     "x_graph_pagerank" ->
@@ -5200,6 +5269,29 @@ object SparkEntry {
                     AS BIGINT) AS pr
                   FROM nodes n LEFT JOIN c3 c ON n.id = c.id)
          SELECT id AS item, pr AS pr_ppm FROM p3 ORDER BY item""",
+
+    "x_graph_triangles" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                     FROM lineitem),
+           it AS (SELECT i FROM bi GROUP BY i HAVING count(*) >= 2),
+           pc AS (SELECT x.i AS a, y.i AS bb
+                  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+                  WHERE x.i IN (SELECT i FROM it)
+                    AND y.i IN (SELECT i FROM it)
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+           w AS (SELECT e1.a AS a, e1.bb AS b, e2.bb AS c
+                 FROM pc e1 JOIN pc e2 ON e1.bb = e2.a),
+           tri AS (SELECT w.a, w.b, w.c FROM w
+                   WHERE EXISTS (SELECT 1 FROM pc e3
+                                 WHERE e3.a = w.a AND e3.bb = w.c)),
+           corners AS (SELECT a AS id FROM tri
+                       UNION ALL SELECT b FROM tri
+                       UNION ALL SELECT c FROM tri),
+           cnt AS (SELECT id, count(*) AS n FROM corners GROUP BY 1),
+           nodes AS (SELECT a AS id FROM pc UNION SELECT bb FROM pc)
+         SELECT n.id AS item,
+                CAST(coalesce(c.n, 0) AS BIGINT) AS triangles
+         FROM nodes n LEFT JOIN cnt c ON n.id = c.id ORDER BY 1""",
 
     // quantile_cont's lower+(upper−lower)·frac is Spark percentile's
     // formula; at p=0.5 only exact elements or dyadic midpoints occur
@@ -5749,6 +5841,25 @@ object SparkEntry {
                 (r.rank - 1) * gc.gn + g.gidx - 1 AS order_key
          FROM r JOIN g ON g.source = r.source CROSS JOIN gc
          ORDER BY order_key, r.doc_id""",
+
+    "x_pipeline_shards" ->
+      """WITH d AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_tokens
+                    FROM documents),
+              r AS (SELECT n_tokens,
+                           row_number() OVER (ORDER BY n_tokens DESC,
+                             doc_id) AS rank
+                    FROM d),
+              sh AS (SELECT n_tokens,
+                            CASE WHEN ((rank - 1) // 8) % 2 = 0
+                                 THEN (rank - 1) % 8
+                                 ELSE 7 - ((rank - 1) % 8) END AS shard
+                     FROM r)
+         SELECT CAST(shard AS BIGINT) AS shard,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         FROM sh GROUP BY 1 ORDER BY 1""",
 
     // rate replay: quantized √n (IEEE sqrt + one rounded multiply),
     // exact integer normalizer, threshold from one exact-ratio double

@@ -80,4 +80,47 @@ object Graph {
             lit(" has no out-edges — symmetrize or drop danglers"))))
           .otherwise(col("pr")).as("pr"))
   }
+
+  /** Per-node triangle participation counts over an UNDIRECTED simple
+    * graph. Standard ordered wedge enumeration: edges canonicalize to
+    * one `a < b` row (self-loops dropped, orientations/duplicates
+    * collapsed), wedges `a < b < c` form by joining the canonical list
+    * to itself on the middle vertex, and close via a left-semi back to
+    * the edge list — two equi-join shuffles keyed on edge endpoints,
+    * never a pair product across the graph, and each triangle
+    * materializes exactly ONCE (its sorted orientation). Corner
+    * credits then explode to three keyed count rows.
+    *
+    * Wedge fan-out is bounded by each middle vertex's HIGHER-id degree;
+    * the id order is kept (engine-portable, oracle-replayable). At the
+    * 100 TB posture a degree-ascending vertex order bounds the hot-hub
+    * wedge count tighter (node-iterator++); swap the `least/greatest`
+    * canonicalization key for a (degree, id) ranking if one hub
+    * dominates — the join shape is unchanged.
+    *
+    * Output: (id, triangles) for EVERY vertex of the edge list, 0 for
+    * triangle-free vertices. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+      // referenced 4× below (wedge legs, closer, node list): cut the
+      // lineage once, same hygiene as the PageRank loop
+      .localCheckpoint()
+    val wedges = e.join(e.select(col("a").as("_b2"), col("b").as("_c")),
+        col("b") === col("_b2"))
+      .select(col("a"), col("b"), col("_c").as("c"))
+    val tris = wedges.join(
+        e.select(col("a").as("_a3"), col("b").as("_c3")),
+        col("a") === col("_a3") && col("c") === col("_c3"), "left_semi")
+    val corners = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .distinct()
+      .join(corners, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

@@ -23,6 +23,28 @@ class GraphSpec extends SparkSpec {
       (3L, 150000L + 500000L * 850000L / 1000000L)))
   }
 
+  test("triangleCounts: hand-computed K4-minus-edge; canonicalization") {
+    // K4 on {1,2,3,4} minus edge (1,4): triangles {1,2,3} and {2,3,4}.
+    // Per-node: 1→1, 2→2, 3→2, 4→1. Edges fed as a MESS — duplicated,
+    // reversed, self-loop — must canonicalize to the 5 simple edges.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), // dup orientation
+      (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 3L), // self-loop dropped
+      (4L, 2L)  // dup of (2,4)
+    ).toDF("s", "d")
+    val out = Graph.triangleCounts(edges, "s", "d")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
+  }
+
+  test("triangleCounts: triangle-free graph returns zeros for all nodes") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val out = Graph.triangleCounts(star, "s", "d")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)))
+  }
+
   test("pageRankFixedPoint refuses dangling nodes loudly") {
     val dangling = Seq((1L, 2L)).toDF("s", "d") // 2 never a source
     val ex = intercept[Exception] {
