@@ -3071,6 +3071,17 @@ object SparkEntry {
         k = 10, nprobe = 1)
     }),
 
+    "x_sim_range" -> ((s, dir) => {
+      // radius search (the k-free sibling of bruteForceTopK): every
+      // vector with cosine ≥ 0.15 of the query — a scan-stage
+      // predicate, output ∝ matches, no heap/shuffle anywhere
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      Similarity.rangeSearch(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", q, minScore = 0.15)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     "x_sim_lsh" -> ((s, dir) => {
       // hash-checked: the seeded planes are pasted into the oracle SQL
       // as literals (lshOracleSql), so DuckDB replays the identical
@@ -6696,6 +6707,22 @@ object SparkEntry {
                     GROUP BY e.vec_id)
          SELECT vec_id, score FROM s
          ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "x_sim_range" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+              e AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id <> 0),
+              s AS (SELECT e.vec_id,
+                           round(sum(e.x * q.qx) /
+                             (sqrt(sum(e.x * e.x)) *
+                              sqrt(sum(q.qx * q.qx))), 6) AS score
+                    FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
+         SELECT vec_id, score FROM s WHERE score >= 0.15
+         ORDER BY score DESC, vec_id""",
 
     "x_sim_ivf_index" ->
       """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,

@@ -32,6 +32,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** Radius (range) search: ALL corpus vectors with rounded cosine ≥
+    * `minScore` against the query — the shape for "every near-duplicate
+    * of this vector", where k is unknowable in advance. A pure
+    * scan-stage predicate: the query ships as an array literal, the
+    * cosine evaluates inside the scan's codegen stage, and output is
+    * ∝ matches — no top-k heap, no shuffle, the same plan at any
+    * corpus size. Pair with an IVF/LSH pre-prune (probe the pruned
+    * partitions, then this predicate) when the corpus scan itself is
+    * the bottleneck. */
+  def rangeSearch(emb: DataFrame, idCol: String, vecCol: String,
+                  query: Seq[Double], minScore: Double): DataFrame = {
+    val q = array(query.map(lit): _*)
+    emb.select(col(idCol),
+        cosineRounded(col(vecCol).cast("array<double>"), q).as("score"))
+      .filter(col("score") >= minScore)
+  }
+
   /** Per-cell centroids (mean vector per value of `cellCol`) — the "coarse
     * quantizer" an IVF index needs. posexplode → per-(cell,dim) avg (fully
     * map-side-combinable, no big rows) → re-assemble ordered by position. */

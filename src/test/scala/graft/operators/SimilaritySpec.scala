@@ -26,6 +26,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._2 > 0.99)
   }
 
+  test("rangeSearch returns exactly the vectors above the radius; no heap") {
+    // threshold between cluster 0 (cosine ≈ 1) and cluster 1 (≈ 0):
+    // the radius set must be exactly cluster 0, matching a filtered
+    // full brute-force scan
+    val out = Similarity.rangeSearch(emb, "vec_id", "embedding", query, 0.5)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val all = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 6)
+      .as[(Long, Double)].collect().filter(_._2 >= 0.5).sortBy(_._1)
+    assert(out.toSeq == all.toSeq)
+    // scan-stage shape: no Exchange in the plan (the gate's sort is
+    // added at the call site, not by the operator)
+    val plan = Similarity.rangeSearch(emb, "vec_id", "embedding", query, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("centroids computes per-cell mean vectors in position order") {
     val c = Similarity.centroids(emb, "label", "embedding")
       .as[(Int, Seq[Double])].collect().toMap
