@@ -2774,6 +2774,43 @@ object SparkEntry {
         .orderBy(col("event_type"), col("q"))
     }),
 
+    "x_stream_trending" -> ((s, dir) => {
+      // REAL streaming daily trending top-k (the streaming form of
+      // x_ts_trending): per day, the 3 most frequent event types so
+      // far — one count map per day as flatMapGroupsWithState state,
+      // bounded by the type vocabulary; every batch emits the current
+      // ranking stamped with rows-seen, and the keep-last finalization
+      // (max processed per (day, rank)) is batch-split-invariant, so
+      // streaming == batch ranking is what the oracle checks.
+      val st = Tables.eventsStream(s, dir, "event_type STRING")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+      val sink = s"x_stream_trending_${streamSinkId.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        graft.streaming.EventStreams.topKStream(st, "day", "event_type",
+            k = 3)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_trending: stream did not drain within 300s")
+      }
+      val w = Window.partitionBy(col("key"), col("rank"))
+        .orderBy(col("processed").desc)
+      s.table(sink)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("key").as("day"), col("rank").as("rnk"),
+          col("value").as("event_type"), col("n"))
+        .orderBy(col("day"), col("rnk"))
+    }),
+
     "x_stream_decontam" -> ((s, dir) => {
       // REAL streaming decontamination: training docs replay as a file
       // stream, the static eval set ships as a Bloom prefilter + exact
@@ -5974,6 +6011,19 @@ object SparkEntry {
     // rank replay with a plain window (the oracle may window; the
     // engine's k-bounded aggregate must land on the same rows)
     "x_ts_trending" ->
+      """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                               event_type, CAST(count(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+              r AS (SELECT *, row_number() OVER (PARTITION BY day
+                      ORDER BY n DESC, event_type ASC) AS rnk
+                    FROM daily)
+         SELECT strftime(day, '%Y-%m-%d') AS day, CAST(rnk AS INT) AS rnk,
+                event_type, n
+         FROM r WHERE rnk <= 3 ORDER BY day, rnk""",
+
+    // same ranking as x_ts_trending — the streaming operator must land
+    // on the identical batch answer after keep-last finalization
+    "x_stream_trending" ->
       """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                                event_type, CAST(count(*) AS BIGINT) AS n
                         FROM events GROUP BY 1, 2),

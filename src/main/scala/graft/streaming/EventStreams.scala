@@ -297,6 +297,53 @@ object EventStreams {
       }.toDF()
   }
 
+  /** Per-key rolling value counts (bounded by the value vocabulary). */
+  final case class TopKState(n: Long, counts: Map[String, Long])
+
+  /** One emitted top-k ranking row, stamped with rows-seen. */
+  final case class TopKEmit(key: String, processed: Long, rank: Int,
+                            value: String, n: Long)
+
+  /** Streaming per-key top-k: for each group key (e.g. the event day),
+    * the k most frequent values of `valCol` seen so far. State is the
+    * full count map per key — bounded by the VALUE VOCABULARY (event-
+    * type-sized), not by rows — and inserts are O(1). Each micro-batch
+    * emits the key's current ranking stamped with the rows-seen count,
+    * so the stateless keep-last finalization (max processed per
+    * (key, rank)) is independent of how the stream was batched and
+    * lands exactly on the batch answer. Ties rank (count desc, value
+    * asc) — every rank deterministic. This is the EXACT form for
+    * bounded vocabularies; an unbounded-vocabulary posture belongs to
+    * a space-saving/CMS sketch state (see
+    * [[graft.operators.Sketches]]), not a bigger map. */
+  def topKStream(events: DataFrame, keyCol: String, valCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000]: $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = events.select(col(keyCol).cast("string").as("_k"),
+        col(valCol).cast("string").as("_v"))
+      .as[(String, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[TopKState, TopKEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          val st = state.getOption.getOrElse(TopKState(0L, Map.empty))
+          var n = st.n
+          var counts = st.counts
+          rows.foreach { case (_, v) =>
+            counts = counts.updated(v, counts.getOrElse(v, 0L) + 1L)
+            n += 1
+          }
+          state.update(TopKState(n, counts))
+          counts.toSeq.sortBy { case (v, c) => (-c, v) }.take(k)
+            .iterator.zipWithIndex.map { case ((v, c), i) =>
+              TopKEmit(key, n, i + 1, v, c)
+            }
+      }.toDF()
+  }
+
   /** Last seen event per entity, carried across micro-batches. */
   final case class LastEvent(t: String, o: Long)
 

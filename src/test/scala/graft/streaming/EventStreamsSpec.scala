@@ -335,6 +335,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("topKStream: counts merge across batches; keep-last equals batch ranking") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val df = mem.toDF().toDF("k", "v")
+    val out = EventStreams.topKStream(df, "k", "v", k = 2)
+      .writeStream.format("memory").queryName("topk_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1: a → x:2 y:1 → ranking (x,2),(y,1)
+      mem.addData(("a", "x"), ("a", "x"), ("a", "y"))
+      out.processAllAvailable()
+      // batch 2: y overtakes x (y:3 vs x:2); tie on z:2 broken by value
+      mem.addData(("a", "y"), ("a", "y"), ("a", "z"), ("a", "z"))
+      out.processAllAvailable()
+      val rows = spark.table("topk_sink")
+        .as[(String, Long, Int, String, Long)].collect()
+      // keep-last: max processed per (key, rank)
+      val fin = rows.groupBy(t => (t._1, t._3))
+        .map { case (kr, rs) => kr -> { val m = rs.maxBy(_._2); (m._4, m._5) } }
+      assert(fin(("a", 1)) == ("y", 3L))
+      assert(fin(("a", 2)) == ("x", 2L)) // x before z at count 2
+      // intermediate batch-1 ranking was emitted with processed=3
+      assert(rows.count(t => t._2 == 3L && t._3 == 1 && t._4 == "x") == 1)
+    } finally out.stop()
+  }
+
   test("decontaminateStream flags streamed docs against the static eval set") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val evalDocs = Seq((100L, "alpha beta gamma delta epsilon"))
