@@ -2105,6 +2105,15 @@ object SparkEntry {
           n = 3, threshold = 0.12, maxBlock = 1000)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "x_dedup_containment" -> ((s, dir) =>
+      // asymmetric near-dup: docs ≥30% shingle-contained in another —
+      // catches the short-quote-inside-long-doc case symmetric Jaccard
+      // structurally misses (|A∩B|/|A| ≈ 1 while Jaccard ≈ |A|/|B|).
+      // Uncapped here so the sizes are exact distinct-shingle counts.
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.3)
+        .orderBy(col("src"), col("dst"))),
+
     "x_dedup_ngram_prefix" -> ((s, dir) =>
       // EXACT plain-Jaccard pairs (no informative-shingle cap) whose
       // blocking is still bounded: prefix filtering (AllPairs/PPJoin)
@@ -6159,6 +6168,30 @@ object SparkEntry {
          JOIN sizes y ON id_b = y.doc_id
          WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.12
          ORDER BY id_a, id_b""",
+
+    "x_dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+              sh AS (SELECT DISTINCT doc_id,
+                            unnest(list_transform(
+                              generate_series(1, greatest(len(t)-2, 0)),
+                              i -> array_to_string(t[i:i+2], ' '))) AS s
+                     FROM tok),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                               count(*) AS c
+                        FROM sh a JOIN sh b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              dirp AS (SELECT id_a AS src, id_b AS dst,
+                              round(c * 1.0 / x.n, 6) AS containment
+                       FROM inter JOIN sizes x ON id_a = x.doc_id
+                       UNION ALL
+                       SELECT id_b, id_a, round(c * 1.0 / y.n, 6)
+                       FROM inter JOIN sizes y ON id_b = y.doc_id)
+         SELECT src, dst, containment FROM dirp
+         WHERE containment >= 0.3
+         ORDER BY src, dst""",
 
     // the prefix-filtered path answers the UNcapped all-pairs
     // definition — same SQL as x_dedup_ngram minus the stop-shingle

@@ -153,6 +153,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** DIRECTED containment pairs: |A∩B| / |A| ≥ threshold — the
+    * asymmetric near-dup signal symmetric Jaccard misses: a short doc
+    * quoted whole inside a much longer one has Jaccard ≈ |A|/|B| (tiny)
+    * but containment(A→B) ≈ 1. The training-mix use is "drop the
+    * contained quote, keep the container". Same single-shuffle capped
+    * posting-list machinery as [[ngramJaccardPairs]] (shared candidate
+    * stream, shared distinct-shingle sizes); each undirected candidate
+    * expands map-side into its two directed rows before the threshold
+    * filter, so the extra direction costs no extra shuffle. Output:
+    * (src, dst, containment) — src is the (mostly-)contained doc. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxBlock: Long = 0): DataFrame = {
+    val lists = postingLists(docs, idCol, textCol, n, maxBlock)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = explodeIndex(lists)
+      .groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    pairIntersections(lists)
+      .join(sizes.withColumnRenamed("_id", "id_a")
+        .withColumnRenamed("_n", "_na"), "id_a")
+      .join(sizes.withColumnRenamed("_id", "id_b")
+        .withColumnRenamed("_n", "_nb"), "id_b")
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst"),
+          round(col("_inter").cast("double") / col("_na").cast("double"), 6)
+            .as("containment")),
+        struct(col("id_b").as("src"), col("id_a").as("dst"),
+          round(col("_inter").cast("double") / col("_nb").cast("double"), 6)
+            .as("containment")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"),
+        col("_e.containment").as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Substring-level duplication: maximal spans of tokens every `w`-token
     * window of which occurs at least `minOccurrences` times in the corpus
     * (within one doc or across docs). The fixed-width, shuffle-native

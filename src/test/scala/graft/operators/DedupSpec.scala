@@ -41,6 +41,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.keys.forall { case (a, b) => a < b })
   }
 
+  test("containmentPairs flags the quote symmetric Jaccard misses") {
+    // quote (4 tokens → 2 trigrams) fully inside a 12-token container:
+    // containment(quote→container) = 1.0, Jaccard = 2/10 = 0.2
+    val qdocs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro words here alpha beta gamma delta plus trailing filler tokens end"),
+      (3L, "completely different unrelated content")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(qdocs, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(cont((1L, 2L)) == 1.0)       // quote contained in container
+    assert(!cont.contains((2L, 1L)))    // container NOT contained in quote
+    assert(!cont.keys.exists { case (a, b) => a == 3L || b == 3L })
+    val jac = Dedup.ngramJaccardPairs(qdocs, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty) // symmetric Jaccard misses it at the same bar
+  }
+
   test("minhashLshPairs recovers the exact-dup pair and respects threshold") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, numHashes = 32, bands = 16, threshold = 0.3)
