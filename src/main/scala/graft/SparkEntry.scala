@@ -1390,6 +1390,26 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "j16_cdc_apply" -> ((s, dir) => {
+      // the CDC consumer side: applyChanges(old, snapshotDiff(old,
+      // new)) must reconstruct the new snapshot EXACTLY. The oracle
+      // computes the new snapshot directly, so the whole
+      // extract→apply round trip is what hash-matches; apply IO is
+      // ∝ snapshot + churn (one anti join + one union), never a
+      // history re-scan.
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+      val oldSnap = o.filter(col("o_orderkey") % 7 =!= 0)
+      val newSnap = o.filter(col("o_orderkey") % 10 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      Upsert.applyChanges(oldSnap,
+          Upsert.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey")),
+          Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "u4_union_evolve" -> ((s, dir) => {
       // schema-evolution union: a legacy slice without the status
       // column unions BY NAME with the current schema
@@ -4963,6 +4983,16 @@ object SparkEntry {
             OR d.o_totalprice <> n.o_totalprice
             OR d.o_orderstatus <> n.o_orderstatus
             OR d.o_orderpriority <> n.o_orderpriority
+         ORDER BY o_orderkey""",
+
+    // the round-trip law: extract→apply must land exactly on the new
+    // snapshot, which the oracle computes directly
+    "j16_cdc_apply" ->
+      """SELECT o_orderkey, o_orderstatus,
+                CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderpriority
+         FROM orders WHERE o_orderkey % 10 <> 0
          ORDER BY o_orderkey""",
 
     "u4_union_evolve" ->

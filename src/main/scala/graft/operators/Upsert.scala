@@ -281,4 +281,32 @@ object Upsert {
           when(col("op") === "D", col(s"o.$c")).otherwise(col(s"n.$c"))
             .as(c)) :+ col("op"): _*)
   }
+
+  /** The CDC CONSUMER side — [[snapshotDiff]]'s inverse: apply an
+    * I/U/D change set (same contract: key columns + after-image
+    * payload, before-image for D, `op` column) to a snapshot. One
+    * null-safe left-anti join drops every touched key (D removes, U
+    * replaces, I cannot collide by the producer contract — a colliding
+    * I is treated as U-like replacement rather than silently
+    * duplicated), then the I/U after-images union in. IO ∝ snapshot +
+    * change set — history-independent, the j10_scd2 merge posture; at
+    * scale the anti join broadcasts the churn-sized key set, and the
+    * partitioned-table form is [[mergeIntoPartitioned]] with the D
+    * rows routed to its delete path. Law (spec + gate):
+    * `applyChanges(old, snapshotDiff(old, neu), keys) == neu`. */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(changes.columns.contains("op"),
+      "changes must carry the snapshotDiff op column")
+    require(changes.columns.toSet - "op" == snapshot.columns.toSet,
+      s"change-set schema ${changes.columns.toSeq} does not match " +
+        s"snapshot ${snapshot.columns.toSeq} (+ op)")
+    val touched = changes.selectExpr(keys: _*).dropDuplicates(keys).alias("c")
+    val s = snapshot.alias("s")
+    val cond = keys.map(k => col(s"s.$k") <=> col(s"c.$k")).reduce(_ && _)
+    s.join(touched, cond, "left_anti")
+      .unionByName(
+        changes.filter(col("op") =!= "D").drop("op")
+          .select(snapshot.columns.map(col): _*))
+  }
 }

@@ -236,4 +236,22 @@ class UpsertIdsSpec extends SparkSpec {
     assert(applied.as[(Long, String, Double)].collect().sortBy(_._1)
       .toSeq == Seq((1L, "A2", 11.0), (2L, "B", 20.0), (3L, "C", 30.0)))
   }
+
+  test("applyChanges inverts snapshotDiff (I/U/D incl. deletes and null keys)") {
+    val old = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("k", "st", "v")
+    val neu = Seq((2L, "B", 20.0), (3L, "C2", 30.0), (5L, "E", 50.0))
+      .toDF("k", "st", "v")
+    val rebuilt = Upsert.applyChanges(old,
+        Upsert.snapshotDiff(old, neu, Seq("k")), Seq("k"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(rebuilt.toSeq ==
+      Seq((2L, "B", 20.0), (3L, "C2", 30.0), (5L, "E", 50.0)))
+    // a mismatched change-set schema is refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      Upsert.applyChanges(old, neu.withColumn("op", lit("I"))
+        .withColumnRenamed("v", "other"), Seq("k"))
+    }
+    assert(ex.getMessage.contains("does not match"))
+  }
 }
