@@ -2309,6 +2309,14 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x_pipeline_kfold" -> ((s, dir) =>
+      // deterministic k-fold assignment (splitTag's cross-validation
+      // generalization): fold = md5₃₂(doc) mod 5 — scan-stage, stable
+      // across runs/engines/scales, rows never migrate between folds
+      Sampling.foldTag(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", k = 5)
+        .orderBy(col("doc_id"))),
+
     "x_dedup_cluster_incr" -> ((s, dir) => {
       // yesterday's labels + today's delta pairs: endpoints contract to
       // their existing component labels, so the min-label iteration
@@ -3065,6 +3073,15 @@ object SparkEntry {
       LanguageModel.scoreStupidBackoff(docs, "doc_id", "text", uni, bi)
         .orderBy(col("doc_id"))
     }),
+
+    "x_text_collocations" -> ((s, dir) =>
+      // PMI phrase mining over the corpus (the multiword-unit signal
+      // for tokenizer/vocab construction): exact vocab-grain counts,
+      // one ln per surviving pair — nothing corpus-sized past the two
+      // count shuffles. minCount floors out rare-pair PMI noise.
+      LanguageModel.collocations(t(s, dir, "documents"), "text",
+          minCount = 40)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
     "x_lm_heldout" -> ((s, dir) => {
       // train/score separation: the LM trains on the training split
@@ -6381,6 +6398,13 @@ object SparkEntry {
     // pair can never straddle the split on either engine
     "x_pipeline_split_leakfree" -> leakfreeSplitOracleSql,
 
+    // same md5₃₂ coordinate as every sampler, reduced mod k — the
+    // nibble arithmetic replays Spark's conv(hex, 16, 10)
+    "x_pipeline_kfold" ->
+      s"""SELECT doc_id,
+                 ${hexValSql("md5(CAST(doc_id AS VARCHAR))")} % 5 AS fold
+          FROM documents ORDER BY doc_id""",
+
     // same recursive label replay, rolled up to the size histogram
     "x_graph_components" -> clusterOracleSql.replace(
       """SELECT src AS id, min(dst) AS comp FROM reach
@@ -6696,6 +6720,33 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_bigrams,
                 round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+
+    "x_text_collocations" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+                    FROM documents),
+              t AS (SELECT doc_id, unnest(l) AS tok,
+                           generate_subscripts(l, 1) AS pos
+                    FROM d),
+              bgn AS (SELECT w1, w2 FROM (
+                        SELECT tok AS w1,
+                               lead(tok) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) AS w2
+                        FROM t)
+                      WHERE w2 IS NOT NULL),
+              bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                     FROM bgn GROUP BY 1, 2),
+              uc AS (SELECT tok AS w, count(*) AS c1 FROM t GROUP BY 1),
+              tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bgn)
+         SELECT bc.w1, bc.w2, bc.c12,
+                round(ln(tot.n * CAST(bc.c12 AS DOUBLE) /
+                  (CAST(u1.c1 AS DOUBLE) * CAST(u2.c1 AS DOUBLE))), 6)
+                  AS pmi
+         FROM bc
+         JOIN uc u1 ON u1.w = bc.w1
+         JOIN uc u2 ON u2.w = bc.w2
+         CROSS JOIN tot
+         WHERE bc.c12 >= 40
+         ORDER BY pmi DESC, bc.w1, bc.w2""",
 
     // exact integer moments: Σxm and Σxm² in HUGEINT, variance numerator
     // n·Σx²−(Σx)² exact, one decimal→double conversion before the sqrt —

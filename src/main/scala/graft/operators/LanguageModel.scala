@@ -72,4 +72,31 @@ object LanguageModel {
         round(sum(col("_lp")).cast("double") / count(lit(1)), 6)
           .as("avg_logp"))
   }
+
+  /** PMI-scored collocations: pointwise mutual information of adjacent
+    * pairs, ln(N·c12 / (c1(w1)·c1(w2))) with N = total bigram
+    * positions, over pairs with c12 ≥ minCount (rare-pair PMI is pure
+    * noise — the standard floor). The phrase-mining signal for
+    * tokenizer/vocab construction: high-PMI pairs are the multiword
+    * units worth a single token. All counts are the exact vocab-grain
+    * aggregates of [[unigramCounts]]/[[bigramCounts]] (two map-side-
+    * combinable shuffles — nothing corpus-sized past them); the PMI is
+    * one ln over a <2⁵³-exact double product per SURVIVING pair,
+    * rounded to 6 dp. Output: (w1, w2, c12, pmi). */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val uni = unigramCounts(docs, textCol)
+    val nTot = bigramCounts(docs, textCol)
+      .agg(sum(col("c12")).cast("double").as("_n"))
+    bigramCounts(docs, textCol)
+      .filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c1").as("_ca")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("_cb")), Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("_n") * col("c12").cast("double") /
+          (col("_ca").cast("double") * col("_cb").cast("double"))), 6)
+          .as("pmi"))
+  }
 }

@@ -104,6 +104,21 @@ object Sampling {
       when(keep(hashHex(col(keyCol)), heldOutRate), lit("heldout"))
         .otherwise(lit("train")))
 
+  /** Deterministic k-fold assignment — [[splitTag]]'s cross-validation
+    * generalization: fold = md5₃₂(key) mod k. Content-keyed like every
+    * sampler here, so folds are stable across runs/retries/engines,
+    * rows never migrate when other folds are filtered out, and the
+    * same doc lands in the same fold at any scale. A scan-stage
+    * projection — no shuffle, no state. Compose with the near-dup
+    * cluster labels (the x_pipeline_split_leakfree device) to keep
+    * duplicate pairs from straddling folds. */
+  def foldTag(df: DataFrame, keyCol: String, k: Int,
+              tagCol: String = "fold"): DataFrame = {
+    require(k >= 2 && k <= 1000, s"fold count must be in [2, 1000]: $k")
+    df.withColumn(tagCol,
+      pmod(conv(hashHex(col(keyCol)), 16, 10).cast("long"), lit(k.toLong)))
+  }
+
   /** Weighted exactly-k sample without replacement (Efraimidis &
     * Spirakis 2006, A-ES in its exponential-clock form): each row draws
     * the uniform u = (md5₃₂(key)+1)/2³² and the clock e = −ln(u)/w; the

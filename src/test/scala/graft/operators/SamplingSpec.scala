@@ -62,6 +62,25 @@ class SamplingSpec extends SparkSpec {
     assert(!tagged.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("foldTag: exact partition into k stable folds, scan-stage, loud guard") {
+    val tagged = Sampling.foldTag(rows, "id", 5)
+    val byFold = tagged.groupBy("fold").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byFold.keySet == Set(0L, 1L, 2L, 3L, 4L)) // all folds populated
+    assert(byFold.values.sum == 2000)                // nothing lost/duplicated
+    // ~400 per fold — the md5 coordinate spreads evenly
+    assert(byFold.values.forall(n => n > 300 && n < 500))
+    // stability: folds are a pure function of the key — dropping one
+    // fold leaves every other row's assignment untouched
+    val kept = Sampling.foldTag(
+        tagged.filter($"fold" =!= 0L).drop("fold"), "id", 5)
+      .select("id", "fold").as[(Long, Long)].collect().toMap
+    val orig = tagged.select("id", "fold").as[(Long, Long)].collect().toMap
+    assert(kept.forall { case (id, f) => orig(id) == f })
+    assert(!tagged.queryExecution.executedPlan.toString.contains("Exchange"))
+    intercept[IllegalArgumentException](Sampling.foldTag(rows, "id", 1))
+  }
+
   test("weightedSample: deterministic, nested, weight-proportional, TakeOrdered") {
     val weighted = rows.withColumn("w",
       when($"lang" === "en", 10.0).otherwise(1.0))
