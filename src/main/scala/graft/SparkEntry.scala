@@ -3439,6 +3439,18 @@ object SparkEntry {
             artifactBase(dir)))
         .orderBy(col("media_id"), col("channel"))),
 
+    "x_mm_phash" -> ((s, dir) =>
+      // perceptual image hashing (dHash): 9×8 nearest-neighbor
+      // luminance grid → 64 adjacent-cell comparison bits per BMP —
+      // the visual near-dup signature that feeds the same Hamming
+      // pairing machinery as text SimHash. Exact integer sampling and
+      // b+g+r luminance, so the oracle replays every bit from the
+      // artifact's bytes.
+      Multimodal.imageDHash(
+          Multimodal.mediaTable(t(s, dir, "documents"), "doc_id", "text",
+            artifactBase(dir)))
+        .orderBy(col("media_id"))),
+
     "x_mm_audio_energy" -> ((s, dir) =>
       // frame-level audio feature extraction (VAD/loudness profile):
       // per 16-frame window, Σ|16-bit sample| over all channels as
@@ -7235,6 +7247,61 @@ object SparkEntry {
                 CAST(sum(v) AS BIGINT) AS sum_value
          FROM p GROUP BY 1, 2
          ORDER BY media_id, channel"""
+    },
+
+    // the 9×8 grid replayed as two generate_series, luminance via three
+    // dynamic hex byte reads, bit packing as HUGEINT power-of-two terms
+    // (a VALUES table of exact 2^i literals) with the 2^63 two's-
+    // complement fold before the BIGINT cast
+    "x_mm_phash" -> {
+      def bd(e: String) =
+        s"(strpos('0123456789ABCDEF', substr(h, 2 * ($e) - 1, 1)) * 16 + " +
+          s"strpos('0123456789ABCDEF', substr(h, 2 * ($e), 1)) - 17)"
+      def bl(i: Int) = bd(i.toString)
+      def le32(i: Int) = s"(${bl(i)} + 256 * ${bl(i + 1)} + " +
+        s"65536 * ${bl(i + 2)} + 16777216 * ${bl(i + 3)})"
+      val powers = (0 until 64)
+        .map(i => s"($i, CAST('${BigInt(1) << i}' AS HUGEINT))")
+        .mkString(", ")
+      s"""WITH m AS (SELECT media_id, hex(content) AS h
+                     FROM read_parquet('__GRAFT_MEDIA__/*.parquet')
+                     WHERE substr(hex(content), 1, 4) = '424D'),
+              d AS (SELECT media_id, h, ${le32(11)} AS off,
+                           ${le32(19)} AS wd, ${le32(23)} AS ht
+                    FROM m),
+              d2 AS (SELECT *, (3 * wd + 3) - ((3 * wd + 3) % 4) AS stride
+                     FROM d WHERE wd > 0 AND ht > 0),
+              yy AS (SELECT media_id, h, off, wd, ht, stride,
+                            unnest(generate_series(0, CAST(7 AS BIGINT)))
+                              AS gy
+                     FROM d2),
+              xx AS (SELECT media_id, h, off, wd, ht, stride, gy,
+                            unnest(generate_series(0, CAST(8 AS BIGINT)))
+                              AS gx
+                     FROM yy),
+              lum AS (SELECT media_id, gy, gx,
+                             ${bd("off + ((gy * ht) // 8) * stride + " +
+        "3 * ((gx * wd) // 9) + 1")} +
+                             ${bd("off + ((gy * ht) // 8) * stride + " +
+        "3 * ((gx * wd) // 9) + 2")} +
+                             ${bd("off + ((gy * ht) // 8) * stride + " +
+        "3 * ((gx * wd) // 9) + 3")} AS lm
+                      FROM xx),
+              bits AS (SELECT media_id, gy, gx,
+                              CASE WHEN lead(lm) OVER (
+                                     PARTITION BY media_id, gy
+                                     ORDER BY gx) > lm
+                                   THEN 1 ELSE 0 END AS b
+                       FROM lum QUALIFY gx < 8),
+              pw(i, p) AS (VALUES $powers),
+              s AS (SELECT media_id, sum(b * pw.p) AS raw
+                    FROM bits JOIN pw ON pw.i = gy * 8 + gx
+                    GROUP BY 1)
+         SELECT media_id,
+                CAST(CASE WHEN raw >= CAST('${BigInt(1) << 63}' AS HUGEINT)
+                     THEN raw - CAST('${BigInt(1) << 64}' AS HUGEINT)
+                     ELSE raw END AS BIGINT) AS dhash
+         FROM s ORDER BY media_id"""
     },
 
     // dynamic hex-position byte reads: sample i's 16-bit LE word sits at

@@ -315,6 +315,59 @@ object Multimodal {
       }.toDF("media_id", "channel", "n_pixels", "sum_value")
   }
 
+  /** Perceptual difference-hash (dHash) per BMP image: luminance
+    * sampled on a 9×8 nearest-neighbor grid, each bit = "right cell
+    * brighter than its left neighbor", 64 bits packed as bit (y·8+x)
+    * of one signed long. Near-identical images land within a few
+    * Hamming bits, so the hashes plug straight into the SimHash
+    * pairing machinery ([[graft.operators.Dedup]]'s chunk-blocked
+    * signature joins) for image near-dup at corpus scale — the visual
+    * sibling of text SimHash. All arithmetic is exact integers:
+    * luminance = b+g+r (no fixed-point gray weights to disagree on),
+    * sampling index = floor(x·w/9) / floor(y·h/8) — an external engine
+    * replays the hash digit-for-digit (bit 63 folds to two's
+    * complement identically). Non-BMP rows drop; row-local flatMap, no
+    * shuffle. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, c) =>
+        def u8(i: Int) = c(i) & 0xFF
+        def le32(i: Int) =
+          u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+        if (c.length < 54 || c(0) != 'B' || c(1) != 'M') Iterator.empty
+        else {
+          val off = le32(10)
+          val w = le32(18)
+          val h = le32(22)
+          val stride = (3 * w + 3) & ~3
+          if (w <= 0 || h <= 0 || off + stride * h > c.length) Iterator.empty
+          else {
+            def lum(gx: Int, gy: Int): Int = {
+              val px = gx * w / 9
+              val py = gy * h / 8
+              val p = off + py * stride + 3 * px
+              u8(p) + u8(p + 1) + u8(p + 2)
+            }
+            var hash = 0L
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                if (lum(gx + 1, gy) > lum(gx, gy))
+                  hash |= 1L << (gy * 8 + gx)
+                gx += 1
+              }
+              gy += 1
+            }
+            Iterator.single((id, hash))
+          }
+        }
+      }.toDF("media_id", "dhash")
+  }
+
   def featureExtract(media: DataFrame, dim: Int): DataFrame = {
     import org.apache.spark.sql.functions.{aggregate => agg_, _}
     val raw = transform(sequence(lit(0), lit(dim - 1)),

@@ -225,4 +225,31 @@ class MultimodalSpec extends SparkSpec {
       (4L, 1, 2L, 22L),  // G: 20 + 2
       (4L, 2, 2L, 33L))) // R: 30 + 3
   }
+
+  test("imageDHash: gradient rows hash by hand; duplicates collide; WAV drops") {
+    import spark.implicits._
+    // 2x1 BMP, pixel 0 dark (lum 6), pixel 1 bright (lum 60):
+    // grid cols 0..8 sample px = gx*2/9 → 0 for gx≤4, 1 for gx≥5; so
+    // the only rising adjacency is gx=4→5, i.e. bit gx=4 of every row:
+    // hash = Σ_y 2^(8y+4)
+    val w = 2; val h = 1; val stride = (3 * w + 3) & ~3
+    val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + stride * h).putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    bb.put(Array[Byte](1, 2, 3, 10, 20, 30)) // dark px, bright px
+    val expected = (0 until 8).map(y => 1L << (8 * y + 4)).sum
+    val media = Seq(
+      (4L, bb.array()),
+      (6L, bb.array().clone()), // exact duplicate image → same hash
+      (5L, Multimodal.MediaGen.payload(5L, "wav payload")))
+      .toDF("media_id", "content")
+    val got = Multimodal.imageDHash(media)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((4L, expected), (6L, expected)))
+  }
 }
