@@ -3451,6 +3451,21 @@ object SparkEntry {
             artifactBase(dir)))
         .orderBy(col("media_id"))),
 
+    "x_mm_neardup" -> ((s, dir) =>
+      // image near-dup pairs: the dHash signatures feed the SAME
+      // chunk-blocked Hamming machinery as text SimHash (pigeonhole-
+      // exhaustive at maxDist=3, identical-signature collapse absorbs
+      // the flat-image hot bucket) — multimodal dedup with zero new
+      // join code. Oracle = blocking-free all-pairs Hamming over the
+      // replayed hashes.
+      Dedup.simhashPairsFromSignatures(
+          Multimodal.imageDHash(
+            Multimodal.mediaTable(t(s, dir, "documents"), "doc_id",
+              "text", artifactBase(dir)))
+            .select(col("media_id").as("id"), col("dhash").as("sim")),
+          maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "x_mm_audio_energy" -> ((s, dir) =>
       // frame-level audio feature extraction (VAD/loudness profile):
       // per 16-frame window, Σ|16-bit sample| over all channels as
@@ -3824,6 +3839,65 @@ object SparkEntry {
                    ORDER BY h LIMIT 256)) AS ndv_est,
           (SELECT CAST(min($c) AS VARCHAR) FROM lineitem) AS min_str,
           (SELECT CAST(max($c) AS VARCHAR) FROM lineitem) AS max_str"""
+
+  /** Shared dHash replay CTE for the x_mm_phash / x_mm_neardup oracles:
+    * ends in `dh(media_id, dhash BIGINT)`. Grid sampling, b+g+r
+    * luminance and bit packing mirror [[graft.operators.Multimodal
+    * .imageDHash]] exactly; the HUGEINT power table keeps the 64-bit
+    * packing exact and the final CASE folds bit 63 into two's
+    * complement before the BIGINT cast. */
+  private def mmDHashOracleCte: String = {
+    def bd(e: String) =
+      s"(strpos('0123456789ABCDEF', substr(h, 2 * ($e) - 1, 1)) * 16 + " +
+        s"strpos('0123456789ABCDEF', substr(h, 2 * ($e), 1)) - 17)"
+    def bl(i: Int) = bd(i.toString)
+    def le32(i: Int) = s"(${bl(i)} + 256 * ${bl(i + 1)} + " +
+      s"65536 * ${bl(i + 2)} + 16777216 * ${bl(i + 3)})"
+    val powers = (0 until 64)
+      .map(i => s"($i, CAST('${BigInt(1) << i}' AS HUGEINT))")
+      .mkString(", ")
+    s"""WITH m AS (SELECT media_id, hex(content) AS h
+                   FROM read_parquet('__GRAFT_MEDIA__/*.parquet')
+                   WHERE substr(hex(content), 1, 4) = '424D'),
+            d AS (SELECT media_id, h, ${le32(11)} AS off,
+                         ${le32(19)} AS wd, ${le32(23)} AS ht
+                  FROM m),
+            d2 AS (SELECT *, (3 * wd + 3) - ((3 * wd + 3) % 4) AS stride
+                   FROM d WHERE wd > 0 AND ht > 0),
+            yy AS (SELECT media_id, h, off, wd, ht, stride,
+                          unnest(generate_series(0, CAST(7 AS BIGINT)))
+                            AS gy
+                   FROM d2),
+            xx AS (SELECT media_id, h, off, wd, ht, stride, gy,
+                          unnest(generate_series(0, CAST(8 AS BIGINT)))
+                            AS gx
+                   FROM yy),
+            lum AS (SELECT media_id, gy, gx,
+                           ${bd("off + ((gy * ht) // 8) * stride + " +
+      "3 * ((gx * wd) // 9) + 1")} +
+                           ${bd("off + ((gy * ht) // 8) * stride + " +
+      "3 * ((gx * wd) // 9) + 2")} +
+                           ${bd("off + ((gy * ht) // 8) * stride + " +
+      "3 * ((gx * wd) // 9) + 3")} AS lm
+                    FROM xx),
+            bits AS (SELECT media_id, gy, gx,
+                            CASE WHEN lead(lm) OVER (
+                                   PARTITION BY media_id, gy
+                                   ORDER BY gx) > lm
+                                 THEN 1 ELSE 0 END AS b
+                     FROM lum QUALIFY gx < 8),
+            pw(i, p) AS (VALUES $powers),
+            s AS (SELECT media_id, sum(b * pw.p) AS raw
+                  FROM bits JOIN pw ON pw.i = gy * 8 + gx
+                  GROUP BY 1),
+            dh AS (SELECT media_id,
+                          CAST(CASE WHEN raw >=
+                                 CAST('${BigInt(1) << 63}' AS HUGEINT)
+                               THEN raw -
+                                 CAST('${BigInt(1) << 64}' AS HUGEINT)
+                               ELSE raw END AS BIGINT) AS dhash
+                   FROM s)"""
+  }
 
   private def hexValSql(expr: String): String =
     (0 until 8).map { i =>
@@ -7253,56 +7327,20 @@ object SparkEntry {
     // dynamic hex byte reads, bit packing as HUGEINT power-of-two terms
     // (a VALUES table of exact 2^i literals) with the 2^63 two's-
     // complement fold before the BIGINT cast
-    "x_mm_phash" -> {
-      def bd(e: String) =
-        s"(strpos('0123456789ABCDEF', substr(h, 2 * ($e) - 1, 1)) * 16 + " +
-          s"strpos('0123456789ABCDEF', substr(h, 2 * ($e), 1)) - 17)"
-      def bl(i: Int) = bd(i.toString)
-      def le32(i: Int) = s"(${bl(i)} + 256 * ${bl(i + 1)} + " +
-        s"65536 * ${bl(i + 2)} + 16777216 * ${bl(i + 3)})"
-      val powers = (0 until 64)
-        .map(i => s"($i, CAST('${BigInt(1) << i}' AS HUGEINT))")
-        .mkString(", ")
-      s"""WITH m AS (SELECT media_id, hex(content) AS h
-                     FROM read_parquet('__GRAFT_MEDIA__/*.parquet')
-                     WHERE substr(hex(content), 1, 4) = '424D'),
-              d AS (SELECT media_id, h, ${le32(11)} AS off,
-                           ${le32(19)} AS wd, ${le32(23)} AS ht
-                    FROM m),
-              d2 AS (SELECT *, (3 * wd + 3) - ((3 * wd + 3) % 4) AS stride
-                     FROM d WHERE wd > 0 AND ht > 0),
-              yy AS (SELECT media_id, h, off, wd, ht, stride,
-                            unnest(generate_series(0, CAST(7 AS BIGINT)))
-                              AS gy
-                     FROM d2),
-              xx AS (SELECT media_id, h, off, wd, ht, stride, gy,
-                            unnest(generate_series(0, CAST(8 AS BIGINT)))
-                              AS gx
-                     FROM yy),
-              lum AS (SELECT media_id, gy, gx,
-                             ${bd("off + ((gy * ht) // 8) * stride + " +
-        "3 * ((gx * wd) // 9) + 1")} +
-                             ${bd("off + ((gy * ht) // 8) * stride + " +
-        "3 * ((gx * wd) // 9) + 2")} +
-                             ${bd("off + ((gy * ht) // 8) * stride + " +
-        "3 * ((gx * wd) // 9) + 3")} AS lm
-                      FROM xx),
-              bits AS (SELECT media_id, gy, gx,
-                              CASE WHEN lead(lm) OVER (
-                                     PARTITION BY media_id, gy
-                                     ORDER BY gx) > lm
-                                   THEN 1 ELSE 0 END AS b
-                       FROM lum QUALIFY gx < 8),
-              pw(i, p) AS (VALUES $powers),
-              s AS (SELECT media_id, sum(b * pw.p) AS raw
-                    FROM bits JOIN pw ON pw.i = gy * 8 + gx
-                    GROUP BY 1)
-         SELECT media_id,
-                CAST(CASE WHEN raw >= CAST('${BigInt(1) << 63}' AS HUGEINT)
-                     THEN raw - CAST('${BigInt(1) << 64}' AS HUGEINT)
-                     ELSE raw END AS BIGINT) AS dhash
-         FROM s ORDER BY media_id"""
-    },
+    "x_mm_phash" ->
+      s"""$mmDHashOracleCte
+         SELECT media_id, dhash FROM dh ORDER BY media_id""",
+
+    // the same hash derivation, then a blocking-free all-pairs Hamming
+    // scan — verifying the chunk blocking's pigeonhole exhaustiveness
+    // on the IMAGE signatures exactly as x_dedup_simhash does on text
+    "x_mm_neardup" ->
+      s"""$mmDHashOracleCte
+         SELECT a.media_id AS id_a, b.media_id AS id_b,
+                CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+         FROM dh a JOIN dh b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         ORDER BY id_a, id_b""",
 
     // dynamic hex-position byte reads: sample i's 16-bit LE word sits at
     // 1-based bytes (45+2i, 46+2i) of the canonical payload; two's
