@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph dataflow beyond [[Dedup.connectedComponents]]'
@@ -99,12 +99,29 @@ object Graph {
     * dominates — the join shape is unchanged.
     *
     * Output: (id, triangles) for EVERY vertex of the edge list, 0 for
-    * triangle-free vertices. */
+    * triangle-free vertices.
+    *
+    * Vertex ids must be numeric (or numeric-valued strings): a non-null
+    * id whose `try_cast` to long comes back null fails the job loudly
+    * via `raise_error` — the same refuse-loudly device as
+    * [[pageRankFixedPoint]]'s dangling-node guard, with an operator-named
+    * message (under ANSI mode a plain cast would also throw, but
+    * generically; under non-ANSI it would silently null the edge out of
+    * the `a < b` filter and return an empty, wrong-looking result).
+    * Null ids (a genuinely missing endpoint) still drop. */
   def triangleCounts(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
+    def asLong(c: Column, name: String): Column =
+      when(c.isNotNull && c.try_cast("long").isNull,
+        raise_error(concat(
+          lit(s"triangleCounts: non-numeric vertex id in $name: "),
+          c.cast("string"))))
+        .otherwise(c.try_cast("long"))
+    val src = asLong(col(srcCol), srcCol)
+    val dst = asLong(col(dstCol), dstCol)
     val e = edges.select(
-        least(col(srcCol), col(dstCol)).cast("long").as("a"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+        least(src, dst).as("a"),
+        greatest(src, dst).as("b"))
       .filter(col("a") < col("b")).distinct()
       // referenced 4× below (wedge legs, closer, node list): cut the
       // lineage once, same hygiene as the PageRank loop

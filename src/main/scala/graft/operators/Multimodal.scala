@@ -291,9 +291,15 @@ object Multimodal {
           val off = le32(10)
           val w = le32(18)
           val h = le32(22)
-          val stride = (3 * w + 3) & ~3
-          if (w <= 0 || h <= 0 || off + stride * h > c.length) Iterator.empty
+          // Bounds math in Long: hostile headers (e.g. w=1, h=0x7FFFFFFF)
+          // overflow Int stride*h to a negative that slips past an Int
+          // guard; such rows must fall into the drop path, not crash the
+          // task with AIOOBE on a corpus-scale crawl.
+          val strideL = (3L * w + 3) & ~3L
+          if (w <= 0 || h <= 0 || off < 54 || off >= c.length ||
+              off + strideL * h > c.length) Iterator.empty
           else {
+            val stride = strideL.toInt
             val sums = new Array[Long](3)
             var y = 0
             while (y < h) {
@@ -342,9 +348,13 @@ object Multimodal {
           val off = le32(10)
           val w = le32(18)
           val h = le32(22)
-          val stride = (3 * w + 3) & ~3
-          if (w <= 0 || h <= 0 || off + stride * h > c.length) Iterator.empty
+          // Long bounds math + offset sanity: see imageChannelStats — a
+          // wrapped Int stride*h must drop the row, never crash the task.
+          val strideL = (3L * w + 3) & ~3L
+          if (w <= 0 || h <= 0 || off < 54 || off >= c.length ||
+              off + strideL * h > c.length) Iterator.empty
           else {
+            val stride = strideL.toInt
             def lum(gx: Int, gy: Int): Int = {
               val px = gx * w / 9
               val py = gy * h / 8

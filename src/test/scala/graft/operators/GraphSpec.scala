@@ -45,6 +45,24 @@ class GraphSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)))
   }
 
+  test("triangleCounts: numeric-string ids work; non-numeric refuse loudly") {
+    // Numeric strings cast cleanly — same answer as the long form.
+    val ok = Seq(("1", "2"), ("2", "3"), ("1", "3")).toDF("s", "d")
+    val out = Graph.triangleCounts(ok, "s", "d")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    // A non-numeric id must fail the job, not silently null out of the
+    // a < b filter and return an empty frame.
+    val bad = Seq(("1", "2"), ("node-7", "2")).toDF("s", "d")
+    val ex = intercept[Exception] {
+      Graph.triangleCounts(bad, "s", "d").collect()
+    }
+    def msg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" "))
+    assert(msg(ex).contains("non-numeric vertex id"))
+  }
+
   test("pageRankFixedPoint refuses dangling nodes loudly") {
     val dangling = Seq((1L, 2L)).toDF("s", "d") // 2 never a source
     val ex = intercept[Exception] {

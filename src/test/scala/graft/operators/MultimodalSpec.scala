@@ -252,4 +252,29 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((4L, expected), (6L, expected)))
   }
+
+  test("hostile BMP headers drop instead of crashing the task") {
+    import spark.implicits._
+    // Headers a crawled corpus can contain: stride*h wrapping Int
+    // (w=1, h=MaxValue), a data offset inside the header, and an
+    // offset past the buffer. All must take the Iterator.empty path.
+    def bmp(w: Int, h: Int, off: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte)
+        .putInt(64).putInt(0).putInt(off)
+        .putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24)
+        .putInt(0).putInt(0)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      bb.array()
+    }
+    val media = Seq(
+      (0L, bmp(1, Int.MaxValue, 54)), // stride*h wraps negative in Int
+      (2L, bmp(1, 1, 12)),            // offset inside the header
+      (4L, bmp(1, 1, 1000)))          // offset past the buffer
+      .toDF("media_id", "content")
+    assert(Multimodal.imageDHash(media).count() == 0L)
+    assert(Multimodal.imageChannelStats(media).count() == 0L)
+  }
 }
