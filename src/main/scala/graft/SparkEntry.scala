@@ -2811,6 +2811,23 @@ object SparkEntry {
         .orderBy(col("event_type"), col("q"))
     }),
 
+    "x_stream_ingest_e2e" -> ((s, dir) => {
+      // EP1 under redelivery as ONE oracle row: file A + a converted_
+      // trap + a poison file drain through Watch (AvailableNow), every
+      // drain restarts from a FRESH checkpoint (the streaming analog of
+      // SQS redelivering every notification), an update file C lands
+      // between drains, and the completion callback (ST5) exports the
+      // report the output re-reads from CSV. The oracle computes the
+      // single-delivery answer straight from nation — duplicate merges,
+      // lost suppression, a leaked trap row, or a mis-aggregated report
+      // all hash-mismatch. See graft.pipeline.IngestE2E.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try graft.pipeline.IngestE2E.run(s, dir,
+        s"${artifactBase(dir)}/ingest_e2e")
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     "x_stream_trending" -> ((s, dir) => {
       // REAL streaming daily trending top-k (the streaming form of
       // x_ts_trending): per day, the 3 most frequent event types so
@@ -6162,6 +6179,33 @@ object SparkEntry {
          SELECT strftime(day, '%Y-%m-%d') AS day, CAST(rnk AS INT) AS rnk,
                 event_type, n
          FROM r WHERE rnk <= 3 ORDER BY day, rnk""",
+
+    // single-delivery answer of the redelivered EP1 run: file A is two
+    // March rows per nation, file C (delivered later, so it wins the
+    // merge unconditionally) overwrites the 03-15 row of even nations;
+    // report = per-GEO avg over the merged table. The engine's rows
+    // came through three drains + suppression + quarantine + a CSV
+    // round-trip; the oracle computes the same answer in one pass.
+    "x_stream_ingest_e2e" ->
+      """WITH nat AS (SELECT n_nationkey AS k, n_name AS geo FROM nation),
+              base AS (
+                SELECT '2024-03-01' AS date, geo, 'All-items' AS products,
+                       CAST(100 + k + 0.5 AS DECIMAL(18,4)) AS value, k
+                FROM nat
+                UNION ALL
+                SELECT '2024-03-15', geo, 'All-items',
+                       CASE WHEN k % 2 = 0
+                            THEN CAST(200 + k + 0.75 AS DECIMAL(18,4))
+                            ELSE CAST(110 + k + 0.25 AS DECIMAL(18,4)) END, k
+                FROM nat)
+         SELECT 'table' AS kind, date, geo, products, value,
+                CAST(1 AS BIGINT) AS n
+         FROM base
+         UNION ALL
+         SELECT 'report', '2024-03-01', geo, products,
+                CAST(avg(value) AS DECIMAL(18,4)), COUNT(*)
+         FROM base GROUP BY geo, products
+         ORDER BY 1, 3, 2""",
 
     // same ranking as x_ts_trending — the streaming operator must land
     // on the identical batch answer after keep-last finalization

@@ -65,18 +65,21 @@ object PriceIndex {
 
   /** Parse the stringly frame into the typed schema. `Date` accepts
     * `yyyy-MM` (StatCan month granularity → first of month) and full
-    * `yyyy-MM-dd`. Unparseable ints/decimals become null (the STATUS/
-    * SYMBOL columns exist precisely because StatCan suppresses values). */
+    * `yyyy-MM-dd`. Unparseable ints/decimals/dates become null (the
+    * STATUS/SYMBOL columns exist precisely because StatCan suppresses
+    * values) — `try_to_date`/`try_cast`, because under ANSI mode (the
+    * Spark 4 default) the plain forms THROW on the first suppressed or
+    * day-granularity value instead of honoring this contract. */
   def typed(df: DataFrame): DataFrame =
     df.select(
-      coalesce(to_date(col("Date"), "yyyy-MM"),
-        to_date(col("Date"), "yyyy-MM-dd")).as("Date"),
+      coalesce(try_to_date(col("Date"), "yyyy-MM"),
+        try_to_date(col("Date"), "yyyy-MM-dd")).as("Date"),
       col("GEO"), col("DGUID"), col("Products"), col("UOM"),
-      col("UOM_ID").cast(IntegerType).as("UOM_ID"),
+      col("UOM_ID").try_cast(IntegerType).as("UOM_ID"),
       col("SCALAR_FACTOR"),
-      col("SCALAR_ID").cast(IntegerType).as("SCALAR_ID"),
+      col("SCALAR_ID").try_cast(IntegerType).as("SCALAR_ID"),
       col("VECTOR"), col("COORDINATE"),
-      col("VALUE").cast(DecimalType(18, 4)).as("VALUE"),
+      col("VALUE").try_cast(DecimalType(18, 4)).as("VALUE"),
       col("STATUS"), col("SYMBOL"), col("TERMINATED"),
-      col("DECIMALS").cast(IntegerType).as("DECIMALS"))
+      col("DECIMALS").try_cast(IntegerType).as("DECIMALS"))
 }

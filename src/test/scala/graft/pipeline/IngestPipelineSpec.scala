@@ -133,6 +133,16 @@ class IngestPipelineSpec extends SparkSpec {
     assert(r.getDecimal(10).doubleValue() == 104.3)
   }
 
+  test("typed() accepts both month-granularity and full dates") {
+    val df = Seq("1995-12", "2024-03-15", "not a date")
+      .toDF("Date")
+    val filled = PriceIndex.columnList.tail
+      .foldLeft(df)((d, c) => d.withColumn(c, lit("0")))
+    val dates = PriceIndex.typed(PriceIndex.project(filled))
+      .select($"Date".cast("string")).as[String].collect().toSeq
+    assert(dates == Seq("1995-12-01", "2024-03-15", null))
+  }
+
   test("missing file and fresh-window suppression return skip status (P6/ST3)") {
     val wh = tmpDir("graft_wh3")
     val p = new IngestPipeline(spark, wh.toString)
