@@ -378,6 +378,94 @@ object Multimodal {
       }.toDF("media_id", "dhash")
   }
 
+  /** Real-codec decode via `javax.imageio` — the production path for a
+    * crawled multimodal corpus (JPEG/PNG/GIF/BMP), where the byte-walk
+    * decoders above stay the oracle-replayable gates. Same batch shape
+    * as [[decodeBatched]]: one reader context per task (the setup hook
+    * disables ImageIO's temp-FILE cache — a per-row disk write on the
+    * hot path otherwise), rows in bounded batches. Rows no installed
+    * reader claims (WAV, truncated payloads) DROP — feature-extraction
+    * semantics like [[imageChannelStats]], not the strict-gate throw of
+    * [[HeaderCodec]]. Only the header is read (`getWidth/getHeight` on
+    * the reader), never the full raster — metadata extraction over a
+    * 100 TB image corpus must not pay pixel decode. */
+  def decodeImages(media: DataFrame, batchSize: Int = 256): Dataset[DecodedMeta] = {
+    implicit val enc = Encoders.product[DecodedMeta]
+    BatchOps.mapBatchesWithSetup(
+        media.select(col("media_id").cast("long"), col("content")), batchSize)(
+        () => { javax.imageio.ImageIO.setUseCache(false); () }) { (_, batch) =>
+      batch.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              Some(DecodedMeta(id, reader.getFormatName.toLowerCase,
+                width = reader.getWidth(0), height = reader.getHeight(0),
+                n_frames = 1, sample_rate = 0, channels = 0))
+            } catch { case _: Exception => None } // truncated past header
+            finally reader.dispose()
+          }
+        } finally iis.close()
+      }
+    }
+  }
+
+  /** Perceptual dHash over the `javax.imageio` decode — the same 9×8
+    * grid, integer luminance (r+g+b), bit layout, and "right cell
+    * brighter" rule as [[imageDHash]], so hashes from BOTH paths feed
+    * the SAME chunk-blocked Hamming join ([[Dedup.chunkBlockPairs]])
+    * interchangeably. The grid's vertical axis keeps the BMP byte-walk
+    * convention (gy = 0 is the BOTTOM row): for a 24-bit BMP the two
+    * paths are BIT-IDENTICAL (spec-pinned property), and a lossless
+    * re-encode (PNG) of the same pixels hashes identically — the
+    * cross-codec stability that makes the hash a near-dup key at all.
+    * Undecodable rows drop. Full raster decode, row-local, no shuffle. */
+  def imageDHashDecoded(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth < 1 || img.getHeight < 1)
+            Iterator.empty
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            def lum(gx: Int, gy: Int): Int = {
+              val px = gx * w / 9
+              // byte-walk rows count from the BOTTOM of the image
+              val py = h - 1 - (gy * h / 8)
+              val rgb = img.getRGB(px, py)
+              ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            }
+            var hash = 0L
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                if (lum(gx + 1, gy) > lum(gx, gy))
+                  hash |= 1L << (gy * 8 + gx)
+                gx += 1
+              }
+              gy += 1
+            }
+            Iterator.single((id, hash))
+          }
+        }
+      }.toDF("media_id", "dhash")
+  }
+
   def featureExtract(media: DataFrame, dim: Int): DataFrame = {
     import org.apache.spark.sql.functions.{aggregate => agg_, _}
     val raw = transform(sequence(lit(0), lit(dim - 1)),
