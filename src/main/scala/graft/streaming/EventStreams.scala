@@ -315,10 +315,16 @@ object EventStreams {
     * asc) — every rank deterministic. This is the EXACT form for
     * bounded vocabularies; an unbounded-vocabulary posture belongs to
     * a space-saving/CMS sketch state (see
-    * [[graft.operators.Sketches]]), not a bigger map. */
+    * [[graft.operators.Sketches]]), not a bigger map. That contract is
+    * MECHANICAL, not advisory: a key whose distinct-value count would
+    * exceed `maxVocab` fails the query loudly (naming the key and the
+    * sketch alternative) instead of letting state grow unbounded until
+    * an executor OOMs mid-stream — the one way this operator could
+    * have become a 100 TB scale-killer. */
   def topKStream(events: DataFrame, keyCol: String, valCol: String,
-                 k: Int): DataFrame = {
+                 k: Int, maxVocab: Int = 100000): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1, 1000]: $k")
+    require(maxVocab >= 1, s"maxVocab must be positive: $maxVocab")
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -333,6 +339,12 @@ object EventStreams {
           var n = st.n
           var counts = st.counts
           rows.foreach { case (_, v) =>
+            if (!counts.contains(v) && counts.size >= maxVocab)
+              throw new IllegalStateException(
+                s"topKStream: key '$key' exceeded maxVocab=$maxVocab " +
+                  "distinct values — this exact-counts operator is for " +
+                  "bounded vocabularies; route unbounded ones through " +
+                  "the sketch family (Sketches.cmsHeavyHitters)")
             counts = counts.updated(v, counts.getOrElse(v, 0L) + 1L)
             n += 1
           }

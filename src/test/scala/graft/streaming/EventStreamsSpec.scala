@@ -361,6 +361,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("topKStream refuses loudly when a key's vocabulary exceeds maxVocab") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val df = mem.toDF().toDF("k", "v")
+    val out = EventStreams.topKStream(df, "k", "v", k = 2, maxVocab = 3)
+      .writeStream.format("memory").queryName("topk_refuse_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", "v1"), ("a", "v2"), ("a", "v3"))
+      out.processAllAvailable() // at the ceiling: fine
+      mem.addData(("a", "v1")) // existing value: still fine
+      out.processAllAvailable()
+      mem.addData(("a", "v4")) // 4th distinct value: refuse loudly
+      val ex = intercept[Exception] { out.processAllAvailable() }
+      def msgs(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString(" ")
+      assert(msgs(ex).contains("exceeded maxVocab"),
+        s"wanted the contract message, got: ${msgs(ex).take(300)}")
+    } finally out.stop()
+  }
+
   test("decontaminateStream flags streamed docs against the static eval set") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val evalDocs = Seq((100L, "alpha beta gamma delta epsilon"))
