@@ -830,11 +830,12 @@ object Dedup {
     * append-exact flow). Post-condition, spec-asserted: both artifacts
     * read back equal to a from-scratch build over the full corpus.
     *
-    * Not atomic, same contract as [[LshIndex.append]]: a killed refresh
-    * leaves partial delta files behind the builds' _SUCCESS markers and
-    * a blind retry double-appends — recovery is rebuild. A production
-    * deployment wanting transactional refresh holds these tables in a
-    * format with commit semantics. */
+    * Exactly-once via [[StagedCommit]], like [[LshIndex.append]]: both
+    * delta appends stage + rename-commit under ONE content-derived
+    * token (from the delta id set), so a kill anywhere — mid-stage,
+    * mid-commit, or between the pair and banded appends — is repaired
+    * by re-running the same refresh: committed halves no-op, partial
+    * halves are swept and redone. Recovery is retry, not rebuild. */
   def refreshArtifacts(docs: DataFrame, deltaIds: DataFrame, idCol: String,
                        textCol: String, basePath: String, n: Int,
                        numHashes: Int, bands: Int,
@@ -856,10 +857,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val oldBanded = spark.read.parquet(bandedPath)
       .select(col("id").as("_id"), col("band"), col("bkey"))
-    deltaCandPairs(idx, deltaBanded, oldBanded.union(deltaBanded), threshold)
-      .write.mode("append").parquet(pairsPath)
-    deltaBanded.select(col("_id").as("id"), col("band"), col("bkey"))
-      .write.mode("append").parquet(bandedPath)
+    val token = StagedCommit.idToken(deltaIdSet, "_id")
+    StagedCommit.appendOnce(pairsPath, token, Seq.empty,
+      deltaCandPairs(idx, deltaBanded, oldBanded.union(deltaBanded), threshold))
+    StagedCommit.appendOnce(bandedPath, token, Seq.empty,
+      deltaBanded.select(col("_id").as("id"), col("band"), col("bkey")))
     // both consuming actions are done — release the cached blocks (the
     // lazy-returning paths below cannot do this; see buildIdx's note)
     deltaBanded.unpersist()

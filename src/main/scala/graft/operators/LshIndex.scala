@@ -63,15 +63,16 @@ final class LshIndex(spark: SparkSession, basePath: String, dim: Int,
     * append(delta) produce identical index CONTENT — the LSH analog of
     * [[Dedup.refreshPairs]]. Touches only the delta's partitions.
     *
-    * NOT atomic: a killed append leaves partial delta files behind the
-    * build's `_SUCCESS` marker, and a blind retry double-appends.
-    * Recovery contract is rebuild (delete + `build`); a production
-    * deployment wanting transactional appends should hold these rows in
-    * a table format with commit semantics rather than raw parquet dirs. */
+    * Exactly-once via [[StagedCommit]]: the delta stages into a hidden
+    * child dir and commits by rename under a content-derived token, so
+    * a killed append is repaired by simply RE-RUNNING it (partials of
+    * the same token are swept, a completed token no-ops) — recovery is
+    * retry, not rebuild. Re-appending an identical delta is likewise a
+    * no-op instead of a silent double-append. */
   def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
-    bucketed(emb, idCol, vecCol)
-      .write.mode(SaveMode.Append).partitionBy("tbl", "bucket")
-      .parquet(rowsPath)
+    val token = StagedCommit.idToken(emb, idCol, vecCol)
+    StagedCommit.appendOnce(rowsPath, token, Seq("tbl", "bucket"),
+      bucketed(emb, idCol, vecCol))
     invalidate()
   }
 

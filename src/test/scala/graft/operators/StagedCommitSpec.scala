@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The exactly-once delta-append protocol: idempotent retry, self-heal
+  * of killed commits, and the recovered-equals-from-scratch law on the
+  * real artifact consumers (LshIndex, refreshArtifacts). */
+class StagedCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(ids: Long*) = ids.toDF("id")
+
+  test("appendOnce: second call with the same token is a no-op") {
+    val dir = Files.createTempDirectory("graft_sc").toString
+    df(1, 2, 3).write.mode("overwrite").parquet(dir) // base build
+    val delta = df(10, 11)
+    val token = StagedCommit.idToken(delta, "id")
+    assert(StagedCommit.appendOnce(dir, token, Nil, delta))
+    assert(!StagedCommit.appendOnce(dir, token, Nil, delta))
+    assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 10L, 11L))
+    // distinct content gets a distinct token and does append
+    val delta2 = df(20)
+    assert(StagedCommit.idToken(delta2, "id") != token)
+    assert(StagedCommit.appendOnce(dir, StagedCommit.idToken(delta2, "id"),
+      Nil, delta2))
+    assert(spark.read.parquet(dir).count() == 6)
+  }
+
+  test("kill mid-commit self-heals: stray token files swept on retry") {
+    val dir = Files.createTempDirectory("graft_sc_heal").toString
+    df(1, 2).write.mode("overwrite").parquet(dir)
+    val delta = df(5, 6, 7)
+    val token = StagedCommit.idToken(delta, "id")
+    // simulate a commit killed after renaming SOME files: plant a real
+    // parquet file (duplicate content) under this token's name with no
+    // marker — a blind append would double rows 5..7
+    val scratch = Files.createTempDirectory("graft_sc_scratch").toString
+    delta.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, s"delta_${token}_99999.parquet"))
+    assert(spark.read.parquet(dir).count() == 5) // partial state visible
+    // retry = just run the append; it must sweep the partial first
+    assert(StagedCommit.appendOnce(dir, token, Nil, delta))
+    assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 5L, 6L, 7L))
+  }
+
+  test("LshIndex: killed append then retry equals from-scratch build") {
+    val emb = (1L to 60L).map(i =>
+        (i, Seq(i % 5 - 2.0, i % 7 - 3.0, i % 3 - 1.0, i % 11 - 5.0)))
+      .toDF("vec_id", "embedding")
+    val old = emb.filter($"vec_id" <= 40)
+    val delta = emb.filter($"vec_id" > 40)
+    val baseA = Files.createTempDirectory("graft_sc_lsh").toString
+    val idxA = new LshIndex(spark, baseA, dim = 4, numTables = 3,
+      bitsPerTable = 2, seed = 7L)
+    idxA.build(old, "vec_id", "embedding")
+    idxA.append(delta, "vec_id", "embedding")
+    // redelivered append of the SAME delta: exactly-once, not doubled
+    idxA.append(delta, "vec_id", "embedding")
+    val baseB = Files.createTempDirectory("graft_sc_lshB").toString
+    val idxB = new LshIndex(spark, baseB, dim = 4, numTables = 3,
+      bitsPerTable = 2, seed = 7L)
+    idxB.build(emb, "vec_id", "embedding")
+    def content(i: LshIndex) = i.rows()
+      .groupBy($"vec_id", $"tbl", $"bucket").count()
+      .select($"vec_id", $"tbl".cast("int"), $"bucket".cast("long"), $"count")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(content(idxA) == content(idxB))
+  }
+
+  test("refreshArtifacts: kill between the two appends, retry converges") {
+    val docs = (1L to 30L).map { i =>
+        val base = Seq.tabulate(8)(j => s"w${(i + j) % 9}").mkString(" ")
+        (i, if (i % 3 == 0) base else base + s" u$i extra$i")
+      }.toDF("doc_id", "text")
+    val old = docs.filter($"doc_id" % 2 === 1)
+    val delta = docs.filter($"doc_id" % 2 === 0)
+    val base = Files.createTempDirectory("graft_sc_refresh").toString
+    val oldBanded = Dedup.bandedTable(old, "doc_id", "text", base,
+      n = 3, numHashes = 32, bands = 16)
+    Dedup.pairTable(old, "doc_id", "text", base, n = 3, numHashes = 32,
+      bands = 16, threshold = 0.2, banded = Some(oldBanded))
+    // simulate a refresh killed mid-commit of the BANDED half: plant a
+    // stray file under the token the real refresh will use
+    val token = StagedCommit.idToken(
+      delta.select($"doc_id".as("_id")).distinct(), "_id")
+    val bandedPath = s"$base/banded_n3_h32_b16"
+    val scratch = Files.createTempDirectory("graft_sc_rscratch").toString
+    spark.read.parquet(bandedPath).limit(3).coalesce(1)
+      .write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(bandedPath, s"delta_${token}_99999.parquet"))
+    // retry IS the recovery: the stray partial is swept, both halves land
+    Dedup.refreshArtifacts(docs, delta.select($"doc_id"), "doc_id", "text",
+      base, n = 3, numHashes = 32, bands = 16, threshold = 0.2)
+    // and a SECOND full retry is a no-op (both tokens committed)
+    Dedup.refreshArtifacts(docs, delta.select($"doc_id"), "doc_id", "text",
+      base, n = 3, numHashes = 32, bands = 16, threshold = 0.2)
+    val served = Dedup.pairTable(docs.limit(0), "doc_id", "text", base,
+        n = 3, numHashes = 32, bands = 16, threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val scratchPairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16, threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served == scratchPairs)
+    // banded signatures: one row per (id, band), no duplicates
+    val banded = spark.read.parquet(bandedPath)
+    assert(banded.count() == banded.select($"id", $"band").distinct().count())
+    assert(banded.select($"id").distinct().count() == 30)
+  }
+}
