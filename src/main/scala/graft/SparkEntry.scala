@@ -3091,6 +3091,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_lm_ppl_filter" -> ((s, dir) => {
+      // CCNet-shaped perplexity quality filter: train the bigram LM on
+      // the corpus, score every doc, cut into perplexity tertiles, and
+      // drop the worst ('tail') third. The tertile cutoffs come from
+      // histogram-guided EXACT selection (Quantiles.exactQuantile — no
+      // ntile/global-sort window anywhere), and are kth-smallest
+      // values the score column CONTAINS, so the bucket compare is an
+      // exact double comparison any engine replays.
+      val docs = t(s, dir, "documents")
+      val uni = LanguageModel.unigramCounts(docs, "text")
+      val bi = LanguageModel.bigramCounts(docs, "text")
+      val scored = LanguageModel.scoreStupidBackoff(
+        docs, "doc_id", "text", uni, bi).persist()
+      LanguageModel.perplexityBuckets(scored)
+        .filter(col("bucket") =!= "tail")
+        .orderBy(col("doc_id"))
+    }),
+
     "x_text_collocations" -> ((s, dir) =>
       // PMI phrase mining over the corpus (the multiword-unit signal
       // for tokenizer/vocab construction): exact vocab-grain counts,
@@ -3125,6 +3143,18 @@ object SparkEntry {
         "doc_id", "text", artifactBase(dir))
       TextIndex.search(postings, Seq("batch", "join"))
         .orderBy(col("doc_id"))
+    }),
+
+    "x_text_bm25" -> ((s, dir) => {
+      // Okapi BM25 top-10 ranked retrieval from the scored-postings
+      // artifact (tf + denormalized doc length per posting row; exact
+      // long (n_docs, total_dl) stats). Bucket-pruned probe, df from
+      // the candidates themselves, term-ordered double fold, rounded
+      // rank. The oracle recomputes full-scan BM25 from the raw
+      // corpus — index probe == corpus scan, ranked edition.
+      val (postings, stats) = TextIndex.buildScoredPostings(
+        t(s, dir, "documents"), "doc_id", "text", artifactBase(dir))
+      TextIndex.bm25TopK(postings, stats, Seq("batch", "join"), k = 10)
     }),
 
     "x_text_scrub" -> ((s, dir) =>
@@ -6851,6 +6881,58 @@ object SparkEntry {
                 round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
 
+    // same LM scoring replay, then tertile cutoffs as kth-smallest
+    // (k = ceil(q*n), identical double arithmetic) and the engine's
+    // bucket compare; the filter keeps head+middle
+    "x_lm_ppl_filter" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+                    FROM documents),
+              t AS (SELECT doc_id, unnest(l) AS tok,
+                           generate_subscripts(l, 1) AS pos
+                    FROM d),
+              bgn AS (SELECT doc_id, w1, w2 FROM (
+                        SELECT doc_id, tok AS w1,
+                               lead(tok) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) AS w2
+                        FROM t)
+                      WHERE w2 IS NOT NULL),
+              bc AS (SELECT w1, w2, count(*) AS c12 FROM bgn GROUP BY 1, 2),
+              uc AS (SELECT tok AS w, count(*) AS c1 FROM t GROUP BY 1),
+              tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM t),
+              lp AS (SELECT s.doc_id,
+                            CAST(round(CASE WHEN bc.c12 IS NOT NULL
+                                 THEN ln(CAST(bc.c12 AS DOUBLE) / u1.c1)
+                                 ELSE ln(CAST(0.4 AS DOUBLE) * u2.c1 / tot.t)
+                                 END, 6) AS DECIMAL(18,6)) AS lp
+                     FROM bgn s
+                     LEFT JOIN bc ON bc.w1 = s.w1 AND bc.w2 = s.w2
+                     JOIN uc u1 ON u1.w = s.w1
+                     JOIN uc u2 ON u2.w = s.w2
+                     CROSS JOIN tot),
+              scored AS (SELECT doc_id, count(*) AS n_bigrams,
+                                round(CAST(sum(lp) AS DOUBLE) / count(*), 6)
+                                  AS avg_logp
+                         FROM lp GROUP BY doc_id),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+              ks AS (SELECT CAST(ceil((1.0/3) * n) AS BIGINT) AS k1,
+                            CAST(ceil((2.0/3) * n) AS BIGINT) AS k2
+                     FROM n),
+              ranked AS (SELECT avg_logp,
+                                row_number() OVER (ORDER BY avg_logp,
+                                                   doc_id) AS rn
+                         FROM scored),
+              cuts AS (SELECT
+                         (SELECT avg_logp FROM ranked, ks
+                          WHERE rn = k1) AS c1,
+                         (SELECT avg_logp FROM ranked, ks
+                          WHERE rn = k2) AS c2)
+         SELECT doc_id, n_bigrams, avg_logp,
+                CASE WHEN avg_logp <= c2 THEN 'middle'
+                     ELSE 'head' END AS bucket
+         FROM scored CROSS JOIN cuts
+         WHERE avg_logp > c1
+         ORDER BY doc_id""",
+
     "x_text_collocations" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS l
                     FROM documents),
@@ -6925,6 +7007,39 @@ object SparkEntry {
          WHERE term IN ('batch', 'join')
          GROUP BY doc_id HAVING count(DISTINCT term) = 2
          ORDER BY doc_id""",
+
+    // full-scan BM25 replay with the engine's exact evaluation order:
+    // Lucene-form idf ln((N-df+.5)/(df+.5)+1), k1=1.2 b=0.75, per-doc
+    // sum folded in ascending-term order, rank on the 6-decimal
+    // rounded score with doc_id tiebreak
+    "x_text_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+           dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                  FROM tok GROUP BY 1),
+           st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+           tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                  FROM tok WHERE term IN ('batch', 'join')
+                  GROUP BY 1, 2),
+           dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+           sc AS (SELECT tf.doc_id, tf.term,
+                         ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                            / (df + 0.5) + 1.0)
+                         * (tf * 2.2)
+                         / (tf + 1.2 * (0.25 + CAST(dl.dl AS DOUBLE)
+                            * 0.75 / (CAST(total_dl AS DOUBLE) / n_docs)))
+                           AS score
+                  FROM tf JOIN dl USING (doc_id)
+                          JOIN dfc USING (term) CROSS JOIN st),
+           agg AS (SELECT doc_id,
+                          round(sum(score ORDER BY term), 6) AS score
+                   FROM sc GROUP BY 1)
+         SELECT doc_id, score FROM agg
+         QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
+         ORDER BY score DESC, doc_id""",
 
     // generated from TextFunctions.piiPatterns so the oracle scrubs
     // with the IDENTICAL regex chain, innermost = first pattern

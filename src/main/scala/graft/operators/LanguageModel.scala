@@ -99,4 +99,27 @@ object LanguageModel {
           (col("_ca").cast("double") * col("_cb").cast("double"))), 6)
           .as("pmi"))
   }
+
+  /** CCNet-style head/middle/tail perplexity bucketing of a scored
+    * corpus (`scored` = [[scoreStupidBackoff]] output; higher
+    * `avg_logp` = lower perplexity = better). The tertile cutoffs come
+    * from [[Quantiles.exactQuantile]] — histogram-guided exact
+    * selection, NO global sort/window, so the bucketing is scan-stage
+    * work plus two driver-bounded scalar searches at any corpus size
+    * (a `ntile(3)` window here would funnel 100 TB through one
+    * partition). Cutoffs are kth-smallest (k = ⌈q·n⌉) VALUES THE
+    * COLUMN CONTAINS, so `v ≤ cutoff` is an exact double compare any
+    * engine reproduces; ties at a cutoff land every tied doc in the
+    * same bucket. Adds a `bucket` column: 'tail' (worst third),
+    * 'middle', 'head'. The quality-filter composition keeps
+    * `bucket != 'tail'` — the caller's one-line filter. */
+  def perplexityBuckets(scored: DataFrame,
+                        scoreCol: String = "avg_logp"): DataFrame = {
+    val cut1 = Quantiles.exactQuantile(scored, scoreCol, 1.0 / 3)
+    val cut2 = Quantiles.exactQuantile(scored, scoreCol, 2.0 / 3)
+    scored.withColumn("bucket",
+      when(col(scoreCol) <= cut1, lit("tail"))
+        .when(col(scoreCol) <= cut2, lit("middle"))
+        .otherwise(lit("head")))
+  }
 }

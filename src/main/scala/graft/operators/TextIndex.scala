@@ -75,6 +75,95 @@ object TextIndex {
     spark.read.parquet(path)
   }
 
+  /** Scored postings for ranked (BM25) retrieval, as one build-once
+    * artifact pair under a shared root: `postings/` holds (term,
+    * doc_id, tf, dl) hash-bucketed by term exactly like
+    * [[buildPostings]] (dl — the document's token count — is
+    * DENORMALIZED into every posting row: +8 bytes per posting buys
+    * query-time work strictly ∝ the query terms' posting lists, with
+    * no corpus-sized doc-length join on any probe); `stats/` holds the
+    * single (n_docs, total_dl) row, both stored as exact longs so
+    * avg-doc-length derives identically in any engine. The stats
+    * write goes LAST and its `_SUCCESS` is the commit marker for the
+    * pair — a build killed between the two writes leaves no marker
+    * and rebuilds, never serving postings with missing stats. */
+  def buildScoredPostings(docs: DataFrame, idCol: String, textCol: String,
+      basePath: String, buckets: Int = 64): (DataFrame, DataFrame) = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val spark = docs.sparkSession
+    val root = s"$basePath/scored_postings_b$buckets"
+    val postPath = s"$root/postings"
+    val statsPath = s"$root/stats"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(statsPath, "_SUCCESS"))) {
+      docs.select(col(idCol).as("doc_id"),
+          TextFunctions.tokens(col(textCol)).as("_toks"))
+        .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+          explode(col("_toks")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("_bkt", pmod(xxhash64(col("term")), lit(buckets)))
+        .repartition(buckets, col("_bkt"))
+        .write.partitionBy("_bkt").mode("overwrite").parquet(postPath)
+      docs.select(size(TextFunctions.tokens(col(textCol)))
+          .cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+        .write.mode("overwrite").parquet(statsPath)
+    }
+    (spark.read.parquet(postPath), spark.read.parquet(statsPath))
+  }
+
+  /** Okapi BM25 top-`k` ranked retrieval over a [[buildScoredPostings]]
+    * artifact. Disjunctive: any doc containing ≥1 query term scores.
+    * Plan shape: partition-pruned probe of the query terms' buckets
+    * (same planning-time hash probe as [[search]]), document
+    * frequencies aggregated from the CANDIDATE rows themselves (≤
+    * |terms| rows, broadcast back), the 1-row stats broadcast, then
+    * one per-doc aggregate — so every stage is ∝ posting-list size,
+    * never corpus size, and the final top-k is a TakeOrdered
+    * (per-partition heads merged on the driver), not a global sort.
+    *
+    * score(d) = Σ_t ln((N − df + ½)/(df + ½) + 1) ·
+    *            tf(k1+1)/(tf + k1(1 − b + b·dl/avgdl))
+    * — the Lucene-form idf (always positive). The per-doc sum folds
+    * the per-term scores in ascending-term order over a sorted array,
+    * not in partition order, so the double result is bit-stable
+    * run-to-run; ranking uses the 6-decimal-rounded score with doc_id
+    * as tiebreak — the cross-engine determinism contract. */
+  def bm25TopK(postings: DataFrame, stats: DataFrame, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      buckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one term")
+    require(terms.distinct.size == terms.size,
+      s"repeated query terms are redundant: $terms")
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = postings.sparkSession
+    val probe = spark.range(1)
+      .select(terms.map(tm =>
+        pmod(xxhash64(lit(tm)), lit(buckets)).as(tm)): _*).head()
+    val bkts = terms.indices.map(probe.getLong(_)).distinct
+    val cand = postings
+      .filter(col("_bkt").isin(bkts: _*) && col("term").isin(terms: _*))
+    val dfc = cand.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    cand.join(broadcast(dfc), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_avgdl",
+        col("total_dl").cast("double") / col("n_docs"))
+      .withColumn("_idf", log(
+        (col("n_docs").cast("double") - col("_df") + 0.5)
+          / (col("_df") + 0.5) + 1.0))
+      .withColumn("_score", col("_idf") * (col("tf") * (k1 + 1.0))
+        / (col("tf") + lit(k1)
+          * (lit(1.0 - b) + col("dl").cast("double") * b / col("_avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("term"), col("_score")))),
+        lit(0.0), (acc, x) => acc + x("_score")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Conjunctive (AND) term search over a postings artifact: documents
     * containing EVERY query term. The probe filters on the partition
     * column first — bucket values come from the engine's own hash via

@@ -63,4 +63,27 @@ class LanguageModelSpec extends SparkSpec {
     assert(LanguageModel
       .scoreStupidBackoff(held, "doc_id", "text", uni, bi).count() == 0)
   }
+
+  test("perplexityBuckets cuts exact tertiles; ties share a bucket") {
+    // 9 distinct scores: tail = 3 worst, middle = next 3, head = top 3
+    val scored = (1L to 9L).map(i => (i, 2L, i.toDouble / 10))
+      .toDF("doc_id", "n_bigrams", "avg_logp")
+    val got = LanguageModel.perplexityBuckets(scored)
+      .select($"doc_id", $"bucket").as[(Long, String)]
+      .collect().toMap
+    assert((1L to 3L).forall(got(_) == "tail"))
+    assert((4L to 6L).forall(got(_) == "middle"))
+    assert((7L to 9L).forall(got(_) == "head"))
+    // a run of ties straddling a cutoff lands ENTIRELY in one bucket
+    // (the compare is v <= kth-smallest VALUE, not a rank split)
+    val tied = Seq((1L, 0.1), (2L, 0.5), (3L, 0.5), (4L, 0.5), (5L, 0.9))
+      .map { case (id, s) => (id, 2L, s) }
+      .toDF("doc_id", "n_bigrams", "avg_logp")
+    val tb = LanguageModel.perplexityBuckets(tied)
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    // k1 = ceil(5/3) = 2 -> cut1 = 0.5; every 0.5 doc is 'tail'
+    assert(tb(1L) == "tail")
+    assert(Seq(2L, 3L, 4L).forall(tb(_) == "tail"))
+    assert(tb(5L) == "head")
+  }
 }

@@ -44,4 +44,43 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.search(postings2, Seq("spark", "join"), buckets = 8)
       .as[Long].collect().sorted.toSeq == Seq(1L, 4L))
   }
+
+  test("bm25TopK: hand-computed scores, rank order, tf saturation") {
+    val docs = Seq(
+      (1L, "spark spark spark join"), // tf(spark)=3 in a 4-token doc
+      (2L, "spark scan"),             // tf(spark)=1, short doc
+      (3L, "join join batch other"),
+      (4L, "none of these terms")).toDF("id", "txt")
+    val base = java.nio.file.Files
+      .createTempDirectory("textindex_bm25").toString
+    val (postings, stats) =
+      TextIndex.buildScoredPostings(docs, "id", "txt", base, buckets = 8)
+    val out = TextIndex.bm25TopK(postings, stats, Seq("spark", "join"),
+        k = 10, buckets = 8)
+      .as[(Long, Double)].collect()
+    // only docs containing >=1 query term appear
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    // replay the exact formula: N=4, avgdl=14/4; df(spark)=2, df(join)=2
+    def score(tf: Long, dl: Long, df: Long): Double = {
+      val n = 4.0; val avgdl = 14.0 / 4
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + dl.toDouble * 0.75 / avgdl))
+    }
+    val expected = Map(
+      1L -> BigDecimal(score(3, 4, 2) + score(1, 4, 2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      2L -> BigDecimal(score(1, 2, 2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      3L -> BigDecimal(score(2, 4, 2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    out.foreach { case (id, s) => assert(s == expected(id), s"doc $id") }
+    // rank: matching both terms beats one; the result arrives ranked
+    assert(out.map(_._1).toSeq == out.sortBy(r => (-r._2, r._1))
+      .map(_._1).toSeq)
+    assert(out.head._1 == 1L)
+    // k truncates on the rounded-score/doc_id rank
+    assert(TextIndex.bm25TopK(postings, stats, Seq("spark", "join"),
+      k = 1, buckets = 8).as[(Long, Double)].collect().map(_._1)
+      .toSeq == Seq(1L))
+  }
 }
