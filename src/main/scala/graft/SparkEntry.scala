@@ -2348,6 +2348,34 @@ object SparkEntry {
           "embedding", "label", threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "x_dedup_semantic" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+      // with LEARNED k-means cells as the blocking structure — reusing
+      // the SAME build-once IVF index the ANN gates probe (one
+      // quantizer pays for search AND dedup). Within-cell cosine pairs
+      // (triangle-split sub-buckets bound each task), connected
+      // components over the sparse near-dup graph, keep = the
+      // canonical representative (min reachable id). The oracle
+      // replays pairs + components from the on-disk cells artifact.
+      val emb = t(s, dir, "embeddings")
+      val idx = ivfIndexFor(s, dir, emb)
+      val cells = idx.cells()
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      // 0.4 keeps the graph at duplicate-cluster density (42 comps at
+      // sf0.01); 0.3 produced a single giant vaguely-similar component
+      // whose diameter outran label propagation. maxIter=64 covers the
+      // measured unblocked diameter (22 at sf0.1) with 3x headroom —
+      // convergence exits early, non-convergence raises loudly.
+      val pairs = Dedup.embeddingNearDupPairs(cells, "vec_id",
+        "embedding", "cell", threshold = 0.4)
+      Dedup.connectedComponents(
+          cells.select(col("vec_id").as("id")),
+          pairs.select(col("id_a"), col("id_b")), maxIter = 64)
+        .withColumn("keep",
+          (col("id") === col("comp")).cast("int"))
+        .orderBy(col("id"))
+    }),
+
     "x_pipeline_clean" -> ((s, dir) => {
       // end-to-end training-data clean-room composition: exact-dedup to
       // keepers, drop low-quality docs, account the surviving corpus per
@@ -6639,6 +6667,41 @@ object SparkEntry {
                     GROUP BY 1, 2)
          SELECT id_a, id_b, cosine FROM p
          WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
+
+    // cell-blocked pair + recursive min-label replay straight from the
+    // engine's on-disk IVF cells artifact — the oracle cannot tell the
+    // blocking came from a learned quantizer, only that within-cell
+    // pairs and components resolve identically
+    "x_dedup_semantic" ->
+      """WITH RECURSIVE
+           cellv AS (SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+                            embedding
+                     FROM read_parquet(
+                       '__GRAFT_IVF__/ivf_cells/*/*.parquet',
+                       hive_partitioning = 1)),
+           e AS (SELECT vec_id, cell,
+                        CAST(unnest(embedding) AS DOUBLE) AS x,
+                        generate_subscripts(embedding, 1) AS i
+                 FROM cellv),
+           p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                        round(sum(a.x * b.x) /
+                          (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))),
+                          6) AS cosine
+                 FROM e a JOIN e b
+                   ON a.cell = b.cell AND a.i = b.i
+                      AND a.vec_id < b.vec_id
+                 GROUP BY 1, 2),
+           pairs AS (SELECT id_a, id_b FROM p WHERE cosine >= 0.4),
+           edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                     UNION ALL SELECT id_b, id_a FROM pairs),
+           reach(src, dst) AS (
+             SELECT vec_id, vec_id FROM cellv
+             UNION
+             SELECT r.src, e2.b FROM reach r JOIN edges e2
+               ON e2.a = r.dst)
+         SELECT src AS id, min(dst) AS comp,
+                CAST(src = min(dst) AS INTEGER) AS keep
+         FROM reach GROUP BY src ORDER BY id""",
 
     "x_text_stats" ->
       """SELECT doc_id,

@@ -185,4 +185,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(top.length == 5)
     assert(top.head.getLong(0) == 0L) // the query vector itself wins
   }
+
+  test("SemDeDup composition: learned-cell blocking + components keep " +
+      "exactly one representative per semantic-duplicate group") {
+    val base = Files.createTempDirectory("graft_semdedup").toString
+    val idx = new IvfIndex(spark, base)
+    idx.build(emb, "vec_id", "embedding", k = 2, iters = 4)
+    val cells = idx.cells().select($"vec_id", $"embedding", $"cell")
+    // within a tight cluster every pair is near-cosine-1; across the
+    // orthogonal clusters cosine ≈ 0 — and those pairs are never even
+    // GENERATED (different cells)
+    val pairs = Dedup.embeddingNearDupPairs(cells, "vec_id", "embedding",
+      "cell", threshold = 0.9)
+    val labeled = Dedup.connectedComponents(
+        cells.select($"vec_id".as("id")),
+        pairs.select($"id_a", $"id_b"))
+      .withColumn("keep", ($"id" === $"comp").cast("int"))
+      .as[(Long, Long, Int)].collect()
+    assert(labeled.length == 60)
+    // both axis clusters collapse: one keeper each, min id representative
+    val byComp = labeled.groupBy(_._2)
+    assert(byComp.keySet == Set(1L, 31L))
+    byComp.foreach { case (comp, members) =>
+      assert(members.count(_._3 == 1) == 1)
+      assert(members.find(_._3 == 1).get._1 == comp)
+      assert(members.map(_._1).min == comp)
+    }
+  }
 }
