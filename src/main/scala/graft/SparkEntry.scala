@@ -1135,6 +1135,23 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     }),
 
+    "a16b_cms_freq_fast" -> ((s, dir) => {
+      // the xxhash64 PRODUCTION twin of a16_cms_freq: one codegen'd
+      // native hash per (row, key) instead of the md5 hex walk that
+      // dominates a16's runtime. The engine-specific hash lands in the
+      // build-once artifact pair (probes + counters — the simhash
+      // trust boundary) and the oracle replays the sketch ALGEBRA
+      // from parquet: min-over-rows estimation joined against the
+      // exact counts, never an underestimate.
+      val li = t(s, dir, "lineitem")
+      val (counters, probes) = Sketches.cmsTableFast(
+        li, "l_suppkey", 4, 1024, artifactBase(dir))
+      Sketches.cmsEstimateFromArtifacts(probes, counters, "l_suppkey")
+        .join(li.groupBy("l_suppkey").agg(count(lit(1)).as("exact_freq")),
+          Seq("l_suppkey"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     "a17_kmv_overlap" -> ((s, dir) => {
       // KMV set algebra (Beyer et al. 2007): how much do two key sets
       // overlap, answered from two 128-long synopses — the union
@@ -4928,6 +4945,24 @@ object SparkEntry {
               est AS (SELECT kh.l_suppkey, min(c.cnt) AS est_freq
                       FROM kh JOIN c ON kh.jr = c.jr AND kh.bkt = c.bkt
                       GROUP BY 1),
+              ex AS (SELECT l_suppkey, CAST(count(*) AS BIGINT)
+                              AS exact_freq
+                     FROM lineitem GROUP BY 1)
+         SELECT est.l_suppkey, est.est_freq, ex.exact_freq
+         FROM est JOIN ex ON est.l_suppkey = ex.l_suppkey
+         ORDER BY est.l_suppkey""",
+
+    // the xxhash64 twin: hashing is engine-specific, so bucket
+    // coordinates and counter cells come from the artifact pair;
+    // the oracle replays min-over-rows estimation + the exact join
+    // (__GRAFT_CMS__ resolved by Verify like __GRAFT_SIMHASH__)
+    "a16b_cms_freq_fast" ->
+      """WITH c AS (SELECT _row, _bkt, cnt FROM
+                      read_parquet('__GRAFT_CMS__/counters/*.parquet')),
+              p AS (SELECT l_suppkey, _row, _bkt FROM
+                      read_parquet('__GRAFT_CMS__/probes/*.parquet')),
+              est AS (SELECT l_suppkey, min(cnt) AS est_freq
+                      FROM p JOIN c USING (_row, _bkt) GROUP BY 1),
               ex AS (SELECT l_suppkey, CAST(count(*) AS BIGINT)
                               AS exact_freq
                      FROM lineitem GROUP BY 1)

@@ -53,6 +53,8 @@ object Verify {
           .replace("__GRAFT_SIMHASH__", s"${SparkEntry.artifactBase(sfDir)}/simhash")
           .replace("__GRAFT_MEDIA__", s"${SparkEntry.artifactBase(sfDir)}/media")
           .replace("__GRAFT_LSH__", SparkEntry.lshRowsPath(sfDir))
+          .replace("__GRAFT_CMS__",
+            s"${SparkEntry.artifactBase(sfDir)}/cms_d4w1024")
           .replace("__GRAFT_PQ__", SparkEntry.pqBasePath(sfDir))
           .replace("__GRAFT_IVFPQ__", SparkEntry.ivfpqBasePath(sfDir))
         s"${q(k)}: ${q(sql)}"

@@ -176,6 +176,66 @@ object Sketches {
       .agg(min(col("cnt")).as("est_freq"))
   }
 
+  /** xxhash64 row-bucket — the PRODUCTION hash for [[cmsTableFast]]:
+    * one codegen'd native 64-bit mix per (row, key) instead of the
+    * md5 hex-string walk ([[cmsBucket]] spends most of a16's 4 s on
+    * depth × corpus md5-of-concat + base-16 conv). Not SQL-portable —
+    * correctness travels through the on-disk artifact pair instead
+    * (the simhash trust boundary: engine-specific hashing lands in
+    * parquet, the oracle replays everything DOWNSTREAM of it). The
+    * key is hashed via its string form so the bucket is a function of
+    * the key's VALUE, not its source column type. */
+  private def cmsBucketFast(row: Column, key: Column, w: Int): Column =
+    pmod(xxhash64(row, key.cast("string")), lit(w.toLong))
+
+  /** Build-once artifact pair for the xxhash64 CMS under
+    * `basePath/cms_d{depth}w{width}`: `probes/` holds each DISTINCT
+    * key's depth bucket coordinates (key column keeps its name and
+    * type — the oracle joins exact counts on it), `counters/` the
+    * additive cell table. Probes write first; the counters `_SUCCESS`
+    * is the commit marker for the pair — a build killed between the
+    * writes leaves no marker and rebuilds. Returns (counters, probes).
+    *
+    * Scale shape matches [[cmsCounters]] (map-side partial caps state
+    * at depth·width cells per task); probes are distinct-key-sized —
+    * the set a frequency report is FOR, not the corpus. */
+  def cmsTableFast(df: DataFrame, keyCol: String, depth: Int, width: Int,
+                   basePath: String): (DataFrame, DataFrame) = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16]: $depth")
+    require(width >= 2, s"width must be at least 2: $width")
+    val spark = df.sparkSession
+    val root = s"$basePath/cms_d${depth}w$width"
+    val probesPath = s"$root/probes"
+    val countersPath = s"$root/counters"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(countersPath, "_SUCCESS"))) {
+      df.select(col(keyCol)).distinct()
+        .select(col(keyCol),
+          explode(array((0 until depth).map(lit): _*)).as("_row"))
+        .withColumn("_bkt", cmsBucketFast(col("_row"), col(keyCol), width))
+        .write.mode("overwrite").parquet(probesPath)
+      df.select(col(keyCol).cast("string").as("_k"))
+        .select(explode(array((0 until depth).map(lit): _*)).as("_row"),
+          col("_k"))
+        .select(col("_row"), cmsBucketFast(col("_row"), col("_k"), width)
+          .as("_bkt"))
+        .groupBy(col("_row"), col("_bkt"))
+        .agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(countersPath)
+    }
+    (spark.read.parquet(countersPath), spark.read.parquet(probesPath))
+  }
+
+  /** [[cmsEstimate]] served from a [[cmsTableFast]] artifact pair: the
+    * hash never re-runs at query time — estimation is the broadcast
+    * cell join + one ≤|keys| min-aggregation, nothing else. */
+  def cmsEstimateFromArtifacts(probes: DataFrame, counters: DataFrame,
+                               keyCol: String): DataFrame =
+    probes.join(broadcast(counters), Seq("_row", "_bkt"))
+      .groupBy(col(keyCol))
+      .agg(min(col("cnt")).as("est_freq"))
+
   /** Per-group approximate distinct count of `keyCol`. Output: group
     * columns + `est_distinct` (BIGINT) — `(k−1)·2³² div h_k` once k
     * coordinates are held, the held count before that. Integer `div`

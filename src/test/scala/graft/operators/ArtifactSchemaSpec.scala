@@ -101,4 +101,16 @@ class ArtifactSchemaSpec extends SparkSpec {
     assertNoTimestamps(s"$base/simhash")
     assertNoTimestamps(s"$base/media")
   }
+
+  test("xxhash64 CMS probes + counters schemas are pinned") {
+    val base = Files.createTempDirectory("graft_schema_cms").toString
+    val df = Seq(1L, 1L, 2L, 3L).toDF("k")
+    Sketches.cmsTableFast(df, "k", 4, 1024, base)
+    assertResult("k BIGINT,_row INT,_bkt BIGINT")(
+      ddl(s"$base/cms_d4w1024/probes"))
+    assertResult("_row INT,_bkt BIGINT,cnt BIGINT")(
+      ddl(s"$base/cms_d4w1024/counters"))
+    assertNoTimestamps(s"$base/cms_d4w1024/probes")
+    assertNoTimestamps(s"$base/cms_d4w1024/counters")
+  }
 }

@@ -134,4 +134,29 @@ class SketchesSpec extends SparkSpec {
       Sketches.cmsCounters(df, "k", 4, 1)
     }
   }
+
+  test("xxhash64 CMS artifact pair: never underestimates, serves " +
+      "reuse, and rebuilds identically") {
+    val df = (0 until 2000).map(i => (i % 50).toLong).toDF("k")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cms_fast").toString
+    val (counters, probes) = Sketches.cmsTableFast(df, "k", 4, 1024, base)
+    val est = Sketches.cmsEstimateFromArtifacts(probes, counters, "k")
+      .as[(Long, Long)].collect().toMap
+    assert(est.size == 50)
+    assert(est.values.forall(_ >= 40L), est)
+    assert(est.values.count(_ == 40L) >= 45, est)
+    // artifact reuse: a marker row added to the corpus is invisible
+    // because the pair is served from disk, not rebuilt
+    val (c2, p2) = Sketches.cmsTableFast(
+      df.unionAll(Seq(999L).toDF("k")), "k", 4, 1024, base)
+    assert(p2.count() == probes.count() && c2.count() == counters.count())
+    // determinism: a from-scratch build of the same corpus lands the
+    // identical cell table (xxhash64 is seed-fixed)
+    val base2 = java.nio.file.Files
+      .createTempDirectory("graft_cms_fast2").toString
+    val (c3, _) = Sketches.cmsTableFast(df, "k", 4, 1024, base2)
+    assert(c3.exceptAll(counters).count() == 0
+      && counters.exceptAll(c3).count() == 0)
+  }
 }
