@@ -2599,6 +2599,16 @@ object SparkEntry {
           col("order_key"))
         .orderBy(col("order_key"), col("doc_id"))),
 
+    "x_pipeline_epochs" -> ((s, dir) =>
+      // multi-epoch training order: 3 distinct deterministic
+      // permutations of the corpus (portable md5("e:id") sort key per
+      // epoch), concatenated epoch-major by ONE range-partitioned
+      // dense-id pass — no per-epoch loop, no global window.
+      Curriculum.epochShuffleOrder(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          epochs = 3)
+        .orderBy(col("pos"))),
+
     "x_pipeline_shards" -> ((s, dir) => {
       // balanced output sharding: docs ranked by token count (desc,
       // doc_id tiebreak) and dealt SERPENTINE across 8 shards — the
@@ -2975,6 +2985,19 @@ object SparkEntry {
           round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
           round(TF.stopwordRatio(col("text"), sw), 6).as("stop_ratio"),
           TF.qualityScore(col("text"), sw).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x_text_gopher" -> ((s, dir) => {
+      // Gopher quality rules (Rae et al. 2021 A1.1) as scan-stage
+      // exact-integer flags — the rule-based corpus filter every
+      // large-scale text pipeline runs before model-based scoring.
+      // No shuffle: per-doc expression arithmetic, flags + composite
+      // keep; the filter composition is `WHERE keep = 1`.
+      t(s, dir, "documents")
+        .withColumn("_g",
+          TF.gopherFlags(col("text"), Seq("the", "and", "of", "a")))
+        .select(col("doc_id"), col("_g.*"))
         .orderBy(col("doc_id"))
     }),
 
@@ -6142,6 +6165,23 @@ object SparkEntry {
          FROM r JOIN g ON g.source = r.source CROSS JOIN gc
          ORDER BY order_key, r.doc_id""",
 
+    // per-epoch md5 permutation + epoch-major concatenation, replayed
+    // with a plain global window (the engine's dense-id pass must
+    // equal it row-for-row)
+    "x_pipeline_epochs" ->
+      """WITH e AS (SELECT doc_id, epoch
+                    FROM documents
+                    CROSS JOIN (SELECT unnest(generate_series(0, 2))
+                                  AS epoch)),
+              k AS (SELECT doc_id, epoch,
+                           md5(CAST(epoch AS VARCHAR) || ':' ||
+                               CAST(doc_id AS VARCHAR)) AS ekey
+                    FROM e)
+         SELECT doc_id, epoch,
+                CAST(row_number() OVER (ORDER BY epoch, ekey, doc_id)
+                     AS BIGINT) - 1 AS pos
+         FROM k ORDER BY pos""",
+
     "x_pipeline_shards" ->
       """WITH d AS (SELECT doc_id,
                            CAST(len(string_split(text, ' ')) AS BIGINT)
@@ -6737,6 +6777,58 @@ object SparkEntry {
          SELECT src AS id, min(dst) AS comp,
                 CAST(src = min(dst) AS INTEGER) AS keep
          FROM reach GROUP BY src ORDER BY id""",
+
+    // every Gopher threshold is exact integer arithmetic on both sides
+    // (5·alpha >= 4·words, never alpha/words >= 0.8) — zero float
+    // drift by construction
+    "x_text_gopher" ->
+      """WITH b AS (SELECT doc_id,
+                len(string_split(text, ' ')) AS words,
+                length(replace(text, ' ', '')) AS chars,
+                len(list_filter(string_split(text, ' '),
+                    w -> regexp_matches(w, '[A-Za-z]'))) AS alphaw,
+                CAST(length(text) - length(replace(text, '#', ''))
+                     AS INT) AS hashes,
+                CAST((length(text) - length(replace(text, '...', '')))
+                     / 3 AS INT) AS dots,
+                (CASE WHEN length(' '||text||' ') >
+                  length(replace(' '||text||' ', ' the ', ''))
+                  THEN 1 ELSE 0 END
+               + CASE WHEN length(' '||text||' ') >
+                  length(replace(' '||text||' ', ' and ', ''))
+                  THEN 1 ELSE 0 END
+               + CASE WHEN length(' '||text||' ') >
+                  length(replace(' '||text||' ', ' of ', ''))
+                  THEN 1 ELSE 0 END
+               + CASE WHEN length(' '||text||' ') >
+                  length(replace(' '||text||' ', ' a ', ''))
+                  THEN 1 ELSE 0 END) AS stops,
+                string_split(text, chr(10)) AS lines
+              FROM documents),
+           f AS (SELECT doc_id, words, chars, alphaw, hashes, dots,
+                        stops, len(lines) AS nlines,
+                        len(list_filter(lines, l ->
+                          starts_with(l, '- ') OR starts_with(l, '* ')))
+                          AS bullets,
+                        len(list_filter(lines, l -> ends_with(l, '...')))
+                          AS edots
+                 FROM b)
+         SELECT doc_id,
+           CAST(words >= 50 AND words <= 100000 AS INT) AS wc_ok,
+           CAST(chars >= words*3 AND chars <= words*10 AS INT) AS mwl_ok,
+           CAST(hashes*10 < words AS INT) AS hash_ok,
+           CAST(dots*10 < words AS INT) AS dots_ok,
+           CAST(alphaw*5 >= words*4 AS INT) AS alpha_ok,
+           CAST(stops >= 2 AS INT) AS stop_ok,
+           CAST(bullets*10 <= nlines*9 AS INT) AS bullet_ok,
+           CAST(edots*10 <= nlines*3 AS INT) AS line_dots_ok,
+           CAST(words >= 50 AND words <= 100000
+            AND chars >= words*3 AND chars <= words*10
+            AND hashes*10 < words AND dots*10 < words
+            AND alphaw*5 >= words*4 AND stops >= 2
+            AND bullets*10 <= nlines*9 AND edots*10 <= nlines*3
+            AS INT) AS keep
+         FROM f ORDER BY doc_id""",
 
     "x_text_stats" ->
       """SELECT doc_id,

@@ -50,6 +50,52 @@ object TextFunctions {
     round((lenScore + sw + punct) / 3.0, 6)
   }
 
+  /** Gopher document-quality rules (Rae et al. 2021, appendix A1.1) as
+    * a struct of per-rule pass flags plus the composite `keep`. Every
+    * threshold compare is EXACT INTEGER arithmetic (`5·alpha ≥ 4·n`
+    * instead of `alpha/n ≥ 0.8`), so the flags replay bit-for-bit on
+    * any engine with no float-division drift — and the whole struct is
+    * scan-stage codegen'd expression work, zero shuffles.
+    *
+    * Rules: word count in [50, 100 000]; mean word length in [3, 10]
+    * chars; '#' and '…'-symbol-to-word ratios < 0.1; ≥ 80% of words
+    * contain an alphabetic character; ≥ 2 distinct stopwords present
+    * (the "stop word" ersatz of Gopher's); < 90% of lines bullet-led;
+    * < 30% of lines ellipsis-terminated. */
+  def gopherFlags(text: Column, stopwords: Seq[String]): Column = {
+    val words = tokenCount(text)
+    val chars = length(translate(text, " ", ""))
+    val alphaWords = size(filter(tokens(text), w => w.rlike("[A-Za-z]")))
+    val padded = concat(lit(" "), text, lit(" "))
+    val stops = stopwords
+      .map(w => when(occurrences(padded, s" $w ") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* ")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val wcOk = words >= 50 && words <= 100000
+    val mwlOk = chars >= words * 3 && chars <= words * 10
+    val hashOk = occurrences(text, "#") * 10 < words
+    val dotsOk = occurrences(text, "...") * 10 < words
+    val alphaOk = alphaWords * 5 >= words * 4
+    val stopOk = stops >= 2
+    val bulletOk = bulletLines * 10 <= nLines * 9
+    val lineDotsOk = ellipsisLines * 10 <= nLines * 3
+    struct(
+      wcOk.cast("int").as("wc_ok"),
+      mwlOk.cast("int").as("mwl_ok"),
+      hashOk.cast("int").as("hash_ok"),
+      dotsOk.cast("int").as("dots_ok"),
+      alphaOk.cast("int").as("alpha_ok"),
+      stopOk.cast("int").as("stop_ok"),
+      bulletOk.cast("int").as("bullet_ok"),
+      lineDotsOk.cast("int").as("line_dots_ok"),
+      (wcOk && mwlOk && hashOk && dotsOk && alphaOk && stopOk &&
+        bulletOk && lineDotsOk).cast("int").as("keep"))
+  }
+
   /** Token n-grams of a document as an array (duplicates KEPT — this is
     * the occurrence sequence, unlike Dedup.shingles' distinct set). */
   private def ngramSeq(text: Column, n: Int): Column = {

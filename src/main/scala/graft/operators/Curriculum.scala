@@ -36,4 +36,31 @@ object Curriculum {
         (col("rank") - lit(1L)) * col("_gn") + col("_gidx") - lit(1L))
       .drop("_cid", "_cmin", "_gidx", "_gn")
   }
+
+  /** Multi-epoch training order: every epoch sees the full corpus in a
+    * DIFFERENT deterministic pseudo-random permutation (same-order
+    * epochs make the optimizer re-walk one trajectory; true randomness
+    * makes the run unreproducible). Epoch e's sort key is the portable
+    * md5 of `"e:id"` — a fresh permutation per epoch from the same
+    * hash device every sampler uses — and the concatenated epoch-major
+    * position falls out of ONE [[Ids.withDenseId]] pass ordered by
+    * (epoch, key, id): no per-epoch loop, no global window, one
+    * range-partitioned shuffle of E·N id rows (ids only — the consumer
+    * joins payloads back by id; at 100 TB the permutation table is the
+    * slim thing you materialize, not E copies of the corpus).
+    * Output: (idCol, epoch, pos) with pos 0-based over all epochs. */
+  def epochShuffleOrder(df: DataFrame, idCol: String,
+                        epochs: Int): DataFrame = {
+    require(epochs >= 1 && epochs <= 1000,
+      s"epochs out of range: $epochs")
+    val keyed = df.select(col(idCol))
+      .withColumn("epoch",
+        explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("_ekey", md5(concat(col("epoch").cast("string"),
+        lit(":"), col(idCol).cast("string"))))
+    Ids.withDenseId(keyed, "_pos",
+        Seq(col("epoch"), col("_ekey"), col(idCol)))
+      .withColumn("pos", col("_pos") - 1L)
+      .select(col(idCol), col("epoch"), col("pos"))
+  }
 }

@@ -129,4 +129,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(doc2.length == 1 && doc2.head._4 == 3L && doc2.head._5 == "a b c")
     intercept[IllegalArgumentException] { TF.chunks($"text", 8, 8) }
   }
+
+  test("gopherFlags: each rule trips on its designed violation") {
+    val sw = Seq("the", "and", "of", "a")
+    val good = ("the quick brown fox and the lazy dog went of to town " * 5)
+      .trim // 60 words, prose-shaped: passes every rule
+    val docs = Seq(
+      (1L, good),
+      (2L, "the and of short"),                  // < 50 words
+      (3L, ("ab " * 60).trim),                   // mean word len 2 < 3
+      (4L, (("####### " * 30) + good)),          // '#' ratio >= 0.1
+      (5L, good.split(" ").map(w => "12345").mkString(" ")), // no alpha
+      (6L, ("word " * 60).trim),                 // no stopwords
+      (7L, (1 to 10).map(i => "- " + good).mkString("\n")), // all bullet lines
+      (8L, (1 to 10).map(_ => good + " x...").mkString("\n"))) // all ...-ended
+      .toDF("doc_id", "text")
+    val got = docs
+      .withColumn("g", TF.gopherFlags($"text", sw))
+      .select($"doc_id", $"g.wc_ok", $"g.mwl_ok", $"g.hash_ok",
+        $"g.alpha_ok", $"g.stop_ok", $"g.bullet_ok", $"g.line_dots_ok",
+        $"g.keep")
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 1, 1, 1, 1, 1, 1, 1, 1))
+    assert(got(2L)._2 == 0 && got(2L)._9 == 0)  // wc_ok trips
+    assert(got(3L)._3 == 0)                      // mwl_ok trips
+    assert(got(4L)._4 == 0)                      // hash_ok trips
+    assert(got(5L)._5 == 0)                      // alpha_ok trips
+    assert(got(6L)._6 == 0)                      // stop_ok trips
+    assert(got(7L)._7 == 0)                      // bullet_ok trips
+    assert(got(8L)._8 == 0)                      // line_dots_ok trips
+  }
 }
