@@ -3494,6 +3494,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("score").desc, col("id_b"))
     }),
 
+    "x_sim_hard_negatives" -> ((s, dir) => {
+      // contrastive-training hard-negative mining: each anchor's most
+      // similar NON-duplicates — the informative examples a contrastive
+      // loss wants. Same cell-blocked k-bounded ranking as the kNN
+      // join, with the duplicate band (score >= 0.4, the semantic-dedup
+      // threshold) excluded BELOW the aggregator so an anchor whose
+      // nearest neighbors are all duplicates still yields negatives.
+      val idx = ivfIndexFor(s, dir, t(s, dir, "embeddings"))
+      Similarity.blockKnn(idx.cells().filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", "cell", k = 3, maxScore = 0.4)
+        .filter(col("id_a") % 50 === 0)
+        .orderBy(col("id_a"), col("score").desc, col("id_b"))
+    }),
+
     "x_mm_meta" -> ((s, dir) => {
       Multimodal.withMeta(
           Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
@@ -7609,6 +7623,32 @@ object SparkEntry {
                       AND a.vec_id <> b.vec_id
                      WHERE a.vec_id % 50 = 0
                      GROUP BY 1, 2)
+         SELECT id_a, id_b, score FROM pairs
+         QUALIFY row_number() OVER (PARTITION BY id_a
+           ORDER BY score DESC, id_b) <= 3
+         ORDER BY id_a, score DESC, id_b""",
+
+    // the kNN replay with the duplicate band excluded BEFORE ranking
+    // (HAVING on the pair score, strictly < 0.4) — top non-duplicates
+    "x_sim_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, cell,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM read_parquet('__GRAFT_IVF__/ivf_cells/*/*.parquet',
+                                      hive_partitioning = 1)
+                    WHERE vec_id <> 0),
+           pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                            round(sum(a.x * b.x) /
+                              (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))), 6)
+                              AS score
+                     FROM e a JOIN e b
+                       ON a.cell = b.cell AND a.i = b.i
+                      AND a.vec_id <> b.vec_id
+                     WHERE a.vec_id % 50 = 0
+                     GROUP BY 1, 2
+                     HAVING round(sum(a.x * b.x) /
+                       (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))), 6)
+                       < 0.4)
          SELECT id_a, id_b, score FROM pairs
          QUALIFY row_number() OVER (PARTITION BY id_a
            ORDER BY score DESC, id_b) <= 3

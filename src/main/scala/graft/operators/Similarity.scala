@@ -257,8 +257,16 @@ object Similarity {
     * id first (see [[Ids]]). Enforced eagerly below so misuse fails with a
     * clear message instead of an ANSI cast error (or silent null anchors
     * with ANSI off) deep inside the aggregation. */
+  /** `maxScore` excludes the near-duplicate band BEFORE ranking
+    * (strictly `score < maxScore`): with the default no pair is
+    * excluded; with a duplicate threshold the result is each anchor's
+    * k most-similar NON-duplicates — contrastive-training hard
+    * negatives. The filter must sit below the aggregator, not above
+    * it: filtering a top-k ranking afterwards loses exactly the
+    * anchors whose top k was all duplicates. */
   def blockKnn(emb: DataFrame, idCol: String, vecCol: String,
-               blockCol: String, k: Int, subBuckets: Int = 8): DataFrame = {
+               blockCol: String, k: Int, subBuckets: Int = 8,
+               maxScore: Double = Double.MaxValue): DataFrame = {
     import org.apache.spark.sql.types._
     val idType = emb.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
@@ -285,6 +293,7 @@ object Similarity {
       .filter(col("_na") * col("_nb") > 0)
       .withColumn("score",
         round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .filter(col("score") < maxScore)
       .select(explode(array(
         struct(col("id_a").cast("long").as("anchor"),
           (-col("id_b").cast("long")).as("_negid"), col("score")),

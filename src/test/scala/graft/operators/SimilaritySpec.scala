@@ -154,6 +154,33 @@ class SimilaritySpec extends SparkSpec {
     out.foreach { case (a, b, s) => assert(a != b && s > 0.8) }
   }
 
+  test("blockKnn maxScore mines hard negatives below the aggregator") {
+    // anchor 1's two nearest neighbors are near-duplicates; the
+    // informative (hard-negative) partner is vector 4 at cosine ~0.7
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.01f, 0.0f, 0.0f), 0),  // dup of 1
+      (3L, Array(0.999f, 0.04f, 0.0f, 0.0f), 0), // dup of 1
+      (4L, Array(0.7f, 0.7f, 0.0f, 0.1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val negs = Similarity.blockKnn(vs, "vec_id", "embedding", "label",
+        k = 1, maxScore = 0.95)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    // anchor 1 still yields a negative — the dup band is excluded
+    // BELOW the k-bounded aggregator, not filtered off the top-k
+    assert(negs(1L) == 4L)
+    // the naive post-filter would lose anchor 1 entirely: its top-1 is
+    // a duplicate
+    val postFiltered = Similarity.blockKnn(vs, "vec_id", "embedding",
+        "label", k = 1)
+      .filter($"score" < 0.95)
+      .as[(Long, Long, Double)].collect().map(_._1).toSet
+    assert(!postFiltered.contains(1L))
+    // default maxScore excludes nothing
+    assert(Similarity.blockKnn(vs, "vec_id", "embedding", "label", k = 1)
+      .count() == 4)
+  }
+
   test("blockKnn drops zero-norm vectors instead of crashing on NULL score") {
     // cosine is undefined for the zero vector: the pair must be dropped
     // (the aggregator's tuple encoder is non-nullable — a NULL score
