@@ -18,7 +18,7 @@ class SparkEntrySpec extends SparkSpec {
 
   test("oracle SQL references only path tokens Verify resolves") {
     val known = Set("__GRAFT_IVF__", "__GRAFT_SIMHASH__", "__GRAFT_MEDIA__",
-      "__GRAFT_LSH__", "__GRAFT_PQ__", "__GRAFT_IVFPQ__")
+      "__GRAFT_LSH__", "__GRAFT_PQ__", "__GRAFT_IVFPQ__", "__GRAFT_CMS__")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       // multi-word tokens too (__GRAFT_MEDIA_V2__): words joined by
       // single underscores, terminated by the double underscore

@@ -45,6 +45,44 @@ class TextIndexSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L, 4L))
   }
 
+  test("probes prune to the query terms' bucket partitions (measured)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = (1L to 40L).map(i => (i, s"w$i spark common"))
+      .toDF("id", "txt")
+    val base = java.nio.file.Files
+      .createTempDirectory("textindex_prune").toString
+    val (postings, stats) =
+      TextIndex.buildScoredPostings(docs, "id", "txt", base, buckets = 8)
+    // 42 distinct terms spread over 8 _bkt partitions; a 1-term query
+    // must READ only that term's bucket partition — the difference
+    // between an index probe and a corpus scan
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => scans(q.plan) // AQE stages hide subplans
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    def partitionsRead(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      df.collect() // execute so AQE finalizes its physical plan
+      scans(df.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths
+          .exists(_.toString.contains("postings")))
+        .map(_.selectedPartitions.partitionCount)
+    }
+    val probed = partitionsRead(TextIndex.bm25TopK(postings, stats,
+      Seq("spark"), k = 3, buckets = 8))
+    assert(probed.nonEmpty && probed.forall(_ == 1),
+      s"1-term probe should read exactly 1 of 8 bucket partitions: $probed")
+    val probed2 = partitionsRead(TextIndex.search(postings
+      .drop("tf", "dl"), Seq("spark", "common"), buckets = 8)
+      .limit(1000))
+    assert(probed2.nonEmpty && probed2.forall(_ <= 2),
+      s"2-term search should read <=2 of 8 bucket partitions: $probed2")
+  }
+
   test("bm25TopK: hand-computed scores, rank order, tf saturation") {
     val docs = Seq(
       (1L, "spark spark spark join"), // tf(spark)=3 in a 4-token doc
