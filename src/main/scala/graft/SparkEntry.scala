@@ -2883,6 +2883,40 @@ object SparkEntry {
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    "x_stream_sample" -> ((s, dir) => {
+      // REAL streaming exactly-k sampling: bottom-k of the samplers'
+      // md5 coordinate held in distributed bucket state (8×k entries,
+      // never corpus-sized); keep-last per bucket + a global bottom-k
+      // finalize. Deterministic and arrival-order-independent by
+      // construction, so streaming == batch exactSample row-for-row —
+      // the oracle is x_pipeline_sample_k's SQL verbatim.
+      val st = Tables.stream(s, dir, "documents", "doc_id")
+      val sink = s"x_stream_sample_${streamSinkId.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        graft.streaming.EventStreams.sampleKStream(st, "doc_id", k = 100)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_sample: stream did not drain within 300s")
+      }
+      val perBucket = Window.partitionBy(col("bucket"))
+      s.table(sink)
+        .withColumn("_maxp", max(col("processed")).over(perBucket))
+        .filter(col("processed") === col("_maxp"))
+        .orderBy(col("hex"), col("key")).limit(100)
+        .select(col("key").as("doc_id"))
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x_stream_trending" -> ((s, dir) => {
       // REAL streaming daily trending top-k (the streaming form of
       // x_ts_trending): per day, the 3 most frequent event types so
@@ -6010,6 +6044,14 @@ object SparkEntry {
          GROUP BY d.lang ORDER BY d.lang""",
 
     "x_pipeline_sample_k" ->
+      """WITH s AS (SELECT doc_id, lang FROM documents
+                    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+                    LIMIT 100)
+         SELECT doc_id, lang FROM s ORDER BY doc_id""",
+
+    // the streaming sampler's claim IS equality with the batch
+    // sampler — same oracle verbatim
+    "x_stream_sample" ->
       """WITH s AS (SELECT doc_id, lang FROM documents
                     ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
                     LIMIT 100)

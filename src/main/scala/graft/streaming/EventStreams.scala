@@ -356,6 +356,57 @@ object EventStreams {
       }.toDF()
   }
 
+  /** Bottom-k sampler state: rows seen + the k smallest coordinates. */
+  final case class SampleKState(processed: Long,
+                                keep: Vector[(String, Long)])
+
+  /** One bottom-k emission row, stamped for keep-last finalization. */
+  final case class SampleKEmit(bucket: Long, processed: Long,
+                               hex: String, key: Long)
+
+  /** Streaming exactly-k sampler: the k smallest md5 coordinates seen
+    * so far — bottom-k of the SAME portable coordinate every batch
+    * sampler orders by. That choice is what makes this "reservoir"
+    * deterministic, arrival-order-independent, mergeable, and
+    * redelivery-proof (a re-delivered key lands on its existing
+    * coordinate and changes nothing). State is k entries per hash
+    * bucket (`buckets`·k total — never corpus-sized, and distributed
+    * across tasks rather than funneled through one global group).
+    * Every batch emits each touched bucket's current bottom-k stamped
+    * with its rows-processed counter; the stateless finalization —
+    * keep each bucket's LAST emission, then the global bottom-k over
+    * the ≤ buckets·k survivors — is batch-split-invariant and equals
+    * [[graft.operators.Sampling.exactSample]] row-for-row, which is
+    * exactly what the oracle checks. */
+  def sampleKStream(rows: DataFrame, keyCol: String, k: Int,
+                    buckets: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(buckets >= 1 && buckets <= 4096,
+      s"buckets out of range: $buckets")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = rows.select(
+        pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).as("_b"),
+        graft.operators.Sampling.hashHex(col(keyCol)).as("_hex"),
+        col(keyCol).cast("long").as("_key"))
+      .as[(Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SampleKState, SampleKEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket, it, state) =>
+          val st = state.getOption
+            .getOrElse(SampleKState(0L, Vector.empty))
+          val batch = it.toVector
+          val merged = (st.keep ++ batch.map(r => (r._2, r._3)))
+            .distinct.sorted.take(k)
+          val processed = st.processed + batch.size
+          state.update(SampleKState(processed, merged))
+          merged.iterator.map { case (hex, key) =>
+            SampleKEmit(bucket, processed, hex, key) }
+      }.toDF()
+  }
+
   /** Last seen event per entity, carried across micro-batches. */
   final case class LastEvent(t: String, o: Long)
 

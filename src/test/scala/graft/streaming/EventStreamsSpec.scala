@@ -15,6 +15,37 @@ class EventStreamsSpec extends SparkSpec {
     rows.toSeq.toDF("tss", "user_id", "event_type", "value")
       .select($"tss".cast("timestamp").as("ts"), $"user_id", $"event_type", $"value")
 
+  test("sampleKStream == batch exactSample under batch splits and " +
+      "redelivery") {
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val df = mem.toDF().toDF("id")
+    val out = EventStreams.sampleKStream(df, "id", k = 5, buckets = 4)
+      .writeStream.format("memory").queryName("samplek_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(1L to 40L: _*)
+      out.processAllAvailable()
+      mem.addData(41L to 80L: _*)
+      out.processAllAvailable()
+      mem.addData(15L, 16L, 17L) // redelivery must change nothing
+      out.processAllAvailable()
+      val perBucket = Window.partitionBy($"bucket")
+      val got = spark.table("samplek_sink")
+        .withColumn("_maxp", max($"processed").over(perBucket))
+        .filter($"processed" === $"_maxp")
+        .orderBy($"hex", $"key").limit(5)
+        .select($"key").as[Long].collect().toSeq
+      val expected = graft.operators.Sampling
+        .exactSample((1L to 80L).toDF("id"), "id", 5)
+        .as[Long].collect().toSeq
+      assert(got == expected)
+      // redelivered keys did not inflate the sample or shift positions
+      assert(got.distinct.length == 5)
+    } finally out.stop()
+  }
+
   test("funnelStream: state crosses batches, completions emit exactly once") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]
