@@ -3259,6 +3259,21 @@ object SparkEntry {
       TextIndex.bm25TopK(postings, stats, Seq("batch", "join"), k = 10)
     }),
 
+    "x_text_bm25_incr" -> ((s, dir) => {
+      // incremental BM25 index maintenance: build on the even half,
+      // append the odd half under one content-derived staged-commit
+      // token (a re-delivered delta no-ops), query the merged index.
+      // The oracle is the FULL-corpus BM25 replay — incremental ==
+      // from-scratch is the law, same device as the span/LSH refresh.
+      val docs = t(s, dir, "documents")
+      val base = s"${artifactBase(dir)}/incrbm25"
+      TextIndex.buildScoredPostings(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", base)
+      val (p, st) = TextIndex.appendScoredPostings(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", base)
+      TextIndex.bm25TopK(p, st, Seq("batch", "join"), k = 10)
+    }),
+
     "x_text_scrub" -> ((s, dir) =>
       // PII redaction (emails / IPv4 / phone numbers -> typed tokens).
       // The corpus carries no PII, so the gate plants a deterministic
@@ -7259,6 +7274,37 @@ object SparkEntry {
     // sum folded in ascending-term order, rank on the 6-decimal
     // rounded score with doc_id tiebreak
     "x_text_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+           dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                  FROM tok GROUP BY 1),
+           st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+           tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                  FROM tok WHERE term IN ('batch', 'join')
+                  GROUP BY 1, 2),
+           dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+           sc AS (SELECT tf.doc_id, tf.term,
+                         ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                            / (df + 0.5) + 1.0)
+                         * (tf * 2.2)
+                         / (tf + 1.2 * (0.25 + CAST(dl.dl AS DOUBLE)
+                            * 0.75 / (CAST(total_dl AS DOUBLE) / n_docs)))
+                           AS score
+                  FROM tf JOIN dl USING (doc_id)
+                          JOIN dfc USING (term) CROSS JOIN st),
+           agg AS (SELECT doc_id,
+                          round(sum(score ORDER BY term), 6) AS score
+                   FROM sc GROUP BY 1)
+         SELECT doc_id, score FROM agg
+         QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
+         ORDER BY score DESC, doc_id""",
+
+    // incremental == from-scratch: the oracle recomputes FULL-corpus
+    // BM25 and cannot tell the engine served a build + staged delta
+    "x_text_bm25_incr" ->
       """WITH tok AS (SELECT doc_id,
                              unnest(string_split(text, ' ')) AS term
                       FROM documents),

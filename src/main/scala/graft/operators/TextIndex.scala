@@ -114,6 +114,45 @@ object TextIndex {
     (spark.read.parquet(postPath), spark.read.parquet(statsPath))
   }
 
+  /** Delta ingestion for the BM25 index — the maintenance path a
+    * 100 TB corpus needs (full rebuilds on every crawl drop are not a
+    * plan). The delta's postings append into the bucket partitions and
+    * its (n_docs, total_dl) contribution appends as one more stats
+    * row — stats are SUMS, so the reader aggregates rows instead of
+    * assuming one ([[bm25TopK]] does). Both appends run under ONE
+    * content-derived [[StagedCommit]] token: a kill at any point
+    * leaves a state the same call repairs to exactly-once content,
+    * and a re-delivered delta no-ops — the incremental == from-scratch
+    * law the gate checks against the full-corpus oracle.
+    * Returns the refreshed (postings, stats) readers. */
+  def appendScoredPostings(delta: DataFrame, idCol: String,
+      textCol: String, basePath: String,
+      buckets: Int = 64): (DataFrame, DataFrame) = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val spark = delta.sparkSession
+    val root = s"$basePath/scored_postings_b$buckets"
+    val postPath = s"$root/postings"
+    val statsPath = s"$root/stats"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(statsPath, "_SUCCESS")),
+      s"appendScoredPostings: no committed index under $root - build first")
+    val token = StagedCommit.idToken(delta.select(col(idCol)), idCol)
+    val deltaPostings = delta.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+        explode(col("_toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("_bkt", pmod(xxhash64(col("term")), lit(buckets)))
+    StagedCommit.appendOnce(postPath, token, Seq("_bkt"), deltaPostings)
+    StagedCommit.appendOnce(statsPath, token, Seq.empty,
+      delta.select(size(TextFunctions.tokens(col(textCol)))
+          .cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")))
+    (spark.read.parquet(postPath), spark.read.parquet(statsPath))
+  }
+
   /** Okapi BM25 top-`k` ranked retrieval over a [[buildScoredPostings]]
     * artifact. Disjunctive: any doc containing ≥1 query term scores.
     * Plan shape: partition-pruned probe of the query terms' buckets
@@ -146,8 +185,12 @@ object TextIndex {
     val cand = postings
       .filter(col("_bkt").isin(bkts: _*) && col("term").isin(terms: _*))
     val dfc = cand.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    // stats are additive rows (1 after a build, +1 per committed
+    // delta) — aggregate, never assume a single row
+    val totals = stats.agg(sum(col("n_docs")).as("n_docs"),
+      sum(col("total_dl")).as("total_dl"))
     cand.join(broadcast(dfc), Seq("term"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(totals))
       .withColumn("_avgdl",
         col("total_dl").cast("double") / col("n_docs"))
       .withColumn("_idf", log(

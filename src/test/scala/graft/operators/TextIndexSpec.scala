@@ -83,6 +83,42 @@ class TextIndexSpec extends SparkSpec {
       s"2-term search should read <=2 of 8 bucket partitions: $probed2")
   }
 
+  test("appendScoredPostings: incremental == from-scratch; " +
+      "re-delivered delta no-ops") {
+    val all = Seq(
+      (1L, "spark spark spark join"), (2L, "spark scan"),
+      (3L, "join join batch other"), (4L, "none of these terms"),
+      (5L, "spark join batch extra words here")).toDF("id", "txt")
+    val full = java.nio.file.Files
+      .createTempDirectory("ti_incr_full").toString
+    val incr = java.nio.file.Files
+      .createTempDirectory("ti_incr_delta").toString
+    val (fp, fs) = TextIndex.buildScoredPostings(all, "id", "txt",
+      full, buckets = 8)
+    TextIndex.buildScoredPostings(all.filter($"id" <= 2), "id", "txt",
+      incr, buckets = 8)
+    val delta = all.filter($"id" > 2)
+    TextIndex.appendScoredPostings(delta, "id", "txt", incr, buckets = 8)
+    // re-delivery of the SAME delta must change nothing (one token)
+    val (ip, is) = TextIndex.appendScoredPostings(delta, "id", "txt",
+      incr, buckets = 8)
+    assert(is.count() == 2) // build row + exactly ONE delta row
+    assert(ip.count() == fp.count())
+    val q = Seq("spark", "join")
+    val a = TextIndex.bm25TopK(fp, fs, q, k = 10, buckets = 8)
+      .as[(Long, Double)].collect().toSeq
+    val b = TextIndex.bm25TopK(ip, is, q, k = 10, buckets = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(a == b)
+    // appending into a never-built root refuses loudly
+    val empty = java.nio.file.Files
+      .createTempDirectory("ti_incr_none").toString
+    intercept[IllegalArgumentException] {
+      TextIndex.appendScoredPostings(delta, "id", "txt", empty,
+        buckets = 8)
+    }
+  }
+
   test("bm25TopK: hand-computed scores, rank order, tf saturation") {
     val docs = Seq(
       (1L, "spark spark spark join"), // tf(spark)=3 in a 4-token doc
