@@ -3073,6 +3073,31 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    "x_text_oov" -> ((s, dir) => {
+      // tokenizer-coverage report: per-language out-of-vocabulary
+      // token rate against the corpus's own top-1000 vocabulary — the
+      // "how much of each slice does this vocab actually cover" check
+      // run before committing to a tokenizer. Aggregate-first: the
+      // corpus-sized explode collapses to (lang, term) counts in ONE
+      // map-side-combinable shuffle; the vocab is a TakeOrdered over
+      // the term-grain rollup and broadcasts back; the OOV rollup is
+      // vocab-grain. Nothing corpus-sized past the first aggregate.
+      val tf2 = t(s, dir, "documents")
+        .select(col("lang"), explode(TF.tokens(col("text"))).as("term"))
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+      val vocab = tf2.groupBy(col("term")).agg(sum(col("n")).as("nn"))
+        .orderBy(col("nn").desc, col("term")).limit(1000)
+        .select(col("term"), lit(1).as("_inv"))
+      tf2.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).as("n_tokens"),
+          sum(when(col("_inv").isNull, col("n")).otherwise(0L))
+            .as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov") / col("n_tokens"), 6))
+        .orderBy(col("lang"))
+    }),
+
     "x_text_vocab" -> ((s, dir) => {
       // corpus vocabulary accounting: top-5 tokens per language by
       // occurrence count (tokenizer-training / coverage view). Explode
@@ -7023,6 +7048,26 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY lang
            ORDER BY n DESC, tok) <= 5
          ORDER BY lang, n DESC, tok""",
+
+    // same top-1000 vocab (count desc, term asc), OOV mass from the
+    // (lang, term) rollup — aggregate-first on both sides
+    "x_text_oov" ->
+      """WITH c AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+              tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+                     FROM c GROUP BY 1, 2),
+              v AS (SELECT term FROM (
+                      SELECT term, sum(n) AS nn FROM tf GROUP BY term
+                      ORDER BY nn DESC, term LIMIT 1000)),
+              agg AS (SELECT lang,
+                             CAST(sum(n) AS BIGINT) AS n_tokens,
+                             CAST(sum(CASE WHEN term IN
+                               (SELECT term FROM v) THEN 0 ELSE n END)
+                               AS BIGINT) AS n_oov
+                      FROM tf GROUP BY 1)
+         SELECT lang, n_tokens, n_oov,
+                round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
+         FROM agg ORDER BY lang""",
 
     // the oracle RETRAINS: k unrolled levels, each = pair counts via a
     // lead window over the split state, (n DESC, a, b) argmax, and the
