@@ -3073,6 +3073,22 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    "x_text_chunks_cdc" -> ((s, dir) =>
+      // content-defined chunking: boundaries where the md5 of the
+      // 4-token local context ≡ 0 mod 16 (~16-token expected chunks),
+      // so an edit re-chunks only its neighborhood — the dedup-robust
+      // sibling of the fixed-window x_text_chunks (whose boundaries
+      // all shift after any insertion). Row-local scan work; chunk
+      // identity = md5 of the chunk text, ready for exact-dedup.
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          TF.contentChunks(col("text"), window = 4, divisor = 16)))
+        .select(col("doc_id"), (col("pos") + 1).as("chunk_idx"),
+          col("col.start").as("start"),
+          col("col.n_tokens").as("n_tokens"),
+          md5(col("col.chunk")).as("h"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     "x_text_oov" -> ((s, dir) => {
       // tokenizer-coverage report: per-language out-of-vocabulary
       // token rate against the corpus's own top-1000 vocabulary — the
@@ -7000,6 +7016,34 @@ object SparkEntry {
                 s AS start, least(64, len(t) - s + 1) AS n_tokens,
                 md5(array_to_string(t[s:s+63], ' ')) AS h
          FROM ch ORDER BY doc_id, chunk_idx""",
+
+    // boundary = md5_32 of the 4-token context mod 16 == 0, replayed
+    // with the same nibble arithmetic as every sampler coordinate
+    "x_text_chunks_cdc" -> {
+      val hv = hexValSql("md5(array_to_string(t[i-3:i], ' '))")
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+              cuts AS (SELECT doc_id, t,
+                         list_sort(list_distinct(
+                           list_filter(
+                             CASE WHEN len(t) >= 4
+                               THEN generate_series(4, len(t))
+                               ELSE []::BIGINT[] END,
+                             i -> $hv % 16 = 0)
+                           || [len(t)])) AS ends
+                       FROM tok),
+              b AS (SELECT doc_id, t, unnest(ends) AS e,
+                           generate_subscripts(ends, 1) AS ci
+                    FROM cuts),
+              c AS (SELECT doc_id, t, ci, e,
+                           coalesce(lag(e) OVER (PARTITION BY doc_id
+                             ORDER BY ci), 0) + 1 AS s
+                    FROM b)
+         SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+                CAST(s AS BIGINT) AS start,
+                CAST(e - s + 1 AS BIGINT) AS n_tokens,
+                md5(array_to_string(t[s:e], ' ')) AS h
+         FROM c ORDER BY doc_id, chunk_idx""" },
 
     // the z-value is a flat sum of shift/mask terms — generated here
     // with the same bit positions the engine's Layout.zValue uses

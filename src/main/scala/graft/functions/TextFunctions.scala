@@ -234,6 +234,42 @@ object TextFunctions {
         concat_ws(" ", slice(t, s, lit(chunkTokens))).as("chunk")))
   }
 
+  /** Content-defined chunking (the FastCDC/Rabin idea at token grain):
+    * a chunk boundary falls after token i whenever the md5₃₂ of the
+    * `window`-token context ending at i is ≡ 0 mod `divisor` — so
+    * boundaries depend only on LOCAL content, and an insertion early
+    * in a document re-chunks only its neighborhood instead of shifting
+    * every downstream chunk the way fixed-size chunking does. That
+    * locality is what makes chunk-hash dedup robust to edits (the
+    * byte-dedup literature's motivation, applied at token grain).
+    * Expected chunk length ≈ `divisor` tokens; the document tail is
+    * always a final chunk. Returns array<struct<start, n_tokens,
+    * chunk>> (1-based starts) — row-local, scan-stage, no shuffle;
+    * posexplode downstream for (idx, chunk) rows. */
+  def contentChunks(text: Column, window: Int, divisor: Int): Column = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(divisor >= 2, s"divisor must be >= 2: $divisor")
+    val t = tokens(text)
+    def h(i: Column) = conv(substring(
+      md5(concat_ws(" ", slice(t, i - (window - 1), lit(window)))),
+      1, 8), 16, 10).cast("long")
+    // Spark's sequence(4, 2) counts DOWN — a doc shorter than the
+    // window must yield an empty candidate list, not a reversed one
+    val idxs = when(size(t) >= window, sequence(lit(window), size(t)))
+      .otherwise(array().cast("array<int>"))
+    val cuts = filter(idxs, i => pmod(h(i), lit(divisor.toLong)) === 0)
+    // cuts ascend; appending the doc end and dropping a duplicate
+    // keeps ascension — ends of chunk i and start of chunk i+1 derive
+    // by position, so starts/ends stay aligned for zip_with
+    val ends = array_distinct(concat(cuts, array(size(t))))
+    val starts = concat(array(lit(1)),
+      transform(slice(ends, lit(1), size(ends) - 1), e => e + 1))
+    zip_with(starts, ends, (s, e) => struct(
+      s.cast("long").as("start"),
+      (e - s + 1).cast("long").as("n_tokens"),
+      concat_ws(" ", slice(t, s, e - s + 1)).as("chunk")))
+  }
+
   /** Unicode NFC canonicalization ([[NfcNormalize]] — native codegen):
     * run before any byte-level hash/dedup so composed and decomposed
     * spellings of the same text collapse. */
