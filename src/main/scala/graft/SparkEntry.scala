@@ -1242,6 +1242,20 @@ object SparkEntry {
           round(col("p90"), 6).as("p90"))
     }),
 
+    "a24_psi_drift" -> ((s, dir) => {
+      // distribution drift between corpus snapshots (population
+      // stability index): even vs odd doc_ids bucketed by capped
+      // n_chars deciles. The full bucket spine is materialized (a
+      // bucket empty in one snapshot is where drift shows), Laplace
+      // smoothing keeps ln finite, shares are exact-count double
+      // divisions — two combinable bucket aggs + a 10-row join.
+      val docs = t(s, dir, "documents")
+        .withColumn("bucket", least(floor(col("n_chars") / 100), lit(9L)))
+      Profile.psi(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 =!= 0), "bucket", 10)
+        .orderBy(col("bucket"))
+    }),
+
     "a23_grouping_sets" -> ((s, dir) =>
       // explicit GROUPING SETS (the rollup/cube sibling a9/a11 don't
       // cover: an arbitrary set list — here both one-dimension
@@ -5192,6 +5206,32 @@ object SparkEntry {
                     FROM lineitem)
          SELECT round((SELECT v FROM s, n WHERE rn = k50), 6) AS p50,
                 round((SELECT v FROM s, n WHERE rn = k90), 6) AS p90""",
+
+    // exact-count double divisions + the same (p-q)·ln(p/q) order;
+    // the spine keeps one-sided-empty buckets in the sum
+    "a24_psi_drift" ->
+      """WITH d AS (SELECT doc_id,
+                           least(CAST(floor(n_chars / 100) AS BIGINT), 9)
+                             AS bucket
+                    FROM documents),
+              a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a
+                    FROM d WHERE doc_id % 2 = 0 GROUP BY 1),
+              b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b
+                    FROM d WHERE doc_id % 2 <> 0 GROUP BY 1),
+              na AS (SELECT count(*) AS n FROM d WHERE doc_id % 2 = 0),
+              nb AS (SELECT count(*) AS n FROM d WHERE doc_id % 2 <> 0),
+              sp AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+              j AS (SELECT sp.bucket,
+                           coalesce(a.n_a, 0) AS n_a,
+                           coalesce(b.n_b, 0) AS n_b
+                    FROM sp LEFT JOIN a USING (bucket)
+                            LEFT JOIN b USING (bucket))
+         SELECT bucket, n_a, n_b,
+                round(((n_a + 1) * 1.0 / (na.n + 10)
+                       - (n_b + 1) * 1.0 / (nb.n + 10))
+                      * ln(((n_a + 1) * 1.0 / (na.n + 10))
+                           / ((n_b + 1) * 1.0 / (nb.n + 10))), 6) AS psi
+         FROM j CROSS JOIN na CROSS JOIN nb ORDER BY bucket""",
 
     "a23_grouping_sets" ->
       """SELECT coalesce(l_returnflag, '(all)') AS rflag,

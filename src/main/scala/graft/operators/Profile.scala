@@ -201,4 +201,41 @@ object Profile {
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), sum(rowh).as("checksum"))
   }
+
+  /** Population stability index between two snapshots of a bucketed
+    * distribution — the standard drift monitor run between corpus
+    * refreshes (rule of thumb: Σψ < 0.1 stable, > 0.25 shifted).
+    * `bucketCol` must be a bounded integer bucketing (caller supplies
+    * the binning — e.g. capped n_chars deciles); the full `spine` of
+    * buckets [0, buckets) is materialized so a bucket EMPTY in one
+    * snapshot still contributes (that is where drift shows up), and
+    * Laplace smoothing (+1 / +buckets) keeps ln finite there. Shares
+    * p/q as exact-count double divisions, so any engine replays ψ
+    * digit-for-digit at 6 dp. Cost: two bucket-grain aggregates over
+    * the snapshots (map-side combinable) + a 10-row join — nothing
+    * corpus-sized past the counts. Output: (bucket, n_a, n_b, psi). */
+  def psi(a: DataFrame, b: DataFrame, bucketCol: String,
+          buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 100000,
+      s"buckets out of range: $buckets")
+    val spark = a.sparkSession
+    val spine = spark.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+    def counts(df: DataFrame, as: String) =
+      df.select(col(bucketCol).cast("int").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val na = a.count()
+    val nb = b.count()
+    spine
+      .join(broadcast(counts(a, "n_a")), Seq("bucket"), "left")
+      .join(broadcast(counts(b, "n_b")), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .withColumn("_p",
+        (col("n_a") + 1).cast("double") / lit((na + buckets).toDouble))
+      .withColumn("_q",
+        (col("n_b") + 1).cast("double") / lit((nb + buckets).toDouble))
+      .withColumn("psi", round((col("_p") - col("_q"))
+        * log(col("_p") / col("_q")), 6))
+      .select(col("bucket"), col("n_a"), col("n_b"), col("psi"))
+  }
 }

@@ -153,4 +153,25 @@ class ProfileSpec extends SparkSpec {
       Profile.fingerprint(dbl, Seq.empty, Seq("k", "v"))
     }
   }
+
+  test("psi: identical snapshots score 0; shift shows where it is") {
+    def snap(buckets: Int*) = buckets.toSeq.toDF("b")
+    val a = snap(0, 0, 0, 1, 1, 2)
+    // identical distributions: every bucket's psi is exactly 0
+    val same = Profile.psi(a, snap(0, 0, 0, 1, 1, 2), "b", 4)
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(same.length == 4) // full spine, including empty bucket 3
+    assert(same.forall(_._4 == 0.0), same.toSeq)
+    // mass moved from bucket 0 to bucket 2: both ends show positive
+    // psi (the term is (p-q)ln(p/q), positive for any p != q)
+    val drift = Profile.psi(a, snap(0, 1, 1, 2, 2, 2), "b", 4)
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(drift(0)._4 > 0 && drift(2)._4 > 0)
+    assert(drift(3)._4 == 0.0) // still empty on both sides
+    // a bucket present only in ONE snapshot still contributes
+    val oneSided = Profile.psi(a, snap(3, 3, 3, 3, 3, 3), "b", 4)
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(oneSided(3)._4 > 0.5, oneSided.toSeq)
+    intercept[IllegalArgumentException] { Profile.psi(a, a, "b", 1) }
+  }
 }
