@@ -224,11 +224,16 @@ object Profile {
     def counts(df: DataFrame, as: String) =
       df.select(col(bucketCol).cast("int").as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as(as))
-    val na = a.count()
-    val nb = b.count()
+        .persist()
+    val ac = counts(a, "n_a")
+    val bc = counts(b, "n_b")
+    // totals fold out of the ≤`buckets`-row count tables — no second
+    // pass over either snapshot
+    val na = ac.agg(coalesce(sum(col("n_a")), lit(0L))).head.getLong(0)
+    val nb = bc.agg(coalesce(sum(col("n_b")), lit(0L))).head.getLong(0)
     spine
-      .join(broadcast(counts(a, "n_a")), Seq("bucket"), "left")
-      .join(broadcast(counts(b, "n_b")), Seq("bucket"), "left")
+      .join(broadcast(ac), Seq("bucket"), "left")
+      .join(broadcast(bc), Seq("bucket"), "left")
       .na.fill(0L, Seq("n_a", "n_b"))
       .withColumn("_p",
         (col("n_a") + 1).cast("double") / lit((na + buckets).toDouble))

@@ -397,10 +397,24 @@ object EventStreams {
         (bucket, it, state) =>
           val st = state.getOption
             .getOrElse(SampleKState(0L, Vector.empty))
-          val batch = it.toVector
-          val merged = (st.keep ++ batch.map(r => (r._2, r._3)))
-            .distinct.sorted.take(k)
-          val processed = st.processed + batch.size
+          // fold rows one at a time into a k-bounded ordered set —
+          // O(log k) per row and O(k) memory however large the
+          // micro-batch (materializing the batch would make task
+          // memory ∝ batch size, the thing bounded state exists to
+          // avoid)
+          val keep = scala.collection.mutable.TreeSet.empty[(String, Long)]
+          keep ++= st.keep
+          var processed = st.processed
+          it.foreach { r =>
+            processed += 1
+            val e = (r._2, r._3)
+            if (keep.size < k) keep += e
+            else if (Ordering[(String, Long)].lt(e, keep.last)) {
+              keep += e
+              if (keep.size > k) keep -= keep.last
+            }
+          }
+          val merged = keep.toVector
           state.update(SampleKState(processed, merged))
           merged.iterator.map { case (hex, key) =>
             SampleKEmit(bucket, processed, hex, key) }
