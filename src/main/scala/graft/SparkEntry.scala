@@ -2968,6 +2968,66 @@ object SparkEntry {
         .orderBy(col("day"), col("rnk"))
     }),
 
+    "x_stream_psi" -> ((s, dir) => {
+      // REAL streaming drift monitor: the live half of the event log
+      // (odd user_ids) replays as a file stream and keeps ONE bounded
+      // bucket histogram per day in flatMapGroupsWithState state
+      // (histogramStream — O(buckets) per key, O(1) per row); the
+      // even-user_id half is the static reference snapshot. The
+      // keep-last finalization (each day's final emitted histogram —
+      // batch-split-invariant) feeds the SAME Laplace-smoothed PSI
+      // arithmetic Profile.psi applies batch-side, so the oracle
+      // replays stream==batch drift digit-for-digit. At 100 TB the
+      // state is days×buckets longs and the reference ships as a
+      // 10-row broadcast — nothing scales with the stream.
+      val buckets = 10
+      val ref = t(s, dir, "events").filter(col("user_id") % 2 === 0)
+        .select(least(floor(col("value") / 50), lit(9L)).cast("int")
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_ref"))
+        .persist()
+      val nRef = ref.agg(coalesce(sum(col("n_ref")), lit(0L)))
+        .head.getLong(0)
+      val st = Tables.eventsStream(s, dir, "value DOUBLE")
+        .filter(col("user_id") % 2 =!= 0)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          least(floor(col("value") / 50), lit(9L)).cast("int")
+            .as("bucket"))
+      val sink = s"x_stream_psi_${streamSinkId.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        graft.streaming.EventStreams
+          .histogramStream(st, "day", "bucket", buckets)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_psi: stream did not drain within 300s")
+      }
+      val wd = Window.partitionBy(col("key"))
+      val last = s.table(sink)
+        .withColumn("_mx", max(col("processed")).over(wd))
+        .filter(col("processed") === col("_mx"))
+        .select(col("key").as("day"), col("bucket"), col("n"),
+          col("processed").as("n_day"))
+      last.join(broadcast(ref), Seq("bucket"), "left")
+        .na.fill(0L, Seq("n_ref"))
+        .withColumn("_p", (col("n") + 1).cast("double") /
+          (col("n_day") + buckets).cast("double"))
+        .withColumn("_q", (col("n_ref") + 1).cast("double") /
+          lit((nRef + buckets).toDouble))
+        .withColumn("psi", round((col("_p") - col("_q"))
+          * log(col("_p") / col("_q")), 6))
+        .select(col("day"), col("bucket"), col("n"), col("n_ref"),
+          col("psi"))
+        .orderBy(col("day"), col("bucket"))
+    }),
+
     "x_stream_decontam" -> ((s, dir) => {
       // REAL streaming decontamination: training docs replay as a file
       // stream, the static eval set ships as a Bloom prefilter + exact
@@ -3049,6 +3109,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_text_c4" -> ((s, dir) => {
+      // C4 cleaning rules (Raffel et al. 2020 §2.2): line-level
+      // terminal-punctuation / min-words / "javascript" retention plus
+      // page-level sentence-count, banned-phrase, curly-brace and
+      // blocklist rules. The synthetic corpus has no line structure,
+      // so the gate derives it DETERMINISTICALLY first (token "line"
+      // becomes a sentence break, "spark"→"javascript",
+      // "vector"→"lorem ipsum", "hash"→"{hash}" plant rule trips) —
+      // the oracle performs the identical derivation, and the operator
+      // itself runs on genuinely multi-line punctuated text. All
+      // row-local scan-stage expressions, zero shuffles; clean_md5
+      // fingerprints the retained-line output byte-for-byte.
+      val t2 = replace(replace(replace(replace(col("text"),
+        lit(" line "), lit(".\n")),
+        lit(" spark "), lit(" javascript ")),
+        lit(" vector "), lit(" lorem ipsum ")),
+        lit(" hash "), lit(" {hash} "))
+      t(s, dir, "documents")
+        .withColumn("_c", TF.c4Flags(t2, Seq("customer"), Seq("lorem ipsum")))
+        .select(col("doc_id"), col("_c.*"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x_text_langid" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("lang"), TF.langId(col("text")).as("pred"))
@@ -3126,6 +3209,35 @@ object SparkEntry {
         .withColumn("oov_rate",
           round(col("n_oov") / col("n_tokens"), 6))
         .orderBy(col("lang"))
+    }),
+
+    "x_text_source_overlap" -> ((s, dir) => {
+      // corpus redundancy map: pairwise Jaccard overlap of source
+      // vocabularies — the "are two crawls/dumps the same material"
+      // diagnostic run before mixing sources into a training set.
+      // Aggregate-first: the corpus-sized explode collapses to
+      // DISTINCT (source, term) in one combinable shuffle
+      // (vocab-grain); per-source sizes are a source-grain table that
+      // broadcasts; the intersection self-join shuffles vocab-grain
+      // rows and its output is bounded by sources² — independent of
+      // corpus size. Jaccard ships as exact integer ppm (bigint DIV),
+      // so the compare has no float-rounding seam.
+      val vocab = t(s, dir, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("term"))
+        .distinct()
+      val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      vocab.as("a")
+        .join(vocab.as("b"),
+          col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.as("x")), col("s1") === col("x.source"))
+        .join(broadcast(sizes.as("y")), col("s2") === col("y.source"))
+        .select(col("s1"), col("s2"), col("n_common"),
+          (col("x.n") + col("y.n") - col("n_common")).as("n_union"))
+        .withColumn("jaccard_ppm",
+          expr("n_common * 1000000 div n_union"))
+        .orderBy(col("s1"), col("s2"))
     }),
 
     "x_text_vocab" -> ((s, dir) => {
@@ -6505,6 +6617,39 @@ object SparkEntry {
                 event_type, n
          FROM r WHERE rnk <= 3 ORDER BY day, rnk""",
 
+    "x_stream_psi" ->
+      """WITH live AS (SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE),
+                                '%Y-%m-%d') AS day,
+                              CAST(least(floor(value / 50), 9) AS INT)
+                                AS bucket
+                       FROM events WHERE user_id % 2 <> 0),
+              ref AS (SELECT CAST(least(floor(value / 50), 9) AS INT)
+                               AS bucket,
+                             CAST(count(*) AS BIGINT) AS n_ref
+                      FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+              nr AS (SELECT sum(n_ref) AS t FROM ref),
+              spine AS (SELECT day, CAST(b AS INT) AS bucket
+                        FROM (SELECT DISTINCT day FROM live),
+                             generate_series(0, 9) AS g(b)),
+              lc AS (SELECT day, bucket, CAST(count(*) AS BIGINT) AS n
+                     FROM live GROUP BY 1, 2),
+              nd AS (SELECT day, sum(n) AS n_day FROM lc GROUP BY 1),
+              j AS (SELECT s.day, s.bucket,
+                           coalesce(lc.n, 0) AS n,
+                           coalesce(ref.n_ref, 0) AS n_ref,
+                           nd.n_day
+                    FROM spine s
+                    LEFT JOIN lc ON s.day = lc.day AND s.bucket = lc.bucket
+                    LEFT JOIN ref ON s.bucket = ref.bucket
+                    JOIN nd ON s.day = nd.day)
+         SELECT day, bucket, n, n_ref,
+                round(((n + 1) * 1.0 / (n_day + 10)
+                       - (n_ref + 1) * 1.0 / ((SELECT t FROM nr) + 10))
+                      * ln(((n + 1) * 1.0 / (n_day + 10))
+                           / ((n_ref + 1) * 1.0
+                              / ((SELECT t FROM nr) + 10))), 6) AS psi
+         FROM j ORDER BY day, bucket""",
+
     // same literal dim as VALUES, latest version per key via a
     // row_number window, per-row double multiply then DECIMAL-exact sum
     "x_stream_enrich" ->
@@ -6982,6 +7127,45 @@ object SparkEntry {
             AS INT) AS keep
          FROM f ORDER BY doc_id""",
 
+    "x_text_c4" ->
+      """WITH d AS (SELECT doc_id,
+                replace(replace(replace(replace(text,
+                  ' line ', '.' || chr(10)),
+                  ' spark ', ' javascript '),
+                  ' vector ', ' lorem ipsum '),
+                  ' hash ', ' {hash} ') AS t
+              FROM documents),
+           k AS (SELECT doc_id, t,
+                string_split(t, chr(10)) AS lines,
+                coalesce(array_to_string(
+                  list_filter(string_split(t, chr(10)),
+                    l -> right(l, 1) IN ('.', '!', '?', '"')
+                     AND len(string_split(l, ' ')) >= 5
+                     AND NOT contains(lower(l), 'javascript')), chr(10)),
+                  '') AS cleaned
+              FROM d),
+           f AS (SELECT doc_id, t, cleaned,
+                len(lines) AS n_lines,
+                CASE WHEN cleaned = '' THEN 0
+                     ELSE len(string_split(cleaned, chr(10))) END AS n_kept,
+                CAST(length(cleaned) - length(replace(cleaned, '.', ''))
+                   + length(cleaned) - length(replace(cleaned, '!', ''))
+                   + length(cleaned) - length(replace(cleaned, '?', ''))
+                  AS INT) AS n_sentences,
+                CASE WHEN length(' '||lower(t)||' ') =
+                  length(replace(' '||lower(t)||' ', ' customer ', ''))
+                  THEN 1 ELSE 0 END AS no_badword,
+                CASE WHEN contains(lower(t), 'lorem ipsum')
+                  THEN 0 ELSE 1 END AS no_phrase,
+                CASE WHEN contains(t, '{') THEN 0 ELSE 1 END AS no_brace
+              FROM k)
+         SELECT doc_id, n_lines, n_kept, n_sentences,
+                no_badword, no_phrase, no_brace,
+                CAST(n_sentences >= 3 AND no_badword = 1
+                 AND no_phrase = 1 AND no_brace = 1 AS INT) AS keep,
+                md5(cleaned) AS clean_md5
+         FROM f ORDER BY doc_id""",
+
     "x_text_stats" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS n_tokens,
@@ -7152,6 +7336,24 @@ object SparkEntry {
          SELECT lang, n_tokens, n_oov,
                 round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
          FROM agg ORDER BY lang""",
+
+    "x_text_source_overlap" ->
+      """WITH v AS (SELECT DISTINCT source,
+                           unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+              sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                     FROM v GROUP BY 1),
+              iv AS (SELECT a.source AS s1, b.source AS s2,
+                            CAST(count(*) AS BIGINT) AS n_common
+                     FROM v a JOIN v b
+                       ON a.term = b.term AND a.source < b.source
+                     GROUP BY 1, 2)
+         SELECT s1, s2, n_common,
+                x.n + y.n - n_common AS n_union,
+                n_common * 1000000 // (x.n + y.n - n_common)
+                  AS jaccard_ppm
+         FROM iv JOIN sz x ON s1 = x.source JOIN sz y ON s2 = y.source
+         ORDER BY s1, s2""",
 
     // the oracle RETRAINS: k unrolled levels, each = pair counts via a
     // lead window over the split state, (n DESC, a, b) argmax, and the

@@ -96,6 +96,53 @@ object TextFunctions {
         bulletOk && lineDotsOk).cast("int").as("keep"))
   }
 
+  /** C4 cleaning rules (Raffel et al. 2020, §2.2 "Colossal Clean
+    * Crawled Corpus") as a struct of line-level retention plus
+    * page-level pass flags. Line rules (a line survives iff ALL hold):
+    * ends in a terminal punctuation mark (`. ! ? "`), has ≥ 5
+    * whitespace words, and does not mention "javascript"
+    * (case-insensitive). Page rules (the page is kept iff ALL hold):
+    * the retained lines contain ≥ 3 sentence terminators, no banned
+    * phrase (C4 uses "lorem ipsum") appears anywhere, no `{` appears
+    * (code page heuristic), and no blocklist word occurs at token
+    * boundaries. Returns `struct<n_lines, n_kept, n_sentences,
+    * no_badword, no_phrase, no_brace, keep, clean_md5>` where
+    * `clean_md5` fingerprints the retained-line text — the actual
+    * cleaning output — so a checker can verify the line filter
+    * byte-for-byte without shipping the cleaned corpus.
+    *
+    * Pure row-local scan-stage expression work (split / filter /
+    * occurrence counts), zero shuffles, no UDF: the filter composition
+    * is a `WHERE keep = 1` that Catalyst pushes into the scan. */
+  def c4Flags(text: Column, badwords: Seq[String],
+              banPhrases: Seq[String]): Column = {
+    val lines = split(text, "\n", -1)
+    val kept = filter(lines, l =>
+      l.substr(length(l), lit(1)).isin(".", "!", "?", "\"") &&
+        size(split(l, " ", -1)) >= 5 &&
+        !lower(l).contains("javascript"))
+    val cleaned = concat_ws("\n", kept)
+    val nSent = (occurrences(cleaned, ".") + occurrences(cleaned, "!") +
+      occurrences(cleaned, "?")).cast("int")
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val badHits = badwords.map(w => occurrences(padded, s" $w "))
+      .reduce(_ + _)
+    val phraseHit = banPhrases.map(p => lower(text).contains(p))
+      .reduce(_ || _)
+    val noBad = badHits === 0
+    val noPhrase = !phraseHit
+    val noBrace = !text.contains("{")
+    struct(
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      nSent.as("n_sentences"),
+      noBad.cast("int").as("no_badword"),
+      noPhrase.cast("int").as("no_phrase"),
+      noBrace.cast("int").as("no_brace"),
+      (nSent >= 3 && noBad && noPhrase && noBrace).cast("int").as("keep"),
+      md5(cleaned).as("clean_md5"))
+  }
+
   /** Token n-grams of a document as an array (duplicates KEPT — this is
     * the occurrence sequence, unlike Dedup.shingles' distinct set). */
   private def ngramSeq(text: Column, n: Int): Column = {

@@ -297,6 +297,61 @@ object EventStreams {
       }.toDF()
   }
 
+  /** Per-key bounded bucket histogram state: rows seen + counts. */
+  final case class HistState(n: Long, hist: Array[Long])
+
+  /** One emitted histogram row, stamped for keep-last finalization. */
+  final case class HistEmit(key: String, processed: Long, bucket: Int,
+                            n: Long)
+
+  /** Streaming per-key bucket histogram: for each group key (e.g. the
+    * event day) the running count per bucket of a caller-computed
+    * BOUNDED bucketing — the streaming substrate for online
+    * distribution monitoring (drift/PSI against a reference snapshot,
+    * [[graft.operators.Profile.psi]]). State is one `buckets`-long
+    * count array per key — O(buckets), never O(rows) — and updates are
+    * O(1) per row. Every micro-batch emits each touched key's FULL
+    * current histogram (all `buckets` rows, zeros included, so the
+    * downstream spine needs no re-densify) stamped with the rows-seen
+    * counter; the stateless keep-last finalization (rows whose
+    * `processed` equals the key's max) is batch-split-invariant and
+    * equals the batch `groupBy(key, bucket).count()` exactly — the
+    * stream==batch law the oracle checks. Out-of-range buckets fail
+    * loudly (the refuse-loudly idiom): a silent clamp here would make
+    * drift invisible exactly where it appears. */
+  def histogramStream(events: DataFrame, keyCol: String,
+                      bucketCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= 100000,
+      s"buckets out of range: $buckets")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = events.select(col(keyCol).cast("string").as("_k"),
+        col(bucketCol).cast("int").as("_b"))
+      .as[(String, Int)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[HistState, HistEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          val st = state.getOption
+            .getOrElse(HistState(0L, new Array[Long](buckets)))
+          var n = st.n
+          val hist = st.hist.clone()
+          rows.foreach { case (_, b) =>
+            if (b < 0 || b >= buckets)
+              throw new IllegalStateException(
+                s"histogramStream: bucket $b for key '$key' outside " +
+                  s"[0, $buckets) — fix the caller's bucketing instead " +
+                  "of letting a clamp hide the drift this operator " +
+                  "exists to surface")
+            hist(b) += 1
+            n += 1
+          }
+          state.update(HistState(n, hist))
+          (0 until buckets).iterator.map(b => HistEmit(key, n, b, hist(b)))
+      }.toDF()
+  }
+
   /** Per-key rolling value counts (bounded by the value vocabulary). */
   final case class TopKState(n: Long, counts: Map[String, Long])
 

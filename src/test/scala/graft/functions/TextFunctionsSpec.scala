@@ -198,4 +198,63 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(7L)._7 == 0)                      // bullet_ok trips
     assert(got(8L)._8 == 0)                      // line_dots_ok trips
   }
+
+  test("c4Flags: line retention and page rules on realistic fixtures") {
+    val bad = Seq("badword")
+    val phrases = Seq("lorem ipsum")
+    val goodLine = "this line has enough words to survive."
+    val docs = Seq(
+      // 3 terminal-punct lines of >=5 words: kept, 3 sentences, keep=1
+      (1L, s"$goodLine\n$goodLine\n$goodLine"),
+      // line without terminal punct + line of 4 words + javascript line
+      // all drop -> 2 sentences left -> page fails the >=3 rule
+      (2L, s"$goodLine\nno terminal punctuation on this one\n" +
+        s"too few words here.\nenable javascript to view this.\n$goodLine"),
+      // banned phrase anywhere kills the page even with clean lines
+      (3L, s"$goodLine\n$goodLine\nsome Lorem Ipsum boilerplate.\n$goodLine"),
+      // curly brace = code page
+      (4L, s"$goodLine\nif (x) { return y; }\n$goodLine\n$goodLine"),
+      // blocklist word at token boundary (substring hits must NOT trip)
+      (5L, s"$goodLine\na badword appears right here.\n$goodLine\n$goodLine"),
+      (6L, s"$goodLine\nnotbadwordhere stays perfectly fine ok.\n" +
+        s"$goodLine\n$goodLine"),
+      // quote and ! and ? all count as terminal punctuation
+      (7L, "he said \"five words are here.\"\nare five words enough here?\n" +
+        "yes five words are enough!"))
+      .toDF("doc_id", "text")
+    val got = docs.withColumn("c", TF.c4Flags($"text", bad, phrases))
+      .select($"doc_id", $"c.n_lines", $"c.n_kept", $"c.n_sentences",
+        $"c.no_badword", $"c.no_phrase", $"c.no_brace", $"c.keep")
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 3, 3, 3, 1, 1, 1, 1))
+    assert(got(2L)._2 == 5 && got(2L)._3 == 2 && got(2L)._8 == 0)
+    assert(got(3L)._5 == 1 && got(3L)._6 == 0 && got(3L)._8 == 0)
+    assert(got(4L)._7 == 0 && got(4L)._8 == 0)
+    assert(got(5L)._5 == 0 && got(5L)._8 == 0)  // boundary badword trips
+    assert(got(6L)._5 == 1 && got(6L)._8 == 1)  // substring does NOT trip
+    assert(got(7L)._3 == 3 && got(7L)._4 == 3 && got(7L)._8 == 1)
+  }
+
+  test("c4Flags: clean_md5 fingerprints exactly the retained lines") {
+    val keepMe = "these words survive the filter fine."
+    val dropMe = "dropped for lacking punctuation"
+    val doc = Seq((1L, s"$keepMe\n$dropMe\n$keepMe")).toDF("doc_id", "text")
+    val md5got = doc
+      .select(TF.c4Flags($"text", Seq("zzz"), Seq("zzz")).getField("clean_md5"))
+      .as[String].head()
+    val expect = doc.select(md5(lit(s"$keepMe\n$keepMe"))).as[String].head()
+    assert(md5got == expect)
+    // empty retention -> md5 of the empty string, not null
+    val none = Seq((1L, dropMe)).toDF("doc_id", "text")
+      .select(TF.c4Flags($"text", Seq("zzz"), Seq("zzz")).getField("clean_md5"))
+      .as[String].head()
+    assert(none == doc.select(md5(lit(""))).as[String].head())
+  }
+
+  test("c4Flags is row-local: no shuffle in the plan") {
+    val plan = docs.select(TF.c4Flags($"text", Seq("x"), Seq("y")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }

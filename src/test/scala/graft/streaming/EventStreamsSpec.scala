@@ -366,6 +366,51 @@ class EventStreamsSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("histogramStream: counts merge across batches; keep-last equals batch histogram") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Int)]
+    val df = mem.toDF().toDF("k", "b")
+    val out = EventStreams.histogramStream(df, "k", "b", buckets = 4)
+      .writeStream.format("memory").queryName("hist_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 0), ("a", 0), ("a", 2))
+      out.processAllAvailable()
+      mem.addData(("a", 2), ("a", 3), ("b", 1))
+      out.processAllAvailable()
+      val rows = spark.table("hist_sink")
+        .as[(String, Long, Int, Long)].collect()
+      val fin = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        val mx = rs.map(_._2).max
+        rs.filter(_._2 == mx).map(r => (k, r._3) -> r._4)
+      }.toMap
+      // a's final histogram merges both batches; zeros are emitted
+      assert(fin((("a"), 0)) == 2L && fin(("a", 1)) == 0L &&
+        fin(("a", 2)) == 2L && fin(("a", 3)) == 1L)
+      assert(fin(("b", 1)) == 1L && fin(("b", 0)) == 0L)
+      // every emission carries the FULL spine (4 rows per key per batch)
+      assert(rows.count(r => r._1 == "a" && r._2 == 3L) == 4)
+    } finally out.stop()
+  }
+
+  test("histogramStream refuses loudly on an out-of-range bucket") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Int)]
+    val df = mem.toDF().toDF("k", "b")
+    val out = EventStreams.histogramStream(df, "k", "b", buckets = 4)
+      .writeStream.format("memory").queryName("hist_refuse_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 4))
+      val ex = intercept[Exception] { out.processAllAvailable() }
+      def msgs(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString(" ")
+      assert(msgs(ex).contains("outside [0, 4)"),
+        s"wanted the out-of-range message, got: ${msgs(ex).take(300)}")
+    } finally out.stop()
+  }
+
   test("topKStream: counts merge across batches; keep-last equals batch ranking") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(String, String)]
