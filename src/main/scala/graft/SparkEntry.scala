@@ -3132,6 +3132,51 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_quality_logreg" -> ((s, dir) => {
+      // model-based quality filtering: a logistic scorer TRAINED inside
+      // the engine (3 rounds of full-batch GD, QualityModel) on heuristic
+      // labels — the fastText/CCNet-style classifier stage that follows
+      // rule filters in published LLM pipelines. Features ship as exact
+      // integer-ppm values (bigint DIV — no float-rounding seam) and
+      // every gradient term is an exact decimal(20,12), so the oracle
+      // can RETRAIN all 3 unrolled iterations and land digit-for-digit.
+      // Per iteration: ONE combinable 4-sum aggregate; driver state =
+      // the 4 weights; scoring = scan-stage expression, zero shuffles.
+      val toks = split(col("text"), " ", -1)
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val hits = Seq("the", "and", "of", "a")
+        .map(wd => TF.occurrences(padded, s" $wd ").cast("bigint"))
+        .reduce(_ + _)
+      val sh3 = when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3)))))
+        .otherwise(array().cast("array<string>"))
+      val ppm = t(s, dir, "documents").select(col("doc_id"),
+        (least(length(col("text")), lit(500)).cast("bigint") * 2000)
+          .as("p1"),
+        hits.as("hits"), size(toks).cast("bigint").as("toks"),
+        size(array_distinct(sh3)).cast("bigint").as("d3"),
+        greatest(size(toks) - 2, lit(0)).cast("bigint").as("t3"),
+        when(length(col("text")) >= 300, lit(1.0)).otherwise(lit(0.0))
+          .as("y"))
+      val feats = ppm.select(col("doc_id"),
+          (col("p1").cast("double") / lit(1000000.0)).as("x1"),
+          (expr("hits * 1000000 div toks").cast("double")
+            / lit(1000000.0)).as("x2"),
+          (when(col("t3") > 0,
+            lit(1000000L) - expr("d3 * 1000000 div t3")).otherwise(0L)
+            .cast("double") / lit(1000000.0)).as("x3"),
+          col("y"))
+        .persist()
+      val xs = Seq("x1", "x2", "x3")
+      val w = QualityModel.trainLogistic(feats, xs, "y",
+        iters = 3, lr = 0.5)
+      feats.select(col("doc_id"),
+          QualityModel.prob6(xs.map(col), w).as("score"))
+        .withColumn("keep", (col("score") >= 0.5).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x_text_langid" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("lang"), TF.langId(col("text")).as("pred"))
@@ -7165,6 +7210,72 @@ object SparkEntry {
                  AND no_phrase = 1 AND no_brace = 1 AS INT) AS keep,
                 md5(cleaned) AS clean_md5
          FROM f ORDER BY doc_id""",
+
+    // the oracle RETRAINS the classifier: 3 unrolled GD iterations,
+    // each one decimal-exact gradient aggregate + the identical
+    // IEEE-double weight update, then the same rounded-sigmoid scoring
+    "x_quality_logreg" ->
+      """WITH raw AS (SELECT doc_id,
+                least(length(text), 500) * 2000 AS p1,
+                (CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS INT) +
+                 CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5 AS INT) +
+                 CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4 AS INT) +
+                 CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS INT)) AS hits,
+                len(string_split(text, ' ')) AS toks,
+                len(list_distinct(list_transform(
+                  generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+                  i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS d3,
+                greatest(len(string_split(text, ' ')) - 2, 0) AS t3,
+                CASE WHEN length(text) >= 300 THEN 1.0 ELSE 0.0 END AS y
+              FROM documents),
+           f AS (SELECT doc_id, 1.0 AS x0,
+                p1 / 1000000.0 AS x1,
+                (hits * 1000000 // toks) / 1000000.0 AS x2,
+                (CASE WHEN t3 > 0 THEN 1000000 - (d3 * 1000000 // t3)
+                      ELSE 0 END) / 1000000.0 AS x3,
+                y
+              FROM raw),
+           cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+           w0 AS (SELECT 0.0 AS b, 0.0 AS v1, 0.0 AS v2, 0.0 AS v3),
+           g1 AS (SELECT
+                sum(CAST((round(1.0/(1.0+exp(-(((b + v1*x1) + v2*x2) + v3*x3))), 6) - y) * x0 AS DECIMAL(20,12))) AS s0,
+                sum(CAST((round(1.0/(1.0+exp(-(((b + v1*x1) + v2*x2) + v3*x3))), 6) - y) * x1 AS DECIMAL(20,12))) AS s1,
+                sum(CAST((round(1.0/(1.0+exp(-(((b + v1*x1) + v2*x2) + v3*x3))), 6) - y) * x2 AS DECIMAL(20,12))) AS s2,
+                sum(CAST((round(1.0/(1.0+exp(-(((b + v1*x1) + v2*x2) + v3*x3))), 6) - y) * x3 AS DECIMAL(20,12))) AS s3
+              FROM f, w0),
+           w1 AS (SELECT b - 0.5 * (CAST(s0 AS DOUBLE) / n) AS b,
+                         v1 - 0.5 * (CAST(s1 AS DOUBLE) / n) AS v1,
+                         v2 - 0.5 * (CAST(s2 AS DOUBLE) / n) AS v2,
+                         v3 - 0.5 * (CAST(s3 AS DOUBLE) / n) AS v3
+                  FROM w0, g1, cnt),
+           g2 AS (SELECT
+                sum(CAST((round(1.0/(1.0+exp(-(((b + v1*x1) + v2*x2) + v3*x3))), 6) - y) * x0 AS DECIMAL(20,12))) AS s0,
+                sum(CAST((round(1.0/(1.0+exp(-(((b + v1*x1) + v2*x2) + v3*x3))), 6) - y) * x1 AS DECIMAL(20,12))) AS s1,
+                sum(CAST((round(1.0/(1.0+exp(-(((b + v1*x1) + v2*x2) + v3*x3))), 6) - y) * x2 AS DECIMAL(20,12))) AS s2,
+                sum(CAST((round(1.0/(1.0+exp(-(((b + v1*x1) + v2*x2) + v3*x3))), 6) - y) * x3 AS DECIMAL(20,12))) AS s3
+              FROM f, w1),
+           w2 AS (SELECT b - 0.5 * (CAST(s0 AS DOUBLE) / n) AS b,
+                         v1 - 0.5 * (CAST(s1 AS DOUBLE) / n) AS v1,
+                         v2 - 0.5 * (CAST(s2 AS DOUBLE) / n) AS v2,
+                         v3 - 0.5 * (CAST(s3 AS DOUBLE) / n) AS v3
+                  FROM w1, g2, cnt),
+           g3 AS (SELECT
+                sum(CAST((round(1.0/(1.0+exp(-(((b + v1*x1) + v2*x2) + v3*x3))), 6) - y) * x0 AS DECIMAL(20,12))) AS s0,
+                sum(CAST((round(1.0/(1.0+exp(-(((b + v1*x1) + v2*x2) + v3*x3))), 6) - y) * x1 AS DECIMAL(20,12))) AS s1,
+                sum(CAST((round(1.0/(1.0+exp(-(((b + v1*x1) + v2*x2) + v3*x3))), 6) - y) * x2 AS DECIMAL(20,12))) AS s2,
+                sum(CAST((round(1.0/(1.0+exp(-(((b + v1*x1) + v2*x2) + v3*x3))), 6) - y) * x3 AS DECIMAL(20,12))) AS s3
+              FROM f, w2),
+           w3 AS (SELECT b - 0.5 * (CAST(s0 AS DOUBLE) / n) AS b,
+                         v1 - 0.5 * (CAST(s1 AS DOUBLE) / n) AS v1,
+                         v2 - 0.5 * (CAST(s2 AS DOUBLE) / n) AS v2,
+                         v3 - 0.5 * (CAST(s3 AS DOUBLE) / n) AS v3
+                  FROM w2, g3, cnt),
+           scored AS (SELECT doc_id,
+                round(1.0/(1.0+exp(-(((b + v1*x1) + v2*x2) + v3*x3))), 6)
+                  AS score
+              FROM f, w3)
+         SELECT doc_id, score, CAST(score >= 0.5 AS INT) AS keep
+         FROM scored ORDER BY doc_id""",
 
     "x_text_stats" ->
       """SELECT doc_id,

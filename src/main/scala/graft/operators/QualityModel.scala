@@ -58,4 +58,69 @@ object QualityModel {
     docs.select(col(idCol), logit.as("logit_micro"),
       when(logit >= 0, lit(1)).otherwise(lit(0)).as("keep"))
   }
+
+  // ---------------------------------------------------------------------
+  // Trained logistic scorer — full-batch gradient descent IN the engine
+  // (the CCNet/GPT-3 model-stage shape: labels from a heuristic or seed
+  // set, smooth scores out). Complements scoreLinear: that op APPLIES a
+  // pluggable hashed-weight model; this one TRAINS a small dense-feature
+  // model distributedly.
+  //
+  // Scale posture: each iteration is ONE map-side-combinable aggregate
+  // (J+1 decimal sums, J = #features); driver state is the O(J) weight
+  // vector; scoring is a scan-stage expression, zero shuffles.
+  //
+  // Determinism contract (what lets a DuckDB oracle RETRAIN the model
+  // digit-for-digit):
+  //  - features must be exact ≤6-decimal values (integer-ppm derived);
+  //  - per-row probabilities round to 6 decimals BEFORE the residual, so
+  //    every gradient term (p₆ − y)·x is within 1 ulp of an exact
+  //    12-decimal value and the decimal(20,12) cast lands on it exactly
+  //    on ANY engine — the gradient sum is then integer-exact, immune to
+  //    partition-order drift and to cross-engine exp() ulp noise (a
+  //    1-ulp sigmoid difference moves a 6-decimal rounding only within
+  //    ~1e-10 of a boundary, vs the ~1e-4 per-term hazard of casting
+  //    raw doubles to 12 decimals);
+  //  - weight updates replay the IEEE-double expression `w − lr·(S/n)`
+  //    in fixed evaluation order on both engines.
+  // ---------------------------------------------------------------------
+
+  /** Train logistic weights by `iters` rounds of full-batch gradient
+    * descent at learning rate `lr` over `xCols` (plus an implicit
+    * leading bias feature of 1.0). `yCol` must be 0.0/1.0 doubles.
+    * Returns the weight vector [bias, w₁, …] — O(#features), the one
+    * sanctioned driver-side materialization here. */
+  def trainLogistic(feats: DataFrame, xCols: Seq[String], yCol: String,
+                    iters: Int, lr: Double): Array[Double] = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    require(lr > 0.0 && lr <= 10.0, s"lr out of range: $lr")
+    require(xCols.nonEmpty, "need at least one feature column")
+    val n = feats.count()
+    require(n > 0, "cannot train on an empty frame")
+    var w = Array.fill(xCols.size + 1)(0.0)
+    for (_ <- 1 to iters) {
+      val err = prob6(xCols.map(col), w) - col(yCol)
+      val terms = (lit(1.0) +: xCols.map(col)).zipWithIndex.map {
+        case (x, j) => sum((err * x).cast("decimal(20,12)")).as(s"s$j")
+      }
+      val sums = feats.agg(terms.head, terms.tail: _*).head
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj - lr * (sums.getDecimal(j).doubleValue() / n)
+      }
+    }
+    w
+  }
+
+  /** The 6-decimal-rounded sigmoid score under `w` — the scan-stage
+    * inference expression. z folds left-to-right
+    * (((b + w₁x₁) + w₂x₂) + …) so the oracle's replay is
+    * operation-for-operation identical. */
+  def prob6(xs: Seq[Column], w: Array[Double]): Column = {
+    require(w.length == xs.length + 1,
+      s"weight length ${w.length} != features ${xs.length} + bias")
+    val z = xs.zipWithIndex.foldLeft(lit(w(0)): Column) {
+      case (acc, (x, j)) => acc + lit(w(j + 1)) * x
+    }
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
 }

@@ -46,4 +46,75 @@ class QualityModelSpec extends SparkSpec {
       .select("logit_micro").as[Long].head()
     assert(shifted == base + 500L)
   }
+
+  private def sig6(z: Double): Double =
+    BigDecimal(1.0 / (1.0 + math.exp(-z)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("trainLogistic replays the hand-traced GD arithmetic exactly") {
+    // two separable rows; w starts at 0 so iteration 1 sees p = 0.5
+    val df = Seq((1.0, 1.0), (0.0, 0.0)).toDF("x1", "y")
+    val w1 = QualityModel.trainLogistic(df, Seq("x1"), "y",
+      iters = 1, lr = 0.5)
+    // iter 1: err = (0.5-1, 0.5-0); s0 = 0, s1 = -0.5; n = 2
+    assert(w1(0) == 0.0)
+    assert(w1(1) == 0.5 * (0.5 / 2)) // 0.125
+    val w2 = QualityModel.trainLogistic(df, Seq("x1"), "y",
+      iters = 2, lr = 0.5)
+    // iter 2 replayed with the same rounded-sigmoid + exact-sum scheme:
+    // each gradient term is cast to decimal(20,12) before the sum
+    val p1 = sig6(w1(0) + w1(1) * 1.0)
+    val p0 = sig6(w1(0) + w1(1) * 0.0)
+    def d12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val s0 = d12((p1 - 1.0) * 1.0) + d12((p0 - 0.0) * 1.0)
+    val s1 = d12((p1 - 1.0) * 1.0) + d12((p0 - 0.0) * 0.0)
+    assert(w2(0) == w1(0) - 0.5 * (s0.toDouble / 2))
+    assert(w2(1) == w1(1) - 0.5 * (s1.toDouble / 2))
+  }
+
+  test("training separates separable data and scoring ranks it") {
+    val df = (1 to 40).map(i => (i.toDouble / 40, if (i > 20) 1.0 else 0.0))
+      .toDF("x1", "y")
+    val w = QualityModel.trainLogistic(df, Seq("x1"), "y",
+      iters = 10, lr = 1.0)
+    assert(w(1) > 0.0) // positive slope learned
+    val scores = df.select($"y",
+        QualityModel.prob6(Seq($"x1"), w).as("p"))
+      .groupBy($"y").agg(avg($"p")).as[(Double, Double)]
+      .collect().toMap
+    assert(scores(1.0) > scores(0.0))
+  }
+
+  test("training is deterministic under repartitioning (exact sums)") {
+    val rows = (1 to 100).map(i =>
+      (i.toDouble / 100, ((i * 37) % 100).toDouble / 100,
+        if ((i * 7) % 3 == 0) 1.0 else 0.0))
+    val a = rows.toDF("x1", "x2", "y").repartition(1)
+    val b = rows.toDF("x1", "x2", "y").repartition(17)
+    val wa = QualityModel.trainLogistic(a, Seq("x1", "x2"), "y", 3, 0.5)
+    val wb = QualityModel.trainLogistic(b, Seq("x1", "x2"), "y", 3, 0.5)
+    assert(wa.sameElements(wb)) // bit-identical, not approximately equal
+  }
+
+  test("logistic scoring is row-local: no shuffle in the plan") {
+    val df = Seq((0.1, 0.2)).toDF("x1", "x2")
+    val plan = df.select(QualityModel.prob6(Seq($"x1", $"x2"),
+        Array(0.1, 0.2, 0.3)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("trainLogistic refuses bad hyperparameters and empty frames") {
+    val df = Seq((1.0, 1.0)).toDF("x1", "y")
+    intercept[IllegalArgumentException] {
+      QualityModel.trainLogistic(df, Seq("x1"), "y", iters = 0, lr = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      QualityModel.trainLogistic(df, Seq("x1"), "y", iters = 1, lr = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      QualityModel.trainLogistic(df.limit(0), Seq("x1"), "y", 1, 0.5)
+    }
+  }
 }
