@@ -2981,18 +2981,28 @@ object SparkEntry {
       // state is days×buckets longs and the reference ships as a
       // 10-row broadcast — nothing scales with the stream.
       val buckets = 10
-      val ref = t(s, dir, "events").filter(col("user_id") % 2 === 0)
-        .select(least(floor(col("value") / 50), lit(9L)).cast("int")
-          .as("bucket"))
+      // bucket expr clamps BOTH ends (greatest(..,0)): a negative value
+      // lands in bucket 0 on the engine AND oracle side instead of the
+      // stream failing loudly while the oracle silently kept the row —
+      // malformed data now degrades identically in both engines.
+      def bucketOf(c: org.apache.spark.sql.Column) =
+        greatest(least(floor(c / 50), lit(9L)), lit(0L)).cast("int")
+      // the reference histogram is ≤ `buckets` rows — collect it to a
+      // literal frame instead of persist(): no cached blocks to leak
+      // across Bench entries, and nRef comes from the same single pass
+      val refRows = t(s, dir, "events").filter(col("user_id") % 2 === 0)
+        .select(bucketOf(col("value")).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_ref"))
-        .persist()
-      val nRef = ref.agg(coalesce(sum(col("n_ref")), lit(0L)))
-        .head.getLong(0)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val nRef = refRows.map(_._2).sum
+      val ref = {
+        import s.implicits._
+        refRows.toDF("bucket", "n_ref")
+      }
       val st = Tables.eventsStream(s, dir, "value DOUBLE")
         .filter(col("user_id") % 2 =!= 0)
         .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
-          least(floor(col("value") / 50), lit(9L)).cast("int")
-            .as("bucket"))
+          bucketOf(col("value")).as("bucket"))
       val sink = s"x_stream_psi_${streamSinkId.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -3171,6 +3181,10 @@ object SparkEntry {
       val xs = Seq("x1", "x2", "x3")
       val w = QualityModel.trainLogistic(feats, xs, "y",
         iters = 3, lr = 0.5)
+      // the persist only has to span training's 3 GD passes; dropping
+      // it here means the one scoring pass below recomputes the feature
+      // scan once, and no cached blocks outlive this entry
+      feats.unpersist()
       feats.select(col("doc_id"),
           QualityModel.prob6(xs.map(col), w).as("score"))
         .withColumn("keep", (col("score") >= 0.5).cast("int"))
@@ -6665,10 +6679,10 @@ object SparkEntry {
     "x_stream_psi" ->
       """WITH live AS (SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE),
                                 '%Y-%m-%d') AS day,
-                              CAST(least(floor(value / 50), 9) AS INT)
+                              CAST(greatest(least(floor(value / 50), 9), 0) AS INT)
                                 AS bucket
                        FROM events WHERE user_id % 2 <> 0),
-              ref AS (SELECT CAST(least(floor(value / 50), 9) AS INT)
+              ref AS (SELECT CAST(greatest(least(floor(value / 50), 9), 0) AS INT)
                                AS bucket,
                              CAST(count(*) AS BIGINT) AS n_ref
                       FROM events WHERE user_id % 2 = 0 GROUP BY 1),
@@ -7217,10 +7231,10 @@ object SparkEntry {
     "x_quality_logreg" ->
       """WITH raw AS (SELECT doc_id,
                 least(length(text), 500) * 2000 AS p1,
-                (CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS INT) +
-                 CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5 AS INT) +
-                 CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4 AS INT) +
-                 CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS INT)) AS hits,
+                (CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5 AS BIGINT) +
+                 CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5 AS BIGINT) +
+                 CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4 AS BIGINT) +
+                 CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS BIGINT)) AS hits,
                 len(string_split(text, ' ')) AS toks,
                 len(list_distinct(list_transform(
                   generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),

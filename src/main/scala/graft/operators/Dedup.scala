@@ -513,9 +513,17 @@ object Dedup {
     // the candidate set is read three times (size restriction + two
     // intersection joins) and sits behind a band join + distinct —
     // persist it rather than recompute; it is pair-count-sized, orders
-    // of magnitude below the corpus
+    // of magnitude below the corpus. Materialize EAGERLY: the returned
+    // plan's three subtrees are independent stages the DAG scheduler
+    // may run concurrently, and each would race to recompute the
+    // not-yet-cached candidates (band self-join + signature agg
+    // included) before any of them populates the cache — measured as a
+    // 5-28 s swing on one fixed input at sf0.1. The count also fills
+    // the upstream posting-list cache (buildIdx) exactly once, via the
+    // single plan whose self-join reuses one exchange.
     val cand = cand0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
     // per-doc set sizes only matter for docs that appear in a candidate
     // pair: the semi-join keeps the size aggregation's shuffle input
     // proportional to the candidate set, not the corpus

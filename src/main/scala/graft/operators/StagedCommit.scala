@@ -31,10 +31,11 @@ import org.apache.spark.sql.functions._
   * Tokens derive from the delta's CONTENT ([[idToken]]), so "retry"
   * needs no coordination — re-running the same refresh IS the retry.
   *
-  * Remaining honesty note: between a kill mid-step-4 and its retry, a
-  * concurrent reader can observe a committed-partial delta; full
-  * reader isolation needs a table format with commit semantics (the
-  * same boundary every raw-parquet artifact in this repo documents).
+  * Reader isolation: a plain `spark.read.parquet(path)` between a kill
+  * mid-step-4 and its retry can observe a committed-partial delta;
+  * [[readCommitted]] closes that window by loading only base files plus
+  * marker-committed delta files (full transactional semantics across
+  * OVERWRITES would still need a table format — appends are covered).
   * Scale posture: staging doubles only the DELTA's IO, never the
   * artifact's, and the rename loop is O(delta files) driver-side
   * metadata ops.
@@ -57,6 +58,52 @@ object StagedCommit {
     if (r.isNullAt(0)) "empty_0"
     else s"${r.getDecimal(0).toBigInteger.toString(36)}_" +
       s"${r.getDecimal(1).toBigInteger.toString(36)}_${r.getLong(2)}"
+  }
+
+  /** Reader isolation over an appendOnce-maintained artifact: load ONLY
+    * files whose commit COMPLETED — base files (any name without the
+    * `delta_` prefix, covered by their own build's directory-level
+    * atomicity) plus delta files whose `_delta_<token>_SUCCESS` marker
+    * exists. A reader overlapping a killed-mid-rename commit (or its
+    * retry's self-heal sweep) never observes the partial delta that
+    * `spark.read.parquet(path)` would — closing the committed-partial
+    * window [[appendOnce]]'s scaladoc documents, without a table format.
+    *
+    * Partition values survive: the read passes `basePath`, so
+    * `part=x/delta_tok_00001.parquet` still yields the `part` column.
+    *
+    * Scale: one recursive listing (the same O(files) metadata pass any
+    * parquet read performs) + a driver-side set probe per file; token
+    * extraction strips the `_<i>.parquet` suffix, so it is O(1) per
+    * file regardless of how many deltas ever committed. */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = fs.makeQualified(new Path(path))
+    val committed = fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_delta_") && n.endsWith("_SUCCESS") =>
+        n.stripPrefix("_delta_").stripSuffix("_SUCCESS") }.toSet
+    val keep = scala.collection.mutable.Buffer.empty[String]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      // _stage_<token>/ subtrees are underscore-hidden from Spark but
+      // not from a raw recursive listing — skip them explicitly
+      val inStage = st.getPath.toString
+        .stripPrefix(dir.toString).contains("/_stage_")
+      if (name.endsWith(".parquet") && !inStage) {
+        if (!name.startsWith("delta_")) keep += st.getPath.toString
+        else {
+          val token = name.stripPrefix("delta_")
+            .replaceAll("_\\d{5}\\.parquet$", "")
+          if (committed.contains(token)) keep += st.getPath.toString
+        }
+      }
+    }
+    require(keep.nonEmpty, s"no committed parquet files under $path")
+    spark.read.option("basePath", dir.toString).parquet(keep.toSeq: _*)
   }
 
   /** Append `delta` to the parquet artifact at `path` exactly once per

@@ -121,6 +121,38 @@ object Upsert {
     merge(target, latest, keys)
   }
 
+  /** COMMUTATIVE merge: resolve each natural key to its max-`version`
+    * row across target ∪ updates, ties broken by the remaining columns
+    * descending (fully deterministic for any input). Unlike [[merge]] /
+    * [[mergeLatest]] — where an update row beats the target row
+    * unconditionally, so the TABLE depends on the order concurrent
+    * batches merged — the result here is a pure function of the SET of
+    * rows ever merged: any merge order (and any redelivery) lands the
+    * same table, and a stale redelivered batch (version below what the
+    * table already holds) can never regress a key. This is the
+    * scale-correct contract for concurrent loaders: the reference only
+    * avoided the problem because MySQL serialized its upserts
+    * (`2.2 loading-lambda-for-mysql.py:304-316`); with N parallel
+    * writers, last-merge-wins is a race and max-version-wins is not.
+    *
+    * Both sides must carry `version` (a delivery sequence: file mtime,
+    * source LSN, batch id). Cost: one shuffle on the key (window),
+    * same order as the join [[merge]] does.
+    */
+  def mergeVersioned(target: DataFrame, updates: DataFrame,
+                     keys: Seq[String], version: String): DataFrame = {
+    require(target.columns.contains(version) &&
+        updates.columns.contains(version),
+      s"mergeVersioned needs the $version column on BOTH sides")
+    val all = target.unionByName(updates.select(target.columns.map(col): _*))
+    val rest = target.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == version)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(version).desc +: rest.map(col(_).desc): _*)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Partition-aware merge into a parquet table partitioned on
     * `partitionCol` (which must be a key prefix-compatible column —
     * here, one of the natural-key columns, so a key never moves between
@@ -135,6 +167,11 @@ object Upsert {
     * (`partitionOverwriteMode=dynamic`). Untouched partitions are never
     * opened. This is the plain-parquet equivalent of Delta MERGE's
     * file-pruning.
+    *
+    * Resolution is [[mergeVersioned]] (max-`version`-wins), so the
+    * on-disk table is merge-ORDER-INDEPENDENT: concurrent or redelivered
+    * batches land one answer, and both sides must carry the `version`
+    * column (the table stores it).
     */
   def mergeIntoPartitioned(spark: org.apache.spark.sql.SparkSession,
                            tablePath: String, updates: DataFrame,
@@ -147,12 +184,22 @@ object Upsert {
     val exists = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(tablePath))
+    require(updates.columns.contains(version),
+      s"mergeIntoPartitioned needs the $version column on the updates " +
+        "(a delivery sequence — file mtime, batch id); the table stores it")
     val merged =
-      if (!exists) updates
-      else {
+      if (!exists) {
+        // first write still resolves within-batch duplicates per key
+        val rest = updates.columns.toSeq
+          .filterNot(c => keys.contains(c) || c == version)
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(version).desc +: rest.map(col(_).desc): _*)
+        updates.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      } else {
         val targetSlice = spark.read.parquet(tablePath)
           .filter(col(partitionCol).isin(touched: _*))
-        mergeLatest(targetSlice, updates, keys, version)
+        mergeVersioned(targetSlice, updates, keys, version)
       }
     // the merged slice reads the very partitions the dynamic overwrite
     // replaces — stage it through a temp dir so the overwrite job never

@@ -54,13 +54,24 @@ object Ingest {
   }
 
   final case class Reconciled(clean: DataFrame, totalRows: Long,
-                              corruptRows: Long, ok: Boolean)
+                              corruptRows: Long, ok: Boolean,
+                              private val raw: DataFrame) {
+    /** Drop the cached raw scan. Call once `clean` has been fully
+      * consumed (or on the failure path, immediately): Spark's cache
+      * matches plans by CANONICALIZED form, so a pinned scan of
+      * `path/x.csv` is served to every later read of that same path —
+      * a retried file whose content changed on disk would silently
+      * re-see the OLD bytes, and per-file cached blocks would pin
+      * memory for the pipeline's lifetime. */
+    def release(): Unit = { raw.unpersist(); () }
+  }
 
   /** A2: split clean vs corrupt, reconcile counts within
     * `maxErrors` tolerance (reference default 5, `R22:114`). The raw frame
     * is cached first: Spark refuses corrupt-record-only projections over a
     * raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the cache also
-    * means one physical parse feeds both the count and the clean output. */
+    * means one physical parse feeds both the count and the clean output.
+    * The caller must [[Reconciled.release]] when done with `clean`. */
   def reconcile(raw: DataFrame, maxErrors: Long): Reconciled = {
     raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counted = raw
@@ -72,6 +83,6 @@ object Ingest {
     val bad = Option(counted.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val clean = raw.filter(col(PriceIndex.corruptCol).isNull)
       .drop(PriceIndex.corruptCol)
-    Reconciled(clean, total, bad, bad <= maxErrors)
+    Reconciled(clean, total, bad, bad <= maxErrors, raw)
   }
 }

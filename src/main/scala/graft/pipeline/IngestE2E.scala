@@ -123,6 +123,16 @@ object IngestE2E {
     val out = table.unionAll(rep).orderBy("kind", "geo", "date")
       // materialize before deleting the fixture tree the plan reads
       .localCheckpoint(true)
+    // Post-mortem trail (VERDICT r11): the oracle comparison happens in
+    // the DRIVER's process after this one exits, so on a red row the
+    // fixture state would be gone. Persist the control-plane-sized
+    // audit log + merged table next to the work dir (overwritten per
+    // run; survives the cleanup below) for offline diagnosis.
+    val dbg = s"${workDir}_debug"
+    watch.pipeline.audit.table().coalesce(1)
+      .write.mode("overwrite").parquet(s"$dbg/audit")
+    watch.pipeline.permanent().coalesce(1)
+      .write.mode("overwrite").parquet(s"$dbg/table")
     Files.walk(work).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.delete(p))
     out

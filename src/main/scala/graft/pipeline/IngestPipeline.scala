@@ -64,13 +64,30 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
       stage = 2
       val raw = Ingest.readPriceIndexCsv(spark, csvPath)
       val rec = Ingest.reconcile(raw, maxErrors)
+      try {
       if (!rec.ok) {
         audit.append("loading: reconcile", fileKey(csvPath), -1, now())
+        // ST6 durable attempt counter: countFailures matches
+        // event_source == "loading" EXACTLY, so the reconcile-failure
+        // return path must also append the exact row the exception path
+        // appends — otherwise the most common poison mode (corrupt rows
+        // over budget) never increments the durable count and
+        // quarantine state silently resets on driver restart.
+        audit.append("loading", fileKey(csvPath), -1, now())
         return LoadResult(0, stage,
           s"${rec.corruptRows} corrupt rows > $maxErrors tolerated",
           rec.totalRows, rec.corruptRows)
       }
+      // delivery version (EP1 determinism): the source file's mtime.
+      // Merges resolve each natural key to the max-_seq row
+      // (Upsert.mergeVersioned), so the table is a pure function of the
+      // SET of files ever loaded — concurrent loads, redeliveries, and
+      // out-of-order drains all land the same answer. The reference got
+      // this from MySQL serializing its upserts (`R22:304-316`); with a
+      // thread-pool of loaders the merge itself must be commutative.
+      val seq = fs.getFileStatus(new Path(csvPath)).getModificationTime
       val staged = PriceIndex.typed(PriceIndex.project(rec.clean))
+        .withColumn("_seq", lit(seq))
       audit.append("loading: temp table creation", fileKey(csvPath), 1, now())
 
       // stage 3: upsert into permanent table (J1/S8), partition-aware:
@@ -79,16 +96,25 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
       // (the plain-parquet analog of Delta MERGE file pruning).
       // The merge is the pipeline's one shared-table critical section:
       // concurrent loads (Watch's thread pool) may touch the same GEO
-      // partition, and an unserialized read-modify-replace loses rows.
-      // Stages 0-2 (the heavy distributed CSV work) stay concurrent.
+      // partition, and an unserialized read-modify-replace loses rows
+      // outright. Stages 0-2 (the heavy distributed CSV work) stay
+      // concurrent; WITHIN the lock, mergeVersioned makes the landed
+      // table independent of which loader got the lock first.
       stage = 3
       mergeLock.synchronized {
         Upsert.mergeIntoPartitioned(spark, permanentPath, staged,
-          PriceIndex.naturalKey, "GEO", "VALUE")
+          PriceIndex.naturalKey, "GEO", "_seq")
       }
       audit.append("loading: upsert", fileKey(csvPath), 1, now())
       audit.append("loading", fileKey(csvPath), 1, now())
       LoadResult(1, stage, "", rec.totalRows, rec.corruptRows)
+      // rec.release() runs on EVERY exit (success, reconcile-failure
+      // return, exception): the cached raw scan is plan-keyed, so a
+      // leaked entry would both pin memory per file for the pipeline's
+      // lifetime AND serve stale bytes to a RETRY of the same path
+      // whose on-disk content changed (a transiently-corrupt file that
+      // got fixed would fail forever).
+      } finally rec.release()
     } catch {
       case e: Exception =>
         audit.append("loading", fileKey(csvPath), -1, now())
@@ -96,8 +122,10 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
     }
   }
 
-  /** The permanent table (partition-pruned scans for report filters). */
-  def permanent(): DataFrame = spark.read.parquet(permanentPath)
+  /** The permanent table (partition-pruned scans for report filters).
+    * `_seq` (the delivery version the merge resolves on) is internal
+    * bookkeeping — dropped from the read surface. */
+  def permanent(): DataFrame = spark.read.parquet(permanentPath).drop("_seq")
 
   /** A3/A4 + EP3: build the parameterized report
     * (`sp_reporting_1_price_by_year_month_geo_category`, `R22:416-447`)

@@ -50,6 +50,45 @@ class StagedCommitSpec extends SparkSpec {
       Seq(1L, 2L, 5L, 6L, 7L))
   }
 
+  test("readCommitted: reader overlapping a killed commit never sees " +
+      "the partial delta") {
+    val dir = Files.createTempDirectory("graft_sc_iso").toString
+    df(1, 2).write.mode("overwrite").parquet(dir)
+    val d1 = df(5, 6)
+    val t1 = StagedCommit.idToken(d1, "id")
+    assert(StagedCommit.appendOnce(dir, t1, Nil, d1))
+    // killed mid-step-4 for a SECOND delta: one of its files renamed
+    // into the live tree, no marker yet
+    val d2 = df(7, 8, 9)
+    val t2 = StagedCommit.idToken(d2, "id")
+    val scratch = Files.createTempDirectory("graft_sc_iso_s").toString
+    d2.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, s"delta_${t2}_00000.parquet"))
+    // a naive read sees the torn state; the committed read does not
+    assert(spark.read.parquet(dir).count() == 7)
+    assert(StagedCommit.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L, 6L))
+    // retry commits d2; the committed read now sees it exactly once
+    assert(StagedCommit.appendOnce(dir, t2, Nil, d2))
+    assert(StagedCommit.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L, 6L, 7L, 8L, 9L))
+  }
+
+  test("readCommitted: partitioned artifact keeps partition columns") {
+    val dir = Files.createTempDirectory("graft_sc_iso_p").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val delta = Seq((3L, "a"), (4L, "c")).toDF("id", "p")
+    val tok = StagedCommit.idToken(delta, "id", "p")
+    assert(StagedCommit.appendOnce(dir, tok, Seq("p"), delta))
+    val got = StagedCommit.readCommitted(spark, dir)
+      .select("id", "p").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")))
+  }
+
   test("LshIndex: killed append then retry equals from-scratch build") {
     val emb = (1L to 60L).map(i =>
         (i, Seq(i % 5 - 2.0, i % 7 - 3.0, i % 3 - 1.0, i % 11 - 5.0)))

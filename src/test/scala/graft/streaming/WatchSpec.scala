@@ -76,6 +76,35 @@ class WatchSpec extends SparkSpec {
     assert(watch.pipeline.audit.isQuarantined("priceindex_poison.csv"))
   }
 
+  test("ST6: retry/quarantine state survives a driver restart") {
+    // VERDICT r11 #2: reconcile failures must feed the DURABLE attempt
+    // counter. A fresh Watch instance (empty in-memory map — the
+    // restart analog) must see the prior failed attempt in the audit
+    // log and quarantine on the next one, not restart the count.
+    val in = tmp("graft_watch_rst_in"); val wh = tmp("graft_watch_rst_wh")
+    Files.writeString(in.resolve("priceindex_poison.csv"),
+      (Seq(header) ++ (1 to 9).map(_ => "garbage,row")).mkString("\n"))
+    def drainWithFresh(watch: Watch, name: String): Unit = {
+      val q = watch.start(tmp(name).toString)
+      try q.awaitTermination(120000)
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      ()
+    }
+    val w1 = new Watch(spark, in.toString, wh.toString, maxAttempts = 2)
+    drainWithFresh(w1, "graft_watch_rst_ck1") // attempt 1 fails
+    assert(w1.pipeline.audit.countFailures("priceindex_poison.csv") == 1)
+    assert(!w1.pipeline.audit.isQuarantined("priceindex_poison.csv"))
+    // "restart": brand-new Watch, fresh checkpoint = full redelivery
+    val w2 = new Watch(spark, in.toString, wh.toString, maxAttempts = 2)
+    drainWithFresh(w2, "graft_watch_rst_ck2") // attempt 2 -> quarantine
+    assert(w2.pipeline.audit.countFailures("priceindex_poison.csv") == 2)
+    assert(w2.pipeline.audit.isQuarantined("priceindex_poison.csv"))
+    // third restart: skipped as quarantined, count unchanged
+    val w3 = new Watch(spark, in.toString, wh.toString, maxAttempts = 2)
+    drainWithFresh(w3, "graft_watch_rst_ck3")
+    assert(w3.pipeline.audit.countFailures("priceindex_poison.csv") == 2)
+  }
+
   test("continuous-mode watch (ProcessingTime) picks up late-arriving files") {
     // the long-lived trigger mode, exercised for a bounded interval. If
     // the container's state-store limitation bites (HANDOFF trap: some
