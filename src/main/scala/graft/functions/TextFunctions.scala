@@ -317,6 +317,80 @@ object TextFunctions {
       concat_ws(" ", slice(t, s, e - s + 1)).as("chunk")))
   }
 
+  /** Gear-hash content-defined chunking — the O(tokens)-hashing sibling
+    * of [[contentChunks]]. That operator md5s every w-token WINDOW
+    * string (per token, one md5 over ~w tokens of text — the measured
+    * 5.4 s floor of its gate at sf0.1); here each TOKEN is
+    * fingerprinted (first 4 md5 hex digits → a 16-bit "gear" value,
+    * the gear table of FastCDC-style chunkers) and the window hash is
+    * the exact integer
+    *
+    *   H_i = Σ_{k=0..w-1} gear(t_{i-k}) · 2^k
+    *
+    * — integer adds replace string hashing in the hot loop. A boundary
+    * falls after position i when H_i ≡ 0 (mod divisor); expected chunk
+    * length ≈ w·divisor/… same tuning story as [[contentChunks]], and
+    * the same edit-locality: an edit perturbs only the windows that
+    * contain it, so chunk identities away from the edit are stable —
+    * the property that makes chunk-grain dedup incremental.
+    *
+    * Exactness bound: gears are 16-bit (4 md5 hex digits) and the last
+    * w of them live PACKED in one Long (w ≤ 4 ⇒ 16·w ≤ 64 bits), so
+    * the fold's per-token work is pure Long bit-ops — no per-token
+    * array allocation, which dominates interpreted higher-order-
+    * function cost. H < 2^(16+w): exact in a Long and in the oracle's
+    * BIGINT arithmetic (no modular wrap to replicate). Output schema
+    * matches [[contentChunks]]: array of (start, n_tokens, chunk).
+    *
+    * Two formulations measured and rejected at sf0.1: per-position
+    * element_at into a gear-array column (Catalyst project-collapsing
+    * inlines the whole array expression into every element_at —
+    * O(n²) token hashes, 128 s) and a ring-buffer-array fold (correct,
+    * but one array rebuild per token — 4.0 s, barely beating the
+    * 5.2 s md5-per-window operator it exists to undercut). */
+  def gearChunks(text: Column, window: Int, divisor: Int): Column = {
+    require(window >= 1 && window <= 4,
+      s"window must be in [1,4] (last-w gears pack one Long): $window")
+    require(divisor >= 2, s"divisor must be >= 2: $divisor")
+    val t = tokens(text)
+    // ONE sequential fold over the token array carrying (position,
+    // packed last-w gears, rolling H, boundary list):
+    //   H_i = 2·H_{i−1} + g_i − g_{i−w}·2^w
+    // with g_{i−w} = the packed word's top 16 bits (zero-initialized,
+    // so positions < w roll garbage-free and are excluded by the
+    // i ≥ w boundary condition).
+    def gear(tok: Column) =
+      conv(substring(md5(tok), 1, 4), 16, 10).cast("long")
+    val packMask =
+      if (16 * window == 64) lit(-1L) else lit((1L << (16 * window)) - 1)
+    val init = struct(
+      lit(0).as("i"), lit(0L).as("rp"), lit(0L).as("h"),
+      array().cast("array<int>").as("cuts"))
+    val cuts = aggregate(t, init,
+      (st, tok) => {
+        val g = gear(tok)
+        val i2 = st.getField("i") + 1
+        val oldest = shiftrightunsigned(
+          st.getField("rp"), 16 * (window - 1))
+        val h2 = st.getField("h") * 2 + g - oldest * lit(1L << window)
+        val rp2 = shiftleft(st.getField("rp"), 16)
+          .bitwiseOR(g).bitwiseAND(packMask)
+        val cuts2 = when(
+          i2 >= window && pmod(h2, lit(divisor.toLong)) === 0,
+          concat(st.getField("cuts"), array(i2)))
+          .otherwise(st.getField("cuts"))
+        struct(i2.as("i"), rp2.as("rp"), h2.as("h"), cuts2.as("cuts"))
+      },
+      st => st.getField("cuts"))
+    val ends = array_distinct(concat(cuts, array(size(t))))
+    val starts = concat(array(lit(1)),
+      transform(slice(ends, lit(1), size(ends) - 1), e => e + 1))
+    zip_with(starts, ends, (s, e) => struct(
+      s.cast("long").as("start"),
+      (e - s + 1).cast("long").as("n_tokens"),
+      concat_ws(" ", slice(t, s, e - s + 1)).as("chunk")))
+  }
+
   /** Unicode NFC canonicalization ([[NfcNormalize]] — native codegen):
     * run before any byte-level hash/dedup so composed and decomposed
     * spellings of the same text collapse. */

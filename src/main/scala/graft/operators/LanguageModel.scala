@@ -73,6 +73,32 @@ object LanguageModel {
           .as("avg_logp"))
   }
 
+  /** Build-once / load-many scored-corpus artifact (the
+    * [[graft.operators.Dedup.pairTable]] pattern): train the corpus
+    * bigram LM and score every doc ONCE, parquet the (id, n_bigrams,
+    * avg_logp) result under `basePath`, and serve every later consumer
+    * from the scan. The LM scoring pass is the dominant cost of both
+    * the raw-score gate and the perplexity filter — sharing the
+    * artifact means the corpus is scored once per artifact lifetime,
+    * not once per consumer, and the filter's quantile probes run
+    * against a tiny doc-grain parquet instead of a pinned cache (no
+    * persist to leak). `_SUCCESS` is the build's atomicity marker —
+    * a killed build leaves no marker and the next call rebuilds. */
+  def scoredTable(docs: DataFrame, idCol: String, textCol: String,
+                  basePath: String, alpha: Double = 0.4): DataFrame = {
+    val spark = docs.sparkSession
+    val path = s"$basePath/lm_scored_a$alpha"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      val uni = unigramCounts(docs, textCol)
+      val bi = bigramCounts(docs, textCol)
+      scoreStupidBackoff(docs, idCol, textCol, uni, bi, alpha)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
   /** PMI-scored collocations: pointwise mutual information of adjacent
     * pairs, ln(N·c12 / (c1(w1)·c1(w2))) with N = total bigram
     * positions, over pairs with c12 ≥ minCount (rare-pair PMI is pure

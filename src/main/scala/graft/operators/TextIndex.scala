@@ -150,7 +150,11 @@ object TextIndex {
       delta.select(size(TextFunctions.tokens(col(textCol)))
           .cast("long").as("dl"))
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")))
-    (spark.read.parquet(postPath), spark.read.parquet(statsPath))
+    // committed-only read (StagedCommit.readCommitted): a reader
+    // racing a killed-then-retried append never sees a partial delta —
+    // the reader half of the exactly-once append contract above
+    (StagedCommit.readCommitted(spark, postPath),
+      StagedCommit.readCommitted(spark, statsPath))
   }
 
   /** Okapi BM25 top-`k` ranked retrieval over a [[buildScoredPostings]]

@@ -168,6 +168,35 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("gearChunks: same contract as contentChunks, token-grain hashing") {
+    val words = (1 to 80).map(i => s"w${i * 7 % 97}")
+    val text = words.mkString(" ")
+    def chunksOf(s: String): Seq[(Long, Long, String)] =
+      Seq(s).toDF("text")
+        .select(explode(TF.gearChunks($"text", 4, 16)).as("c"))
+        .select($"c.start", $"c.n_tokens", $"c.chunk")
+        .as[(Long, Long, String)].collect().toSeq
+    val cs = chunksOf(text)
+    // coverage: chunks tile the doc exactly, in order, no gaps
+    assert(cs.head._1 == 1L)
+    cs.sliding(2).foreach {
+      case Seq(a, b) => assert(b._1 == a._1 + a._2)
+      case _ => ()
+    }
+    assert(cs.map(_._3).mkString(" ") == text)
+    assert(cs.length >= 2, s"expected multiple chunks, got ${cs.length}")
+    // edit locality: a front edit shifts positions, not content
+    val edited = "zzz qqq " + text
+    val shared = chunksOf(edited).map(_._3).toSet
+      .intersect(cs.map(_._3).toSet)
+    assert(shared.size >= cs.length - 2,
+      s"only ${shared.size}/${cs.length} chunks survived a front edit")
+    // a doc shorter than the window is one chunk of itself
+    assert(chunksOf("a b c") == Seq((1L, 3L, "a b c")))
+    intercept[IllegalArgumentException] { TF.gearChunks($"text", 4, 1) }
+    intercept[IllegalArgumentException] { TF.gearChunks($"text", 5, 16) }
+  }
+
   test("gopherFlags: each rule trips on its designed violation") {
     val sw = Seq("the", "and", "of", "a")
     val good = ("the quick brown fox and the lazy dog went of to town " * 5)
