@@ -863,7 +863,10 @@ object Dedup {
     val deltaBanded = bandedSignatures(
         idx.join(deltaIdSet, Seq("_id"), "left_semi"), numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val oldBanded = spark.read.parquet(bandedPath)
+    // committed-only read: a PRIOR refresh killed mid-commit leaves
+    // partial banded files its own retry would sweep — this refresh
+    // must not fold them into the old-signature set
+    val oldBanded = StagedCommit.readCommitted(spark, bandedPath)
       .select(col("id").as("_id"), col("band"), col("bkey"))
     val token = StagedCommit.idToken(deltaIdSet, "_id")
     StagedCommit.appendOnce(pairsPath, token, Seq.empty,

@@ -120,7 +120,12 @@ final class LshIndex(spark: SparkSession, basePath: String, dim: Int,
   private def invalidate(): Unit = rowsDF = null
   def rows(): DataFrame = {
     var df = rowsDF
-    if (df == null) { df = spark.read.parquet(rowsPath); rowsDF = df }
+    // committed-only read: the rows table is appendOnce-maintained, so
+    // a probe racing a killed-then-retried delta append must not see
+    // the partial rename (StagedCommit.readCommitted)
+    if (df == null) {
+      df = StagedCommit.readCommitted(spark, rowsPath); rowsDF = df
+    }
     df
   }
 
