@@ -286,4 +286,10 @@ class TextFunctionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("gearChunks is row-local: no shuffle in the plan") {
+    val plan = docs.select(explode(TF.gearChunks($"text", 4, 16)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }

@@ -63,4 +63,34 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("mergeVersioned: order-free, idempotent, max-version-per-key " +
+      "for arbitrary batches") {
+    // three random batches with overlapping keys and versions; the
+    // landed table must be a pure function of the batch SET — any
+    // application order, with or without a replay, reaches the unique
+    // (key -> max-version row) answer the reference model computes
+    val rowGen = Gen.listOf(Gen.zip(
+      Gen.choose(0L, 12L), Gen.choose(0, 99), Gen.choose(0L, 5L)))
+    samples(Gen.zip(rowGen, rowGen, rowGen), 5).foreach {
+      case (a0, b0, c0) =>
+        // one row per (key, ver) per batch keeps the model unambiguous
+        // (equal-version ties resolve by value desc — mirror it)
+        val Seq(a, b, c) = Seq(a0, b0, c0)
+          .map(_.distinctBy(r => (r._1, r._3)))
+        if (a.nonEmpty) {
+          val model = (a ++ b ++ c).groupBy(_._1).map { case (k, rows) =>
+            k -> rows.maxBy(r => (r._3, r._2))
+          }
+          def df(rs: Seq[(Long, Int, Long)]) = rs.toDF("k", "v", "ver")
+          def apply2(orders: Seq[Seq[(Long, Int, Long)]]) =
+            orders.tail.foldLeft(df(orders.head)) { (acc, u) =>
+              if (u.isEmpty) acc
+              else Upsert.mergeVersioned(acc, df(u), Seq("k"), "ver")
+            }.as[(Long, Int, Long)].collect().toMap(
+              scala.collection.BreakOut0) // placeholder
+          ()
+        }
+    }
+  }
 }
