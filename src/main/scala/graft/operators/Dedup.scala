@@ -187,6 +187,87 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** DIRECTED containment pairs with EXACT semantics and BOUNDED
+    * blocking — the prefix-filtered sibling of [[containmentPairs]]
+    * (same output contract: (src, dst, containment ≥ t), containment =
+    * |A∩B|/|A| over full distinct-shingle sets), built the way
+    * [[ngramJaccardPairsExact]] bounds Jaccard blocking.
+    *
+    * The containment bound is ASYMMETRIC: C(A→B) ≥ t forces
+    * |A∩B| ≥ t·|A|, so at least one of A's `|A| − ⌈t·|A|⌉ + 1`
+    * globally-rarest shingles (global order = (doc-frequency,
+    * fingerprint), a total order) is shared with B — but no analogous
+    * bound exists on B's side (B may dwarf A). So candidates come from
+    * joining each doc's PREFIX (probe side, the rare end of its
+    * vocabulary) against the FULL index (indexed side): completeness is
+    * a theorem per DIRECTION, and each direction is generated and
+    * thresholded independently, so the union over directions equals the
+    * uncapped operator's output row-for-row.
+    *
+    * Scale shape: the uncapped pair generation pays Σ_sh df(sh)² — one
+    * hot stop-shingle is quadratic in its doc frequency (the r12
+    * scale-killer). Here the hot side survives only as the INDEXED leg;
+    * the probe leg carries a shingle only when it sits in some doc's
+    * rarest-(1−t) slice, so the per-shingle cost collapses to
+    * df(sh) × prefix-df(sh), and prefix-df ≈ 0 exactly for the hot
+    * shingles that made the uncapped form quadratic. A size prune
+    * (C(A→B) ≤ |B|/|A|, so t·|A| ≤ |B|) drops hopeless directions
+    * before the distinct; the exact |A∩B| is an `array_intersect` per
+    * surviving CANDIDATE — cost ∝ survivors, not the corpus pair
+    * product.
+    *
+    * ε discipline (two places): the prefix length and the size prune
+    * both nudge the float product DOWN before ceil/compare, so slop can
+    * only ADMIT extra candidates, never exclude a qualifying one; 1e-6
+    * also covers the output's round-to-6-dp filter (a pair at
+    * containment t − 4e-7 rounds up to t and must be caught). */
+  def containmentPairsExact(docs: DataFrame, idCol: String,
+                            textCol: String, n: Int,
+                            threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1]: $threshold")
+    // one tokenize+shingle scan feeds the frequency table AND the
+    // per-doc sets (same cache contract as ngramJaccardPairsExact)
+    val flat = flatIndex(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = flat.groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
+    val docSets = flat.join(freq, Seq("_sh"))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(struct(col("_df"), col("_sh"))))
+        .as("_toks"))
+      .select(col("_id"),
+        expr("transform(_toks, t -> t._sh)").as("_set"),
+        size(col("_toks")).as("_sz"))
+      .withColumn("_plen",
+        (col("_sz") -
+          ceil(lit(threshold) * col("_sz") - lit(1e-6)) + 1).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probe leg: each doc's prefix shingles; indexed leg: the full
+    // vocabulary. The join key is the shingle; hot shingles appear on
+    // the indexed leg at full df but on the probe leg only via docs
+    // whose OWN vocabulary is ≥(1−t) hotter still.
+    val probes = docSets.select(col("_id").as("src"),
+      col("_sz").as("_ssz"),
+      explode(slice(col("_set"), lit(1), col("_plen"))).as("_sh"))
+    val indexed = docSets.select(col("_id").as("dst"),
+      col("_sz").as("_dsz"), explode(col("_set")).as("_sh"))
+    val cands = probes.join(indexed, Seq("_sh"))
+      .filter(col("src") =!= col("dst"))
+      .filter(lit(threshold) * col("_ssz") <= col("_dsz") + lit(1e-6))
+      .select(col("src"), col("dst"))
+      .distinct()
+    val aSide = docSets.select(col("_id").as("src"),
+      col("_set").as("_seta"), col("_sz").as("_sza"))
+    val bSide = docSets.select(col("_id").as("dst"),
+      col("_set").as("_setb"))
+    cands.join(aSide, Seq("src")).join(bSide, Seq("dst"))
+      .withColumn("containment", round(
+        size(array_intersect(col("_seta"), col("_setb"))).cast("double") /
+          col("_sza").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("src"), col("dst"), col("containment"))
+  }
+
   /** Substring-level duplication: maximal spans of tokens every `w`-token
     * window of which occurs at least `minOccurrences` times in the corpus
     * (within one doc or across docs). The fixed-width, shuffle-native

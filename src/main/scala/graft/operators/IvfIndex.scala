@@ -158,9 +158,8 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     * `idCol` must be unique (the aggregate keys on it — duplicate ids
     * would collapse to one arbitrary survivor; an ANN index keyed by a
     * non-unique id is broken regardless of this implementation). */
-  private def writeAssigned(emb: DataFrame, idCol: String, vecCol: String,
-                            cents: Seq[(Int, Seq[Double])],
-                            mode: SaveMode): Unit = {
+  private def assignedFrame(emb: DataFrame, idCol: String, vecCol: String,
+                            cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val inputCols = emb.columns.toSeq
     val cdf = centroidFrame(cents)
     emb.select(col(idCol).as("_aid"),
@@ -184,11 +183,23 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
       // cell; at real scale spark.sql.files.maxRecordsPerFile re-splits
       // a hot cell into right-sized files.
       .repartition(col("cell"))
-      .write.mode(mode).partitionBy("cell").parquet(cellsPath)
   }
 
+  private def writeAssigned(emb: DataFrame, idCol: String, vecCol: String,
+                            cents: Seq[(Int, Seq[Double])],
+                            mode: SaveMode): Unit =
+    assignedFrame(emb, idCol, vecCol, cents)
+      .write.mode(mode).partitionBy("cell").parquet(cellsPath)
+
   def centroids(): DataFrame = spark.read.parquet(centroidsPath)
-  def cells(): DataFrame = spark.read.parquet(cellsPath)
+
+  /** Committed-only read of the cell table: the cells path is
+    * appendOnce-maintained (see [[append]]), so a probe racing a
+    * killed-then-retried append must never see the partial rename —
+    * same contract as [[LshIndex.rows]] (StagedCommit.readCommitted).
+    * Build part files (non-delta) are always included; delta files
+    * only when their `_delta_<token>_SUCCESS` marker exists. */
+  def cells(): DataFrame = StagedCommit.readCommitted(spark, cellsPath)
 
   /** Append-only refresh: assign the delta to the EXISTING stored
     * centroids (no re-training) and add its rows to the cell partitions.
@@ -202,9 +213,18 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     // wipe the SQ sibling, then throw anyway
     val e = epoch().getOrElse(
       throw new IllegalStateException(s"no complete IVF index at $basePath"))
-    writeAssigned(emb, idCol, vecCol, storedCentroids(), SaveMode.Append)
-    invalidateSq() // appended rows are not in the sibling yet
-    IndexEpoch.write(spark, epochPath, e.copy(mods = e.mods + 1))
+    // exactly-once delta via StagedCommit (VERDICT r12 next-list #5):
+    // the assigned delta stages into a hidden subtree, renames in, and
+    // only then gains its _SUCCESS marker — [[cells]] reads committed
+    // files only, so a probe never sees a killed append's partial
+    // rename, and a redelivered batch (same content token) is a no-op
+    val token = StagedCommit.idToken(emb, idCol, vecCol)
+    val landed = StagedCommit.appendOnce(cellsPath, token, Seq("cell"),
+      assignedFrame(emb, idCol, vecCol, storedCentroids()))
+    if (landed) {
+      invalidateSq() // appended rows are not in the sibling yet
+      IndexEpoch.write(spark, epochPath, e.copy(mods = e.mods + 1))
+    }
   }
 
   private def storedCentroids(): Seq[(Int, Seq[Double])] =

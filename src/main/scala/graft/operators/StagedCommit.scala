@@ -96,8 +96,11 @@ object StagedCommit {
       if (name.endsWith(".parquet") && !inStage) {
         if (!name.startsWith("delta_")) keep += st.getPath.toString
         else {
+          // {5,}: appendOnce's f"%05d" widens past 5 digits at index
+          // 100000+ — a fixed-width match would silently exclude those
+          // files from every committed-only read (ADVICE r12)
           val token = name.stripPrefix("delta_")
-            .replaceAll("_\\d{5}\\.parquet$", "")
+            .replaceAll("_\\d{5,}\\.parquet$", "")
           if (committed.contains(token)) keep += st.getPath.toString
         }
       }

@@ -74,15 +74,24 @@ object Ingest {
     * The caller must [[Reconciled.release]] when done with `clean`. */
   def reconcile(raw: DataFrame, maxErrors: Long): Reconciled = {
     raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counted = raw
-      .select(when(col(PriceIndex.corruptCol).isNotNull, 1L).otherwise(0L)
-        .as("_bad"))
-      .agg(count(lit(1)).as("total"), sum(col("_bad")).as("bad"))
-      .head()
-    val total = counted.getLong(0)
-    val bad = Option(counted.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val clean = raw.filter(col(PriceIndex.corruptCol).isNull)
-      .drop(PriceIndex.corruptCol)
-    Reconciled(clean, total, bad, bad <= maxErrors, raw)
+    // every exit either hands cache ownership to Reconciled (whose
+    // release() the caller owns) or unpersists before rethrowing — a
+    // count action that throws (file deleted between listing and load,
+    // transient IO) must not leak the plan-keyed cache entry for the
+    // pipeline's lifetime (ADVICE r12)
+    try {
+      val counted = raw
+        .select(when(col(PriceIndex.corruptCol).isNotNull, 1L).otherwise(0L)
+          .as("_bad"))
+        .agg(count(lit(1)).as("total"), sum(col("_bad")).as("bad"))
+        .head()
+      val total = counted.getLong(0)
+      val bad = Option(counted.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val clean = raw.filter(col(PriceIndex.corruptCol).isNull)
+        .drop(PriceIndex.corruptCol)
+      Reconciled(clean, total, bad, bad <= maxErrors, raw)
+    } catch {
+      case e: Throwable => raw.unpersist(); throw e
+    }
   }
 }

@@ -111,7 +111,12 @@ object IngestE2E {
       .select(lit("table").as("kind"),
         date_format(col("Date"), "yyyy-MM-dd").as("date"),
         col("GEO").as("geo"), col("Products").as("products"),
-        col("VALUE").as("value"), lit(1L).as("n"))
+        // DOUBLE, not DECIMAL: this gate was the suite's only output
+        // carrying Decimal objects to the driver's hasher, which
+        // normalizes them differently from the local checker (VERDICT
+        // r12 #2) — emit the suite-standard round(double, 6) form
+        round(col("VALUE").cast("double"), 6).as("value"),
+        lit(1L).as("n"))
     val rep = spark.read
       .schema("y INT, m INT, geo STRING, category STRING, " +
         "avg_value DECIMAL(22,8), n BIGINT")
@@ -119,7 +124,7 @@ object IngestE2E {
       .select(lit("report").as("kind"),
         format_string("%04d-%02d-01", col("y"), col("m")).as("date"),
         col("geo"), col("category").as("products"),
-        col("avg_value").cast("decimal(18,4)").as("value"), col("n"))
+        round(col("avg_value").cast("double"), 6).as("value"), col("n"))
     val out = table.unionAll(rep).orderBy("kind", "geo", "date")
       // materialize before deleting the fixture tree the plan reads
       .localCheckpoint(true)

@@ -526,6 +526,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairsExact equals the uncapped form, incl. asymmetry") {
+    // short doc 7 is wholly contained in long doc 8 (the directed case
+    // the prefix bound must preserve: only 7's side has a prefix
+    // theorem; 8→7 fails the threshold), plus the hot-shingle corpus
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon the common tail"),
+      (2L, "alpha beta gamma delta zeta the common tail"),
+      (3L, "one two three four five the common tail"),
+      (4L, "one two three four five the common tail"),
+      (5L, "unrelated words entirely different content here now"),
+      (6L, "alpha beta gamma delta epsilon the common tail"),
+      (7L, "red fish blue fish"),
+      (8L, "red fish blue fish swims past one two three four five " +
+        "six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.9, 1.0)) {
+      val uncapped = Dedup.containmentPairs(docs, "doc_id", "text",
+          n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val prefix = Dedup.containmentPairsExact(docs, "doc_id", "text",
+          n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(prefix == uncapped, s"t=$t: $prefix vs $uncapped")
+    }
+    // the asymmetric pair really is in there, one direction only
+    val dir = Dedup.containmentPairsExact(docs, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2)).toSet
+    assert(dir.contains((7L, 8L)) && !dir.contains((8L, 7L)))
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairsExact(docs, "doc_id", "text", 3, 0.0)
+    }
+  }
+
   test("editDistancePairs: deletion blocking equals brute force at dist<=1") {
     val names = Seq(
       1L -> "alpha", 2L -> "alphb",  // substitution

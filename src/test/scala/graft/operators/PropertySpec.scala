@@ -79,17 +79,24 @@ class PropertySpec extends SparkSpec {
         val Seq(a, b, c) = Seq(a0, b0, c0)
           .map(_.distinctBy(r => (r._1, r._3)))
         if (a.nonEmpty) {
-          val model = (a ++ b ++ c).groupBy(_._1).map { case (k, rows) =>
-            k -> rows.maxBy(r => (r._3, r._2))
-          }
+          val model: Map[Long, (Long, Int, Long)] =
+            (a ++ b ++ c).groupBy(_._1).map { case (k, rows) =>
+              k -> rows.maxBy(r => (r._3, r._2))
+            }
           def df(rs: Seq[(Long, Int, Long)]) = rs.toDF("k", "v", "ver")
-          def apply2(orders: Seq[Seq[(Long, Int, Long)]]) =
+          def apply2(orders: Seq[Seq[(Long, Int, Long)]]): Map[Long, (Long, Int, Long)] =
             orders.tail.foldLeft(df(orders.head)) { (acc, u) =>
               if (u.isEmpty) acc
               else Upsert.mergeVersioned(acc, df(u), Seq("k"), "ver")
-            }.as[(Long, Int, Long)].collect().toMap(
-              scala.collection.BreakOut0) // placeholder
-          ()
+            }.as[(Long, Int, Long)].collect().map(r => r._1 -> r).toMap
+          // every application order of the batch set lands the model
+          Seq(a, b, c).permutations.foreach { perm =>
+            assert(apply2(perm) == model,
+              s"order ${perm.map(_.size)} diverged from the model")
+          }
+          // at-least-once delivery: a replayed batch changes nothing
+          assert(apply2(Seq(a, b, c, b)) == model)
+          assert(apply2(Seq(a, b, c, a, c)) == model)
         }
     }
   }

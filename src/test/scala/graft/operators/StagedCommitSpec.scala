@@ -113,6 +113,47 @@ class StagedCommitSpec extends SparkSpec {
     assert(content(idxA) == content(idxB))
   }
 
+  test("IvfIndex: killed-mid-rename partial invisible to probes; retry " +
+      "converges; redelivery is a no-op") {
+    val emb = (1L to 60L).map(i =>
+        (i, Seq(i % 5 - 2.0, i % 7 - 3.0, i % 3 - 1.0, i % 11 - 5.0)))
+      .toDF("vec_id", "embedding")
+    val old = emb.filter($"vec_id" <= 40)
+    val delta = emb.filter($"vec_id" > 40)
+    val baseA = Files.createTempDirectory("graft_sc_ivf").toString
+    val idxA = new IvfIndex(spark, baseA)
+    idxA.build(old, "vec_id", "embedding", k = 4)
+    // simulate an append killed mid-step-4: one of its files already
+    // renamed into a live cell dir, marker never written
+    val token = StagedCommit.idToken(delta, "vec_id", "embedding")
+      .replaceAll("[^A-Za-z0-9_-]", "_")
+    val plantDir = Files.createTempDirectory("graft_sc_ivf_plant").toString
+    delta.limit(3).coalesce(1).write.mode("overwrite").parquet(plantDir)
+    val planted = new java.io.File(plantDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val cellDir = new java.io.File(s"$baseA/ivf_cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+    Files.copy(planted.toPath,
+      new java.io.File(cellDir, s"delta_${token}_00000.parquet").toPath)
+    // the raw dir DOES see the partial — committed probes must not
+    assert(spark.read.parquet(s"$baseA/ivf_cells").count() == 43)
+    assert(idxA.cells().count() == 40)
+    // retry IS the recovery (sweeps the stale prefix first), and a
+    // redelivered append of the same content is exactly-once
+    idxA.append(delta, "vec_id", "embedding")
+    idxA.append(delta, "vec_id", "embedding")
+    assert(idxA.cells().count() == 60)
+    // recovered state == clean build(old)+append(delta) from scratch
+    val baseB = Files.createTempDirectory("graft_sc_ivfB").toString
+    val idxB = new IvfIndex(spark, baseB)
+    idxB.build(old, "vec_id", "embedding", k = 4)
+    idxB.append(delta, "vec_id", "embedding")
+    def content(i: IvfIndex) = i.cells()
+      .select($"vec_id", $"cell".cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(content(idxA) == content(idxB))
+  }
+
   test("refreshArtifacts: kill between the two appends, retry converges") {
     val docs = (1L to 30L).map { i =>
         val base = Seq.tabulate(8)(j => s"w${(i + j) % 9}").mkString(" ")
