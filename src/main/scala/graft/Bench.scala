@@ -249,7 +249,10 @@ object Bench {
     // isolation run's medians reach this file via the parent's
     // `isolated` numbers, and a targeted local BENCH_ONLY loop must
     // not shrink the file to its allowlist.
-    if (only.isEmpty) try {
+    // sf0.1 only: floors are per-scale — a full-suite run at sf0.01
+    // would post floors 10× too low (flagging everything forever), and
+    // a blow-up probe leg would post meaningless high ones
+    if (only.isEmpty && sfDir.stripSuffix("/").endsWith("sf0.1")) try {
       val qnames = SparkEntry.queries.keySet
       val runMin = allSamples
         .filterNot { case (n, _) => failed.contains(n) }

@@ -188,82 +188,127 @@ object Dedup {
   }
 
   /** DIRECTED containment pairs with EXACT semantics and BOUNDED
-    * blocking — the prefix-filtered sibling of [[containmentPairs]]
-    * (same output contract: (src, dst, containment ≥ t), containment =
-    * |A∩B|/|A| over full distinct-shingle sets), built the way
-    * [[ngramJaccardPairsExact]] bounds Jaccard blocking.
+    * blocking — same output contract as [[containmentPairs]]
+    * ((src, dst, containment ≥ t), containment = |A∩B|/|A| over full
+    * distinct-shingle sets), but the quadratic-in-hot-shingle pair
+    * generation the uncapped form pays (Σ_sh df(sh)² — the r12
+    * scale-killer: one stop-shingle in 10⁶ docs is 10¹² pair events)
+    * is HYBRID-bounded:
     *
-    * The containment bound is ASYMMETRIC: C(A→B) ≥ t forces
-    * |A∩B| ≥ t·|A|, so at least one of A's `|A| − ⌈t·|A|⌉ + 1`
-    * globally-rarest shingles (global order = (doc-frequency,
-    * fingerprint), a total order) is shared with B — but no analogous
-    * bound exists on B's side (B may dwarf A). So candidates come from
-    * joining each doc's PREFIX (probe side, the rare end of its
-    * vocabulary) against the FULL index (indexed side): completeness is
-    * a theorem per DIRECTION, and each direction is generated and
-    * thresholded independently, so the union over directions equals the
-    * uncapped operator's output row-for-row.
+    *  - shingles with df ≤ `maxBlock` go through the same
+    *    posting-list pair-count aggregation as the uncapped form —
+    *    per-shingle cost df², bounded by maxBlock² each, and the
+    *    count aggregation doubles as the NON-HOT part of |A∩B|;
+    *  - shingles with df > `maxBlock` ("hot") never generate pairs
+    *    from their full posting lists. Completeness comes from the
+    *    containment prefix theorem: C(A→B) ≥ t forces ≥ t·|A| shared
+    *    shingles, so at least one shared shingle sits in A's
+    *    `|A| − ⌈t·|A|⌉ + 1` globally-rarest slice (global order =
+    *    (df, fingerprint), a total order). A pair missed by the
+    *    capped leg shares ONLY hot shingles, so its witness in A's
+    *    prefix is hot — probing just the HOT members of each prefix
+    *    against just the HOT flat entries recovers every such pair.
+    *    Per-shingle cost collapses from df² to prefix-df × df, and
+    *    prefix-df ≈ 0 for true stop-shingles (a shingle sits in a
+    *    doc's rarest-(1−t) slice only when ≥ t of the doc's
+    *    vocabulary is hotter still);
+    *  - the HOT part of |A∩B| is an `array_intersect` of the two
+    *    docs' hot-shingle arrays (each ≤ the doc's shingle count,
+    *    and typically tiny — the stop-shingle film), joined per
+    *    CANDIDATE — cost ∝ candidates, never corpus².
     *
-    * Scale shape: the uncapped pair generation pays Σ_sh df(sh)² — one
-    * hot stop-shingle is quadratic in its doc frequency (the r12
-    * scale-killer). Here the hot side survives only as the INDEXED leg;
-    * the probe leg carries a shingle only when it sits in some doc's
-    * rarest-(1−t) slice, so the per-shingle cost collapses to
-    * df(sh) × prefix-df(sh), and prefix-df ≈ 0 exactly for the hot
-    * shingles that made the uncapped form quadratic. A size prune
-    * (C(A→B) ≤ |B|/|A|, so t·|A| ≤ |B|) drops hopeless directions
-    * before the distinct; the exact |A∩B| is an `array_intersect` per
-    * surviving CANDIDATE — cost ∝ survivors, not the corpus pair
-    * product.
+    * When the vocabulary has NO hot shingle (one cheap existence probe
+    * on the frequency table), the hot machinery short-circuits away and
+    * the plan IS the uncapped plan — measured equal-cost on uniform
+    * corpora, where a pure prefix-probe formulation loses outright by
+    * generating ~(1−t)·df² join rows per shingle (measured 8-14×
+    * slower than uncapped at 10× scale; rejected).
     *
-    * ε discipline (two places): the prefix length and the size prune
-    * both nudge the float product DOWN before ceil/compare, so slop can
-    * only ADMIT extra candidates, never exclude a qualifying one; 1e-6
-    * also covers the output's round-to-6-dp filter (a pair at
-    * containment t − 4e-7 rounds up to t and must be caught). */
+    * ε discipline: the prefix length nudges the float product DOWN
+    * before ceil, so slop can only ADMIT candidates; 1e-6 also covers
+    * the round-to-6-dp output filter (containment t − 4e-7 rounds up
+    * to t and must be caught). */
   def containmentPairsExact(docs: DataFrame, idCol: String,
-                            textCol: String, n: Int,
-                            threshold: Double): DataFrame = {
+                            textCol: String, n: Int, threshold: Double,
+                            maxBlock: Long = 1000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1]: $threshold")
-    // one tokenize+shingle scan feeds the frequency table AND the
-    // per-doc sets (same cache contract as ngramJaccardPairsExact)
+    require(maxBlock > 0, s"maxBlock must be positive: $maxBlock")
+    // one tokenize+shingle scan feeds every leg. Eagerly pinned BEFORE
+    // the fan-out (the r12 minhash lesson): multiple lazy consumers
+    // racing to fill a cache measured multi-x swings.
     val flat = flatIndex(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    flat.count()
     val freq = flat.groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
-    val docSets = flat.join(freq, Seq("_sh"))
-      .groupBy(col("_id"))
-      .agg(sort_array(collect_list(struct(col("_df"), col("_sh"))))
-        .as("_toks"))
-      .select(col("_id"),
-        expr("transform(_toks, t -> t._sh)").as("_set"),
-        size(col("_toks")).as("_sz"))
-      .withColumn("_plen",
-        (col("_sz") -
-          ceil(lit(threshold) * col("_sz") - lit(1e-6)) + 1).cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // probe leg: each doc's prefix shingles; indexed leg: the full
-    // vocabulary. The join key is the shingle; hot shingles appear on
-    // the indexed leg at full df but on the probe leg only via docs
-    // whose OWN vocabulary is ≥(1−t) hotter still.
-    val probes = docSets.select(col("_id").as("src"),
-      col("_sz").as("_ssz"),
-      explode(slice(col("_set"), lit(1), col("_plen"))).as("_sh"))
-    val indexed = docSets.select(col("_id").as("dst"),
-      col("_sz").as("_dsz"), explode(col("_set")).as("_sh"))
-    val cands = probes.join(indexed, Seq("_sh"))
-      .filter(col("src") =!= col("dst"))
-      .filter(lit(threshold) * col("_ssz") <= col("_dsz") + lit(1e-6))
-      .select(col("src"), col("dst"))
-      .distinct()
-    val aSide = docSets.select(col("_id").as("src"),
-      col("_set").as("_seta"), col("_sz").as("_sza"))
-    val bSide = docSets.select(col("_id").as("dst"),
-      col("_set").as("_setb"))
-    cands.join(aSide, Seq("src")).join(bSide, Seq("dst"))
+    // hot machinery only exists when a hot shingle exists — the probe
+    // is one existence scan over the (vocabulary-sized) freq table.
+    // In the common no-hot case the df tag join is skipped entirely:
+    // the plan below is then the uncapped plan, shingle for shingle.
+    val anyHot = !freq.filter(col("_df") > maxBlock).limit(1).isEmpty
+    val sizes = flat.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    def directedPairCounts(entries: DataFrame): DataFrame = {
+      val lists = entries
+        .groupBy(col("_sh"))
+        .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+        .filter(size(col("_ids")) > 1)
+      pairIntersections(lists).select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst"), col("_inter")),
+          struct(col("id_b").as("src"), col("id_a").as("dst"), col("_inter"))))
+          .as("_e"))
+        .select(col("_e.src").as("src"), col("_e.dst").as("dst"),
+          col("_e._inter").as("_inter"))
+    }
+    val cands =
+      if (!anyHot) directedPairCounts(flat)
+      else {
+        // df-tagged index, its own pin: five lazy consumers below
+        val tagged = flat.join(freq, Seq("_sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        tagged.count()
+        // capped leg: posting lists over non-hot shingles only; the
+        // pair count IS the non-hot intersection size
+        val nonHotCands =
+          directedPairCounts(tagged.filter(col("_df") <= maxBlock))
+        val hotSets = tagged.filter(col("_df") > maxBlock)
+          .groupBy(col("_id"))
+          .agg(sort_array(collect_list(col("_sh"))).as("_hot"))
+        // hot prefix probe: each doc's rarest slice, hot members only
+        val pref = tagged
+          .groupBy(col("_id"))
+          .agg(sort_array(collect_list(struct(col("_df"), col("_sh"))))
+            .as("_toks"))
+          .select(col("_id"), col("_toks"), size(col("_toks")).as("_sz"))
+          .withColumn("_plen", (col("_sz") -
+            ceil(lit(threshold) * col("_sz") - lit(1e-6)) + 1).cast("int"))
+          .select(col("_id"),
+            explode(slice(col("_toks"), lit(1), col("_plen"))).as("_t"))
+          .filter(col("_t._df") > maxBlock)
+          .select(col("_id").as("src"), col("_t._sh").as("_sh"))
+        val hotFlat = tagged.filter(col("_df") > maxBlock)
+          .select(col("_id").as("dst"), col("_sh"))
+        val hotCands = pref.join(hotFlat, Seq("_sh"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+          .withColumn("_inter", lit(0L))
+        nonHotCands.unionByName(hotCands)
+          .groupBy(col("src"), col("dst"))
+          .agg(max(col("_inter")).as("_inter"))
+          .join(hotSets.select(col("_id").as("src"), col("_hot").as("_ha")),
+            Seq("src"), "left")
+          .join(hotSets.select(col("_id").as("dst"), col("_hot").as("_hb")),
+            Seq("dst"), "left")
+          .withColumn("_inter", col("_inter") +
+            when(col("_ha").isNull || col("_hb").isNull, lit(0))
+              .otherwise(size(array_intersect(col("_ha"), col("_hb"))))
+              .cast("long"))
+          .select(col("src"), col("dst"), col("_inter"))
+      }
+    cands
+      .join(sizes.withColumnRenamed("_id", "src")
+        .withColumnRenamed("_n", "_na"), "src")
       .withColumn("containment", round(
-        size(array_intersect(col("_seta"), col("_setb"))).cast("double") /
-          col("_sza").cast("double"), 6))
+        col("_inter").cast("double") / col("_na").cast("double"), 6))
       .filter(col("containment") >= threshold)
       .select(col("src"), col("dst"), col("containment"))
   }

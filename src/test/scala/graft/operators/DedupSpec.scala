@@ -541,14 +541,19 @@ class DedupSpec extends SparkSpec {
       (8L, "red fish blue fish swims past one two three four five " +
         "six seven eight nine ten eleven twelve"))
       .toDF("doc_id", "text")
-    for (t <- Seq(0.3, 0.5, 0.9, 1.0)) {
+    // maxBlock=2 forces "the common tail" trigrams (df up to 6) and
+    // the 3/4/8 overlap shingles onto the HOT leg — docs 3,4 share
+    // ONLY hot shingles at that cap, so the prefix-probe recovery and
+    // the hot array_intersect both carry weight; default 1000 takes
+    // the short-circuit (no hot shingle) path
+    for (t <- Seq(0.3, 0.5, 0.9, 1.0); mb <- Seq(2L, 3L, 1000L)) {
       val uncapped = Dedup.containmentPairs(docs, "doc_id", "text",
           n = 3, threshold = t)
         .as[(Long, Long, Double)].collect().toSet
-      val prefix = Dedup.containmentPairsExact(docs, "doc_id", "text",
-          n = 3, threshold = t)
+      val hybrid = Dedup.containmentPairsExact(docs, "doc_id", "text",
+          n = 3, threshold = t, maxBlock = mb)
         .as[(Long, Long, Double)].collect().toSet
-      assert(prefix == uncapped, s"t=$t: $prefix vs $uncapped")
+      assert(hybrid == uncapped, s"t=$t mb=$mb: $hybrid vs $uncapped")
     }
     // the asymmetric pair really is in there, one direction only
     val dir = Dedup.containmentPairsExact(docs, "doc_id", "text", 3, 0.9)
