@@ -44,11 +44,24 @@ final class AuditLog(spark: SparkSession, path: String) {
   /** A5 / `sp_lambda_loading_check_status` (`R22:219-254`): was there a
     * successful stage-run for `target` within `windowSeconds` of `now`?
     * Returns the reference's {-1 error, 0 none, 1 recent-success} code.
-    * P9/P10 predicate shape: substring match + time delta. */
+    * P9/P10 predicate shape: substring match + time delta.
+    *
+    * `exact = true` matches `event_source` EXACTLY instead — required
+    * when the needle is a prefix of mid-flight stage rows: the
+    * suppression window keyed on substring "loading" also matched the
+    * status-1 "loading: temp table creation" row, so a loader killed
+    * between the temp append and the merge left a file that every
+    * redelivery SUPPRESSED for the whole window without ever merging
+    * it (liveness bug caught by AuditChaosSpec's s2_after_temp_append
+    * kill point; the terminal "loading" row alone certifies a
+    * completed load). */
   def checkStatus(needle: String, target: String, windowSeconds: Long,
-                  nowMillis: Long): Int = {
+                  nowMillis: Long, exact: Boolean = false): Int = {
+    val sourceMatch =
+      if (exact) col("event_source") === needle
+      else instr(col("event_source"), needle) > 0
     val recent = table()
-      .filter(instr(col("event_source"), needle) > 0 &&
+      .filter(sourceMatch &&
         col("target") === target &&
         col("status") === 1 &&
         (lit(nowMillis) / 1000L - unix_timestamp(col("ts"))) < windowSeconds)

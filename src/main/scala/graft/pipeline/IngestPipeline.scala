@@ -28,6 +28,22 @@ object IngestPipeline {
   final case class RemainingFiles(pending: Seq[String], stale: Seq[String]) {
     def done: Boolean = pending.isEmpty
   }
+
+  /** Test-only crash injection for the audit protocol's chaos spec
+    * (VERDICT r12 next-list #6). [[Kill]] extends Error, so load()'s
+    * `catch { case e: Exception }` does NOT see it — no failure audit
+    * row is appended, and durable state is left EXACTLY as a process
+    * kill at that site would leave it. Disarmed (the default) the
+    * hit() calls are a single volatile read each. */
+  private[graft] object FailPoint {
+    @volatile private var armed: String = null
+    def arm(site: String): Unit = armed = site
+    def disarm(): Unit = armed = null
+    def hit(site: String): Unit =
+      if (armed != null && armed == site) { armed = null; throw new Kill(site) }
+  }
+  private[graft] final class Kill(site: String)
+    extends Error(s"injected kill at $site")
 }
 
 final class IngestPipeline(spark: SparkSession, warehouse: String,
@@ -46,8 +62,10 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
   /** The loader Lambda's whole body, stage-tagged like the reference
     * (`stage` 0..5, `R22:153,220,268,297,306,340`). */
   def load(csvPath: String): LoadResult = {
+    import IngestPipeline.FailPoint
     var stage = 0
     try {
+      FailPoint.hit("s0_enter")
       // stage 0: existence probe (P6) — another worker may have consumed it
       val fs = new Path(csvPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -56,17 +74,26 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
 
       // stage 1: dedup-suppression window (ST3, `R22:219-254`)
       stage = 1
+      // exact match: only the TERMINAL "loading" success row may
+      // suppress a redelivery — the substring form also matched the
+      // mid-flight "loading: temp table creation" row, so a kill
+      // between temp append and merge starved the file for the whole
+      // window (AuditChaosSpec)
       if (audit.checkStatus("loading", fileKey(csvPath),
-          dedupWindowSeconds, now()) == 1)
+          dedupWindowSeconds, now(), exact = true) == 1)
         return LoadResult(2, stage, "recent successful load — suppressed", 0, 0)
+      FailPoint.hit("s1_after_suppress_check")
 
       // stage 2: scan + canonical projection (S4/S5/P1)
       stage = 2
+      FailPoint.hit("s2_before_reconcile")
       val raw = Ingest.readPriceIndexCsv(spark, csvPath)
       val rec = Ingest.reconcile(raw, maxErrors)
       try {
+      FailPoint.hit("s2_after_reconcile")
       if (!rec.ok) {
         audit.append("loading: reconcile", fileKey(csvPath), -1, now())
+        FailPoint.hit("s2_fail_between_appends")
         // ST6 durable attempt counter: countFailures matches
         // event_source == "loading" EXACTLY, so the reconcile-failure
         // return path must also append the exact row the exception path
@@ -74,6 +101,7 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
         // over budget) never increments the durable count and
         // quarantine state silently resets on driver restart.
         audit.append("loading", fileKey(csvPath), -1, now())
+        FailPoint.hit("s2_fail_after_appends")
         return LoadResult(0, stage,
           s"${rec.corruptRows} corrupt rows > $maxErrors tolerated",
           rec.totalRows, rec.corruptRows)
@@ -89,6 +117,7 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
       val staged = PriceIndex.typed(PriceIndex.project(rec.clean))
         .withColumn("_seq", lit(seq))
       audit.append("loading: temp table creation", fileKey(csvPath), 1, now())
+      FailPoint.hit("s2_after_temp_append")
 
       // stage 3: upsert into permanent table (J1/S8), partition-aware:
       // only the GEO partitions present in this file are read and
@@ -101,12 +130,16 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
       // concurrent; WITHIN the lock, mergeVersioned makes the landed
       // table independent of which loader got the lock first.
       stage = 3
+      FailPoint.hit("s3_before_merge")
       mergeLock.synchronized {
         Upsert.mergeIntoPartitioned(spark, permanentPath, staged,
           PriceIndex.naturalKey, "GEO", "_seq")
       }
+      FailPoint.hit("s3_after_merge")
       audit.append("loading: upsert", fileKey(csvPath), 1, now())
+      FailPoint.hit("s3_between_appends")
       audit.append("loading", fileKey(csvPath), 1, now())
+      FailPoint.hit("s3_after_final_append")
       LoadResult(1, stage, "", rec.totalRows, rec.corruptRows)
       // rec.release() runs on EVERY exit (success, reconcile-failure
       // return, exception): the cached raw scan is plan-keyed, so a
