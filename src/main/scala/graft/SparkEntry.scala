@@ -1466,6 +1466,39 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "j18_scd2_manifest" -> ((s, dir) => {
+      // j10's SCD2 merge through the MANIFEST-published on-disk table
+      // (Upsert.scd2MergeManifested): immutable epoch snapshots + an
+      // append-only closed log + one atomic manifest rename, so a
+      // reader never sees the half-merged state the dynamic-partition
+      // layout documents as its crash window. Storage must never change
+      // content: the oracle is j10's verbatim. Rebuilt from scratch
+      // each run (bootstrap → merge) for determinism.
+      val base = s"${artifactBase(dir)}/scd2_manifest"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val cust = t(s, dir, "customer")
+      val boot = cust.select(col("c_custkey").as("key"),
+        col("c_mktsegment").as("segment"),
+        lit("1995-01-01").cast("timestamp").as("ts"))
+      operators.Upsert.scd2MergeManifested(s, base, boot,
+        Seq("key"), Seq("segment"), "ts")
+      val updates = cust.filter(col("c_custkey") % 3 =!= 2)
+        .select(col("c_custkey").as("key"),
+          when(col("c_custkey") % 3 === 0,
+            concat(lit("SEG_"), (col("c_custkey") % 5).cast("string")))
+            .otherwise(col("c_mktsegment")).as("segment"),
+          lit("2000-06-01").cast("timestamp").as("ts"))
+      operators.Upsert.scd2MergeManifested(s, base, updates,
+        Seq("key"), Seq("segment"), "ts")
+      operators.Upsert.scd2ReadManifested(s, base)
+        .select(col("key"), col("segment"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          coalesce(date_format(col("valid_to"), "yyyy-MM-dd"),
+            lit("current")).as("valid_to"))
+        .orderBy(col("key"), col("valid_from"), col("segment"))
+    }),
+
     "u4_union_evolve" -> ((s, dir) => {
       // schema-evolution union: a legacy slice without the status
       // column unions BY NAME with the current schema
@@ -5600,6 +5633,34 @@ object SparkEntry {
                        ORDER BY ver DESC) AS rn
            FROM allrows) WHERE rn = 1
          ORDER BY o_orderkey""",
+
+    // storage must never change content: the manifest-published SCD2
+    // table answers with j10's oracle verbatim
+    "j18_scd2_manifest" ->
+      """WITH hist AS (SELECT c_custkey AS key, c_mktsegment AS segment,
+                              TIMESTAMP '1995-01-01 00:00:00' AS vf,
+                              CAST(NULL AS TIMESTAMP) AS vt
+                       FROM customer),
+              upd AS (SELECT c_custkey AS key,
+                             CASE WHEN c_custkey % 3 = 0
+                                  THEN 'SEG_' || CAST(c_custkey % 5 AS VARCHAR)
+                                  ELSE c_mktsegment END AS segment,
+                             TIMESTAMP '2000-06-01 00:00:00' AS ts
+                      FROM customer WHERE c_custkey % 3 <> 2),
+              chg AS (SELECT h.key, u.segment AS new_seg, u.ts
+                      FROM hist h JOIN upd u ON h.key = u.key
+                      WHERE h.vt IS NULL AND h.segment <> u.segment),
+              res AS (SELECT h.key, h.segment, h.vf,
+                             CASE WHEN c.key IS NOT NULL THEN c.ts
+                                  ELSE h.vt END AS vt
+                      FROM hist h LEFT JOIN chg c
+                        ON h.key = c.key AND h.vt IS NULL
+                      UNION ALL
+                      SELECT key, new_seg, ts, CAST(NULL AS TIMESTAMP)
+                      FROM chg)
+         SELECT key, segment, strftime(vf, '%Y-%m-%d') AS valid_from,
+                coalesce(strftime(vt, '%Y-%m-%d'), 'current') AS valid_to
+         FROM res ORDER BY key, valid_from, segment""",
 
     // the round-trip law: extract→apply must land exactly on the new
     // snapshot, which the oracle computes directly

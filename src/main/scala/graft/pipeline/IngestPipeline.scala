@@ -29,21 +29,10 @@ object IngestPipeline {
     def done: Boolean = pending.isEmpty
   }
 
-  /** Test-only crash injection for the audit protocol's chaos spec
-    * (VERDICT r12 next-list #6). [[Kill]] extends Error, so load()'s
-    * `catch { case e: Exception }` does NOT see it — no failure audit
-    * row is appended, and durable state is left EXACTLY as a process
-    * kill at that site would leave it. Disarmed (the default) the
-    * hit() calls are a single volatile read each. */
-  private[graft] object FailPoint {
-    @volatile private var armed: String = null
-    def arm(site: String): Unit = armed = site
-    def disarm(): Unit = armed = null
-    def hit(site: String): Unit =
-      if (armed != null && armed == site) { armed = null; throw new Kill(site) }
-  }
-  private[graft] final class Kill(site: String)
-    extends Error(s"injected kill at $site")
+  /** Crash-injection seams for the audit protocol's chaos spec live in
+    * [[graft.FailPoint]] (shared with the SCD2 manifest chaos spec). */
+  private[graft] val FailPoint = graft.FailPoint
+  private[graft] type Kill = graft.FailPoint.Kill
 }
 
 final class IngestPipeline(spark: SparkSession, warehouse: String,

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** The manifest-published SCD2 table: atomic reader visibility across
+  * the closed-append + current-overwrite pair that the dynamic-
+  * partition layout leaves non-atomic (its documented contract), plus
+  * crash/replay convergence at both kill points. */
+class Scd2ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def upd(rows: (Long, String, Timestamp)*) =
+    rows.toSeq.toDF("k", "attr", "ts")
+  private val t1 = ts("1995-01-01 00:00:00")
+  private val t2 = ts("2000-01-01 00:00:00")
+  private val t3 = ts("2001-01-01 00:00:00")
+
+  private def read(path: String) =
+    Upsert.scd2ReadManifested(spark, path).drop("status")
+      .select($"k", $"attr", $"valid_from", $"valid_to")
+      .as[(Long, String, Timestamp, Option[Timestamp])].collect().toSet
+
+  private def batchTwice = {
+    val hist0 = upd((1L, "A", t1), (2L, "B", t1), (3L, "C", t1))
+      .select($"k", $"attr", $"ts".as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+    Upsert.scd2Merge(
+      Upsert.scd2Merge(hist0, upd((1L, "A2", t2)), Seq("k"), Seq("attr"), "ts"),
+      upd((2L, "B2", t3)), Seq("k"), Seq("attr"), "ts")
+      .as[(Long, String, Timestamp, Option[Timestamp])].collect().toSet
+  }
+
+  test("merge sequence equals the batch scd2Merge; status column sane") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scd2m")
+      .toString + "/hist"
+    Upsert.scd2MergeManifested(spark, path,
+      upd((1L, "A", t1), (2L, "B", t1), (3L, "C", t1)),
+      Seq("k"), Seq("attr"), "ts")
+    Upsert.scd2MergeManifested(spark, path, upd((1L, "A2", t2)),
+      Seq("k"), Seq("attr"), "ts")
+    Upsert.scd2MergeManifested(spark, path, upd((2L, "B2", t3)),
+      Seq("k"), Seq("attr"), "ts")
+    assert(read(path) == batchTwice)
+    val st = Upsert.scd2ReadManifested(spark, path)
+      .groupBy($"status").count().as[(String, Long)].collect().toMap
+    assert(st == Map("current" -> 3L, "closed" -> 2L))
+  }
+
+  test("kill after closed-append: readers see the UNTORN pre-merge " +
+      "state; retry converges without duplicating closed rows") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scd2mk1")
+      .toString + "/hist"
+    Upsert.scd2MergeManifested(spark, path,
+      upd((1L, "A", t1), (2L, "B", t1), (3L, "C", t1)),
+      Seq("k"), Seq("attr"), "ts")
+    val before = read(path)
+    graft.FailPoint.arm("scd2_after_closed_append")
+    try intercept[graft.FailPoint.Kill] {
+      Upsert.scd2MergeManifested(spark, path, upd((1L, "A2", t2)),
+        Seq("k"), Seq("attr"), "ts")
+    } finally graft.FailPoint.disarm()
+    // the committed-but-unlisted closed delta is INVISIBLE: this is
+    // exactly the torn state the dynamic-partition layout exposes
+    assert(read(path) == before)
+    // retry IS the recovery; the replayed delta deduplicates by token
+    Upsert.scd2MergeManifested(spark, path, upd((1L, "A2", t2)),
+      Seq("k"), Seq("attr"), "ts")
+    Upsert.scd2MergeManifested(spark, path, upd((2L, "B2", t3)),
+      Seq("k"), Seq("attr"), "ts")
+    assert(read(path) == batchTwice)
+  }
+
+  test("kill after current-write (before publish): same invariants") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scd2mk2")
+      .toString + "/hist"
+    Upsert.scd2MergeManifested(spark, path,
+      upd((1L, "A", t1), (2L, "B", t1), (3L, "C", t1)),
+      Seq("k"), Seq("attr"), "ts")
+    val before = read(path)
+    graft.FailPoint.arm("scd2_after_current_write")
+    try intercept[graft.FailPoint.Kill] {
+      Upsert.scd2MergeManifested(spark, path, upd((1L, "A2", t2)),
+        Seq("k"), Seq("attr"), "ts")
+    } finally graft.FailPoint.disarm()
+    // a fully-written but unpublished current_e1 stays unreferenced
+    assert(read(path) == before)
+    Upsert.scd2MergeManifested(spark, path, upd((1L, "A2", t2)),
+      Seq("k"), Seq("attr"), "ts")
+    Upsert.scd2MergeManifested(spark, path, upd((2L, "B2", t3)),
+      Seq("k"), Seq("attr"), "ts")
+    assert(read(path) == batchTwice)
+  }
+
+  test("identical update replayed as its OWN merge is a no-op epoch") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scd2mr")
+      .toString + "/hist"
+    Upsert.scd2MergeManifested(spark, path,
+      upd((1L, "A", t1), (2L, "B", t1)), Seq("k"), Seq("attr"), "ts")
+    Upsert.scd2MergeManifested(spark, path, upd((1L, "A2", t2)),
+      Seq("k"), Seq("attr"), "ts")
+    val after = read(path)
+    Upsert.scd2MergeManifested(spark, path, upd((1L, "A2", t2)),
+      Seq("k"), Seq("attr"), "ts")
+    assert(read(path) == after)
+  }
+}
