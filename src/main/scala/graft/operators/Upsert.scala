@@ -209,6 +209,9 @@ object Upsert {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = s"$tablePath._merge_tmp"
     merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    // a kill here leaves the staged tmp and an untouched table; the
+    // replay's Overwrite restages and completes (AuditChaosSpec)
+    graft.FailPoint.hit("merge_after_tmp_write")
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
@@ -222,6 +225,10 @@ object Upsert {
       }
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
+    // a kill here = merge landed, caller's bookkeeping didn't; the
+    // replay re-merges the same batch and mergeVersioned keeps the
+    // table a pure function of the batch set
+    graft.FailPoint.hit("merge_after_overwrite")
   }
 
   /** [[scd2Merge]] against an on-disk history table partitioned by a

@@ -38,7 +38,11 @@ class AuditChaosSpec extends SparkSpec {
       "single-delivery table and exactly one success audit row") {
     val sites = Seq("s0_enter", "s1_after_suppress_check",
       "s2_before_reconcile", "s2_after_reconcile", "s2_after_temp_append",
-      "s3_before_merge", "s3_after_merge", "s3_between_appends",
+      "s3_before_merge",
+      // inside the merge itself: staged-but-not-applied, and
+      // applied-but-unacknowledged (Upsert.mergeIntoPartitioned)
+      "merge_after_tmp_write", "merge_after_overwrite",
+      "s3_after_merge", "s3_between_appends",
       "s3_after_final_append")
     for (site <- sites) {
       val in = tmpDir("graft_chaos_in"); val wh = tmpDir("graft_chaos_wh")
