@@ -3658,6 +3658,20 @@ object SparkEntry {
         "vec_id", "embedding", q, k = 10, rerank = 40, maxAbs = maxAbs)
     }),
 
+    "x_sim_bq" -> ((s, dir) => {
+      // binary-quantized ANN (1 bit/dim): Hamming over mean-centered
+      // sign-bit code words (packed longs, XOR+popcount) prefilters to
+      // `rerank` candidates, exact cosine re-ranks — 32x less
+      // candidate-pass IO than float32 at scale. The oracle counts
+      // sign mismatches over the same 6-dp-rounded means (packing is
+      // an encoding, not a semantic).
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val means = Similarity.bqMeans(emb, "embedding")
+      Similarity.bqTopK(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, k = 10, rerank = 40, means = means)
+    }),
+
     "x_sim_lsh_index" -> ((s, dir) => {
       // persistent LSH forest (build-once/probe-many): the probe reads
       // ONE (tbl, bucket) partition per table — bucket membership as
@@ -8080,6 +8094,39 @@ object SparkEntry {
                      FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id),
               cand AS (SELECT vec_id FROM qd
                        ORDER BY qdot DESC, vec_id LIMIT 40),
+              s2 AS (SELECT e.vec_id,
+                            round(sum(e.x * q.qx) /
+                              (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))),
+                              6) AS score
+                     FROM e JOIN q ON e.i = q.i
+                     WHERE e.vec_id IN (SELECT vec_id FROM cand)
+                     GROUP BY e.vec_id)
+         SELECT vec_id, score FROM s2
+         ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // sign-mismatch count == packed-XOR popcount: the oracle never
+    // packs, it compares (x > mean) booleans per dimension over the
+    // SAME round(avg, 6) thresholds the engine centers on
+    "x_sim_bq" ->
+      """WITH m AS (SELECT i, round(avg(x), 6) AS mx
+                    FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+                                 generate_subscripts(embedding, 1) AS i
+                          FROM embeddings)
+                    GROUP BY i),
+              q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+              e AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id <> 0),
+              ham AS (SELECT e.vec_id,
+                             sum(CASE WHEN (e.x > m.mx) <> (q.qx > m.mx)
+                                 THEN 1 ELSE 0 END) AS h
+                      FROM e JOIN q ON e.i = q.i JOIN m ON m.i = e.i
+                      GROUP BY 1),
+              cand AS (SELECT vec_id FROM ham ORDER BY h ASC, vec_id
+                       LIMIT 40),
               s2 AS (SELECT e.vec_id,
                             round(sum(e.x * q.qx) /
                               (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))),

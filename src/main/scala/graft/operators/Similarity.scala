@@ -226,6 +226,84 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-dimension means of `vecCol`, rounded to 6 dp — the centering
+    * thresholds for [[bqTopK]]'s sign bits. Rounded BEFORE use so an
+    * external oracle recomputing the mean in a different summation
+    * order lands on the identical threshold: raw double averages
+    * differ across engines in the last ulp, and a vector component
+    * sitting on that ulp would flip its bit. */
+  def bqMeans(emb: DataFrame, vecCol: String): Seq[Double] =
+    emb.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("_i", "_x")))
+      .groupBy(col("_i")).agg(round(avg(col("_x")), 6).as("_m"))
+      .orderBy(col("_i"))
+      .collect().map(_.getDouble(1)).toSeq
+
+  /** Mean-centered sign bits of a vector packed into `ceil(d/64)`
+    * longs — the binary-quantization code word. */
+  private def bqWordsExpr(vecCol: String, means: Seq[Double]): String = {
+    val d = means.length
+    val nwords = (d + 63) / 64
+    val meansSql = means.map(m => s"CAST($m AS DOUBLE)")
+      .mkString("array(", ",", ")")
+    s"""transform(sequence(0, ${nwords - 1}), w ->
+        aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
+          CASE WHEN w * 64 + b < $d AND
+            element_at(CAST(`$vecCol` AS array<double>), w * 64 + b + 1) >
+              element_at($meansSql, w * 64 + b + 1)
+          THEN acc | shiftleft(CAST(1 AS BIGINT), b) ELSE acc END))"""
+  }
+
+  /** Binary-quantized ANN top-k ("BQ" — 1 bit per dimension): rank the
+    * corpus by Hamming distance between mean-centered sign-bit code
+    * words (packed longs, XOR + popcount per 64 dims), keep the best
+    * `rerank` candidates, re-rank those by full-precision cosine.
+    *
+    * The 100 TB story is even stronger than [[sqTopK]]'s int8: the
+    * code word is 32× smaller than float32, so a corpus whose vectors
+    * occupy 25 TB scans 0.8 TB of codes in the candidate pass (store
+    * the code column alongside the corpus — here it is computed
+    * in-plan), and the per-row cost is d/64 XOR+popcount ops instead
+    * of d multiplies. Candidate quality follows the random-projection
+    * sign argument (the same guarantee LSH hyperplanes give, with the
+    * data's own axes as planes); `rerank` buys back the quantization
+    * loss exactly like sqTopK's second stage.
+    *
+    * Both stages are distributed TakeOrdered (per-partition heaps,
+    * driver merge) — no shuffle, no global sort. Deterministic: the
+    * 6-dp means are a fixed threshold, strict `>` on both sides, and
+    * both tie-breaks ((hamming asc, id asc), (score desc, id asc)) are
+    * total orders — an oracle replaying sign-mismatch counts over the
+    * same rounded means hash-matches without reproducing the packing. */
+  def bqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             query: Seq[Double], k: Int, rerank: Int,
+             means: Seq[Double]): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(means.nonEmpty, "means must not be empty")
+    val d = means.length
+    val nwords = (d + 63) / 64
+    val qWords: Seq[Long] = (0 until nwords).map { w =>
+      (0 until 64).foldLeft(0L) { (acc, b) =>
+        val i = w * 64 + b
+        if (i < d && query(i) > means(i)) acc | (1L << b) else acc
+      }
+    }
+    val qwSql = qWords.map(w => s"${w}L").mkString("array(", ",", ")")
+    val hamExpr =
+      s"""aggregate(zip_with(_bqw, $qwSql, (a, b) -> bit_count(a ^ b)),
+          0, (acc, x) -> acc + x)"""
+    val cand = emb
+      .withColumn("_bqw", expr(bqWordsExpr(vecCol, means)))
+      .withColumn("_ham", expr(hamExpr))
+      .orderBy(col("_ham").asc, col(idCol).asc)
+      .limit(rerank)
+    val q = array(query.map(lit): _*)
+    cand.select(col(idCol),
+        cosineRounded(col(vecCol).cast("array<double>"), q).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Top-k neighbors per anchor within blocks (kNN-join building block).
     *
     * Candidate-bounded formulation — two scale devices over the naive

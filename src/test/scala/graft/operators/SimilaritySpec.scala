@@ -147,6 +147,53 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("bqTopK: packed hamming == direct sign-mismatch count; full " +
+      "rerank equals brute force; >64 dims span words") {
+    val means = Similarity.bqMeans(emb, "embedding")
+    assert(means.length == 4)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 3)
+      .as[(Long, Double)].collect().toSeq
+    val full = Similarity.bqTopK(emb, "vec_id", "embedding", query,
+        k = 3, rerank = 6, means = means)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == exact) // rerank covers the corpus -> exact result
+    // both stages TakeOrdered — no global sort, no shuffle
+    val plan = Similarity.bqTopK(emb, "vec_id", "embedding", query,
+        k = 2, rerank = 3, means = means)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // packing correctness across the word boundary: 70-dim vectors
+    // land bits in TWO longs; the packed-XOR-popcount candidate order
+    // must equal a direct per-dimension sign-mismatch count
+    val d = 70
+    val rnd = new scala.util.Random(7)
+    val wide = (1L to 20L).map(i =>
+        (i, Array.fill(d)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val wq = Seq.tabulate(d)(j => math.sin(j * 0.7))
+    val wMeans = Similarity.bqMeans(wide, "embedding")
+    assert(wMeans.length == d)
+    val got = Similarity.bqTopK(wide, "vec_id", "embedding", wq,
+        k = 20, rerank = 20, means = wMeans)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    // reference: hamming computed WITHOUT packing, then the same exact
+    // cosine rerank ordering
+    val rows = wide.as[(Long, Seq[Float])].collect()
+    def bits(v: Seq[Double]) = v.zip(wMeans).map { case (x, m) => x > m }
+    val qb = bits(wq)
+    val ham = rows.map { case (id, v) =>
+      id -> bits(v.map(_.toDouble)).zip(qb).count(p => p._1 != p._2)
+    }.toMap
+    // with rerank == corpus the output is the exact cosine order, so
+    // check the CANDIDATE stage directly instead: top-5 by (ham, id)
+    val wantCand = rows.map(_._1).sortBy(id => (ham(id), id)).take(5)
+    val gotCand = Similarity.bqTopK(wide, "vec_id", "embedding", wq,
+        k = 5, rerank = 5, means = wMeans)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(gotCand == wantCand.toSet, s"$gotCand vs $wantCand")
+    assert(got.length == 20)
+  }
+
   test("blockKnn returns k best partners per anchor within a block") {
     val out = Similarity.blockKnn(emb, "vec_id", "embedding", "label", k = 1)
       .as[(Long, Long, Double)].collect()
