@@ -3658,6 +3658,17 @@ object SparkEntry {
         "vec_id", "embedding", q, k = 10, rerank = 40, maxAbs = maxAbs)
     }),
 
+    "x_sim_mrl" -> ((s, dir) => {
+      // matryoshka/truncated-prefix ANN: candidate pass scores only the
+      // first 16 of 64 dims (4x less candidate IO with a stored prefix
+      // column), exact full-dim cosine re-ranks. Same two-TakeOrdered
+      // shape as x_sim_sq, traded along the dimension axis.
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      Similarity.mrlTopK(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, k = 10, rerank = 40, prefixDims = 16)
+    }),
+
     "x_sim_bq" -> ((s, dir) => {
       // binary-quantized ANN (1 bit/dim): Hamming over mean-centered
       // sign-bit code words (packed longs, XOR+popcount) prefilters to
@@ -8094,6 +8105,34 @@ object SparkEntry {
                      FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id),
               cand AS (SELECT vec_id FROM qd
                        ORDER BY qdot DESC, vec_id LIMIT 40),
+              s2 AS (SELECT e.vec_id,
+                            round(sum(e.x * q.qx) /
+                              (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))),
+                              6) AS score
+                     FROM e JOIN q ON e.i = q.i
+                     WHERE e.vec_id IN (SELECT vec_id FROM cand)
+                     GROUP BY e.vec_id)
+         SELECT vec_id, score FROM s2
+         ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // prefix-cosine candidate stage replayed dimension-for-dimension
+    // (i <= 16), then the standard exact re-rank
+    "x_sim_mrl" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+              e AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id <> 0),
+              ps AS (SELECT e.vec_id,
+                            round(sum(e.x * q.qx) /
+                              (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))),
+                              6) AS p
+                     FROM e JOIN q ON e.i = q.i
+                     WHERE e.i <= 16 GROUP BY 1),
+              cand AS (SELECT vec_id FROM ps ORDER BY p DESC, vec_id
+                       LIMIT 40),
               s2 AS (SELECT e.vec_id,
                             round(sum(e.x * q.qx) /
                               (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))),

@@ -304,6 +304,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka (truncated-prefix) ANN top-k: rank the corpus by cosine
+    * over only the FIRST `prefixDims` components, keep the best
+    * `rerank` candidates, re-rank those by full-dimension cosine.
+    *
+    * The premise is the embedding's, not the engine's: matryoshka-
+    * trained representations (MRL, Kusupati et al. 2022) pack a usable
+    * coarse embedding into every prefix, so the candidate pass reads
+    * `prefixDims/d` of the vector bytes (store the prefix as its own
+    * column/file at scale — d/4 dims ⇒ 4× less candidate IO, the same
+    * lever as [[sqTopK]]'s int8 and [[bqTopK]]'s bits, traded along the
+    * dimension axis instead of the precision axis). Both stages are
+    * distributed TakeOrdered; the 6-dp-rounded prefix score with the
+    * id tie-break is a total order an external oracle replays. */
+  def mrlTopK(emb: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, rerank: Int,
+              prefixDims: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(prefixDims >= 1 && prefixDims <= query.length,
+      s"prefixDims ($prefixDims) must be in [1, ${query.length}]")
+    val qPref = array(query.take(prefixDims).map(lit): _*)
+    // a vector whose PREFIX is all zeros has no cosine against the
+    // query prefix (0/0 under ANSI is an error, not a ranking) — rank
+    // it last deterministically; the full-dim rerank never divides by
+    // zero on real unit-norm embeddings
+    val pref = slice(col(vecCol).cast("array<double>"), 1, prefixDims)
+    val cand = emb.select(col(idCol), col(vecCol),
+        when(dot(pref, pref) === 0.0, lit(-2.0))
+          .otherwise(cosineRounded(pref, qPref)).as("_ps"))
+      .orderBy(col("_ps").desc, col(idCol).asc)
+      .limit(rerank)
+    val q = array(query.map(lit): _*)
+    cand.select(col(idCol),
+        cosineRounded(col(vecCol).cast("array<double>"), q).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Top-k neighbors per anchor within blocks (kNN-join building block).
     *
     * Candidate-bounded formulation — two scale devices over the naive

@@ -194,6 +194,46 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length == 20)
   }
 
+  test("mrlTopK: full rerank equals brute force; prefix stage really " +
+      "truncates") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 3)
+      .as[(Long, Double)].collect().toSeq
+    val full = Similarity.mrlTopK(emb, "vec_id", "embedding", query,
+        k = 3, rerank = 6, prefixDims = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == exact)
+    // candidate stage really scores the PREFIX only: with rerank == k,
+    // the survivors are exactly the top-k by (6-dp prefix cosine desc,
+    // id asc) — computed independently here (note cosine is magnitude-
+    // blind: vector 6's tiny (0.1, 0) prefix is near-parallel to the
+    // query prefix and legitimately outranks vector 2)
+    def pcos(v: Seq[Float]): Double = {
+      val p = v.take(2).map(_.toDouble); val q2 = query.take(2)
+      val d = p.zip(q2).map { case (a, b) => a * b }.sum
+      val n = math.sqrt(p.map(x => x * x).sum) *
+        math.sqrt(q2.map(x => x * x).sum)
+      if (n == 0) -2.0
+      else BigDecimal(d / n).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val rows3 = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val want = rows3.map { case (id, v) => (id, pcos(v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSet
+    val narrow = Similarity.mrlTopK(emb, "vec_id", "embedding", query,
+        k = 3, rerank = 3, prefixDims = 2)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(narrow == want, s"$narrow vs $want")
+    intercept[IllegalArgumentException] {
+      Similarity.mrlTopK(emb, "vec_id", "embedding", query,
+        k = 3, rerank = 3, prefixDims = 9)
+    }
+    val plan = Similarity.mrlTopK(emb, "vec_id", "embedding", query,
+        k = 2, rerank = 3, prefixDims = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("blockKnn returns k best partners per anchor within a block") {
     val out = Similarity.blockKnn(emb, "vec_id", "embedding", "label", k = 1)
       .as[(Long, Long, Double)].collect()
