@@ -257,7 +257,11 @@ object Bench {
       val runMin = allSamples
         .filterNot { case (n, _) => failed.contains(n) }
         .map { case (n, ss) => n -> ss.min }.toMap
-      val isoMap = isolated.toMap
+      // the in-process isolation FALLBACK can record a throwing query's
+      // time-to-failure as its median (sample() adds the name to
+      // `failed` but still returns elapsed) — keep those out of the
+      // durable floors or the query reads as >2x-regressed forever
+      val isoMap = isolated.toMap -- failed
       val merged = (priorFloor.toSeq ++ runMin.toSeq ++ isoMap.toSeq)
         .filter { case (n, v) => qnames.contains(n) && v > 0.0 }
         .groupMapReduce(_._1)(_._2)(math.min)

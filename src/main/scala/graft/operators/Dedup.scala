@@ -224,10 +224,13 @@ object Dedup {
     * generating ~(1−t)·df² join rows per shingle (measured 8-14×
     * slower than uncapped at 10× scale; rejected).
     *
-    * ε discipline: the prefix length nudges the float product DOWN
-    * before ceil, so slop can only ADMIT candidates; 1e-6 also covers
-    * the round-to-6-dp output filter (containment t − 4e-7 rounds up
-    * to t and must be caught). */
+    * ε discipline: the hot-leg prefix length is computed at the
+    * LOWERED threshold (t − 1e-6) — relative, so it dominates both
+    * float slop and the round-to-6-dp output filter's admission band
+    * (round(s/sz, 6) ≥ t admits s ≥ (t − 5e-7)·sz, a band that grows
+    * with sz and that an absolute nudge would stop covering). Slop can
+    * therefore only ADMIT extra candidates, never exclude a pair the
+    * uncapped form emits. */
   def containmentPairsExact(docs: DataFrame, idCol: String,
                             textCol: String, n: Int, threshold: Double,
                             maxBlock: Long = 1000L): DataFrame = {
@@ -279,8 +282,15 @@ object Dedup {
           .agg(sort_array(collect_list(struct(col("_df"), col("_sh"))))
             .as("_toks"))
           .select(col("_id"), col("_toks"), size(col("_toks")).as("_sz"))
+          // RELATIVE slop (t − 1e-6)·sz, not t·sz − ε: the output
+          // filter admits round(s/sz, 6) ≥ t, i.e. s ≥ (t − 5e-7)·sz —
+          // a band that GROWS with sz, which an absolute ε stops
+          // covering past sz ≈ 2. (t − 1e-6)·sz sits strictly below it
+          // for every sz, so the prefix only lengthens, never misses a
+          // boundary pair the uncapped form emits.
           .withColumn("_plen", (col("_sz") -
-            ceil(lit(threshold) * col("_sz") - lit(1e-6)) + 1).cast("int"))
+            ceil(lit(threshold - 1e-6) * col("_sz") - lit(1e-9)) + 1)
+            .cast("int"))
           .select(col("_id"),
             explode(slice(col("_toks"), lit(1), col("_plen"))).as("_t"))
           .filter(col("_t._df") > maxBlock)
@@ -1342,12 +1352,16 @@ object Dedup {
       .select(col("_id"),
         expr("transform(_toks, t -> t._sh)").as("_set"),
         size(col("_toks")).as("_sz"))
-      // ε nudges the double product DOWN before ceil: float slop can
-      // only lengthen the prefix (extra candidates — safe), never
-      // shorten it below the theorem's bound
+      // RELATIVE ε, (t − 1e-6)·sz: the output filter admits
+      // round(j, 6) ≥ t, i.e. overlap ≥ (t − 5e-7)·max(|x|,|y|) — a
+      // boundary band that grows with set size, which the former
+      // absolute 1e-9 nudge stopped covering beyond tiny sets. The
+      // lowered-threshold prefix can only LENGTHEN (extra candidates —
+      // safe), never exclude a pair the round-6dp filter keeps.
       .withColumn("_plen",
         (col("_sz") -
-          ceil(lit(threshold) * col("_sz") - lit(1e-9)) + 1).cast("int"))
+          ceil(lit(threshold - 1e-6) * col("_sz") - lit(1e-9)) + 1)
+          .cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val plists = docSets
       .select(col("_id"), col("_sz"),
@@ -1363,8 +1377,11 @@ object Dedup {
       .select(col("_ea"),
         explode(slice(col("_entries"), col("_i") + lit(2),
           size(col("_entries")))).as("_eb"))
-      // same ε discipline: the size prune may only be too permissive
-      .filter(lit(threshold) * col("_eb._sz") <= col("_ea._sz") + lit(1e-9))
+      // same relative-ε discipline: the size prune may only be too
+      // permissive (a round-6dp boundary pair satisfies
+      // (t − 5e-7)·|y| ≤ |x|, not t·|y| ≤ |x|)
+      .filter(lit(threshold - 1e-6) * col("_eb._sz")
+        <= col("_ea._sz") + lit(1e-9))
       .select(least(col("_ea._id"), col("_eb._id")).as("id_a"),
         greatest(col("_ea._id"), col("_eb._id")).as("id_b"))
       .distinct()

@@ -217,14 +217,20 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     // the assigned delta stages into a hidden subtree, renames in, and
     // only then gains its _SUCCESS marker — [[cells]] reads committed
     // files only, so a probe never sees a killed append's partial
-    // rename, and a redelivered batch (same content token) is a no-op
+    // rename, and a redelivered batch (same content token) is a no-op.
+    //
+    // Invalidation ordering: the SQ wipe and the mods bump run
+    // UNCONDITIONALLY, sibling-wipe first — a crash between the
+    // marker commit and a conditional invalidation would leave the
+    // int8 sibling certified fresh while missing the appended rows
+    // FOREVER (the retry would no-op past the `if`). A redelivered
+    // no-op append re-wiping the sibling costs one rebuild;
+    // over-invalidation is the safe direction.
+    invalidateSq()
     val token = StagedCommit.idToken(emb, idCol, vecCol)
-    val landed = StagedCommit.appendOnce(cellsPath, token, Seq("cell"),
+    StagedCommit.appendOnce(cellsPath, token, Seq("cell"),
       assignedFrame(emb, idCol, vecCol, storedCentroids()))
-    if (landed) {
-      invalidateSq() // appended rows are not in the sibling yet
-      IndexEpoch.write(spark, epochPath, e.copy(mods = e.mods + 1))
-    }
+    IndexEpoch.write(spark, epochPath, e.copy(mods = e.mods + 1))
   }
 
   private def storedCentroids(): Seq[(Int, Seq[Double])] =

@@ -94,20 +94,30 @@ object StagedCommit {
       val inStage = st.getPath.toString
         .stripPrefix(dir.toString).contains("/_stage_")
       if (name.endsWith(".parquet") && !inStage) {
-        if (!name.startsWith("delta_")) keep += st.getPath.toString
-        else {
-          // {5,}: appendOnce's f"%05d" widens past 5 digits at index
-          // 100000+ — a fixed-width match would silently exclude those
-          // files from every committed-only read (ADVICE r12)
-          val token = name.stripPrefix("delta_")
-            .replaceAll("_\\d{5,}\\.parquet$", "")
-          if (committed.contains(token)) keep += st.getPath.toString
+        deltaToken(name) match {
+          case None => keep += st.getPath.toString
+          case Some(token) =>
+            if (committed.contains(token)) keep += st.getPath.toString
         }
       }
     }
     require(keep.nonEmpty, s"no committed parquet files under $path")
     spark.read.option("basePath", dir.toString).parquet(keep.toSeq: _*)
   }
+
+  /** The commit token encoded in a delta part file's name, or None for
+    * a non-delta (base build) file. ONE home for the name scheme —
+    * every committed-only reader (readCommitted, the SCD2 manifest
+    * reader) must extract tokens identically or a naming change would
+    * silently exclude files from whichever copy was forgotten.
+    * `{5,}`: appendOnce's f"%05d" widens past 5 digits at index
+    * 100000+ — a fixed-width match would drop those files (ADVICE
+    * r12). */
+  def deltaToken(fileName: String): Option[String] =
+    if (!fileName.startsWith("delta_") || !fileName.endsWith(".parquet"))
+      None
+    else Some(fileName.stripPrefix("delta_")
+      .replaceAll("_\\d{5,}\\.parquet$", ""))
 
   /** Append `delta` to the parquet artifact at `path` exactly once per
     * `token`. Returns false if the token was already committed. */

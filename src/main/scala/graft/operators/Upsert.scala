@@ -323,8 +323,10 @@ object Upsert {
     * appendOnce deduplicates), overwrites current_e(N+1), and only the
     * final rename publishes both. After the rename the merge is fully
     * visible. There is no state in which a reader sees half a merge.
-    * Single writer assumed (the repo-wide artifact contract); old
-    * epoch dirs and manifests are swept best-effort after publish. */
+    * Single writer assumed (the repo-wide artifact contract); epoch
+    * dirs and manifests OLDER than the immediately-previous epoch are
+    * swept best-effort after publish (one epoch is retained so a lazy
+    * reader survives one concurrent merge). */
   def scd2MergeManifested(spark: org.apache.spark.sql.SparkSession,
                           tablePath: String, updates: DataFrame,
                           keys: Seq[String], attrs: Seq[String],
@@ -344,15 +346,26 @@ object Upsert {
         Scd2Manifest.publish(fs, root, 0, Nil)
       case Some((epoch, tokens)) =>
         val cur = spark.read.parquet(s"$tablePath/current_e$epoch")
-        val merged = scd2Merge(cur, updates, keys, attrs, tsCol,
-          validFrom, validTo)
+        // stage the merge result ONCE: the four downstream actions
+        // (emptiness probe, content token, closed append, current
+        // write) would each replay the full-outer join otherwise —
+        // the same device mergeIntoPartitioned uses. The tmp dir is
+        // transient scratch: a crash leaves it for the retry's
+        // Overwrite; it is never read by the published state.
+        val tmp = s"$tablePath/_merge_tmp"
+        scd2Merge(cur, updates, keys, attrs, tsCol, validFrom, validTo)
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        val merged = spark.read.parquet(tmp)
         val newClosed = merged.filter(col(validTo).isNotNull)
-        // token ties the delta to (epoch, content): a crash-retry of
-        // THIS merge reuses it (appendOnce dedupes); a later identical
-        // update batch lands under a fresh epoch, so it can never be
-        // swallowed by an old commit
+        // token ties the delta to (epoch, FULL row content — keys,
+        // attrs, and both validity bounds): a crash-retry of THIS
+        // merge reuses it (appendOnce dedupes), while a DIFFERENT
+        // abandoned-then-replaced batch at the same epoch that closes
+        // the same keys still lands distinct rows (its valid_to
+        // differs), so a stale committed delta can never be silently
+        // republished as another batch's history
         val token = s"e${epoch}_" +
-          StagedCommit.idToken(newClosed, keys :+ validFrom: _*)
+          StagedCommit.idToken(newClosed, newClosed.columns.toSeq: _*)
         val landed =
           if (newClosed.isEmpty) None
           else {
@@ -366,9 +379,13 @@ object Upsert {
           .parquet(s"$tablePath/current_e${epoch + 1}")
         graft.FailPoint.hit("scd2_after_current_write")
         Scd2Manifest.publish(fs, root, epoch + 1, tokens ++ landed)
-        // best-effort GC — crash here leaves garbage a later publish
-        // sweeps, never an inconsistent read
-        Scd2Manifest.sweep(fs, root, epoch + 1)
+        // best-effort GC, RETAINING the immediately-previous epoch: a
+        // lazy reader that resolved manifest N must survive one
+        // concurrent merge to N+1 (zero retention would delete the
+        // files under its scan). Older garbage — and a crash here —
+        // is swept by the next merge's publish.
+        Scd2Manifest.sweep(fs, root, epoch)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
   }
 
@@ -393,14 +410,11 @@ object Upsert {
       val it = fs.listFiles(closedDir, true)
       while (it.hasNext) {
         val st = it.next()
-        val name = st.getPath.getName
         val inStage = st.getPath.toString.contains("/_stage_")
-        if (name.endsWith(".parquet") && !inStage &&
-            name.startsWith("delta_")) {
-          val token = name.stripPrefix("delta_")
-            .replaceAll("_\\d{5,}\\.parquet$", "")
-          if (visible.contains(token)) files += st.getPath.toString
-        }
+        if (!inStage)
+          StagedCommit.deltaToken(st.getPath.getName).foreach { token =>
+            if (visible.contains(token)) files += st.getPath.toString
+          }
       }
       val closed = spark.read.parquet(files.toSeq: _*)
         .withColumn("status", lit("closed"))
