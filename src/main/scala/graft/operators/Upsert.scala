@@ -407,14 +407,10 @@ object Upsert {
       val closedDir = new org.apache.hadoop.fs.Path(s"$tablePath/closed")
       val visible = tokens.toSet
       val files = scala.collection.mutable.Buffer.empty[String]
-      val it = fs.listFiles(closedDir, true)
-      while (it.hasNext) {
-        val st = it.next()
-        val inStage = st.getPath.toString.contains("/_stage_")
-        if (!inStage)
-          StagedCommit.deltaToken(st.getPath.getName).foreach { token =>
-            if (visible.contains(token)) files += st.getPath.toString
-          }
+      StagedCommit.walkParquet(fs, closedDir) { st =>
+        StagedCommit.deltaToken(st.getPath.getName).foreach { token =>
+          if (visible.contains(token)) files += st.getPath.toString
+        }
       }
       val closed = spark.read.parquet(files.toSeq: _*)
         .withColumn("status", lit("closed"))

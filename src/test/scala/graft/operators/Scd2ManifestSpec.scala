@@ -94,6 +94,56 @@ class Scd2ManifestSpec extends SparkSpec {
     assert(read(path) == batchTwice)
   }
 
+  test("concurrent reader during a merge stream only ever sees " +
+      "published snapshots, never a torn state") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scd2mc")
+      .toString + "/hist"
+    val batches: Seq[Seq[(Long, String, Timestamp)]] =
+      (0 until 6).map { i =>
+        (1L to 4L).map(k =>
+          (k, s"v${i}_$k", ts(f"200$i%d-01-01 00:00:00")))
+      }
+    // the legal snapshot set: every prefix-fold of the batch model
+    val hist0 = batches.head
+      .map { case (k, a, t0) => (k, a, t0, None: Option[Timestamp]) }
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val legal = scala.collection.mutable.Set.empty[Set[(Long, String, Timestamp, Option[Timestamp])]]
+    var acc = hist0
+    legal += hist0.as[(Long, String, Timestamp, Option[Timestamp])]
+      .collect().toSet
+    batches.tail.foreach { b =>
+      acc = Upsert.scd2Merge(acc, b.toDF("k", "attr", "ts"),
+        Seq("k"), Seq("attr"), "ts")
+      legal += acc.as[(Long, String, Timestamp, Option[Timestamp])]
+        .collect().toSet
+    }
+    Upsert.scd2MergeManifested(spark, path,
+      batches.head.toDF("k", "attr", "ts"), Seq("k"), Seq("attr"), "ts")
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val got = read(path)
+          if (!legal.contains(got))
+            bad.compareAndSet(null, s"torn read: $got")
+        }
+      } catch {
+        // FileNotFound from a swept epoch would be a retention bug;
+        // surface anything the reader hits
+        case e: Throwable => bad.compareAndSet(null, s"reader threw: $e")
+      }
+    })
+    reader.start()
+    try batches.tail.foreach { b =>
+      Upsert.scd2MergeManifested(spark, path,
+        b.toDF("k", "attr", "ts"), Seq("k"), Seq("attr"), "ts")
+    } finally { stop.set(true); reader.join(60000) }
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    assert(read(path) ==
+      acc.as[(Long, String, Timestamp, Option[Timestamp])].collect().toSet)
+  }
+
   test("identical update replayed as its OWN merge is a no-op epoch") {
     val path = java.nio.file.Files.createTempDirectory("graft_scd2mr")
       .toString + "/hist"
