@@ -48,6 +48,13 @@ object ContProbe {
     if (which == "new" || which == "both")
       run("prefix")(Dedup.containmentPairsExact(
         docs, "doc_id", "text", n = 3, threshold = t).count())
+    // jaccard siblings on the same corpus (threshold via CONT_T)
+    if (which == "jold" || which == "jboth")
+      run("j_uncapped")(Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 3, threshold = t, maxBlock = 0).count())
+    if (which == "jnew" || which == "jboth")
+      run("j_prefix")(Dedup.ngramJaccardPairsExact(
+        docs, "doc_id", "text", n = 3, threshold = t).count())
     spark.stop()
   }
 }
