@@ -364,11 +364,11 @@ object Upsert {
         // the same keys still lands distinct rows (its valid_to
         // differs), so a stale committed delta can never be silently
         // republished as another batch's history
-        val token = s"e${epoch}_" +
-          StagedCommit.idToken(newClosed, newClosed.columns.toSeq: _*)
         val landed =
           if (newClosed.isEmpty) None
           else {
+            val token = s"e${epoch}_" +
+              StagedCommit.idToken(newClosed, newClosed.columns.toSeq: _*)
             StagedCommit.appendOnce(s"$tablePath/closed", token, Nil,
               newClosed)
             Some(token.replaceAll("[^A-Za-z0-9_-]", "_"))
