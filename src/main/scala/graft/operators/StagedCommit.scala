@@ -72,10 +72,13 @@ object StagedCommit {
     * Partition values survive: the read passes `basePath`, so
     * `part=x/delta_tok_00001.parquet` still yields the `part` column.
     *
-    * Scale: one recursive listing (the same O(files) metadata pass any
-    * parquet read performs) + a driver-side set probe per file; token
-    * extraction strips the `_<i>.parquet` suffix, so it is O(1) per
-    * file regardless of how many deltas ever committed. */
+    * Scale: a per-directory listStatus walk over the LIVE tree only
+    * (hidden `_stage_`/`_temporary` subtrees are never enumerated —
+    * see [[walkParquet]]) + a driver-side set probe per file; on an
+    * object store that is O(directories) listing round-trips, the
+    * same metadata cost any partition-discovering parquet read pays.
+    * Token extraction strips the `_<i>.parquet` suffix, so it is O(1)
+    * per file regardless of how many deltas ever committed. */
   def readCommitted(spark: org.apache.spark.sql.SparkSession,
                     path: String): DataFrame = {
     val fs = new Path(path)
@@ -145,12 +148,14 @@ object StagedCommit {
     val marker = new Path(dir, s"_delta_${safe}_SUCCESS")
     if (fs.exists(marker)) return false
     val prefix = s"delta_${safe}_"
-    // self-heal: a killed commit of this token left some renamed files
+    // self-heal: a killed commit of this token left some renamed files.
+    // Stale deltas live only in the LIVE tree, so the hidden-subtree-
+    // skipping walk covers them — the flat recursive listFiles here
+    // would stat _stage_/_temporary entries and hit the vanished-child
+    // race the readers were cured of.
     if (fs.exists(dir)) {
       val stale = scala.collection.mutable.Buffer.empty[Path]
-      val it = fs.listFiles(dir, true)
-      while (it.hasNext) {
-        val st = it.next()
+      walkParquet(fs, dir) { st =>
         if (st.getPath.getName.startsWith(prefix)) stale += st.getPath
       }
       stale.foreach(p => fs.delete(p, false))

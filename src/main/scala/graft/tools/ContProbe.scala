@@ -6,10 +6,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Head-to-head probe: uncapped [[Dedup.containmentPairs]] vs the
   * prefix-filtered [[Dedup.containmentPairsExact]] on the same corpus
-  * (VERDICT r12 #3). Usage:
-  * `runMain graft.tools.ContProbe <dir> <which: old|new|both> [runs]`.
-  * Prints per-run seconds and the result row count (both forms must
-  * agree — the count printed is the cross-check). */
+  * (VERDICT r12 #3), plus the Jaccard siblings
+  * ([[Dedup.ngramJaccardPairs]] maxBlock=0 vs
+  * [[Dedup.ngramJaccardPairsExact]]) on the same corpus. Usage:
+  * `runMain graft.tools.ContProbe <dir> <which> [runs]` with `which` ∈
+  * {old, new, both} (containment) ∪ {jold, jnew, jboth} (Jaccard).
+  * Env: SPARK_GRAFT_CONT_SKEW=1 appends identical boilerplate to every
+  * doc (hot-shingle shape); SPARK_GRAFT_CONT_T overrides the threshold
+  * (default 0.3). Prints per-run seconds and the result row count
+  * (both forms must agree — the count printed is the cross-check). */
 object ContProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
