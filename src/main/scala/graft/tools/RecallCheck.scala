@@ -55,6 +55,38 @@ object RecallCheck {
         println(f"[recallcheck] $sf sq8 k=$k rerank=$rerank " +
           f"queries=${queryIds.size} recall@$k=${recallSum / queryIds.size}%.4f")
       }
+      // BQ: 1 bit/dim (32x compression) — recall measures how much
+      // ranking signal the sign bits keep at each rerank depth; the
+      // corpus/query handling mirrors sq (query row excluded)
+      val bqMeans = Similarity.bqMeans(emb, "embedding")
+      for (rerank <- Seq(k, 2 * k, 4 * k, 8 * k)) {
+        var recallSum = 0.0
+        for (qid <- queryIds) {
+          val corpus = emb.filter(col("vec_id") =!= qid)
+          val approx = Similarity.bqTopK(corpus, "vec_id", "embedding",
+              queryVecs(qid), k, rerank, bqMeans)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          recallSum += (exactSansSelf(qid) & approx).size.toDouble / k
+        }
+        println(f"[recallcheck] $sf bq1bit k=$k rerank=$rerank " +
+          f"queries=${queryIds.size} recall@$k=${recallSum / queryIds.size}%.4f")
+      }
+      // MRL truncated-prefix: recall vs prefix width at fixed rerank —
+      // how much of the ranking the first d/4 and d/2 dims carry on
+      // THIS corpus (synthetic embeddings are not matryoshka-trained,
+      // so this is the pessimistic floor)
+      for (prefixDims <- Seq(16, 32); rerank <- Seq(2 * k, 4 * k)) {
+        var recallSum = 0.0
+        for (qid <- queryIds) {
+          val corpus = emb.filter(col("vec_id") =!= qid)
+          val approx = Similarity.mrlTopK(corpus, "vec_id", "embedding",
+              queryVecs(qid), k, rerank, prefixDims)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          recallSum += (exactSansSelf(qid) & approx).size.toDouble / k
+        }
+        println(f"[recallcheck] $sf mrl$prefixDims%d k=$k rerank=$rerank " +
+          f"queries=${queryIds.size} recall@$k=${recallSum / queryIds.size}%.4f")
+      }
       // PQ-ADC: 8-byte codes (32x compression), so recall measures how
       // much ranking signal survives the quantization. The query row
       // stays in the corpus on BOTH sides (it holds one of the k slots
