@@ -64,6 +64,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bounded-blocking dedup equals uncapped for arbitrary corpora, " +
+      "caps and thresholds") {
+    // tiny vocabulary (13 words) forces heavy shingle sharing, and
+    // maxBlock ∈ [1, 5] forces most shingles onto the HOT leg — the
+    // prefix-witness recovery path, the hot array_intersect, and the
+    // relative-ε prefix length all carry weight on every sample
+    val wordGen = Gen.choose(0, 12).map(i => s"w$i")
+    val docGen = Gen.choose(3, 12)
+      .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val caseGen = Gen.zip(
+      Gen.choose(4, 10).flatMap(n => Gen.listOfN(n, docGen)),
+      Gen.choose(0.1, 0.9), Gen.choose(1L, 5L))
+    samples(caseGen, 4).foreach { case (texts, t, mb) =>
+      val docs = texts.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+      val contU = Dedup.containmentPairs(docs, "doc_id", "text",
+          n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val contH = Dedup.containmentPairsExact(docs, "doc_id", "text",
+          n = 3, threshold = t, maxBlock = mb)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(contH == contU, s"containment t=$t mb=$mb: $contH vs $contU")
+      val jacU = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = t, maxBlock = 0)
+        .as[(Long, Long, Double)].collect().toSet
+      val jacP = Dedup.ngramJaccardPairsExact(docs, "doc_id", "text",
+          n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(jacP == jacU, s"jaccard t=$t: $jacP vs $jacU")
+    }
+  }
+
   test("mergeVersioned: order-free, idempotent, max-version-per-key " +
       "for arbitrary batches") {
     // three random batches with overlapping keys and versions; the
