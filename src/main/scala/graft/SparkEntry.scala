@@ -3683,6 +3683,20 @@ object SparkEntry {
         "vec_id", "embedding", q, k = 10, rerank = 40, means = means)
     }),
 
+    "x_sim_bq_index" -> ((s, dir) => {
+      // x_sim_bq's build-once/probe-many artifact form (BqIndex):
+      // stored packed code words probed via column pruning — the
+      // candidate pass reads (id, _bqw) only, 32x less IO than the
+      // vectors; appends land exactly-once and probes read
+      // committed-only files. Storage must never change content: the
+      // oracle replays x_sim_bq's sign-mismatch algebra with the
+      // means computed over the INDEXED corpus (vec_id <> 0).
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val idx = bqIndexFor(s, dir, emb.filter(col("vec_id") =!= 0))
+      idx.search("vec_id", "embedding", q, k = 10, rerank = 40)
+    }),
+
     "x_sim_lsh_index" -> ((s, dir) => {
       // persistent LSH forest (build-once/probe-many): the probe reads
       // ONE (tbl, bucket) partition per table — bucket membership as
@@ -4119,6 +4133,16 @@ object SparkEntry {
     * base (on-disk `_SUCCESS` short-circuits rebuilds across JVMs; the
     * map only skips the check within one). */
   private val lshBuilt = scala.collection.concurrent.TrieMap.empty[String, operators.LshIndex]
+  private val bqBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, operators.BqIndex]
+  private def bqIndexFor(s: SparkSession, dir: String,
+                         emb: DataFrame): operators.BqIndex =
+    bqBuilt.getOrElseUpdate(dir, {
+      val idx = new operators.BqIndex(s, s"${artifactBase(dir)}/bq")
+      if (!idx.exists()) idx.build(emb, "vec_id", "embedding")
+      idx
+    })
+
   private def lshIndexFor(s: SparkSession, dir: String,
                           emb: DataFrame): operators.LshIndex =
     lshBuilt.getOrElseUpdate(dir, {
@@ -8151,6 +8175,38 @@ object SparkEntry {
                     FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
                                  generate_subscripts(embedding, 1) AS i
                           FROM embeddings)
+                    GROUP BY i),
+              q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+              e AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id <> 0),
+              ham AS (SELECT e.vec_id,
+                             sum(CASE WHEN (e.x > m.mx) <> (q.qx > m.mx)
+                                 THEN 1 ELSE 0 END) AS h
+                      FROM e JOIN q ON e.i = q.i JOIN m ON m.i = e.i
+                      GROUP BY 1),
+              cand AS (SELECT vec_id FROM ham ORDER BY h ASC, vec_id
+                       LIMIT 40),
+              s2 AS (SELECT e.vec_id,
+                            round(sum(e.x * q.qx) /
+                              (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))),
+                              6) AS score
+                     FROM e JOIN q ON e.i = q.i
+                     WHERE e.vec_id IN (SELECT vec_id FROM cand)
+                     GROUP BY e.vec_id)
+         SELECT vec_id, score FROM s2
+         ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // the artifact twin of x_sim_bq: same algebra, means over the
+    // indexed (vec_id <> 0) corpus only
+    "x_sim_bq_index" ->
+      """WITH m AS (SELECT i, round(avg(x), 6) AS mx
+                    FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+                                 generate_subscripts(embedding, 1) AS i
+                          FROM embeddings WHERE vec_id <> 0)
                     GROUP BY i),
               q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
                            generate_subscripts(embedding, 1) AS i

@@ -241,7 +241,8 @@ object Similarity {
 
   /** Mean-centered sign bits of a vector packed into `ceil(d/64)`
     * longs — the binary-quantization code word. */
-  private def bqWordsExpr(vecCol: String, means: Seq[Double]): String = {
+  private[operators] def bqWordsExpr(vecCol: String,
+                                     means: Seq[Double]): String = {
     val d = means.length
     val nwords = (d + 63) / 64
     val meansSql = means.map(m => s"CAST($m AS DOUBLE)")
@@ -275,23 +276,35 @@ object Similarity {
     * both tie-breaks ((hamming asc, id asc), (score desc, id asc)) are
     * total orders — an oracle replaying sign-mismatch counts over the
     * same rounded means hash-matches without reproducing the packing. */
-  def bqTopK(emb: DataFrame, idCol: String, vecCol: String,
-             query: Seq[Double], k: Int, rerank: Int,
-             means: Seq[Double]): DataFrame = {
-    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    require(means.nonEmpty, "means must not be empty")
+  /** The query's packed sign-bit code under `means` — driver-side twin
+    * of [[bqWordsExpr]] (same bit layout, bit b of word w = dimension
+    * w·64+b strictly above its mean). */
+  private[operators] def bqQueryWords(query: Seq[Double],
+                                      means: Seq[Double]): Seq[Long] = {
     val d = means.length
-    val nwords = (d + 63) / 64
-    val qWords: Seq[Long] = (0 until nwords).map { w =>
+    (0 until (d + 63) / 64).map { w =>
       (0 until 64).foldLeft(0L) { (acc, b) =>
         val i = w * 64 + b
         if (i < d && query(i) > means(i)) acc | (1L << b) else acc
       }
     }
+  }
+
+  /** SQL expr: Hamming distance between the `_bqw` column and the
+    * query's code words (XOR + popcount per 64-dim word). */
+  private[operators] def bqHammingExpr(qWords: Seq[Long]): String = {
     val qwSql = qWords.map(w => s"${w}L").mkString("array(", ",", ")")
-    val hamExpr =
-      s"""aggregate(zip_with(_bqw, $qwSql, (a, b) -> bit_count(a ^ b)),
-          0, (acc, x) -> acc + x)"""
+    s"""aggregate(zip_with(_bqw, $qwSql, (a, b) -> bit_count(a ^ b)),
+        0, (acc, x) -> acc + x)"""
+  }
+
+  def bqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             query: Seq[Double], k: Int, rerank: Int,
+             means: Seq[Double]): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(means.nonEmpty, "means must not be empty")
+    val qWords = bqQueryWords(query, means)
+    val hamExpr = bqHammingExpr(qWords)
     val cand = emb
       .withColumn("_bqw", expr(bqWordsExpr(vecCol, means)))
       .withColumn("_ham", expr(hamExpr))

@@ -154,6 +154,47 @@ class StagedCommitSpec extends SparkSpec {
     assert(content(idxA) == content(idxB))
   }
 
+  test("BqIndex: killed-mid-rename partial invisible to probes; " +
+      "frozen-means append converges; full rerank equals brute force") {
+    val emb = (1L to 40L).map(i =>
+        (i, Seq(i % 5 - 2.0, i % 7 - 3.0, i % 3 - 1.0, i % 11 - 5.0)
+          .map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val old = emb.filter($"vec_id" <= 30)
+    val delta = emb.filter($"vec_id" > 30)
+    val base = Files.createTempDirectory("graft_sc_bq").toString
+    val idx = new BqIndex(spark, base)
+    idx.build(old, "vec_id", "embedding")
+    // plant a partial delta under the token the retry will use
+    val token = StagedCommit.idToken(delta, "vec_id", "embedding")
+      .replaceAll("[^A-Za-z0-9_-]", "_")
+    val plantDir = Files.createTempDirectory("graft_sc_bq_plant").toString
+    // schema must match the ROWS table (vec, code) — encode the plant
+    delta.limit(2).select($"vec_id", $"embedding",
+        expr(Similarity.bqWordsExpr("embedding",
+          idx.storedMeans())).as("_bqw"))
+      .coalesce(1).write.mode("overwrite").parquet(plantDir)
+    val planted = new java.io.File(plantDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(planted.toPath,
+      new java.io.File(s"$base/bq_rows",
+        s"delta_${token}_00000.parquet").toPath)
+    assert(spark.read.parquet(s"$base/bq_rows").count() == 32)
+    assert(idx.rows().count() == 30) // committed-only probe
+    // retry sweeps the partial; redelivery is exactly-once
+    idx.append(delta, "vec_id", "embedding")
+    idx.append(delta, "vec_id", "embedding")
+    assert(idx.rows().count() == 40)
+    // search at full rerank = exact brute force, regardless of the
+    // frozen (old-corpus) means — the exact pass re-ranks on vectors
+    val q = Seq(1.0, 0.5, -0.5, 2.0)
+    val got = idx.search("vec_id", "embedding", q, k = 5, rerank = 40)
+      .as[(Long, Double)].collect().toSeq
+    val want = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, s"$got vs $want")
+  }
+
   test("refreshArtifacts: kill between the two appends, retry converges") {
     val docs = (1L to 30L).map { i =>
         val base = Seq.tabulate(8)(j => s"w${(i + j) % 9}").mkString(" ")
