@@ -46,6 +46,17 @@ object Bench {
     // comma-separated allowlist for iterating on a few queries locally
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // WARMUP samples (excluded from cold/median): the fresh-JVM
+    // isolation child exists to shed the SUITE's accumulated JVM state,
+    // but its own first samples carry the CHILD's cold JIT plus the
+    // artifact rebuild (this main rmTree's the artifact dirs above) —
+    // r13 published "isolated medians" of 6.44 s/4.70 s against
+    // 0.34/0.40 floors that a quiet-machine replay showed were the
+    // cold-build numbers, not steady state (VERDICT r13 #1). Default 2
+    // in BENCH_ONLY (child/targeted) mode, 0 in the suite, whose cold
+    // number deliberately records first-run-including-build.
+    val warmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP").map(_.toInt)
+      .getOrElse(if (only.isDefined) 2 else 0)
     // deterministic (sorted) run order: queries sharing a build-once
     // artifact (the three IVF gates share one index) attribute its build
     // to the SAME query's cold number every round — with unordered Map
@@ -68,9 +79,14 @@ object Bench {
       spark.catalog.clearCache()
       elapsed
     }
-    val allSamples = SparkEntry.queries.toSeq.sortBy(_._1)
+    // allRaw keeps every sample (warmups included) for the published
+    // per-sample spread; allSamples is the post-warmup window that all
+    // cold/median/floor math sees
+    val allRaw = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => name -> (1 to runs).map(_ => sample(name, fn)) }
+      .map { case (name, fn) =>
+        name -> (1 to (warmup + runs)).map(_ => sample(name, fn)) }
+    val allSamples = allRaw.map { case (n, ss) => n -> ss.drop(warmup) }
     val results = allSamples.map { case (name, samples) =>
       name -> (samples.head, samples.sorted.apply(samples.length / 2))
     }
@@ -91,9 +107,16 @@ object Bench {
     // is, by definition, either a real regression or contention —
     // exactly the set the isolated pass must cover so the judge never
     // hand-re-measures.
+    // Floors are PER-SCALE numbers measured at sf0.1 (both FLOORS.json
+    // and every BENCH_r*.json tail) — loading them for a run at any
+    // other SPARK_GRAFT_SF_DIR would flag essentially every query at a
+    // larger sf (and pay the capped isolation pass for nothing) or
+    // mask every regression at a smaller one (ADVICE r13). Off-scale
+    // runs fall back to this run's own sample minima.
+    val isSf01 = sfDir.stripSuffix("/").endsWith("sf0.1")
     val floorsPath = java.nio.file.Paths.get("FLOORS.json")
     val durableFloor: Map[String, Double] = try {
-      if (java.nio.file.Files.exists(floorsPath)) {
+      if (isSf01 && java.nio.file.Files.exists(floorsPath)) {
         val txt = new String(java.nio.file.Files.readAllBytes(floorsPath),
           java.nio.charset.StandardCharsets.UTF_8)
         """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
@@ -102,8 +125,10 @@ object Bench {
       } else Map.empty
     } catch { case _: Throwable => Map.empty }
     val tailFloor: Map[String, Double] = try {
-      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      val files =
+        (if (isSf01) Option(new java.io.File(".").listFiles()) else None)
+          .getOrElse(Array.empty)
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
       val meta = Set("n", "rc", "cpus", "sf", "runs", "value")
       files.toSeq.flatMap { f =>
         val txt = {
@@ -153,14 +178,18 @@ object Bench {
     // Bench main restricted to the flagged queries; its own BENCH_ONLY
     // branch skips further isolation. Falls back to in-process re-runs
     // if the subprocess fails (missing java, OOM, parse error).
-    def isolateInProcess(names: Seq[String]): Seq[(String, Double)] =
-      names.map { name =>
+    def isolateInProcess(names: Seq[String])
+        : (Seq[(String, Double)], Map[String, Seq[Double]]) = {
+      val per = names.map { name =>
         System.gc()
         Thread.sleep(200)
-        val samples = (1 to runs).map(_ => sample(name, SparkEntry.queries(name)))
-        name -> samples.sorted.apply(samples.length / 2)
+        name -> (1 to runs).map(_ => sample(name, SparkEntry.queries(name)))
       }
-    def isolateFreshJvm(names: Seq[String]): Option[Seq[(String, Double)]] =
+      (per.map { case (n, ss) => n -> ss.sorted.apply(ss.length / 2) },
+        per.toMap)
+    }
+    def isolateFreshJvm(names: Seq[String])
+        : Option[(Seq[(String, Double)], Map[String, Seq[Double]])] =
       try {
         val javaBin = java.nio.file.Paths
           .get(System.getProperty("java.home"), "bin", "java").toString
@@ -179,11 +208,18 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
         pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
-        // ≥5 samples: the child's first run or two carry ITS cold JIT
-        // (the very state this subprocess exists to shed from the
-        // suite side); a 5-sample median sits past that warmup
+        // ≥5 measured samples AFTER 2 explicit warmups: the child's
+        // first runs carry ITS cold JIT and the artifact rebuild (the
+        // very state this subprocess exists to shed from the suite
+        // side) — r13 published those cold numbers as "isolated
+        // medians" (6.44 s vs a 0.344 floor) and the round's analysis
+        // chased a phantom regression. Warmup samples are excluded
+        // from the child's median but still published in its per-query
+        // "samples" arrays, so the spread itself documents the warmup
+        // cliff instead of hiding it.
         pb.environment().put("SPARK_GRAFT_BENCH_RUNS",
           math.max(runs, 5).toString)
+        pb.environment().put("SPARK_GRAFT_BENCH_WARMUP", "2")
         pb.redirectErrorStream(true)
         // child output goes to a FILE, not a pipe we block on: a
         // blocking readAllBytes before waitFor made the 20-minute
@@ -221,11 +257,29 @@ object Bench {
           }
         }
         val ok = names.filterNot(childFailed.contains)
-        if (ok.forall(got.contains)) Some(ok.map(n => n -> got(n)))
+        // per-sample spread from the child's "samples" object (flat —
+        // values are arrays, no nested braces): published upward as
+        // isolated_samples so a surprising isolated median is
+        // self-explaining (warmup cliff vs flat-but-slow) without a
+        // hand re-run
+        val childSamples: Map[String, Seq[Double]] = {
+          val i = line.indexOf("\"samples\":{")
+          if (i < 0) Map.empty
+          else {
+            val seg3 = line.substring(i, line.indexOf("}", i) + 1)
+            """"([A-Za-z0-9_]+)":\[([0-9.,eE+-]*)\]""".r
+              .findAllMatchIn(seg3)
+              .map(m => m.group(1) ->
+                m.group(2).split(",").filter(_.nonEmpty).map(_.toDouble).toSeq)
+              .toMap
+          }
+        }
+        if (ok.forall(got.contains))
+          Some((ok.map(n => n -> got(n)), childSamples))
         else None
       } catch { case _: Throwable => None }
-    val isolated =
-      if (flagged.isEmpty) Seq.empty
+    val (isolated, isolatedSamples) =
+      if (flagged.isEmpty) (Seq.empty[(String, Double)], Map.empty[String, Seq[Double]])
       else isolateFreshJvm(flagged).getOrElse(isolateInProcess(flagged))
     // 3-decimal seconds (ms precision) keep the line compact, and the
     // headline total goes LAST: downstream tooling captures only the
@@ -240,6 +294,17 @@ object Bench {
     val cold = obj(_._2._1)
     val iso = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    def samplesObj(m: Iterable[(String, Seq[Double])]) =
+      m.map { case (k, ss) =>
+        "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    // child (BENCH_ONLY) runs publish their raw per-query samples —
+    // warmups included — so the parent (and the round's reader) can
+    // see the spread behind every isolated median
+    val ownSamples =
+      if (only.isDefined) "\"samples\":" + samplesObj(allRaw) + "," else ""
+    val isoSamples = samplesObj(
+      isolatedSamples.toSeq.sortBy(_._1).map { case (k, v) => (k, v) })
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._2).sum
     // Persist the durable floors: min(prior floor, this run's best
@@ -252,7 +317,7 @@ object Bench {
     // sf0.1 only: floors are per-scale — a full-suite run at sf0.01
     // would post floors 10× too low (flagging everything forever), and
     // a blow-up probe leg would post meaningless high ones
-    if (only.isEmpty && sfDir.stripSuffix("/").endsWith("sf0.1")) try {
+    if (only.isEmpty && isSf01) try {
       val qnames = SparkEntry.queries.keySet
       val runMin = allSamples
         .filterNot { case (n, _) => failed.contains(n) }
@@ -262,16 +327,39 @@ object Bench {
       // `failed` but still returns elapsed) — keep those out of the
       // durable floors or the query reads as >2x-regressed forever
       val isoMap = isolated.toMap -- failed
-      val merged = (priorFloor.toSeq ++ runMin.toSeq ++ isoMap.toSeq)
-        .filter { case (n, v) => qnames.contains(n) && v > 0.0 }
-        .groupMapReduce(_._1)(_._2)(math.min)
-      val body = merged.toSeq.sortBy(_._1)
-        .map { case (n, v) => s"""  "$n": ${fmt(v)}""" }
-        .mkString("{\n", ",\n", "\n}\n")
-      java.nio.file.Files.write(floorsPath,
-        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // provenance rides along (VERDICT r13 #7): per floor, whether the
+      // winning number came from a suite sample minimum or an isolated
+      // (fresh-JVM, post-warmup) median — prior entries keep the
+      // pedigree recorded when they were set. Strings, so the numeric
+      // floor regex above never picks them up.
+      val priorProv: Map[String, String] = try {
+        if (java.nio.file.Files.exists(floorsPath)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(floorsPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          """"([A-Za-z0-9_]+)"\s*:\s*"(suite|isolated)"""".r
+            .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+        } else Map.empty
+      } catch { case _: Throwable => Map.empty }
+      val candidates =
+        priorFloor.toSeq.map { case (n, v) =>
+          (n, v, priorProv.getOrElse(n, "suite")) } ++
+        runMin.toSeq.map { case (n, v) => (n, v, "suite") } ++
+        isoMap.toSeq.map { case (n, v) => (n, v, "isolated") }
+      val merged = candidates
+        .filter { case (n, v, _) => qnames.contains(n) && v > 0.0 }
+        .groupBy(_._1).view.mapValues(_.minBy(_._2)).toMap
+      if (merged.nonEmpty) {
+        val body = merged.toSeq.sortBy(_._1)
+          .map { case (n, (_, v, _)) => s"""  "$n": ${fmt(v)}""" }
+          .mkString("{\n", ",\n", ",\n")
+        val prov = merged.toSeq.sortBy(_._1)
+          .map { case (n, (_, _, src)) => s"""    "$n": "$src"""" }
+          .mkString("  \"_provenance\": {\n", ",\n", "\n  }\n}\n")
+        java.nio.file.Files.write(floorsPath,
+          (body + prov).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     } catch { case _: Throwable => () }
-    println(s"""{"cold":$cold,"queries":$qs,"isolated":$iso,"failed":$failedArr,"runs":$runs,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
+    println(s"""{"cold":$cold,$ownSamples"queries":$qs,"isolated_samples":$isoSamples,"isolated":$iso,"failed":$failedArr,"runs":$runs,"warmup":$warmup,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
     spark.stop()
   }
 }
