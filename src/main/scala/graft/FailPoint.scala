@@ -5,7 +5,18 @@ package graft
   * catching `Exception` does NOT see it — no failure handling runs,
   * and durable state is left EXACTLY as a process kill at that site
   * would leave it. Disarmed (the default) each hit() is a single
-  * volatile read. */
+  * volatile read.
+  *
+  * SITE-PLACEMENT CONSTRAINT (ADVICE r13): an Error bypasses
+  * `catch (Exception)` but NOT `finally` — a hit() site placed inside
+  * a try/finally region whose finally owns durable cleanup (temp-dir
+  * deletes, conf restores, marker writes) would run that cleanup on
+  * injection, which a real process kill would not, and the chaos spec
+  * would certify a crash state that cannot occur. Every hit() site
+  * must sit OUTSIDE any try/finally block that touches durable state;
+  * current sites (IngestPipeline.load, mergeIntoPartitioned,
+  * scd2MergeManifested, IvfIndex/BqIndex/PqIndex appends via
+  * StagedCommit) honor this — check before adding one. */
 object FailPoint {
   @volatile private var armed: String = null
   def arm(site: String): Unit = armed = site

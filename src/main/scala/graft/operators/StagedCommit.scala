@@ -119,8 +119,42 @@ object StagedCommit {
       if (st.isDirectory) {
         if (!name.startsWith("_") || name.contains("="))
           walkParquet(fs, st.getPath)(f)
+        else if (!name.startsWith("_stage_") && name != "_temporary" &&
+            hasParquet(fs, st.getPath))
+          // loud, not silent: a future artifact nesting real parquet
+          // under an underscore-named NON-partition dir would be
+          // dropped from every committed read without an error —
+          // surface the skip so the layout bug is findable (ADVICE
+          // r13). _stage_/_temporary are the protocol's own transients
+          // and stay quiet.
+          System.err.println(s"[StagedCommit] WARNING: skipping hidden " +
+            s"directory ${st.getPath} which contains .parquet files — " +
+            "committed reads never descend into underscore-prefixed " +
+            "non-partition directories")
       } else if (name.endsWith(".parquet")) f(st)
     }
+
+  /** Does `dir` (recursively) hold any .parquet file? Bounded probe
+    * used only on the warning path above. */
+  private def hasParquet(fs: org.apache.hadoop.fs.FileSystem,
+                         dir: Path): Boolean =
+    try {
+      val it = fs.listFiles(dir, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    } catch { case _: Throwable => false }
+
+  /** Filesystem-safe form of a commit token — the SINGLE home of the
+    * sanitization rule [[appendOnce]] applies before a token names any
+    * file. Callers that RECORD tokens for later comparison against
+    * [[deltaToken]] output (the SCD2 manifest) must record THIS form:
+    * a private re-implementation would silently diverge the moment the
+    * rule changes, making committed deltas invisible to their readers
+    * (ADVICE r13). */
+  def safeToken(token: String): String =
+    token.replaceAll("[^A-Za-z0-9_-]", "_")
 
   /** The commit token encoded in a delta part file's name, or None for
     * a non-delta (base build) file. ONE home for the name scheme —
@@ -144,7 +178,7 @@ object StagedCommit {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = fs.makeQualified(new Path(path))
-    val safe = token.replaceAll("[^A-Za-z0-9_-]", "_")
+    val safe = safeToken(token)
     val marker = new Path(dir, s"_delta_${safe}_SUCCESS")
     if (fs.exists(marker)) return false
     val prefix = s"delta_${safe}_"
