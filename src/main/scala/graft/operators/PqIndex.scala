@@ -127,6 +127,32 @@ final class PqIndex(spark: SparkSession, basePath: String) {
              mode: SaveMode = SaveMode.Append): Unit =
     encodeWith(emb, idCol, vecCol, storedCodebooks(), partitionBy, mode)
 
+  /** Frozen-codebook EXACTLY-ONCE append — the FAISS `add`-after-
+    * `train` shape with [[BqIndex.append]]'s delivery contract: the
+    * delta is encoded under the STORED codebooks (and rotation) and
+    * lands once per content token via [[StagedCommit.appendOnce]]. A
+    * redelivered batch is a no-op; a killed-mid-rename commit is
+    * invisible to [[committedCodes]]-based probes until the retry
+    * completes it. Plain [[encode]] keeps its blind-append semantics
+    * for single-shot rebuild flows; incremental production appends
+    * belong here. The caller owns id-disjointness with existing codes
+    * (same contract as encode). */
+  def append(emb: DataFrame, idCol: String, vecCol: String,
+             partitionBy: Option[String] = None): Boolean = {
+    val done = new org.apache.hadoop.fs.Path(s"$codesPath/_SUCCESS")
+    require(done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(done), s"no complete PQ index at $basePath")
+    val token = StagedCommit.idToken(emb, idCol, vecCol)
+    StagedCommit.appendOnce(codesPath, token, partitionBy.toSeq,
+      codeRows(emb, idCol, vecCol, storedCodebooks(), partitionBy))
+  }
+
+  /** Committed-only view of the codes table: base-build files plus
+    * marker-committed [[append]] deltas — a probe racing a killed
+    * append never sees its partial files. */
+  def committedCodes(): DataFrame =
+    StagedCommit.readCommitted(spark, codesPath)
+
   private def storedCodebooks(): Seq[Seq[(Int, Seq[Double])]] =
     codebook().collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
@@ -168,6 +194,23 @@ final class PqIndex(spark: SparkSession, basePath: String) {
                          codebooks: Seq[Seq[(Int, Seq[Double])]],
                          partitionBy: Option[String],
                          mode: SaveMode): Unit = {
+    val codeWords = codeRows(emb, idCol, vecCol, codebooks, partitionBy)
+    partitionBy match {
+      // cluster by the partition column first (same rationale as
+      // IvfIndex.writeAssigned): without it every shuffle partition
+      // fragments every cell dir, and the pruned ADC probe pays the
+      // file-listing overhead on every search
+      case Some(p) => codeWords.repartition(col(p))
+        .write.mode(mode).partitionBy(p).parquet(codesPath)
+      case None => codeWords.write.mode(mode).parquet(codesPath)
+    }
+  }
+
+  /** The encode pass as a DataFrame — shared by [[encodeWith]] (plain
+    * write) and [[append]] (staged exactly-once commit). */
+  private def codeRows(emb: DataFrame, idCol: String, vecCol: String,
+                       codebooks: Seq[Seq[(Int, Seq[Double])]],
+                       partitionBy: Option[String]): DataFrame = {
     import spark.implicits._
     val m = codebooks.length
     val subDim = codebooks.head.head._2.length
@@ -193,7 +236,7 @@ final class PqIndex(spark: SparkSession, basePath: String) {
       .groupBy(col("_aid"), col("_j"))
       .agg(min(col("_s")).as("_best"),
         pb.map(c => first(col(c)).as(c)): _*)
-    val codeWords = perSub
+    perSub
       .groupBy(col("_aid"))
       .agg(transform(
           array_sort(collect_list(struct(col("_j"),
@@ -201,15 +244,6 @@ final class PqIndex(spark: SparkSession, basePath: String) {
           s => s.getField("_code").cast("byte")).as("codes"),
         pb.map(c => first(col(c)).as(c)): _*)
       .select((col("_aid").as("id") +: col("codes") +: pb.map(col)): _*)
-    partitionBy match {
-      // cluster by the partition column first (same rationale as
-      // IvfIndex.writeAssigned): without it every shuffle partition
-      // fragments every cell dir, and the pruned ADC probe pays the
-      // file-listing overhead on every search
-      case Some(p) => codeWords.repartition(col(p))
-        .write.mode(mode).partitionBy(p).parquet(codesPath)
-      case None => codeWords.write.mode(mode).parquet(codesPath)
-    }
   }
 
   def codebook(): DataFrame = spark.read.parquet(codebookPath)
@@ -286,9 +320,22 @@ final class PqIndex(spark: SparkSession, basePath: String) {
     * the index was built over (the codes table carries no vectors —
     * that is the point). */
   def search(emb: DataFrame, idCol: String, vecCol: String,
-             query: Seq[Double], k: Int, rerank: Int): DataFrame = {
+             query: Seq[Double], k: Int, rerank: Int): DataFrame =
+    searchOver(codes(), emb, idCol, vecCol, query, k, rerank)
+
+  /** [[search]] over the COMMITTED codes view — the probe form for an
+    * [[append]]-maintained index: candidates come only from base files
+    * plus marker-committed deltas, so a probe racing a killed-then-
+    * retried append never ranks a partial delta's rows. */
+  def searchCommitted(emb: DataFrame, idCol: String, vecCol: String,
+                      query: Seq[Double], k: Int, rerank: Int): DataFrame =
+    searchOver(committedCodes(), emb, idCol, vecCol, query, k, rerank)
+
+  private def searchOver(codesDf: DataFrame, emb: DataFrame, idCol: String,
+                         vecCol: String, query: Seq[Double], k: Int,
+                         rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val cand = codes()
+    val cand = codesDf
       .select(col("id"), adcScore(query).as("_adc"))
       .orderBy(col("_adc").desc, col("id").asc)
       .limit(rerank)

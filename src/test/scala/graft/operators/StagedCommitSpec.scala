@@ -195,6 +195,49 @@ class StagedCommitSpec extends SparkSpec {
     assert(got == want, s"$got vs $want")
   }
 
+  test("PqIndex: killed-mid-rename partial invisible to committed " +
+      "probes; frozen-codebook append converges; full rerank equals " +
+      "brute force") {
+    val emb = (1L to 40L).map(i =>
+        (i, Seq(i % 5 - 2.0, i % 7 - 3.0, i % 3 - 1.0, i % 11 - 5.0)
+          .map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val old = emb.filter($"vec_id" <= 30)
+    val delta = emb.filter($"vec_id" > 30)
+    val base = Files.createTempDirectory("graft_sc_pq").toString
+    val idx = new PqIndex(spark, base)
+    idx.build(old, "vec_id", "embedding", m = 2, k = 8, iters = 4)
+    // plant a partial delta under the very token the retry will use —
+    // a commit killed after renaming one staged file but before its
+    // marker (schema must match the codes table: (id, codes))
+    val token = StagedCommit.safeToken(
+      StagedCommit.idToken(delta, "vec_id", "embedding"))
+    val plantDir = Files.createTempDirectory("graft_sc_pq_plant").toString
+    Seq((31L, Seq(0.toByte, 0.toByte)), (32L, Seq(1.toByte, 0.toByte)))
+      .toDF("id", "codes")
+      .coalesce(1).write.mode("overwrite").parquet(plantDir)
+    val planted = new java.io.File(plantDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(planted.toPath,
+      new java.io.File(s"$base/pq_codes",
+        s"delta_${token}_00000.parquet").toPath)
+    assert(spark.read.parquet(s"$base/pq_codes").count() == 32)
+    assert(idx.committedCodes().count() == 30) // committed-only probe
+    // retry sweeps the partial; redelivery is exactly-once
+    idx.append(delta, "vec_id", "embedding")
+    idx.append(delta, "vec_id", "embedding")
+    assert(idx.committedCodes().count() == 40)
+    // search at full rerank = exact brute force, regardless of the
+    // frozen (old-corpus) codebooks — the exact pass re-ranks vectors
+    val q = Seq(1.0, 0.5, -0.5, 2.0)
+    val got = idx.searchCommitted(emb, "vec_id", "embedding", q,
+        k = 5, rerank = 40)
+      .as[(Long, Double)].collect().toSeq
+    val want = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, s"$got vs $want")
+  }
+
   test("refreshArtifacts: kill between the two appends, retry converges") {
     val docs = (1L to 30L).map { i =>
         val base = Seq.tabulate(8)(j => s"w${(i + j) % 9}").mkString(" ")
