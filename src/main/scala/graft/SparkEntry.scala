@@ -1499,6 +1499,41 @@ object SparkEntry {
         .orderBy(col("key"), col("valid_from"), col("segment"))
     }),
 
+    "j19_merge_manifest" -> ((s, dir) => {
+      // j17's commutative versioned merge through the MANIFEST-published
+      // partitioned table (Upsert.mergeIntoManifested, VERDICT r13 #4):
+      // immutable per-epoch partition snapshots + one atomic manifest
+      // rename give the permanent table reader-atomic merges — the
+      // dynamic-partition layout's documented torn-reader window is
+      // gone, and each merge reads/writes ONLY its touched partitions
+      // (manifest dir-level pruning; at 100 TB the untouched mass is
+      // never listed). Storage must never change content: the oracle is
+      // j17's order-free max-version model over the same three batches,
+      // keyed by (status, orderkey) since the partition column joins
+      // the key. Rebuilt from scratch each run for determinism.
+      val base = s"${artifactBase(dir)}/merge_manifest"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver")
+      // stale redelivery applied LAST: must not regress any key
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") - 5.0)
+          .withColumn("ver", lit(0L)), keys, "o_orderstatus", "ver")
+      operators.Upsert.readManifested(s, base)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("ver"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
     "u4_union_evolve" -> ((s, dir) => {
       // schema-evolution union: a legacy slice without the status
       // column unions BY NAME with the current schema
@@ -5704,6 +5739,26 @@ object SparkEntry {
                        ORDER BY ver DESC) AS rn
            FROM allrows) WHERE rn = 1
          ORDER BY o_orderkey""",
+
+    // storage must never change content: the manifest-published
+    // partitioned table answers j17's order-free max-version model,
+    // keyed by (status, orderkey) — the partition column joins the key
+    "j19_merge_manifest" ->
+      """WITH allrows AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(1 AS BIGINT) AS ver FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0, 2
+           FROM orders WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice - 5.0, 0
+           FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, ver FROM (
+           SELECT *, row_number() OVER (
+                       PARTITION BY o_orderstatus, o_orderkey
+                       ORDER BY ver DESC) AS rn
+           FROM allrows) WHERE rn = 1
+         ORDER BY o_orderkey, o_orderstatus""",
 
     // storage must never change content: the manifest-published SCD2
     // table answers with j10's oracle verbatim

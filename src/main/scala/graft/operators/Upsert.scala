@@ -336,14 +336,14 @@ object Upsert {
     import org.apache.spark.sql.SaveMode
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Scd2Manifest.active(fs, root) match {
+    EpochManifest.active(fs, root) match {
       case None =>
         updates.select(
           keys.map(col) ++ attrs.map(col) :+ col(tsCol).as(validFrom)
             :+ lit(null).cast(updates.schema(tsCol).dataType).as(validTo): _*)
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$tablePath/current_e0")
-        Scd2Manifest.publish(fs, root, 0, Nil)
+        EpochManifest.publish(fs, root, 0, Nil)
       case Some((epoch, tokens)) =>
         val cur = spark.read.parquet(s"$tablePath/current_e$epoch")
         // stage the merge result ONCE: the four downstream actions
@@ -371,20 +371,23 @@ object Upsert {
               StagedCommit.idToken(newClosed, newClosed.columns.toSeq: _*)
             StagedCommit.appendOnce(s"$tablePath/closed", token, Nil,
               newClosed)
-            Some(token.replaceAll("[^A-Za-z0-9_-]", "_"))
+            // record the SANITIZED form — the manifest is compared
+            // against deltaToken() output, which sees file names built
+            // from safeToken(token)
+            Some(StagedCommit.safeToken(token))
           }
         graft.FailPoint.hit("scd2_after_closed_append")
         merged.filter(col(validTo).isNull)
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$tablePath/current_e${epoch + 1}")
         graft.FailPoint.hit("scd2_after_current_write")
-        Scd2Manifest.publish(fs, root, epoch + 1, tokens ++ landed)
+        EpochManifest.publish(fs, root, epoch + 1, tokens ++ landed)
         // best-effort GC, RETAINING the immediately-previous epoch: a
         // lazy reader that resolved manifest N must survive one
         // concurrent merge to N+1 (zero retention would delete the
         // files under its scan). Older garbage — and a crash here —
         // is swept by the next merge's publish.
-        Scd2Manifest.sweep(fs, root, epoch)
+        EpochManifest.sweep(fs, root, epoch)
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
   }
@@ -393,12 +396,24 @@ object Upsert {
     * manifest's current snapshot plus exactly its listed closed deltas,
     * with the same `status` column the dynamic-partition layout
     * exposes. One manifest read + one file listing — no Spark job
-    * before the scan itself. */
+    * before the scan itself.
+    *
+    * Staleness contract (caller-must-retry): file resolution happens
+    * HERE, but the scan runs at the caller's first action — a reader
+    * that lags the writer by MORE than the one retained epoch (i.e.
+    * two merges complete between this call and the action) can hit
+    * FileNotFoundException mid-scan when the sweep reclaims its
+    * snapshot dir. That is the documented bound: re-call this method
+    * and re-run the action to re-resolve the newest manifest. A
+    * built-in retry cannot live here — the DataFrame is lazy, so the
+    * failure surfaces in caller code, not this frame
+    * (Scd2ManifestSpec's concurrent-reader test exercises exactly this
+    * contract). */
   def scd2ReadManifested(spark: org.apache.spark.sql.SparkSession,
                          tablePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (epoch, tokens) = Scd2Manifest.active(fs, root).getOrElse(
+    val (epoch, tokens) = EpochManifest.active(fs, root).getOrElse(
       throw new IllegalStateException(s"no SCD2 manifest under $tablePath"))
     val cur = spark.read.parquet(s"$tablePath/current_e$epoch")
       .withColumn("status", lit("current"))
@@ -418,12 +433,193 @@ object Upsert {
     }
   }
 
-  private object Scd2Manifest {
+  /** MANIFEST-ATOMIC variant of [[mergeIntoPartitioned]] (VERDICT r13
+    * #4) — the permanent table's reader-atomicity story, lifting the
+    * j18 SCD2 manifest pattern onto the versioned partitioned merge.
+    * The dynamic-partition layout is replay-CONVERGENT but not
+    * reader-atomic: a reader overlapping the overwrite job can see a
+    * half-replaced partition. Here every merge writes a FRESH epoch
+    * dir and one atomic manifest rename publishes it.
+    *
+    * Layout:
+    *
+    *   `<path>/_e<N>/<partitionCol>=<val>/` — immutable per-epoch
+    *       partition snapshots; epoch N+1 holds ONLY the partitions
+    *       that merge touched (underscore-prefixed on purpose: a naive
+    *       `spark.read.parquet(tablePath)` finds no files and fails
+    *       LOUDLY instead of silently unioning every epoch);
+    *   `<path>/_manifest_<M>` — one line per live partition,
+    *       `<dirname>\t<epoch>`: which epoch dir holds each
+    *       partition's current snapshot. Highest M wins; created by
+    *       temp-write + atomic rename, never modified.
+    *
+    * A merge reads ONLY the touched partitions' current snapshots
+    * (dir-level pruning via the manifest — the untouched mass is
+    * never listed, let alone opened), resolves with [[mergeVersioned]]
+    * (max-version-wins, so content is a pure function of the batch
+    * SET — stale redeliveries and crash-retries cannot regress a key),
+    * writes the merged slice under `_e<M+1>`, and publishes manifest
+    * M+1 = old entries for untouched partitions + new entries for
+    * touched ones. Readers ([[readManifested]]) resolve one manifest:
+    * before the rename they see the complete pre-merge table, after
+    * it the complete post-merge table — never half. Unreferenced
+    * snapshot dirs are swept best-effort, RETAINING everything the
+    * immediately-previous manifest references (a lazy reader survives
+    * one concurrent merge — same contract as the SCD2 form). Single
+    * writer assumed (the repo-wide artifact contract). */
+  def mergeIntoManifested(spark: org.apache.spark.sql.SparkSession,
+                          tablePath: String, updates: DataFrame,
+                          keys: Seq[String], partitionCol: String,
+                          version: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    require(keys.contains(partitionCol),
+      s"$partitionCol must be part of the merge key, or rows could move partitions")
+    require(updates.columns.contains(version),
+      s"mergeIntoManifested needs the $version column on the updates")
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def epochDir(e: Long) = s"$tablePath/_e$e"
+    def listPartDirs(e: Long): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(epochDir(e))
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .map(_.getPath.getName)
+    }
+    def dedupLatest(u: DataFrame): DataFrame = {
+      val rest = u.columns.toSeq
+        .filterNot(c => keys.contains(c) || c == version)
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(version).desc +: rest.map(col(_).desc): _*)
+      u.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+    EpochManifest.active(fs, root) match {
+      case None =>
+        dedupLatest(updates)
+          .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+          .parquet(epochDir(0))
+        EpochManifest.publish(fs, root, 0,
+          listPartDirs(0).sorted.map(d => s"$d\t0"))
+      case Some((epoch, lines)) =>
+        val entries = lines.map(parseManifestEntry)
+        // touched partitions, as the DIRECTORY NAMES Spark writes for
+        // them — dir-level pruning against the manifest, no data read
+        // for the untouched mass
+        val touchedDirs = updates.select(col(partitionCol).cast("string"))
+          .distinct().collect().map { r =>
+            require(!r.isNullAt(0),
+              s"null $partitionCol values are not supported by the " +
+                "manifested layout")
+            s"$partitionCol=" + org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.escapePathName(r.getString(0))
+          }.toSet
+        val touchedEntries = entries.filter(e => touchedDirs.contains(e._1))
+        val cols = updates.columns.toSeq
+        val targetSlice = touchedEntries.groupBy(_._2).toSeq.map {
+          case (e, es) =>
+            spark.read.option("basePath", epochDir(e))
+              .parquet(es.map(en => s"${epochDir(e)}/${en._1}"): _*)
+              // partition-type inference may widen/narrow the dir
+              // value; pin it back to the updates' type so the union
+              // inside mergeVersioned never coerces the whole column
+              .withColumn(partitionCol,
+                col(partitionCol).cast(updates.schema(partitionCol).dataType))
+              .select(cols.map(col): _*)
+        }.reduceOption(_ unionByName _)
+        val merged = targetSlice match {
+          case Some(ts) => mergeVersioned(ts, updates, keys, version)
+          case None => dedupLatest(updates) // all-new partitions
+        }
+        // fresh epoch dir: the merge never reads what it writes, so
+        // there is no self-read-overwrite race and no tmp staging; a
+        // kill before publish leaves an unreferenced dir the retry's
+        // Overwrite restages
+        merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+          .parquet(epochDir(epoch + 1))
+        graft.FailPoint.hit("mergem_after_epoch_write")
+        val newDirs = listPartDirs(epoch + 1).toSet
+        val newEntries =
+          (entries.filterNot(e => newDirs.contains(e._1)) ++
+            newDirs.toSeq.map(_ -> (epoch + 1))).sortBy(_._1)
+        EpochManifest.publish(fs, root, epoch + 1,
+          newEntries.map { case (d, e) => s"$d\t$e" })
+        graft.FailPoint.hit("mergem_after_publish")
+        sweepManifested(fs, root, epoch + 1)
+    }
+  }
+
+  /** Snapshot reader for [[mergeIntoManifested]] tables: exactly the
+    * active manifest's referenced partition snapshots. Staleness
+    * contract as [[scd2ReadManifested]]: resolution happens here, the
+    * scan at the caller's action — lag past the one retained epoch and
+    * the sweep may reclaim a referenced dir mid-scan
+    * (FileNotFoundException); re-call to re-resolve. */
+  def readManifested(spark: org.apache.spark.sql.SparkSession,
+                     tablePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, lines) = EpochManifest.active(fs, root).getOrElse(
+      throw new IllegalStateException(s"no manifest under $tablePath"))
+    val entries = lines.map(parseManifestEntry)
+    entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (e, es) =>
+      spark.read.option("basePath", s"$tablePath/_e$e")
+        .parquet(es.map(en => s"$tablePath/_e$e/${en._1}"): _*)
+    }.reduceOption(_ unionByName _).getOrElse(
+      throw new IllegalStateException(s"empty manifest under $tablePath"))
+  }
+
+  private def parseManifestEntry(line: String): (String, Long) = {
+    val i = line.lastIndexOf('\t')
+    require(i > 0, s"malformed manifest entry: '$line'")
+    (line.substring(0, i), line.substring(i + 1).toLong)
+  }
+
+  /** Reference-counted GC for the manifested-merge layout: keep every
+    * snapshot dir referenced by manifest `keep` OR `keep - 1` (the
+    * lazy-reader retention), drop the rest and manifests older than
+    * `keep - 1`. Best-effort — a crash mid-sweep leaves garbage the
+    * next merge's sweep reclaims. */
+  private def sweepManifested(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path,
+                              keep: Long): Unit =
+    try {
+      import org.apache.hadoop.fs.Path
+      val refs: Set[(Long, String)] =
+        Seq(keep, keep - 1).filter(_ >= 0).flatMap { m =>
+          EpochManifest.read(fs, root, m).toSeq.flatten
+            .map(parseManifestEntry).map { case (d, e) => (e, d) }
+        }.toSet
+      fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_manifest_")) {
+          val n = name.stripPrefix("_manifest_")
+          if (n.forall(_.isDigit) && n.toLong < keep - 1)
+            fs.delete(st.getPath, false)
+        } else if (st.isDirectory && name.startsWith("_e") &&
+            name.stripPrefix("_e").forall(_.isDigit) &&
+            name.stripPrefix("_e").nonEmpty) {
+          val e = name.stripPrefix("_e").toLong
+          var liveChildren = 0
+          fs.listStatus(st.getPath).foreach { c =>
+            val cn = c.getPath.getName
+            if (c.isDirectory && cn.contains("=") && !refs((e, cn)))
+              fs.delete(c.getPath, true)
+            else liveChildren += 1
+          }
+          if (liveChildren == 0) fs.delete(st.getPath, true)
+        }
+      }
+    } catch { case _: Throwable => () }
+
+  private object EpochManifest {
     import org.apache.hadoop.fs.Path
     private val Name = "_manifest_(\\d+)".r
 
-    /** (epoch, visible closed tokens) of the highest complete manifest,
-      * or None for an uninitialized table. */
+    /** (epoch, manifest lines) of the highest complete manifest, or
+      * None for an uninitialized table. Lines are format-agnostic —
+      * the SCD2 table stores closed-delta tokens, the partitioned
+      * merge stores `dirname\tepoch` entries. */
     def active(fs: org.apache.hadoop.fs.FileSystem,
                root: Path): Option[(Long, Seq[String])] = {
       if (!fs.exists(root)) return None
@@ -436,16 +632,27 @@ object Upsert {
       if (manifests.isEmpty) None
       else {
         val (epoch, p) = manifests.maxBy(_._1)
-        val in = fs.open(p)
-        val body = try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](8192)
-          var n = in.read(tmp)
-          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-        } finally in.close()
-        Some((epoch, body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq))
+        readLines(fs, p).map(lines => (epoch, lines))
       }
+    }
+
+    /** Lines of one specific epoch's manifest, or None if absent. */
+    def read(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+             epoch: Long): Option[Seq[String]] =
+      readLines(fs, new Path(root, s"_manifest_$epoch"))
+
+    private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+                          p: Path): Option[Seq[String]] = {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val body = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      Some(body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
     }
 
     /** Atomic publish: write `_manifest_<epoch>.tmp`, rename to the

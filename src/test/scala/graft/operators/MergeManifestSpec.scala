@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The manifest-published partitioned merge (VERDICT r13 #4): the
+  * permanent table's reader-atomic form of mergeIntoPartitioned —
+  * epoch snapshot dirs + one atomic manifest rename, so a reader
+  * overlapping a merge (or a kill-retry of one) only ever sees a
+  * published snapshot, plus partition-pruned reads, version
+  * commutativity, and reference-counted sweep retention. */
+class MergeManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(t: (Long, String, Double, Long)*) =
+    t.toSeq.toDF("k", "part", "v", "ver")
+
+  private def read(path: String) =
+    Upsert.readManifested(spark, path)
+      .select($"k", $"part", $"v", $"ver")
+      .as[(Long, String, Double, Long)].collect().toSet
+
+  private val keys = Seq("part", "k")
+
+  test("merge sequence equals the order-free max-version model; " +
+      "untouched partitions keep their old epoch dirs") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mm")
+      .toString + "/tbl"
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 1.0, 1), (2, "a", 2.0, 1), (3, "b", 3.0, 1)),
+      keys, "part", "ver")
+    // touch only partition a; b's epoch-0 dir must survive by reference
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 10.0, 2)), keys, "part", "ver")
+    // stale redelivery (lower version) cannot regress key 1
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 99.0, 0), (4, "c", 4.0, 1)), keys, "part", "ver")
+    assert(read(path) == Set(
+      (1L, "a", 10.0, 2L), (2L, "a", 2.0, 1L),
+      (3L, "b", 3.0, 1L), (4L, "c", 4.0, 1L)))
+    // partition b is still served from epoch 0 (never rewritten)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_e0/part=b")))
+  }
+
+  test("kill after epoch write (before publish): readers see the " +
+      "pre-merge table; retry converges") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmk1")
+      .toString + "/tbl"
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 1.0, 1), (3, "b", 3.0, 1)), keys, "part", "ver")
+    val before = read(path)
+    graft.FailPoint.arm("mergem_after_epoch_write")
+    try intercept[graft.FailPoint.Kill] {
+      Upsert.mergeIntoManifested(spark, path,
+        rows((1, "a", 10.0, 2)), keys, "part", "ver")
+    } finally graft.FailPoint.disarm()
+    // fully-written but unpublished _e1 stays unreferenced
+    assert(read(path) == before)
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 10.0, 2)), keys, "part", "ver")
+    assert(read(path) == Set((1L, "a", 10.0, 2L), (3L, "b", 3.0, 1L)))
+  }
+
+  test("kill after publish (before sweep): merge is already visible; " +
+      "replaying the same batch cannot change content") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmk2")
+      .toString + "/tbl"
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 1.0, 1), (3, "b", 3.0, 1)), keys, "part", "ver")
+    graft.FailPoint.arm("mergem_after_publish")
+    try intercept[graft.FailPoint.Kill] {
+      Upsert.mergeIntoManifested(spark, path,
+        rows((1, "a", 10.0, 2)), keys, "part", "ver")
+    } finally graft.FailPoint.disarm()
+    val after = Set((1L, "a", 10.0, 2L), (3L, "b", 3.0, 1L))
+    assert(read(path) == after)
+    // the caller's bookkeeping died — the redelivered batch no-ops
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 10.0, 2)), keys, "part", "ver")
+    assert(read(path) == after)
+  }
+
+  test("concurrent reader during a kill-retry merge stream never sees " +
+      "a partial epoch") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmc")
+      .toString + "/tbl"
+    // model: fold batches through mergeVersioned; every prefix is legal
+    val batches: Seq[Seq[(Long, String, Double, Long)]] =
+      (1 to 5).map { i =>
+        (1L to 3L).map(k => (k, if (k == 3L) "b" else "a",
+          i * 10.0 + k, i.toLong))
+      }
+    val legal = scala.collection.mutable.Set
+      .empty[Set[(Long, String, Double, Long)]]
+    var acc = rows(batches.head: _*)
+    legal += batches.head.toSet
+    batches.tail.foreach { b =>
+      acc = Upsert.mergeVersioned(acc, rows(b: _*), keys, "ver")
+      legal += acc.as[(Long, String, Double, Long)].collect().toSet
+    }
+    Upsert.mergeIntoManifested(spark, path, rows(batches.head: _*),
+      keys, "part", "ver")
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      def isFnf(t: Throwable): Boolean = t != null &&
+        (t.isInstanceOf[java.io.FileNotFoundException] || isFnf(t.getCause))
+      while (!stop.get()) {
+        try {
+          val got = read(path)
+          if (!legal.contains(got))
+            bad.compareAndSet(null, s"torn read: $got")
+        } catch {
+          // FNF is legal for a reader lagging past the one retained
+          // epoch (documented contract); anything else is a torn state
+          case e: Throwable if isFnf(e) => ()
+          case e: Throwable =>
+            bad.compareAndSet(null, s"reader threw: $e")
+        }
+      }
+    })
+    reader.start()
+    try batches.tail.foreach { b =>
+      // every merge is first killed mid-flight, then retried — the
+      // reader must never observe the unpublished epoch either way
+      graft.FailPoint.arm("mergem_after_epoch_write")
+      try intercept[graft.FailPoint.Kill] {
+        Upsert.mergeIntoManifested(spark, path, rows(b: _*),
+          keys, "part", "ver")
+      } finally graft.FailPoint.disarm()
+      Upsert.mergeIntoManifested(spark, path, rows(b: _*),
+        keys, "part", "ver")
+    } finally { stop.set(true); reader.join(60000) }
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    assert(read(path) ==
+      acc.as[(Long, String, Double, Long)].collect().toSet)
+  }
+
+  test("sweep retains the previous manifest's references and reclaims " +
+      "older unreferenced epochs") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mms")
+      .toString + "/tbl"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 1.0, 1), (3, "b", 3.0, 1)), keys, "part", "ver")
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 2.0, 2)), keys, "part", "ver")
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 3.0, 3)), keys, "part", "ver")
+    // a's epoch-1 snapshot is still referenced by manifest 1 (lazy-
+    // reader retention); its epoch-0 original must be gone
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_e1/part=a")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_e0/part=a")))
+    // b never rewritten: epoch 0 still live via the ACTIVE manifest
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_e0/part=b")))
+    // escaping round-trip: a partition value with path-hostile chars
+    Upsert.mergeIntoManifested(spark, path,
+      rows((9, "x y/z", 9.0, 1)), keys, "part", "ver")
+    assert(read(path).contains((9L, "x y/z", 9.0, 1L)))
+  }
+}
