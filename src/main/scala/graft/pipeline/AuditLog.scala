@@ -37,8 +37,33 @@ final class AuditLog(spark: SparkSession, path: String) {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.parquet(path)
-    else Seq.empty[(String, String, Int, java.sql.Timestamp)]
+    else emptyTable
+  }
+
+  private def emptyTable: DataFrame =
+    Seq.empty[(String, String, Int, java.sql.Timestamp)]
       .toDF("event_source", "target", "status", "ts")
+
+  /** Time-bounded view for window probes: every [[append]] creates a
+    * file whose modification time is >= the row's `ts` (the write
+    * happens after the event), so a row inside the last
+    * `maxAgeSeconds` can only live in a file at most that old — the
+    * scan reads ONLY those files. The audit dir is append-only and
+    * grows one tiny file per pipeline stage forever; an unbounded
+    * window probe re-opened every footer on every redelivery check,
+    * O(total stages ever) per drain (VERDICT r13 #3). 60 s slack
+    * absorbs coarse mtime resolution / writer clock skew. */
+  private def recentTable(nowMillis: Long, maxAgeSeconds: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return emptyTable
+    val cutoff = nowMillis - (maxAgeSeconds + 60L) * 1000L
+    val files = fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        st.getModificationTime >= cutoff)
+      .map(_.getPath.toString)
+    if (files.isEmpty) emptyTable
+    else spark.read.parquet(files: _*)
   }
 
   /** A5 / `sp_lambda_loading_check_status` (`R22:219-254`): was there a
@@ -60,7 +85,7 @@ final class AuditLog(spark: SparkSession, path: String) {
     val sourceMatch =
       if (exact) col("event_source") === needle
       else instr(col("event_source"), needle) > 0
-    val recent = table()
+    val recent = recentTable(nowMillis, windowSeconds)
       .filter(sourceMatch &&
         col("target") === target &&
         col("status") === 1 &&

@@ -88,12 +88,21 @@ object IngestE2E {
       })
     pipelineRef = watch.pipeline
 
+    // per-drain wall-clock to stderr: this gate's 7-10 s budget is
+    // three full streaming drains + merges + report exports, and
+    // without attribution every suite-median drift reads as a mystery
+    // (VERDICT r13 #2/#8) — the breakdown makes a drift assignable to
+    // a specific drain (drain 1 owns the first merge + poison attempt;
+    // drains 2-3 are suppression-window + quarantine-probe dominated)
     def drain(cpName: String): Unit = {
+      val t0 = System.nanoTime()
       val q = watch.start(work.resolve(cpName).toString)
       try { q.awaitTermination(300000L); () }
       catch {
         case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
       }
+      System.err.println(f"[ingest_e2e] $cpName drained in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
     drain("cp1") // A loads; trap filtered; poison attempt 1 (rethrow)

@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** The audit window probe's bounded-read contract: checkStatus must
+  * answer from files young enough to hold in-window rows (every append
+  * writes AFTER its event, so file mtime >= row ts) — old audit files
+  * accumulate forever and must never be re-opened by a window probe
+  * (VERDICT r13 #3: the unbounded scan made every redelivery check
+  * O(total stages ever)). */
+class AuditLogSpec extends SparkSpec {
+
+  test("checkStatus answers correctly with aged-out files present " +
+      "and prunes them by mtime") {
+    val dir = Files.createTempDirectory("graft_audit").toString
+    val audit = new AuditLog(spark, dir)
+    val now = System.currentTimeMillis()
+    // an OLD success (2h ago), then physically backdate its file so the
+    // layout is what a long-lived audit dir looks like
+    audit.append("loading", "f_old", 1, now - 7200 * 1000L)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).foreach { st =>
+      if (st.isFile) fs.setTimes(st.getPath, now - 7200 * 1000L, -1)
+    }
+    // a recent success in a fresh (current-mtime) file
+    audit.append("loading", "f_new", 1, now)
+
+    // old file is outside the window: pruned without being read
+    assert(audit.checkStatus("loading", "f_old", 1800, now,
+      exact = true) == 0)
+    // recent row still found through the bounded read
+    assert(audit.checkStatus("loading", "f_new", 1800, now,
+      exact = true) == 1)
+    // a window wide enough to cover the old file reads it again
+    assert(audit.checkStatus("loading", "f_old", 8000, now,
+      exact = true) == 1)
+    // non-window probes still see full history
+    assert(audit.countFailures("f_old") == 0)
+    assert(audit.table().count() == 2)
+  }
+}
