@@ -3819,6 +3819,28 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "x_sim_ivf_rebalance" -> ((s, dir) => {
+      // IVF maintenance for skewed/drifted corpora (VERDICT r13 #8):
+      // the artifact is built coarse (k=4 — every cell holds ~25% of
+      // the corpus) and then REBALANCED once via splitHotCells, which
+      // splits each over-threshold cell into local sub-cells touching
+      // only that cell's rows (partition-pruned read + one hot-mass
+      // shuffle; at 100 TB this is re-encoding the hot percent, not the
+      // corpus) and publishes the new routing table as an immutable
+      // centroid version + one atomic epoch flip — probes never see a
+      // torn table, chaos-specced in IvfRebalanceSpec. Storage must
+      // never change content: a full probe over the post-split cells
+      // answers exactly brute-force top-k.
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val idx = ivfRebalFor(s, dir, emb)
+      val nCells = idx.centroids().count().toInt
+      idx.search("vec_id", "embedding", q, k = 13, nprobe = nCells)
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(12)
+    }),
+
     "x_sim_ivf_probe" -> ((s, dir) => {
       // pruned probe: only the query's nearest cell partition is read —
       // the scale path. Hash-checked: the oracle re-derives cell choice
@@ -4094,6 +4116,27 @@ object SparkEntry {
     * an unconditional rebuild would stamp a fresh token every process
     * and read every sibling as stale). */
   private val ivfBuilt = scala.collection.concurrent.TrieMap.empty[String, operators.IvfIndex]
+
+  /** Build (or reuse) the REBALANCED IVF artifact for the maintenance
+    * gate: separate dir from [[ivfIndexFor]]'s index (whose centroid
+    * layout the probe-replay oracle reads — splitting THAT would break
+    * its SQL), coarse k=4 build, then one splitHotCells pass. The
+    * `cv > 0` epoch check is the across-JVM maintenance-done guard;
+    * split parameters are baked into the path like every artifact. */
+  private val ivfRebalBuilt = scala.collection.concurrent.TrieMap.empty[String, operators.IvfIndex]
+  private def ivfRebalFor(s: SparkSession, dir: String,
+                          emb: DataFrame): operators.IvfIndex =
+    ivfRebalBuilt.getOrElseUpdate(dir, {
+      val idx = new operators.IvfIndex(s,
+        s"${artifactBase(dir)}/ivf_rebal_k4f015")
+      if (!idx.epoch().exists(_.cv > 0)) {
+        if (idx.epoch().isEmpty)
+          idx.build(emb, "vec_id", "embedding", k = 4, iters = IvfIters,
+            trainSample = IvfTrain)
+        idx.splitHotCells("vec_id", "embedding", maxFraction = 0.15)
+      }
+      idx
+    })
   private def ivfIndexFor(s: SparkSession, dir: String,
                           emb: DataFrame): operators.IvfIndex =
     ivfBuilt.getOrElseUpdate(dir, {
@@ -8185,6 +8228,24 @@ object SparkEntry {
                     FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
          SELECT vec_id, score FROM s
          ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // storage maintenance must never change content: after the hot-cell
+    // split, a full probe over the live cells is exactly brute-force
+    // top-k — same model as x_sim_ivf_index, wider cut (12)
+    "x_sim_ivf_rebalance" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+              e AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id <> 0),
+              s AS (SELECT e.vec_id,
+                           round(sum(e.x * q.qx) /
+                             (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+                    FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
+         SELECT vec_id, score FROM s
+         ORDER BY score DESC, vec_id LIMIT 12""",
 
     // the quantizer scale (127/max|x|, one double) and both tie-break
     // orders are total, so replaying the two-stage pipeline is exact:

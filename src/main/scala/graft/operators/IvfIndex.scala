@@ -7,11 +7,19 @@ import org.apache.spark.sql.functions._
 /** Opaque staleness token for an index and the artifacts derived from
   * it. `buildToken` is fresh per (re)train — a derived artifact recorded
   * under a different token was encoded against a different quantizer;
-  * `mods` counts appends since that build — a lower recorded `mods`
-  * means the derived artifact is missing rows. Tokens are random (not a
-  * counter) so deleting and rebuilding the parent can never collide
-  * with a sibling's stale recording. */
-final case class IndexEpoch(buildToken: String, mods: Long)
+  * `mods` counts appends AND row-moving maintenance (cell splits) since
+  * that build — a lower recorded `mods` means the derived artifact is
+  * missing rows or filing them under retired cells; `cv` is the active
+  * CENTROID VERSION — maintenance ops ([[IvfIndex.recenter]],
+  * [[IvfIndex.splitHotCells]]) publish a fresh immutable centroid dir
+  * and flip `cv` here atomically, so a reader never sees a half-written
+  * routing table (cv=0 is the plain build-time `ivf_centroids` dir).
+  * Residual-coded siblings (IVFPQ) compare the WHOLE epoch: a cv-only
+  * change (recenter) moves the centroids their residuals were computed
+  * against, so they must refuse exactly like a rebuild. Tokens are
+  * random (not a counter) so deleting and rebuilding the parent can
+  * never collide with a sibling's stale recording. */
+final case class IndexEpoch(buildToken: String, mods: Long, cv: Long = 0L)
 
 private[operators] object IndexEpoch {
   /** None on absence AND on any malformed content: a torn file must
@@ -30,6 +38,12 @@ private[operators] object IndexEpoch {
       txt.split(' ') match {
         case Array(tok, mods) => scala.util.Try(mods.toLong).toOption
           .map(IndexEpoch(tok, _))
+        // three-field form adds the centroid version; two-field files
+        // (pre-maintenance builds) read as cv=0, the plain centroid dir
+        case Array(tok, mods, cv) => (for {
+            m <- scala.util.Try(mods.toLong)
+            c <- scala.util.Try(cv.toLong)
+          } yield IndexEpoch(tok, m, c)).toOption
         case _ => None
       }
     }
@@ -43,7 +57,7 @@ private[operators] object IndexEpoch {
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(tmp, true)
-    try out.write(s"${e.buildToken} ${e.mods}".getBytes("UTF-8"))
+    try out.write(s"${e.buildToken} ${e.mods} ${e.cv}".getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p))
@@ -85,6 +99,13 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
   private def cellsPath = s"$basePath/ivf_cells"
   private def centroidsPath = s"$basePath/ivf_centroids"
   private def epochPath = s"$basePath/ivf_epoch"
+
+  /** Immutable per-version centroid dirs: v0 is the plain build-time
+    * path (existing layouts — and the oracle replay — keep working);
+    * maintenance ops write v>0 dirs and flip [[IndexEpoch.cv]]
+    * atomically, so the routing-table swap is never torn. */
+  private def centroidsVPath(v: Long): String =
+    if (v == 0L) centroidsPath else s"$basePath/ivf_centroids_v$v"
 
   /** Current epoch, or None when no complete index exists. The epoch
     * file is written LAST in [[build]], so its presence implies the
@@ -191,7 +212,10 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     assignedFrame(emb, idCol, vecCol, cents)
       .write.mode(mode).partitionBy("cell").parquet(cellsPath)
 
-  def centroids(): DataFrame = spark.read.parquet(centroidsPath)
+  /** The ACTIVE routing table: the centroid dir the current epoch's
+    * `cv` points at. */
+  def centroids(): DataFrame =
+    spark.read.parquet(centroidsVPath(epoch().map(_.cv).getOrElse(0L)))
 
   /** Committed-only read of the cell table: the cells path is
     * appendOnce-maintained (see [[append]]), so a probe racing a
@@ -297,7 +321,7 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
   @volatile private var centroidCache: (String, Array[(Int, Array[Double])]) = null
 
   private[operators] def centroidArray(): Array[(Int, Array[Double])] = {
-    val tok = epoch().map(e => s"${e.buildToken}:${e.mods}").getOrElse("")
+    val tok = epoch().map(e => s"${e.buildToken}:${e.mods}:${e.cv}").getOrElse("")
     val cached = centroidCache
     if (cached != null && cached._1 == tok) cached._2
     else {
@@ -399,25 +423,7 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     * driver-side cosine against the k stored centroids; output is k
     * rows. */
   def drift(vecCol: String, minCosine: Double = 0.99): DataFrame = {
-    // Per-(cell, dim) means from EXACT integer sums of 1e-6-quantized
-    // components: integer addition is order-independent, so the means
-    // are bit-identical in any engine and on any partitioning — a live
-    // float avg() here made the 6-dp cosine (and the retrain flag) hang
-    // on partition-order ULP noise. k×dim rows collect driver-side
-    // (control-plane sized, like build's centroids) and the cosine is
-    // assembled in deterministic array order.
-    val mRows = cells()
-      .select(col("cell"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("_i", "_x")))
-      .groupBy(col("cell"), col("_i"))
-      .agg(sum(round(col("_x") * 1e6).cast("long")).as("_s"),
-        count(lit(1)).as("_n"))
-      .collect()
-    val current: Map[Int, Array[Double]] =
-      mRows.groupBy(_.getInt(0)).map { case (cell, rows) =>
-        cell -> rows.sortBy(_.getInt(1))
-          .map(r => r.getLong(2).toDouble / (r.getLong(3) * 1e6)).toArray
-      }
+    val current = currentCellMeans(vecCol)
     val rows = storedCentroids().flatMap { case (cell, stored) =>
       current.get(cell).map { cur =>
         val dot = stored.iterator.zip(cur.iterator).map { case (a, b) => a * b }.sum
@@ -431,6 +437,240 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     import spark.implicits._
     rows.toDF("cell", "drift_cosine", "retrain")
   }
+
+  /** Per-cell CURRENT mean vectors from EXACT integer sums of
+    * 1e-6-quantized components: integer addition is order-independent,
+    * so the means are bit-identical in any engine and on any
+    * partitioning — a live float avg() here made the 6-dp drift cosine
+    * (and the retrain flag) hang on partition-order ULP noise. k×dim
+    * rows collect driver-side (control-plane sized, like build's
+    * centroids); arrays assembled in deterministic dim order. Shared by
+    * [[drift]] (report) and [[recenter]] (the fix). */
+  private def currentCellMeans(vecCol: String): Map[Int, Array[Double]] = {
+    val mRows = cells()
+      .select(col("cell"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("_i", "_x")))
+      .groupBy(col("cell"), col("_i"))
+      .agg(sum(round(col("_x") * 1e6).cast("long")).as("_s"),
+        count(lit(1)).as("_n"))
+      .collect()
+    mRows.groupBy(_.getInt(0)).map { case (cell, rows) =>
+      cell -> rows.sortBy(_.getInt(1))
+        .map(r => r.getLong(2).toDouble / (r.getLong(3) * 1e6)).toArray
+    }
+  }
+
+  private def writeCentroids(cents: Seq[(Int, Seq[Double])], v: Long): Unit = {
+    import spark.implicits._
+    cents.sortBy(_._1).toDF("cell", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(centroidsVPath(v))
+  }
+
+  /** DRIFT REPAIR without data movement: replace each drifted cell's
+    * stored centroid with the cell's CURRENT mean (the [[drift]]
+    * report's fix), publish as a fresh centroid version, and flip
+    * [[IndexEpoch.cv]] atomically. Rows never move, so the cost is one
+    * cells aggregate + a k-row write — corpus-shuffle-free, the cheap
+    * half of the re-train flow (frozen-quantizer [[append]]s degrade
+    * ROUTING first: the rows are filed where the old centroid put them,
+    * but probes rank cells by centroids that no longer describe their
+    * contents).
+    *
+    * Consistency: the SQ sibling quantizes RAW vectors per cell — rows
+    * and cells are untouched, so it stays valid across a recenter. The
+    * IVFPQ sibling codes RESIDUALS against the centroids — its recorded
+    * epoch no longer equals the parent's (cv moved) and it refuses
+    * loudly, exactly as it must. A probe concurrent with the flip reads
+    * the old complete routing table or the new one, never a torn one;
+    * centroid versions older than the immediately-previous one are
+    * swept (same one-generation reader retention as the manifest
+    * layouts). Returns the recentred cell ids. */
+  def recenter(vecCol: String, minCosine: Double = 0.99): Seq[Int] = {
+    val e = epoch().getOrElse(throw new IllegalStateException(
+      s"no complete IVF index at $basePath"))
+    val current = currentCellMeans(vecCol)
+    val stored = storedCentroids()
+    val drifted = stored.flatMap { case (cell, s) =>
+      current.get(cell).flatMap { cur =>
+        val dot = s.iterator.zip(cur.iterator).map { case (a, b) => a * b }.sum
+        val n1 = math.sqrt(s.map(x => x * x).sum)
+        val n2 = math.sqrt(cur.map(x => x * x).sum)
+        val cos = BigDecimal(dot / (n1 * n2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (cos < minCosine) Some(cell) else None
+      }
+    }
+    if (drifted.isEmpty) return Nil
+    val driftedSet = drifted.toSet
+    val newCents = stored.map { case (cell, v) =>
+      if (driftedSet(cell)) (cell, current(cell).toSeq) else (cell, v)
+    }
+    writeCentroids(newCents, e.cv + 1)
+    graft.FailPoint.hit("ivf_recenter_after_centroids")
+    IndexEpoch.write(spark, epochPath, e.copy(cv = e.cv + 1))
+    sweepCentroidVersions(e.cv + 1)
+    drifted.sorted
+  }
+
+  /** LOAD REBALANCE for skewed or drifted corpora: split every cell
+    * holding more than `maxFraction` of the corpus into local
+    * sub-cells, touching ONLY those cells — the incremental alternative
+    * to a full [[build]] when appends have piled the new distribution
+    * into a few cells. At scale this is the difference between
+    * re-encoding 100 TB and re-encoding the hot percent: detection is
+    * one per-cell count, sub-quantizer training is a bounded
+    * driver-side sample per hot cell (the FAISS train shape), and the
+    * only corpus-touching pass is a partition-pruned read + one shuffle
+    * of the HOT cells' rows.
+    *
+    * Protocol (single writer, concurrent probes safe at every point):
+    *
+    *   1. the hot cells' rows are re-assigned to fresh sub-cell ids
+    *      (local argmin against that cell's own sub-centroids) and land
+    *      in the cell table via [[StagedCommit.appendOnce]] under a
+    *      content-deterministic token — killed-mid-commit is invisible,
+    *      and the retry's recomputation (same live cells, same
+    *      deterministic sample and k-means) no-ops into the same token;
+    *   2. a fresh centroid version drops the split cells' centroids and
+    *      adds the sub-centroids;
+    *   3. the epoch flips cv AND mods atomically (rows moved cells —
+    *      residual-coded siblings must refuse; the raw-vector SQ
+    *      sibling is invalidated up front, same unconditional ordering
+    *      as [[append]]);
+    *   4. retired cell dirs are swept with one-generation retention
+    *      (a probe that resolved the previous cv keeps its cells).
+    *
+    * Before the epoch flip, probes route by the OLD centroids to the
+    * OLD cells — the committed sub-cell rows exist but are unrouted.
+    * After it, the split cells' centroids are gone, so their dirs are
+    * never probed even before the sweep removes them. Detection counts
+    * only LIVE cells (those in the routing table), so a crash-retry
+    * between steps 1 and 3 reproduces the original decision. Returns
+    * the split cell ids. */
+  def splitHotCells(idCol: String, vecCol: String,
+                    maxFraction: Double = 0.25, iters: Int = 5,
+                    trainSample: Int = 65536): Seq[Int] = {
+    require(maxFraction > 0 && maxFraction < 1,
+      s"maxFraction must be in (0,1), got $maxFraction")
+    val e = epoch().getOrElse(throw new IllegalStateException(
+      s"no complete IVF index at $basePath"))
+    val live = storedCentroids()
+    val liveIds = live.map(_._1)
+    val counts: Map[Int, Long] = cells()
+      .filter(col("cell").isin(liveIds: _*))
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val hot = counts.filter { case (_, n) => n > maxFraction * total }
+      .keys.toSeq.sorted
+    if (hot.isEmpty || total == 0L) return Nil
+    // rows are about to move cells: the raw-vector sibling mirrors the
+    // cell layout, so wipe it FIRST and unconditionally (same crash
+    // reasoning as append — over-invalidation is the safe direction)
+    invalidateSq()
+    // per hot cell: deterministic bounded sample, local 2+-means into
+    // enough sub-cells to bring each under the threshold (capped at 8)
+    var nextId = liveIds.max + 1
+    val subCents: Seq[(Int, Int, Seq[Double])] = hot.flatMap { c =>
+      val want = math.min(8L,
+        math.max(2L, math.ceil(counts(c) / (maxFraction * total)).toLong))
+      val sample = Sampling.exactSample(
+          cells().filter(col("cell") === c)
+            .select(col(idCol), col(vecCol)), idCol, trainSample)
+        .select(col(vecCol).cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val ks = KMeans.lloyd(sample, want.toInt, iters)
+      val out = ks.zipWithIndex.map { case (v, i) =>
+        (c, nextId + i, v.toSeq) }.toSeq
+      nextId += ks.length
+      out
+    }
+    // one partition-pruned pass over the hot cells: each row argmins
+    // against ITS OWN cell's sub-centroids (broadcast join on the
+    // source cell), keeping the pass O(hot mass), not O(corpus)
+    import spark.implicits._
+    val subDf = subCents.map { case (src, id, v) =>
+      (src, id, v, v.map(x => x * x).sum) }
+      .toDF("_src", "_ncell", "_cvec", "_cn2")
+    val src = cells().filter(col("cell").isin(hot: _*))
+    val dataCols = src.columns.toSeq.filterNot(_ == "cell")
+    val reassigned = src
+      .select(col(idCol).as("_aid"),
+        struct(dataCols.map(col): _*).as("_row"),
+        col(vecCol).cast("array<double>").as("_av"), col("cell"))
+      .join(broadcast(subDf), col("cell") === col("_src"))
+      .select(col("_aid"), col("_row"),
+        struct(
+          (col("_cn2") - VectorFunctions.dot(col("_av"), col("_cvec")) * 2)
+            .as("dist"),
+          col("_ncell").as("idx")).as("_s"))
+      .groupBy(col("_aid"))
+      .agg(min(col("_s")).as("_best"), first(col("_row")).as("_row"))
+      .select(dataCols.map(c => col(s"_row.$c")) :+
+        col("_best.idx").as("cell"): _*)
+      .repartition(col("cell"))
+    val token = s"split_${e.buildToken}_m${e.mods}_v${e.cv}_" +
+      hot.mkString("-")
+    StagedCommit.appendOnce(cellsPath, token, Seq("cell"), reassigned)
+    graft.FailPoint.hit("ivf_split_after_append")
+    val hotSet = hot.toSet
+    writeCentroids(live.filterNot { case (c, _) => hotSet(c) } ++
+      subCents.map { case (_, id, v) => (id, v) }, e.cv + 1)
+    graft.FailPoint.hit("ivf_split_after_centroids")
+    IndexEpoch.write(spark, epochPath,
+      IndexEpoch(e.buildToken, e.mods + 1, e.cv + 1))
+    sweepRetiredCells(e.cv + 1)
+    sweepCentroidVersions(e.cv + 1)
+    hot
+  }
+
+  /** Best-effort GC after a split: delete `cell=X` dirs referenced by
+    * NEITHER the active centroid version nor the immediately-previous
+    * one (a probe that resolved the old routing table keeps its cells
+    * for one generation — the same retention contract as the manifest
+    * layouts; a crash mid-sweep leaves garbage the next maintenance
+    * op's sweep reclaims). */
+  private def sweepRetiredCells(activeCv: Long): Unit =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(cellsPath)
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) return
+      def cellsOf(v: Long): Set[Int] = {
+        val p = new org.apache.hadoop.fs.Path(centroidsVPath(v))
+        if (!fs.exists(p)) Set.empty
+        else spark.read.parquet(centroidsVPath(v))
+          .select(col("cell")).collect().map(_.getInt(0)).toSet
+      }
+      val keep = cellsOf(activeCv) ++
+        (if (activeCv > 0) cellsOf(activeCv - 1) else Set.empty[Int])
+      fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith("cell=") &&
+            scala.util.Try(name.stripPrefix("cell=").toInt).toOption
+              .exists(!keep(_)))
+          fs.delete(st.getPath, true)
+      }
+    } catch { case _: Throwable => () }
+
+  /** Drop centroid version dirs older than `activeCv - 1` (one
+    * generation retained for lagging readers; the build-time v0 plain
+    * dir is kept — it documents the original quantizer and the replay
+    * oracles read it). */
+  private def sweepCentroidVersions(activeCv: Long): Unit =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val base = new org.apache.hadoop.fs.Path(basePath)
+      val fs = base.getFileSystem(conf)
+      fs.listStatus(base).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith("ivf_centroids_v") &&
+            scala.util.Try(name.stripPrefix("ivf_centroids_v").toLong)
+              .toOption.exists(_ < activeCv - 1))
+          fs.delete(st.getPath, true)
+      }
+    } catch { case _: Throwable => () }
 
   /** Quantized probe (IVF × SQ8): cell pruning as in [[search]], then
     * the candidate pass ranks the probed cells by the INT8 dot product

@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** IVF maintenance for drifted/skewed corpora (VERDICT r13 next-list
+  * #8): [[IvfIndex.recenter]] (routing repair, zero data movement) and
+  * [[IvfIndex.splitHotCells]] (hot-cell rebalance, cost bounded by the
+  * hot mass) — content preservation, routing, epoch/centroid-version
+  * atomicity across injected kills, sibling staleness, and sweep
+  * retention. */
+class IvfRebalanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // cluster A (60 rows, around x-axis) is deliberately hot; cluster B
+  // hides two sub-clusters inside A's rows so a split can separate them
+  private lazy val emb = {
+    val rnd = new scala.util.Random(7)
+    (1 to 80).map { i =>
+      val base =
+        if (i <= 30) Array(10f, 0f, 0f, 0f)
+        else if (i <= 60) Array(10f, 4f, 0f, 0f) // same coarse cell as A
+        else Array(0f, 10f, 0f, 0f)
+      (i.toLong, base.map(_ + rnd.nextFloat() * 0.3f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def bruteIds(k: Int, q: Seq[Double]): Seq[Long] =
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k)
+      .select("vec_id").as[Long].collect().toSeq
+
+  private def fullProbeIds(idx: IvfIndex, k: Int, q: Seq[Double]): Seq[Long] = {
+    val nCells = idx.centroids().count().toInt
+    idx.search("vec_id", "embedding", q, k, nprobe = nCells)
+      .select("vec_id").as[Long].collect().toSeq
+  }
+
+  test("splitHotCells splits only the hot cell, preserves content, " +
+      "and full-probe search equals brute force") {
+    val base = Files.createTempDirectory("graft_ivfreb").toString
+    val idx = new IvfIndex(spark, base)
+    idx.build(emb, "vec_id", "embedding", k = 2, iters = 4)
+    val before = idx.cells().select("vec_id").as[Long].collect().toSet
+    val hotCell = idx.cells().groupBy(col("cell")).count()
+      .orderBy(col("count").desc).head().getInt(0)
+
+    val split = idx.splitHotCells("vec_id", "embedding", maxFraction = 0.5)
+    assert(split == Seq(hotCell))
+    // id set unchanged; routing table dropped the split cell and the
+    // split cell's rows are reachable under the new sub-cells
+    assert(idx.cells().select("vec_id").as[Long].collect().toSet == before)
+    val liveCells = idx.centroids().select("cell").as[Int].collect().toSet
+    assert(!liveCells(hotCell) && liveCells.size == 3)
+    val routed = idx.cells()
+      .filter(col("cell").isin(liveCells.toSeq: _*))
+      .select("vec_id").as[Long].collect().toSet
+    assert(routed == before)
+    // no live cell above the threshold any more
+    val counts = idx.cells().filter(col("cell").isin(liveCells.toSeq: _*))
+      .groupBy(col("cell")).count().as[(Int, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 0.5 * before.size))
+    // correctness oracle: full probe == brute force
+    val q = Seq(10.0, 2.0, 0.0, 0.0)
+    assert(fullProbeIds(idx, 10, q) == bruteIds(10, q))
+    // the split separated the two sub-clusters: a probe at nprobe=1
+    // near sub-cluster A2 finds A2 members, not a mixed bag
+    val near = idx.search("vec_id", "embedding", Seq(10.0, 4.0, 0.0, 0.0),
+        k = 5, nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(near.forall(id => id > 30 && id <= 60), near.toSeq.toString)
+  }
+
+  test("splitHotCells is a no-op below the threshold") {
+    val base = Files.createTempDirectory("graft_ivfreb0").toString
+    val idx = new IvfIndex(spark, base)
+    idx.build(emb, "vec_id", "embedding", k = 2, iters = 4)
+    val e0 = idx.epoch().get
+    assert(idx.splitHotCells("vec_id", "embedding", maxFraction = 0.9).isEmpty)
+    assert(idx.epoch().get == e0)
+  }
+
+  test("kill after sub-cell append: probes still route the old table; " +
+      "retry no-ops the append and converges") {
+    val base = Files.createTempDirectory("graft_ivfrebk1").toString
+    val idx = new IvfIndex(spark, base)
+    idx.build(emb, "vec_id", "embedding", k = 2, iters = 4)
+    val e0 = idx.epoch().get
+    val q = Seq(10.0, 2.0, 0.0, 0.0)
+    val beforeIds = fullProbeIds(idx, 10, q)
+
+    graft.FailPoint.arm("ivf_split_after_append")
+    try intercept[graft.FailPoint.Kill] {
+      idx.splitHotCells("vec_id", "embedding", maxFraction = 0.5)
+    } finally graft.FailPoint.disarm()
+    // routing unchanged: old epoch, old centroids, probes unaffected
+    // (committed sub-cell rows exist but no centroid routes to them)
+    assert(idx.epoch().get == e0)
+    assert(idx.centroids().count() == 2)
+    assert(fullProbeIds(idx, 10, q) == beforeIds)
+
+    // retry: deterministic token makes the append a no-op; publish runs
+    val split = idx.splitHotCells("vec_id", "embedding", maxFraction = 0.5)
+    assert(split.nonEmpty)
+    assert(idx.epoch().get.cv == e0.cv + 1)
+    assert(fullProbeIds(idx, 10, q) == bruteIds(10, q))
+    // exactly one committed delta for the split (the kill's staged
+    // work was swept, not double-committed)
+    val markers = new java.io.File(s"$base/ivf_cells").listFiles()
+      .count(_.getName.startsWith("_delta_split_"))
+    assert(markers == 1, s"expected 1 split marker, found $markers")
+  }
+
+  test("kill after centroid-version write (before epoch flip): old " +
+      "routing stays active; retry republishes and flips") {
+    val base = Files.createTempDirectory("graft_ivfrebk2").toString
+    val idx = new IvfIndex(spark, base)
+    idx.build(emb, "vec_id", "embedding", k = 2, iters = 4)
+    val e0 = idx.epoch().get
+    val q = Seq(10.0, 2.0, 0.0, 0.0)
+
+    graft.FailPoint.arm("ivf_split_after_centroids")
+    try intercept[graft.FailPoint.Kill] {
+      idx.splitHotCells("vec_id", "embedding", maxFraction = 0.5)
+    } finally graft.FailPoint.disarm()
+    assert(idx.epoch().get == e0)
+    assert(idx.centroids().count() == 2) // cv still 0 -> old table
+    val split = idx.splitHotCells("vec_id", "embedding", maxFraction = 0.5)
+    assert(split.nonEmpty && idx.epoch().get.cv == e0.cv + 1)
+    assert(fullProbeIds(idx, 10, q) == bruteIds(10, q))
+  }
+
+  test("recenter repairs drifted routing without moving rows; SQ " +
+      "sibling stays valid; IVFPQ sibling refuses") {
+    val base = Files.createTempDirectory("graft_ivfrec").toString
+    val idx = new IvfIndex(spark, base)
+    // build on half the corpus, then append the drifting other half:
+    // frozen-quantizer appends file rows under training-time centroids
+    val old = emb.filter($"vec_id" <= 40)
+    val delta = emb.filter($"vec_id" > 40)
+    idx.build(old, "vec_id", "embedding", k = 2, iters = 4)
+    idx.append(delta, "vec_id", "embedding")
+    val pq = new IvfPq(spark, idx, s"$base/pq")
+    pq.build("vec_id", "embedding", m = 2, k = 4, iters = 3)
+    val layoutBefore = idx.cells().select("vec_id", "cell")
+      .as[(Long, Int)].collect().toSet
+
+    val moved = idx.recenter("embedding", minCosine = 0.999999)
+    assert(moved.nonEmpty)
+    // rows did not move; only the routing table did
+    assert(idx.cells().select("vec_id", "cell")
+      .as[(Long, Int)].collect().toSet == layoutBefore)
+    // recentred routing reports zero drift
+    assert(idx.drift("embedding", minCosine = 0.999999)
+      .filter(col("retrain")).count() == 0)
+    // raw-vector SQ sibling survives a recenter (rows untouched)
+    idx.ensureSq("vec_id", "embedding")
+    val q = Seq(10.0, 2.0, 0.0, 0.0)
+    val nCells = idx.centroids().count().toInt
+    val sq = idx.searchQuantized("vec_id", "embedding", q, k = 5,
+        rerank = 80, nprobe = nCells)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(sq == bruteIds(5, q))
+    // residual-coded IVFPQ must refuse: its codes were taken against
+    // the pre-recenter centroids
+    val ex = intercept[IllegalStateException] {
+      pq.search("vec_id", "embedding", q, k = 5, rerank = 20)
+    }
+    assert(ex.getMessage.contains("stale"))
+  }
+
+  test("sweep retains one centroid generation and reclaims retired " +
+      "cell dirs after consecutive maintenance ops") {
+    val base = Files.createTempDirectory("graft_ivfswp").toString
+    val idx = new IvfIndex(spark, base)
+    idx.build(emb, "vec_id", "embedding", k = 2, iters = 4)
+    val hot1 = idx.splitHotCells("vec_id", "embedding", maxFraction = 0.5)
+    assert(hot1.nonEmpty)
+    val fsDir = new java.io.File(s"$base/ivf_cells")
+    // one-generation retention: the just-retired hot cell dir survives
+    // the split that retired it (a reader on the previous cv)
+    assert(fsDir.listFiles().exists(_.getName == s"cell=${hot1.head}"))
+    // force a second maintenance op via a tiny threshold — its sweep
+    // reclaims the first split's retired dir (two generations old now)
+    val hot2 = idx.splitHotCells("vec_id", "embedding", maxFraction = 0.3)
+    assert(hot2.nonEmpty)
+    assert(!fsDir.listFiles().exists(_.getName == s"cell=${hot1.head}"))
+    // content still exact through it all
+    val q = Seq(10.0, 2.0, 0.0, 0.0)
+    assert(fullProbeIds(idx, 10, q) == bruteIds(10, q))
+    // v0 (build-time) centroid dir is always retained; intermediate
+    // versions older than cv-1 are gone
+    val cv = idx.epoch().get.cv
+    val baseDir = new java.io.File(base)
+    assert(baseDir.listFiles().exists(_.getName == "ivf_centroids"))
+    val vdirs = baseDir.listFiles().map(_.getName)
+      .filter(_.startsWith("ivf_centroids_v"))
+      .map(_.stripPrefix("ivf_centroids_v").toLong)
+    assert(vdirs.forall(v => v >= cv - 1), vdirs.toSeq.toString)
+  }
+}
