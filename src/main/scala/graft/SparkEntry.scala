@@ -1534,6 +1534,70 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("o_orderstatus"))
     }),
 
+    "j20_merge_compact" -> ((s, dir) => {
+      // compaction must never change content: after three manifested
+      // merges scatter the live partitions across three epoch dirs,
+      // compactManifested rewrites them into ONE epoch + manifest
+      // (atomic flip, same reader contract as a merge) — the read-side
+      // cost goes from N dir resolutions back to one while the
+      // max-version answer is untouched. Smaller slice than j19 (every
+      // 7th order) — the semantics, not the volume, are the claim.
+      val base = s"${artifactBase(dir)}/merge_compact"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") - 5.0)
+          .withColumn("ver", lit(0L)), keys, "o_orderstatus", "ver")
+      operators.Upsert.compactManifested(s, base, "o_orderstatus")
+      operators.Upsert.readManifested(s, base)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("ver"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
+    "j21_merge_timetravel" -> ((s, dir) => {
+      // TIME TRAVEL over the manifested table: immutable manifests +
+      // append-only epoch dirs reconstruct any retained historical
+      // snapshot byte-for-byte — here the table AS OF manifest 1 (after
+      // the second merge, BEFORE the third batch landed), so the oracle
+      // is the max-version model over batches 1+2 only: the third
+      // batch's existence must be invisible. retain=3 keeps the
+      // history readable across the three merges.
+      val base = s"${artifactBase(dir)}/merge_timetravel"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver",
+        retain = 3)
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver",
+        retain = 3)
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+          .withColumn("ver", lit(3L)), keys, "o_orderstatus", "ver",
+        retain = 3)
+      operators.Upsert.readManifestedAt(s, base, 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("ver"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
     "u4_union_evolve" -> ((s, dir) => {
       // schema-evolution union: a legacy slice without the status
       // column unions BY NAME with the current schema
@@ -5796,6 +5860,45 @@ object SparkEntry {
            UNION ALL
            SELECT o_orderkey, o_orderstatus, o_totalprice - 5.0, 0
            FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, ver FROM (
+           SELECT *, row_number() OVER (
+                       PARTITION BY o_orderstatus, o_orderkey
+                       ORDER BY ver DESC) AS rn
+           FROM allrows) WHERE rn = 1
+         ORDER BY o_orderkey, o_orderstatus""",
+
+    // compaction must never change content: j19's model on the %7
+    // slice — the compacted single-epoch table answers identically
+    "j20_merge_compact" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 = 0),
+              allrows AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(1 AS BIGINT) AS ver FROM base
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0, 2
+           FROM base WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice - 5.0, 0
+           FROM base WHERE o_orderkey % 3 = 0)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, ver FROM (
+           SELECT *, row_number() OVER (
+                       PARTITION BY o_orderstatus, o_orderkey
+                       ORDER BY ver DESC) AS rn
+           FROM allrows) WHERE rn = 1
+         ORDER BY o_orderkey, o_orderstatus""",
+
+    // time travel: the table AS OF manifest 1 is the max-version model
+    // over batches 1+2 only — batch 3 (ver=3, +100.0) must be invisible
+    "j21_merge_timetravel" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 = 0),
+              allrows AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(1 AS BIGINT) AS ver FROM base
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0, 2
+           FROM base WHERE o_orderkey % 5 = 0)
          SELECT o_orderkey, o_orderstatus, o_totalprice, ver FROM (
            SELECT *, row_number() OVER (
                        PARTITION BY o_orderstatus, o_orderkey

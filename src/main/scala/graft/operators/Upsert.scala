@@ -470,7 +470,7 @@ object Upsert {
   def mergeIntoManifested(spark: org.apache.spark.sql.SparkSession,
                           tablePath: String, updates: DataFrame,
                           keys: Seq[String], partitionCol: String,
-                          version: String): Unit = {
+                          version: String, retain: Int = 2): Unit = {
     import org.apache.spark.sql.SaveMode
     require(keys.contains(partitionCol),
       s"$partitionCol must be part of the merge key, or rows could move partitions")
@@ -494,9 +494,14 @@ object Upsert {
       u.withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn")
     }
+    // cluster by the partition column before every partitioned write
+    // (same rationale as IvfIndex.writeAssigned): without it each
+    // shuffle partition drops a fragment into every touched partition
+    // dir — partitions × shuffle-partitions small files, paid by every
+    // subsequent read's listing and per-file task overhead
     EpochManifest.active(fs, root) match {
       case None =>
-        dedupLatest(updates)
+        dedupLatest(updates).repartition(col(partitionCol))
           .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
           .parquet(epochDir(0))
         EpochManifest.publish(fs, root, 0,
@@ -535,7 +540,8 @@ object Upsert {
         // there is no self-read-overwrite race and no tmp staging; a
         // kill before publish leaves an unreferenced dir the retry's
         // Overwrite restages
-        merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+        merged.repartition(col(partitionCol))
+          .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
           .parquet(epochDir(epoch + 1))
         graft.FailPoint.hit("mergem_after_epoch_write")
         val newDirs = listPartDirs(epoch + 1).toSet
@@ -545,7 +551,7 @@ object Upsert {
         EpochManifest.publish(fs, root, epoch + 1,
           newEntries.map { case (d, e) => s"$d\t$e" })
         graft.FailPoint.hit("mergem_after_publish")
-        sweepManifested(fs, root, epoch + 1)
+        sweepManifested(fs, root, epoch + 1, retain)
     }
   }
 
@@ -561,12 +567,67 @@ object Upsert {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (_, lines) = EpochManifest.active(fs, root).getOrElse(
       throw new IllegalStateException(s"no manifest under $tablePath"))
+    readEntries(spark, tablePath, lines)
+  }
+
+  /** TIME TRAVEL: the table exactly as manifest `epoch` published it.
+    * Every manifest is immutable and every epoch dir append-only, so a
+    * historical manifest that is still retained reconstructs its
+    * snapshot byte-for-byte. Retention is the merge's `retain` knob —
+    * a version older than the newest `retain` manifests has been swept
+    * and throws here (loudly, on resolution, not mid-scan). */
+  def readManifestedAt(spark: org.apache.spark.sql.SparkSession,
+                       tablePath: String, epoch: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = EpochManifest.read(fs, root, epoch).getOrElse(
+      throw new IllegalStateException(
+        s"no manifest $epoch under $tablePath — missing or already " +
+          "swept (raise the merge's retain knob to keep more history)"))
+    readEntries(spark, tablePath, lines)
+  }
+
+  private def readEntries(spark: org.apache.spark.sql.SparkSession,
+                          tablePath: String,
+                          lines: Seq[String]): DataFrame = {
     val entries = lines.map(parseManifestEntry)
     entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (e, es) =>
       spark.read.option("basePath", s"$tablePath/_e$e")
         .parquet(es.map(en => s"$tablePath/_e$e/${en._1}"): _*)
     }.reduceOption(_ unionByName _).getOrElse(
       throw new IllegalStateException(s"empty manifest under $tablePath"))
+  }
+
+  /** COMPACTION for the manifested layout: after many merges the live
+    * partitions scatter across many epoch dirs (each merge's dir holds
+    * only what it touched), so every read resolves N dirs and the
+    * listing cost grows with merge history. This rewrites ALL live
+    * partitions into one fresh epoch (clustered, one file set per
+    * partition) and publishes a manifest referencing only it — content
+    * is untouched (same rows, same schema), readers flip atomically
+    * exactly as with a merge, and the sweep reclaims the scattered
+    * history under the same retention contract. The cost is one full
+    * table rewrite; run it when dir-count, not data, dominates reads. */
+  def compactManifested(spark: org.apache.spark.sql.SparkSession,
+                        tablePath: String, partitionCol: String,
+                        retain: Int = 2): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (epoch, lines) = EpochManifest.active(fs, root).getOrElse(
+      throw new IllegalStateException(s"no manifest under $tablePath"))
+    readEntries(spark, tablePath, lines)
+      .repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      .parquet(s"$tablePath/_e${epoch + 1}")
+    graft.FailPoint.hit("mergem_compact_after_write")
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$tablePath/_e${epoch + 1}")).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath.getName).sorted
+    EpochManifest.publish(fs, root, epoch + 1,
+      dirs.map(d => s"$d\t${epoch + 1}"))
+    sweepManifested(fs, root, epoch + 1, retain)
   }
 
   private def parseManifestEntry(line: String): (String, Long) = {
@@ -576,17 +637,19 @@ object Upsert {
   }
 
   /** Reference-counted GC for the manifested-merge layout: keep every
-    * snapshot dir referenced by manifest `keep` OR `keep - 1` (the
-    * lazy-reader retention), drop the rest and manifests older than
-    * `keep - 1`. Best-effort — a crash mid-sweep leaves garbage the
-    * next merge's sweep reclaims. */
+    * snapshot dir referenced by the newest `retain` manifests (>= 2 —
+    * the lazy-reader retention floor: a reader that resolved the
+    * previous manifest must survive one concurrent merge), drop the
+    * rest and the manifests older than that window. Best-effort — a
+    * crash mid-sweep leaves garbage the next merge's sweep reclaims. */
   private def sweepManifested(fs: org.apache.hadoop.fs.FileSystem,
                               root: org.apache.hadoop.fs.Path,
-                              keep: Long): Unit =
+                              keep: Long, retain: Int): Unit =
     try {
       import org.apache.hadoop.fs.Path
+      val oldest = keep - math.max(2, retain) + 1
       val refs: Set[(Long, String)] =
-        Seq(keep, keep - 1).filter(_ >= 0).flatMap { m =>
+        (oldest to keep).filter(_ >= 0).flatMap { m =>
           EpochManifest.read(fs, root, m).toSeq.flatten
             .map(parseManifestEntry).map { case (d, e) => (e, d) }
         }.toSet
@@ -594,7 +657,7 @@ object Upsert {
         val name = st.getPath.getName
         if (name.startsWith("_manifest_")) {
           val n = name.stripPrefix("_manifest_")
-          if (n.forall(_.isDigit) && n.toLong < keep - 1)
+          if (n.forall(_.isDigit) && n.toLong < oldest)
             fs.delete(st.getPath, false)
         } else if (st.isDirectory && name.startsWith("_e") &&
             name.stripPrefix("_e").forall(_.isDigit) &&

@@ -138,6 +138,66 @@ class MergeManifestSpec extends SparkSpec {
       acc.as[(Long, String, Double, Long)].collect().toSet)
   }
 
+  test("compactManifested folds scattered epochs into one; content " +
+      "unchanged; kill-before-publish leaves the scattered table intact") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmcp")
+      .toString + "/tbl"
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 1.0, 1), (3, "b", 3.0, 1)), keys, "part", "ver")
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 10.0, 2), (4, "c", 4.0, 1)), keys, "part", "ver")
+    val before = read(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // live partitions scattered across two epoch dirs pre-compact
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_e0/part=b")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_e1/part=a")))
+
+    graft.FailPoint.arm("mergem_compact_after_write")
+    try intercept[graft.FailPoint.Kill] {
+      Upsert.compactManifested(spark, path, "part")
+    } finally graft.FailPoint.disarm()
+    assert(read(path) == before) // unpublished _e2 is invisible
+
+    Upsert.compactManifested(spark, path, "part")
+    assert(read(path) == before)
+    // everything now serves from the compacted epoch; after one more
+    // compaction cycle the scattered dirs age out of retention
+    Upsert.compactManifested(spark, path, "part")
+    assert(read(path) == before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_e0/part=b")))
+    val served = Upsert.readManifested(spark, path)
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(served.forall(_.contains("/_e3/")), served.mkString(","))
+  }
+
+  test("readManifestedAt time-travels to a retained manifest and " +
+      "throws loudly past retention") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmtt")
+      .toString + "/tbl"
+    // retain 3 manifests so two merges of history stay readable
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 1.0, 1), (3, "b", 3.0, 1)), keys, "part", "ver",
+      retain = 3)
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 10.0, 2)), keys, "part", "ver", retain = 3)
+    Upsert.mergeIntoManifested(spark, path,
+      rows((4, "c", 4.0, 1)), keys, "part", "ver", retain = 3)
+    def at(e: Long) = Upsert.readManifestedAt(spark, path, e)
+      .select($"k", $"part", $"v", $"ver")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(at(0) == Set((1L, "a", 1.0, 1L), (3L, "b", 3.0, 1L)))
+    assert(at(1) == Set((1L, "a", 10.0, 2L), (3L, "b", 3.0, 1L)))
+    assert(at(2) == read(path))
+    // a fourth merge at default retention (2) sweeps manifests 0 and 1
+    Upsert.mergeIntoManifested(spark, path,
+      rows((5, "a", 5.0, 1)), keys, "part", "ver")
+    val ex = intercept[IllegalStateException] { at(0) }
+    assert(ex.getMessage.contains("swept"))
+    assert(at(3).contains((5L, "a", 5.0, 1L)))
+  }
+
   test("sweep retains the previous manifest's references and reclaims " +
       "older unreferenced epochs") {
     val path = java.nio.file.Files.createTempDirectory("graft_mms")
