@@ -217,6 +217,16 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
   def centroids(): DataFrame =
     spark.read.parquet(centroidsVPath(epoch().map(_.cv).getOrElse(0L)))
 
+  /** A SPECIFIC centroid version, or None once swept (one generation
+    * retained) — lets a derived artifact that recorded an older cv
+    * diff the routing tables and refresh incrementally ([[IvfPq
+    * .refreshRecentered]]). */
+  private[operators] def centroidsAt(v: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(centroidsVPath(v))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(centroidsVPath(v))) else None
+  }
+
   /** Committed-only read of the cell table: the cells path is
     * appendOnce-maintained (see [[append]]), so a probe racing a
     * killed-then-retried append must never see the partial rename —

@@ -113,6 +113,58 @@ final class IvfPq(spark: SparkSession, ivf: IvfIndex, pqBase: String) {
     IndexEpoch.write(spark, epochRecordPath, parent)
   }
 
+  /** Incremental refresh after a parent RECENTER
+    * ([[IvfIndex.recenter]]): rows never moved cells — only the
+    * recentred cells' centroids did, so only THOSE cells' residuals
+    * (and codes) are stale. This diffs the recorded-cv and current-cv
+    * routing tables, re-encodes exactly the changed cells against the
+    * frozen codebooks (dynamic partition overwrite — every unchanged
+    * cell's code files stay byte-identical), and stamps the parent's
+    * current epoch. Cost is one partition-pruned pass over the
+    * recentred cells; at scale that is the drifted percent, not the
+    * corpus — the alternative was a full [[build]].
+    *
+    * Valid only when build token AND mods match (same rows, same
+    * coarse quantizer training) and only cv moved; a parent whose
+    * recorded-cv centroid dir has been swept (reader lagged more than
+    * one maintenance generation) throws — run [[build]]. Probes refuse
+    * throughout the refresh (epoch mismatch) and a crash mid-overwrite
+    * retries to the same result (frozen codebooks, deterministic
+    * encode). Returns the re-encoded cell ids. */
+  def refreshRecentered(idCol: String, vecCol: String): Seq[Int] = {
+    val parent = parentEpoch()
+    val recorded = IndexEpoch.read(spark, epochRecordPath).getOrElse(
+      throw new IllegalStateException(
+        s"no IVFPQ codes at $pqBase — run build, not refreshRecentered"))
+    if (recorded == parent) return Nil // already fresh
+    if (recorded.buildToken != parent.buildToken ||
+        recorded.mods != parent.mods)
+      throw new IllegalStateException(
+        "parent IVF index was re-trained or its rows moved cells since " +
+          "these codes were built (token/mods mismatch) — " +
+          "refreshRecentered only repairs a recenter; run IvfPq.build " +
+          "or IvfPq.append")
+    def table(df: DataFrame): Map[Int, Seq[Double]] =
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    val newCents = table(ivf.centroids())
+    val oldCents = table(ivf.centroidsAt(recorded.cv).getOrElse(
+      throw new IllegalStateException(
+        s"centroid version ${recorded.cv} swept at the parent — these " +
+          "codes lag more than one maintenance generation; run " +
+          "IvfPq.build")))
+    val changed = newCents.keys.toSeq
+      .filter(c => oldCents.get(c).exists(_ != newCents(c))).sorted
+    if (changed.nonEmpty)
+      pq.reencodePartitions(
+        residuals(ivf.cells().filter(col("cell").isin(changed: _*))
+            .select(col(idCol), col("cell"),
+              col(vecCol).cast("array<double>").as(vecCol)),
+          idCol, vecCol),
+        idCol, "residual", "cell")
+    IndexEpoch.write(spark, epochRecordPath, parent)
+    changed
+  }
+
   /** Probe: coarse cell choice as in [[IvfIndex.search]]; ADC over the
     * probed cells' codes (LUT from the ORIGINAL query against the
     * residual codebooks, plus the per-cell IP(q, centroid) constant so

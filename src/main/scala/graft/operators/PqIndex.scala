@@ -206,6 +206,23 @@ final class PqIndex(spark: SparkSession, basePath: String) {
     }
   }
 
+  /** Frozen-codebook DYNAMIC-OVERWRITE encode of a slice: replaces
+    * exactly the partitions `emb` carries (dynamic partition
+    * overwrite), leaving every other partition's files byte-untouched —
+    * the surgical path for a caller that re-derives SOME partitions'
+    * codes (IVFPQ after a parent recenter: residual geometry changed
+    * only for the recentred cells). Not atomic on its own: the caller
+    * owns the epoch/staleness protocol that keeps probes off the codes
+    * until the refresh completes (IvfPq refuses on epoch mismatch
+    * throughout). */
+  def reencodePartitions(emb: DataFrame, idCol: String, vecCol: String,
+                         partitionBy: String): Unit =
+    codeRows(emb, idCol, vecCol, storedCodebooks(), Some(partitionBy))
+      .repartition(col(partitionBy))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy).parquet(codesPath)
+
   /** The encode pass as a DataFrame — shared by [[encodeWith]] (plain
     * write) and [[append]] (staged exactly-once commit). */
   private def codeRows(emb: DataFrame, idCol: String, vecCol: String,

@@ -167,6 +167,34 @@ class IvfRebalanceSpec extends SparkSpec {
       pq.search("vec_id", "embedding", q, k = 5, rerank = 20)
     }
     assert(ex.getMessage.contains("stale"))
+
+    // incremental repair: re-encode ONLY the recentred cells' residuals
+    // (frozen codebooks); unchanged cells' code files stay byte-
+    // identical, and the refreshed probe is exact again at full rerank
+    def codeFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$base/pq/pq_codes")
+      root.listFiles().filter(_.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val filesBefore = codeFiles()
+    val refreshed = pq.refreshRecentered("vec_id", "embedding")
+    assert(refreshed.sorted == moved.sorted)
+    val filesAfter = codeFiles()
+    filesBefore.keys.foreach { cell =>
+      val id = cell.stripPrefix("cell=").toInt
+      if (refreshed.contains(id))
+        assert(filesBefore(cell) != filesAfter(cell), s"$cell not rewritten")
+      else
+        assert(filesBefore(cell) == filesAfter(cell), s"$cell was rewritten")
+    }
+    val pqGot = pq.search("vec_id", "embedding", q, k = 5,
+        rerank = emb.count().toInt, nprobe = nCells)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pqGot == bruteIds(5, q))
+    // a second refresh is a no-op (already fresh)
+    assert(pq.refreshRecentered("vec_id", "embedding").isEmpty)
   }
 
   test("sweep retains one centroid generation and reclaims retired " +
