@@ -72,6 +72,47 @@ final class BqIndex(spark: SparkSession, basePath: String) {
   /** Committed-only view of the encoded corpus. */
   def rows(): DataFrame = StagedCommit.readCommitted(spark, rowsPath)
 
+  /** Compact append-fragmented committed rows into fresh base files —
+    * the unpartitioned analog of [[LshIndex.compact]]. Every [[append]]
+    * adds at least one delta file that every probe's listing and scan
+    * pays for; past `maxFiles` this folds the committed view into one
+    * write. The `_delta_*_SUCCESS` markers are PRESERVED (they live at
+    * the table root, next to the data files a plain Overwrite would
+    * wipe): a redelivered old batch must keep no-opping after its rows
+    * were folded into base files, or compaction would reopen the
+    * exactly-once window. Same non-atomicity contract as the sibling
+    * compacts: the committed slice is localCheckpoint'ed, staged to a
+    * side dir, and swapped file-by-file — a kill mid-swap can leave a
+    * mixed listing; recovery is rebuild. Returns whether a rewrite
+    * happened. */
+  def compact(maxFiles: Int = 1): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(rowsPath)
+    val fs = root.getFileSystem(conf)
+    val dataFiles = fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (dataFiles.length <= maxFiles) return false
+    val snap = rows().localCheckpoint()
+    val tmp = new org.apache.hadoop.fs.Path(rowsPath + "_compact_tmp")
+    fs.delete(tmp, true)
+    // bound the output to maxFiles so the next compact call no-ops
+    // (at real scale set maxFiles to the file count the probe should
+    // pay, not 1)
+    snap.coalesce(maxFiles).write.mode(SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    dataFiles.foreach(st => fs.delete(st.getPath, false))
+    fs.listStatus(tmp).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (st, i) =>
+        // compacted files take base names (never the delta_ prefix):
+        // readCommitted includes them unconditionally
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(root, s"compacted_$i.parquet"))
+      }
+    fs.delete(tmp, true)
+    true
+  }
+
   /** Hamming-prefilter + exact-cosine top-k over the stored codes.
     * Candidate pass touches only (id, code) columns; the exact pass
     * re-reads just the `rerank` survivors' vectors. Deterministic:

@@ -193,6 +193,21 @@ class StagedCommitSpec extends SparkSpec {
     val want = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
       .as[(Long, Double)].collect().toSeq
     assert(got == want, s"$got vs $want")
+
+    // compact folds the delta into base files, PRESERVING the delta
+    // markers — the redelivered batch must keep no-opping afterwards
+    // or compaction would reopen the exactly-once window
+    assert(idx.compact(maxFiles = 1))
+    val names = new java.io.File(s"$base/bq_rows").listFiles().map(_.getName)
+    assert(!names.exists(n => n.startsWith("delta_") && n.endsWith(".parquet")))
+    assert(names.exists(_.startsWith("_delta_"))) // marker retained
+    assert(idx.rows().count() == 40)
+    idx.append(delta, "vec_id", "embedding") // redelivery after compact
+    assert(idx.rows().count() == 40)
+    val got2 = idx.search("vec_id", "embedding", q, k = 5, rerank = 40)
+      .as[(Long, Double)].collect().toSeq
+    assert(got2 == want, s"$got2 vs $want")
+    assert(!idx.compact(maxFiles = 1)) // already compact: no-op
   }
 
   test("PqIndex: killed-mid-rename partial invisible to committed " +
