@@ -28,6 +28,35 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object MergeSink {
 
+  /** The scale form of [[start]]: each micro-batch lands via
+    * [[Upsert.mergeIntoManifested]] — only the batch's touched
+    * partitions are read and rewritten (manifest dir-level pruning),
+    * and a concurrent reader flips atomically between published
+    * snapshots instead of racing a directory overwrite. Max-version-
+    * wins makes a replayed micro-batch a no-op in content, so the sink
+    * stays effectively-once on foreachBatch's at-least-once contract —
+    * and unlike the snapshot form, a crash MID-merge leaves the table
+    * serving the previous manifest, not a half-written directory.
+    * Empty micro-batches are skipped (a merge would publish a new,
+    * identical epoch for nothing). */
+  def startManifested(updates: DataFrame, targetDir: String,
+                      keys: Seq[String], partitionCol: String,
+                      versionCol: String, checkpointDir: String,
+                      trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    require(keys.nonEmpty, "merge sink needs at least one key column")
+    val spark = updates.sparkSession
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Upsert.mergeIntoManifested(spark, targetDir, batch, keys,
+            partitionCol, versionCol)
+      }
+      .start()
+  }
+
   def start(updates: DataFrame, targetDir: String, keys: Seq[String],
             versionCol: String, checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {

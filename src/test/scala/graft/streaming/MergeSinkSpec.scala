@@ -39,4 +39,37 @@ class MergeSinkSpec extends SparkSpec {
       assert(oneShot == fin)
     } finally q.stop()
   }
+
+  test("manifested sink: partition-pruned reader-atomic merges equal " +
+      "the order-free max-version model; replay is a content no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mergesinkm").toString
+    val target = s"$dir/table"
+    val mem = MemoryStream[(Long, String, Double, Long)]
+    val updates = mem.toDF().toDF("k", "part", "v", "ver")
+    val q = MergeSink.startManifested(updates, target, Seq("part", "k"),
+      "part", "ver", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, "a", 1.0, 1L), (2L, "a", 2.0, 1L), (3L, "b", 3.0, 1L))
+      q.processAllAvailable()
+      // batch 2 touches only partition a; b's snapshot dir is reused
+      mem.addData((1L, "a", 10.0, 2L), (4L, "c", 4.0, 1L))
+      q.processAllAvailable()
+      val got = Upsert.readManifested(spark, target)
+        .select($"k", $"part", $"v", $"ver")
+        .as[(Long, String, Double, Long)].collect().toSet
+      assert(got == Set((1L, "a", 10.0, 2L), (2L, "a", 2.0, 1L),
+        (3L, "b", 3.0, 1L), (4L, "c", 4.0, 1L)))
+      val fs = new org.apache.hadoop.fs.Path(target)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$target/_e0/part=b")))
+      // replay (at-least-once delivery): content unchanged
+      mem.addData((1L, "a", 10.0, 2L), (4L, "c", 4.0, 1L))
+      q.processAllAvailable()
+      assert(Upsert.readManifested(spark, target)
+        .select($"k", $"part", $"v", $"ver")
+        .as[(Long, String, Double, Long)].collect().toSet == got)
+    } finally q.stop()
+  }
 }
