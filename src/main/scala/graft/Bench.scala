@@ -166,7 +166,12 @@ object Bench {
             s"floor; isolating worst 24 (dropped: ${
               byRatio.drop(24).map(_._1).mkString(",")})")
         val base = byRatio.take(24).map(_._1)
-        if (base.nonEmpty || priorFloor.nonEmpty) base
+        // the top-4-slowest bootstrap exists to seed FIRST-EVER floors
+        // at the canonical scale; off-scale runs have floors gated off
+        // (priorFloor empty by construction), and bootstrapping there
+        // would pay the capped isolation pass on every such run while
+        // persisting nothing
+        if (base.nonEmpty || priorFloor.nonEmpty || !isSf01) base
         else results.sortBy(-_._2._2).take(4).map(_._1)
       }
     // Isolation runs in a FRESH JVM: in-process re-runs carry the
@@ -278,9 +283,18 @@ object Bench {
           Some((ok.map(n => n -> got(n)), childSamples))
         else None
       } catch { case _: Throwable => None }
-    val (isolated, isolatedSamples) =
-      if (flagged.isEmpty) (Seq.empty[(String, Double)], Map.empty[String, Seq[Double]])
-      else isolateFreshJvm(flagged).getOrElse(isolateInProcess(flagged))
+    // track the isolation SOURCE: the fresh-JVM child runs warmups and
+    // >=5 samples; the in-process fallback runs neither, and its
+    // medians must not be recorded with the fresh-JVM pedigree
+    val (isolated, isolatedSamples, isoWasFreshJvm) =
+      if (flagged.isEmpty)
+        (Seq.empty[(String, Double)], Map.empty[String, Seq[Double]], true)
+      else isolateFreshJvm(flagged) match {
+        case Some((iso, samp)) => (iso, samp, true)
+        case None =>
+          val (iso, samp) = isolateInProcess(flagged)
+          (iso, samp, false)
+      }
     // 3-decimal seconds (ms precision) keep the line compact, and the
     // headline total goes LAST: downstream tooling captures only the
     // final ~2KB of output, so cold-first/medians/isolated/total-at-the-
@@ -336,15 +350,19 @@ object Bench {
         if (java.nio.file.Files.exists(floorsPath)) {
           val txt = new String(java.nio.file.Files.readAllBytes(floorsPath),
             java.nio.charset.StandardCharsets.UTF_8)
-          """"([A-Za-z0-9_]+)"\s*:\s*"(suite|isolated)"""".r
+          """"([A-Za-z0-9_]+)"\s*:\s*"(suite|isolated|inproc)"""".r
             .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
         } else Map.empty
       } catch { case _: Throwable => Map.empty }
+      // "inproc": the fresh-JVM child failed and the number is a warm-
+      // suite in-process median with no warmup — a weaker pedigree the
+      // provenance must not misreport as "isolated"
+      val isoTag = if (isoWasFreshJvm) "isolated" else "inproc"
       val candidates =
         priorFloor.toSeq.map { case (n, v) =>
           (n, v, priorProv.getOrElse(n, "suite")) } ++
         runMin.toSeq.map { case (n, v) => (n, v, "suite") } ++
-        isoMap.toSeq.map { case (n, v) => (n, v, "isolated") }
+        isoMap.toSeq.map { case (n, v) => (n, v, isoTag) }
       val merged = candidates
         .filter { case (n, v, _) => qnames.contains(n) && v > 0.0 }
         .groupBy(_._1).view.mapValues(_.minBy(_._2)).toMap

@@ -536,12 +536,15 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     *
     * Protocol (single writer, concurrent probes safe at every point):
     *
-    *   1. the hot cells' rows are re-assigned to fresh sub-cell ids
-    *      (local argmin against that cell's own sub-centroids) and land
-    *      in the cell table via [[StagedCommit.appendOnce]] under a
-    *      content-deterministic token — killed-mid-commit is invisible,
-    *      and the retry's recomputation (same live cells, same
-    *      deterministic sample and k-means) no-ops into the same token;
+    *   1. the hot cells' rows are re-assigned to FRESH sub-cell ids —
+    *      past every id ever allocated, live or on disk — via local
+    *      argmin against that cell's own sub-centroids, and land in the
+    *      cell table via [[StagedCommit.appendOnce]] under a token that
+    *      binds the id base: killed-mid-commit is invisible, and a
+    *      retry (even with other epoch-moving ops in between) writes to
+    *      ids no previous attempt used, so superseded attempts can
+    *      never be double-served — their dirs are unreferenced garbage
+    *      the sweep reclaims;
     *   2. a fresh centroid version drops the split cells' centroids and
     *      adds the sub-centroids;
     *   3. the epoch flips cv AND mods atomically (rows moved cells —
@@ -579,9 +582,29 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     // cell layout, so wipe it FIRST and unconditionally (same crash
     // reasoning as append — over-invalidation is the safe direction)
     invalidateSq()
+    // sub-cell ids start past every id EVER allocated — live ids AND
+    // any cell dir already on disk (a previous split attempt killed
+    // after its append commit left committed rows under its own ids;
+    // reusing those ids would double-serve the hot rows the moment the
+    // retry publishes). Each attempt therefore writes to FRESH ids, its
+    // id base rides in the commit token, and a superseded attempt's
+    // dirs are unreferenced by construction — swept like any retired
+    // cell. This is the same fresh-location discipline as the
+    // manifested-merge epoch dirs.
+    val diskMax = {
+      val p = new org.apache.hadoop.fs.Path(cellsPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) -1
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("cell=").toInt).toOption)
+        .foldLeft(-1)(math.max)
+    }
     // per hot cell: deterministic bounded sample, local 2+-means into
     // enough sub-cells to bring each under the threshold (capped at 8)
-    var nextId = liveIds.max + 1
+    var nextId = math.max(liveIds.max, diskMax) + 1
+    val idBase = nextId
     val subCents: Seq[(Int, Int, Seq[Double])] = hot.flatMap { c =>
       val want = math.min(8L,
         math.max(2L, math.ceil(counts(c) / (maxFraction * total)).toLong))
@@ -620,7 +643,7 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
       .select(dataCols.map(c => col(s"_row.$c")) :+
         col("_best.idx").as("cell"): _*)
       .repartition(col("cell"))
-    val token = s"split_${e.buildToken}_m${e.mods}_v${e.cv}_" +
+    val token = s"split_${e.buildToken}_m${e.mods}_v${e.cv}_b${idBase}_" +
       hot.mkString("-")
     StagedCommit.appendOnce(cellsPath, token, Seq("cell"), reassigned)
     graft.FailPoint.hit("ivf_split_after_append")

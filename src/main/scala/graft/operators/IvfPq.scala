@@ -100,6 +100,18 @@ final class IvfPq(spark: SparkSession, ivf: IvfIndex, pqBase: String) {
         "parent IVF index was re-trained since these codes were built — " +
           "the residual codebooks quantize a different distribution; run " +
           "IvfPq.build, not append")
+    // cv must match too, or an append would LAUNDER a recenter/split
+    // into a stamped-fresh epoch: the mods-gap check below passes after
+    // recenter + ivf.append, and stamping the parent epoch here would
+    // certify every pre-recenter code in the recentred cells (taken
+    // against the old centroids) as fresh — the silent-candidate-loss
+    // hazard this class exists to refuse
+    if (recorded.cv != parent.cv)
+      throw new IllegalStateException(
+        s"parent centroids moved (cv ${recorded.cv} -> ${parent.cv}: a " +
+          "recenter or cell split) since these codes were recorded — " +
+          "run IvfPq.refreshRecentered immediately after a recenter " +
+          "(before any parent append), or IvfPq.build after a split")
     if (parent.mods != recorded.mods + 1)
       throw new IllegalStateException(
         s"parent IVF index has ${parent.mods} appends but these codes " +

@@ -504,10 +504,10 @@ object Upsert {
         dedupLatest(updates).repartition(col(partitionCol))
           .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
           .parquet(epochDir(0))
-        EpochManifest.publish(fs, root, 0,
+        EpochManifest.publish(fs, root, 0, ddlHeader(updates) ++
           listPartDirs(0).sorted.map(d => s"$d\t0"))
       case Some((epoch, lines)) =>
-        val entries = lines.map(parseManifestEntry)
+        val entries = entryLines(lines).map(parseManifestEntry)
         // touched partitions, as the DIRECTORY NAMES Spark writes for
         // them — dir-level pruning against the manifest, no data read
         // for the untouched mass
@@ -521,15 +521,23 @@ object Upsert {
           }.toSet
         val touchedEntries = entries.filter(e => touchedDirs.contains(e._1))
         val cols = updates.columns.toSeq
+        // read the touched slice under the manifest-recorded schema:
+        // dir-name type inference would turn a string partition value
+        // like "01" into int 1, and a cast CANNOT recover the original
+        // string — the merged output would carry a ghost "1" partition
+        // while the real "01" key is treated as all-new. Legacy tables
+        // without the header keep the cast-back fallback.
+        val sliceSchema = ddlOf(lines)
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
         val targetSlice = touchedEntries.groupBy(_._2).toSeq.map {
           case (e, es) =>
-            spark.read.option("basePath", epochDir(e))
-              .parquet(es.map(en => s"${epochDir(e)}/${en._1}"): _*)
-              // partition-type inference may widen/narrow the dir
-              // value; pin it back to the updates' type so the union
-              // inside mergeVersioned never coerces the whole column
-              .withColumn(partitionCol,
-                col(partitionCol).cast(updates.schema(partitionCol).dataType))
+            val rd = spark.read.option("basePath", epochDir(e))
+            sliceSchema.fold(
+              rd.parquet(es.map(en => s"${epochDir(e)}/${en._1}"): _*)
+                .withColumn(partitionCol, col(partitionCol)
+                  .cast(updates.schema(partitionCol).dataType)))(sch =>
+              rd.schema(sch)
+                .parquet(es.map(en => s"${epochDir(e)}/${en._1}"): _*))
               .select(cols.map(col): _*)
         }.reduceOption(_ unionByName _)
         val merged = targetSlice match {
@@ -548,7 +556,7 @@ object Upsert {
         val newEntries =
           (entries.filterNot(e => newDirs.contains(e._1)) ++
             newDirs.toSeq.map(_ -> (epoch + 1))).sortBy(_._1)
-        EpochManifest.publish(fs, root, epoch + 1,
+        EpochManifest.publish(fs, root, epoch + 1, ddlHeader(updates) ++
           newEntries.map { case (d, e) => s"$d\t$e" })
         graft.FailPoint.hit("mergem_after_publish")
         sweepManifested(fs, root, epoch + 1, retain)
@@ -590,9 +598,16 @@ object Upsert {
   private def readEntries(spark: org.apache.spark.sql.SparkSession,
                           tablePath: String,
                           lines: Seq[String]): DataFrame = {
-    val entries = lines.map(parseManifestEntry)
+    // pin the writer's schema when the manifest recorded it: partition
+    // values come back in their ORIGINAL type (no dir-name inference),
+    // and every epoch group reads type-identically so the union below
+    // never coerces a column
+    val schemaOpt = ddlOf(lines)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val entries = entryLines(lines).map(parseManifestEntry)
     entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (e, es) =>
-      spark.read.option("basePath", s"$tablePath/_e$e")
+      val rd = spark.read.option("basePath", s"$tablePath/_e$e")
+      schemaOpt.fold(rd)(rd.schema)
         .parquet(es.map(en => s"$tablePath/_e$e/${en._1}"): _*)
     }.reduceOption(_ unionByName _).getOrElse(
       throw new IllegalStateException(s"empty manifest under $tablePath"))
@@ -626,7 +641,8 @@ object Upsert {
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .map(_.getPath.getName).sorted
     EpochManifest.publish(fs, root, epoch + 1,
-      dirs.map(d => s"$d\t${epoch + 1}"))
+      ddlOf(lines).map("#ddl\t" + _).toSeq ++
+        dirs.map(d => s"$d\t${epoch + 1}"))
     sweepManifested(fs, root, epoch + 1, retain)
   }
 
@@ -635,6 +651,23 @@ object Upsert {
     require(i > 0, s"malformed manifest entry: '$line'")
     (line.substring(0, i), line.substring(i + 1).toLong)
   }
+
+  /** `#`-prefixed manifest lines are metadata, not entries. The one
+    * metadata line today is `#ddl\t<schema DDL>`: the table's full
+    * schema as the WRITER saw it, so readers pin every column —
+    * including the partition column — to its original type instead of
+    * trusting partition-dir type inference (which would read a string
+    * partition value like "01" back as int 1, silently changing both
+    * content and the merge key; the merge's own internal read always
+    * pinned the type, but the public readers had no source for it).
+    * Tables written before the header existed read with inference, as
+    * before. */
+  private def ddlHeader(df: DataFrame): Seq[String] =
+    Seq("#ddl\t" + df.schema.toDDL)
+  private def entryLines(lines: Seq[String]): Seq[String] =
+    lines.filterNot(_.startsWith("#"))
+  private def ddlOf(lines: Seq[String]): Option[String] =
+    lines.find(_.startsWith("#ddl\t")).map(_.stripPrefix("#ddl\t"))
 
   /** Reference-counted GC for the manifested-merge layout: keep every
     * snapshot dir referenced by the newest `retain` manifests (>= 2 —
@@ -650,7 +683,7 @@ object Upsert {
       val oldest = keep - math.max(2, retain) + 1
       val refs: Set[(Long, String)] =
         (oldest to keep).filter(_ >= 0).flatMap { m =>
-          EpochManifest.read(fs, root, m).toSeq.flatten
+          entryLines(EpochManifest.read(fs, root, m).toSeq.flatten)
             .map(parseManifestEntry).map { case (d, e) => (e, d) }
         }.toSet
       fs.listStatus(root).foreach { st =>
@@ -663,14 +696,19 @@ object Upsert {
             name.stripPrefix("_e").forall(_.isDigit) &&
             name.stripPrefix("_e").nonEmpty) {
           val e = name.stripPrefix("_e").toLong
-          var liveChildren = 0
+          // only KEPT partition dirs count as live: Spark's _SUCCESS
+          // (and any other stray file) must not pin an emptied epoch
+          // dir forever — the recursive delete below removes them with
+          // the dir once no referenced partition remains
+          var keptParts = 0
           fs.listStatus(st.getPath).foreach { c =>
             val cn = c.getPath.getName
-            if (c.isDirectory && cn.contains("=") && !refs((e, cn)))
-              fs.delete(c.getPath, true)
-            else liveChildren += 1
+            if (c.isDirectory && cn.contains("=")) {
+              if (refs((e, cn))) keptParts += 1
+              else fs.delete(c.getPath, true)
+            }
           }
-          if (liveChildren == 0) fs.delete(st.getPath, true)
+          if (keptParts == 0) fs.delete(st.getPath, true)
         }
       }
     } catch { case _: Throwable => () }

@@ -54,20 +54,23 @@ object IvfRebalProbe {
         .map(r => (r.getInt(0), r.getLong(1)))
       val fracs = counts.map(_._2.toDouble / n)
       // split exactly the top cell (skip if top-2 tie makes that
-      // threshold inexpressible)
-      val thrOne = (fracs(0) + fracs(1)) / 2.0
+      // threshold inexpressible, or a degenerate layout left <2
+      // populated cells)
       val one =
-        if (fracs(0) - fracs(1) < 1e-9) None
+        if (fracs.length < 2 || fracs(0) - fracs(1) < 1e-9) None
         else {
+          val thrOne = (fracs(0) + fracs(1)) / 2.0
           val (cells, s) = timed {
             idx1.splitHotCells("vec_id", "embedding", maxFraction = thrOne)
           }
           Some((cells, s))
         }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base1))
-      // split EVERY cell: threshold below the smallest fraction
+      // split EVERY cell: threshold below the smallest POPULATED
+      // fraction (floored away from 0 — an empty-cell layout must not
+      // fail splitHotCells' maxFraction domain check)
       val (idx2, base2, _) = buildFresh()
-      val thrAll = fracs.last / 2.0
+      val thrAll = math.max(1e-6, fracs.last / 2.0)
       val (allCells, allSecs) = timed {
         idx2.splitHotCells("vec_id", "embedding", maxFraction = thrAll)
       }

@@ -99,16 +99,26 @@ class IvfRebalanceSpec extends SparkSpec {
     assert(idx.centroids().count() == 2)
     assert(fullProbeIds(idx, 10, q) == beforeIds)
 
-    // retry: deterministic token makes the append a no-op; publish runs
+    // retry: writes to FRESH sub-cell ids (id base rides in the token,
+    // so the first attempt's committed rows can never be double-served
+    // — its dirs are unreferenced and swept at publish)
     val split = idx.splitHotCells("vec_id", "embedding", maxFraction = 0.5)
     assert(split.nonEmpty)
     assert(idx.epoch().get.cv == e0.cv + 1)
     assert(fullProbeIds(idx, 10, q) == bruteIds(10, q))
-    // exactly one committed delta for the split (the kill's staged
-    // work was swept, not double-committed)
-    val markers = new java.io.File(s"$base/ivf_cells").listFiles()
-      .count(_.getName.startsWith("_delta_split_"))
-    assert(markers == 1, s"expected 1 split marker, found $markers")
+    // every row is served exactly once through the live routing table
+    val live = idx.centroids().select("cell").as[Int].collect().toSeq
+    val routed = idx.cells().filter(col("cell").isin(live: _*))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(routed.length == 80 && routed.toSet.size == 80)
+    // the killed attempt allocated ids 2,3 (committed but never
+    // routed); the retry allocated past them (4,5) and the sweep
+    // reclaimed the superseded dirs
+    assert(live.toSet.filter(_ >= 2) == Set(4, 5), live.toString)
+    val cellDirs = new java.io.File(s"$base/ivf_cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName
+        .stripPrefix("cell=").toInt).toSet
+    assert(!cellDirs(2) && !cellDirs(3), cellDirs.toString)
   }
 
   test("kill after centroid-version write (before epoch flip): old " +
@@ -195,6 +205,56 @@ class IvfRebalanceSpec extends SparkSpec {
     assert(pqGot == bruteIds(5, q))
     // a second refresh is a no-op (already fresh)
     assert(pq.refreshRecentered("vec_id", "embedding").isEmpty)
+  }
+
+  test("split retry after an INTERVENING append still converges with " +
+      "no double-served rows") {
+    val base = Files.createTempDirectory("graft_ivfrebiv").toString
+    val idx = new IvfIndex(spark, base)
+    val extra = (81 to 90).map { i =>
+      (i.toLong, Array(10f + i * 0.01f, 0.1f, 0f, 0f)) }
+      .toDF("vec_id", "embedding")
+    idx.build(emb, "vec_id", "embedding", k = 2, iters = 4)
+    graft.FailPoint.arm("ivf_split_after_append")
+    try intercept[graft.FailPoint.Kill] {
+      idx.splitHotCells("vec_id", "embedding", maxFraction = 0.5)
+    } finally graft.FailPoint.disarm()
+    // an ordinary append lands between the kill and the retry — the
+    // retry's token AND id range differ from the killed attempt's, so
+    // the first attempt's committed rows stay unrouted garbage
+    idx.append(extra, "vec_id", "embedding")
+    val split = idx.splitHotCells("vec_id", "embedding", maxFraction = 0.5)
+    assert(split.nonEmpty)
+    val all = emb.unionByName(extra)
+    val q = Seq(10.0, 2.0, 0.0, 0.0)
+    val got = fullProbeIds(idx, 10, q)
+    val want = Similarity.bruteForceTopK(all, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == want, s"$got vs $want")
+    val live = idx.centroids().select("cell").as[Int].collect().toSeq
+    val routed = idx.cells().filter(col("cell").isin(live: _*))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(routed.length == 90 && routed.toSet.size == 90,
+      s"served ${routed.length} rows, ${routed.toSet.size} distinct")
+  }
+
+  test("IvfPq.append refuses after a recenter moved the centroids " +
+      "(cv mismatch is not launderable by the mods-gap check)") {
+    val base = Files.createTempDirectory("graft_ivfpqcv").toString
+    val idx = new IvfIndex(spark, base)
+    val old = emb.filter($"vec_id" <= 60)
+    val delta = emb.filter($"vec_id" > 60)
+    idx.build(old, "vec_id", "embedding", k = 2, iters = 4)
+    idx.append(delta, "vec_id", "embedding")
+    val pq = new IvfPq(spark, idx, s"$base/pq")
+    pq.build("vec_id", "embedding", m = 2, k = 4, iters = 3)
+    assert(idx.recenter("embedding", minCosine = 0.999999).nonEmpty)
+    val extra = Seq((91L, Array(5f, 5f, 0f, 0f))).toDF("vec_id", "embedding")
+    idx.append(extra, "vec_id", "embedding") // mods gap back to exactly 1
+    val ex = intercept[IllegalStateException] {
+      pq.append(extra, "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("centroids moved"), ex.getMessage)
   }
 
   test("sweep retains one centroid generation and reclaims retired " +

@@ -198,6 +198,42 @@ class MergeManifestSpec extends SparkSpec {
     assert(at(3).contains((5L, "a", 5.0, 1L)))
   }
 
+  test("numeric-looking string partition values round-trip as strings " +
+      "(manifest-recorded schema beats dir-name inference)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmty")
+      .toString + "/tbl"
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "01", 1.0, 1), (2, "2", 2.0, 1)), keys, "part", "ver")
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "01", 5.0, 2)), keys, "part", "ver")
+    val got = Upsert.readManifested(spark, path)
+    assert(got.schema("part").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(got.select($"k", $"part", $"v", $"ver")
+      .as[(Long, String, Double, Long)].collect().toSet ==
+      Set((1L, "01", 5.0, 2L), (2L, "2", 2.0, 1L)))
+    // compaction carries the recorded schema forward
+    Upsert.compactManifested(spark, path, "part")
+    assert(Upsert.readManifested(spark, path).schema("part").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("sweep deletes emptied epoch dirs (_SUCCESS must not pin them)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmsw")
+      .toString + "/tbl"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // merges touch ONLY partition a: each old epoch dir loses its one
+    // partition two generations later and must disappear entirely
+    (1 to 4).foreach { i =>
+      Upsert.mergeIntoManifested(spark, path,
+        rows((1, "a", i.toDouble, i.toLong)), keys, "part", "ver")
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_e0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_e1")))
+    assert(read(path) == Set((1L, "a", 4.0, 4L)))
+  }
+
   test("sweep retains the previous manifest's references and reclaims " +
       "older unreferenced epochs") {
     val path = java.nio.file.Files.createTempDirectory("graft_mms")
