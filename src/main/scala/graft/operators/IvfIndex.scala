@@ -371,6 +371,9 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
 
   private def sqCellsPath = s"$basePath/ivf_cells_sq"
   private def sqMetaPath = s"$basePath/ivf_sq_meta"
+  // parent epoch the SQ sibling was built/patched at — what makes
+  // patchSqAfterSplit's exactly-one-split validity check possible
+  private def sqEpochPath = s"$basePath/ivf_sq_epoch"
 
   /** Drop the quantized sibling so the next [[ensureSq]] rebuilds it —
     * called by [[build]] and [[append]]: the sibling mirrors the cell
@@ -385,11 +388,88 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     * [[IndexEpoch]] stamped here and refuse loudly on mismatch. */
   private def invalidateSq(): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(sqCellsPath, sqMetaPath).foreach { p =>
+    Seq(sqCellsPath, sqMetaPath, sqEpochPath).foreach { p =>
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(conf)
       if (fs.exists(path)) fs.delete(path, true)
     }
+  }
+
+  /** Remove ONLY the SQ sibling's completeness guard (`_SUCCESS`) —
+    * the split path's alternative to the full wipe: the surviving
+    * cells' quantized rows are still exact (raw-vector codes under the
+    * GLOBAL stored scale, and a split moves no row within a surviving
+    * cell), so [[patchSqAfterSplit]] can repair the sibling touching
+    * only the split cells instead of re-quantizing the corpus.
+    * Unguarding first has the same crash-safety as the wipe: probes
+    * refuse until the guard returns, and [[ensureSq]] falls back to a
+    * full rebuild from any crash point. */
+  private def unguardSq(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(sqCellsPath, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** Cell-scoped SQ repair after EXACTLY ONE [[splitHotCells]]: encode
+    * the new sub-cells' rows under the STORED global scale (one
+    * partition-pruned pass over the split mass — at scale, the hot
+    * percent, not the corpus the full rebuild re-quantizes), drop the
+    * retired cells' quantized dirs, restore the guard, and stamp the
+    * parent epoch. Validity is epoch-checked: the recorded SQ epoch
+    * must be exactly one split behind (same token, mods−1, cv−1) —
+    * an append in between wiped the sibling whole, and anything else
+    * means the sibling's provenance is unknown: run [[ensureSq]].
+    * Idempotent: already-stamped calls return Nil; a crash at any
+    * point leaves the guard absent or the state re-derivable, and the
+    * full-rebuild fallback always converges. Returns the newly encoded
+    * cell ids. */
+  def patchSqAfterSplit(idCol: String, vecCol: String): Seq[Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = epoch().getOrElse(throw new IllegalStateException(
+      s"no complete IVF index at $basePath"))
+    val recorded = IndexEpoch.read(spark, sqEpochPath)
+    if (recorded.contains(cur)) return Nil // already patched
+    if (!recorded.contains(IndexEpoch(cur.buildToken, cur.mods - 1,
+        cur.cv - 1)))
+      throw new IllegalStateException(
+        s"SQ sibling at $basePath is not exactly one split behind " +
+          s"(recorded $recorded, parent $cur) — run ensureSq")
+    val metaP = new org.apache.hadoop.fs.Path(sqMetaPath)
+    val fs = metaP.getFileSystem(conf)
+    if (!fs.exists(metaP))
+      throw new IllegalStateException(
+        s"SQ sibling meta missing at $basePath — run ensureSq")
+    val live = storedCentroids().map(_._1).toSet
+    val sqRoot = new org.apache.hadoop.fs.Path(sqCellsPath)
+    if (!fs.exists(sqRoot))
+      throw new IllegalStateException(
+        s"SQ sibling cells missing at $basePath — run ensureSq")
+    val sqDirs = fs.listStatus(sqRoot).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("cell=").toInt).toOption)
+      .toSet
+    val missing = (live -- sqDirs).toSeq.sorted
+    if (missing.nonEmpty) {
+      val maxAbs = spark.read.parquet(sqMetaPath).head().getDouble(0)
+      cells().filter(col("cell").isin(missing: _*))
+        .select(col(idCol), col("cell"),
+          Similarity.sqQuantize(col(vecCol), maxAbs)
+            .cast("array<tinyint>").as("q"))
+        .repartition(col("cell"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(sqCellsPath)
+    }
+    // retired quantized dirs: unrouted (their centroids are gone), so
+    // deleting them is pure space/listing reclamation
+    (sqDirs -- live).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(sqRoot, s"cell=$c"), true)
+    }
+    IndexEpoch.write(spark, sqEpochPath, cur)
+    val guard = new org.apache.hadoop.fs.Path(sqRoot, "_SUCCESS")
+    if (!fs.exists(guard)) fs.create(guard, true).close()
+    missing
   }
 
   /** Build the int8 sibling of the cell table (the FAISS IVF-SQ8 shape):
@@ -402,15 +482,23 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
   def ensureSq(idCol: String, vecCol: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val done = new org.apache.hadoop.fs.Path(sqCellsPath, "_SUCCESS")
-    if (!done.getFileSystem(conf).exists(done)) {
+    if (done.getFileSystem(conf).exists(done)) {
+      // a guarded sibling is current by invariant (append/build wipe
+      // it; a split only unguards) — backfill the epoch record for
+      // siblings built before the record existed, so patchSqAfterSplit
+      // has a pedigree to check against
+      if (IndexEpoch.read(spark, sqEpochPath).isEmpty)
+        epoch().foreach(e => IndexEpoch.write(spark, sqEpochPath, e))
+    } else {
       val maxAbs = Similarity.sqMaxAbs(cells(), vecCol)
-      // meta BEFORE cells: the build-once guard is the cells _SUCCESS,
-      // so the last-written artifact must be the guarded one — the
-      // reverse order left a crash window where the guard passed but
-      // searchQuantized threw forever on the missing meta file
+      // meta + epoch BEFORE cells: the build-once guard is the cells
+      // _SUCCESS, so the last-written artifact must be the guarded one
+      // — the reverse order left a crash window where the guard passed
+      // but searchQuantized threw forever on the missing meta file
       import spark.implicits._
       Seq(maxAbs).toDF("max_abs").coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(sqMetaPath)
+      epoch().foreach(e => IndexEpoch.write(spark, sqEpochPath, e))
       cells()
         .select(col(idCol), col("cell"),
           Similarity.sqQuantize(col(vecCol), maxAbs)
@@ -578,10 +666,13 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     val hot = counts.filter { case (_, n) => n > maxFraction * total }
       .keys.toSeq.sorted
     if (hot.isEmpty || total == 0L) return Nil
-    // rows are about to move cells: the raw-vector sibling mirrors the
-    // cell layout, so wipe it FIRST and unconditionally (same crash
-    // reasoning as append — over-invalidation is the safe direction)
-    invalidateSq()
+    // rows are about to move cells: FIRST and unconditionally, take
+    // the SQ sibling out of service (same crash reasoning as append —
+    // over-invalidation is the safe direction). Unguard rather than
+    // wipe: surviving cells' quantized rows stay exact, so
+    // patchSqAfterSplit can repair cell-scoped instead of the full
+    // rebuild re-quantizing the corpus.
+    unguardSq()
     // sub-cell ids start past every id EVER allocated — live ids AND
     // any cell dir already on disk (a previous split attempt killed
     // after its append commit left committed rows under its own ids;
@@ -715,6 +806,16 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
   def searchQuantized(idCol: String, vecCol: String, query: Seq[Double],
                       k: Int, rerank: Int, nprobe: Int = 1): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    // the guard is the completeness certificate: a split UNGUARDS the
+    // sibling instead of wiping it (patchSqAfterSplit repairs in
+    // place), and serving from an unguarded sibling would rank the
+    // split cells' rows from dirs that no longer exist
+    val done = new org.apache.hadoop.fs.Path(sqCellsPath, "_SUCCESS")
+    if (!done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(done))
+      throw new IllegalStateException(
+        s"no complete SQ sibling at $basePath — run ensureSq (full " +
+          "rebuild) or patchSqAfterSplit (after exactly one split)")
     val maxAbs = spark.read.parquet(sqMetaPath).head().getDouble(0)
     val q = array(query.map(lit): _*)
     val qq = Similarity.sqQuantize(q, maxAbs)

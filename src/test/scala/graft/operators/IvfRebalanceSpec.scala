@@ -257,6 +257,59 @@ class IvfRebalanceSpec extends SparkSpec {
     assert(ex.getMessage.contains("centroids moved"), ex.getMessage)
   }
 
+  test("patchSqAfterSplit repairs the quantized sibling cell-scoped: " +
+      "surviving cell untouched, retired dir reclaimed, probe exact") {
+    val base = Files.createTempDirectory("graft_ivfsqp").toString
+    val idx = new IvfIndex(spark, base)
+    idx.build(emb, "vec_id", "embedding", k = 2, iters = 4)
+    idx.ensureSq("vec_id", "embedding")
+    val q = Seq(10.0, 2.0, 0.0, 0.0)
+    def sqProbe(): Seq[Long] = {
+      val n = idx.centroids().count().toInt
+      idx.searchQuantized("vec_id", "embedding", q, k = 5, rerank = 80,
+          nprobe = n)
+        .select("vec_id").as[Long].collect().toSeq
+    }
+    assert(sqProbe() == bruteIds(5, q))
+    val hotCell = idx.cells().groupBy(col("cell")).count()
+      .orderBy(col("count").desc).head().getInt(0)
+    val coldCell = 1 - hotCell
+    def sqFiles(cell: Int): Set[String] = {
+      val d = new java.io.File(s"$base/ivf_cells_sq/cell=$cell")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val coldBefore = sqFiles(coldCell)
+    assert(coldBefore.nonEmpty)
+
+    val split = idx.splitHotCells("vec_id", "embedding", maxFraction = 0.5)
+    assert(split == Seq(hotCell))
+    // split UNGUARDS (not wipes): probes refuse until repaired
+    val ex = intercept[IllegalStateException] { sqProbe() }
+    assert(ex.getMessage.contains("ensureSq"))
+
+    val patched = idx.patchSqAfterSplit("vec_id", "embedding")
+    assert(patched == Seq(2, 3), patched.toString)
+    // the surviving cell's quantized files are byte-untouched; the
+    // retired hot cell's quantized dir is gone
+    assert(sqFiles(coldCell) == coldBefore)
+    assert(sqFiles(hotCell).isEmpty)
+    assert(sqProbe() == bruteIds(5, q))
+    // idempotent once stamped
+    assert(idx.patchSqAfterSplit("vec_id", "embedding").isEmpty)
+
+    // an append wipes the sibling whole — the patch path must refuse
+    // and the full rebuild must restore service
+    idx.append(Seq((99L, Array(0f, 10f, 0f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val ex2 = intercept[IllegalStateException] {
+      idx.patchSqAfterSplit("vec_id", "embedding")
+    }
+    assert(ex2.getMessage.contains("ensureSq"))
+    idx.ensureSq("vec_id", "embedding")
+    assert(sqProbe().head == bruteIds(5, q).head)
+  }
+
   test("sweep retains one centroid generation and reclaims retired " +
       "cell dirs after consecutive maintenance ops") {
     val base = Files.createTempDirectory("graft_ivfswp").toString
