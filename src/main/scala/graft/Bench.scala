@@ -193,7 +193,25 @@ object Bench {
       (per.map { case (n, ss) => n -> ss.sorted.apply(ss.length / 2) },
         per.toMap)
     }
+    // Chunked isolation: at most 8 queries per fresh JVM. One shared
+    // child for 24 flagged queries re-created the very problem the
+    // child exists to shed — accumulated executor state (checkpoint
+    // blocks, code cache, old-gen fragmentation) from the EARLIER
+    // flagged queries contaminated the later ones' medians
+    // (x_dedup_containment published 15.3 s from a child whose
+    // samples swung 3.2-43.7 s, while a single-query child measured a
+    // flat 3.19 s — probes/r14/iso_shared_child.json). Chunks share
+    // one 20-minute budget so the cap's meaning is unchanged.
     def isolateFreshJvm(names: Seq[String])
+        : Option[(Seq[(String, Double)], Map[String, Seq[Double]])] = {
+      val deadline = System.nanoTime() + 20L * 60 * 1000 * 1000 * 1000
+      val parts = names.grouped(8).toSeq
+      val results = parts.map(g => isolateFreshJvmChunk(g, deadline))
+      if (results.exists(_.isEmpty)) None
+      else Some((results.flatMap(_.get._1),
+        results.flatMap(_.get._2).toMap))
+    }
+    def isolateFreshJvmChunk(names: Seq[String], deadlineNanos: Long)
         : Option[(Seq[(String, Double)], Map[String, Seq[Double]])] =
       try {
         val javaBin = java.nio.file.Paths
@@ -234,7 +252,9 @@ object Bench {
         outFile.deleteOnExit()
         pb.redirectOutput(outFile)
         val p = pb.start()
-        if (!p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
+        val waitMs = math.max(1L,
+          (deadlineNanos - System.nanoTime()) / 1000000L)
+        if (!p.waitFor(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
           p.destroyForcibly(); return None
         }
         if (p.exitValue() != 0) return None
