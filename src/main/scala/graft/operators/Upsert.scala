@@ -529,16 +529,40 @@ object Upsert {
         // without the header keep the cast-back fallback.
         val sliceSchema = ddlOf(lines)
           .map(org.apache.spark.sql.types.StructType.fromDDL)
+        // SCHEMA EVOLUTION is add-only: every stored column must
+        // survive with its type (a dropped column would silently erase
+        // data on the next merge of its partition; a type change would
+        // corrupt it) — new columns in the updates are welcome and
+        // backfill as typed nulls in the stored slice below. The new
+        // manifest records the WIDENED schema, and old epoch dirs read
+        // under it yield nulls for the new columns, so readers see one
+        // consistent evolved table while readManifestedAt still
+        // reconstructs each historical epoch under ITS OWN schema.
+        sliceSchema.foreach { old =>
+          old.fields.foreach { f =>
+            val u = updates.schema.fields.find(_.name == f.name).getOrElse(
+              throw new IllegalArgumentException(
+                s"mergeIntoManifested: updates drop stored column " +
+                  s"'${f.name}' — only add-column evolution is supported"))
+            require(u.dataType == f.dataType,
+              s"mergeIntoManifested: column '${f.name}' type changed " +
+                s"${f.dataType} -> ${u.dataType} — not supported")
+          }
+        }
         val targetSlice = touchedEntries.groupBy(_._2).toSeq.map {
           case (e, es) =>
             val rd = spark.read.option("basePath", epochDir(e))
-            sliceSchema.fold(
+            val raw = sliceSchema.fold(
               rd.parquet(es.map(en => s"${epochDir(e)}/${en._1}"): _*)
                 .withColumn(partitionCol, col(partitionCol)
                   .cast(updates.schema(partitionCol).dataType)))(sch =>
               rd.schema(sch)
                 .parquet(es.map(en => s"${epochDir(e)}/${en._1}"): _*))
-              .select(cols.map(col): _*)
+            cols.foldLeft(raw) { (df, c) =>
+              if (df.columns.contains(c)) df
+              else df.withColumn(c,
+                lit(null).cast(updates.schema(c).dataType))
+            }.select(cols.map(col): _*)
         }.reduceOption(_ unionByName _)
         val merged = targetSlice match {
           case Some(ts) => mergeVersioned(ts, updates, keys, version)
@@ -607,8 +631,11 @@ object Upsert {
     val entries = entryLines(lines).map(parseManifestEntry)
     entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (e, es) =>
       val rd = spark.read.option("basePath", s"$tablePath/_e$e")
-      schemaOpt.fold(rd)(rd.schema)
+      val df = schemaOpt.fold(rd)(rd.schema)
         .parquet(es.map(en => s"$tablePath/_e$e/${en._1}"): _*)
+      // Spark surfaces partition columns LAST regardless of their
+      // position in the supplied schema — restore the writer's order
+      schemaOpt.fold(df)(sch => df.select(sch.fieldNames.map(col): _*))
     }.reduceOption(_ unionByName _).getOrElse(
       throw new IllegalStateException(s"empty manifest under $tablePath"))
   }

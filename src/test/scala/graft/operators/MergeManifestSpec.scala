@@ -218,6 +218,43 @@ class MergeManifestSpec extends SparkSpec {
       org.apache.spark.sql.types.StringType)
   }
 
+  test("add-only schema evolution: a new column backfills as null, " +
+      "history keeps its own schema, drops and type changes refuse") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmev")
+      .toString + "/tbl"
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 1.0, 1), (3, "b", 3.0, 1)), keys, "part", "ver",
+      retain = 3)
+    // batch 2 carries a NEW column and touches partition a only
+    val evolved = Seq((1L, "a", 10.0, 2L, "hot"))
+      .toDF("k", "part", "v", "ver", "tag")
+    Upsert.mergeIntoManifested(spark, path, evolved, keys, "part", "ver",
+      retain = 3)
+    val got = Upsert.readManifested(spark, path)
+    assert(got.columns.toSeq == Seq("k", "part", "v", "ver", "tag"))
+    assert(got.select($"k", $"part", $"v", $"ver", $"tag")
+      .as[(Long, String, Double, Long, Option[String])].collect().toSet ==
+      Set((1L, "a", 10.0, 2L, Some("hot")),
+        (3L, "b", 3.0, 1L, None))) // untouched epoch-0 row: null tag
+    // time travel reconstructs epoch 0 under ITS schema — no tag col
+    assert(Upsert.readManifestedAt(spark, path, 0).columns.toSeq ==
+      Seq("k", "part", "v", "ver"))
+    // a dropped column refuses loudly
+    val exDrop = intercept[IllegalArgumentException] {
+      Upsert.mergeIntoManifested(spark, path,
+        Seq((2L, "a", 2.0, 3L)).toDF("k", "part", "v", "ver"),
+        keys, "part", "ver")
+    }
+    assert(exDrop.getMessage.contains("drop"), exDrop.getMessage)
+    // a type change refuses loudly
+    val exType = intercept[IllegalArgumentException] {
+      Upsert.mergeIntoManifested(spark, path,
+        Seq((2L, "a", 2L, 3L, "x")).toDF("k", "part", "v", "ver", "tag"),
+        keys, "part", "ver")
+    }
+    assert(exType.getMessage.contains("type changed"), exType.getMessage)
+  }
+
   test("sweep deletes emptied epoch dirs (_SUCCESS must not pin them)") {
     val path = java.nio.file.Files.createTempDirectory("graft_mmsw")
       .toString + "/tbl"
