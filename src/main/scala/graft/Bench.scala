@@ -202,14 +202,35 @@ object Bench {
     // samples swung 3.2-43.7 s, while a single-query child measured a
     // flat 3.19 s — probes/r14/iso_shared_child.json). Chunks share
     // one 20-minute budget so the cap's meaning is unchanged.
+    // Returns (medians, samples, per-name source): chunks that succeed
+    // keep their fresh-JVM pedigree; on the FIRST failed chunk the
+    // remaining names (including that chunk's) fall back to ONE
+    // in-process pass — launching more children after a failure would
+    // burn the rest of the 20-minute budget on results that a former
+    // all-or-nothing policy then threw away wholesale.
     def isolateFreshJvm(names: Seq[String])
-        : Option[(Seq[(String, Double)], Map[String, Seq[Double]])] = {
+        : (Seq[(String, Double)], Map[String, Seq[Double]], Map[String, String]) = {
       val deadline = System.nanoTime() + 20L * 60 * 1000 * 1000 * 1000
-      val parts = names.grouped(8).toSeq
-      val results = parts.map(g => isolateFreshJvmChunk(g, deadline))
-      if (results.exists(_.isEmpty)) None
-      else Some((results.flatMap(_.get._1),
-        results.flatMap(_.get._2).toMap))
+      val accIso = Seq.newBuilder[(String, Double)]
+      val accSamp = Map.newBuilder[String, Seq[Double]]
+      var pending = names
+      var failed = false
+      while (!failed && pending.nonEmpty) {
+        val g = pending.take(8)
+        isolateFreshJvmChunk(g, deadline) match {
+          case Some((iso, samp)) =>
+            accIso ++= iso; accSamp ++= samp; pending = pending.drop(8)
+          case None => failed = true
+        }
+      }
+      val fresh = accIso.result()
+      val freshTags = fresh.map(_._1 -> "isolated").toMap
+      if (pending.isEmpty) (fresh, accSamp.result(), freshTags)
+      else {
+        val (fb, fbSamp) = isolateInProcess(pending)
+        (fresh ++ fb, accSamp.result() ++ fbSamp,
+          freshTags ++ fb.map(_._1 -> "inproc"))
+      }
     }
     def isolateFreshJvmChunk(names: Seq[String], deadlineNanos: Long)
         : Option[(Seq[(String, Double)], Map[String, Seq[Double]])] =
@@ -303,18 +324,14 @@ object Bench {
           Some((ok.map(n => n -> got(n)), childSamples))
         else None
       } catch { case _: Throwable => None }
-    // track the isolation SOURCE: the fresh-JVM child runs warmups and
+    // per-name isolation SOURCE: the fresh-JVM child runs warmups and
     // >=5 samples; the in-process fallback runs neither, and its
     // medians must not be recorded with the fresh-JVM pedigree
-    val (isolated, isolatedSamples, isoWasFreshJvm) =
+    val (isolated, isolatedSamples, isoSource) =
       if (flagged.isEmpty)
-        (Seq.empty[(String, Double)], Map.empty[String, Seq[Double]], true)
-      else isolateFreshJvm(flagged) match {
-        case Some((iso, samp)) => (iso, samp, true)
-        case None =>
-          val (iso, samp) = isolateInProcess(flagged)
-          (iso, samp, false)
-      }
+        (Seq.empty[(String, Double)], Map.empty[String, Seq[Double]],
+          Map.empty[String, String])
+      else isolateFreshJvm(flagged)
     // 3-decimal seconds (ms precision) keep the line compact, and the
     // headline total goes LAST: downstream tooling captures only the
     // final ~2KB of output, so cold-first/medians/isolated/total-at-the-
@@ -374,15 +391,15 @@ object Bench {
             .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
         } else Map.empty
       } catch { case _: Throwable => Map.empty }
-      // "inproc": the fresh-JVM child failed and the number is a warm-
-      // suite in-process median with no warmup — a weaker pedigree the
-      // provenance must not misreport as "isolated"
-      val isoTag = if (isoWasFreshJvm) "isolated" else "inproc"
+      // "inproc": that name's fresh-JVM chunk failed and its number is
+      // a warm-suite in-process median with no warmup — a weaker
+      // pedigree the provenance must not misreport as "isolated"
       val candidates =
         priorFloor.toSeq.map { case (n, v) =>
           (n, v, priorProv.getOrElse(n, "suite")) } ++
         runMin.toSeq.map { case (n, v) => (n, v, "suite") } ++
-        isoMap.toSeq.map { case (n, v) => (n, v, isoTag) }
+        isoMap.toSeq.map { case (n, v) =>
+          (n, v, isoSource.getOrElse(n, "isolated")) }
       val merged = candidates
         .filter { case (n, v, _) => qnames.contains(n) && v > 0.0 }
         .groupBy(_._1).view.mapValues(_.minBy(_._2)).toMap

@@ -428,38 +428,40 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     val cur = epoch().getOrElse(throw new IllegalStateException(
       s"no complete IVF index at $basePath"))
     val recorded = IndexEpoch.read(spark, sqEpochPath)
-    if (recorded.contains(cur)) return Nil // already patched
+    val sqRoot = new org.apache.hadoop.fs.Path(sqCellsPath)
+    val fs = sqRoot.getFileSystem(conf)
+    def restoreGuard(): Unit = {
+      val guard = new org.apache.hadoop.fs.Path(sqRoot, "_SUCCESS")
+      if (!fs.exists(guard)) fs.create(guard, true).close()
+    }
+    if (recorded.contains(cur)) {
+      // already stamped current — a split attempt that unguarded and
+      // then died BEFORE its epoch flip (or a crash between this
+      // method's own stamp and guard restore) leaves a byte-complete
+      // sibling refusing probes; the record certifies it, so restore
+      // the guard rather than reporting success while probes throw
+      restoreGuard()
+      return Nil
+    }
     if (!recorded.contains(IndexEpoch(cur.buildToken, cur.mods - 1,
         cur.cv - 1)))
       throw new IllegalStateException(
         s"SQ sibling at $basePath is not exactly one split behind " +
           s"(recorded $recorded, parent $cur) — run ensureSq")
     val metaP = new org.apache.hadoop.fs.Path(sqMetaPath)
-    val fs = metaP.getFileSystem(conf)
     if (!fs.exists(metaP))
       throw new IllegalStateException(
         s"SQ sibling meta missing at $basePath — run ensureSq")
     val live = storedCentroids().map(_._1).toSet
-    val sqRoot = new org.apache.hadoop.fs.Path(sqCellsPath)
     if (!fs.exists(sqRoot))
       throw new IllegalStateException(
         s"SQ sibling cells missing at $basePath — run ensureSq")
-    val sqDirs = fs.listStatus(sqRoot).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .flatMap(st => scala.util.Try(
-        st.getPath.getName.stripPrefix("cell=").toInt).toOption)
-      .toSet
+    val sqDirs = listCellIds(fs, sqRoot)
     val missing = (live -- sqDirs).toSeq.sorted
     if (missing.nonEmpty) {
       val maxAbs = spark.read.parquet(sqMetaPath).head().getDouble(0)
-      cells().filter(col("cell").isin(missing: _*))
-        .select(col(idCol), col("cell"),
-          Similarity.sqQuantize(col(vecCol), maxAbs)
-            .cast("array<tinyint>").as("q"))
-        .repartition(col("cell"))
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell").parquet(sqCellsPath)
+      writeSqCells(cells().filter(col("cell").isin(missing: _*)),
+        idCol, vecCol, maxAbs, dynamic = true)
     }
     // retired quantized dirs: unrouted (their centroids are gone), so
     // deleting them is pure space/listing reclamation
@@ -467,8 +469,7 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
       fs.delete(new org.apache.hadoop.fs.Path(sqRoot, s"cell=$c"), true)
     }
     IndexEpoch.write(spark, sqEpochPath, cur)
-    val guard = new org.apache.hadoop.fs.Path(sqRoot, "_SUCCESS")
-    if (!fs.exists(guard)) fs.create(guard, true).close()
+    restoreGuard()
     missing
   }
 
@@ -491,25 +492,50 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
         epoch().foreach(e => IndexEpoch.write(spark, sqEpochPath, e))
     } else {
       val maxAbs = Similarity.sqMaxAbs(cells(), vecCol)
-      // meta + epoch BEFORE cells: the build-once guard is the cells
-      // _SUCCESS, so the last-written artifact must be the guarded one
-      // — the reverse order left a crash window where the guard passed
-      // but searchQuantized threw forever on the missing meta file
+      // meta BEFORE cells: the build-once guard is the cells _SUCCESS,
+      // so the last-written artifact must be the guarded one — the
+      // reverse order left a crash window where the guard passed but
+      // searchQuantized threw forever on the missing meta file
       import spark.implicits._
       Seq(maxAbs).toDF("max_abs").coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(sqMetaPath)
+      writeSqCells(cells(), idCol, vecCol, maxAbs)
+      // epoch record AFTER the cells write: a record next to a partial
+      // (crashed, guard-less) cells dir would let patchSqAfterSplit
+      // later certify the incomplete sibling — its missing-dirs scan
+      // trusts every dir the record vouches for. A crash between the
+      // completed write and this stamp is the backfill branch above.
       epoch().foreach(e => IndexEpoch.write(spark, sqEpochPath, e))
-      cells()
-        .select(col(idCol), col("cell"),
-          Similarity.sqQuantize(col(vecCol), maxAbs)
-            .cast("array<tinyint>").as("q"))
-        // cluster by cell: same minimal-files-per-partition rationale as
-        // writeAssigned — the quantized probe pays file listing too
-        .repartition(col("cell"))
-        .write.mode(SaveMode.Overwrite).partitionBy("cell")
-        .parquet(sqCellsPath)
     }
   }
+
+  /** The ONE quantize-and-write pipeline for the SQ sibling — shared
+    * by [[ensureSq]] (full rebuild) and [[patchSqAfterSplit]] (cell
+    * slice, dynamic overwrite): both paths' codes must stay
+    * bit-identical or patched cells stop being comparable with
+    * surviving ones (and with the oracle replay). */
+  private def writeSqCells(rows: DataFrame, idCol: String, vecCol: String,
+                           maxAbs: Double, dynamic: Boolean = false): Unit = {
+    val w = rows
+      .select(col(idCol), col("cell"),
+        Similarity.sqQuantize(col(vecCol), maxAbs)
+          .cast("array<tinyint>").as("q"))
+      // cluster by cell: same minimal-files-per-partition rationale as
+      // writeAssigned — the quantized probe pays file listing too
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite)
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("cell").parquet(sqCellsPath)
+  }
+
+  /** Integer cell ids of the `cell=N` dirs under `root`. */
+  private def listCellIds(fs: org.apache.hadoop.fs.FileSystem,
+                          root: org.apache.hadoop.fs.Path): Set[Int] =
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("cell=").toInt).toOption)
+      .toSet
 
   /** Drift report: how far each cell's CURRENT mean vector has moved
     * from the stored (training-time) centroid, as cosine similarity.
@@ -607,6 +633,17 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     writeCentroids(newCents, e.cv + 1)
     graft.FailPoint.hit("ivf_recenter_after_centroids")
     IndexEpoch.write(spark, epochPath, e.copy(cv = e.cv + 1))
+    // the raw-vector SQ sibling stays VALID across a recenter (rows
+    // and cells untouched; only routing moved) — carry its epoch
+    // record forward, or a later patchSqAfterSplit would see the
+    // recenter as an extra cv step and force the full rebuild the
+    // patch exists to avoid. Only a record matching this epoch's
+    // token+mods is advanced; anything else keeps its (stale)
+    // pedigree and the strict checks downstream handle it.
+    IndexEpoch.read(spark, sqEpochPath).foreach { r =>
+      if (r.buildToken == e.buildToken && r.mods == e.mods)
+        IndexEpoch.write(spark, sqEpochPath, r.copy(cv = e.cv + 1))
+    }
     sweepCentroidVersions(e.cv + 1)
     drifted.sorted
   }
@@ -685,12 +722,7 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     val diskMax = {
       val p = new org.apache.hadoop.fs.Path(cellsPath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) -1
-      else fs.listStatus(p).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-        .flatMap(st => scala.util.Try(
-          st.getPath.getName.stripPrefix("cell=").toInt).toOption)
-        .foldLeft(-1)(math.max)
+      if (!fs.exists(p)) -1 else (listCellIds(fs, p) + (-1)).max
     }
     // per hot cell: deterministic bounded sample, local 2+-means into
     // enough sub-cells to bring each under the threshold (capped at 8)

@@ -538,12 +538,18 @@ object Upsert {
         // under it yield nulls for the new columns, so readers see one
         // consistent evolved table while readManifestedAt still
         // reconstructs each historical epoch under ITS OWN schema.
+        // name matching is case-INSENSITIVE, like Spark's own analyzer
+        // under the default caseSensitive=false — exact matching would
+        // both refuse batches Spark resolves fine and, worse, let the
+        // widen fold below null-clobber a stored column whose case
+        // differs (withColumn resolves case-insensitively and REPLACES)
         sliceSchema.foreach { old =>
           old.fields.foreach { f =>
-            val u = updates.schema.fields.find(_.name == f.name).getOrElse(
-              throw new IllegalArgumentException(
-                s"mergeIntoManifested: updates drop stored column " +
-                  s"'${f.name}' — only add-column evolution is supported"))
+            val u = updates.schema.fields
+              .find(_.name.equalsIgnoreCase(f.name)).getOrElse(
+                throw new IllegalArgumentException(
+                  s"mergeIntoManifested: updates drop stored column " +
+                    s"'${f.name}' — only add-column evolution is supported"))
             require(u.dataType == f.dataType,
               s"mergeIntoManifested: column '${f.name}' type changed " +
                 s"${f.dataType} -> ${u.dataType} — not supported")
@@ -559,7 +565,7 @@ object Upsert {
               rd.schema(sch)
                 .parquet(es.map(en => s"${epochDir(e)}/${en._1}"): _*))
             cols.foldLeft(raw) { (df, c) =>
-              if (df.columns.contains(c)) df
+              if (df.columns.exists(_.equalsIgnoreCase(c))) df
               else df.withColumn(c,
                 lit(null).cast(updates.schema(c).dataType))
             }.select(cols.map(col): _*)

@@ -298,6 +298,18 @@ class IvfRebalanceSpec extends SparkSpec {
     // idempotent once stamped
     assert(idx.patchSqAfterSplit("vec_id", "embedding").isEmpty)
 
+    // crash between a later split's unguard and its epoch flip: the
+    // sibling is byte-complete for the UNCHANGED routing table, and
+    // the already-stamped early return must restore the guard instead
+    // of reporting success while probes keep refusing
+    graft.FailPoint.arm("ivf_split_after_centroids")
+    try intercept[graft.FailPoint.Kill] {
+      idx.splitHotCells("vec_id", "embedding", maxFraction = 0.3)
+    } finally graft.FailPoint.disarm()
+    intercept[IllegalStateException] { sqProbe() } // unguarded
+    assert(idx.patchSqAfterSplit("vec_id", "embedding").isEmpty)
+    assert(sqProbe() == bruteIds(5, q)) // guard back, sibling valid
+
     // an append wipes the sibling whole — the patch path must refuse
     // and the full rebuild must restore service
     idx.append(Seq((99L, Array(0f, 10f, 0f, 0f))).toDF("vec_id", "embedding"),
@@ -308,6 +320,29 @@ class IvfRebalanceSpec extends SparkSpec {
     assert(ex2.getMessage.contains("ensureSq"))
     idx.ensureSq("vec_id", "embedding")
     assert(sqProbe().head == bruteIds(5, q).head)
+  }
+
+  test("recenter carries the SQ epoch record forward: a later split " +
+      "still patches cell-scoped instead of forcing the full rebuild") {
+    val base = Files.createTempDirectory("graft_ivfsqrc").toString
+    val idx = new IvfIndex(spark, base)
+    idx.build(emb.filter($"vec_id" <= 40), "vec_id", "embedding",
+      k = 2, iters = 4)
+    idx.append(emb.filter($"vec_id" > 40), "vec_id", "embedding")
+    idx.ensureSq("vec_id", "embedding")
+    assert(idx.recenter("embedding", minCosine = 0.999999).nonEmpty)
+    val split = idx.splitHotCells("vec_id", "embedding", maxFraction = 0.45)
+    assert(split.nonEmpty)
+    // exactly-one-split check passes BECAUSE the recenter advanced the
+    // record's cv alongside the parent's — without the carry-forward
+    // this would throw "run ensureSq" and re-quantize the corpus
+    assert(idx.patchSqAfterSplit("vec_id", "embedding").nonEmpty)
+    val q = Seq(10.0, 2.0, 0.0, 0.0)
+    val n = idx.centroids().count().toInt
+    val got = idx.searchQuantized("vec_id", "embedding", q, k = 5,
+        rerank = 80, nprobe = n)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == bruteIds(5, q), s"$got")
   }
 
   test("sweep retains one centroid generation and reclaims retired " +
