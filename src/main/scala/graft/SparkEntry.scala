@@ -1598,6 +1598,40 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("o_orderstatus"))
     }),
 
+    "j22_merge_evolve" -> ((s, dir) => {
+      // ADD-AND-WIDEN SCHEMA EVOLUTION through the manifested table:
+      // batch 1 is a legacy writer with a 32-bit key and count; batch 2
+      // arrives evolved — long key, long count (content above 2^31, so
+      // the widening is exercised on VALUES, not just the schema label)
+      // plus a brand-new tag column. The table serves ONE widened
+      // schema: historical epoch files are read upcast inside the
+      // parquet scan (int32→int64 promotion, no rewrite of untouched
+      // partitions), rows the evolved writer never touched surface a
+      // null tag, and the merge joins the widened key against the
+      // upcast slice. Oracle = the order-free max-version model with
+      // the same casts.
+      val base = s"${artifactBase(dir)}/merge_evolve"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders")
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.select(col("o_orderkey").cast("int").as("o_orderkey"),
+          col("o_orderstatus"),
+          (col("o_orderkey") % 97).cast("int").as("qty"),
+          lit(1L).as("ver")), keys, "o_orderstatus", "ver")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_orderkey") % 97 + lit(5000000000L)).as("qty"),
+            lit("evolved").as("tag"), lit(2L).as("ver")),
+        keys, "o_orderstatus", "ver")
+      operators.Upsert.readManifested(s, base)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("qty"),
+          col("tag"), col("ver"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
     "u4_union_evolve" -> ((s, dir) => {
       // schema-evolution union: a legacy slice without the status
       // column unions BY NAME with the current schema
@@ -5900,6 +5934,26 @@ object SparkEntry {
            SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0, 2
            FROM base WHERE o_orderkey % 5 = 0)
          SELECT o_orderkey, o_orderstatus, o_totalprice, ver FROM (
+           SELECT *, row_number() OVER (
+                       PARTITION BY o_orderstatus, o_orderkey
+                       ORDER BY ver DESC) AS rn
+           FROM allrows) WHERE rn = 1
+         ORDER BY o_orderkey, o_orderstatus""",
+
+    // add-and-widen evolution: one widened schema over both writers —
+    // int32 batch-1 values upcast, never-touched rows carry a null tag
+    "j22_merge_evolve" ->
+      """WITH allrows AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(o_orderkey % 97 AS BIGINT) AS qty,
+                  CAST(NULL AS VARCHAR) AS tag,
+                  CAST(1 AS BIGINT) AS ver
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus,
+                  o_orderkey % 97 + 5000000000, 'evolved', 2
+           FROM orders WHERE o_orderkey % 5 = 0)
+         SELECT o_orderkey, o_orderstatus, qty, tag, ver FROM (
            SELECT *, row_number() OVER (
                        PARTITION BY o_orderstatus, o_orderkey
                        ORDER BY ver DESC) AS rn

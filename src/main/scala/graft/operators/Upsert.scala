@@ -529,13 +529,18 @@ object Upsert {
         // without the header keep the cast-back fallback.
         val sliceSchema = ddlOf(lines)
           .map(org.apache.spark.sql.types.StructType.fromDDL)
-        // SCHEMA EVOLUTION is add-only: every stored column must
-        // survive with its type (a dropped column would silently erase
-        // data on the next merge of its partition; a type change would
-        // corrupt it) — new columns in the updates are welcome and
-        // backfill as typed nulls in the stored slice below. The new
+        // SCHEMA EVOLUTION is add-and-widen: every stored column must
+        // survive (a dropped column would silently erase data on the
+        // next merge of its partition), and its type may only change
+        // by a LOSSLESS widening (canWidenType below) — anything else
+        // would corrupt stored values. New columns in the updates are
+        // welcome and backfill as typed nulls in the stored slice
+        // below; widened columns cast up in the same select. The new
         // manifest records the WIDENED schema, and old epoch dirs read
-        // under it yield nulls for the new columns, so readers see one
+        // under it yield nulls for the new columns and upcast values
+        // for the widened ones (Spark 4's parquet readers promote
+        // int32→int64 / float→double / decimal-precision in the scan —
+        // no rewrite of historical files), so readers see one
         // consistent evolved table while readManifestedAt still
         // reconstructs each historical epoch under ITS OWN schema.
         // name matching is case-INSENSITIVE, like Spark's own analyzer
@@ -550,9 +555,17 @@ object Upsert {
                 throw new IllegalArgumentException(
                   s"mergeIntoManifested: updates drop stored column " +
                     s"'${f.name}' — only add-column evolution is supported"))
-            require(u.dataType == f.dataType,
+            require(u.dataType == f.dataType ||
+                canWidenType(f.dataType, u.dataType),
               s"mergeIntoManifested: column '${f.name}' type changed " +
-                s"${f.dataType} -> ${u.dataType} — not supported")
+                s"${f.dataType} -> ${u.dataType} — only lossless " +
+                "widening (byte/short/int up to long, float to double, " +
+                "decimal precision growth) is supported")
+            require(u.dataType == f.dataType ||
+                !f.name.equalsIgnoreCase(partitionCol),
+              s"mergeIntoManifested: cannot widen partition column " +
+                s"'${f.name}' — its string form names the partition " +
+                "dirs and manifest entries")
           }
         }
         val targetSlice = touchedEntries.groupBy(_._2).toSeq.map {
@@ -568,7 +581,11 @@ object Upsert {
               if (df.columns.exists(_.equalsIgnoreCase(c))) df
               else df.withColumn(c,
                 lit(null).cast(updates.schema(c).dataType))
-            }.select(cols.map(col): _*)
+            // the cast lifts widened columns to the updates' type (a
+            // no-op select for unchanged ones) so the merge below
+            // unions type-identically
+            }.select(cols.map(c =>
+              col(c).cast(updates.schema(c).dataType).as(c)): _*)
         }.reduceOption(_ unionByName _)
         val merged = targetSlice match {
           case Some(ts) => mergeVersioned(ts, updates, keys, version)
@@ -695,6 +712,28 @@ object Upsert {
     * pinned the type, but the public readers had no source for it).
     * Tables written before the header existed read with inference, as
     * before. */
+  /** Lossless type widenings the manifested layout accepts from an
+    * evolving writer: integral up-casts within {byte, short, int,
+    * long}, float→double, and decimal precision growth at the same
+    * scale. Spark 4's parquet readers perform exactly these
+    * promotions inside the scan (SPARK-40876), so historical epoch
+    * files are read under the widened schema as-is — evolution never
+    * rewrites data. Anything lossy (narrowing, cross-family,
+    * scale changes) refuses at the merge. */
+  private def canWidenType(from: org.apache.spark.sql.types.DataType,
+                           to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
   private def ddlHeader(df: DataFrame): Seq[String] =
     Seq("#ddl\t" + df.schema.toDDL)
   private def entryLines(lines: Seq[String]): Seq[String] =

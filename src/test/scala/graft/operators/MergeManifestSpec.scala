@@ -255,6 +255,87 @@ class MergeManifestSpec extends SparkSpec {
     assert(exType.getMessage.contains("type changed"), exType.getMessage)
   }
 
+  test("type-widening evolution: int→long and float→double lift the " +
+      "table schema; untouched historical files read upcast in place; " +
+      "narrowing and partition-column widening refuse") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmwd")
+      .toString + "/tbl"
+    // batch 1 stores NARROW types: k int, v float, ver long
+    val narrow = Seq((1, "a", 1.5f, 1L), (3, "b", 3.5f, 1L))
+      .toDF("k", "part", "v", "ver")
+    Upsert.mergeIntoManifested(spark, path, narrow, keys, "part", "ver")
+    // batch 2 widens k→long, v→double AND adds a column; touches only a
+    val wide = Seq((1L, "a", 10.25, 2L, "hot"))
+      .toDF("k", "part", "v", "ver", "tag")
+    Upsert.mergeIntoManifested(spark, path, wide, keys, "part", "ver")
+    val got = Upsert.readManifested(spark, path)
+    import org.apache.spark.sql.types._
+    assert(got.schema("k").dataType == LongType)
+    assert(got.schema("v").dataType == DoubleType)
+    // partition b is STILL the epoch-0 file set (int32/float physical)
+    // read under the widened schema — the parquet scan promotes, no
+    // rewrite happened
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_e0/part=b")))
+    assert(got.select($"k", $"part", $"v", $"ver", $"tag")
+      .as[(Long, String, Double, Long, Option[String])].collect().toSet ==
+      Set((1L, "a", 10.25, 2L, Some("hot")),
+        (3L, "b", 3.5f.toDouble, 1L, None)))
+    // a later merge joins the widened keys against the upcast slice
+    Upsert.mergeIntoManifested(spark, path,
+      Seq((3L, "b", 9.75, 2L, "x")).toDF("k", "part", "v", "ver", "tag"),
+      keys, "part", "ver")
+    assert(Upsert.readManifested(spark, path)
+      .filter($"k" === 3).select($"v").as[Double].head() == 9.75)
+    // narrowing back (long→int) refuses loudly
+    val exNarrow = intercept[IllegalArgumentException] {
+      Upsert.mergeIntoManifested(spark, path,
+        Seq((5, "a", 5.0, 3L, "y")).toDF("k", "part", "v", "ver", "tag"),
+        keys, "part", "ver")
+    }
+    assert(exNarrow.getMessage.contains("type changed"),
+      exNarrow.getMessage)
+    // widening the PARTITION column refuses (dir names encode it)
+    val path2 = java.nio.file.Files.createTempDirectory("graft_mmwdp")
+      .toString + "/tbl"
+    Upsert.mergeIntoManifested(spark, path2,
+      Seq((1L, 7, 1.0, 1L)).toDF("k", "part", "v", "ver"),
+      keys, "part", "ver")
+    val exPart = intercept[IllegalArgumentException] {
+      Upsert.mergeIntoManifested(spark, path2,
+        Seq((1L, 7L, 2.0, 2L)).toDF("k", "part", "v", "ver"),
+        keys, "part", "ver")
+    }
+    assert(exPart.getMessage.contains("partition column"),
+      exPart.getMessage)
+  }
+
+  test("decimal precision growth widens in place at the same scale; " +
+      "a scale change refuses") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmwdd")
+      .toString + "/tbl"
+    def dec(df: org.apache.spark.sql.DataFrame, p: Int, s: Int) =
+      df.withColumn("v", $"v".cast(
+        org.apache.spark.sql.types.DecimalType(p, s)))
+    Upsert.mergeIntoManifested(spark, path,
+      dec(rows((1, "a", 1.25, 1), (3, "b", 3.75, 1)), 9, 2),
+      keys, "part", "ver")
+    Upsert.mergeIntoManifested(spark, path,
+      dec(rows((1, "a", 12345678901.25, 2)), 18, 2), keys, "part", "ver")
+    val got = Upsert.readManifested(spark, path)
+    assert(got.schema("v").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 2))
+    assert(got.select($"k", $"v".cast("string")).as[(Long, String)]
+      .collect().toSet ==
+      Set((1L, "12345678901.25"), (3L, "3.75"))) // b: epoch-0 file upcast
+    val ex = intercept[IllegalArgumentException] {
+      Upsert.mergeIntoManifested(spark, path,
+        dec(rows((1, "a", 1.255, 3)), 18, 3), keys, "part", "ver")
+    }
+    assert(ex.getMessage.contains("type changed"), ex.getMessage)
+  }
+
   test("sweep deletes emptied epoch dirs (_SUCCESS must not pin them)") {
     val path = java.nio.file.Files.createTempDirectory("graft_mmsw")
       .toString + "/tbl"
