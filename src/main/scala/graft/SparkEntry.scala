@@ -1632,6 +1632,36 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("o_orderstatus"))
     }),
 
+    "j23_merge_rename" -> ((s, dir) => {
+      // METADATA-ONLY COLUMN RENAME on the manifested table
+      // (Upsert.renameManifestedColumn): batch 1 writes qty; one
+      // manifest publish renames it to quantity — zero data files move,
+      // the manifest's #pmap lines map epoch 0's physical "qty" to the
+      // new logical name; batch 2 then updates under the NEW name, so
+      // the final read unions mapped epoch-0 files with natively-named
+      // epoch-1 files. Oracle = the max-version model computed under
+      // the final name throughout (a rename must never change content).
+      val base = s"${artifactBase(dir)}/merge_rename"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_orderkey") % 97).as("qty"), lit(1L).as("ver")),
+        keys, "o_orderstatus", "ver")
+      operators.Upsert.renameManifestedColumn(s, base, "qty", "quantity")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_orderkey") % 97 + 1000).as("quantity"),
+            lit(2L).as("ver")), keys, "o_orderstatus", "ver")
+      operators.Upsert.readManifested(s, base)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("quantity"),
+          col("ver"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
     "u4_union_evolve" -> ((s, dir) => {
       // schema-evolution union: a legacy slice without the status
       // column unions BY NAME with the current schema
@@ -5954,6 +5984,25 @@ object SparkEntry {
                   o_orderkey % 97 + 5000000000, 'evolved', 2
            FROM orders WHERE o_orderkey % 5 = 0)
          SELECT o_orderkey, o_orderstatus, qty, tag, ver FROM (
+           SELECT *, row_number() OVER (
+                       PARTITION BY o_orderstatus, o_orderkey
+                       ORDER BY ver DESC) AS rn
+           FROM allrows) WHERE rn = 1
+         ORDER BY o_orderkey, o_orderstatus""",
+
+    // a metadata-only rename must never change content: the model is
+    // computed under the final column name throughout
+    "j23_merge_rename" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders
+                       WHERE o_orderkey % 7 = 0),
+              allrows AS (
+           SELECT o_orderkey, o_orderstatus,
+                  o_orderkey % 97 AS quantity, CAST(1 AS BIGINT) AS ver
+           FROM base
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_orderkey % 97 + 1000, 2
+           FROM base WHERE o_orderkey % 5 = 0)
+         SELECT o_orderkey, o_orderstatus, quantity, ver FROM (
            SELECT *, row_number() OVER (
                        PARTITION BY o_orderstatus, o_orderkey
                        ORDER BY ver DESC) AS rn

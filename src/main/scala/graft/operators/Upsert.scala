@@ -568,15 +568,23 @@ object Upsert {
                 "dirs and manifest entries")
           }
         }
+        val pmap = pmapOf(lines)
         val targetSlice = touchedEntries.groupBy(_._2).toSeq.map {
           case (e, es) =>
             val rd = spark.read.option("basePath", epochDir(e))
             val raw = sliceSchema.fold(
               rd.parquet(es.map(en => s"${epochDir(e)}/${en._1}"): _*)
                 .withColumn(partitionCol, col(partitionCol)
-                  .cast(updates.schema(partitionCol).dataType)))(sch =>
-              rd.schema(sch)
-                .parquet(es.map(en => s"${epochDir(e)}/${en._1}"): _*))
+                  .cast(updates.schema(partitionCol).dataType)))(sch => {
+              // renamed columns: read under this epoch's PHYSICAL
+              // names, alias back to logical in one select
+              val m = pmap.getOrElse(e, Map.empty[String, String])
+              val df = rd.schema(physSchemaFor(sch, m))
+                .parquet(es.map(en => s"${epochDir(e)}/${en._1}"): _*)
+              val l2p = m.map(_.swap)
+              df.select(sch.fieldNames.map(n =>
+                col(l2p.getOrElse(n, n)).as(n)): _*)
+            })
             cols.foldLeft(raw) { (df, c) =>
               if (df.columns.exists(_.equalsIgnoreCase(c))) df
               else df.withColumn(c,
@@ -603,7 +611,11 @@ object Upsert {
         val newEntries =
           (entries.filterNot(e => newDirs.contains(e._1)) ++
             newDirs.toSeq.map(_ -> (epoch + 1))).sortBy(_._1)
+        // carry rename mappings forward for epochs still referenced;
+        // the fresh epoch wrote under current logical names (identity)
+        val refEpochs = newEntries.map(_._2).toSet
         EpochManifest.publish(fs, root, epoch + 1, ddlHeader(updates) ++
+          pmapLines(pmap.filter(e => refEpochs.contains(e._1))) ++
           newEntries.map { case (d, e) => s"$d\t$e" })
         graft.FailPoint.hit("mergem_after_publish")
         sweepManifested(fs, root, epoch + 1, retain)
@@ -651,14 +663,22 @@ object Upsert {
     // never coerces a column
     val schemaOpt = ddlOf(lines)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val pmap = pmapOf(lines)
     val entries = entryLines(lines).map(parseManifestEntry)
     entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (e, es) =>
       val rd = spark.read.option("basePath", s"$tablePath/_e$e")
-      val df = schemaOpt.fold(rd)(rd.schema)
+      // renamed columns: this epoch's files store their PHYSICAL
+      // names — read under those (with current logical types, so
+      // widening promotion applies) and alias back to logical below
+      val m = pmap.getOrElse(e, Map.empty[String, String])
+      val df = schemaOpt.fold(rd)(sch => rd.schema(physSchemaFor(sch, m)))
         .parquet(es.map(en => s"$tablePath/_e$e/${en._1}"): _*)
       // Spark surfaces partition columns LAST regardless of their
       // position in the supplied schema — restore the writer's order
-      schemaOpt.fold(df)(sch => df.select(sch.fieldNames.map(col): _*))
+      // (and resolve physical → logical names in the same select)
+      val l2p = m.map(_.swap)
+      schemaOpt.fold(df)(sch => df.select(sch.fieldNames.map(n =>
+        col(l2p.getOrElse(n, n)).as(n)): _*))
     }.reduceOption(_ unionByName _).getOrElse(
       throw new IllegalStateException(s"empty manifest under $tablePath"))
   }
@@ -740,6 +760,105 @@ object Upsert {
     lines.filterNot(_.startsWith("#"))
   private def ddlOf(lines: Seq[String]): Option[String] =
     lines.find(_.startsWith("#ddl\t")).map(_.stripPrefix("#ddl\t"))
+
+  /** COLUMN-MAPPING manifest lines, `#pmap\t<epoch>\t<phys>\t<logical>`:
+    * files in epoch dir `_e<epoch>` store column `phys` where the
+    * current logical schema says `logical`. Only RENAMED columns get a
+    * line (identity is the default), only for epochs the manifest
+    * still references — each publish regenerates the set, so swept
+    * epochs shed their mappings for free. This is what makes
+    * [[renameManifestedColumn]] metadata-only: readers rebuild each
+    * epoch's physical read schema (physical names, current logical
+    * TYPES — so widening promotion still applies) and alias back. */
+  private def pmapOf(lines: Seq[String]): Map[Long, Map[String, String]] =
+    lines.filter(_.startsWith("#pmap\t")).map { l =>
+      l.split("\t", -1) match {
+        case Array(_, e, phys, logical) => (e.toLong, phys, logical)
+        case _ => throw new IllegalStateException(s"malformed #pmap: '$l'")
+      }
+    }.groupBy(_._1).map { case (e, ts) =>
+      e -> ts.map(t => t._2 -> t._3).toMap
+    }
+  private def pmapLines(m: Map[Long, Map[String, String]]): Seq[String] =
+    m.toSeq.sortBy(_._1).flatMap { case (e, mm) =>
+      mm.toSeq.sortBy(_._1).collect {
+        case (phys, logical) if phys != logical =>
+          s"#pmap\t$e\t$phys\t$logical"
+      }
+    }
+
+  /** The schema to hand the parquet reader for one epoch dir: current
+    * logical TYPES (widening promotion applies in the scan) under that
+    * epoch's PHYSICAL column names. */
+  private def physSchemaFor(logical: org.apache.spark.sql.types.StructType,
+                            physToLogical: Map[String, String])
+      : org.apache.spark.sql.types.StructType = {
+    val logicalToPhys = physToLogical.map(_.swap)
+    org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+      f.copy(name = logicalToPhys.getOrElse(f.name, f.name))))
+  }
+
+  /** METADATA-ONLY column rename for [[mergeIntoManifested]] tables:
+    * publishes one new manifest whose `#ddl` carries the new logical
+    * name and whose `#pmap` lines record, per referenced epoch, the
+    * physical name its immutable files still store — zero data files
+    * move. Subsequent merges write new epochs under the NEW name
+    * (identity mapping), so a table converges to unmapped as history
+    * turns over, and [[compactManifested]] collapses every mapping in
+    * one rewrite. Batches must use the new name from here on — the old
+    * name now refuses as a dropped column, loudly. The partition
+    * column refuses (its name is baked into every dir name and
+    * manifest entry); so does a legacy table without a recorded
+    * schema (compact it first to stamp one). Crash-safe trivially:
+    * the rename IS the single atomic manifest publish. */
+  def renameManifestedColumn(spark: org.apache.spark.sql.SparkSession,
+                             tablePath: String, oldName: String,
+                             newName: String, retain: Int = 2): Unit = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (epoch, lines) = EpochManifest.active(fs, root).getOrElse(
+      throw new IllegalStateException(s"no manifest under $tablePath"))
+    val ddl = ddlOf(lines).getOrElse(throw new IllegalStateException(
+      s"renameManifestedColumn: $tablePath has no recorded schema " +
+        "(written before the #ddl header) — run compactManifested " +
+        "first to stamp one"))
+    require(!newName.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"renameManifestedColumn: '$newName' contains manifest-hostile " +
+        "characters")
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    require(sch.fieldNames.exists(_.equalsIgnoreCase(oldName)),
+      s"renameManifestedColumn: no column '$oldName' in $ddl")
+    require(!sch.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"renameManifestedColumn: column '$newName' already exists")
+    val entries = entryLines(lines).map(parseManifestEntry)
+    entries.headOption.foreach { case (d, _) =>
+      val partCol = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(d.takeWhile(_ != '='))
+      require(!partCol.equalsIgnoreCase(oldName),
+        s"renameManifestedColumn: cannot rename partition column " +
+          s"'$partCol' — its name is baked into every partition dir " +
+          "and manifest entry")
+    }
+    // the stored schema's canonical spelling, not the caller's — the
+    // physical default must match what the files actually store
+    val canonical = sch.fields
+      .find(_.name.equalsIgnoreCase(oldName)).get.name
+    val pmap = pmapOf(lines)
+    val refEpochs = entries.map(_._2).distinct
+    val newPmap = refEpochs.map { e =>
+      val m = pmap.getOrElse(e, Map.empty[String, String])
+      // the physical name logical `oldName` resolves to in this epoch
+      val phys = m.find(_._2.equalsIgnoreCase(oldName)).map(_._1)
+        .getOrElse(canonical)
+      e -> (m + (phys -> newName))
+    }.toMap
+    val newSch = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+      if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
+    EpochManifest.publish(fs, root, epoch + 1,
+      Seq("#ddl\t" + newSch.toDDL) ++ pmapLines(newPmap) ++
+        entries.map { case (d, e) => s"$d\t$e" })
+    sweepManifested(fs, root, epoch + 1, retain)
+  }
 
   /** Reference-counted GC for the manifested-merge layout: keep every
     * snapshot dir referenced by the newest `retain` manifests (>= 2 —

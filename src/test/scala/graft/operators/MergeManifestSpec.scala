@@ -336,6 +336,83 @@ class MergeManifestSpec extends SparkSpec {
     assert(ex.getMessage.contains("type changed"), ex.getMessage)
   }
 
+  test("metadata-only column rename: old epochs read under the " +
+      "mapping (no rewrite), merges continue under the new name, " +
+      "widening composes, compaction collapses the mapping") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmrn")
+      .toString + "/tbl"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestText(): String = {
+      val n = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .map(_.getPath.getName).filter(_.startsWith("_manifest_"))
+        .map(_.stripPrefix("_manifest_").toLong).max
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        s"$path/_manifest_$n"))
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    // batch 1 stores v as FLOAT — the rename must compose with a
+    // later widening (epoch-0 files read as physical "v", double)
+    Upsert.mergeIntoManifested(spark, path,
+      Seq((1L, "a", 1.5f, 1L), (3L, "b", 3.5f, 1L))
+        .toDF("k", "part", "v", "ver"), keys, "part", "ver", retain = 4)
+    Upsert.renameManifestedColumn(spark, path, "v", "val", retain = 4)
+    val afterRename = Upsert.readManifested(spark, path)
+    assert(afterRename.columns.toSeq == Seq("k", "part", "val", "ver"))
+    assert(afterRename.select($"k", $"val")
+      .as[(Long, Float)].collect().toSet == Set((1L, 1.5f), (3L, 3.5f)))
+    // zero data movement: still served from the epoch-0 files
+    assert(afterRename.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).forall(_.contains("/_e0/")))
+    // merge under the NEW name, widened to double, touching only a
+    Upsert.mergeIntoManifested(spark, path,
+      Seq((1L, "a", 10.25, 2L)).toDF("k", "part", "val", "ver"),
+      keys, "part", "ver", retain = 4)
+    val got = Upsert.readManifested(spark, path)
+    assert(got.schema("val").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(got.select($"k", $"part", $"val", $"ver")
+      .as[(Long, String, Double, Long)].collect().toSet ==
+      Set((1L, "a", 10.25, 2L), (3L, "b", 3.5, 1L)))
+    // a batch still using the OLD name refuses as a dropped column
+    val exOld = intercept[IllegalArgumentException] {
+      Upsert.mergeIntoManifested(spark, path,
+        Seq((5L, "a", 5.0, 3L)).toDF("k", "part", "v", "ver"),
+        keys, "part", "ver", retain = 4)
+    }
+    assert(exOld.getMessage.contains("drop"), exOld.getMessage)
+    // time travel reconstructs manifest 0 under its OWN (pre-rename,
+    // pre-widening) schema
+    val at0 = Upsert.readManifestedAt(spark, path, 0)
+    assert(at0.columns.toSeq == Seq("k", "part", "v", "ver"))
+    assert(at0.schema("v").dataType ==
+      org.apache.spark.sql.types.FloatType)
+    // chained rename keeps resolving through the per-epoch mapping
+    Upsert.renameManifestedColumn(spark, path, "val", "value",
+      retain = 4)
+    assert(Upsert.readManifested(spark, path)
+      .select($"k", $"value").as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.25), (3L, 3.5)))
+    assert(manifestText().contains("#pmap"))
+    // refusals: partition column; existing target name
+    val exPart = intercept[IllegalArgumentException] {
+      Upsert.renameManifestedColumn(spark, path, "part", "p2")
+    }
+    assert(exPart.getMessage.contains("partition column"),
+      exPart.getMessage)
+    val exDup = intercept[IllegalArgumentException] {
+      Upsert.renameManifestedColumn(spark, path, "value", "k")
+    }
+    assert(exDup.getMessage.contains("already exists"), exDup.getMessage)
+    // compaction rewrites under the logical names: mapping collapses
+    Upsert.compactManifested(spark, path, "part", retain = 2)
+    assert(!manifestText().contains("#pmap"), manifestText())
+    assert(Upsert.readManifested(spark, path)
+      .select($"k", $"part", $"value", $"ver")
+      .as[(Long, String, Double, Long)].collect().toSet ==
+      Set((1L, "a", 10.25, 2L), (3L, "b", 3.5, 1L)))
+  }
+
   test("sweep deletes emptied epoch dirs (_SUCCESS must not pin them)") {
     val path = java.nio.file.Files.createTempDirectory("graft_mmsw")
       .toString + "/tbl"
