@@ -1662,6 +1662,58 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("o_orderstatus"))
     }),
 
+    "j24_merge_pruned_read" -> ((s, dir) => {
+      // MANIFEST-PRUNED READ: a narrow consumer of the manifested
+      // table names its partitions and resolves ONLY their snapshot
+      // dirs — on a 100 TB table with tens of thousands of partitions
+      // the per-dir listing is the read cost, so pruning must happen
+      // at the manifest, not after planning. Oracle = the j19 model
+      // restricted to the named partitions.
+      val base = s"${artifactBase(dir)}/merge_pruned"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver")
+      operators.Upsert.readManifestedPartitions(s, base, Seq("F", "O"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("ver"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
+    "j25_merge_delete" -> ((s, dir) => {
+      // PARTITION-PRUNED DELETE: remove every %3 key from the merged
+      // table — only partitions holding a match are rewritten (here
+      // all three statuses, but each rewrite drops just its matching
+      // rows), the manifest flips atomically, and the surviving rows
+      // answer the merge model minus the deleted keys. The cleanup /
+      // right-to-be-forgotten path of the layout.
+      val base = s"${artifactBase(dir)}/merge_delete"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver")
+      operators.Upsert.deleteFromManifested(s, base,
+        col("o_orderkey") % 3 === 0)
+      operators.Upsert.readManifested(s, base)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("ver"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
     "u4_union_evolve" -> ((s, dir) => {
       // schema-evolution union: a legacy slice without the status
       // column unions BY NAME with the current schema
@@ -6007,6 +6059,41 @@ object SparkEntry {
                        PARTITION BY o_orderstatus, o_orderkey
                        ORDER BY ver DESC) AS rn
            FROM allrows) WHERE rn = 1
+         ORDER BY o_orderkey, o_orderstatus""",
+
+    // manifest-level pruning must not change content: the model
+    // restricted to the named partitions
+    "j24_merge_pruned_read" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 = 0),
+              allrows AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(1 AS BIGINT) AS ver FROM base
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0, 2
+           FROM base WHERE o_orderkey % 5 = 0)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, ver FROM (
+           SELECT *, row_number() OVER (
+                       PARTITION BY o_orderstatus, o_orderkey
+                       ORDER BY ver DESC) AS rn
+           FROM allrows) WHERE rn = 1 AND o_orderstatus IN ('F', 'O')
+         ORDER BY o_orderkey, o_orderstatus""",
+
+    // the delete removes every %3 key from the merge model
+    "j25_merge_delete" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 = 0),
+              allrows AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(1 AS BIGINT) AS ver FROM base
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0, 2
+           FROM base WHERE o_orderkey % 5 = 0)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, ver FROM (
+           SELECT *, row_number() OVER (
+                       PARTITION BY o_orderstatus, o_orderkey
+                       ORDER BY ver DESC) AS rn
+           FROM allrows) WHERE rn = 1 AND o_orderkey % 3 <> 0
          ORDER BY o_orderkey, o_orderstatus""",
 
     // storage must never change content: the manifest-published SCD2

@@ -637,6 +637,36 @@ object Upsert {
     readEntries(spark, tablePath, lines)
   }
 
+  /** MANIFEST-PRUNED reader: only the named partition values'
+    * snapshot dirs are resolved — the rest of the table is never
+    * listed, let alone opened. [[readManifested]] followed by a
+    * partition filter prunes the DATA at planning time, but still
+    * pays one listing per referenced dir at resolution; on a table
+    * with tens of thousands of partitions that listing IS the read
+    * cost for a narrow consumer, so the pruning has to happen at the
+    * manifest, exactly like the merge's own touched-slice read.
+    * Unknown values simply match nothing (same as a filter). */
+  def readManifestedPartitions(spark: org.apache.spark.sql.SparkSession,
+                               tablePath: String,
+                               values: Seq[String]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, lines) = EpochManifest.active(fs, root).getOrElse(
+      throw new IllegalStateException(s"no manifest under $tablePath"))
+    val suffixes = values.map(v => "=" + org.apache.spark.sql.catalyst
+      .catalog.ExternalCatalogUtils.escapePathName(v)).toSet
+    val pruned = lines.filter(l => l.startsWith("#") ||
+      suffixes.exists(s => parseManifestEntry(l)._1.endsWith(s)))
+    if (entryLines(pruned).nonEmpty) readEntries(spark, tablePath, pruned)
+    else ddlOf(lines).map(d => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(d))).getOrElse(
+      throw new IllegalStateException(
+        s"readManifestedPartitions: no partition of $tablePath " +
+          s"matches ${values.mkString(", ")} and the table has no " +
+          "recorded schema to shape an empty result"))
+  }
+
   /** TIME TRAVEL: the table exactly as manifest `epoch` published it.
     * Every manifest is immutable and every epoch dir append-only, so a
     * historical manifest that is still retained reconstructs its
@@ -663,13 +693,27 @@ object Upsert {
     // never coerces a column
     val schemaOpt = ddlOf(lines)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
-    val pmap = pmapOf(lines)
-    val entries = entryLines(lines).map(parseManifestEntry)
+    readMapped(spark, tablePath, entryLines(lines).map(parseManifestEntry),
+      schemaOpt, pmapOf(lines)).orElse(
+      // a table whose every row was deleted has a manifest with no
+      // entries but a recorded schema — an empty table, not an error
+      schemaOpt.map(sch => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)))
+      .getOrElse(
+      throw new IllegalStateException(s"empty manifest under $tablePath"))
+  }
+
+  /** Epoch-grouped read of manifest entries: each group under its
+    * PHYSICAL column names (renames resolved via `pmap`, widening
+    * promotion via the logical types) aliased back to the logical
+    * schema in one select. None when `entries` is empty. */
+  private def readMapped(spark: org.apache.spark.sql.SparkSession,
+                         tablePath: String, entries: Seq[(String, Long)],
+                         schemaOpt: Option[org.apache.spark.sql.types.StructType],
+                         pmap: Map[Long, Map[String, String]])
+      : Option[DataFrame] =
     entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (e, es) =>
       val rd = spark.read.option("basePath", s"$tablePath/_e$e")
-      // renamed columns: this epoch's files store their PHYSICAL
-      // names — read under those (with current logical types, so
-      // widening promotion applies) and alias back to logical below
       val m = pmap.getOrElse(e, Map.empty[String, String])
       val df = schemaOpt.fold(rd)(sch => rd.schema(physSchemaFor(sch, m)))
         .parquet(es.map(en => s"$tablePath/_e$e/${en._1}"): _*)
@@ -679,8 +723,73 @@ object Upsert {
       val l2p = m.map(_.swap)
       schemaOpt.fold(df)(sch => df.select(sch.fieldNames.map(n =>
         col(l2p.getOrElse(n, n)).as(n)): _*))
-    }.reduceOption(_ unionByName _).getOrElse(
-      throw new IllegalStateException(s"empty manifest under $tablePath"))
+    }.reduceOption(_ unionByName _)
+
+  /** Partition-pruned DELETE: rewrite ONLY the partitions holding a
+    * matching row, without those rows, and flip the manifest — the
+    * untouched mass is never rewritten, readers never see half a
+    * delete, and a partition whose every row matches drops out of the
+    * manifest entirely. Finding the touched partitions costs one scan
+    * of the table under the predicate (a predicate that constrains
+    * the partition column prunes that scan at planning, like any
+    * partitioned read); the REWRITE cost is bounded by the touched
+    * partitions. SQL DELETE null semantics: only rows where the
+    * predicate is TRUE are removed — null-predicate rows survive.
+    * Replaying a completed delete matches nothing and no-ops. NOTE
+    * deletes compose with versioned merges destructively by design: a
+    * later redelivery of a PRE-delete batch re-inserts those keys at
+    * their old versions (the layout cannot distinguish it from new
+    * data); quiesce or fence the merge stream around deletes if that
+    * matters. */
+  def deleteFromManifested(spark: org.apache.spark.sql.SparkSession,
+                           tablePath: String,
+                           predicate: org.apache.spark.sql.Column,
+                           retain: Int = 2): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (epoch, lines) = EpochManifest.active(fs, root).getOrElse(
+      throw new IllegalStateException(s"no manifest under $tablePath"))
+    val entries = entryLines(lines).map(parseManifestEntry)
+    if (entries.isEmpty) return
+    val partitionCol = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.unescapePathName(
+        entries.head._1.takeWhile(_ != '='))
+    val current = readEntries(spark, tablePath, lines)
+    val touchedDirs = current.filter(predicate)
+      .select(col(partitionCol).cast("string")).distinct()
+      .collect().map(r => s"$partitionCol=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(r.getString(0))).toSet
+    if (touchedDirs.isEmpty) return // nothing matches: converged no-op
+    val touchedEntries = entries.filter(e => touchedDirs.contains(e._1))
+    val schemaOpt = ddlOf(lines)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val pmap = pmapOf(lines)
+    val kept = readMapped(spark, tablePath, touchedEntries, schemaOpt,
+      pmap).get.filter(!coalesce(predicate, lit(false)))
+    kept.repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      .parquet(s"$tablePath/_e${epoch + 1}")
+    graft.FailPoint.hit("mergem_delete_after_write")
+    // a fully-deleted partition writes no dir: its entry drops
+    val newDirs = {
+      val p = new org.apache.hadoop.fs.Path(s"$tablePath/_e${epoch + 1}")
+      if (!fs.exists(p)) Set.empty[String]
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .map(_.getPath.getName).toSet
+    }
+    val newEntries =
+      (entries.filterNot(e => touchedDirs.contains(e._1)) ++
+        newDirs.toSeq.map(_ -> (epoch + 1))).sortBy(_._1)
+    val refEpochs = newEntries.map(_._2).toSet
+    EpochManifest.publish(fs, root, epoch + 1,
+      ddlOf(lines).map("#ddl\t" + _).toSeq ++
+        pmapLines(pmap.filter(e => refEpochs.contains(e._1))) ++
+        newEntries.map { case (d, e) => s"$d\t$e" })
+    graft.FailPoint.hit("mergem_delete_after_publish")
+    sweepManifested(fs, root, epoch + 1, retain)
   }
 
   /** COMPACTION for the manifested layout: after many merges the live

@@ -413,6 +413,84 @@ class MergeManifestSpec extends SparkSpec {
       Set((1L, "a", 10.25, 2L), (3L, "b", 3.5, 1L)))
   }
 
+  test("readManifestedPartitions resolves ONLY the named partitions' " +
+      "dirs; unknown values yield an empty schema-shaped result") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmpr")
+      .toString + "/tbl"
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 1.0, 1), (3, "b", 3.0, 1), (4, "c", 4.0, 1)),
+      keys, "part", "ver")
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 10.0, 2)), keys, "part", "ver")
+    val got = Upsert.readManifestedPartitions(spark, path, Seq("a", "c"))
+    assert(got.select($"k", $"part", $"v", $"ver")
+      .as[(Long, String, Double, Long)].collect().toSet ==
+      Set((1L, "a", 10.0, 2L), (4L, "c", 4.0, 1L)))
+    // files resolved: only a's and c's snapshot dirs
+    val files = got.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.forall(f => f.contains("/part=a/") ||
+      f.contains("/part=c/")), files.mkString(","))
+    // hostile partition value round-trips through the escaping
+    Upsert.mergeIntoManifested(spark, path,
+      rows((9, "x y/z", 9.0, 1)), keys, "part", "ver")
+    assert(Upsert.readManifestedPartitions(spark, path, Seq("x y/z"))
+      .select($"k").as[Long].collect().toSeq == Seq(9L))
+    // unknown value: empty result under the recorded schema
+    val empty = Upsert.readManifestedPartitions(spark, path, Seq("zz"))
+    assert(empty.columns.toSeq == Seq("k", "part", "v", "ver"))
+    assert(empty.count() == 0)
+  }
+
+  test("deleteFromManifested rewrites only touched partitions, drops " +
+      "fully-deleted ones, keeps null-predicate rows, no-ops on " +
+      "replay, and survives both kill windows") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmdl")
+      .toString + "/tbl"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def activeManifest(): Long =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .map(_.getPath.getName).filter(_.startsWith("_manifest_"))
+        .map(_.stripPrefix("_manifest_").toLong).max
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 1.0, 1), (2, "a", 2.0, 1), (3, "b", 3.0, 1),
+        (4, "c", 4.0, 1)), keys, "part", "ver")
+    // delete one row of partition a: b and c must keep their epoch-0
+    // dirs untouched
+    Upsert.deleteFromManifested(spark, path, $"k" === 1)
+    assert(read(path) == Set((2L, "a", 2.0, 1L), (3L, "b", 3.0, 1L),
+      (4L, "c", 4.0, 1L)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_e0/part=b")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_e0/part=c")))
+    // a fully-deleted partition drops out of the manifest
+    Upsert.deleteFromManifested(spark, path, $"part" === "c")
+    assert(read(path) == Set((2L, "a", 2.0, 1L), (3L, "b", 3.0, 1L)))
+    // SQL DELETE null semantics: a null predicate row SURVIVES, and a
+    // match-nothing delete publishes no new manifest at all
+    val mBefore = activeManifest()
+    Upsert.deleteFromManifested(spark, path,
+      when($"k" === 2, lit(null).cast("boolean")).otherwise($"k" === 99))
+    assert(activeManifest() == mBefore)
+    assert(read(path).contains((2L, "a", 2.0, 1L)))
+    // kill after the rewrite, before publish: delete invisible; retry
+    graft.FailPoint.arm("mergem_delete_after_write")
+    try intercept[graft.FailPoint.Kill] {
+      Upsert.deleteFromManifested(spark, path, $"k" === 2)
+    } finally graft.FailPoint.disarm()
+    assert(read(path).contains((2L, "a", 2.0, 1L)))
+    Upsert.deleteFromManifested(spark, path, $"k" === 2)
+    assert(read(path) == Set((3L, "b", 3.0, 1L)))
+    // kill after publish: visible; replay matches nothing and no-ops
+    graft.FailPoint.arm("mergem_delete_after_publish")
+    try intercept[graft.FailPoint.Kill] {
+      Upsert.deleteFromManifested(spark, path, $"k" === 3)
+    } finally graft.FailPoint.disarm()
+    assert(read(path).isEmpty)
+    Upsert.deleteFromManifested(spark, path, $"k" === 3)
+    assert(read(path).isEmpty)
+  }
+
   test("sweep deletes emptied epoch dirs (_SUCCESS must not pin them)") {
     val path = java.nio.file.Files.createTempDirectory("graft_mmsw")
       .toString + "/tbl"
