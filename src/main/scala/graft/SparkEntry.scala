@@ -4021,6 +4021,22 @@ object SparkEntry {
         .limit(12)
     }),
 
+    "x_sim_ivf_delete" -> ((s, dir) => {
+      // TOMBSTONE DELETE on the IVF index (right-to-be-forgotten for a
+      // vector corpus): every %7 id is deleted as one exactly-once
+      // tombstone delta — zero data movement, redelivery no-ops via
+      // the content token — and cells() resolves the mask at its
+      // single choke point, so the full probe (nprobe = every cell)
+      // answers exactly brute-force top-k over the SURVIVING corpus.
+      // purgeDeletes later rewrites only affected cells
+      // (IvfDeleteSpec); the gate checks the serving-path semantics.
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val idx = ivfDeleteFor(s, dir, emb)
+      idx.search("vec_id", "embedding", q, k = 10, nprobe = IvfK)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     "x_sim_ivf_probe" -> ((s, dir) => {
       // pruned probe: only the query's nearest cell partition is read —
       // the scale path. Hash-checked: the oracle re-derives cell choice
@@ -4324,6 +4340,24 @@ object SparkEntry {
       if (idx.epoch().isEmpty)
         idx.build(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters,
           trainSample = IvfTrain)
+      idx
+    })
+
+  /** Tombstoned index for the delete gate — its OWN dir (the shared
+    * index must stay delete-free: the probe-replay oracle reads its
+    * cells verbatim), built once, then every %7 id deleted. The delete
+    * replays as a no-op across JVMs via the content-derived token, so
+    * reusing the artifact never double-applies. */
+  private val ivfDelBuilt = scala.collection.concurrent.TrieMap.empty[String, operators.IvfIndex]
+  private def ivfDeleteFor(s: SparkSession, dir: String,
+                           emb: DataFrame): operators.IvfIndex =
+    ivfDelBuilt.getOrElseUpdate(dir, {
+      val idx = new operators.IvfIndex(s,
+        s"${artifactBase(dir)}/ivf_del_k$IvfK")
+      if (idx.epoch().isEmpty)
+        idx.build(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters,
+          trainSample = IvfTrain)
+      idx.delete(emb.filter(col("vec_id") % 7 === 0), "vec_id")
       idx
     })
 
@@ -8515,6 +8549,24 @@ object SparkEntry {
                            CAST(unnest(embedding) AS DOUBLE) AS x,
                            generate_subscripts(embedding, 1) AS i
                     FROM embeddings WHERE vec_id <> 0),
+              s AS (SELECT e.vec_id,
+                           round(sum(e.x * q.qx) /
+                             (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+                    FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
+         SELECT vec_id, score FROM s
+         ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // a committed tombstone set masks exactly its ids: the full probe
+    // is brute-force top-k over the surviving corpus (every %7 id gone)
+    "x_sim_ivf_delete" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+              e AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings
+                    WHERE vec_id <> 0 AND vec_id % 7 <> 0),
               s AS (SELECT e.vec_id,
                            round(sum(e.x * q.qx) /
                              (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score

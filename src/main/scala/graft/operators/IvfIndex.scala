@@ -232,8 +232,95 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     * killed-then-retried append must never see the partial rename —
     * same contract as [[LshIndex.rows]] (StagedCommit.readCommitted).
     * Build part files (non-delta) are always included; delta files
-    * only when their `_delta_<token>_SUCCESS` marker exists. */
-  def cells(): DataFrame = StagedCommit.readCommitted(spark, cellsPath)
+    * only when their `_delta_<token>_SUCCESS` marker exists.
+    *
+    * Tombstones ([[delete]]) are resolved HERE, the single choke point
+    * every consumer shares — probes, the rerank joins of the quantized
+    * and PQ pipelines, the SQ rebuild, compaction, cell splits, the
+    * semantic-dedup blocking read — so a deleted row is invisible
+    * everywhere the moment its tombstone commits, with zero data
+    * movement. */
+  def cells(): DataFrame = {
+    val base = StagedCommit.readCommitted(spark, cellsPath)
+    tombstoneFrame().fold(base)(t =>
+      base.join(t, Seq(t.columns.head), "left_anti"))
+  }
+
+  private def tombstonesPath = s"$basePath/ivf_tombstones"
+
+  /** The committed tombstone set, or None when no delete ever
+    * committed. Marker-gated BEFORE readCommitted: a killed first
+    * delete leaves a stage dir (or unmarked renamed files) and no
+    * marker — that must read as "no tombstones", not throw. */
+  private def tombstoneFrame(): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else if (!fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("_delta_") && n.endsWith("_SUCCESS")
+    }) None
+    else Some(StagedCommit.readCommitted(spark, tombstonesPath))
+  }
+
+  /** TOMBSTONE DELETE — the right-to-be-forgotten path: record the ids
+    * as an exactly-once delta under `ivf_tombstones` (content-derived
+    * token, so a redelivered id set no-ops — returns false). No data
+    * file moves, no derived artifact is invalidated: their codes still
+    * hold the dead ids, but a dead id cannot survive the rerank join
+    * through [[cells]] — it only wastes candidate slots until
+    * [[purgeDeletes]] rewrites it away. The column name of `idCol` is
+    * recorded with the tombstones (it keys the anti-join), so all
+    * deletes against one index must use the index's id column. */
+  def delete(ids: DataFrame, idCol: String): Boolean = {
+    epoch().getOrElse(throw new IllegalStateException(
+      s"no complete IVF index at $basePath"))
+    val d = ids.select(col(idCol)).distinct()
+    StagedCommit.appendOnce(tombstonesPath,
+      StagedCommit.idToken(d, idCol), Seq.empty, d)
+  }
+
+  /** Physically remove tombstoned rows: rewrite ONLY the cells that
+    * hold one (dynamic partition overwrite — the untouched mass never
+    * moves, same pattern as [[compact]]), drop any cell dir the purge
+    * emptied (dynamic overwrite writes nothing for it, and its dead
+    * rows would otherwise resurrect when the tombstones clear), wipe
+    * the SQ sibling (its codes hold the dead rows; over-invalidation
+    * is the safe direction, exactly as in [[append]]), then clear the
+    * tombstones. Crash-convergent at every seam: until the final
+    * clear, readers keep filtering through the tombstones — already-
+    * rewritten rows simply match nothing — and a retry recomputes the
+    * affected set from what is still on disk. Returns the affected
+    * cell ids. */
+  def purgeDeletes(idCol: String): Seq[Int] = tombstoneFrame() match {
+    case None => Seq.empty
+    case Some(tomb) =>
+      val fs = new org.apache.hadoop.fs.Path(basePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val raw = StagedCommit.readCommitted(spark, cellsPath)
+      val affected = raw
+        .join(tomb, raw(idCol) === tomb(tomb.columns.head), "left_semi")
+        .select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      if (affected.nonEmpty) {
+        invalidateSq()
+        val kept = cells().filter(col("cell").isin(affected: _*))
+          .repartition(col("cell")).localCheckpoint()
+        kept.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell").parquet(cellsPath)
+        graft.FailPoint.hit("ivf_purge_after_overwrite")
+        val survivors = kept.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        affected.filterNot(survivors).foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$cellsPath/cell=$c"),
+            true)
+        }
+      }
+      graft.FailPoint.hit("ivf_purge_before_clear")
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath), true)
+      affected
+  }
 
   /** Append-only refresh: assign the delta to the EXISTING stored
     * centroids (no re-training) and add its rows to the cell partitions.
