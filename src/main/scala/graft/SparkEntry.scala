@@ -4037,6 +4037,22 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    "x_sim_filtered" -> ((s, dir) => {
+      // FILTERED ANN (the "similar AND attribute" production shape):
+      // the predicate evaluates against the rows the index stores and
+      // pushes into the pruned cell scan; with nprobe = every cell the
+      // result is exactly brute-force top-k over the predicate's
+      // survivors, so it hash-checks against the restricted oracle.
+      // The selective-predicate recall problem is the adaptive
+      // variant's job (searchWhereAdaptive, IvfFilterSpec).
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val idx = ivfIndexFor(s, dir, emb)
+      idx.searchWhere("vec_id", "embedding", q, k = 10,
+          col("vec_id") % 3 === 1, nprobe = IvfK)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     "x_sim_ivf_probe" -> ((s, dir) => {
       // pruned probe: only the query's nearest cell partition is read —
       // the scale path. Hash-checked: the oracle re-derives cell choice
@@ -8549,6 +8565,24 @@ object SparkEntry {
                            CAST(unnest(embedding) AS DOUBLE) AS x,
                            generate_subscripts(embedding, 1) AS i
                     FROM embeddings WHERE vec_id <> 0),
+              s AS (SELECT e.vec_id,
+                           round(sum(e.x * q.qx) /
+                             (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+                    FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
+         SELECT vec_id, score FROM s
+         ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // filtered ANN at full probe width is brute-force top-k over the
+    // predicate's survivors
+    "x_sim_filtered" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+              e AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings
+                    WHERE vec_id % 3 = 1),
               s AS (SELECT e.vec_id,
                            round(sum(e.x * q.qx) /
                              (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score

@@ -407,6 +407,47 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
       .limit(k)
   }
 
+  /** FILTERED probe: top-k among the rows satisfying `predicate` —
+    * the "similar AND lang='en'" production shape. The index carries
+    * every corpus column through the build (see [[assignedFrame]]),
+    * so attribute predicates evaluate against the stored rows and
+    * push down into the pruned cell scan; tombstones apply as in any
+    * [[cells]] read. NOTE a selective predicate can leave fewer than
+    * `k` survivors in the probed cells — [[searchWhereAdaptive]] is
+    * the variant that widens until it has them. */
+  def searchWhere(idCol: String, vecCol: String, query: Seq[Double],
+                  k: Int, predicate: org.apache.spark.sql.Column,
+                  nprobe: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val best = probeCells(query, nprobe)
+    cells().filter(col("cell").isin(best: _*)).filter(predicate)
+      .select(col(idCol),
+        VectorFunctions.cosineRounded(col(vecCol).cast("array<double>"), q)
+          .as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Selectivity-adaptive filtered probe: geometric `nprobe` doubling
+    * until the predicate leaves `k` survivors or every cell is probed
+    * — the widening total rescans at most the final probe set once
+    * more per doubling, so work stays bounded by a small constant of
+    * the terminal probe (vs the unbounded recall loss of a fixed
+    * nprobe under a selective filter, the failure mode FAISS solves
+    * with selector-aware probing). Returns the result and the probe
+    * width it terminated at. */
+  def searchWhereAdaptive(idCol: String, vecCol: String,
+                          query: Seq[Double], k: Int,
+                          predicate: org.apache.spark.sql.Column,
+                          initialProbe: Int = 1): (DataFrame, Int) = {
+    val total = centroidArray().length
+    var np = math.min(total, math.max(1, initialProbe))
+    while (np < total &&
+        searchWhere(idCol, vecCol, query, k, predicate, np).count() < k)
+      np = math.min(total, np * 2)
+    (searchWhere(idCol, vecCol, query, k, predicate, np), np)
+  }
+
   /** The centroid table, collected once per build epoch and cached on the
     * driver — the FAISS shape: the coarse quantizer is an in-memory
     * routing table (k centroids, bounded by construction), only cell
