@@ -2363,6 +2363,50 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    "x_stream_cdc" -> ((s, dir) => {
+      // CDC APPLY over a REAL file stream (MergeSink.startCdc): two
+      // change waves land as parquet files — the initial upsert wave
+      // (ver 1), then deletes for every %3 key and +1.0 updates for
+      // the %5 non-deleted keys (ver 2) — and the sink maintains the
+      // manifested table: per micro-batch the net effect per key
+      // (max version) splits into one partition-pruned merge and one
+      // key-batch delete, both replay-idempotent. The oracle computes
+      // the same net effect declaratively; the answer must be
+      // identical whether the files drain as one micro-batch or many.
+      val work = java.nio.file.Files.createTempDirectory("graft_cdc")
+        .toString
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val in = s"$work/in"
+      o.withColumn("ver", lit(1L)).withColumn("op", lit("upsert"))
+        .write.mode("append").parquet(in)
+      o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("ver", lit(2L)).withColumn("op", lit("delete"))
+        .unionByName(
+          o.filter(col("o_orderkey") % 5 === 0 &&
+              col("o_orderkey") % 3 =!= 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            .withColumn("ver", lit(2L)).withColumn("op", lit("upsert")))
+        .write.mode("append").parquet(in)
+      val sch = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, ver BIGINT, op STRING")
+      val q = graft.streaming.MergeSink.startCdc(
+        s.readStream.schema(sch).parquet(in), s"$work/tbl",
+        Seq("o_orderstatus", "o_orderkey"), "o_orderstatus", "ver",
+        "op", s"$work/ckpt")
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_cdc: stream did not drain within 300s")
+      }
+      operators.Upsert.readManifested(s, s"$work/tbl")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("ver"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
     "x_stream_neardup" -> ((s, dir) => {
       // REAL streaming execution, hash-checked: the documents corpus
       // replays as a file stream with a deterministic event time
@@ -6090,6 +6134,20 @@ object SparkEntry {
                        PARTITION BY o_orderstatus, o_orderkey
                        ORDER BY ver DESC) AS rn
            FROM allrows) WHERE rn = 1
+         ORDER BY o_orderkey, o_orderstatus""",
+
+    // the CDC stream's net effect: %3 keys deleted, %5 survivors
+    // updated (+1.0, ver 2), the rest at their initial version
+    "x_stream_cdc" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 = 0)
+         SELECT o_orderkey, o_orderstatus,
+                CASE WHEN o_orderkey % 5 = 0
+                     THEN o_totalprice + 1.0
+                     ELSE o_totalprice END AS o_totalprice,
+                CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END
+                     AS BIGINT) AS ver
+         FROM base WHERE o_orderkey % 3 <> 0
          ORDER BY o_orderkey, o_orderstatus""",
 
     // a metadata-only rename must never change content: the model is

@@ -768,6 +768,69 @@ object Upsert {
     val pmap = pmapOf(lines)
     val kept = readMapped(spark, tablePath, touchedEntries, schemaOpt,
       pmap).get.filter(!coalesce(predicate, lit(false)))
+    publishRewrittenSlice(tablePath, fs, root, epoch, lines, entries,
+      touchedDirs, kept, partitionCol, retain)
+  }
+
+  /** KEY-BATCH DELETE — the CDC-apply shape: remove exactly the rows
+    * whose key tuple appears in `keyBatch`. Unlike the predicate form
+    * (which must scan the table to FIND its touched partitions), the
+    * touched set comes straight from the batch's partition values
+    * (the key includes the partition column, as in the merge), so the
+    * whole operation — discovery, rewrite, publish — is bounded by
+    * the touched partitions. Keys absent from the table no-op; an
+    * empty or all-unknown-partition batch publishes nothing. */
+  def deleteKeysFromManifested(spark: org.apache.spark.sql.SparkSession,
+                               tablePath: String, keyBatch: DataFrame,
+                               keys: Seq[String], partitionCol: String,
+                               retain: Int = 2): Unit = {
+    require(keys.contains(partitionCol),
+      s"$partitionCol must be part of the delete key — it locates the " +
+        "touched partitions")
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (epoch, lines) = EpochManifest.active(fs, root) match {
+      case Some(v) => v
+      case None => return // nothing to delete from
+    }
+    val entries = entryLines(lines).map(parseManifestEntry)
+    val touchedDirs = keyBatch.select(col(partitionCol).cast("string"))
+      .distinct().collect().map { r =>
+        require(!r.isNullAt(0),
+          s"null $partitionCol values are not supported by the " +
+            "manifested layout")
+        s"$partitionCol=" + org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(r.getString(0))
+      }.toSet
+    val touchedEntries = entries.filter(e => touchedDirs.contains(e._1))
+    if (touchedEntries.isEmpty) return
+    val schemaOpt = ddlOf(lines)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val pmap = pmapOf(lines)
+    val kept = readMapped(spark, tablePath, touchedEntries, schemaOpt,
+      pmap).get.join(keyBatch.select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
+    // only the partitions the batch actually named rewrite (its other
+    // named values matched no entry and contribute nothing)
+    publishRewrittenSlice(tablePath, fs, root, epoch, lines, entries,
+      touchedDirs.intersect(touchedEntries.map(_._1).toSet), kept,
+      partitionCol, retain)
+  }
+
+  /** Shared tail of the delete paths: write the kept slice as epoch
+    * N+1, flip the manifest (dropping entries for partitions the
+    * rewrite emptied — they write no dir), carry rename mappings for
+    * epochs still referenced, sweep. Chaos seams on both sides of the
+    * publish. */
+  private def publishRewrittenSlice(tablePath: String,
+                                    fs: org.apache.hadoop.fs.FileSystem,
+                                    root: org.apache.hadoop.fs.Path,
+                                    epoch: Long, lines: Seq[String],
+                                    entries: Seq[(String, Long)],
+                                    touchedDirs: Set[String],
+                                    kept: DataFrame, partitionCol: String,
+                                    retain: Int): Unit = {
+    import org.apache.spark.sql.SaveMode
     kept.repartition(col(partitionCol))
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
       .parquet(s"$tablePath/_e${epoch + 1}")
@@ -784,6 +847,7 @@ object Upsert {
       (entries.filterNot(e => touchedDirs.contains(e._1)) ++
         newDirs.toSeq.map(_ -> (epoch + 1))).sortBy(_._1)
     val refEpochs = newEntries.map(_._2).toSet
+    val pmap = pmapOf(lines)
     EpochManifest.publish(fs, root, epoch + 1,
       ddlOf(lines).map("#ddl\t" + _).toSeq ++
         pmapLines(pmap.filter(e => refEpochs.contains(e._1))) ++

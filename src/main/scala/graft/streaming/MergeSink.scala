@@ -57,6 +57,56 @@ object MergeSink {
       .start()
   }
 
+  /** CDC APPLY — the Debezium-shaped ingestion path: a stream of
+    * change events carrying an op column (`"delete"` vs anything
+    * else = upsert) maintains the manifested table. Per micro-batch:
+    * reduce to the NET EFFECT per key (max `versionCol` wins; on a
+    * version tie the upsert, deterministically), merge the surviving
+    * upserts ([[Upsert.mergeIntoManifested]] — op column dropped, so
+    * it never leaks into the table schema), then remove the deleted
+    * keys ([[Upsert.deleteKeysFromManifested]] — partition-pruned
+    * straight from the key batch, no table scan). Both halves are
+    * replay-idempotent, and a crash between them re-runs the merge as
+    * a content no-op before the delete applies — so the sink stays
+    * effectively-once on foreachBatch's at-least-once contract.
+    * Cross-batch, deletes carry the versioned-merge caveat
+    * [[Upsert.deleteFromManifested]] documents: a redelivery of a
+    * PRE-delete batch would re-insert its keys; Structured Streaming
+    * replays whole batches by id (never older ones), which is exactly
+    * the model this relies on. */
+  def startCdc(events: DataFrame, targetDir: String, keys: Seq[String],
+               partitionCol: String, versionCol: String, opCol: String,
+               checkpointDir: String,
+               trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    require(keys.nonEmpty, "cdc sink needs at least one key column")
+    val spark = events.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = Window.partitionBy(keys.map(col): _*)
+            .orderBy(col(versionCol).desc, col(opCol).desc)
+          val latest = batch.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+            .localCheckpoint() // one materialization serves both halves
+          val ups = latest.filter(col(opCol) =!= "delete").drop(opCol)
+          if (!ups.isEmpty)
+            Upsert.mergeIntoManifested(spark, targetDir, ups, keys,
+              partitionCol, versionCol)
+          val dels = latest.filter(col(opCol) === "delete")
+            .select(keys.map(col): _*)
+          if (!dels.isEmpty)
+            Upsert.deleteKeysFromManifested(spark, targetDir, dels,
+              keys, partitionCol)
+        }
+      }
+      .start()
+  }
+
   def start(updates: DataFrame, targetDir: String, keys: Seq[String],
             versionCol: String, checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {

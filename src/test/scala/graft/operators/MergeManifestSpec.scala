@@ -491,6 +491,36 @@ class MergeManifestSpec extends SparkSpec {
     assert(read(path).isEmpty)
   }
 
+  test("deleteKeysFromManifested removes exactly the named key " +
+      "tuples with partition pruning straight from the batch") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmdk")
+      .toString + "/tbl"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // deleting from a table that does not exist yet is a no-op
+    Upsert.deleteKeysFromManifested(spark, path,
+      rows((1, "a", 0.0, 0)).select($"part", $"k"), keys, "part")
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 1.0, 1), (2, "a", 2.0, 1), (3, "b", 3.0, 1),
+        (4, "c", 4.0, 1)), keys, "part", "ver")
+    // delete (a,1) and (b,3); (c,99) matches nothing; partition c is
+    // named so it rewrites (identically) — cost tracks the BATCH
+    val batch = Seq(("a", 1L), ("b", 3L), ("c", 99L)).toDF("part", "k")
+    Upsert.deleteKeysFromManifested(spark, path, batch, keys, "part")
+    assert(read(path) == Set((2L, "a", 2.0, 1L), (4L, "c", 4.0, 1L)))
+    // partition b lost its only row: its entry dropped; a key batch
+    // naming only unknown partitions publishes nothing
+    assert(!read(path).exists(_._2 == "b"))
+    Upsert.deleteKeysFromManifested(spark, path,
+      Seq(("zz", 1L)).toDF("part", "k"), keys, "part")
+    assert(read(path) == Set((2L, "a", 2.0, 1L), (4L, "c", 4.0, 1L)))
+    // the partition column must be part of the key
+    intercept[IllegalArgumentException] {
+      Upsert.deleteKeysFromManifested(spark, path,
+        Seq(1L).toDF("k"), Seq("k"), "part")
+    }
+  }
+
   test("sweep deletes emptied epoch dirs (_SUCCESS must not pin them)") {
     val path = java.nio.file.Files.createTempDirectory("graft_mmsw")
       .toString + "/tbl"

@@ -40,6 +40,52 @@ class MergeSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdc sink: net effect per key within a batch, deletes remove " +
+      "keys, a later upsert re-inserts, replay is a content no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mergesinkcdc").toString
+    val target = s"$dir/table"
+    val mem = MemoryStream[(Long, String, Double, Long, String)]
+    val events = mem.toDF().toDF("k", "part", "v", "ver", "op")
+    val q = MergeSink.startCdc(events, target, Seq("part", "k"),
+      "part", "ver", "op", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    def got(): Set[(Long, String, Double, Long)] =
+      Upsert.readManifested(spark, target)
+        .select($"k", $"part", $"v", $"ver")
+        .as[(Long, String, Double, Long)].collect().toSet
+    try {
+      mem.addData((1L, "a", 1.0, 1L, "upsert"), (2L, "a", 2.0, 1L, "upsert"),
+        (3L, "b", 3.0, 1L, "upsert"))
+      q.processAllAvailable()
+      assert(got() == Set((1L, "a", 1.0, 1L), (2L, "a", 2.0, 1L),
+        (3L, "b", 3.0, 1L)))
+      // the op column must not leak into the table schema
+      assert(!Upsert.readManifested(spark, target).columns.contains("op"))
+      // delete k=2, update k=1, insert k=4 — one batch
+      val b2 = Seq((2L, "a", 0.0, 2L, "delete"),
+        (1L, "a", 10.0, 2L, "upsert"), (4L, "c", 4.0, 1L, "upsert"))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val afterB2 = Set((1L, "a", 10.0, 2L), (3L, "b", 3.0, 1L),
+        (4L, "c", 4.0, 1L))
+      assert(got() == afterB2)
+      // within-batch net effect: k=5 upserted then deleted never
+      // lands; k=3 deleted then re-upserted at a higher version stays
+      mem.addData((5L, "b", 5.0, 1L, "upsert"), (5L, "b", 0.0, 2L, "delete"),
+        (3L, "b", 0.0, 2L, "delete"), (3L, "b", 30.0, 3L, "upsert"))
+      q.processAllAvailable()
+      val afterB3 = Set((1L, "a", 10.0, 2L), (3L, "b", 30.0, 3L),
+        (4L, "c", 4.0, 1L))
+      assert(got() == afterB3)
+      // redelivered batch-2 content: merge no-ops, deletes match
+      // nothing — effectively-once
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      assert(got() == afterB3)
+    } finally q.stop()
+  }
+
   test("manifested sink: partition-pruned reader-atomic merges equal " +
       "the order-free max-version model; replay is a content no-op") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
