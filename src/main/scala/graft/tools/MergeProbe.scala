@@ -81,9 +81,25 @@ object MergeProbe {
       val readSecs = timed {
         assert(Upsert.readManifested(spark, path).count() == n)
       }
+      // KEYED delete (the CDC shape): touched partitions come straight
+      // from the key batch — cost must stay flat as the table grows
+      val delKeys = touched.filter(col("o_orderkey") % 2 === 0)
+        .select(col("ym"), col("o_orderkey"))
+      val delKeyRows = delKeys.count()
+      val keyedDeleteSecs = timed {
+        Upsert.deleteKeysFromManifested(spark, path, delKeys, keys, "ym")
+      }
+      // PREDICATE delete: must SCAN to find its partitions — honest
+      // contrast, scales with the table even for a tiny match set
+      val predDeleteSecs = timed {
+        Upsert.deleteFromManifested(spark, path,
+          col("ym") === oneMonth && col("o_orderkey") % 3 === 0)
+      }
       println(f"[mergeprobe] run$run n=$n months=$months " +
         f"build=$buildSecs%.3f touchedRows=$touchedRows " +
-        f"oneMonthMerge=$mergeSecs%.3f read=$readSecs%.3f")
+        f"oneMonthMerge=$mergeSecs%.3f read=$readSecs%.3f " +
+        f"keyedDelete($delKeyRows)=$keyedDeleteSecs%.3f " +
+        f"predDelete=$predDeleteSecs%.3f")
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(path).getParentFile)
     }
