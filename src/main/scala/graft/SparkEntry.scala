@@ -3837,6 +3837,23 @@ object SparkEntry {
       TextIndex.bm25TopK(p, st, Seq("batch", "join"), k = 10)
     }),
 
+    "x_text_bm25_del" -> ((s, dir) => {
+      // BM25 document deletes: build over the full corpus, tombstone
+      // every %5 doc (one exactly-once delta: tombstones + a NEGATIVE
+      // stats row, lengths recovered from the denormalized dl — no
+      // text needed at delete time), probe through the tombstone-
+      // resolving readers. The oracle retrains from scratch WITHOUT
+      // the deleted docs — delete == from-scratch is the law, the
+      // destructive twin of the incremental-append gate.
+      val docs = t(s, dir, "documents")
+      val base = s"${artifactBase(dir)}/delbm25"
+      TextIndex.buildScoredPostings(docs, "doc_id", "text", base)
+      val (p, st) = TextIndex.deleteScoredPostings(
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+        "doc_id", base)
+      TextIndex.bm25TopK(p, st, Seq("batch", "join"), k = 10)
+    }),
+
     "x_text_scrub" -> ((s, dir) =>
       // PII redaction (emails / IPv4 / phone numbers -> typed tokens).
       // The corpus carries no PII, so the gate plants a deterministic
@@ -8467,6 +8484,37 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id,
                              unnest(string_split(text, ' ')) AS term
                       FROM documents),
+           dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                  FROM tok GROUP BY 1),
+           st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+           tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                  FROM tok WHERE term IN ('batch', 'join')
+                  GROUP BY 1, 2),
+           dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+           sc AS (SELECT tf.doc_id, tf.term,
+                         ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                            / (df + 0.5) + 1.0)
+                         * (tf * 2.2)
+                         / (tf + 1.2 * (0.25 + CAST(dl.dl AS DOUBLE)
+                            * 0.75 / (CAST(total_dl AS DOUBLE) / n_docs)))
+                           AS score
+                  FROM tf JOIN dl USING (doc_id)
+                          JOIN dfc USING (term) CROSS JOIN st),
+           agg AS (SELECT doc_id,
+                          round(sum(score ORDER BY term), 6) AS score
+                   FROM sc GROUP BY 1)
+         SELECT doc_id, score FROM agg
+         QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
+         ORDER BY score DESC, doc_id""",
+
+    // delete == from-scratch: the oracle retrains WITHOUT the %5 docs
+    // and cannot tell the engine served tombstones + signed stats rows
+    "x_text_bm25_del" ->
+      """WITH tok AS (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS term
+                      FROM documents WHERE doc_id % 5 <> 0),
            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
                   FROM tok GROUP BY 1),
            st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -157,6 +157,83 @@ object TextIndex {
       StagedCommit.readCommitted(spark, statsPath))
   }
 
+  /** Committed (postings, stats) readers with tombstones resolved —
+    * THE way to open a maintained scored-postings index for probing.
+    * [[bm25TopK]] then self-corrects end-to-end: document frequencies
+    * derive from the candidate rows (already cleaned by the
+    * anti-join), and n_docs / total_dl aggregate the signed stats
+    * rows, so a probe over a tombstoned index equals a from-scratch
+    * build without the deleted docs. */
+  def scoredPostingsReaders(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, buckets: Int = 64): (DataFrame, DataFrame) = {
+    val root = s"$basePath/scored_postings_b$buckets"
+    val p = StagedCommit.readCommitted(spark, s"$root/postings")
+    (tombstoneFrame(spark, root).fold(p)(t =>
+      p.join(t, Seq("doc_id"), "left_anti")),
+      StagedCommit.readCommitted(spark, s"$root/stats"))
+  }
+
+  /** The committed tombstone set, or None when no delete ever
+    * committed — marker-gated BEFORE readCommitted so a killed first
+    * delete (stage dir, no marker) reads as "no tombstones" instead
+    * of throwing. Same device as the IVF index's tombstones. */
+  private def tombstoneFrame(spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else if (!fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("_delta_") && n.endsWith("_SUCCESS")
+    }) None
+    else Some(StagedCommit.readCommitted(spark, s"$root/tombstones"))
+  }
+
+  /** DOCUMENT DELETES for the BM25 index — the tombstone sibling of
+    * [[appendScoredPostings]]: commit the doc ids as a tombstone
+    * delta AND one NEGATIVE stats row (−n_docs, −total_dl of the
+    * docs actually present, their lengths recovered from the
+    * denormalized `dl` the postings already carry — no text needed
+    * at delete time), both under one `del_`-prefixed content token.
+    * Ids already tombstoned are excluded up front, so an overlapping
+    * later batch can never double-subtract; ids absent from the index
+    * contribute nothing. Stats commit FIRST: a kill between the two
+    * halves leaves scores briefly computed against reduced totals,
+    * and the retry (same effective-id set → same token) no-ops the
+    * stats and lands the tombstones — the same kill-anywhere repair
+    * contract as the append. Content-keyed once-ever like every op on
+    * this artifact: a redelivered id set no-ops. Finding the deleted
+    * docs' dl costs one postings scan (doc ids do not prune the
+    * term-bucketed layout) — deletes are batch maintenance, priced
+    * accordingly. Known limit: a ZERO-TOKEN doc leaves no posting, so
+    * deleting one cannot recover its n_docs contribution (it is
+    * indistinguishable from an id never indexed) — its only footprint
+    * is a marginally conservative idf until a rebuild. Returns the
+    * refreshed readers. */
+  def deleteScoredPostings(ids: DataFrame, idCol: String,
+      basePath: String, buckets: Int = 64): (DataFrame, DataFrame) = {
+    val spark = ids.sparkSession
+    val root = s"$basePath/scored_postings_b$buckets"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/stats", "_SUCCESS")),
+      s"deleteScoredPostings: no committed index under $root - build first")
+    val d = ids.select(col(idCol).as("doc_id")).distinct()
+    val dEff = tombstoneFrame(spark, root)
+      .fold(d)(t => d.join(t, Seq("doc_id"), "left_anti"))
+    if (dEff.isEmpty) return scoredPostingsReaders(spark, basePath, buckets)
+    val token = "del_" + StagedCommit.idToken(dEff, "doc_id")
+    val present = StagedCommit.readCommitted(spark, s"$root/postings")
+      .join(dEff, Seq("doc_id"))
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+    StagedCommit.appendOnce(s"$root/stats", token,
+      Seq.empty, present.agg((-count(lit(1))).as("n_docs"),
+        coalesce(-sum(col("dl")), lit(0L)).as("total_dl")))
+    graft.FailPoint.hit("bm25_delete_after_stats")
+    StagedCommit.appendOnce(s"$root/tombstones", token, Seq.empty, dEff)
+    scoredPostingsReaders(spark, basePath, buckets)
+  }
+
   /** Okapi BM25 top-`k` ranked retrieval over a [[buildScoredPostings]]
     * artifact. Disjunctive: any doc containing ≥1 query term scores.
     * Plan shape: partition-pruned probe of the query terms' buckets

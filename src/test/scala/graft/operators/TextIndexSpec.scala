@@ -119,6 +119,57 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("deleteScoredPostings: delete == from-scratch; overlapping " +
+      "batches never double-subtract; redelivery and unknown ids " +
+      "no-op; the stats-first kill window repairs") {
+    val docs = Seq(
+      (1L, "spark join scan"), (2L, "join batch join"),
+      (3L, "spark batch"), (4L, "spark join other"),
+      (5L, "batch batch spark"), (6L, "join alone")).toDF("id", "txt")
+    def topk(p: org.apache.spark.sql.DataFrame,
+             st: org.apache.spark.sql.DataFrame) =
+      TextIndex.bm25TopK(p, st, Seq("spark", "join"), k = 6, buckets = 4)
+        .as[(Long, Double)].collect().toSeq
+    def fromScratch(remaining: org.apache.spark.sql.DataFrame) = {
+      val b = java.nio.file.Files
+        .createTempDirectory("textindex_fs").toString
+      val (p, st) = TextIndex.buildScoredPostings(remaining, "id", "txt",
+        b, buckets = 4)
+      topk(p, st)
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("textindex_del").toString
+    TextIndex.buildScoredPostings(docs, "id", "txt", base, buckets = 4)
+    // delete docs 1 and 2; then an overlapping batch {2,3}: doc 2 is
+    // already tombstoned and must not subtract twice
+    TextIndex.deleteScoredPostings(Seq(1L, 2L).toDF("id"), "id", base,
+      buckets = 4)
+    val (p1, st1) = TextIndex.deleteScoredPostings(
+      Seq(2L, 3L).toDF("id"), "id", base, buckets = 4)
+    assert(topk(p1, st1) ==
+      fromScratch(docs.filter($"id" > 3)))
+    // signed stats rows net to the surviving corpus exactly
+    assert(st1.agg(sum($"n_docs"), sum($"total_dl"))
+      .as[(Long, Long)].head() == ((3L, 8L)))
+    // redelivery of the full set and unknown ids both no-op
+    val (p2, st2) = TextIndex.deleteScoredPostings(
+      Seq(1L, 2L, 3L, 99L).toDF("id"), "id", base, buckets = 4)
+    assert(topk(p2, st2) == topk(p1, st1))
+    assert(st2.agg(sum($"n_docs")).as[Long].head() == 3L)
+
+    // kill between the stats and tombstone commits: scores are briefly
+    // computed against reduced totals, the retry lands the tombstones
+    graft.FailPoint.arm("bm25_delete_after_stats")
+    try intercept[graft.FailPoint.Kill] {
+      TextIndex.deleteScoredPostings(Seq(4L).toDF("id"), "id", base,
+        buckets = 4)
+    } finally graft.FailPoint.disarm()
+    val (p3, st3) = TextIndex.deleteScoredPostings(
+      Seq(4L).toDF("id"), "id", base, buckets = 4)
+    assert(topk(p3, st3) == fromScratch(docs.filter($"id" > 4)))
+    assert(st3.agg(sum($"n_docs")).as[Long].head() == 2L)
+  }
+
   test("bm25TopK: hand-computed scores, rank order, tf saturation") {
     val docs = Seq(
       (1L, "spark spark spark join"), // tf(spark)=3 in a 4-token doc
