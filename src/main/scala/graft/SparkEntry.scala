@@ -1714,6 +1714,36 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("o_orderstatus"))
     }),
 
+    "j26_merge_skipping" -> ((s, dir) => {
+      // ZONE-MAP DATA SKIPPING: the manifest records per-partition
+      // min/max of o_totalprice (#stats lines, maintained by every
+      // write path for its touched dirs), and readManifestedRange
+      // prunes partitions whose range rules them out BEFORE any
+      // listing — the lakehouse data-skipping shape, manifest-level.
+      // Semantics must equal a plain filter (skipping only drops dirs
+      // that provably cannot match — MergeManifestSpec proves the
+      // pruning by physically removing a ruled-out dir); the oracle is
+      // the merge model under the same BETWEEN.
+      val base = s"${artifactBase(dir)}/merge_skipping"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver",
+        statsCols = Seq("o_totalprice"))
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver")
+      operators.Upsert.readManifestedRange(s, base, "o_totalprice",
+          100000.0, 200000.0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("ver"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
     "u4_union_evolve" -> ((s, dir) => {
       // schema-evolution union: a legacy slice without the status
       // column unions BY NAME with the current schema
@@ -6202,6 +6232,25 @@ object SparkEntry {
                        PARTITION BY o_orderstatus, o_orderkey
                        ORDER BY ver DESC) AS rn
            FROM allrows) WHERE rn = 1 AND o_orderstatus IN ('F', 'O')
+         ORDER BY o_orderkey, o_orderstatus""",
+
+    // data skipping must equal a plain filter: the merge model under
+    // the same BETWEEN
+    "j26_merge_skipping" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 = 0),
+              allrows AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(1 AS BIGINT) AS ver FROM base
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0, 2
+           FROM base WHERE o_orderkey % 5 = 0)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, ver FROM (
+           SELECT *, row_number() OVER (
+                       PARTITION BY o_orderstatus, o_orderkey
+                       ORDER BY ver DESC) AS rn
+           FROM allrows) WHERE rn = 1
+           AND o_totalprice BETWEEN 100000.0 AND 200000.0
          ORDER BY o_orderkey, o_orderstatus""",
 
     // the delete removes every %3 key from the merge model

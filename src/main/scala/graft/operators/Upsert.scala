@@ -470,7 +470,8 @@ object Upsert {
   def mergeIntoManifested(spark: org.apache.spark.sql.SparkSession,
                           tablePath: String, updates: DataFrame,
                           keys: Seq[String], partitionCol: String,
-                          version: String, retain: Int = 2): Unit = {
+                          version: String, retain: Int = 2,
+                          statsCols: Seq[String] = Seq.empty): Unit = {
     import org.apache.spark.sql.SaveMode
     require(keys.contains(partitionCol),
       s"$partitionCol must be part of the merge key, or rows could move partitions")
@@ -504,7 +505,12 @@ object Upsert {
         dedupLatest(updates).repartition(col(partitionCol))
           .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
           .parquet(epochDir(0))
+        val stats0 = computeStats(
+          spark.read.option("basePath", epochDir(0))
+            .schema(updates.schema).parquet(epochDir(0)),
+          partitionCol, statsCols.distinct.sorted)
         EpochManifest.publish(fs, root, 0, ddlHeader(updates) ++
+          statsLinesOut(stats0) ++
           listPartDirs(0).sorted.map(d => s"$d\t0"))
       case Some((epoch, lines)) =>
         val entries = entryLines(lines).map(parseManifestEntry)
@@ -614,8 +620,21 @@ object Upsert {
         // carry rename mappings forward for epochs still referenced;
         // the fresh epoch wrote under current logical names (identity)
         val refEpochs = newEntries.map(_._2).toSet
+        // zone maps: recompute for the touched dirs from the freshly-
+        // written epoch (a touched-bounded read-back — never a second
+        // evaluation of the merge plan), carry the rest verbatim
+        val statCols = (statsColsOf(lines) ++ statsCols).distinct.sorted
+        val newStats =
+          if (statCols.isEmpty) Map.empty[(String, String), (String, String)]
+          else statsOf(lines).filter { case ((d, _), _) =>
+            !newDirs.contains(d) && newEntries.exists(_._1 == d)
+          } ++ computeStats(
+            spark.read.option("basePath", epochDir(epoch + 1))
+              .schema(updates.schema).parquet(epochDir(epoch + 1)),
+            partitionCol, statCols)
         EpochManifest.publish(fs, root, epoch + 1, ddlHeader(updates) ++
           pmapLines(pmap.filter(e => refEpochs.contains(e._1))) ++
+          statsLinesOut(newStats) ++
           newEntries.map { case (d, e) => s"$d\t$e" })
         graft.FailPoint.hit("mergem_after_publish")
         sweepManifested(fs, root, epoch + 1, retain)
@@ -848,9 +867,26 @@ object Upsert {
         newDirs.toSeq.map(_ -> (epoch + 1))).sortBy(_._1)
     val refEpochs = newEntries.map(_._2).toSet
     val pmap = pmapOf(lines)
+    // zone maps: recompute from the rewritten dirs, drop entries for
+    // emptied partitions, carry the untouched rest
+    val statCols = statsColsOf(lines)
+    val newStats =
+      if (statCols.isEmpty) Map.empty[(String, String), (String, String)]
+      else statsOf(lines).filter { case ((d, _), _) =>
+        !touchedDirs.contains(d) && newEntries.exists(_._1 == d)
+      } ++ (if (newDirs.isEmpty) Map.empty
+      else {
+        val rd = kept.sparkSession.read
+          .option("basePath", s"$tablePath/_e${epoch + 1}")
+        val schemaOpt = ddlOf(lines)
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+        computeStats(schemaOpt.fold(rd)(rd.schema)
+          .parquet(s"$tablePath/_e${epoch + 1}"), partitionCol, statCols)
+      })
     EpochManifest.publish(fs, root, epoch + 1,
       ddlOf(lines).map("#ddl\t" + _).toSeq ++
         pmapLines(pmap.filter(e => refEpochs.contains(e._1))) ++
+        statsLinesOut(newStats) ++
         newEntries.map { case (d, e) => s"$d\t$e" })
     graft.FailPoint.hit("mergem_delete_after_publish")
     sweepManifested(fs, root, epoch + 1, retain)
@@ -883,8 +919,21 @@ object Upsert {
         s"$tablePath/_e${epoch + 1}")).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .map(_.getPath.getName).sorted
+    // zone maps: a compaction is a full rewrite, so recompute them all
+    // from the fresh epoch (the mapping-collapse twin for stats)
+    val statCols = statsColsOf(lines)
+    val newStats =
+      if (statCols.isEmpty) Map.empty[(String, String), (String, String)]
+      else {
+        val rd = spark.read.option("basePath", s"$tablePath/_e${epoch + 1}")
+        computeStats(ddlOf(lines)
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+          .fold(rd)(rd.schema).parquet(s"$tablePath/_e${epoch + 1}"),
+          partitionCol, statCols)
+      }
     EpochManifest.publish(fs, root, epoch + 1,
       ddlOf(lines).map("#ddl\t" + _).toSeq ++
+        statsLinesOut(newStats) ++
         dirs.map(d => s"$d\t${epoch + 1}"))
     sweepManifested(fs, root, epoch + 1, retain)
   }
@@ -933,6 +982,116 @@ object Upsert {
     lines.filterNot(_.startsWith("#"))
   private def ddlOf(lines: Seq[String]): Option[String] =
     lines.find(_.startsWith("#ddl\t")).map(_.stripPrefix("#ddl\t"))
+
+  /** ZONE-MAP manifest lines, `#stats\t<dir>\t<col>\t<min>\t<max>`
+    * (values path-escaped so hostile strings cannot break the line
+    * format): min/max of a column over the rows a partition dir's
+    * snapshot holds. Maintained by every write path for its TOUCHED
+    * dirs — the stats read-back is bounded by the same touched set the
+    * write was — and carried forward verbatim for untouched ones, so
+    * [[readManifestedRange]]'s manifest-level pruning stays correct
+    * under merges, deletes, and compaction. An all-null partition
+    * records no line and is never pruned (conservative: skipping must
+    * only drop dirs that provably cannot match). */
+  private def statsOf(lines: Seq[String])
+      : Map[(String, String), (String, String)] =
+    lines.filter(_.startsWith("#stats\t")).map { l =>
+      l.split("\t", -1) match {
+        case Array(_, dir, c, mn, mx) =>
+          import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          ((dir, c), (ExternalCatalogUtils.unescapePathName(mn),
+            ExternalCatalogUtils.unescapePathName(mx)))
+        case _ => throw new IllegalStateException(s"malformed #stats: '$l'")
+      }
+    }.toMap
+  private def statsLinesOut(m: Map[(String, String), (String, String)])
+      : Seq[String] =
+    m.toSeq.sortBy(_._1).map { case ((dir, c), (mn, mx)) =>
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      s"#stats\t$dir\t$c\t${ExternalCatalogUtils.escapePathName(mn)}\t" +
+        ExternalCatalogUtils.escapePathName(mx)
+    }
+  private def statsColsOf(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith("#stats\t"))
+      .map(_.split("\t", -1)(2)).distinct.sorted
+
+  /** Zone maps for the partitions `slice` holds (one small aggregate,
+    * bounded by the slice — callers pass the freshly-written epoch
+    * dir's read-back, i.e. exactly the touched partitions). */
+  private def computeStats(slice: DataFrame, partitionCol: String,
+                           cols: Seq[String])
+      : Map[(String, String), (String, String)] = {
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"_mn_$c"),
+      max(col(c)).cast("string").as(s"_mx_$c")))
+    slice.groupBy(col(partitionCol).cast("string").as("_pv"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.flatMap { r =>
+        val dir = s"$partitionCol=" + org.apache.spark.sql.catalyst
+          .catalog.ExternalCatalogUtils.escapePathName(r.getString(0))
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          val mn = r.getString(1 + 2 * i)
+          val mx = r.getString(2 + 2 * i)
+          if (mn == null || mx == null) None
+          else Some((dir, c) -> (mn, mx))
+        }
+      }.toMap
+  }
+
+  /** RANGE READER with manifest-level data skipping: resolve only the
+    * partition dirs whose zone map can contain a `column` value in
+    * [`lo`, `hi`] (inclusive; either bound may be null for open), then
+    * apply the exact filter. Dirs without a recorded zone map — a
+    * legacy table, an all-null partition, a column never registered —
+    * are always read (pruning is strictly an optimization, never a
+    * correctness gate). Comparison is typed via the recorded schema:
+    * numeric columns compare as numbers, strings lexically; any other
+    * type skips pruning. This is the partition-key-independent sibling
+    * of [[readManifestedPartitions]]: the zone maps let a narrow
+    * consumer skip the listing cost of partitions whose VALUE RANGE
+    * rules them out, the lakehouse data-skipping shape. */
+  def readManifestedRange(spark: org.apache.spark.sql.SparkSession,
+                          tablePath: String, column: String,
+                          lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, lines) = EpochManifest.active(fs, root).getOrElse(
+      throw new IllegalStateException(s"no manifest under $tablePath"))
+    val dt: Option[DataType] = ddlOf(lines)
+      .map(StructType.fromDDL)
+      .flatMap(_.fields.find(_.name.equalsIgnoreCase(column)))
+      .map(_.dataType)
+    val cmp: Option[(String, String) => Int] = dt.collect {
+      case _: NumericType =>
+        (a: String, b: String) => BigDecimal(a).compare(BigDecimal(b))
+      case StringType => (a: String, b: String) => a.compareTo(b)
+    }
+    val stats = statsOf(lines)
+    def mightMatch(dir: String): Boolean = (cmp, stats.get((dir, column))) match {
+      case (Some(c), Some((mn, mx))) =>
+        (lo == null || c(mx, lo.toString) >= 0) &&
+          (hi == null || c(mn, hi.toString) <= 0)
+      case _ => true // no comparator or no zone map: never prune
+    }
+    val pruned = lines.filter(l =>
+      l.startsWith("#") || mightMatch(parseManifestEntry(l)._1))
+    val base =
+      if (entryLines(pruned).nonEmpty) readEntries(spark, tablePath, pruned)
+      else ddlOf(lines).map(d => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(d))).getOrElse(throw new IllegalStateException(
+        s"readManifestedRange: every partition pruned and no recorded " +
+          s"schema under $tablePath to shape an empty result"))
+    val exact = (Option(lo), Option(hi)) match {
+      case (Some(l), Some(h)) => col(column).between(lit(l), lit(h))
+      case (Some(l), None) => col(column) >= lit(l)
+      case (None, Some(h)) => col(column) <= lit(h)
+      case (None, None) => lit(true)
+    }
+    base.filter(exact)
+  }
 
   /** COLUMN-MAPPING manifest lines, `#pmap\t<epoch>\t<phys>\t<logical>`:
     * files in epoch dir `_e<epoch>` store column `phys` where the
@@ -1027,8 +1186,13 @@ object Upsert {
     }.toMap
     val newSch = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
       if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
+    // zone maps follow the logical name — min/max values are unchanged
+    val newStats = statsOf(lines).map { case ((d, c), mm) =>
+      ((d, if (c.equalsIgnoreCase(oldName)) newName else c), mm)
+    }
     EpochManifest.publish(fs, root, epoch + 1,
       Seq("#ddl\t" + newSch.toDDL) ++ pmapLines(newPmap) ++
+        statsLinesOut(newStats) ++
         entries.map { case (d, e) => s"$d\t$e" })
     sweepManifested(fs, root, epoch + 1, retain)
   }

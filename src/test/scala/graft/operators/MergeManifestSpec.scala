@@ -521,6 +521,55 @@ class MergeManifestSpec extends SparkSpec {
     }
   }
 
+  test("zone-map data skipping: readManifestedRange resolves only " +
+      "dirs whose min/max can match; stats follow merges, deletes, " +
+      "renames, and compaction; pruned dirs are never touched") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmzm")
+      .toString + "/tbl"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // three partitions with DISJOINT value ranges — the zone-map shape
+    val b1 = rows(
+      (1, "p1", 1.0, 1), (2, "p1", 10.0, 1),
+      (3, "p2", 100.0, 1), (4, "p2", 110.0, 1),
+      (5, "p3", 1000.0, 1), (6, "p3", 1010.0, 1))
+    Upsert.mergeIntoManifested(spark, path, b1, keys, "part", "ver",
+      statsCols = Seq("v"))
+    def range(c: String, lo: Any, hi: Any) =
+      Upsert.readManifestedRange(spark, path, c, lo, hi)
+        .select($"k", $"part").as[(Long, String)].collect().toSet
+    assert(range("v", 100.0, 120.0) == Set((3L, "p2"), (4L, "p2")))
+    assert(range("v", null, 10.0) == Set((1L, "p1"), (2L, "p1")))
+    // an update moves p1's values; its zone map must follow
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "p1", 2000.0, 2), (2, "p1", 2010.0, 2)), keys, "part",
+      "ver")
+    assert(range("v", 1990.0, 2100.0) == Set((1L, "p1"), (2L, "p1")))
+    assert(range("v", 1.0, 50.0) == Set.empty)
+    // rename: the zone map follows the logical name
+    Upsert.renameManifestedColumn(spark, path, "v", "w")
+    assert(range("w", 100.0, 120.0) == Set((3L, "p2"), (4L, "p2")))
+    // delete empties p2: its stats entry drops with its manifest entry
+    Upsert.deleteFromManifested(spark, path, $"part" === "p2")
+    assert(range("w", 100.0, 120.0) == Set.empty)
+    // compaction recomputes the maps over the fresh epoch
+    Upsert.compactManifested(spark, path, "part")
+    assert(range("w", 1990.0, 2100.0) == Set((1L, "p1"), (2L, "p1")))
+    // THE PRUNING PROOF: physically remove p3's dir — a range query
+    // that the zone maps rule p3 out of must never list it, so it
+    // still answers; a read without skipping would throw on the
+    // missing files
+    val p3dir = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/_e*/part=p3"))
+      .map(_.getPath).maxBy(p => p.getParent.getName
+        .stripPrefix("_e").toLong) // the ACTIVE epoch's copy
+    fs.delete(p3dir, true)
+    assert(range("w", 1990.0, 2100.0) == Set((1L, "p1"), (2L, "p1")))
+    intercept[Exception] { // the unpruned reader DOES need p3
+      Upsert.readManifested(spark, path).count()
+    }
+  }
+
   test("sweep deletes emptied epoch dirs (_SUCCESS must not pin them)") {
     val path = java.nio.file.Files.createTempDirectory("graft_mmsw")
       .toString + "/tbl"
