@@ -1744,6 +1744,40 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("o_orderstatus"))
     }),
 
+    "j27_merge_cdf" -> ((s, dir) => {
+      // CHANGE DATA FEED over the manifested table: after an update
+      // wave (%5, +1.0, ver 2) and a delete wave (%11 keys), the diff
+      // between manifests 0 and 2 must emit exactly the update
+      // pre/post image pairs and the delete pre-images — and nothing
+      // for keys whose values survived both waves unchanged, even
+      // though their partitions were rewritten around them. Cost is
+      // bounded by CHANGED partitions (same-epoch dirs are never
+      // read — MergeManifestSpec proves it by removing one).
+      val base = s"${artifactBase(dir)}/merge_cdf"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      operators.Upsert.deleteKeysFromManifested(s, base,
+        o.filter(col("o_orderkey") % 11 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey")),
+        keys, "o_orderstatus", retain = 4)
+      operators.Upsert.changesBetween(s, base, 0, 2, keys)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("ver"), col("_change_type"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"),
+          col("_change_type"))
+    }),
+
     "u4_union_evolve" -> ((s, dir) => {
       // schema-evolution union: a legacy slice without the status
       // column unions BY NAME with the current schema
@@ -6252,6 +6286,29 @@ object SparkEntry {
            FROM allrows) WHERE rn = 1
            AND o_totalprice BETWEEN 100000.0 AND 200000.0
          ORDER BY o_orderkey, o_orderstatus""",
+
+    // the 0→2 change feed: pre/post pairs for the %5 updates (minus
+    // the deleted), delete pre-images for the %11 keys, silence for
+    // keys rewritten-in-place with unchanged values
+    "j27_merge_cdf" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 = 0),
+              chg AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(1 AS BIGINT) AS ver,
+                  'update_preimage' AS _change_type
+           FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0, 2,
+                  'update_postimage'
+           FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice, 1, 'delete'
+           FROM base WHERE o_orderkey % 11 = 0)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, ver,
+                _change_type
+         FROM chg
+         ORDER BY o_orderkey, o_orderstatus, _change_type""",
 
     // the delete removes every %3 key from the merge model
     "j25_merge_delete" ->

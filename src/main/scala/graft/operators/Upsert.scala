@@ -703,6 +703,91 @@ object Upsert {
     readEntries(spark, tablePath, lines)
   }
 
+  /** CHANGE DATA FEED between two retained manifests: one row per
+    * changed key, `_change_type` ∈ insert | update_preimage |
+    * update_postimage | delete (Delta-CDF shape — pre/post images let
+    * a downstream consumer reverse or re-apply the interval). Cost is
+    * bounded by the CHANGED partitions: a dir both manifests reference
+    * at the same epoch is byte-identical by construction and is never
+    * read — the pruning that makes a feed over a wide table viable.
+    * Columns added between the epochs read as null on the before side
+    * (add-only evolution); a RENAME in the interval refuses loudly
+    * (the from-side logical names no longer correspond — resolve by
+    * diffing across the rename in two hops). Both manifests must
+    * still be retained (`retain` knob) or resolution throws. */
+  def changesBetween(spark: org.apache.spark.sql.SparkSession,
+                     tablePath: String, fromEpoch: Long, toEpoch: Long,
+                     keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    require(fromEpoch < toEpoch,
+      s"changesBetween: fromEpoch $fromEpoch must precede toEpoch $toEpoch")
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifest(e: Long): Seq[String] =
+      EpochManifest.read(fs, root, e).getOrElse(
+        throw new IllegalStateException(
+          s"no manifest $e under $tablePath — missing or already swept " +
+            "(raise the merge's retain knob to keep more history)"))
+    val fromLines = manifest(fromEpoch)
+    val toLines = manifest(toEpoch)
+    val fromSch = ddlOf(fromLines).map(StructType.fromDDL).getOrElse(
+      throw new IllegalStateException(
+        s"changesBetween needs recorded schemas (legacy table at $tablePath)"))
+    val toSch = ddlOf(toLines).map(StructType.fromDDL).get
+    fromSch.fieldNames.foreach { n =>
+      require(toSch.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"changesBetween: column '$n' was renamed or dropped between " +
+          s"manifests $fromEpoch and $toEpoch — diff across the rename " +
+          "in two hops (up to it, then after it)")
+    }
+    val fromMap = entryLines(fromLines).map(parseManifestEntry).toMap
+    val toMap = entryLines(toLines).map(parseManifestEntry).toMap
+    // ONLY dirs whose snapshot moved: same (dir -> epoch) on both
+    // sides means byte-identical files — skip without reading
+    val changedDirs = (fromMap.keySet ++ toMap.keySet)
+      .filter(d => fromMap.get(d) != toMap.get(d))
+    val valueCols = toSch.fieldNames.toSeq
+      .filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
+    def side(lines: Seq[String], m: Map[String, Long], sch: StructType,
+             tag: String): DataFrame = {
+      val entries = m.toSeq.filter(e => changedDirs.contains(e._1))
+      val df = readMapped(spark, tablePath, entries,
+        Some(sch), pmapOf(lines)).getOrElse(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch))
+      // align to the TO schema (nulls for columns the epoch predates)
+      // and upcast widened columns so the images union type-identically
+      val full = toSch.fields.foldLeft(df) { (d, f) =>
+        if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      full.select(keys.map(col) ++ valueCols.map(c =>
+        col(c).cast(toSch.find(_.name.equalsIgnoreCase(c)).get.dataType)
+          .as(s"${tag}$c")) :+ lit(true).as(s"${tag}present"): _*)
+    }
+    val before = side(fromLines, fromMap, fromSch, "_b_")
+    val after = side(toLines, toMap, toSch, "_a_")
+    val joined = before.join(after, keys, "full_outer")
+    val bVals = struct(valueCols.map(c => col(s"_b_$c").as(c)): _*)
+    val aVals = struct(valueCols.map(c => col(s"_a_$c").as(c)): _*)
+    val changes = joined.select(keys.map(col) :+
+      when(col("_b_present").isNull,
+        array(struct(lit("insert").as("t"), aVals.as("v"))))
+      .when(col("_a_present").isNull,
+        array(struct(lit("delete").as("t"), bVals.as("v"))))
+      .when(!(bVals <=> aVals),
+        array(struct(lit("update_preimage").as("t"), bVals.as("v")),
+          struct(lit("update_postimage").as("t"), aVals.as("v"))))
+      .otherwise(array().cast(
+        s"array<struct<t:string,v:struct<${valueCols.map(c =>
+          s"$c:${toSch.find(_.name.equalsIgnoreCase(c)).get.dataType.sql}")
+          .mkString(",")}>>>")).as("_ch"): _*)
+      .select(keys.map(col) :+ explode(col("_ch")).as("_e"): _*)
+    changes.select(keys.map(col) ++
+      valueCols.map(c => col(s"_e.v.$c").as(c)) :+
+      col("_e.t").as("_change_type"): _*)
+  }
+
   private def readEntries(spark: org.apache.spark.sql.SparkSession,
                           tablePath: String,
                           lines: Seq[String]): DataFrame = {

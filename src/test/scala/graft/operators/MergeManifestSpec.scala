@@ -570,6 +570,57 @@ class MergeManifestSpec extends SparkSpec {
     }
   }
 
+  test("changesBetween: insert/update/delete with pre/post images, " +
+      "unchanged partitions never read, added columns null on the " +
+      "before side, renames refuse") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmcdf")
+      .toString + "/tbl"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 1.0, 1), (2, "a", 2.0, 1), (3, "b", 3.0, 1),
+        (4, "c", 4.0, 1)), keys, "part", "ver", retain = 6)
+    // manifest 1: update key 1, insert key 5 (new partition d)
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 10.0, 2), (5, "d", 5.0, 1)), keys, "part", "ver",
+      retain = 6)
+    // manifest 2: delete key 4 (partition c empties out)
+    Upsert.deleteKeysFromManifested(spark, path,
+      Seq(("c", 4L)).toDF("part", "k"), keys, "part", retain = 6)
+    def feed(from: Long, to: Long) =
+      Upsert.changesBetween(spark, path, from, to, keys)
+        .select($"k", $"part", $"v", $"ver", $"_change_type")
+        .as[(Long, String, Double, Long, String)].collect().toSet
+    assert(feed(0, 2) == Set(
+      (1L, "a", 1.0, 1L, "update_preimage"),
+      (1L, "a", 10.0, 2L, "update_postimage"),
+      (5L, "d", 5.0, 1L, "insert"),
+      (4L, "c", 4.0, 1L, "delete")))
+    // key 2 lives in the REWRITTEN partition a but its values did not
+    // change — no row; key 3's partition b is untouched — never read:
+    // remove its dir and the feed must still answer
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_e0/part=b"), true)
+    assert(feed(0, 2).size == 4)
+    // single-interval feeds compose
+    assert(feed(1, 2) == Set((4L, "c", 4.0, 1L, "delete")))
+    // a column added in the interval reads null on the before side
+    Upsert.mergeIntoManifested(spark, path,
+      Seq((1L, "a", 20.0, 3L, "hot")).toDF("k", "part", "v", "ver", "tag"),
+      keys, "part", "ver", retain = 6)
+    val withTag = Upsert.changesBetween(spark, path, 2, 3, keys)
+      .select($"k", $"v", $"tag", $"_change_type")
+      .as[(Long, Double, Option[String], String)].collect().toSet
+    assert(withTag == Set(
+      (1L, 10.0, None, "update_preimage"),
+      (1L, 20.0, Some("hot"), "update_postimage")))
+    // a rename inside the interval refuses loudly
+    Upsert.renameManifestedColumn(spark, path, "v", "w", retain = 6)
+    val ex = intercept[IllegalArgumentException] {
+      Upsert.changesBetween(spark, path, 3, 4, keys)
+    }
+    assert(ex.getMessage.contains("renamed"), ex.getMessage)
+  }
+
   test("sweep deletes emptied epoch dirs (_SUCCESS must not pin them)") {
     val path = java.nio.file.Files.createTempDirectory("graft_mmsw")
       .toString + "/tbl"
