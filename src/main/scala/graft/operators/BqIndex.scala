@@ -69,8 +69,45 @@ final class BqIndex(spark: SparkSession, basePath: String) {
     ()
   }
 
-  /** Committed-only view of the encoded corpus. */
-  def rows(): DataFrame = StagedCommit.readCommitted(spark, rowsPath)
+  private def tombstonesPath = s"$basePath/bq_tombstones"
+
+  /** Committed-only view of the encoded corpus, with tombstones
+    * ([[delete]]) resolved at this single choke point — the candidate
+    * pass, the rerank pass, and [[compact]] all read through here, so
+    * a deleted row is invisible everywhere the moment its tombstone
+    * commits. */
+  def rows(): DataFrame = {
+    val base = StagedCommit.readCommitted(spark, rowsPath)
+    StagedCommit.readTombstones(spark, tombstonesPath).fold(base)(t =>
+      base.join(t, Seq(t.columns.head), "left_anti"))
+  }
+
+  /** TOMBSTONE DELETE: record the ids as one exactly-once delta
+    * (content token — a redelivered id set no-ops, returns false).
+    * Zero data movement; [[purgeDeletes]] applies them physically. */
+  def delete(ids: DataFrame, idCol: String): Boolean = {
+    require(exists(), s"no complete BQ index at $basePath")
+    StagedCommit.tombstoneOnce(tombstonesPath, ids, idCol)
+  }
+
+  /** Physically apply the tombstones: fold the committed-minus-
+    * tombstoned view into fresh base files via the [[compact]]
+    * machinery (marker-preserving — redelivered old appends keep
+    * no-opping), then clear the tombstone dir. Crash-convergent: until
+    * the final clear, readers keep filtering through the tombstones —
+    * rows already folded away match nothing, and a retry re-runs the
+    * fold over what is still on disk. Returns whether a rewrite
+    * happened (false = no tombstones existed). */
+  def purgeDeletes(maxFiles: Int = 1): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (StagedCommit.readTombstones(spark, tombstonesPath).isEmpty)
+      return false
+    rewriteBase(maxFiles)
+    graft.FailPoint.hit("bq_purge_before_clear")
+    fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath), true)
+    true
+  }
 
   /** Compact append-fragmented committed rows into fresh base files —
     * the unpartitioned analog of [[LshIndex.compact]]. Every [[append]]
@@ -86,12 +123,24 @@ final class BqIndex(spark: SparkSession, basePath: String) {
     * mixed listing; recovery is rebuild. Returns whether a rewrite
     * happened. */
   def compact(maxFiles: Int = 1): Boolean = {
-    val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(rowsPath)
-    val fs = root.getFileSystem(conf)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataFiles = fs.listStatus(root).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (dataFiles.length <= maxFiles) return false
+    rewriteBase(maxFiles)
+    true
+  }
+
+  /** Fold the committed (tombstone-resolved) view into `maxFiles`
+    * fresh base files — the shared swap behind [[compact]] and
+    * [[purgeDeletes]]. Markers preserved; same non-atomicity contract
+    * as the sibling compacts (kill mid-swap → rebuild). */
+  private def rewriteBase(maxFiles: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(rowsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val snap = rows().localCheckpoint()
     val tmp = new org.apache.hadoop.fs.Path(rowsPath + "_compact_tmp")
     fs.delete(tmp, true)
@@ -110,7 +159,6 @@ final class BqIndex(spark: SparkSession, basePath: String) {
           new org.apache.hadoop.fs.Path(root, s"compacted_$i.parquet"))
       }
     fs.delete(tmp, true)
-    true
   }
 
   /** Hamming-prefilter + exact-cosine top-k over the stored codes.

@@ -249,19 +249,10 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
   private def tombstonesPath = s"$basePath/ivf_tombstones"
 
   /** The committed tombstone set, or None when no delete ever
-    * committed. Marker-gated BEFORE readCommitted: a killed first
-    * delete leaves a stage dir (or unmarked renamed files) and no
-    * marker — that must read as "no tombstones", not throw. */
-  private def tombstoneFrame(): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(tombstonesPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else if (!fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      n.startsWith("_delta_") && n.endsWith("_SUCCESS")
-    }) None
-    else Some(StagedCommit.readCommitted(spark, tombstonesPath))
-  }
+    * committed ([[StagedCommit.readTombstones]] — marker-gated so a
+    * killed first delete reads as "no tombstones", not a throw). */
+  private def tombstoneFrame(): Option[DataFrame] =
+    StagedCommit.readTombstones(spark, tombstonesPath)
 
   /** TOMBSTONE DELETE — the right-to-be-forgotten path: record the ids
     * as an exactly-once delta under `ivf_tombstones` (content-derived
@@ -275,9 +266,7 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
   def delete(ids: DataFrame, idCol: String): Boolean = {
     epoch().getOrElse(throw new IllegalStateException(
       s"no complete IVF index at $basePath"))
-    val d = ids.select(col(idCol)).distinct()
-    StagedCommit.appendOnce(tombstonesPath,
-      StagedCommit.idToken(d, idCol), Seq.empty, d)
+    StagedCommit.tombstoneOnce(tombstonesPath, ids, idCol)
   }
 
   /** Physically remove tombstoned rows: rewrite ONLY the cells that

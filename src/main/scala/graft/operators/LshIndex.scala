@@ -122,11 +122,81 @@ final class LshIndex(spark: SparkSession, basePath: String, dim: Int,
     var df = rowsDF
     // committed-only read: the rows table is appendOnce-maintained, so
     // a probe racing a killed-then-retried delta append must not see
-    // the partial rename (StagedCommit.readCommitted)
+    // the partial rename (StagedCommit.readCommitted). Tombstones
+    // ([[delete]]) resolve here too — the cached frame bakes in the
+    // set current at resolution, and delete/purge invalidate it.
     if (df == null) {
-      df = StagedCommit.readCommitted(spark, rowsPath); rowsDF = df
+      val base = StagedCommit.readCommitted(spark, rowsPath)
+      df = StagedCommit.readTombstones(spark, tombstonesPath)
+        .fold(base)(t => base.join(t, Seq(t.columns.head), "left_anti"))
+      rowsDF = df
     }
     df
+  }
+
+  private def tombstonesPath = rowsPath + "_tombstones"
+
+  /** TOMBSTONE DELETE: one exactly-once id delta (content token —
+    * redelivery no-ops, returns false); every probe path resolves the
+    * mask through [[rows]]. A row's index copies live in `numTables`
+    * partitions, so the view-level mask is `numTables`× cheaper than
+    * a physical delete until [[purgeDeletes]] folds them away. */
+  def delete(ids: DataFrame, idCol: String): Boolean = {
+    val changed = StagedCommit.tombstoneOnce(tombstonesPath, ids, idCol)
+    if (changed) invalidate()
+    changed
+  }
+
+  /** Physically apply the tombstones: rewrite ONLY the (tbl, bucket)
+    * partitions holding a tombstoned row (dynamic partition overwrite
+    * — the untouched forest never moves), then clear the tombstone
+    * dir. Crash-convergent like the IVF purge: until the clear,
+    * readers keep filtering; a retry recomputes the affected set from
+    * what remains. Returns the number of partitions rewritten. */
+  def purgeDeletes(idCol: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(rowsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StagedCommit.readTombstones(spark, tombstonesPath) match {
+      case None => 0L
+      case Some(tomb) =>
+        val raw = StagedCommit.readCommitted(spark, rowsPath)
+        val hit = raw
+          .join(tomb, raw(idCol) === tomb(tomb.columns.head), "left_semi")
+          .select(col("tbl"), col("bucket")).distinct()
+          .localCheckpoint()
+        val n = hit.count()
+        if (n > 0) {
+          val kept = rows()
+            .join(broadcast(hit), Seq("tbl", "bucket"), "left_semi")
+            .repartition(col("tbl"), col("bucket"))
+            .localCheckpoint()
+          kept.write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("tbl", "bucket").parquet(rowsPath)
+          // drop the cache NOW, not at the end: the overwrite just
+          // replaced files the cached frame references, and a kill
+          // before the final invalidate would leave every later probe
+          // reading vanished paths (caught by LshIndexSpec's
+          // pre-clear-kill case)
+          invalidate()
+          // a partition whose every row was tombstoned writes nothing
+          // under dynamic overwrite — its dead files would resurrect
+          // when the tombstones clear; drop those dirs explicitly
+          // (string keys: partition-dir type inference must not matter)
+          def keysOf(df: DataFrame) = df
+            .select(col("tbl").cast("string"), col("bucket").cast("string"))
+            .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+          val survivors = keysOf(kept).toSet
+          keysOf(hit).filterNot(survivors).foreach { case (t, b) =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$rowsPath/tbl=$t/bucket=$b"), true)
+          }
+        }
+        graft.FailPoint.hit("lsh_purge_before_clear")
+        fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath), true)
+        invalidate()
+        n
+    }
   }
 
   /** Per-table multiprobe bucket sets ([[Similarity.probeBuckets]]). */

@@ -170,6 +170,35 @@ object StagedCommit {
     else Some(fileName.stripPrefix("delta_")
       .replaceAll("_\\d{5,}\\.parquet$", ""))
 
+  /** Marker-gated committed tombstone set at `path`, or None when no
+    * delete ever committed there. The marker check runs BEFORE
+    * readCommitted so a killed FIRST delete (stage dir or unmarked
+    * renamed files, no marker) reads as "no tombstones" instead of
+    * throwing — the shared device behind every index family's delete
+    * support (IVF cells, BQ rows, LSH rows, BM25 postings). */
+  def readTombstones(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Option[DataFrame] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else if (!fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("_delta_") && n.endsWith("_SUCCESS")
+    }) None
+    else Some(readCommitted(spark, path))
+  }
+
+  /** Record `ids` (one column, de-duplicated here) as an exactly-once
+    * tombstone delta at `path` — content-derived token, so a
+    * redelivered id set no-ops (returns false). Content-keyed
+    * once-ever, like every appendOnce artifact. */
+  def tombstoneOnce(path: String, ids: DataFrame,
+                    idCol: String): Boolean = {
+    val d = ids.select(org.apache.spark.sql.functions.col(idCol))
+      .distinct()
+    appendOnce(path, idToken(d, idCol), Seq.empty, d)
+  }
+
   /** Append `delta` to the parquet artifact at `path` exactly once per
     * `token`. Returns false if the token was already committed. */
   def appendOnce(path: String, token: String, partitionCols: Seq[String],

@@ -788,6 +788,41 @@ object Upsert {
       col("_e.t").as("_change_type"): _*)
   }
 
+  /** Incremental change-feed consumption — the poll-and-checkpoint
+    * shape most CDC consumers actually run: everything that changed
+    * since the epoch the caller last processed, plus the epoch to
+    * checkpoint for the next poll. An up-to-date caller gets an empty
+    * (schema-shaped) feed and the same epoch back. The caller's
+    * `sinceEpoch` must still be retained (`retain` ≥ poll lag in
+    * merges) or resolution throws — the same staleness contract as
+    * time travel. */
+  def changesSince(spark: org.apache.spark.sql.SparkSession,
+                   tablePath: String, sinceEpoch: Long,
+                   keys: Seq[String]): (DataFrame, Long) = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (active, lines) = EpochManifest.active(fs, root).getOrElse(
+      throw new IllegalStateException(s"no manifest under $tablePath"))
+    if (active == sinceEpoch) {
+      val sch = ddlOf(lines)
+        .map(org.apache.spark.sql.types.StructType.fromDDL).getOrElse(
+        throw new IllegalStateException(
+          s"changesSince needs a recorded schema under $tablePath"))
+      val shape = org.apache.spark.sql.types.StructType(
+        sch.fields :+ org.apache.spark.sql.types.StructField(
+          "_change_type", org.apache.spark.sql.types.StringType))
+      // column order matches changesBetween: keys, values, change type
+      val ordered = keys ++ sch.fieldNames.filterNot(c =>
+        keys.exists(_.equalsIgnoreCase(c))) :+ "_change_type"
+      (spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          ordered.map(n =>
+            shape.find(_.name.equalsIgnoreCase(n)).get))), active)
+    } else (changesBetween(spark, tablePath, sinceEpoch, active, keys),
+      active)
+  }
+
   private def readEntries(spark: org.apache.spark.sql.SparkSession,
                           tablePath: String,
                           lines: Seq[String]): DataFrame = {

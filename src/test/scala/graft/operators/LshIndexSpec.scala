@@ -96,6 +96,51 @@ class LshIndexSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("tombstone delete hides a row from every probe; purge rewrites " +
+      "only hit partitions, drops emptied ones, and survives the " +
+      "pre-clear kill") {
+    val base = Files.createTempDirectory("graft_lsh_del").toString
+    val idx = new LshIndex(spark, base, dim = 4, numTables = 3,
+      bitsPerTable = 2, seed = 7L)
+    idx.build(emb, "vec_id", "embedding")
+    val before = idx.search("vec_id", "embedding", query, k = 5)
+      .select($"vec_id").as[Long].collect().toSeq
+    val victim = before.head
+    assert(idx.delete(Seq(victim).toDF("vec_id"), "vec_id"))
+    assert(!idx.delete(Seq(victim).toDF("vec_id"), "vec_id")) // replay
+    val after = idx.search("vec_id", "embedding", query, k = 5)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(!after.contains(victim))
+    assert(idx.rows().filter($"vec_id" === victim).count() == 0)
+
+    // purge applies physically; pre-clear kill leaves readers correct
+    graft.FailPoint.arm("lsh_purge_before_clear")
+    try intercept[graft.FailPoint.Kill] {
+      idx.purgeDeletes("vec_id")
+    } finally graft.FailPoint.disarm()
+    assert(idx.search("vec_id", "embedding", query, k = 5)
+      .select($"vec_id").as[Long].collect().toSeq == after)
+    idx.purgeDeletes("vec_id")
+    assert(!new java.io.File(
+      LshIndex.rowsPath(base, 4, 3, 2, 7L) + "_tombstones").exists)
+    assert(idx.rows().filter($"vec_id" === victim).count() == 0)
+    assert(idx.search("vec_id", "embedding", query, k = 5)
+      .select($"vec_id").as[Long].collect().toSeq == after)
+    // every copy in every table is gone from disk, not just masked
+    assert(spark.read.parquet(LshIndex.rowsPath(base, 4, 3, 2, 7L))
+      .filter($"vec_id" === victim).count() == 0)
+
+    // deleting EVERY row empties the index: all partitions drop
+    val all = idx.rows().select($"vec_id").distinct().as[Long].collect()
+    idx.delete(all.toSeq.toDF("vec_id"), "vec_id")
+    idx.purgeDeletes("vec_id")
+    val rootDir = new java.io.File(LshIndex.rowsPath(base, 4, 3, 2, 7L))
+    assert(!rootDir.listFiles.exists(_.getName.startsWith("tbl=")) ||
+      rootDir.listFiles.filter(_.getName.startsWith("tbl="))
+        .forall(d => d.listFiles.isEmpty ||
+          d.listFiles.forall(_.listFiles.isEmpty)))
+  }
+
   test("compact merges append-fragmented partitions without changing content") {
     val old = emb.filter($"vec_id" <= 40)
     val delta = emb.filter($"vec_id" > 40)

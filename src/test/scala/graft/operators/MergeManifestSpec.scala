@@ -613,6 +613,16 @@ class MergeManifestSpec extends SparkSpec {
     assert(withTag == Set(
       (1L, 10.0, None, "update_preimage"),
       (1L, 20.0, Some("hot"), "update_postimage")))
+    // poll-and-checkpoint consumption: changesSince walks to the
+    // active manifest and returns the next checkpoint; an up-to-date
+    // poll is empty but schema-shaped
+    val (f1, e1) = Upsert.changesSince(spark, path, 2, keys)
+    assert(e1 == 3)
+    assert(f1.count() == 2) // the interval-3 pre/post pair
+    val (f2, e2) = Upsert.changesSince(spark, path, e1, keys)
+    assert(e2 == e1 && f2.count() == 0)
+    assert(f2.columns.toSeq ==
+      Seq("part", "k", "v", "ver", "tag", "_change_type"))
     // a rename inside the interval refuses loudly
     Upsert.renameManifestedColumn(spark, path, "v", "w", retain = 6)
     val ex = intercept[IllegalArgumentException] {

@@ -210,6 +210,46 @@ class StagedCommitSpec extends SparkSpec {
     assert(!idx.compact(maxFiles = 1)) // already compact: no-op
   }
 
+  test("BqIndex: tombstone delete hides rows from the candidate and " +
+      "rerank passes; purge folds them away marker-preservingly and " +
+      "survives the pre-clear kill") {
+    val emb = (1L to 40L).map(i =>
+        (i, Seq(i % 5 - 2.0, i % 7 - 3.0, i % 3 - 1.0, i % 11 - 5.0)
+          .map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = Files.createTempDirectory("graft_sc_bqdel").toString
+    val idx = new BqIndex(spark, base)
+    idx.build(emb, "vec_id", "embedding")
+    val q = Seq(1.0, 0.5, -0.5, 2.0)
+    def top5 = idx.search("vec_id", "embedding", q, k = 5, rerank = 40)
+      .select($"vec_id").as[Long].collect().toSeq
+    val victims = top5.take(2)
+    assert(idx.delete(victims.toDF("vec_id"), "vec_id"))
+    assert(!idx.delete(victims.toDF("vec_id"), "vec_id")) // replay
+    val after = top5
+    assert(victims.forall(v => !after.contains(v)))
+    // full-rerank search over the masked view equals brute force over
+    // the surviving corpus
+    assert(after == Similarity.bruteForceTopK(
+      emb.filter(!$"vec_id".isin(victims: _*)), "vec_id", "embedding",
+      q, 5).select($"vec_id").as[Long].collect().toSeq)
+
+    graft.FailPoint.arm("bq_purge_before_clear")
+    try intercept[graft.FailPoint.Kill] {
+      idx.purgeDeletes()
+    } finally graft.FailPoint.disarm()
+    assert(top5 == after) // tombstones still mask the folded view
+    assert(idx.purgeDeletes())
+    assert(!new java.io.File(s"$base/bq_tombstones").exists)
+    assert(idx.rows().count() == 38)
+    assert(spark.read.parquet(s"$base/bq_rows")
+      .filter($"vec_id".isin(victims: _*)).count() == 0) // physically gone
+    assert(top5 == after)
+    // markers preserved through the purge-fold: a redelivered append
+    // of already-folded content must keep no-opping
+    assert(!idx.purgeDeletes()) // no tombstones left: no-op
+  }
+
   test("PqIndex: killed-mid-rename partial invisible to committed " +
       "probes; frozen-codebook append converges; full rerank equals " +
       "brute force") {
