@@ -587,9 +587,8 @@ object Upsert {
               val m = pmap.getOrElse(e, Map.empty[String, String])
               val df = rd.schema(physSchemaFor(sch, m))
                 .parquet(es.map(en => s"${epochDir(e)}/${en._1}"): _*)
-              val l2p = m.map(_.swap)
               df.select(sch.fieldNames.map(n =>
-                col(l2p.getOrElse(n, n)).as(n)): _*)
+                col(physNameFor(n, m)).as(n)): _*)
             })
             cols.foldLeft(raw) { (df, c) =>
               if (df.columns.exists(_.equalsIgnoreCase(c))) df
@@ -711,9 +710,17 @@ object Upsert {
     * at the same epoch is byte-identical by construction and is never
     * read — the pruning that makes a feed over a wide table viable.
     * Columns added between the epochs read as null on the before side
-    * (add-only evolution); a RENAME in the interval refuses loudly
-    * (the from-side logical names no longer correspond — resolve by
-    * diffing across the rename in two hops). Both manifests must
+    * (add-only evolution). A RENAME in the interval is resolved
+    * automatically: the interval's manifests are walked for their
+    * one-shot `#rename` event lines and the before side reads under
+    * the TO-side logical names (every retained manifest between the
+    * endpoints exists by construction — epochs are contiguous and the
+    * sweep keeps a suffix window). A DROP in the interval of a
+    * column live at `fromEpoch` refuses loudly — a re-add makes the
+    * name a DIFFERENT column, so a value diff under it would lie;
+    * diff in two hops around the drop instead. A column added AND
+    * dropped strictly inside the interval is invisible at both
+    * endpoints and is correctly ignored. Both endpoint manifests must
     * still be retained (`retain` knob) or resolution throws. */
   def changesBetween(spark: org.apache.spark.sql.SparkSession,
                      tablePath: String, fromEpoch: Long, toEpoch: Long,
@@ -734,12 +741,45 @@ object Upsert {
       throw new IllegalStateException(
         s"changesBetween needs recorded schemas (legacy table at $tablePath)"))
     val toSch = ddlOf(toLines).map(StructType.fromDDL).get
-    fromSch.fieldNames.foreach { n =>
-      require(toSch.fieldNames.exists(_.equalsIgnoreCase(n)),
-        s"changesBetween: column '$n' was renamed or dropped between " +
-          s"manifests $fromEpoch and $toEpoch — diff across the rename " +
-          "in two hops (up to it, then after it)")
+    // compose the logical-name correspondence across the interval from
+    // the one-shot #rename/#dropcol event lines (manifest epochs are
+    // contiguous — every publish is active+1 — and the sweep keeps a
+    // suffix window, so a retained fromEpoch implies every manifest in
+    // between is retained too)
+    var nameMap: Map[String, String] =
+      fromSch.fieldNames.map(n => n -> n).toMap
+    ((fromEpoch + 1) to toEpoch).foreach { e =>
+      val ls = manifest(e)
+      ls.filter(_.startsWith("#dropcol\t")).foreach { l =>
+        val dropped = l.split("\t", -1)(1)
+        nameMap.find(_._2.equalsIgnoreCase(dropped)).foreach { case (f, _) =>
+          throw new IllegalStateException(
+            s"changesBetween: column '$f' (as '$dropped') was dropped " +
+              s"at manifest $e inside the interval — a re-add would be " +
+              "a different column, so a value diff under that name " +
+              "would lie; diff in two hops around the drop")
+        }
+      }
+      ls.filter(_.startsWith("#rename\t")).foreach { l =>
+        val parts = l.split("\t", -1)
+        nameMap = nameMap.map { case (f, c) =>
+          if (c.equalsIgnoreCase(parts(1))) (f, parts(2)) else (f, c)
+        }
+      }
     }
+    nameMap.foreach { case (f, c) =>
+      require(toSch.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"changesBetween: column '$f' resolves to '$c' which is not in " +
+          s"the $toEpoch schema — rename/drop events and schemas " +
+          "disagree (manifests written before event lines existed?); " +
+          "diff across the change in two hops")
+    }
+    // canonical TO-side spelling for each from-side column
+    val mapped: Map[String, String] = nameMap.map { case (f, c) =>
+      f -> toSch.fields.find(_.name.equalsIgnoreCase(c)).get.name
+    }
+    val mappedFromSch = StructType(fromSch.fields.map(f =>
+      f.copy(name = mapped(f.name))))
     val fromMap = entryLines(fromLines).map(parseManifestEntry).toMap
     val toMap = entryLines(toLines).map(parseManifestEntry).toMap
     // ONLY dirs whose snapshot moved: same (dir -> epoch) on both
@@ -748,11 +788,11 @@ object Upsert {
       .filter(d => fromMap.get(d) != toMap.get(d))
     val valueCols = toSch.fieldNames.toSeq
       .filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
-    def side(lines: Seq[String], m: Map[String, Long], sch: StructType,
-             tag: String): DataFrame = {
+    def side(pmap: Map[Long, Map[String, String]], m: Map[String, Long],
+             sch: StructType, tag: String): DataFrame = {
       val entries = m.toSeq.filter(e => changedDirs.contains(e._1))
       val df = readMapped(spark, tablePath, entries,
-        Some(sch), pmapOf(lines)).getOrElse(
+        Some(sch), pmap).getOrElse(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch))
       // align to the TO schema (nulls for columns the epoch predates)
@@ -765,8 +805,25 @@ object Upsert {
         col(c).cast(toSch.find(_.name.equalsIgnoreCase(c)).get.dataType)
           .as(s"${tag}$c")) :+ lit(true).as(s"${tag}present"): _*)
     }
-    val before = side(fromLines, fromMap, fromSch, "_b_")
-    val after = side(toLines, toMap, toSch, "_a_")
+    // the before side reads under TO-side logical names (mappedFromSch)
+    // but its files store FROM-era physical names: synthesize, per
+    // from-referenced epoch, the phys → to-logical map by composing the
+    // from manifest's own resolution with the interval's rename chain.
+    // Dead markers are carried so a to-side re-added name keeps reading
+    // absent from retired physical columns.
+    val fromPmap = pmapOf(fromLines)
+    val beforePmap: Map[Long, Map[String, String]] =
+      fromMap.values.toSet[Long].map { e =>
+        val m = fromPmap.getOrElse(e, Map.empty[String, String])
+        val resolved = fromSch.fieldNames.flatMap { l =>
+          val phys = physNameFor(l, m)
+          val tgt = mapped(l)
+          if (phys.equalsIgnoreCase(tgt)) None else Some(phys -> tgt)
+        }.toMap
+        e -> (m.filter(_._2 == DeadLogical) ++ resolved)
+      }.toMap
+    val before = side(beforePmap, fromMap, mappedFromSch, "_b_")
+    val after = side(pmapOf(toLines), toMap, toSch, "_a_")
     val joined = before.join(after, keys, "full_outer")
     val bVals = struct(valueCols.map(c => col(s"_b_$c").as(c)): _*)
     val aVals = struct(valueCols.map(c => col(s"_a_$c").as(c)): _*)
@@ -859,9 +916,8 @@ object Upsert {
       // Spark surfaces partition columns LAST regardless of their
       // position in the supplied schema — restore the writer's order
       // (and resolve physical → logical names in the same select)
-      val l2p = m.map(_.swap)
       schemaOpt.fold(df)(sch => df.select(sch.fieldNames.map(n =>
-        col(l2p.getOrElse(n, n)).as(n)): _*))
+        col(physNameFor(n, m)).as(n)): _*))
     }.reduceOption(_ unionByName _)
 
   /** Partition-pruned DELETE: rewrite ONLY the partitions holding a
@@ -1239,16 +1295,44 @@ object Upsert {
       }
     }
 
+  /** The pmap "logical" token marking a physical column as DEAD in an
+    * epoch's files: [[dropManifestedColumn]] retires the name this
+    * way so a later re-add of the SAME name cannot resurrect the old
+    * epochs' stale stored values (they must read as null, exactly
+    * like any column added after those files were written). Rides the
+    * existing pmap carry/shed/compact machinery — every publish path
+    * that preserves rename mappings preserves dead markers for free. */
+  private[operators] val DeadLogical = "__graft_dead__"
+
+  /** Resolve ONE logical column to the physical name to ask an epoch's
+    * parquet files for. Three cases, in order: (1) a pmap entry claims
+    * some physical column for this logical name (a rename) — use it;
+    * (2) the SAME-NAMED physical column is claimed by a different
+    * logical name (renamed away, or retired by [[DeadLogical]]) — the
+    * logical column must read as ABSENT (nulls), so substitute a name
+    * no file contains; (3) identity. Case-insensitive on both sides,
+    * matching Spark's own parquet name reconciliation under the
+    * default caseSensitive=false — an exact-match claimed-check would
+    * let a re-added column with different case read a dead physical
+    * column's stale bytes. */
+  private def physNameFor(logical: String,
+                          physToLogical: Map[String, String]): String =
+    physToLogical.find(_._2.equalsIgnoreCase(logical)).map(_._1)
+      .getOrElse {
+        if (physToLogical.keys.exists(_.equalsIgnoreCase(logical)))
+          s"__graft_absent__$logical"
+        else logical
+      }
+
   /** The schema to hand the parquet reader for one epoch dir: current
     * logical TYPES (widening promotion applies in the scan) under that
-    * epoch's PHYSICAL column names. */
+    * epoch's PHYSICAL column names ([[physNameFor]] — renames resolve,
+    * dead columns read absent). */
   private def physSchemaFor(logical: org.apache.spark.sql.types.StructType,
                             physToLogical: Map[String, String])
-      : org.apache.spark.sql.types.StructType = {
-    val logicalToPhys = physToLogical.map(_.swap)
+      : org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(logical.fields.map(f =>
-      f.copy(name = logicalToPhys.getOrElse(f.name, f.name))))
-  }
+      f.copy(name = physNameFor(f.name, physToLogical))))
 
   /** METADATA-ONLY column rename for [[mergeIntoManifested]] tables:
     * publishes one new manifest whose `#ddl` carries the new logical
@@ -1302,7 +1386,12 @@ object Upsert {
       // the physical name logical `oldName` resolves to in this epoch
       val phys = m.find(_._2.equalsIgnoreCase(oldName)).map(_._1)
         .getOrElse(canonical)
-      e -> (m + (phys -> newName))
+      // an epoch whose same-named physical column is DEAD predates the
+      // re-add of this column: its files must keep reading absent for
+      // the new name too, not resurrect the retired bytes — leave the
+      // dead marker in place and map nothing
+      if (m.get(phys).contains(DeadLogical)) e -> m
+      else e -> (m + (phys -> newName))
     }.toMap
     val newSch = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
       if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
@@ -1311,7 +1400,96 @@ object Upsert {
       ((d, if (c.equalsIgnoreCase(oldName)) newName else c), mm)
     }
     EpochManifest.publish(fs, root, epoch + 1,
-      Seq("#ddl\t" + newSch.toDDL) ++ pmapLines(newPmap) ++
+      // the `#rename` EVENT line (one-shot, never carried forward —
+      // unlike `#pmap` STATE lines): changesBetween walks the
+      // interval's manifests for these to compose the logical-name
+      // correspondence across renames instead of refusing
+      Seq("#ddl\t" + newSch.toDDL, s"#rename\t$canonical\t$newName") ++
+        pmapLines(newPmap) ++
+        statsLinesOut(newStats) ++
+        entries.map { case (d, e) => s"$d\t$e" })
+    sweepManifested(fs, root, epoch + 1, retain)
+  }
+
+  /** METADATA-ONLY column drop for [[mergeIntoManifested]] tables:
+    * publishes one new manifest whose `#ddl` lacks the column — zero
+    * data files move; historical files keep the bytes but no reader
+    * ever projects them (epoch reads are schema-pruned parquet scans).
+    * The column's zone-map lines drop with it (which also
+    * de-registers it from future stats maintenance).
+    *
+    * TOMBSTONE semantics — the drop/re-add hazard: a later merge may
+    * re-ADD a column with the same name, and the old epochs' files
+    * still physically store the retired values under that name. A
+    * naive reader would resurrect them as the new column's data. So
+    * the drop retires the physical name explicitly: for every
+    * referenced epoch, a `#pmap` line maps the column's physical name
+    * to [[DeadLogical]], and [[physNameFor]]'s claimed-check makes any
+    * same-named logical column read ABSENT (null) from those files —
+    * a re-added column behaves exactly like a column added fresh.
+    * Dead markers ride the pmap carry/shed machinery: merges and
+    * deletes carry them while their epoch stays referenced,
+    * compaction (a physical rewrite under the current schema)
+    * collapses them, and history turnover sheds them.
+    *
+    * Refusals: the partition column (its name is baked into every dir
+    * and manifest entry), the last remaining column, and a legacy
+    * table without a recorded schema (compact first to stamp one).
+    * A later merge batch still carrying the column simply re-ADDS it
+    * via add-evolution — with null history, per the tombstone above.
+    * Crash-safe trivially: the drop IS the single atomic manifest
+    * publish. */
+  def dropManifestedColumn(spark: org.apache.spark.sql.SparkSession,
+                           tablePath: String, name: String,
+                           retain: Int = 2): Unit = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (epoch, lines) = EpochManifest.active(fs, root).getOrElse(
+      throw new IllegalStateException(s"no manifest under $tablePath"))
+    val ddl = ddlOf(lines).getOrElse(throw new IllegalStateException(
+      s"dropManifestedColumn: $tablePath has no recorded schema " +
+        "(written before the #ddl header) — run compactManifested " +
+        "first to stamp one"))
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    require(sch.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"dropManifestedColumn: no column '$name' in $ddl")
+    require(sch.fields.length > 1,
+      s"dropManifestedColumn: cannot drop the last column of $tablePath")
+    val entries = entryLines(lines).map(parseManifestEntry)
+    entries.headOption.foreach { case (d, _) =>
+      val partCol = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(d.takeWhile(_ != '='))
+      require(!partCol.equalsIgnoreCase(name),
+        s"dropManifestedColumn: cannot drop partition column " +
+          s"'$partCol' — its name is baked into every partition dir " +
+          "and manifest entry")
+    }
+    // the stored schema's canonical spelling, not the caller's — the
+    // retired physical name must match what the files actually store
+    val canonical = sch.fields
+      .find(_.name.equalsIgnoreCase(name)).get.name
+    val pmap = pmapOf(lines)
+    val refEpochs = entries.map(_._2).distinct
+    val newPmap = refEpochs.map { e =>
+      val m = pmap.getOrElse(e, Map.empty[String, String])
+      // the physical name this logical column resolves to in this
+      // epoch (a prior rename may have moved it); retire THAT name —
+      // its prior live mapping (if any) goes with it
+      val phys = m.find(_._2.equalsIgnoreCase(name)).map(_._1)
+        .getOrElse(canonical)
+      e -> (m + (phys -> DeadLogical))
+    }.toMap
+    val newSch = org.apache.spark.sql.types.StructType(
+      sch.fields.filterNot(_.name.equalsIgnoreCase(name)))
+    val newStats = statsOf(lines).filterNot { case ((_, c), _) =>
+      c.equalsIgnoreCase(name)
+    }
+    EpochManifest.publish(fs, root, epoch + 1,
+      // `#dropcol` EVENT line (one-shot, like `#rename`): lets
+      // changesBetween refuse an interval crossing a drop precisely
+      // instead of by schema-diff guesswork
+      Seq("#ddl\t" + newSch.toDDL, s"#dropcol\t$canonical") ++
+        pmapLines(newPmap) ++
         statsLinesOut(newStats) ++
         entries.map { case (d, e) => s"$d\t$e" })
     sweepManifested(fs, root, epoch + 1, retain)

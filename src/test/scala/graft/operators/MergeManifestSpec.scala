@@ -623,12 +623,15 @@ class MergeManifestSpec extends SparkSpec {
     assert(e2 == e1 && f2.count() == 0)
     assert(f2.columns.toSeq ==
       Seq("part", "k", "v", "ver", "tag", "_change_type"))
-    // a rename inside the interval refuses loudly
+    // a rename inside the interval resolves: the metadata-only flip
+    // changes no content, so the feed across it is empty — under the
+    // NEW name (the dedicated rename-resolution test covers value
+    // changes crossing a rename)
     Upsert.renameManifestedColumn(spark, path, "v", "w", retain = 6)
-    val ex = intercept[IllegalArgumentException] {
-      Upsert.changesBetween(spark, path, 3, 4, keys)
-    }
-    assert(ex.getMessage.contains("renamed"), ex.getMessage)
+    val acrossRename = Upsert.changesBetween(spark, path, 3, 4, keys)
+    assert(acrossRename.columns.contains("w") &&
+      !acrossRename.columns.contains("v"))
+    assert(acrossRename.isEmpty)
   }
 
   test("sweep deletes emptied epoch dirs (_SUCCESS must not pin them)") {
@@ -669,5 +672,137 @@ class MergeManifestSpec extends SparkSpec {
     Upsert.mergeIntoManifested(spark, path,
       rows((9, "x y/z", 9.0, 1)), keys, "part", "ver")
     assert(read(path).contains((9L, "x y/z", 9.0, 1L)))
+  }
+
+  test("dropManifestedColumn is metadata-only; a re-added column " +
+      "reads NULL from pre-drop files (no resurrection), composes " +
+      "with rename, and compaction collapses the dead markers") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmdrop")
+      .toString + "/tbl"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestText(): String = {
+      val n = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .map(_.getPath.getName).filter(_.startsWith("_manifest_"))
+        .map(_.stripPrefix("_manifest_").toLong).max
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        s"$path/_manifest_$n"))
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    Upsert.mergeIntoManifested(spark, path,
+      Seq((1L, "a", 1.0, "one", 1L), (3L, "b", 3.0, "three", 1L))
+        .toDF("k", "part", "v", "extra", "ver"),
+      keys, "part", "ver", retain = 6)
+    Upsert.dropManifestedColumn(spark, path, "extra", retain = 6)
+    val afterDrop = Upsert.readManifested(spark, path)
+    assert(afterDrop.columns.toSeq == Seq("k", "part", "v", "ver"))
+    // zero data movement: still served from the epoch-0 files, which
+    // physically still contain the dropped bytes
+    assert(afterDrop.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).forall(_.contains("/_e0/")))
+    // RE-ADD the name, touching only partition a: the pre-drop file
+    // for b still stores extra="three" but must read as NULL
+    Upsert.mergeIntoManifested(spark, path,
+      Seq((1L, "a", 1.0, "NEW", 2L))
+        .toDF("k", "part", "v", "extra", "ver"),
+      keys, "part", "ver", retain = 6)
+    assert(Upsert.readManifested(spark, path)
+      .select($"k", $"extra").as[(Long, Option[String])]
+      .collect().toSet == Set((1L, Some("NEW")), (3L, None)))
+    // time travel: manifest 0 still shows the retired values under
+    // its OWN schema
+    assert(Upsert.readManifestedAt(spark, path, 0)
+      .select($"k", $"extra").as[(Long, String)].collect().toSet ==
+      Set((1L, "one"), (3L, "three")))
+    // rename of the re-added column must NOT resurrect b's dead bytes
+    // (the dead marker stays; only live epochs remap)
+    Upsert.renameManifestedColumn(spark, path, "extra", "note",
+      retain = 6)
+    assert(Upsert.readManifested(spark, path)
+      .select($"k", $"note").as[(Long, Option[String])]
+      .collect().toSet == Set((1L, Some("NEW")), (3L, None)))
+    // drop composed THROUGH a rename: rename v -> w, then drop w —
+    // the dead marker must retire the PHYSICAL name v in old epochs
+    Upsert.renameManifestedColumn(spark, path, "v", "w", retain = 6)
+    Upsert.dropManifestedColumn(spark, path, "w", retain = 6)
+    // re-add under the ORIGINAL physical spelling: must be all-null
+    // history, not epoch-0's stored v values (the batch carries every
+    // stored column — evolution is add-only)
+    Upsert.mergeIntoManifested(spark, path,
+      Seq((1L, "a", "NEW", 7.5, 3L))
+        .toDF("k", "part", "note", "v", "ver"),
+      keys, "part", "ver", retain = 6)
+    assert(Upsert.readManifested(spark, path)
+      .select($"k", $"v").as[(Long, Option[Double])]
+      .collect().toSet == Set((1L, Some(7.5)), (3L, None)))
+    assert(manifestText().contains("__graft_dead__"))
+    // refusals
+    val exPart = intercept[IllegalArgumentException] {
+      Upsert.dropManifestedColumn(spark, path, "part")
+    }
+    assert(exPart.getMessage.contains("partition column"),
+      exPart.getMessage)
+    val exNone = intercept[IllegalArgumentException] {
+      Upsert.dropManifestedColumn(spark, path, "nope")
+    }
+    assert(exNone.getMessage.contains("no column"), exNone.getMessage)
+    // compaction rewrites under the current schema: dead markers
+    // collapse and content is unchanged
+    Upsert.compactManifested(spark, path, "part", retain = 2)
+    assert(!manifestText().contains("__graft_dead__"), manifestText())
+    assert(Upsert.readManifested(spark, path)
+      .select($"k", $"part", $"v", $"note")
+      .as[(Long, String, Option[Double], Option[String])]
+      .collect().toSet == Set(
+        (1L, "a", Some(7.5), Some("NEW")), (3L, "b", None, None)))
+  }
+
+  test("changesBetween resolves a rename inside the interval (before " +
+      "side reads under the TO-side names); a drop refuses precisely") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmcdfrn")
+      .toString + "/tbl"
+    // epoch 0: v as FLOAT (the before side must also cross the
+    // widening); epoch 1: rename v -> w; epoch 2: merge under w as
+    // DOUBLE with an update, an insert, and an untouched partition
+    Upsert.mergeIntoManifested(spark, path,
+      Seq((1L, "a", 1.5f, 1L), (2L, "a", 2.5f, 1L), (3L, "b", 3.5f, 1L))
+        .toDF("k", "part", "v", "ver"), keys, "part", "ver", retain = 6)
+    Upsert.renameManifestedColumn(spark, path, "v", "w", retain = 6)
+    Upsert.mergeIntoManifested(spark, path,
+      Seq((1L, "a", 10.25, 2L), (4L, "a", 4.25, 2L))
+        .toDF("k", "part", "w", "ver"), keys, "part", "ver", retain = 6)
+    val feed = Upsert.changesBetween(spark, path, 0L, 2L, keys)
+      .select($"k", $"part", $"w", $"ver", $"_change_type")
+      .as[(Long, String, Double, Long, String)].collect().toSet
+    assert(feed == Set(
+      (1L, "a", 1.5, 1L, "update_preimage"),
+      (1L, "a", 10.25, 2L, "update_postimage"),
+      (4L, "a", 4.25, 2L, "insert")), feed)
+    // key 2 rewrote in place with identical values -> silence; key 3's
+    // partition never moved -> never even read
+    // the rename-only interval 0 -> 1 is pure metadata: empty feed
+    assert(Upsert.changesBetween(spark, path, 0L, 1L, keys).isEmpty)
+    // a DROP inside the interval refuses with the two-hop hint
+    Upsert.dropManifestedColumn(spark, path, "w", retain = 6)
+    val ex = intercept[IllegalStateException] {
+      Upsert.changesBetween(spark, path, 0L, 3L, keys)
+    }
+    assert(ex.getMessage.contains("dropped") &&
+      ex.getMessage.contains("two hops"), ex.getMessage)
+    // but an interval whose from-side never had the column is fine:
+    // 2 -> 3 is metadata-only from w's OWNER side... the drop IS
+    // visible as w vanishing; from-side (epoch 2) still has w, so it
+    // refuses too — the legal read is around it:
+    val ex2 = intercept[IllegalStateException] {
+      Upsert.changesBetween(spark, path, 2L, 3L, keys)
+    }
+    assert(ex2.getMessage.contains("dropped"), ex2.getMessage)
+    // after the drop, a fresh interval not crossing it works again
+    Upsert.mergeIntoManifested(spark, path,
+      Seq((5L, "b", 5.0, 3L)).toDF("k", "part", "x", "ver"),
+      keys, "part", "ver", retain = 6)
+    val feed2 = Upsert.changesBetween(spark, path, 3L, 4L, keys)
+      .select($"k", $"_change_type").as[(Long, String)].collect().toSet
+    assert(feed2 == Set((5L, "insert")), feed2)
   }
 }
