@@ -170,6 +170,46 @@ object StagedCommit {
     else Some(fileName.stripPrefix("delta_")
       .replaceAll("_\\d{5,}\\.parquet$", ""))
 
+  /** Is `token`'s delta fully committed at `path`? (Marker probe —
+    * the same `_delta_<token>_SUCCESS` certificate [[appendOnce]]
+    * writes last.) Lets a multi-artifact protocol resume after a
+    * crash by asking which halves landed, instead of re-deriving the
+    * answer from content that other writers may have changed since. */
+  def hasDelta(spark: org.apache.spark.sql.SparkSession,
+               path: String, token: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(p, s"_delta_${safeToken(token)}_SUCCESS"))
+  }
+
+  /** EXACTLY the rows `token`'s committed delta contributed to `path`
+    * (None if the token never committed). The content is frozen at
+    * first commit, so a retry that lost its input state (e.g. a
+    * crashed two-artifact delete whose ids are meanwhile covered by
+    * OTHER batches' tombstones) can still re-derive its own second
+    * half from what IT committed — the repair primitive behind
+    * [[graft.operators.TextIndex.deleteScoredPostings]]. */
+  def readDelta(spark: org.apache.spark.sql.SparkSession,
+                path: String, token: String): Option[DataFrame] = {
+    if (!hasDelta(spark, path, token)) return None
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = fs.makeQualified(p)
+    val safe = safeToken(token)
+    val mine = scala.collection.mutable.Buffer.empty[String]
+    walkParquet(fs, dir) { st =>
+      if (deltaToken(st.getPath.getName).contains(safe))
+        mine += st.getPath.toString
+    }
+    // a marker with zero part files is legal (empty delta): shape an
+    // empty frame is impossible without a schema, so refuse loudly —
+    // no caller commits empty deltas today (they early-return)
+    require(mine.nonEmpty,
+      s"readDelta: token $token is marked committed under $path but " +
+        "has no delta part files")
+    Some(spark.read.option("basePath", dir.toString).parquet(mine.toSeq: _*))
+  }
+
   /** Marker-gated committed tombstone set at `path`, or None when no
     * delete ever committed there. The marker check runs BEFORE
     * readCommitted so a killed FIRST delete (stage dir or unmarked

@@ -194,15 +194,24 @@ object TextIndex {
     * delta AND one NEGATIVE stats row (−n_docs, −total_dl of the
     * docs actually present, their lengths recovered from the
     * denormalized `dl` the postings already carry — no text needed
-    * at delete time), both under one `del_`-prefixed content token.
-    * Ids already tombstoned are excluded up front, so an overlapping
-    * later batch can never double-subtract; ids absent from the index
-    * contribute nothing. Stats commit FIRST: a kill between the two
-    * halves leaves scores briefly computed against reduced totals,
-    * and the retry (same effective-id set → same token) no-ops the
-    * stats and lands the tombstones — the same kill-anywhere repair
-    * contract as the append. Content-keyed once-ever like every op on
-    * this artifact: a redelivered id set no-ops. Finding the deleted
+    * at delete time), both under one `del_`-prefixed token derived
+    * from the caller's RAW id set — NOT the tombstone-filtered
+    * effective set, so a crashed delete's retry reuses its own token
+    * no matter what other batches tombstoned in between (an
+    * effective-set token mints a NEW token on such a retry and
+    * subtracts the remainder a second time — permanent stats skew,
+    * ADVICE r14). Tombstones commit FIRST, and the stats delta is
+    * derived from THIS token's own committed tombstone rows
+    * ([[StagedCommit.readDelta]] — frozen at first commit), which
+    * closes both interleaving hazards: an overlapping later batch
+    * excludes the committed tombstones up front and can never
+    * double-subtract, and the retry recomputes an identical stats row
+    * even when its input ids are meanwhile covered by other batches.
+    * A kill between the halves leaves the docs invisible to probes
+    * while the totals still count them — scores briefly conservative
+    * (idf/avgdl slightly understated), repaired by the retry's
+    * idempotent stats append. Content-keyed once-ever like every op
+    * on this artifact: a redelivered id set no-ops. Finding the deleted
     * docs' dl costs one postings scan (doc ids do not prune the
     * term-bucketed layout) — deletes are batch maintenance, priced
     * accordingly. Known limit: a ZERO-TOKEN doc leaves no posting, so
@@ -219,18 +228,30 @@ object TextIndex {
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/stats", "_SUCCESS")),
       s"deleteScoredPostings: no committed index under $root - build first")
     val d = ids.select(col(idCol).as("doc_id")).distinct()
-    val dEff = tombstoneFrame(spark, root)
-      .fold(d)(t => d.join(t, Seq("doc_id"), "left_anti"))
-    if (dEff.isEmpty) return scoredPostingsReaders(spark, basePath, buckets)
-    val token = "del_" + StagedCommit.idToken(dEff, "doc_id")
+    val token = "del_" + StagedCommit.idToken(d, "doc_id")
+    if (!StagedCommit.hasDelta(spark, s"$root/tombstones", token)) {
+      // first attempt (or retry that died before its tombstones
+      // landed): tombstone the not-yet-deleted remainder. An all-
+      // covered batch is a pure no-op — nothing of it ever landed.
+      val dEff = tombstoneFrame(spark, root)
+        .fold(d)(t => d.join(t, Seq("doc_id"), "left_anti"))
+      if (dEff.isEmpty)
+        return scoredPostingsReaders(spark, basePath, buckets)
+      StagedCommit.appendOnce(s"$root/tombstones", token, Seq.empty, dEff)
+    }
+    graft.FailPoint.hit("bm25_delete_after_tombstones")
+    // the stats delta derives from THIS token's committed tombstone
+    // rows — frozen content, so a retry lands an identical row (and
+    // appendOnce's marker makes it once-ever). The postings rows are
+    // only MASKED by tombstones, never removed (purge-free artifact),
+    // so their denormalized dl is still readable here.
+    val mine = StagedCommit.readDelta(spark, s"$root/tombstones", token).get
     val present = StagedCommit.readCommitted(spark, s"$root/postings")
-      .join(dEff, Seq("doc_id"))
+      .join(mine, Seq("doc_id"))
       .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
     StagedCommit.appendOnce(s"$root/stats", token,
       Seq.empty, present.agg((-count(lit(1))).as("n_docs"),
         coalesce(-sum(col("dl")), lit(0L)).as("total_dl")))
-    graft.FailPoint.hit("bm25_delete_after_stats")
-    StagedCommit.appendOnce(s"$root/tombstones", token, Seq.empty, dEff)
     scoredPostingsReaders(spark, basePath, buckets)
   }
 

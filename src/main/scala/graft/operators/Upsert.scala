@@ -502,6 +502,14 @@ object Upsert {
     // subsequent read's listing and per-file task overhead
     EpochManifest.active(fs, root) match {
       case None =>
+        // the same non-null partition invariant every LATER write path
+        // enforces (their touched-dir collects require it row by row):
+        // without this, a null value lands as a __HIVE_DEFAULT_PARTITION__
+        // dir in manifest 0 — an unaddressable partition later merges
+        // refuse on and deleteFromManifested NPEs on (ADVICE r14)
+        require(updates.filter(col(partitionCol).isNull).limit(1).isEmpty,
+          s"null $partitionCol values are not supported by the " +
+            "manifested layout")
         dedupLatest(updates).repartition(col(partitionCol))
           .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
           .parquet(epochDir(0))
@@ -1241,7 +1249,21 @@ object Upsert {
       .map(_.dataType)
     val cmp: Option[(String, String) => Int] = dt.collect {
       case _: NumericType =>
-        (a: String, b: String) => BigDecimal(a).compare(BigDecimal(b))
+        // Double.parseDouble, not BigDecimal: Spark's min/max over a
+        // double column records "NaN"/"Infinity" in the #stats lines,
+        // which BigDecimal throws on — turning pruning into a read
+        // failure instead of the documented strictly-an-optimization
+        // (ADVICE r14). Double compare is SAFE for pruning even on
+        // int64/decimal values beyond 2^53: round-to-nearest is
+        // monotone, so two values can only COLLAPSE to equal (dir
+        // kept), never invert order (dir wrongly pruned). NaN sorts
+        // largest, matching Spark's ordering that produced the stats.
+        // Anything unparseable compares equal -> both bound checks
+        // pass -> the dir is read, never pruned.
+        (a: String, b: String) =>
+          try java.lang.Double.compare(java.lang.Double.parseDouble(a),
+            java.lang.Double.parseDouble(b))
+          catch { case _: NumberFormatException => 0 }
       case StringType => (a: String, b: String) => a.compareTo(b)
     }
     val stats = statsOf(lines)

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * Scale: audit rows are O(stages), not O(data) — a driver-side append of
   * a single row per stage; never a wide shuffle.
   */
-final class AuditLog(spark: SparkSession, path: String) {
+final class AuditLog(spark: SparkSession, path: String,
+                     mtimeSlackSeconds: Long = 60L) {
   import spark.implicits._
 
   // synchronized: concurrent append-mode writes to one parquet path share
@@ -51,19 +52,30 @@ final class AuditLog(spark: SparkSession, path: String) {
     * scan reads ONLY those files. The audit dir is append-only and
     * grows one tiny file per pipeline stage forever; an unbounded
     * window probe re-opened every footer on every redelivery check,
-    * O(total stages ever) per drain (VERDICT r13 #3). 60 s slack
-    * absorbs coarse mtime resolution / writer clock skew. */
+    * O(total stages ever) per drain (VERDICT r13 #3). The
+    * `mtimeSlackSeconds` constructor knob (default 60 s) absorbs
+    * coarse mtime resolution / writer clock skew; raise it for
+    * filesystems with worse fidelity. DEGRADED-MTIME FALLBACK: when
+    * the pruned listing finds zero in-window files but the directory
+    * holds rows, mtimes may not track write completion at all
+    * (object-store copies, restored/rsynced artifact dirs, skew
+    * beyond the slack) — fall back to the unpruned table, so broken
+    * mtime fidelity degrades to the old O(all files) scan instead of
+    * a FALSE NEGATIVE that re-admits already-succeeded work (ADVICE
+    * r14). The row-level `ts` predicate in [[checkStatus]] keeps the
+    * fallback's ANSWER identical either way. */
   private def recentTable(nowMillis: Long, maxAgeSeconds: Long): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return emptyTable
-    val cutoff = nowMillis - (maxAgeSeconds + 60L) * 1000L
-    val files = fs.listStatus(p).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
-        st.getModificationTime >= cutoff)
+    val cutoff = nowMillis - (maxAgeSeconds + mtimeSlackSeconds) * 1000L
+    val all = fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val files = all.filter(_.getModificationTime >= cutoff)
       .map(_.getPath.toString)
-    if (files.isEmpty) emptyTable
-    else spark.read.parquet(files: _*)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else if (all.isEmpty) emptyTable
+    else spark.read.parquet(path)
   }
 
   /** A5 / `sp_lambda_loading_check_status` (`R22:219-254`): was there a

@@ -805,4 +805,47 @@ class MergeManifestSpec extends SparkSpec {
       .select($"k", $"_change_type").as[(Long, String)].collect().toSet
     assert(feed2 == Set((5L, "insert")), feed2)
   }
+
+  test("a null partition value refuses on the FIRST merge too — it " +
+      "must never bake an unaddressable __HIVE_DEFAULT_PARTITION__ " +
+      "into manifest 0 (ADVICE r14)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmnull")
+      .toString + "/tbl"
+    intercept[IllegalArgumentException] {
+      Upsert.mergeIntoManifested(spark, path,
+        Seq((1L, Option.empty[String], 1.0, 1L), (2L, Some("a"), 2.0, 1L))
+          .toDF("k", "part", "v", "ver"), keys, "part", "ver")
+    }
+    // nothing was published: the table is still uninitialized and a
+    // clean batch starts it normally
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest_0")))
+    Upsert.mergeIntoManifested(spark, path,
+      rows((2, "a", 2.0, 1)), keys, "part", "ver")
+    assert(read(path) == Set((2L, "a", 2.0, 1L)))
+  }
+
+  test("zone maps over NaN/Infinity extremes: pruning stays an " +
+      "optimization, never a read failure (ADVICE r14)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmnan")
+      .toString + "/tbl"
+    // p1's max is NaN (Spark orders NaN largest), p2's max is +Inf —
+    // both land as unparseable-to-BigDecimal strings in the #stats
+    // lines; the reader must still answer exactly like a plain filter
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "p1", 1.0, 1), (2, "p1", Double.NaN, 1),
+        (3, "p2", 5.0, 1), (4, "p2", Double.PositiveInfinity, 1),
+        (5, "p3", 100.0, 1)),
+      keys, "part", "ver", statsCols = Seq("v"))
+    def range(lo: Any, hi: Any) =
+      Upsert.readManifestedRange(spark, path, "v", lo, hi)
+        .select($"k").as[Long].collect().toSet
+    // p1 kept (max NaN sorts above any lo), NaN row itself filtered
+    assert(range(0.5, 2.0) == Set(1L))
+    // p2's min 5.0 rules it out of (.., 2.0]; p3 pruned by min 100
+    assert(range(null, 2.0) == Set(1L))
+    // an Infinity upper bound keeps p2 and finds the Inf row
+    assert(range(50.0, Double.PositiveInfinity) == Set(4L, 5L))
+  }
 }

@@ -157,9 +157,10 @@ class TextIndexSpec extends SparkSpec {
     assert(topk(p2, st2) == topk(p1, st1))
     assert(st2.agg(sum($"n_docs")).as[Long].head() == 3L)
 
-    // kill between the stats and tombstone commits: scores are briefly
-    // computed against reduced totals, the retry lands the tombstones
-    graft.FailPoint.arm("bm25_delete_after_stats")
+    // kill between the tombstone and stats commits: the docs are
+    // already invisible to probes while the totals still count them
+    // (briefly conservative scores); the retry repairs the stats
+    graft.FailPoint.arm("bm25_delete_after_tombstones")
     try intercept[graft.FailPoint.Kill] {
       TextIndex.deleteScoredPostings(Seq(4L).toDF("id"), "id", base,
         buckets = 4)
@@ -168,6 +169,46 @@ class TextIndexSpec extends SparkSpec {
       Seq(4L).toDF("id"), "id", base, buckets = 4)
     assert(topk(p3, st3) == fromScratch(docs.filter($"id" > 4)))
     assert(st3.agg(sum($"n_docs")).as[Long].head() == 2L)
+  }
+
+  test("deleteScoredPostings: a crashed delete interleaved with an " +
+      "overlapping batch never double-subtracts, and its retry " +
+      "repairs exactly its own remainder (ADVICE r14)") {
+    val docs = Seq(
+      (1L, "spark join scan"), (2L, "join batch join"),
+      (3L, "spark batch"), (4L, "spark join other"),
+      (5L, "batch batch spark"), (6L, "join alone")).toDF("id", "txt")
+    val base = java.nio.file.Files
+      .createTempDirectory("textindex_del_ix").toString
+    TextIndex.buildScoredPostings(docs, "id", "txt", base, buckets = 4)
+    // batch A = {1, 2} dies between its tombstone and stats commits
+    graft.FailPoint.arm("bm25_delete_after_tombstones")
+    try intercept[graft.FailPoint.Kill] {
+      TextIndex.deleteScoredPostings(Seq(1L, 2L).toDF("id"), "id", base,
+        buckets = 4)
+    } finally graft.FailPoint.disarm()
+    // overlapping batch B = {2, 3} runs BEFORE A's retry: it must see
+    // A's committed tombstones and subtract only doc 3
+    TextIndex.deleteScoredPostings(Seq(2L, 3L).toDF("id"), "id", base,
+      buckets = 4)
+    // A's retry: same raw id set -> same token -> it re-derives the
+    // stats row from ITS OWN committed tombstone delta ({1, 2}), even
+    // though every one of its ids is now tombstoned
+    val (p, st) = TextIndex.deleteScoredPostings(
+      Seq(1L, 2L).toDF("id"), "id", base, buckets = 4)
+    // survivors = {4, 5, 6}: n_docs nets to 3 and each doc was
+    // subtracted exactly once (docs 1..3 carry 3+3+2 = 8 tokens of
+    // 16 total, leaving 8)
+    assert(st.agg(sum($"n_docs"), sum($"total_dl"))
+      .as[(Long, Long)].head() == ((3L, 8L)))
+    val got = TextIndex.bm25TopK(p, st, Seq("spark", "join"), k = 6,
+      buckets = 4).as[(Long, Double)].collect().toSeq
+    val fsBase = java.nio.file.Files
+      .createTempDirectory("textindex_del_ix_fs").toString
+    val (fp2, fs2) = TextIndex.buildScoredPostings(
+      docs.filter($"id" > 3), "id", "txt", fsBase, buckets = 4)
+    assert(got == TextIndex.bm25TopK(fp2, fs2, Seq("spark", "join"),
+      k = 6, buckets = 4).as[(Long, Double)].collect().toSeq)
   }
 
   test("bm25TopK: hand-computed scores, rank order, tf saturation") {

@@ -40,4 +40,29 @@ class AuditLogSpec extends SparkSpec {
     assert(audit.countFailures("f_old") == 0)
     assert(audit.table().count() == 2)
   }
+
+  test("degraded mtime fidelity falls back to the unpruned scan " +
+      "instead of a false negative (ADVICE r14)") {
+    val dir = Files.createTempDirectory("graft_audit_mt").toString
+    val audit = new AuditLog(spark, dir)
+    val now = System.currentTimeMillis()
+    // an IN-WINDOW success whose file mtime lies far in the past —
+    // the restored/rsynced-artifact-dir shape where mtime does not
+    // track write completion
+    audit.append("loading", "f_x", 1, now - 60 * 1000L)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).foreach { st =>
+      if (st.isFile) fs.setTimes(st.getPath, now - 86400 * 1000L, -1)
+    }
+    // the pruned listing finds nothing in-window, but the dir is
+    // non-empty: the fallback full read finds the row by its ts —
+    // a suppression probe must NOT re-admit already-succeeded work
+    assert(audit.checkStatus("loading", "f_x", 1800, now,
+      exact = true) == 1)
+    // the slack knob widens the pruning window without the fallback
+    val wide = new AuditLog(spark, dir, mtimeSlackSeconds = 2 * 86400L)
+    assert(wide.checkStatus("loading", "f_x", 1800, now,
+      exact = true) == 1)
+  }
 }
