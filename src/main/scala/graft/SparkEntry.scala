@@ -1778,6 +1778,120 @@ object SparkEntry {
           col("_change_type"))
     }),
 
+    "j28_changes_since" -> ((s, dir) => {
+      // POLL-AND-CHECKPOINT change-feed consumption — the shape most
+      // CDC consumers actually run: poll 1 after the update wave gets
+      // the 0->1 diff and checkpoint 1; poll 2 after the delete wave
+      // gets the 1->2 diff and checkpoint 2; poll 3 while up to date
+      // returns the empty schema-shaped feed and the same checkpoint
+      // (its rows contribute nothing, but its shape must union
+      // cleanly — the consumer's loop never special-cases idle). The
+      // oracle is the union of the two interval diffs, each tagged
+      // with its poll number.
+      val base = s"${artifactBase(dir)}/merge_since"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      val (feed1, ck1) = operators.Upsert.changesSince(s, base, 0, keys)
+      val f1 = feed1.withColumn("poll", lit(1L)).localCheckpoint()
+      operators.Upsert.deleteKeysFromManifested(s, base,
+        o.filter(col("o_orderkey") % 11 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey")),
+        keys, "o_orderstatus", retain = 4)
+      val (feed2, ck2) = operators.Upsert.changesSince(s, base, ck1, keys)
+      val f2 = feed2.withColumn("poll", lit(2L)).localCheckpoint()
+      val (feed3, ck3) = operators.Upsert.changesSince(s, base, ck2, keys)
+      require(ck3 == ck2, s"idle poll moved the checkpoint: $ck2 -> $ck3")
+      f1.unionByName(f2).unionByName(feed3.withColumn("poll", lit(3L)))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("ver"), col("_change_type"),
+          col("poll"))
+        .orderBy(col("poll"), col("o_orderkey"), col("o_orderstatus"),
+          col("_change_type"))
+    }),
+
+    "j29_cdf_rename" -> ((s, dir) => {
+      // CHANGE FEED ACROSS A RENAME (VERDICT r14 #3): the interval
+      // 0 -> 3 contains a metadata-only rename (qty -> quantity) between
+      // its two data waves; changesBetween walks the interval's
+      // manifests for the one-shot #rename event lines and reads the
+      // BEFORE side under the to-side logical names — pre-rename
+      // updates and the post-rename delete emit one coherent feed
+      // under the final name, no two-hop caller workaround. Oracle =
+      // the same pre/post/delete model as j27, under `quantity`.
+      val base = s"${artifactBase(dir)}/merge_cdf_rn"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_orderkey") % 97).cast("long").as("qty"),
+          lit(1L).as("ver")), keys, "o_orderstatus", "ver", retain = 6)
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_orderkey") % 97 + 1000).cast("long").as("qty"),
+            lit(2L).as("ver")), keys, "o_orderstatus", "ver", retain = 6)
+      operators.Upsert.renameManifestedColumn(s, base, "qty", "quantity",
+        retain = 6)
+      operators.Upsert.deleteKeysFromManifested(s, base,
+        o.filter(col("o_orderkey") % 11 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey")),
+        keys, "o_orderstatus", retain = 6)
+      operators.Upsert.changesBetween(s, base, 0, 3, keys)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("quantity"), col("ver"), col("_change_type"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"),
+          col("_change_type"))
+    }),
+
+    "j30_merge_dropcol" -> ((s, dir) => {
+      // DROP-COLUMN EVOLUTION with tombstone semantics (VERDICT r14
+      // #4): `tag` is dropped metadata-only (zero data movement — the
+      // epoch-0 files still physically store the retired bytes), then
+      // RE-ADDED by a later merge wave. The dead-marker pmap entries
+      // must make the re-added column read NULL from pre-drop files
+      // (no resurrection of retired values), while time travel to the
+      // pre-drop manifest still reconstructs the table WITH its
+      // original tags — both snapshots in one result, disambiguated by
+      // `src`. Oracle computes each side directly.
+      val base = s"${artifactBase(dir)}/merge_dropcol"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.select(col("o_orderkey"), col("o_orderstatus"),
+          concat(lit("old_"), (col("o_orderkey") % 3).cast("string"))
+            .as("tag"),
+          lit(1L).as("ver")), keys, "o_orderstatus", "ver", retain = 6)
+      operators.Upsert.dropManifestedColumn(s, base, "tag", retain = 6)
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            lit("new").as("tag"), lit(2L).as("ver")),
+        keys, "o_orderstatus", "ver", retain = 6)
+      val current = operators.Upsert.readManifested(s, base)
+        .withColumn("src", lit("current"))
+      val historical = operators.Upsert.readManifestedAt(s, base, 0)
+        .withColumn("src", lit("epoch0"))
+      current.unionByName(historical)
+        .select(col("src"), col("o_orderkey"), col("o_orderstatus"),
+          col("tag"), col("ver"))
+        .orderBy(col("src"), col("o_orderkey"), col("o_orderstatus"))
+    }),
+
     "u4_union_evolve" -> ((s, dir) => {
       // schema-evolution union: a legacy slice without the status
       // column unions BY NAME with the current schema
@@ -4162,6 +4276,37 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    "x_sim_bq_del" -> ((s, dir) => {
+      // TOMBSTONE DELETE on the binary-quantization index — completes
+      // the delete sweep across the index family (IVF got it in r14):
+      // every %7 id lands as one exactly-once tombstone delta, masked
+      // at the rows() choke point so BOTH passes (hamming candidate
+      // scan and exact rerank) see only survivors. Delete must equal
+      // from-scratch: the oracle replays x_sim_bq_index's algebra over
+      // the surviving corpus, with the centering means kept FROZEN at
+      // build time over the full indexed corpus (deletes never
+      // retrain — the FAISS remove_ids contract).
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val idx = bqDeleteFor(s, dir, emb.filter(col("vec_id") =!= 0))
+      idx.search("vec_id", "embedding", q, k = 10, rerank = 40)
+    }),
+
+    "x_sim_lsh_del" -> ((s, dir) => {
+      // TOMBSTONE DELETE on the LSH forest: one tombstone delta masks
+      // all numTables copies of a row at once — the view-level mask is
+      // numTables x cheaper than a physical delete until purgeDeletes
+      // folds it away (LshIndexSpec). The query vector itself
+      // (vec_id 0 = 0 mod 7) is among the deleted, so the probe must
+      // not resurrect even its bucket-identical self — the oracle
+      // re-derives buckets from the pasted planes over survivors only.
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val idx = lshDeleteFor(s, dir, emb)
+      idx.search("vec_id", "embedding", q, k = 10)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     "x_sim_filtered" -> ((s, dir) => {
       // FILTERED ANN (the "similar AND attribute" production shape):
       // the predicate evaluates against the rows the index stores and
@@ -4605,6 +4750,36 @@ object SparkEntry {
         dim = LshDim, numTables = LshTables, bitsPerTable = LshBits,
         seed = LshSeed)
       idx.build(emb, "vec_id", "embedding")
+      idx
+    })
+
+  /** Tombstoned twins of the BQ / LSH artifacts for the delete gates —
+    * each in its OWN dir (the shared indexes must stay delete-free:
+    * their oracles replay the full corpus), built once, then every %7
+    * id deleted. The deletes replay as no-ops across JVMs via the
+    * content-derived tombstone token, so reusing the artifact never
+    * double-applies — same protocol as [[ivfDeleteFor]]. */
+  private val bqDelBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, operators.BqIndex]
+  private def bqDeleteFor(s: SparkSession, dir: String,
+                          emb: DataFrame): operators.BqIndex =
+    bqDelBuilt.getOrElseUpdate(dir, {
+      val idx = new operators.BqIndex(s, s"${artifactBase(dir)}/bq_del")
+      if (!idx.exists()) idx.build(emb, "vec_id", "embedding")
+      idx.delete(emb.filter(col("vec_id") % 7 === 0), "vec_id")
+      idx
+    })
+
+  private val lshDelBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, operators.LshIndex]
+  private def lshDeleteFor(s: SparkSession, dir: String,
+                           emb: DataFrame): operators.LshIndex =
+    lshDelBuilt.getOrElseUpdate(dir, {
+      val idx = new operators.LshIndex(s, s"${artifactBase(dir)}/lsh_del",
+        dim = LshDim, numTables = LshTables, bitsPerTable = LshBits,
+        seed = LshSeed)
+      idx.build(emb, "vec_id", "embedding")
+      idx.delete(emb.filter(col("vec_id") % 7 === 0), "vec_id")
       idx
     })
 
@@ -6309,6 +6484,79 @@ object SparkEntry {
                 _change_type
          FROM chg
          ORDER BY o_orderkey, o_orderstatus, _change_type""",
+
+    // poll-and-checkpoint: poll 1 carries the 0->1 update pre/post
+    // pairs (ALL %5 keys — nothing deleted yet), poll 2 the 1->2
+    // delete pre-images at their MANIFEST-1 values (%55 keys show the
+    // updated price and ver 2), poll 3 is empty
+    "j28_changes_since" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 = 0),
+              p1 AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(1 AS BIGINT) AS ver,
+                  'update_preimage' AS _change_type,
+                  CAST(1 AS BIGINT) AS poll
+           FROM base WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0, 2,
+                  'update_postimage', 1
+           FROM base WHERE o_orderkey % 5 = 0),
+              p2 AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS o_totalprice,
+                  CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END
+                       AS BIGINT) AS ver,
+                  'delete' AS _change_type, CAST(2 AS BIGINT) AS poll
+           FROM base WHERE o_orderkey % 11 = 0)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, ver,
+                _change_type, poll
+         FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+         ORDER BY poll, o_orderkey, o_orderstatus, _change_type""",
+
+    // a rename inside the feed interval is pure metadata: the diff is
+    // exactly j27's pre/post/delete model, under the FINAL name
+    "j29_cdf_rename" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders
+                       WHERE o_orderkey % 7 = 0),
+              chg AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(o_orderkey % 97 AS BIGINT) AS quantity,
+                  CAST(1 AS BIGINT) AS ver,
+                  'update_preimage' AS _change_type
+           FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_orderkey % 97 + 1000, 2,
+                  'update_postimage'
+           FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_orderkey % 97, 1, 'delete'
+           FROM base WHERE o_orderkey % 11 = 0)
+         SELECT o_orderkey, o_orderstatus, quantity, ver, _change_type
+         FROM chg ORDER BY o_orderkey, o_orderstatus, _change_type""",
+
+    // drop + re-add: the current read carries NULL tags except the
+    // re-add wave (retired epoch-0 bytes never resurrect); time travel
+    // to manifest 0 still reconstructs the original tags
+    "j30_merge_dropcol" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders
+                       WHERE o_orderkey % 7 = 0),
+              cur AS (
+           SELECT 'current' AS src, o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 5 = 0 THEN 'new'
+                       ELSE NULL END AS tag,
+                  CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END
+                       AS BIGINT) AS ver
+           FROM base),
+              hist AS (
+           SELECT 'epoch0', o_orderkey, o_orderstatus,
+                  'old_' || CAST(o_orderkey % 3 AS VARCHAR),
+                  CAST(1 AS BIGINT)
+           FROM base)
+         SELECT src, o_orderkey, o_orderstatus, tag, ver
+         FROM (SELECT * FROM cur UNION ALL SELECT * FROM hist)
+         ORDER BY src, o_orderkey, o_orderstatus""",
 
     // the delete removes every %3 key from the merge model
     "j25_merge_delete" ->
@@ -8819,6 +9067,70 @@ object SparkEntry {
                     FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
          SELECT vec_id, score FROM s
          ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // BQ delete == from-scratch over survivors: the hamming candidate
+    // pass and the exact rerank both run on the masked view, while the
+    // centering means stay frozen at build time (full indexed corpus)
+    "x_sim_bq_del" ->
+      """WITH m AS (SELECT i, round(avg(x), 6) AS mx
+                    FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+                                 generate_subscripts(embedding, 1) AS i
+                          FROM embeddings WHERE vec_id <> 0)
+                    GROUP BY i),
+              q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+              e AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings
+                    WHERE vec_id <> 0 AND vec_id % 7 <> 0),
+              ham AS (SELECT e.vec_id,
+                             sum(CASE WHEN (e.x > m.mx) <> (q.qx > m.mx)
+                                 THEN 1 ELSE 0 END) AS h
+                      FROM e JOIN q ON e.i = q.i JOIN m ON m.i = e.i
+                      GROUP BY 1),
+              cand AS (SELECT vec_id FROM ham ORDER BY h ASC, vec_id
+                       LIMIT 40),
+              s2 AS (SELECT e.vec_id,
+                            round(sum(e.x * q.qx) /
+                              (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))),
+                              6) AS score
+                     FROM e JOIN q ON e.i = q.i
+                     WHERE e.vec_id IN (SELECT vec_id FROM cand)
+                     GROUP BY e.vec_id)
+         SELECT vec_id, score FROM s2
+         ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // LSH delete == from-scratch over survivors: buckets re-derived
+    // from the pasted planes, candidates and rerank masked to %7 <> 0
+    // (which also covers the deleted query vector, vec_id 0)
+    "x_sim_lsh_del" ->
+      s"""WITH planes(t, w, i, p) AS (VALUES $lshPlaneValues),
+         q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings WHERE vec_id % 7 <> 0),
+         ed AS (SELECT e.vec_id, pl.t, pl.w, sum(e.x * pl.p) AS d
+                FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2, 3),
+         eb AS (SELECT vec_id, t,
+                       sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS bkt
+                FROM ed GROUP BY 1, 2),
+         qd AS (SELECT pl.t, pl.w, sum(q.qx * pl.p) AS d
+                FROM q JOIN planes pl ON q.i = pl.i GROUP BY 1, 2),
+         qb AS (SELECT t, sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS bkt
+                FROM qd GROUP BY 1),
+         cand AS (SELECT DISTINCT eb.vec_id
+                  FROM eb JOIN qb ON eb.t = qb.t AND eb.bkt = qb.bkt),
+         s AS (SELECT e.vec_id,
+                      round(sum(e.x * q.qx) /
+                        (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+               FROM e JOIN q ON e.i = q.i
+               WHERE e.vec_id IN (SELECT vec_id FROM cand)
+               GROUP BY 1)
+         SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10""",
 
     // storage maintenance must never change content: after the hot-cell
     // split, a full probe over the live cells is exactly brute-force
