@@ -853,6 +853,21 @@ object Upsert {
       col("_e.t").as("_change_type"): _*)
   }
 
+  /** The active manifest's recorded logical schema, or None for an
+    * uninitialized table / a legacy manifest written before the `#ddl`
+    * header. Public because consumers that SHAPE things around the
+    * table (the streaming CDF source's pinned file-stream schema) need
+    * the same answer the readers resolve internally. */
+  def manifestedSchema(spark: org.apache.spark.sql.SparkSession,
+                       tablePath: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    EpochManifest.active(fs, root).flatMap { case (_, lines) =>
+      ddlOf(lines).map(org.apache.spark.sql.types.StructType.fromDDL)
+    }
+  }
+
   /** Incremental change-feed consumption — the poll-and-checkpoint
     * shape most CDC consumers actually run: everything that changed
     * since the epoch the caller last processed, plus the epoch to

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import graft.operators.{StagedCommit, Upsert}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** STREAMING CHANGE-DATA-FEED SOURCE — the read twin of
+  * [[MergeSink.startCdc]] (VERDICT r14 #2): where the sink applies a
+  * change stream INTO the manifested table, this emits the table's own
+  * changes OUT as a stream a downstream incremental consumer can tail
+  * (the reference's report-building trigger,
+  * `2.2 loading-lambda-for-mysql.py:344-375`, but incremental — the
+  * report updates from the delta instead of rescanning the table).
+  *
+  * Spark has no stable hook for a custom exactly-once micro-batch
+  * source short of a full DataSource V2 stream, and the CDF diff is a
+  * whole DataFrame program (two-sided manifest-pruned read + full-outer
+  * join — [[Upsert.changesBetween]]), not a per-partition file scan, so
+  * the design splits the problem the lakehouse way:
+  *
+  *   1. [[pollOnce]] — the MANIFEST POLLER: reads the table's active
+  *      manifest, computes `changesSince(lastSeen)`, and lands the
+  *      interval's feed in `feedDir` as ONE exactly-once delta whose
+  *      token IS the interval (`cdf_<from>_<to>`). The feed artifact is
+  *      its own checkpoint: `lastSeen` is recovered from the committed
+  *      token markers, so a poller crash anywhere re-polls the same
+  *      interval and [[StagedCommit.appendOnce]]'s marker makes the
+  *      retry a no-op. No side-channel state to lose or desync.
+  *   2. [[feedStream]] — the CONSUMER: a real Structured Streaming file
+  *      source over `feedDir`. Parquet files appear atomically (staged
+  *      rename), so each file is all-or-nothing to the stream; the
+  *      consumer's own checkpoint gives it exactly-once file delivery.
+  *   3. [[start]] — the LIVE PUMP: a rate-micro-batch-driven query that
+  *      runs one [[pollOnce]] per trigger tick, for deployments where
+  *      the poll cadence should ride Spark's trigger/restart machinery
+  *      rather than an external scheduler.
+  *
+  * Delivery contract: exactly-once per interval when polls complete.
+  * A poller killed MID-append can leave committed-named files without
+  * their marker; the next poll sweeps every uncommitted `cdf_` delta
+  * before appending (self-heal), but a consumer that raced the crash
+  * window may have already read such a file — at-least-once under
+  * emitter crashes, which the house apply-side contract (max-version
+  * merge / key-batch delete, [[MergeSink.startCdc]]) absorbs by
+  * construction. Single poller per feed dir, like every maintainer of
+  * an appendOnce artifact.
+  *
+  * Schema evolution: a RENAME inside a polled interval composes
+  * automatically (changesBetween walks the `#rename` event lines) —
+  * the feed continues under the new name, and `feedDir` accumulates
+  * files of both spellings; [[feedStream]] pins the CURRENT schema, so
+  * old-name files surface the renamed column as null — re-feed from a
+  * fresh dir after a rename if the consumer needs the history under
+  * one name. A DROP of a live column refuses loudly at poll time (a
+  * diff under a re-addable name would lie — same two-hop contract as
+  * the batch feed). 100 TB shape: each poll costs the CHANGED
+  * partitions only (manifest-diff pruning in changesBetween), the
+  * checkpoint recovery is one directory listing, and the feed is
+  * bounded by real change volume — poll more often to bound interval
+  * size, never by table size. */
+object CdfSource {
+
+  private val TokenRe = """cdf_(\d+)_(\d+)""".r
+
+  /** The interval the committed feed already covers: max `to` over the
+    * committed `cdf_<from>_<to>` markers, or None for an empty feed. */
+  def lastFedEpoch(spark: SparkSession, feedDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val tos = fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("_delta_") && n.endsWith("_SUCCESS") =>
+        n.stripPrefix("_delta_").stripSuffix("_SUCCESS")
+    }.collect { case TokenRe(_, to) => to.toLong }
+    if (tos.isEmpty) None else Some(tos.max)
+  }
+
+  /** One poll: emit everything that changed since the feed's last
+    * committed interval (from table creation, epoch 0, for a fresh
+    * feed) and commit it under the interval token. Returns the
+    * interval fed, or None when the table is already fully fed (or has
+    * no manifest yet). Rows carry `_from_epoch`/`_to_epoch` so a
+    * consumer can order and attribute intervals without filename
+    * archaeology. */
+  def pollOnce(spark: SparkSession, tablePath: String, keys: Seq[String],
+               feedDir: String): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // self-heal the crash window: sweep feed files whose `cdf_` token
+    // never committed (a poller killed mid-append left them; their
+    // interval will be re-fed whole under whatever token the CURRENT
+    // table head yields, so they must not linger for the consumer)
+    if (fs.exists(p)) {
+      val committed = fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .collect {
+          case n if n.startsWith("_delta_") && n.endsWith("_SUCCESS") =>
+            n.stripPrefix("_delta_").stripSuffix("_SUCCESS")
+        }.toSet
+      fs.listStatus(p).foreach { st =>
+        val tok = StagedCommit.deltaToken(st.getPath.getName)
+        if (st.isFile && tok.exists(t =>
+            t.startsWith("cdf_") && !committed.contains(t)))
+          fs.delete(st.getPath, false)
+      }
+    }
+    val since = lastFedEpoch(spark, feedDir).getOrElse(0L)
+    val tp = new org.apache.hadoop.fs.Path(tablePath)
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!tfs.exists(tp)) return None // table not created yet: idle poll
+    val (feed, active) = Upsert.changesSince(spark, tablePath, since, keys)
+    if (active == since) return None
+    StagedCommit.appendOnce(feedDir, s"cdf_${since}_$active", Seq.empty,
+      feed.withColumn("_from_epoch", lit(since))
+        .withColumn("_to_epoch", lit(active)))
+    Some((since, active))
+  }
+
+  /** The consumer half: a REAL streaming read of the feed artifact.
+    * Schema is pinned from the table's CURRENT recorded schema (file
+    * streams cannot infer), ordered exactly as [[Upsert.changesSince]]
+    * emits: keys, values, `_change_type`, then the interval columns. */
+  def feedStream(spark: SparkSession, tablePath: String,
+                 keys: Seq[String], feedDir: String): DataFrame =
+    spark.readStream.schema(feedSchema(spark, tablePath, keys))
+      .parquet(feedDir)
+
+  /** The feed's row shape for the table's current schema. */
+  def feedSchema(spark: SparkSession, tablePath: String,
+                 keys: Seq[String]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val sch = Upsert.manifestedSchema(spark, tablePath).getOrElse(
+      throw new IllegalStateException(
+        s"feedStream needs a recorded schema under $tablePath"))
+    val ordered = keys.map(k =>
+      sch.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"feedStream: key '$k' is not a column of $tablePath"))) ++
+      sch.fields.filterNot(f => keys.exists(_.equalsIgnoreCase(f.name)))
+    StructType(ordered.toArray :+
+      StructField("_change_type", StringType) :+
+      StructField("_from_epoch", LongType) :+
+      StructField("_to_epoch", LongType))
+  }
+
+  /** The live pump: one [[pollOnce]] per trigger tick, carried by a
+    * rate-micro-batch source (the tick content is discarded — the
+    * manifest chain is the real input; Spark's trigger, restart, and
+    * checkpoint machinery drive the cadence). Poll state needs no
+    * checkpoint of its own: it is re-derived from the feed artifact,
+    * so this query can be killed and restarted anywhere. */
+  def start(spark: SparkSession, tablePath: String, keys: Seq[String],
+            feedDir: String, checkpointDir: String,
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+      : StreamingQuery =
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 1).load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        pollOnce(spark, tablePath, keys, feedDir)
+        ()
+      }
+      .start()
+}
