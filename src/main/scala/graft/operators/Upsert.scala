@@ -392,6 +392,58 @@ object Upsert {
     }
   }
 
+  /** RESOLVE-AND-ACT retry wrapper for the manifested readers'
+    * staleness contract (VERDICT r14 #4): [[scd2ReadManifested]] /
+    * [[readManifested]] resolve files at CALL time but scan at the
+    * caller's ACTION, so a reader lagging the writer past the retained
+    * epoch window can hit FileNotFoundException mid-scan when the
+    * sweep reclaims its snapshot dir. The contractual recovery is
+    * re-resolve-then-re-act — which cannot live inside the readers (the
+    * DataFrame is lazy; the failure surfaces in caller code), but CAN
+    * live at the action boundary, which is exactly where this wrapper
+    * sits. `resolve` runs fresh on every attempt (re-reading the newest
+    * manifest); any failure whose cause chain is a vanished file
+    * retries, anything else propagates untouched. Retries are bounded:
+    * each one lands on a strictly newer manifest, so more retries than
+    * `maxRetries` concurrent merges means something else is wrong and
+    * the last failure is rethrown. NOTE the action re-runs WHOLE — it
+    * must be idempotent or side-effect-free (counts, collects, writes
+    * to a fresh dir all qualify; appends do not). */
+  def withManifestedRetry[T](spark: org.apache.spark.sql.SparkSession,
+                             maxRetries: Int = 3)
+                            (resolve: => DataFrame)
+                            (action: DataFrame => T): T = {
+    var attempt = 0
+    while (true) {
+      try return action(resolve)
+      catch {
+        case e: Throwable if isFileNotFound(e) && attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Is this failure (anywhere down its cause chain) a vanished-file
+    * scan error — the staleness signature the manifested sweep
+    * produces? Spark wraps executor-side FileNotFoundException in
+    * SparkException layers (FAILED_READ_FILE / FILE_NOT_EXIST error
+    * classes in Spark 4), so both the exception type and the message
+    * forms are probed. */
+  def isFileNotFound(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 20) {
+      if (cur.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = cur.getMessage
+      if (m != null && (m.contains("FileNotFoundException") ||
+          m.contains("FILE_NOT_EXIST"))) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
   /** Snapshot reader for [[scd2MergeManifested]] tables: the active
     * manifest's current snapshot plus exactly its listed closed deltas,
     * with the same `status` column the dynamic-partition layout
@@ -408,7 +460,9 @@ object Upsert {
     * built-in retry cannot live here — the DataFrame is lazy, so the
     * failure surfaces in caller code, not this frame
     * (Scd2ManifestSpec's concurrent-reader test exercises exactly this
-    * contract). */
+    * contract). Production callers: wrap resolve+action in
+    * [[withManifestedRetry]], which owns the re-resolve loop at the
+    * action boundary. */
   def scd2ReadManifested(spark: org.apache.spark.sql.SparkSession,
                          tablePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(tablePath)

@@ -826,6 +826,41 @@ class MergeManifestSpec extends SparkSpec {
     assert(read(path) == Set((2L, "a", 2.0, 1L)))
   }
 
+  test("withManifestedRetry: a reader lagging past the retained epoch " +
+      "hits FileNotFound at action time and survives by re-resolving " +
+      "(VERDICT r14)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmretry")
+      .toString + "/tbl"
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 1.0, 1), (3, "b", 3.0, 1)), keys, "part", "ver")
+    // resolve NOW (manifest 0), act LATER — the lazy-reader lag shape
+    val stale = Upsert.readManifested(spark, path)
+    // three merges at default retain=2: _e0/part=a is reclaimed
+    (2 to 4).foreach { v =>
+      Upsert.mergeIntoManifested(spark, path,
+        rows((1, "a", v.toDouble, v.toLong)), keys, "part", "ver")
+    }
+    val ex = intercept[Throwable] { stale.count() }
+    assert(Upsert.isFileNotFound(ex), s"expected a vanished-file error: $ex")
+    // the wrapper owns the contractual recovery: attempt 1 replays the
+    // stale frame (deterministic lag), attempt 2 re-resolves and wins
+    var resolves = 0
+    val n = Upsert.withManifestedRetry(spark) {
+      resolves += 1
+      if (resolves == 1) stale else Upsert.readManifested(spark, path)
+    }(_.count())
+    assert(n == 2L && resolves == 2, s"n=$n resolves=$resolves")
+    // a non-staleness failure propagates untouched, no retry loop
+    var calls = 0
+    intercept[IllegalArgumentException] {
+      Upsert.withManifestedRetry(spark) {
+        calls += 1
+        stale
+      }(_ => throw new IllegalArgumentException("real bug"))
+    }
+    assert(calls == 1)
+  }
+
   test("zone maps over NaN/Infinity extremes: pruning stays an " +
       "optimization, never a read failure (ADVICE r14)") {
     val path = java.nio.file.Files.createTempDirectory("graft_mmnan")
