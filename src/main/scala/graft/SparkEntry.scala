@@ -3442,6 +3442,14 @@ object SparkEntry {
       // single-delivery answer straight from nation — duplicate merges,
       // lost suppression, a leaked trap row, or a mis-aggregated report
       // all hash-mismatch. See graft.pipeline.IngestE2E.
+      //
+      // BUDGET ATTRIBUTION (the stderr [load]/[report]/[ingest_e2e]
+      // lines, VERDICT r14 #5): drain 1 owns most of the gate — cold
+      // scan+reconcile (s2 ~2 s per file) plus the first merge
+      // (s3 ~3 s); drains 2-3 are suppression-window probes
+      // (s1 0.2-0.4 s each) + one small merge + report export. The
+      // floor is therefore three-drain-shaped, not data-shaped: it
+      // moves with streaming-stack startup cost, never with SF.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try graft.pipeline.IngestE2E.run(s, dir,

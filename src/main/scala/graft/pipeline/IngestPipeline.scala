@@ -48,11 +48,33 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
   private def now(): Long = System.currentTimeMillis()
 
 
+  /** Wall-clock accumulator per load stage — the attribution the e2e
+    * gate's drain budget was missing (VERDICT r14 #5): without
+    * per-stage millis every suite-median drift on the most expensive
+    * gate reads as a mystery. Driver-side nanos only; the cost is two
+    * clock reads per stage transition. */
+  private final class StageClock {
+    private var cur = 0
+    private var mark = System.nanoTime()
+    private val acc = scala.collection.mutable.SortedMap.empty[Int, Long]
+    private def flush(): Unit = {
+      val t = System.nanoTime()
+      acc(cur) = acc.getOrElse(cur, 0L) + (t - mark)
+      mark = t
+    }
+    def advance(next: Int): Unit = { flush(); cur = next }
+    def summary(): String = {
+      flush()
+      acc.map { case (s, n) => f"s$s=${n / 1e6}%.0fms" }.mkString(" ")
+    }
+  }
+
   /** The loader Lambda's whole body, stage-tagged like the reference
     * (`stage` 0..5, `R22:153,220,268,297,306,340`). */
   def load(csvPath: String): LoadResult = {
     import IngestPipeline.FailPoint
     var stage = 0
+    val clock = new StageClock
     try {
       FailPoint.hit("s0_enter")
       // stage 0: existence probe (P6) — another worker may have consumed it
@@ -62,7 +84,7 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
         return LoadResult(2, stage, "file absent (already processed?)", 0, 0)
 
       // stage 1: dedup-suppression window (ST3, `R22:219-254`)
-      stage = 1
+      stage = 1; clock.advance(1)
       // exact match: only the TERMINAL "loading" success row may
       // suppress a redelivery — the substring form also matched the
       // mid-flight "loading: temp table creation" row, so a kill
@@ -74,7 +96,7 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
       FailPoint.hit("s1_after_suppress_check")
 
       // stage 2: scan + canonical projection (S4/S5/P1)
-      stage = 2
+      stage = 2; clock.advance(2)
       FailPoint.hit("s2_before_reconcile")
       val raw = Ingest.readPriceIndexCsv(spark, csvPath)
       val rec = Ingest.reconcile(raw, maxErrors)
@@ -118,7 +140,7 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
       // outright. Stages 0-2 (the heavy distributed CSV work) stay
       // concurrent; WITHIN the lock, mergeVersioned makes the landed
       // table independent of which loader got the lock first.
-      stage = 3
+      stage = 3; clock.advance(3)
       FailPoint.hit("s3_before_merge")
       mergeLock.synchronized {
         Upsert.mergeIntoPartitioned(spark, permanentPath, staged,
@@ -141,6 +163,11 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
       case e: Exception =>
         audit.append("loading", fileKey(csvPath), -1, now())
         LoadResult(0, stage, Option(e.getMessage).getOrElse(e.toString), 0, 0)
+    } finally {
+      // one line per load: which stage owned the time (s0 probe,
+      // s1 suppression window, s2 scan+reconcile, s3 merge+audit)
+      System.err.println(
+        s"[load] ${fileKey(csvPath)} ${clock.summary()}")
     }
   }
 
@@ -168,8 +195,14 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
       .groupBy(year(col("Date")).as("y"), month(col("Date")).as("m"),
         col("GEO").as("geo"), col("Products").as("category"))
       .agg(avg(col("VALUE")).as("avg_value"), count(lit(1)).as("n"))
+    val t0 = System.nanoTime()
     report.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(outDir)
+    // the drain-log sibling of [load]'s stage summary: the e2e gate
+    // exports a report per drain, and the export job is the other
+    // candidate owner of its budget (VERDICT r14 #5)
+    System.err.println(f"[report] $yearParam-$monthParam exported in " +
+      f"${(System.nanoTime() - t0) / 1e6}%.0fms")
     audit.append("reporting", s"$yearParam-$monthParam", 1, now())
     // EP1 success channel: report-completion notification
     // (`R22:695-715`, success topic)
