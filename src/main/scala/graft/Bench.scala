@@ -2,19 +2,35 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      // SPARK_GRAFT_SHUFFLE decouples shuffle-partition count from core
-      // count for scale probes (partitions should track INPUT size on a
-      // real cluster; the probe legs verify that explanation)
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.plans.GraftExtensions.install(spark)
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        // SPARK_GRAFT_SHUFFLE decouples shuffle-partition count from core
+        // count for scale probes (partitions should track INPUT size on a
+        // real cluster; the probe legs verify that explanation)
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      graft.plans.GraftExtensions.install(s)
+      s
+    }
+    // SESSION-RECYCLE probe leg (VERDICT r14 #7): every N queries, stop
+    // the SparkContext and start a fresh one — shedding the executor
+    // state (cached checkpoint blocks, block-manager entries, old-gen
+    // fragments) that the iso_shared_child probe proved accumulates
+    // across a 247-query suite and contaminates later medians. JIT code
+    // cache survives (same JVM), so this isolates the executor-state
+    // share of the contamination specifically. Probe-only: recycle runs
+    // skip the isolation pass and never persist floors — their medians
+    // carry a different pedigree than the standard protocol's.
+    val recycleEvery =
+      sys.env.getOrElse("SPARK_GRAFT_RECYCLE_EVERY", "0").toInt
+    var spark = newSession()
     // drop build-once artifacts (IVF index, pair/simhash/media tables) so
     // each artifact-backed query's FIRST sample pays its build — the
     // honest cold number — while the median reflects steady-state reuse
@@ -82,9 +98,19 @@ object Bench {
     // allRaw keeps every sample (warmups included) for the published
     // per-sample spread; allSamples is the post-warmup window that all
     // cold/median/floor math sees
+    var sinceRecycle = 0
     val allRaw = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        if (recycleEvery > 0 && sinceRecycle >= recycleEvery) {
+          spark.stop()
+          // index wrappers cache their (now stopped) session; drop them
+          // so rebuilt wrappers re-open the on-disk artifacts fresh
+          SparkEntry.resetSessionCaches()
+          spark = newSession()
+          sinceRecycle = 0
+        }
+        sinceRecycle += 1
         name -> (1 to (warmup + runs)).map(_ => sample(name, fn)) }
     val allSamples = allRaw.map { case (n, ss) => n -> ss.drop(warmup) }
     val results = allSamples.map { case (name, samples) =>
@@ -152,7 +178,8 @@ object Bench {
     // sub-noise queries can double on scheduler jitter alone), worst
     // ratios first; the cap only bounds a catastrophically noisy run
     val flagged: Seq[String] =
-      if (only.isDefined) Seq.empty // targeted runs ARE the isolation path
+      // targeted runs ARE the isolation path; recycle legs are probes
+      if (only.isDefined || recycleEvery > 0) Seq.empty
       else {
         val byRatio = allSamples.flatMap { case (name, samples) =>
           val med = samples.sorted.apply(samples.length / 2)
@@ -368,7 +395,7 @@ object Bench {
     // sf0.1 only: floors are per-scale — a full-suite run at sf0.01
     // would post floors 10× too low (flagging everything forever), and
     // a blow-up probe leg would post meaningless high ones
-    if (only.isEmpty && isSf01) try {
+    if (only.isEmpty && isSf01 && recycleEvery == 0) try {
       val qnames = SparkEntry.queries.keySet
       val runMin = allSamples
         .filterNot { case (n, _) => failed.contains(n) }
@@ -414,7 +441,8 @@ object Bench {
           (body + prov).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } catch { case _: Throwable => () }
-    println(s"""{"cold":$cold,$ownSamples"queries":$qs,"isolated_samples":$isoSamples,"isolated":$iso,"failed":$failedArr,"runs":$runs,"warmup":$warmup,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
+    val wall = (System.nanoTime() - wall0) / 1e9
+    println(s"""{"cold":$cold,$ownSamples"queries":$qs,"isolated_samples":$isoSamples,"isolated":$iso,"failed":$failedArr,"runs":$runs,"warmup":$warmup,"recycle":$recycleEvery,"wall":${fmt(wall)},"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -4631,6 +4631,21 @@ object SparkEntry {
     * testdata is immutable within a run, and re-scanning the embeddings
     * table for the same constant was one full Spark job of fixed
     * overhead on EVERY ANN search gate. */
+  /** Drop every cache holding SESSION-BOUND objects (index instances
+    * carry their SparkSession; cached frames carry their context) —
+    * required before a SparkContext recycle (Bench's
+    * SPARK_GRAFT_RECYCLE_EVERY probe leg) or the next gate invocation
+    * would probe through a stopped context. On-disk artifacts are
+    * untouched: the rebuilt wrappers find them via their _SUCCESS /
+    * epoch certificates and skip the build. */
+  def resetSessionCaches(): Unit = {
+    queryVecCache.clear()
+    ivfBuilt.clear(); ivfRebalBuilt.clear(); ivfDelBuilt.clear()
+    pqBuilt.clear(); ivfpqBuilt.clear()
+    lshBuilt.clear(); bqBuilt.clear()
+    bqDelBuilt.clear(); lshDelBuilt.clear()
+  }
+
   private val queryVecCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
 
