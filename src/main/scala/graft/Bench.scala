@@ -84,12 +84,28 @@ object Bench {
     // recorded by NAME (the "failed" array in the output line): its
     // time-to-failure would otherwise read as a fast, healthy median.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // GC attribution per sample (VERDICT r14 #8): when a median looks
+    // anomalous, the first question is "code or collector?" — the
+    // [gcprof] stderr lines answer it without a re-run. JVM-wide GC
+    // time is the right grain in local mode (driver and executor
+    // threads share the heap); cost is two MXBean reads per sample.
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+    val gcProf =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
     def sample(name: String, fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failed += name }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      gcProf(name) = gcProf.getOrElse(name, Seq.empty) :+ (gcMillis() - g0)
       // queries persist intermediates (shingle indexes, id tags); drop
       // them between runs or the accumulated cache thrashes the heap
       spark.catalog.clearCache()
@@ -113,6 +129,17 @@ object Bench {
         sinceRecycle += 1
         name -> (1 to (warmup + runs)).map(_ => sample(name, fn)) }
     val allSamples = allRaw.map { case (n, ss) => n -> ss.drop(warmup) }
+    // one stderr line per query whose samples spent >25% of wall in GC
+    // (or >1 s total): the JIT/GC-shaped-anomaly tripwire — quiet when
+    // the heap is healthy, attributing when a median is collector-bound
+    allRaw.foreach { case (name, ss) =>
+      val gcs = gcProf.getOrElse(name, Seq.empty)
+      val wallMs = ss.sum * 1000.0
+      val gcMs = gcs.sum.toDouble
+      if (gcMs > 1000.0 || (wallMs > 0 && gcMs / wallMs > 0.25))
+        System.err.println(s"[gcprof] $name gc_ms=${gcs.mkString(",")} " +
+          f"share=${gcMs / math.max(wallMs, 1.0)}%.2f")
+    }
     val results = allSamples.map { case (name, samples) =>
       name -> (samples.head, samples.sorted.apply(samples.length / 2))
     }
