@@ -907,6 +907,54 @@ object Upsert {
       col("_e.t").as("_change_type"): _*)
   }
 
+  /** DROP-TOLERANT change feed: [`fromEpoch`, `toEpoch`] split into
+    * maximal drop-free spans, each with its own [[changesBetween]]
+    * frame — the two-hop composition the single-interval feed's drop
+    * refusal points at, packaged so a consumer (or the streaming CDF
+    * source) never has to hand-split. The interval is cut at every
+    * `#dropcol` event epoch `e`: the span before ends at `e - 1` and
+    * the next begins at `e` — the skipped (`e-1`, `e`] hop is the drop
+    * flip itself, metadata-only by construction (same manifest
+    * entries), so no data change is ever lost. Each span diffs under
+    * its OWN endpoint schemas: pre-drop spans still carry the retired
+    * column's changes; post-drop spans see a re-added name as a brand
+    * new column (null before-images) — exactly the tombstone
+    * semantics, with no cross-drop value diff that could lie.
+    * Zero-width spans are dropped. Spans are resolved LAZILY at frame
+    * action like every manifested read (same retention contract). */
+  def changeFeedSpans(spark: org.apache.spark.sql.SparkSession,
+                      tablePath: String, fromEpoch: Long, toEpoch: Long,
+                      keys: Seq[String]): Seq[(Long, Long, DataFrame)] = {
+    require(fromEpoch <= toEpoch,
+      s"changeFeedSpans: fromEpoch $fromEpoch must not exceed $toEpoch")
+    if (fromEpoch == toEpoch) return Seq.empty
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dropEpochs = ((fromEpoch + 1) to toEpoch).filter { e =>
+      EpochManifest.read(fs, root, e).getOrElse(
+        throw new IllegalStateException(
+          s"no manifest $e under $tablePath — missing or already swept " +
+            "(raise the merge's retain knob to keep more history)"))
+        .exists(_.startsWith("#dropcol\t"))
+    }
+    val bounds = (Seq(fromEpoch) ++
+      dropEpochs.flatMap(e => Seq(e - 1, e)) ++ Seq(toEpoch))
+    bounds.grouped(2).toSeq.collect {
+      case Seq(a, b) if a < b =>
+        (a, b, changesBetween(spark, tablePath, a, b, keys))
+    }
+  }
+
+  /** The active manifest's epoch, or None for an uninitialized table —
+    * the "how far can a feed go" probe the CDF poller needs without
+    * computing a diff. */
+  def manifestedEpoch(spark: org.apache.spark.sql.SparkSession,
+                      tablePath: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    EpochManifest.active(fs, root).map(_._1)
+  }
+
   /** The active manifest's recorded logical schema, or None for an
     * uninitialized table / a legacy manifest written before the `#ddl`
     * header. Public because consumers that SHAPE things around the

@@ -52,9 +52,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * files of both spellings; [[feedStream]] pins the CURRENT schema, so
   * old-name files surface the renamed column as null — re-feed from a
   * fresh dir after a rename if the consumer needs the history under
-  * one name. A DROP of a live column refuses loudly at poll time (a
-  * diff under a re-addable name would lie — same two-hop contract as
-  * the batch feed). 100 TB shape: each poll costs the CHANGED
+  * one name. A DROP of a live column splits the poll into maximal
+  * drop-free SPANS ([[Upsert.changeFeedSpans]]), one interval token
+  * each — the batch feed's two-hop contract, automated — so the pump
+  * survives schema retirement; the single-interval batch
+  * `changesBetween` still refuses across a drop, by design. 100 TB shape: each poll costs the CHANGED
   * partitions only (manifest-diff pruning in changesBetween), the
   * checkpoint recovery is one directory listing, and the feed is
   * bounded by real change volume — poll more often to bound interval
@@ -108,11 +110,37 @@ object CdfSource {
     val tp = new org.apache.hadoop.fs.Path(tablePath)
     val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!tfs.exists(tp)) return None // table not created yet: idle poll
-    val (feed, active) = Upsert.changesSince(spark, tablePath, since, keys)
+    val active = Upsert.manifestedEpoch(spark, tablePath) match {
+      case Some(e) => e
+      case None => return None
+    }
     if (active == since) return None
-    StagedCommit.appendOnce(feedDir, s"cdf_${since}_$active", Seq.empty,
-      feed.withColumn("_from_epoch", lit(since))
-        .withColumn("_to_epoch", lit(active)))
+    // DROP-TOLERANT: the interval splits into maximal drop-free spans
+    // (Upsert.changeFeedSpans), each committed under its OWN interval
+    // token — a drop-column mid-stream feeds two coherent spans
+    // instead of killing the pump. A crash between spans resumes at
+    // the last committed span's `to` (the artifact-derived checkpoint
+    // again). Span feeds are written under their span's schema; the
+    // pinned-schema feedStream projects history onto CURRENT names, so
+    // a re-added name surfaces pre-drop feed rows' old values under it
+    // — read per-token for exact historical schemas if that matters.
+    val spans = Upsert.changeFeedSpans(spark, tablePath, since, active,
+      keys)
+    spans.foreach { case (a, b, feed) =>
+      StagedCommit.appendOnce(feedDir, s"cdf_${a}_$b", Seq.empty,
+        feed.withColumn("_from_epoch", lit(a))
+          .withColumn("_to_epoch", lit(b)))
+    }
+    // metadata-only tail (e.g. the drop flip itself is the newest
+    // epoch): no span reaches `active`, but the checkpoint must — an
+    // empty schema-shaped token advances it or the poller would
+    // re-walk the same manifests forever
+    val lastTo = spans.lastOption.map(_._2).getOrElse(since)
+    if (lastTo < active)
+      StagedCommit.appendOnce(feedDir, s"cdf_${lastTo}_$active", Seq.empty,
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          feedSchema(spark, tablePath, keys)))
     Some((since, active))
   }
 

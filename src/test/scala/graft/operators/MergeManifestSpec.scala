@@ -806,6 +806,44 @@ class MergeManifestSpec extends SparkSpec {
     assert(feed2 == Set((5L, "insert")), feed2)
   }
 
+  test("changeFeedSpans: an interval crossing a drop splits into " +
+      "drop-free spans, each diffing under its own schemas — the " +
+      "re-added name is a new column, never the retired values") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmspan")
+      .toString + "/tbl"
+    def m(df: org.apache.spark.sql.DataFrame): Unit =
+      Upsert.mergeIntoManifested(spark, path, df, keys, "part", "ver",
+        retain = 8)
+    m(Seq((1L, "a", "old", 1L)).toDF("k", "part", "tag", "ver")) // e0
+    m(Seq((1L, "a", "mid", 2L)).toDF("k", "part", "tag", "ver")) // e1
+    Upsert.dropManifestedColumn(spark, path, "tag", retain = 8)  // e2
+    m(Seq((1L, "a", "new", 3L)).toDF("k", "part", "tag", "ver")) // e3
+    // the single-interval feed refuses (the value diff under a
+    // re-added name would lie); the span form composes
+    intercept[IllegalStateException] {
+      Upsert.changesBetween(spark, path, 0L, 3L, keys)
+    }
+    val spans = Upsert.changeFeedSpans(spark, path, 0L, 3L, keys)
+    assert(spans.map(s => (s._1, s._2)) == Seq((0L, 1L), (2L, 3L)))
+    // span 1: pre-drop schema, the retired column's changes intact
+    assert(spans(0)._3.select($"k", $"tag", $"ver", $"_change_type")
+      .as[(Long, String, Long, String)].collect().toSet == Set(
+      (1L, "old", 1L, "update_preimage"),
+      (1L, "mid", 2L, "update_postimage")))
+    // span 2: post-drop schema — the re-added `tag` has a NULL
+    // before-image (a fresh column), never the retired "mid"
+    assert(spans(1)._3
+      .select($"k", $"tag", $"ver", $"_change_type")
+      .as[(Long, Option[String], Long, String)].collect().toSet == Set(
+      (1L, None, 2L, "update_preimage"),
+      (1L, Some("new"), 3L, "update_postimage")))
+    // a drop-free sub-interval yields one span == plain changesBetween
+    val single = Upsert.changeFeedSpans(spark, path, 2L, 3L, keys)
+    assert(single.map(s => (s._1, s._2)) == Seq((2L, 3L)))
+    // degenerate: empty interval
+    assert(Upsert.changeFeedSpans(spark, path, 3L, 3L, keys).isEmpty)
+  }
+
   test("a null partition value refuses on the FIRST merge too — it " +
       "must never bake an unaddressable __HIVE_DEFAULT_PARTITION__ " +
       "into manifest 0 (ADVICE r14)") {

@@ -97,7 +97,7 @@ class CdfSourceSpec extends SparkSpec {
   }
 
   test("a rename inside a polled interval composes (feed under the new " +
-      "name); dropping a live column refuses the poll loudly") {
+      "name); a drop splits the poll into drop-free spans") {
     val w = work("graft_cdfs3")
     val tbl = s"$w/tbl"; val feed = s"$w/feed"
     Upsert.mergeIntoManifested(spark, tbl,
@@ -116,12 +116,28 @@ class CdfSourceSpec extends SparkSpec {
       .as[(Long, Double, String)].collect().toSet
     assert(last == Set((1L, 1.0, "update_preimage"),
       (1L, 2.0, "update_postimage")))
-    // drop `w`: the next poll's interval crosses the drop and refuses
+    // drop `w` (epoch 3) then a post-drop wave (epoch 4): the poll's
+    // interval crosses the drop and must feed TWO spans — the batch
+    // changesBetween refuses this interval (MergeManifestSpec), the
+    // pump composes it
     Upsert.dropManifestedColumn(spark, tbl, "w", retain = 8)
-    val ex = intercept[IllegalStateException] {
-      CdfSource.pollOnce(spark, tbl, keys, feed)
+    Upsert.mergeIntoManifested(spark, tbl,
+      Seq((2L, "a", "fresh", 1L)).toDF("k", "part", "tag", "ver"),
+      keys, "part", "ver", retain = 8)
+    intercept[IllegalStateException] {
+      Upsert.changesBetween(spark, tbl, 2L, 4L, keys)
     }
-    assert(ex.getMessage.contains("dropped"), ex.getMessage)
+    assert(CdfSource.pollOnce(spark, tbl, keys, feed).contains((2L, 4L)))
+    assert(CdfSource.lastFedEpoch(spark, feed).contains(4L))
+    // span 1 (2 -> 2): zero-width, skipped; the drop flip (2 -> 3) is
+    // metadata-only; span 2 (3 -> 4) carries the post-drop insert
+    val span2 = graft.operators.StagedCommit
+      .readDelta(spark, feed, "cdf_3_4").get
+      .select($"k", $"tag", $"_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(span2 == Set((2L, "fresh", "insert")))
+    // idle again after the split feed
+    assert(CdfSource.pollOnce(spark, tbl, keys, feed).isEmpty)
   }
 
   test("the live pump polls on its own ticks: mutations land in the " +
