@@ -81,6 +81,15 @@ object MergeProbe {
       val readSecs = timed {
         assert(Upsert.readManifested(spark, path).count() == n)
       }
+      // CHANGE DATA FEED over the merge interval: cost must be bounded
+      // by the CHANGED partitions (one month here) — same-epoch dirs
+      // are never read — so this leg must stay flat at 10x alongside
+      // the touched merge, while build/read/predDelete scale. Timed
+      // BEFORE the deletes: they advance the manifest chain and the
+      // default retain would sweep epoch 0 out of the interval.
+      val cdfSecs = timed {
+        Upsert.changesBetween(spark, path, 0, 1, keys).count()
+      }
       // KEYED delete (the CDC shape): touched partitions come straight
       // from the key batch — cost must stay flat as the table grows
       val delKeys = touched.filter(col("o_orderkey") % 2 === 0)
@@ -98,6 +107,7 @@ object MergeProbe {
       println(f"[mergeprobe] run$run n=$n months=$months " +
         f"build=$buildSecs%.3f touchedRows=$touchedRows " +
         f"oneMonthMerge=$mergeSecs%.3f read=$readSecs%.3f " +
+        f"cdf01=$cdfSecs%.3f " +
         f"keyedDelete($delKeyRows)=$keyedDeleteSecs%.3f " +
         f"predDelete=$predDeleteSecs%.3f")
       org.apache.commons.io.FileUtils
