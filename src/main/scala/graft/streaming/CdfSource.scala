@@ -144,6 +144,44 @@ object CdfSource {
     Some((since, active))
   }
 
+  /** Reclaim feed history: delete every committed interval whose `to`
+    * is at or below `consumedThrough` — the caller's statement that
+    * every consumer has durably processed past that epoch (a file
+    * deleted under an unread consumer is lost data; same contract as
+    * any retention knob). The NEWEST token always survives regardless:
+    * it IS the poller's checkpoint ([[lastFedEpoch]]), and pruning
+    * must never regress the feed to re-emitting old intervals. Per
+    * token, data files delete BEFORE the marker, so a crash leaves a
+    * marker whose checkpoint value still counts — never orphaned
+    * uncommitted files for a consumer to trip on (and the next poll's
+    * sweep ignores marker-less leftovers of OTHER tokens anyway).
+    * Returns the number of intervals reclaimed. */
+  def pruneFeed(spark: SparkSession, feedDir: String,
+                consumedThrough: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val tokens = fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("_delta_") && n.endsWith("_SUCCESS") =>
+        n.stripPrefix("_delta_").stripSuffix("_SUCCESS")
+    }.collect { case t @ TokenRe(_, to) => (t, to.toLong) }
+    if (tokens.isEmpty) return 0
+    val newest = tokens.maxBy(_._2)._1
+    val victims = tokens.filter { case (t, to) =>
+      to <= consumedThrough && t != newest
+    }
+    victims.foreach { case (t, _) =>
+      fs.listStatus(p).foreach { st =>
+        if (st.isFile && StagedCommit.deltaToken(st.getPath.getName)
+            .contains(t))
+          fs.delete(st.getPath, false)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"_delta_${t}_SUCCESS"),
+        false)
+    }
+    victims.size
+  }
+
   /** The consumer half: a REAL streaming read of the feed artifact.
     * Schema is pinned from the table's CURRENT recorded schema (file
     * streams cannot infer), ordered exactly as [[Upsert.changesSince]]

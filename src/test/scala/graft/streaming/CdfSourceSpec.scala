@@ -140,6 +140,37 @@ class CdfSourceSpec extends SparkSpec {
     assert(CdfSource.pollOnce(spark, tbl, keys, feed).isEmpty)
   }
 
+  test("pruneFeed reclaims consumed intervals but never the newest " +
+      "token — the checkpoint survives any prune") {
+    val w = work("graft_cdfs5")
+    val tbl = s"$w/tbl"; val feed = s"$w/feed"
+    Upsert.mergeIntoManifested(spark, tbl,
+      rows((1, "a", 1.0, 1)), keys, "part", "ver", retain = 8)
+    (2 to 4).foreach { v =>
+      Upsert.mergeIntoManifested(spark, tbl,
+        rows((1, "a", v.toDouble, v.toLong)), keys, "part", "ver",
+        retain = 8)
+      CdfSource.pollOnce(spark, tbl, keys, feed)
+    }
+    // three committed intervals: (0,1), (1,2), (2,3)
+    assert(CdfSource.lastFedEpoch(spark, feed).contains(3L))
+    // consumers durably past epoch 2: intervals ending <= 2 reclaim
+    assert(CdfSource.pruneFeed(spark, feed, consumedThrough = 2L) == 2)
+    assert(CdfSource.lastFedEpoch(spark, feed).contains(3L))
+    val left = graft.operators.StagedCommit.readCommitted(spark, feed)
+      .select($"_from_epoch", $"_to_epoch")
+      .as[(Long, Long)].collect().toSet
+    assert(left == Set((2L, 3L)))
+    // over-eager prune: the newest token survives regardless, so the
+    // poller's checkpoint never regresses
+    assert(CdfSource.pruneFeed(spark, feed, consumedThrough = 99L) == 0)
+    assert(CdfSource.lastFedEpoch(spark, feed).contains(3L))
+    // the pump keeps feeding cleanly after a prune
+    Upsert.mergeIntoManifested(spark, tbl,
+      rows((1, "a", 9.0, 9)), keys, "part", "ver", retain = 8)
+    assert(CdfSource.pollOnce(spark, tbl, keys, feed).contains((3L, 4L)))
+  }
+
   test("the live pump polls on its own ticks: mutations land in the " +
       "feed without manual pollOnce calls") {
     val w = work("graft_cdfs4")
