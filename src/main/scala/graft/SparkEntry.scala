@@ -1892,6 +1892,49 @@ object SparkEntry {
         .orderBy(col("src"), col("o_orderkey"), col("o_orderstatus"))
     }),
 
+    "j31_cdf_spans" -> ((s, dir) => {
+      // DROP-TOLERANT CHANGE FEED (changeFeedSpans): the interval
+      // crosses a drop of `qty`, so the single-interval feed refuses —
+      // the spans form splits at the drop and diffs each side under
+      // its own schemas. Span 1 carries the retired column's update
+      // pre/post pairs; span 2 sees the re-added `qty` as a BRAND NEW
+      // column (null before-images — the tombstone semantics, never
+      // the retired values). The spans union by name with their
+      // interval columns as the tag; the oracle computes both diffs
+      // directly.
+      val base = s"${artifactBase(dir)}/merge_spans"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_orderkey") % 97).cast("long").as("qty"),
+          lit(1L).as("ver")), keys, "o_orderstatus", "ver", retain = 8)
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_orderkey") % 97 + 1000).cast("long").as("qty"),
+            lit(2L).as("ver")), keys, "o_orderstatus", "ver", retain = 8)
+      operators.Upsert.dropManifestedColumn(s, base, "qty", retain = 8)
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_orderkey") % 97 + 5000).cast("long").as("qty"),
+            lit(3L).as("ver")), keys, "o_orderstatus", "ver", retain = 8)
+      operators.Upsert.changeFeedSpans(s, base, 0, 3, keys)
+        .map { case (a, b, feed) =>
+          feed.withColumn("_from_epoch", lit(a))
+            .withColumn("_to_epoch", lit(b))
+        }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("qty"),
+          col("ver"), col("_change_type"), col("_from_epoch"),
+          col("_to_epoch"))
+        .orderBy(col("_from_epoch"), col("o_orderkey"),
+          col("o_orderstatus"), col("_change_type"))
+    }),
+
     "u4_union_evolve" -> ((s, dir) => {
       // schema-evolution union: a legacy slice without the status
       // column unions BY NAME with the current schema
@@ -6643,6 +6686,43 @@ object SparkEntry {
            FROM base WHERE o_orderkey % 11 = 0)
          SELECT o_orderkey, o_orderstatus, quantity, ver, _change_type
          FROM chg ORDER BY o_orderkey, o_orderstatus, _change_type""",
+
+    // spans across a drop: span (0,1) = the retired column's update
+    // pairs; span (2,3) = the %3 re-add wave with NULL qty
+    // before-images (ver = the key's pre-wave version: %5 keys sat at
+    // 2, the rest at 1) — retired values never resurface
+    "j31_cdf_spans" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders
+                       WHERE o_orderkey % 7 = 0),
+              s1 AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(o_orderkey % 97 AS BIGINT) AS qty,
+                  CAST(1 AS BIGINT) AS ver,
+                  'update_preimage' AS _change_type,
+                  CAST(0 AS BIGINT) AS _from_epoch,
+                  CAST(1 AS BIGINT) AS _to_epoch
+           FROM base WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_orderkey % 97 + 1000, 2,
+                  'update_postimage', 0, 1
+           FROM base WHERE o_orderkey % 5 = 0),
+              s2 AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(NULL AS BIGINT) AS qty,
+                  CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END
+                       AS BIGINT) AS ver,
+                  'update_preimage' AS _change_type,
+                  CAST(2 AS BIGINT) AS _from_epoch,
+                  CAST(3 AS BIGINT) AS _to_epoch
+           FROM base WHERE o_orderkey % 3 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_orderkey % 97 + 5000, 3,
+                  'update_postimage', 2, 3
+           FROM base WHERE o_orderkey % 3 = 0)
+         SELECT o_orderkey, o_orderstatus, qty, ver, _change_type,
+                _from_epoch, _to_epoch
+         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+         ORDER BY _from_epoch, o_orderkey, o_orderstatus, _change_type""",
 
     // drop + re-add: the current read carries NULL tags except the
     // re-add wave (retired epoch-0 bytes never resurrect); time travel
