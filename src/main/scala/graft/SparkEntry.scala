@@ -3489,10 +3489,14 @@ object SparkEntry {
       // BUDGET ATTRIBUTION (the stderr [load]/[report]/[ingest_e2e]
       // lines, VERDICT r14 #5): drain 1 owns most of the gate — cold
       // scan+reconcile (s2 ~2 s per file) plus the first merge
-      // (s3 ~3 s); drains 2-3 are suppression-window probes
-      // (s1 0.2-0.4 s each) + one small merge + report export. The
-      // floor is therefore three-drain-shaped, not data-shaped: it
-      // moves with streaming-stack startup cost, never with SF.
+      // (s3 ~3 s); drains 2-3 are the remaining merge + the
+      // checkRemaining/report jobs. The audit window/quarantine
+      // probes, once 0.2-0.4 s of Spark-job overhead EACH, are now
+      // 0-5 ms: AuditLog memoizes rows per write-once part file, so a
+      // probe is a listing plus an in-memory scan (one batched read
+      // per NEW file). The floor is three-drain-shaped, not
+      // data-shaped: it moves with streaming-stack startup cost,
+      // never with SF.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try graft.pipeline.IngestE2E.run(s, dir,

@@ -45,6 +45,56 @@ final class AuditLog(spark: SparkSession, path: String,
     Seq.empty[(String, String, Int, java.sql.Timestamp)]
       .toDF("event_source", "target", "status", "ts")
 
+  /** One audit row, driver-side form (`tsSec` = epoch seconds, the
+    * same truncation `unix_timestamp` applies). */
+  private final case class AuditRow(eventSource: String, target: String,
+                                    status: Int, tsSec: Long)
+
+  /** Per-file row memo behind the control-plane probes: audit part
+    * files are WRITE-ONCE (append-mode parquet adds files, never
+    * rewrites one), so path-keyed rows can never go stale, and the
+    * memo's size is O(stages ever probed) — the table's own documented
+    * scale. Every probe previously paid a full Spark job over KB-sized
+    * files; at three e2e drains × several probes each, the job
+    * OVERHEAD (scheduler, not IO) owned 1.5–2 s of the suite's largest
+    * gate. Uncached files load in ONE batched read attributed by
+    * input_file_name; keys normalize to the URI path component so the
+    * listing's and the scan's spellings of the same file agree. */
+  private val fileRowsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[AuditRow]]
+
+  private def pathKey(p: org.apache.hadoop.fs.Path): String =
+    p.toUri.getPath
+
+  private def rowsOf(files: Seq[org.apache.hadoop.fs.Path]): Seq[AuditRow] = {
+    val keyed = files.map(f => pathKey(f) -> f)
+    val missing = keyed.filterNot { case (k, _) => fileRowsCache.contains(k) }
+    if (missing.nonEmpty) {
+      val loaded = spark.read.parquet(missing.map(_._2.toString): _*)
+        .select(input_file_name().as("_f"), col("event_source"),
+          col("target"), col("status"), unix_timestamp(col("ts")).as("_s"))
+        .collect().toSeq
+        .groupBy(r => pathKey(new org.apache.hadoop.fs.Path(r.getString(0))))
+        .map { case (k, rs) => k -> rs.map(r => AuditRow(
+          r.getString(1), r.getString(2), r.getInt(3), r.getLong(4))) }
+      // a listed file can still be EMPTY of rows (never happens with
+      // one-row appends, but cache it as empty rather than re-scanning
+      // it on every probe forever)
+      missing.foreach { case (k, _) =>
+        fileRowsCache.putIfAbsent(k, loaded.getOrElse(k, Seq.empty))
+      }
+    }
+    keyed.flatMap { case (k, _) => fileRowsCache.getOrElse(k, Seq.empty) }
+  }
+
+  private def listParquet(): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Time-bounded view for window probes: every [[append]] creates a
     * file whose modification time is >= the row's `ts` (the write
     * happens after the event), so a row inside the last
@@ -64,18 +114,14 @@ final class AuditLog(spark: SparkSession, path: String,
     * a FALSE NEGATIVE that re-admits already-succeeded work (ADVICE
     * r14). The row-level `ts` predicate in [[checkStatus]] keeps the
     * fallback's ANSWER identical either way. */
-  private def recentTable(nowMillis: Long, maxAgeSeconds: Long): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return emptyTable
+  private def recentRows(nowMillis: Long,
+                         maxAgeSeconds: Long): Seq[AuditRow] = {
+    val all = listParquet()
+    if (all.isEmpty) return Seq.empty
     val cutoff = nowMillis - (maxAgeSeconds + mtimeSlackSeconds) * 1000L
-    val all = fs.listStatus(p).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val files = all.filter(_.getModificationTime >= cutoff)
-      .map(_.getPath.toString)
-    if (files.nonEmpty) spark.read.parquet(files: _*)
-    else if (all.isEmpty) emptyTable
-    else spark.read.parquet(path)
+    if (files.nonEmpty) rowsOf(files.map(_.getPath))
+    else rowsOf(all.map(_.getPath))
   }
 
   /** A5 / `sp_lambda_loading_check_status` (`R22:219-254`): was there a
@@ -94,31 +140,30 @@ final class AuditLog(spark: SparkSession, path: String,
     * completed load). */
   def checkStatus(needle: String, target: String, windowSeconds: Long,
                   nowMillis: Long, exact: Boolean = false): Int = {
-    val sourceMatch =
-      if (exact) col("event_source") === needle
-      else instr(col("event_source"), needle) > 0
-    val recent = recentTable(nowMillis, windowSeconds)
-      .filter(sourceMatch &&
-        col("target") === target &&
-        col("status") === 1 &&
-        (lit(nowMillis) / 1000L - unix_timestamp(col("ts"))) < windowSeconds)
-      .limit(1).count()
-    if (recent > 0) 1 else 0
+    val hit = recentRows(nowMillis, windowSeconds).exists { r =>
+      (if (exact) r.eventSource == needle
+       else r.eventSource.contains(needle)) &&
+        r.target == target && r.status == 1 &&
+        // the Spark form this replaced: lit(now)/1000L (double
+        // division) minus unix_timestamp (floor seconds) — preserved
+        // digit-for-digit so the window boundary cannot move
+        (nowMillis / 1000.0 - r.tsSec) < windowSeconds
+    }
+    if (hit) 1 else 0
   }
 
   /** ST6 quarantine probe: has `target` been marked poison? Survives
-    * driver restarts (unlike an in-memory attempt map). */
+    * driver restarts (unlike an in-memory attempt map — the durable
+    * rows are the truth; the memo only skips re-parsing immutable
+    * files). */
   def isQuarantined(target: String): Boolean =
-    table()
-      .filter(col("event_source") === "quarantine" && col("target") === target)
-      .limit(1).count() > 0
+    rowsOf(listParquet().map(_.getPath)).exists(r =>
+      r.eventSource == "quarantine" && r.target == target)
 
   /** Failed-attempt count for `target` recorded by the pipeline
     * (`event_source = "loading"`, status −1) — the durable attempt
     * counter behind ST6's maxAttempts. */
   def countFailures(target: String): Long =
-    table()
-      .filter(col("event_source") === "loading" &&
-        col("target") === target && col("status") === -1)
-      .count()
+    rowsOf(listParquet().map(_.getPath)).count(r =>
+      r.eventSource == "loading" && r.target == target && r.status == -1)
 }
