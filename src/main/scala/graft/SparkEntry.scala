@@ -2681,6 +2681,53 @@ object SparkEntry {
           col("o_orderstatus"), col("_change_type"))
     }),
 
+    "x_stream_replicate" -> ((s, dir) => {
+      // TABLE-TO-TABLE REPLICATION — the composition capstone: the
+      // source table mutates in two waves (update merge, key-batch
+      // delete), CdfSource.pollOnce feeds each interval, and
+      // Replicate.start drains the feed through the CDC apply sink
+      // into a manifested REPLICA — every stage a real stream or a
+      // real manifested operator. The two polled intervals coalesce
+      // into one apply micro-batch, so the interval-epoch versioning
+      // (not the source's own ver column) is what keeps the %55 keys
+      // (updated THEN deleted) out of the replica. Oracle = the
+      // source's final model, read from the REPLICA.
+      val work = java.nio.file.Files.createTempDirectory("graft_repl")
+        .toString
+      val src = s"$work/src"; val feed = s"$work/feed"
+      val dst = s"$work/dst"
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, src,
+        o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      graft.streaming.Replicate.seed(s, src, dst, keys, "o_orderstatus")
+      operators.Upsert.mergeIntoManifested(s, src,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, src, keys, feed)
+      operators.Upsert.deleteKeysFromManifested(s, src,
+        o.filter(col("o_orderkey") % 11 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey")),
+        keys, "o_orderstatus", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, src, keys, feed)
+      val q = graft.streaming.Replicate.start(s, src, feed, dst, keys,
+        "o_orderstatus", s"$work/ckpt")
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_replicate: apply stream did not drain within 300s")
+      }
+      operators.Upsert.readManifested(s, dst)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("ver"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
     "x_stream_neardup" -> ((s, dir) => {
       // REAL streaming execution, hash-checked: the documents corpus
       // replays as a file stream with a deterministic event time
@@ -6637,6 +6684,21 @@ object SparkEntry {
                 _change_type, poll
          FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
          ORDER BY poll, o_orderkey, o_orderstatus, _change_type""",
+
+    // the replica converges to the source's final model: %11 keys
+    // deleted (including the %55 updated-then-deleted ones — the
+    // interval-epoch ordering), %5 survivors updated at ver 2
+    "x_stream_replicate" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 = 0)
+         SELECT o_orderkey, o_orderstatus,
+                CASE WHEN o_orderkey % 5 = 0
+                     THEN o_totalprice + 1.0
+                     ELSE o_totalprice END AS o_totalprice,
+                CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END
+                     AS BIGINT) AS ver
+         FROM base WHERE o_orderkey % 11 <> 0
+         ORDER BY o_orderkey, o_orderstatus""",
 
     // the drained feed = both intervals' diffs, tagged by interval:
     // j28's polled model with (_from_epoch, _to_epoch) in place of the

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.operators.Upsert
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** TABLE-TO-TABLE REPLICATION — the capstone composition of the
+  * lakehouse surface: a manifested source table's changes flow out
+  * through the CDF source ([[CdfSource]]) and into a manifested
+  * replica through the CDC apply sink ([[MergeSink.startCdc]]), both
+  * halves the same operators every other pipeline uses. Nothing here
+  * is new machinery; the object exists because the composition has two
+  * load-bearing choices a caller should not have to rediscover:
+  *
+  *  - **The feed's interval epoch is the replica's version column.**
+  *    Within one feed interval a key carries at most ONE change
+  *    (endpoint diff), but a file-stream micro-batch can coalesce
+  *    SEVERAL intervals — and the source table's own version column
+  *    cannot order an update against a later delete of the same key
+  *    (the delete pre-image carries the same version it deleted).
+  *    `_to_epoch` can: it is strictly monotone over intervals, so the
+  *    net-effect window in the apply sink always resolves a key to its
+  *    LATEST interval's change, whatever the batching.
+  *  - **Seed-then-tail overlap is harmless by construction.** [[seed]]
+  *    snapshots the source at its active epoch `e` and stamps every
+  *    row `_to_epoch = e`; a feed that (re)plays intervals at or below
+  *    `e` loses the max-version resolution to the seed, and intervals
+  *    above `e` win — so the seed/tail boundary needs no coordination,
+  *    and a feed that started from table creation (epoch 0) simply
+  *    re-applies history as no-ops.
+  *
+  * Replica shape: the source's columns plus `_to_epoch` (replication
+  * metadata — drop it on read if unwanted). Schema evolution flows
+  * through: added/renamed source columns arrive via the feed's
+  * add-evolution merges; a source DROP splits the feed into spans
+  * (the replica keeps the retired column, frozen — replication
+  * replays data changes, not schema retirement). At-least-once
+  * delivery anywhere in the chain lands exactly-once content: every
+  * stage is max-version / key-batch idempotent. */
+object Replicate {
+
+  /** Snapshot the source's ACTIVE epoch into the replica, stamped with
+    * that epoch as its version. Returns the seeded epoch. Idempotent:
+    * re-seeding merges the same rows at the same version. */
+  def seed(spark: SparkSession, srcTable: String, dstTable: String,
+           keys: Seq[String], partitionCol: String): Long = {
+    val e = Upsert.manifestedEpoch(spark, srcTable).getOrElse(
+      throw new IllegalStateException(s"no manifest under $srcTable"))
+    // read AT the fetched epoch, not the active one — a concurrent
+    // merge between the two calls must not tear the (rows, stamp) pair
+    Upsert.mergeIntoManifested(spark, dstTable,
+      Upsert.readManifestedAt(spark, srcTable, e)
+        .withColumn("_to_epoch", lit(e)),
+      keys, partitionCol, "_to_epoch")
+    e
+  }
+
+  /** Tail the feed into the replica: one streaming query, the CDC
+    * apply sink fed by the CDF file stream. Pre-images drop (the apply
+    * needs net effects), deletes map to the sink's op protocol, and
+    * `_to_epoch` rides as the version column per the ordering argument
+    * above. Run [[CdfSource.pollOnce]] (or its live pump) against
+    * `feedDir` to keep the feed flowing; this query picks up whatever
+    * lands. */
+  def start(spark: SparkSession, srcTable: String, feedDir: String,
+            dstTable: String, keys: Seq[String], partitionCol: String,
+            checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val events = CdfSource.feedStream(spark, srcTable, keys, feedDir)
+      .filter(col("_change_type") =!= "update_preimage")
+      .withColumn("op",
+        when(col("_change_type") === "delete", lit("delete"))
+          .otherwise(lit("upsert")))
+      .drop("_change_type", "_from_epoch")
+    MergeSink.startCdc(events, dstTable, keys, partitionCol,
+      "_to_epoch", "op", checkpointDir, trigger)
+  }
+}

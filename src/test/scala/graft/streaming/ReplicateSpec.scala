@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Upsert
+import org.apache.spark.sql.functions._
+
+/** Replication = CDF source ∘ CDC apply: the replica converges to the
+  * source under multi-interval batching (the update-then-delete
+  * ordering case), and a restarted tail continues from its checkpoint
+  * without re-applying or losing intervals. */
+class ReplicateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("part", "k")
+
+  private def rows(t: (Long, String, Double, Long)*) =
+    t.toSeq.toDF("k", "part", "v", "ver")
+
+  private def snap(path: String) =
+    Upsert.readManifested(spark, path)
+      .select($"k", $"part", $"v", $"ver")
+      .as[(Long, String, Double, Long)].collect().toSet
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    assert(q.awaitTermination(120000L), "apply stream did not drain")
+
+  test("replica equals source, including a key updated then deleted " +
+      "in intervals that coalesce into ONE apply micro-batch") {
+    val w = java.nio.file.Files.createTempDirectory("graft_repl").toString
+    val src = s"$w/src"; val feed = s"$w/feed"; val dst = s"$w/dst"
+    Upsert.mergeIntoManifested(spark, src,
+      rows((1, "a", 1.0, 1), (2, "a", 2.0, 1), (3, "b", 3.0, 1)),
+      keys, "part", "ver", retain = 8)
+    assert(Replicate.seed(spark, src, dst, keys, "part") == 0L)
+    // interval 1: key 2 updated; interval 2: key 2 DELETED, key 4 born.
+    // Both polled before the tail starts -> one micro-batch: only the
+    // _to_epoch versioning can order the update under the delete (the
+    // source's own ver column ties at 2)
+    Upsert.mergeIntoManifested(spark, src,
+      rows((2, "a", 20.0, 2)), keys, "part", "ver", retain = 8)
+    CdfSource.pollOnce(spark, src, keys, feed)
+    Upsert.deleteKeysFromManifested(spark, src,
+      Seq(("a", 2L)).toDF("part", "k"), keys, "part", retain = 8)
+    Upsert.mergeIntoManifested(spark, src,
+      rows((4, "c", 4.0, 1)), keys, "part", "ver", retain = 8)
+    CdfSource.pollOnce(spark, src, keys, feed)
+    drain(Replicate.start(spark, src, feed, dst, keys, "part",
+      s"$w/ckpt"))
+    assert(snap(dst) == snap(src))
+    assert(snap(dst) == Set((1L, "a", 1.0, 1L), (3L, "b", 3.0, 1L),
+      (4L, "c", 4.0, 1L)))
+
+    // continuation: more source churn, another poll, a SECOND tail run
+    // on the SAME checkpoint — only the new interval applies
+    Upsert.mergeIntoManifested(spark, src,
+      rows((1, "a", 10.0, 2), (5, "b", 5.0, 1)), keys, "part", "ver",
+      retain = 8)
+    CdfSource.pollOnce(spark, src, keys, feed)
+    drain(Replicate.start(spark, src, feed, dst, keys, "part",
+      s"$w/ckpt"))
+    assert(snap(dst) == snap(src))
+    // re-draining with nothing new is a content no-op
+    drain(Replicate.start(spark, src, feed, dst, keys, "part",
+      s"$w/ckpt"))
+    assert(snap(dst) == snap(src))
+  }
+
+  test("seed-then-tail overlap is harmless: a feed replaying history " +
+      "from table creation cannot regress the seeded snapshot") {
+    val w = java.nio.file.Files.createTempDirectory("graft_repl2").toString
+    val src = s"$w/src"; val feed = s"$w/feed"; val dst = s"$w/dst"
+    Upsert.mergeIntoManifested(spark, src,
+      rows((1, "a", 1.0, 1)), keys, "part", "ver", retain = 8)
+    // interval (0,1) polled BEFORE the later wave exists: its
+    // postimage (5.0 at feed epoch 1) is genuinely OLDER data than the
+    // epoch-2 snapshot the replica will be seeded with
+    Upsert.mergeIntoManifested(spark, src,
+      rows((1, "a", 5.0, 2), (2, "a", 2.0, 1)), keys, "part", "ver",
+      retain = 8)
+    CdfSource.pollOnce(spark, src, keys, feed)
+    Upsert.mergeIntoManifested(spark, src,
+      rows((1, "a", 9.0, 3)), keys, "part", "ver", retain = 8)
+    CdfSource.pollOnce(spark, src, keys, feed)
+    assert(CdfSource.lastFedEpoch(spark, feed).contains(2L))
+    // seed at the head (epoch 2 -> key 1 = 9.0), then tail the WHOLE
+    // feed from creation: the stale (0,1) interval must lose the
+    // max-_to_epoch resolution to the seed, never regress key 1 to 5.0
+    assert(Replicate.seed(spark, src, dst, keys, "part") == 2L)
+    drain(Replicate.start(spark, src, feed, dst, keys, "part",
+      s"$w/ckpt"))
+    assert(snap(dst) == snap(src))
+    assert(snap(dst) == Set((1L, "a", 9.0, 3L), (2L, "a", 2.0, 1L)))
+  }
+}
