@@ -1732,9 +1732,19 @@ object Upsert {
       try out.write((tokens.mkString("\n") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      // the rename is also the OPTIMISTIC-CONCURRENCY gate: Hadoop
+      // rename refuses an existing destination, so two writers racing
+      // to publish the same next epoch collide HERE — the loser gets
+      // this exception (its fully-written epoch dir is unreferenced
+      // garbage the next sweep reclaims), never a silent lost update.
+      // Single-writer remains the supported contract; this makes a
+      // violation loud instead of corrupting.
       if (!fs.rename(tmp, new Path(root, s"_manifest_$epoch")))
         throw new java.io.IOException(
-          s"manifest publish failed for epoch $epoch under $root")
+          s"manifest publish failed for epoch $epoch under $root — " +
+            "either a concurrent writer published this epoch first " +
+            "(re-read the active manifest and retry against the new " +
+            "head) or the filesystem rejected the rename")
     }
 
     /** Drop epochs and manifests older than `keep` (best-effort). */

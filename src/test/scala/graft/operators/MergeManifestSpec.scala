@@ -806,6 +806,31 @@ class MergeManifestSpec extends SparkSpec {
     assert(feed2 == Set((5L, "insert")), feed2)
   }
 
+  test("the publish rename refuses an existing destination — the " +
+      "filesystem behavior the concurrent-writer collision gate " +
+      "relies on") {
+    // two writers racing to publish the same next epoch collide at
+    // the manifest rename: the loser must get a failed rename (-> the
+    // loud concurrent-writer IOException), never silently replace the
+    // winner's manifest. Pin the Hadoop semantics that argument
+    // stands on.
+    val dir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("graft_mmocc").toString)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeFile(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val o = fs.create(p, true)
+      try o.write(s.getBytes("UTF-8")) finally o.close()
+    }
+    val winner = new org.apache.hadoop.fs.Path(dir, "_manifest_1")
+    writeFile(winner, "winner\n")
+    val loserTmp = new org.apache.hadoop.fs.Path(dir, "_manifest_1.tmp")
+    writeFile(loserTmp, "loser\n")
+    assert(!fs.rename(loserTmp, winner))
+    val in = fs.open(winner)
+    try assert(scala.io.Source.fromInputStream(in).mkString == "winner\n")
+    finally in.close()
+  }
+
   test("changeFeedSpans: an interval crossing a drop splits into " +
       "drop-free spans, each diffing under its own schemas — the " +
       "re-added name is a new column, never the retired values") {
