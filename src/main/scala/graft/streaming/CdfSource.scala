@@ -86,7 +86,10 @@ object CdfSource {
     * consumer can order and attribute intervals without filename
     * archaeology. */
   def pollOnce(spark: SparkSession, tablePath: String, keys: Seq[String],
-               feedDir: String): Option[(Long, Long)] = {
+               feedDir: String, maxFilesPerInterval: Int = 8)
+      : Option[(Long, Long)] = {
+    require(maxFilesPerInterval >= 1,
+      s"maxFilesPerInterval must be >= 1: $maxFilesPerInterval")
     val p = new org.apache.hadoop.fs.Path(feedDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // self-heal the crash window: sweep feed files whose `cdf_` token
@@ -127,9 +130,18 @@ object CdfSource {
     val spans = Upsert.changeFeedSpans(spark, tablePath, since, active,
       keys)
     spans.foreach { case (a, b, feed) =>
+      // cap the per-interval file fanout: the diff join inherits the
+      // shuffle-partition count, so an un-coalesced small interval
+      // writes one near-empty file per partition — over thousands of
+      // polls that is the feed dir's listing cost (paid by every poll
+      // sweep and every consumer). coalesce narrows without a
+      // shuffle; a genuinely large interval still parallelizes its
+      // SCAN at full width and only funnels the (change-bounded)
+      // output through maxFilesPerInterval writers.
       StagedCommit.appendOnce(feedDir, s"cdf_${a}_$b", Seq.empty,
         feed.withColumn("_from_epoch", lit(a))
-          .withColumn("_to_epoch", lit(b)))
+          .withColumn("_to_epoch", lit(b))
+          .coalesce(maxFilesPerInterval))
     }
     // metadata-only tail (e.g. the drop flip itself is the newest
     // epoch): no span reaches `active`, but the checkpoint must — an
