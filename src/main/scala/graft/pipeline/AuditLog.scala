@@ -69,22 +69,38 @@ final class AuditLog(spark: SparkSession, path: String,
   private def rowsOf(files: Seq[org.apache.hadoop.fs.Path]): Seq[AuditRow] = {
     val keyed = files.map(f => pathKey(f) -> f)
     val missing = keyed.filterNot { case (k, _) => fileRowsCache.contains(k) }
-    if (missing.nonEmpty) {
-      val loaded = spark.read.parquet(missing.map(_._2.toString): _*)
+    val loaded: Map[String, Seq[AuditRow]] =
+      if (missing.isEmpty) Map.empty
+      else spark.read.parquet(missing.map(_._2.toString): _*)
         .select(input_file_name().as("_f"), col("event_source"),
           col("target"), col("status"), unix_timestamp(col("ts")).as("_s"))
         .collect().toSeq
         .groupBy(r => pathKey(new org.apache.hadoop.fs.Path(r.getString(0))))
         .map { case (k, rs) => k -> rs.map(r => AuditRow(
           r.getString(1), r.getString(2), r.getInt(3), r.getLong(4))) }
-      // a listed file can still be EMPTY of rows (never happens with
-      // one-row appends, but cache it as empty rather than re-scanning
-      // it on every probe forever)
+    // GUARD before caching: caching `empty` for a requested key is only
+    // sound when the scan's file-name spelling provably matches the
+    // listing's (both normalize through pathKey, but a filesystem whose
+    // input_file_name URIs decode differently would otherwise pin a
+    // file's rows INVISIBLE forever — a wrong-answer failure, not a
+    // slow one). Any unexplained key from the scan disables caching
+    // for this batch; rows are still served from the scan, so a
+    // mismatch degrades to per-probe reads, never to lost rows.
+    val requested = missing.map(_._1).toSet
+    if (loaded.keys.forall(requested.contains)) {
       missing.foreach { case (k, _) =>
         fileRowsCache.putIfAbsent(k, loaded.getOrElse(k, Seq.empty))
       }
+      keyed.flatMap { case (k, _) =>
+        fileRowsCache.get(k).orElse(loaded.get(k)).getOrElse(Seq.empty)
+      }
+    } else {
+      // mismatch path: the scan read exactly the missing files, so its
+      // rows — whatever keys they surfaced under — ARE those files'
+      // rows; serve them verbatim alongside the cached remainder
+      keyed.flatMap { case (k, _) => fileRowsCache.getOrElse(k, Seq.empty) } ++
+        loaded.values.flatten.toSeq
     }
-    keyed.flatMap { case (k, _) => fileRowsCache.getOrElse(k, Seq.empty) }
   }
 
   private def listParquet(): Seq[org.apache.hadoop.fs.FileStatus] = {
