@@ -55,6 +55,18 @@ class CdfSourceSpec extends SparkSpec {
       (1L, "a", 1.0, 1L, "update_preimage", 0L, 1L),
       (1L, "a", 10.0, 2L, "update_postimage", 0L, 1L),
       (3L, "b", 3.0, 1L, "delete", 1L, 2L)))
+    // the fanout cap holds: a one-file interval writes exactly one
+    // parquet file, however many shuffle partitions the diff join had
+    Upsert.mergeIntoManifested(spark, tbl,
+      rows((1, "a", 11.0, 3)), keys, "part", "ver", retain = 6)
+    assert(CdfSource.pollOnce(spark, tbl, keys, feed,
+      maxFilesPerInterval = 1).contains((2L, 3L)))
+    val fs = new org.apache.hadoop.fs.Path(feed)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(feed))
+      .map(_.getPath.getName)
+      .count(n => n.startsWith("delta_cdf_2_3_") && n.endsWith(".parquet"))
+    assert(parts == 1, s"expected 1 part file, saw $parts")
   }
 
   test("the feed drains as a REAL file stream whose sink equals the " +
