@@ -1892,6 +1892,49 @@ object SparkEntry {
         .orderBy(col("src"), col("o_orderkey"), col("o_orderstatus"))
     }),
 
+    "a32_mv_cdf" -> ((s, dir) => {
+      // INCREMENTAL MATERIALIZED VIEW over the change feed — the
+      // reference's report-building trigger
+      // (2.2 loading-lambda-for-mysql.py:344-375) made incremental:
+      // the per-status (count, sum) state seeds from the epoch-0
+      // snapshot, then the 0->2 CDF (update pre/post images + delete
+      // pre-images) folds in via IncrementalAgg.applyChanges —
+      // post-sides add, pre-sides retract — WITHOUT rescanning the
+      // table. Cost at 100 TB is O(|state| + |changed groups|); the
+      // oracle recomputes the view from the final facts, so any
+      // missed retraction or double-add hash-mismatches.
+      val base = s"${artifactBase(dir)}/merge_mv"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      val grp = Seq("o_orderstatus")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      val st0 = operators.IncrementalAgg.sumState(
+        operators.Upsert.readManifestedAt(s, base, 0), grp,
+        "o_totalprice").localCheckpoint()
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      operators.Upsert.deleteKeysFromManifested(s, base,
+        o.filter(col("o_orderkey") % 11 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey")),
+        keys, "o_orderstatus", retain = 4)
+      val feed = operators.Upsert.changesBetween(s, base, 0, 2, keys)
+      operators.IncrementalAgg.reportSums(
+          operators.IncrementalAgg.applyChanges(st0, grp,
+            "o_totalprice", feed), grp)
+        .select(col("o_orderstatus"), col("n"),
+          round(col("total"), 4).as("total"),
+          round(col("mean"), 6).as("mean"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "j31_cdf_spans" -> ((s, dir) => {
       // DROP-TOLERANT CHANGE FEED (changeFeedSpans): the interval
       // crosses a drop of `qty`, so the single-interval feed refuses —
@@ -6752,6 +6795,24 @@ object SparkEntry {
            FROM base WHERE o_orderkey % 11 = 0)
          SELECT o_orderkey, o_orderstatus, quantity, ver, _change_type
          FROM chg ORDER BY o_orderkey, o_orderstatus, _change_type""",
+
+    // the incrementally-maintained view must equal a from-scratch
+    // rebuild over the final facts: %11 keys gone, %5 survivors at
+    // price+1 — exact decimal sums, one double division for the mean
+    "a32_mv_cdf" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 = 0),
+              fin AS (
+           SELECT o_orderstatus,
+                  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS v
+           FROM base WHERE o_orderkey % 11 <> 0)
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS total,
+                round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) /
+                      CAST(count(*) AS DOUBLE), 6) AS mean
+         FROM fin GROUP BY 1 ORDER BY 1""",
 
     // spans across a drop: span (0,1) = the retired column's update
     // pairs; span (2,3) = the %3 re-add wave with NULL qty
