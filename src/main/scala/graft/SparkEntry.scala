@@ -2724,6 +2724,56 @@ object SparkEntry {
           col("o_orderstatus"), col("_change_type"))
     }),
 
+    "x_stream_mv" -> ((s, dir) => {
+      // STREAMING MATERIALIZED VIEW — the incremental-report pipeline
+      // end to end: source table mutations -> CDF polls -> a REAL feed
+      // stream folded into persistent (count, sum) state by MvSink
+      // (a32_mv_cdf's batch fold, now behind a streaming query with
+      // the replay fencing the non-idempotent fold REQUIRES). The
+      // reference rebuilt its report per trigger; this maintains it
+      // from changes alone. Oracle = the view recomputed from the
+      // final facts.
+      val work = java.nio.file.Files.createTempDirectory("graft_mv")
+        .toString
+      val tbl = s"$work/tbl"; val feed = s"$work/feed"
+      val st = s"$work/state"
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      val grp = Seq("o_orderstatus")
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      graft.streaming.MvSink.seed(
+        operators.Upsert.readManifestedAt(s, tbl, 0), grp,
+        "o_totalprice", st)
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feed)
+      operators.Upsert.deleteKeysFromManifested(s, tbl,
+        o.filter(col("o_orderkey") % 11 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey")),
+        keys, "o_orderstatus", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feed)
+      val q = graft.streaming.MvSink.start(
+        graft.streaming.CdfSource.feedStream(s, tbl, keys, feed),
+        grp, "o_totalprice", st, s"$work/ckpt")
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_mv: mv stream did not drain within 300s")
+      }
+      graft.streaming.MvSink.readView(s, st, grp)
+        .select(col("o_orderstatus"), col("n"),
+          round(col("total"), 4).as("total"),
+          round(col("mean"), 6).as("mean"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "x_stream_replicate" -> ((s, dir) => {
       // TABLE-TO-TABLE REPLICATION — the composition capstone: the
       // source table mutates in two waves (update merge, key-batch
@@ -6727,6 +6777,23 @@ object SparkEntry {
                 _change_type, poll
          FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
          ORDER BY poll, o_orderkey, o_orderstatus, _change_type""",
+
+    // the streaming-maintained view equals the batch one: a32's
+    // rebuild oracle verbatim (same final facts, same arithmetic)
+    "x_stream_mv" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 = 0),
+              fin AS (
+           SELECT o_orderstatus,
+                  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS v
+           FROM base WHERE o_orderkey % 11 <> 0)
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS total,
+                round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) /
+                      CAST(count(*) AS DOUBLE), 6) AS mean
+         FROM fin GROUP BY 1 ORDER BY 1""",
 
     // the replica converges to the source's final model: %11 keys
     // deleted (including the %55 updated-then-deleted ones — the

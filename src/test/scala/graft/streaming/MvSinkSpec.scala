@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.{IncrementalAgg, Upsert}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming MV maintenance: the view converges to a rebuild over the
+  * final facts, replayed batches are fenced (the fold is NOT
+  * idempotent), and the state-write kill window repairs. */
+class MvSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("part", "k")
+  private val grp = Seq("part")
+
+  private def rows(t: (Long, String, Double, Long)*) =
+    t.toSeq.toDF("k", "part", "v", "ver")
+
+  private def view(stateDir: String) =
+    MvSink.readView(spark, stateDir, grp)
+      .select($"part", $"n", round($"total", 4).as("t"),
+        round($"mean", 6).as("m"))
+      .as[(String, Long, Double, Double)].collect().toSet
+
+  test("feed-maintained view == rebuild over the final facts, through " +
+      "a REAL feed stream; replayed batches are fenced") {
+    val w = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    val tbl = s"$w/tbl"; val feed = s"$w/feed"; val st = s"$w/state"
+    Upsert.mergeIntoManifested(spark, tbl,
+      rows((1, "a", 1.0, 1), (2, "a", 3.0, 1), (3, "b", 5.0, 1)),
+      keys, "part", "ver", retain = 8)
+    MvSink.seed(Upsert.readManifestedAt(spark, tbl, 0), grp, "v", st)
+    assert(view(st) == Set(("a", 2L, 4.0, 2.0), ("b", 1L, 5.0, 5.0)))
+    // update wave + delete wave, polled as two intervals
+    Upsert.mergeIntoManifested(spark, tbl,
+      rows((1, "a", 10.0, 2)), keys, "part", "ver", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    Upsert.deleteKeysFromManifested(spark, tbl,
+      Seq(("b", 3L)).toDF("part", "k"), keys, "part", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    val q = MvSink.start(CdfSource.feedStream(spark, tbl, keys, feed),
+      grp, "v", st, s"$w/ckpt")
+    assert(q.awaitTermination(120000L), "mv stream did not drain")
+    // group b fully retracted -> dropped; a reflects the update
+    assert(view(st) == Set(("a", 2L, 13.0, 6.5)))
+    // rebuild law
+    val rebuilt = IncrementalAgg.reportSums(IncrementalAgg.sumState(
+        Upsert.readManifested(spark, tbl), grp, "v"), grp)
+      .select($"part", $"n", round($"total", 4).as("t"),
+        round($"mean", 6).as("m"))
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(view(st) == rebuilt)
+    // a REPLAYED batch id must be fenced — re-applying the same feed
+    // rows would double-retract
+    val lastId = MvSink.lastAppliedBatch(spark, st).get
+    MvSink.applyBatch(spark,
+      graft.operators.StagedCommit.readCommitted(spark, feed),
+      lastId, grp, "v", st)
+    assert(view(st) == rebuilt)
+  }
+
+  test("kill between the state write and its marker: the version is " +
+      "invisible; the retry rewrites and lands it once") {
+    val w = java.nio.file.Files.createTempDirectory("graft_mvk").toString
+    val tbl = s"$w/tbl"; val st = s"$w/state"
+    Upsert.mergeIntoManifested(spark, tbl,
+      rows((1, "a", 1.0, 1)), keys, "part", "ver", retain = 8)
+    MvSink.seed(Upsert.readManifestedAt(spark, tbl, 0), grp, "v", st)
+    val batch = Seq(("a", 1L, 1.0, "update_preimage"),
+      ("a", 1L, 9.0, "update_postimage"))
+      .toDF("part", "k", "v", "_change_type")
+    graft.FailPoint.arm("mv_after_state_write")
+    try intercept[graft.FailPoint.Kill] {
+      MvSink.applyBatch(spark, batch, 0L, grp, "v", st)
+    } finally graft.FailPoint.disarm()
+    // unmarked version is invisible: the view still serves the seed
+    assert(view(st) == Set(("a", 1L, 1.0, 1.0)))
+    // retry of the SAME batch id converges exactly once
+    MvSink.applyBatch(spark, batch, 0L, grp, "v", st)
+    assert(view(st) == Set(("a", 1L, 9.0, 9.0)))
+    MvSink.applyBatch(spark, batch, 0L, grp, "v", st)
+    assert(view(st) == Set(("a", 1L, 9.0, 9.0)))
+  }
+
+  test("tailing an unseeded state refuses loudly") {
+    val w = java.nio.file.Files.createTempDirectory("graft_mvu").toString
+    val batch = Seq(("a", 1L, 1.0, "insert"))
+      .toDF("part", "k", "v", "_change_type")
+    val ex = intercept[IllegalStateException] {
+      MvSink.applyBatch(spark, batch, 0L, grp, "v", s"$w/state")
+    }
+    assert(ex.getMessage.contains("seed"), ex.getMessage)
+  }
+}
