@@ -217,7 +217,18 @@ object TextIndex {
     * accordingly. Known limit: a ZERO-TOKEN doc leaves no posting, so
     * deleting one cannot recover its n_docs contribution (it is
     * indistinguishable from an id never indexed) — its only footprint
-    * is a marginally conservative idf until a rebuild. Returns the
+    * is a marginally conservative idf until a rebuild. TOKEN-SCHEME
+    * MIGRATION (ADVICE r15): the pre-r15 ordering committed the stats
+    * delta FIRST under an EFFECTIVE-set token; an index left in that
+    * old crash window (stats committed, tombstones absent) and retried
+    * under this code mints a different raw-set token, sees no
+    * tombstones, and re-subtracts the same docs' stats — permanent
+    * double-subtraction for that one batch. No such artifact exists in
+    * this repo (the scheme changed before any persisted index crossed
+    * rounds), but an external index carrying an in-flight crashed
+    * delete from the old scheme must be REBUILT before deleting under
+    * the new one (or its orphaned old-token stats rows — `del_`-token
+    * stats lacking a tombstone twin — swept first). Returns the
     * refreshed readers. */
   def deleteScoredPostings(ids: DataFrame, idCol: String,
       basePath: String, buckets: Int = 64): (DataFrame, DataFrame) = {

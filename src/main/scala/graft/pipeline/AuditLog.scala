@@ -121,23 +121,24 @@ final class AuditLog(spark: SparkSession, path: String,
     * O(total stages ever) per drain (VERDICT r13 #3). The
     * `mtimeSlackSeconds` constructor knob (default 60 s) absorbs
     * coarse mtime resolution / writer clock skew; raise it for
-    * filesystems with worse fidelity. DEGRADED-MTIME FALLBACK: when
-    * the pruned listing finds zero in-window files but the directory
-    * holds rows, mtimes may not track write completion at all
-    * (object-store copies, restored/rsynced artifact dirs, skew
-    * beyond the slack) — fall back to the unpruned table, so broken
-    * mtime fidelity degrades to the old O(all files) scan instead of
-    * a FALSE NEGATIVE that re-admits already-succeeded work (ADVICE
-    * r14). The row-level `ts` predicate in [[checkStatus]] keeps the
-    * fallback's ANSWER identical either way. */
-  private def recentRows(nowMillis: Long,
-                         maxAgeSeconds: Long): Seq[AuditRow] = {
+    * filesystems with worse fidelity. DEGRADED-MTIME FALLBACK: mtimes
+    * may not track write completion at all (object-store copies,
+    * restored/rsynced artifact dirs, skew beyond the slack), and the
+    * fidelity can be MIXED — some files fresh, the row that matters in
+    * one restored file whose mtime lies (ADVICE r15: an any-files-
+    * in-window test let that file's exclusion return a false negative
+    * that re-admits already-succeeded work). The pruned set is
+    * therefore only the FAST PATH: a probe that finds no row-level hit
+    * in it re-asks the full set before answering 0. [[rowsOf]]
+    * memoizes per write-once file, so the fallback's full read is paid
+    * once per process, not per probe, and the row-level `ts` predicate
+    * keeps the answer identical either way. */
+  private def recentFiles(nowMillis: Long, maxAgeSeconds: Long)
+      : (Seq[org.apache.hadoop.fs.FileStatus],
+         Seq[org.apache.hadoop.fs.FileStatus]) = {
     val all = listParquet()
-    if (all.isEmpty) return Seq.empty
     val cutoff = nowMillis - (maxAgeSeconds + mtimeSlackSeconds) * 1000L
-    val files = all.filter(_.getModificationTime >= cutoff)
-    if (files.nonEmpty) rowsOf(files.map(_.getPath))
-    else rowsOf(all.map(_.getPath))
+    (all.filter(_.getModificationTime >= cutoff), all)
   }
 
   /** A5 / `sp_lambda_loading_check_status` (`R22:219-254`): was there a
@@ -156,7 +157,7 @@ final class AuditLog(spark: SparkSession, path: String,
     * completed load). */
   def checkStatus(needle: String, target: String, windowSeconds: Long,
                   nowMillis: Long, exact: Boolean = false): Int = {
-    val hit = recentRows(nowMillis, windowSeconds).exists { r =>
+    def hitIn(rows: Seq[AuditRow]): Boolean = rows.exists { r =>
       (if (exact) r.eventSource == needle
        else r.eventSource.contains(needle)) &&
         r.target == target && r.status == 1 &&
@@ -165,6 +166,12 @@ final class AuditLog(spark: SparkSession, path: String,
         // digit-for-digit so the window boundary cannot move
         (nowMillis / 1000.0 - r.tsSec) < windowSeconds
     }
+    val (pruned, all) = recentFiles(nowMillis, windowSeconds)
+    // pruned listing is the fast path only: a miss re-asks the FULL
+    // set (memo-served after the first read) so a lying mtime can
+    // never false-negative, mixed fidelity included (ADVICE r15)
+    val hit = (pruned.nonEmpty && hitIn(rowsOf(pruned.map(_.getPath)))) ||
+      (pruned.size < all.size && hitIn(rowsOf(all.map(_.getPath))))
     if (hit) 1 else 0
   }
 

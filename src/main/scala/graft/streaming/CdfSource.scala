@@ -146,13 +146,21 @@ object CdfSource {
     // metadata-only tail (e.g. the drop flip itself is the newest
     // epoch): no span reaches `active`, but the checkpoint must — an
     // empty schema-shaped token advances it or the poller would
-    // re-walk the same manifests forever
+    // re-walk the same manifests forever. LEGACY GUARD (ADVICE r15):
+    // a table whose active manifest predates the `#ddl` header has no
+    // recorded schema to shape the empty token with — skip it instead
+    // of crash-looping the pump; the checkpoint stalls at lastTo and
+    // the same tail is harmlessly re-polled (and advances as soon as
+    // a schema-recording merge lands).
     val lastTo = spans.lastOption.map(_._2).getOrElse(since)
-    if (lastTo < active)
+    if (lastTo < active) {
+      if (Upsert.manifestedSchema(spark, tablePath).isEmpty)
+        return if (lastTo > since) Some((since, lastTo)) else None
       StagedCommit.appendOnce(feedDir, s"cdf_${lastTo}_$active", Seq.empty,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           feedSchema(spark, tablePath, keys)))
+    }
     Some((since, active))
   }
 
@@ -197,10 +205,18 @@ object CdfSource {
   /** The consumer half: a REAL streaming read of the feed artifact.
     * Schema is pinned from the table's CURRENT recorded schema (file
     * streams cannot infer), ordered exactly as [[Upsert.changesSince]]
-    * emits: keys, values, `_change_type`, then the interval columns. */
+    * emits: keys, values, `_change_type`, then the interval columns.
+    * `ignoreMissingFiles` is set because the poller's crash-window
+    * sweep (and [[pruneFeed]]) may legitimately delete a file this
+    * consumer already LISTED but not yet read (ADVICE r15) — a swept
+    * ghost's interval is re-fed whole under the current head's token,
+    * so skipping the vanished file stays within the documented
+    * at-least-once-under-emitter-crash contract rather than failing
+    * the query with FileNotFoundException. */
   def feedStream(spark: SparkSession, tablePath: String,
                  keys: Seq[String], feedDir: String): DataFrame =
     spark.readStream.schema(feedSchema(spark, tablePath, keys))
+      .option("ignoreMissingFiles", "true")
       .parquet(feedDir)
 
   /** The feed's row shape for the table's current schema. */

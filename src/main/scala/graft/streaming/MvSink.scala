@@ -25,6 +25,20 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the highest marker. Old versions are swept keeping two (the same
   * lazy-reader retention floor as the manifested tables).
   *
+  * LINEAGE FENCE (ADVICE r15): batch ids are only meaningful within
+  * ONE checkpoint lineage — a tail restarted against the same stateDir
+  * with a fresh (or lost) checkpoint dir renumbers batches from 0, and
+  * bare `_mvstate_b<id>` markers would silently SKIP batches carrying
+  * new feed rows (a stale-view wrong answer, not a crash; the Delta
+  * idempotent-writes pattern pairs version with txnAppId for exactly
+  * this reason). [[start]] therefore mints a lineage id persisted IN
+  * the checkpoint dir (`_graft_mv_app` — lives and dies with the
+  * checkpoint) and [[applyBatch]] records it in the stateDir
+  * (`_mvstate_app`): a mismatch against a stateDir that already has
+  * applied batches REFUSES loudly — a fresh checkpoint replays the
+  * feed from its beginning, so the only sound recovery is a fresh
+  * stateDir reseed (or restoring the original checkpoint).
+  *
   * Seed the state from a table snapshot with [[seed]] BEFORE starting
   * the tail (the feed carries changes, not the base population); the
   * seed occupies version marker `_mvstate_seed` below every batch. */
@@ -82,25 +96,50 @@ object MvSink {
     fs.create(marker, true).close()
   }
 
+  /** The checkpoint dir's lineage id: read if present, minted and
+    * persisted on first use — it lives exactly as long as the
+    * checkpoint does, which is the property the fence needs (a lost
+    * checkpoint is a new lineage BECAUSE its batch numbering restarts). */
+  private[streaming] def lineageId(spark: SparkSession,
+      checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_mv_app")
+    val fs = fsOf(spark, checkpointDir)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString
+      val out = fs.create(p, true)
+      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      id
+    }
+  }
+
   /** Tail a CDF feed stream into the state. */
   def start(feed: DataFrame, grp: Seq[String], valCol: String,
             stateDir: String, checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = feed.sparkSession
+    val app = lineageId(spark, checkpointDir)
     feed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, batch, batchId, grp, valCol, stateDir)
+        applyBatch(spark, batch, batchId, grp, valCol, stateDir, app)
       }
       .start()
   }
 
-  /** One batch, exactly once per id. Public for spec-level chaos. */
+  /** One batch, exactly once per id within one checkpoint lineage.
+    * Public for spec-level chaos; `appId = ""` skips the lineage fence
+    * for direct batch callers who own their own replay semantics. */
   private[streaming] def applyBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, grp: Seq[String], valCol: String,
-      stateDir: String): Unit = {
+      stateDir: String, appId: String = ""): Unit = {
     val fs = fsOf(spark, stateDir)
+    if (appId.nonEmpty) fenceLineage(spark, stateDir, appId)
     val marker =
       new org.apache.hadoop.fs.Path(stateDir, s"_mvstate_b$batchId")
     if (fs.exists(marker)) return // replayed batch: already folded
@@ -127,5 +166,37 @@ object MvSink {
       fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"_mvstate_b$old"),
         false)
     }
+  }
+
+  /** The lineage fence: refuse to fold under a checkpoint lineage
+    * other than the one whose batches this stateDir already applied.
+    * A stateDir with NO applied batches yet adopts the caller's
+    * lineage (first tail after seed, or a tail that crashed before
+    * batch 0's marker) — nothing fold-order-sensitive has happened, so
+    * re-adoption is safe; that also self-heals a partially-written
+    * identity file. */
+  private def fenceLineage(spark: SparkSession, stateDir: String,
+      appId: String): Unit = {
+    val fs = fsOf(spark, stateDir)
+    val p = new org.apache.hadoop.fs.Path(stateDir, "_mvstate_app")
+    val recorded: Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    if (recorded.contains(appId)) return
+    if (lastAppliedBatch(spark, stateDir).isDefined)
+      throw new IllegalStateException(
+        s"MV state at $stateDir was maintained under checkpoint lineage " +
+          s"${recorded.getOrElse("<unrecorded>")}, not $appId — a fresh " +
+          "or lost checkpoint renumbers batches from 0 and replays the " +
+          "feed from its beginning, so folding on would double-apply " +
+          "history (the fold retracts; it is not idempotent). Reseed a " +
+          "FRESH stateDir, or restore the original checkpoint dir.")
+    val out = fs.create(p, true)
+    try out.write(appId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }

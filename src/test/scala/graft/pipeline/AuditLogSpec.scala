@@ -65,4 +65,27 @@ class AuditLogSpec extends SparkSpec {
     assert(wide.checkStatus("loading", "f_x", 1800, now,
       exact = true) == 1)
   }
+
+  test("MIXED mtime fidelity: fresh files present AND the in-window row " +
+      "in a backdated file — fallback still finds it (ADVICE r15)") {
+    val dir = Files.createTempDirectory("graft_audit_mx").toString
+    val audit = new AuditLog(spark, dir)
+    val now = System.currentTimeMillis()
+    // the row that matters, in a file whose mtime lies (restored file)
+    audit.append("loading", "f_restored", 1, now - 60 * 1000L)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).foreach { st =>
+      if (st.isFile) fs.setTimes(st.getPath, now - 86400 * 1000L, -1)
+    }
+    // an unrelated FRESH file keeps the pruned set non-empty — the r14
+    // zero-in-window fallback trigger never fires; the r15 miss-driven
+    // fallback must
+    audit.append("loading", "f_other", 1, now)
+    assert(audit.checkStatus("loading", "f_restored", 1800, now,
+      exact = true) == 1)
+    // and a genuinely absent target still answers 0 through both passes
+    assert(audit.checkStatus("loading", "f_never", 1800, now,
+      exact = true) == 0)
+  }
 }

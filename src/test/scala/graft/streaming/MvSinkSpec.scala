@@ -83,6 +83,36 @@ class MvSinkSpec extends SparkSpec {
     assert(view(st) == Set(("a", 1L, 9.0, 9.0)))
   }
 
+  test("lineage fence: a fresh checkpoint lineage over a stateDir with " +
+      "applied batches refuses; a batch-free stateDir adopts it") {
+    val w = java.nio.file.Files.createTempDirectory("graft_mvl").toString
+    val tbl = s"$w/tbl"; val st = s"$w/state"
+    Upsert.mergeIntoManifested(spark, tbl,
+      rows((1, "a", 1.0, 1)), keys, "part", "ver", retain = 8)
+    MvSink.seed(Upsert.readManifestedAt(spark, tbl, 0), grp, "v", st)
+    val batch = Seq(("a", 1L, 2.0, "insert"))
+      .toDF("part", "k", "v", "_change_type")
+    // seed-only stateDir adopts the first lineage it sees
+    MvSink.applyBatch(spark, batch, 0L, grp, "v", st, "lineage-1")
+    assert(view(st) == Set(("a", 2L, 3.0, 1.5)))
+    // same lineage: replayed id fenced, next id folds
+    MvSink.applyBatch(spark, batch, 0L, grp, "v", st, "lineage-1")
+    assert(view(st) == Set(("a", 2L, 3.0, 1.5)))
+    // a DIFFERENT lineage (fresh/lost checkpoint) renumbers batches
+    // from 0 — folding its batch 0 under the old markers would both
+    // skip (id collision) and double-apply (feed replay); refuse
+    val ex = intercept[IllegalStateException] {
+      MvSink.applyBatch(spark, batch, 1L, grp, "v", st, "lineage-2")
+    }
+    assert(ex.getMessage.contains("lineage"), ex.getMessage)
+    assert(view(st) == Set(("a", 2L, 3.0, 1.5)))
+    // and the streaming path mints a stable id per checkpoint dir
+    val ck = s"$w/ckpt"
+    val id1 = MvSink.lineageId(spark, ck)
+    assert(MvSink.lineageId(spark, ck) == id1)
+    assert(MvSink.lineageId(spark, s"$w/ckpt2") != id1)
+  }
+
   test("tailing an unseeded state refuses loudly") {
     val w = java.nio.file.Files.createTempDirectory("graft_mvu").toString
     val batch = Seq(("a", 1L, 1.0, "insert"))
