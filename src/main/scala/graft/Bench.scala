@@ -5,6 +5,51 @@ object Bench {
     val wall0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // MACHINE-WEATHER INSTRUMENTATION (VERDICT r15 #1): BENCH_r15's
+    // official run published a 38% "regression" that two same-HEAD
+    // clean runs disproved — 13 queries over 2× floors across
+    // unrelated families, 7× adjacent-sample swings inside one
+    // fresh-JVM child. The [gcprof] tripwire watches the HEAP; nothing
+    // watched the MACHINE, so a contended run impersonated a code
+    // regression. Three additions close that: (a) weather samples
+    // (loadavg, MemAvailable, and a fixed single-thread spin probe —
+    // the spin is the external-contention signal loadavg can't give,
+    // since loadavg after OUR OWN suite is high by construction) taken
+    // at start, post-suite, before every isolation chunk, and at end;
+    // (b) when >5 flagged queries STILL exceed 2× floors after the
+    // first isolation pass, one automatic re-run of that subset after
+    // a cooldown, both passes published; (c) a `weather` verdict field
+    // so a contended artifact labels itself instead of reading as a
+    // regression.
+    final case class Weather(at: String, load1: Double, memMb: Long,
+                             spinMs: Double)
+    def loadavg1(): Double = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8).split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    def memAvailMb(): Long = try {
+      val src = scala.io.Source.fromFile("/proc/meminfo", "UTF-8")
+      try src.getLines().find(_.startsWith("MemAvailable"))
+        .map(_.split("\\s+")(1).toLong / 1024L).getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+    // fixed CPU-bound work on one thread: wall time is flat on a quiet
+    // machine and stretches under external contention — unlike loadavg
+    // (1-min decay, polluted by our own just-finished Spark stages) or
+    // GC time (heap-local). 2^27 xorshift steps ≈ 100-200 ms.
+    def spinMs(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      while (i < (1 << 27)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.print("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    spinMs(); spinMs() // JIT the probe loop before the first recorded sample
+    val weatherSamples = scala.collection.mutable.ArrayBuffer.empty[Weather]
+    def sampleWeather(at: String): Unit =
+      weatherSamples += Weather(at, loadavg1(), memAvailMb(), spinMs())
+    sampleWeather("start")
     def newSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -128,6 +173,7 @@ object Bench {
         }
         sinceRecycle += 1
         name -> (1 to (warmup + runs)).map(_ => sample(name, fn)) }
+    sampleWeather("post_suite")
     val allSamples = allRaw.map { case (n, ss) => n -> ss.drop(warmup) }
     // one stderr line per query whose samples spent >25% of wall in GC
     // (or >1 s total): the JIT/GC-shaped-anomaly tripwire — quiet when
@@ -271,6 +317,7 @@ object Bench {
       var failed = false
       while (!failed && pending.nonEmpty) {
         val g = pending.take(8)
+        sampleWeather(s"iso_chunk:${g.head}")
         isolateFreshJvmChunk(g, deadline) match {
           case Some((iso, samp)) =>
             accIso ++= iso; accSamp ++= samp; pending = pending.drop(8)
@@ -386,6 +433,55 @@ object Bench {
         (Seq.empty[(String, Double)], Map.empty[String, Seq[Double]],
           Map.empty[String, String])
       else isolateFreshJvm(flagged)
+    // WEATHER RE-RUN (VERDICT r15 #1b): queries whose ISOLATED medians
+    // still trip 2× floors are either real regressions or a machine
+    // that was noisy during the isolation pass too. When more than 5
+    // trip — a code change does not slow five unrelated families at
+    // once — re-run exactly that subset once after a cooldown and
+    // publish BOTH passes; the floor/weather math below takes the
+    // per-query min, so one quiet pass clears a query.
+    val suiteMed: Map[String, Double] = allSamples.map { case (n, ss) =>
+      n -> ss.sorted.apply(ss.length / 2) }.toMap
+    def floorFor(n: String): Double = math.max(0.05,
+      (allSamples.toMap.apply(n).min +: priorFloor.get(n).toSeq).min)
+    def over2x(names: Seq[String], iso: Map[String, Double]): Seq[String] =
+      names.filter { n =>
+        val med = iso.getOrElse(n, suiteMed(n))
+        med >= 0.3 && med > 2.0 * floorFor(n)
+      }
+    val stillOver = over2x(flagged, isolated.toMap)
+    val cooldownSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN", "60").toInt
+    val (isolated2, isolated2Samples) =
+      if (stillOver.size <= 5)
+        (Seq.empty[(String, Double)], Map.empty[String, Seq[Double]])
+      else {
+        System.err.println(s"[weather] ${stillOver.size} queries >2x floor " +
+          s"after isolation (${stillOver.mkString(",")}) — cooling down " +
+          s"${cooldownSec}s and re-running that subset once")
+        Thread.sleep(cooldownSec * 1000L)
+        sampleWeather("post_cooldown")
+        val (iso2, samp2, _) = isolateFreshJvm(stillOver)
+        (iso2, samp2)
+      }
+    // per-query best isolated figure across both passes — what the
+    // floor persistence and the weather verdict believe
+    val isoBest: Map[String, Double] =
+      (isolated ++ isolated2).groupMapReduce(_._1)(_._2)(math.min)
+    sampleWeather("end")
+    val finalOver = over2x(flagged, isoBest)
+    val spins = weatherSamples.map(_.spinMs).filter(_ > 0)
+    val spinRatio =
+      if (spins.size >= 2 && spins.min > 0) spins.max / spins.min else 1.0
+    // verdict: a >2.0 spin spread means the machine was provably noisy
+    // sometime during the run; >5 still-over queries with a noisy spin
+    // is contention, with a quiet spin it is labeled anomalous (maybe
+    // real — the reader gets the per-pass data either way)
+    val weather =
+      if (flagged.isEmpty || finalOver.size <= 5)
+        if (spinRatio > 2.0) "contended-but-clean" else "clean"
+      else if (spinRatio > 1.3) "contended"
+      else "anomalous"
     // 3-decimal seconds (ms precision) keep the line compact, and the
     // headline total goes LAST: downstream tooling captures only the
     // final ~2KB of output, so cold-first/medians/isolated/total-at-the-
@@ -430,8 +526,10 @@ object Bench {
       // the in-process isolation FALLBACK can record a throwing query's
       // time-to-failure as its median (sample() adds the name to
       // `failed` but still returns elapsed) — keep those out of the
-      // durable floors or the query reads as >2x-regressed forever
-      val isoMap = isolated.toMap -- failed
+      // durable floors or the query reads as >2x-regressed forever.
+      // isoBest: min across both isolation passes (the weather re-run
+      // pass counts toward floors with full fresh-JVM pedigree)
+      val isoMap = isoBest -- failed
       // provenance rides along (VERDICT r13 #7): per floor, whether the
       // winning number came from a suite sample minimum or an isolated
       // (fresh-JVM, post-warmup) median — prior entries keep the
@@ -453,7 +551,10 @@ object Bench {
           (n, v, priorProv.getOrElse(n, "suite")) } ++
         runMin.toSeq.map { case (n, v) => (n, v, "suite") } ++
         isoMap.toSeq.map { case (n, v) =>
-          (n, v, isoSource.getOrElse(n, "isolated")) }
+          // a pass-2 fresh-JVM win upgrades an inproc pass-1 pedigree
+          val src = if (isolated2.toMap.get(n).contains(v)) "isolated"
+                    else isoSource.getOrElse(n, "isolated")
+          (n, v, src) }
       val merged = candidates
         .filter { case (n, v, _) => qnames.contains(n) && v > 0.0 }
         .groupBy(_._1).view.mapValues(_.minBy(_._2)).toMap
@@ -469,7 +570,16 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     val wall = (System.nanoTime() - wall0) / 1e9
-    println(s"""{"cold":$cold,$ownSamples"queries":$qs,"isolated_samples":$isoSamples,"isolated":$iso,"failed":$failedArr,"runs":$runs,"warmup":$warmup,"recycle":$recycleEvery,"wall":${fmt(wall)},"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
+    // weather block rides near the tail so it survives the driver's
+    // ~2KB truncation alongside isolated/total
+    val iso2 = isolated2.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val iso2Samples = samplesObj(isolated2Samples.toSeq.sortBy(_._1))
+    val weatherArr = weatherSamples.map { w =>
+      s"""{"at":"${w.at}","load1":${fmt(w.load1)},"mem_mb":${w.memMb},""" +
+        s""""spin_ms":${fmt(w.spinMs)}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"cold":$cold,$ownSamples"queries":$qs,"isolated_samples":$isoSamples,"isolated":$iso,"isolated2_samples":$iso2Samples,"isolated2":$iso2,"failed":$failedArr,"runs":$runs,"warmup":$warmup,"recycle":$recycleEvery,"weather_samples":$weatherArr,"spin_ratio":${fmt(spinRatio)},"over2x":${finalOver.size},"weather":"$weather","wall":${fmt(wall)},"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
     spark.stop()
   }
 }
