@@ -2724,6 +2724,61 @@ object SparkEntry {
           col("o_orderstatus"), col("_change_type"))
     }),
 
+    "x_stream_cdf_rename_feed" -> ((s, dir) => {
+      // SCHEMA-VERSIONED FEED (VERDICT r15 #2): a rename lands BETWEEN
+      // two polled intervals, so the feed dir accumulates files of
+      // both spellings (`quantity` era, then `qty2` era); the drained
+      // stream must serve the OLD files' values under the NEW name via
+      // the `_cdfmeta_` rename events the poller records beside the
+      // feed — the pre-r16 pinned-schema read served NULL there (the
+      // documented failure mode this gate exists to beat). Oracle
+      // recomputes both intervals' diffs under the final name.
+      val work = java.nio.file.Files.createTempDirectory("graft_cdfrf")
+        .toString
+      val tbl = s"$work/tbl"; val feed = s"$work/feed"
+      val base = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        base.withColumn("quantity", (col("o_orderkey") % 97).cast("long"))
+          .withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver",
+        retain = 8)
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("quantity",
+            (col("o_orderkey") % 97 + 1000).cast("long"))
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver",
+        retain = 8)
+      // interval (0,1] feeds under `quantity`
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feed)
+      operators.Upsert.renameManifestedColumn(s, tbl, "quantity", "qty2",
+        retain = 8)
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        base.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("qty2", (col("o_orderkey") % 89 + 5000).cast("long"))
+          .withColumn("ver", lit(3L)), keys, "o_orderstatus", "ver",
+        retain = 8)
+      // interval (1,3] composes the rename and feeds under `qty2`
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feed)
+      val sink = s"$work/sink"
+      val q = graft.streaming.CdfSource.feedStream(s, tbl, keys, feed)
+        .writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", sink).start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_cdf_rename_feed: stream did not drain within 300s")
+      }
+      s.read.parquet(sink)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("qty2"),
+          col("ver"), col("_change_type"),
+          col("_from_epoch"), col("_to_epoch"))
+        .orderBy(col("_from_epoch"), col("o_orderkey"),
+          col("o_orderstatus"), col("_change_type"))
+    }),
+
     "x_stream_mv" -> ((s, dir) => {
       // STREAMING MATERIALIZED VIEW — the incremental-report pipeline
       // end to end: source table mutations -> CDF polls -> a REAL feed
@@ -6839,6 +6894,45 @@ object SparkEntry {
            FROM base WHERE o_orderkey % 11 = 0)
          SELECT o_orderkey, o_orderstatus, o_totalprice, ver,
                 _change_type, _from_epoch, _to_epoch
+         FROM (SELECT * FROM i1 UNION ALL SELECT * FROM i2)
+         ORDER BY _from_epoch, o_orderkey, o_orderstatus, _change_type""",
+
+    // both intervals' diffs under the FINAL name: interval (0,1] was
+    // FED under `quantity` (pre-rename files) and must still surface
+    // its values — the schema-versioned feed's whole point; interval
+    // (1,3] composes the rename inside changesBetween
+    "x_stream_cdf_rename_feed" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders
+                       WHERE o_orderkey % 7 = 0),
+              i1 AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(o_orderkey % 97 AS BIGINT) AS qty2,
+                  CAST(1 AS BIGINT) AS ver,
+                  'update_preimage' AS _change_type,
+                  CAST(0 AS BIGINT) AS _from_epoch,
+                  CAST(1 AS BIGINT) AS _to_epoch
+           FROM base WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_orderkey % 97 + 1000, 2,
+                  'update_postimage', 0, 1
+           FROM base WHERE o_orderkey % 5 = 0),
+              i2 AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(CASE WHEN o_orderkey % 5 = 0
+                       THEN o_orderkey % 97 + 1000
+                       ELSE o_orderkey % 97 END AS BIGINT) AS qty2,
+                  CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END
+                       AS BIGINT) AS ver,
+                  'update_preimage' AS _change_type,
+                  CAST(1 AS BIGINT) AS _from_epoch,
+                  CAST(3 AS BIGINT) AS _to_epoch
+           FROM base WHERE o_orderkey % 3 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_orderkey % 89 + 5000, 3,
+                  'update_postimage', 1, 3
+           FROM base WHERE o_orderkey % 3 = 0)
+         SELECT o_orderkey, o_orderstatus, qty2, ver, _change_type,
+                _from_epoch, _to_epoch
          FROM (SELECT * FROM i1 UNION ALL SELECT * FROM i2)
          ORDER BY _from_epoch, o_orderkey, o_orderstatus, _change_type""",
 

