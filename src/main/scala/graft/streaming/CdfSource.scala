@@ -188,11 +188,72 @@ object CdfSource {
     Some((since, active))
   }
 
+  private val ConsumerRe = """_consumer_([A-Za-z0-9-]+)_(\d+)""".r
+
+  /** CONSUMER-PROGRESS HANDSHAKE (VERDICT r15 #3): a consumer
+    * publishes the epoch it has DURABLY processed through as a marker
+    * file beside the feed (`_consumer_<id>_<epoch>` — filename-encoded
+    * so the publish is a single atomic create, no partial-content
+    * window). [[pruneFeed]] then refuses to reclaim past the slowest
+    * registered consumer, making retention safe by construction
+    * instead of trusting a bare argument. Publish AFTER the processing
+    * is durable (e.g. after the MV state marker lands — [[MvSink]]
+    * wires this automatically): a marker ahead of durability would
+    * license pruning unread intervals. Monotone per consumer: an older
+    * or equal epoch is a no-op; older markers of the same consumer are
+    * swept once the newer one exists (readers take the max, so a crash
+    * between create and sweep is harmless). */
+  def publishProgress(spark: SparkSession, feedDir: String,
+                      consumerId: String, epoch: Long): Unit = {
+    require(consumerId.matches("[A-Za-z0-9-]+"),
+      s"consumerId must be [A-Za-z0-9-]+ (filename-encoded): $consumerId")
+    val p = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    if (consumerProgress(spark, feedDir).get(consumerId).exists(_ >= epoch))
+      return
+    fs.create(new org.apache.hadoop.fs.Path(p,
+      s"_consumer_${consumerId}_$epoch"), true).close()
+    fs.listStatus(p).foreach { st =>
+      st.getPath.getName match {
+        case ConsumerRe(id, e) if id == consumerId && e.toLong < epoch =>
+          fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Registered consumers' durably-processed-through epochs (max per
+    * consumer id). */
+  def consumerProgress(spark: SparkSession,
+                       feedDir: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case ConsumerRe(id, e) => (id, e.toLong)
+    }.groupMapReduce(_._1)(_._2)(math.max)
+  }
+
+  /** Reclaim everything every REGISTERED consumer has durably
+    * processed — the no-bare-argument form of [[pruneFeed]]. A feed
+    * with no registered consumers prunes nothing (an unknown consumer
+    * set is the unsafe case, not license to reclaim). */
+  def pruneFeed(spark: SparkSession, feedDir: String): Int = {
+    val consumers = consumerProgress(spark, feedDir)
+    if (consumers.isEmpty) 0
+    else pruneFeed(spark, feedDir, consumers.values.min)
+  }
+
   /** Reclaim feed history: delete every committed interval whose `to`
     * is at or below `consumedThrough` — the caller's statement that
     * every consumer has durably processed past that epoch (a file
     * deleted under an unread consumer is lost data; same contract as
-    * any retention knob). The NEWEST token always survives regardless:
+    * any retention knob). When consumers have REGISTERED their
+    * progress ([[publishProgress]]), the argument is additionally
+    * CLAMPED to the slowest one — an eager caller can no longer delete
+    * unread intervals out from under a lagging consumer (VERDICT r15
+    * #3). The NEWEST token always survives regardless:
     * it IS the poller's checkpoint ([[lastFedEpoch]]), and pruning
     * must never regress the feed to re-emitting old intervals. Per
     * token, data files delete BEFORE the marker, so a crash leaves a
@@ -205,6 +266,10 @@ object CdfSource {
     val p = new org.apache.hadoop.fs.Path(feedDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return 0
+    val consumers = consumerProgress(spark, feedDir)
+    val effective =
+      if (consumers.isEmpty) consumedThrough
+      else math.min(consumedThrough, consumers.values.min)
     val tokens = fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
       case n if n.startsWith("_delta_") && n.endsWith("_SUCCESS") =>
         n.stripPrefix("_delta_").stripSuffix("_SUCCESS")
@@ -212,7 +277,7 @@ object CdfSource {
     if (tokens.isEmpty) return 0
     val newest = tokens.maxBy(_._2)._1
     val victims = tokens.filter { case (t, to) =>
-      to <= consumedThrough && t != newest
+      to <= effective && t != newest
     }
     victims.foreach { case (t, _) =>
       fs.listStatus(p).foreach { st =>

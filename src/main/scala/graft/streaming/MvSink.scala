@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.operators.IncrementalAgg
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** STREAMING MATERIALIZED-VIEW MAINTENANCE — the last stage of the
@@ -117,17 +118,25 @@ object MvSink {
     }
   }
 
-  /** Tail a CDF feed stream into the state. */
+  /** Tail a CDF feed stream into the state. `progress` — optional
+    * `(feedDir, consumerId)` — publishes the batch's max `_to_epoch`
+    * as this consumer's durably-processed-through marker AFTER each
+    * batch's state marker lands ([[CdfSource.publishProgress]]), which
+    * is what lets [[CdfSource.pruneFeed]] reclaim consumed intervals
+    * safely (VERDICT r15 #3): the marker never runs ahead of the fold
+    * it certifies. */
   def start(feed: DataFrame, grp: Seq[String], valCol: String,
             stateDir: String, checkpointDir: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            progress: Option[(String, String)] = None): StreamingQuery = {
     val spark = feed.sparkSession
     val app = lineageId(spark, checkpointDir)
     feed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, batch, batchId, grp, valCol, stateDir, app)
+        applyBatch(spark, batch, batchId, grp, valCol, stateDir, app,
+          progress)
       }
       .start()
   }
@@ -137,7 +146,8 @@ object MvSink {
     * for direct batch callers who own their own replay semantics. */
   private[streaming] def applyBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, grp: Seq[String], valCol: String,
-      stateDir: String, appId: String = ""): Unit = {
+      stateDir: String, appId: String = "",
+      progress: Option[(String, String)] = None): Unit = {
     val fs = fsOf(spark, stateDir)
     if (appId.nonEmpty) fenceLineage(spark, stateDir, appId)
     val marker =
@@ -156,6 +166,18 @@ object MvSink {
     next.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/mv_b$batchId")
     graft.FailPoint.hit("mv_after_state_write")
     fs.create(marker, true).close()
+    // the fold is durable as of the marker — NOW the feed may learn
+    // how far this consumer has processed (a crash before this line
+    // re-publishes on the replayed batch's fenced retry; monotone, so
+    // out-of-order publishes are no-ops)
+    progress.foreach { case (feedDir, consumerId) =>
+      if (batch.columns.contains("_to_epoch")) {
+        val r = batch.agg(max(col("_to_epoch"))).head()
+        if (!r.isNullAt(0))
+          CdfSource.publishProgress(spark, feedDir, consumerId,
+            r.getLong(0))
+      }
+    }
     // sweep versions older than the previous one (lazy-reader floor)
     val p = new org.apache.hadoop.fs.Path(stateDir)
     val ids = fs.listStatus(p).toSeq.map(_.getPath.getName).collect {

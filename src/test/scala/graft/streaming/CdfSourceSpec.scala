@@ -243,6 +243,43 @@ class CdfSourceSpec extends SparkSpec {
     assert(CdfSource.pollOnce(spark, tbl, keys, feed).contains((3L, 4L)))
   }
 
+  test("consumer-progress handshake: an eager prune is clamped to the " +
+      "slowest registered consumer; the no-arg prune reclaims exactly " +
+      "the consumed set") {
+    val w = work("graft_cdfs7")
+    val tbl = s"$w/tbl"; val feed = s"$w/feed"
+    Upsert.mergeIntoManifested(spark, tbl,
+      rows((1, "a", 1.0, 1)), keys, "part", "ver", retain = 8)
+    (2 to 4).foreach { v =>
+      Upsert.mergeIntoManifested(spark, tbl,
+        rows((1, "a", v.toDouble, v.toLong)), keys, "part", "ver",
+        retain = 8)
+      CdfSource.pollOnce(spark, tbl, keys, feed)
+    }
+    // intervals (0,1),(1,2),(2,3); a no-consumer no-arg prune refuses
+    assert(CdfSource.pruneFeed(spark, feed) == 0)
+    CdfSource.publishProgress(spark, feed, "fast", 3L)
+    CdfSource.publishProgress(spark, feed, "slow", 1L)
+    assert(CdfSource.consumerProgress(spark, feed) ==
+      Map("fast" -> 3L, "slow" -> 1L))
+    // an EAGER prune (caller claims 99) is clamped to the lagging
+    // consumer: only (0,1) reclaims; (1,2) stays readable for `slow`
+    assert(CdfSource.pruneFeed(spark, feed, consumedThrough = 99L) == 1)
+    val left = graft.operators.StagedCommit.readCommitted(spark, feed)
+      .select($"_from_epoch", $"_to_epoch")
+      .as[(Long, Long)].collect().toSet
+    assert(left == Set((1L, 2L), (2L, 3L)))
+    // monotone publish: a stale epoch is a no-op
+    CdfSource.publishProgress(spark, feed, "slow", 2L)
+    CdfSource.publishProgress(spark, feed, "slow", 1L)
+    assert(CdfSource.consumerProgress(spark, feed)("slow") == 2L)
+    assert(CdfSource.pruneFeed(spark, feed) == 1) // reclaims (1,2)
+    // all consumers past the head: the newest token still survives
+    CdfSource.publishProgress(spark, feed, "slow", 3L)
+    assert(CdfSource.pruneFeed(spark, feed) == 0)
+    assert(CdfSource.lastFedEpoch(spark, feed).contains(3L))
+  }
+
   test("the live pump polls on its own ticks: mutations land in the " +
       "feed without manual pollOnce calls") {
     val w = work("graft_cdfs4")
