@@ -1935,6 +1935,60 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "a33_mv_minmax" -> ((s, dir) => {
+      // MULTI-MEASURE INCREMENTAL MV WITH MIN/MAX (VERDICT r15 #4):
+      // one state dir carries TWO measures' counts/sums AND their
+      // min/max. The delete wave retires group extrema (qty maxima
+      // live exclusively on the +500-updated %5 keys, some of which
+      // the %11 delete removes) — the one case subtractable state
+      // cannot recover — so the fold detects extremum retirement and
+      // recomputes ONLY the dirty groups' min/max from the post-change
+      // table (semi-join-bounded; never unrelated table growth).
+      // Oracle = the full multi-measure view rebuilt from the final
+      // facts: a wrong runner-up, a missed retirement, or a
+      // double-fold all hash-mismatch.
+      val base = s"${artifactBase(dir)}/merge_mv_mm"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          (col("o_orderkey") % 97).cast("double").as("qty"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      val grp = Seq("o_orderstatus")
+      val cols = Seq("o_totalprice", "qty")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      val st0 = operators.IncrementalAgg.multiState(
+        operators.Upsert.readManifestedAt(s, base, 0), grp, cols)
+        .localCheckpoint()
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("qty", col("qty") + 500.0)
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      operators.Upsert.deleteKeysFromManifested(s, base,
+        o.filter(col("o_orderkey") % 11 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey")),
+        keys, "o_orderstatus", retain = 4)
+      val feed = operators.Upsert.changesBetween(s, base, 0, 2, keys)
+      val st1 = operators.IncrementalAgg.applyChangesMulti(st0, grp,
+        cols, feed, operators.Upsert.readManifested(s, base))
+      operators.IncrementalAgg.reportMulti(st1, grp, cols)
+        .select(col("o_orderstatus"), col("n"),
+          round(col("total_o_totalprice"), 4).as("total_price"),
+          round(col("mean_o_totalprice"), 6).as("mean_price"),
+          round(col("min_o_totalprice"), 4).as("min_price"),
+          round(col("max_o_totalprice"), 4).as("max_price"),
+          round(col("total_qty"), 4).as("total_qty"),
+          round(col("mean_qty"), 6).as("mean_qty"),
+          round(col("min_qty"), 4).as("min_qty"),
+          round(col("max_qty"), 4).as("max_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "j31_cdf_spans" -> ((s, dir) => {
       // DROP-TOLERANT CHANGE FEED (changeFeedSpans): the interval
       // crosses a drop of `qty`, so the single-interval feed refuses —
@@ -7046,6 +7100,39 @@ object SparkEntry {
            FROM base WHERE o_orderkey % 11 = 0)
          SELECT o_orderkey, o_orderstatus, quantity, ver, _change_type
          FROM chg ORDER BY o_orderkey, o_orderstatus, _change_type""",
+
+    // the multi-measure view equals a from-scratch rebuild over the
+    // final facts: %11 keys gone, %5 survivors at price+1000/qty+500;
+    // min/max recomputed — the retired extrema must not linger
+    "a33_mv_minmax" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                              CAST(o_orderkey % 97 AS DOUBLE) AS qty
+                       FROM orders WHERE o_orderkey % 7 = 0),
+              fin AS (
+           SELECT o_orderstatus,
+                  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+                       ELSE o_totalprice END AS p,
+                  CASE WHEN o_orderkey % 5 = 0 THEN qty + 500.0
+                       ELSE qty END AS q
+           FROM base WHERE o_orderkey % 11 <> 0)
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(CAST(p AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS total_price,
+                round(CAST(sum(CAST(p AS DECIMAL(18,4))) AS DOUBLE) /
+                      CAST(count(*) AS DOUBLE), 6) AS mean_price,
+                round(CAST(min(CAST(p AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS min_price,
+                round(CAST(max(CAST(p AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS max_price,
+                round(CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS total_qty,
+                round(CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) /
+                      CAST(count(*) AS DOUBLE), 6) AS mean_qty,
+                round(CAST(min(CAST(q AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS min_qty,
+                round(CAST(max(CAST(q AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS max_qty
+         FROM fin GROUP BY 1 ORDER BY 1""",
 
     // the incrementally-maintained view must equal a from-scratch
     // rebuild over the final facts: %11 keys gone, %5 survivors at

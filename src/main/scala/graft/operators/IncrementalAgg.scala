@@ -49,8 +49,9 @@ object IncrementalAgg {
   /** RETRACTABLE state for CDF-driven maintenance: (count, sum) only —
     * the subtractable subalgebra. min/max are deliberately absent: a
     * delete can retire the current extremum and no incremental state
-    * short of a per-group value sketch can recover the runner-up; keep
-    * them on the append-only [[state]] path or recompute. */
+    * short of a per-group value sketch can recover the runner-up; for
+    * views that need them, [[applyChangesMulti]] carries min/max with
+    * the bounded recompute-on-retirement fallback. */
   def sumState(batch: DataFrame, keys: Seq[String],
       valCol: String): DataFrame =
     batch.groupBy(keys.map(col): _*)
@@ -93,6 +94,112 @@ object IncrementalAgg {
         sum(col("_sum")).as("_sum"))
       .filter(col("_n") =!= 0)
   }
+
+  /** RETRACTABLE MULTI-MEASURE state (VERDICT r15 #4): one state table
+    * carrying N value columns — shared `_n`, plus `_sum_<c>`,
+    * `_min_<c>`, `_max_<c>` per column. Sums are cast to a STABLE
+    * decimal(38,4) so repeated folds don't drift the parquet schema
+    * version-to-version. */
+  def multiState(batch: DataFrame, keys: Seq[String],
+      valCols: Seq[String]): DataFrame = {
+    require(valCols.nonEmpty, "multiState needs at least one value column")
+    val aggs = Seq(count(lit(1)).as("_n")) ++ valCols.flatMap { c =>
+      val v = col(c).cast("decimal(18,4)")
+      Seq(sum(v).cast("decimal(38,4)").as(s"_sum_$c"),
+        min(v).as(s"_min_$c"), max(v).as(s"_max_$c"))
+    }
+    batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** CDF-driven fold of [[multiState]] WITH the practical min/max
+    * fallback (VERDICT r15 #4): counts and sums fold incrementally
+    * exactly like [[applyChanges]]; min/max merge freely on the ADD
+    * side (an extremum can only improve), and a RETRACTION that ties a
+    * group's current extremum — the one case no incremental state
+    * short of a per-group value sketch can recover (the documented
+    * impossibility above [[sumState]]) — marks the group DIRTY: its
+    * min/max (only those two measures; the folded count/sum stand) are
+    * recomputed from `base`, the post-change table, restricted to the
+    * dirty groups by semi-join. A tie where the same batch also adds a
+    * value at or past the old extremum stays clean (the add dominates;
+    * no runner-up needed). Cost: O(|state| + |changed groups|) for the
+    * fold + one base read filtered to the dirty groups — bounded by
+    * extremum retirements, never by unrelated table growth; when the
+    * group keys lead the table's partitioning the base read prunes to
+    * the dirty groups' partitions. `base` resolves lazily at action
+    * like every DataFrame, so pass the live table reader. */
+  def applyChangesMulti(state0: DataFrame, keys: Seq[String],
+      valCols: Seq[String], feed: DataFrame, base: DataFrame,
+      changeCol: String = "_change_type"): DataFrame = {
+    require(valCols.nonEmpty,
+      "applyChangesMulti needs at least one value column")
+    val needed = "_n" +: valCols.flatMap(c =>
+      Seq(s"_sum_$c", s"_min_$c", s"_max_$c"))
+    require(needed.forall(state0.columns.contains),
+      s"state is missing ${needed.filterNot(state0.columns.contains)
+        .mkString(", ")} — seed with multiState over the same valCols")
+    val add = col(changeCol).isin("insert", "update_postimage")
+    def v(c: String) = col(c).cast("decimal(18,4)")
+    val dAggs = Seq(
+      sum(when(add, lit(1L)).otherwise(lit(-1L))).cast("long")
+        .as("_d_n")) ++
+      valCols.flatMap { c => Seq(
+        sum(when(add, v(c)).otherwise(-v(c))).cast("decimal(38,4)")
+          .as(s"_d_sum_$c"),
+        min(when(add, v(c))).as(s"_d_amin_$c"),
+        max(when(add, v(c))).as(s"_d_amax_$c"),
+        min(when(!add, v(c))).as(s"_d_rmin_$c"),
+        max(when(!add, v(c))).as(s"_d_rmax_$c"))
+      }
+    val d = feed.groupBy(keys.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
+    val zero = lit(0).cast("decimal(38,4)")
+    // per-column dirty test: a retraction TIED the extremum and no
+    // same-batch add re-covers it
+    def dirtyCol(c: String) =
+      (col(s"_d_rmin_$c").isNotNull && col(s"_min_$c").isNotNull &&
+        col(s"_d_rmin_$c") <= col(s"_min_$c") &&
+        (col(s"_d_amin_$c").isNull ||
+          col(s"_d_amin_$c") > col(s"_min_$c"))) ||
+      (col(s"_d_rmax_$c").isNotNull && col(s"_max_$c").isNotNull &&
+        col(s"_d_rmax_$c") >= col(s"_max_$c") &&
+        (col(s"_d_amax_$c").isNull || col(s"_d_amax_$c") < col(s"_max_$c")))
+    val merged = state0.join(d, keys, "full_outer")
+      .select(keys.map(col) ++
+        Seq((coalesce(col("_n"), lit(0L)) + coalesce(col("_d_n"), lit(0L)))
+          .as("_n")) ++
+        valCols.flatMap { c => Seq(
+          (coalesce(col(s"_sum_$c"), zero) +
+            coalesce(col(s"_d_sum_$c"), zero)).cast("decimal(38,4)")
+            .as(s"_sum_$c"),
+          least(col(s"_min_$c"), col(s"_d_amin_$c")).as(s"_min_$c"),
+          greatest(col(s"_max_$c"), col(s"_d_amax_$c")).as(s"_max_$c"))
+        } :+
+        valCols.map(dirtyCol).reduce(_ || _).as("_dirty"): _*)
+      .filter(col("_n") =!= 0)
+    val clean = merged.filter(!col("_dirty")).drop("_dirty")
+    val dirtyG = merged.filter(col("_dirty")).drop("_dirty")
+      .drop(valCols.flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
+    val repairAggs = valCols.flatMap { c =>
+      Seq(min(v(c)).as(s"_min_$c"), max(v(c)).as(s"_max_$c")) }
+    val repaired = base
+      .join(dirtyG.select(keys.map(col): _*), keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(repairAggs.head, repairAggs.tail: _*)
+    clean.unionByName(dirtyG.join(repaired, keys, "inner"))
+  }
+
+  /** Presentation view of [[multiState]]: `n`, then per value column
+    * `total_<c>`, `mean_<c>`, `min_<c>`, `max_<c>` as doubles. */
+  def reportMulti(state0: DataFrame, keys: Seq[String],
+      valCols: Seq[String]): DataFrame =
+    state0.select(
+      keys.map(col) ++ Seq(col("_n").as("n")) ++ valCols.flatMap { c => Seq(
+        col(s"_sum_$c").cast("double").as(s"total_$c"),
+        (col(s"_sum_$c").cast("double") / col("_n").cast("double"))
+          .as(s"mean_$c"),
+        col(s"_min_$c").cast("double").as(s"min_$c"),
+        col(s"_max_$c").cast("double").as(s"max_$c"))
+      }: _*)
 
   /** Presentation view of retractable state. */
   def reportSums(state0: DataFrame, keys: Seq[String]): DataFrame =

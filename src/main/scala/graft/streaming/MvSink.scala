@@ -9,7 +9,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * incremental-report pipeline: source table → CDF source
   * ([[CdfSource.feedStream]]) → this sink folding each feed
   * micro-batch into persistent (count, sum) group state via
-  * [[IncrementalAgg.applyChanges]]. The reference rebuilt its report
+  * [[IncrementalAgg.applyChanges]] — or, via [[startMulti]], into
+  * multi-measure state (N sums plus min/max with the bounded
+  * recompute-on-retirement repair,
+  * [[IncrementalAgg.applyChangesMulti]]). The reference rebuilt its report
   * from the whole table per trigger; this maintains it from the
   * changes alone — per batch the cost is O(|state| + |changed
   * groups|), never the fact table.
@@ -87,14 +90,53 @@ object MvSink {
     * while the marker exists is a no-op — reseed into a FRESH dir to
     * rebuild). */
   def seed(snapshot: DataFrame, grp: Seq[String], valCol: String,
-           stateDir: String): Unit = {
-    val spark = snapshot.sparkSession
+           stateDir: String): Unit =
+    seedWith(snapshot.sparkSession, stateDir,
+      IncrementalAgg.sumState(snapshot, grp, valCol))
+
+  /** Multi-measure seed: N sums plus min/max per value column in ONE
+    * state dir ([[IncrementalAgg.multiState]]). */
+  def seedMulti(snapshot: DataFrame, grp: Seq[String],
+                valCols: Seq[String], stateDir: String): Unit =
+    seedWith(snapshot.sparkSession, stateDir,
+      IncrementalAgg.multiState(snapshot, grp, valCols))
+
+  private def seedWith(spark: SparkSession, stateDir: String,
+                       state: DataFrame): Unit = {
     val fs = fsOf(spark, stateDir)
     val marker = new org.apache.hadoop.fs.Path(stateDir, "_mvstate_seed")
     if (fs.exists(marker)) return
-    IncrementalAgg.sumState(snapshot, grp, valCol)
-      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/mv_seed")
+    state.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/mv_seed")
     fs.create(marker, true).close()
+  }
+
+  /** Presentation view of a multi-measure state dir. */
+  def readViewMulti(spark: SparkSession, stateDir: String,
+                    grp: Seq[String], valCols: Seq[String]): DataFrame =
+    IncrementalAgg.reportMulti(readState(spark, stateDir).getOrElse(
+      throw new IllegalStateException(s"no MV state under $stateDir")),
+      grp, valCols)
+
+  /** Tail a CDF feed stream into multi-measure state — [[start]]'s
+    * sibling over [[IncrementalAgg.applyChangesMulti]]. `base` is the
+    * live post-change table reader the min/max retirement repair reads
+    * (dirty groups only). */
+  def startMulti(feed: DataFrame, grp: Seq[String], valCols: Seq[String],
+                 base: () => DataFrame, stateDir: String,
+                 checkpointDir: String,
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 progress: Option[(String, String)] = None)
+      : StreamingQuery = {
+    val spark = feed.sparkSession
+    val app = lineageId(spark, checkpointDir)
+    feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchMulti(spark, batch, batchId, grp, valCols, base,
+          stateDir, app, progress)
+      }
+      .start()
   }
 
   /** The checkpoint dir's lineage id: read if present, minted and
@@ -147,7 +189,31 @@ object MvSink {
   private[streaming] def applyBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, grp: Seq[String], valCol: String,
       stateDir: String, appId: String = "",
-      progress: Option[(String, String)] = None): Unit = {
+      progress: Option[(String, String)] = None): Unit =
+    foldOnce(spark, batch, batchId, stateDir, appId, progress)(
+      cur => IncrementalAgg.applyChanges(cur, grp, valCol, batch))
+
+  /** Multi-measure sibling of [[applyBatch]] (VERDICT r15 #4): folds
+    * the feed batch into [[IncrementalAgg.multiState]] state — N sums
+    * plus min/max with the bounded recompute-on-retirement repair,
+    * which is why it takes `base` (the LIVE post-change table reader;
+    * resolved lazily, read only for the dirty groups). */
+  private[streaming] def applyBatchMulti(spark: SparkSession,
+      batch: DataFrame, batchId: Long, grp: Seq[String],
+      valCols: Seq[String], base: () => DataFrame, stateDir: String,
+      appId: String = "",
+      progress: Option[(String, String)] = None): Unit =
+    foldOnce(spark, batch, batchId, stateDir, appId, progress)(
+      cur => IncrementalAgg.applyChangesMulti(cur, grp, valCols, batch,
+        base()))
+
+  /** The exactly-once version machinery shared by the single- and
+    * multi-measure folds: lineage fence, batch-id marker, version dir
+    * publish, progress handshake, retention sweep. */
+  private def foldOnce(spark: SparkSession, batch: DataFrame,
+      batchId: Long, stateDir: String, appId: String,
+      progress: Option[(String, String)])
+      (fold: DataFrame => DataFrame): Unit = {
     val fs = fsOf(spark, stateDir)
     if (appId.nonEmpty) fenceLineage(spark, stateDir, appId)
     val marker =
@@ -161,8 +227,7 @@ object MvSink {
     // localCheckpoint: the new version must not lazily read the very
     // dirs the sweep below may reclaim, and Overwrite-into-read paths
     // are the classic self-read hazard
-    val next = IncrementalAgg.applyChanges(cur, grp, valCol, batch)
-      .localCheckpoint(true)
+    val next = fold(cur).localCheckpoint(true)
     next.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/mv_b$batchId")
     graft.FailPoint.hit("mv_after_state_write")
     fs.create(marker, true).close()

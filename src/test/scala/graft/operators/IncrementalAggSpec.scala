@@ -49,6 +49,79 @@ class IncrementalAggSpec extends SparkSpec {
       ("b", 1L, 5.0, 5.0, 5.0, 5.0)))
   }
 
+  test("applyChangesMulti: two measures in one state; a retraction " +
+      "that retires an extremum repairs from the base (runner-up " +
+      "recovered); an add re-covering the extremum stays clean — view " +
+      "equals a from-scratch rebuild") {
+    def feed(t: (String, Double, Double, String)*) =
+      t.toSeq.toDF("k", "v", "w", "_change_type")
+    val cols = Seq("v", "w")
+    val base0 = Seq(("a", 1.0, 10.0), ("a", 3.0, 30.0), ("a", 2.0, 20.0),
+      ("b", 5.0, 50.0)).toDF("k", "v", "w")
+    val st0 = IncrementalAgg.multiState(base0, keys, cols)
+    // a: delete its max v (3.0) — retirement, the runner-up (2.0) is
+    //    unrecoverable from subtractable state; the same batch's
+    //    insert carries a new max w (99.0), so w stays clean via the
+    //    add-dominates guard
+    // b: update 5->8 — the retraction ties the old max but the add
+    //    re-covers it
+    val f = feed(
+      ("a", 3.0, 30.0, "delete"),
+      ("a", 1.5, 99.0, "insert"),
+      ("b", 5.0, 50.0, "update_preimage"),
+      ("b", 8.0, 80.0, "update_postimage"))
+    val finalFacts = Seq(("a", 1.0, 10.0), ("a", 2.0, 20.0),
+      ("a", 1.5, 99.0), ("b", 8.0, 80.0)).toDF("k", "v", "w")
+    val st1 = IncrementalAgg.applyChangesMulti(st0, keys, cols, f,
+      finalFacts)
+    val got = IncrementalAgg.reportMulti(st1, keys, cols)
+      .collect().toSet
+    val want = IncrementalAgg.reportMulti(
+      IncrementalAgg.multiState(finalFacts, keys, cols), keys, cols)
+      .collect().toSet
+    assert(got == want)
+    // the repaired max v for a must be the RUNNER-UP, not the retired 3
+    val aRow = IncrementalAgg.reportMulti(st1, keys, cols)
+      .filter($"k" === "a").select($"max_v", $"min_w")
+      .as[(Double, Double)].head()
+    assert(aRow == ((2.0, 10.0)))
+    // shape guard refuses a non-multiState left side
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalAgg.applyChangesMulti(base0, keys, cols, f, finalFacts)
+    }
+    assert(ex.getMessage.contains("multiState"))
+  }
+
+  test("applyChangesMulti: fully-retracted groups drop; successive " +
+      "folds stay type-stable and equal the combined rebuild") {
+    def feed(t: (String, Double, Double, String)*) =
+      t.toSeq.toDF("k", "v", "w", "_change_type")
+    val cols = Seq("v", "w")
+    val st0 = IncrementalAgg.multiState(
+      Seq(("a", 1.0, 10.0), ("b", 5.0, 50.0)).toDF("k", "v", "w"),
+      keys, cols)
+    val f1 = feed(("b", 5.0, 50.0, "delete"),
+      ("c", 7.0, 70.0, "insert"))
+    val facts1 = Seq(("a", 1.0, 10.0), ("c", 7.0, 70.0)).toDF("k", "v", "w")
+    val st1 = IncrementalAgg.applyChangesMulti(st0, keys, cols, f1, facts1)
+    val f2 = feed(("a", 1.0, 10.0, "update_preimage"),
+      ("a", 4.0, 40.0, "update_postimage"))
+    val facts2 = Seq(("a", 4.0, 40.0), ("c", 7.0, 70.0)).toDF("k", "v", "w")
+    val st2 = IncrementalAgg.applyChangesMulti(st1, keys, cols, f2, facts2)
+    // names/types (incl. decimal precisions) must not drift
+    // fold-to-fold — a versioned state dir depends on it (nullability
+    // normalizes through parquet, so only (name, type) is contractual)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.map(f => (f.name, f.dataType))
+    assert(shape(st0) == shape(st1) && shape(st1) == shape(st2))
+    val got = IncrementalAgg.reportMulti(st2, keys, cols).collect().toSet
+    val want = IncrementalAgg.reportMulti(
+      IncrementalAgg.multiState(facts2, keys, cols), keys, cols)
+      .collect().toSet
+    assert(got == want)
+    assert(got.map(_.getString(0)) == Set("a", "c")) // b dropped
+  }
+
   test("applyChanges folds a change feed into (count, sum) state: " +
       "updates retract-then-add, deletes retract, fully-retracted " +
       "groups drop, split feeds compose to the combined diff") {

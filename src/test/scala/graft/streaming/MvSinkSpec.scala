@@ -83,6 +83,34 @@ class MvSinkSpec extends SparkSpec {
     assert(view(st) == Set(("a", 1L, 9.0, 9.0)))
   }
 
+  test("multi-measure streaming MV: min/max survive a delete that " +
+      "retires the extremum (repair from the live table), through a " +
+      "REAL feed stream") {
+    val w = java.nio.file.Files.createTempDirectory("graft_mvm").toString
+    val tbl = s"$w/tbl"; val feed = s"$w/feed"; val st = s"$w/state"
+    val cols = Seq("v")
+    Upsert.mergeIntoManifested(spark, tbl,
+      rows((1, "a", 1.0, 1), (2, "a", 9.0, 1), (3, "a", 4.0, 1)),
+      keys, "part", "ver", retain = 8)
+    MvSink.seedMulti(Upsert.readManifestedAt(spark, tbl, 0), grp, cols, st)
+    // delete the group max (9.0): the runner-up (4.0) is only
+    // recoverable from the table
+    Upsert.deleteKeysFromManifested(spark, tbl,
+      Seq(("a", 2L)).toDF("part", "k"), keys, "part", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    val q = MvSink.startMulti(
+      CdfSource.feedStream(spark, tbl, keys, feed), grp, cols,
+      () => Upsert.readManifested(spark, tbl), st, s"$w/ckpt",
+      progress = Some((feed, "mvm")))
+    assert(q.awaitTermination(120000L), "multi mv stream did not drain")
+    val got = MvSink.readViewMulti(spark, st, grp, cols)
+      .select($"part", $"n", $"total_v", $"min_v", $"max_v")
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(got == Set(("a", 2L, 5.0, 1.0, 4.0)))
+    // the progress handshake rode along
+    assert(CdfSource.consumerProgress(spark, feed) == Map("mvm" -> 1L))
+  }
+
   test("lineage fence: a fresh checkpoint lineage over a stateDir with " +
       "applied batches refuses; a batch-free stateDir adopts it") {
     val w = java.nio.file.Files.createTempDirectory("graft_mvl").toString
