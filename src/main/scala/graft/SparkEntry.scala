@@ -3001,6 +3001,70 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("o_orderstatus"))
     }),
 
+    "x_stream_replicate_evolve" -> ((s, dir) => {
+      // REPLICATION UNDER MID-TAIL SCHEMA CHANGE (VERDICT r15 #5):
+      // the source renames its value column between drains (the
+      // replica replays the rename at the next start — one value
+      // lineage, one name, both sides), then DROPS it and grows a new
+      // column (`note`) in the same pipeline — the replica keeps the
+      // dropped column FROZEN (null on rows the tail updates after the
+      // drop, last value elsewhere) while `note` arrives via
+      // add-evolution. Every drain is a real stream on one shared
+      // checkpoint. Oracle = the converged replica model, recomputed
+      // from the wave algebra.
+      val work = java.nio.file.Files.createTempDirectory("graft_repev")
+        .toString
+      val src = s"$work/src"; val feed = s"$work/feed"
+      val dst = s"$work/dst"
+      val base = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      def drain(): Unit = {
+        val q = graft.streaming.Replicate.start(s, src, feed, dst, keys,
+          "o_orderstatus", s"$work/ckpt")
+        if (!q.awaitTermination(300000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            "x_stream_replicate_evolve: apply stream did not drain " +
+              "within 300s")
+        }
+      }
+      operators.Upsert.mergeIntoManifested(s, src,
+        base.withColumn("q", (col("o_orderkey") % 97).cast("long"))
+          .withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver",
+        retain = 8)
+      graft.streaming.Replicate.seed(s, src, dst, keys, "o_orderstatus")
+      operators.Upsert.mergeIntoManifested(s, src,
+        base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("q", (col("o_orderkey") % 97 + 1000).cast("long"))
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver",
+        retain = 8)
+      graft.streaming.CdfSource.pollOnce(s, src, keys, feed)
+      drain() // consumed under `q`
+      operators.Upsert.renameManifestedColumn(s, src, "q", "q2",
+        retain = 8)
+      operators.Upsert.mergeIntoManifested(s, src,
+        base.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("q2", (col("o_orderkey") % 89 + 5000).cast("long"))
+          .withColumn("ver", lit(3L)), keys, "o_orderstatus", "ver",
+        retain = 8)
+      graft.streaming.CdfSource.pollOnce(s, src, keys, feed)
+      drain() // replays the rename onto the replica, lands the wave
+      operators.Upsert.dropManifestedColumn(s, src, "q2", retain = 8)
+      operators.Upsert.mergeIntoManifested(s, src,
+        base.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("note",
+            concat(lit("n"), (col("o_orderkey") % 10).cast("string")))
+          .withColumn("ver", lit(4L)), keys, "o_orderstatus", "ver",
+        retain = 8)
+      graft.streaming.CdfSource.pollOnce(s, src, keys, feed)
+      drain() // drop-free span; q2 frozen, note via add-evolution
+      operators.Upsert.readManifested(s, dst)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("q2"),
+          col("note"), col("ver"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
     "x_stream_neardup" -> ((s, dir) => {
       // REAL streaming execution, hash-checked: the documents corpus
       // replays as a file stream with a deterministic event time
@@ -7008,6 +7072,29 @@ object SparkEntry {
                      AS BIGINT) AS ver
          FROM base WHERE o_orderkey % 11 <> 0
          ORDER BY o_orderkey, o_orderstatus""",
+
+    // the converged replica after rename -> churn -> drop -> re-grow:
+    // %11 rows churned post-drop (q2 frozen to null, note live, ver
+    // 4); %3 rows hold the renamed-wave values; %5-only rows the
+    // update wave's; the rest epoch-0 values under the final name
+    "x_stream_replicate_evolve" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders
+                       WHERE o_orderkey % 7 = 0)
+         SELECT o_orderkey, o_orderstatus,
+                CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                     WHEN o_orderkey % 3 = 0
+                       THEN CAST(o_orderkey % 89 + 5000 AS BIGINT)
+                     WHEN o_orderkey % 5 = 0
+                       THEN CAST(o_orderkey % 97 + 1000 AS BIGINT)
+                     ELSE CAST(o_orderkey % 97 AS BIGINT) END AS q2,
+                CASE WHEN o_orderkey % 11 = 0
+                     THEN 'n' || CAST(o_orderkey % 10 AS VARCHAR)
+                     ELSE NULL END AS note,
+                CAST(CASE WHEN o_orderkey % 11 = 0 THEN 4
+                          WHEN o_orderkey % 3 = 0 THEN 3
+                          WHEN o_orderkey % 5 = 0 THEN 2
+                          ELSE 1 END AS BIGINT) AS ver
+         FROM base ORDER BY o_orderkey, o_orderstatus""",
 
     // the drained feed = both intervals' diffs, tagged by interval:
     // j28's polled model with (_from_epoch, _to_epoch) in place of the

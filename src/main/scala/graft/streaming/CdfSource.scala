@@ -153,7 +153,14 @@ object CdfSource {
     // rows' retired values never resurface under the new column.
     val spans = Upsert.changeFeedSpans(spark, tablePath, since, active,
       keys)
+    var fedOne = false
     spans.foreach { case (a, b, feed) =>
+      // chaos seam: a poller killed BETWEEN a drop's spans leaves the
+      // checkpoint at span 1's `to`; the resume re-derives the
+      // remaining spans from there (spec-covered with a consumer
+      // draining inside the crash window)
+      if (fedOne) graft.FailPoint.hit("cdf_between_spans")
+      fedOne = true
       // cap the per-interval file fanout: the diff join inherits the
       // shuffle-partition count, so an un-coalesced small interval
       // writes one near-empty file per partition — over thousands of

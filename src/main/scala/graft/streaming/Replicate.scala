@@ -31,14 +31,47 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    re-applies history as no-ops.
   *
   * Replica shape: the source's columns plus `_to_epoch` (replication
-  * metadata — drop it on read if unwanted). Schema evolution flows
-  * through: added/renamed source columns arrive via the feed's
-  * add-evolution merges; a source DROP splits the feed into spans
-  * (the replica keeps the retired column, frozen — replication
-  * replays data changes, not schema retirement). At-least-once
-  * delivery anywhere in the chain lands exactly-once content: every
-  * stage is max-version / key-batch idempotent. */
+  * metadata — drop it on read if unwanted). Schema evolution
+  * (VERDICT r15 #5): ADDED source columns arrive via the feed's
+  * add-evolution merges. A source RENAME is applied to the REPLICA at
+  * the next [[start]] (the feed's `_cdfmeta_` events are the
+  * authority — [[syncRenames]]), so the value lineage stays one
+  * column on both sides; the schema-versioned feed then serves even
+  * not-yet-consumed pre-rename intervals under the new name. A source
+  * DROP is NOT replayed (replication replays data changes, not schema
+  * retirement): the replica keeps the retired column, and [[start]]
+  * pads the events with it as typed nulls — retirement is
+  * CONSUMPTION-time: any update consumed after the drop carries null
+  * there (even one that OCCURRED before the drop but sat unconsumed
+  * in a pre-drop span — the feed serves the source's current schema,
+  * and the source's head no longer has the value either), while
+  * untouched rows keep their last value. Restart boundary caveat: a streaming
+  * schema is pinned at start, so a rename landing while a tail RUNS
+  * is only picked up at the next start — with the poll-then-
+  * AvailableNow pattern every drain is such a boundary.
+  * At-least-once delivery anywhere in the chain lands exactly-once
+  * content: every stage is max-version / key-batch idempotent. */
 object Replicate {
+
+  /** Apply the source's rename events (recorded beside the feed) to
+    * the replica, oldest first, so the replicated value lineage keeps
+    * ONE column name on both sides. Skips events the replica already
+    * reflects (seeded post-rename) and events whose NEW spelling the
+    * replica somehow grew independently (two lineages cannot merge —
+    * the add-evolution column stands and the old one freezes). */
+  private[streaming] def syncRenames(spark: SparkSession, feedDir: String,
+      dstTable: String): Unit =
+    CdfSource.feedEvents(spark, feedDir).foreach {
+      case (_, "rename", oldName, newName) =>
+        Upsert.manifestedSchema(spark, dstTable).foreach { sch =>
+          val hasOld = sch.fieldNames.exists(_.equalsIgnoreCase(oldName))
+          val hasNew = sch.fieldNames.exists(_.equalsIgnoreCase(newName))
+          if (hasOld && !hasNew)
+            Upsert.renameManifestedColumn(spark, dstTable, oldName,
+              newName)
+        }
+      case _ => ()
+    }
 
   /** Snapshot the source's ACTIVE epoch into the replica, stamped with
     * that epoch as its version. Returns the seeded epoch. Idempotent:
@@ -67,12 +100,24 @@ object Replicate {
             dstTable: String, keys: Seq[String], partitionCol: String,
             checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val events = CdfSource.feedStream(spark, srcTable, keys, feedDir)
+    // schema convergence at the restart boundary: replay the source's
+    // renames onto the replica FIRST (the feed serves everything under
+    // post-rename names), then pad the events with any replica column
+    // the source has since DROPPED — the merge's no-dropped-columns
+    // guard would otherwise refuse the batch, and null is the correct
+    // post-retirement value for rows the tail still updates
+    syncRenames(spark, feedDir, dstTable)
+    val events0 = CdfSource.feedStream(spark, srcTable, keys, feedDir)
       .filter(col("_change_type") =!= "update_preimage")
       .withColumn("op",
         when(col("_change_type") === "delete", lit("delete"))
           .otherwise(lit("upsert")))
       .drop("_change_type", "_from_epoch")
+    val events = Upsert.manifestedSchema(spark, dstTable)
+      .fold(events0)(sch => sch.fields.foldLeft(events0) { (df, f) =>
+        if (df.columns.exists(_.equalsIgnoreCase(f.name))) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      })
     MergeSink.startCdc(events, dstTable, keys, partitionCol,
       "_to_epoch", "op", checkpointDir, trigger)
   }

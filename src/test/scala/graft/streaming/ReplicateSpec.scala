@@ -65,6 +65,86 @@ class ReplicateSpec extends SparkSpec {
     assert(snap(dst) == snap(src))
   }
 
+  test("schema evolution mid-tail (VERDICT r15 #5): a source rename " +
+      "replays onto the replica at the next drain; a source drop " +
+      "freezes the replica column (nulls on churn); a poller killed " +
+      "between a drop's spans with a drain inside the crash window " +
+      "still converges") {
+    val w = java.nio.file.Files.createTempDirectory("graft_repl3").toString
+    val src = s"$w/src"; val feed = s"$w/feed"; val dst = s"$w/dst"
+    def tail() = drain(Replicate.start(spark, src, feed, dst, keys,
+      "part", s"$w/ckpt"))
+    Upsert.mergeIntoManifested(spark, src,
+      rows((1, "a", 1.0, 1), (2, "a", 2.0, 1), (3, "b", 3.0, 1)),
+      keys, "part", "ver", retain = 12)
+    Replicate.seed(spark, src, dst, keys, "part")
+    // churn consumed under the OLD name
+    Upsert.mergeIntoManifested(spark, src,
+      rows((1, "a", 10.0, 2)), keys, "part", "ver", retain = 12)
+    CdfSource.pollOnce(spark, src, keys, feed)
+    tail()
+    // RENAME v -> w on the source, churn under the new name: the next
+    // drain replays the rename onto the replica (one value lineage,
+    // one column name, both sides) and lands the new wave under it
+    Upsert.renameManifestedColumn(spark, src, "v", "w", retain = 12)
+    Upsert.mergeIntoManifested(spark, src,
+      Seq((2L, "a", 20.0, 2L)).toDF("k", "part", "w", "ver"),
+      keys, "part", "ver", retain = 12)
+    CdfSource.pollOnce(spark, src, keys, feed)
+    tail()
+    val dstCols = Upsert.manifestedSchema(spark, dst).get.fieldNames
+    assert(dstCols.contains("w") && !dstCols.contains("v"))
+    assert(Upsert.readManifested(spark, dst)
+      .select($"k", $"part", $"w", $"ver")
+      .as[(Long, String, Double, Long)].collect().toSet ==
+      Set((1L, "a", 10.0, 2L), (2L, "a", 20.0, 2L), (3L, "b", 3.0, 1L)))
+    // churn under w, then DROP w, then a post-drop wave carrying a NEW
+    // column — and the poller dies BETWEEN the drop's two spans while
+    // the tail drains inside the crash window
+    Upsert.mergeIntoManifested(spark, src,
+      Seq((1L, "a", 30.0, 3L)).toDF("k", "part", "w", "ver"),
+      keys, "part", "ver", retain = 12)
+    Upsert.dropManifestedColumn(spark, src, "w", retain = 12)
+    Upsert.mergeIntoManifested(spark, src,
+      Seq((3L, "b", "t3", 2L)).toDF("k", "part", "tag", "ver"),
+      keys, "part", "ver", retain = 12)
+    graft.FailPoint.arm("cdf_between_spans")
+    try intercept[graft.FailPoint.Kill] {
+      CdfSource.pollOnce(spark, src, keys, feed)
+    } finally graft.FailPoint.disarm()
+    tail() // consumes span 1 (the pre-drop churn) mid-crash-window
+    // span 1 APPLIED (ver 3), but its w value is retired at
+    // CONSUMPTION time: the drop already landed before the drain, the
+    // feed serves the source's current (w-less) schema, and the
+    // source's head no longer holds the value either — the documented
+    // consumption-time retirement contract
+    assert(Upsert.readManifested(spark, dst)
+      .filter($"k" === 1L).select($"w", $"ver")
+      .as[(Option[Double], Long)].head() == ((None, 3L)))
+    // the resumed poll re-derives the remaining span from the
+    // artifact checkpoint; the drained replica converges: tag arrives
+    // via add-evolution, the dropped w stays FROZEN — null on churned
+    // rows, last PRE-DROP-CONSUMED values elsewhere
+    assert(CdfSource.pollOnce(spark, src, keys, feed).isDefined)
+    tail()
+    val fin = Upsert.readManifested(spark, dst)
+      .select($"k", $"part", $"w", $"tag", $"ver")
+      .as[(Long, String, Option[Double], Option[String], Long)]
+      .collect().toSet
+    assert(fin == Set(
+      (1L, "a", None, None, 3L),
+      (2L, "a", Some(20.0), None, 2L),
+      (3L, "b", None, Some("t3"), 2L)))
+    // and the replica matches the source on the source's LIVE columns
+    val srcNow = Upsert.readManifested(spark, src)
+      .select($"k", $"part", $"tag", $"ver")
+      .as[(Long, String, Option[String], Long)].collect().toSet
+    val dstNow = Upsert.readManifested(spark, dst)
+      .select($"k", $"part", $"tag", $"ver")
+      .as[(Long, String, Option[String], Long)].collect().toSet
+    assert(srcNow == dstNow)
+  }
+
   test("seed-then-tail overlap is harmless: a feed replaying history " +
       "from table creation cannot regress the seeded snapshot") {
     val w = java.nio.file.Files.createTempDirectory("graft_repl2").toString
