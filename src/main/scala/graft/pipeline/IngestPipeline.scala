@@ -39,11 +39,13 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
                            maxErrors: Long = 5,
                            dedupWindowSeconds: Long = 1800,
                            notifier: graft.streaming.Notifier =
-                             graft.streaming.Notifier.noop) {
+                             graft.streaming.Notifier.noop,
+                           incrementalReport: Boolean = false) {
   import IngestPipeline.{LoadResult, RemainingFiles}
 
   val audit = new AuditLog(spark, s"$warehouse/log_for_loading")
   private def permanentPath = s"$warehouse/0_priceindex"
+  private def reportStatePath = s"$warehouse/report_state"
   private val mergeLock = new Object
   private def now(): Long = System.currentTimeMillis()
 
@@ -143,6 +145,15 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
       stage = 3; clock.advance(3)
       FailPoint.hit("s3_before_merge")
       mergeLock.synchronized {
+        // incremental-report delta BEFORE the merge, same lock: the
+        // pre-image must be the state this merge replaces, and the
+        // appendOnce token ((file, seq) — content-stable) makes the
+        // crash matrix sound in every window: a retry that runs
+        // BEFORE its merge landed recomputes the identical delta; one
+        // that runs AFTER sees pre == post but the committed first
+        // delta already holds the truth and appendOnce no-ops.
+        if (incrementalReport)
+          appendReportDelta(staged, fileKey(csvPath), seq)
         Upsert.mergeIntoPartitioned(spark, permanentPath, staged,
           PriceIndex.naturalKey, "GEO", "_seq")
       }
@@ -176,25 +187,107 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
     * bookkeeping — dropped from the read surface. */
   def permanent(): DataFrame = spark.read.parquet(permanentPath).drop("_seq")
 
+  /** INCREMENTAL REPORT MAINTENANCE (VERDICT r15 #6, the reference's
+    * report trigger made delta-sized): per load, the group-grain
+    * (count, non-null-count, decimal sum) DELTA between the rows this
+    * merge replaces (pre-image: touched GEO partitions semi-joined to
+    * the staged keys) and the rows that win (the same mergeVersioned
+    * resolution the table merge applies) appends to an append-only
+    * state artifact under the load's (file, seq) token — exactly-once
+    * by [[graft.operators.StagedCommit.appendOnce]], associative by
+    * construction, so [[buildAndExportReport]] can serve ANY
+    * (year, month, geo, category) parameterization from O(loads ×
+    * changed groups) state rows instead of rescanning the table.
+    * State grows one group-grain delta per load; compact by re-seeding
+    * a fresh warehouse (or summing into a snapshot) when the delta
+    * count dwarfs the group count — at the reference's cadence that is
+    * years away. */
+  private def appendReportDelta(staged: DataFrame, key: String,
+                                seq: Long): Unit = {
+    val t0 = System.nanoTime()
+    val fs = new Path(permanentPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val geos = staged.select(col("GEO").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val pre =
+      if (!fs.exists(new Path(permanentPath))) staged.limit(0)
+      else spark.read.parquet(permanentPath)
+        .filter(col("GEO").isin(geos: _*))
+        .join(staged.select(PriceIndex.naturalKey.map(col): _*).distinct(),
+          PriceIndex.naturalKey, "left_semi")
+        .select(staged.columns.map(col): _*)
+    val post = Upsert.mergeVersioned(pre, staged,
+      PriceIndex.naturalKey, "_seq")
+    def grain(df: DataFrame, sign: Int) = {
+      val v = col("VALUE").cast("decimal(18,4)")
+      df.select(year(col("Date")).as("y"), month(col("Date")).as("m"),
+        col("GEO").as("geo"), col("Products").as("category"),
+        lit(sign.toLong).as("_w"),
+        (if (sign > 0) v else -v).as("_v"))
+    }
+    val delta = grain(post, 1).unionByName(grain(pre, -1))
+      .groupBy(col("y"), col("m"), col("geo"), col("category"))
+      .agg(sum(col("_w")).cast("long").as("_n"),
+        sum(when(col("_v").isNotNull, col("_w")).otherwise(lit(0L)))
+          .cast("long").as("_nv"),
+        sum(col("_v")).cast("decimal(38,4)").as("_sum"))
+    graft.operators.StagedCommit.appendOnce(reportStatePath,
+      s"${key}_$seq", Seq.empty, delta.coalesce(1))
+    System.err.println(f"[report_delta] $key computed+appended in " +
+      f"${(System.nanoTime() - t0) / 1e6}%.0fms")
+  }
+
+  /** The report base re-derived from the incremental state: summing
+    * the per-load deltas is the same fold in any order (associative),
+    * and a group whose count nets to zero left the table. `avg_value`
+    * reproduces `avg(VALUE)`'s expression tree digit-for-digit —
+    * Average over decimal(18,4) is sum-as-decimal(28,4) divided by
+    * count-as-decimal(20,0), result decimal(22,8) — so the two report
+    * modes are byte-identical, not merely close. */
+  private def reportFromState(): DataFrame =
+    graft.operators.StagedCommit.readCommitted(spark, reportStatePath)
+      .groupBy(col("y"), col("m"), col("geo"), col("category"))
+      .agg(sum(col("_n")).cast("long").as("n"),
+        sum(col("_nv")).cast("long").as("_nv"),
+        sum(col("_sum")).as("_sum"))
+      .filter(col("n") =!= 0)
+      .select(col("y"), col("m"), col("geo"), col("category"),
+        (col("_sum").cast("decimal(28,4)") /
+          col("_nv").cast("decimal(20,0)")).cast("decimal(22,8)")
+          .as("avg_value"),
+        col("n"))
+
   /** A3/A4 + EP3: build the parameterized report
     * (`sp_reporting_1_price_by_year_month_geo_category`, `R22:416-447`)
-    * and export it as a single-header CSV (`R23:113-123`). */
+    * and export it as a single-header CSV (`R23:113-123`). With
+    * `incrementalReport` on, the report serves from the per-load delta
+    * state ([[appendReportDelta]]) instead of rescanning the permanent
+    * table — the export cost is O(state), delta-shaped, however large
+    * the table grows. */
   def buildAndExportReport(yearParam: Int, monthParam: Int, geos: Seq[String],
                            categoryPattern: String, outDir: String): DataFrame = {
     // the year+month filter below is only pushable through the
     // YearPredicateRewrite rule — install it so the report prunes the
     // permanent table's scan regardless of how the session was built
     graft.plans.GraftExtensions.install(spark)
-    val base = permanent()
-    val filtered = base
-      .filter(expr(s"year(Date) = $yearParam AND month(Date) = $monthParam"))
-      .filter(if (geos.isEmpty) lit(true) else col("GEO").isin(geos: _*))
-      .filter(if (categoryPattern.isEmpty) lit(true)
-              else col("Products").contains(categoryPattern))
-    val report = filtered
-      .groupBy(year(col("Date")).as("y"), month(col("Date")).as("m"),
-        col("GEO").as("geo"), col("Products").as("category"))
-      .agg(avg(col("VALUE")).as("avg_value"), count(lit(1)).as("n"))
+    val report =
+      if (incrementalReport)
+        reportFromState()
+          .filter(col("y") === yearParam && col("m") === monthParam)
+          .filter(if (geos.isEmpty) lit(true) else col("geo").isin(geos: _*))
+          .filter(if (categoryPattern.isEmpty) lit(true)
+                  else col("category").contains(categoryPattern))
+      else {
+        val filtered = permanent()
+          .filter(expr(s"year(Date) = $yearParam AND month(Date) = $monthParam"))
+          .filter(if (geos.isEmpty) lit(true) else col("GEO").isin(geos: _*))
+          .filter(if (categoryPattern.isEmpty) lit(true)
+                  else col("Products").contains(categoryPattern))
+        filtered
+          .groupBy(year(col("Date")).as("y"), month(col("Date")).as("m"),
+            col("GEO").as("geo"), col("Products").as("category"))
+          .agg(avg(col("VALUE")).as("avg_value"), count(lit(1)).as("n"))
+      }
     val t0 = System.nanoTime()
     report.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(outDir)

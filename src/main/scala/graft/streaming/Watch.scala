@@ -39,12 +39,14 @@ final class Watch(spark: SparkSession, watchDir: String, warehouse: String,
                   freshnessMinutes: Long = 30,
                   onAllLoaded: () => Unit = () => (),
                   loadParallelism: Int = 4,
-                  notifier: Notifier = Notifier.noop) {
+                  notifier: Notifier = Notifier.noop,
+                  incrementalReport: Boolean = false) {
   require(!watchDir.startsWith(warehouse) && !warehouse.startsWith(watchDir),
     "ST8: watch dir and warehouse must be disjoint")
   require(loadParallelism >= 1, "loadParallelism must be >= 1")
 
-  val pipeline = new IngestPipeline(spark, warehouse, notifier = notifier)
+  val pipeline = new IngestPipeline(spark, warehouse, notifier = notifier,
+    incrementalReport = incrementalReport)
   private val attempts = scala.collection.mutable.Map.empty[String, Int]
 
   /** Start the watch. `Trigger.AvailableNow` drains the backlog and stops
