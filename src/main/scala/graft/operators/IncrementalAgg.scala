@@ -124,10 +124,14 @@ object IncrementalAgg {
     * value at or past the old extremum stays clean (the add dominates;
     * no runner-up needed). Cost: O(|state| + |changed groups|) for the
     * fold + one base read filtered to the dirty groups — bounded by
-    * extremum retirements, never by unrelated table growth; when the
-    * group keys lead the table's partitioning the base read prunes to
-    * the dirty groups' partitions. `base` resolves lazily at action
-    * like every DataFrame, so pass the live table reader. */
+    * extremum retirements, never by unrelated table growth: the dirty
+    * keys are collected EAGERLY (this call evaluates the state+feed
+    * fold once; the set is bounded by changed groups) and pushed into
+    * the base read as literal isin filters so partition/zone pruning
+    * actually fires — probed flat at x30 table size for a fixed dirty
+    * set, where the bare semi-join form grew with the table. Pass the
+    * live table reader as `base`; it is only read when a retirement
+    * happened. */
   def applyChangesMulti(state0: DataFrame, keys: Seq[String],
       valCols: Seq[String], feed: DataFrame, base: DataFrame,
       changeCol: String = "_change_type"): DataFrame = {
@@ -177,12 +181,36 @@ object IncrementalAgg {
         valCols.map(dirtyCol).reduce(_ || _).as("_dirty"): _*)
       .filter(col("_n") =!= 0)
     val clean = merged.filter(!col("_dirty")).drop("_dirty")
+    // the dirty set is bounded by extremum RETIREMENTS — naturally
+    // small — so collect its keys and prune the base read with
+    // LITERAL isin filters (per key column, a conjunctive superset of
+    // the dirty tuples): a bare semi-join cannot push partition
+    // pruning into the scan, and the x30 probe showed the repair leg
+    // growing with the table for a fixed dirty set without this. The
+    // exact tuple membership still applies via the semi-join on top.
+    // A mass retirement past the literal-plan cap falls back to the
+    // unpruned semi-join (at that width the recompute is table-shaped
+    // work no matter what).
+    val dirtyRows = merged.filter(col("_dirty"))
+      .select(keys.map(col): _*).collect()
+    if (dirtyRows.isEmpty) return clean
+    val spark = state0.sparkSession
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keys.map(k => merged.schema(merged.schema.fieldIndex(k))))
+    val dirtyKeys = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(dirtyRows: _*)), keySchema)
+    val pruned =
+      if (dirtyRows.length > 10000) base
+      else keys.zipWithIndex.foldLeft(base) { case (df, (k, i)) =>
+        df.filter(col(k).isin(dirtyRows.map(_.get(i)).distinct.toSeq: _*))
+      }
     val dirtyG = merged.filter(col("_dirty")).drop("_dirty")
       .drop(valCols.flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
     val repairAggs = valCols.flatMap { c =>
       Seq(min(v(c)).as(s"_min_$c"), max(v(c)).as(s"_max_$c")) }
-    val repaired = base
-      .join(dirtyG.select(keys.map(col): _*), keys, "left_semi")
+    val repaired = pruned
+      .join(dirtyKeys, keys, "left_semi")
       .groupBy(keys.map(col): _*)
       .agg(repairAggs.head, repairAggs.tail: _*)
     clean.unionByName(dirtyG.join(repaired, keys, "inner"))

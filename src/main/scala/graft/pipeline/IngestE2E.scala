@@ -118,6 +118,11 @@ object IngestE2E {
       case (k, geo) if k % 2 == 0 =>
         row("2024-03-15", geo, k, s"${200 + k}.75") }.toSeq)
     drain("cp2") // redelivery: A suppressed; C merges; poison quarantined
+    // mid-pipeline state compaction on the MV variant: drain 3's
+    // report must serve identically from the compacted snapshot, and
+    // the redelivered loads must still fence on their kept markers —
+    // a wrong compact hash-mismatches the oracle
+    if (incrementalReport) pipelineRef.compactReportState()
     drain("cp3") // full redelivery: nothing may change
 
     // ST5/EP3: the completion path exported the report after each drain

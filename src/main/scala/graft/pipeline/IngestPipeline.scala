@@ -237,6 +237,111 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
       f"${(System.nanoTime() - t0) / 1e6}%.0fms")
   }
 
+  /** State-dir census for the compaction protocol: committed tokens,
+    * the subset covered by a VALID compact (compact data committed AND
+    * its `_covers_` file present — the two-phase rule that makes every
+    * crash window read consistently), and the data files of the
+    * included remainder. */
+  private def reportStateCensus()
+      : (Set[String], Seq[org.apache.hadoop.fs.Path]) = {
+    val p = new Path(reportStatePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (Set.empty, Seq.empty)
+    val listing = fs.listStatus(p).toSeq
+    val names = listing.map(_.getPath.getName)
+    val committed = names.collect {
+      case n if n.startsWith("_delta_") && n.endsWith("_SUCCESS") =>
+        n.stripPrefix("_delta_").stripSuffix("_SUCCESS")
+    }.toSet
+    val coversPresent = names.collect {
+      case n if n.startsWith("_covers_") && !n.endsWith(".tmp") =>
+        n.stripPrefix("_covers_")
+    }.toSet
+    val covered = coversPresent.filter(committed.contains).flatMap { t =>
+      val in = fs.open(new Path(p, s"_covers_$t"))
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toSeq.filter(_.nonEmpty)
+      finally in.close()
+    }
+    // a compact whose covers file never landed is IGNORED (its
+    // originals still serve) — the other half of the two-phase rule;
+    // without this the crash window between the compact's commit and
+    // its covers flip would double-count every covered row
+    val included = committed
+      .filterNot(t => t.startsWith("compact_") && !coversPresent.contains(t))
+      .diff(covered)
+    val files = listing.filter(_.isFile).map(_.getPath).filter { f =>
+      graft.operators.StagedCommit.deltaToken(f.getName)
+        .exists(included.contains)
+    }
+    (included, files)
+  }
+
+  /** COMPACT the incremental report state: sum every included delta
+    * into one snapshot delta, committed under a token derived from the
+    * covered set, then flip readers to it with one atomic `_covers_`
+    * rename and sweep the covered DATA files. Crash-consistent at
+    * every window: a committed compact without its covers file is
+    * ignored (originals serve), with it the originals are excluded
+    * (their leftover files sweep lazily). Covered tokens' MARKERS are
+    * kept forever — they are the exactly-once fence against a late
+    * redelivery of an old load re-appending its delta; they cost one
+    * empty file per load. Compacts are themselves compactable, so the
+    * live file count returns to 1 each time. */
+  def compactReportState(): Int = mergeLock.synchronized {
+    val (included, files) = reportStateCensus()
+    if (included.size <= 1) return 0
+    val p = new Path(reportStatePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sweep GHOST compacts (data committed, covers never flipped):
+    // readers already ignore them, and once newer deltas land their
+    // retry would mint a different token, so nothing else reclaims
+    // them. Single-maintainer contract (this lock; the repo-wide
+    // artifact rule) means no concurrent compactor's in-flight commit
+    // can be mistaken for a ghost.
+    val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+    val coversPresent = names.collect {
+      case n if n.startsWith("_covers_") && !n.endsWith(".tmp") =>
+        n.stripPrefix("_covers_")
+    }.toSet
+    names.collect {
+      case n if n.startsWith("_delta_compact_") && n.endsWith("_SUCCESS") =>
+        n.stripPrefix("_delta_").stripSuffix("_SUCCESS")
+    }.filterNot(coversPresent.contains).foreach { ghost =>
+      fs.listStatus(p).foreach { st =>
+        if (st.isFile && graft.operators.StagedCommit
+            .deltaToken(st.getPath.getName).contains(ghost))
+          fs.delete(st.getPath, false)
+      }
+      fs.delete(new Path(p, s"_delta_${ghost}_SUCCESS"), false)
+    }
+    val snapshot = spark.read.parquet(files.map(_.toString): _*)
+      .groupBy(col("y"), col("m"), col("geo"), col("category"))
+      .agg(sum(col("_n")).cast("long").as("_n"),
+        sum(col("_nv")).cast("long").as("_nv"),
+        sum(col("_sum")).cast("decimal(38,4)").as("_sum"))
+    val tok = "compact_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(included.toSeq.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    graft.operators.StagedCommit.appendOnce(reportStatePath, tok,
+      Seq.empty, snapshot.coalesce(1))
+    // the atomic flip: temp-write + rename, so a reader never sees a
+    // partial covered list (a truncated list would double-count the
+    // missing tokens' rows against the compact that already holds them)
+    val covers = new Path(p, s"_covers_$tok")
+    if (!fs.exists(covers)) {
+      val tmp = new Path(p, s"_covers_$tok.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(included.toSeq.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.rename(tmp, covers)
+    }
+    files.foreach(f => fs.delete(f, false))
+    included.size
+  }
+
   /** The report base re-derived from the incremental state: summing
     * the per-load deltas is the same fold in any order (associative),
     * and a group whose count nets to zero left the table. `avg_value`
@@ -244,8 +349,17 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
     * Average over decimal(18,4) is sum-as-decimal(28,4) divided by
     * count-as-decimal(20,0), result decimal(22,8) — so the two report
     * modes are byte-identical, not merely close. */
-  private def reportFromState(): DataFrame =
-    graft.operators.StagedCommit.readCommitted(spark, reportStatePath)
+  private def reportFromState(): DataFrame = {
+    val (_, files) = reportStateCensus()
+    val deltas =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "y INT, m INT, geo STRING, category STRING, _n BIGINT, " +
+              "_nv BIGINT, _sum DECIMAL(38,4)"))
+      else spark.read.parquet(files.map(_.toString): _*)
+    deltas
       .groupBy(col("y"), col("m"), col("geo"), col("category"))
       .agg(sum(col("_n")).cast("long").as("n"),
         sum(col("_nv")).cast("long").as("_nv"),
@@ -256,6 +370,7 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
           col("_nv").cast("decimal(20,0)")).cast("decimal(22,8)")
           .as("avg_value"),
         col("n"))
+  }
 
   /** A3/A4 + EP3: build the parameterized report
     * (`sp_reporting_1_price_by_year_month_geo_category`, `R22:416-447`)

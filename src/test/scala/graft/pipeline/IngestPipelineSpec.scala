@@ -134,6 +134,23 @@ class IngestPipelineSpec extends SparkSpec {
     // content-stable token makes the recomputed delta a no-op
     assert(p.load(f2).status == 1)
     assert(norm(p) == afterUpdate)
+    // COMPACTION: both load deltas fold into one snapshot, answer
+    // unchanged; compacting a single live token is a no-op
+    assert(p.compactReportState() == 2)
+    assert(norm(p) == afterUpdate)
+    assert(p.compactReportState() == 0)
+    // a redelivery AFTER compaction still fences: the covered tokens'
+    // markers survive the sweep exactly so this no-ops
+    assert(p.load(f2).status == 1)
+    assert(norm(p) == afterUpdate)
+    // and new deltas compose with the compact (compacts are
+    // themselves compactable)
+    val f3 = writeCsv(in, "priceindex_ir_c.csv", Seq(header,
+      row("1995-12-01", "Quebec", "food", "555.5")))
+    assert(p.load(f3).status == 1)
+    assert(norm(p) == norm(scan))
+    assert(p.compactReportState() == 2)
+    assert(norm(p) == norm(scan))
   }
 
   test("corrupt rows within maxerrors are tolerated; beyond it fail the load") {
