@@ -2880,6 +2880,65 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "x_stream_mv_multi" -> ((s, dir) => {
+      // STREAMING MULTI-MEASURE MV: two measures' counts/sums AND
+      // min/max ride a REAL feed stream into one state dir
+      // (MvSink.startMulti); the delete wave retires group extrema
+      // (qty maxima live exclusively on the +500-updated %5 keys,
+      // some of which the %11 delete removes), so the fold's
+      // dirty-group repair reads the LIVE table mid-stream. Oracle =
+      // a33's multi-measure rebuild from the final facts, via the
+      // streaming path.
+      val work = java.nio.file.Files.createTempDirectory("graft_mvmulti")
+        .toString
+      val tbl = s"$work/tbl"; val feed = s"$work/feed"
+      val st = s"$work/state"
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          (col("o_orderkey") % 97).cast("double").as("qty"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      val grp = Seq("o_orderstatus")
+      val cols = Seq("o_totalprice", "qty")
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      graft.streaming.MvSink.seedMulti(
+        operators.Upsert.readManifestedAt(s, tbl, 0), grp, cols, st)
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("qty", col("qty") + 500.0)
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feed)
+      operators.Upsert.deleteKeysFromManifested(s, tbl,
+        o.filter(col("o_orderkey") % 11 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey")),
+        keys, "o_orderstatus", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feed)
+      val q = graft.streaming.MvSink.startMulti(
+        graft.streaming.CdfSource.feedStream(s, tbl, keys, feed),
+        grp, cols, () => operators.Upsert.readManifested(s, tbl),
+        st, s"$work/ckpt")
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_mv_multi: mv stream did not drain within 300s")
+      }
+      graft.streaming.MvSink.readViewMulti(s, st, grp, cols)
+        .select(col("o_orderstatus"), col("n"),
+          round(col("total_o_totalprice"), 4).as("total_price"),
+          round(col("mean_o_totalprice"), 6).as("mean_price"),
+          round(col("min_o_totalprice"), 4).as("min_price"),
+          round(col("max_o_totalprice"), 4).as("max_price"),
+          round(col("total_qty"), 4).as("total_qty"),
+          round(col("mean_qty"), 6).as("mean_qty"),
+          round(col("min_qty"), 4).as("min_qty"),
+          round(col("max_qty"), 4).as("max_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "x_stream_mv_prune" -> ((s, dir) => {
       // LONG-RUNNING FEED STAYS BOUNDED (VERDICT r15 #3): three
       // mutation waves, each polled, drained into the MV — which
@@ -7205,6 +7264,39 @@ object SparkEntry {
            FROM base WHERE o_orderkey % 11 = 0)
          SELECT o_orderkey, o_orderstatus, quantity, ver, _change_type
          FROM chg ORDER BY o_orderkey, o_orderstatus, _change_type""",
+
+    // the streaming multi-measure view equals a33's rebuild — same
+    // wave algebra, through a real drained stream with the dirty-group
+    // repair reading the live table
+    "x_stream_mv_multi" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                              CAST(o_orderkey % 97 AS DOUBLE) AS qty
+                       FROM orders WHERE o_orderkey % 7 = 0),
+              fin AS (
+           SELECT o_orderstatus,
+                  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+                       ELSE o_totalprice END AS p,
+                  CASE WHEN o_orderkey % 5 = 0 THEN qty + 500.0
+                       ELSE qty END AS q
+           FROM base WHERE o_orderkey % 11 <> 0)
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(CAST(p AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS total_price,
+                round(CAST(sum(CAST(p AS DECIMAL(18,4))) AS DOUBLE) /
+                      CAST(count(*) AS DOUBLE), 6) AS mean_price,
+                round(CAST(min(CAST(p AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS min_price,
+                round(CAST(max(CAST(p AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS max_price,
+                round(CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS total_qty,
+                round(CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) /
+                      CAST(count(*) AS DOUBLE), 6) AS mean_qty,
+                round(CAST(min(CAST(q AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS min_qty,
+                round(CAST(max(CAST(q AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS max_qty
+         FROM fin GROUP BY 1 ORDER BY 1""",
 
     // the multi-measure view equals a from-scratch rebuild over the
     // final facts: %11 keys gone, %5 survivors at price+1000/qty+500;

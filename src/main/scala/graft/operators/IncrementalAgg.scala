@@ -120,8 +120,13 @@ object IncrementalAgg {
     * impossibility above [[sumState]]) — marks the group DIRTY: its
     * min/max (only those two measures; the folded count/sum stand) are
     * recomputed from `base`, the post-change table, restricted to the
-    * dirty groups by semi-join. A tie where the same batch also adds a
-    * value at or past the old extremum stays clean (the add dominates;
+    * dirty groups by semi-join. The tie is judged against the
+    * CANDIDATE extremum (state merged with the batch's adds): a
+    * coalesced multi-interval batch telescopes and can add-then-
+    * retract a value past the old extremum within one batch, so an
+    * add only certifies cleanliness when no retraction reaches it
+    * (spec-pinned). A batch whose surviving adds strictly clear every
+    * retraction stays clean (the add dominates;
     * no runner-up needed). Cost: O(|state| + |changed groups|) for the
     * fold + one base read filtered to the dirty groups — bounded by
     * extremum retirements, never by unrelated table growth: the dirty
@@ -157,16 +162,23 @@ object IncrementalAgg {
       }
     val d = feed.groupBy(keys.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
     val zero = lit(0).cast("decimal(38,4)")
-    // per-column dirty test: a retraction TIED the extremum and no
-    // same-batch add re-covers it
-    def dirtyCol(c: String) =
-      (col(s"_d_rmin_$c").isNotNull && col(s"_min_$c").isNotNull &&
-        col(s"_d_rmin_$c") <= col(s"_min_$c") &&
-        (col(s"_d_amin_$c").isNull ||
-          col(s"_d_amin_$c") > col(s"_min_$c"))) ||
-      (col(s"_d_rmax_$c").isNotNull && col(s"_max_$c").isNotNull &&
-        col(s"_d_rmax_$c") >= col(s"_max_$c") &&
-        (col(s"_d_amax_$c").isNull || col(s"_d_amax_$c") < col(s"_max_$c")))
+    // per-column dirty test, against the CANDIDATE extremum (state
+    // merged with the batch's adds), not the state's alone: a
+    // micro-batch that coalesces several feed intervals telescopes —
+    // it can ADD a value above the old max and RETRACT it in the same
+    // batch (update-then-delete of one key across intervals), so an
+    // add only certifies the extremum if no retraction reaches it.
+    // Any retraction tying the candidate marks the group dirty; a
+    // duplicate-value survivor makes the repair recompute the same
+    // number — harmless, and bounded by extremum-touching changes.
+    def dirtyCol(c: String) = {
+      val candMin = least(col(s"_min_$c"), col(s"_d_amin_$c"))
+      val candMax = greatest(col(s"_max_$c"), col(s"_d_amax_$c"))
+      (col(s"_d_rmin_$c").isNotNull && candMin.isNotNull &&
+        col(s"_d_rmin_$c") <= candMin) ||
+      (col(s"_d_rmax_$c").isNotNull && candMax.isNotNull &&
+        col(s"_d_rmax_$c") >= candMax)
+    }
     val merged = state0.join(d, keys, "full_outer")
       .select(keys.map(col) ++
         Seq((coalesce(col("_n"), lit(0L)) + coalesce(col("_d_n"), lit(0L)))

@@ -384,6 +384,10 @@ object CdfSource {
   def feedStream(spark: SparkSession, tablePath: String,
                  keys: Seq[String], feedDir: String): DataFrame = {
     import org.apache.spark.sql.types._
+    // a consumer may start BEFORE the first poll — ensure the dir so
+    // the stream begins empty instead of failing analysis
+    val fp = new org.apache.hadoop.fs.Path(feedDir)
+    fp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(fp)
     val sch = feedSchema(spark, tablePath, keys)
     def read(s: StructType): DataFrame =
       spark.readStream.schema(s)

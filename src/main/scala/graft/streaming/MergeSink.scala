@@ -77,8 +77,8 @@ object MergeSink {
   def startCdc(events: DataFrame, targetDir: String, keys: Seq[String],
                partitionCol: String, versionCol: String, opCol: String,
                checkpointDir: String,
-               trigger: Trigger = Trigger.AvailableNow())
-      : StreamingQuery = {
+               trigger: Trigger = Trigger.AvailableNow(),
+               preBatch: () => Unit = () => ()): StreamingQuery = {
     require(keys.nonEmpty, "cdc sink needs at least one key column")
     val spark = events.sparkSession
     import org.apache.spark.sql.expressions.Window
@@ -87,6 +87,11 @@ object MergeSink {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // caller-supplied validity probe, run BEFORE the batch commits:
+        // a throw here fails the query without advancing the
+        // checkpoint, so the batch replays after the operator restarts
+        // in a valid configuration (Replicate's mid-run rename guard)
+        preBatch()
         if (!batch.isEmpty) {
           val w = Window.partitionBy(keys.map(col): _*)
             .orderBy(col(versionCol).desc, col(opCol).desc)

@@ -118,7 +118,31 @@ object Replicate {
         if (df.columns.exists(_.equalsIgnoreCase(f.name))) df
         else df.withColumn(f.name, lit(null).cast(f.dataType))
       })
+    // MID-RUN RENAME GUARD: this stream's schema (and its lineage
+    // projection) is pinned NOW — a rename event recorded after this
+    // point means later feed files carry a name the pinned read maps
+    // to null, and applying those batches would silently null-clobber
+    // replica values. Fail the query BEFORE such a batch commits (the
+    // checkpoint does not advance), so the restarted tail — which
+    // re-pins the schema and replays the rename via syncRenames —
+    // re-processes it correctly. A mid-run DROP needs no guard: the
+    // pinned schema still carries the column, post-drop files read it
+    // as null, and null IS the freeze semantics.
+    val renameEpochAtStart = CdfSource.feedEvents(spark, feedDir)
+      .collect { case (e, "rename", _, _) => e }.maxOption.getOrElse(0L)
+    val guard = () => {
+      val latest = CdfSource.feedEvents(spark, feedDir)
+        .collect { case (e, "rename", _, _) => e }.maxOption.getOrElse(0L)
+      if (latest > renameEpochAtStart)
+        throw new IllegalStateException(
+          s"Replicate: a source rename landed at epoch $latest while " +
+            "this tail was running — its schema was pinned at start, so " +
+            "applying further batches would null-clobber the renamed " +
+            "column. Restart the tail: the restart replays the rename " +
+            "onto the replica and re-processes this batch correctly " +
+            "(the checkpoint did not advance).")
+    }
     MergeSink.startCdc(events, dstTable, keys, partitionCol,
-      "_to_epoch", "op", checkpointDir, trigger)
+      "_to_epoch", "op", checkpointDir, trigger, preBatch = guard)
   }
 }

@@ -92,6 +92,28 @@ class IncrementalAggSpec extends SparkSpec {
     assert(ex.getMessage.contains("multiState"))
   }
 
+  test("applyChangesMulti: a coalesced batch that adds AND retracts a " +
+      "value past the old extremum repairs — it must not trust the " +
+      "dead add (telescoped update-then-delete across intervals)") {
+    val cols = Seq("v")
+    def feed1(t: (String, Double, String)*) =
+      t.toSeq.toDF("k", "v", "_change_type")
+    val st0 = IncrementalAgg.multiState(
+      Seq(("a", 10.0), ("a", 2.0)).toDF("k", "v"), keys, cols)
+    // one key: updated 10 -> 1500 (interval 1) then DELETED (interval
+    // 2), coalesced into one micro-batch — the add of 1500 is dead on
+    // arrival; a state-only tie test would certify max = 1500
+    val batch = feed1(("a", 10.0, "update_preimage"),
+      ("a", 1500.0, "update_postimage"), ("a", 1500.0, "delete"))
+    val finalFacts = Seq(("a", 2.0)).toDF("k", "v")
+    val st1 = IncrementalAgg.applyChangesMulti(st0, keys, cols, batch,
+      finalFacts)
+    val got = IncrementalAgg.reportMulti(st1, keys, cols)
+      .select($"k", $"n", $"min_v", $"max_v")
+      .as[(String, Long, Double, Double)].head()
+    assert(got == (("a", 1L, 2.0, 2.0)))
+  }
+
   test("applyChangesMulti: fully-retracted groups drop; successive " +
       "folds stay type-stable and equal the combined rebuild") {
     def feed(t: (String, Double, Double, String)*) =

@@ -145,6 +145,58 @@ class ReplicateSpec extends SparkSpec {
     assert(srcNow == dstNow)
   }
 
+  test("mid-RUN rename guard: a rename landing while a LIVE tail runs " +
+      "fails the query before the batch commits (no null-clobber); " +
+      "the restarted tail replays the rename and converges") {
+    val w = java.nio.file.Files.createTempDirectory("graft_repl4").toString
+    val src = s"$w/src"; val feed = s"$w/feed"; val dst = s"$w/dst"
+    Upsert.mergeIntoManifested(spark, src,
+      rows((1, "a", 1.0, 1)), keys, "part", "ver", retain = 12)
+    Replicate.seed(spark, src, dst, keys, "part")
+    val q = Replicate.start(spark, src, feed, dst, keys, "part",
+      s"$w/ckpt", trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+    try {
+      Upsert.mergeIntoManifested(spark, src,
+        rows((1, "a", 5.0, 2)), keys, "part", "ver", retain = 12)
+      CdfSource.pollOnce(spark, src, keys, feed)
+      val deadline = System.currentTimeMillis() + 120000L
+      while (Upsert.readManifested(spark, dst)
+          .filter($"k" === 1L && $"v" === 5.0).isEmpty) {
+        assert(System.currentTimeMillis() < deadline,
+          "live tail never applied wave 1")
+        Thread.sleep(200L)
+      }
+      // the rename lands while the tail RUNS: its pinned schema would
+      // read the next batch's renamed column as null and clobber the
+      // replica — the guard must kill the query with the checkpoint
+      // NOT advanced
+      Upsert.renameManifestedColumn(spark, src, "v", "w", retain = 12)
+      Upsert.mergeIntoManifested(spark, src,
+        Seq((1L, "a", 9.0, 3L)).toDF("k", "part", "w", "ver"),
+        keys, "part", "ver", retain = 12)
+      CdfSource.pollOnce(spark, src, keys, feed)
+      val ex = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(120000L)
+        ()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("rename landed")),
+        messages(ex).mkString(" | "))
+    } finally if (q.isActive) q.stop()
+    // the restart re-pins the schema, replays the rename onto the
+    // replica (syncRenames), and re-processes the guarded batch
+    drain(Replicate.start(spark, src, feed, dst, keys, "part",
+      s"$w/ckpt"))
+    val fin = Upsert.readManifested(spark, dst)
+      .select($"k", $"part", $"w", $"ver")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(fin == Set((1L, "a", 9.0, 3L)))
+  }
+
   test("seed-then-tail overlap is harmless: a feed replaying history " +
       "from table creation cannot regress the seeded snapshot") {
     val w = java.nio.file.Files.createTempDirectory("graft_repl2").toString
