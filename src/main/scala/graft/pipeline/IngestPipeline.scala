@@ -40,7 +40,8 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
                            dedupWindowSeconds: Long = 1800,
                            notifier: graft.streaming.Notifier =
                              graft.streaming.Notifier.noop,
-                           incrementalReport: Boolean = false) {
+                           incrementalReport: Boolean = false,
+                           reportCompactEvery: Int = 64) {
   import IngestPipeline.{LoadResult, RemainingFiles}
 
   val audit = new AuditLog(spark, s"$warehouse/log_for_loading")
@@ -235,6 +236,14 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
       s"${key}_$seq", Seq.empty, delta.coalesce(1))
     System.err.println(f"[report_delta] $key computed+appended in " +
       f"${(System.nanoTime() - t0) / 1e6}%.0fms")
+    // self-maintenance: once the live token count passes the knob,
+    // fold the state back to one file — the census is a single dir
+    // listing, so the check costs nothing on the loads that skip it
+    if (reportCompactEvery > 0 &&
+        reportStateCensus()._1.size >= reportCompactEvery) {
+      val folded = compactReportState()
+      System.err.println(s"[report_compact] folded $folded state deltas")
+    }
   }
 
   /** State-dir census for the compaction protocol: committed tokens,

@@ -153,6 +153,35 @@ class IngestPipelineSpec extends SparkSpec {
     assert(norm(p) == norm(scan))
   }
 
+  test("auto-compaction keeps the incremental report state bounded " +
+      "(reportCompactEvery) without changing the answer") {
+    val in = tmpDir("graft_in_ac"); val wh = tmpDir("graft_wh_ac")
+    val p = new IngestPipeline(spark, wh.toString, dedupWindowSeconds = 0,
+      incrementalReport = true, reportCompactEvery = 2)
+    val scan = new IngestPipeline(spark, wh.toString)
+    (1 to 4).foreach { i =>
+      val f = writeCsv(in, s"priceindex_ac_$i.csv", Seq(header,
+        row("1995-12-01", "Canada", s"prod$i", s"10$i.5")))
+      assert(p.load(f).status == 1)
+    }
+    // every load past the knob folds the state back: live DATA files
+    // stay bounded (covered files sweep; only markers accumulate)
+    val sp = new org.apache.hadoop.fs.Path(s"$wh/report_state")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(sp).count(st => st.isFile &&
+      st.getPath.getName.startsWith("delta_") &&
+      st.getPath.getName.endsWith(".parquet"))
+    assert(live <= 2, s"state not bounded: $live live data files")
+    // and the folded state still answers exactly like the scan path
+    val o1 = tmpDir("graft_rep_ac").resolve("i").toString
+    val o2 = tmpDir("graft_rep_ac").resolve("s").toString
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"category", round($"avg_value".cast("double"), 6), $"n")
+        .as[(String, Double, Long)].collect().toSet
+    assert(norm(p.buildAndExportReport(1995, 12, Seq.empty, "", o1)) ==
+      norm(scan.buildAndExportReport(1995, 12, Seq.empty, "", o2)))
+  }
+
   test("corrupt rows within maxerrors are tolerated; beyond it fail the load") {
     val in = tmpDir("graft_in2"); val wh = tmpDir("graft_wh2")
     val p = new IngestPipeline(spark, wh.toString, maxErrors = 1)
