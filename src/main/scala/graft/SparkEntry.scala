@@ -4876,6 +4876,60 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    "x_sim_ivf_cdc" -> ((s, dir) => {
+      // ANN INDEX AS A MATERIALIZED VIEW of a manifested vector table
+      // — the lakehouse layer and the similarity layer COMPOSED: the
+      // table mutates through the real write paths (insert merge,
+      // keyed delete), CdfSource.pollOnce lands each interval's feed,
+      // and the consumer applies the feed's change sets to the index
+      // as exactly-once append/tombstone deltas (content-derived
+      // tokens — re-running the pipeline re-applies as no-ops).
+      // Full-width probe == brute force over the FINAL table: a missed
+      // delete resurrects a vector, a missed insert loses one, a
+      // double-applied feed would fail the exactly-once append — all
+      // hash-mismatch against the recomputed oracle.
+      val base = s"${artifactBase(dir)}/ivf_cdc_tbl"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val tbl = s"$base/tbl"; val feedDir = s"$base/feed"
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val keys = Seq("pb", "vec_id")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("pb", (col("vec_id") % 8).cast("long"))
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding")))
+          .withColumn("ver", lit(1L)),
+        keys, "pb", "ver", retain = 4)
+      val idx = ivfCdcFor(s, dir,
+        operators.Upsert.readManifestedAt(s, tbl, 0))
+      // wave 1: INSERT merge — negated twins of the %5 vectors at a
+      // disjoint id range (no key overlap, so the feed carries pure
+      // inserts; in-place vector updates are the documented
+      // delete -> purge -> append maintenance path, IvfDeleteSpec)
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") % 5 === 0 && col("vec_id") =!= 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+          .withColumn("ver", lit(1L)), keys, "pb", "ver", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      // wave 2: DELETE the %7 ids through the keyed path
+      operators.Upsert.deleteKeysFromManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") % 7 === 0 && col("vec_id") =!= 0))
+          .select(col("pb"), col("vec_id")), keys, "pb", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      // the consumer: split the committed feed into its change sets
+      // and apply each to the index
+      val feed = operators.StagedCommit.readCommitted(s, feedDir)
+      idx.append(feed.filter(col("_change_type") === "insert")
+        .select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+      idx.delete(feed.filter(col("_change_type") === "delete")
+        .select(col("vec_id")), "vec_id")
+      idx.search("vec_id", "embedding", q, k = 10, nprobe = IvfK)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     "x_sim_filtered" -> ((s, dir) => {
       // FILTERED ANN (the "similar AND attribute" production shape):
       // the predicate evaluates against the rows the index stores and
@@ -5152,7 +5206,27 @@ object SparkEntry {
     pqBuilt.clear(); ivfpqBuilt.clear()
     lshBuilt.clear(); bqBuilt.clear()
     bqDelBuilt.clear(); lshDelBuilt.clear()
+    ivfCdcBuilt.clear()
   }
+
+  /** CDC-maintained IVF index for the x_sim_ivf_cdc gate — its OWN
+    * artifact dir (the feed's mutations must never leak into the
+    * shared or probe-replayed indexes). Build-once per process AND
+    * across JVMs via the epoch certificate; the feed applications on
+    * top are content-token exactly-once, so re-running the gate
+    * re-applies them as no-ops. */
+  private val ivfCdcBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, operators.IvfIndex]
+  private def ivfCdcFor(s: SparkSession, dir: String,
+                        snapshot: => DataFrame): operators.IvfIndex =
+    ivfCdcBuilt.getOrElseUpdate(dir, {
+      val idx = new operators.IvfIndex(s,
+        s"${artifactBase(dir)}/ivf_cdc_k$IvfK")
+      if (idx.epoch().isEmpty)
+        idx.build(snapshot, "vec_id", "embedding", k = IvfK,
+          iters = IvfIters, trainSample = IvfTrain)
+      idx
+    })
 
   private val queryVecCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
@@ -9926,6 +10000,31 @@ object SparkEntry {
 
     // a committed tombstone set masks exactly its ids: the full probe
     // is brute-force top-k over the surviving corpus (every %7 id gone)
+    // the CDC-maintained index == brute force over the FINAL table:
+    // originals minus the %7 deletes, plus the negated %5 twins the
+    // insert wave fed in
+    "x_sim_ivf_cdc" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+              fin AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id <> 0 AND vec_id % 7 <> 0
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_transform(embedding, x -> -x)
+                FROM embeddings WHERE vec_id % 5 = 0 AND vec_id <> 0),
+              e AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM fin),
+              s AS (SELECT e.vec_id,
+                           round(sum(e.x * q.qx) /
+                             (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+                    FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
+         SELECT vec_id, score FROM s
+         ORDER BY score DESC, vec_id LIMIT 10""",
+
     "x_sim_ivf_delete" ->
       """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
                            generate_subscripts(embedding, 1) AS i
