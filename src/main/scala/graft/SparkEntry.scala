@@ -4601,6 +4601,58 @@ object SparkEntry {
       TextIndex.bm25TopK(p, st, Seq("batch", "join"), k = 10)
     }),
 
+    "x_text_bm25_cdc" -> ((s, dir) => {
+      // TEXT INDEX AS A MATERIALIZED VIEW of a manifested documents
+      // table — the BM25 sibling of x_sim_ivf_cdc: the table mutates
+      // through the real lakehouse write paths (insert merge, keyed
+      // delete), the CDF feed carries exactly the change sets, and
+      // the consumer applies them as the index's own exactly-once
+      // maintenance ops (appendScoredPostings / deleteScoredPostings,
+      // both content-token once-ever, so re-running the pipeline
+      // no-ops). Ranked retrieval over the maintained index must
+      // equal a from-scratch BM25 over the FINAL table: stale n_docs
+      // or total_dl, a resurrected deleted doc, or a lost insert all
+      // hash-mismatch.
+      val base = s"${artifactBase(dir)}/bm25_cdc_tbl"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val tbl = s"$base/tbl"; val feedDir = s"$base/feed"
+      val idxBase = s"${artifactBase(dir)}/cdcbm25"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val keys = Seq("pd", "doc_id")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("pd", (col("doc_id") % 8).cast("long"))
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(docs).withColumn("ver", lit(1L)), keys, "pd", "ver",
+        retain = 4)
+      TextIndex.buildScoredPostings(
+        operators.Upsert.readManifestedAt(s, tbl, 0), "doc_id", "text",
+        idxBase)
+      // wave 1: INSERT copies of the %9 docs at a disjoint id range
+      // (pure inserts in the feed; in-place doc edits are the
+      // documented delete-then-append maintenance path)
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .withColumn("ver", lit(1L)), keys, "pd", "ver", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      // wave 2: DELETE the %5 docs through the keyed path
+      operators.Upsert.deleteKeysFromManifested(s, tbl,
+        shaped(docs.filter(col("doc_id") % 5 === 0))
+          .select(col("pd"), col("doc_id")), keys, "pd", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      // the consumer: split the committed feed into its change sets
+      // and apply each through the index's own maintenance ops
+      val feed = operators.StagedCommit.readCommitted(s, feedDir)
+      TextIndex.appendScoredPostings(
+        feed.filter(col("_change_type") === "insert")
+          .select(col("doc_id"), col("text")), "doc_id", "text", idxBase)
+      val (p, st) = TextIndex.deleteScoredPostings(
+        feed.filter(col("_change_type") === "delete")
+          .select(col("doc_id")), "doc_id", idxBase)
+      TextIndex.bm25TopK(p, st, Seq("batch", "join"), k = 10)
+    }),
+
     "x_text_scrub" -> ((s, dir) =>
       // PII redaction (emails / IPv4 / phone numbers -> typed tokens).
       // The corpus carries no PII, so the gate plants a deterministic
@@ -9844,6 +9896,44 @@ object SparkEntry {
 
     // incremental == from-scratch: the oracle recomputes FULL-corpus
     // BM25 and cannot tell the engine served a build + staged delta
+    // the CDC-maintained index == from-scratch BM25 over the FINAL
+    // table: originals minus the %5 deletes, plus the %9 copies the
+    // insert wave fed in (their ids offset, so the delete wave never
+    // touches them)
+    "x_text_bm25_cdc" ->
+      """WITH fin AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id % 5 <> 0
+                      UNION ALL
+                      SELECT doc_id + 1000000, text FROM documents
+                      WHERE doc_id % 9 = 0),
+           tok AS (SELECT doc_id,
+                          unnest(string_split(text, ' ')) AS term
+                   FROM fin),
+           dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                  FROM tok GROUP BY 1),
+           st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+           tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                  FROM tok WHERE term IN ('batch', 'join')
+                  GROUP BY 1, 2),
+           dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+           sc AS (SELECT tf.doc_id, tf.term,
+                         ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                            / (df + 0.5) + 1.0)
+                         * (tf * 2.2)
+                         / (tf + 1.2 * (0.25 + CAST(dl.dl AS DOUBLE)
+                            * 0.75 / (CAST(total_dl AS DOUBLE) / n_docs)))
+                           AS score
+                  FROM tf JOIN dl USING (doc_id)
+                          JOIN dfc USING (term) CROSS JOIN st),
+           agg AS (SELECT doc_id,
+                          round(sum(score ORDER BY term), 6) AS score
+                   FROM sc GROUP BY 1)
+         SELECT doc_id, score FROM agg
+         QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
+         ORDER BY score DESC, doc_id""",
+
     "x_text_bm25_incr" ->
       """WITH tok AS (SELECT doc_id,
                              unnest(string_split(text, ' ')) AS term
