@@ -153,8 +153,10 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
         // BEFORE its merge landed recomputes the identical delta; one
         // that runs AFTER sees pre == post but the committed first
         // delta already holds the truth and appendOnce no-ops.
-        if (incrementalReport)
+        if (incrementalReport) {
           appendReportDelta(staged, fileKey(csvPath), seq)
+          FailPoint.hit("s3_after_report_delta")
+        }
         Upsert.mergeIntoPartitioned(spark, permanentPath, staged,
           PriceIndex.naturalKey, "GEO", "_seq")
       }

@@ -216,9 +216,27 @@ object MvSink {
       (fold: DataFrame => DataFrame): Unit = {
     val fs = fsOf(spark, stateDir)
     if (appId.nonEmpty) fenceLineage(spark, stateDir, appId)
+    def publishProgress(): Unit =
+      progress.foreach { case (feedDir, consumerId) =>
+        if (batch.columns.contains("_to_epoch")) {
+          val r = batch.agg(max(col("_to_epoch"))).head()
+          if (!r.isNullAt(0))
+            CdfSource.publishProgress(spark, feedDir, consumerId,
+              r.getLong(0))
+        }
+      }
     val marker =
       new org.apache.hadoop.fs.Path(stateDir, s"_mvstate_b$batchId")
-    if (fs.exists(marker)) return // replayed batch: already folded
+    if (fs.exists(marker)) {
+      // replayed batch: already folded — but a crash in the
+      // marker→publish window may have lost the PROGRESS update, so
+      // re-publish (monotone: a stale epoch no-ops) before skipping.
+      // Without this the documented "re-publishes on the fenced
+      // retry" claim was false: the early return skipped it, and a
+      // final batch's progress could lag until the next mutation.
+      publishProgress()
+      return
+    }
     if (batch.isEmpty) return // nothing to fold; no version for nothing
     val cur = readState(spark, stateDir).getOrElse(
       throw new IllegalStateException(
@@ -231,18 +249,13 @@ object MvSink {
     next.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/mv_b$batchId")
     graft.FailPoint.hit("mv_after_state_write")
     fs.create(marker, true).close()
+    graft.FailPoint.hit("mv_after_marker")
     // the fold is durable as of the marker — NOW the feed may learn
     // how far this consumer has processed (a crash before this line
-    // re-publishes on the replayed batch's fenced retry; monotone, so
-    // out-of-order publishes are no-ops)
-    progress.foreach { case (feedDir, consumerId) =>
-      if (batch.columns.contains("_to_epoch")) {
-        val r = batch.agg(max(col("_to_epoch"))).head()
-        if (!r.isNullAt(0))
-          CdfSource.publishProgress(spark, feedDir, consumerId,
-            r.getLong(0))
-      }
-    }
+    // re-publishes on the replayed batch's fenced retry — the
+    // marker-exists path above re-runs exactly this publish; monotone,
+    // so out-of-order publishes are no-ops)
+    publishProgress()
     // sweep versions older than the previous one (lazy-reader floor)
     val p = new org.apache.hadoop.fs.Path(stateDir)
     val ids = fs.listStatus(p).toSeq.map(_.getPath.getName).collect {

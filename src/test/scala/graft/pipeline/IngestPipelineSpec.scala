@@ -153,6 +153,48 @@ class IngestPipelineSpec extends SparkSpec {
     assert(norm(p) == norm(scan))
   }
 
+  test("incremental report crash windows (chaos): a kill between the " +
+      "delta append and the merge, and one after the merge, both " +
+      "converge on redelivery — the delta lands exactly once") {
+    val in = tmpDir("graft_in_cw"); val wh = tmpDir("graft_wh_cw")
+    val p = new IngestPipeline(spark, wh.toString, dedupWindowSeconds = 0,
+      incrementalReport = true)
+    val scan = new IngestPipeline(spark, wh.toString)
+    var repN = 0
+    def norm(pp: IngestPipeline): Set[(String, Double, Long)] = {
+      repN += 1
+      val o = tmpDir("graft_rep_cw").resolve(s"r$repN").toString
+      pp.buildAndExportReport(1995, 12, Seq.empty, "", o)
+        .select($"geo", round($"avg_value".cast("double"), 6), $"n")
+        .as[(String, Double, Long)].collect().toSet
+    }
+    val f1 = writeCsv(in, "priceindex_cw_a.csv", Seq(header,
+      row("1995-12-01", "Canada", "food", "101.5"),
+      row("1995-12-01", "Ontario", "food", "103.9")))
+    assert(p.load(f1).status == 1)
+    // WINDOW 1: delta committed, merge never ran — the documented
+    // "retry before its merge recomputes the identical delta" case
+    val f2 = writeCsv(in, "priceindex_cw_b.csv", Seq(header,
+      row("1995-12-01", "Ontario", "food", "999.9")))
+    graft.FailPoint.arm("s3_after_report_delta")
+    try intercept[graft.FailPoint.Kill] { p.load(f2) }
+    finally graft.FailPoint.disarm()
+    assert(p.load(f2).status == 1) // redelivery lands the merge
+    assert(norm(p) == norm(scan))
+    // WINDOW 2: merge landed, crash before the terminal audit row —
+    // the retry sees pre == post, but the first committed delta holds
+    // the truth and the (file, seq) marker no-ops the recompute
+    val f3 = writeCsv(in, "priceindex_cw_c.csv", Seq(header,
+      row("1995-12-01", "Quebec", "food", "555.5")))
+    graft.FailPoint.arm("s3_after_merge")
+    try intercept[graft.FailPoint.Kill] { p.load(f3) }
+    finally graft.FailPoint.disarm()
+    assert(p.load(f3).status == 1)
+    val fin = norm(p)
+    assert(fin == norm(scan))
+    assert(fin.exists(r => r._1 == "Quebec" && r._2 == 555.5 && r._3 == 1L))
+  }
+
   test("auto-compaction keeps the incremental report state bounded " +
       "(reportCompactEvery) without changing the answer") {
     val in = tmpDir("graft_in_ac"); val wh = tmpDir("graft_wh_ac")

@@ -111,6 +111,34 @@ class MvSinkSpec extends SparkSpec {
     assert(CdfSource.consumerProgress(spark, feed) == Map("mvm" -> 1L))
   }
 
+  test("progress-publish crash window (chaos): a kill between the " +
+      "batch marker and the progress publish re-publishes on the " +
+      "fenced retry — the fold never re-applies, the feed still " +
+      "learns the consumed epoch") {
+    val w = java.nio.file.Files.createTempDirectory("graft_mvpw").toString
+    val tbl = s"$w/tbl"; val feed = s"$w/feed"; val st = s"$w/state"
+    Upsert.mergeIntoManifested(spark, tbl,
+      rows((1, "a", 1.0, 1)), keys, "part", "ver", retain = 8)
+    MvSink.seed(Upsert.readManifestedAt(spark, tbl, 0), grp, "v", st)
+    Upsert.mergeIntoManifested(spark, tbl,
+      rows((1, "a", 9.0, 2)), keys, "part", "ver", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    val batch = graft.operators.StagedCommit.readCommitted(spark, feed)
+    graft.FailPoint.arm("mv_after_marker")
+    try intercept[graft.FailPoint.Kill] {
+      MvSink.applyBatch(spark, batch, 0L, grp, "v", st,
+        progress = Some((feed, "mvpw")))
+    } finally graft.FailPoint.disarm()
+    // fold durable, progress LOST in the crash window
+    assert(view(st) == Set(("a", 1L, 9.0, 9.0)))
+    assert(CdfSource.consumerProgress(spark, feed).isEmpty)
+    // the fenced retry must not re-fold — but it MUST re-publish
+    MvSink.applyBatch(spark, batch, 0L, grp, "v", st,
+      progress = Some((feed, "mvpw")))
+    assert(view(st) == Set(("a", 1L, 9.0, 9.0)))
+    assert(CdfSource.consumerProgress(spark, feed) == Map("mvpw" -> 1L))
+  }
+
   test("lineage fence: a fresh checkpoint lineage over a stateDir with " +
       "applied batches refuses; a batch-free stateDir adopts it") {
     val w = java.nio.file.Files.createTempDirectory("graft_mvl").toString
