@@ -4982,6 +4982,51 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    "x_sim_lsh_cdc" -> ((s, dir) => {
+      // LSH FOREST AS A MATERIALIZED VIEW — completes the
+      // index-as-a-view family across the persistent retrieval
+      // artifacts (IVF, BM25, LSH): the same manifested-table + CDF
+      // feed pipeline, with the consumer applying the change sets via
+      // the forest's own exactly-once ops (append encodes into all
+      // numTables copies; one tombstone delta masks all of them at
+      // once). The probe replays the pasted-plane bucket pipeline
+      // over the FINAL table — a resurrected bucket row or a lost
+      // insert hash-mismatches.
+      val base = s"${artifactBase(dir)}/lsh_cdc_tbl"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val tbl = s"$base/tbl"; val feedDir = s"$base/feed"
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val keys = Seq("pb", "vec_id")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("pb", (col("vec_id") % 8).cast("long"))
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding")))
+          .withColumn("ver", lit(1L)),
+        keys, "pb", "ver", retain = 4)
+      val idx = lshCdcFor(s, dir,
+        operators.Upsert.readManifestedAt(s, tbl, 0))
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") % 5 === 0 && col("vec_id") =!= 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+          .withColumn("ver", lit(1L)), keys, "pb", "ver", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      operators.Upsert.deleteKeysFromManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") % 7 === 0 && col("vec_id") =!= 0))
+          .select(col("pb"), col("vec_id")), keys, "pb", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      val feed = operators.StagedCommit.readCommitted(s, feedDir)
+      idx.append(feed.filter(col("_change_type") === "insert")
+        .select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+      idx.delete(feed.filter(col("_change_type") === "delete")
+        .select(col("vec_id")), "vec_id")
+      idx.search("vec_id", "embedding", q, k = 10)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     "x_sim_filtered" -> ((s, dir) => {
       // FILTERED ANN (the "similar AND attribute" production shape):
       // the predicate evaluates against the rows the index stores and
@@ -5258,7 +5303,7 @@ object SparkEntry {
     pqBuilt.clear(); ivfpqBuilt.clear()
     lshBuilt.clear(); bqBuilt.clear()
     bqDelBuilt.clear(); lshDelBuilt.clear()
-    ivfCdcBuilt.clear()
+    ivfCdcBuilt.clear(); lshCdcBuilt.clear()
   }
 
   /** CDC-maintained IVF index for the x_sim_ivf_cdc gate — its OWN
@@ -5490,6 +5535,21 @@ object SparkEntry {
         seed = LshSeed)
       idx.build(emb, "vec_id", "embedding")
       idx.delete(emb.filter(col("vec_id") % 7 === 0), "vec_id")
+      idx
+    })
+
+  /** CDC-maintained LSH forest for the x_sim_lsh_cdc gate — own dir,
+    * build-once, feed applications content-token exactly-once (same
+    * contract as [[ivfCdcFor]]). */
+  private val lshCdcBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, operators.LshIndex]
+  private def lshCdcFor(s: SparkSession, dir: String,
+                        snapshot: => DataFrame): operators.LshIndex =
+    lshCdcBuilt.getOrElseUpdate(dir, {
+      val idx = new operators.LshIndex(s, s"${artifactBase(dir)}/lsh_cdc",
+        dim = LshDim, numTables = LshTables, bitsPerTable = LshBits,
+        seed = LshSeed)
+      idx.build(snapshot, "vec_id", "embedding")
       idx
     })
 
@@ -10168,6 +10228,42 @@ object SparkEntry {
     // LSH delete == from-scratch over survivors: buckets re-derived
     // from the pasted planes, candidates and rerank masked to %7 <> 0
     // (which also covers the deleted query vector, vec_id 0)
+    // the CDC-maintained forest == the pasted-plane pipeline over the
+    // FINAL table: survivors plus the negated insert twins, bucketed,
+    // candidate-filtered, exact-reranked
+    "x_sim_lsh_cdc" ->
+      s"""WITH planes(t, w, i, p) AS (VALUES $lshPlaneValues),
+         q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings WHERE vec_id = 0),
+         fin AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id <> 0 AND vec_id % 7 <> 0
+                 UNION ALL
+                 SELECT vec_id + 1000000,
+                        list_transform(embedding, x -> -x)
+                 FROM embeddings WHERE vec_id % 5 = 0 AND vec_id <> 0),
+         e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                      generate_subscripts(embedding, 1) AS i
+               FROM fin),
+         ed AS (SELECT e.vec_id, pl.t, pl.w, sum(e.x * pl.p) AS d
+                FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2, 3),
+         eb AS (SELECT vec_id, t,
+                       sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS bkt
+                FROM ed GROUP BY 1, 2),
+         qd AS (SELECT pl.t, pl.w, sum(q.qx * pl.p) AS d
+                FROM q JOIN planes pl ON q.i = pl.i GROUP BY 1, 2),
+         qb AS (SELECT t, sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS bkt
+                FROM qd GROUP BY 1),
+         cand AS (SELECT DISTINCT eb.vec_id
+                  FROM eb JOIN qb ON eb.t = qb.t AND eb.bkt = qb.bkt),
+         s AS (SELECT e.vec_id,
+                      round(sum(e.x * q.qx) /
+                        (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+               FROM e JOIN q ON e.i = q.i
+               WHERE e.vec_id IN (SELECT vec_id FROM cand)
+               GROUP BY 1)
+         SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10""",
+
     "x_sim_lsh_del" ->
       s"""WITH planes(t, w, i, p) AS (VALUES $lshPlaneValues),
          q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
