@@ -247,18 +247,23 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
     val priorFloor: Map[String, Double] =
       (durableFloor.toSeq ++ tailFloor.toSeq).groupMapReduce(_._1)(_._2)(math.min)
-    // flag EVERY query whose suite median is >2× its floor (and ≥0.3 s —
-    // sub-noise queries can double on scheduler jitter alone), worst
-    // ratios first; the cap only bounds a catastrophically noisy run
+    // flag EVERY query whose suite median is over max(2× floor,
+    // floor + 0.3 s), worst ratios first; the cap only bounds a
+    // catastrophically noisy run. The ABSOLUTE slack term (VERDICT r16
+    // #4) is what keeps sub-second gates out of the isolation pass: a
+    // 0.05 s-floor streaming gate at 0.36 s is 7× on paper but only
+    // 0.3 s of scheduler/stream-startup jitter — flagging it wasted
+    // the isolation/cooldown machinery on pure noise every run.
     val flagged: Seq[String] =
       // targeted runs ARE the isolation path; recycle legs are probes
       if (only.isDefined || recycleEvery > 0) Seq.empty
       else {
         val byRatio = allSamples.flatMap { case (name, samples) =>
           val med = samples.sorted.apply(samples.length / 2)
-          val floor = (samples.min +: priorFloor.get(name).toSeq).min
-          if (med >= 0.3 && med > 2.0 * math.max(floor, 0.05))
-            Some((name, med / math.max(floor, 0.05)))
+          val floor = math.max(0.05,
+            (samples.min +: priorFloor.get(name).toSeq).min)
+          if (med > math.max(2.0 * floor, floor + 0.3))
+            Some((name, med / floor))
           else None
         }.sortBy(-_._2)
         if (byRatio.length > 24)
@@ -447,7 +452,9 @@ object Bench {
     def over2x(names: Seq[String], iso: Map[String, Double]): Seq[String] =
       names.filter { n =>
         val med = iso.getOrElse(n, suiteMed(n))
-        med >= 0.3 && med > 2.0 * floorFor(n)
+        val floor = floorFor(n)
+        // same max(2× floor, floor + 0.3 s) rule as the suite flagging
+        med > math.max(2.0 * floor, floor + 0.3)
       }
     val stillOver = over2x(flagged, isolated.toMap)
     val cooldownSec =

@@ -347,7 +347,15 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
       try out.write(included.toSeq.sorted.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      fs.rename(tmp, covers)
+      // Hadoop rename signals failure by RETURNING false, not throwing
+      // (ADVICE r16): sweeping the covered delta files below without
+      // this check would silently lose every covered load's rows — the
+      // census ignores an uncovered compact by the two-phase rule.
+      if (!fs.rename(tmp, covers) && !fs.exists(covers))
+        throw new IllegalStateException(
+          s"compactReportState: covers flip failed for $tok — leaving " +
+            "covered delta files in place (the ghost sweep reclaims the " +
+            "compact data on the next run)")
     }
     files.foreach(f => fs.delete(f, false))
     included.size

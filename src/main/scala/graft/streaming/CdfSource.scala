@@ -135,11 +135,30 @@ object CdfSource {
     Upsert.schemaEventsBetween(spark, tablePath, since, active)
       .groupBy(_._1).foreach { case (e, evs) =>
         val mp = new org.apache.hadoop.fs.Path(p, s"_cdfmeta_$e")
-        if (!fs.exists(mp)) {
-          val out = fs.create(mp, true)
-          try out.write(evs.map(ev => s"${ev._2}\t${ev._3}\t${ev._4}")
-            .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
+        val bytes = evs.map(ev => s"${ev._2}\t${ev._3}\t${ev._4}")
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        // crash-idempotent for real (ADVICE r16): a bare exists-guard
+        // made a TORN file (crash between create and close) permanent —
+        // the retry skipped it, and feedEvents' "rewritten next poll"
+        // recovery never fired, silently corrupting the lineage
+        // projection. Skip only when the existing content MATCHES the
+        // deterministic expectation; otherwise stage to a tmp path and
+        // rename over, so a concurrent feedEvents never reads a partial
+        // write and a torn file heals on the very next poll.
+        val intact = fs.exists(mp) && {
+          val in = fs.open(mp)
+          val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          got == new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        }
+        if (!intact) {
+          val tmp = new org.apache.hadoop.fs.Path(p, s"_cdfmeta_$e.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(bytes) finally out.close()
+          if (fs.exists(mp)) fs.delete(mp, false)
+          if (!fs.rename(tmp, mp) && !fs.exists(mp))
+            throw new IllegalStateException(
+              s"could not publish schema-event meta $mp")
         }
       }
     // DROP-TOLERANT: the interval splits into maximal drop-free spans

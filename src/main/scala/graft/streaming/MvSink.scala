@@ -126,6 +126,23 @@ object MvSink {
                  checkpointDir: String,
                  trigger: Trigger = Trigger.AvailableNow(),
                  progress: Option[(String, String)] = None)
+      : StreamingQuery =
+    startMultiPruned(feed, grp, valCols, _ => base(), stateDir,
+      checkpointDir, trigger, progress)
+
+  /** [[startMulti]] with a DIRTY-BOUNDED base reader (VERDICT r16 #1):
+    * `baseFor` receives the dirty group-key tuples of the batch being
+    * repaired (empty = mass-retirement fallback, return the full
+    * table) — pass `rows => Upsert.readManifestedPartitions(...)` so
+    * the extremum repair's driver-side manifest listing is bounded by
+    * the dirty partitions, not the table's total partition count
+    * ([[graft.operators.IncrementalAgg.applyChangesMultiPruned]]). */
+  def startMultiPruned(feed: DataFrame, grp: Seq[String],
+                 valCols: Seq[String],
+                 baseFor: Seq[org.apache.spark.sql.Row] => DataFrame,
+                 stateDir: String, checkpointDir: String,
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 progress: Option[(String, String)] = None)
       : StreamingQuery = {
     val spark = feed.sparkSession
     val app = lineageId(spark, checkpointDir)
@@ -133,7 +150,7 @@ object MvSink {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatchMulti(spark, batch, batchId, grp, valCols, base,
+        applyBatchMulti(spark, batch, batchId, grp, valCols, baseFor,
           stateDir, app, progress)
       }
       .start()
@@ -147,15 +164,31 @@ object MvSink {
       checkpointDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_mv_app")
     val fs = fsOf(spark, checkpointDir)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    } else {
+    val recorded: Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        // a crash between create and write left an EMPTY identity file
+        // (ADVICE r16): foldOnce treats a blank appId as "no fence", so
+        // honoring it would silently disable double-apply protection
+        // for this checkpoint's whole lifetime — re-mint instead
+        if (s.isEmpty) None else Some(s)
+      }
+    recorded.getOrElse {
       val id = java.util.UUID.randomUUID().toString
-      val out = fs.create(p, true)
+      // tmp + atomic rename: the identity must never be readable
+      // half-written (the blank-file hazard above, made unreachable)
+      val tmp = new org.apache.hadoop.fs.Path(checkpointDir,
+        "_graft_mv_app.tmp")
+      val out = fs.create(tmp, true)
       try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      if (fs.exists(p)) fs.delete(p, false) // blank leftover
+      if (!fs.rename(tmp, p) && !fs.exists(p))
+        throw new IllegalStateException(
+          s"could not persist MV lineage id under $checkpointDir")
       id
     }
   }
@@ -200,12 +233,13 @@ object MvSink {
     * resolved lazily, read only for the dirty groups). */
   private[streaming] def applyBatchMulti(spark: SparkSession,
       batch: DataFrame, batchId: Long, grp: Seq[String],
-      valCols: Seq[String], base: () => DataFrame, stateDir: String,
-      appId: String = "",
+      valCols: Seq[String],
+      baseFor: Seq[org.apache.spark.sql.Row] => DataFrame,
+      stateDir: String, appId: String = "",
       progress: Option[(String, String)] = None): Unit =
     foldOnce(spark, batch, batchId, stateDir, appId, progress)(
-      cur => IncrementalAgg.applyChangesMulti(cur, grp, valCols, batch,
-        base()))
+      cur => IncrementalAgg.applyChangesMultiPruned(cur, grp, valCols,
+        batch, baseFor))
 
   /** The exactly-once version machinery shared by the single- and
     * multi-measure folds: lineage fence, batch-id marker, version dir

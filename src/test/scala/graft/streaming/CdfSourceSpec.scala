@@ -309,4 +309,32 @@ class CdfSourceSpec extends SparkSpec {
       (1L, 1.0, 1L, "update_preimage"),
       (1L, 7.0, 2L, "update_postimage")))
   }
+
+  test("a TORN _cdfmeta file (crash between create and close) heals on " +
+      "the retried poll instead of being skipped forever (ADVICE r16)") {
+    val w = work("graft_cdfs7")
+    val tbl = s"$w/tbl"; val feed = s"$w/feed"
+    Upsert.mergeIntoManifested(spark, tbl,
+      rows((1, "a", 1.0, 1)), keys, "part", "ver", retain = 8)
+    Upsert.renameManifestedColumn(spark, tbl, "v", "w", retain = 8)
+    Upsert.mergeIntoManifested(spark, tbl,
+      Seq((1L, "a", 2.0, 2L)).toDF("k", "part", "w", "ver"),
+      keys, "part", "ver", retain = 8)
+    // plant the crash artifact: an EMPTY meta file for the rename's
+    // epoch — the pre-fix exists-guard would skip it on the retry,
+    // permanently losing the rename from the feed's lineage projection
+    val fp = new org.apache.hadoop.fs.Path(feed)
+    val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(fp)
+    fs.create(new org.apache.hadoop.fs.Path(fp, "_cdfmeta_1"), true)
+      .close()
+    assert(CdfSource.pollOnce(spark, tbl, keys, feed).contains((0L, 2L)))
+    val evs = CdfSource.feedEvents(spark, feed)
+    assert(evs.exists { case (e, kind, a, b) =>
+      e == 1L && kind == "rename" && a.equalsIgnoreCase("v") &&
+        b.equalsIgnoreCase("w")
+    }, s"torn meta was not rewritten: $evs")
+    // and no .tmp staging leftovers linger beside the feed
+    assert(!fs.listStatus(fp).exists(_.getPath.getName.endsWith(".tmp")))
+  }
 }

@@ -169,6 +169,21 @@ class MvSinkSpec extends SparkSpec {
     assert(MvSink.lineageId(spark, s"$w/ckpt2") != id1)
   }
 
+  test("a BLANK checkpoint identity file (crash between create and " +
+      "write) re-mints instead of silently disabling the lineage fence " +
+      "(ADVICE r16)") {
+    val w = java.nio.file.Files.createTempDirectory("graft_mvb").toString
+    val ck = s"$w/ckpt"
+    val p = new org.apache.hadoop.fs.Path(ck, "_graft_mv_app")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(ck))
+    fs.create(p, true).close() // the torn artifact: zero bytes
+    val id = MvSink.lineageId(spark, ck)
+    assert(id.nonEmpty, "blank identity file was honored as a lineage id")
+    // healed durably: the re-minted id reads back stable
+    assert(MvSink.lineageId(spark, ck) == id)
+  }
+
   test("tailing an unseeded state refuses loudly") {
     val w = java.nio.file.Files.createTempDirectory("graft_mvu").toString
     val batch = Seq(("a", 1L, 1.0, "insert"))
