@@ -1974,8 +1974,16 @@ object SparkEntry {
           .select(col("o_orderstatus"), col("o_orderkey")),
         keys, "o_orderstatus", retain = 4)
       val feed = operators.Upsert.changesBetween(s, base, 0, 2, keys)
-      val st1 = operators.IncrementalAgg.applyChangesMulti(st0, grp,
-        cols, feed, operators.Upsert.readManifested(s, base))
+      // dirty-PARTITION-bounded repair (VERDICT r16 #1): the group key
+      // IS the partition column, so the dirty tuples select exactly
+      // the manifest entries the repair needs — the driver-side
+      // listing no longer grows with the table's total partition count
+      val st1 = operators.IncrementalAgg.applyChangesMultiPruned(st0,
+        grp, cols, feed,
+        rows =>
+          if (rows.isEmpty) operators.Upsert.readManifested(s, base)
+          else operators.Upsert.readManifestedPartitions(s, base,
+            rows.map(_.get(0).toString).distinct))
       operators.IncrementalAgg.reportMulti(st1, grp, cols)
         .select(col("o_orderstatus"), col("n"),
           round(col("total_o_totalprice"), 4).as("total_price"),
@@ -2917,9 +2925,16 @@ object SparkEntry {
           .select(col("o_orderstatus"), col("o_orderkey")),
         keys, "o_orderstatus", retain = 4)
       graft.streaming.CdfSource.pollOnce(s, tbl, keys, feed)
-      val q = graft.streaming.MvSink.startMulti(
+      // dirty-partition-bounded repair reader (VERDICT r16 #1): the
+      // group key is the partition column, so the mid-stream extremum
+      // repair lists only the dirty partitions' manifest entries
+      val q = graft.streaming.MvSink.startMultiPruned(
         graft.streaming.CdfSource.feedStream(s, tbl, keys, feed),
-        grp, cols, () => operators.Upsert.readManifested(s, tbl),
+        grp, cols,
+        rows =>
+          if (rows.isEmpty) operators.Upsert.readManifested(s, tbl)
+          else operators.Upsert.readManifestedPartitions(s, tbl,
+            rows.map(_.get(0).toString).distinct),
         st, s"$work/ckpt")
       if (!q.awaitTermination(300000L)) {
         q.stop()
@@ -5027,6 +5042,140 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    "x_sim_ivf_update" -> ((s, dir) => {
+      // IN-PLACE VECTOR UPDATE THROUGH THE FEED (VERDICT r16 #3): the
+      // mutation wave OVERLAPS existing keys — a key-overlap merge on
+      // the vector table, so the feed carries update pre/post images,
+      // and the consumer routes the post-images through
+      // IvfIndex.update: retire + purge + replace under ONE
+      // interval-salted token (redelivery no-ops — re-running this
+      // gate re-applies the whole pipeline as no-ops). Probe == brute
+      // force over the FINAL table: a survived old vector (missed
+      // retirement), a lost new one (purge ate the append), or a
+      // double-apply all hash-mismatch.
+      val base = s"${artifactBase(dir)}/ivf_upd_tbl"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val tbl = s"$base/tbl"; val feedDir = s"$base/feed"
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val keys = Seq("pb", "vec_id")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("pb", (col("vec_id") % 8).cast("long"))
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding")))
+          .withColumn("ver", lit(1L)),
+        keys, "pb", "ver", retain = 4)
+      val idx = ivfTaggedFor(s, dir, "upd",
+        operators.Upsert.readManifestedAt(s, tbl, 0))
+      // wave 1: UPDATE merge — the %5 keys' vectors negated IN PLACE
+      // (same ids, higher version wins), the key-overlap case the
+      // r16 gate deliberately avoided
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") % 5 === 0 && col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+          .withColumn("ver", lit(2L)), keys, "pb", "ver", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      // wave 2: DELETE the %7 ids (including updated %35 keys — the
+      // tombstone must mask the REPLACED vector, not the retired one)
+      operators.Upsert.deleteKeysFromManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") % 7 === 0 && col("vec_id") =!= 0))
+          .select(col("pb"), col("vec_id")), keys, "pb", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      // the consumer: walk the committed feed interval-by-interval in
+      // epoch order, routing each change set through the index's own
+      // exactly-once op — updates via the single-token update path
+      val feed = operators.StagedCommit.readCommitted(s, feedDir)
+        .persist()
+      try {
+        feed.select(col("_from_epoch"), col("_to_epoch")).distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          .foreach { case (a, b) =>
+            val iv = feed.filter(col("_from_epoch") === a &&
+              col("_to_epoch") === b)
+            val upd = iv
+              .filter(col("_change_type") === "update_postimage")
+              .select(col("vec_id"), col("embedding"))
+            if (!upd.isEmpty)
+              idx.update(upd, "vec_id", "embedding", s"cdf_${a}_$b")
+            val ins = iv.filter(col("_change_type") === "insert")
+              .select(col("vec_id"), col("embedding"))
+            if (!ins.isEmpty) idx.append(ins, "vec_id", "embedding")
+            val del = iv.filter(col("_change_type") === "delete")
+              .select(col("vec_id"))
+            if (!del.isEmpty) idx.delete(del, "vec_id")
+          }
+      } finally feed.unpersist()
+      idx.search("vec_id", "embedding", q, k = 10, nprobe = IvfK)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    "x_stream_ivf_cdc" -> ((s, dir) => {
+      // LIVE STREAMING INDEX MAINTENANCE (VERDICT r16 #2): the ANN
+      // index joins the aggregate MV's tier — a REAL Structured
+      // Streaming consumer (IndexSink.startIvf over
+      // CdfSource.feedStream) tails the table's feed into the index,
+      // batch-id-fenced and lineage-fenced like MvSink, with all three
+      // change routes exercised live: an insert wave (disjoint negated
+      // twins), an in-place update wave (%3 vectors negated, key
+      // overlap → IvfIndex.update mid-stream), and a delete wave.
+      // Probe == brute force over the FINAL table.
+      val base = s"${artifactBase(dir)}/ivf_stream_tbl"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val tbl = s"$base/tbl"; val feedDir = s"$base/feed"
+      // the checkpoint LIVES WITH the index artifact, not in a temp
+      // dir: the lineage fence binds the index to its checkpoint, so a
+      // re-run must resume the same lineage (and the re-created feed's
+      // deterministic file names read as already-seen — the whole
+      // pipeline re-runs as a no-op, like every _cdc gate)
+      val ckpt = s"${artifactBase(dir)}/ivf_stream_ckpt"
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val keys = Seq("pb", "vec_id")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("pb", (col("vec_id") % 8).cast("long"))
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding")))
+          .withColumn("ver", lit(1L)),
+        keys, "pb", "ver", retain = 4)
+      val idx = ivfTaggedFor(s, dir, "stream",
+        operators.Upsert.readManifestedAt(s, tbl, 0))
+      // wave 1: INSERT — negated twins of the %5 vectors at +1000000
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") % 5 === 0 && col("vec_id") =!= 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+          .withColumn("ver", lit(1L)), keys, "pb", "ver", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      // wave 2: UPDATE in place — the %3 originals' vectors negated
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") % 3 === 0 && col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+          .withColumn("ver", lit(2L)), keys, "pb", "ver", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      // wave 3: DELETE the %7 originals
+      operators.Upsert.deleteKeysFromManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") % 7 === 0 && col("vec_id") =!= 0))
+          .select(col("pb"), col("vec_id")), keys, "pb", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      // the LIVE consumer drains every committed interval
+      val sq = graft.streaming.IndexSink.startIvf(
+        graft.streaming.CdfSource.feedStream(s, tbl, keys, feedDir),
+        idx, "vec_id", "embedding", ckpt)
+      if (!sq.awaitTermination(300000L)) {
+        sq.stop()
+        throw new IllegalStateException(
+          "x_stream_ivf_cdc: index stream did not drain within 300s")
+      }
+      idx.search("vec_id", "embedding", q, k = 10, nprobe = IvfK)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     "x_sim_filtered" -> ((s, dir) => {
       // FILTERED ANN (the "similar AND attribute" production shape):
       // the predicate evaluates against the rows the index stores and
@@ -5303,7 +5452,7 @@ object SparkEntry {
     pqBuilt.clear(); ivfpqBuilt.clear()
     lshBuilt.clear(); bqBuilt.clear()
     bqDelBuilt.clear(); lshDelBuilt.clear()
-    ivfCdcBuilt.clear(); lshCdcBuilt.clear()
+    ivfCdcBuilt.clear(); lshCdcBuilt.clear(); ivfTaggedBuilt.clear()
   }
 
   /** CDC-maintained IVF index for the x_sim_ivf_cdc gate — its OWN
@@ -5319,6 +5468,24 @@ object SparkEntry {
     ivfCdcBuilt.getOrElseUpdate(dir, {
       val idx = new operators.IvfIndex(s,
         s"${artifactBase(dir)}/ivf_cdc_k$IvfK")
+      if (idx.epoch().isEmpty)
+        idx.build(snapshot, "vec_id", "embedding", k = IvfK,
+          iters = IvfIters, trainSample = IvfTrain)
+      idx
+    })
+
+  /** Same contract as [[ivfCdcFor]], one index dir per gate: the
+    * in-place-update gate (`tag = "upd"`) and the live-streaming gate
+    * (`tag = "stream"`) mutate their indexes through different change
+    * histories, so they must never share an artifact. */
+  private val ivfTaggedBuilt =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      operators.IvfIndex]
+  private def ivfTaggedFor(s: SparkSession, dir: String, tag: String,
+                           snapshot: => DataFrame): operators.IvfIndex =
+    ivfTaggedBuilt.getOrElseUpdate((dir, tag), {
+      val idx = new operators.IvfIndex(s,
+        s"${artifactBase(dir)}/ivf_${tag}_k$IvfK")
       if (idx.epoch().isEmpty)
         idx.build(snapshot, "vec_id", "embedding", k = IvfK,
           iters = IvfIters, trainSample = IvfTrain)
@@ -10159,6 +10326,61 @@ object SparkEntry {
                     FROM embeddings WHERE vec_id = 0),
               fin AS (
                 SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id <> 0 AND vec_id % 7 <> 0
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_transform(embedding, x -> -x)
+                FROM embeddings WHERE vec_id % 5 = 0 AND vec_id <> 0),
+              e AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM fin),
+              s AS (SELECT e.vec_id,
+                           round(sum(e.x * q.qx) /
+                             (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+                    FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
+         SELECT vec_id, score FROM s
+         ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // in-place update through the feed: the %5 vectors are REPLACED
+    // (negated) under their own ids, then the %7 ids (including
+    // updated ones) deleted — the index must serve exactly the final
+    // table, old vectors fully retired
+    "x_sim_ivf_update" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+              fin AS (
+                SELECT vec_id,
+                       CASE WHEN vec_id % 5 = 0
+                            THEN list_transform(embedding, x -> -x)
+                            ELSE embedding END AS embedding
+                FROM embeddings
+                WHERE vec_id <> 0 AND vec_id % 7 <> 0),
+              e AS (SELECT vec_id,
+                           CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM fin),
+              s AS (SELECT e.vec_id,
+                           round(sum(e.x * q.qx) /
+                             (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+                    FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
+         SELECT vec_id, score FROM s
+         ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // live-stream-maintained index == brute force over the final
+    // table: %3 originals updated in place (negated), %7 originals
+    // deleted, negated %5 twins inserted at +1000000
+    "x_stream_ivf_cdc" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+              fin AS (
+                SELECT vec_id,
+                       CASE WHEN vec_id % 3 = 0
+                            THEN list_transform(embedding, x -> -x)
+                            ELSE embedding END AS embedding
+                FROM embeddings
                 WHERE vec_id <> 0 AND vec_id % 7 <> 0
                 UNION ALL
                 SELECT vec_id + 1000000,

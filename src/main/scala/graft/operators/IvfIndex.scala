@@ -94,7 +94,7 @@ private[operators] object IndexEpoch {
   * hash-smallest rows; ties in argmin break to the lower cell id
   * (struct ordering compares dist, then cell).
   */
-final class IvfIndex(spark: SparkSession, basePath: String) {
+final class IvfIndex(spark: SparkSession, val basePath: String) {
 
   private def cellsPath = s"$basePath/ivf_cells"
   private def centroidsPath = s"$basePath/ivf_centroids"
@@ -254,6 +254,12 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
   private def tombstoneFrame(): Option[DataFrame] =
     StagedCommit.readTombstones(spark, tombstonesPath)
 
+  /** The committed-but-not-yet-purged tombstoned ids, or None — lets a
+    * feed consumer decide whether a batch's inserts would be masked by
+    * a PREVIOUS batch's delete of the same keys (delete-then-reinsert
+    * across batches) and purge first ([[graft.streaming.IndexSink]]). */
+  def pendingTombstones(): Option[DataFrame] = tombstoneFrame()
+
   /** TOMBSTONE DELETE — the right-to-be-forgotten path: record the ids
     * as an exactly-once delta under `ivf_tombstones` (content-derived
     * token, so a redelivered id set no-ops — returns false). No data
@@ -341,6 +347,62 @@ final class IvfIndex(spark: SparkSession, basePath: String) {
     StagedCommit.appendOnce(cellsPath, token, Seq("cell"),
       assignedFrame(emb, idCol, vecCol, storedCentroids()))
     IndexEpoch.write(spark, epochPath, e.copy(mods = e.mods + 1))
+  }
+
+  /** IN-PLACE VECTOR UPDATE (VERDICT r16 #3): retire the keys' current
+    * rows and file their new vectors, packaged as ONE crash-convergent,
+    * redelivery-idempotent operation — the documented
+    * delete → purge → append maintenance path under a single
+    * content-derived token. Returns true when the update applied,
+    * false for a recognized redelivery.
+    *
+    * Why the purge must sit in the middle: tombstones are ID-keyed, so
+    * a bare delete+append would mask the NEW rows exactly like the old
+    * ones — the retired rows have to be physically gone and the
+    * tombstones cleared before the replacement vectors land.
+    *
+    * Replay protocol (the fence is the APPEND token, checked first):
+    * the append is the last mutating step, so its committed marker
+    * proves the whole retirement half already ran — a redelivered
+    * update skips straight past the tombstone step. Without that check
+    * the retry would re-tombstone ids whose only remaining rows are
+    * the new vectors it itself appended, and the next purge would
+    * silently destroy them while the content-keyed re-append no-ops.
+    * Crash anywhere earlier converges: a landed-but-unpurged tombstone
+    * re-no-ops by content token; a purged-but-unappended retry
+    * re-tombstones ids whose rows are already gone (masks nothing) and
+    * purges that to a no-op. The SQ wipe and mods bump run
+    * UNCONDITIONALLY, exactly like [[append]] — over-invalidation is
+    * the safe direction for derived artifacts.
+    *
+    * `salt` separates two DIFFERENT updates carrying identical content
+    * (set-back-to-original) from a redelivery of the SAME update: pass
+    * the feed's interval token when driving this from a CDF feed
+    * ([[graft.streaming.IndexSink]] does); leave empty for ad-hoc
+    * calls where content idempotence is the wanted contract.
+    *
+    * Note [[purgeDeletes]] applies ALL pending tombstones, not only
+    * this update's — always-safe (purge never changes the served
+    * view), just possibly more cell rewrites than this batch alone. */
+  def update(emb: DataFrame, idCol: String, vecCol: String,
+             salt: String = ""): Boolean = {
+    epoch().getOrElse(
+      throw new IllegalStateException(s"no complete IVF index at $basePath"))
+    if (emb.isEmpty) return false
+    val token =
+      (if (salt.isEmpty) "upd" else s"upd_$salt") + "_" +
+        StagedCommit.idToken(emb, idCol, vecCol)
+    val fresh = !StagedCommit.hasDelta(spark, cellsPath, token)
+    if (fresh) {
+      delete(emb.select(col(idCol)), idCol)
+      purgeDeletes(idCol)
+    }
+    invalidateSq()
+    val applied = StagedCommit.appendOnce(cellsPath, token, Seq("cell"),
+      assignedFrame(emb, idCol, vecCol, storedCentroids()))
+    val e = epoch().get
+    IndexEpoch.write(spark, epochPath, e.copy(mods = e.mods + 1))
+    applied
   }
 
   private def storedCentroids(): Seq[(Int, Seq[Double])] =

@@ -1,0 +1,236 @@
+package graft.streaming
+
+import graft.operators.IvfIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** LIVE STREAMING INDEX MAINTENANCE (VERDICT r16 #2): tail a table's
+  * CDF feed stream ([[CdfSource.feedStream]]) into a persistent
+  * retrieval index, so the index is a continuously-maintained
+  * materialized view of the table — the r16 `_cdc` gates' batch
+  * pollOnce+apply shape promoted to a real Structured Streaming
+  * consumer, the same tier [[MvSink]] gives the aggregate MV.
+  *
+  * Exactly-once has two layers here:
+  *
+  *   1. The index ops are already idempotent per change set — appends
+  *      and tombstones commit under content-derived tokens
+  *      ([[graft.operators.StagedCommit]]), and in-place updates under
+  *      a salted token keyed to the feed interval
+  *      ([[IvfIndex.update]]) — so a replayed micro-batch (foreachBatch
+  *      is at-least-once) re-applies as no-ops file-level.
+  *   2. The [[MvSink]]-style batch-id marker + checkpoint-lineage fence
+  *      on top (`_idxfeed_b<id>` / `_idxfeed_app` beside the index).
+  *      The fence is LOAD-BEARING, not redundant with (1): update's
+  *      purge CLEARS tombstone markers, so a FRESH checkpoint replaying
+  *      the feed from its beginning could re-land an old interval's
+  *      delete whose marker was purged away — masking a key a later
+  *      interval legitimately re-inserted. Content idempotence cannot
+  *      see across a purge; the lineage fence refuses the whole replay
+  *      instead (rebuild the index, or restore the checkpoint — the
+  *      same recovery contract as the aggregate MV).
+  *
+  * Within one micro-batch the feed may coalesce SEVERAL intervals, and
+  * one key can change in more than one of them (insert then delete,
+  * update then update, delete then re-insert). The apply therefore
+  * NETS the batch per key before touching the index — applying
+  * intervals one-by-one would be both wasteful (intermediate versions
+  * filed then retired) and REPLAY-FRAGILE: a mid-batch purge clears
+  * tombstone markers, so a replayed earlier interval's delete could
+  * re-land and mask a later interval's legitimate row. The netting
+  * (routing depends ONLY on batch content, so a replay routes
+  * identically):
+  *
+  *   - final change `delete` → [[IvfIndex.delete]] (tombstone). Any
+  *     earlier adds of the key in the batch are simply never applied.
+  *   - final change `insert`/`update_postimage`, key ABSENT at batch
+  *     start (its first batch change is `insert` — the CDF contract:
+  *     insert means the key was new to the table at that interval) →
+  *     [[IvfIndex.append]] of the final vector; there is no old row to
+  *     retire, whatever churn the batch's middle held.
+  *   - final change `insert`/`update_postimage`, key PRESENT at batch
+  *     start → [[IvfIndex.update]] of the final vector (retire +
+  *     purge + replace under one batch-span-salted token).
+  *
+  * The delete set and the add sets are disjoint by construction, which
+  * is what makes a replayed tombstone harmless: it can only re-mask
+  * keys whose rows are already physically gone. One cross-BATCH seam
+  * remains — a pending tombstone from a previous delete-only batch
+  * would mask this batch's re-insert of the same key — closed by a
+  * purge-at-start when the pending set intersects the append keys
+  * (purge is always-safe maintenance: it never changes the served
+  * view, so the state-dependent trigger cannot break replay).
+  * Pre-images carry no work for an index that stores only the current
+  * vector per key.
+  *
+  * 100 TB shape: per batch the work is bounded by the CHANGE volume —
+  * appends assign only the delta against the broadcast centroids and
+  * write only its cells' partitions; updates rewrite only the cells
+  * holding a retired row; tombstones are metadata-sized. The index's
+  * total size never enters a batch except through the purge's
+  * affected-cell probe. */
+object IndexSink {
+
+  private val BatchMarker = "_idxfeed_b(\\d+)".r
+
+  /** Highest feed batch id applied to the index at `fenceDir` (None =
+    * never feed-maintained) — [[MvSink.lastAppliedBatch]]'s sibling. */
+  def lastAppliedBatch(spark: SparkSession,
+                       fenceDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(fenceDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val ids = fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case BatchMarker(n) => n.toLong
+    }
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Tail a CDF feed stream into an IVF index. `progress` — optional
+    * `(feedDir, consumerId)` — publishes the batch's max `_to_epoch`
+    * after the batch marker lands, registering this consumer with
+    * [[CdfSource.pruneFeed]]'s retention clamp exactly like the MV
+    * sink. */
+  def startIvf(feed: DataFrame, idx: IvfIndex, idCol: String,
+               vecCol: String, checkpointDir: String,
+               trigger: Trigger = Trigger.AvailableNow(),
+               progress: Option[(String, String)] = None): StreamingQuery = {
+    val spark = feed.sparkSession
+    val app = MvSink.lineageId(spark, checkpointDir)
+    feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIvfBatch(spark, batch, batchId, idx, idCol, vecCol, app,
+          progress)
+      }
+      .start()
+  }
+
+  /** One feed micro-batch into the index, exactly once per id within
+    * one checkpoint lineage. Public for spec-level chaos; `appId = ""`
+    * skips the lineage fence for direct batch callers who own their
+    * own replay semantics (the ops' content tokens still apply). */
+  private[streaming] def applyIvfBatch(spark: SparkSession,
+      batch: DataFrame, batchId: Long, idx: IvfIndex, idCol: String,
+      vecCol: String, appId: String = "",
+      progress: Option[(String, String)] = None): Unit = {
+    val fenceDir = idx.basePath
+    val p = new org.apache.hadoop.fs.Path(fenceDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (appId.nonEmpty) fenceLineage(spark, fenceDir, appId)
+    def publishProgress(): Unit =
+      progress.foreach { case (feedDir, consumerId) =>
+        if (batch.columns.contains("_to_epoch")) {
+          val r = batch.agg(max(col("_to_epoch"))).head()
+          if (!r.isNullAt(0))
+            CdfSource.publishProgress(spark, feedDir, consumerId,
+              r.getLong(0))
+        }
+      }
+    val marker = new org.apache.hadoop.fs.Path(p, s"_idxfeed_b$batchId")
+    if (fs.exists(marker)) { publishProgress(); return }
+    if (batch.isEmpty) return
+    batch.persist()
+    try {
+      // net the batch per key (see object doc): every decision below
+      // derives from batch CONTENT alone, so a replay routes the same
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(idCol))
+      val ann = batch
+        .withColumn("_maxe", max(col("_to_epoch")).over(w))
+        .withColumn("_mine", min(col("_to_epoch")).over(w))
+      val annF = ann.withColumn("_first_ins",
+        max(when(col("_change_type") === "insert" &&
+          col("_to_epoch") === col("_mine"), 1).otherwise(0)).over(w))
+      val lastRows = annF.filter(col("_to_epoch") === col("_maxe"))
+      val dels = lastRows.filter(col("_change_type") === "delete")
+        .select(col(idCol))
+      val adds = lastRows.filter(
+        col("_change_type").isin("insert", "update_postimage"))
+      val appends = adds.filter(col("_first_ins") === 1)
+        .select(col(idCol), col(vecCol))
+      val updates = adds.filter(col("_first_ins") === 0)
+        .select(col(idCol), col(vecCol))
+      // cross-batch seam: a previous delete-only batch's pending
+      // tombstones would mask a re-inserted key — purge them away
+      // first (always-safe, whatever the replay state)
+      if (!appends.isEmpty)
+        idx.pendingTombstones().foreach { t =>
+          if (!appends.join(t, appends(idCol) === t(t.columns.head),
+              "left_semi").isEmpty)
+            idx.purgeDeletes(idCol)
+        }
+      if (!dels.isEmpty) idx.delete(dels, idCol)
+      if (!updates.isEmpty) {
+        // batch-span salt: deterministic per content, distinct per
+        // feed position — two different batches that happen to carry
+        // identical update content still apply independently
+        val span = batch.agg(min(col("_from_epoch")),
+          max(col("_to_epoch"))).head()
+        idx.update(updates, idCol, vecCol,
+          s"cdf_${span.getLong(0)}_${span.getLong(1)}")
+      }
+      // appends go LAST: the update's purge above physically applied
+      // this batch's delete tombstones too, so nothing it does can
+      // touch rows appended after it
+      if (!appends.isEmpty) idx.append(appends, idCol, vecCol)
+    } finally batch.unpersist()
+    // every interval's ops are durably committed — the batch marker
+    // certifies the whole batch so a replay skips even the interval
+    // walk, then the feed may learn this consumer's progress
+    fs.create(marker, true).close()
+    publishProgress()
+    // bounded marker history, same retention shape as MvSink: old ids
+    // never replay (Structured Streaming replays only the last
+    // uncommitted batch within a lineage)
+    val ids = fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case BatchMarker(n) => n.toLong
+    }.sorted
+    ids.dropRight(2).foreach { old =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"_idxfeed_b$old"), false)
+    }
+  }
+
+  /** The checkpoint-lineage fence, verbatim MvSink semantics: an index
+    * that already applied feed batches under one lineage refuses a
+    * different one (a fresh checkpoint replays the feed from its
+    * beginning — see the purge hazard in the object doc); an index with
+    * no applied batches adopts the caller's lineage. */
+  private def fenceLineage(spark: SparkSession, fenceDir: String,
+      appId: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(fenceDir, "_idxfeed_app")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recorded: Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        if (s.isEmpty) None else Some(s)
+      }
+    if (recorded.contains(appId)) return
+    val applied = fs.exists(new org.apache.hadoop.fs.Path(fenceDir)) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(fenceDir))
+        .exists(st => BatchMarker.pattern
+          .matcher(st.getPath.getName).matches())
+    if (applied)
+      throw new IllegalStateException(
+        s"index at $fenceDir was feed-maintained under checkpoint " +
+          s"lineage ${recorded.getOrElse("<unrecorded>")}, not $appId — " +
+          "a fresh or lost checkpoint replays the feed from its " +
+          "beginning, and a replayed delete whose tombstone marker a " +
+          "later update purged could mask a legitimately re-inserted " +
+          "key. Rebuild the index from the table, or restore the " +
+          "original checkpoint dir.")
+    val tmp = new org.apache.hadoop.fs.Path(fenceDir, "_idxfeed_app.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(appId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p) && !fs.exists(p))
+      throw new IllegalStateException(
+        s"could not persist index feed lineage under $fenceDir")
+  }
+}
