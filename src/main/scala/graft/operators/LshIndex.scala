@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * share the query's bucket in several tables) and exact-cosine
   * re-ranked, so the index affects recall only, never precision.
   */
-final class LshIndex(spark: SparkSession, basePath: String, dim: Int,
+final class LshIndex(spark: SparkSession, val basePath: String, dim: Int,
                      numTables: Int = 4, bitsPerTable: Int = 8,
                      seed: Long = 42L) {
 
@@ -145,6 +145,40 @@ final class LshIndex(spark: SparkSession, basePath: String, dim: Int,
     val changed = StagedCommit.tombstoneOnce(tombstonesPath, ids, idCol)
     if (changed) invalidate()
     changed
+  }
+
+  /** The committed-but-not-yet-purged tombstoned ids, or None — the
+    * [[IvfIndex.pendingTombstones]] twin, for the streaming consumer's
+    * delete-then-reinsert seam. */
+  def pendingTombstones(): Option[DataFrame] =
+    StagedCommit.readTombstones(spark, tombstonesPath)
+
+  /** IN-PLACE VECTOR UPDATE — [[IvfIndex.update]]'s forest twin, same
+    * token protocol verbatim: the APPEND token (salted, content-
+    * derived) is the redelivery fence, checked FIRST, so a replayed
+    * update never re-tombstones the rows it itself appended; a fresh
+    * update tombstones the ids (masking all `numTables` copies at
+    * once), physically purges them (id-keyed tombstones cannot tell
+    * old copies from new — the purge must clear before the
+    * replacements land), then appends the new vectors into their
+    * bucket partitions. Crash-convergent at every seam for the same
+    * reasons as the IVF op; `purgeDeletes` applies ALL pending
+    * tombstones, which is always safe. */
+  def update(emb: DataFrame, idCol: String, vecCol: String,
+             salt: String = ""): Boolean = {
+    if (emb.isEmpty) return false
+    val token =
+      (if (salt.isEmpty) "upd" else s"upd_$salt") + "_" +
+        StagedCommit.idToken(emb, idCol, vecCol)
+    val fresh = !StagedCommit.hasDelta(spark, rowsPath, token)
+    if (fresh) {
+      delete(emb.select(col(idCol)), idCol)
+      purgeDeletes(idCol)
+    }
+    val applied = StagedCommit.appendOnce(rowsPath, token,
+      Seq("tbl", "bucket"), bucketed(emb, idCol, vecCol))
+    invalidate()
+    applied
   }
 
   /** Physically apply the tombstones: rewrite ONLY the (tbl, bucket)

@@ -7,10 +7,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** LIVE STREAMING INDEX MAINTENANCE (VERDICT r16 #2): tail a table's
   * CDF feed stream ([[CdfSource.feedStream]]) into a persistent
-  * retrieval index, so the index is a continuously-maintained
-  * materialized view of the table — the r16 `_cdc` gates' batch
-  * pollOnce+apply shape promoted to a real Structured Streaming
-  * consumer, the same tier [[MvSink]] gives the aggregate MV.
+  * retrieval index — IVF cells ([[startIvf]]) or the LSH forest
+  * ([[startLsh]]), which expose the same exactly-once op surface — so
+  * the index is a continuously-maintained materialized view of the
+  * table: the r16 `_cdc` gates' batch pollOnce+apply shape promoted
+  * to a real Structured Streaming consumer, the same tier [[MvSink]]
+  * gives the aggregate MV.
   *
   * Exactly-once has two layers here:
   *
@@ -87,6 +89,35 @@ object IndexSink {
     if (ids.isEmpty) None else Some(ids.max)
   }
 
+  /** The index-op surface the netted apply drives — both persistent
+    * ANN families expose the same exactly-once primitives, so the
+    * consumer is one body with two adapters. */
+  private final case class IndexOps(
+      fenceDir: String,
+      append: DataFrame => Unit,
+      update: (DataFrame, String) => Unit,
+      delete: DataFrame => Unit,
+      pendingTombstones: () => Option[DataFrame],
+      purge: () => Unit)
+
+  private def ivfOps(idx: IvfIndex, idCol: String,
+                     vecCol: String): IndexOps =
+    IndexOps(idx.basePath,
+      df => idx.append(df, idCol, vecCol),
+      (df, salt) => { idx.update(df, idCol, vecCol, salt); () },
+      df => { idx.delete(df, idCol); () },
+      () => idx.pendingTombstones(),
+      () => { idx.purgeDeletes(idCol); () })
+
+  private def lshOps(idx: graft.operators.LshIndex, idCol: String,
+                     vecCol: String): IndexOps =
+    IndexOps(idx.basePath,
+      df => idx.append(df, idCol, vecCol),
+      (df, salt) => { idx.update(df, idCol, vecCol, salt); () },
+      df => { idx.delete(df, idCol); () },
+      () => idx.pendingTombstones(),
+      () => { idx.purgeDeletes(idCol); () })
+
   /** Tail a CDF feed stream into an IVF index. `progress` — optional
     * `(feedDir, consumerId)` — publishes the batch's max `_to_epoch`
     * after the batch marker lands, registering this consumer with
@@ -95,28 +126,51 @@ object IndexSink {
   def startIvf(feed: DataFrame, idx: IvfIndex, idCol: String,
                vecCol: String, checkpointDir: String,
                trigger: Trigger = Trigger.AvailableNow(),
-               progress: Option[(String, String)] = None): StreamingQuery = {
+               progress: Option[(String, String)] = None): StreamingQuery =
+    startOps(feed, ivfOps(idx, idCol, vecCol), idCol, vecCol,
+      checkpointDir, trigger, progress)
+
+  /** [[startIvf]]'s forest twin: tail a CDF feed stream into an LSH
+    * index — same netting, fencing, and progress contract. */
+  def startLsh(feed: DataFrame, idx: graft.operators.LshIndex,
+               idCol: String, vecCol: String, checkpointDir: String,
+               trigger: Trigger = Trigger.AvailableNow(),
+               progress: Option[(String, String)] = None): StreamingQuery =
+    startOps(feed, lshOps(idx, idCol, vecCol), idCol, vecCol,
+      checkpointDir, trigger, progress)
+
+  private def startOps(feed: DataFrame, ops: IndexOps, idCol: String,
+      vecCol: String, checkpointDir: String, trigger: Trigger,
+      progress: Option[(String, String)]): StreamingQuery = {
     val spark = feed.sparkSession
     val app = MvSink.lineageId(spark, checkpointDir)
     feed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyIvfBatch(spark, batch, batchId, idx, idCol, vecCol, app,
+        applyBatch(spark, batch, batchId, ops, idCol, vecCol, app,
           progress)
       }
       .start()
   }
 
-  /** One feed micro-batch into the index, exactly once per id within
-    * one checkpoint lineage. Public for spec-level chaos; `appId = ""`
-    * skips the lineage fence for direct batch callers who own their
-    * own replay semantics (the ops' content tokens still apply). */
+  /** Spec-level entry for the IVF family (direct batch apply —
+    * `appId = ""` skips the lineage fence for callers who own their
+    * own replay semantics; the ops' content tokens still apply). */
   private[streaming] def applyIvfBatch(spark: SparkSession,
       batch: DataFrame, batchId: Long, idx: IvfIndex, idCol: String,
       vecCol: String, appId: String = "",
-      progress: Option[(String, String)] = None): Unit = {
-    val fenceDir = idx.basePath
+      progress: Option[(String, String)] = None): Unit =
+    applyBatch(spark, batch, batchId, ivfOps(idx, idCol, vecCol),
+      idCol, vecCol, appId, progress)
+
+  /** One feed micro-batch into the index, exactly once per id within
+    * one checkpoint lineage. */
+  private def applyBatch(spark: SparkSession,
+      batch: DataFrame, batchId: Long, ops: IndexOps, idCol: String,
+      vecCol: String, appId: String,
+      progress: Option[(String, String)]): Unit = {
+    val fenceDir = ops.fenceDir
     val p = new org.apache.hadoop.fs.Path(fenceDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (appId.nonEmpty) fenceLineage(spark, fenceDir, appId)
@@ -157,25 +211,25 @@ object IndexSink {
       // tombstones would mask a re-inserted key — purge them away
       // first (always-safe, whatever the replay state)
       if (!appends.isEmpty)
-        idx.pendingTombstones().foreach { t =>
+        ops.pendingTombstones().foreach { t =>
           if (!appends.join(t, appends(idCol) === t(t.columns.head),
               "left_semi").isEmpty)
-            idx.purgeDeletes(idCol)
+            ops.purge()
         }
-      if (!dels.isEmpty) idx.delete(dels, idCol)
+      if (!dels.isEmpty) ops.delete(dels)
       if (!updates.isEmpty) {
         // batch-span salt: deterministic per content, distinct per
         // feed position — two different batches that happen to carry
         // identical update content still apply independently
         val span = batch.agg(min(col("_from_epoch")),
           max(col("_to_epoch"))).head()
-        idx.update(updates, idCol, vecCol,
+        ops.update(updates,
           s"cdf_${span.getLong(0)}_${span.getLong(1)}")
       }
       // appends go LAST: the update's purge above physically applied
       // this batch's delete tombstones too, so nothing it does can
       // touch rows appended after it
-      if (!appends.isEmpty) idx.append(appends, idCol, vecCol)
+      if (!appends.isEmpty) ops.append(appends)
     } finally batch.unpersist()
     // every interval's ops are durably committed — the batch marker
     // certifies the whole batch so a replay skips even the interval

@@ -156,4 +156,51 @@ class IndexSinkSpec extends SparkSpec {
     assert(!ids(idx.search("vec_id", "embedding",
       Seq(10.0, 0.0, 0.0, 0.0), 40, 2)).contains(201L))
   }
+
+  test("startLsh: the forest converges across insert, in-place update, " +
+      "and delete waves — every table copy replaced or retired") {
+    val w = java.nio.file.Files.createTempDirectory("graft_idxsink3")
+      .toString
+    val tbl = s"$w/tbl"; val feed = s"$w/feed"
+    Upsert.mergeIntoManifested(spark, tbl,
+      corpus.withColumn("ver", lit(1L)), keys, "pb", "ver", retain = 8)
+    val idx = new graft.operators.LshIndex(spark, s"$w/idx", dim = 4,
+      numTables = 3, bitsPerTable = 4)
+    idx.build(Upsert.readManifestedAt(spark, tbl, 0),
+      "vec_id", "embedding")
+    Upsert.mergeIntoManifested(spark, tbl,
+      Seq((101L, 1L, Array(11f, 0f, 0f, 0f)))
+        .toDF("vec_id", "pb", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>"))
+        .withColumn("ver", lit(1L)),
+      keys, "pb", "ver", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    Upsert.mergeIntoManifested(spark, tbl,
+      Seq((1L, 1L, Array(0f, 30f, 0f, 0f)))
+        .toDF("vec_id", "pb", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>"))
+        .withColumn("ver", lit(2L)),
+      keys, "pb", "ver", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    Upsert.deleteKeysFromManifested(spark, tbl,
+      Seq((2L, 2L)).toDF("vec_id", "pb").select($"pb", $"vec_id"),
+      keys, "pb", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    val q = IndexSink.startLsh(
+      CdfSource.feedStream(spark, tbl, keys, feed),
+      idx, "vec_id", "embedding", s"$w/ckpt")
+    assert(q.awaitTermination(120000L), "lsh stream did not drain")
+    val fin = Upsert.readManifested(spark, tbl)
+    // every surviving key serves exactly numTables copies; the deleted
+    // key serves none; the updated key's stored vector is the NEW one
+    // in every copy
+    assert(idx.rows().count() == fin.count() * 3)
+    assert(idx.rows().select($"vec_id").distinct().as[Long].collect()
+      .toSet == fin.select($"vec_id").as[Long].collect().toSet)
+    val stored = idx.rows().filter($"vec_id" === 1L)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]]
+      .collect()
+    assert(stored.length == 3 &&
+      stored.forall(_ == Seq(0.0, 30.0, 0.0, 0.0)), stored.toString)
+  }
 }
