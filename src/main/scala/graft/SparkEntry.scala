@@ -4755,6 +4755,64 @@ object SparkEntry {
       TextIndex.bm25TopK(p, st, Seq("batch", "join"), k = 10)
     }),
 
+    "x_stream_bm25_cdc" -> ((s, dir) => {
+      // BM25 JOINS THE LIVE STREAMING TIER (completing VERDICT r16 #2
+      // across the index families): a REAL streaming consumer
+      // (IndexSink.startBm25) tails the documents table's feed into
+      // the scored-postings index with all three routes exercised —
+      // an insert wave (copies of the %9 docs at +1000000), an
+      // IN-PLACE TEXT EDIT wave (%7 docs re-indexed through
+      // updateScoredPostings: tombstone + physical purge + salted
+      // re-append, the op this round adds), and a delete wave (%5).
+      // Ranked retrieval == from-scratch BM25 over the FINAL table:
+      // a survived old posting (missed purge), a lost re-index, a
+      // double-subtracted stats row, or a resurrected delete all
+      // hash-mismatch.
+      val base = s"${artifactBase(dir)}/bm25_stream_tbl"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val tbl = s"$base/tbl"; val feedDir = s"$base/feed"
+      val idxBase = s"${artifactBase(dir)}/streambm25"
+      // checkpoint lives WITH the index artifact (lineage fence binds
+      // them; re-runs resume the lineage and every op no-ops)
+      val ckpt = s"${artifactBase(dir)}/bm25_stream_ckpt"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val keys = Seq("pd", "doc_id")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("pd", (col("doc_id") % 8).cast("long"))
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(docs).withColumn("ver", lit(1L)), keys, "pd", "ver",
+        retain = 4)
+      TextIndex.buildScoredPostings(
+        operators.Upsert.readManifestedAt(s, tbl, 0), "doc_id", "text",
+        idxBase)
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .withColumn("ver", lit(1L)), keys, "pd", "ver", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" join batch join")).as("text")))
+          .withColumn("ver", lit(2L)), keys, "pd", "ver", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      operators.Upsert.deleteKeysFromManifested(s, tbl,
+        shaped(docs.filter(col("doc_id") % 5 === 0))
+          .select(col("pd"), col("doc_id")), keys, "pd", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      val sq = graft.streaming.IndexSink.startBm25(
+        graft.streaming.CdfSource.feedStream(s, tbl, keys, feedDir),
+        idxBase, "doc_id", "text", ckpt)
+      if (!sq.awaitTermination(300000L)) {
+        sq.stop()
+        throw new IllegalStateException(
+          "x_stream_bm25_cdc: bm25 stream did not drain within 300s")
+      }
+      val (p, st) = TextIndex.scoredPostingsReaders(s, idxBase)
+      TextIndex.bm25TopK(p, st, Seq("batch", "join"), k = 10)
+    }),
+
     "x_text_scrub" -> ((s, dir) =>
       // PII redaction (emails / IPv4 / phone numbers -> typed tokens).
       // The corpus carries no PII, so the gate plants a deterministic
@@ -10239,6 +10297,48 @@ object SparkEntry {
     // touches them)
     "x_text_bm25_cdc" ->
       """WITH fin AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id % 5 <> 0
+                      UNION ALL
+                      SELECT doc_id + 1000000, text FROM documents
+                      WHERE doc_id % 9 = 0),
+           tok AS (SELECT doc_id,
+                          unnest(string_split(text, ' ')) AS term
+                   FROM fin),
+           dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                  FROM tok GROUP BY 1),
+           st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+           tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                  FROM tok WHERE term IN ('batch', 'join')
+                  GROUP BY 1, 2),
+           dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+           sc AS (SELECT tf.doc_id, tf.term,
+                         ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                            / (df + 0.5) + 1.0)
+                         * (tf * 2.2)
+                         / (tf + 1.2 * (0.25 + CAST(dl.dl AS DOUBLE)
+                            * 0.75 / (CAST(total_dl AS DOUBLE) / n_docs)))
+                           AS score
+                  FROM tf JOIN dl USING (doc_id)
+                          JOIN dfc USING (term) CROSS JOIN st),
+           agg AS (SELECT doc_id,
+                          round(sum(score ORDER BY term), 6) AS score
+                   FROM sc GROUP BY 1)
+         SELECT doc_id, score FROM agg
+         QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
+         ORDER BY score DESC, doc_id""",
+
+    // live-stream-maintained BM25 == from-scratch over the final doc
+    // set: %7 docs' text edited in place (re-indexed through
+    // update = tombstone + purge + salted re-append), %5 deleted,
+    // %9 copies inserted at +1000000
+    "x_stream_bm25_cdc" ->
+      """WITH fin AS (SELECT doc_id,
+                             CASE WHEN doc_id % 7 = 0
+                                  THEN text || ' join batch join'
+                                  ELSE text END AS text
+                      FROM documents
                       WHERE doc_id % 5 <> 0
                       UNION ALL
                       SELECT doc_id + 1000000, text FROM documents

@@ -322,8 +322,16 @@ final class IvfIndex(spark: SparkSession, val basePath: String) {
     * The quantizer is frozen — the standard IVF ingestion path (FAISS
     * `add` after `train`): cell quality degrades only as far as the
     * corpus distribution drifts from the training sample, and a periodic
-    * full `build` re-trains. Touches only the delta's cell partitions. */
-  def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
+    * full `build` re-trains. Touches only the delta's cell partitions.
+    *
+    * `salt` (default empty = the classic content-only token) mixes
+    * into the commit token: a feed consumer passes its batch span so
+    * exactly-once is PER FEED POSITION, not per content — a genuine
+    * re-insert of a previously-deleted-and-purged row with an
+    * IDENTICAL vector must land, while a replay of the same batch
+    * still no-ops ([[graft.streaming.IndexSink]]). */
+  def append(emb: DataFrame, idCol: String, vecCol: String,
+             salt: String = ""): Unit = {
     // validate BEFORE mutating: appending into a half-built index (no
     // epoch — a crashed build) would add rows no epoch accounts for and
     // wipe the SQ sibling, then throw anyway
@@ -343,7 +351,8 @@ final class IvfIndex(spark: SparkSession, val basePath: String) {
     // no-op append re-wiping the sibling costs one rebuild;
     // over-invalidation is the safe direction.
     invalidateSq()
-    val token = StagedCommit.idToken(emb, idCol, vecCol)
+    val token = (if (salt.isEmpty) "" else s"${salt}_") +
+      StagedCommit.idToken(emb, idCol, vecCol)
     StagedCommit.appendOnce(cellsPath, token, Seq("cell"),
       assignedFrame(emb, idCol, vecCol, storedCentroids()))
     IndexEpoch.write(spark, epochPath, e.copy(mods = e.mods + 1))

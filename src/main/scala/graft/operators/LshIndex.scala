@@ -69,8 +69,13 @@ final class LshIndex(spark: SparkSession, val basePath: String, dim: Int,
     * the same token are swept, a completed token no-ops) — recovery is
     * retry, not rebuild. Re-appending an identical delta is likewise a
     * no-op instead of a silent double-append. */
-  def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
-    val token = StagedCommit.idToken(emb, idCol, vecCol)
+  def append(emb: DataFrame, idCol: String, vecCol: String,
+             salt: String = ""): Unit = {
+    // salt semantics as [[IvfIndex.append]]: empty = classic content
+    // token; a feed consumer passes its batch span so a genuine
+    // identical-content re-insert lands while a replay still no-ops
+    val token = (if (salt.isEmpty) "" else s"${salt}_") +
+      StagedCommit.idToken(emb, idCol, vecCol)
     StagedCommit.appendOnce(rowsPath, token, Seq("tbl", "bucket"),
       bucketed(emb, idCol, vecCol))
     invalidate()

@@ -127,7 +127,7 @@ object TextIndex {
     * Returns the refreshed (postings, stats) readers. */
   def appendScoredPostings(delta: DataFrame, idCol: String,
       textCol: String, basePath: String,
-      buckets: Int = 64): (DataFrame, DataFrame) = {
+      buckets: Int = 64, salt: String = ""): (DataFrame, DataFrame) = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val spark = delta.sparkSession
     val root = s"$basePath/scored_postings_b$buckets"
@@ -137,7 +137,12 @@ object TextIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(statsPath, "_SUCCESS")),
       s"appendScoredPostings: no committed index under $root - build first")
-    val token = StagedCommit.idToken(delta.select(col(idCol)), idCol)
+    // salt semantics as [[IvfIndex.append]] — doubly important here,
+    // where the classic token derives from the ID SET alone: without
+    // the salt a re-insert of a deleted doc id with NEW text would
+    // no-op against the first insert's marker forever
+    val token = (if (salt.isEmpty) "" else s"${salt}_") +
+      StagedCommit.idToken(delta.select(col(idCol)), idCol)
     val deltaPostings = delta.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
@@ -266,20 +271,185 @@ object TextIndex {
     scoredPostingsReaders(spark, basePath, buckets)
   }
 
+  /** The committed-but-not-yet-purged deleted doc ids, or None — the
+    * [[IvfIndex.pendingTombstones]] twin for the BM25 artifact, so the
+    * streaming consumer can detect the delete-then-reinsert seam. */
+  def pendingDeletedDocs(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, buckets: Int = 64): Option[DataFrame] =
+    tombstoneFrame(spark, s"$basePath/scored_postings_b$buckets")
+
+  /** PHYSICALLY apply the tombstones: rewrite ONLY the `_bkt`
+    * partitions holding a deleted doc's postings (dynamic partition
+    * overwrite — the untouched buckets never move; root-level
+    * `_delta_*_SUCCESS` markers are untouched, so every append's
+    * exactly-once fence survives), drop any bucket dir the purge
+    * emptied (its dead files would resurrect when the tombstones
+    * clear), then clear the tombstone dir. The STATS rows need no
+    * change: the deletes' negative rows already subtracted the docs,
+    * and removing masked postings cannot move the served view.
+    *
+    * REFUSES (returns -1) while any tombstone token lacks its stats
+    * twin — an IN-FLIGHT delete (crashed between its halves): purging
+    * its rows would destroy the denormalized `dl` its retry derives
+    * the stats row from, leaving the subtraction permanently lost.
+    * Complete the delete (re-run it) and purge again. Crash-convergent
+    * otherwise: until the final clear, readers keep filtering through
+    * the tombstones; a retry recomputes the affected set from what
+    * remains. Returns the number of bucket partitions rewritten. */
+  def purgeDeletedPostings(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, buckets: Int = 64): Long = {
+    val root = s"$basePath/scored_postings_b$buckets"
+    val postPath = s"$root/postings"
+    val tombPath = s"$root/tombstones"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tombstoneFrame(spark, root) match {
+      case None => 0L
+      case Some(tomb) =>
+        val tombTokens = fs.listStatus(
+            new org.apache.hadoop.fs.Path(tombPath))
+          .map(_.getPath.getName).collect {
+            case n if n.startsWith("_delta_") && n.endsWith("_SUCCESS") =>
+              n.stripPrefix("_delta_").stripSuffix("_SUCCESS")
+          }
+        if (!tombTokens.forall(t =>
+            StagedCommit.hasDelta(spark, s"$root/stats", t)))
+          return -1L
+        val raw = StagedCommit.readCommitted(spark, postPath)
+        val hit = raw.join(tomb, Seq("doc_id"), "left_semi")
+          .select(col("_bkt")).distinct().localCheckpoint()
+        val n = hit.count()
+        if (n > 0) {
+          val kept = raw.join(tomb, Seq("doc_id"), "left_anti")
+            .join(broadcast(hit), Seq("_bkt"), "left_semi")
+            .repartition(col("_bkt")).localCheckpoint()
+          kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bkt").parquet(postPath)
+          graft.FailPoint.hit("bm25_purge_after_overwrite")
+          // a bucket whose every row was tombstoned writes nothing
+          // under dynamic overwrite — drop its dir explicitly
+          val survivors = kept.select(col("_bkt").cast("string"))
+            .distinct().collect().map(_.getString(0)).toSet
+          hit.select(col("_bkt").cast("string")).collect()
+            .map(_.getString(0)).filterNot(survivors).foreach { b =>
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"$postPath/_bkt=$b"), true)
+            }
+        }
+        // PURGE LEDGER: record every cleared token as an empty
+        // `_purged_<token>` marker BEFORE the tombstone dir goes — a
+        // completed delete's stats row would otherwise become
+        // indistinguishable from the pre-r15 orphan the migration
+        // sweep reclaims (stats present, tombstone twin gone), and the
+        // sweep would destroy a legitimate subtraction. One empty file
+        // per purged delete batch, the same kept-marker posture as the
+        // report-state compactor. A crash between ledger and clear is
+        // harmless (twin still present; the retry re-writes the ledger
+        // idempotently).
+        tombTokens.foreach { t =>
+          fs.create(new org.apache.hadoop.fs.Path(root, s"_purged_$t"),
+            true).close()
+        }
+        graft.FailPoint.hit("bm25_purge_before_clear")
+        fs.delete(new org.apache.hadoop.fs.Path(tombPath), true)
+        n
+    }
+  }
+
+  /** IN-PLACE DOCUMENT RE-INDEX — [[IvfIndex.update]]'s text twin,
+    * same token protocol verbatim: the APPEND half's salted content
+    * token is the redelivery fence, checked FIRST (a replayed update
+    * must never re-tombstone the postings it itself appended — the
+    * purge would destroy them while the re-append no-ops). A fresh
+    * update deletes the docs (tombstone + negative stats, both halves
+    * completed synchronously by [[deleteScoredPostings]]), physically
+    * purges them (doc-keyed tombstones cannot tell old postings from
+    * new — they must be gone before the replacements land), then
+    * appends the new postings and the positive stats row under the
+    * salted token. Crash-convergent at every seam: the delete's stats
+    * marker survives the purge (stats live outside the tombstone
+    * dir), so a post-purge retry's re-tombstone re-derives an EMPTY
+    * present-set whose appendOnce no-ops against the original,
+    * correct subtraction. Pass the feed interval/batch span as `salt`
+    * when driving this from a CDF feed. Returns the refreshed
+    * readers. */
+  def updateScoredPostings(docs: DataFrame, idCol: String,
+      textCol: String, basePath: String, buckets: Int = 64,
+      salt: String = ""): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val root = s"$basePath/scored_postings_b$buckets"
+    val postPath = s"$root/postings"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/stats", "_SUCCESS")),
+      s"updateScoredPostings: no committed index under $root - build first")
+    if (docs.isEmpty) return scoredPostingsReaders(spark, basePath, buckets)
+    val token =
+      (if (salt.isEmpty) "upd" else s"upd_$salt") + "_" +
+        StagedCommit.idToken(docs, idCol, textCol)
+    if (!StagedCommit.hasDelta(spark, postPath, token)) {
+      // the retire half, SALTED: deleteScoredPostings' raw-id-set
+      // token would collide across repeated updates of the same doc —
+      // the second retirement's stats subtraction would no-op against
+      // the first's marker, permanently over-counting. Same two-half
+      // protocol, under this update's own `del_<token>`.
+      val tombPath = s"$root/tombstones"
+      val delToken = s"del_$token"
+      if (!StagedCommit.hasDelta(spark, tombPath, delToken)) {
+        val d = docs.select(col(idCol).as("doc_id")).distinct()
+        val dEff = tombstoneFrame(spark, root)
+          .fold(d)(t => d.join(t, Seq("doc_id"), "left_anti"))
+        // all already tombstoned by an earlier (completed or purged)
+        // delete: nothing of ours lands, the earlier owner subtracted
+        if (!dEff.isEmpty)
+          StagedCommit.appendOnce(tombPath, delToken, Seq.empty, dEff)
+      }
+      if (StagedCommit.hasDelta(spark, tombPath, delToken)) {
+        val mine = StagedCommit.readDelta(spark, tombPath, delToken).get
+        val present = StagedCommit.readCommitted(spark, postPath)
+          .join(mine, Seq("doc_id"))
+          .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        StagedCommit.appendOnce(s"$root/stats", delToken,
+          Seq.empty, present.agg((-count(lit(1))).as("n_docs"),
+            coalesce(-sum(col("dl")), lit(0L)).as("total_dl")))
+      }
+      val purged = purgeDeletedPostings(spark, basePath, buckets)
+      require(purged >= 0L,
+        "updateScoredPostings: an in-flight crashed delete holds the " +
+          "tombstones — re-run that delete to completion first")
+    }
+    val deltaPostings = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+        explode(col("_toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("_bkt", pmod(xxhash64(col("term")), lit(buckets)))
+    StagedCommit.appendOnce(postPath, token, Seq("_bkt"), deltaPostings)
+    StagedCommit.appendOnce(s"$root/stats", token, Seq.empty,
+      docs.select(size(TextFunctions.tokens(col(textCol)))
+          .cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")))
+    scoredPostingsReaders(spark, basePath, buckets)
+  }
+
   /** TOKEN-SCHEME MIGRATION SWEEP (VERDICT r16 #8, closing the
     * documentation-only stance above): remove every `del_`-token STATS
-    * delta that has no tombstone twin. Under the current ordering
-    * (tombstones first, stats derived from the committed tombstone
-    * rows) such a row is UNREACHABLE — every crash window leaves
-    * tombstones-without-stats, never the reverse — so an orphan can
-    * only be the pre-r15 scheme's crash artifact: stats subtracted for
-    * docs that are still visible. Left in place, a retried delete
+    * delta that has neither a tombstone twin nor a purge-ledger
+    * marker. Under the current ordering (tombstones first, stats
+    * derived from the committed tombstone rows) every legitimate
+    * delete leaves its twin until [[purgeDeletedPostings]] replaces it
+    * with a `_purged_<token>` ledger entry — so a token with NEITHER
+    * can only be the pre-r15 scheme's crash artifact: stats subtracted
+    * for docs that are still visible. Left in place, a retried delete
     * under the new scheme mints a different raw-set token and
     * subtracts the same docs AGAIN — the permanent skew the migration
     * note warned about. Sweeping the orphan instead restores
     * stats == visible docs, after which the retry applies cleanly.
     * Runs automatically at the head of [[deleteScoredPostings]]
-    * (one listing + a marker probe per delete token); public for
+    * (one listing + two marker probes per delete token); public for
     * sweeping an external index without deleting anything. Returns the
     * orphaned tokens swept. */
   def sweepOrphanedDeleteStats(spark: org.apache.spark.sql.SparkSession,
@@ -292,6 +462,8 @@ object TextIndex {
       case n if n.startsWith("_delta_del_") && n.endsWith("_SUCCESS") =>
         n.stripPrefix("_delta_").stripSuffix("_SUCCESS")
     }.filterNot(t => StagedCommit.hasDelta(spark, s"$root/tombstones", t))
+      .filterNot(t => fs.exists(
+        new org.apache.hadoop.fs.Path(root, s"_purged_$t")))
     orphans.foreach { t =>
       // data files first, marker last: a crash mid-sweep leaves a
       // marker whose delta the next sweep re-identifies as orphaned

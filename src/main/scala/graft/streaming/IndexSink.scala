@@ -94,7 +94,7 @@ object IndexSink {
     * consumer is one body with two adapters. */
   private final case class IndexOps(
       fenceDir: String,
-      append: DataFrame => Unit,
+      append: (DataFrame, String) => Unit,
       update: (DataFrame, String) => Unit,
       delete: DataFrame => Unit,
       pendingTombstones: () => Option[DataFrame],
@@ -103,7 +103,7 @@ object IndexSink {
   private def ivfOps(idx: IvfIndex, idCol: String,
                      vecCol: String): IndexOps =
     IndexOps(idx.basePath,
-      df => idx.append(df, idCol, vecCol),
+      (df, salt) => idx.append(df, idCol, vecCol, salt),
       (df, salt) => { idx.update(df, idCol, vecCol, salt); () },
       df => { idx.delete(df, idCol); () },
       () => idx.pendingTombstones(),
@@ -112,11 +112,31 @@ object IndexSink {
   private def lshOps(idx: graft.operators.LshIndex, idCol: String,
                      vecCol: String): IndexOps =
     IndexOps(idx.basePath,
-      df => idx.append(df, idCol, vecCol),
+      (df, salt) => idx.append(df, idCol, vecCol, salt),
       (df, salt) => { idx.update(df, idCol, vecCol, salt); () },
       df => { idx.delete(df, idCol); () },
       () => idx.pendingTombstones(),
       () => { idx.purgeDeletes(idCol); () })
+
+  private def bm25Ops(spark: SparkSession, basePath: String,
+                      buckets: Int, idCol: String,
+                      textCol: String): IndexOps = {
+    import graft.operators.TextIndex
+    IndexOps(s"$basePath/scored_postings_b$buckets",
+      (df, salt) => {
+        TextIndex.appendScoredPostings(df, idCol, textCol, basePath,
+          buckets, salt); ()
+      },
+      (df, salt) => {
+        TextIndex.updateScoredPostings(df, idCol, textCol, basePath,
+          buckets, salt); ()
+      },
+      df => { TextIndex.deleteScoredPostings(df, idCol, basePath,
+        buckets); () },
+      () => TextIndex.pendingDeletedDocs(spark, basePath, buckets),
+      () => { TextIndex.purgeDeletedPostings(spark, basePath, buckets)
+        ; () })
+  }
 
   /** Tail a CDF feed stream into an IVF index. `progress` — optional
     * `(feedDir, consumerId)` — publishes the batch's max `_to_epoch`
@@ -138,6 +158,22 @@ object IndexSink {
                progress: Option[(String, String)] = None): StreamingQuery =
     startOps(feed, lshOps(idx, idCol, vecCol), idCol, vecCol,
       checkpointDir, trigger, progress)
+
+  /** The BM25 member of the family: tail a documents table's CDF feed
+    * into a scored-postings index — inserts append, in-place text
+    * edits re-index through [[graft.operators.TextIndex
+    * .updateScoredPostings]] (retire + purge + replace under the
+    * batch-span token), deletes tombstone. Same netting, fencing, and
+    * progress contract as the ANN sinks. */
+  def startBm25(feed: DataFrame, basePath: String, idCol: String,
+                textCol: String, checkpointDir: String,
+                buckets: Int = 64,
+                trigger: Trigger = Trigger.AvailableNow(),
+                progress: Option[(String, String)] = None)
+      : StreamingQuery =
+    startOps(feed,
+      bm25Ops(feed.sparkSession, basePath, buckets, idCol, textCol),
+      idCol, textCol, checkpointDir, trigger, progress)
 
   private def startOps(feed: DataFrame, ops: IndexOps, idCol: String,
       vecCol: String, checkpointDir: String, trigger: Trigger,
@@ -216,20 +252,22 @@ object IndexSink {
               "left_semi").isEmpty)
             ops.purge()
         }
-      if (!dels.isEmpty) ops.delete(dels)
-      if (!updates.isEmpty) {
-        // batch-span salt: deterministic per content, distinct per
-        // feed position — two different batches that happen to carry
-        // identical update content still apply independently
+      // batch-span salt: deterministic per content, distinct per feed
+      // position — two different batches carrying identical content
+      // (an identical-text re-insert of a purged doc, a set-back-to-
+      // original update) still apply independently, while a replay of
+      // the SAME batch no-ops
+      lazy val salt = {
         val span = batch.agg(min(col("_from_epoch")),
           max(col("_to_epoch"))).head()
-        ops.update(updates,
-          s"cdf_${span.getLong(0)}_${span.getLong(1)}")
+        s"cdf_${span.getLong(0)}_${span.getLong(1)}"
       }
+      if (!dels.isEmpty) ops.delete(dels)
+      if (!updates.isEmpty) ops.update(updates, salt)
       // appends go LAST: the update's purge above physically applied
       // this batch's delete tombstones too, so nothing it does can
       // touch rows appended after it
-      if (!appends.isEmpty) ops.append(appends)
+      if (!appends.isEmpty) ops.append(appends, salt)
     } finally batch.unpersist()
     // every interval's ops are durably committed — the batch marker
     // certifies the whole batch so a replay skips even the interval

@@ -259,6 +259,118 @@ class TextIndexSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("purgeDeletedPostings: rows physically gone, served view and " +
+      "stats unchanged, purged tokens ledgered (the sweep never " +
+      "mistakes them for orphans); refuses over an in-flight delete") {
+    val docs = Seq(
+      (1L, "spark join scan"), (2L, "join batch join"),
+      (3L, "spark batch"), (4L, "spark join other"),
+      (5L, "batch batch spark"), (6L, "join alone")).toDF("id", "txt")
+    val base = java.nio.file.Files
+      .createTempDirectory("textindex_purge").toString
+    TextIndex.buildScoredPostings(docs, "id", "txt", base, buckets = 4)
+    TextIndex.deleteScoredPostings(Seq(1L, 2L).toDF("id"), "id", base,
+      buckets = 4)
+    val (pBefore, stBefore) = TextIndex.scoredPostingsReaders(spark,
+      base, buckets = 4)
+    val before = TextIndex.bm25TopK(pBefore, stBefore,
+      Seq("spark", "join"), k = 6, buckets = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(TextIndex.purgeDeletedPostings(spark, base, buckets = 4) > 0)
+    // physically gone: the RAW committed postings hold no trace
+    val root = s"$base/scored_postings_b4"
+    assert(StagedCommit.readCommitted(spark, s"$root/postings")
+      .filter($"doc_id".isin(1L, 2L)).count() == 0)
+    assert(!new java.io.File(s"$root/tombstones").exists)
+    // served view and stats identical to the masked form
+    val (p, st) = TextIndex.scoredPostingsReaders(spark, base, buckets = 4)
+    assert(TextIndex.bm25TopK(p, st, Seq("spark", "join"), k = 6,
+      buckets = 4).as[(Long, Double)].collect().toSeq == before)
+    assert(st.agg(sum($"n_docs"), sum($"total_dl"))
+      .as[(Long, Long)].head() == ((4L, 10L)))
+    // the purge ledger shields the completed delete's stats row from
+    // the migration sweep
+    assert(TextIndex.sweepOrphanedDeleteStats(spark, base, buckets = 4)
+      .isEmpty)
+    // an IN-FLIGHT delete (tombstones landed, stats half not) blocks
+    // the purge: destroying the postings would lose the dl the retry
+    // derives its subtraction from
+    graft.FailPoint.arm("bm25_delete_after_tombstones")
+    try intercept[graft.FailPoint.Kill] {
+      TextIndex.deleteScoredPostings(Seq(3L).toDF("id"), "id", base,
+        buckets = 4)
+    } finally graft.FailPoint.disarm()
+    assert(TextIndex.purgeDeletedPostings(spark, base, buckets = 4) == -1L)
+    // completing the delete unblocks it
+    TextIndex.deleteScoredPostings(Seq(3L).toDF("id"), "id", base,
+      buckets = 4)
+    assert(TextIndex.purgeDeletedPostings(spark, base, buckets = 4) >= 0)
+    val (_, stAfter) = TextIndex.scoredPostingsReaders(spark, base,
+      buckets = 4)
+    assert(stAfter.agg(sum($"n_docs")).as[Long].head() == 3L)
+  }
+
+  test("updateScoredPostings: in-place re-index == from-scratch; " +
+      "repeated updates of the SAME doc each subtract (the salted " +
+      "retire half); redelivery no-ops; post-purge crash converges") {
+    val docs = Seq(
+      (1L, "spark join scan"), (2L, "join batch join"),
+      (3L, "spark batch"), (4L, "spark join other"),
+      (5L, "batch batch spark"), (6L, "join alone")).toDF("id", "txt")
+    val base = java.nio.file.Files
+      .createTempDirectory("textindex_upd").toString
+    TextIndex.buildScoredPostings(docs, "id", "txt", base, buckets = 4)
+    def topk(pp: org.apache.spark.sql.DataFrame,
+             ss: org.apache.spark.sql.DataFrame) =
+      TextIndex.bm25TopK(pp, ss, Seq("spark", "join"), k = 6,
+        buckets = 4).as[(Long, Double)].collect().toSeq
+    def fromScratch(fin: org.apache.spark.sql.DataFrame) = {
+      val b = java.nio.file.Files
+        .createTempDirectory("textindex_upd_fs").toString
+      val (pp, ss) = TextIndex.buildScoredPostings(fin, "id", "txt", b,
+        buckets = 4)
+      topk(pp, ss)
+    }
+    // update doc 2 twice — the second must subtract the FIRST update's
+    // dl, not no-op against a raw-id-set token collision
+    TextIndex.updateScoredPostings(
+      Seq((2L, "spark spark join")).toDF("id", "txt"), "id", "txt",
+      base, buckets = 4, salt = "i1")
+    val (p1, st1) = TextIndex.updateScoredPostings(
+      Seq((2L, "join other join spark")).toDF("id", "txt"), "id", "txt",
+      base, buckets = 4, salt = "i2")
+    val fin2 = docs.filter($"id" =!= 2L)
+      .unionByName(Seq((2L, "join other join spark")).toDF("id", "txt"))
+    assert(topk(p1, st1) == fromScratch(fin2))
+    // totals: docs 1,3..6 carry 3+2+3+3+2 = 13 tokens + doc 2's 4
+    assert(st1.agg(sum($"n_docs"), sum($"total_dl"))
+      .as[(Long, Long)].head() == ((6L, 17L)))
+    // redelivery of i2 no-ops
+    val (p2, st2) = TextIndex.updateScoredPostings(
+      Seq((2L, "join other join spark")).toDF("id", "txt"), "id", "txt",
+      base, buckets = 4, salt = "i2")
+    assert(topk(p2, st2) == topk(p1, st1))
+    assert(st2.agg(sum($"n_docs")).as[Long].head() == 6L)
+    // crash AFTER the purge, before the append: the retry's
+    // re-tombstone derives an empty present-set whose stats no-op
+    // against the original subtraction — no skew, and the doc's new
+    // text lands
+    graft.FailPoint.arm("bm25_purge_before_clear")
+    try intercept[graft.FailPoint.Kill] {
+      TextIndex.updateScoredPostings(
+        Seq((4L, "batch batch")).toDF("id", "txt"), "id", "txt",
+        base, buckets = 4, salt = "i3")
+    } finally graft.FailPoint.disarm()
+    val (p3, st3) = TextIndex.updateScoredPostings(
+      Seq((4L, "batch batch")).toDF("id", "txt"), "id", "txt",
+      base, buckets = 4, salt = "i3")
+    val fin3 = fin2.filter($"id" =!= 4L)
+      .unionByName(Seq((4L, "batch batch")).toDF("id", "txt"))
+    assert(topk(p3, st3) == fromScratch(fin3))
+    assert(st3.agg(sum($"n_docs"), sum($"total_dl"))
+      .as[(Long, Long)].head() == ((6L, 16L)))
+  }
+
   test("bm25TopK: hand-computed scores, rank order, tf saturation") {
     val docs = Seq(
       (1L, "spark spark spark join"), // tf(spark)=3 in a 4-token doc

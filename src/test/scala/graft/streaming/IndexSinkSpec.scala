@@ -157,6 +157,109 @@ class IndexSinkSpec extends SparkSpec {
       Seq(10.0, 0.0, 0.0, 0.0), 40, 2)).contains(201L))
   }
 
+  test("startBm25: ranked retrieval over the live-maintained postings " +
+      "== from-scratch over the final docs, across insert, in-place " +
+      "text edit, and delete waves") {
+    import graft.operators.TextIndex
+    val w = java.nio.file.Files.createTempDirectory("graft_idxsink4")
+      .toString
+    val tbl = s"$w/tbl"; val feed = s"$w/feed"; val idxBase = s"$w/idx"
+    val docs = Seq(
+      (1L, "spark join scan"), (2L, "join batch join"),
+      (3L, "spark batch"), (4L, "spark join other"),
+      (5L, "batch batch spark"), (6L, "join alone"))
+      .toDF("doc_id", "text")
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("pd", $"doc_id" % 2)
+    val keys = Seq("pd", "doc_id")
+    Upsert.mergeIntoManifested(spark, tbl,
+      shaped(docs).withColumn("ver", lit(1L)), keys, "pd", "ver",
+      retain = 8)
+    TextIndex.buildScoredPostings(
+      Upsert.readManifestedAt(spark, tbl, 0), "doc_id", "text", idxBase,
+      buckets = 4)
+    // wave 1: insert doc 7; wave 2: EDIT doc 2's text in place;
+    // wave 3: delete doc 5
+    Upsert.mergeIntoManifested(spark, tbl,
+      shaped(Seq((7L, "join join batch")).toDF("doc_id", "text"))
+        .withColumn("ver", lit(1L)), keys, "pd", "ver", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    Upsert.mergeIntoManifested(spark, tbl,
+      shaped(Seq((2L, "spark other")).toDF("doc_id", "text"))
+        .withColumn("ver", lit(2L)), keys, "pd", "ver", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    Upsert.deleteKeysFromManifested(spark, tbl,
+      Seq((5L, 1L)).toDF("doc_id", "pd").select($"pd", $"doc_id"),
+      keys, "pd", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    val q = IndexSink.startBm25(
+      CdfSource.feedStream(spark, tbl, keys, feed),
+      idxBase, "doc_id", "text", s"$w/ckpt", buckets = 4)
+    assert(q.awaitTermination(120000L), "bm25 stream did not drain")
+    val (p, st) = TextIndex.scoredPostingsReaders(spark, idxBase,
+      buckets = 4)
+    val got = TextIndex.bm25TopK(p, st, Seq("spark", "join"), k = 10,
+      buckets = 4).as[(Long, Double)].collect().toSeq
+    val fsBase = java.nio.file.Files
+      .createTempDirectory("graft_idxsink4_fs").toString
+    val fin = Upsert.readManifested(spark, tbl).select($"doc_id", $"text")
+    val (fp, fs2) = TextIndex.buildScoredPostings(fin, "doc_id", "text",
+      fsBase, buckets = 4)
+    assert(got == TextIndex.bm25TopK(fp, fs2, Seq("spark", "join"),
+      k = 10, buckets = 4).as[(Long, Double)].collect().toSeq)
+    // the edited doc serves its NEW text only: no 'join' posting left
+    assert(p.filter($"doc_id" === 2L && $"term" === "join").count() == 0)
+  }
+
+  test("cross-batch delete-then-reinsert with IDENTICAL content lands " +
+      "(the batch-span salt: exactly-once per feed position, not per " +
+      "content)") {
+    val w = java.nio.file.Files.createTempDirectory("graft_idxsink5")
+      .toString
+    val tbl = s"$w/tbl"; val feed = s"$w/feed"
+    Upsert.mergeIntoManifested(spark, tbl,
+      corpus.withColumn("ver", lit(1L)), keys, "pb", "ver", retain = 8)
+    val idx = new IvfIndex(spark, s"$w/idx")
+    idx.build(Upsert.readManifestedAt(spark, tbl, 0),
+      "vec_id", "embedding", k = 2, iters = 4)
+    def newRow(ver: Long) =
+      Seq((301L, 1L, Array(8f, 1f, 0f, 0f)))
+        .toDF("vec_id", "pb", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>"))
+        .withColumn("ver", lit(ver))
+    def drain(): Unit = {
+      val q = IndexSink.startIvf(
+        CdfSource.feedStream(spark, tbl, keys, feed),
+        idx, "vec_id", "embedding", s"$w/ckpt")
+      assert(q.awaitTermination(120000L))
+    }
+    // batch 1: insert key 301 (a real APPEND delta under its content
+    // token) — drain alone
+    Upsert.mergeIntoManifested(spark, tbl, newRow(1L), keys, "pb",
+      "ver", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    drain()
+    assert(idx.cells().count() == 41)
+    // batch 2: delete it — drain alone (tombstone pending, no purge)
+    Upsert.deleteKeysFromManifested(spark, tbl,
+      Seq((301L, 1L)).toDF("vec_id", "pb").select($"pb", $"vec_id"),
+      keys, "pb", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    drain()
+    assert(idx.cells().count() == 40)
+    // batch 3: re-insert the EXACT same vector. An unsalted append's
+    // content token would no-op against batch 1's committed delta
+    // while the purge-at-start physically removed that delta's row —
+    // the key would stay lost forever. The batch-span salt makes
+    // exactly-once PER FEED POSITION: the re-insert lands.
+    Upsert.mergeIntoManifested(spark, tbl, newRow(2L), keys, "pb",
+      "ver", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    drain()
+    assert(idx.cells().count() == 41)
+    assert(idx.cells().filter($"vec_id" === 301L).count() == 1)
+  }
+
   test("startLsh: the forest converges across insert, in-place update, " +
       "and delete waves — every table copy replaced or retired") {
     val w = java.nio.file.Files.createTempDirectory("graft_idxsink3")
