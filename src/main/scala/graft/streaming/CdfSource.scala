@@ -373,6 +373,38 @@ object CdfSource {
     segs.result()
   }
 
+  /** MID-RUN RENAME GUARD for feed consumers whose stream schema (and
+    * lineage projection) is pinned at start ([[feedStream]] builds it
+    * once): a rename event recorded AFTER the stream starts means
+    * later feed files carry a name the pinned read maps to null, and
+    * folding those batches would silently serve the renamed column's
+    * values as null (corrupting retraction sums, appending null
+    * vectors — whatever the consumer does with the column). Build the
+    * thunk when the stream is built and call it per batch BEFORE any
+    * state moves (the [[Replicate.start]] pattern, shared): it throws
+    * once a newer rename exists, the batch never commits, and the
+    * restarted consumer re-pins the projection and re-processes
+    * correctly. A mid-run DROP needs no guard — the pinned schema
+    * still carries the column and post-drop files read it as null,
+    * which IS the retirement semantics. */
+  def renameGuard(spark: SparkSession, feedDir: String,
+                  consumer: String): () => Unit = {
+    def latestRename() = feedEvents(spark, feedDir)
+      .collect { case (e, "rename", _, _) => e }.maxOption.getOrElse(0L)
+    val atStart = latestRename()
+    () => {
+      val latest = latestRename()
+      if (latest > atStart)
+        throw new IllegalStateException(
+          s"$consumer: a source rename landed at epoch $latest while " +
+            "this tail was running — its feed projection was pinned at " +
+            "start, so folding further batches would serve the renamed " +
+            "column as null. Restart the consumer: it re-pins the " +
+            "projection and re-processes this batch correctly (the " +
+            "checkpoint did not advance).")
+    }
+  }
+
   /** The consumer half: a REAL streaming read of the feed artifact.
     * Schema is pinned from the table's CURRENT recorded schema (file
     * streams cannot infer), ordered exactly as [[Upsert.changesSince]]

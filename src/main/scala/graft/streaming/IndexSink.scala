@@ -146,18 +146,20 @@ object IndexSink {
   def startIvf(feed: DataFrame, idx: IvfIndex, idCol: String,
                vecCol: String, checkpointDir: String,
                trigger: Trigger = Trigger.AvailableNow(),
-               progress: Option[(String, String)] = None): StreamingQuery =
+               progress: Option[(String, String)] = None,
+               guardFeed: Option[String] = None): StreamingQuery =
     startOps(feed, ivfOps(idx, idCol, vecCol), idCol, vecCol,
-      checkpointDir, trigger, progress)
+      checkpointDir, trigger, progress, guardFeed)
 
   /** [[startIvf]]'s forest twin: tail a CDF feed stream into an LSH
     * index — same netting, fencing, and progress contract. */
   def startLsh(feed: DataFrame, idx: graft.operators.LshIndex,
                idCol: String, vecCol: String, checkpointDir: String,
                trigger: Trigger = Trigger.AvailableNow(),
-               progress: Option[(String, String)] = None): StreamingQuery =
+               progress: Option[(String, String)] = None,
+               guardFeed: Option[String] = None): StreamingQuery =
     startOps(feed, lshOps(idx, idCol, vecCol), idCol, vecCol,
-      checkpointDir, trigger, progress)
+      checkpointDir, trigger, progress, guardFeed)
 
   /** The BM25 member of the family: tail a documents table's CDF feed
     * into a scored-postings index — inserts append, in-place text
@@ -169,21 +171,29 @@ object IndexSink {
                 textCol: String, checkpointDir: String,
                 buckets: Int = 64,
                 trigger: Trigger = Trigger.AvailableNow(),
-                progress: Option[(String, String)] = None)
+                progress: Option[(String, String)] = None,
+                guardFeed: Option[String] = None)
       : StreamingQuery =
     startOps(feed,
       bm25Ops(feed.sparkSession, basePath, buckets, idCol, textCol),
-      idCol, textCol, checkpointDir, trigger, progress)
+      idCol, textCol, checkpointDir, trigger, progress, guardFeed)
 
   private def startOps(feed: DataFrame, ops: IndexOps, idCol: String,
       vecCol: String, checkpointDir: String, trigger: Trigger,
-      progress: Option[(String, String)]): StreamingQuery = {
+      progress: Option[(String, String)],
+      guardFeed: Option[String]): StreamingQuery = {
     val spark = feed.sparkSession
     val app = MvSink.lineageId(spark, checkpointDir)
+    // mid-run rename guard (CdfSource.renameGuard): a rename landing
+    // while this tail runs would append null vectors / null text —
+    // fail the batch before it commits instead
+    val guard = guardFeed.map(fd =>
+      CdfSource.renameGuard(spark, fd, "IndexSink")).getOrElse(() => ())
     feed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guard()
         applyBatch(spark, batch, batchId, ops, idCol, vecCol, app,
           progress)
       }

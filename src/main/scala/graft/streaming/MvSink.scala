@@ -142,14 +142,21 @@ object MvSink {
                  baseFor: Seq[org.apache.spark.sql.Row] => DataFrame,
                  stateDir: String, checkpointDir: String,
                  trigger: Trigger = Trigger.AvailableNow(),
-                 progress: Option[(String, String)] = None)
+                 progress: Option[(String, String)] = None,
+                 guardFeed: Option[String] = None)
       : StreamingQuery = {
     val spark = feed.sparkSession
     val app = lineageId(spark, checkpointDir)
+    // mid-run rename guard (CdfSource.renameGuard): without it a
+    // rename landing while this tail runs would fold the renamed
+    // column as null — corrupted sums, silently
+    val guard = guardFeed.map(fd =>
+      CdfSource.renameGuard(spark, fd, "MvSink")).getOrElse(() => ())
     feed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guard()
         applyBatchMulti(spark, batch, batchId, grp, valCols, baseFor,
           stateDir, app, progress)
       }
@@ -203,13 +210,17 @@ object MvSink {
   def start(feed: DataFrame, grp: Seq[String], valCol: String,
             stateDir: String, checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
-            progress: Option[(String, String)] = None): StreamingQuery = {
+            progress: Option[(String, String)] = None,
+            guardFeed: Option[String] = None): StreamingQuery = {
     val spark = feed.sparkSession
     val app = lineageId(spark, checkpointDir)
+    val guard = guardFeed.map(fd =>
+      CdfSource.renameGuard(spark, fd, "MvSink")).getOrElse(() => ())
     feed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guard()
         applyBatch(spark, batch, batchId, grp, valCol, stateDir, app,
           progress)
       }

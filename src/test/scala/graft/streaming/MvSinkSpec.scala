@@ -169,6 +169,62 @@ class MvSinkSpec extends SparkSpec {
     assert(MvSink.lineageId(spark, s"$w/ckpt2") != id1)
   }
 
+  test("mid-RUN rename guard: a rename landing while a LIVE mv tail " +
+      "runs fails the query before the fold commits (no null-sum " +
+      "corruption); the restarted tail re-pins and converges") {
+    val w = java.nio.file.Files.createTempDirectory("graft_mvg").toString
+    val tbl = s"$w/tbl"; val feed = s"$w/feed"; val st = s"$w/state"
+    Upsert.mergeIntoManifested(spark, tbl,
+      rows((1, "a", 1.0, 1), (2, "b", 4.0, 1)),
+      keys, "part", "ver", retain = 12)
+    MvSink.seed(Upsert.readManifestedAt(spark, tbl, 0), grp, "v", st)
+    val q = MvSink.start(
+      CdfSource.feedStream(spark, tbl, keys, feed), grp, "v", st,
+      s"$w/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"),
+      guardFeed = Some(feed))
+    try {
+      Upsert.mergeIntoManifested(spark, tbl,
+        rows((1, "a", 5.0, 2)), keys, "part", "ver", retain = 12)
+      CdfSource.pollOnce(spark, tbl, keys, feed)
+      val deadline = System.currentTimeMillis() + 120000L
+      while (!MvSink.readView(spark, st, grp).filter($"part" === "a" &&
+          $"total" === 5.0).head(1).nonEmpty) {
+        assert(System.currentTimeMillis() < deadline,
+          "live mv tail never folded wave 1")
+        Thread.sleep(200L)
+      }
+      // the value column renames while the tail RUNS: its pinned feed
+      // projection would fold the next batch's renamed column as null
+      // (count moves, sum doesn't — silent corruption); the guard
+      // must kill the query with the checkpoint NOT advanced
+      Upsert.renameManifestedColumn(spark, tbl, "v", "v2", retain = 12)
+      Upsert.mergeIntoManifested(spark, tbl,
+        Seq((1L, "a", 9.0, 3L)).toDF("k", "part", "v2", "ver"),
+        keys, "part", "ver", retain = 12)
+      CdfSource.pollOnce(spark, tbl, keys, feed)
+      val ex = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(120000L)
+        ()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("rename landed")),
+        messages(ex).mkString(" | "))
+    } finally if (q.isActive) q.stop()
+    // the restarted tail re-pins the projection (the feed now serves
+    // the guarded interval's values under the CURRENT name) and folds
+    // the batch it refused
+    val q2 = MvSink.start(
+      CdfSource.feedStream(spark, tbl, keys, feed), grp, "v2", st,
+      s"$w/ckpt", guardFeed = Some(feed))
+    assert(q2.awaitTermination(120000L), "restarted mv tail hung")
+    assert(view(st) == Set(("a", 1L, 9.0, 9.0), ("b", 1L, 4.0, 4.0)))
+  }
+
   test("a BLANK checkpoint identity file (crash between create and " +
       "write) re-mints instead of silently disabling the lineage fence " +
       "(ADVICE r16)") {
