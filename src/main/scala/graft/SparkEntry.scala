@@ -5321,6 +5321,60 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    "x_stream_lsh_cdc" -> ((s, dir) => {
+      // THE LSH FOREST ON THE LIVE STREAMING TIER — completes gate-
+      // level parity across the index families (IVF:
+      // x_stream_ivf_cdc, BM25: x_stream_bm25_cdc): the same
+      // insert + in-place update + delete waves drained by
+      // IndexSink.startLsh, with the forest's own exactly-once ops
+      // (salted all-copies append, one-delta mask, update = retire +
+      // purge + replace). Probe replays the pasted-plane bucket
+      // pipeline over the FINAL table.
+      val base = s"${artifactBase(dir)}/lsh_stream_tbl"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val tbl = s"$base/tbl"; val feedDir = s"$base/feed"
+      val ckpt = s"${artifactBase(dir)}/lsh_stream_ckpt"
+      val emb = t(s, dir, "embeddings")
+      val q = queryVector(emb)
+      val keys = Seq("pb", "vec_id")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("pb", (col("vec_id") % 8).cast("long"))
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding")))
+          .withColumn("ver", lit(1L)),
+        keys, "pb", "ver", retain = 4)
+      val idx = lshTaggedFor(s, dir, "stream",
+        operators.Upsert.readManifestedAt(s, tbl, 0))
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") % 5 === 0 && col("vec_id") =!= 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+          .withColumn("ver", lit(1L)), keys, "pb", "ver", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      operators.Upsert.mergeIntoManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") % 3 === 0 && col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+          .withColumn("ver", lit(2L)), keys, "pb", "ver", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      operators.Upsert.deleteKeysFromManifested(s, tbl,
+        shaped(emb.filter(col("vec_id") % 7 === 0 && col("vec_id") =!= 0))
+          .select(col("pb"), col("vec_id")), keys, "pb", retain = 4)
+      graft.streaming.CdfSource.pollOnce(s, tbl, keys, feedDir)
+      val sq = graft.streaming.IndexSink.startLsh(
+        graft.streaming.CdfSource.feedStream(s, tbl, keys, feedDir),
+        idx, "vec_id", "embedding", ckpt)
+      if (!sq.awaitTermination(300000L)) {
+        sq.stop()
+        throw new IllegalStateException(
+          "x_stream_lsh_cdc: lsh stream did not drain within 300s")
+      }
+      idx.search("vec_id", "embedding", q, k = 10)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     "x_sim_filtered" -> ((s, dir) => {
       // FILTERED ANN (the "similar AND attribute" production shape):
       // the predicate evaluates against the rows the index stores and
@@ -5598,6 +5652,7 @@ object SparkEntry {
     lshBuilt.clear(); bqBuilt.clear()
     bqDelBuilt.clear(); lshDelBuilt.clear()
     ivfCdcBuilt.clear(); lshCdcBuilt.clear(); ivfTaggedBuilt.clear()
+    lshTaggedBuilt.clear()
   }
 
   /** CDC-maintained IVF index for the x_sim_ivf_cdc gate — its OWN
@@ -5859,6 +5914,23 @@ object SparkEntry {
                         snapshot: => DataFrame): operators.LshIndex =
     lshCdcBuilt.getOrElseUpdate(dir, {
       val idx = new operators.LshIndex(s, s"${artifactBase(dir)}/lsh_cdc",
+        dim = LshDim, numTables = LshTables, bitsPerTable = LshBits,
+        seed = LshSeed)
+      idx.build(snapshot, "vec_id", "embedding")
+      idx
+    })
+
+  /** [[lshCdcFor]] with a per-gate artifact dir — the streaming gate's
+    * forest mutates through a different change history than the batch
+    * `_cdc` gate's, so they must never share an artifact. */
+  private val lshTaggedBuilt =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      operators.LshIndex]
+  private def lshTaggedFor(s: SparkSession, dir: String, tag: String,
+                           snapshot: => DataFrame): operators.LshIndex =
+    lshTaggedBuilt.getOrElseUpdate((dir, tag), {
+      val idx = new operators.LshIndex(s,
+        s"${artifactBase(dir)}/lsh_$tag",
         dim = LshDim, numTables = LshTables, bitsPerTable = LshBits,
         seed = LshSeed)
       idx.build(snapshot, "vec_id", "embedding")
@@ -10669,6 +10741,46 @@ object SparkEntry {
                       generate_subscripts(embedding, 1) AS i
                FROM embeddings WHERE vec_id = 0),
          fin AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id <> 0 AND vec_id % 7 <> 0
+                 UNION ALL
+                 SELECT vec_id + 1000000,
+                        list_transform(embedding, x -> -x)
+                 FROM embeddings WHERE vec_id % 5 = 0 AND vec_id <> 0),
+         e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                      generate_subscripts(embedding, 1) AS i
+               FROM fin),
+         ed AS (SELECT e.vec_id, pl.t, pl.w, sum(e.x * pl.p) AS d
+                FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2, 3),
+         eb AS (SELECT vec_id, t,
+                       sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS bkt
+                FROM ed GROUP BY 1, 2),
+         qd AS (SELECT pl.t, pl.w, sum(q.qx * pl.p) AS d
+                FROM q JOIN planes pl ON q.i = pl.i GROUP BY 1, 2),
+         qb AS (SELECT t, sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS bkt
+                FROM qd GROUP BY 1),
+         cand AS (SELECT DISTINCT eb.vec_id
+                  FROM eb JOIN qb ON eb.t = qb.t AND eb.bkt = qb.bkt),
+         s AS (SELECT e.vec_id,
+                      round(sum(e.x * q.qx) /
+                        (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS score
+               FROM e JOIN q ON e.i = q.i
+               WHERE e.vec_id IN (SELECT vec_id FROM cand)
+               GROUP BY 1)
+         SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10""",
+
+    // live-stream-maintained forest == the pasted-plane bucket replay
+    // over the final table: %3 originals updated in place (negated),
+    // %7 originals deleted, negated %5 twins inserted at +1000000
+    "x_stream_lsh_cdc" ->
+      s"""WITH planes(t, w, i, p) AS (VALUES $lshPlaneValues),
+         q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings WHERE vec_id = 0),
+         fin AS (SELECT vec_id,
+                        CASE WHEN vec_id % 3 = 0
+                             THEN list_transform(embedding, x -> -x)
+                             ELSE embedding END AS embedding
+                 FROM embeddings
                  WHERE vec_id <> 0 AND vec_id % 7 <> 0
                  UNION ALL
                  SELECT vec_id + 1000000,

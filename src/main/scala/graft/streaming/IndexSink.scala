@@ -200,10 +200,11 @@ object IndexSink {
       .start()
   }
 
-  /** Spec-level entry for the IVF family (direct batch apply —
-    * `appId = ""` skips the lineage fence for callers who own their
-    * own replay semantics; the ops' content tokens still apply). */
-  private[streaming] def applyIvfBatch(spark: SparkSession,
+  /** Spec- and probe-level entry for the IVF family (direct batch
+    * apply — `appId = ""` skips the lineage fence for callers who own
+    * their own replay semantics; the ops' content tokens still
+    * apply). */
+  private[graft] def applyIvfBatch(spark: SparkSession,
       batch: DataFrame, batchId: Long, idx: IvfIndex, idCol: String,
       vecCol: String, appId: String = "",
       progress: Option[(String, String)] = None): Unit =
