@@ -72,7 +72,7 @@ object SparkEntry {
     "p5_freshness" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val mx = ev.agg(max(col("ts")).as("_mx"))
-      ev.crossJoin(mx)
+      ev.crossJoin(broadcast(mx))
         .filter(col("ts") >= col("_mx") - expr("INTERVAL 7 DAYS"))
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"))
@@ -321,7 +321,7 @@ object SparkEntry {
       // "successful event within window?" per key, {-1,0,1} protocol
       val ev = t(s, dir, "events")
       val mx = ev.agg(max(col("ts")).as("_mx"))
-      ev.crossJoin(mx)
+      ev.crossJoin(broadcast(mx))
         .filter(col("event_type") === "error" &&
           col("ts") >= col("_mx") - expr("INTERVAL 3 DAYS"))
         .groupBy(col("user_id")).agg(count(lit(1)).as("n"))

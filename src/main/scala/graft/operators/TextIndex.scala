@@ -194,6 +194,57 @@ object TextIndex {
     else Some(StagedCommit.readCommitted(spark, s"$root/tombstones"))
   }
 
+  /** Every delete token ever physically purged at `root` — the union
+    * of the `_purged_ledger` file's lines and any legacy per-token
+    * `_purged_<t>` marker files earlier rounds wrote (read-compatible
+    * until a purge folds them in). One file read + one listing,
+    * regardless of how many purges ever ran. */
+  private def purgedTokens(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Set[String] = {
+    val ledger = new org.apache.hadoop.fs.Path(root, "_purged_ledger")
+    val fromLedger: Set[String] =
+      if (!fs.exists(ledger)) Set.empty
+      else {
+        val in = fs.open(ledger)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toSet
+        finally in.close()
+      }
+    val legacy = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("_purged_") &&
+        n != "_purged_ledger" && n != "_purged_ledger.tmp" =>
+        n.stripPrefix("_purged_") }
+    fromLedger ++ legacy
+  }
+
+  /** Rewrite the purge ledger to exactly `tokens` (tmp+rename — a
+    * torn write never truncates the committed ledger), then optionally
+    * retire legacy per-token markers whose tokens the ledger now
+    * carries. Union-idempotent: callers always pass
+    * `purgedTokens(..) ++ new`, so a crashed rewrite's retry
+    * re-derives a superset and no entry is ever lost. */
+  private def writePurgedLedger(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, tokens: Set[String], dropMarkers: Boolean): Unit = {
+    val ledger = new org.apache.hadoop.fs.Path(root, "_purged_ledger")
+    val tmp = new org.apache.hadoop.fs.Path(root, "_purged_ledger.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(tokens.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(ledger)) fs.delete(ledger, false)
+    require(fs.rename(tmp, ledger) || fs.exists(ledger),
+      s"could not persist purge ledger under $root")
+    if (dropMarkers)
+      fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_purged_") && n != "_purged_ledger" &&
+            n != "_purged_ledger.tmp" &&
+            tokens.contains(n.stripPrefix("_purged_")))
+          fs.delete(st.getPath, false)
+      }
+  }
+
   /** DOCUMENT DELETES for the BM25 index — the tombstone sibling of
     * [[appendScoredPostings]]: commit the doc ids as a tombstone
     * delta AND one NEGATIVE stats row (−n_docs, −total_dl of the
@@ -233,9 +284,24 @@ object TextIndex {
     * those orphaned rows — `del_`-token stats lacking a tombstone
     * twin, a state the current ordering can never produce — so an
     * index carrying the old scheme's crash window converges here
-    * instead of skewing. Returns the refreshed readers. */
+    * instead of skewing.
+    *
+    * `salt` (ADVICE r17, high): the raw-id-set token COLLIDES across
+    * delete / re-insert / delete cycles of the same id set — the purge
+    * clears the tombstone dir (markers included), so the SECOND
+    * delete's tombstone half re-commits, but its stats half no-ops
+    * against the FIRST delete's still-present marker in the stats dir
+    * (which the purge rightly never touches): n_docs/total_dl
+    * permanently over-count the re-deleted docs. Feed consumers
+    * ([[graft.streaming.IndexSink]], which drives exactly this cycle)
+    * pass their batch span as `salt` — exactly-once per FEED POSITION,
+    * while a retry of the same batch (same span, same ids) still
+    * no-ops. Direct callers composing delete → re-insert → delete of
+    * one id set must likewise pass distinct salts per delete wave.
+    * Returns the refreshed readers. */
   def deleteScoredPostings(ids: DataFrame, idCol: String,
-      basePath: String, buckets: Int = 64): (DataFrame, DataFrame) = {
+      basePath: String, buckets: Int = 64,
+      salt: String = ""): (DataFrame, DataFrame) = {
     val spark = ids.sparkSession
     val root = s"$basePath/scored_postings_b$buckets"
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -244,7 +310,8 @@ object TextIndex {
       s"deleteScoredPostings: no committed index under $root - build first")
     sweepOrphanedDeleteStats(spark, basePath, buckets)
     val d = ids.select(col(idCol).as("doc_id")).distinct()
-    val token = "del_" + StagedCommit.idToken(d, "doc_id")
+    val token = "del_" + (if (salt.isEmpty) "" else s"${salt}_") +
+      StagedCommit.idToken(d, "doc_id")
     if (!StagedCommit.hasDelta(spark, s"$root/tombstones", token)) {
       // first attempt (or retry that died before its tombstones
       // landed): tombstone the not-yet-deleted remainder. An all-
@@ -337,20 +404,23 @@ object TextIndex {
                 s"$postPath/_bkt=$b"), true)
             }
         }
-        // PURGE LEDGER: record every cleared token as an empty
-        // `_purged_<token>` marker BEFORE the tombstone dir goes — a
-        // completed delete's stats row would otherwise become
-        // indistinguishable from the pre-r15 orphan the migration
-        // sweep reclaims (stats present, tombstone twin gone), and the
-        // sweep would destroy a legitimate subtraction. One empty file
-        // per purged delete batch, the same kept-marker posture as the
-        // report-state compactor. A crash between ledger and clear is
-        // harmless (twin still present; the retry re-writes the ledger
-        // idempotently).
-        tombTokens.foreach { t =>
-          fs.create(new org.apache.hadoop.fs.Path(root, s"_purged_$t"),
-            true).close()
-        }
+        // PURGE LEDGER: record every cleared token BEFORE the
+        // tombstone dir goes — a completed delete's stats row would
+        // otherwise become indistinguishable from the pre-r15 orphan
+        // the migration sweep reclaims (stats present, tombstone twin
+        // gone), and the sweep would destroy a legitimate subtraction.
+        // ONE `_purged_ledger` FILE (newline-separated tokens,
+        // tmp+rename rewrite), not one marker file per token (ADVICE
+        // r17, low: per-token markers grow the root listing without
+        // bound on a long-lived streamed index — and the entries can
+        // never age out while their stats markers fence redelivery, so
+        // fold them instead). Legacy per-token `_purged_<t>` markers
+        // from earlier rounds fold into the ledger here and are then
+        // removed. Crash windows: ledger lands before the markers go
+        // and before the tombstone clear, and rewriting is
+        // union-idempotent — a retry at any seam re-derives a superset.
+        writePurgedLedger(fs, root,
+          purgedTokens(fs, root) ++ tombTokens, dropMarkers = true)
         graft.FailPoint.hit("bm25_purge_before_clear")
         fs.delete(new org.apache.hadoop.fs.Path(tombPath), true)
         n
@@ -462,8 +532,7 @@ object TextIndex {
       case n if n.startsWith("_delta_del_") && n.endsWith("_SUCCESS") =>
         n.stripPrefix("_delta_").stripSuffix("_SUCCESS")
     }.filterNot(t => StagedCommit.hasDelta(spark, s"$root/tombstones", t))
-      .filterNot(t => fs.exists(
-        new org.apache.hadoop.fs.Path(root, s"_purged_$t")))
+      .filterNot(purgedTokens(fs, root))
     orphans.foreach { t =>
       // data files first, marker last: a crash mid-sweep leaves a
       // marker whose delta the next sweep re-identifies as orphaned

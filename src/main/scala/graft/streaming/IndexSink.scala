@@ -96,27 +96,33 @@ object IndexSink {
       fenceDir: String,
       append: (DataFrame, String) => Unit,
       update: (DataFrame, String) => Unit,
-      delete: DataFrame => Unit,
+      delete: (DataFrame, String) => Unit,
       pendingTombstones: () => Option[DataFrame],
-      purge: () => Unit)
+      // negative = REFUSED (an in-flight crashed delete holds the
+      // tombstones) — the apply must fail the batch, never continue
+      // (ADVICE r17, medium)
+      purge: () => Long)
 
   private def ivfOps(idx: IvfIndex, idCol: String,
                      vecCol: String): IndexOps =
     IndexOps(idx.basePath,
       (df, salt) => idx.append(df, idCol, vecCol, salt),
       (df, salt) => { idx.update(df, idCol, vecCol, salt); () },
-      df => { idx.delete(df, idCol); () },
+      // tombstones are the IVF delete's ONLY artifact — the content
+      // token lives in the dir the purge clears, so re-deletes after a
+      // purge re-commit cleanly with no cross-artifact marker to salt
+      (df, _) => { idx.delete(df, idCol); () },
       () => idx.pendingTombstones(),
-      () => { idx.purgeDeletes(idCol); () })
+      () => idx.purgeDeletes(idCol).map(_.toLong).sum)
 
   private def lshOps(idx: graft.operators.LshIndex, idCol: String,
                      vecCol: String): IndexOps =
     IndexOps(idx.basePath,
       (df, salt) => idx.append(df, idCol, vecCol, salt),
       (df, salt) => { idx.update(df, idCol, vecCol, salt); () },
-      df => { idx.delete(df, idCol); () },
+      (df, _) => { idx.delete(df, idCol); () },
       () => idx.pendingTombstones(),
-      () => { idx.purgeDeletes(idCol); () })
+      () => idx.purgeDeletes(idCol))
 
   private def bm25Ops(spark: SparkSession, basePath: String,
                       buckets: Int, idCol: String,
@@ -131,11 +137,14 @@ object IndexSink {
         TextIndex.updateScoredPostings(df, idCol, textCol, basePath,
           buckets, salt); ()
       },
-      df => { TextIndex.deleteScoredPostings(df, idCol, basePath,
-        buckets); () },
+      // the salt matters HERE (ADVICE r17, high): the BM25 delete is
+      // two-artifact, and its stats marker outlives the purge — an
+      // unsalted token re-deleting a re-inserted id set would no-op
+      // the second subtraction forever
+      (df, salt) => { TextIndex.deleteScoredPostings(df, idCol,
+        basePath, buckets, salt); () },
       () => TextIndex.pendingDeletedDocs(spark, basePath, buckets),
-      () => { TextIndex.purgeDeletedPostings(spark, basePath, buckets)
-        ; () })
+      () => TextIndex.purgeDeletedPostings(spark, basePath, buckets))
   }
 
   /** Tail a CDF feed stream into an IVF index. `progress` — optional
@@ -254,15 +263,6 @@ object IndexSink {
         .select(col(idCol), col(vecCol))
       val updates = adds.filter(col("_first_ins") === 0)
         .select(col(idCol), col(vecCol))
-      // cross-batch seam: a previous delete-only batch's pending
-      // tombstones would mask a re-inserted key — purge them away
-      // first (always-safe, whatever the replay state)
-      if (!appends.isEmpty)
-        ops.pendingTombstones().foreach { t =>
-          if (!appends.join(t, appends(idCol) === t(t.columns.head),
-              "left_semi").isEmpty)
-            ops.purge()
-        }
       // batch-span salt: deterministic per content, distinct per feed
       // position — two different batches carrying identical content
       // (an identical-text re-insert of a purged doc, a set-back-to-
@@ -273,11 +273,38 @@ object IndexSink {
           max(col("_to_epoch"))).head()
         s"cdf_${span.getLong(0)}_${span.getLong(1)}"
       }
-      if (!dels.isEmpty) ops.delete(dels)
+      // deletes FIRST, before any purge decision (ADVICE r17, medium):
+      // if an earlier attempt of THIS batch crashed between a
+      // two-artifact delete's halves, the retry's delete completes the
+      // dangling stats half here, so the purge below can succeed
+      // instead of refusing over our own in-flight tombstones. Safe to
+      // hoist: dels and the add sets are key-disjoint by construction.
+      if (!dels.isEmpty) ops.delete(dels, salt)
+      // cross-batch seam: a previous delete-only batch's pending
+      // tombstones would mask a re-inserted key — purge them away
+      // before the append (always-safe maintenance, whatever the
+      // replay state). A refusal here means a FOREIGN in-flight
+      // crashed delete (not this batch's — ours just completed) holds
+      // the tombstones; continuing would land postings that the next
+      // successful purge physically destroys (they'd still be masked
+      // by the stale tombstones) — fail the batch instead and let the
+      // owner's retry complete the delete.
+      if (!appends.isEmpty)
+        ops.pendingTombstones().foreach { t =>
+          if (!appends.join(t, appends(idCol) === t(t.columns.head),
+              "left_semi").isEmpty) {
+            val purged = ops.purge()
+            if (purged < 0L) throw new IllegalStateException(
+              s"IndexSink batch $batchId: purge refused — an " +
+                "in-flight crashed delete holds tombstones masking " +
+                "keys this batch re-inserts. Re-run that delete to " +
+                "completion, then restart the tail.")
+          }
+        }
       if (!updates.isEmpty) ops.update(updates, salt)
-      // appends go LAST: the update's purge above physically applied
-      // this batch's delete tombstones too, so nothing it does can
-      // touch rows appended after it
+      // appends go LAST: the purges above physically applied this
+      // batch's delete tombstones too, so nothing they do can touch
+      // rows appended after them
       if (!appends.isEmpty) ops.append(appends, salt)
     } finally batch.unpersist()
     // every interval's ops are durably committed — the batch marker

@@ -371,6 +371,91 @@ class TextIndexSpec extends SparkSpec {
       .as[(Long, Long)].head() == ((6L, 16L)))
   }
 
+  test("salted deletes (ADVICE r17 high): delete / purge / re-insert " +
+      "/ delete of the SAME id set subtracts stats BOTH times; a " +
+      "retry of one wave still no-ops") {
+    val docs = Seq(
+      (1L, "spark join scan"), (2L, "join batch join"),
+      (3L, "spark batch"), (4L, "spark join other"),
+      (5L, "batch batch spark"), (6L, "join alone")).toDF("id", "txt")
+    val base = java.nio.file.Files
+      .createTempDirectory("textindex_delsalt").toString
+    TextIndex.buildScoredPostings(docs, "id", "txt", base, buckets = 4)
+    // wave 1: delete {1,2}, physically purge (clears the tombstone
+    // dir and its markers; the stats markers stay forever)
+    TextIndex.deleteScoredPostings(Seq(1L, 2L).toDF("id"), "id", base,
+      buckets = 4, salt = "w1")
+    assert(TextIndex.purgeDeletedPostings(spark, base, buckets = 4) > 0)
+    // re-insert the same ids with the same text (feed-position salt)
+    TextIndex.appendScoredPostings(
+      docs.filter($"id" <= 2L), "id", "txt", base, buckets = 4,
+      salt = "w2")
+    // wave 3: delete the SAME id set again — under the unsalted
+    // raw-id-set token this stats half would no-op against wave 1's
+    // still-present marker, permanently over-counting n_docs/total_dl
+    val (p, st) = TextIndex.deleteScoredPostings(
+      Seq(1L, 2L).toDF("id"), "id", base, buckets = 4, salt = "w3")
+    assert(st.agg(sum($"n_docs"), sum($"total_dl"))
+      .as[(Long, Long)].head() == ((4L, 10L)))
+    def topk(pp: org.apache.spark.sql.DataFrame,
+             ss: org.apache.spark.sql.DataFrame) =
+      TextIndex.bm25TopK(pp, ss, Seq("spark", "join"), k = 6,
+        buckets = 4).as[(Long, Double)].collect().toSeq
+    val fsBase = java.nio.file.Files
+      .createTempDirectory("textindex_delsalt_fs").toString
+    val (fp2, fs2) = TextIndex.buildScoredPostings(
+      docs.filter($"id" > 2), "id", "txt", fsBase, buckets = 4)
+    assert(topk(p, st) == topk(fp2, fs2))
+    // a RETRY of wave 3 (same salt, same ids -> same token) no-ops
+    val (_, st2) = TextIndex.deleteScoredPostings(
+      Seq(1L, 2L).toDF("id"), "id", base, buckets = 4, salt = "w3")
+    assert(st2.agg(sum($"n_docs")).as[Long].head() == 4L)
+  }
+
+  test("purge ledger is ONE file (ADVICE r17 low): no per-token " +
+      "markers accumulate, legacy markers fold in, and the sweep " +
+      "still protects every purged token") {
+    val docs = Seq(
+      (1L, "spark join scan"), (2L, "join batch join"),
+      (3L, "spark batch"), (4L, "spark join other")).toDF("id", "txt")
+    val base = java.nio.file.Files
+      .createTempDirectory("textindex_ledger").toString
+    TextIndex.buildScoredPostings(docs, "id", "txt", base, buckets = 4)
+    val root = s"$base/scored_postings_b4"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant a LEGACY per-token marker (earlier rounds' scheme) with a
+    // matching completed-then-purged delete's stats row: the sweep
+    // must read the legacy form and not reclaim it
+    StagedCommit.appendOnce(s"$root/stats", "del_legacy_tok",
+      Seq.empty, Seq((-1L, -3L)).toDF("n_docs", "total_dl"))
+    fs.create(new org.apache.hadoop.fs.Path(root, "_purged_del_legacy_tok"),
+      true).close()
+    assert(TextIndex.sweepOrphanedDeleteStats(spark, base, buckets = 4)
+      .isEmpty)
+    // two purge rounds; each clears its wave's tombstone tokens
+    TextIndex.deleteScoredPostings(Seq(1L).toDF("id"), "id", base,
+      buckets = 4, salt = "wa")
+    assert(TextIndex.purgeDeletedPostings(spark, base, buckets = 4) > 0)
+    TextIndex.deleteScoredPostings(Seq(2L).toDF("id"), "id", base,
+      buckets = 4, salt = "wb")
+    assert(TextIndex.purgeDeletedPostings(spark, base, buckets = 4) > 0)
+    // the root carries exactly ONE ledger file and ZERO per-token
+    // markers — the legacy one was folded in and removed
+    val rootNames = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_purged")).toSeq
+    assert(rootNames == Seq("_purged_ledger"), rootNames.toString)
+    // every purged token (both waves + the folded legacy one) is still
+    // shielded from the migration sweep
+    assert(TextIndex.sweepOrphanedDeleteStats(spark, base, buckets = 4)
+      .isEmpty)
+    // and the stats delta markers are intact (redelivery fence): both
+    // delete waves' rows net with the build row
+    val (_, st) = TextIndex.scoredPostingsReaders(spark, base,
+      buckets = 4)
+    assert(st.agg(sum($"n_docs")).as[Long].head() == 1L)
+  }
+
   test("bm25TopK: hand-computed scores, rank order, tf saturation") {
     val docs = Seq(
       (1L, "spark spark spark join"), // tf(spark)=3 in a 4-token doc

@@ -260,6 +260,150 @@ class IndexSinkSpec extends SparkSpec {
     assert(idx.cells().filter($"vec_id" === 301L).count() == 1)
   }
 
+  test("startBm25 drives delete / re-insert / delete of ONE doc id " +
+      "across batches: the salted delete token subtracts stats both " +
+      "times (ADVICE r17 high) and the index equals from-scratch") {
+    import graft.operators.TextIndex
+    val w = java.nio.file.Files.createTempDirectory("graft_idxsink6")
+      .toString
+    val tbl = s"$w/tbl"; val feed = s"$w/feed"; val idxBase = s"$w/idx"
+    val docs = Seq(
+      (1L, "spark join scan"), (2L, "join batch join"),
+      (3L, "spark batch"), (4L, "spark join other"))
+      .toDF("doc_id", "text")
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("pd", $"doc_id" % 2)
+    val keys = Seq("pd", "doc_id")
+    Upsert.mergeIntoManifested(spark, tbl,
+      shaped(docs).withColumn("ver", lit(1L)), keys, "pd", "ver",
+      retain = 8)
+    TextIndex.buildScoredPostings(
+      Upsert.readManifestedAt(spark, tbl, 0), "doc_id", "text", idxBase,
+      buckets = 4)
+    def drain(): Unit = {
+      val q = IndexSink.startBm25(
+        CdfSource.feedStream(spark, tbl, keys, feed),
+        idxBase, "doc_id", "text", s"$w/ckpt", buckets = 4)
+      assert(q.awaitTermination(120000L), "bm25 stream did not drain")
+    }
+    // wave A: delete doc 2 — tombstone + one stats subtraction
+    Upsert.deleteKeysFromManifested(spark, tbl,
+      Seq((2L, 0L)).toDF("doc_id", "pd").select($"pd", $"doc_id"),
+      keys, "pd", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    drain()
+    // wave B: re-insert doc 2 with new text — the purge-at-start
+    // clears the pending tombstone (markers included), then appends
+    Upsert.mergeIntoManifested(spark, tbl,
+      shaped(Seq((2L, "batch other words")).toDF("doc_id", "text"))
+        .withColumn("ver", lit(2L)), keys, "pd", "ver", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    drain()
+    // wave C: delete doc 2 AGAIN — under an unsalted raw-id-set token
+    // this wave's stats half would no-op against wave A's still-
+    // present marker in the stats dir, over-counting n_docs/total_dl
+    // forever
+    Upsert.deleteKeysFromManifested(spark, tbl,
+      Seq((2L, 0L)).toDF("doc_id", "pd").select($"pd", $"doc_id"),
+      keys, "pd", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    drain()
+    val (p, st) = TextIndex.scoredPostingsReaders(spark, idxBase,
+      buckets = 4)
+    // survivors {1,3,4} carry 3+2+3 = 8 tokens
+    assert(st.agg(sum($"n_docs"), sum($"total_dl"))
+      .as[(Long, Long)].head() == ((3L, 8L)))
+    val fsBase = java.nio.file.Files
+      .createTempDirectory("graft_idxsink6_fs").toString
+    val fin = Upsert.readManifested(spark, tbl).select($"doc_id", $"text")
+    val (fp, fs2) = TextIndex.buildScoredPostings(fin, "doc_id", "text",
+      fsBase, buckets = 4)
+    assert(TextIndex.bm25TopK(p, st, Seq("spark", "join"), k = 10,
+        buckets = 4).as[(Long, Double)].collect().toSeq ==
+      TextIndex.bm25TopK(fp, fs2, Seq("spark", "join"), k = 10,
+        buckets = 4).as[(Long, Double)].collect().toSeq)
+  }
+
+  test("a FOREIGN in-flight crashed delete fails the batch at the " +
+      "purge refusal instead of landing doomed postings (ADVICE r17 " +
+      "medium); completing the delete and restarting converges") {
+    import graft.operators.TextIndex
+    val w = java.nio.file.Files.createTempDirectory("graft_idxsink7")
+      .toString
+    val tbl = s"$w/tbl"; val feed = s"$w/feed"; val idxBase = s"$w/idx"
+    val docs = Seq(
+      (1L, "spark join scan"), (2L, "join batch join"),
+      (3L, "spark batch")).toDF("doc_id", "text")
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("pd", $"doc_id" % 2)
+    val keys = Seq("pd", "doc_id")
+    Upsert.mergeIntoManifested(spark, tbl,
+      shaped(docs).withColumn("ver", lit(1L)), keys, "pd", "ver",
+      retain = 8)
+    TextIndex.buildScoredPostings(
+      Upsert.readManifestedAt(spark, tbl, 0), "doc_id", "text", idxBase,
+      buckets = 4)
+    // a DIRECT (non-feed) delete of doc 3 crashes between its halves:
+    // tombstone committed, stats half missing — the in-flight state
+    // only its own retry can complete
+    graft.FailPoint.arm("bm25_delete_after_tombstones")
+    try intercept[graft.FailPoint.Kill] {
+      TextIndex.deleteScoredPostings(Seq(3L).toDF("id"), "id", idxBase,
+        buckets = 4)
+    } finally graft.FailPoint.disarm()
+    // the table deletes doc 3 then re-inserts it; the feed batch nets
+    // that to... two separate polls/drains so the re-insert arrives as
+    // a pure insert batch whose key the stale tombstone masks
+    Upsert.deleteKeysFromManifested(spark, tbl,
+      Seq((3L, 1L)).toDF("doc_id", "pd").select($"pd", $"doc_id"),
+      keys, "pd", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    def drain(ck: String): Unit = {
+      val q = IndexSink.startBm25(
+        CdfSource.feedStream(spark, tbl, keys, feed),
+        idxBase, "doc_id", "text", ck, buckets = 4)
+      assert(q.awaitTermination(120000L), "bm25 stream did not drain")
+    }
+    // the delete batch drains fine (its salted delete sees doc 3
+    // already tombstoned — nothing of it lands; the foreign token's
+    // dangling stats half remains)
+    drain(s"$w/ckpt")
+    // re-insert doc 3: the batch's purge-at-start REFUSES over the
+    // foreign in-flight tombstones — the batch must FAIL (continuing
+    // would land postings the next successful purge destroys)
+    Upsert.mergeIntoManifested(spark, tbl,
+      shaped(Seq((3L, "other words entirely")).toDF("doc_id", "text"))
+        .withColumn("ver", lit(2L)), keys, "pd", "ver", retain = 8)
+    CdfSource.pollOnce(spark, tbl, keys, feed)
+    val ex = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(s"$w/ckpt")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("purge refused")),
+      messages(ex).mkString(" | "))
+    // complete the foreign delete (same unsalted token -> its retry
+    // finishes the stats half), restart the SAME checkpoint: the
+    // replayed batch now purges cleanly and the re-insert lands
+    TextIndex.deleteScoredPostings(Seq(3L).toDF("id"), "id", idxBase,
+      buckets = 4)
+    drain(s"$w/ckpt")
+    val (p, st) = TextIndex.scoredPostingsReaders(spark, idxBase,
+      buckets = 4)
+    val fsBase = java.nio.file.Files
+      .createTempDirectory("graft_idxsink7_fs").toString
+    val fin = Upsert.readManifested(spark, tbl).select($"doc_id", $"text")
+    val (fp, fs2) = TextIndex.buildScoredPostings(fin, "doc_id", "text",
+      fsBase, buckets = 4)
+    assert(TextIndex.bm25TopK(p, st, Seq("spark", "batch"), k = 10,
+        buckets = 4).as[(Long, Double)].collect().toSeq ==
+      TextIndex.bm25TopK(fp, fs2, Seq("spark", "batch"), k = 10,
+        buckets = 4).as[(Long, Double)].collect().toSeq)
+    assert(st.agg(sum($"n_docs")).as[Long].head() == 3L)
+  }
+
   test("startLsh: the forest converges across insert, in-place update, " +
       "and delete waves — every table copy replaced or retired") {
     val w = java.nio.file.Files.createTempDirectory("graft_idxsink3")
