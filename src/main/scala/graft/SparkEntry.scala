@@ -2037,6 +2037,42 @@ object SparkEntry {
           col("o_orderstatus"), col("_change_type"))
     }),
 
+    "j32_merge_widen" -> ((s, dir) => {
+      // TYPE-WIDENING EVOLUTION (VERDICT r17 #4): epoch 0 stores `q`
+      // as INT; a later merge arrives with q as BIGINT carrying values
+      // past int range (%5 keys at +3e9) — the manifest records the
+      // widened schema plus a one-shot `#widen` event line, old epoch
+      // files read under the widened type with values upcast IN THE
+      // SCAN (no rewrite), and time travel to epoch 0 still
+      // reconstructs the table under its own narrow schema. Both
+      // snapshots in one result (cast to the wide type for a uniform
+      // output shape), disambiguated by `src`; the oracle computes
+      // each side directly.
+      val base = s"${artifactBase(dir)}/merge_widen"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_orderkey") % 97).cast("int").as("q"),
+          lit(1L).as("ver")), keys, "o_orderstatus", "ver", retain = 6)
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_orderkey") % 89 + 3000000000L).cast("long").as("q"),
+            lit(2L).as("ver")), keys, "o_orderstatus", "ver", retain = 6)
+      val current = operators.Upsert.readManifested(s, base)
+        .withColumn("src", lit("current"))
+      val historical = operators.Upsert.readManifestedAt(s, base, 0)
+        .withColumn("q", col("q").cast("long"))
+        .withColumn("src", lit("epoch0"))
+      current.unionByName(historical)
+        .select(col("src"), col("o_orderkey"), col("o_orderstatus"),
+          col("q"), col("ver"))
+        .orderBy(col("src"), col("o_orderkey"), col("o_orderstatus"))
+    }),
+
     "u4_union_evolve" -> ((s, dir) => {
       // schema-evolution union: a legacy slice without the status
       // column unions BY NAME with the current schema
@@ -3220,6 +3256,65 @@ object SparkEntry {
       operators.Upsert.readManifested(s, dst)
         .select(col("o_orderkey"), col("o_orderstatus"), col("q2"),
           col("note"), col("ver"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
+    "x_stream_replicate_widen" -> ((s, dir) => {
+      // REPLICATION ACROSS A TYPE WIDENING (VERDICT r17 #4): the
+      // source's `q` starts as INT; an update wave lands under int,
+      // then a widening merge re-types it BIGINT with values past int
+      // range, then a delete wave — all three polled into the feed
+      // BEFORE one drain, so the single apply batch holds pre-widen
+      // files stored int32 and post-widen files stored int64 under one
+      // stream schema pinned wide: the narrow era upcasts in the
+      // parquet scan (the promotion contract), the replica's merge
+      // widens its own stored schema via add-and-widen evolution, and
+      // the interval-epoch versioning still orders the waves. (The
+      // mid-RUN widen guard — a widening landing while a tail is
+      // draining — is spec-level, like the rename guard:
+      // ReplicateSpec.) Oracle = the converged replica from the wave
+      // algebra.
+      val work = java.nio.file.Files.createTempDirectory("graft_repwid")
+        .toString
+      val src = s"$work/src"; val feed = s"$work/feed"
+      val dst = s"$work/dst"
+      val base = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, src,
+        base.withColumn("q", (col("o_orderkey") % 97).cast("int"))
+          .withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver",
+        retain = 8)
+      graft.streaming.Replicate.seed(s, src, dst, keys, "o_orderstatus")
+      operators.Upsert.mergeIntoManifested(s, src,
+        base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("q", (col("o_orderkey") % 97 + 1000).cast("int"))
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver",
+        retain = 8)
+      graft.streaming.CdfSource.pollOnce(s, src, keys, feed)
+      operators.Upsert.mergeIntoManifested(s, src,
+        base.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("q",
+            (col("o_orderkey") % 89 + 3000000000L).cast("long"))
+          .withColumn("ver", lit(3L)), keys, "o_orderstatus", "ver",
+        retain = 8)
+      graft.streaming.CdfSource.pollOnce(s, src, keys, feed)
+      operators.Upsert.deleteKeysFromManifested(s, src,
+        base.filter(col("o_orderkey") % 11 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey")),
+        keys, "o_orderstatus", retain = 8)
+      graft.streaming.CdfSource.pollOnce(s, src, keys, feed)
+      val q = graft.streaming.Replicate.start(s, src, feed, dst, keys,
+        "o_orderstatus", s"$work/ckpt")
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "x_stream_replicate_widen: apply stream did not drain " +
+            "within 300s")
+      }
+      operators.Upsert.readManifested(s, dst)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("q"),
+          col("ver"))
         .orderBy(col("o_orderkey"), col("o_orderstatus"))
     }),
 
@@ -8000,6 +8095,47 @@ object SparkEntry {
          SELECT src, o_orderkey, o_orderstatus, tag, ver
          FROM (SELECT * FROM cur UNION ALL SELECT * FROM hist)
          ORDER BY src, o_orderkey, o_orderstatus""",
+
+    // current = widened values on the %5 keys (past int range), the
+    // rest upcast from the narrow era; epoch0 = the original ints,
+    // BIGINT-cast on both sides for one output shape
+    "j32_merge_widen" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders
+                       WHERE o_orderkey % 7 = 0),
+              cur AS (
+           SELECT 'current' AS src, o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 5 = 0
+                       THEN CAST(o_orderkey % 89 + 3000000000 AS BIGINT)
+                       ELSE CAST(o_orderkey % 97 AS BIGINT) END AS q,
+                  CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END
+                       AS BIGINT) AS ver
+           FROM base),
+              hist AS (
+           SELECT 'epoch0', o_orderkey, o_orderstatus,
+                  CAST(o_orderkey % 97 AS BIGINT),
+                  CAST(1 AS BIGINT)
+           FROM base)
+         SELECT src, o_orderkey, o_orderstatus, q, ver
+         FROM (SELECT * FROM cur UNION ALL SELECT * FROM hist)
+         ORDER BY src, o_orderkey, o_orderstatus""",
+
+    // the converged replica across the widening: %3 keys carry the
+    // post-widen BIGINT wave (latest interval), %5-only the int-era
+    // update (upcast), %11 deleted last
+    "x_stream_replicate_widen" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders
+                       WHERE o_orderkey % 7 = 0)
+         SELECT o_orderkey, o_orderstatus,
+                CASE WHEN o_orderkey % 3 = 0
+                     THEN CAST(o_orderkey % 89 + 3000000000 AS BIGINT)
+                     WHEN o_orderkey % 5 = 0
+                     THEN CAST(o_orderkey % 97 + 1000 AS BIGINT)
+                     ELSE CAST(o_orderkey % 97 AS BIGINT) END AS q,
+                CAST(CASE WHEN o_orderkey % 3 = 0 THEN 3
+                          WHEN o_orderkey % 5 = 0 THEN 2
+                          ELSE 1 END AS BIGINT) AS ver
+         FROM base WHERE o_orderkey % 11 <> 0
+         ORDER BY o_orderkey, o_orderstatus""",
 
     // the delete removes every %3 key from the merge model
     "j25_merge_delete" ->

@@ -451,6 +451,10 @@ final class IvfIndex(spark: SparkSession, val basePath: String) {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell").parquet(cellsPath)
     }
+    // marker-growth bound (VERDICT r17 #3): fold old _delta_ markers
+    // into the token manifest — the redelivery fence survives, the
+    // per-read listing stops growing with append history
+    StagedCommit.foldMarkers(spark, cellsPath)
     n
   }
 

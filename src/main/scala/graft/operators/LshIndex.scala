@@ -114,6 +114,8 @@ final class LshIndex(spark: SparkSession, val basePath: String, dim: Int,
         .partitionBy("tbl", "bucket").parquet(rowsPath)
       invalidate()
     }
+    // marker-growth bound (VERDICT r17 #3) — see IvfIndex.compact
+    StagedCommit.foldMarkers(spark, rowsPath)
     n
   }
 

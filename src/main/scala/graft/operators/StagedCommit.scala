@@ -86,7 +86,8 @@ object StagedCommit {
     val dir = fs.makeQualified(new Path(path))
     val committed = fs.listStatus(dir).map(_.getPath.getName)
       .collect { case n if n.startsWith("_delta_") && n.endsWith("_SUCCESS") =>
-        n.stripPrefix("_delta_").stripSuffix("_SUCCESS") }.toSet
+        n.stripPrefix("_delta_").stripSuffix("_SUCCESS") }.toSet ++
+      manifestTokens(fs, dir)
     val keep = scala.collection.mutable.Buffer.empty[String]
     walkParquet(fs, dir) { st =>
       deltaToken(st.getPath.getName) match {
@@ -172,14 +173,83 @@ object StagedCommit {
 
   /** Is `token`'s delta fully committed at `path`? (Marker probe —
     * the same `_delta_<token>_SUCCESS` certificate [[appendOnce]]
-    * writes last.) Lets a multi-artifact protocol resume after a
+    * writes last, or the folded-marker manifest [[foldMarkers]]
+    * absorbed it into.) Lets a multi-artifact protocol resume after a
     * crash by asking which halves landed, instead of re-deriving the
     * answer from content that other writers may have changed since. */
   def hasDelta(spark: org.apache.spark.sql.SparkSession,
                path: String, token: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new Path(p, s"_delta_${safeToken(token)}_SUCCESS"))
+    val safe = safeToken(token)
+    fs.exists(new Path(p, s"_delta_${safe}_SUCCESS")) ||
+      manifestTokens(fs, p).contains(safe)
+  }
+
+  private val TokensManifest = "_tokens_manifest"
+
+  /** Tokens the folded-marker manifest records as committed (empty
+    * when no fold ever ran). One small file read. */
+  private def manifestTokens(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: Path): Set[String] = {
+    val p = new Path(dir, TokensManifest)
+    if (!fs.exists(p)) return Set.empty
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  /** MARKER-GROWTH BOUND (VERDICT r17 #3): `_delta_*_SUCCESS` markers
+    * accumulate one per append ever — compaction folds DATA files but
+    * must preserve the redelivery fence, and the committed-read
+    * listing pays for every marker (measured:
+    * `probes/r18/marker_scale.json` — resolution 0.08 → 0.12 → 0.60 s
+    * at 100/1k/10k markers, linear; a month-long micro-batch tail
+    * reaches 10⁵). This folds all but the newest `keepNewest` marker
+    * FILES into one `_tokens_manifest` line file: every committed-
+    * probe ([[hasDelta]], [[readCommitted]], [[appendOnce]]'s
+    * redelivery check) consults the union, so exactly-once survives
+    * the fold, while the listing returns O(keepNewest) marker entries
+    * plus one manifest read forever. The newest K stay as files — the
+    * active redelivery window (a replaying consumer's recent batches)
+    * keeps its O(1) exists-probe, and the fold itself needs no
+    * coordination with in-flight appends of NEW tokens. Crash-safe:
+    * the manifest (old ∪ folded, tmp+rename) lands BEFORE the marker
+    * files are deleted — a token present in both reads committed from
+    * either; a retry re-folds idempotently. Call it from the artifact
+    * owner's maintenance path (the family compacts do). Do NOT fold
+    * TRANSIENT marker dirs that are cleared wholesale (index tombstone
+    * dirs, the CDF feed): their protocols delete markers to mean
+    * "gone", and a manifest would resurrect them. Returns the number
+    * of markers folded. */
+  def foldMarkers(spark: org.apache.spark.sql.SparkSession,
+                  path: String, keepNewest: Int = 64): Int = {
+    require(keepNewest >= 1, s"keepNewest must be >= 1: $keepNewest")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val markers = fs.listStatus(p).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.startsWith("_delta_") && n.endsWith("_SUCCESS")
+    }
+    if (markers.size <= keepNewest) return 0
+    val fold = markers.sortBy(_.getModificationTime)
+      .dropRight(keepNewest)
+    val tokens = manifestTokens(fs, p) ++ fold.map(st =>
+      st.getPath.getName.stripPrefix("_delta_")
+        .stripSuffix("_SUCCESS"))
+    val tmp = new Path(p, s"$TokensManifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(tokens.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(p, TokensManifest)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst) || fs.exists(dst),
+      s"could not persist token manifest under $path")
+    fold.foreach(st => fs.delete(st.getPath, false))
+    fold.size
   }
 
   /** EXACTLY the rows `token`'s committed delta contributed to `path`
@@ -249,7 +319,12 @@ object StagedCommit {
     val dir = fs.makeQualified(new Path(path))
     val safe = safeToken(token)
     val marker = new Path(dir, s"_delta_${safe}_SUCCESS")
-    if (fs.exists(marker)) return false
+    // the redelivery fence consults the folded-marker manifest too —
+    // without this, a redelivered token whose marker [[foldMarkers]]
+    // absorbed would pass the exists-probe, SELF-HEAL-DELETE its own
+    // committed (possibly since-compacted) files, and re-append
+    if (fs.exists(marker) ||
+        manifestTokens(fs, dir).contains(safe)) return false
     val prefix = s"delta_${safe}_"
     // self-heal: a killed commit of this token left some renamed files.
     // Stale deltas live only in the LIVE tree, so the hidden-subtree-

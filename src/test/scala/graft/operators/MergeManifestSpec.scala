@@ -309,6 +309,16 @@ class MergeManifestSpec extends SparkSpec {
     }
     assert(exPart.getMessage.contains("partition column"),
       exPart.getMessage)
+    // the widening merge recorded one-shot #widen EVENT lines (the
+    // feed consumers' fail-fast signal), visible via
+    // schemaEventsBetween like #rename/#dropcol — and NOT carried
+    // into later manifests (one-shot semantics)
+    val ev = Upsert.schemaEventsBetween(spark, path, 0, 1)
+      .filter(_._2 == "widen")
+    assert(ev.map(e => (e._1, e._3)).toSet ==
+      Set((1L, "k"), (1L, "v")), ev.toString)
+    assert(Upsert.schemaEventsBetween(spark, path, 1, 2)
+      .forall(_._2 != "widen"))
   }
 
   test("decimal precision growth widens in place at the same scale; " +

@@ -29,6 +29,61 @@ class StagedCommitSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 6)
   }
 
+  test("foldMarkers (VERDICT r17 #3): old markers fold into the token " +
+      "manifest, newest K stay as files, and every committed-probe — " +
+      "hasDelta, readCommitted, appendOnce's redelivery fence — " +
+      "consults the union; idempotent; crash window converges") {
+    val dir = Files.createTempDirectory("graft_sc_fold").toString
+    df(1, 2).write.mode("overwrite").parquet(dir)
+    val tokens = (1 to 8).map { i =>
+      val d = df(100L + i)
+      val t = StagedCommit.idToken(d, "id")
+      assert(StagedCommit.appendOnce(dir, t, Nil, d))
+      Thread.sleep(5L) // distinct modtimes: fold order is by age
+      t
+    }
+    val before = StagedCommit.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def markerFiles: Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("_delta_") && n.endsWith("_SUCCESS"))
+        .toSeq
+    assert(markerFiles.size == 8)
+    assert(StagedCommit.foldMarkers(spark, dir, keepNewest = 3) == 5)
+    assert(markerFiles.size == 3)
+    // content identical; every folded token still reads committed
+    assert(StagedCommit.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == before)
+    tokens.foreach(t => assert(StagedCommit.hasDelta(spark, dir, t)))
+    // the redelivery fence holds for a FOLDED token: a blind re-append
+    // must no-op (the old exists-probe alone would self-heal-delete
+    // the committed files and re-append)
+    assert(!StagedCommit.appendOnce(dir, tokens.head, Nil,
+      df(101)))
+    assert(StagedCommit.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == before)
+    // idempotent: nothing left above the cap
+    assert(StagedCommit.foldMarkers(spark, dir, keepNewest = 3) == 0)
+    // crash window: manifest updated but one marker file survives
+    // (kill between rename and the deletes) — both forms say
+    // committed, and the next fold converges
+    val survivor = markerFiles.head
+    val tok = survivor.stripPrefix("_delta_").stripSuffix("_SUCCESS")
+    assert(StagedCommit.foldMarkers(spark, dir, keepNewest = 1) == 2)
+    fs.create(new org.apache.hadoop.fs.Path(dir, survivor), true).close()
+    assert(StagedCommit.hasDelta(spark, dir, tok))
+    assert(StagedCommit.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == before)
+    // a NEW append after folding still works and re-folds later
+    assert(StagedCommit.appendOnce(dir,
+      StagedCommit.idToken(df(200), "id"), Nil, df(200)))
+    assert(StagedCommit.readCommitted(spark, dir).count() ==
+      before.size + 1)
+  }
+
   test("kill mid-commit self-heals: stray token files swept on retry") {
     val dir = Files.createTempDirectory("graft_sc_heal").toString
     df(1, 2).write.mode("overwrite").parquet(dir)

@@ -456,6 +456,89 @@ class TextIndexSpec extends SparkSpec {
     assert(st.agg(sum($"n_docs")).as[Long].head() == 1L)
   }
 
+  test("compactScoredPostings folds delta files into base files with " +
+      "markers preserved: served view unchanged, redelivered batches " +
+      "still no-op, folded delete tokens survive the orphan sweep, " +
+      "and purge still works afterwards") {
+    val docs = Seq(
+      (1L, "spark join scan"), (2L, "join batch join"),
+      (3L, "spark batch"), (4L, "spark join other")).toDF("id", "txt")
+    val base = java.nio.file.Files
+      .createTempDirectory("textindex_compact").toString
+    TextIndex.buildScoredPostings(docs, "id", "txt", base, buckets = 2)
+    // churn: two appends, one delete (its negative stats row will be
+    // folded), one more append
+    TextIndex.appendScoredPostings(
+      Seq((5L, "spark words more")).toDF("id", "txt"), "id", "txt",
+      base, buckets = 2, salt = "b1")
+    TextIndex.appendScoredPostings(
+      Seq((6L, "join words")).toDF("id", "txt"), "id", "txt",
+      base, buckets = 2, salt = "b2")
+    TextIndex.deleteScoredPostings(Seq(2L).toDF("id"), "id", base,
+      buckets = 2, salt = "b3")
+    TextIndex.appendScoredPostings(
+      Seq((7L, "batch alone")).toDF("id", "txt"), "id", "txt",
+      base, buckets = 2, salt = "b4")
+    val root = s"$base/scored_postings_b2"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetCount(p: String): Int = {
+      var n = 0
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    def markerCount(p: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .count { st => val n = st.getPath.getName
+          n.startsWith("_delta_") && n.endsWith("_SUCCESS") }
+    def topk() = {
+      val (p, st) = TextIndex.scoredPostingsReaders(spark, base,
+        buckets = 2)
+      TextIndex.bm25TopK(p, st, Seq("spark", "join"), k = 10,
+        buckets = 2).as[(Long, Double)].collect().toSeq
+    }
+    val before = topk()
+    val postFilesBefore = parquetCount(s"$root/postings")
+    val statFilesBefore = parquetCount(s"$root/stats")
+    val markersBefore = (markerCount(s"$root/postings"),
+      markerCount(s"$root/stats"))
+    assert(statFilesBefore >= 5) // build + 4 deltas
+    assert(TextIndex.compactScoredPostings(spark, base, buckets = 2) > 0)
+    // fewer files, SAME markers, identical served results
+    assert(parquetCount(s"$root/postings") < postFilesBefore)
+    assert(parquetCount(s"$root/stats") == 1)
+    assert((markerCount(s"$root/postings"),
+      markerCount(s"$root/stats")) == markersBefore)
+    assert(topk() == before)
+    // a second compact is a no-op (everything within the cap)
+    assert(TextIndex.compactScoredPostings(spark, base, buckets = 2) == 0)
+    // redelivered old batches no-op file-level: nothing reappears
+    TextIndex.appendScoredPostings(
+      Seq((5L, "spark words more")).toDF("id", "txt"), "id", "txt",
+      base, buckets = 2, salt = "b1")
+    TextIndex.deleteScoredPostings(Seq(2L).toDF("id"), "id", base,
+      buckets = 2, salt = "b3")
+    assert(parquetCount(s"$root/stats") == 1)
+    assert(topk() == before)
+    // the folded delete token is ledgered: the orphan sweep must not
+    // reclaim (= delete the marker of) a folded completed delete
+    assert(TextIndex.sweepOrphanedDeleteStats(spark, base, buckets = 2)
+      .isEmpty)
+    assert((markerCount(s"$root/postings"),
+      markerCount(s"$root/stats")) == markersBefore)
+    // maintenance still composes: a fresh delete + purge after the fold
+    TextIndex.deleteScoredPostings(Seq(1L).toDF("id"), "id", base,
+      buckets = 2, salt = "b5")
+    assert(TextIndex.purgeDeletedPostings(spark, base, buckets = 2) > 0)
+    val (p2, st2) = TextIndex.scoredPostingsReaders(spark, base,
+      buckets = 2)
+    assert(st2.agg(sum($"n_docs")).as[Long].head() == 5L)
+    assert(p2.filter($"doc_id" === 1L).count() == 0)
+  }
+
   test("bm25TopK: hand-computed scores, rank order, tf saturation") {
     val docs = Seq(
       (1L, "spark spark spark join"), // tf(spark)=3 in a 4-token doc

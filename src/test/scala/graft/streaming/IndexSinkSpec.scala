@@ -404,6 +404,117 @@ class IndexSinkSpec extends SparkSpec {
     assert(st.agg(sum($"n_docs")).as[Long].head() == 3L)
   }
 
+  test("verifyCdf catches a corrupted feed (insert of a PRESENT key) " +
+      "at the consumer boundary: fail throws naming the keys, " +
+      "reroute converges through update") {
+    val w = java.nio.file.Files.createTempDirectory("graft_idxsink9")
+      .toString
+    val idx = new IvfIndex(spark, s"$w/idx")
+    idx.build(corpus, "vec_id", "embedding", k = 2, iters = 4)
+    // a feed batch claiming key 5 (present since the build) is an
+    // INSERT — the CDF contract violation the netting would otherwise
+    // trust into a duplicate row
+    def badBatch = corpus.filter($"vec_id" === 5L)
+      .select($"vec_id",
+        transform($"embedding", x => -x).as("embedding"))
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_from_epoch", lit(0L))
+      .withColumn("_to_epoch", lit(1L))
+    val ex = intercept[IllegalStateException] {
+      IndexSink.applyIvfBatch(spark, badBatch, 1L, idx,
+        "vec_id", "embedding", verifyCdf = "fail")
+    }
+    assert(ex.getMessage.contains("already") &&
+      ex.getMessage.contains("INSERT"), ex.getMessage)
+    // nothing landed; the index still serves the original vector once
+    assert(idx.cells().filter($"vec_id" === 5L).count() == 1)
+    // reroute: the violating key goes through update — one row, the
+    // NEW vector, and the batch marker lands
+    IndexSink.applyIvfBatch(spark, badBatch, 1L, idx,
+      "vec_id", "embedding", verifyCdf = "reroute")
+    assert(idx.cells().filter($"vec_id" === 5L).count() == 1)
+    val stored = idx.cells().filter($"vec_id" === 5L)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]]
+      .head()
+    val orig = corpus.filter($"vec_id" === 5L)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]]
+      .head()
+    assert(stored == orig.map(-_), stored.toString)
+    // an untainted batch under the flag passes clean: a genuinely new
+    // key appends
+    val good = Seq((901L, Array(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_from_epoch", lit(1L))
+      .withColumn("_to_epoch", lit(2L))
+    IndexSink.applyIvfBatch(spark, good, 2L, idx,
+      "vec_id", "embedding", verifyCdf = "fail")
+    assert(idx.cells().filter($"vec_id" === 901L).count() == 1)
+  }
+
+  test("compactEvery bounds delta-file growth on a long tail " +
+      "(VERDICT r17 #2): the folded index serves the same results, " +
+      "and a replayed batch still no-ops post-compaction") {
+    import graft.operators.TextIndex
+    val w = java.nio.file.Files.createTempDirectory("graft_idxsink8")
+      .toString
+    val tbl = s"$w/tbl"; val feed = s"$w/feed"; val idxBase = s"$w/idx"
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("pd", $"doc_id" % 2)
+    val keys = Seq("pd", "doc_id")
+    Upsert.mergeIntoManifested(spark, tbl,
+      shaped(Seq((1L, "spark join scan"), (2L, "join batch join"))
+        .toDF("doc_id", "text")).withColumn("ver", lit(1L)),
+      keys, "pd", "ver", retain = 16)
+    TextIndex.buildScoredPostings(
+      Upsert.readManifestedAt(spark, tbl, 0), "doc_id", "text", idxBase,
+      buckets = 2)
+    val root = s"$idxBase/scored_postings_b2"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def statFiles: Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/stats"))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    def drain(): Unit = {
+      val q = IndexSink.startBm25(
+        CdfSource.feedStream(spark, tbl, keys, feed),
+        idxBase, "doc_id", "text", s"$w/ckpt", buckets = 2,
+        compactEvery = 1)
+      assert(q.awaitTermination(120000L), "bm25 stream did not drain")
+    }
+    // 6 insert waves, drained one batch at a time with compactEvery=1:
+    // stats would otherwise accumulate one file per batch
+    (10L to 15L).foreach { i =>
+      Upsert.mergeIntoManifested(spark, tbl,
+        shaped(Seq((i, s"doc number $i spark")).toDF("doc_id", "text"))
+          .withColumn("ver", lit(1L)), keys, "pd", "ver", retain = 16)
+      CdfSource.pollOnce(spark, tbl, keys, feed)
+      drain()
+    }
+    assert(statFiles == 1, s"stats files not folded: $statFiles")
+    val (p, st) = TextIndex.scoredPostingsReaders(spark, idxBase,
+      buckets = 2)
+    val fsBase = java.nio.file.Files
+      .createTempDirectory("graft_idxsink8_fs").toString
+    val fin = Upsert.readManifested(spark, tbl).select($"doc_id", $"text")
+    val (fp, fs2) = TextIndex.buildScoredPostings(fin, "doc_id", "text",
+      fsBase, buckets = 2)
+    def topk(pp: org.apache.spark.sql.DataFrame,
+             ss: org.apache.spark.sql.DataFrame) =
+      TextIndex.bm25TopK(pp, ss, Seq("spark", "join"), k = 10,
+        buckets = 2).as[(Long, Double)].collect().toSeq
+    assert(topk(p, st) == topk(fp, fs2))
+    assert(st.agg(sum($"n_docs")).as[Long].head() == 8L)
+    // a REPLAYED batch (marker-gated) still no-ops post-compaction,
+    // and so do the ops' own content tokens if driven directly
+    val replayed = graft.operators.StagedCommit.readCommitted(spark, feed)
+    drain() // same checkpoint: nothing new -> every batch skips
+    assert(statFiles == 1 && replayed.count() > 0)
+    assert(topk(TextIndex.scoredPostingsReaders(spark, idxBase,
+      buckets = 2)._1, st) == topk(fp, fs2))
+  }
+
   test("startLsh: the forest converges across insert, in-place update, " +
       "and delete waves — every table copy replaced or retired") {
     val w = java.nio.file.Files.createTempDirectory("graft_idxsink3")

@@ -212,7 +212,7 @@ class MvSinkSpec extends SparkSpec {
       def messages(t: Throwable): Seq[String] =
         Option(t).toSeq.flatMap(e =>
           Option(e.getMessage).toSeq ++ messages(e.getCause))
-      assert(messages(ex).exists(_.contains("rename landed")),
+      assert(messages(ex).exists(_.contains("landed at epoch")),
         messages(ex).mkString(" | "))
     } finally if (q.isActive) q.stop()
     // the restarted tail re-pins the projection (the feed now serves

@@ -184,7 +184,7 @@ class ReplicateSpec extends SparkSpec {
       def messages(t: Throwable): Seq[String] =
         Option(t).toSeq.flatMap(e =>
           Option(e.getMessage).toSeq ++ messages(e.getCause))
-      assert(messages(ex).exists(_.contains("rename landed")),
+      assert(messages(ex).exists(_.contains("landed at epoch")),
         messages(ex).mkString(" | "))
     } finally if (q.isActive) q.stop()
     // the restart re-pins the schema, replays the rename onto the
@@ -195,6 +195,62 @@ class ReplicateSpec extends SparkSpec {
       .select($"k", $"part", $"w", $"ver")
       .as[(Long, String, Double, Long)].collect().toSet
     assert(fin == Set((1L, "a", 9.0, 3L)))
+  }
+
+  test("mid-RUN widen guard (VERDICT r17 #4): a type widening landing " +
+      "while a LIVE tail runs fails the query before the batch commits " +
+      "(the pinned narrow schema cannot read the wider files); the " +
+      "restarted tail re-pins wide and converges") {
+    val w = java.nio.file.Files.createTempDirectory("graft_repl5").toString
+    val src = s"$w/src"; val feed = s"$w/feed"; val dst = s"$w/dst"
+    def intRows(t: (Long, String, Int, Long)*) =
+      t.toSeq.toDF("k", "part", "v", "ver")
+    Upsert.mergeIntoManifested(spark, src,
+      intRows((1L, "a", 1, 1L)), keys, "part", "ver", retain = 12)
+    Replicate.seed(spark, src, dst, keys, "part")
+    val q = Replicate.start(spark, src, feed, dst, keys, "part",
+      s"$w/ckpt", trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+    try {
+      Upsert.mergeIntoManifested(spark, src,
+        intRows((1L, "a", 5, 2L)), keys, "part", "ver", retain = 12)
+      CdfSource.pollOnce(spark, src, keys, feed)
+      val deadline = System.currentTimeMillis() + 120000L
+      while (Upsert.readManifested(spark, dst)
+          .filter($"k" === 1L && $"v" === 5).isEmpty) {
+        assert(System.currentTimeMillis() < deadline,
+          "live tail never applied wave 1")
+        Thread.sleep(200L)
+      }
+      // the WIDENING lands while the tail runs: post-widen feed files
+      // store int64 the pinned int32 schema cannot read — the guard
+      // must fail the query with the checkpoint NOT advanced, before
+      // the scan ever hits the unconvertible file
+      Upsert.mergeIntoManifested(spark, src,
+        Seq((2L, "a", 3000000007L, 3L)).toDF("k", "part", "v", "ver"),
+        keys, "part", "ver", retain = 12)
+      CdfSource.pollOnce(spark, src, keys, feed)
+      val ex = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(120000L)
+        ()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("widening landed")),
+        messages(ex).mkString(" | "))
+    } finally if (q.isActive) q.stop()
+    // the restart pins the WIDE schema; the replica's merge widens via
+    // add-and-widen evolution; pre-widen history upcasts in the scan
+    drain(Replicate.start(spark, src, feed, dst, keys, "part",
+      s"$w/ckpt"))
+    val fin = Upsert.readManifested(spark, dst)
+      .select($"k", $"part", $"v", $"ver")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(fin == Set((1L, "a", 5L, 2L), (2L, "a", 3000000007L, 3L)))
+    assert(Upsert.manifestedSchema(spark, dst).get("v").dataType ==
+      org.apache.spark.sql.types.LongType)
   }
 
   test("seed-then-tail overlap is harmless: a feed replaying history " +
