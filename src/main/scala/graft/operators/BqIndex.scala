@@ -117,49 +117,37 @@ final class BqIndex(spark: SparkSession, basePath: String) {
     * the table root, next to the data files a plain Overwrite would
     * wipe): a redelivered old batch must keep no-opping after its rows
     * were folded into base files, or compaction would reopen the
-    * exactly-once window. Same non-atomicity contract as the sibling
-    * compacts: the committed slice is localCheckpoint'ed, staged to a
-    * side dir, and swapped file-by-file — a kill mid-swap can leave a
-    * mixed listing; recovery is rebuild. Returns whether a rewrite
-    * happened. */
-  def compact(maxFiles: Int = 1): Boolean = {
+    * exactly-once window. Crash-safe since r18: the swap runs through
+    * [[StagedCommit.swapBase]]'s write-ahead intent — a kill mid-swap
+    * rolls forward at the next committed read instead of requiring a
+    * rebuild. Returns whether a rewrite happened. */
+  def compact(maxFiles: Int = 1, markerKeep: Int = 64): Boolean = {
     val root = new org.apache.hadoop.fs.Path(rowsPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a prior compact may have died mid-swap: heal before counting
+    StagedCommit.recoverSwapAt(spark, rowsPath)
     val dataFiles = fs.listStatus(root).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (dataFiles.length <= maxFiles) return false
     rewriteBase(maxFiles)
+    // marker-growth bound — family symmetry with IvfIndex/LshIndex
+    // .compact: fold old _delta_ markers into the token manifest
+    StagedCommit.foldMarkers(spark, rowsPath, markerKeep)
     true
   }
 
   /** Fold the committed (tombstone-resolved) view into `maxFiles`
     * fresh base files — the shared swap behind [[compact]] and
-    * [[purgeDeletes]]. Markers preserved; same non-atomicity contract
-    * as the sibling compacts (kill mid-swap → rebuild). */
-  private def rewriteBase(maxFiles: Int): Unit = {
-    val root = new org.apache.hadoop.fs.Path(rowsPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(root).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    val snap = rows().localCheckpoint()
-    val tmp = new org.apache.hadoop.fs.Path(rowsPath + "_compact_tmp")
-    fs.delete(tmp, true)
-    // bound the output to maxFiles so the next compact call no-ops
-    // (at real scale set maxFiles to the file count the probe should
-    // pay, not 1)
-    snap.coalesce(maxFiles).write.mode(SaveMode.Overwrite)
-      .parquet(tmp.toString)
-    dataFiles.foreach(st => fs.delete(st.getPath, false))
-    fs.listStatus(tmp).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex.foreach { case (st, i) =>
-        // compacted files take base names (never the delta_ prefix):
-        // readCommitted includes them unconditionally
-        fs.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(root, s"compacted_$i.parquet"))
-      }
-    fs.delete(tmp, true)
-  }
+    * [[purgeDeletes]]. Markers preserved. Crash-safe since r18:
+    * [[StagedCommit.swapBase]]'s write-ahead intent means a kill
+    * mid-swap rolls forward at the next committed read instead of
+    * requiring a rebuild. The snapshot stays lazy — the stage write
+    * runs while the old files still exist. Compacted files take base
+    * names (never the `delta_` prefix): readCommitted includes them
+    * unconditionally. At real scale set `maxFiles` to the file count
+    * the probe should pay, not 1. */
+  private def rewriteBase(maxFiles: Int): Unit =
+    StagedCommit.swapBase(spark, rowsPath, rows(), maxFiles)
 
   /** Hamming-prefilter + exact-cosine top-k over the stored codes.
     * Candidate pass touches only (id, code) columns; the exact pass

@@ -434,7 +434,7 @@ final class IvfIndex(spark: SparkSession, val basePath: String) {
     * of [[LshIndex.compact]] (see there for the lineage-truncation and
     * non-atomicity notes). Rewrites only cells holding more than
     * `maxFiles` files; returns how many were rewritten. */
-  def compact(maxFiles: Int = 1): Long = {
+  def compact(maxFiles: Int = 1, markerKeep: Int = 64): Long = {
     val frag = cells()
       .select(col("cell"), input_file_name().as("_f"))
       .groupBy(col("cell")).agg(countDistinct(col("_f")).as("_nf"))
@@ -453,8 +453,10 @@ final class IvfIndex(spark: SparkSession, val basePath: String) {
     }
     // marker-growth bound (VERDICT r17 #3): fold old _delta_ markers
     // into the token manifest — the redelivery fence survives, the
-    // per-read listing stops growing with append history
-    StagedCommit.foldMarkers(spark, cellsPath)
+    // per-read listing stops growing with append history. markerKeep
+    // = the active redelivery window (marker FILES kept for O(1)
+    // exists-probes); widen it for consumers that replay deep
+    StagedCommit.foldMarkers(spark, cellsPath, markerKeep)
     n
   }
 

@@ -95,7 +95,7 @@ final class LshIndex(spark: SparkSession, val basePath: String, dim: Int,
     * not the index). Same non-atomicity contract as [[append]]: a killed
     * compaction can lose the partitions mid-rewrite — recovery is
     * rebuild. */
-  def compact(maxFiles: Int = 1): Long = {
+  def compact(maxFiles: Int = 1, markerKeep: Int = 64): Long = {
     val frag = rows()
       .select(col("tbl"), col("bucket"), input_file_name().as("_f"))
       .groupBy(col("tbl"), col("bucket"))
@@ -115,7 +115,7 @@ final class LshIndex(spark: SparkSession, val basePath: String, dim: Int,
       invalidate()
     }
     // marker-growth bound (VERDICT r17 #3) — see IvfIndex.compact
-    StagedCommit.foldMarkers(spark, rowsPath)
+    StagedCommit.foldMarkers(spark, rowsPath, markerKeep)
     n
   }
 

@@ -84,7 +84,15 @@ object StagedCommit {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = fs.makeQualified(new Path(path))
-    val committed = fs.listStatus(dir).map(_.getPath.getName)
+    // a torn base swap (kill between [[swapBase]]'s delete and rename
+    // phases) is rolled FORWARD here before the file set is trusted —
+    // one name-probe against the listing the marker scan takes anyway
+    val listing0 = fs.listStatus(dir)
+    val listing =
+      if (listing0.exists(_.getPath.getName == SwapIntent)) {
+        recoverSwap(fs, dir); fs.listStatus(dir)
+      } else listing0
+    val committed = listing.map(_.getPath.getName)
       .collect { case n if n.startsWith("_delta_") && n.endsWith("_SUCCESS") =>
         n.stripPrefix("_delta_").stripSuffix("_SUCCESS") }.toSet ++
       manifestTokens(fs, dir)
@@ -250,6 +258,133 @@ object StagedCommit {
       s"could not persist token manifest under $path")
     fold.foreach(st => fs.delete(st.getPath, false))
     fold.size
+  }
+
+  private val SwapIntent = "_swap_intent"
+  private val SwapStage = "_stage_swap"
+
+  /** CRASH-SAFE BASE-FILE SWAP — closes the one family-wide seam the
+    * compacts documented as "kill mid-swap → mixed listing, recovery
+    * is rebuild" ([[graft.operators.BqIndex]]'s base rewrite, the
+    * stats fold in [[graft.operators.TextIndex.compactScoredPostings]]).
+    * Replaces every `.parquet` file at `path`'s ROOT (flat artifacts
+    * only — partitioned compacts go through Spark's dynamic partition
+    * overwrite instead) with `snap` coalesced to `outFiles` files,
+    * through a write-ahead intent:
+    *
+    *   1. roll forward any PRIOR torn swap (see [[recoverSwap]]);
+    *   2. stage `snap` into the hidden `_stage_swap` child (skipped
+    *      by [[walkParquet]], so no reader ever sees it);
+    *   3. write the `_swap_intent` file (tmp+rename, atomic): the
+    *      exact old names to delete and staged→target renames to
+    *      perform — target names carry a generation counter so they
+    *      can never collide with surviving old files;
+    *   4. delete the old files;  5. rename staged files in;
+    *   6. drop the intent, then the stage dir.
+    *
+    * A kill before step 3 leaves the old state intact (an orphaned
+    * stage dir is overwritten by the next swap); a kill after it
+    * leaves a state ANY subsequent [[readCommitted]] (or the next
+    * swap) rolls forward to completion — the torn window that used to
+    * require a rebuild is gone. Marker files, the token manifest, and
+    * hidden dirs are untouched: the redelivery fence survives the
+    * fold exactly as before. Deletes and renames are tolerant
+    * (`delete` may find the file gone, `rename` accepts
+    * target-already-present), so a reader-triggered recovery racing
+    * the writer's own continuation converges instead of throwing. */
+  def swapBase(spark: org.apache.spark.sql.SparkSession, path: String,
+               snap: DataFrame, outFiles: Int = 1): Unit = {
+    require(outFiles >= 1, s"outFiles must be >= 1: $outFiles")
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = fs.makeQualified(new Path(path))
+    if (fs.exists(new Path(dir, SwapIntent))) recoverSwap(fs, dir)
+    val old = fs.listStatus(dir).toSeq.filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val stage = new Path(dir, SwapStage)
+    fs.delete(stage, true)
+    snap.coalesce(outFiles).write.mode(SaveMode.Overwrite)
+      .parquet(stage.toString)
+    val staged = fs.listStatus(stage).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName)
+    // generation counter: strictly above every surviving compacted_
+    // name so a roll-forward can never rename onto a file it is also
+    // instructed to delete
+    val GenName = "compacted_(\\d+)_\\d+\\.parquet".r
+    val gen = old.map(_.getPath.getName).collect {
+      case GenName(g) => g.toLong }.foldLeft(-1L)(math.max) + 1
+    val moves = staged.zipWithIndex.map { case (s, i) =>
+      (s, s"compacted_${gen}_$i.parquet") }
+    val intentBody = (old.map(st => s"del\t${st.getPath.getName}") ++
+      moves.map { case (s, t) => s"mv\t$s\t$t" }).mkString("\n")
+    val tmp = new Path(dir, s"$SwapIntent.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(intentBody
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val intent = new Path(dir, SwapIntent)
+    if (fs.exists(intent)) fs.delete(intent, false)
+    require(fs.rename(tmp, intent) || fs.exists(intent),
+      s"could not persist swap intent under $path")
+    graft.FailPoint.hit("swap_after_intent")
+    old.foreach(st => fs.delete(st.getPath, false))
+    graft.FailPoint.hit("swap_after_delete")
+    moves.foreach { case (s, t) =>
+      val dst = new Path(dir, t)
+      require(fs.rename(new Path(stage, s), dst) || fs.exists(dst),
+        s"swap rename failed: $s -> $dst")
+    }
+    fs.delete(intent, false)
+    fs.delete(stage, true)
+  }
+
+  /** Public recovery entry: roll forward any torn [[swapBase]] at
+    * `path` (no-op when no intent file exists). [[readCommitted]]
+    * already does this — call it from maintenance paths that COUNT or
+    * sweep raw data files before reading, so a torn dir is healed
+    * before the listing is trusted. */
+  def recoverSwapAt(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, fs.makeQualified(new Path(path)))
+  }
+
+  /** Roll a torn [[swapBase]] FORWARD from its intent file: delete
+    * old names still present, rename staged files still in the stage
+    * dir (a target already in place means that move completed), then
+    * drop the intent and stage dir. Idempotent and race-tolerant —
+    * see [[swapBase]]. A `mv` whose staged source AND target are both
+    * missing means external interference; fail loudly rather than
+    * serve a silently short file set. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: Path): Unit = {
+    val intent = new Path(dir, SwapIntent)
+    if (!fs.exists(intent)) return
+    val in = fs.open(intent)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toVector
+      finally in.close()
+    val stage = new Path(dir, SwapStage)
+    lines.foreach { line =>
+      line.split("\t", -1) match {
+        case Array("del", name) => fs.delete(new Path(dir, name), false)
+        case Array("mv", s, t) =>
+          val dst = new Path(dir, t)
+          if (!fs.exists(dst)) {
+            val src = new Path(stage, s)
+            require(fs.rename(src, dst) || fs.exists(dst),
+              s"swap recovery cannot place $dst: staged file $src is " +
+                s"gone — external interference under $dir")
+          }
+        case _ => throw new IllegalStateException(
+          s"unparseable swap-intent line under $dir: '$line'")
+      }
+    }
+    fs.delete(intent, false)
+    fs.delete(stage, true)
   }
 
   /** EXACTLY the rows `token`'s committed delta contributed to `path`

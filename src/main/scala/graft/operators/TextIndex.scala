@@ -528,14 +528,17 @@ object TextIndex {
     *
     * Raw committed view, tombstones NOT resolved: masked postings must
     * survive a compaction because an in-flight delete's retry derives
-    * its stats subtraction from their denormalized `dl`. Same
-    * non-atomicity contract as the sibling compacts (a kill mid-swap
-    * can leave a mixed listing; recovery is rebuild); run it from the
+    * its stats subtraction from their denormalized `dl`. The stats
+    * fold is crash-safe since r18 ([[StagedCommit.swapBase]]'s
+    * write-ahead intent — a kill mid-swap rolls forward at the next
+    * committed read; the postings fold goes through Spark's dynamic
+    * partition overwrite as before); run it from the
     * single maintenance owner, not concurrently with writes. Returns
     * the number of bucket partitions rewritten, or -1 refusing nothing
     * (compaction never refuses — purge is the one with preconditions). */
   def compactScoredPostings(spark: org.apache.spark.sql.SparkSession,
-      basePath: String, buckets: Int = 64, maxFiles: Int = 1): Long = {
+      basePath: String, buckets: Int = 64, maxFiles: Int = 1,
+      markerKeep: Int = 64): Long = {
     val root = s"$basePath/scored_postings_b$buckets"
     val postPath = s"$root/postings"
     val statsPath = s"$root/stats"
@@ -566,6 +569,8 @@ object TextIndex {
     // token whose files still exist: the sweep skips it, the retry
     // re-folds)
     val sp = new org.apache.hadoop.fs.Path(statsPath)
+    // a prior compact may have died mid-swap: heal before counting
+    StagedCommit.recoverSwapAt(spark, statsPath)
     val statFiles = fs.listStatus(sp).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (statFiles.size > 1) {
@@ -576,29 +581,22 @@ object TextIndex {
         writePurgedLedger(fs, root,
           purgedTokens(fs, root) ++ delTokens, dropMarkers = false)
       graft.FailPoint.hit("bm25_compact_after_ledger")
-      val snap = StagedCommit.readCommitted(spark, statsPath)
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("total_dl")).as("total_dl")).localCheckpoint()
-      val tmp = new org.apache.hadoop.fs.Path(statsPath + "_compact_tmp")
-      fs.delete(tmp, true)
-      snap.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(tmp.toString)
-      statFiles.foreach(st => fs.delete(st.getPath, false))
-      fs.listStatus(tmp).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (st, i) =>
-          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(sp,
-            s"compacted_$i.parquet"))
-        }
-      fs.delete(tmp, true)
+      // crash-safe since r18: the write-ahead-intent swap rolls a
+      // torn fold forward at the next committed read (the old manual
+      // delete-then-rename required a rebuild if killed between its
+      // phases)
+      StagedCommit.swapBase(spark, statsPath,
+        StagedCommit.readCommitted(spark, statsPath)
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("total_dl")).as("total_dl")))
     }
     // marker-growth bound (VERDICT r17 #3): fold old _delta_ markers
     // into each artifact's token manifest (newest K stay as files for
     // the active redelivery window; every committed-probe consults
     // the union, so exactly-once survives). Never the tombstone dir —
     // its markers are cleared wholesale by the purge to mean "gone".
-    StagedCommit.foldMarkers(spark, postPath)
-    StagedCommit.foldMarkers(spark, statsPath)
+    StagedCommit.foldMarkers(spark, postPath, markerKeep)
+    StagedCommit.foldMarkers(spark, statsPath, markerKeep)
     n
   }
 

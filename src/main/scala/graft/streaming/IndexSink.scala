@@ -111,8 +111,8 @@ object IndexSink {
       // defensive CDF-contract verifier's probe surface
       existingKeys: () => DataFrame)
 
-  private def ivfOps(idx: IvfIndex, idCol: String,
-                     vecCol: String): IndexOps =
+  private def ivfOps(idx: IvfIndex, idCol: String, vecCol: String,
+                     markerKeep: Int = 64): IndexOps =
     IndexOps(idx.basePath,
       (df, salt) => idx.append(df, idCol, vecCol, salt),
       (df, salt) => { idx.update(df, idCol, vecCol, salt); () },
@@ -122,23 +122,23 @@ object IndexSink {
       (df, _) => { idx.delete(df, idCol); () },
       () => idx.pendingTombstones(),
       () => idx.purgeDeletes(idCol).map(_.toLong).sum,
-      () => { idx.compact(); () },
+      () => { idx.compact(markerKeep = markerKeep); () },
       () => idx.cells().select(idCol))
 
   private def lshOps(idx: graft.operators.LshIndex, idCol: String,
-                     vecCol: String): IndexOps =
+                     vecCol: String, markerKeep: Int = 64): IndexOps =
     IndexOps(idx.basePath,
       (df, salt) => idx.append(df, idCol, vecCol, salt),
       (df, salt) => { idx.update(df, idCol, vecCol, salt); () },
       (df, _) => { idx.delete(df, idCol); () },
       () => idx.pendingTombstones(),
       () => idx.purgeDeletes(idCol),
-      () => { idx.compact(); () },
+      () => { idx.compact(markerKeep = markerKeep); () },
       () => idx.rows().select(idCol))
 
   private def bm25Ops(spark: SparkSession, basePath: String,
                       buckets: Int, idCol: String,
-                      textCol: String): IndexOps = {
+                      textCol: String, markerKeep: Int = 64): IndexOps = {
     import graft.operators.TextIndex
     IndexOps(s"$basePath/scored_postings_b$buckets",
       (df, salt) => {
@@ -157,8 +157,8 @@ object IndexSink {
         basePath, buckets, salt); () },
       () => TextIndex.pendingDeletedDocs(spark, basePath, buckets),
       () => TextIndex.purgeDeletedPostings(spark, basePath, buckets),
-      () => { TextIndex.compactScoredPostings(spark, basePath, buckets)
-        ; () },
+      () => { TextIndex.compactScoredPostings(spark, basePath, buckets,
+        markerKeep = markerKeep); () },
       () => TextIndex.scoredPostingsReaders(spark, basePath, buckets)
         ._1.select("doc_id").distinct())
   }
@@ -171,8 +171,9 @@ object IndexSink {
     * applied batches (0 = never): the `reportCompactEvery` pattern,
     * bounding delta-file growth on a long-running tail. The compact
     * runs AFTER the batch marker (pure maintenance — a kill inside it
-    * never loses a batch; the family's own non-atomicity contract
-    * applies to the fold itself).
+    * never loses a batch; the flat-artifact folds roll forward from
+    * [[graft.operators.StagedCommit.swapBase]]'s write-ahead intent,
+    * the partitioned folds ride Spark's dynamic partition overwrite).
     *
     * `verifyCdf` — DEFENSIVE CDF-CONTRACT CHECK (VERDICT r17 #4/#6,
     * builder-named): the netting trusts the feed's change types
@@ -183,20 +184,32 @@ object IndexSink {
     * `"off"` (default) — trust the feed; `"fail"` — throw at the
     * boundary, naming the keys; `"reroute"` — log and route the
     * violating keys through update instead (converges to the final
-    * vector either way). Costs an index-id-column semi-join per
-    * append batch — a debug posture, not the hot default. KNOWN SEAM
-    * in `"fail"` mode: a crash between a batch's own append and its
-    * marker makes the RETRY see its keys present and refuse — run the
-    * retry under `"reroute"` (idempotent convergence) to clear it. */
+    * vector either way); `"sample:N"` — run the check with reroute
+    * semantics on every Nth batch only (batchId % N == 0): the
+    * tail-health posture cheap enough to leave on in production — an
+    * upstream CDF bug is systematic, so a sampled boundary still
+    * catches it within N batches while the other N−1 pay nothing.
+    * The full check costs an index-id-column semi-join per append
+    * batch. KNOWN SEAM in `"fail"` mode: a crash between a batch's
+    * own append and its marker makes the RETRY see its keys present
+    * and refuse — run the retry under `"reroute"` (idempotent
+    * convergence) to clear it (sample mode reroutes, so it never
+    * trips on its own retries).
+    *
+    * `markerKeep` — the marker-file redelivery window each compact's
+    * [[graft.operators.StagedCommit.foldMarkers]] keeps as O(1)
+    * exists-probe files; widen it if the deployment's replay window
+    * is deeper than 64 batches. */
   def startIvf(feed: DataFrame, idx: IvfIndex, idCol: String,
                vecCol: String, checkpointDir: String,
                trigger: Trigger = Trigger.AvailableNow(),
                progress: Option[(String, String)] = None,
                guardFeed: Option[String] = None,
                compactEvery: Int = 0,
-               verifyCdf: String = "off"): StreamingQuery =
-    startOps(feed, ivfOps(idx, idCol, vecCol), idCol, vecCol,
-      checkpointDir, trigger, progress, guardFeed, compactEvery,
+               verifyCdf: String = "off",
+               markerKeep: Int = 64): StreamingQuery =
+    startOps(feed, ivfOps(idx, idCol, vecCol, markerKeep), idCol,
+      vecCol, checkpointDir, trigger, progress, guardFeed, compactEvery,
       verifyCdf)
 
   /** [[startIvf]]'s forest twin: tail a CDF feed stream into an LSH
@@ -207,9 +220,10 @@ object IndexSink {
                progress: Option[(String, String)] = None,
                guardFeed: Option[String] = None,
                compactEvery: Int = 0,
-               verifyCdf: String = "off"): StreamingQuery =
-    startOps(feed, lshOps(idx, idCol, vecCol), idCol, vecCol,
-      checkpointDir, trigger, progress, guardFeed, compactEvery,
+               verifyCdf: String = "off",
+               markerKeep: Int = 64): StreamingQuery =
+    startOps(feed, lshOps(idx, idCol, vecCol, markerKeep), idCol,
+      vecCol, checkpointDir, trigger, progress, guardFeed, compactEvery,
       verifyCdf)
 
   /** The BM25 member of the family: tail a documents table's CDF feed
@@ -225,12 +239,37 @@ object IndexSink {
                 progress: Option[(String, String)] = None,
                 guardFeed: Option[String] = None,
                 compactEvery: Int = 0,
-                verifyCdf: String = "off")
+                verifyCdf: String = "off",
+                markerKeep: Int = 64)
       : StreamingQuery =
     startOps(feed,
-      bm25Ops(feed.sparkSession, basePath, buckets, idCol, textCol),
+      bm25Ops(feed.sparkSession, basePath, buckets, idCol, textCol,
+        markerKeep),
       idCol, textCol, checkpointDir, trigger, progress, guardFeed,
       compactEvery, verifyCdf)
+
+  /** Resolve the `verifyCdf` knob for one batch: `"sample:N"` runs
+    * the check with reroute semantics on every Nth batch (an upstream
+    * CDF bug is systematic — a sampled boundary still catches it
+    * within N batches at 1/N the cost), everything else passes
+    * through. Rejects unknown modes loudly — an unvalidated typo
+    * would silently behave like `"fail"` in the routing below. */
+  private[graft] def verifyModeFor(verifyCdf: String,
+                                   batchId: Long): String =
+    if (verifyCdf.startsWith("sample:")) {
+      val n =
+        try verifyCdf.stripPrefix("sample:").toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"verifyCdf sample period is not a number: '$verifyCdf'") }
+      require(n >= 1, s"verifyCdf sample period must be >= 1: $n")
+      if (batchId % n == 0) "reroute" else "off"
+    } else {
+      require(Set("off", "fail", "reroute").contains(verifyCdf),
+        s"unknown verifyCdf mode '$verifyCdf' — expected off | fail " +
+          "| reroute | sample:N")
+      verifyCdf
+    }
 
   private def startOps(feed: DataFrame, ops: IndexOps, idCol: String,
       vecCol: String, checkpointDir: String, trigger: Trigger,
@@ -238,6 +277,8 @@ object IndexSink {
       guardFeed: Option[String], compactEvery: Int,
       verifyCdf: String): StreamingQuery = {
     val spark = feed.sparkSession
+    // fail a bad mode at start(), not in batch 0's error path
+    verifyModeFor(verifyCdf, 0L)
     val app = MvSink.lineageId(spark, checkpointDir)
     // mid-run rename guard (CdfSource.renameGuard): a rename landing
     // while this tail runs would append null vectors / null text —
@@ -322,16 +363,18 @@ object IndexSink {
       // DEFENSIVE CDF-CONTRACT CHECK (debug flag — see startIvf doc):
       // the feed promised these keys are NEW; verify against the
       // served index before routing, catching an upstream CDF bug at
-      // the consumer boundary instead of as an oracle mismatch later
+      // the consumer boundary instead of as an oracle mismatch later.
+      // sample:N resolves to reroute on sampled batches, off elsewhere
+      val verifyMode = verifyModeFor(verifyCdf, batchId)
       val (appends, updates) =
-        if (verifyCdf == "off" || appends0.isEmpty) (appends0, updates0)
+        if (verifyMode == "off" || appends0.isEmpty) (appends0, updates0)
         else {
           val existing = ops.existingKeys()
           val bad = appends0.join(existing,
             appends0(idCol) === existing(existing.columns.head),
             "left_semi").select(col(idCol)).localCheckpoint()
           if (bad.isEmpty) (appends0, updates0)
-          else if (verifyCdf == "reroute") {
+          else if (verifyMode == "reroute") {
             System.err.println(s"[IndexSink] WARNING batch $batchId: " +
               s"${bad.count()} insert key(s) already present in the " +
               "index (CDF contract violation or a mid-batch crash " +

@@ -390,4 +390,63 @@ class StagedCommitSpec extends SparkSpec {
     assert(banded.count() == banded.select($"id", $"band").distinct().count())
     assert(banded.select($"id").distinct().count() == 30)
   }
+
+  test("swapBase: a kill in EITHER torn window rolls forward at the " +
+      "next committed read (the old contract was 'recovery is " +
+      "rebuild'); markers and the redelivery fence survive the fold; " +
+      "generations never collide") {
+    val dir = Files.createTempDirectory("graft_sc_swap").toString
+    df(1, 2, 3).write.mode("overwrite").parquet(dir)
+    val d1 = df(10, 11)
+    val t1 = StagedCommit.idToken(d1, "id")
+    assert(StagedCommit.appendOnce(dir, t1, Nil, d1))
+    val all = Seq(1L, 2L, 3L, 10L, 11L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names: Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).toSeq
+    // window 1: kill right after the intent lands — old files still
+    // present, staged files ready; the read must serve the FOLDED
+    // state (roll-forward), not double rows
+    graft.FailPoint.arm("swap_after_intent")
+    try intercept[graft.FailPoint.Kill] {
+      StagedCommit.swapBase(spark, dir,
+        StagedCommit.readCommitted(spark, dir))
+    } finally graft.FailPoint.disarm()
+    assert(names.contains("_swap_intent")) // genuinely torn
+    assert(StagedCommit.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == all)
+    assert(!names.contains("_swap_intent")) // recovery completed it
+    assert(!names.contains("_stage_swap"))
+    assert(names.exists(_.startsWith("compacted_0_")))
+    // window 2: kill between delete-old and rename-in — THE state
+    // that used to require a rebuild (zero data files on disk)
+    val d2 = df(20)
+    val t2 = StagedCommit.idToken(d2, "id")
+    assert(StagedCommit.appendOnce(dir, t2, Nil, d2))
+    graft.FailPoint.arm("swap_after_delete")
+    try intercept[graft.FailPoint.Kill] {
+      StagedCommit.swapBase(spark, dir,
+        StagedCommit.readCommitted(spark, dir))
+    } finally graft.FailPoint.disarm()
+    assert(!names.exists(_.endsWith(".parquet"))) // all old files gone
+    assert(StagedCommit.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == all :+ 20L)
+    // generation bumped past the deleted compacted_0_ files: recovery
+    // can never rename onto a name it was also told to delete
+    assert(names.exists(_.startsWith("compacted_1_")))
+    assert(!names.exists(_.startsWith("compacted_0_")))
+    // the redelivery fence survives both folds: markers outlive their
+    // folded delta files, so redelivered tokens still no-op
+    assert(!StagedCommit.appendOnce(dir, t1, Nil, d1))
+    assert(!StagedCommit.appendOnce(dir, t2, Nil, d2))
+    assert(StagedCommit.readCommitted(spark, dir).count() == 6)
+    // an untorn swap is clean end-to-end
+    StagedCommit.swapBase(spark, dir,
+      StagedCommit.readCommitted(spark, dir))
+    assert(StagedCommit.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == all :+ 20L)
+    assert(!names.contains("_swap_intent"))
+  }
 }

@@ -539,6 +539,41 @@ class TextIndexSpec extends SparkSpec {
     assert(p2.filter($"doc_id" === 1L).count() == 0)
   }
 
+  test("compactScoredPostings: a kill inside the stats-fold swap " +
+      "(between delete-old and rename-in — zero stats data files on " +
+      "disk) rolls forward at the next committed read instead of " +
+      "requiring a rebuild (r18 swapBase)") {
+    val docs = Seq(
+      (1L, "spark join scan"), (2L, "join batch join"),
+      (3L, "spark batch")).toDF("id", "txt")
+    val base = java.nio.file.Files
+      .createTempDirectory("textindex_swapcrash").toString
+    TextIndex.buildScoredPostings(docs, "id", "txt", base, buckets = 2)
+    TextIndex.appendScoredPostings(
+      Seq((4L, "spark words more")).toDF("id", "txt"), "id", "txt",
+      base, buckets = 2, salt = "b1")
+    def topk() = {
+      val (p, st) = TextIndex.scoredPostingsReaders(spark, base,
+        buckets = 2)
+      TextIndex.bm25TopK(p, st, Seq("spark", "join"), k = 10,
+        buckets = 2).as[(Long, Double)].collect().toSeq
+    }
+    val before = topk()
+    graft.FailPoint.arm("swap_after_delete")
+    try intercept[graft.FailPoint.Kill] {
+      TextIndex.compactScoredPostings(spark, base, buckets = 2)
+    } finally graft.FailPoint.disarm()
+    // the very next read serves the folded stats — identical results
+    assert(topk() == before)
+    val (_, st) = TextIndex.scoredPostingsReaders(spark, base,
+      buckets = 2)
+    assert(st.agg(sum($"n_docs")).as[Long].head() == 4L)
+    // and a retried compact completes cleanly (recover-then-fold)
+    assert(TextIndex.compactScoredPostings(spark, base, buckets = 2)
+      >= 0)
+    assert(topk() == before)
+  }
+
   test("bm25TopK: hand-computed scores, rank order, tf saturation") {
     val docs = Seq(
       (1L, "spark spark spark join"), // tf(spark)=3 in a 4-token doc

@@ -453,6 +453,45 @@ class IndexSinkSpec extends SparkSpec {
     assert(idx.cells().filter($"vec_id" === 901L).count() == 1)
   }
 
+  test("verifyCdf sample:N — sampled batches check with reroute " +
+      "semantics, unsampled batches trust the feed (the documented " +
+      "1/N tradeoff); unknown modes fail loudly") {
+    // the mode resolver is the single routing point
+    assert(IndexSink.verifyModeFor("sample:3", 0L) == "reroute")
+    assert(IndexSink.verifyModeFor("sample:3", 1L) == "off")
+    assert(IndexSink.verifyModeFor("sample:3", 2L) == "off")
+    assert(IndexSink.verifyModeFor("sample:3", 3L) == "reroute")
+    assert(IndexSink.verifyModeFor("reroute", 7L) == "reroute")
+    intercept[IllegalArgumentException](
+      IndexSink.verifyModeFor("sample:x", 0L))
+    intercept[IllegalArgumentException](
+      IndexSink.verifyModeFor("sample:0", 0L))
+    intercept[IllegalArgumentException](
+      IndexSink.verifyModeFor("bogus", 0L))
+    val w = java.nio.file.Files.createTempDirectory("graft_idxsink10")
+      .toString
+    val idx = new IvfIndex(spark, s"$w/idx")
+    idx.build(corpus, "vec_id", "embedding", k = 2, iters = 4)
+    def badBatch(fromE: Long) = corpus.filter($"vec_id" === 5L)
+      .select($"vec_id",
+        transform($"embedding", x => -x).as("embedding"))
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_from_epoch", lit(fromE))
+      .withColumn("_to_epoch", lit(fromE + 1))
+    // batchId 2 is sampled under sample:2 — the violating insert is
+    // rerouted through update: still exactly one stored row
+    IndexSink.applyIvfBatch(spark, badBatch(0L), 2L, idx,
+      "vec_id", "embedding", verifyCdf = "sample:2")
+    assert(idx.cells().filter($"vec_id" === 5L).count() == 1)
+    // batchId 3 is NOT sampled — the check is skipped and the
+    // duplicate lands: that is the tradeoff sample mode buys its
+    // 1/N cost with (a systematic upstream bug is still caught
+    // within N batches)
+    IndexSink.applyIvfBatch(spark, badBatch(1L), 3L, idx,
+      "vec_id", "embedding", verifyCdf = "sample:2")
+    assert(idx.cells().filter($"vec_id" === 5L).count() == 2)
+  }
+
   test("compactEvery bounds delta-file growth on a long tail " +
       "(VERDICT r17 #2): the folded index serves the same results, " +
       "and a replayed batch still no-ops post-compaction") {
