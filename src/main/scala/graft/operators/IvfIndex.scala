@@ -351,12 +351,30 @@ final class IvfIndex(spark: SparkSession, val basePath: String) {
     // no-op append re-wiping the sibling costs one rebuild;
     // over-invalidation is the safe direction.
     invalidateSq()
-    val token = (if (salt.isEmpty) "" else s"${salt}_") +
-      StagedCommit.idToken(emb, idCol, vecCol)
-    StagedCommit.appendOnce(cellsPath, token, Seq("cell"),
+    StagedCommit.appendOnce(cellsPath,
+      appendToken(emb, idCol, vecCol, salt), Seq("cell"),
       assignedFrame(emb, idCol, vecCol, storedCentroids()))
     IndexEpoch.write(spark, epochPath, e.copy(mods = e.mods + 1))
   }
+
+  /** ONE home for the append-token derivation — [[append]] and
+    * [[appendCommitted]] must agree or the retry probe silently
+    * diverges from what commits (the safeToken lesson, ADVICE r13). */
+  private def appendToken(emb: DataFrame, idCol: String,
+                          vecCol: String, salt: String): String =
+    (if (salt.isEmpty) "" else s"${salt}_") +
+      StagedCommit.idToken(emb, idCol, vecCol)
+
+  /** Did an [[append]] of exactly this delta (content + salt) already
+    * commit? The retry probe behind the streaming consumer's
+    * verifyCdf="fail" crash seam: a batch whose own append landed but
+    * whose batch marker did not will see its keys "present" — this
+    * distinguishes that self-caused presence from a genuine upstream
+    * CDF bug (whose content never committed here). */
+  def appendCommitted(emb: DataFrame, idCol: String, vecCol: String,
+                      salt: String = ""): Boolean =
+    StagedCommit.hasDelta(spark, cellsPath,
+      appendToken(emb, idCol, vecCol, salt))
 
   /** IN-PLACE VECTOR UPDATE (VERDICT r16 #3): retire the keys' current
     * rows and file their new vectors, packaged as ONE crash-convergent,

@@ -74,12 +74,25 @@ final class LshIndex(spark: SparkSession, val basePath: String, dim: Int,
     // salt semantics as [[IvfIndex.append]]: empty = classic content
     // token; a feed consumer passes its batch span so a genuine
     // identical-content re-insert lands while a replay still no-ops
-    val token = (if (salt.isEmpty) "" else s"${salt}_") +
-      StagedCommit.idToken(emb, idCol, vecCol)
-    StagedCommit.appendOnce(rowsPath, token, Seq("tbl", "bucket"),
+    StagedCommit.appendOnce(rowsPath,
+      appendToken(emb, idCol, vecCol, salt), Seq("tbl", "bucket"),
       bucketed(emb, idCol, vecCol))
     invalidate()
   }
+
+  /** ONE home for the append-token derivation — see
+    * [[IvfIndex.appendToken]]'s rationale. */
+  private def appendToken(emb: DataFrame, idCol: String,
+                          vecCol: String, salt: String): String =
+    (if (salt.isEmpty) "" else s"${salt}_") +
+      StagedCommit.idToken(emb, idCol, vecCol)
+
+  /** [[IvfIndex.appendCommitted]]'s forest twin — the verifyCdf
+    * crash-retry probe. */
+  def appendCommitted(emb: DataFrame, idCol: String, vecCol: String,
+                      salt: String = ""): Boolean =
+    StagedCommit.hasDelta(spark, rowsPath,
+      appendToken(emb, idCol, vecCol, salt))
 
   /** Compact fragmented (tbl, bucket) partitions: every [[append]] adds
     * one file per writing task per touched partition, and probe latency

@@ -275,18 +275,19 @@ object StagedCommit {
     *   1. roll forward any PRIOR torn swap (see [[recoverSwap]]);
     *   2. stage `snap` into the hidden `_stage_swap` child (skipped
     *      by [[walkParquet]], so no reader ever sees it);
-    *   3. write the `_swap_intent` file (tmp+rename, atomic): the
-    *      exact old names to delete and staged→target renames to
-    *      perform — target names carry a generation counter so they
-    *      can never collide with surviving old files;
+    *   3. write the `_swap_intent` file (create-if-absent — the
+    *      single-owner gate — terminated by an `end` line, its commit
+    *      point): the exact old names to delete and staged→target
+    *      renames to perform — target names carry a generation
+    *      counter so they can never collide with surviving old files;
     *   4. delete the old files;  5. rename staged files in;
     *   6. drop the intent, then the stage dir.
     *
-    * A kill before step 3 leaves the old state intact (an orphaned
-    * stage dir is overwritten by the next swap); a kill after it
-    * leaves a state ANY subsequent [[readCommitted]] (or the next
-    * swap) rolls forward to completion — the torn window that used to
-    * require a rebuild is gone. Marker files, the token manifest, and
+    * A kill before the intent's `end` line leaves the old state
+    * intact (recovery discards the unterminated intent and stage
+    * dir); a kill after it leaves a state ANY subsequent
+    * [[readCommitted]] (or the next swap) rolls forward to completion
+    * — the torn window that used to require a rebuild is gone. Marker files, the token manifest, and
     * hidden dirs are untouched: the redelivery fence survives the
     * fold exactly as before. Deletes and renames are tolerant
     * (`delete` may find the file gone, `rename` accepts
@@ -316,17 +317,31 @@ object StagedCommit {
       case GenName(g) => g.toLong }.foldLeft(-1L)(math.max) + 1
     val moves = staged.zipWithIndex.map { case (s, i) =>
       (s, s"compacted_${gen}_$i.parquet") }
+    // the trailing "end" line is the intent's commit point: deletes
+    // start only after a COMPLETE intent is on disk, so recovery can
+    // roll a terminated intent forward and discard an unterminated one
+    // (nothing destructive ran yet — rolling back is trivially safe)
     val intentBody = (old.map(st => s"del\t${st.getPath.getName}") ++
-      moves.map { case (s, t) => s"mv\t$s\t$t" }).mkString("\n")
-    val tmp = new Path(dir, s"$SwapIntent.tmp")
-    val out = fs.create(tmp, true)
+      moves.map { case (s, t) => s"mv\t$s\t$t" } ++
+      Seq("end")).mkString("\n")
+    // create(overwrite = false) doubles as a best-effort single-owner
+    // gate: a second concurrent swap of the same artifact dies loudly
+    // here instead of silently interleaving its deletes with ours (a
+    // crashed owner's intent never blocks — the recover-at-entry above
+    // already consumed it). Best-effort: two swaps racing BEFORE this
+    // line still share the stage dir — the single-maintenance-owner
+    // contract stands; this turns the likeliest violation loud.
+    val intent = new Path(dir, SwapIntent)
+    val out =
+      try fs.create(intent, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"swap intent already present under $path — another swap " +
+            "is in flight (or torn: re-run, recovery rolls it " +
+            "forward first)", e) }
     try out.write(intentBody
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val intent = new Path(dir, SwapIntent)
-    if (fs.exists(intent)) fs.delete(intent, false)
-    require(fs.rename(tmp, intent) || fs.exists(intent),
-      s"could not persist swap intent under $path")
     graft.FailPoint.hit("swap_after_intent")
     old.foreach(st => fs.delete(st.getPath, false))
     graft.FailPoint.hit("swap_after_delete")
@@ -363,11 +378,20 @@ object StagedCommit {
     val intent = new Path(dir, SwapIntent)
     if (!fs.exists(intent)) return
     val in = fs.open(intent)
-    val lines =
+    val raw =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.trim).filter(_.nonEmpty).toVector
       finally in.close()
     val stage = new Path(dir, SwapStage)
+    if (raw.lastOption.contains("end")) () else {
+      // unterminated intent: the writer died MID-WRITE, before its
+      // commit point — no delete or rename ever ran, so the old state
+      // is intact and the safe recovery is to roll BACK (discard)
+      fs.delete(intent, false)
+      fs.delete(stage, true)
+      return
+    }
+    val lines = raw.dropRight(1)
     lines.foreach { line =>
       line.split("\t", -1) match {
         case Array("del", name) => fs.delete(new Path(dir, name), false)

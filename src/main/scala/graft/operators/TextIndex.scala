@@ -141,8 +141,7 @@ object TextIndex {
     // where the classic token derives from the ID SET alone: without
     // the salt a re-insert of a deleted doc id with NEW text would
     // no-op against the first insert's marker forever
-    val token = (if (salt.isEmpty) "" else s"${salt}_") +
-      StagedCommit.idToken(delta.select(col(idCol)), idCol)
+    val token = appendToken(delta, idCol, salt)
     val deltaPostings = delta.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
@@ -161,6 +160,27 @@ object TextIndex {
     (StagedCommit.readCommitted(spark, postPath),
       StagedCommit.readCommitted(spark, statsPath))
   }
+
+  /** ONE home for the append-token derivation — see
+    * [[IvfIndex.appendToken]]'s rationale. The BM25 token derives
+    * from the ID SET alone (plus salt), matching
+    * [[appendScoredPostings]]. */
+  private def appendToken(delta: DataFrame, idCol: String,
+                          salt: String): String =
+    (if (salt.isEmpty) "" else s"${salt}_") +
+      StagedCommit.idToken(delta.select(col(idCol)), idCol)
+
+  /** [[IvfIndex.appendCommitted]]'s BM25 twin — the verifyCdf
+    * crash-retry probe. Probes the POSTINGS half's marker: the halves
+    * commit postings-first, so a committed postings token means this
+    * delta's content landed (a missing stats half is completed by the
+    * retry's own re-append, which no-ops postings and commits stats). */
+  def appendCommitted(delta: DataFrame, idCol: String,
+      basePath: String, buckets: Int = 64,
+      salt: String = ""): Boolean =
+    StagedCommit.hasDelta(delta.sparkSession,
+      s"$basePath/scored_postings_b$buckets/postings",
+      appendToken(delta, idCol, salt))
 
   /** Committed (postings, stats) readers with tombstones resolved —
     * THE way to open a maintained scored-postings index for probing.

@@ -109,7 +109,12 @@ object IndexSink {
       compact: () => Unit,
       // the ids the index currently SERVES (tombstone-resolved) — the
       // defensive CDF-contract verifier's probe surface
-      existingKeys: () => DataFrame)
+      existingKeys: () => DataFrame,
+      // did THIS delta (content + salt) already commit? — the
+      // verifyCdf="fail" crash-retry probe: distinguishes a batch
+      // whose own append landed (marker didn't) from a genuine
+      // upstream CDF bug, whose content never committed here
+      appendCommitted: (DataFrame, String) => Boolean)
 
   private def ivfOps(idx: IvfIndex, idCol: String, vecCol: String,
                      markerKeep: Int = 64): IndexOps =
@@ -123,7 +128,8 @@ object IndexSink {
       () => idx.pendingTombstones(),
       () => idx.purgeDeletes(idCol).map(_.toLong).sum,
       () => { idx.compact(markerKeep = markerKeep); () },
-      () => idx.cells().select(idCol))
+      () => idx.cells().select(idCol),
+      (df, salt) => idx.appendCommitted(df, idCol, vecCol, salt))
 
   private def lshOps(idx: graft.operators.LshIndex, idCol: String,
                      vecCol: String, markerKeep: Int = 64): IndexOps =
@@ -134,7 +140,8 @@ object IndexSink {
       () => idx.pendingTombstones(),
       () => idx.purgeDeletes(idCol),
       () => { idx.compact(markerKeep = markerKeep); () },
-      () => idx.rows().select(idCol))
+      () => idx.rows().select(idCol),
+      (df, salt) => idx.appendCommitted(df, idCol, vecCol, salt))
 
   private def bm25Ops(spark: SparkSession, basePath: String,
                       buckets: Int, idCol: String,
@@ -160,7 +167,9 @@ object IndexSink {
       () => { TextIndex.compactScoredPostings(spark, basePath, buckets,
         markerKeep = markerKeep); () },
       () => TextIndex.scoredPostingsReaders(spark, basePath, buckets)
-        ._1.select("doc_id").distinct())
+        ._1.select("doc_id").distinct(),
+      (df, salt) => TextIndex.appendCommitted(df, idCol, basePath,
+        buckets, salt))
   }
 
   /** Tail a CDF feed stream into an IVF index. `progress` — optional
@@ -190,11 +199,13 @@ object IndexSink {
     * upstream CDF bug is systematic, so a sampled boundary still
     * catches it within N batches while the other N−1 pay nothing.
     * The full check costs an index-id-column semi-join per append
-    * batch. KNOWN SEAM in `"fail"` mode: a crash between a batch's
-    * own append and its marker makes the RETRY see its keys present
-    * and refuse — run the retry under `"reroute"` (idempotent
-    * convergence) to clear it (sample mode reroutes, so it never
-    * trips on its own retries).
+    * batch. `"fail"` mode distinguishes a crashed retry of THIS batch
+    * from a genuine upstream bug by probing the batch's own append
+    * token: a crash between the append and the batch marker makes the
+    * retry see its keys present, but its (content + batch-span salt)
+    * token is committed — the retry proceeds (the family token no-ops
+    * the re-append) instead of refusing; an upstream bug's content
+    * never committed, so it still throws.
     *
     * `markerKeep` — the marker-file redelivery window each compact's
     * [[graft.operators.StagedCommit.foldMarkers]] keeps as O(1)
@@ -360,6 +371,16 @@ object IndexSink {
         .select(col(idCol), col(vecCol))
       val updates0 = adds.filter(col("_first_ins") === 0)
         .select(col(idCol), col(vecCol))
+      // batch-span salt: deterministic per content, distinct per feed
+      // position — two different batches carrying identical content
+      // (an identical-text re-insert of a purged doc, a set-back-to-
+      // original update) still apply independently, while a replay of
+      // the SAME batch no-ops
+      lazy val salt = {
+        val span = batch.agg(min(col("_from_epoch")),
+          max(col("_to_epoch"))).head()
+        s"cdf_${span.getLong(0)}_${span.getLong(1)}"
+      }
       // DEFENSIVE CDF-CONTRACT CHECK (debug flag — see startIvf doc):
       // the feed promised these keys are NEW; verify against the
       // served index before routing, catching an upstream CDF bug at
@@ -382,24 +403,23 @@ object IndexSink {
             (appends0.join(bad, Seq(idCol), "left_anti"),
               updates0.unionByName(
                 appends0.join(bad, Seq(idCol), "left_semi")))
+          } else if (ops.appendCommitted(appends0, salt)) {
+            // fail mode, but the presence is SELF-CAUSED: this exact
+            // append (content + batch-span salt) already committed —
+            // the previous attempt crashed between its append and the
+            // batch marker. Proceed: the family token no-ops the
+            // re-append (and completes any dangling second artifact),
+            // and the marker finally lands. This closes the former
+            // KNOWN SEAM that required a manual reroute run.
+            (appends0, updates0)
           } else throw new IllegalStateException(
             s"IndexSink batch $batchId: the feed marked " +
               s"${bad.count()} key(s) as INSERT but they are already " +
               "present in the index, e.g. " +
               bad.limit(5).collect().mkString(", ") + " — an upstream " +
-              "CDF bug (or this batch's own crashed retry; re-run " +
-              "under verifyCdf=reroute to converge).")
+              "CDF bug (this batch's own append token has NOT " +
+              "committed, ruling out a crashed retry of this batch).")
         }
-      // batch-span salt: deterministic per content, distinct per feed
-      // position — two different batches carrying identical content
-      // (an identical-text re-insert of a purged doc, a set-back-to-
-      // original update) still apply independently, while a replay of
-      // the SAME batch no-ops
-      lazy val salt = {
-        val span = batch.agg(min(col("_from_epoch")),
-          max(col("_to_epoch"))).head()
-        s"cdf_${span.getLong(0)}_${span.getLong(1)}"
-      }
       // deletes FIRST, before any purge decision (ADVICE r17, medium):
       // if an earlier attempt of THIS batch crashed between a
       // two-artifact delete's halves, the retry's delete completes the
@@ -434,6 +454,10 @@ object IndexSink {
       // rows appended after them
       if (!appends.isEmpty) ops.append(appends, salt)
     } finally batch.unpersist()
+    // chaos seam (test-only): the ops are durable, the marker is not —
+    // the verifyCdf crash-retry probe's window. Outside the try/finally
+    // (unpersist is memory-only, but the placement rule stands).
+    graft.FailPoint.hit("idxsink_before_marker")
     // every interval's ops are durably committed — the batch marker
     // certifies the whole batch so a replay skips even the interval
     // walk, then the feed may learn this consumer's progress

@@ -449,4 +449,33 @@ class StagedCommitSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == all :+ 20L)
     assert(!names.contains("_swap_intent"))
   }
+
+  test("swapBase: an UNTERMINATED intent (writer died mid-write, " +
+      "before the end-line commit point) rolls BACK at the next " +
+      "committed read — nothing destructive ran, old state intact") {
+    val dir = Files.createTempDirectory("graft_sc_swaptorn").toString
+    df(1, 2, 3).write.mode("overwrite").parquet(dir)
+    val before = StagedCommit.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hand-plant the crash state: a partial intent naming a REAL data
+    // file for deletion, no terminator, and an orphaned stage dir
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).find(_.endsWith(".parquet")).get
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "_swap_intent"), false)
+    try out.write(s"del\t$victim"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "_stage_swap"))
+    // rollback: the victim file survives, the intent and stage vanish
+    assert(StagedCommit.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == before)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSeq
+    assert(names.contains(victim))
+    assert(!names.contains("_swap_intent"))
+    assert(!names.contains("_stage_swap"))
+  }
 }

@@ -492,6 +492,51 @@ class IndexSinkSpec extends SparkSpec {
     assert(idx.cells().filter($"vec_id" === 5L).count() == 2)
   }
 
+  test("verifyCdf fail-mode crash seam closed: a retry whose own " +
+      "append committed (kill between append and batch marker) " +
+      "proceeds via the append-token probe instead of refusing, " +
+      "while a genuine upstream violation still throws") {
+    val w = java.nio.file.Files.createTempDirectory("graft_idxsink11")
+      .toString
+    val idx = new IvfIndex(spark, s"$w/idx")
+    idx.build(corpus, "vec_id", "embedding", k = 2, iters = 4)
+    val fresh = Seq((911L, Array(1f, 2f, 3f, 4f)),
+        (912L, Array(4f, 3f, 2f, 1f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_from_epoch", lit(3L))
+      .withColumn("_to_epoch", lit(4L))
+    graft.FailPoint.arm("idxsink_before_marker")
+    try intercept[graft.FailPoint.Kill] {
+      IndexSink.applyIvfBatch(spark, fresh, 4L, idx,
+        "vec_id", "embedding", verifyCdf = "fail")
+    } finally graft.FailPoint.disarm()
+    // the crash state: rows appended, batch marker missing — the
+    // retry's verify sees its own keys "present"
+    assert(idx.cells().filter($"vec_id".isin(911L, 912L)).count() == 2)
+    // this retry used to throw (the documented KNOWN SEAM requiring a
+    // manual reroute run); the committed append token now identifies
+    // it as self-caused and the batch completes without duplicates
+    IndexSink.applyIvfBatch(spark, fresh, 4L, idx,
+      "vec_id", "embedding", verifyCdf = "fail")
+    assert(idx.cells().filter($"vec_id".isin(911L, 912L)).count() == 2)
+    // the marker landed: a full replay now skips before any netting
+    IndexSink.applyIvfBatch(spark, fresh, 4L, idx,
+      "vec_id", "embedding", verifyCdf = "fail")
+    assert(idx.cells().filter($"vec_id".isin(911L, 912L)).count() == 2)
+    // and a GENUINE violation (same keys re-marked insert at a NEW
+    // feed position — its token never committed) still throws
+    val bogus = fresh
+      .withColumn("_from_epoch", lit(5L))
+      .withColumn("_to_epoch", lit(6L))
+    val ex = intercept[IllegalStateException] {
+      IndexSink.applyIvfBatch(spark, bogus, 6L, idx,
+        "vec_id", "embedding", verifyCdf = "fail")
+    }
+    assert(ex.getMessage.contains("NOT committed"), ex.getMessage)
+  }
+
   test("compactEvery bounds delta-file growth on a long tail " +
       "(VERDICT r17 #2): the folded index serves the same results, " +
       "and a replayed batch still no-ops post-compaction") {
