@@ -70,15 +70,35 @@ object ManifestScaleProbe {
       val oneMonth = orders.select(col("ym")).orderBy(col("ym"))
         .head().getString(0)
       // two touched-month merges: epochs 1 and 2, so entry lines
-      // reference MIXED epochs and the pmap/stats planes are real
+      // reference MIXED epochs and the pmap/stats planes are real.
+      // The SECOND one is timed: the PUBLISH-side cost of a one-
+      // partition merge against a table of `months` live partitions —
+      // the leg that decides whether the manifest's O(live files)
+      // text (carried forward verbatim per publish) ever needs the
+      // Iceberg-style tree escalation
+      var mergeOneMonthSecs = 0.0
       (2 to 3).foreach { v =>
-        Upsert.mergeIntoManifested(spark, path,
-          orders.filter(col("ym") === oneMonth)
-            .withColumn("o_totalprice", col("o_totalprice") + lit(v * 1.0))
-            .withColumn("ver", lit(v.toLong)), keys, "ym", "ver",
-          retain = 4, statsCols = Seq("o_totalprice"))
+        // materialize the batch FIRST: the factor-replica union scan
+        // that produces it is probe scaffolding, not publish cost —
+        // timing it inside the merge would misattribute O(factor)
+        // input construction to the manifest plane
+        val batch = orders.filter(col("ym") === oneMonth)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(v * 1.0))
+          .withColumn("ver", lit(v.toLong)).localCheckpoint()
+        val secs = timed {
+          Upsert.mergeIntoManifested(spark, path, batch, keys, "ym",
+            "ver", retain = 4, statsCols = Seq("o_totalprice"))
+        }
+        if (v == 3) mergeOneMonthSecs = secs
       }
       val months = orders.select(col("ym")).distinct().count()
+      val manifestBytes = {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+          .filter(_.getPath.getName.startsWith("_manifest_"))
+          .map(_.getLen).max
+      }
       val parseSecs = timed {
         assert(Upsert.manifestedEpoch(spark, path).contains(2L))
       }
@@ -93,7 +113,8 @@ object ManifestScaleProbe {
       }
       println(f"[manifestprobe] run$run factor=$factor months=$months " +
         f"manifestParse=$parseSecs%.3f resolveFull=$resolveFullSecs%.3f " +
-        f"resolvePruned=$resolvePrunedSecs%.3f readPruned=$readPrunedSecs%.3f")
+        f"resolvePruned=$resolvePrunedSecs%.3f readPruned=$readPrunedSecs%.3f " +
+        f"mergeOneMonth=$mergeOneMonthSecs%.2f manifestBytes=$manifestBytes")
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(work))
     }
