@@ -430,7 +430,11 @@ object Dedup {
         .groupBy(col("_k")).agg(count(lit(1)).as("_n"))
         .write.mode("overwrite").parquet(cntPath)
     }
-    (spark.read.parquet(occPath), spark.read.parquet(cntPath))
+    // committed-only reads: [[advanceSpanTable]] maintains occ via
+    // appendOnce and cnt via swapBase — a reader racing a killed
+    // advance must not see a partial delta or a torn swap
+    (StagedCommit.readCommitted(spark, occPath),
+      StagedCommit.readCommitted(spark, cntPath))
   }
 
   private def spanPaths(basePath: String, w: Int,
@@ -455,8 +459,8 @@ object Dedup {
                    portableHash: Boolean = false): DataFrame = {
     val spark = delta.sparkSession
     val (occPath, cntPath) = spanPaths(basePath, w, portableHash)
-    val occOld = spark.read.parquet(occPath)
-    val cntOld = spark.read.parquet(cntPath)
+    val occOld = StagedCommit.readCommitted(spark, occPath)
+    val cntOld = StagedCommit.readCommitted(spark, cntPath)
     // eager localCheckpoint, NOT persist: the returned lazy DataFrame
     // reads deltaOcc twice (count join + union), so a persist here could
     // never be unpaired-unpersisted without breaking the caller's plan —
@@ -486,10 +490,18 @@ object Dedup {
     * [[refreshPairs]]. Post-condition (spec-asserted): both artifacts
     * read back equal to a from-scratch [[spanTable]] over the union.
     *
-    * NOT atomic, same contract as [[refreshArtifacts]]: a crash between
-    * the occurrence append and the count rewrite leaves the delta
-    * counted in one artifact but not the other, and a blind retry
-    * double-appends — recovery is rebuild. */
+    * Crash-convergent since r18 (this was the codebase's last
+    * "recovery is rebuild" contract): the occurrence append lands
+    * exactly once per delta CONTENT ([[StagedCommit.appendOnce]], so
+    * a blind retry can no longer double-append), and the count table
+    * — always derivable as `occ.groupBy(_k).count` — rewrites through
+    * [[StagedCommit.swapBase]]'s write-ahead intent. A FIRST apply
+    * takes the cheap incremental path (old counts + the delta's, one
+    * full-outer join — never a re-aggregate of the whole occurrence
+    * table); a RETRY (the occ token already committed, so a prior
+    * attempt may have died before its count rewrite) repairs by
+    * recomputing the counts from the committed occurrence table —
+    * the O(occ) re-aggregate is paid only on the crash-retry path. */
   def advanceSpanTable(delta: DataFrame, idCol: String, textCol: String,
                        basePath: String, w: Int,
                        portableHash: Boolean = false): Unit = {
@@ -497,17 +509,34 @@ object Dedup {
     val (occPath, cntPath) = spanPaths(basePath, w, portableHash)
     val deltaOcc = windowOccurrences(delta, idCol, textCol, w, portableHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // merged counts materialize (eager localCheckpoint) BEFORE the
-    // overwrite — Spark cannot overwrite a path it is still reading
-    val merged = spark.read.parquet(cntPath).withColumnRenamed("_n", "_no")
-      .join(deltaOcc.groupBy(col("_k")).agg(count(lit(1)).as("_nd")),
-        Seq("_k"), "full_outer")
-      .select(col("_k"),
-        (coalesce(col("_no"), lit(0L)) + coalesce(col("_nd"), lit(0L)))
-          .as("_n"))
-      .localCheckpoint()
-    deltaOcc.write.mode("append").parquet(occPath)
-    merged.write.mode("overwrite").parquet(cntPath)
+    val token = StagedCommit.idToken(deltaOcc, idCol, "_pos", "_k")
+    val cntFiles = math.max(1,
+      spark.sessionState.conf.numShufflePartitions / 4)
+    if (StagedCommit.appendOnce(occPath, token, Nil, deltaOcc)) {
+      // chaos seam (test-only): occ committed, counts not yet — the
+      // torn state the retry's recompute-from-occ branch repairs
+      graft.FailPoint.hit("spans_after_occ_append")
+      // first apply: incremental count merge (the swap stages the new
+      // counts while the old files still exist, so the lazy self-read
+      // is safe — same device as BqIndex.rewriteBase)
+      StagedCommit.swapBase(spark, cntPath,
+        StagedCommit.readCommitted(spark, cntPath)
+          .withColumnRenamed("_n", "_no")
+          .join(deltaOcc.groupBy(col("_k")).agg(count(lit(1)).as("_nd")),
+            Seq("_k"), "full_outer")
+          .select(col("_k"),
+            (coalesce(col("_no"), lit(0L)) + coalesce(col("_nd"), lit(0L)))
+              .as("_n")),
+        cntFiles)
+    } else {
+      // redelivery: the delta is already in occ, but a prior attempt
+      // may have died before its count rewrite — converge the count
+      // table from the committed occurrence truth
+      StagedCommit.swapBase(spark, cntPath,
+        StagedCommit.readCommitted(spark, occPath)
+          .groupBy(col("_k")).agg(count(lit(1)).as("_n")),
+        cntFiles)
+    }
     deltaOcc.unpersist()
   }
 

@@ -197,6 +197,45 @@ class DedupSpec extends SparkSpec {
     assert(refreshed == scratch && refreshed.exists(_._1 == 4L))
   }
 
+  test("advanceSpanTable: a kill between the occ append and the count " +
+      "rewrite CONVERGES on retry — the codebase's last 'recovery is " +
+      "rebuild' contract, closed (r18)") {
+    val old = Seq(
+      (1L, "o1 s1 s2 s3 s4 s5 s6 s7 s8 o2"),
+      (2L, "plain old row with nothing at all repeated anywhere today")
+    ).toDF("doc_id", "text")
+    val d1 = Seq((3L, "d1 s1 s2 s3 s4 s5 s6 s7 s8 d2")).toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_spancrash").toString
+    Dedup.spanTable(old, "doc_id", "text", base, w = 8)
+    graft.FailPoint.arm("spans_after_occ_append")
+    try intercept[graft.FailPoint.Kill] {
+      Dedup.advanceSpanTable(d1, "doc_id", "text", base, w = 8)
+    } finally graft.FailPoint.disarm()
+    // torn state: d1's windows are in occ, NOT in cnt — the blind
+    // retry used to double-append occ; now it no-ops occ (committed
+    // token) and repairs cnt from the committed occurrence truth
+    Dedup.advanceSpanTable(d1, "doc_id", "text", base, w = 8)
+    val scratchBase = java.nio.file.Files
+      .createTempDirectory("graft_spancrash2").toString
+    val (occS, cntS) = Dedup.spanTable(old.unionByName(d1), "doc_id",
+      "text", scratchBase, w = 8)
+    val (occA, cntA) = Dedup.spanTable(old.unionByName(d1), "doc_id",
+      "text", base, w = 8)
+    assert(occA.collect().map(_.toString).sorted.toSeq ==
+      occS.collect().map(_.toString).sorted.toSeq)
+    assert(cntA.collect().map(_.toString).sorted.toSeq ==
+      cntS.collect().map(_.toString).sorted.toSeq)
+    // and a THIRD (spurious) redelivery is also convergent: occ
+    // unchanged, counts re-derived identical
+    Dedup.advanceSpanTable(d1, "doc_id", "text", base, w = 8)
+    val (occR, cntR) = Dedup.spanTable(old.unionByName(d1), "doc_id",
+      "text", base, w = 8)
+    assert(occR.count() == occS.count())
+    assert(cntR.collect().map(_.toString).sorted.toSeq ==
+      cntS.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("cutSpans removes exactly the spanned tokens and passes clean docs through") {
     val d = Seq(
       (1L, "k1 d1 d2 d3 k2"),
