@@ -301,16 +301,15 @@ final class IvfIndex(spark: SparkSession, val basePath: String) {
         invalidateSq()
         val kept = cells().filter(col("cell").isin(affected: _*))
           .repartition(col("cell")).localCheckpoint()
-        kept.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cell").parquet(cellsPath)
+        // crash-safe rewrite (r18): the write-ahead-intent swap
+        // replaces exactly the affected cells' files (a kill mid-swap
+        // rolls forward at the next committed read), and a cell whose
+        // every row was tombstoned folds to EMPTY — old files deleted,
+        // dir dropped — replacing the hand-rolled dead-dir sweep the
+        // dynamic-overwrite path needed
+        StagedCommit.swapFiles(spark, cellsPath, kept, Seq("cell"),
+          affected.map(c => s"cell=$c"))
         graft.FailPoint.hit("ivf_purge_after_overwrite")
-        val survivors = kept.select(col("cell")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        affected.filterNot(survivors).foreach { c =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$cellsPath/cell=$c"),
-            true)
-        }
       }
       graft.FailPoint.hit("ivf_purge_before_clear")
       fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath), true)
@@ -448,10 +447,18 @@ final class IvfIndex(spark: SparkSession, val basePath: String) {
       .select(col("_aid").as(idCol), col("_cell").as("cell"),
         col("_av").as("_vec"))
 
+  /** `cell` rows → partition-dir relative paths (the
+    * [[StagedCommit.swapFiles]] address form; int values, so no
+    * escaping subtleties). */
+  private def cellDirsOf(keys: DataFrame): Seq[String] =
+    keys.select(col("cell").cast("string")).distinct().collect()
+      .map(r => s"cell=${r.getString(0)}").toSeq
+
   /** Compact fragmented cell partitions after appends — the IVF analog
-    * of [[LshIndex.compact]] (see there for the lineage-truncation and
-    * non-atomicity notes). Rewrites only cells holding more than
-    * `maxFiles` files; returns how many were rewritten. */
+    * of [[LshIndex.compact]] (see there for the lineage-truncation
+    * notes; crash-safe through [[StagedCommit.swapFiles]] since r18).
+    * Rewrites only cells holding more than `maxFiles` files; returns
+    * how many were rewritten. */
   def compact(maxFiles: Int = 1, markerKeep: Int = 64): Long = {
     val frag = cells()
       .select(col("cell"), input_file_name().as("_f"))
@@ -465,9 +472,12 @@ final class IvfIndex(spark: SparkSession, val basePath: String) {
         .join(broadcast(frag), Seq("cell"), "left_semi")
         .repartition(col("cell"))
         .localCheckpoint()
-      compacted.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell").parquet(cellsPath)
+      // crash-safe rewrite (r18): write-ahead-intent swap of exactly
+      // the fragmented cells' files — a kill mid-swap rolls forward
+      // at the next committed read (the old dynamic-overwrite
+      // job-commit window could lose cells)
+      StagedCommit.swapFiles(spark, cellsPath, compacted,
+        Seq("cell"), cellDirsOf(frag))
     }
     // marker-growth bound (VERDICT r17 #3): fold old _delta_ markers
     // into the token manifest — the redelivery fence survives, the

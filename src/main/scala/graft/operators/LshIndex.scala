@@ -102,12 +102,13 @@ final class LshIndex(spark: SparkSession, val basePath: String, dim: Int,
     * Returns the number of partitions rewritten.
     *
     * The fragmented slice is eagerly localCheckpoint'ed before the
-    * overwrite: the write targets the same path the rows came from, and
-    * truncating lineage to the materialized blocks is what makes
-    * read-then-replace safe (and bounds memory to the fragmented slice,
-    * not the index). Same non-atomicity contract as [[append]]: a killed
-    * compaction can lose the partitions mid-rewrite — recovery is
-    * rebuild. */
+    * rewrite (truncating lineage to the materialized blocks is what
+    * makes read-then-replace safe, and bounds memory to the
+    * fragmented slice, not the index). Crash-safe since r18: the
+    * rewrite runs through [[StagedCommit.swapFiles]]'s write-ahead
+    * intent — a kill mid-swap rolls forward at the next committed
+    * read instead of requiring a rebuild (the old dynamic-overwrite
+    * job-commit window could lose partitions). */
   def compact(maxFiles: Int = 1, markerKeep: Int = 64): Long = {
     val frag = rows()
       .select(col("tbl"), col("bucket"), input_file_name().as("_f"))
@@ -122,14 +123,29 @@ final class LshIndex(spark: SparkSession, val basePath: String, dim: Int,
         .join(broadcast(frag), Seq("tbl", "bucket"), "left_semi")
         .repartition(col("tbl"), col("bucket"))
         .localCheckpoint()
-      compacted.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("tbl", "bucket").parquet(rowsPath)
+      // invalidate BEFORE the swap: a chaos kill inside it must not
+      // leave the cached frame referencing vanished files (the
+      // checkpointed slice above is already materialized)
       invalidate()
+      StagedCommit.swapFiles(spark, rowsPath, compacted,
+        Seq("tbl", "bucket"), partDirsOf(frag))
     }
     // marker-growth bound (VERDICT r17 #3) — see IvfIndex.compact
     StagedCommit.foldMarkers(spark, rowsPath, markerKeep)
     n
+  }
+
+  /** (tbl, bucket) rows → partition-dir relative paths, escaped the
+    * way Spark writes them — the [[StagedCommit.swapFiles]] address
+    * form. String casts so partition-dir type inference never
+    * matters. */
+  private def partDirsOf(keys: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    keys.select(col("tbl").cast("string"), col("bucket").cast("string"))
+      .distinct().collect().map { r =>
+        s"tbl=${escapePathName(r.getString(0))}/" +
+          s"bucket=${escapePathName(r.getString(1))}"
+      }.toSeq
   }
 
   // resolved once per index instance and invalidated on writes:
@@ -224,27 +240,21 @@ final class LshIndex(spark: SparkSession, val basePath: String, dim: Int,
             .join(broadcast(hit), Seq("tbl", "bucket"), "left_semi")
             .repartition(col("tbl"), col("bucket"))
             .localCheckpoint()
-          kept.write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("tbl", "bucket").parquet(rowsPath)
-          // drop the cache NOW, not at the end: the overwrite just
-          // replaced files the cached frame references, and a kill
-          // before the final invalidate would leave every later probe
-          // reading vanished paths (caught by LshIndexSpec's
-          // pre-clear-kill case)
+          // drop the cache FIRST: the swap below replaces files the
+          // cached frame references, and a kill inside it must not
+          // leave later probes reading vanished paths (caught by
+          // LshIndexSpec's pre-clear-kill case; the checkpointed
+          // `kept` slice is already materialized)
           invalidate()
-          // a partition whose every row was tombstoned writes nothing
-          // under dynamic overwrite — its dead files would resurrect
-          // when the tombstones clear; drop those dirs explicitly
-          // (string keys: partition-dir type inference must not matter)
-          def keysOf(df: DataFrame) = df
-            .select(col("tbl").cast("string"), col("bucket").cast("string"))
-            .distinct().collect().map(r => (r.getString(0), r.getString(1)))
-          val survivors = keysOf(kept).toSet
-          keysOf(hit).filterNot(survivors).foreach { case (t, b) =>
-            fs.delete(new org.apache.hadoop.fs.Path(
-              s"$rowsPath/tbl=$t/bucket=$b"), true)
-          }
+          // crash-safe rewrite (r18): the write-ahead-intent swap
+          // replaces exactly the hit partitions' files — a kill
+          // mid-swap rolls forward at the next committed read, and a
+          // partition whose every row was tombstoned folds to EMPTY
+          // (old files deleted, dir dropped) so nothing can resurrect
+          // when the tombstones clear — the dead-dir sweep the old
+          // dynamic-overwrite path hand-rolled
+          StagedCommit.swapFiles(spark, rowsPath, kept,
+            Seq("tbl", "bucket"), partDirsOf(hit))
         }
         graft.FailPoint.hit("lsh_purge_before_clear")
         fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath), true)

@@ -274,6 +274,9 @@ final class PqIndex(spark: SparkSession, basePath: String) {
     * (derived-artifact epochs stay valid). Returns how many partitions
     * were rewritten. */
   def compact(partitionCol: String = "cell", maxFiles: Int = 1): Long = {
+    // a prior compact may have died mid-swap: heal before enumerating
+    // ([[codes]] is a plain directory read, not a committed read)
+    StagedCommit.recoverSwapAt(spark, codesPath)
     val frag = codes()
       .select(col(partitionCol), input_file_name().as("_f"))
       .groupBy(col(partitionCol)).agg(countDistinct(col("_f")).as("_nf"))
@@ -286,9 +289,18 @@ final class PqIndex(spark: SparkSession, basePath: String) {
         .join(broadcast(frag), Seq(partitionCol), "left_semi")
         .repartition(col(partitionCol))
         .localCheckpoint()
-      compacted.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitionCol).parquet(codesPath)
+      // crash-safe rewrite (r18): write-ahead-intent swap of exactly
+      // the fragmented partitions' files — see StagedCommit.swapFiles
+      val dirs = {
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName
+        frag.select(col(partitionCol).cast("string")).distinct()
+          .collect()
+          .map(r => s"$partitionCol=${escapePathName(r.getString(0))}")
+          .toSeq
+      }
+      StagedCommit.swapFiles(spark, codesPath, compacted,
+        Seq(partitionCol), dirs)
     }
     n
   }

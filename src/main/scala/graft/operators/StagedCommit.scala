@@ -300,34 +300,113 @@ object StagedCommit {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = fs.makeQualified(new Path(path))
     if (fs.exists(new Path(dir, SwapIntent))) recoverSwap(fs, dir)
-    val old = fs.listStatus(dir).toSeq.filter(st =>
-      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val oldRel = fs.listStatus(dir).toSeq.filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName)
     val stage = new Path(dir, SwapStage)
     fs.delete(stage, true)
     snap.coalesce(outFiles).write.mode(SaveMode.Overwrite)
       .parquet(stage.toString)
-    val staged = fs.listStatus(stage).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.getName)
+    runSwap(fs, dir, path, oldRel)
+  }
+
+  /** [[swapBase]]'s PARTITIONED twin — the crash-safe replacement for
+    * the dynamic-partition-overwrite compact/purge rewrites, whose
+    * job-commit window (some partition dirs replaced, others deleted
+    * but not yet refilled) was the family's last "recovery is
+    * rebuild" contract. Replaces every `.parquet` file under the
+    * given partition subdirs (relative paths like `tbl=1/bucket=2`)
+    * with `snap` written `partitionBy(partitionCols)`, through the
+    * same write-ahead intent: the intent records partition-relative
+    * paths, so [[recoverSwap]] rolls a torn rewrite forward
+    * file-for-file across every affected dir. A partition whose rows
+    * all folded away stages nothing — its old files are deleted and
+    * the now-empty dir is dropped (the purge's dead-partition case,
+    * previously a hand-rolled sweep). Staged output MUST stay within
+    * the declared dirs (require — a snap straying outside would land
+    * files the intent never accounted for). */
+  def swapFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                snap: DataFrame, partitionCols: Seq[String],
+                partDirs: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "swapFiles needs partition columns")
+    if (partDirs.isEmpty) return
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = fs.makeQualified(new Path(path))
+    if (fs.exists(new Path(dir, SwapIntent))) recoverSwap(fs, dir)
+    val oldRel = partDirs.flatMap { d =>
+      val p = new Path(dir, d)
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).toSeq.filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => s"$d/${st.getPath.getName}")
+    }
+    val stage = new Path(dir, SwapStage)
+    fs.delete(stage, true)
+    snap.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(stage.toString)
+    val declared = partDirs.toSet
+    listParquetRel(fs, stage).foreach { s =>
+      val sub = s.substring(0, math.max(0, s.lastIndexOf('/')))
+      require(declared.contains(sub),
+        s"swapFiles: staged partition '$sub' is outside the declared " +
+          s"set under $path — the snap must be restricted to partDirs")
+    }
+    runSwap(fs, dir, path, oldRel)
+    // dead partitions: everything folded away — drop the empty dir so
+    // partition discovery never resurrects it
+    partDirs.foreach { d =>
+      val p = new Path(dir, d)
+      if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true)
+    }
+  }
+
+  /** Every `.parquet` under `base`, as `base`-relative paths. */
+  private def listParquetRel(fs: org.apache.hadoop.fs.FileSystem,
+                             base: Path): Seq[String] = {
+    val q = fs.makeQualified(base).toString + "/"
+    val out = scala.collection.mutable.Buffer.empty[String]
+    if (fs.exists(base)) {
+      val it = fs.listFiles(base, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          out += st.getPath.toString.stripPrefix(q)
+      }
+    }
+    out.toSeq
+  }
+
+  /** The shared intent-commit-execute core behind [[swapBase]] and
+    * [[swapFiles]]: stage dir already written; `oldRel` are the
+    * dir-relative files to replace. See [[swapBase]] for the protocol
+    * and crash contract. */
+  private def runSwap(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+                      path: String, oldRel: Seq[String]): Unit = {
+    val stage = new Path(dir, SwapStage)
+    val staged = listParquetRel(fs, stage)
     // generation counter: strictly above every surviving compacted_
     // name so a roll-forward can never rename onto a file it is also
     // instructed to delete
     val GenName = "compacted_(\\d+)_\\d+\\.parquet".r
-    val gen = old.map(_.getPath.getName).collect {
-      case GenName(g) => g.toLong }.foldLeft(-1L)(math.max) + 1
+    val gen = oldRel.map(r => r.substring(r.lastIndexOf('/') + 1))
+      .collect { case GenName(g) => g.toLong }.foldLeft(-1L)(math.max) + 1
     val moves = staged.zipWithIndex.map { case (s, i) =>
-      (s, s"compacted_${gen}_$i.parquet") }
+      val cut = s.lastIndexOf('/')
+      val sub = if (cut < 0) "" else s.substring(0, cut + 1)
+      (s, s"${sub}compacted_${gen}_$i.parquet")
+    }
     // the trailing "end" line is the intent's commit point: deletes
     // start only after a COMPLETE intent is on disk, so recovery can
     // roll a terminated intent forward and discard an unterminated one
     // (nothing destructive ran yet — rolling back is trivially safe)
-    val intentBody = (old.map(st => s"del\t${st.getPath.getName}") ++
+    val intentBody = (oldRel.map(r => s"del\t$r") ++
       moves.map { case (s, t) => s"mv\t$s\t$t" } ++
       Seq("end")).mkString("\n")
     // create(overwrite = false) doubles as a best-effort single-owner
     // gate: a second concurrent swap of the same artifact dies loudly
     // here instead of silently interleaving its deletes with ours (a
-    // crashed owner's intent never blocks — the recover-at-entry above
+    // crashed owner's intent never blocks — the recover-at-entry
     // already consumed it). Best-effort: two swaps racing BEFORE this
     // line still share the stage dir — the single-maintenance-owner
     // contract stands; this turns the likeliest violation loud.
@@ -343,10 +422,11 @@ object StagedCommit {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     graft.FailPoint.hit("swap_after_intent")
-    old.foreach(st => fs.delete(st.getPath, false))
+    oldRel.foreach(r => fs.delete(new Path(dir, r), false))
     graft.FailPoint.hit("swap_after_delete")
     moves.foreach { case (s, t) =>
       val dst = new Path(dir, t)
+      fs.mkdirs(dst.getParent)
       require(fs.rename(new Path(stage, s), dst) || fs.exists(dst),
         s"swap rename failed: $s -> $dst")
     }
@@ -399,6 +479,7 @@ object StagedCommit {
           val dst = new Path(dir, t)
           if (!fs.exists(dst)) {
             val src = new Path(stage, s)
+            fs.mkdirs(dst.getParent)
             require(fs.rename(src, dst) || fs.exists(dst),
               s"swap recovery cannot place $dst: staged file $src is " +
                 s"gone — external interference under $dir")

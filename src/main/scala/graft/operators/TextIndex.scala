@@ -410,19 +410,16 @@ object TextIndex {
           val kept = raw.join(tomb, Seq("doc_id"), "left_anti")
             .join(broadcast(hit), Seq("_bkt"), "left_semi")
             .repartition(col("_bkt")).localCheckpoint()
-          kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_bkt").parquet(postPath)
+          // crash-safe rewrite (r18): the write-ahead-intent swap
+          // replaces exactly the hit buckets' files — a kill mid-swap
+          // rolls forward at the next committed read, and a bucket
+          // whose every row was tombstoned folds to EMPTY (old files
+          // deleted, dir dropped), replacing the hand-rolled dead-dir
+          // sweep the dynamic-overwrite path needed
+          StagedCommit.swapFiles(spark, postPath, kept, Seq("_bkt"),
+            hit.select(col("_bkt").cast("string")).collect()
+              .map(r => s"_bkt=${r.getString(0)}").toSeq)
           graft.FailPoint.hit("bm25_purge_after_overwrite")
-          // a bucket whose every row was tombstoned writes nothing
-          // under dynamic overwrite — drop its dir explicitly
-          val survivors = kept.select(col("_bkt").cast("string"))
-            .distinct().collect().map(_.getString(0)).toSet
-          hit.select(col("_bkt").cast("string")).collect()
-            .map(_.getString(0)).filterNot(survivors).foreach { b =>
-              fs.delete(new org.apache.hadoop.fs.Path(
-                s"$postPath/_bkt=$b"), true)
-            }
         }
         // PURGE LEDGER: record every cleared token BEFORE the
         // tombstone dir goes — a completed delete's stats row would
@@ -550,9 +547,9 @@ object TextIndex {
     * survive a compaction because an in-flight delete's retry derives
     * its stats subtraction from their denormalized `dl`. The stats
     * fold is crash-safe since r18 ([[StagedCommit.swapBase]]'s
-    * write-ahead intent — a kill mid-swap rolls forward at the next
-    * committed read; the postings fold goes through Spark's dynamic
-    * partition overwrite as before); run it from the
+    * write-ahead intent, and the postings fold through its
+    * partitioned twin [[StagedCommit.swapFiles]] — a kill mid-swap
+    * rolls forward at the next committed read); run it from the
     * single maintenance owner, not concurrently with writes. Returns
     * the number of bucket partitions rewritten, or -1 refusing nothing
     * (compaction never refuses — purge is the one with preconditions). */
@@ -578,9 +575,11 @@ object TextIndex {
     if (n > 0) {
       val folded = raw.join(broadcast(frag), Seq("_bkt"), "left_semi")
         .repartition(col("_bkt")).localCheckpoint()
-      folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bkt").parquet(postPath)
+      // crash-safe fold (r18): write-ahead-intent swap of exactly the
+      // fragmented buckets' files — see StagedCommit.swapFiles
+      StagedCommit.swapFiles(spark, postPath, folded, Seq("_bkt"),
+        frag.select(col("_bkt").cast("string")).collect()
+          .map(r => s"_bkt=${r.getString(0)}").toSeq)
     }
     graft.FailPoint.hit("bm25_compact_after_postings")
     // stats: fold the signed rows into one summed base row whenever

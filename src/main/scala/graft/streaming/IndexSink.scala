@@ -180,9 +180,9 @@ object IndexSink {
     * applied batches (0 = never): the `reportCompactEvery` pattern,
     * bounding delta-file growth on a long-running tail. The compact
     * runs AFTER the batch marker (pure maintenance — a kill inside it
-    * never loses a batch; the flat-artifact folds roll forward from
-    * [[graft.operators.StagedCommit.swapBase]]'s write-ahead intent,
-    * the partitioned folds ride Spark's dynamic partition overwrite).
+    * never loses a batch; flat and partitioned folds alike roll
+    * forward from the [[graft.operators.StagedCommit.swapBase]] /
+    * [[graft.operators.StagedCommit.swapFiles]] write-ahead intent).
     *
     * `verifyCdf` — DEFENSIVE CDF-CONTRACT CHECK (VERDICT r17 #4/#6,
     * builder-named): the netting trusts the feed's change types

@@ -450,6 +450,55 @@ class StagedCommitSpec extends SparkSpec {
     assert(!names.contains("_swap_intent"))
   }
 
+  test("swapFiles: the PARTITIONED crash-safe swap — a kill between " +
+      "delete and rename rolls forward at the next committed read, " +
+      "an all-folded-away partition drops its dir, markers survive, " +
+      "and a snap straying outside the declared partitions refuses") {
+    val dir = Files.createTempDirectory("graft_sc_swapf").toString
+    val base = Seq((1L, 1), (2L, 1), (3L, 2), (4L, 2)).toDF("id", "part")
+    base.write.mode("overwrite").partitionBy("part").parquet(dir)
+    val d1 = Seq((10L, 1)).toDF("id", "part")
+    val t1 = StagedCommit.idToken(d1, "id", "part")
+    assert(StagedCommit.appendOnce(dir, t1, Seq("part"), d1))
+    def served: Seq[(Long, Int)] = StagedCommit.readCommitted(spark, dir)
+      .select($"id", $"part").as[(Long, Int)].collect().sorted.toSeq
+    val all = Seq((1L, 1), (2L, 1), (3L, 2), (4L, 2), (10L, 1))
+      .sorted
+    assert(served == all)
+    // fold part=1 (base + delta files → compacted), killed mid-swap in
+    // the worst window: part=1 has ZERO data files on disk
+    val fold1 = StagedCommit.readCommitted(spark, dir)
+      .filter($"part" === 1).repartition(col("part"))
+      .localCheckpoint()
+    graft.FailPoint.arm("swap_after_delete")
+    try intercept[graft.FailPoint.Kill] {
+      StagedCommit.swapFiles(spark, dir, fold1, Seq("part"),
+        Seq("part=1"))
+    } finally graft.FailPoint.disarm()
+    assert(served == all) // rolled forward, nothing lost
+    // the fence survives the fold: the folded delta's token still no-ops
+    assert(!StagedCommit.appendOnce(dir, t1, Seq("part"), d1))
+    assert(served == all)
+    // dead partition: folding part=2 to an EMPTY snap deletes its
+    // files and drops the dir (the purge's all-tombstoned case)
+    StagedCommit.swapFiles(spark, dir,
+      StagedCommit.readCommitted(spark, dir)
+        .filter($"part" === 2 && $"id" < 0)
+        .repartition(col("part")).localCheckpoint(),
+      Seq("part"), Seq("part=2"))
+    assert(served == all.filter(_._2 == 1))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "part=2")))
+    // discipline: staged output outside the declared set refuses
+    intercept[IllegalArgumentException] {
+      StagedCommit.swapFiles(spark, dir,
+        StagedCommit.readCommitted(spark, dir)
+          .repartition(col("part")).localCheckpoint(),
+        Seq("part"), Seq("part=2"))
+    }
+  }
+
   test("swapBase: an UNTERMINATED intent (writer died mid-write, " +
       "before the end-line commit point) rolls BACK at the next " +
       "committed read — nothing destructive ran, old state intact") {
