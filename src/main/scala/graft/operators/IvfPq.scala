@@ -207,7 +207,10 @@ final class IvfPq(spark: SparkSession, ivf: IvfIndex, pqBase: String) {
       lit(cellConst(best.head))) { (acc, c) =>
       when(col("cell") === c, lit(cellConst(c))).otherwise(acc)
     }
-    val cand = pq.codes().filter(col("cell").isin(best: _*))
+    // committed-only read (r18): the codes table is swap- and
+    // appendOnce-maintained — a probe racing a killed maintenance op
+    // must see neither a partial delta nor a torn swap
+    val cand = pq.committedCodes().filter(col("cell").isin(best: _*))
       .select(col("id").as(idCol),
         round(pq.adcScore(query) + constCol, 6).as("_adc"))
       .orderBy(col("_adc").desc, col(idCol).asc)

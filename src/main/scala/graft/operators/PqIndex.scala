@@ -216,12 +216,23 @@ final class PqIndex(spark: SparkSession, basePath: String) {
     * until the refresh completes (IvfPq refuses on epoch mismatch
     * throughout). */
   def reencodePartitions(emb: DataFrame, idCol: String, vecCol: String,
-                         partitionBy: String): Unit =
-    codeRows(emb, idCol, vecCol, storedCodebooks(), Some(partitionBy))
-      .repartition(col(partitionBy))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionBy).parquet(codesPath)
+                         partitionBy: String): Unit = {
+    val rows = codeRows(emb, idCol, vecCol, storedCodebooks(),
+        Some(partitionBy))
+      .repartition(col(partitionBy)).localCheckpoint()
+    // crash-safe rewrite (r18): write-ahead-intent swap of exactly the
+    // re-encoded partitions' files — a kill mid-swap rolls forward
+    // instead of losing cells (see StagedCommit.swapFiles)
+    val dirs = {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName
+      rows.select(col(partitionBy).cast("string")).distinct().collect()
+        .map(r => s"$partitionBy=${escapePathName(r.getString(0))}")
+        .toSeq
+    }
+    StagedCommit.swapFiles(spark, codesPath, rows, Seq(partitionBy),
+      dirs)
+  }
 
   /** The encode pass as a DataFrame — shared by [[encodeWith]] (plain
     * write) and [[append]] (staged exactly-once commit). */
