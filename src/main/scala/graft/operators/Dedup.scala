@@ -501,24 +501,51 @@ object Dedup {
     * table); a RETRY (the occ token already committed, so a prior
     * attempt may have died before its count rewrite) repairs by
     * recomputing the counts from the committed occurrence table —
-    * the O(occ) re-aggregate is paid only on the crash-retry path. */
+    * the O(occ) re-aggregate is paid only on the crash-retry path.
+    *
+    * SELF-HEALING SEAM (ADVICE r18): the incremental path is only
+    * valid while cnt is in sync with occ. A prior advance of a
+    * DIFFERENT delta that died at the occ-committed/cnt-not-rewritten
+    * seam and was never retried used to permanently bake the missing
+    * counts into cnt. Now every advance drops a `_cnt_pending` marker
+    * BEFORE its occ append and clears it only after its count swap
+    * succeeds; an advance that finds the marker already present at
+    * entry recomputes the counts from the committed occurrence truth
+    * (the same O(occ) re-aggregate the redelivery branch pays)
+    * instead of trusting cnt — crash-convergence no longer depends on
+    * a same-delta-retry discipline. Marker growth on occ is bounded:
+    * the fold of old `_delta_*_SUCCESS` markers into the token
+    * manifest runs after each successful advance (`markerKeep`, the
+    * index families' pattern — occ is an appendOnce artifact whose
+    * fence consults the union, never a transient marker dir). */
   def advanceSpanTable(delta: DataFrame, idCol: String, textCol: String,
                        basePath: String, w: Int,
-                       portableHash: Boolean = false): Unit = {
+                       portableHash: Boolean = false,
+                       markerKeep: Int = 64): Unit = {
     val spark = delta.sparkSession
     val (occPath, cntPath) = spanPaths(basePath, w, portableHash)
+    val fs = new org.apache.hadoop.fs.Path(cntPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(cntPath, "_cnt_pending")
+    // a stale marker at entry = some prior advance died between its
+    // occ commit and its cnt rewrite — cnt may lag occ by ANY set of
+    // deltas, so only the occurrence truth may rebuild it
+    val cntSuspect = fs.exists(pending)
     val deltaOcc = windowOccurrences(delta, idCol, textCol, w, portableHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val token = StagedCommit.idToken(deltaOcc, idCol, "_pos", "_k")
     val cntFiles = math.max(1,
       spark.sessionState.conf.numShufflePartitions / 4)
-    if (StagedCommit.appendOnce(occPath, token, Nil, deltaOcc)) {
+    fs.create(pending, true).close()
+    if (StagedCommit.appendOnce(occPath, token, Nil, deltaOcc) &&
+        !cntSuspect) {
       // chaos seam (test-only): occ committed, counts not yet — the
-      // torn state the retry's recompute-from-occ branch repairs
+      // torn state the pending-marker recompute branch repairs
       graft.FailPoint.hit("spans_after_occ_append")
-      // first apply: incremental count merge (the swap stages the new
-      // counts while the old files still exist, so the lazy self-read
-      // is safe — same device as BqIndex.rewriteBase)
+      // first apply over a trusted cnt: incremental count merge (the
+      // swap stages the new counts while the old files still exist,
+      // so the lazy self-read is safe — same device as
+      // BqIndex.rewriteBase)
       StagedCommit.swapBase(spark, cntPath,
         StagedCommit.readCommitted(spark, cntPath)
           .withColumnRenamed("_n", "_no")
@@ -529,14 +556,18 @@ object Dedup {
               .as("_n")),
         cntFiles)
     } else {
-      // redelivery: the delta is already in occ, but a prior attempt
-      // may have died before its count rewrite — converge the count
-      // table from the committed occurrence truth
+      // redelivery OR suspect cnt (a prior advance died before its
+      // count rewrite) — converge the count table from the committed
+      // occurrence truth, which now includes this delta
       StagedCommit.swapBase(spark, cntPath,
         StagedCommit.readCommitted(spark, occPath)
           .groupBy(col("_k")).agg(count(lit(1)).as("_n")),
         cntFiles)
     }
+    fs.delete(pending, false)
+    // ADVICE r18: bound the per-delta marker accrual on occ exactly as
+    // the index-family compacts do
+    StagedCommit.foldMarkers(spark, occPath, markerKeep)
     deltaOcc.unpersist()
   }
 

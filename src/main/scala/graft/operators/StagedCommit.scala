@@ -261,7 +261,136 @@ object StagedCommit {
   }
 
   private val SwapIntent = "_swap_intent"
+  private val SwapIntentTmp = "_swap_intent.tmp"
   private val SwapStage = "_stage_swap"
+  private val LeaseFile = "_maintenance_lease"
+
+  /** How long a maintenance lease may sit untouched before another
+    * maintainer may break it (a crashed holder's lease; the mtime is
+    * refreshed after staging, so a healthy long-running swap whose
+    * STAGE phase exceeds this is still fenced — see the commit-point
+    * check in [[runSwap]]). */
+  val DefaultLeaseStaleMs: Long = 15L * 60 * 1000
+
+  private def jvmId: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+                        p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** MAINTENANCE LEASE (VERDICT r18 #2) — closes the pre-intent swap
+    * race: two maintainers racing BEFORE the intent's create-if-absent
+    * gate used to share the stage dir. [[swapBase]]/[[swapFiles]] now
+    * run their ENTIRE protocol (stage included) under a
+    * create-if-absent `_maintenance_lease`, so the second of two
+    * racing swaps refuses loudly at entry instead of interleaving.
+    *
+    * Break rules, in order:
+    *   - the holder is THIS JVM and its thread is the current one or
+    *     no longer alive → a crashed (exception- or kill-injected)
+    *     earlier attempt in this process; break immediately. Thread
+    *     ids can in principle be recycled by the JVM — accepted: the
+    *     misjudged case is a same-process concurrent maintainer,
+    *     which the single-owner contract already forbids.
+    *   - the lease file's mtime is older than `staleMs` → a crashed
+    *     holder in another process; break, and the caller's
+    *     recover-at-entry then rolls any torn swap forward BEFORE new
+    *     work (the VERDICT-mandated ordering).
+    *   - otherwise → throw: another maintainer is active.
+    *
+    * The lease content (`jvm\tthread\ttoken`) doubles as the FENCING
+    * token: [[runSwap]] re-reads it immediately before the intent
+    * rename (the commit point) and aborts if it is no longer ours —
+    * a paused holder whose lease a competitor broke can therefore
+    * never start deleting live files. A reader of a mid-write lease
+    * (create→close window) sees unparseable content: treated as held
+    * (mtime is fresh), never broken-by-parse-failure. */
+  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: Path, staleMs: Long): String = {
+    val lease = new Path(dir, LeaseFile)
+    val token = java.util.UUID.randomUUID().toString
+    val me = jvmId
+    val myThread = Thread.currentThread().getId
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val created =
+        try {
+          val out = fs.create(lease, false)
+          try out.write(s"$me\t$myThread\t$token"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (created) return token
+      val st =
+        try Some(fs.getFileStatus(lease))
+        catch { case _: java.io.FileNotFoundException => None }
+      st.foreach { s =>
+        val content =
+          try readSmall(fs, lease).trim
+          catch { case _: java.io.IOException => "" }
+        val parts = content.split("\t", -1)
+        val ownJvmDeadThread = parts.length == 3 && parts(0) == me && {
+          val tid =
+            try parts(1).toLong catch { case _: NumberFormatException => -1L }
+          tid == myThread || {
+            import scala.jdk.CollectionConverters._
+            !Thread.getAllStackTraces.keySet.asScala
+              .exists(t => t.getId == tid && t.isAlive)
+          }
+        }
+        val ageMs = System.currentTimeMillis() - s.getModificationTime
+        if (ownJvmDeadThread || ageMs > staleMs)
+          fs.delete(lease, false) // break, then re-race the create
+        else throw new IllegalStateException(
+          s"maintenance lease under $dir is held by '$content' " +
+            s"(age ${ageMs} ms, stale after ${staleMs} ms) — another " +
+            "maintainer is active; refusing to run a concurrent swap")
+      }
+    }
+    throw new IllegalStateException(
+      s"could not acquire maintenance lease under $dir after " +
+        s"$attempts attempts (repeated create/break races)")
+  }
+
+  /** Drop the lease IF it is still ours (token-checked — never deletes
+    * a competitor's lease after ours was broken). */
+  private def releaseLease(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: Path, token: String): Unit = {
+    val lease = new Path(dir, LeaseFile)
+    try {
+      if (readSmall(fs, lease).trim.endsWith("\t" + token))
+        fs.delete(lease, false)
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Run `body` holding the maintenance lease. Released on success and
+    * on ordinary failure (`NonFatal` — the retry may proceed at once);
+    * deliberately NOT on a fatal error ([[graft.FailPoint.Kill]] is an
+    * Error precisely so injected kills leave durable state as a
+    * process kill would — the lease stays, and the retry takes the
+    * own-JVM-dead-thread or stale-timeout break path, exactly like a
+    * real crashed holder). */
+  private def withLease[T](fs: org.apache.hadoop.fs.FileSystem,
+                           dir: Path, staleMs: Long)(
+      body: String => T): T = {
+    val token = acquireLease(fs, dir, staleMs)
+    val r =
+      try body(token)
+      // Exception, NOT NonFatal: NonFatal matches plain Error
+      // subclasses, so it would release the lease on an injected
+      // [[graft.FailPoint.Kill]] — certifying a crash state (lease
+      // gone) a real process kill cannot produce
+      catch { case e: Exception =>
+        releaseLease(fs, dir, token); throw e }
+    releaseLease(fs, dir, token)
+    r
+  }
 
   /** CRASH-SAFE BASE-FILE SWAP — closes the one family-wide seam the
     * compacts documented as "kill mid-swap → mixed listing, recovery
@@ -272,16 +401,23 @@ object StagedCommit {
     * overwrite instead) with `snap` coalesced to `outFiles` files,
     * through a write-ahead intent:
     *
-    *   1. roll forward any PRIOR torn swap (see [[recoverSwap]]);
+    *   0. acquire the `_maintenance_lease` (see [[acquireLease]] —
+    *      closes the pre-intent window where two maintainers could
+    *      share the stage dir; a second concurrent swap refuses
+    *      loudly HERE, before any work);
+    *   1. roll forward any PRIOR torn swap (see [[recoverSwap]]) and
+    *      sweep a dead holder's `_swap_intent.tmp`;
     *   2. stage `snap` into the hidden `_stage_swap` child (skipped
     *      by [[walkParquet]], so no reader ever sees it);
-    *   3. write the `_swap_intent` file (create-if-absent — the
-    *      single-owner gate — terminated by an `end` line, its commit
-    *      point): the exact old names to delete and staged→target
-    *      renames to perform — target names carry a generation
-    *      counter so they can never collide with surviving old files;
+    *   3. write the intent to `_swap_intent.tmp` and RENAME it to
+    *      `_swap_intent` (atomic visibility — a visible intent is
+    *      always complete; its `end` line is the commit point),
+    *      after a fencing re-read of the lease: the exact old names
+    *      to delete and staged→target renames to perform — target
+    *      names carry a generation counter so they can never collide
+    *      with surviving old files;
     *   4. delete the old files;  5. rename staged files in;
-    *   6. drop the intent, then the stage dir.
+    *   6. drop the intent, then the stage dir, then the lease.
     *
     * A kill before the intent's `end` line leaves the old state
     * intact (recovery discards the unterminated intent and stage
@@ -294,20 +430,26 @@ object StagedCommit {
     * target-already-present), so a reader-triggered recovery racing
     * the writer's own continuation converges instead of throwing. */
   def swapBase(spark: org.apache.spark.sql.SparkSession, path: String,
-               snap: DataFrame, outFiles: Int = 1): Unit = {
+               snap: DataFrame, outFiles: Int = 1,
+               leaseStaleMs: Long = DefaultLeaseStaleMs): Unit = {
     require(outFiles >= 1, s"outFiles must be >= 1: $outFiles")
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = fs.makeQualified(new Path(path))
-    if (fs.exists(new Path(dir, SwapIntent))) recoverSwap(fs, dir)
-    val oldRel = fs.listStatus(dir).toSeq.filter(st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.getName)
-    val stage = new Path(dir, SwapStage)
-    fs.delete(stage, true)
-    snap.coalesce(outFiles).write.mode(SaveMode.Overwrite)
-      .parquet(stage.toString)
-    runSwap(fs, dir, path, oldRel)
+    withLease(fs, dir, leaseStaleMs) { leaseToken =>
+      if (fs.exists(new Path(dir, SwapIntent))) recoverSwap(fs, dir)
+      // a dead holder's pre-commit-point debris: safe to sweep only
+      // UNDER the lease (a live writer would still hold it)
+      fs.delete(new Path(dir, SwapIntentTmp), false)
+      val oldRel = fs.listStatus(dir).toSeq.filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName)
+      val stage = new Path(dir, SwapStage)
+      fs.delete(stage, true)
+      snap.coalesce(outFiles).write.mode(SaveMode.Overwrite)
+        .parquet(stage.toString)
+      runSwap(fs, dir, path, oldRel, leaseToken)
+    }
   }
 
   /** [[swapBase]]'s PARTITIONED twin — the crash-safe replacement for
@@ -327,37 +469,41 @@ object StagedCommit {
     * files the intent never accounted for). */
   def swapFiles(spark: org.apache.spark.sql.SparkSession, path: String,
                 snap: DataFrame, partitionCols: Seq[String],
-                partDirs: Seq[String]): Unit = {
+                partDirs: Seq[String],
+                leaseStaleMs: Long = DefaultLeaseStaleMs): Unit = {
     require(partitionCols.nonEmpty, "swapFiles needs partition columns")
     if (partDirs.isEmpty) return
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = fs.makeQualified(new Path(path))
-    if (fs.exists(new Path(dir, SwapIntent))) recoverSwap(fs, dir)
-    val oldRel = partDirs.flatMap { d =>
-      val p = new Path(dir, d)
-      if (!fs.exists(p)) Seq.empty[String]
-      else fs.listStatus(p).toSeq.filter(st =>
-          st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(st => s"$d/${st.getPath.getName}")
-    }
-    val stage = new Path(dir, SwapStage)
-    fs.delete(stage, true)
-    snap.write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionCols: _*).parquet(stage.toString)
-    val declared = partDirs.toSet
-    listParquetRel(fs, stage).foreach { s =>
-      val sub = s.substring(0, math.max(0, s.lastIndexOf('/')))
-      require(declared.contains(sub),
-        s"swapFiles: staged partition '$sub' is outside the declared " +
-          s"set under $path — the snap must be restricted to partDirs")
-    }
-    runSwap(fs, dir, path, oldRel)
-    // dead partitions: everything folded away — drop the empty dir so
-    // partition discovery never resurrects it
-    partDirs.foreach { d =>
-      val p = new Path(dir, d)
-      if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true)
+    withLease(fs, dir, leaseStaleMs) { leaseToken =>
+      if (fs.exists(new Path(dir, SwapIntent))) recoverSwap(fs, dir)
+      fs.delete(new Path(dir, SwapIntentTmp), false)
+      val oldRel = partDirs.flatMap { d =>
+        val p = new Path(dir, d)
+        if (!fs.exists(p)) Seq.empty[String]
+        else fs.listStatus(p).toSeq.filter(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(st => s"$d/${st.getPath.getName}")
+      }
+      val stage = new Path(dir, SwapStage)
+      fs.delete(stage, true)
+      snap.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*).parquet(stage.toString)
+      val declared = partDirs.toSet
+      listParquetRel(fs, stage).foreach { s =>
+        val sub = s.substring(0, math.max(0, s.lastIndexOf('/')))
+        require(declared.contains(sub),
+          s"swapFiles: staged partition '$sub' is outside the declared " +
+            s"set under $path — the snap must be restricted to partDirs")
+      }
+      runSwap(fs, dir, path, oldRel, leaseToken)
+      // dead partitions: everything folded away — drop the empty dir so
+      // partition discovery never resurrects it
+      partDirs.foreach { d =>
+        val p = new Path(dir, d)
+        if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true)
+      }
     }
   }
 
@@ -382,9 +528,16 @@ object StagedCommit {
     * dir-relative files to replace. See [[swapBase]] for the protocol
     * and crash contract. */
   private def runSwap(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-                      path: String, oldRel: Seq[String]): Unit = {
+                      path: String, oldRel: Seq[String],
+                      leaseToken: String): Unit = {
     val stage = new Path(dir, SwapStage)
     val staged = listParquetRel(fs, stage)
+    // staging a large snapshot may have outlived a chunk of the stale
+    // window — refresh the lease mtime so a healthy swap is not
+    // misjudged crashed between here and the commit point
+    try fs.setTimes(new Path(dir, LeaseFile),
+      System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () }
     // generation counter: strictly above every surviving compacted_
     // name so a roll-forward can never rename onto a file it is also
     // instructed to delete
@@ -403,24 +556,53 @@ object StagedCommit {
     val intentBody = (oldRel.map(r => s"del\t$r") ++
       moves.map { case (s, t) => s"mv\t$s\t$t" } ++
       Seq("end")).mkString("\n")
-    // create(overwrite = false) doubles as a best-effort single-owner
-    // gate: a second concurrent swap of the same artifact dies loudly
-    // here instead of silently interleaving its deletes with ours (a
-    // crashed owner's intent never blocks — the recover-at-entry
-    // already consumed it). Best-effort: two swaps racing BEFORE this
-    // line still share the stage dir — the single-maintenance-owner
-    // contract stands; this turns the likeliest violation loud.
+    // ATOMIC INTENT VISIBILITY (ADVICE r18, high): the intent is
+    // written to a `.tmp` name and RENAMED into place, so a reader's
+    // recoverSwap can never observe a live writer's half-written
+    // intent (create→close window) and mistake it for dead debris —
+    // the old in-place create let a concurrent committed read roll
+    // BACK a live swap, deleting the staged files out from under the
+    // writer. Any VISIBLE `_swap_intent` is now complete; the
+    // unterminated-rollback branch in recoverSwap only covers
+    // pre-r19 debris or external interference. The tmp create is
+    // create-if-absent: under the lease no live competitor exists
+    // (a dead holder's tmp was swept at entry), so a collision here
+    // is external interference and dies loudly.
     val intent = new Path(dir, SwapIntent)
+    val tmp = new Path(dir, SwapIntentTmp)
     val out =
-      try fs.create(intent, false)
+      try fs.create(tmp, false)
       catch { case e: java.io.IOException =>
         throw new IllegalStateException(
-          s"swap intent already present under $path — another swap " +
-            "is in flight (or torn: re-run, recovery rolls it " +
-            "forward first)", e) }
+          s"swap intent tmp already present under $path — external " +
+            "interference with the maintenance lease held", e) }
     try out.write(intentBody
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    graft.FailPoint.hit("swap_tmp_intent")
+    // FENCING CHECK at the commit point: if our lease was broken (a
+    // competitor judged us crashed — stale mtime — and took over), we
+    // must not publish an intent whose deletes would interleave with
+    // theirs. Nothing destructive has run; abort cleanly.
+    val leaseNow =
+      try readSmall(fs, new Path(dir, LeaseFile)).trim
+      catch { case _: java.io.IOException => "" }
+    if (!leaseNow.endsWith("\t" + leaseToken)) {
+      fs.delete(tmp, false)
+      fs.delete(stage, true)
+      throw new IllegalStateException(
+        s"maintenance lease under $path was broken while we staged " +
+          s"(now '$leaseNow') — a competing maintainer took over; " +
+          "aborting before the commit point, old state intact")
+    }
+    if (fs.exists(intent)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"a swap intent appeared under $path while we held the " +
+          "lease — external interference; aborting")
+    }
+    require(fs.rename(tmp, intent),
+      s"could not publish swap intent under $path")
     graft.FailPoint.hit("swap_after_intent")
     oldRel.foreach(r => fs.delete(new Path(dir, r), false))
     graft.FailPoint.hit("swap_after_delete")
@@ -457,16 +639,25 @@ object StagedCommit {
                           dir: Path): Unit = {
     val intent = new Path(dir, SwapIntent)
     if (!fs.exists(intent)) return
-    val in = fs.open(intent)
+    // TOCTOU (ADVICE r18): two readers can both see the intent; the
+    // one that loses the recovery race finds it gone at open — that
+    // means recovery COMPLETED, not an error
+    val in =
+      try fs.open(intent)
+      catch { case _: java.io.FileNotFoundException => return }
     val raw =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.trim).filter(_.nonEmpty).toVector
       finally in.close()
     val stage = new Path(dir, SwapStage)
     if (raw.lastOption.contains("end")) () else {
-      // unterminated intent: the writer died MID-WRITE, before its
-      // commit point — no delete or rename ever ran, so the old state
-      // is intact and the safe recovery is to roll BACK (discard)
+      // unterminated intent: with the tmp+rename publish a VISIBLE
+      // intent is always complete, so this is pre-r19 debris or
+      // external interference — either way no delete or rename ever
+      // ran under it, the old state is intact, and the safe recovery
+      // is to roll BACK (discard). NEVER touches `_swap_intent.tmp`:
+      // that may belong to a LIVE writer mid-publish; only a lease
+      // holder sweeps it.
       fs.delete(intent, false)
       fs.delete(stage, true)
       return

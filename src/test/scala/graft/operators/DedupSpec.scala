@@ -236,6 +236,70 @@ class DedupSpec extends SparkSpec {
       cntS.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("advanceSpanTable (ADVICE r18): a killed advance of delta A " +
+      "that is NEVER retried does not bake A's counts out of cnt — " +
+      "the next advance of a DIFFERENT delta sees the _cnt_pending " +
+      "marker and rebuilds counts from the occurrence truth; marker " +
+      "accrual on occ folds into the token manifest") {
+    val old = Seq(
+      (1L, "o1 s1 s2 s3 s4 s5 s6 s7 s8 o2"),
+      (2L, "plain old row with nothing at all repeated anywhere today")
+    ).toDF("doc_id", "text")
+    val dA = Seq((3L, "d1 s1 s2 s3 s4 s5 s6 s7 s8 d2")).toDF("doc_id", "text")
+    val dB = Seq((4L, "e0 s1 s2 s3 s4 s5 s6 s7 s8 e9")).toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_spanseam").toString
+    Dedup.spanTable(old, "doc_id", "text", base, w = 8)
+    // kill advance(A) at the seam: occ has A, cnt does not
+    graft.FailPoint.arm("spans_after_occ_append")
+    try intercept[graft.FailPoint.Kill] {
+      Dedup.advanceSpanTable(dA, "doc_id", "text", base, w = 8)
+    } finally graft.FailPoint.disarm()
+    // advance a DIFFERENT delta with NO retry of A in between — the
+    // old incremental path would permanently lose A's counts here
+    Dedup.advanceSpanTable(dB, "doc_id", "text", base, w = 8)
+    val scratchBase = java.nio.file.Files
+      .createTempDirectory("graft_spanseam2").toString
+    val union = old.unionByName(dA).unionByName(dB)
+    val (occS, cntS) = Dedup.spanTable(union, "doc_id", "text",
+      scratchBase, w = 8)
+    val (occA2, cntA2) = Dedup.spanTable(union, "doc_id", "text",
+      base, w = 8)
+    assert(occA2.collect().map(_.toString).sorted.toSeq ==
+      occS.collect().map(_.toString).sorted.toSeq)
+    assert(cntA2.collect().map(_.toString).sorted.toSeq ==
+      cntS.collect().map(_.toString).sorted.toSeq)
+    // the pending marker is cleared by the successful advance
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$base/span_cnt_w8_xx", "_cnt_pending")))
+    // marker-growth bound: advances with markerKeep=1 fold old occ
+    // markers into the token manifest, and the redelivery fence holds
+    val dC = Seq((5L, "f0 s1 s2 s3 s4 s5 s6 s7 s8 f9")).toDF("doc_id", "text")
+    Dedup.advanceSpanTable(dC, "doc_id", "text", base, w = 8,
+      markerKeep = 1)
+    val occDir = new org.apache.hadoop.fs.Path(s"$base/span_occ_w8_xx")
+    val markers = fs.listStatus(occDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("_delta_") && n.endsWith("_SUCCESS"))
+    assert(markers.length <= 1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(occDir,
+      "_tokens_manifest")))
+    // a redelivery of the FOLDED delta A still no-ops occ
+    Dedup.advanceSpanTable(dA, "doc_id", "text", base, w = 8)
+    val unionC = union.unionByName(dC)
+    val scratchC = java.nio.file.Files
+      .createTempDirectory("graft_spanseam3").toString
+    val (occS2, cntS2) = Dedup.spanTable(unionC, "doc_id", "text",
+      scratchC, w = 8)
+    val (occF, cntF) = Dedup.spanTable(unionC, "doc_id", "text",
+      base, w = 8)
+    assert(occF.collect().map(_.toString).sorted.toSeq ==
+      occS2.collect().map(_.toString).sorted.toSeq)
+    assert(cntF.collect().map(_.toString).sorted.toSeq ==
+      cntS2.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("cutSpans removes exactly the spanned tokens and passes clean docs through") {
     val d = Seq(
       (1L, "k1 d1 d2 d3 k2"),

