@@ -188,9 +188,9 @@ object IndexSink {
     * builder-named): the netting trusts the feed's change types
     * (insert means the key was new to the table). An upstream CDF bug
     * violating that would surface much later as an oracle mismatch;
-    * under this debug flag, one semi-join verifies the batch's insert
+    * under this flag, one semi-join verifies the batch's insert
     * keys are genuinely absent from the served index BEFORE routing.
-    * `"off"` (default) — trust the feed; `"fail"` — throw at the
+    * `"off"` — trust the feed; `"fail"` — throw at the
     * boundary, naming the keys; `"reroute"` — log and route the
     * violating keys through update instead (converges to the final
     * vector either way); `"sample:N"` — run the check with reroute
@@ -198,6 +198,10 @@ object IndexSink {
     * tail-health posture cheap enough to leave on in production — an
     * upstream CDF bug is systematic, so a sampled boundary still
     * catches it within N batches while the other N−1 pay nothing.
+    * DEFAULT is `"sample:64"` (VERDICT r18 #4): the r18 cost probe
+    * showed sampled verification is noise-level (+1% at a 20k index
+    * with sample:8), so every deployment now gets the CDF-contract
+    * fence out of the box; pass `"off"` to opt out.
     * The full check costs an index-id-column semi-join per append
     * batch. `"fail"` mode distinguishes a crashed retry of THIS batch
     * from a genuine upstream bug by probing the batch's own append
@@ -217,7 +221,7 @@ object IndexSink {
                progress: Option[(String, String)] = None,
                guardFeed: Option[String] = None,
                compactEvery: Int = 0,
-               verifyCdf: String = "off",
+               verifyCdf: String = "sample:64",
                markerKeep: Int = 64): StreamingQuery =
     startOps(feed, ivfOps(idx, idCol, vecCol, markerKeep), idCol,
       vecCol, checkpointDir, trigger, progress, guardFeed, compactEvery,
@@ -231,7 +235,7 @@ object IndexSink {
                progress: Option[(String, String)] = None,
                guardFeed: Option[String] = None,
                compactEvery: Int = 0,
-               verifyCdf: String = "off",
+               verifyCdf: String = "sample:64",
                markerKeep: Int = 64): StreamingQuery =
     startOps(feed, lshOps(idx, idCol, vecCol, markerKeep), idCol,
       vecCol, checkpointDir, trigger, progress, guardFeed, compactEvery,
@@ -250,7 +254,7 @@ object IndexSink {
                 progress: Option[(String, String)] = None,
                 guardFeed: Option[String] = None,
                 compactEvery: Int = 0,
-                verifyCdf: String = "off",
+                verifyCdf: String = "sample:64",
                 markerKeep: Int = 64)
       : StreamingQuery =
     startOps(feed,
@@ -323,7 +327,7 @@ object IndexSink {
       batch: DataFrame, batchId: Long, idx: IvfIndex, idCol: String,
       vecCol: String, appId: String = "",
       progress: Option[(String, String)] = None,
-      verifyCdf: String = "off"): Unit =
+      verifyCdf: String = "sample:64"): Unit =
     applyBatch(spark, batch, batchId, ivfOps(idx, idCol, vecCol),
       idCol, vecCol, appId, progress, verifyCdf)
 
@@ -333,7 +337,7 @@ object IndexSink {
       batch: DataFrame, batchId: Long, ops: IndexOps, idCol: String,
       vecCol: String, appId: String,
       progress: Option[(String, String)],
-      verifyCdf: String = "off"): Unit = {
+      verifyCdf: String = "sample:64"): Unit = {
     val fenceDir = ops.fenceDir
     val p = new org.apache.hadoop.fs.Path(fenceDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -387,10 +391,24 @@ object IndexSink {
       // the consumer boundary instead of as an oracle mismatch later.
       // sample:N resolves to reroute on sampled batches, off elsewhere
       val verifyMode = verifyModeFor(verifyCdf, batchId)
+      // a tail may start COLD (the artifact is created by this very
+      // batch's append): with the check defaulted on (sample:64 —
+      // batch 0 is always sampled), a missing/empty index must read
+      // as "no existing keys", not crash the stream. Only the two
+      // empty-artifact shapes readCommitted produces are absorbed;
+      // anything else propagates.
+      val existingOpt =
+        if (verifyMode == "off" || appends0.isEmpty) None
+        else try Some(ops.existingKeys()) catch {
+          case _: java.io.FileNotFoundException => None
+          case e: IllegalArgumentException
+              if String.valueOf(e.getMessage)
+                .contains("no committed parquet files") => None
+        }
       val (appends, updates) =
-        if (verifyMode == "off" || appends0.isEmpty) (appends0, updates0)
+        if (existingOpt.isEmpty) (appends0, updates0)
         else {
-          val existing = ops.existingKeys()
+          val existing = existingOpt.get
           val bad = appends0.join(existing,
             appends0(idCol) === existing(existing.columns.head),
             "left_semi").select(col(idCol)).localCheckpoint()

@@ -67,7 +67,8 @@ object VerifyCdfProbe {
     }
 
     Seq(2000, 20000).foreach { size =>
-      Seq("off", "sample:8", "reroute").foreach(m => leg(size, m))
+      Seq("off", "sample:64", "sample:8", "reroute").foreach(m =>
+        leg(size, m))
     }
     spark.stop()
   }
