@@ -309,16 +309,29 @@ object StagedCommit {
     * never start deleting live files. A reader of a mid-write lease
     * (create→close window) sees unparseable content: treated as held
     * (mtime is fresh), never broken-by-parse-failure. */
+  /** Same-JVM serialization for the lease create: Hadoop's local
+    * `create(path, overwrite = false)` is CHECK-then-create, not
+    * atomic, so two threads of one JVM could both "win" the file.
+    * One interned monitor per lease path closes that in-process;
+    * cross-process the content read-back below arbitrates (exactly
+    * one writer's content survives the overwrite race). On HDFS and
+    * object stores the create itself is atomic and both layers are
+    * belt-and-braces. */
+  private val leaseLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
                            dir: Path, staleMs: Long): String = {
     val lease = new Path(dir, LeaseFile)
     val token = java.util.UUID.randomUUID().toString
     val me = jvmId
     val myThread = Thread.currentThread().getId
+    val lock = leaseLocks.computeIfAbsent(lease.toString,
+      _ => new Object)
     var attempts = 0
     while (attempts < 5) {
       attempts += 1
-      val created =
+      val created = lock.synchronized {
         try {
           val out = fs.create(lease, false)
           try out.write(s"$me\t$myThread\t$token"
@@ -326,7 +339,16 @@ object StagedCommit {
           finally out.close()
           true
         } catch { case _: java.io.IOException => false }
-      if (created) return token
+      }
+      if (created) {
+        // cross-process arbitration: if another writer's create
+        // overwrote ours in the non-atomic window, exactly one
+        // content survives — only its writer proceeds
+        val back =
+          try readSmall(fs, lease).trim
+          catch { case _: java.io.IOException => "" }
+        if (back == s"$me\t$myThread\t$token") return token
+      }
       val st =
         try Some(fs.getFileStatus(lease))
         catch { case _: java.io.FileNotFoundException => None }
@@ -376,6 +398,24 @@ object StagedCommit {
     * process kill would — the lease stays, and the retry takes the
     * own-JVM-dead-thread or stale-timeout break path, exactly like a
     * real crashed holder). */
+  /** The lease as a reusable primitive: [[graft.operators.Upsert]]'s
+    * manifested-table writers serialize on it too (one lease per
+    * table root), so two concurrent merges can never share an epoch
+    * data dir — the loser refuses loudly at entry. */
+  private[graft] def withMaintenanceLease[T](
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      staleMs: Long = DefaultLeaseStaleMs)(body: String => T): T =
+    withLease(fs, dir, staleMs)(body)
+
+  /** Is the lease at `dir` still held under `token`? The fencing
+    * re-check a long-running holder runs immediately before its
+    * commit point. */
+  private[graft] def leaseHeld(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: Path, token: String): Boolean =
+    try readSmall(fs, new Path(dir, LeaseFile)).trim
+      .endsWith("\t" + token)
+    catch { case _: java.io.IOException => false }
+
   private def withLease[T](fs: org.apache.hadoop.fs.FileSystem,
                            dir: Path, staleMs: Long)(
       body: String => T): T = {

@@ -336,6 +336,8 @@ object Upsert {
     import org.apache.spark.sql.SaveMode
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer lease — see mergeIntoManifested; no `return` inside
+    StagedCommit.withMaintenanceLease(fs, fs.makeQualified(root)) { _ =>
     EpochManifest.active(fs, root) match {
       case None =>
         updates.select(
@@ -389,6 +391,7 @@ object Upsert {
         // is swept by the next merge's publish.
         EpochManifest.sweep(fs, root, epoch)
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
     }
   }
 
@@ -519,8 +522,31 @@ object Upsert {
     * it the complete post-merge table — never half. Unreferenced
     * snapshot dirs are swept best-effort, RETAINING everything the
     * immediately-previous manifest references (a lazy reader survives
-    * one concurrent merge — same contract as the SCD2 form). Single
-    * writer assumed (the repo-wide artifact contract). */
+    * one concurrent merge — same contract as the SCD2 form).
+    *
+    * SHARDED MANIFEST (VERDICT r18 #1): past
+    * [[EpochManifest.shardThreshold]] per-dir lines the manifest
+    * becomes a two-level FILE TREE (root + hash-bucketed leaves under
+    * `_mleaf/`) and this merge publishes a DIFF — O(touched buckets)
+    * reads and writes per batch regardless of live partition count,
+    * with reclamation driven by per-publish `_sweep/` ledgers instead
+    * of an O(live partitions) walk. Small tables keep the one-file
+    * form byte-identically. See [[EpochManifest]].
+    *
+    * CONCURRENT WRITERS (VERDICT r18 #6): one writer at a time is the
+    * supported contract, now ENFORCED rather than assumed — every
+    * manifested writer (merge, deletes, compact, rename, drop, SCD2)
+    * serializes on a per-table `_maintenance_lease`
+    * ([[StagedCommit.withMaintenanceLease]]): a second concurrent
+    * writer refuses loudly at entry with "another maintainer is
+    * active"; a crashed holder's lease breaks after the stale timeout
+    * (immediately for a dead thread of this JVM). Two backstops catch
+    * what the lease cannot: a fencing re-read before every publish (a
+    * paused writer whose lease a competitor broke aborts rather than
+    * clobber), and the manifest rename itself, which refuses an
+    * existing destination and is verified by read-back — the loser of
+    * any race gets a loud IOException ("re-read the active manifest
+    * and retry"), never a silent lost update. */
   def mergeIntoManifested(spark: org.apache.spark.sql.SparkSession,
                           tablePath: String, updates: DataFrame,
                           keys: Seq[String], partitionCol: String,
@@ -549,12 +575,32 @@ object Upsert {
       u.withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn")
     }
+    // WRITER LEASE (VERDICT r18 #6): every manifested writer — merge,
+    // delete, compact, rename, drop — serializes on one per-table
+    // maintenance lease, so two concurrent writers can never share an
+    // epoch data dir (the CAS manifest rename alone cannot protect
+    // the winner's freshly-written `_e<N+1>` files from the loser's
+    // static Overwrite of the same dir). The second writer refuses
+    // loudly at entry; a crashed holder's lease breaks after the
+    // stale timeout (or immediately for a dead thread of this JVM).
+    // NOTE: no early `return` may appear inside this block — a
+    // non-local return is a ControlThrowable the lease's
+    // release-on-Exception does not see.
+    val qroot = fs.makeQualified(root)
+    StagedCommit.withMaintenanceLease(fs, qroot) { leaseToken =>
+    def fence(): Unit =
+      if (!StagedCommit.leaseHeld(fs, qroot, leaseToken))
+        throw new java.io.IOException(
+          s"table maintenance lease under $tablePath was broken " +
+            "mid-operation (stale-lease takeover by a competing " +
+            "writer) — aborting before publish; re-run to retry " +
+            "against the new head")
     // cluster by the partition column before every partitioned write
     // (same rationale as IvfIndex.writeAssigned): without it each
     // shuffle partition drops a fragment into every touched partition
     // dir — partitions × shuffle-partitions small files, paid by every
     // subsequent read's listing and per-file task overhead
-    EpochManifest.active(fs, root) match {
+    EpochManifest.activeRoot(fs, root) match {
       case None =>
         // the same non-null partition invariant every LATER write path
         // enforces (their touched-dir collects require it row by row):
@@ -575,8 +621,7 @@ object Upsert {
           statsLinesOut(stats0) ++
           filesLinesOut(listEpochFiles(fs, tablePath, 0)) ++
           listPartDirs(0).sorted.map(d => s"$d\t0"))
-      case Some((epoch, lines)) =>
-        val entries = entryLines(lines).map(parseManifestEntry)
+      case Some((epoch, rootInfo)) =>
         // touched partitions, as the DIRECTORY NAMES Spark writes for
         // them — dir-level pruning against the manifest, no data read
         // for the untouched mass
@@ -588,6 +633,21 @@ object Upsert {
             s"$partitionCol=" + org.apache.spark.sql.catalyst.catalog
               .ExternalCatalogUtils.escapePathName(r.getString(0))
           }.toSet
+        // v2 (sharded manifest, VERDICT r18 #1): resolve ONLY the
+        // touched buckets' leaves — the untouched mass is neither
+        // read nor rewritten, so the whole publish is O(touched)
+        val isV2 = rootInfo.isV2
+        val touchedBucketOld: Map[Int, Seq[String]] =
+          if (!isV2) Map.empty
+          else touchedDirs.map(EpochManifest.bucketOf).map { b =>
+            b -> rootInfo.leafRefs.get(b)
+              .map(le => EpochManifest.readLeaf(fs, root, le, b))
+              .getOrElse(Seq.empty)
+          }.toMap
+        val lines =
+          if (isV2) rootInfo.small ++ touchedBucketOld.values.flatten
+          else rootInfo.lines
+        val entries = entryLines(lines).map(parseManifestEntry)
         val touchedEntries = entries.filter(e => touchedDirs.contains(e._1))
         val cols = updates.columns.toSeq
         // read the touched slice under the manifest-recorded schema:
@@ -698,39 +758,82 @@ object Upsert {
           .parquet(epochDir(epoch + 1))
         graft.FailPoint.hit("mergem_after_epoch_write")
         val newDirs = listPartDirs(epoch + 1).toSet
-        val newEntries =
-          (entries.filterNot(e => newDirs.contains(e._1)) ++
-            newDirs.toSeq.map(_ -> (epoch + 1))).sortBy(_._1)
-        // carry rename mappings forward for epochs still referenced;
-        // the fresh epoch wrote under current logical names (identity)
-        val refEpochs = newEntries.map(_._2).toSet
+        val widenLines = widened.result().map { case (n, from, to) =>
+          s"#widen\t$n\t$from\t$to" }
         // zone maps: recompute for the touched dirs from the freshly-
         // written epoch (a touched-bounded read-back — never a second
         // evaluation of the merge plan), carry the rest verbatim
-        val statCols = (statsColsOf(lines) ++ statsCols).distinct.sorted
-        val newStats =
-          if (statCols.isEmpty) Map.empty[(String, String), (String, String)]
-          else statsOf(lines).filter { case ((d, _), _) =>
-            !newDirs.contains(d) && newEntries.exists(_._1 == d)
-          } ++ computeStats(
+        val statCols = ((if (isV2) rootInfo.statsColsRec
+                         else statsColsOf(lines)) ++
+          statsCols).distinct.sorted
+        val freshStats =
+          if (statCols.isEmpty || newDirs.isEmpty)
+            Map.empty[(String, String), (String, String)]
+          else computeStats(
             spark.read.option("basePath", epochDir(epoch + 1))
               .schema(updates.schema).parquet(epochDir(epoch + 1)),
             partitionCol, statCols)
-        // file inventories: carry untouched entries' records, list the
-        // fresh epoch's dirs once (bounded by the touched set)
-        val newEntrySet = newEntries.toSet
-        val newFiles = filesOf(lines).filter { case (k, _) =>
-          newEntrySet.contains(k) } ++
-          listEpochFiles(fs, tablePath, epoch + 1)
-        EpochManifest.publish(fs, root, epoch + 1, ddlHeader(updates) ++
-          widened.result().map { case (n, from, to) =>
-            s"#widen\t$n\t$from\t$to" } ++
-          pmapLines(pmap.filter(e => refEpochs.contains(e._1))) ++
-          statsLinesOut(newStats) ++
-          filesLinesOut(newFiles) ++
-          newEntries.map { case (d, e) => s"$d\t$e" })
+        if (isV2) {
+          // diff publish: rebuild exactly the touched buckets; carry
+          // everything else by leaf reference (zero read, zero write)
+          require(newDirs.subsetOf(touchedDirs),
+            s"mergeIntoManifested: epoch ${epoch + 1} wrote dirs " +
+              s"outside the touched set: ${newDirs -- touchedDirs}")
+          val freshFiles = listEpochFiles(fs, tablePath, epoch + 1)
+          val freshByDir: Map[String, Seq[String]] = newDirs.toSeq.map {
+            d => d -> (Seq(s"$d\t${epoch + 1}") ++
+              statsLinesOut(freshStats.filter(_._1._1 == d)) ++
+              filesLinesOut(freshFiles.filter(_._1._1 == d)))
+          }.toMap
+          val changedBuckets = touchedBucketOld.map { case (b, old) =>
+            b -> (old.filterNot(l => EpochManifest.dirKeyOf(l)
+                .exists(touchedDirs.contains)) ++
+              newDirs.toSeq.filter(d => EpochManifest.bucketOf(d) == b)
+                .flatMap(freshByDir))
+          }
+          val minus = touchedEntries.groupBy(_._2)
+            .map { case (e, es) => (e, es.size.toLong) }
+          val erefs0 = rootInfo.erefs
+          val erefs = (erefs0.keySet ++ Set(epoch + 1)).map { e =>
+            e -> (erefs0.getOrElse(e, 0L) - minus.getOrElse(e, 0L) +
+              (if (e == epoch + 1) newDirs.size.toLong else 0L))
+          }.toMap.filter(_._2 > 0)
+          fence()
+          EpochManifest.publishDiff(fs, root, epoch + 1, rootInfo,
+            ddlHeader(updates) ++ widenLines ++
+              pmapLines(pmap.filter(e => erefs.contains(e._1))),
+            changedBuckets, erefs, partitionCol, statCols,
+            touchedEntries)
+        } else {
+          val newEntries =
+            (entries.filterNot(e => newDirs.contains(e._1)) ++
+              newDirs.toSeq.map(_ -> (epoch + 1))).sortBy(_._1)
+          // carry rename mappings forward for epochs still referenced;
+          // the fresh epoch wrote under current logical names (identity)
+          val refEpochs = newEntries.map(_._2).toSet
+          val newStats =
+            if (statCols.isEmpty)
+              Map.empty[(String, String), (String, String)]
+            else statsOf(lines).filter { case ((d, _), _) =>
+              !newDirs.contains(d) && newEntries.exists(_._1 == d)
+            } ++ freshStats
+          // file inventories: carry untouched entries' records, list
+          // the fresh epoch's dirs once (bounded by the touched set)
+          val newEntrySet = newEntries.toSet
+          val newFiles = filesOf(lines).filter { case (k, _) =>
+            newEntrySet.contains(k) } ++
+            listEpochFiles(fs, tablePath, epoch + 1)
+          fence()
+          EpochManifest.publish(fs, root, epoch + 1, ddlHeader(updates) ++
+            widenLines ++
+            pmapLines(pmap.filter(e => refEpochs.contains(e._1))) ++
+            statsLinesOut(newStats) ++
+            filesLinesOut(newFiles) ++
+            newEntries.map { case (d, e) => s"$d\t$e" })
+        }
         graft.FailPoint.hit("mergem_after_publish")
         sweepManifested(fs, root, epoch + 1, retain)
+    }
     }
   }
 
@@ -763,8 +866,25 @@ object Upsert {
                                values: Seq[String]): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, lines) = EpochManifest.active(fs, root).getOrElse(
+    val (_, rootInfo) = EpochManifest.activeRoot(fs, root).getOrElse(
       throw new IllegalStateException(s"no manifest under $tablePath"))
+    // v2: the recorded `#partcol` maps each wanted value straight to
+    // its dir name and bucket — only those buckets' leaves load, so a
+    // narrow read of a 10⁵-partition table touches a handful of small
+    // files instead of the whole per-dir mass
+    val lines = rootInfo.partColOpt match {
+      case Some(pc) if rootInfo.isV2 =>
+        val dirs = values.map(v => s"$pc=" + org.apache.spark.sql
+          .catalyst.catalog.ExternalCatalogUtils.escapePathName(v))
+        rootInfo.small ++ dirs.map(EpochManifest.bucketOf).distinct
+          .flatMap(b => rootInfo.leafRefs.get(b)
+            .map(le => EpochManifest.readLeaf(fs, root, le, b))
+            .getOrElse(Seq.empty))
+      case _ if rootInfo.isV2 =>
+        EpochManifest.read(fs, root, EpochManifest
+          .activeRoot(fs, root).get._1).get
+      case _ => rootInfo.lines
+    }
     val suffixes = values.map(v => "=" + org.apache.spark.sql.catalyst
       .catalog.ExternalCatalogUtils.escapePathName(v)).toSet
     val pruned = lines.filter(l => l.startsWith("#") ||
@@ -1177,28 +1297,38 @@ object Upsert {
     import org.apache.spark.sql.SaveMode
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (epoch, lines) = EpochManifest.active(fs, root).getOrElse(
-      throw new IllegalStateException(s"no manifest under $tablePath"))
-    val entries = entryLines(lines).map(parseManifestEntry)
-    if (entries.isEmpty) return
-    val partitionCol = org.apache.spark.sql.catalyst.catalog
-      .ExternalCatalogUtils.unescapePathName(
-        entries.head._1.takeWhile(_ != '='))
-    val current = readEntries(spark, tablePath, lines)
-    val touchedDirs = current.filter(predicate)
-      .select(col(partitionCol).cast("string")).distinct()
-      .collect().map(r => s"$partitionCol=" +
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(r.getString(0))).toSet
-    if (touchedDirs.isEmpty) return // nothing matches: converged no-op
-    val touchedEntries = entries.filter(e => touchedDirs.contains(e._1))
-    val schemaOpt = ddlOf(lines)
-      .map(org.apache.spark.sql.types.StructType.fromDDL)
-    val pmap = pmapOf(lines)
-    val kept = readMapped(spark, tablePath, touchedEntries, schemaOpt,
-      pmap, filesOf(lines)).get.filter(!coalesce(predicate, lit(false)))
-    publishRewrittenSlice(tablePath, fs, root, epoch, lines, entries,
-      touchedDirs, kept, partitionCol, retain)
+    val qroot = fs.makeQualified(root)
+    // writer lease — see mergeIntoManifested; no `return` inside
+    StagedCommit.withMaintenanceLease(fs, qroot) { leaseToken =>
+      val (epoch, lines) = EpochManifest.active(fs, root).getOrElse(
+        throw new IllegalStateException(s"no manifest under $tablePath"))
+      val entries = entryLines(lines).map(parseManifestEntry)
+      if (entries.nonEmpty) {
+        val partitionCol = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(
+            entries.head._1.takeWhile(_ != '='))
+        val current = readEntries(spark, tablePath, lines)
+        val touchedDirs = current.filter(predicate)
+          .select(col(partitionCol).cast("string")).distinct()
+          .collect().map(r => s"$partitionCol=" +
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(r.getString(0))).toSet
+        // empty touched set: nothing matches, converged no-op
+        if (touchedDirs.nonEmpty) {
+          val touchedEntries = entries.filter(e =>
+            touchedDirs.contains(e._1))
+          val schemaOpt = ddlOf(lines)
+            .map(org.apache.spark.sql.types.StructType.fromDDL)
+          val pmap = pmapOf(lines)
+          val kept = readMapped(spark, tablePath, touchedEntries,
+            schemaOpt, pmap, filesOf(lines)).get
+            .filter(!coalesce(predicate, lit(false)))
+          publishRewrittenSlice(tablePath, fs, root, epoch, lines,
+            entries, touchedDirs, kept, partitionCol, retain,
+            Some((qroot, leaseToken)))
+        }
+      }
+    }
   }
 
   /** KEY-BATCH DELETE — the CDC-apply shape: remove exactly the rows
@@ -1218,33 +1348,47 @@ object Upsert {
         "touched partitions")
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (epoch, lines) = EpochManifest.active(fs, root) match {
-      case Some(v) => v
-      case None => return // nothing to delete from
+    if (EpochManifest.activeRoot(fs, root).isEmpty)
+      return // nothing to delete from (fast path, outside the lease)
+    val qroot = fs.makeQualified(root)
+    // writer lease — see mergeIntoManifested; no `return` inside
+    StagedCommit.withMaintenanceLease(fs, qroot) { leaseToken =>
+      val (epoch, rootInfo) = EpochManifest.activeRoot(fs, root)
+        .getOrElse(throw new IllegalStateException(
+          s"manifest vanished under $tablePath"))
+      val touchedDirs = keyBatch.select(col(partitionCol).cast("string"))
+        .distinct().collect().map { r =>
+          require(!r.isNullAt(0),
+            s"null $partitionCol values are not supported by the " +
+              "manifested layout")
+          s"$partitionCol=" + org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(r.getString(0))
+        }.toSet
+      // v2: resolve only the touched buckets' leaves — the delete's
+      // discovery, rewrite, AND publish are all O(touched)
+      val lines =
+        if (!rootInfo.isV2) rootInfo.lines
+        else rootInfo.small ++ touchedDirs.map(EpochManifest.bucketOf)
+          .flatMap(b => rootInfo.leafRefs.get(b)
+            .map(le => EpochManifest.readLeaf(fs, root, le, b))
+            .getOrElse(Seq.empty))
+      val entries = entryLines(lines).map(parseManifestEntry)
+      val touchedEntries = entries.filter(e => touchedDirs.contains(e._1))
+      if (touchedEntries.nonEmpty) {
+        val schemaOpt = ddlOf(lines)
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+        val pmap = pmapOf(lines)
+        val kept = readMapped(spark, tablePath, touchedEntries, schemaOpt,
+          pmap, filesOf(lines)).get
+          .join(keyBatch.select(keys.map(col): _*).distinct(),
+            keys, "left_anti")
+        // only the partitions the batch actually named rewrite (its
+        // other named values matched no entry and contribute nothing)
+        publishRewrittenSlice(tablePath, fs, root, epoch, lines, entries,
+          touchedDirs.intersect(touchedEntries.map(_._1).toSet), kept,
+          partitionCol, retain, Some((qroot, leaseToken)))
+      }
     }
-    val entries = entryLines(lines).map(parseManifestEntry)
-    val touchedDirs = keyBatch.select(col(partitionCol).cast("string"))
-      .distinct().collect().map { r =>
-        require(!r.isNullAt(0),
-          s"null $partitionCol values are not supported by the " +
-            "manifested layout")
-        s"$partitionCol=" + org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.escapePathName(r.getString(0))
-      }.toSet
-    val touchedEntries = entries.filter(e => touchedDirs.contains(e._1))
-    if (touchedEntries.isEmpty) return
-    val schemaOpt = ddlOf(lines)
-      .map(org.apache.spark.sql.types.StructType.fromDDL)
-    val pmap = pmapOf(lines)
-    val kept = readMapped(spark, tablePath, touchedEntries, schemaOpt,
-      pmap, filesOf(lines)).get
-      .join(keyBatch.select(keys.map(col): _*).distinct(),
-        keys, "left_anti")
-    // only the partitions the batch actually named rewrite (its other
-    // named values matched no entry and contribute nothing)
-    publishRewrittenSlice(tablePath, fs, root, epoch, lines, entries,
-      touchedDirs.intersect(touchedEntries.map(_._1).toSet), kept,
-      partitionCol, retain)
   }
 
   /** Shared tail of the delete paths: write the kept slice as epoch
@@ -1259,7 +1403,15 @@ object Upsert {
                                     entries: Seq[(String, Long)],
                                     touchedDirs: Set[String],
                                     kept: DataFrame, partitionCol: String,
-                                    retain: Int): Unit = {
+                                    retain: Int,
+                                    lease: Option[(org.apache.hadoop.fs
+                                      .Path, String)] = None): Unit = {
+    def fence(): Unit = lease.foreach { case (qroot, token) =>
+      if (!StagedCommit.leaseHeld(fs, qroot, token))
+        throw new java.io.IOException(
+          s"table maintenance lease under $tablePath was broken " +
+            "mid-operation — aborting before publish; re-run to retry")
+    }
     import org.apache.spark.sql.SaveMode
     kept.repartition(col(partitionCol))
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
@@ -1273,19 +1425,15 @@ object Upsert {
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
         .map(_.getPath.getName).toSet
     }
-    val newEntries =
-      (entries.filterNot(e => touchedDirs.contains(e._1)) ++
-        newDirs.toSeq.map(_ -> (epoch + 1))).sortBy(_._1)
-    val refEpochs = newEntries.map(_._2).toSet
     val pmap = pmapOf(lines)
-    // zone maps: recompute from the rewritten dirs, drop entries for
-    // emptied partitions, carry the untouched rest
-    val statCols = statsColsOf(lines)
-    val newStats =
-      if (statCols.isEmpty) Map.empty[(String, String), (String, String)]
-      else statsOf(lines).filter { case ((d, _), _) =>
-        !touchedDirs.contains(d) && newEntries.exists(_._1 == d)
-      } ++ (if (newDirs.isEmpty) Map.empty
+    val rootInfo = EpochManifest.readRoot(fs, root, epoch).getOrElse(
+      throw new IllegalStateException(
+        s"manifest $epoch vanished under $tablePath mid-publish"))
+    val statCols =
+      if (rootInfo.isV2) rootInfo.statsColsRec else statsColsOf(lines)
+    val freshStats =
+      if (statCols.isEmpty || newDirs.isEmpty)
+        Map.empty[(String, String), (String, String)]
       else {
         val rd = kept.sparkSession.read
           .option("basePath", s"$tablePath/_e${epoch + 1}")
@@ -1293,17 +1441,66 @@ object Upsert {
           .map(org.apache.spark.sql.types.StructType.fromDDL)
         computeStats(schemaOpt.fold(rd)(rd.schema)
           .parquet(s"$tablePath/_e${epoch + 1}"), partitionCol, statCols)
-      })
-    val newEntrySet = newEntries.toSet
-    val newFiles = filesOf(lines).filter { case (k, _) =>
-      newEntrySet.contains(k) } ++
-      listEpochFiles(fs, tablePath, epoch + 1)
-    EpochManifest.publish(fs, root, epoch + 1,
-      ddlOf(lines).map("#ddl\t" + _).toSeq ++
-        pmapLines(pmap.filter(e => refEpochs.contains(e._1))) ++
-        statsLinesOut(newStats) ++
-        filesLinesOut(newFiles) ++
-        newEntries.map { case (d, e) => s"$d\t$e" })
+      }
+    if (rootInfo.isV2) {
+      // diff publish (VERDICT r18 #1): rebuild only the touched
+      // buckets, exactly as the merge's tail — a delete that empties
+      // a partition simply drops its lines from the bucket
+      val touchedEntries = entries.filter(e => touchedDirs.contains(e._1))
+      val touchedBucketOld = touchedDirs.map(EpochManifest.bucketOf)
+        .map { b => b -> rootInfo.leafRefs.get(b)
+          .map(le => EpochManifest.readLeaf(fs, root, le, b))
+          .getOrElse(Seq.empty)
+        }.toMap
+      val freshFiles = listEpochFiles(fs, tablePath, epoch + 1)
+      val freshByDir: Map[String, Seq[String]] = newDirs.toSeq.map { d =>
+        d -> (Seq(s"$d\t${epoch + 1}") ++
+          statsLinesOut(freshStats.filter(_._1._1 == d)) ++
+          filesLinesOut(freshFiles.filter(_._1._1 == d)))
+      }.toMap
+      val changedBuckets = touchedBucketOld.map { case (b, old) =>
+        b -> (old.filterNot(l => EpochManifest.dirKeyOf(l)
+            .exists(touchedDirs.contains)) ++
+          newDirs.toSeq.filter(d => EpochManifest.bucketOf(d) == b)
+            .flatMap(freshByDir))
+      }
+      val minus = touchedEntries.groupBy(_._2)
+        .map { case (e, es) => (e, es.size.toLong) }
+      val erefs0 = rootInfo.erefs
+      val erefs = (erefs0.keySet ++ Set(epoch + 1)).map { e =>
+        e -> (erefs0.getOrElse(e, 0L) - minus.getOrElse(e, 0L) +
+          (if (e == epoch + 1) newDirs.size.toLong else 0L))
+      }.toMap.filter(_._2 > 0)
+      fence()
+      EpochManifest.publishDiff(fs, root, epoch + 1, rootInfo,
+        ddlOf(lines).map("#ddl\t" + _).toSeq ++
+          pmapLines(pmap.filter(e => erefs.contains(e._1))),
+        changedBuckets, erefs, partitionCol, statCols, touchedEntries)
+    } else {
+      val newEntries =
+        (entries.filterNot(e => touchedDirs.contains(e._1)) ++
+          newDirs.toSeq.map(_ -> (epoch + 1))).sortBy(_._1)
+      val refEpochs = newEntries.map(_._2).toSet
+      // zone maps: recompute from the rewritten dirs, drop entries for
+      // emptied partitions, carry the untouched rest
+      val newStats =
+        if (statCols.isEmpty)
+          Map.empty[(String, String), (String, String)]
+        else statsOf(lines).filter { case ((d, _), _) =>
+          !touchedDirs.contains(d) && newEntries.exists(_._1 == d)
+        } ++ freshStats
+      val newEntrySet = newEntries.toSet
+      val newFiles = filesOf(lines).filter { case (k, _) =>
+        newEntrySet.contains(k) } ++
+        listEpochFiles(fs, tablePath, epoch + 1)
+      fence()
+      EpochManifest.publish(fs, root, epoch + 1,
+        ddlOf(lines).map("#ddl\t" + _).toSeq ++
+          pmapLines(pmap.filter(e => refEpochs.contains(e._1))) ++
+          statsLinesOut(newStats) ++
+          filesLinesOut(newFiles) ++
+          newEntries.map { case (d, e) => s"$d\t$e" })
+    }
     graft.FailPoint.hit("mergem_delete_after_publish")
     sweepManifested(fs, root, epoch + 1, retain)
   }
@@ -1324,6 +1521,8 @@ object Upsert {
     import org.apache.spark.sql.SaveMode
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer lease — see mergeIntoManifested; no `return` inside
+    StagedCommit.withMaintenanceLease(fs, fs.makeQualified(root)) { _ =>
     val (epoch, lines) = EpochManifest.active(fs, root).getOrElse(
       throw new IllegalStateException(s"no manifest under $tablePath"))
     readEntries(spark, tablePath, lines)
@@ -1352,7 +1551,11 @@ object Upsert {
         statsLinesOut(newStats) ++
         filesLinesOut(listEpochFiles(fs, tablePath, epoch + 1)) ++
         dirs.map(d => s"$d\t${epoch + 1}"))
-    sweepManifested(fs, root, epoch + 1, retain)
+    // the compact is the table's heal-everything pass: its full-walk
+    // sweep also reclaims what no ledger can name (epoch dirs and
+    // leaves a crashed publish wrote that no manifest ever referenced)
+    sweepManifested(fs, root, epoch + 1, retain, fullWalk = true)
+    }
   }
 
   private def parseManifestEntry(line: String): (String, Long) = {
@@ -1669,6 +1872,8 @@ object Upsert {
                              newName: String, retain: Int = 2): Unit = {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer lease — see mergeIntoManifested; no `return` inside
+    StagedCommit.withMaintenanceLease(fs, fs.makeQualified(root)) { _ =>
     val (epoch, lines) = EpochManifest.active(fs, root).getOrElse(
       throw new IllegalStateException(s"no manifest under $tablePath"))
     val ddl = ddlOf(lines).getOrElse(throw new IllegalStateException(
@@ -1727,6 +1932,7 @@ object Upsert {
         lines.filter(_.startsWith("#files\t")) ++
         entries.map { case (d, e) => s"$d\t$e" })
     sweepManifested(fs, root, epoch + 1, retain)
+    }
   }
 
   /** METADATA-ONLY column drop for [[mergeIntoManifested]] tables:
@@ -1762,6 +1968,8 @@ object Upsert {
                            retain: Int = 2): Unit = {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer lease — see mergeIntoManifested; no `return` inside
+    StagedCommit.withMaintenanceLease(fs, fs.makeQualified(root)) { _ =>
     val (epoch, lines) = EpochManifest.active(fs, root).getOrElse(
       throw new IllegalStateException(s"no manifest under $tablePath"))
     val ddl = ddlOf(lines).getOrElse(throw new IllegalStateException(
@@ -1812,6 +2020,7 @@ object Upsert {
         lines.filter(_.startsWith("#files\t")) ++
         entries.map { case (d, e) => s"$d\t$e" })
     sweepManifested(fs, root, epoch + 1, retain)
+    }
   }
 
   /** Reference-counted GC for the manifested-merge layout: keep every
@@ -1820,12 +2029,113 @@ object Upsert {
     * previous manifest must survive one concurrent merge), drop the
     * rest and the manifests older than that window. Best-effort — a
     * crash mid-sweep leaves garbage the next merge's sweep reclaims. */
+  /** Post-publish reclamation. Two strategies:
+    *
+    * LEDGER SWEEP (v2 manifests, the default): O(churn), not O(live
+    * partitions) — each publish records exactly the (epoch dir,
+    * partition dir) slots and leaf files it unreferenced in
+    * `_sweep/e<N>`, and this processes only the ledgers whose LAST
+    * REFERENCING manifest (N−1) has left the retention window, so
+    * time travel within the window never loses a slot. A whole epoch
+    * dir drops recursively (catching Spark's `_SUCCESS` and friends)
+    * once the current `#eref` count for it is zero and no pending
+    * ledger still names it — no O(children) listing of a big epoch
+    * dir, ever. A ledger a crash prevented (publish landed, ledger
+    * write did not) is repaired here by diffing the two adjacent
+    * manifests — O(changed buckets) for a v2 pair. The one leak left:
+    * an epoch dir a crashed publish wrote that NO manifest ever
+    * referenced (a different operation then took that epoch number) —
+    * no ledger can name it; [[compactManifested]]'s full-walk sweep
+    * reclaims it.
+    *
+    * FULL WALK (`fullWalk = true`, and every v1 manifest): the
+    * original refs-vs-listing sweep, O(live partitions) — correct for
+    * small tables and the compact's heal-everything pass; extended to
+    * also drop unreferenced `_mleaf` leaves and stale `_sweep`
+    * ledgers. */
   private def sweepManifested(fs: org.apache.hadoop.fs.FileSystem,
                               root: org.apache.hadoop.fs.Path,
-                              keep: Long, retain: Int): Unit =
+                              keep: Long, retain: Int,
+                              fullWalk: Boolean = false): Unit =
     try {
       import org.apache.hadoop.fs.Path
       val oldest = keep - math.max(2, retain) + 1
+      val keepInfo = EpochManifest.readRoot(fs, root, keep)
+      if (!fullWalk && keepInfo.exists(_.isV2)) {
+        // — ledger sweep —
+        val present = fs.listStatus(root).flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_manifest_") &&
+              n.stripPrefix("_manifest_").forall(_.isDigit) &&
+              n.stripPrefix("_manifest_").nonEmpty)
+            Some(n.stripPrefix("_manifest_").toLong)
+          else None
+        }.toSet
+        present.filter(p => p >= 1 && present.contains(p - 1))
+          .toSeq.sorted.foreach { p =>
+            if (!fs.exists(EpochManifest.ledgerPath(root, p)))
+              EpochManifest.repairLedger(fs, root, p)
+          }
+        val sweepDir = new Path(root, "_sweep")
+        val ledgers =
+          if (!fs.exists(sweepDir)) Seq.empty
+          else fs.listStatus(sweepDir).toSeq.flatMap { st =>
+            val n = st.getPath.getName
+            if (n.startsWith("e") && n.drop(1).forall(_.isDigit) &&
+                n.length > 1)
+              Some(n.drop(1).toLong -> st.getPath)
+            else None
+          }
+        def ledgerLines(p: Path): Seq[String] = {
+          val in =
+            try fs.open(p)
+            catch { case _: java.io.FileNotFoundException =>
+              return Seq.empty }
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          finally in.close()
+        }
+        // epochs still named by UNPROCESSED ledgers must not be
+        // whole-dir dropped yet — their slots are still referenced by
+        // manifests inside the window
+        val pendingEpochs = ledgers.filter(_._1 > oldest).flatMap {
+          case (_, lp) => ledgerLines(lp).collect {
+            case l if l.startsWith("dir\t") =>
+              l.split("\t", 3)(1).toLong
+          }
+        }.toSet
+        val erefs = keepInfo.get.erefs
+        ledgers.filter(_._1 <= oldest).sortBy(_._1).foreach {
+          case (_, lp) =>
+            val lines = ledgerLines(lp)
+            val slots = lines.collect {
+              case l if l.startsWith("dir\t") =>
+                val a = l.split("\t", 3); (a(1).toLong, a(2))
+            }
+            slots.groupBy(_._1).foreach { case (e, es) =>
+              if (erefs.getOrElse(e, 0L) == 0L &&
+                  !pendingEpochs.contains(e))
+                fs.delete(new Path(root, s"_e$e"), true)
+              else es.foreach { case (_, d) =>
+                fs.delete(new Path(root, s"_e$e/$d"), true) }
+            }
+            lines.collect {
+              case l if l.startsWith("leaf\t") => l.stripPrefix("leaf\t")
+            }.foreach(lf => fs.delete(
+              new Path(new Path(root, "_mleaf"), lf), false))
+            fs.delete(lp, false)
+        }
+        fs.listStatus(root).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("_manifest_")) {
+            val n = name.stripPrefix("_manifest_")
+            if (n.forall(_.isDigit) && n.nonEmpty && n.toLong < oldest)
+              fs.delete(st.getPath, false)
+          }
+        }
+        return
+      }
+      // — full walk —
       val refs: Set[(Long, String)] =
         (oldest to keep).filter(_ >= 0).flatMap { m =>
           entryLines(EpochManifest.read(fs, root, m).toSeq.flatten)
@@ -1856,18 +2166,117 @@ object Upsert {
           if (keptParts == 0) fs.delete(st.getPath, true)
         }
       }
+      // v2 extras the walk also heals: leaves no surviving manifest
+      // references (including crash orphans no ledger can name) and
+      // processed/stale ledgers
+      val leafDir = new org.apache.hadoop.fs.Path(root, "_mleaf")
+      if (fs.exists(leafDir)) {
+        val live: Set[String] = fs.listStatus(root).flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_manifest_") &&
+              n.stripPrefix("_manifest_").forall(_.isDigit) &&
+              n.stripPrefix("_manifest_").nonEmpty)
+            EpochManifest.readRoot(fs, root,
+                n.stripPrefix("_manifest_").toLong)
+              .map(_.leafRefs.toSeq.map { case (b, le) => s"${le}_$b" })
+              .getOrElse(Seq.empty)
+          else Seq.empty
+        }.toSet
+        fs.listStatus(leafDir).foreach { st =>
+          if (!live.contains(st.getPath.getName))
+            fs.delete(st.getPath, false)
+        }
+        val sweepDir = new org.apache.hadoop.fs.Path(root, "_sweep")
+        if (fs.exists(sweepDir)) fs.listStatus(sweepDir).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("e") && n.drop(1).forall(_.isDigit) &&
+              n.length > 1 && n.drop(1).toLong <= oldest)
+            fs.delete(st.getPath, false)
+        }
+      }
     } catch { case _: Throwable => () }
 
-  private object EpochManifest {
+  private[graft] object EpochManifest {
     import org.apache.hadoop.fs.Path
     private val Name = "_manifest_(\\d+)".r
 
-    /** (epoch, manifest lines) of the highest complete manifest, or
-      * None for an uninitialized table. Lines are format-agnostic —
-      * the SCD2 table stores closed-delta tokens, the partitioned
-      * merge stores `dirname\tepoch` entries. */
-    def active(fs: org.apache.hadoop.fs.FileSystem,
-               root: Path): Option[(Long, Seq[String])] = {
+    /** MANIFEST FILE TREE (VERDICT r18 #1). Below `shardThreshold`
+      * per-dir lines a manifest is ONE text file exactly as before
+      * (v1 — byte-identical, covering every small table). Above it,
+      * the per-dir mass (entry lines, `#stats`, `#files`) shards into
+      * [[LeafBuckets]] hash-bucketed immutable LEAF files under
+      * `_mleaf/<epoch>_<bucket>`, and the root `_manifest_<epoch>`
+      * keeps only the small lines (#ddl, #pmap, events, aggregates)
+      * plus one `#leaf\t<bucket>\t<leafEpoch>` reference per
+      * non-empty bucket — a publish that touches K dirs rewrites the
+      * root (O(buckets)) and at most K leaves, never the O(live
+      * partitions) text, and a pruned read loads only the buckets
+      * holding its wanted dirs. Hash bucketing (String.hashCode —
+      * spec-stable across JVMs) keeps bucket membership stable under
+      * churn, so untouched buckets carry forward BY REFERENCE across
+      * epochs (the Iceberg manifest-file shape, re-expressed for this
+      * layout's dir-level granularity). v2 roots are marked by
+      * `#leafn` and carry three aggregates the diff path maintains
+      * incrementally: `#partcol` (the partition column, for
+      * value→dir→bucket pruning without touching a leaf), `#statscols`
+      * (the recorded zone-map columns), and `#eref\t<epoch>\t<n>`
+      * (how many entries reference each epoch dir — the sweep's
+      * whole-dir-drop evidence and the pmap pruning source). */
+    private[operators] val LeafBuckets = 256
+    @volatile private[graft] var shardThreshold = 2048
+    private val LeafDirName = "_mleaf"
+
+    def bucketOf(dir: String): Int =
+      (dir.hashCode & Int.MaxValue) % LeafBuckets
+
+    /** The partition-dir key a line belongs to, or None for a small
+      * (root-resident) line. Per-dir lines: `#stats\t<dir>\t…`,
+      * `#files\t<dir>\t…`, and entry lines `<dir>\t<epoch>` where the
+      * dir carries a `=`. SCD2 token lines (no tab) and every other
+      * `#` line stay in the root. */
+    def dirKeyOf(line: String): Option[String] =
+      if (line.startsWith("#stats\t") || line.startsWith("#files\t")) {
+        val a = line.split("\t", 4)
+        if (a.length >= 2 && a(1).nonEmpty) Some(a(1)) else None
+      } else if (!line.startsWith("#")) {
+        val i = line.lastIndexOf('\t')
+        if (i > 0 && line.lastIndexOf('=', i) >= 0)
+          Some(line.substring(0, i))
+        else None
+      } else None
+
+    /** Parsed root file: its verbatim lines, leaf references, and the
+      * small lines with the leaf bookkeeping stripped. */
+    final case class RootInfo(lines: Seq[String],
+                              leafRefs: Map[Int, Long], isV2: Boolean) {
+      def small: Seq[String] = lines.filterNot(l =>
+        l.startsWith("#leaf\t") || l.startsWith("#leafn\t"))
+      def erefs: Map[Long, Long] =
+        lines.filter(_.startsWith("#eref\t")).map { l =>
+          val a = l.split("\t", -1)
+          (a(1).toLong, a(2).toLong)
+        }.toMap
+      def partColOpt: Option[String] =
+        lines.find(_.startsWith("#partcol\t"))
+          .map(_.stripPrefix("#partcol\t"))
+      def statsColsRec: Seq[String] =
+        lines.find(_.startsWith("#statscols\t"))
+          .map(_.stripPrefix("#statscols\t")).filter(_.nonEmpty)
+          .map(_.split(",", -1).toSeq).getOrElse(Seq.empty)
+    }
+
+    private def parseRoot(lines: Seq[String]): RootInfo = {
+      val refs = lines.filter(_.startsWith("#leaf\t")).map { l =>
+        val a = l.split("\t", -1)
+        (a(1).toInt, a(2).toLong)
+      }.toMap
+      RootInfo(lines, refs, lines.exists(_.startsWith("#leafn\t")))
+    }
+
+    /** Root file of the highest published manifest — no leaf
+      * materialization (the diff publish and pruned readers' entry). */
+    def activeRoot(fs: org.apache.hadoop.fs.FileSystem,
+                   root: Path): Option[(Long, RootInfo)] = {
       if (!fs.exists(root)) return None
       val manifests = fs.listStatus(root).flatMap { st =>
         st.getPath.getName match {
@@ -1878,19 +2287,55 @@ object Upsert {
       if (manifests.isEmpty) None
       else {
         val (epoch, p) = manifests.maxBy(_._1)
-        readLines(fs, p).map(lines => (epoch, lines))
+        readLines(fs, p).map(lines => (epoch, parseRoot(lines)))
       }
     }
+
+    def readRoot(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                 epoch: Long): Option[RootInfo] =
+      readLines(fs, new Path(root, s"_manifest_$epoch"))
+        .map(parseRoot)
+
+    /** One leaf file's lines (empty if absent — a bucket no dir
+      * hashes into). */
+    def readLeaf(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                 leafEpoch: Long, bucket: Int): Seq[String] =
+      readLines(fs, new Path(new Path(root, LeafDirName),
+        s"${leafEpoch}_$bucket")).getOrElse(Seq.empty)
+
+    /** Materialize a root's full logical line set (small lines + all
+      * referenced leaves' lines) — the compatibility surface every
+      * pre-tree consumer reads; v1 manifests pass through verbatim. */
+    private def materialize(fs: org.apache.hadoop.fs.FileSystem,
+                            root: Path, info: RootInfo): Seq[String] =
+      if (!info.isV2) info.lines
+      else info.small.filterNot(l => l.startsWith("#eref\t") ||
+          l.startsWith("#partcol\t") || l.startsWith("#statscols\t")) ++
+        info.leafRefs.toSeq.sortBy(_._1).flatMap { case (b, le) =>
+          readLeaf(fs, root, le, b) }
+
+    /** (epoch, manifest lines) of the highest complete manifest, or
+      * None for an uninitialized table. Lines are format-agnostic —
+      * the SCD2 table stores closed-delta tokens, the partitioned
+      * merge stores `dirname\tepoch` entries. v2 manifests
+      * materialize transparently. */
+    def active(fs: org.apache.hadoop.fs.FileSystem,
+               root: Path): Option[(Long, Seq[String])] =
+      activeRoot(fs, root).map { case (e, info) =>
+        (e, materialize(fs, root, info)) }
 
     /** Lines of one specific epoch's manifest, or None if absent. */
     def read(fs: org.apache.hadoop.fs.FileSystem, root: Path,
              epoch: Long): Option[Seq[String]] =
-      readLines(fs, new Path(root, s"_manifest_$epoch"))
+      readRoot(fs, root, epoch).map(materialize(fs, root, _))
 
     private def readLines(fs: org.apache.hadoop.fs.FileSystem,
                           p: Path): Option[Seq[String]] = {
-      if (!fs.exists(p)) return None
-      val in = fs.open(p)
+      // TOCTOU-tolerant: losing an exists/open race to a concurrent
+      // sweep reads as absent, exactly like the pre-check
+      val in =
+        try fs.open(p)
+        catch { case _: java.io.FileNotFoundException => return None }
       val body = try {
         val buf = new java.io.ByteArrayOutputStream()
         val tmp = new Array[Byte](8192)
@@ -1901,30 +2346,237 @@ object Upsert {
       Some(body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
     }
 
-    /** Atomic publish: write `_manifest_<epoch>.tmp`, rename to the
-      * final (previously-absent) name — readers either resolve the old
-      * max-N manifest or the complete new one, never a torn file. */
-    def publish(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-                epoch: Long, tokens: Seq[String]): Unit = {
-      fs.mkdirs(root)
-      val tmp = new Path(root, s"_manifest_$epoch.tmp")
-      val out = fs.create(tmp, true)
-      try out.write((tokens.mkString("\n") + "\n")
+    private def writeFile(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                          lines: Seq[String]): Unit = {
+      val out = fs.create(p, true)
+      try out.write((lines.mkString("\n") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      // the rename is also the OPTIMISTIC-CONCURRENCY gate: Hadoop
-      // rename refuses an existing destination, so two writers racing
-      // to publish the same next epoch collide HERE — the loser gets
-      // this exception (its fully-written epoch dir is unreferenced
-      // garbage the next sweep reclaims), never a silent lost update.
-      // Single-writer remains the supported contract; this makes a
-      // violation loud instead of corrupting.
-      if (!fs.rename(tmp, new Path(root, s"_manifest_$epoch")))
+    }
+
+    /** Write one immutable leaf file for `epoch`/`bucket`. Safe to
+      * overwrite: nothing references `_mleaf/<epoch>_<b>` until the
+      * epoch's ROOT rename lands, and a crashed attempt's retry
+      * recreates the same name. */
+    def writeLeaf(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                  epoch: Long, bucket: Int, lines: Seq[String]): Unit = {
+      fs.mkdirs(new Path(root, LeafDirName))
+      writeFile(fs, new Path(new Path(root, LeafDirName),
+        s"${epoch}_$bucket"), lines)
+    }
+
+    /** Atomic CAS publish of a fully-assembled ROOT file: write
+      * `_manifest_<epoch>.tmp`, rename to the final name, then VERIFY
+      * the published content is ours. The rename is the
+      * optimistic-concurrency gate on filesystems that refuse an
+      * existing destination (HDFS, object stores); on the local
+      * filesystem `File.renameTo` silently REPLACES an existing file,
+      * so the pre-check and the read-back are what turn a racing
+      * second writer into a loud loser there too (VERDICT r18 #6) —
+      * the loser's fully-written epoch dir and leaves are
+      * unreferenced garbage the sweep/compact reclaims, never a
+      * silent lost update. Single-writer remains the supported
+      * contract; this makes a violation loud instead of corrupting. */
+    def publishRoot(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                    epoch: Long, tokens: Seq[String]): Unit = {
+      fs.mkdirs(root)
+      val tmp = new Path(root, s"_manifest_$epoch.tmp")
+      writeFile(fs, tmp, tokens)
+      val dst = new Path(root, s"_manifest_$epoch")
+      def lost(detail: String): Nothing =
         throw new java.io.IOException(
           s"manifest publish failed for epoch $epoch under $root — " +
-            "either a concurrent writer published this epoch first " +
-            "(re-read the active manifest and retry against the new " +
-            "head) or the filesystem rejected the rename")
+            s"$detail. A concurrent writer published this epoch " +
+            "first: re-read the active manifest and retry against " +
+            "the new head (this attempt's epoch dir and leaves are " +
+            "unreferenced garbage the sweep reclaims).")
+      if (fs.exists(dst)) { fs.delete(tmp, false); lost("the epoch is already published") }
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(
+          s"manifest publish failed for epoch $epoch under $root — " +
+            "the filesystem rejected the rename")
+      // compare in the reader's canonical form (trimmed, no blanks) —
+      // a token with trailing whitespace must not read as a lost race
+      val back = readLines(fs, dst).getOrElse(Seq.empty)
+      if (back != tokens.map(_.trim).filter(_.nonEmpty))
+        lost("the published content is not ours " +
+          "(lost a local-filesystem rename race)")
+    }
+
+    /** Compatibility publish from a FULL logical line set: shards into
+      * the file tree when the per-dir mass crosses `shardThreshold`
+      * (or the table is already sharded — once v2, always v2), else
+      * writes the v1 single file byte-identically to the pre-tree
+      * format. Sharding compares each bucket's content against the
+      * previous epoch's leaf and carries unchanged buckets by
+      * reference, so even this full-line path writes only changed
+      * leaves; it also writes the sweep ledger from the full diff.
+      * The rare O(N)-CPU maintenance paths (compact, rename, drop,
+      * v1→v2 transition) publish through here; the per-batch merge
+      * and delete paths use [[publishDiff]] instead. */
+    def publish(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                epoch: Long, tokens: Seq[String]): Unit = {
+      val prev = if (epoch == 0) None else readRoot(fs, root, epoch - 1)
+      val (perDir, small) = tokens.partition(dirKeyOf(_).isDefined)
+      if (perDir.size <= shardThreshold && !prev.exists(_.isV2)) {
+        publishRoot(fs, root, epoch, tokens)
+        return
+      }
+      val byBucket = perDir.groupBy(l => bucketOf(dirKeyOf(l).get))
+      val prevRefs = prev.map(_.leafRefs).getOrElse(Map.empty)
+      val refs = Map.newBuilder[Int, Long]
+      val replacedLeaves = Seq.newBuilder[String]
+      (0 until LeafBuckets).foreach { b =>
+        val content = byBucket.getOrElse(b, Seq.empty).sorted
+        val prevContent = prevRefs.get(b)
+          .map(le => readLeaf(fs, root, le, b).sorted)
+        if (content.nonEmpty && prevContent.contains(content))
+          refs += b -> prevRefs(b) // carried by reference, no write
+        else {
+          prevRefs.get(b).foreach(le => replacedLeaves += s"${le}_$b")
+          if (content.nonEmpty) {
+            writeLeaf(fs, root, epoch, b, content)
+            refs += b -> epoch
+          }
+        }
+      }
+      val erefs = perDir.flatMap { l =>
+        if (l.startsWith("#")) None
+        else Some(parseManifestEntry(l)._2)
+      }.groupBy(identity).map { case (e, es) => (e, es.size.toLong) }
+      val statsCols = small.find(_.startsWith("#statscols\t"))
+        .map(_ => Seq.empty[String]) // caller-supplied aggregate wins
+        .getOrElse(statsColsOf(perDir))
+      val partColLine = perDir.collectFirst {
+        case l if !l.startsWith("#") =>
+          val d = parseManifestEntry(l)._1
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(d.takeWhile(_ != '='))
+      }.map(pc => s"#partcol\t$pc").toSeq
+      val rootLines = small.filterNot(l => l.startsWith("#eref\t") ||
+          l.startsWith("#partcol\t")) ++
+        partColLine ++
+        (if (small.exists(_.startsWith("#statscols\t")) ||
+            statsCols.isEmpty) Seq.empty
+         else Seq(s"#statscols\t${statsCols.mkString(",")}")) ++
+        erefs.toSeq.sortBy(_._1).map { case (e, n) => s"#eref\t$e\t$n" } ++
+        Seq(s"#leafn\t$LeafBuckets") ++
+        refs.result().toSeq.sortBy(_._1).map { case (b, le) =>
+          s"#leaf\t$b\t$le" }
+      publishRoot(fs, root, epoch, rootLines)
+      // sweep ledger from the full diff: dir slots the previous
+      // manifest referenced that this one does not, plus replaced
+      // leaf files
+      val prevEntries = prev.map(pi => entryLines(materialize(fs, root,
+        pi)).map(parseManifestEntry).toSet).getOrElse(Set.empty)
+      val newEntries = perDir.filterNot(_.startsWith("#"))
+        .map(parseManifestEntry).toSet
+      writeLedger(fs, root, epoch,
+        (prevEntries -- newEntries).toSeq.map(_.swap),
+        replacedLeaves.result())
+    }
+
+    /** DIFF PUBLISH — the per-batch path: rewrites only the buckets
+      * whose dirs changed, carries every other leaf by reference from
+      * the previous root, and assembles the new root from
+      * caller-maintained aggregates. `changedBuckets` maps bucket →
+      * its complete NEW content (empty seq drops the bucket);
+      * `releasedSlots` are the (epochDir, dir) pairs this publish
+      * unreferences — they seed the sweep ledger together with the
+      * replaced leaf files. O(touched dirs + buckets) filesystem work
+      * regardless of table width. */
+    def publishDiff(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                    epoch: Long, prev: RootInfo,
+                    small: Seq[String],
+                    changedBuckets: Map[Int, Seq[String]],
+                    erefs: Map[Long, Long], partCol: String,
+                    statsCols: Seq[String],
+                    releasedSlots: Seq[(String, Long)]): Unit = {
+      val replacedLeaves = Seq.newBuilder[String]
+      val refs = collection.mutable.Map[Int, Long](prev.leafRefs.toSeq: _*)
+      changedBuckets.foreach { case (b, content) =>
+        prev.leafRefs.get(b).foreach(le => replacedLeaves += s"${le}_$b")
+        if (content.isEmpty) refs -= b
+        else { writeLeaf(fs, root, epoch, b, content.sorted); refs += b -> epoch }
+      }
+      val rootLines = small ++
+        Seq(s"#partcol\t$partCol") ++
+        (if (statsCols.isEmpty) Seq.empty
+         else Seq(s"#statscols\t${statsCols.mkString(",")}")) ++
+        erefs.filter(_._2 > 0).toSeq.sortBy(_._1).map { case (e, n) =>
+          s"#eref\t$e\t$n" } ++
+        Seq(s"#leafn\t$LeafBuckets") ++
+        refs.toSeq.sortBy(_._1).map { case (b, le) => s"#leaf\t$b\t$le" }
+      // crash windows, in publish order: leaves are on disk but the
+      // root is not (readers still resolve the OLD manifest — new
+      // leaves are unreferenced orphans until the root rename)…
+      graft.FailPoint.hit("manifest_after_leaves")
+      publishRoot(fs, root, epoch, rootLines)
+      // …and the root is live but its sweep ledger is not (the next
+      // sweep repairs the missing ledger by diffing the two roots)
+      graft.FailPoint.hit("manifest_after_root")
+      writeLedger(fs, root, epoch, releasedSlots.map(_.swap),
+        replacedLeaves.result())
+    }
+
+    private val SweepDirName = "_sweep"
+
+    /** The sweep ledger for one publish: exactly the slots that
+      * publish unreferenced — `dir\t<epochDir>\t<dirName>` and
+      * `leaf\t<leafFile>` lines. Written AFTER the root rename (a
+      * ledger must never name slots a failed publish still leaves
+      * referenced); a crash in between leaves a missing ledger the
+      * next sweep repairs by diffing the two adjacent manifests —
+      * O(changed buckets) for v2 pairs. Idempotent (tmp-less
+      * overwrite of deterministic content). */
+    def writeLedger(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                    epoch: Long, slots: Seq[(Long, String)],
+                    leaves: Seq[String]): Unit = {
+      fs.mkdirs(new Path(root, SweepDirName))
+      writeFile(fs, new Path(new Path(root, SweepDirName), s"e$epoch"),
+        slots.sorted.map { case (e, d) => s"dir\t$e\t$d" } ++
+          leaves.sorted.map(l => s"leaf\t$l"))
+    }
+
+    def ledgerPath(root: Path, epoch: Long): Path =
+      new Path(new Path(root, SweepDirName), s"e$epoch")
+
+    /** Recompute a missing ledger from the two adjacent manifests —
+      * the crash-repair path. For a v2 pair only the buckets whose
+      * refs differ are read. None when either manifest is gone
+      * (already-swept territory — nothing to repair). */
+    def repairLedger(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                     epoch: Long): Boolean = {
+      val prevI = readRoot(fs, root, epoch - 1)
+      val curI = readRoot(fs, root, epoch)
+      if (prevI.isEmpty || curI.isEmpty) return false
+      val (pi, ci) = (prevI.get, curI.get)
+      val (prevEnts, replacedLeaves) =
+        if (pi.isV2 && ci.isV2) {
+          val changed = pi.leafRefs.filter { case (b, le) =>
+            !ci.leafRefs.get(b).contains(le) }
+          (changed.toSeq.flatMap { case (b, le) =>
+            entryLines(readLeaf(fs, root, le, b)).map(parseManifestEntry)
+          }, changed.toSeq.map { case (b, le) => s"${le}_$b" })
+        } else
+          (entryLines(materialize(fs, root, pi)).map(parseManifestEntry),
+            pi.leafRefs.toSeq.filter { case (b, le) =>
+              !ci.leafRefs.get(b).contains(le) }
+              .map { case (b, le) => s"${le}_$b" })
+      val curEnts: Set[(String, Long)] =
+        if (ci.isV2) {
+          // only dirs in the changed buckets can have changed epochs
+          val changedB = prevEnts.map(e => bucketOf(e._1)).toSet
+          changedB.flatMap(b => ci.leafRefs.get(b).toSeq.flatMap(le =>
+            entryLines(readLeaf(fs, root, le, b))
+              .map(parseManifestEntry))).toSet
+        } else entryLines(materialize(fs, root, ci))
+          .map(parseManifestEntry).toSet
+      writeLedger(fs, root, epoch,
+        prevEnts.filterNot(curEnts.contains)
+          .map { case (d, e) => (e, d) },
+        replacedLeaves)
+      true
     }
 
     /** Drop epochs and manifests older than `keep` (best-effort). */

@@ -337,4 +337,45 @@ class CdfSourceSpec extends SparkSpec {
     // and no .tmp staging leftovers linger beside the feed
     assert(!fs.listStatus(fp).exists(_.getPath.getName.endsWith(".tmp")))
   }
+
+  test("the CDF feed rides the SHARDED manifest tree (r19): polls, " +
+      "deletes, and the committed feed are identical with the shard " +
+      "threshold forced low — the tree is invisible to the feed plane") {
+    val saved = Upsert.EpochManifest.shardThreshold
+    Upsert.EpochManifest.shardThreshold = 1
+    try {
+      val w = work("graft_cdfsv2")
+      val tbl = s"$w/tbl"; val feed = s"$w/feed"
+      Upsert.mergeIntoManifested(spark, tbl,
+        rows((1, "a", 1.0, 1), (2, "a", 2.0, 1), (3, "b", 3.0, 1)),
+        keys, "part", "ver", retain = 6)
+      // sanity: the table really is sharded
+      val rootLines = {
+        val m = new java.io.File(tbl).listFiles()
+          .filter(_.getName.matches("_manifest_\\d+"))
+          .maxBy(_.getName.stripPrefix("_manifest_").toInt)
+        scala.io.Source.fromFile(m).getLines().toSeq
+      }
+      assert(rootLines.exists(_.startsWith("#leafn\t")))
+      assert(CdfSource.pollOnce(spark, tbl, keys, feed).isEmpty)
+      Upsert.mergeIntoManifested(spark, tbl,
+        rows((1, "a", 10.0, 2)), keys, "part", "ver", retain = 6)
+      assert(CdfSource.pollOnce(spark, tbl, keys, feed)
+        .contains((0L, 1L)))
+      Upsert.deleteKeysFromManifested(spark, tbl,
+        Seq(("b", 3L)).toDF("part", "k"), keys, "part", retain = 6)
+      assert(CdfSource.pollOnce(spark, tbl, keys, feed)
+        .contains((1L, 2L)))
+      assert(CdfSource.pollOnce(spark, tbl, keys, feed).isEmpty)
+      val got = graft.operators.StagedCommit.readCommitted(spark, feed)
+        .select($"k", $"part", $"v", $"ver", $"_change_type",
+          $"_from_epoch", $"_to_epoch")
+        .as[(Long, String, Double, Long, String, Long, Long)]
+        .collect().toSet
+      assert(got == Set(
+        (1L, "a", 1.0, 1L, "update_preimage", 0L, 1L),
+        (1L, "a", 10.0, 2L, "update_postimage", 0L, 1L),
+        (3L, "b", 3.0, 1L, "delete", 1L, 2L)))
+    } finally Upsert.EpochManifest.shardThreshold = saved
+  }
 }
