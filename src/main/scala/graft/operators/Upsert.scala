@@ -949,8 +949,28 @@ object Upsert {
         throw new IllegalStateException(
           s"no manifest $e under $tablePath — missing or already swept " +
             "(raise the merge's retain knob to keep more history)"))
-    val fromLines = manifest(fromEpoch)
-    val toLines = manifest(toEpoch)
+    def rootOf(e: Long): EpochManifest.RootInfo =
+      EpochManifest.readRoot(fs, root, e).getOrElse(
+        throw new IllegalStateException(
+          s"no manifest $e under $tablePath — missing or already swept " +
+            "(raise the merge's retain knob to keep more history)"))
+    // SHARDED FAST PATH: when both endpoints are manifest trees, a
+    // bucket carrying the SAME leaf reference on both sides is
+    // byte-identical per-dir metadata — no dir in it can have moved,
+    // so only the DIFFERING buckets' leaves load on either side. A
+    // CDF poll against a wide, lightly-churned table reads two ~3 KB
+    // roots plus the churned buckets, not 2×O(live partitions) text.
+    val (fromInfo, toInfo) = (rootOf(fromEpoch), rootOf(toEpoch))
+    val (fromLines, toLines) =
+      if (fromInfo.isV2 && toInfo.isV2) {
+        val diff = (0 until EpochManifest.LeafBuckets).filter(b =>
+          fromInfo.leafRefs.get(b) != toInfo.leafRefs.get(b))
+        def sideLines(info: EpochManifest.RootInfo): Seq[String] =
+          info.small ++ diff.flatMap(b => info.leafRefs.get(b)
+            .map(le => EpochManifest.readLeaf(fs, root, le, b))
+            .getOrElse(Seq.empty))
+        (sideLines(fromInfo), sideLines(toInfo))
+      } else (manifest(fromEpoch), manifest(toEpoch))
     val fromSch = ddlOf(fromLines).map(StructType.fromDDL).getOrElse(
       throw new IllegalStateException(
         s"changesBetween needs recorded schemas (legacy table at $tablePath)"))
@@ -963,7 +983,10 @@ object Upsert {
     var nameMap: Map[String, String] =
       fromSch.fieldNames.map(n => n -> n).toMap
     ((fromEpoch + 1) to toEpoch).foreach { e =>
-      val ls = manifest(e)
+      // event lines are ROOT-resident in a sharded manifest: the
+      // interval walk never materializes an intermediate tree
+      val info = if (e == toEpoch) toInfo else rootOf(e)
+      val ls = if (info.isV2) info.small else info.lines
       ls.filter(_.startsWith("#dropcol\t")).foreach { l =>
         val dropped = l.split("\t", -1)(1)
         nameMap.find(_._2.equalsIgnoreCase(dropped)).foreach { case (f, _) =>
