@@ -2326,6 +2326,23 @@ object Upsert {
       readLines(fs, new Path(new Path(root, LeafDirName),
         s"${leafEpoch}_$bucket")).getOrElse(Seq.empty)
 
+    /** Bounded parallel map for leaf IO: a full materialization reads
+      * up to [[LeafBuckets]] small files — sequential round-trips
+      * dominate on an object store (and measurably on local FS at
+      * 10⁵ dirs). Hadoop FileSystem instances are thread-safe for
+      * reads. */
+    private def parMap[A, B](items: Seq[A], par: Int = 16)(
+        f: A => B): Seq[B] =
+      if (items.size <= 1) items.map(f)
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(par, items.size))
+        try items.map(a => pool.submit(
+            new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+          .map(_.get())
+        finally pool.shutdown()
+      }
+
     /** Materialize a root's full logical line set (small lines + all
       * referenced leaves' lines) — the compatibility surface every
       * pre-tree consumer reads; v1 manifests pass through verbatim. */
@@ -2334,8 +2351,8 @@ object Upsert {
       if (!info.isV2) info.lines
       else info.small.filterNot(l => l.startsWith("#eref\t") ||
           l.startsWith("#partcol\t") || l.startsWith("#statscols\t")) ++
-        info.leafRefs.toSeq.sortBy(_._1).flatMap { case (b, le) =>
-          readLeaf(fs, root, le, b) }
+        parMap(info.leafRefs.toSeq.sortBy(_._1)) { case (b, le) =>
+          readLeaf(fs, root, le, b) }.flatten
 
     /** (epoch, manifest lines) of the highest complete manifest, or
       * None for an uninitialized table. Lines are format-agnostic —

@@ -447,6 +447,63 @@ class ManifestFilesSpec extends SparkSpec {
     } finally Upsert.EpochManifest.shardThreshold = saved
   }
 
+  test("v1 -> v2 TRANSITION mid-life: a single-file table crossing " +
+      "the shard threshold shards on the next publish (renames/pmap " +
+      "carried into the root, per-dir lines into leaves), stays v2, " +
+      "and reads/time-travel/feed span the boundary") {
+    val saved = Upsert.EpochManifest.shardThreshold
+    try {
+      val w = java.nio.file.Files.createTempDirectory("graft_mtrans")
+        .toString
+      val path = s"$w/tbl"
+      def merge(ver: Long, rows: (Long, String, Double)*): Unit =
+        Upsert.mergeIntoManifested(spark, path,
+          table(rows: _*).withColumn("ver", lit(ver)),
+          keys, "part", "ver", retain = 6, statsCols = Seq("v"))
+      // post-rename batches must carry the renamed column
+      def mergeW(ver: Long, rows: (Long, String, Double)*): Unit =
+        Upsert.mergeIntoManifested(spark, path,
+          table(rows: _*).withColumnRenamed("v", "w")
+            .withColumn("ver", lit(ver)),
+          keys, "part", "ver", retain = 6)
+      // v1 life: two merges and a RENAME while single-file
+      Upsert.EpochManifest.shardThreshold = 10000
+      merge(1L, (1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      merge(2L, (1L, "a", 10.0))
+      Upsert.renameManifestedColumn(spark, path, "v", "w", retain = 6)
+      assert(!manifestLines(path).exists(_.startsWith("#leafn\t")))
+      // threshold drops below the live line count: the NEXT merge
+      // publishes the tree (via the compat shard path), with the
+      // rename's pmap state carried into the root
+      Upsert.EpochManifest.shardThreshold = 1
+      mergeW(3L, (2L, "b", 20.0))
+      val rootLines = manifestLines(path)
+      assert(rootLines.exists(_.startsWith("#leafn\t")))
+      assert(rootLines.exists(_.startsWith("#pmap\t")),
+        "the rename's pmap state must survive the transition in the root")
+      assert(!rootLines.exists(l => !l.startsWith("#")))
+      // content correct across the boundary (renamed column intact)
+      val got = Upsert.readManifested(spark, path)
+      assert(got.columns.toSeq.sorted == Seq("k", "part", "ver", "w"))
+      assert(canon(got) == canon(table(
+        (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 3.0))
+        .withColumnRenamed("v", "w")
+        .withColumn("ver", when(col("part") === "a", 2L)
+          .when(col("part") === "b", 3L).otherwise(1L))))
+      // a further diff merge stays v2 and stays correct
+      mergeW(4L, (4L, "d", 4.0))
+      assert(Upsert.readManifested(spark, path).count() == 4)
+      assert(manifestLines(path).exists(_.startsWith("#leaf\t")))
+      // time travel back across the boundary to the v1 epoch
+      assert(canon(Upsert.readManifestedAt(spark, path, 2))
+        .exists(_.contains("10.0")))
+      // the feed spans the mixed v1/v2 interval
+      val feed = Upsert.changesBetween(spark, path, 2, 4, keys)
+      assert(feed.filter(col("_change_type") === "insert")
+        .select(col("k")).collect().map(_.getLong(0)).toSet == Set(4L))
+    } finally Upsert.EpochManifest.shardThreshold = saved
+  }
+
   test("carry fuzz over the SHARDED manifest tree (VERDICT r18 #1): " +
       "the same interleavings with the shard threshold forced low — " +
       "leaves carry by reference, diffs publish O(touched), and every " +
