@@ -2073,6 +2073,80 @@ object SparkEntry {
         .orderBy(col("src"), col("o_orderkey"), col("o_orderstatus"))
     }),
 
+    "j33_partial_compact" -> ((s, dir) => {
+      // PARTIAL COMPACTION (r19): the j20 merge sequence fragments
+      // the hot 'O' partition across three epoch dirs;
+      // compactManifestedPartitions rewrites ONLY that partition into
+      // one fresh clustered epoch (the 100 TB cadence — a full-table
+      // compact per maintenance window is unaffordable there) and the
+      // content must be byte-identically the max-version model: the
+      // oracle is j20's verbatim.
+      val base = s"${artifactBase(dir)}/merge_pcompact"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver")
+      operators.Upsert.mergeIntoManifested(s, base,
+        o.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") - 5.0)
+          .withColumn("ver", lit(0L)), keys, "o_orderstatus", "ver")
+      operators.Upsert.compactManifestedPartitions(s, base,
+        "o_orderstatus", Seq("O"))
+      operators.Upsert.readManifested(s, base)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("ver"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
+    "j34_merge_sharded" -> ((s, dir) => {
+      // THE MANIFEST FILE TREE UNDER THE ORACLE (r19): the merge +
+      // keyed-delete + partial-compact model with the shard threshold
+      // forced to 1, so EVERY publish takes the v2 diff path (leaf
+      // rewrites, root aggregates, ledger sweep) and every read
+      // resolves through bucket-pruned leaf loads — the content must
+      // equal the single-file model exactly, hash-checked per round.
+      val saved = operators.Upsert.EpochManifest.shardThreshold
+      operators.Upsert.EpochManifest.shardThreshold = 1
+      try {
+        val base = s"${artifactBase(dir)}/merge_sharded"
+        val bp = new org.apache.hadoop.fs.Path(base)
+        bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(bp, true)
+        val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        val keys = Seq("o_orderstatus", "o_orderkey")
+        operators.Upsert.mergeIntoManifested(s, base,
+          o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver")
+        operators.Upsert.mergeIntoManifested(s, base,
+          o.filter(col("o_orderkey") % 5 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver")
+        operators.Upsert.mergeIntoManifested(s, base,
+          o.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") - 5.0)
+            .withColumn("ver", lit(0L)), keys, "o_orderstatus", "ver")
+        operators.Upsert.deleteKeysFromManifested(s, base,
+          o.filter(col("o_orderkey") % 11 === 0)
+            .select(col("o_orderstatus"), col("o_orderkey")),
+          keys, "o_orderstatus")
+        operators.Upsert.compactManifestedPartitions(s, base,
+          "o_orderstatus", Seq("F"))
+        operators.Upsert.readManifested(s, base)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("ver"))
+          .orderBy(col("o_orderkey"), col("o_orderstatus"))
+      } finally
+        operators.Upsert.EpochManifest.shardThreshold = saved
+    }),
+
     "u4_union_evolve" -> ((s, dir) => {
       // schema-evolution union: a legacy slice without the status
       // column unions BY NAME with the current schema
@@ -7601,6 +7675,49 @@ object SparkEntry {
                        PARTITION BY o_orderstatus, o_orderkey
                        ORDER BY ver DESC) AS rn
            FROM allrows) WHERE rn = 1
+         ORDER BY o_orderkey, o_orderstatus""",
+
+    // partial compaction never changes content: the oracle is the
+    // j20 max-version model verbatim
+    "j33_partial_compact" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 = 0),
+              allrows AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(1 AS BIGINT) AS ver FROM base
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0, 2
+           FROM base WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice - 5.0, 0
+           FROM base WHERE o_orderkey % 3 = 0)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, ver FROM (
+           SELECT *, row_number() OVER (
+                       PARTITION BY o_orderstatus, o_orderkey
+                       ORDER BY ver DESC) AS rn
+           FROM allrows) WHERE rn = 1
+         ORDER BY o_orderkey, o_orderstatus""",
+
+    // the sharded-manifest table must equal the single-file model:
+    // max-version merge minus the keyed deletes, partial compact a
+    // content no-op
+    "j34_merge_sharded" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 = 0),
+              allrows AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(1 AS BIGINT) AS ver FROM base
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0, 2
+           FROM base WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice - 5.0, 0
+           FROM base WHERE o_orderkey % 3 = 0)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, ver FROM (
+           SELECT *, row_number() OVER (
+                       PARTITION BY o_orderstatus, o_orderkey
+                       ORDER BY ver DESC) AS rn
+           FROM allrows) WHERE rn = 1 AND o_orderkey % 11 <> 0
          ORDER BY o_orderkey, o_orderstatus""",
 
     // time travel: the table AS OF manifest 1 is the max-version model

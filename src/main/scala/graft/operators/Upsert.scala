@@ -337,7 +337,13 @@ object Upsert {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // writer lease — see mergeIntoManifested; no `return` inside
-    StagedCommit.withMaintenanceLease(fs, fs.makeQualified(root)) { _ =>
+    val qroot = fs.makeQualified(root)
+    StagedCommit.withMaintenanceLease(fs, qroot) { leaseToken =>
+    def fence(): Unit =
+      if (!StagedCommit.leaseHeld(fs, qroot, leaseToken))
+        throw new java.io.IOException(
+          s"table maintenance lease under $tablePath was broken " +
+            "mid-operation — aborting before publish; re-run to retry")
     EpochManifest.active(fs, root) match {
       case None =>
         updates.select(
@@ -383,6 +389,7 @@ object Upsert {
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$tablePath/current_e${epoch + 1}")
         graft.FailPoint.hit("scd2_after_current_write")
+        fence()
         EpochManifest.publish(fs, root, epoch + 1, tokens ++ landed)
         // best-effort GC, RETAINING the immediately-previous epoch: a
         // lazy reader that resolved manifest N must survive one
@@ -1578,6 +1585,55 @@ object Upsert {
     // sweep also reclaims what no ledger can name (epoch dirs and
     // leaves a crashed publish wrote that no manifest ever referenced)
     sweepManifested(fs, root, epoch + 1, retain, fullWalk = true)
+    }
+  }
+
+  /** PARTIAL COMPACTION — the 100 TB form of [[compactManifested]]:
+    * rewrite ONLY the named partition values' snapshots into one
+    * fresh clustered epoch and flip the manifest, leaving the
+    * untouched mass alone. After many merges a HOT partition's rows
+    * scatter file-wise across epoch dirs and its reads pay per-file
+    * task overhead; full compaction is an O(table) rewrite,
+    * unaffordable per-cadence at scale — this bounds the rewrite
+    * (and, on a sharded manifest, the PUBLISH) to the partitions
+    * that actually fragmented. Content is untouched (same rows, same
+    * schema — spec- and oracle-checked); values matching no entry
+    * contribute nothing; an all-unknown call no-ops. Runs under the
+    * table writer lease like every manifested writer. */
+  def compactManifestedPartitions(spark: org.apache.spark.sql.SparkSession,
+                                  tablePath: String, partitionCol: String,
+                                  values: Seq[String],
+                                  retain: Int = 2): Unit = {
+    if (values.isEmpty) return
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (EpochManifest.activeRoot(fs, root).isEmpty) return
+    val qroot = fs.makeQualified(root)
+    // writer lease — see mergeIntoManifested; no `return` inside
+    StagedCommit.withMaintenanceLease(fs, qroot) { leaseToken =>
+      val (epoch, rootInfo) = EpochManifest.activeRoot(fs, root)
+        .getOrElse(throw new IllegalStateException(
+          s"manifest vanished under $tablePath"))
+      val touchedDirs = values.map(v => s"$partitionCol=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v)).toSet
+      val lines =
+        if (!rootInfo.isV2) rootInfo.lines
+        else rootInfo.small ++ touchedDirs.map(EpochManifest.bucketOf)
+          .flatMap(b => rootInfo.leafRefs.get(b)
+            .map(le => EpochManifest.readLeaf(fs, root, le, b))
+            .getOrElse(Seq.empty))
+      val entries = entryLines(lines).map(parseManifestEntry)
+      val touchedEntries = entries.filter(e => touchedDirs.contains(e._1))
+      if (touchedEntries.nonEmpty) {
+        val schemaOpt = ddlOf(lines)
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+        val kept = readMapped(spark, tablePath, touchedEntries,
+          schemaOpt, pmapOf(lines), filesOf(lines)).get
+        publishRewrittenSlice(tablePath, fs, root, epoch, lines, entries,
+          touchedDirs.intersect(touchedEntries.map(_._1).toSet), kept,
+          partitionCol, retain, Some((qroot, leaseToken)))
+      }
     }
   }
 

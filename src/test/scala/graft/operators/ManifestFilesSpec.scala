@@ -231,8 +231,15 @@ class ManifestFilesSpec extends SparkSpec {
               .localCheckpoint()
             "deleteKeys"
           } else if (r < 72) {
-            Upsert.compactManifested(spark, path, "part", retain = 4)
-            "compact"
+            if (rnd.nextBoolean()) {
+              Upsert.compactManifested(spark, path, "part", retain = 4)
+              "compact"
+            } else {
+              val pv = ('a' + rnd.nextInt(4)).toChar.toString
+              Upsert.compactManifestedPartitions(spark, path, "part",
+                Seq(pv), retain = 4)
+              "pcompact"
+            }
           } else if (r < 84 && renames < 2) {
             renames += 1
             val nn = s"v_r$renames"
@@ -444,6 +451,64 @@ class ManifestFilesSpec extends SparkSpec {
       val feed = Upsert.changesBetween(spark, path, 5, 6, keys)
       assert(feed.filter(col("_change_type") === "update_postimage")
         .select(col("k")).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    } finally Upsert.EpochManifest.shardThreshold = saved
+  }
+
+  test("compactManifestedPartitions: rewrites ONLY the named " +
+      "partitions into one fresh clustered epoch — content unchanged, " +
+      "fragmentation collapsed, untouched entries and inventories " +
+      "carried verbatim; unknown values no-op") {
+    val w = java.nio.file.Files.createTempDirectory("graft_mpcomp")
+      .toString
+    val path = s"$w/tbl"
+    def merge(ver: Long, rows: (Long, String, Double)*): Unit =
+      Upsert.mergeIntoManifested(spark, path,
+        table(rows: _*).withColumn("ver", lit(ver)),
+        keys, "part", "ver", retain = 8, statsCols = Seq("v"))
+    // fragment partition a across three epochs; b and c stay put
+    merge(1L, (1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0),
+      (4L, "c", 4.0))
+    merge(2L, (1L, "a", 10.0))
+    merge(3L, (2L, "a", 20.0))
+    val before = canon(Upsert.readManifested(spark, path))
+    def entryMap: Map[String, Long] = manifestLines(path)
+      .filterNot(_.startsWith("#"))
+      .map { l => val i = l.lastIndexOf('\t')
+        (l.substring(0, i), l.substring(i + 1).toLong) }.toMap
+    val em0 = entryMap
+    assert(em0("part=a") == 2 && em0("part=b") == 0 && em0("part=c") == 0)
+    Upsert.compactManifestedPartitions(spark, path, "part", Seq("a"),
+      retain = 8)
+    // content identical; a re-pointed to the fresh epoch, b/c untouched
+    assert(canon(Upsert.readManifested(spark, path)) == before)
+    val em1 = entryMap
+    assert(em1("part=a") == 3 && em1("part=b") == 0 && em1("part=c") == 0)
+    // fragmentation collapsed: one file set under the fresh a dir
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aFiles = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/_e3/part=a"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(aFiles >= 1)
+    // the old scattered copies of a are reclaimable; b/c's #files
+    // lines carried verbatim
+    val filesLines = manifestLines(path).filter(_.startsWith("#files\t"))
+    assert(filesLines.exists(_.startsWith("#files\tpart=a\t3\t")))
+    assert(filesLines.exists(_.startsWith("#files\tpart=b\t0\t")))
+    // unknown value no-ops (manifest unchanged)
+    val m1 = manifestLines(path)
+    Upsert.compactManifestedPartitions(spark, path, "part", Seq("zz"),
+      retain = 8)
+    assert(manifestLines(path) == m1)
+    // works identically over the sharded tree
+    val saved = Upsert.EpochManifest.shardThreshold
+    Upsert.EpochManifest.shardThreshold = 1
+    try {
+      merge(4L, (3L, "b", 30.0)) // shards the manifest
+      val pre = canon(Upsert.readManifested(spark, path))
+      Upsert.compactManifestedPartitions(spark, path, "part", Seq("b"),
+        retain = 8)
+      assert(canon(Upsert.readManifested(spark, path)) == pre)
     } finally Upsert.EpochManifest.shardThreshold = saved
   }
 
