@@ -854,10 +854,41 @@ object Upsert {
                      tablePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, lines) = EpochManifest.active(fs, root).getOrElse(
+    val (_, info) = EpochManifest.activeRoot(fs, root).getOrElse(
       throw new IllegalStateException(s"no manifest under $tablePath"))
-    readEntries(spark, tablePath, lines)
+    readEntriesRoot(spark, tablePath, fs, root, info)
   }
+
+  /** Full-resolution entry shared by [[readManifested]] and
+    * [[readManifestedAt]]: v1 roots go through the classic line path;
+    * v2 roots parse their leaves IN PARALLEL, each leaf folded
+    * straight to (entries, file inventories) — at 10⁶ partitions the
+    * single-threaded line concat + re-scan was the whole resolution
+    * cost. Leaves partition dirs disjointly, so the merges are
+    * concatenation and disjoint map union. */
+  private def readEntriesRoot(spark: org.apache.spark.sql.SparkSession,
+                              tablePath: String,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path,
+                              info: Upsert.EpochManifest.RootInfo)
+      : DataFrame =
+    if (!info.isV2) readEntries(spark, tablePath, info.lines)
+    else {
+      val small = info.small
+      val schemaOpt = ddlOf(small)
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+      val parsed = EpochManifest.mapLeaves(fs, root, info)(ls =>
+        (entryLines(ls).map(parseManifestEntry), filesOf(ls)))
+      val entries = parsed.flatMap(_._1)
+      val files = parsed.foldLeft(
+        Map.empty[(String, Long), Seq[(String, Long)]])(_ ++ _._2)
+      readMapped(spark, tablePath, entries, schemaOpt, pmapOf(small),
+        files).orElse(
+        schemaOpt.map(sch => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)))
+        .getOrElse(throw new IllegalStateException(
+          s"empty manifest under $tablePath"))
+    }
 
   /** MANIFEST-PRUNED reader: only the named partition values'
     * snapshot dirs are resolved — the rest of the table is never
@@ -916,11 +947,11 @@ object Upsert {
                        tablePath: String, epoch: Long): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lines = EpochManifest.read(fs, root, epoch).getOrElse(
+    val info = EpochManifest.readRoot(fs, root, epoch).getOrElse(
       throw new IllegalStateException(
         s"no manifest $epoch under $tablePath — missing or already " +
           "swept (raise the merge's retain knob to keep more history)"))
-    readEntries(spark, tablePath, lines)
+    readEntriesRoot(spark, tablePath, fs, root, info)
   }
 
   /** CHANGE DATA FEED between two retained manifests: one row per
@@ -2398,6 +2429,17 @@ object Upsert {
           .map(_.get())
         finally pool.shutdown()
       }
+
+    /** Parallel structured fold over a v2 root's leaves: read + parse
+      * each leaf on the pool and merge the per-leaf results — the
+      * full-resolution path's escape from a single-threaded O(N) line
+      * parse (measured 14.9 s at 10⁶ dirs through [[materialize]]).
+      * Leaves partition the dir space disjointly, so any per-leaf
+      * extraction merges by concatenation/map-union. */
+    def mapLeaves[B](fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                     info: RootInfo)(f: Seq[String] => B): Seq[B] =
+      parMap(info.leafRefs.toSeq.sortBy(_._1)) { case (b, le) =>
+        f(readLeaf(fs, root, le, b)) }
 
     /** Materialize a root's full logical line set (small lines + all
       * referenced leaves' lines) — the compatibility surface every

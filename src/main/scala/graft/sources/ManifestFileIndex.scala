@@ -130,7 +130,8 @@ private[graft] object ManifestFileIndex {
       schema.fields.filterNot(_.name.equalsIgnoreCase(partitionCol))))
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val base = new Path(epochDir)
-    val parts = dirs.map { case (dirName, files) =>
+    def buildPart(dirName: String, files: Seq[(String, Long)])
+        : (InternalRow, Array[FileStatus]) = {
       val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(dirName.drop(dirName.indexOf('=') + 1))
       // the dir-name string under the RECORDED type — the same
@@ -145,6 +146,24 @@ private[graft] object ManifestFileIndex {
       }.toArray
       (row, statuses)
     }
+    // chunked parallel construction: at 10⁵–10⁶ recorded partitions
+    // the unescape/cast/row/status loop is the dominant driver-side
+    // resolution cost — each chunk is independent (fresh Cast per
+    // value, no shared state)
+    val parts =
+      if (dirs.size < 4096) dirs.map { case (d, f) => buildPart(d, f) }
+      else {
+        val chunks = dirs.grouped(
+          math.max(1, dirs.size / 32)).toSeq
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(16, chunks.size))
+        try chunks.map(c => pool.submit(
+            new java.util.concurrent.Callable[
+                Seq[(InternalRow, Array[FileStatus])]] {
+              def call() = c.map { case (d, f) => buildPart(d, f) }
+            })).flatMap(_.get())
+        finally pool.shutdown()
+      }
     val index = new ManifestFileIndex(base, partitionSchema, parts)
     val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
       None, new ParquetFileFormat,
