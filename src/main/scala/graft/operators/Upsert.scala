@@ -1843,37 +1843,76 @@ object Upsert {
     * of [[readManifestedPartitions]]: the zone maps let a narrow
     * consumer skip the listing cost of partitions whose VALUE RANGE
     * rules them out, the lakehouse data-skipping shape. */
+  /** The zone-map comparator for one recorded column type.
+    * Double.parseDouble, not BigDecimal: Spark's min/max over a
+    * double column records "NaN"/"Infinity" in the #stats lines,
+    * which BigDecimal throws on — turning pruning into a read
+    * failure instead of the documented strictly-an-optimization
+    * (ADVICE r14). Double compare is SAFE for pruning even on
+    * int64/decimal values beyond 2^53: round-to-nearest is
+    * monotone, so two values can only COLLAPSE to equal (dir
+    * kept), never invert order (dir wrongly pruned). NaN sorts
+    * largest, matching Spark's ordering that produced the stats.
+    * Anything unparseable compares equal -> both bound checks
+    * pass -> the dir is read, never pruned. Shared by
+    * [[readManifestedRange]] and the bucket-level `#bstats`
+    * aggregation so both prune under identical semantics. */
+  private def statsComparator(dt: org.apache.spark.sql.types.DataType)
+      : Option[(String, String) => Int] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => Some(
+        (a: String, b: String) =>
+          try java.lang.Double.compare(java.lang.Double.parseDouble(a),
+            java.lang.Double.parseDouble(b))
+          catch { case _: NumberFormatException => 0 })
+      case StringType =>
+        Some((a: String, b: String) => a.compareTo(b))
+      case _ => None
+    }
+  }
+
   def readManifestedRange(spark: org.apache.spark.sql.SparkSession,
                           tablePath: String, column: String,
                           lo: Any, hi: Any): DataFrame = {
     import org.apache.spark.sql.types._
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, lines) = EpochManifest.active(fs, root).getOrElse(
+    val (_, rootInfo) = EpochManifest.activeRoot(fs, root).getOrElse(
       throw new IllegalStateException(s"no manifest under $tablePath"))
-    val dt: Option[DataType] = ddlOf(lines)
+    val dt: Option[DataType] = ddlOf(rootInfo.lines)
       .map(StructType.fromDDL)
       .flatMap(_.fields.find(_.name.equalsIgnoreCase(column)))
       .map(_.dataType)
-    val cmp: Option[(String, String) => Int] = dt.collect {
-      case _: NumericType =>
-        // Double.parseDouble, not BigDecimal: Spark's min/max over a
-        // double column records "NaN"/"Infinity" in the #stats lines,
-        // which BigDecimal throws on — turning pruning into a read
-        // failure instead of the documented strictly-an-optimization
-        // (ADVICE r14). Double compare is SAFE for pruning even on
-        // int64/decimal values beyond 2^53: round-to-nearest is
-        // monotone, so two values can only COLLAPSE to equal (dir
-        // kept), never invert order (dir wrongly pruned). NaN sorts
-        // largest, matching Spark's ordering that produced the stats.
-        // Anything unparseable compares equal -> both bound checks
-        // pass -> the dir is read, never pruned.
-        (a: String, b: String) =>
-          try java.lang.Double.compare(java.lang.Double.parseDouble(a),
-            java.lang.Double.parseDouble(b))
-          catch { case _: NumberFormatException => 0 }
-      case StringType => (a: String, b: String) => a.compareTo(b)
-    }
+    val cmp: Option[(String, String) => Int] = dt.flatMap(statsComparator)
+    // sharded manifests prune at the LEAF tier first: the root's
+    // per-bucket `#bstats` aggregates (min-of-mins/max-of-maxs over
+    // the bucket's dirs, emitted only when EVERY dir in the bucket
+    // carries a zone map for the column — conservative) decide which
+    // leaves even load, so a narrow range over a wide table reads a
+    // handful of buckets, not the whole per-dir mass
+    val lines =
+      if (!rootInfo.isV2) rootInfo.lines
+      else {
+        val bstats = rootInfo.lines.filter(_.startsWith("#bstats\t"))
+          .map { l =>
+            val a = l.split("\t", -1)
+            import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            ((a(1).toInt, a(2)),
+              (ExternalCatalogUtils.unescapePathName(a(3)),
+                ExternalCatalogUtils.unescapePathName(a(4))))
+          }.toMap
+        def bucketMightMatch(b: Int): Boolean =
+          (cmp, bstats.get((b, column))) match {
+            case (Some(c), Some((mn, mx))) =>
+              (lo == null || c(mx, lo.toString) >= 0) &&
+                (hi == null || c(mn, hi.toString) <= 0)
+            case _ => true // no comparator / no aggregate: must load
+          }
+        val cand = rootInfo.leafRefs.filter(kv => bucketMightMatch(kv._1))
+        rootInfo.small ++ EpochManifest.mapLeaves(fs, root,
+          rootInfo.copy(leafRefs = cand))(identity).flatten
+      }
     val stats = statsOf(lines)
     def mightMatch(dir: String): Boolean = (cmp, stats.get((dir, column))) match {
       case (Some(c), Some((mn, mx))) =>
@@ -2441,6 +2480,50 @@ object Upsert {
       parMap(info.leafRefs.toSeq.sortBy(_._1)) { case (b, le) =>
         f(readLeaf(fs, root, le, b)) }
 
+    /** Per-bucket zone-map aggregates, `#bstats\t<bucket>\t<col>\t
+      * <mn>\t<mx>` — the LEAF tier of [[Upsert.readManifestedRange]]'s
+      * pruning: min-of-mins/max-of-maxs over a bucket's dirs, emitted
+      * ONLY when every dir in the bucket carries a `#stats` line for
+      * the column (an all-null partition records none and must never
+      * be pruned — the bucket then always loads; conservative).
+      * Aggregation uses [[Upsert.statsComparator]], the exact
+      * comparator the range reader prunes with. */
+    def bstatsLines(small: Seq[String],
+                    buckets: Map[Int, Seq[String]]): Seq[String] = {
+      val types = ddlOf(small)
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .map(_.fields.map(f =>
+          f.name.toLowerCase -> f.dataType).toMap)
+        .getOrElse(Map.empty[String,
+          org.apache.spark.sql.types.DataType])
+      buckets.toSeq.sortBy(_._1).flatMap { case (b, ls) =>
+        val dirs = entryLines(ls).map(parseManifestEntry).map(_._1)
+        if (dirs.isEmpty) Seq.empty
+        else {
+          val st = statsOf(ls)
+          st.keys.map(_._2).toSet.toSeq.sorted.flatMap { c =>
+            val cmpOpt = types.get(c.toLowerCase)
+              .flatMap(statsComparator)
+            if (cmpOpt.isEmpty ||
+                !dirs.forall(d => st.contains((d, c)))) None
+            else {
+              val cmp = cmpOpt.get
+              val vals = dirs.map(d => st((d, c)))
+              val mn = vals.map(_._1)
+                .reduce((a, x) => if (cmp(a, x) <= 0) a else x)
+              val mx = vals.map(_._2)
+                .reduce((a, x) => if (cmp(a, x) >= 0) a else x)
+              import org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils
+              Some(s"#bstats\t$b\t$c\t" +
+                s"${ExternalCatalogUtils.escapePathName(mn)}\t" +
+                ExternalCatalogUtils.escapePathName(mx))
+            }
+          }
+        }
+      }
+    }
+
     /** Materialize a root's full logical line set (small lines + all
       * referenced leaves' lines) — the compatibility surface every
       * pre-tree consumer reads; v1 manifests pass through verbatim. */
@@ -2448,7 +2531,8 @@ object Upsert {
                             root: Path, info: RootInfo): Seq[String] =
       if (!info.isV2) info.lines
       else info.small.filterNot(l => l.startsWith("#eref\t") ||
-          l.startsWith("#partcol\t") || l.startsWith("#statscols\t")) ++
+          l.startsWith("#partcol\t") || l.startsWith("#statscols\t") ||
+          l.startsWith("#bstats\t")) ++
         parMap(info.leafRefs.toSeq.sortBy(_._1)) { case (b, le) =>
           readLeaf(fs, root, le, b) }.flatten
 
@@ -2555,7 +2639,10 @@ object Upsert {
     def publish(fs: org.apache.hadoop.fs.FileSystem, root: Path,
                 epoch: Long, tokens: Seq[String]): Unit = {
       val prev = if (epoch == 0) None else readRoot(fs, root, epoch - 1)
-      val (perDir, small) = tokens.partition(dirKeyOf(_).isDefined)
+      val (perDir, small0) = tokens.partition(dirKeyOf(_).isDefined)
+      // stale aggregates from a materialized v2 input are regenerated
+      // below, never carried through the full-line path
+      val small = small0.filterNot(_.startsWith("#bstats\t"))
       if (perDir.size <= shardThreshold && !prev.exists(_.isV2)) {
         publishRoot(fs, root, epoch, tokens)
         return
@@ -2598,6 +2685,7 @@ object Upsert {
             statsCols.isEmpty) Seq.empty
          else Seq(s"#statscols\t${statsCols.mkString(",")}")) ++
         erefs.toSeq.sortBy(_._1).map { case (e, n) => s"#eref\t$e\t$n" } ++
+        bstatsLines(small, byBucket) ++
         Seq(s"#leafn\t$LeafBuckets") ++
         refs.result().toSeq.sortBy(_._1).map { case (b, le) =>
           s"#leaf\t$b\t$le" }
@@ -2637,12 +2725,23 @@ object Upsert {
         if (content.isEmpty) refs -= b
         else { writeLeaf(fs, root, epoch, b, content.sorted); refs += b -> epoch }
       }
+      // bucket zone maps: carry the untouched buckets' aggregates
+      // verbatim from the previous root, regenerate exactly the
+      // changed buckets' from their new content — O(touched), like
+      // every other plane of the diff
+      val changedSet = changedBuckets.keySet
+      val carriedBstats = prev.lines.filter(l =>
+        l.startsWith("#bstats\t") &&
+          !changedSet.contains(l.split("\t", 4)(1).toInt))
+      val freshBstats = bstatsLines(small,
+        changedBuckets.filter(_._2.nonEmpty))
       val rootLines = small ++
         Seq(s"#partcol\t$partCol") ++
         (if (statsCols.isEmpty) Seq.empty
          else Seq(s"#statscols\t${statsCols.mkString(",")}")) ++
         erefs.filter(_._2 > 0).toSeq.sortBy(_._1).map { case (e, n) =>
           s"#eref\t$e\t$n" } ++
+        carriedBstats ++ freshBstats ++
         Seq(s"#leafn\t$LeafBuckets") ++
         refs.toSeq.sortBy(_._1).map { case (b, le) => s"#leaf\t$b\t$le" }
       // crash windows, in publish order: leaves are on disk but the

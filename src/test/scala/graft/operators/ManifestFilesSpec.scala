@@ -271,6 +271,17 @@ class ManifestFilesSpec extends SparkSpec {
             canon(shadow.filter(col("part") === pv)),
             s"seed=$seed step=$i pruned read of part=$pv diverged")
         }
+        // and the zone-map range reader (bucket-level #bstats pruning
+        // on the sharded form, dir-level on both)
+        if (i % 7 == 0) {
+          val loV = math.max(0, i - 8) * 10L
+          val hiV = i * 10L
+          assert(canon(Upsert.readManifestedRange(spark, path, "ver",
+              loV, hiV)) ==
+            canon(shadow.filter(col("ver") >= loV &&
+              col("ver") <= hiV)),
+            s"seed=$seed step=$i range read [$loV,$hiV] diverged")
+        }
       }
       val rootDir = new java.io.File(path)
       val rootLines = {
