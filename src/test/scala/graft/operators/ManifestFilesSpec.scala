@@ -523,6 +523,52 @@ class ManifestFilesSpec extends SparkSpec {
     } finally Upsert.EpochManifest.shardThreshold = saved
   }
 
+  test("ledger sweep pending-epoch guard: an epoch dir with zero " +
+      "current references but slots still named by an UNPROCESSED " +
+      "ledger is drained per-slot, never whole-deleted — time travel " +
+      "inside the window keeps its files; once the pending ledger " +
+      "processes, the dir drops entirely") {
+    val saved = Upsert.EpochManifest.shardThreshold
+    Upsert.EpochManifest.shardThreshold = 1
+    try {
+      val w = java.nio.file.Files.createTempDirectory("graft_mpend")
+        .toString
+      val path = s"$w/tbl"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def merge(ver: Long, rows: (Long, String, Double)*): Unit =
+        Upsert.mergeIntoManifested(spark, path,
+          table(rows: _*).withColumn("ver", lit(ver)),
+          keys, "part", "ver", retain = 2)
+      merge(1L, (1L, "a", 1.0), (2L, "b", 2.0)) // e0: a@0, b@0
+      merge(2L, (1L, "a", 10.0))                // e1: ledger e1 (0,a)
+      merge(3L, (1L, "a", 11.0))                // e2: ledger e2 (1,a)
+      merge(4L, (2L, "b", 20.0))                // e3: ledger e3 (0,b)
+      // at publish e3 (oldest = 2): ledgers e1/e2 processed. Epoch 0
+      // has ZERO current references (a@2, b@3) but ledger e3 — still
+      // pending — names its part=b slot, which manifest 2 (inside the
+      // window) references: the sweep must drain part=a only
+      def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+      assert(fs.exists(p("_e0")), "epoch 0 must survive (pending slot)")
+      assert(!fs.exists(p("_e0/part=a")), "its processed slot drains")
+      assert(fs.exists(p("_e0/part=b")), "its pending slot survives")
+      assert(!fs.exists(p("_e1")), "epoch 1 is fully released: drops")
+      // time travel to manifest 2 reads b's rows from _e0/part=b
+      assert(canon(Upsert.readManifestedAt(spark, path, 2)).sorted ==
+        canon(table((1L, "a", 11.0), (2L, "b", 2.0))
+          .withColumn("ver", when(col("part") === "a", 3L)
+            .otherwise(1L))).sorted)
+      // the next publish processes ledger e3: epoch 0 now drops whole
+      merge(5L, (1L, "a", 12.0))                // e4
+      assert(!fs.exists(p("_e0")),
+        "epoch 0 must drop once its last pending ledger processes")
+      assert(canon(Upsert.readManifested(spark, path)).sorted ==
+        canon(table((1L, "a", 12.0), (2L, "b", 20.0))
+          .withColumn("ver", when(col("part") === "a", 5L)
+            .otherwise(4L))).sorted)
+    } finally Upsert.EpochManifest.shardThreshold = saved
+  }
+
   test("v1 -> v2 TRANSITION mid-life: a single-file table crossing " +
       "the shard threshold shards on the next publish (renames/pmap " +
       "carried into the root, per-dir lines into leaves), stays v2, " +
