@@ -19,10 +19,20 @@ package graft
   * StagedCommit) honor this — check before adding one. */
 object FailPoint {
   @volatile private var armed: String = null
+  @volatile private var hook: (String, Runnable) = null
   def arm(site: String): Unit = armed = site
   def disarm(): Unit = armed = null
-  def hit(site: String): Unit =
+  /** Arm a one-shot ACTION at a site instead of a kill — the
+    * paused-holder device (VERDICT r19 #6): a spec runs "break the
+    * lease" at the exact window a paused writer would occupy, then
+    * the writer's own fence must abort it before publish. */
+  def armHook(site: String, action: Runnable): Unit = hook = (site, action)
+  def disarmHook(): Unit = hook = null
+  def hit(site: String): Unit = {
+    val h = hook
+    if (h != null && h._1 == site) { hook = null; h._2.run() }
     if (armed != null && armed == site) { armed = null; throw new Kill(site) }
+  }
 
   final class Kill(site: String) extends Error(s"injected kill at $site")
 }

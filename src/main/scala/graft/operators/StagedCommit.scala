@@ -104,9 +104,21 @@ object StagedCommit {
           if (committed.contains(token)) keep += st.getPath.toString
       }
     }
-    require(keep.nonEmpty, s"no committed parquet files under $path")
+    if (keep.isEmpty) throw new NoCommittedFiles(path)
     spark.read.option("basePath", dir.toString).parquet(keep.toSeq: _*)
   }
+
+  /** TYPED empty-artifact shape (ADVICE r19, low): [[readCommitted]]
+    * throws this when `path` holds no committed parquet file, so a
+    * consumer that must absorb a cold start (the verify-CDF batch-0
+    * probe in [[graft.streaming.IndexSink]]) matches the CLASS, not
+    * the message text — a rewording can no longer silently turn the
+    * cold-start skip into a stream crash. IllegalArgumentException
+    * subtype with the same message keeps every legacy catch/assert
+    * working. */
+  final class NoCommittedFiles(path: String)
+    extends IllegalArgumentException(
+      s"no committed parquet files under $path")
 
   /** Depth-first parquet-file walk that NEVER DESCENDS into
     * underscore-prefixed directories (`_stage_<token>/`, and the
@@ -317,8 +329,35 @@ object StagedCommit {
     * one writer's content survives the overwrite race). On HDFS and
     * object stores the create itself is atomic and both layers are
     * belt-and-braces. */
+  /** Interned-monitor entry, REFERENCE-COUNTED (VERDICT r19 #7): the
+    * refs field is mutated only inside the map's per-key `compute`
+    * lock, and the entry is removed when the last in-flight
+    * acquireLease for its path releases it — a long-lived driver
+    * churning ephemeral table paths no longer grows the map forever.
+    * Monitor identity is stable for the whole acquire (retained
+    * before the retry loop, released after), so two same-JVM threads
+    * racing one path always synchronize on the SAME object. */
+  private final class LeaseMonitor { var refs = 0 }
   private val leaseLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    new java.util.concurrent.ConcurrentHashMap[String, LeaseMonitor]()
+
+  private def retainMonitor(key: String): LeaseMonitor =
+    leaseLocks.compute(key, (_, v) => {
+      val m = if (v == null) new LeaseMonitor else v
+      m.refs += 1; m
+    })
+
+  private def releaseMonitor(key: String): Unit =
+    leaseLocks.compute(key, (_, v) =>
+      if (v == null) null
+      else { v.refs -= 1; if (v.refs <= 0) null else v })
+
+  private[graft] def leaseMonitorCount: Int = leaseLocks.size()
+
+  private[graft] def isLocalFs(
+      fs: org.apache.hadoop.fs.FileSystem): Boolean =
+    fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
 
   private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
                            dir: Path, staleMs: Long): String = {
@@ -326,13 +365,35 @@ object StagedCommit {
     val token = java.util.UUID.randomUUID().toString
     val me = jvmId
     val myThread = Thread.currentThread().getId
-    val lock = leaseLocks.computeIfAbsent(lease.toString,
-      _ => new Object)
+    val lock = retainMonitor(lease.toString)
+    try {
     var attempts = 0
     while (attempts < 5) {
       attempts += 1
       val created = lock.synchronized {
-        try {
+        if (isLocalFs(fs)) {
+          // ATOMIC create-if-absent on the local FS (VERDICT r19 #5):
+          // Hadoop's local create(overwrite = false) is CHECK-then-
+          // create, so two PROCESSES could both pass it — and the old
+          // content read-back arbitration had a both-pass window (A
+          // reads back before B's overwrite lands). CREATE_NEW is one
+          // open(O_CREAT|O_EXCL) syscall: exactly one process wins,
+          // and the winner's content is its own by construction — no
+          // read-back needed.
+          try {
+            val nio = java.nio.file.Paths.get(lease.toUri.getPath)
+            if (nio.getParent != null)
+              java.nio.file.Files.createDirectories(nio.getParent)
+            java.nio.file.Files.write(nio, s"$me\t$myThread\t$token"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: java.io.IOException => false
+          }
+        } else try {
           val out = fs.create(lease, false)
           try out.write(s"$me\t$myThread\t$token"
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -341,9 +402,12 @@ object StagedCommit {
         } catch { case _: java.io.IOException => false }
       }
       if (created) {
-        // cross-process arbitration: if another writer's create
-        // overwrote ours in the non-atomic window, exactly one
-        // content survives — only its writer proceeds
+        if (isLocalFs(fs)) return token // atomic create: ours, done
+        // cross-process arbitration for FSes whose create we cannot
+        // prove atomic: if another writer's create overwrote ours in
+        // the non-atomic window, exactly one content survives — only
+        // its writer proceeds (HDFS/object-store creates are atomic
+        // and this is belt-and-braces there)
         val back =
           try readSmall(fs, lease).trim
           catch { case _: java.io.IOException => "" }
@@ -378,7 +442,24 @@ object StagedCommit {
     throw new IllegalStateException(
       s"could not acquire maintenance lease under $dir after " +
         s"$attempts attempts (repeated create/break races)")
+    } finally releaseMonitor(lease.toString)
   }
+
+  /** Refresh the lease file's mtime. A long-running holder calls this
+    * right before a long Spark write (the merge's epoch-dir Overwrite,
+    * runSwap's post-staging window) so a HEALTHY writer whose write
+    * outlives `DefaultLeaseStaleMs` is not misjudged crashed and
+    * clobbered by a lease-breaking competitor targeting the same epoch
+    * dir (ADVICE r19, medium). Token-checked: never freshens a
+    * competitor's lease after ours was broken. Best-effort — the
+    * post-write fence is the correctness backstop. */
+  private[graft] def refreshLease(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: Path, token: String): Unit =
+    try {
+      if (leaseHeld(fs, dir, token))
+        fs.setTimes(new Path(dir, LeaseFile),
+          System.currentTimeMillis(), -1)
+    } catch { case _: java.io.IOException => () }
 
   /** Drop the lease IF it is still ours (token-checked — never deletes
     * a competitor's lease after ours was broken). */

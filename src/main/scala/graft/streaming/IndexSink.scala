@@ -401,9 +401,10 @@ object IndexSink {
         if (verifyMode == "off" || appends0.isEmpty) None
         else try Some(ops.existingKeys()) catch {
           case _: java.io.FileNotFoundException => None
-          case e: IllegalArgumentException
-              if String.valueOf(e.getMessage)
-                .contains("no committed parquet files") => None
+          // TYPED probe (ADVICE r19, low): the class, not the message
+          // text — a reworded require can no longer turn the batch-0
+          // cold-start skip into a stream crash
+          case _: graft.operators.StagedCommit.NoCommittedFiles => None
         }
       val (appends, updates) =
         if (existingOpt.isEmpty) (appends0, updates0)

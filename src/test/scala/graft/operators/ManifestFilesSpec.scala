@@ -635,4 +635,99 @@ class ManifestFilesSpec extends SparkSpec {
     try carryFuzz(Seq(13, 59), expectTree = true)
     finally Upsert.EpochManifest.shardThreshold = saved
   }
+
+  test("orphan intents (VERDICT r19 #3): a publish killed at ANY " +
+      "window before its manifest CAS leaves debris the NEXT ordinary " +
+      "publish's O(churn) sweep reclaims — even when a metadata-only " +
+      "op takes the epoch number so no retry ever overwrites it; no " +
+      "full-walk compact needed") {
+    val saved = Upsert.EpochManifest.shardThreshold
+    Upsert.EpochManifest.shardThreshold = 1
+    try {
+      for (window <- Seq("mergem_before_epoch_write",
+          "mergem_after_epoch_write", "manifest_after_leaves")) {
+        val w = java.nio.file.Files
+          .createTempDirectory(s"graft_intent").toString
+        val path = s"$w/tbl"
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def merge(ver: Long, rows: (Long, String, Double)*): Unit =
+          Upsert.mergeIntoManifested(spark, path,
+            table(rows: _*).withColumn("ver", lit(ver)),
+            keys, "part", "ver", retain = 2)
+        merge(1L, (1L, "a", 1.0), (2L, "b", 2.0)) // epoch 0
+        merge(2L, (1L, "a", 10.0))                // epoch 1
+        // the crashed publish targets epoch 2; its intent i2 lands
+        // BEFORE any data/leaf write, so even the earliest window
+        // leaves a nameable entry
+        graft.FailPoint.arm(window)
+        try intercept[graft.FailPoint.Kill] {
+          merge(3L, (2L, "b", 20.0))
+        } finally graft.FailPoint.disarm()
+        val sweepDir = new org.apache.hadoop.fs.Path(s"$path/_sweep")
+        assert(fs.listStatus(sweepDir).exists(
+          _.getPath.getName.startsWith("i2.")),
+          s"$window: the pre-write intent must be on disk")
+        // a METADATA-ONLY op takes epoch 2: the crashed merge's _e2 /
+        // 2_* leaves are now unnameable by any ledger (no manifest
+        // ever referenced them, and no retry will reuse the number) —
+        // this was the documented leak
+        Upsert.renameManifestedColumn(spark, path, "v", "w",
+          retain = 2)
+        // an ordinary merge (epoch 3) sweeps: the intent names the
+        // debris and the O(churn) sweep reclaims it
+        Upsert.mergeIntoManifested(spark, path,
+          table((2L, "b", 200.0)).withColumnRenamed("v", "w")
+            .withColumn("ver", lit(4L)),
+          keys, "part", "ver", retain = 2)
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_e2")),
+          s"$window: the crashed publish's epoch dir must be reclaimed")
+        val leafDir = new org.apache.hadoop.fs.Path(s"$path/_mleaf")
+        if (fs.exists(leafDir))
+          assert(!fs.listStatus(leafDir).exists(
+            _.getPath.getName.startsWith("2_")),
+            s"$window: the crashed publish's leaves must be reclaimed")
+        assert(!fs.listStatus(sweepDir).exists(
+          _.getPath.getName.startsWith("i")),
+          s"$window: consumed/processed intents must not accumulate")
+        // the LIVE publish's own intent consumed without touching it:
+        // epoch 3's dir serves
+        assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_e3")),
+          s"$window: the live publish's epoch dir must survive")
+        val got = canon(Upsert.readManifested(spark, path))
+        assert(got.exists(_.contains("200.0")) &&
+          got.exists(_.contains("10.0")),
+          s"$window: table content wrong after reclaim: $got")
+      }
+    } finally Upsert.EpochManifest.shardThreshold = saved
+  }
+
+  test("missing referenced leaf is LOUD (ADVICE r19, medium): a v2 " +
+      "root whose #leaf ref points at a vanished file throws instead " +
+      "of silently serving a partial table") {
+    val saved = Upsert.EpochManifest.shardThreshold
+    Upsert.EpochManifest.shardThreshold = 1
+    try {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft_leafgone").toString
+      val path = s"$w/tbl"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Upsert.mergeIntoManifested(spark, path,
+        table((1L, "a", 1.0), (2L, "b", 2.0))
+          .withColumn("ver", lit(1L)), keys, "part", "ver", retain = 2)
+      val leaf = manifestLines(path)
+        .find(_.startsWith("#leaf\t")).map { l =>
+          val a = l.split("\t", -1); s"${a(2)}_${a(1)}"
+        }.get
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_mleaf/$leaf"),
+        false)
+      val ex = intercept[IllegalStateException] {
+        Upsert.readManifested(spark, path).collect()
+      }
+      assert(ex.getMessage.contains(leaf) &&
+        ex.getMessage.contains("missing or already swept"),
+        ex.getMessage)
+    } finally Upsert.EpochManifest.shardThreshold = saved
+  }
 }

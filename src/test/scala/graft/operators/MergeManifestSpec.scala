@@ -841,6 +841,46 @@ class MergeManifestSpec extends SparkSpec {
     finally in.close()
   }
 
+  test("paused merge holder (ADVICE r19, medium): a merge whose lease " +
+      "a competitor broke DURING its epoch-dir write aborts at the " +
+      "post-write fence — before listing files or publishing a " +
+      "manifest whose inventory the successor may clobber") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mmpause")
+      .toString + "/tbl"
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 1.0, 1), (2, "b", 2.0, 1)), keys, "part", "ver")
+    val before = read(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(
+      fs.makeQualified(root), "_maintenance_lease")
+    // the competitor takes over exactly when the paused holder's
+    // Overwrite has finished but its manifest has not published
+    graft.FailPoint.armHook("mergem_after_epoch_write", () => {
+      fs.delete(lease, false)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(lease.toUri.getPath),
+        "competitor-jvm\t1\tcompetitor-token".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    })
+    val ex = try intercept[java.io.IOException] {
+      Upsert.mergeIntoManifested(spark, path,
+        rows((1, "a", 10.0, 2)), keys, "part", "ver")
+    } finally graft.FailPoint.disarmHook()
+    assert(ex.getMessage.contains("lease"), ex.getMessage)
+    // nothing published — the old snapshot serves; the competitor's
+    // lease survives the loser's token-checked release
+    assert(read(path) == before)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(lease.toUri.getPath)), "UTF-8")
+      .endsWith("competitor-token"))
+    fs.delete(lease, false)
+    // the retry lands against the intact head
+    Upsert.mergeIntoManifested(spark, path,
+      rows((1, "a", 10.0, 2)), keys, "part", "ver")
+    assert(read(path).contains((1L, "a", 10.0, 2L)))
+  }
+
   test("changeFeedSpans: an interval crossing a drop splits into " +
       "drop-free spans, each diffing under its own schemas — the " +
       "re-added name is a new column, never the retired values") {

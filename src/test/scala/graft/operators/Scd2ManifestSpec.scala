@@ -151,6 +151,48 @@ class Scd2ManifestSpec extends SparkSpec {
       acc.as[(Long, String, Timestamp, Option[Timestamp])].collect().toSet)
   }
 
+  test("paused holder (VERDICT r19 #6): an SCD2 merge whose lease a " +
+      "competitor broke mid-operation aborts at its fence BEFORE " +
+      "publish — the old snapshot keeps serving and the competitor's " +
+      "lease is untouched") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scd2p")
+      .toString + "/hist"
+    Upsert.scd2MergeManifested(spark, path,
+      upd((1L, "A", t1), (2L, "B", t1)), Seq("k"), Seq("attr"), "ts")
+    val before = read(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(
+      fs.makeQualified(root), "_maintenance_lease")
+    // simulate the stale-takeover: at the window between the current
+    // write and the publish, a competitor breaks the lease and plants
+    // its own
+    graft.FailPoint.armHook("scd2_after_current_write", () => {
+      fs.delete(lease, false)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(lease.toUri.getPath),
+        "competitor-jvm\t1\tcompetitor-token".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    })
+    val ex = try intercept[java.io.IOException] {
+      Upsert.scd2MergeManifested(spark, path, upd((1L, "A2", t2)),
+        Seq("k"), Seq("attr"), "ts")
+    } finally graft.FailPoint.disarmHook()
+    assert(ex.getMessage.contains("lease"), ex.getMessage)
+    // nothing published: readers still see the pre-merge state
+    assert(read(path) == before)
+    // the competitor's lease survives the loser's release-on-failure
+    // (token-checked release)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(lease.toUri.getPath)), "UTF-8")
+      .endsWith("competitor-token"))
+    fs.delete(lease, false)
+    // the aborted merge retries cleanly against the intact head
+    Upsert.scd2MergeManifested(spark, path, upd((1L, "A2", t2)),
+      Seq("k"), Seq("attr"), "ts")
+    assert(read(path).exists(_._2 == "A2"))
+  }
+
   test("identical update replayed as its OWN merge is a no-op epoch") {
     val path = java.nio.file.Files.createTempDirectory("graft_scd2mr")
       .toString + "/hist"
