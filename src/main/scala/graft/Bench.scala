@@ -247,6 +247,40 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
     val priorFloor: Map[String, Double] =
       (durableFloor.toSeq ++ tailFloor.toSeq).groupMapReduce(_._1)(_._2)(math.min)
+    // ISOLATED-PROVENANCE FLOORS (VERDICT r19 #1): FLOORS.json holds
+    // maximally-warm SUITE minima, but the over2x fence re-checks
+    // flagged queries in a FRESH-JVM subset context whose honest cost
+    // is systematically higher for sub-second gates (x_stream_
+    // sessionize: 0.049 warm-suite floor vs ~0.3+ in any honest
+    // isolated run) — so the fence cried wolf three rounds running and
+    // every official bench needed hand adjudication. FLOORS_ISO.json
+    // (a SIBLING file — FLOORS.json's name:number regex must never
+    // swallow these) records per-gate floors measured in the same
+    // fresh-JVM, post-warmup context the isolation pass uses; over2x
+    // compares isolated medians against THESE. Seeded once via
+    // SPARK_GRAFT_BENCH_ISO_SEED=1 (isolates every gate), then
+    // maintained as a running min by every official run's own
+    // isolation passes.
+    val isoFloorsPath = java.nio.file.Paths.get("FLOORS_ISO.json")
+    val priorIsoFloor: Map[String, Double] = try {
+      if (isSf01 && java.nio.file.Files.exists(isoFloorsPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(isoFloorsPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0.0).toMap
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+    val priorIsoProv: Map[String, String] = try {
+      if (java.nio.file.Files.exists(isoFloorsPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(isoFloorsPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"([A-Za-z0-9_]+)"\s*:\s*"(seed|isolated)"""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+    val isoSeed = isSf01 && recycleEvery == 0 && only.isEmpty &&
+      sys.env.get("SPARK_GRAFT_BENCH_ISO_SEED").contains("1")
     // flag EVERY query whose suite median is over max(2× floor,
     // floor + 0.3 s), worst ratios first; the cap only bounds a
     // catastrophically noisy run. The ABSOLUTE slack term (VERDICT r16
@@ -315,7 +349,9 @@ object Bench {
     // all-or-nothing policy then threw away wholesale.
     def isolateFreshJvm(names: Seq[String])
         : (Seq[(String, Double)], Map[String, Seq[Double]], Map[String, String]) = {
-      val deadline = System.nanoTime() + 20L * 60 * 1000 * 1000 * 1000
+      // seed mode isolates EVERY gate once — give it the wall it needs
+      val deadline = System.nanoTime() +
+        (if (isoSeed) 240L else 20L) * 60 * 1000 * 1000 * 1000
       val accIso = Seq.newBuilder[(String, Double)]
       val accSamp = Map.newBuilder[String, Seq[Double]]
       var pending = names
@@ -367,9 +403,14 @@ object Bench {
         // from the child's median but still published in its per-query
         // "samples" arrays, so the spread itself documents the warmup
         // cliff instead of hiding it.
+        // seed mode trades sample count for coverage (275 gates × one
+        // child protocol): 1 warmup + 3 samples still sheds the cold
+        // cliff, and official runs' 2+5 passes refine the floors down
         pb.environment().put("SPARK_GRAFT_BENCH_RUNS",
-          math.max(runs, 5).toString)
-        pb.environment().put("SPARK_GRAFT_BENCH_WARMUP", "2")
+          if (isoSeed) sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED_RUNS", "3")
+          else math.max(runs, 5).toString)
+        pb.environment().put("SPARK_GRAFT_BENCH_WARMUP",
+          if (isoSeed) "1" else "2")
         pb.redirectErrorStream(true)
         // child output goes to a FILE, not a pipe we block on: a
         // blocking readAllBytes before waitFor made the 20-minute
@@ -433,11 +474,14 @@ object Bench {
     // per-name isolation SOURCE: the fresh-JVM child runs warmups and
     // >=5 samples; the in-process fallback runs neither, and its
     // medians must not be recorded with the fresh-JVM pedigree
+    // seed mode isolates the FULL gate list (coverage, not diagnosis);
+    // the over2x verdict below still reads only the suite-flagged set
+    val toIsolate = if (isoSeed) results.map(_._1) else flagged
     val (isolated, isolatedSamples, isoSource) =
-      if (flagged.isEmpty)
+      if (toIsolate.isEmpty)
         (Seq.empty[(String, Double)], Map.empty[String, Seq[Double]],
           Map.empty[String, String])
-      else isolateFreshJvm(flagged)
+      else isolateFreshJvm(toIsolate)
     // WEATHER RE-RUN (VERDICT r15 #1b): queries whose ISOLATED medians
     // still trip 2× floors are either real regressions or a machine
     // that was noisy during the isolation pass too. When more than 5
@@ -452,7 +496,20 @@ object Bench {
     def over2x(names: Seq[String], iso: Map[String, Double]): Seq[String] =
       names.filter { n =>
         val med = iso.getOrElse(n, suiteMed(n))
-        val floor = floorFor(n)
+        // MATCHING-PROVENANCE floors (VERDICT r19 #1): an ISOLATED
+        // median compares against the gate's ISOLATED floor — a
+        // fresh-JVM number measured in the very context this median
+        // was. The old comparison against warm-suite minima flagged
+        // honest isolated runs 7× over on sub-second gates three
+        // rounds running. A gate with no iso floor yet falls back to
+        // the suite floor (may cry wolf ONCE — this run's isolated
+        // median then seeds its iso floor below and the wolf is gone
+        // next run); a suite median (child failed) still compares
+        // against the suite floor it was measured under.
+        val floor =
+          if (iso.contains(n))
+            math.max(0.05, priorIsoFloor.getOrElse(n, floorFor(n)))
+          else floorFor(n)
         // same max(2× floor, floor + 0.3 s) rule as the suite flagging
         med > math.max(2.0 * floor, floor + 0.3)
       }
@@ -573,6 +630,38 @@ object Bench {
           .map { case (n, (_, _, src)) => s"""    "$n": "$src"""" }
           .mkString("  \"_provenance\": {\n", ",\n", "\n  }\n}\n")
         java.nio.file.Files.write(floorsPath,
+          (body + prov).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    } catch { case _: Throwable => () }
+    // Persist the ISOLATED-provenance floors (VERDICT r19 #1):
+    // min(prior iso floor, this run's fresh-JVM isolated medians) —
+    // ONLY numbers with the fresh-JVM pedigree count (the in-process
+    // fallback carries warm-suite state and would poison the very
+    // distinction this file exists to draw). Provenance: "seed" for
+    // the 1+3-sample seeding protocol, "isolated" for the official
+    // 2+5 pass; an official win upgrades a seed entry.
+    if (only.isEmpty && isSf01 && recycleEvery == 0) try {
+      val qnames = SparkEntry.queries.keySet
+      val freshIso: Map[String, Double] =
+        ((isolated.filter { case (n, _) =>
+            isoSource.get(n).contains("isolated") } ++ isolated2)
+          .groupMapReduce(_._1)(_._2)(math.min)) -- failed
+      val thisProv = if (isoSeed) "seed" else "isolated"
+      val candidates =
+        priorIsoFloor.toSeq.map { case (n, v) =>
+          (n, v, priorIsoProv.getOrElse(n, "isolated")) } ++
+        freshIso.toSeq.map { case (n, v) => (n, v, thisProv) }
+      val merged = candidates
+        .filter { case (n, v, _) => qnames.contains(n) && v > 0.0 }
+        .groupBy(_._1).view.mapValues(_.minBy(_._2)).toMap
+      if (merged.nonEmpty) {
+        val body = merged.toSeq.sortBy(_._1)
+          .map { case (n, (_, v, _)) => s"""  "$n": ${fmt(v)}""" }
+          .mkString("{\n", ",\n", ",\n")
+        val prov = merged.toSeq.sortBy(_._1)
+          .map { case (n, (_, _, src)) => s"""    "$n": "$src"""" }
+          .mkString("  \"_provenance\": {\n", ",\n", "\n  }\n}\n")
+        java.nio.file.Files.write(isoFloorsPath,
           (body + prov).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } catch { case _: Throwable => () }

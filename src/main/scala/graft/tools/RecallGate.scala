@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   *                     rerank 4k
   *   - `lsh_p2`      — sign-LSH forest (4×8 bits), 2 probes/table
   *
+  * Round 20 adds CHURNED floors (VERDICT r19 #4): each persisted
+  * posture re-measured after a fixed maintenance script (build 80% →
+  * append 20% → delete 10% → purge → compact → recenter, within each
+  * family's supported algebra) against exact top-k over the SURVIVING
+  * corpus — quality drift through maintenance is exactly where a bug
+  * hides while hash gates stay green:
+  *
+  *   - `ivf_p2_churned`, `ivfpq_opq_p2_r40_churned`, `lsh_p2_churned`
+  *
   * Any metric more than `DropTolerance` (5 recall points) below its
   * floor prints a `RECALL REGRESSION` line and exits nonzero — run it
   * per round like the bench. `--record` rewrites `RECALL.json` from
@@ -101,9 +110,79 @@ object RecallGate {
         k, probes = 2)
       .select("vec_id").collect().map(_.getLong(0)).toSet, exactFull)
 
+    // ── CHURNED-INDEX LEG (VERDICT r19 #4) ─────────────────────────
+    // The floors above measure FRESH builds; quality drift through the
+    // maintenance algebra (append → delete → purge → compact →
+    // recenter) is exactly where a bug hides while the hash gates stay
+    // green — a purge that rewrites cells slightly wrong, a compact
+    // that drops a posting, a recenter that degrades assignment. Each
+    // persisted posture runs a FIXED deterministic maintenance script
+    // before measuring, within its supported algebra:
+    //   - ivf:  build 80% → append 20% → delete 10% → purge →
+    //           compact → recenter → search
+    //   - ivfpq: parent build 80% → codes build → paired appends →
+    //           compact → search (the PQ family's algebra has no
+    //           delete — scripts stay inside supported ops)
+    //   - lsh:  build 80% → append 20% → delete 10% → purge →
+    //           compact → search
+    // Recall is measured against exact top-k over the SURVIVING
+    // corpus, so a maintenance step that loses or resurrects rows
+    // shows up as recall, not just as a hash mismatch elsewhere.
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val tail = emb.filter(col("vec_id") % 5 === 0)
+    val delIds = emb.select("vec_id").filter(col("vec_id") % 10 === 7)
+    val survivors = emb.filter(col("vec_id") % 10 =!= 7)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactSurv: Map[Long, Set[Long]] = queryIds.map { qid =>
+      qid -> Similarity.bruteForceTopK(survivors, "vec_id", "embedding",
+          queryVecs(qid), k)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }.toMap
+
+    val ivfC = new IvfIndex(spark, java.nio.file.Files
+      .createTempDirectory("recallgate_ivf_churn").toString)
+    ivfC.build(base, "vec_id", "embedding", k = 8, iters = 3)
+    ivfC.append(tail, "vec_id", "embedding")
+    ivfC.delete(delIds, "vec_id")
+    ivfC.purgeDeletes("vec_id")
+    ivfC.compact()
+    ivfC.recenter("embedding")
+    val ivfChurn = mean(q => ivfC.search("vec_id", "embedding",
+        queryVecs(q), k, nprobe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet, exactSurv)
+
+    val ivfP = new IvfIndex(spark, java.nio.file.Files
+      .createTempDirectory("recallgate_ivfpq_churn_parent").toString)
+    ivfP.build(base, "vec_id", "embedding", k = 8, iters = 3)
+    val compC = new IvfPq(spark, ivfP, java.nio.file.Files
+      .createTempDirectory("recallgate_ivfpq_churn").toString)
+    compC.build("vec_id", "embedding", m = 8, k = 64, iters = 3,
+      rotate = true)
+    ivfP.append(tail, "vec_id", "embedding")
+    compC.append(tail, "vec_id", "embedding")
+    compC.compact()
+    val ivfpqChurn = mean(q => compC.search("vec_id", "embedding",
+        queryVecs(q), k, rr(4 * k), nprobe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet, exactFull)
+
+    val lshC = new LshIndex(spark, java.nio.file.Files
+      .createTempDirectory("recallgate_lsh_churn").toString,
+      dim = 64, numTables = 4, bitsPerTable = 8, seed = 42L)
+    lshC.build(base, "vec_id", "embedding")
+    lshC.append(tail, "vec_id", "embedding")
+    lshC.delete(delIds, "vec_id")
+    lshC.purgeDeletes("vec_id")
+    lshC.compact()
+    val lshChurn = mean(q => lshC.search("vec_id", "embedding",
+        queryVecs(q), k, probes = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet, exactSurv)
+
     val current = Seq(
       "sq8_r20" -> sq8, "bq_r40" -> bq, "ivf_p2" -> ivfR,
-      "ivfpq_opq_p2_r40" -> ivfpq, "lsh_p2" -> lshR)
+      "ivfpq_opq_p2_r40" -> ivfpq, "lsh_p2" -> lshR,
+      "ivf_p2_churned" -> ivfChurn,
+      "ivfpq_opq_p2_r40_churned" -> ivfpqChurn,
+      "lsh_p2_churned" -> lshChurn)
     current.foreach { case (n, v) =>
       println(f"[recallgate] $n recall@$k=$v%.4f")
     }
