@@ -324,11 +324,14 @@ object StagedCommit {
   /** Same-JVM serialization for the lease create: Hadoop's local
     * `create(path, overwrite = false)` is CHECK-then-create, not
     * atomic, so two threads of one JVM could both "win" the file.
-    * One interned monitor per lease path closes that in-process;
-    * cross-process the content read-back below arbitrates (exactly
-    * one writer's content survives the overwrite race). On HDFS and
-    * object stores the create itself is atomic and both layers are
-    * belt-and-braces. */
+    * One interned monitor per lease path closes that in-process.
+    * Cross-process (VERDICT r19 #5): on LOCAL filesystems the create
+    * goes through nio CREATE_NEW — a single open(O_CREAT|O_EXCL)
+    * syscall, so exactly one process can win and no read-back is
+    * needed (the old create-then-read-back arbitration had a
+    * both-pass window: A could read back before B's overwrite
+    * landed). On HDFS and object stores the FileSystem create is
+    * itself atomic and the read-back remains as belt-and-braces. */
   /** Interned-monitor entry, REFERENCE-COUNTED (VERDICT r19 #7): the
     * refs field is mutated only inside the map's per-key `compute`
     * lock, and the entry is removed when the last in-flight
