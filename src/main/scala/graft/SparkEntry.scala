@@ -1744,6 +1744,42 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("o_orderstatus"))
     }),
 
+    "j36_range_sharded" -> ((s, dir) => {
+      // j26's zone-map range read through the SHARDED manifest
+      // (threshold forced to 1): the read first prunes which LEAVES
+      // even load via the root's per-bucket #bstats aggregates, then
+      // prunes dirs via per-dir #stats — both tiers are conservative,
+      // so the semantics must equal a plain BETWEEN filter exactly
+      // (same oracle as j26). This puts the r19 bucket zone maps and
+      // their carry/regenerate-on-diff-publish under the per-round
+      // hash check, alongside the probes' leaves-loaded counters.
+      val saved = operators.Upsert.EpochManifest.shardThreshold
+      operators.Upsert.EpochManifest.shardThreshold = 1
+      try {
+        val base = s"${artifactBase(dir)}/range_sharded"
+        val bp = new org.apache.hadoop.fs.Path(base)
+        bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(bp, true)
+        val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        val keys = Seq("o_orderstatus", "o_orderkey")
+        operators.Upsert.mergeIntoManifested(s, base,
+          o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver",
+          statsCols = Seq("o_totalprice"))
+        operators.Upsert.mergeIntoManifested(s, base,
+          o.filter(col("o_orderkey") % 5 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            .withColumn("ver", lit(2L)), keys, "o_orderstatus", "ver")
+        operators.Upsert.readManifestedRange(s, base, "o_totalprice",
+            100000.0, 200000.0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("ver"))
+          .orderBy(col("o_orderkey"), col("o_orderstatus"))
+      } finally
+        operators.Upsert.EpochManifest.shardThreshold = saved
+    }),
+
     "j27_merge_cdf" -> ((s, dir) => {
       // CHANGE DATA FEED over the manifested table: after an update
       // wave (%5, +1.0, ver 2) and a delete wave (%11 keys), the diff
@@ -2142,6 +2178,70 @@ object SparkEntry {
         operators.Upsert.readManifested(s, base)
           .select(col("o_orderkey"), col("o_orderstatus"),
             col("o_totalprice"), col("ver"))
+          .orderBy(col("o_orderkey"), col("o_orderstatus"))
+      } finally
+        operators.Upsert.EpochManifest.shardThreshold = saved
+    }),
+
+    "j35_crash_reclaim" -> ((s, dir) => {
+      // THE CRASH-DEBRIS MODEL UNDER THE ORACLE (r20): a publish is
+      // KILLED between its leaf writes and the manifest CAS, a
+      // metadata-only rename then takes the epoch number (so no retry
+      // ever reuses the crashed dir — the formerly-unnameable leak),
+      // the batch retries under the renamed column, and a keyed
+      // delete follows. Two things are hash-checked per round: the
+      // final CONTENT equals the crash-free model exactly, and the
+      // crash debris (`_e1`, `1_*` leaves, pending intents) is ZERO —
+      // reclaimed by the ordinary O(churn) sweeps via the pre-write
+      // orphan intents, no full-walk compact anywhere in the script.
+      // The kill also leaves the writer lease behind exactly as a
+      // process kill would, so the rename's own-JVM break path runs
+      // under the oracle too.
+      val saved = operators.Upsert.EpochManifest.shardThreshold
+      operators.Upsert.EpochManifest.shardThreshold = 1
+      try {
+        val base = s"${artifactBase(dir)}/crash_reclaim"
+        val bp = new org.apache.hadoop.fs.Path(base)
+        val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(bp, true)
+        val o = t(s, dir, "orders").filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        val keys = Seq("o_orderstatus", "o_orderkey")
+        operators.Upsert.mergeIntoManifested(s, base,
+          o.withColumn("ver", lit(1L)), keys, "o_orderstatus", "ver")
+        val batch2 = o.filter(col("o_orderkey") % 4 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 2.0)
+          .withColumn("ver", lit(2L))
+        graft.FailPoint.arm("manifest_after_leaves")
+        try operators.Upsert.mergeIntoManifested(s, base, batch2,
+          keys, "o_orderstatus", "ver")
+        catch { case _: graft.FailPoint.Kill => () }
+        finally graft.FailPoint.disarm()
+        operators.Upsert.renameManifestedColumn(s, base,
+          "o_totalprice", "price")
+        operators.Upsert.mergeIntoManifested(s, base,
+          batch2.withColumnRenamed("o_totalprice", "price"),
+          keys, "o_orderstatus", "ver")
+        operators.Upsert.deleteKeysFromManifested(s, base,
+          o.filter(col("o_orderkey") % 9 === 0)
+            .select(col("o_orderstatus"), col("o_orderkey")),
+          keys, "o_orderstatus")
+        val leafDir = new org.apache.hadoop.fs.Path(s"$base/_mleaf")
+        val sweepDir = new org.apache.hadoop.fs.Path(s"$base/_sweep")
+        val debris =
+          (if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/_e1")))
+            1 else 0) +
+          (if (!fs.exists(leafDir)) 0
+           else fs.listStatus(leafDir)
+             .count(_.getPath.getName.startsWith("1_"))) +
+          (if (!fs.exists(sweepDir)) 0
+           else fs.listStatus(sweepDir)
+             .count(_.getPath.getName.startsWith("i")))
+        operators.Upsert.readManifested(s, base)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("price"), col("ver"))
+          .withColumn("orphan_debris", lit(debris.toLong))
           .orderBy(col("o_orderkey"), col("o_orderstatus"))
       } finally
         operators.Upsert.EpochManifest.shardThreshold = saved
@@ -7720,6 +7820,27 @@ object SparkEntry {
            FROM allrows) WHERE rn = 1 AND o_orderkey % 11 <> 0
          ORDER BY o_orderkey, o_orderstatus""",
 
+    // crash/rename/retry/delete model; orphan_debris is the engine's
+    // own count of unreclaimed crash artifacts — the oracle pins it
+    // at zero
+    "j35_crash_reclaim" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 13 = 0),
+              allrows AS (
+           SELECT o_orderkey, o_orderstatus,
+                  o_totalprice AS price, CAST(1 AS BIGINT) AS ver
+           FROM base
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 2.0, 2
+           FROM base WHERE o_orderkey % 4 = 0)
+         SELECT o_orderkey, o_orderstatus, price, ver,
+                CAST(0 AS BIGINT) AS orphan_debris FROM (
+           SELECT *, row_number() OVER (
+                       PARTITION BY o_orderstatus, o_orderkey
+                       ORDER BY ver DESC) AS rn
+           FROM allrows) WHERE rn = 1 AND o_orderkey % 9 <> 0
+         ORDER BY o_orderkey, o_orderstatus""",
+
     // time travel: the table AS OF manifest 1 is the max-version model
     // over batches 1+2 only — batch 3 (ver=3, +100.0) must be invisible
     "j21_merge_timetravel" ->
@@ -7812,6 +7933,25 @@ object SparkEntry {
     // data skipping must equal a plain filter: the merge model under
     // the same BETWEEN
     "j26_merge_skipping" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 = 0),
+              allrows AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(1 AS BIGINT) AS ver FROM base
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0, 2
+           FROM base WHERE o_orderkey % 5 = 0)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, ver FROM (
+           SELECT *, row_number() OVER (
+                       PARTITION BY o_orderstatus, o_orderkey
+                       ORDER BY ver DESC) AS rn
+           FROM allrows) WHERE rn = 1
+           AND o_totalprice BETWEEN 100000.0 AND 200000.0
+         ORDER BY o_orderkey, o_orderstatus""",
+
+    // identical semantics to j26 through the sharded manifest's
+    // two-tier (bucket #bstats, then dir #stats) pruning
+    "j36_range_sharded" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
                        FROM orders WHERE o_orderkey % 7 = 0),
               allrows AS (
