@@ -2347,10 +2347,11 @@ object Upsert {
             if (!liveEpochs.contains(e))
               fs.delete(new Path(root, s"_e$e"), true)
             if (fs.exists(leafDir))
-              fs.globStatus(new Path(leafDir, s"${e}_*")).foreach { st =>
-                if (!liveLeaves.contains(st.getPath.getName))
-                  fs.delete(st.getPath, false)
-              }
+              Option(fs.globStatus(new Path(leafDir, s"${e}_*")))
+                .getOrElse(Array.empty).foreach { st =>
+                  if (!liveLeaves.contains(st.getPath.getName))
+                    fs.delete(st.getPath, false)
+                }
             is.foreach { case (_, p) => fs.delete(p, false) }
           }
         }
