@@ -516,17 +516,17 @@ object Bench {
     val stillOver = over2x(flagged, isolated.toMap)
     val cooldownSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN", "60").toInt
-    val (isolated2, isolated2Samples) =
+    val (isolated2, isolated2Samples, iso2Source) =
       if (stillOver.size <= 5)
-        (Seq.empty[(String, Double)], Map.empty[String, Seq[Double]])
+        (Seq.empty[(String, Double)], Map.empty[String, Seq[Double]],
+          Map.empty[String, String])
       else {
         System.err.println(s"[weather] ${stillOver.size} queries >2x floor " +
           s"after isolation (${stillOver.mkString(",")}) — cooling down " +
           s"${cooldownSec}s and re-running that subset once")
         Thread.sleep(cooldownSec * 1000L)
         sampleWeather("post_cooldown")
-        val (iso2, samp2, _) = isolateFreshJvm(stillOver)
-        (iso2, samp2)
+        isolateFreshJvm(stillOver)
       }
     // per-query best isolated figure across both passes — what the
     // floor persistence and the weather verdict believe
@@ -642,9 +642,15 @@ object Bench {
     // 2+5 pass; an official win upgrades a seed entry.
     if (only.isEmpty && isSf01 && recycleEvery == 0) try {
       val qnames = SparkEntry.queries.keySet
+      // pass-2 entries carry their own source map: an inproc fallback
+      // median from EITHER pass is warm-suite state and must never be
+      // recorded as a fresh-JVM iso floor (too low → the fence would
+      // over-flag that gate forever)
       val freshIso: Map[String, Double] =
         ((isolated.filter { case (n, _) =>
-            isoSource.get(n).contains("isolated") } ++ isolated2)
+            isoSource.get(n).contains("isolated") } ++
+          isolated2.filter { case (n, _) =>
+            iso2Source.get(n).contains("isolated") })
           .groupMapReduce(_._1)(_._2)(math.min)) -- failed
       val thisProv = if (isoSeed) "seed" else "isolated"
       val candidates =
