@@ -493,7 +493,8 @@ object Bench {
       n -> ss.sorted.apply(ss.length / 2) }.toMap
     def floorFor(n: String): Double = math.max(0.05,
       (allSamples.toMap.apply(n).min +: priorFloor.get(n).toSeq).min)
-    def over2x(names: Seq[String], iso: Map[String, Double]): Seq[String] =
+    def over2x(names: Seq[String], iso: Map[String, Double],
+               freshJvm: Set[String]): Seq[String] =
       names.filter { n =>
         val med = iso.getOrElse(n, suiteMed(n))
         // MATCHING-PROVENANCE floors (VERDICT r19 #1): an ISOLATED
@@ -501,19 +502,24 @@ object Bench {
         // fresh-JVM number measured in the very context this median
         // was. The old comparison against warm-suite minima flagged
         // honest isolated runs 7× over on sub-second gates three
-        // rounds running. A gate with no iso floor yet falls back to
-        // the suite floor (may cry wolf ONCE — this run's isolated
-        // median then seeds its iso floor below and the wolf is gone
-        // next run); a suite median (child failed) still compares
-        // against the suite floor it was measured under.
+        // rounds running. PEDIGREE-GATED: only medians from a
+        // fresh-JVM child qualify — an in-process fallback median
+        // carries warm-suite state and must compare against the
+        // suite floor, or a real warm regression could hide behind
+        // the (higher) iso floor whenever a chunk fails. A gate with
+        // no iso floor yet falls back to the suite floor (may cry
+        // wolf ONCE — this run's isolated median then seeds its iso
+        // floor below and the wolf is gone next run).
         val floor =
-          if (iso.contains(n))
+          if (iso.contains(n) && freshJvm.contains(n))
             math.max(0.05, priorIsoFloor.getOrElse(n, floorFor(n)))
           else floorFor(n)
         // same max(2× floor, floor + 0.3 s) rule as the suite flagging
         med > math.max(2.0 * floor, floor + 0.3)
       }
-    val stillOver = over2x(flagged, isolated.toMap)
+    val fresh1: Set[String] = isoSource.collect {
+      case (n, "isolated") => n }.toSet
+    val stillOver = over2x(flagged, isolated.toMap, fresh1)
     val cooldownSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN", "60").toInt
     val (isolated2, isolated2Samples, iso2Source) =
@@ -533,7 +539,9 @@ object Bench {
     val isoBest: Map[String, Double] =
       (isolated ++ isolated2).groupMapReduce(_._1)(_._2)(math.min)
     sampleWeather("end")
-    val finalOver = over2x(flagged, isoBest)
+    val fresh2: Set[String] = fresh1 ++ iso2Source.collect {
+      case (n, "isolated") => n }
+    val finalOver = over2x(flagged, isoBest, fresh2)
     val spins = weatherSamples.map(_.spinMs).filter(_ > 0)
     val spinRatio =
       if (spins.size >= 2 && spins.min > 0) spins.max / spins.min else 1.0
@@ -616,7 +624,10 @@ object Bench {
         runMin.toSeq.map { case (n, v) => (n, v, "suite") } ++
         isoMap.toSeq.map { case (n, v) =>
           // a pass-2 fresh-JVM win upgrades an inproc pass-1 pedigree
-          val src = if (isolated2.toMap.get(n).contains(v)) "isolated"
+          // — but pass 2 can ALSO degrade to inproc, so consult ITS
+          // source map rather than assuming fresh-JVM
+          val src = if (isolated2.toMap.get(n).contains(v))
+                      iso2Source.getOrElse(n, "isolated")
                     else isoSource.getOrElse(n, "isolated")
           (n, v, src) }
       val merged = candidates

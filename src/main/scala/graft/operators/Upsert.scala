@@ -2725,32 +2725,46 @@ object Upsert {
             "the new head (this attempt's epoch dir and leaves are " +
             "unreferenced garbage the sweep reclaims).")
       if (fs.exists(dst)) { fs.delete(tmp, false); lost("the epoch is already published") }
-      if (graft.operators.StagedCommit.isLocalFs(fs)) {
-        // ATOMIC create-if-absent on the local FS (ADVICE r19, low):
-        // a local rename silently REPLACES an existing destination,
-        // and the read-back could certify both racers — the winner
-        // verifies its content, then the loser's rename replaces it
-        // and verifies ITS content; both "succeed" and the first
-        // publish is silently lost. A hard link is one atomic
-        // link(2) that REFUSES an existing destination: exactly one
-        // publisher wins, and the winner's content is its own by
-        // construction (no read-back window at all). Only reachable
-        // with the lease already broken — this makes even that loud.
-        try java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        catch {
+      // ATOMIC create-if-absent on the local FS (ADVICE r19, low): a
+      // local rename silently REPLACES an existing destination, and
+      // the read-back could certify both racers — the winner verifies
+      // its content, then the loser's rename replaces it and verifies
+      // ITS content; both "succeed" and the first publish is silently
+      // lost. A hard link is one atomic link(2) that REFUSES an
+      // existing destination: exactly one publisher wins, and the
+      // winner's content is its own by construction (no read-back
+      // window at all). Only reachable with the lease already broken
+      // — this makes even that loud. A mount without hard-link
+      // support (FUSE, VFAT, some network mounts under file://)
+      // throws a non-already-exists FileSystemException — fall back
+      // to the rename + read-back path those mounts always used.
+      val linked =
+        if (!graft.operators.StagedCommit.isLocalFs(fs)) false
+        else try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             fs.delete(tmp, false)
             lost("the epoch is already published")
+          case _: UnsupportedOperationException => false
+          case _: java.nio.file.FileSystemException => false
         }
-        fs.delete(tmp, false)
+      if (linked) {
+        // the publish is COMMITTED (dst links the content); a failed
+        // tmp cleanup must not read as a failed publish — the retry
+        // would die on the exists pre-check with a misleading
+        // concurrent-writer message
+        try fs.delete(tmp, false)
+        catch { case _: java.io.IOException => () }
       } else {
-        // remote FSes: HDFS rename refuses an existing destination
-        // atomically; the read-back is belt-and-braces for anything
-        // weaker. Compare in the reader's canonical form (trimmed, no
-        // blanks) — a token with trailing whitespace must not read as
-        // a lost race.
+        // remote FSes (and linkless local mounts): HDFS rename
+        // refuses an existing destination atomically; the read-back
+        // is belt-and-braces for anything weaker. Compare in the
+        // reader's canonical form (trimmed, no blanks) — a token with
+        // trailing whitespace must not read as a lost race.
         if (!fs.rename(tmp, dst))
           throw new java.io.IOException(
             s"manifest publish failed for epoch $epoch under $root — " +

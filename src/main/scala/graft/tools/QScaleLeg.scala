@@ -41,7 +41,12 @@ object QScaleLeg {
     val src = "/root/testdata/sf0.1"
     val synth = new java.io.File("work/sf1synthq").getAbsolutePath
     val factor = 10
-    if (!new java.io.File(s"$synth/lineitem.parquet").exists()) {
+    val allTables = Seq("lineitem", "orders", "customer", "part",
+      "supplier", "nation", "region")
+    // guard on EVERY table: a generation that crashed partway (the
+    // 10x write is minutes) must regenerate, not serve a torn corpus
+    if (!allTables.forall(tn =>
+        new java.io.File(s"$synth/$tn.parquet").exists())) {
       // one shift unit per key DOMAIN, shared by every table that
       // stores the key — replica i's orders join replica i's lineitem
       // and nobody else's
