@@ -535,12 +535,24 @@ object Bench {
         isolateFreshJvm(stillOver)
       }
     // per-query best isolated figure across both passes — what the
-    // floor persistence and the weather verdict believe
+    // floor persistence and the weather verdict believe. The winning
+    // VALUE's own pedigree travels with it (ADVICE r20, medium): the
+    // old per-name union of fresh-JVM pedigrees let a gate that ran
+    // fresh in pass 1 but posted a LOWER in-process median in pass 2
+    // compare that warm-suite number against the (higher) iso floor —
+    // exactly the warm-regression-hiding case the pedigree gate must
+    // prevent.
+    val isoBestSrc: Map[String, (Double, String)] =
+      (isolated.map { case (n, v) =>
+          n -> (v, isoSource.getOrElse(n, "isolated")) } ++
+        isolated2.map { case (n, v) =>
+          n -> (v, iso2Source.getOrElse(n, "isolated")) })
+        .groupMapReduce(_._1)(_._2)((a, b) => if (a._1 <= b._1) a else b)
     val isoBest: Map[String, Double] =
-      (isolated ++ isolated2).groupMapReduce(_._1)(_._2)(math.min)
+      isoBestSrc.view.mapValues(_._1).toMap
     sampleWeather("end")
-    val fresh2: Set[String] = fresh1 ++ iso2Source.collect {
-      case (n, "isolated") => n }
+    val fresh2: Set[String] = isoBestSrc.collect {
+      case (n, (_, "isolated")) => n }.toSet
     val finalOver = over2x(flagged, isoBest, fresh2)
     val spins = weatherSamples.map(_.spinMs).filter(_ > 0)
     val spinRatio =
@@ -623,13 +635,9 @@ object Bench {
           (n, v, priorProv.getOrElse(n, "suite")) } ++
         runMin.toSeq.map { case (n, v) => (n, v, "suite") } ++
         isoMap.toSeq.map { case (n, v) =>
-          // a pass-2 fresh-JVM win upgrades an inproc pass-1 pedigree
-          // — but pass 2 can ALSO degrade to inproc, so consult ITS
-          // source map rather than assuming fresh-JVM
-          val src = if (isolated2.toMap.get(n).contains(v))
-                      iso2Source.getOrElse(n, "isolated")
-                    else isoSource.getOrElse(n, "isolated")
-          (n, v, src) }
+          // the winning value's pedigree rides in isoBestSrc (one
+          // source of truth with the over2x gate — ADVICE r20)
+          (n, v, isoBestSrc.get(n).map(_._2).getOrElse("isolated")) }
       val merged = candidates
         .filter { case (n, v, _) => qnames.contains(n) && v > 0.0 }
         .groupBy(_._1).view.mapValues(_.minBy(_._2)).toMap

@@ -23,6 +23,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** [[t]] spread across the session's cores ([[Tables.spread]]) — for
+    * gates whose stage 1 runs expression-heavy per-row work (CDC
+    * chunking, per-window md5) directly over the scan: single-row-group
+    * testdata files give that stage exactly one task otherwise. No-op
+    * whenever the scan already supplies ≥cores partitions (any real
+    * input at scale). */
+  private def tsp(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.spread(t(s, dir, name))
+
   /** Repo-local root for build-once/load-many artifacts (pair tables,
     * simhash signatures, IVF indexes), keyed by the source data dir so
     * scale factors never share an artifact. Kept out of the testdata
@@ -4658,7 +4667,7 @@ object SparkEntry {
       // context-prep chunking: 64-token chunks, 16-token overlap —
       // row-local transform + explode, verified chunk-for-chunk by md5
       // of the reassembled text
-      t(s, dir, "documents")
+      tsp(s, dir, "documents")
         .select(col("doc_id"),
           explode(TF.chunks(col("text"), chunkTokens = 64, overlap = 16))
             .as("c"))
@@ -4675,7 +4684,7 @@ object SparkEntry {
       // sibling of the fixed-window x_text_chunks (whose boundaries
       // all shift after any insertion). Row-local scan work; chunk
       // identity = md5 of the chunk text, ready for exact-dedup.
-      t(s, dir, "documents")
+      tsp(s, dir, "documents")
         .select(col("doc_id"), posexplode(
           TF.contentChunks(col("text"), window = 4, divisor = 16)))
         .select(col("doc_id"), (col("pos") + 1).as("chunk_idx"),
@@ -4690,7 +4699,7 @@ object SparkEntry {
       // loop hashes each TOKEN once and rolls an exact integer window
       // sum — integer adds instead of per-window md5 (the cdc gate's
       // measured floor). Chunk identity stays md5-of-chunk-text.
-      t(s, dir, "documents")
+      tsp(s, dir, "documents")
         .select(col("doc_id"), posexplode(
           TF.gearChunks(col("text"), window = 4, divisor = 16)))
         .select(col("doc_id"), (col("pos") + 1).as("chunk_idx"),

@@ -79,4 +79,47 @@ object Tables {
       .parquet(s"$dir/events.parquet*")
       .withColumn("ts", normalizedTs(dt))
   }
+
+  /** Scale-adaptive compute spread (optimization guide §1.2/§2.2): a
+    * round-robin repartition to the session's core count, applied ONLY
+    * when the plan currently has fewer partitions — the
+    * single-row-group testdata parquet files yield exactly one scan
+    * split, which pins every expression-heavy stage-1 (shingling, CDC
+    * chunking, per-row md5) to ONE core while the other 31 idle
+    * (GateProfile measured taskTime ≈ wall on x_text_chunks_cdc /
+    * a16_cms_freq / a18_profile). At production scale a 100 TB scan
+    * has thousands of splits, the guard is never taken, and the extra
+    * exchange never exists — this is "derive partitioning from input
+    * size", not a local[32] constant (`spark.graft.spread.target`
+    * overrides the target; ≤1 disables).
+    *
+    * Call on SCAN-ROOTED plans only: `df.rdd` finalizes the physical
+    * plan, and under AQE a plan with upstream exchanges would
+    * materialize its query stages here (a hidden job). Every call site
+    * passes a bare table scan or scan+project/filter.
+    *
+    * Results are placement-independent by construction at every call
+    * site (aggregations, joins, per-row expressions); round-robin
+    * repartition is retry-deterministic via Spark's
+    * sort-before-repartition default (SPARK-23207). */
+  def spread(df: DataFrame, by: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.conf.getOption("spark.graft.spread.target")
+      .map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    if (target <= 1) df
+    else {
+      val parts =
+        try df.rdd.getNumPartitions
+        catch { case _: Throwable => target }
+      if (parts >= target) df
+      // hash-by-key when the caller names one: skips round-robin's
+      // sort-before-repartition (a single-task sort of the whole input
+      // when the scan has one split — the very bottleneck spread
+      // removes). Explicit numPartitions on BOTH forms pins the count
+      // so AQE cannot coalesce the tiny local exchange back to one.
+      else if (by.nonEmpty) df.repartition(target, by: _*)
+      else df.repartition(target)
+    }
+  }
 }

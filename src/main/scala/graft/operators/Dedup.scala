@@ -63,8 +63,14 @@ object Dedup {
     * (p ≈ m²/2⁶⁴ — negligible at any per-doc shingle count). */
   private def postingLists(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, maxBlock: Long): DataFrame = {
-    val lists = docs
-      .select(col(idCol).as("_id"), explode(shingles(col(textCol), n)).as("_sh"))
+    // spread before the tokenize+shingle+hash work (guide §2.2): a
+    // single-row-group scan otherwise runs the whole shingling stage on
+    // one core. Hash-by-id: deterministic, no pre-shuffle sort, and the
+    // exchange only exists when the scan is under-partitioned.
+    val lists = graft.Tables
+      .spread(docs.select(col(idCol).as("_id"), col(textCol).as("_txt")),
+        col("_id"))
+      .select(col("_id"), explode(shingles(col("_txt"), n)).as("_sh"))
       .select(col("_id"), xxhash64(col("_sh")).as("_sh"))
       .groupBy(col("_sh"))
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
@@ -85,7 +91,13 @@ object Dedup {
     * this path and skip a full-corpus shuffle. */
   private def flatIndex(docs: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame =
-    docs.select(col(idCol).as("_id"), explode(shingles(col(textCol), n)).as("_sh"))
+    // same spread rationale as [[postingLists]] — the shingle explode is
+    // the expensive map work this index pins to one core on a
+    // single-split scan
+    graft.Tables
+      .spread(docs.select(col(idCol).as("_id"), col(textCol).as("_txt")),
+        col("_id"))
+      .select(col("_id"), explode(shingles(col("_txt"), n)).as("_sh"))
       .select(col("_id"), xxhash64(col("_sh")).as("_sh"))
 
   /** Persisted flat (id, shingle) index: capped via posting lists when
@@ -577,7 +589,10 @@ object Dedup {
                                 textCol: String, w: Int,
                                 portableHash: Boolean): DataFrame = {
     require(w >= 2, s"window width must be >= 2 tokens: $w")
-    val toks = docs
+    // spread before the per-window hashing (md5 on the portable path —
+    // the dominant cost): single-split scans pin it to one core
+    val toks = graft.Tables
+      .spread(docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), split(col(textCol), " ", -1).as("_t"))
       // sequence(1, size-w+1) REVERSES when size < w (Spark generates
       // descending sequences) — short docs have no windows, drop first
@@ -1098,8 +1113,11 @@ object Dedup {
     * result; the token hash is materialized once per (doc, token) row
     * instead of re-evaluated per bit). */
   private def simhashAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("_id"),
-        explode(array_distinct(split(lower(col(textCol)), " ", -1))).as("_tok"))
+    val toks = graft.Tables
+      .spread(docs.select(col(idCol).as("_id"), col(textCol).as("_txt")),
+        col("_id"))
+      .select(col("_id"),
+        explode(array_distinct(split(lower(col("_txt")), " ", -1))).as("_tok"))
       .select(col("_id"), xxhash64(col("_tok")).as("_h"))
     val voteCols = (0 until 64).map(b =>
       sum(shiftright(col("_h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"_v$b"))

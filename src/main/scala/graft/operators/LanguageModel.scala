@@ -36,12 +36,16 @@ object LanguageModel {
 
   /** (w, c1): token occurrence counts over the corpus. */
   def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(toks(col(textCol))).as("w"))
+    // spread before tokenization: single-row-group scans pin the
+    // explode to one core (no-op once the scan has ≥cores splits)
+    graft.Tables.spread(docs.select(col(textCol)))
+      .select(explode(toks(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
 
   /** (w1, w2, c12): adjacent-pair counts over the corpus. */
   def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(bigramsOf(toks(col(textCol)))).as("_bg"))
+    graft.Tables.spread(docs.select(col(textCol)))
+      .select(explode(bigramsOf(toks(col(textCol)))).as("_bg"))
       .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
 
@@ -55,7 +59,9 @@ object LanguageModel {
                          uni: DataFrame, bi: DataFrame,
                          alpha: Double = 0.4): DataFrame = {
     val tot = uni.agg(sum(col("c1")).cast("double").as("_t"))
-    val bg = docs.select(col(idCol),
+    val bg = graft.Tables
+      .spread(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
         explode(bigramsOf(toks(col(textCol)))).as("_bg"))
       .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
     val lp = when(col("c12").isNotNull,

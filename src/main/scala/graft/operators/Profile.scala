@@ -47,7 +47,12 @@ object Profile {
         kmv(coalesce(Sketches.coordinate(col(c)), lit(-1L)))
           .as(s"_kmv_$c"))
     }
-    val wide = df.agg(count(lit(1)).as("_rows"), aggs: _*)
+    // spread before the per-column md5 coordinates (single-split scans
+    // otherwise run the whole one-pass profile on one core); project to
+    // the profiled columns so the exchange carries nothing else. The
+    // KMV merge is commutative — the profile is placement-independent.
+    val wide = graft.Tables.spread(df.select(cols.map(col): _*))
+      .agg(count(lit(1)).as("_rows"), aggs: _*)
     val withNdv = cols.foldLeft(wide) { (acc, c) =>
       acc.withColumn(s"_ndv_$c",
         when(size(col(s"_kmv_$c")) < k,

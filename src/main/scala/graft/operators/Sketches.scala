@@ -95,7 +95,10 @@ object Sketches {
     * corpus's synopsis via [[kmvUnionStats]]. */
   def kmvSketch(df: DataFrame, keyCol: String, k: Int): Seq[Long] = {
     val agg = udaf(new KmvAggregator(k), Encoders.scalaLong)
-    df.select(coordinate(col(keyCol)).as("_h"))
+    // spread the key column before the per-row md5 (k-bounded merge is
+    // commutative, so the synopsis is placement-independent)
+    graft.Tables.spread(df.select(col(keyCol)), col(keyCol))
+      .select(coordinate(col(keyCol)).as("_h"))
       .agg(agg(col("_h")).as("_kmv"))
       .head().getSeq[Long](0)
   }
@@ -150,7 +153,12 @@ object Sketches {
                   depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16]: $depth")
     require(width >= 2, s"width must be at least 2: $width")
-    df.select(col(keyCol).cast("string").as("_k"))
+    // spread BEFORE the md5 work: the hash runs depth× per row in the
+    // map stage, which a single-split scan pins to one core — the
+    // exchange carries only the key column (guide §2.3: shuffle the
+    // proxy, compute after)
+    graft.Tables.spread(df.select(col(keyCol).cast("string").as("_k")),
+        col("_k"))
       .select(explode(array((0 until depth).map(lit): _*)).as("_row"),
         col("_k"))
       .select(col("_row"),
@@ -244,7 +252,9 @@ object Sketches {
                             keyCol: String, k: Int): DataFrame = {
     val agg = udaf(new KmvAggregator(k), Encoders.scalaLong)
     val numerator = (k - 1).toLong * 4294967296L
-    df.select(groupCols.map(col) :+ coordinate(col(keyCol)).as("_h"): _*)
+    graft.Tables.spread(df.select((groupCols :+ keyCol).map(col): _*),
+        col(keyCol))
+      .select(groupCols.map(col) :+ coordinate(col(keyCol)).as("_h"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(agg(col("_h")).as("_kmv"))
       .withColumn("est_distinct",

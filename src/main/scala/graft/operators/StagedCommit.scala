@@ -453,8 +453,11 @@ object StagedCommit {
     * runSwap's post-staging window) so a HEALTHY writer whose write
     * outlives `DefaultLeaseStaleMs` is not misjudged crashed and
     * clobbered by a lease-breaking competitor targeting the same epoch
-    * dir (ADVICE r19, medium). Token-checked: never freshens a
-    * competitor's lease after ours was broken. Best-effort — the
+    * dir (ADVICE r19, medium). Token-checked BEST-EFFORT: the
+    * leaseHeld probe and the setTimes are not atomic, so a competitor
+    * that breaks a stale lease and plants its own in that window may
+    * get its (genuinely fresh) lease touched once — harmless, since a
+    * freshened fresh lease changes no decision (ADVICE r20). The
     * post-write fence is the correctness backstop. */
   private[graft] def refreshLease(fs: org.apache.hadoop.fs.FileSystem,
                                   dir: Path, token: String): Unit =

@@ -33,8 +33,14 @@ object TextIndex {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val tf = docs.select(col(idCol).as("doc_id"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
+    // spread before tokenization (guide §2.2): a single-row-group scan
+    // pins the explode to one core; hash-by-doc is deterministic and
+    // the exchange only exists when the scan is under-partitioned
+    val tf = graft.Tables
+      .spread(docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("_txt")), col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("_txt"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
@@ -65,8 +71,11 @@ object TextIndex {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
-      docs.select(explode(TextFunctions.tokens(col(textCol))).as("term"),
-          col(idCol).as("doc_id"))
+      graft.Tables
+        .spread(docs.select(col(idCol).as("doc_id"),
+          col(textCol).as("_txt")), col("doc_id"))
+        .select(explode(TextFunctions.tokens(col("_txt"))).as("term"),
+          col("doc_id"))
         .distinct()
         .withColumn("_bkt", pmod(xxhash64(col("term")), lit(buckets)))
         .repartition(buckets, col("_bkt"))
@@ -97,8 +106,11 @@ object TextIndex {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(statsPath, "_SUCCESS"))) {
-      docs.select(col(idCol).as("doc_id"),
-          TextFunctions.tokens(col(textCol)).as("_toks"))
+      graft.Tables
+        .spread(docs.select(col(idCol).as("doc_id"),
+          col(textCol).as("_txt")), col("doc_id"))
+        .select(col("doc_id"),
+          TextFunctions.tokens(col("_txt")).as("_toks"))
         .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
           explode(col("_toks")).as("term"))
         .groupBy(col("doc_id"), col("dl"), col("term"))

@@ -145,12 +145,41 @@ object Upsert {
         updates.columns.contains(version),
       s"mergeVersioned needs the $version column on BOTH sides")
     val all = target.unionByName(updates.select(target.columns.map(col): _*))
-    val rest = target.columns.toSeq
-      .filterNot(c => keys.contains(c) || c == version)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(version).desc +: rest.map(col(_).desc): _*)
-    all.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    latestRowPerKey(all, keys, version)
+  }
+
+  /** The max-(version, rest…) row per key as ONE partial-aggregated
+    * `max(struct(version, rest…))` instead of a row_number window
+    * (r21, guide §2.3 "aggregate before you shuffle"): the window form
+    * shuffles EVERY row of target ∪ updates and sorts each key
+    * partition; the aggregate ships at most one candidate row per key
+    * per map task and needs no sort. The winner is IDENTICAL: Spark's
+    * struct comparison is the same field-wise total order (nulls
+    * first, NaN largest) as the multi-column `version DESC, rest DESC,
+    * NULLS LAST` sort — the lexicographically largest (version, rest…)
+    * tuple either way, fully deterministic for any input. Types
+    * without a total order (maps) would fail BOTH forms' comparisons;
+    * the window fallback stays for them so error behavior is
+    * unchanged. */
+  private def latestRowPerKey(all: DataFrame, keys: Seq[String],
+                              version: String): DataFrame = {
+    val cols = all.columns.toSeq
+    val rest = cols.filterNot(c => keys.contains(c) || c == version)
+    val ordered = version +: rest
+    val orderable = ordered.forall(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(all.schema(c).dataType))
+    if (orderable)
+      all.groupBy(keys.map(col): _*)
+        .agg(max(struct(ordered.map(col): _*)).as("_w"))
+        .select(cols.map(c =>
+          if (keys.contains(c)) col(c) else col("_w." + c).as(c)): _*)
+    else {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(version).desc +: rest.map(col(_).desc): _*)
+      all.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
   }
 
   /** Partition-aware merge into a parquet table partitioned on
@@ -202,28 +231,28 @@ object Upsert {
         mergeVersioned(targetSlice, updates, keys, version)
       }
     // the merged slice reads the very partitions the dynamic overwrite
-    // replaces — stage it through a temp dir so the overwrite job never
-    // scans its own output path (self-read-overwrite race); the double
-    // write touches only the affected partitions, not the table
-    val fs = new org.apache.hadoop.fs.Path(tablePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = s"$tablePath._merge_tmp"
-    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
-    // a kill here leaves the staged tmp and an untouched table; the
-    // replay's Overwrite restages and completes (AuditChaosSpec)
+    // replaces — materialize it BEFORE the overwrite so the write job
+    // never scans its own output path (self-read-overwrite race).
+    // localCheckpoint (eager, block-manager-backed, disk-spillable)
+    // replaces the former tmp-PARQUET staging dir: same barrier, minus
+    // a full parquet encode + re-list + decode round-trip per merge
+    // (r21, guide §5 — the e2e gates pay this merge 2-3× per drain).
+    // Crash shape unchanged: a kill before the overwrite leaves the
+    // table untouched (checkpoint blocks die with the job) and the
+    // replay re-merges (AuditChaosSpec's merge_after_tmp_write site).
+    val staged = merged.localCheckpoint(true)
     graft.FailPoint.hit("merge_after_tmp_write")
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
-      spark.read.parquet(tmp)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      staged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy(partitionCol).parquet(tablePath)
     finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      staged.unpersist()
     }
     // a kill here = merge landed, caller's bookkeeping didn't; the
     // replay re-merges the same batch and mergeVersioned keeps the
@@ -354,22 +383,22 @@ object Upsert {
         EpochManifest.publish(fs, root, 0, Nil)
       case Some((epoch, tokens)) =>
         val cur = spark.read.parquet(s"$tablePath/current_e$epoch")
-        // stage the merge result ONCE: the four downstream actions
-        // (emptiness probe, content token, closed append, current
-        // write) would each replay the full-outer join otherwise —
-        // the same device mergeIntoPartitioned uses. The tmp dir is
-        // transient scratch: a crash leaves it for the retry's
-        // Overwrite; it is never read by the published state.
-        val tmp = s"$tablePath/_merge_tmp"
+        // stage the merge result ONCE: the downstream actions (content
+        // token, closed append, current write) would each replay the
+        // full-outer join otherwise. localCheckpoint (eager,
+        // block-manager-backed) replaces the former tmp-parquet scratch
+        // dir (r21, guide §5): same single evaluation, minus a parquet
+        // encode + re-list + decode round-trip per merge; a crash
+        // before publish leaves the table untouched either way and the
+        // retry recomputes.
         // refresh + fence around the long writes, same discipline as
         // mergeIntoManifested (VERDICT r19 #6): a healthy merge whose
         // staging outlives the stale window must not be misjudged
         // crashed and clobbered by a lease-breaking competitor
         fence()
         StagedCommit.refreshLease(fs, qroot, leaseToken)
-        scd2Merge(cur, updates, keys, attrs, tsCol, validFrom, validTo)
-          .write.mode(SaveMode.Overwrite).parquet(tmp)
-        val merged = spark.read.parquet(tmp)
+        val merged = scd2Merge(cur, updates, keys, attrs, tsCol,
+          validFrom, validTo).localCheckpoint(true)
         val newClosed = merged.filter(col(validTo).isNotNull)
         // token ties the delta to (epoch, FULL row content — keys,
         // attrs, and both validity bounds): a crash-retry of THIS
@@ -377,12 +406,15 @@ object Upsert {
         // abandoned-then-replaced batch at the same epoch that closes
         // the same keys still lands distinct rows (its valid_to
         // differs), so a stale committed delta can never be silently
-        // republished as another batch's history
+        // republished as another batch's history. The token's
+        // "empty_0" tail doubles as the emptiness probe — the former
+        // separate isEmpty action re-read the slice for a fact the
+        // token aggregation already establishes (r21).
+        val token = s"e${epoch}_" +
+          StagedCommit.idToken(newClosed, newClosed.columns.toSeq: _*)
         val landed =
-          if (newClosed.isEmpty) None
+          if (token.endsWith("_empty_0")) None
           else {
-            val token = s"e${epoch}_" +
-              StagedCommit.idToken(newClosed, newClosed.columns.toSeq: _*)
             StagedCommit.appendOnce(s"$tablePath/closed", token, Nil,
               newClosed)
             // record the SANITIZED form — the manifest is compared
@@ -405,7 +437,11 @@ object Upsert {
         // files under its scan). Older garbage — and a crash here —
         // is swept by the next merge's publish.
         EpochManifest.sweep(fs, root, epoch)
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        // legacy scratch from the pre-r21 tmp-parquet staging (and any
+        // crash debris it left): reclaim if present
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/_merge_tmp"),
+          true)
+        merged.unpersist()
     }
     }
   }
@@ -582,14 +618,10 @@ object Upsert {
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
         .map(_.getPath.getName)
     }
-    def dedupLatest(u: DataFrame): DataFrame = {
-      val rest = u.columns.toSeq
-        .filterNot(c => keys.contains(c) || c == version)
-      val w = Window.partitionBy(keys.map(col): _*)
-        .orderBy(col(version).desc +: rest.map(col(_).desc): _*)
-      u.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn")
-    }
+    // max-(version, rest…)-wins via the partial-aggregated struct max —
+    // same winner, no per-key sort (see latestRowPerKey)
+    def dedupLatest(u: DataFrame): DataFrame =
+      latestRowPerKey(u, keys, version)
     // WRITER LEASE (VERDICT r18 #6): every manifested writer — merge,
     // delete, compact, rename, drop — serializes on one per-table
     // maintenance lease, so two concurrent writers can never share an

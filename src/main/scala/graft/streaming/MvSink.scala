@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.IncrementalAgg
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, max}
+import org.apache.spark.sql.functions.{col, count, lit, max}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** STREAMING MATERIALIZED-VIEW MAINTENANCE — the last stage of the
@@ -261,14 +261,21 @@ object MvSink {
       (fold: DataFrame => DataFrame): Unit = {
     val fs = fsOf(spark, stateDir)
     if (appId.nonEmpty) fenceLineage(spark, stateDir, appId)
+    // ONE pass over the feed batch serves both the emptiness probe and
+    // the progress epoch (r21, guide §1.2: the old isEmpty + separate
+    // max(_to_epoch) agg re-read the batch files as two extra jobs per
+    // micro-batch — pure fixed overhead on every drain)
+    val wantEpoch = progress.isDefined && batch.columns.contains("_to_epoch")
+    val statsRow =
+      if (wantEpoch)
+        batch.agg(count(lit(1)), max(col("_to_epoch"))).head()
+      else batch.agg(count(lit(1))).head()
+    val nRows = statsRow.getLong(0)
     def publishProgress(): Unit =
       progress.foreach { case (feedDir, consumerId) =>
-        if (batch.columns.contains("_to_epoch")) {
-          val r = batch.agg(max(col("_to_epoch"))).head()
-          if (!r.isNullAt(0))
-            CdfSource.publishProgress(spark, feedDir, consumerId,
-              r.getLong(0))
-        }
+        if (wantEpoch && !statsRow.isNullAt(1))
+          CdfSource.publishProgress(spark, feedDir, consumerId,
+            statsRow.getLong(1))
       }
     val marker =
       new org.apache.hadoop.fs.Path(stateDir, s"_mvstate_b$batchId")
@@ -282,15 +289,20 @@ object MvSink {
       publishProgress()
       return
     }
-    if (batch.isEmpty) return // nothing to fold; no version for nothing
+    if (nRows == 0L) return // nothing to fold; no version for nothing
     val cur = readState(spark, stateDir).getOrElse(
       throw new IllegalStateException(
         s"MV state at $stateDir was never seeded — call MvSink.seed " +
           "with the base snapshot before tailing the feed"))
-    // localCheckpoint: the new version must not lazily read the very
-    // dirs the sweep below may reclaim, and Overwrite-into-read paths
-    // are the classic self-read hazard
-    val next = fold(cur).localCheckpoint(true)
+    // the write below materializes the fold in its one execution; its
+    // target dir mv_b<batchId> is never one of the dirs the fold reads
+    // (cur = the highest MARKED version < batchId) nor one the sweep
+    // below reclaims (it keeps the newest two) — so the old eager
+    // localCheckpoint paid a full second materialization of every
+    // batch's fold for a hazard this path cannot hit (r21). The
+    // multi-measure fold still checkpoints its group-grain `merged`
+    // frame internally where reuse is real.
+    val next = fold(cur)
     next.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/mv_b$batchId")
     graft.FailPoint.hit("mv_after_state_write")
     fs.create(marker, true).close()

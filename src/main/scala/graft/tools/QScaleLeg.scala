@@ -43,10 +43,13 @@ object QScaleLeg {
     val factor = 10
     val allTables = Seq("lineitem", "orders", "customer", "part",
       "supplier", "nation", "region")
-    // guard on EVERY table: a generation that crashed partway (the
-    // 10x write is minutes) must regenerate, not serve a torn corpus
+    // guard on EVERY table's COMPLETION marker, not bare dir
+    // existence (ADVICE r20): Spark creates the output dir before the
+    // minutes-long write completes, so a crashed generation leaves
+    // existing-but-partial dirs — `_SUCCESS` only lands when that
+    // table's write committed, so a torn corpus always regenerates
     if (!allTables.forall(tn =>
-        new java.io.File(s"$synth/$tn.parquet").exists())) {
+        new java.io.File(s"$synth/$tn.parquet/_SUCCESS").exists())) {
       // one shift unit per key DOMAIN, shared by every table that
       // stores the key — replica i's orders join replica i's lineitem
       // and nobody else's
