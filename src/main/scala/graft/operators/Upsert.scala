@@ -170,6 +170,11 @@ object Upsert {
       org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(all.schema(c).dataType))
     if (orderable)
+      // plans as partial+final SortAggregate (struct buffers are not
+      // hash-aggregable): one extra local sort of the already-deduped
+      // partials vs the window form, in exchange for shuffling one
+      // candidate row per key per map task instead of every input row
+      // — the trade that matters at scale (guide §2.3)
       all.groupBy(keys.map(col): _*)
         .agg(max(struct(ordered.map(col): _*)).as("_w"))
         .select(cols.map(c =>
