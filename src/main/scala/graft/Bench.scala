@@ -300,11 +300,19 @@ object Bench {
             Some((name, med / floor))
           else None
         }.sortBy(-_._2)
+        // FULL over-2x coverage (r22, VERDICT r21 #5): the former
+        // worst-24 cap let a contended run inflate the headline total —
+        // 66 gates sat >2x floor in the r21 official run but only 24
+        // got the isolated retry, so the other 42 published their
+        // contended suite medians unchallenged. Every flagged gate now
+        // isolates; the 20-minute isolation deadline (doubled when the
+        // flag list is large — a wide flag set IS the contended case
+        // the pass exists for) remains the real bound, and a chunk that
+        // misses it falls back to one in-process pass as before.
         if (byRatio.length > 24)
           System.err.println(s"[bench] ${byRatio.length} queries over 2x " +
-            s"floor; isolating worst 24 (dropped: ${
-              byRatio.drop(24).map(_._1).mkString(",")})")
-        val base = byRatio.take(24).map(_._1)
+            "floor; isolating ALL of them (wide flag set = contention)")
+        val base = byRatio.map(_._1)
         // the top-4-slowest bootstrap exists to seed FIRST-EVER floors
         // at the canonical scale; off-scale runs have floors gated off
         // (priorFloor empty by construction), and bootstrapping there
@@ -349,9 +357,13 @@ object Bench {
     // all-or-nothing policy then threw away wholesale.
     def isolateFreshJvm(names: Seq[String])
         : (Seq[(String, Double)], Map[String, Seq[Double]], Map[String, String]) = {
-      // seed mode isolates EVERY gate once — give it the wall it needs
+      // seed mode isolates EVERY gate once — give it the wall it needs;
+      // a wide flag list (uncapped since r22) gets a doubled budget so
+      // full coverage does not starve the tail chunks into the
+      // in-process fallback on the very runs that need fresh JVMs most
       val deadline = System.nanoTime() +
-        (if (isoSeed) 240L else 20L) * 60 * 1000 * 1000 * 1000
+        (if (isoSeed) 240L else if (names.length > 24) 40L else 20L) *
+          60 * 1000 * 1000 * 1000
       val accIso = Seq.newBuilder[(String, Double)]
       val accSamp = Map.newBuilder[String, Seq[Double]]
       var pending = names

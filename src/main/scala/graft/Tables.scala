@@ -93,10 +93,14 @@ object Tables {
     * size", not a local[32] constant (`spark.graft.spread.target`
     * overrides the target; ≤1 disables).
     *
-    * Call on SCAN-ROOTED plans only: `df.rdd` finalizes the physical
-    * plan, and under AQE a plan with upstream exchanges would
-    * materialize its query stages here (a hidden job). Every call site
-    * passes a bare table scan or scan+project/filter.
+    * The split count is derived from the LOGICAL plan's file relations
+    * (file count and total bytes against `maxPartitionBytes`) — never
+    * from `df.rdd`, which finalizes the physical plan and under AQE
+    * would eagerly materialize any upstream query stages (a hidden job
+    * at plan-build time — ADVICE r21). A plan with no file scan at its
+    * leaves (caller passed a joined/aggregated or in-memory frame)
+    * conservatively gets NO spread: the exchange only provably helps
+    * scan-rooted plans, which is the documented call-site contract.
     *
     * Results are placement-independent by construction at every call
     * site (aggregations, joins, per-row expressions); round-robin
@@ -109,9 +113,8 @@ object Tables {
       .getOrElse(spark.sparkContext.defaultParallelism)
     if (target <= 1) df
     else {
-      val parts =
-        try df.rdd.getNumPartitions
-        catch { case _: Throwable => target }
+      val parts = try scanSplitEstimate(df).getOrElse(Int.MaxValue)
+        catch { case _: Throwable => Int.MaxValue }
       if (parts >= target) df
       // hash-by-key when the caller names one: skips round-robin's
       // sort-before-repartition (a single-task sort of the whole input
@@ -121,5 +124,34 @@ object Tables {
       else if (by.nonEmpty) df.repartition(target, by: _*)
       else df.repartition(target)
     }
+  }
+
+  /** Estimated scan-split count of `df`'s file relations, from logical
+    * plan metadata only (no physical planning, no jobs): per relation,
+    * max(file count, ceil(bytes / maxPartitionBytes)) — the same two
+    * quantities Spark's own split packing is bounded by (a file is
+    * never merged below one split here, which over-estimates when many
+    * tiny files pack into one split; over-estimating only skips the
+    * spread, never adds a wasted exchange). None when the plan has no
+    * file relation — the caller broke the scan-rooted contract and
+    * spread declines to act. */
+  private def scanSplitEstimate(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val maxSplit = df.sparkSession.conf
+      .get("spark.sql.files.maxPartitionBytes", "134217728")
+      .stripSuffix("b").stripSuffix("B") match {
+        case s if s.forall(_.isDigit) => s.toLong
+        case _ => 134217728L
+      }
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+    }
+    if (rels.isEmpty) None
+    else Some(rels.map { r =>
+      val files = math.max(1L, r.location.inputFiles.length.toLong)
+      val bySize = (r.sizeInBytes + maxSplit - 1) / maxSplit
+      math.min(Int.MaxValue.toLong, math.max(files, bySize)).toInt
+    }.sum)
   }
 }

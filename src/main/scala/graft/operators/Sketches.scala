@@ -95,9 +95,12 @@ object Sketches {
     * corpus's synopsis via [[kmvUnionStats]]. */
   def kmvSketch(df: DataFrame, keyCol: String, k: Int): Seq[Long] = {
     val agg = udaf(new KmvAggregator(k), Encoders.scalaLong)
-    // spread the key column before the per-row md5 (k-bounded merge is
-    // commutative, so the synopsis is placement-independent)
-    graft.Tables.spread(df.select(col(keyCol)), col(keyCol))
+    // NO spread here (r22, VERDICT r21 what's-wrong #3): the per-row map
+    // work is ONE md5 and the KMV partial is k-bounded, so the r21
+    // exchange bought nothing measurable (a15/a17 floors unchanged, c8
+    // legs 2-3x above floor) — it was pure local overhead. cmsCounters
+    // keeps its spread: its map stage runs the hash depth× per row.
+    df.select(col(keyCol))
       .select(coordinate(col(keyCol)).as("_h"))
       .agg(agg(col("_h")).as("_kmv"))
       .head().getSeq[Long](0)
@@ -252,8 +255,9 @@ object Sketches {
                             keyCol: String, k: Int): DataFrame = {
     val agg = udaf(new KmvAggregator(k), Encoders.scalaLong)
     val numerator = (k - 1).toLong * 4294967296L
-    graft.Tables.spread(df.select((groupCols :+ keyCol).map(col): _*),
-        col(keyCol))
+    // no spread — same rationale as kmvSketch (one md5 per row,
+    // k-bounded partials; the r21 exchange showed no measured win)
+    df.select((groupCols :+ keyCol).map(col): _*)
       .select(groupCols.map(col) :+ coordinate(col(keyCol)).as("_h"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(agg(col("_h")).as("_kmv"))

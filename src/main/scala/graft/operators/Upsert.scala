@@ -20,6 +20,41 @@ import org.apache.spark.sql.functions._
   * `broadcast(updates)` at the call site to avoid shuffling the target.
   */
 object Upsert {
+
+  /** Label the jobs `body` submits (guide §1.5) — the merge substrate
+    * runs many small driver-sequenced actions per call, and without
+    * labels a GateProfile/UI job census cannot attribute them. Thread-
+    * local, restored on exit; measurement aid only. */
+  private def labeled[T](spark: org.apache.spark.sql.SparkSession,
+                         desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
+  /** Distinct values of one column as ONE exchange-free job (r22):
+    * the former `.distinct().collect()` paid an AQE shuffle-stage job
+    * plus the collect job for a control-plane-sized answer (2 jobs per
+    * merge/delete, on every micro-batch of every stream gate). A
+    * per-task distinct (mapPartitions) needs no exchange; the driver
+    * dedups the ≤ tasks × |values| leftovers — partition-value
+    * cardinality is table-layout-bounded by contract, so the collect
+    * stays control-plane sized at any input size. Nulls survive into
+    * the result for the callers' own require/guard. */
+  private def distinctValuesOneJob(df: DataFrame,
+                                   colName: String): Seq[Any] = {
+    val proj = df.select(col(colName))
+    val enc = org.apache.spark.sql.Encoders.row(proj.schema)
+    proj.mapPartitions { it =>
+      val seen = new java.util.LinkedHashSet[Any]()
+      it.foreach(r => seen.add(r.get(0)))
+      scala.jdk.CollectionConverters.IteratorHasAsScala(seen.iterator())
+        .asScala.map(v => org.apache.spark.sql.Row(v))
+    }(enc)
+      .collect().toSeq.map(_.get(0)).distinct
+  }
+
   def merge(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val u = updates.withColumn("_is_upd", lit(true)).alias("u")
     val t = target.alias("t")
@@ -187,6 +222,56 @@ object Upsert {
     }
   }
 
+  /** Materialize a merge slice that must be evaluated exactly once
+    * before an overwrite of (some of) the files it reads — the
+    * self-read-overwrite barrier shared by the partitioned and
+    * manifested-SCD2 merges. Strategy (`spark.graft.merge.staging`,
+    * r22 — ADVICE r21 medium):
+    *
+    *   - `local`   — eager `localCheckpoint`: no parquet encode +
+    *                 re-list + decode round trip, but the staged slice
+    *                 lives in NON-REPLICATED block-manager storage — an
+    *                 executor lost mid-overwrite makes it
+    *                 unrecomputable and fails the merge, and the slice
+    *                 must fit executor memory+local disk;
+    *   - `durable` — tmp-parquet dir beside the table: survives
+    *                 executor loss and is bounded by storage, at the
+    *                 cost of one extra write+read of the slice;
+    *   - `auto` (default) — `local` under a local[*] master (a single
+    *                 process: executor loss IS driver loss, so the
+    *                 durability gap is empty and the round trip pure
+    *                 overhead — the r21 measurement), `durable` on a
+    *                 real cluster, where a 100 TB merge must not ride
+    *                 on unreplicated checkpoint blocks.
+    *
+    * Returns the staged frame plus an idempotent cleanup to run in a
+    * `finally` — ON EVERY PATH, so a failed merge leaks neither
+    * checkpoint blocks (ADVICE r21 low: the old happy-path-only
+    * unpersist) nor tmp dirs. */
+  private def stageSlice(spark: org.apache.spark.sql.SparkSession,
+                         df: DataFrame, tmpDir: String)
+      : (DataFrame, () => Unit) = {
+    val mode = spark.conf.getOption("spark.graft.merge.staging")
+      .getOrElse("auto")
+    val useLocal = mode match {
+      case "local" => true
+      case "durable" => false
+      case "auto" => spark.sparkContext.isLocal
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.merge.staging must be local|durable|auto: $other")
+    }
+    if (useLocal) {
+      val staged = df.localCheckpoint(true)
+      (staged, () => { staged.unpersist(); () })
+    } else {
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
+      val fs = new org.apache.hadoop.fs.Path(tmpDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (spark.read.parquet(tmpDir),
+        () => { fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true); () })
+    }
+  }
+
   /** Partition-aware merge into a parquet table partitioned on
     * `partitionCol` (which must be a key prefix-compatible column —
     * here, one of the natural-key columns, so a key never moves between
@@ -213,8 +298,10 @@ object Upsert {
                            version: String): Unit = {
     require(keys.contains(partitionCol),
       s"$partitionCol must be part of the merge key, or rows could move partitions")
-    val touched = updates.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)).toSeq
+    val touched = labeled(spark,
+        s"merge: touched-partition collect ($tablePath)") {
+      distinctValuesOneJob(updates, partitionCol)
+    }
     val exists = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(tablePath))
@@ -238,14 +325,17 @@ object Upsert {
     // the merged slice reads the very partitions the dynamic overwrite
     // replaces — materialize it BEFORE the overwrite so the write job
     // never scans its own output path (self-read-overwrite race).
-    // localCheckpoint (eager, block-manager-backed, disk-spillable)
-    // replaces the former tmp-PARQUET staging dir: same barrier, minus
-    // a full parquet encode + re-list + decode round-trip per merge
-    // (r21, guide §5 — the e2e gates pay this merge 2-3× per drain).
-    // Crash shape unchanged: a kill before the overwrite leaves the
-    // table untouched (checkpoint blocks die with the job) and the
-    // replay re-merges (AuditChaosSpec's merge_after_tmp_write site).
-    val staged = merged.localCheckpoint(true)
+    // Staging strategy is SIZE/DEPLOYMENT-GATED via stageSlice (r22,
+    // ADVICE r21 medium): local[*] masters stage through an eager
+    // localCheckpoint (no parquet round trip; executor loss IS driver
+    // loss there, so the durability gap is empty), real clusters stage
+    // through a durable tmp-parquet dir (an executor lost mid-overwrite
+    // must not kill a 100 TB merge with no lineage to recompute from).
+    // Crash shape identical either way: a kill before the overwrite
+    // leaves the table untouched and the replay re-merges
+    // (AuditChaosSpec's merge_after_tmp_write site, both modes).
+    val (staged, cleanupStaging) =
+      stageSlice(spark, merged, s"$tablePath._merge_tmp")
     graft.FailPoint.hit("merge_after_tmp_write")
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -257,7 +347,7 @@ object Upsert {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      staged.unpersist()
+      cleanupStaging()
     }
     // a kill here = merge landed, caller's bookkeeping didn't; the
     // replay re-merges the same batch and mergeVersioned keeps the
@@ -390,20 +480,30 @@ object Upsert {
         val cur = spark.read.parquet(s"$tablePath/current_e$epoch")
         // stage the merge result ONCE: the downstream actions (content
         // token, closed append, current write) would each replay the
-        // full-outer join otherwise. localCheckpoint (eager,
-        // block-manager-backed) replaces the former tmp-parquet scratch
-        // dir (r21, guide §5): same single evaluation, minus a parquet
-        // encode + re-list + decode round-trip per merge; a crash
-        // before publish leaves the table untouched either way and the
-        // retry recomputes.
+        // full-outer join otherwise. Staging is deployment-gated via
+        // stageSlice (r22, ADVICE r21 medium): localCheckpoint under a
+        // local[*] master (no parquet round trip), durable tmp-parquet
+        // on a cluster (the staged slice must survive executor loss
+        // mid-publish). A crash before publish leaves the table
+        // untouched either way and the retry recomputes. Cleanup runs
+        // on success AND on Exception (a failed merge — fence trip,
+        // write error — no longer leaks checkpoint blocks, ADVICE r21
+        // low) but deliberately NOT on Error: the chaos FailPoints
+        // below sit inside this region, and a `finally` would run the
+        // durable-tmp delete on an injected kill — a cleanup no real
+        // process kill performs (the FailPoint site-placement
+        // constraint; leftover staging is restaged by the retry's
+        // Overwrite either way).
         // refresh + fence around the long writes, same discipline as
         // mergeIntoManifested (VERDICT r19 #6): a healthy merge whose
         // staging outlives the stale window must not be misjudged
         // crashed and clobbered by a lease-breaking competitor
         fence()
         StagedCommit.refreshLease(fs, qroot, leaseToken)
-        val merged = scd2Merge(cur, updates, keys, attrs, tsCol,
-          validFrom, validTo).localCheckpoint(true)
+        val (merged, cleanupStaging) = stageSlice(spark,
+          scd2Merge(cur, updates, keys, attrs, tsCol, validFrom, validTo),
+          s"$tablePath/_merge_tmp")
+        try {
         val newClosed = merged.filter(col(validTo).isNotNull)
         // token ties the delta to (epoch, FULL row content — keys,
         // attrs, and both validity bounds): a crash-retry of THIS
@@ -442,11 +542,8 @@ object Upsert {
         // files under its scan). Older garbage — and a crash here —
         // is swept by the next merge's publish.
         EpochManifest.sweep(fs, root, epoch)
-        // legacy scratch from the pre-r21 tmp-parquet staging (and any
-        // crash debris it left): reclaim if present
-        fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/_merge_tmp"),
-          true)
-        merged.unpersist()
+        cleanupStaging()
+        } catch { case e: Exception => cleanupStaging(); throw e }
     }
     }
   }
@@ -658,13 +755,25 @@ object Upsert {
         // enforces (their touched-dir collects require it row by row):
         // without this, a null value lands as a __HIVE_DEFAULT_PARTITION__
         // dir in manifest 0 — an unaddressable partition later merges
-        // refuse on and deleteFromManifested NPEs on (ADVICE r14)
-        require(updates.filter(col(partitionCol).isNull).limit(1).isEmpty,
-          s"null $partitionCol values are not supported by the " +
-            "manifested layout")
-        dedupLatest(updates).repartition(col(partitionCol))
-          .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
-          .parquet(epochDir(0))
+        // refuse on and deleteFromManifested NPEs on (ADVICE r14).
+        // The probe rides INSIDE the bootstrap write's scan stage (a
+        // raise_error guard on the partition column) instead of a
+        // separate isEmpty job — every manifested table's first merge
+        // paid that job for a fact the write evaluates anyway (r22,
+        // guide §1.2). A tripped guard fails the write job loudly
+        // before the manifest publishes; the unreferenced partial _e0
+        // is restaged by the fixed caller's retry, same as any other
+        // pre-publish crash.
+        val guarded = updates.withColumn(partitionCol,
+          when(col(partitionCol).isNull, raise_error(lit(
+            s"null $partitionCol values are not supported by the " +
+              "manifested layout")))
+            .otherwise(col(partitionCol)))
+        labeled(spark, s"mergem: bootstrap epoch 0 write ($tablePath)") {
+          dedupLatest(guarded).repartition(col(partitionCol))
+            .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+            .parquet(epochDir(0))
+        }
         val stats0 = computeStats(
           spark.read.option("basePath", epochDir(0))
             .schema(updates.schema).parquet(epochDir(0)),
@@ -677,13 +786,16 @@ object Upsert {
         // touched partitions, as the DIRECTORY NAMES Spark writes for
         // them — dir-level pruning against the manifest, no data read
         // for the untouched mass
-        val touchedDirs = updates.select(col(partitionCol).cast("string"))
-          .distinct().collect().map { r =>
-            require(!r.isNullAt(0),
+        val touchedDirs = labeled(spark,
+            s"mergem: touched-partition collect ($tablePath)") {
+          distinctValuesOneJob(
+            updates.select(col(partitionCol).cast("string")), partitionCol)
+          }.map { v =>
+            require(v != null,
               s"null $partitionCol values are not supported by the " +
                 "manifested layout")
             s"$partitionCol=" + org.apache.spark.sql.catalyst.catalog
-              .ExternalCatalogUtils.escapePathName(r.getString(0))
+              .ExternalCatalogUtils.escapePathName(v.asInstanceOf[String])
           }.toSet
         // v2 (sharded manifest, VERDICT r18 #1): resolve ONLY the
         // touched buckets' leaves — the untouched mass is neither
@@ -812,9 +924,11 @@ object Upsert {
         StagedCommit.refreshLease(fs, qroot, leaseToken)
         EpochManifest.writeIntent(fs, root, epoch + 1)
         graft.FailPoint.hit("mergem_before_epoch_write")
-        merged.repartition(col(partitionCol))
-          .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
-          .parquet(epochDir(epoch + 1))
+        labeled(spark, s"mergem: epoch ${epoch + 1} write ($tablePath)") {
+          merged.repartition(col(partitionCol))
+            .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+            .parquet(epochDir(epoch + 1))
+        }
         graft.FailPoint.hit("mergem_after_epoch_write")
         // post-write fence (ADVICE r19, medium): the refresh above
         // keeps a HEALTHY long write from being misjudged stale; if it
@@ -1479,13 +1593,16 @@ object Upsert {
       val (epoch, rootInfo) = EpochManifest.activeRoot(fs, root)
         .getOrElse(throw new IllegalStateException(
           s"manifest vanished under $tablePath"))
-      val touchedDirs = keyBatch.select(col(partitionCol).cast("string"))
-        .distinct().collect().map { r =>
-          require(!r.isNullAt(0),
+      val touchedDirs = labeled(spark,
+          s"mergem: delete touched-partition collect ($tablePath)") {
+        distinctValuesOneJob(
+          keyBatch.select(col(partitionCol).cast("string")), partitionCol)
+        }.map { v =>
+          require(v != null,
             s"null $partitionCol values are not supported by the " +
               "manifested layout")
           s"$partitionCol=" + org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.escapePathName(r.getString(0))
+            .ExternalCatalogUtils.escapePathName(v.asInstanceOf[String])
         }.toSet
       // v2: resolve only the touched buckets' leaves — the delete's
       // discovery, rewrite, AND publish are all O(touched)
@@ -1542,9 +1659,12 @@ object Upsert {
     lease.foreach { case (qroot, token) =>
       StagedCommit.refreshLease(fs, qroot, token) }
     EpochManifest.writeIntent(fs, root, epoch + 1)
-    kept.repartition(col(partitionCol))
-      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
-      .parquet(s"$tablePath/_e${epoch + 1}")
+    labeled(kept.sparkSession,
+        s"mergem: delete epoch ${epoch + 1} write ($tablePath)") {
+      kept.repartition(col(partitionCol))
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+        .parquet(s"$tablePath/_e${epoch + 1}")
+    }
     graft.FailPoint.hit("mergem_delete_after_write")
     fence()
     // a fully-deleted partition writes no dir: its entry drops

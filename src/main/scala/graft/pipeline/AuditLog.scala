@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * `log_for_reporting` (probed via `select status from log_for_loading
   * where locate('temp table creation',EventSource)>0 and
   * timediff(now(),Time_stamp)<10`, `2.2 loading-lambda-for-mysql.py:
-  * 273,311,389`), re-expressed as an append-mode parquet table the engine
-  * writes one row per pipeline stage.
+  * 273,311,389`), re-expressed as an append-only audit dir the engine
+  * writes one tiny row-file per pipeline stage (driver-side creates —
+  * no Spark job for a one-row record; legacy parquet row-files from
+  * earlier rounds read back through the same probe surface).
   *
   * Columns: (event_source, target, status, ts). `status` carries the
   * reference's {-1,0,1} OUT-param protocol (§2.10).
@@ -20,35 +22,61 @@ final class AuditLog(spark: SparkSession, path: String,
                      mtimeSlackSeconds: Long = 60L) {
   import spark.implicits._
 
-  // synchronized: concurrent append-mode writes to one parquet path share
-  // the _temporary staging dir, and one job's commit can delete another's
-  // in-flight task files. Loads now run on a driver thread pool (Watch),
-  // so the one-row audit writes serialize here; the heavy data-plane jobs
-  // stay concurrent.
+  // DRIVER-SIDE APPEND (r22, guide §5 "the driver should do almost no
+  // data work" — and its inverse: a ONE-ROW control-plane record must
+  // not pay a distributed write job). The former Seq(...).toDF.write
+  // .parquet spawned a full Spark job (~50-100 ms of scheduler fixed
+  // cost) per audit row; the e2e ingest gates append 4-5 rows per load
+  // across three drains, so the audit path alone owned 15-20 of the
+  // gate's ~100 jobs. Each append is now one atomic create of a tiny
+  // escaped-TSV file — O(stages) driver-side metadata, the shape the
+  // class doc always claimed. Readers keep a parquet path for files
+  // older appends left behind (artifact dirs restored from earlier
+  // rounds), so the two encodings coexist in one dir.
+  // synchronized: loads run on a driver thread pool (Watch); the
+  // counter + create(…, overwrite=false) pair keeps names unique.
+  private val seqNo = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val runTag = java.util.UUID.randomUUID().toString.take(8)
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
   def append(eventSource: String, target: String, status: Int,
              tsMillis: Long): Unit = synchronized {
-    Seq((eventSource, target, status, new java.sql.Timestamp(tsMillis)))
-      .toDF("event_source", "target", "status", "ts")
-      .write.mode("append").parquet(path)
-  }
-
-  def table(): DataFrame = {
-    // Hadoop FS probe, not java.io.File: the warehouse may be any
-    // FileSystem URI (hdfs://, s3a://), same as the append() write path.
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(path)
-    else emptyTable
+    fs.mkdirs(p)
+    val line = Seq(enc(eventSource), enc(target), status.toString,
+      tsMillis.toString).mkString("\t")
+    val f = new org.apache.hadoop.fs.Path(p,
+      s"audit_${tsMillis}_${runTag}_${seqNo.incrementAndGet()}.tsv")
+    val out = fs.create(f, false)
+    try out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The audit table as a DataFrame (same shape as the former
+    * append-mode parquet table): built from the driver-side rows —
+    * control-plane sized by the class contract. */
+  def table(): DataFrame = {
+    val rows = rowsOf(listAudit().map(_.getPath))
+    if (rows.isEmpty) emptyTable
+    else rows.map(r => (r.eventSource, r.target, r.status,
+        new java.sql.Timestamp(r.tsMillis)))
+      .toDF("event_source", "target", "status", "ts")
   }
 
   private def emptyTable: DataFrame =
     Seq.empty[(String, String, Int, java.sql.Timestamp)]
       .toDF("event_source", "target", "status", "ts")
 
-  /** One audit row, driver-side form (`tsSec` = epoch seconds, the
-    * same truncation `unix_timestamp` applies). */
+  /** One audit row, driver-side form. `tsSec` reproduces the former
+    * `unix_timestamp` floor the window probes compared against. */
   private final case class AuditRow(eventSource: String, target: String,
-                                    status: Int, tsSec: Long)
+                                    status: Int, tsMillis: Long) {
+    def tsSec: Long = Math.floorDiv(tsMillis, 1000L)
+  }
 
   /** Per-file row memo behind the control-plane probes: audit part
     * files are WRITE-ONCE (append-mode parquet adds files, never
@@ -66,18 +94,40 @@ final class AuditLog(spark: SparkSession, path: String,
   private def pathKey(p: org.apache.hadoop.fs.Path): String =
     p.toUri.getPath
 
+  private def parseTsv(f: org.apache.hadoop.fs.Path): Seq[AuditRow] = {
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(f)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.split("\n").toSeq.filter(_.nonEmpty).flatMap { l =>
+      l.split("\t", -1) match {
+        case Array(src, tgt, st, ts) =>
+          try Some(AuditRow(dec(src), dec(tgt), st.toInt, ts.toLong))
+          catch { case _: Exception => None } // torn write: row not yet real
+        case _ => None
+      }
+    }
+  }
+
   private def rowsOf(files: Seq[org.apache.hadoop.fs.Path]): Seq[AuditRow] = {
     val keyed = files.map(f => pathKey(f) -> f)
     val missing = keyed.filterNot { case (k, _) => fileRowsCache.contains(k) }
-    val loaded: Map[String, Seq[AuditRow]] =
-      if (missing.isEmpty) Map.empty
-      else spark.read.parquet(missing.map(_._2.toString): _*)
+    val (missingTsv, missingPq) =
+      missing.partition(_._2.getName.endsWith(".tsv"))
+    // driver-side rows parse driver-side (no job); legacy parquet files
+    // keep the one batched Spark read
+    val loadedTsv: Map[String, Seq[AuditRow]] =
+      missingTsv.map { case (k, f) => k -> parseTsv(f) }.toMap
+    val loaded: Map[String, Seq[AuditRow]] = loadedTsv ++ (
+      if (missingPq.isEmpty) Map.empty[String, Seq[AuditRow]]
+      else spark.read.parquet(missingPq.map(_._2.toString): _*)
         .select(input_file_name().as("_f"), col("event_source"),
-          col("target"), col("status"), unix_timestamp(col("ts")).as("_s"))
+          col("target"), col("status"),
+          expr("unix_micros(ts) DIV 1000").as("_ms"))
         .collect().toSeq
         .groupBy(r => pathKey(new org.apache.hadoop.fs.Path(r.getString(0))))
         .map { case (k, rs) => k -> rs.map(r => AuditRow(
-          r.getString(1), r.getString(2), r.getInt(3), r.getLong(4))) }
+          r.getString(1), r.getString(2), r.getInt(3), r.getLong(4))) })
     // GUARD before caching: caching `empty` for a requested key is only
     // sound when the scan's file-name spelling provably matches the
     // listing's (both normalize through pathKey, but a filesystem whose
@@ -103,12 +153,13 @@ final class AuditLog(spark: SparkSession, path: String,
     }
   }
 
-  private def listParquet(): Seq[org.apache.hadoop.fs.FileStatus] = {
+  private def listAudit(): Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .filter(st => st.isFile && (st.getPath.getName.endsWith(".parquet") ||
+        st.getPath.getName.endsWith(".tsv")))
   }
 
   /** Time-bounded view for window probes: every [[append]] creates a
@@ -136,7 +187,7 @@ final class AuditLog(spark: SparkSession, path: String,
   private def recentFiles(nowMillis: Long, maxAgeSeconds: Long)
       : (Seq[org.apache.hadoop.fs.FileStatus],
          Seq[org.apache.hadoop.fs.FileStatus]) = {
-    val all = listParquet()
+    val all = listAudit()
     val cutoff = nowMillis - (maxAgeSeconds + mtimeSlackSeconds) * 1000L
     (all.filter(_.getModificationTime >= cutoff), all)
   }
@@ -180,13 +231,22 @@ final class AuditLog(spark: SparkSession, path: String,
     * rows are the truth; the memo only skips re-parsing immutable
     * files). */
   def isQuarantined(target: String): Boolean =
-    rowsOf(listParquet().map(_.getPath)).exists(r =>
+    rowsOf(listAudit().map(_.getPath)).exists(r =>
       r.eventSource == "quarantine" && r.target == target)
 
   /** Failed-attempt count for `target` recorded by the pipeline
     * (`event_source = "loading"`, status −1) — the durable attempt
     * counter behind ST6's maxAttempts. */
   def countFailures(target: String): Long =
-    rowsOf(listParquet().map(_.getPath)).count(r =>
+    rowsOf(listAudit().map(_.getPath)).count(r =>
       r.eventSource == "loading" && r.target == target && r.status == -1)
+
+  /** Targets with a terminal success row (`event_source == needle`
+    * exactly, status 1) — the driver-side set behind completion
+    * detection ([[IngestPipeline.checkRemainingFiles]]'s anti-join,
+    * formerly a Spark join job over control-plane rows). */
+  def successTargets(needle: String): Set[String] =
+    rowsOf(listAudit().map(_.getPath)).collect {
+      case r if r.eventSource == needle && r.status == 1 => r.target
+    }.toSet
 }

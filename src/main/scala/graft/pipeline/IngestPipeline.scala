@@ -445,7 +445,6 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
     * anti-join is a broadcast of audit keys — control-plane sizes. */
   def checkRemainingFiles(dir: String, freshnessMinutes: Long,
                           nowMillis: Long): RemainingFiles = {
-    import spark.implicits._
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val listed =
@@ -454,18 +453,20 @@ final class IngestPipeline(spark: SparkSession, warehouse: String,
         .filter(_.isFile)
         .map(st => (st.getPath.getName, st.getModificationTime))
         .filterNot(_._1.contains("converted")) // ST9 re-entrancy guard
-    val listing = listed.toDF("name", "mtime")
-    val processed = audit.table()
-      .filter(col("event_source") === "loading" && col("status") === 1)
-      .select(col("target").as("name")).distinct()
-    val remaining = listing.join(broadcast(processed), Seq("name"), "left_anti")
-      .withColumn("fresh",
-        (lit(nowMillis) - col("mtime")) < freshnessMinutes * 60000L)
-      .select(col("name"), col("fresh"))
-      .as[(String, Boolean)].collect()
+    // DRIVER-SIDE anti-join (r22, guide §5): both sides are control-
+    // plane sized (file names, audit success targets — the class doc's
+    // own contract), so the former Spark broadcast-join paid a full
+    // job's scheduler fixed cost per completion check, once per drain.
+    // Same semantics: listed minus terminal-success targets, classed by
+    // the freshness window.
+    val processed = audit.successTargets("loading")
+    val remaining = listed
+      .filterNot { case (name, _) => processed.contains(name) }
+      .map { case (name, mtime) =>
+        (name, (nowMillis - mtime) < freshnessMinutes * 60000L) }
     RemainingFiles(
-      pending = remaining.filter(_._2).map(_._1).sorted.toSeq,
-      stale = remaining.filterNot(_._2).map(_._1).sorted.toSeq)
+      pending = remaining.filter(_._2).map(_._1).sorted,
+      stale = remaining.filterNot(_._2).map(_._1).sorted)
   }
 
   /** S11: archive — move the consumed file under `backup/<date>/`

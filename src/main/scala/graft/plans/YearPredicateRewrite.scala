@@ -223,12 +223,55 @@ object GraftExtensions {
     // and the job pays task-scheduling overhead per chunk (GateProfile
     // measured a single "Listing leaf files for 1774 paths" job at
     // 2.7 s of x_sim_lsh_cdc's 6.9 s wall; the driver-side walk of the
-    // same tree is ~milliseconds). The threshold is an environment knob
-    // so a remote-store deployment can restore the distributed listing
-    // (SPARK_GRAFT_LIST_PARALLEL_THRESHOLD=32); the default models
-    // local/NVMe latency. Performance-only: the discovered file set is
-    // identical either way.
-    spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold",
-      sys.env.getOrElse("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "100000"))
+    // same tree is ~milliseconds). Resolution (r22, VERDICT r21 #4):
+    // the env var wins; an EXPLICIT session setting is respected, not
+    // clobbered; otherwise the default is SCHEME-AWARE — a local-fs
+    // default filesystem gets the high driver-side threshold, anything
+    // remote (s3a/abfs/gs/hdfs/…) keeps Spark's own default, so a real
+    // object-store deployment never silently serializes a 100k-path
+    // listing on the driver. Performance-only: the discovered file set
+    // is identical either way.
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    sys.env.get("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD") match {
+      case Some(v) => spark.conf.set(key, v)
+      case None if !thresholdExplicitlySet(spark, key) =>
+        spark.conf.set(key, listingThresholdFor(
+          org.apache.hadoop.fs.FileSystem.getDefaultUri(
+            spark.sparkContext.hadoopConfiguration).getScheme))
+      case None => () // deployment pinned it — respect, never clobber
+    }
   }
+
+  /** Whether the session (builder config, spark-submit conf, or a
+    * runtime `spark.conf.set`) EXPLICITLY carries `key` — as opposed to
+    * RuntimeConfig serving the registered default, which `getOption`
+    * cannot distinguish. SQLConf.contains reports only explicitly-set
+    * entries; reached via reflection because `sessionState` is
+    * `private[sql]` (bytecode-public). Conservative on any failure:
+    * report true, so install never clobbers when it cannot prove the
+    * key is unset. Note our own install flips this to true, which also
+    * makes a re-install a no-op by construction. */
+  private def thresholdExplicitlySet(spark: SparkSession,
+                                     key: String): Boolean =
+    try {
+      if (spark.sparkContext.getConf.contains(key)) true
+      else {
+        val ss = spark.getClass.getMethod("sessionState").invoke(spark)
+        val conf = ss.getClass.getMethod("conf").invoke(ss)
+          .asInstanceOf[org.apache.spark.sql.internal.SQLConf]
+        conf.contains(key)
+      }
+    } catch { case _: Throwable => true }
+
+  /** Scheme → listing-threshold default: local filesystems stat in
+    * ~20 µs, so driver-side listing wins far past Spark's default 32
+    * paths (the r21 measurement: a 1774-path distributed listing job
+    * cost 2.7 s where the driver walk is milliseconds); every remote
+    * scheme (s3a/abfs/gs/hdfs/…) keeps Spark's default 32, where a
+    * distributed listing amortizes ~10 ms round-trips. */
+  private[graft] def listingThresholdFor(scheme: String): String =
+    scheme match {
+      case null | "file" | "local" => "100000"
+      case _ => "32"
+    }
 }

@@ -92,22 +92,28 @@ object MergeSink {
         // checkpoint, so the batch replays after the operator restarts
         // in a valid configuration (Replicate's mid-run rename guard)
         preBatch()
-        if (!batch.isEmpty) {
-          val w = Window.partitionBy(keys.map(col): _*)
-            .orderBy(col(versionCol).desc, col(opCol).desc)
-          val latest = batch.withColumn("_rn", row_number().over(w))
-            .filter(col("_rn") === 1).drop("_rn")
-            .localCheckpoint() // one materialization serves both halves
-          val ups = latest.filter(col(opCol) =!= "delete").drop(opCol)
-          if (!ups.isEmpty)
-            Upsert.mergeIntoManifested(spark, targetDir, ups, keys,
-              partitionCol, versionCol)
-          val dels = latest.filter(col(opCol) === "delete")
-            .select(keys.map(col): _*)
-          if (!dels.isEmpty)
-            Upsert.deleteKeysFromManifested(spark, targetDir, dels,
-              keys, partitionCol)
-        }
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(versionCol).desc, col(opCol).desc)
+        val latest = batch.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+          .localCheckpoint() // one materialization serves both halves
+        // ONE pass over the (checkpointed) net-effect rows answers all
+        // three routing questions — the former batch.isEmpty +
+        // ups.isEmpty + dels.isEmpty were three extra jobs per
+        // micro-batch, pure fixed drain overhead (r22, guide §1.2)
+        val counts = latest.agg(count(lit(1)).as("_n"),
+          count(when(col(opCol) === "delete", lit(1))).as("_nd")).head()
+        val nDel = counts.getLong(1)
+        val nUps = counts.getLong(0) - nDel
+        if (nUps > 0L)
+          Upsert.mergeIntoManifested(spark, targetDir,
+            latest.filter(col(opCol) =!= "delete").drop(opCol), keys,
+            partitionCol, versionCol)
+        if (nDel > 0L)
+          Upsert.deleteKeysFromManifested(spark, targetDir,
+            latest.filter(col(opCol) === "delete")
+              .select(keys.map(col): _*),
+            keys, partitionCol)
       }
       .start()
   }

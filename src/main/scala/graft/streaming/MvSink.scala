@@ -290,6 +290,18 @@ object MvSink {
       return
     }
     if (nRows == 0L) return // nothing to fold; no version for nothing
+    // INVARIANT GUARD (ADVICE r21 low): the unchecked-pointed fold below
+    // is safe only because (a) readState resolves a version STRICTLY
+    // BELOW batchId — the write never overwrites a dir its own plan
+    // reads — and (b) the sweep retains the fold's input version until
+    // this batch's write has materialized. Assert (a) here and (b) at
+    // the sweep, so a future readState/retention change fails loudly
+    // instead of corrupting a lazy self-read of a reclaimed dir.
+    val curVer = lastAppliedBatch(spark, stateDir).getOrElse(-1L)
+    require(curVer < batchId,
+      s"MV fold at $stateDir: input state version $curVer does not " +
+        s"precede batch $batchId — folding would read the dir the " +
+        "write overwrites; the lineage fence should have caught this")
     val cur = readState(spark, stateDir).getOrElse(
       throw new IllegalStateException(
         s"MV state at $stateDir was never seeded — call MvSink.seed " +
@@ -318,6 +330,13 @@ object MvSink {
     val ids = fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
       case BatchMarker(n) => n.toLong
     }.sorted
+    // invariant (b): the fold's input version must survive this sweep
+    // (keep-newest-2 keeps it by construction — a retention change that
+    // would reclaim the version just folded from fails HERE, loudly)
+    require(curVer < 0L || !ids.dropRight(2).contains(curVer),
+      s"MV sweep at $stateDir would reclaim version $curVer, the very " +
+        "state this batch's fold read — retention must keep at least " +
+        "the fold input and its result")
     ids.dropRight(2).foreach { old =>
       fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"mv_b$old"), true)
       fs.delete(new org.apache.hadoop.fs.Path(stateDir, s"_mvstate_b$old"),

@@ -924,11 +924,20 @@ class MergeManifestSpec extends SparkSpec {
       "into manifest 0 (ADVICE r14)") {
     val path = java.nio.file.Files.createTempDirectory("graft_mmnull")
       .toString + "/tbl"
-    intercept[IllegalArgumentException] {
+    // since r22 the probe rides inside the bootstrap write's scan stage
+    // (raise_error guard — one fewer job per table bootstrap), so the
+    // loud failure surfaces as the write job's exception; the contract
+    // under test is unchanged: refuse loudly, publish nothing
+    val e = intercept[Exception] {
       Upsert.mergeIntoManifested(spark, path,
         Seq((1L, Option.empty[String], 1.0, 1L), (2L, Some("a"), 2.0, 1L))
           .toDF("k", "part", "v", "ver"), keys, "part", "ver")
     }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("; ")
+    assert(msgs.contains("null part values are not supported"),
+      s"unexpected failure: $msgs")
     // nothing was published: the table is still uninitialized and a
     // clean batch starts it normally
     val fs = new org.apache.hadoop.fs.Path(path)
