@@ -71,7 +71,7 @@ object Graph {
     var pr = nodes.select(col("id"), col("outdeg"),
       lit(1000000L).as("pr"))
     val hold = lit(1000000L - dampingPpm)
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val inflow = e
         .join(pr.select(col("id").as("src"),
             expr("pr DIV outdeg").as("_c")), Seq("src"))
@@ -82,7 +82,14 @@ object Graph {
         .select(col("id"), col("outdeg"),
           (hold + expr(s"(coalesce(_inflow, 0L) * $dampingPpm) DIV 1000000"))
             .as("pr"))
-        .localCheckpoint()
+      // rank lineage is SINGLE-REFERENCE per round now (outdeg rides in
+      // pr, so nothing re-joins it), so the plan grows linearly and the
+      // former per-round EAGER checkpoint was paying one extra full
+      // materialization job per iteration for a blowup that can no
+      // longer occur. A cadence checkpoint every 8 rounds still bounds
+      // planning depth for the iters→20 end of the contract; values are
+      // integer fixed-point either way (recomputation-safe).
+      if (round % 8 == 0 && round < iters) pr = pr.localCheckpoint()
     }
     // refuse-loudly on the output value itself: a dangling node (null
     // outdeg) silently holds rank it never redistributes — a graph

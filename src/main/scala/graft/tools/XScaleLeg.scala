@@ -71,6 +71,11 @@ object XScaleLeg {
            else translate(col("text"), alpha, rot)).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
+        // 64 output files: a real 10× corpus is many-split — and ONLY a
+        // scan with ≥ core-count splits can demonstrate the spread
+        // guard's no-op (10 splits on 32 cores would make spreading the
+        // CORRECT call, and the leg would measure the wrong claim)
+        .repartition(64)
         .write.mode("overwrite").parquet(s"$synth/documents.parquet")
       val emb = graft.Tables.load(spark, src, "embeddings")
       val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
@@ -81,6 +86,7 @@ object XScaleLeg {
             .as("embedding"),
           col("label"))
       }.reduce(_ unionByName _)
+        .repartition(64)
         .write.mode("overwrite").parquet(s"$synth/embeddings.parquet")
       val li = graft.Tables.load(spark, src, "lineitem")
       val liTypes = li.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -94,6 +100,7 @@ object XScaleLeg {
           df.withColumn(c, (col(c) + lit(i * u)).cast(liTypes(c)))
         }
       }.reduce(_ unionByName _)
+        .repartition(64)
         .write.mode("overwrite").parquet(s"$synth/lineitem.parquet")
     }
     new java.io.File("plans/r22").mkdirs()
